@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable query: a Spark implementation plus (optionally) an
+  * equivalent DuckDB SQL oracle over the same parquet tables.
+  *
+  * Determinism contract (so the driver's hash compare passes):
+  *   - every query ends in a total ORDER BY (unique tiebreak key);
+  *   - money/double aggregation goes through exact integer-cents math
+  *     (`round(x*100)::long`) so Spark and DuckDB sums are bit-identical;
+  *   - ratios are a SINGLE double division of two exact integers;
+  *   - timestamps in output are formatted to strings.
+  */
+final case class QuerySpec(
+    name: String,
+    oracle: Option[String],
+    run: (SparkSession, String) => DataFrame)
+
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet scan — filters/column pruning push down via the vectorized
+    * reader; at cluster scale this is the 100-TB entry point. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it scans as epoch-ns Long.
+    * Expose both integer epoch-µs (`us`, exact — matches DuckDB's
+    * epoch_ns(ts)//1000) and a µs TimestampType `ts`. `div` keeps the
+    * arithmetic integral (a double division would lose precision above
+    * 2^53 ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    raw.withColumn("us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("us")))
+  }
+}

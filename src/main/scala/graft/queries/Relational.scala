@@ -1,0 +1,374 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface over the produced tables (SURVEY.md §2.7: the
+  * aggregation/window/sort/limit/set-op categories the reference delegates
+  * to the storage layer — here expressed as stock Catalyst plans so
+  * pushdown, partial aggregation, broadcast joins and AQE all apply).
+  *
+  * Scale notes (100 TB): every aggregate is map-side partial (hash agg),
+  * every small-dimension join is broadcast, every window partitions on a
+  * high-cardinality key. No driver-side collects.
+  */
+object Relational {
+
+  /** Exact integer cents from a 2-decimal double column. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  /** Exact integer percent from a 2-decimal fraction column. */
+  private def pct(c: Column): Column = round(c * 100, 0).cast("long")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- A: hash aggregation with map-side combine (TPC-H Q1 shape) -----
+    QuerySpec(
+      "q01_pricing_summary",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+               CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)*(100-CAST(round(l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+               CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)*(100-CAST(round(l_discount*100,0) AS BIGINT))*(100+CAST(round(l_tax*100,0) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty,
+               CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_price,
+               CAST(sum(CAST(round(l_discount*100,0) AS BIGINT)) AS DOUBLE)/100.0/count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+        val ep = cents(col("l_extendedprice"))
+        val dc = pct(col("l_discount"))
+        val tx = pct(col("l_tax"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            (sum(ep).cast("double") / 100.0).as("sum_base_price"),
+            (sum(ep * (lit(100L) - dc)).cast("double") / 10000.0).as("sum_disc_price"),
+            (sum(ep * (lit(100L) - dc) * (lit(100L) + tx)).cast("double") / 1000000.0).as("sum_charge"),
+            (sum(col("l_quantity").cast("long")).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(ep).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
+            (sum(dc).cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      }),
+
+    // ----- broadcast join + top-k (small dim side broadcast explicitly) -----
+    QuerySpec(
+      "q02_top_parts",
+      Some("""
+        SELECT p.p_partkey, p.p_name,
+               CAST(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)*(100-CAST(round(l.l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_partkey, p.p_name
+        ORDER BY revenue DESC, p_partkey ASC
+        LIMIT 10"""),
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+        val p = Tables.t(s, dir, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_partkey"), col("p_name"))
+          .agg(
+            (sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).cast("double") / 10000.0).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("p_partkey").asc)
+          .limit(10)
+      }),
+
+    // ----- 3-way join, filter pushdown on both fact sides (Q3 shape) -----
+    QuerySpec(
+      "q03_shipping_priority",
+      Some("""
+        SELECT o.o_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice*100,0) AS BIGINT)*(100-CAST(round(l.l_discount*100,0) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o.o_orderkey, orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10"""),
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        val li = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+          .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - pct(col("l_discount")))).cast("double") / 10000.0).as("revenue"))
+          .select(col("o_orderkey"), col("revenue"), col("orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      }),
+
+    // ----- left-semi join (EXISTS) -----
+    QuerySpec(
+      "q04_priority_semijoin",
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val li = Tables.t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+    // ----- left-anti join (NOT EXISTS) -----
+    QuerySpec(
+      "q05_customers_no_orders",
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""),
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val o = Tables.t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      }),
+
+    // ----- selective scan: filter fully pushed to parquet (Q6 shape) -----
+    QuerySpec(
+      "q06_forecast_revenue",
+      Some("""
+        SELECT CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)*CAST(round(l_discount*100,0) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND CAST(round(l_discount*100,0) AS BIGINT) BETWEEN 5 AND 7
+          AND l_quantity < 24"""),
+      (s, dir) => {
+        val li = Tables.t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+            && pct(col("l_discount")).between(5, 7)
+            && col("l_quantity") < 24)
+        li.agg(
+          (sum(cents(col("l_extendedprice")) * pct(col("l_discount"))).cast("double") / 10000.0).as("revenue"),
+          count(lit(1)).as("n"))
+      }),
+
+    // ----- window: ranking (top-3 orders per customer) -----
+    QuerySpec(
+      "q07_window_topn",
+      Some("""
+        SELECT o_custkey, o_orderkey, rn, o_totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_custkey, rn"""),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      }),
+
+    // ----- window: running aggregate frame -----
+    QuerySpec(
+      "q08_running_total",
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0
+                 AS running_spend
+        FROM orders
+        WHERE o_custkey < 100
+        ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders").filter(col("o_custkey") < 100)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.select(col("o_custkey"), col("o_orderkey"),
+          (sum(cents(col("o_totalprice"))).over(w).cast("double") / 100.0).as("running_spend"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      }),
+
+    // ----- exact distinct aggregation -----
+    QuerySpec(
+      "q09_distinct_customers",
+      Some("""
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      (s, dir) =>
+        Tables.t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("o_orderpriority"))),
+
+    // ----- rollup / grouping sets -----
+    QuerySpec(
+      "q10_rollup_acctbal",
+      Some("""
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               count(c_custkey) AS n_customers,
+               CAST(sum(CAST(round(c_acctbal*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region_name, nation_name"""),
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        val r = Tables.t(s, dir, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(col("c_custkey")).as("n_customers"),
+            (sum(cents(col("c_acctbal"))).cast("double") / 100.0).as("total_acctbal"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+            coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+            col("n_customers"), col("total_acctbal"))
+          .orderBy(col("region_name"), col("nation_name"))
+      }),
+
+    // ----- set operations -----
+    QuerySpec(
+      "q11_setops_nations",
+      Some("""
+        WITH cn AS (SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+             sn AS (SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        SELECT 'both' AS side, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+        UNION ALL
+        SELECT 'customer_only' AS side, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+        UNION ALL
+        SELECT 'supplier_only' AS side, n_name FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+        ORDER BY side, n_name"""),
+      (s, dir) => {
+        val n = Tables.t(s, dir, "nation")
+        val c = Tables.t(s, dir, "customer")
+        val sp = Tables.t(s, dir, "supplier")
+        val cn = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .select(col("n_name")).distinct()
+        val sn = sp.join(broadcast(n), sp("s_nationkey") === n("n_nationkey"))
+          .select(col("n_name")).distinct()
+        cn.intersect(sn).select(lit("both").as("side"), col("n_name"))
+          .unionAll(cn.except(sn).select(lit("customer_only").as("side"), col("n_name")))
+          .unionAll(sn.except(cn).select(lit("supplier_only").as("side"), col("n_name")))
+          .orderBy(col("side"), col("n_name"))
+      }),
+
+    // ----- time-bucketed aggregation (batch face of the streaming agg) -----
+    QuerySpec(
+      "q12_events_hourly",
+      Some("""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        FROM events
+        WHERE event_type IN ('purchase', 'click')
+        GROUP BY 1, 2
+        ORDER BY hour, event_type"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(cents(col("value"))).cast("double") / 100.0).as("total_value"))
+          .orderBy(col("hour"), col("event_type"))),
+
+    // ----- "above customer average" — integer cross-multiplication, no
+    //       float division, exact compare -----
+    QuerySpec(
+      "q13_above_avg_orders",
+      Some("""
+        WITH stats AS (
+          SELECT o_custkey,
+                 sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS sum_cents,
+                 count(*) AS cnt
+          FROM orders GROUP BY o_custkey)
+        SELECT o.o_orderpriority, count(*) AS n_above_avg
+        FROM orders o JOIN stats s ON o.o_custkey = s.o_custkey
+        WHERE CAST(round(o.o_totalprice*100,0) AS BIGINT) * s.cnt > s.sum_cents
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority"""),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val stats = o.groupBy(col("o_custkey").as("sk"))
+          .agg(sum(cents(col("o_totalprice"))).as("sum_cents"), count(lit(1)).as("cnt"))
+        o.join(stats, o("o_custkey") === stats("sk"))
+          .filter(cents(col("o_totalprice")) * col("cnt") > col("sum_cents"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_above_avg"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+    // ----- as-of join via carry-forward window (Spark) vs ASOF JOIN (DuckDB) -----
+    QuerySpec(
+      "q14_asof_click_before_purchase",
+      // DuckDB keeps ns timestamps while Spark truncates to µs, so the
+      // oracle orders on integer epoch-µs exactly like the Spark side
+      // (same ASOF semantics as DuckDB's ASOF JOIN, with a deterministic
+      // event_id tiebreak).
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(epoch_ns(ts)//1000 AS BIGINT) AS us
+          FROM events WHERE event_type IN ('purchase','click'))
+        SELECT event_id AS purchase_id, click_id
+        FROM (SELECT event_id, event_type,
+                     last_value(CASE WHEN event_type='click' THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+              FROM ev)
+        WHERE event_type = 'purchase' AND click_id IS NOT NULL
+        ORDER BY purchase_id"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_id"), col("us"), col("user_id"), col("event_type"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("click_id",
+            last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
+          .select(col("event_id").as("purchase_id"), col("click_id"))
+          .orderBy(col("purchase_id"))
+      })
+  )
+}
