@@ -7,7 +7,10 @@ object SparkEntry {
 
   /** All verifiable queries, grouped by domain. */
   def specs: Seq[QuerySpec] =
-    _root_.graft.queries.Relational.specs
+    _root_.graft.queries.Relational.specs ++
+      _root_.graft.queries.TextOps.specs ++
+      _root_.graft.queries.DedupOps.specs ++
+      _root_.graft.queries.SimilarityOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,155 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (exact, fingerprint, MinHash+LSH, SimHash).
+  *
+  * Scale design: every variant is groupBy/join on a deterministic hash key
+  * — a single hash-partitioned shuffle that scales linearly with input.
+  * Nothing does an all-pairs comparison: MinHash/LSH reduces the candidate
+  * space to same-bucket pairs before the (cheap) verify step, which is the
+  * 100-TB path; SimHash emits a per-doc 32-bit signature groupable/joinable
+  * by prefix. Hashing is md5 (same bytes in Spark and DuckDB), bit math is
+  * integer-only, ratios are a single final double division.
+  */
+object DedupOps {
+
+  import TextOps.{words, sumOver}
+
+  /** Word 3-gram shingles (guarded for <3 tokens — Spark's sequence()
+    * would run descending; DuckDB's generate_series is naturally empty). */
+  def shingles3(ws: Column): Column =
+    when(size(ws) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+
+  private val nSeeds = 4
+
+  /** doc_id + distinct word-3-gram shingle set. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), array_distinct(shingles3(words(col("text")))).as("g"))
+
+  /** (doc_id, seed, minhash) — min over md5(seed:shingle), one row per
+    * seed so the LSH bucket join is a plain shuffle join on (seed, mhv). */
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    docShingles(s, dir)
+      .withColumn("seed", explode(lit((0 until nSeeds).toArray)))
+      .select(col("doc_id"), col("seed"),
+        array_min(transform(col("g"),
+          x => md5(concat(col("seed").cast("string"), lit(":"), x)))).as("mhv"))
+
+  /** 32-bit SimHash over per-token 32-bit md5 prefixes: bit b of the
+    * signature is the sign of sum(+1/-1 of token-hash bit b). */
+  private def simhash32(ws: Column): Column = {
+    val xs = transform(ws, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    (0 until 32).map { b =>
+      when(sumOver(xs, x => (shiftright(x, b).bitwiseAND(lit(1L))) * 2 - 1) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  private def simhashSql: String = {
+    val terms = (0 until 32).map { b =>
+      s"(CASE WHEN CAST(list_sum(list_transform(xs, x -> ((x >> $b) & 1)*2 - 1)) AS BIGINT) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"($terms)"
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- exact dedup: corpus-level stats via hash-groupBy -----
+    QuerySpec(
+      "d01_dedup_exact",
+      Some("""
+        SELECT CAST(sum(c) AS BIGINT) AS total_docs,
+               count(*) AS distinct_texts,
+               CAST(count(*) FILTER (c > 1) AS BIGINT) AS dup_groups,
+               CAST(sum(c - 1) AS BIGINT) AS docs_removed
+        FROM (SELECT md5(text) AS k, count(*) AS c FROM documents GROUP BY 1)"""),
+      (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("total_docs"),
+            count(lit(1)).as("distinct_texts"),
+            count(when(col("c") > 1, 1)).as("dup_groups"),
+            sum(col("c") - 1).as("docs_removed"))),
+
+    // ----- near-exact dedup on 3-word-prefix fingerprint: keeps min id -----
+    QuerySpec(
+      "d02_dedup_prefix",
+      Some("""
+        SELECT md5(array_to_string((string_split(text,' '))[1:3], ' ')) AS prefix_fp,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               count(*) AS group_size
+        FROM documents
+        GROUP BY 1 HAVING count(*) > 1
+        ORDER BY keep_id"""),
+      (s, dir) => {
+        val ws = words(col("text"))
+        Tables.t(s, dir, "documents")
+          .groupBy(md5(concat_ws(" ", element_at(ws, 1), element_at(ws, 2), element_at(ws, 3))).as("prefix_fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_size"))
+          .filter(col("group_size") > 1)
+          .orderBy(col("keep_id"))
+      }),
+
+    // ----- MinHash + LSH candidate pairs, verified with n-gram Jaccard -----
+    // Bucket join on (seed, minhash) — candidates only, never all-pairs —
+    // then exact Jaccard on the distinct shingle sets of the candidates.
+    QuerySpec(
+      "d03_minhash_lsh_jaccard",
+      Some(s"""
+        WITH sg AS (SELECT doc_id,
+                           list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                                          for i in generate_series(1, len(ws)-2)]) AS g
+                    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+             mh AS (SELECT doc_id, s.seed AS seed,
+                           list_aggregate(list_transform(g, x -> md5(s.seed||':'||x)), 'min') AS mhv
+                    FROM sg, (SELECT unnest(generate_series(0, ${nSeeds - 1})) AS seed) s),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM mh a JOIN mh b ON a.seed = b.seed AND a.mhv = b.mhv
+                                         AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                 / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
+        FROM cand c
+        JOIN sg ga ON ga.doc_id = c.doc_a
+        JOIN sg gb ON gb.doc_id = c.doc_b
+        ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val mh = minhashes(s, dir)
+        val a = mh.select(col("seed"), col("mhv"), col("doc_id").as("doc_a"))
+        val b = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"), col("doc_id").as("doc_b"))
+        val cand = a.join(b,
+            a("seed") === b("seed_b") && a("mhv") === b("mhv_b") && a("doc_a") < b("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val sg = docShingles(s, dir)
+        val ga = sg.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+        val gb = sg.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+        val inter = size(array_intersect(col("ga"), col("gb")))
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }),
+
+    // ----- SimHash signatures (32-bit) -----
+    QuerySpec(
+      "d04_simhash",
+      Some(s"""
+        SELECT doc_id, $simhashSql AS simhash
+        FROM (SELECT doc_id,
+                     list_transform(string_split(text,' '),
+                                    w -> CAST(('0x'||substr(md5(w),1,8)) AS BIGINT)) AS xs
+              FROM documents)
+        ORDER BY doc_id"""),
+      (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), simhash32(words(col("text"))).as("simhash"))
+          .orderBy(col("doc_id")))
+  )
+}

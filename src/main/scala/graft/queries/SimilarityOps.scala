@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (Array[Float], 64-dim).
+  *
+  * s01 is the brute-force baseline (cross join — quadratic, correct,
+  * fine for a re-rank stage or small query sets). s02 is the scale path:
+  * sign-bit LSH bucketing turns the O(n²) cross join into a per-bucket
+  * join, the same shape an IVF index gives — at 100 TB the bucket id is
+  * the shuffle key and each bucket fits an executor.
+  *
+  * Dot products fold sequentially in double precision — bit-identical to
+  * DuckDB's list_sum over the same float32 inputs (verified empirically).
+  */
+object SimilarityOps {
+
+  /** Sequential-fold dot product of two float arrays in double precision. */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** DuckDB mirror of dotd/norm (identical fold order). */
+  private def dotSql(a: String, b: String) =
+    s"list_sum([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1, len($a))])"
+  private def normSql(a: String) =
+    s"sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in $a]))"
+
+  /** Sign-bit LSH bucket from the first `bits` dimensions (axis-aligned
+    * hyperplanes — deterministic, no stored model). */
+  def signBucket(e: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def signBucketSql(e: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(CASE WHEN $e[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- brute-force cosine top-5 for a query set -----
+    QuerySpec(
+      "s01_knn_bruteforce",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                   FROM embeddings),
+             sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                           ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+                    FROM n q JOIN n c ON q.vec_id < 50 AND c.vec_id != q.vec_id),
+             rk AS (SELECT query_id, neighbor_id, cos,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM sc)
+        SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+        FROM rk WHERE rank <= 5
+        ORDER BY query_id, rank"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val q = e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        q.join(broadcast(c), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+          .orderBy(col("query_id"), col("rank"))
+      }),
+
+    // ----- global top-20 closest pairs (embedding near-dup detection) -----
+    QuerySpec(
+      "s02_neardup_pairs",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                   FROM embeddings),
+             sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                           ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+                    FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, round(cos, 9) AS cos
+        FROM sc
+        ORDER BY cos DESC, id_a ASC, id_b ASC
+        LIMIT 20"""),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (dotd(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+          .limit(20)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
+      }),
+
+    // ----- LSH-bucketed ANN: top-3 neighbors within each sign bucket -----
+    QuerySpec(
+      "s03_ann_lsh_bucketed",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+                          ${signBucketSql("embedding", 4)} AS bucket
+                   FROM embeddings),
+             sc AS (SELECT a.bucket, a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                           ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+                    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+             rk AS (SELECT query_id, neighbor_id, cos,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM sc)
+        SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+        FROM rk WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+            signBucket(col("embedding"), 4).as("bucket"))
+        val a = e.select(col("bucket"), col("vec_id").as("query_id"),
+          col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        a.join(b, col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (dotd(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+          .orderBy(col("query_id"), col("rank"))
+      })
+  )
+}

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All narrow (per-row) transformations — no shuffle, so
+  * they stream over 100 TB at scan speed; aggregates on top are partial.
+  *
+  * Every function is a codegen'd Catalyst expression (split / transform /
+  * aggregate / md5) — no Scala UDFs in the hot path.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (corpus is single-spaced lowercase). */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Sum of a long-valued lambda over an array — sequential fold, exactly
+    * DuckDB's list_sum evaluation order (bit-identical doubles later). */
+  def sumOver(arr: Column, f: Column => Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + f(x))
+
+  private val stopwords = Seq("the", "a")
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    QuerySpec(
+      "t01_token_stats",
+      Some("""
+        SELECT doc_id,
+               len(ws) AS n_tokens,
+               len(list_distinct(ws)) AS n_distinct,
+               CAST(CAST(list_sum(list_transform(ws, w -> CAST(length(w) AS BIGINT))) AS BIGINT) AS DOUBLE)/len(ws) AS avg_token_len
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val ws = words(col("text"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(ws).as("n_tokens"),
+            size(array_distinct(ws)).as("n_distinct"),
+            (sumOver(ws, w => length(w).cast("long")).cast("double") / size(ws)).as("avg_token_len"))
+          .orderBy(col("doc_id"))
+      }),
+
+    QuerySpec(
+      "t02_quality_score",
+      Some(s"""
+        SELECT doc_id, n_tokens, stop_cnt, long_cnt,
+               CAST(stop_cnt AS DOUBLE)/n_tokens AS stop_ratio,
+               (stop_cnt * 20 >= n_tokens AND n_tokens >= 20) AS is_quality
+        FROM (SELECT doc_id, len(ws) AS n_tokens,
+                     len(list_filter(ws, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS stop_cnt,
+                     len(list_filter(ws, w -> length(w) > 5)) AS long_cnt
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val ws = words(col("text"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(ws).as("n_tokens"),
+            size(filter(ws, w => w.isin(stopwords: _*))).as("stop_cnt"),
+            size(filter(ws, w => length(w) > 5)).as("long_cnt"))
+          .select(col("doc_id"), col("n_tokens"), col("stop_cnt"), col("long_cnt"),
+            (col("stop_cnt").cast("double") / col("n_tokens")).as("stop_ratio"),
+            (col("stop_cnt") * 20 >= col("n_tokens") && col("n_tokens") >= 20).as("is_quality"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // Language-ID by stopword-evidence heuristic (the corpus is synthetic
+    // English word-salad; the point is the deterministic classifier shape:
+    // per-doc n-gram evidence → label, then a confusion matrix against the
+    // generator's `lang` column).
+    QuerySpec(
+      "t03_langid_confusion",
+      Some("""
+        WITH pred AS (
+          SELECT lang,
+                 CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) * 15
+                           >= len(string_split(text,' '))
+                      THEN 'en' ELSE 'und' END AS predicted
+          FROM documents)
+        SELECT lang, predicted, count(*) AS n
+        FROM pred GROUP BY lang, predicted
+        ORDER BY lang, predicted"""),
+      (s, dir) => {
+        val ws = words(col("text"))
+        Tables.t(s, dir, "documents")
+          .select(col("lang"),
+            when(size(filter(ws, w => w.isin("the", "a"))) * 15 >= size(ws), "en")
+              .otherwise("und").as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted"))
+      }),
+
+    // Three fingerprints per document: full-content, 3-word-prefix, and
+    // sorted-distinct-bag (order-insensitive).
+    QuerySpec(
+      "t04_fingerprint",
+      Some("""
+        SELECT doc_id,
+               md5(text) AS content_fp,
+               md5(array_to_string(ws[1:3], ' ')) AS prefix_fp,
+               md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_fp
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val ws = words(col("text"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            md5(col("text")).as("content_fp"),
+            md5(concat_ws(" ", element_at(ws, 1), element_at(ws, 2), element_at(ws, 3))).as("prefix_fp"),
+            md5(array_join(array_sort(array_distinct(ws)), " ")).as("bag_fp"))
+          .orderBy(col("doc_id"))
+      })
+  )
+}
