@@ -10,11 +10,13 @@ object SparkEntry {
     _root_.graft.queries.Relational.specs ++
       _root_.graft.queries.TextOps.specs ++
       _root_.graft.queries.DedupOps.specs ++
-      _root_.graft.queries.SimilarityOps.specs
+      _root_.graft.queries.SimilarityOps.specs ++
+      _root_.graft.queries.StacOps.specs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full STAC ingest pipeline (G1 → inference → P1-P4) on
+    * sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    specs.head.run(spark, "/root/testdata/sf0.001")
+    queries("stac05_full_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.stac.{GeoFunctions, Hydrate, Normalize, StacJsonReader}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The STAC engine's operators exposed through the driver's correctness
+  * gate, exercised over synthesized STAC shapes built from the TPC-H-ish
+  * tables (the real fixtures round-trip in ScalaTest; these entries give
+  * the geo codec / normalization / hydration DuckDB-checked value-level
+  * oracles too).
+  */
+object StacOps {
+
+  /** Deterministic lon/lat from an integer key (exact doubles: integer
+    * grid plus .5/.25 offsets). */
+  private def lon(key: Column): Column = (key % 360 - 180).cast("double") + 0.5
+  private def lat(key: Column): Column = (key % 170 - 85).cast("double") + 0.25
+  private val lonSql = "(CAST(p_partkey % 360 - 180 AS DOUBLE) + 0.5)"
+  private val latSql = "(CAST(p_partkey % 170 - 85 AS DOUBLE) + 0.25)"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ----- G1+G2: GeoJSON → ISO WKB → GeoJSON round trip, value-checked -----
+    QuerySpec(
+      "stac01_geo_codec_roundtrip",
+      Some(s"""
+        SELECT p_partkey,
+               '{"type":"Point","coordinates":[' || CAST($lonSql AS VARCHAR) || ',' || CAST($latSql AS VARCHAR) || ']}' AS geojson
+        FROM part
+        ORDER BY p_partkey"""),
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+        val gj = concat(lit("""{"type":"Point","coordinates":["""),
+          lon(col("p_partkey")).cast("string"), lit(","),
+          lat(col("p_partkey")).cast("string"), lit("]}"))
+        p.select(col("p_partkey"),
+            GeoFunctions.wkb_to_geojson(GeoFunctions.geojson_to_wkb(gj)).as("geojson"))
+          .orderBy(col("p_partkey"))
+      }),
+
+    // ----- G4: bbox from WKB geometry -----
+    QuerySpec(
+      "stac02_wkb_bounds",
+      Some(s"""
+        SELECT p_partkey,
+               $lonSql - 0.5 AS xmin, $latSql - 0.25 AS ymin,
+               $lonSql + 0.5 AS xmax, $latSql + 0.25 AS ymax
+        FROM part
+        ORDER BY p_partkey"""),
+      (s, dir) => {
+        val p = Tables.t(s, dir, "part")
+        val x = lon(col("p_partkey")); val y = lat(col("p_partkey"))
+        val ring = concat(
+          lit("""{"type":"Polygon","coordinates":[[["""),
+          (x - 0.5).cast("string"), lit(","), (y - 0.25).cast("string"), lit("],["),
+          (x + 0.5).cast("string"), lit(","), (y - 0.25).cast("string"), lit("],["),
+          (x + 0.5).cast("string"), lit(","), (y + 0.25).cast("string"), lit("],["),
+          (x - 0.5).cast("string"), lit(","), (y + 0.25).cast("string"), lit("]]]}"))
+        val b = GeoFunctions.wkb_bounds(GeoFunctions.geojson_to_wkb(ring))
+        p.select(col("p_partkey"),
+            b.getField("xmin").as("xmin"), b.getField("ymin").as("ymin"),
+            b.getField("xmax").as("xmax"), b.getField("ymax").as("ymax"))
+          .orderBy(col("p_partkey"))
+      }),
+
+    // ----- P2+P5: RFC3339 string → timestamp[µs] → RFC3339 string -----
+    QuerySpec(
+      "stac03_timestamp_roundtrip",
+      Some("""
+        SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%fZ') AS datetime_out
+        FROM orders
+        ORDER BY o_orderkey"""),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        // string → timestamp (P2) → canonical RFC3339 out (P5)
+        val asString = date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        o.select(col("o_orderkey"),
+            date_format(asString.cast("timestamp"),
+              graft.stac.StacSchema.Rfc3339Format).as("datetime_out"))
+          .orderBy(col("o_orderkey"))
+      }),
+
+    // ----- J1: hydration merge, value-checked against string-built oracle -----
+    QuerySpec(
+      "stac04_hydrate",
+      Some("""
+        SELECT c_custkey,
+               '{"id":"c' || c_custkey || '","properties":{"acct":' ||
+               CAST(round(c_acctbal*100,0) AS BIGINT) || ',"region":"' || n_name ||
+               '","gsd":10}}' AS item
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY c_custkey"""),
+      (s, dir) => {
+        val c = Tables.t(s, dir, "customer")
+        val n = Tables.t(s, dir, "nation")
+        val item = concat(lit("""{"id":"c"""), col("c_custkey"),
+          lit("""","properties":{"acct":"""),
+          round(col("c_acctbal") * 100, 0).cast("long"), lit("}}"))
+        val base = concat(lit("""{"properties":{"region":""""), col("n_name"),
+          lit("""","gsd":10}}"""))
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .select(col("c_custkey"), Hydrate.hydrateUdf(base, item).as("item"))
+          .orderBy(col("c_custkey"))
+      }),
+
+    // ----- full ingest pipeline: items JSON → G1 → infer → normalize -----
+    QuerySpec(
+      "stac05_full_pipeline",
+      Some("""
+        SELECT 'o' || o_orderkey AS id,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%fZ') AS datetime_out,
+               CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin,
+               CAST(o_orderkey % 170 - 85 AS DOUBLE) AS ymin,
+               21 AS wkb_len
+        FROM orders
+        ORDER BY id"""),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val x = (col("o_orderkey") % 360 - 180).cast("double") + 0.5
+        val y = (col("o_orderkey") % 170 - 85).cast("double") + 0.25
+        val itemJson = concat(
+          lit("""{"type":"Feature","id":"o"""), col("o_orderkey"), lit("\","),
+          lit(""""geometry":{"type":"Point","coordinates":["""),
+          x.cast("string"), lit(","), y.cast("string"), lit("]},"),
+          lit(""""bbox":["""), (x - 0.5).cast("string"), lit(","), (y - 0.25).cast("string"),
+          lit(","), (x + 0.5).cast("string"), lit(","), (y + 0.25).cast("string"), lit("],"),
+          lit(""""properties":{"datetime":""""),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\"},"),
+          lit(""""links":[],"assets":{}}"""))
+        val items = o.select(itemJson.as("value")).as[String](Encoders.STRING)
+          .map(StacJsonReader.geometryToWkbHex)(Encoders.STRING)
+        val df = StacJsonReader.hexGeometryToBinary(s.read.json(items))
+        val norm = Normalize(df, bboxDims = Some(4))
+        norm.select(col("id"),
+            date_format(col("datetime"), graft.stac.StacSchema.Rfc3339Format).as("datetime_out"),
+            col("bbox").getField("xmin").as("xmin"),
+            col("bbox").getField("ymin").as("ymin"),
+            length(col("geometry")).cast("int").as("wkb_len"))
+          .orderBy(col("id"))
+      })
+  )
+}

@@ -1,0 +1,87 @@
+package graft.stac
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{BinaryType, StructType}
+import scala.jdk.CollectionConverters._
+
+/** K1: GeoParquet sink — `df.write.parquet` for the data path plus a
+  * per-file footer rewrite that attaches the `geo` and `stac-geoparquet`
+  * key-value metadata (`stac_geoparquet/arrow/_to_parquet.py:23-175`).
+  *
+  * Spark has no API for arbitrary Parquet file-level KV metadata, so after
+  * the distributed write each part file's row groups are block-copied
+  * (`ParquetFileWriter.appendFile` — no decode/re-encode) into a file
+  * whose footer carries the merged metadata. The rewrite is
+  * embarrassingly parallel; above a threshold it fans out over executors
+  * so a 100-TB write doesn't serialize through the driver.
+  */
+object GeoParquetWriter {
+
+  def write(
+      df: DataFrame,
+      path: String,
+      schemaVersion: String = StacSchema.DefaultGeoParquetVersion,
+      collectionsJson: Option[String] = None,
+      mode: String = "overwrite"): Unit = {
+    df.write.mode(mode).parquet(path)
+    val hasProjGeometry = df.schema.fields.exists(f =>
+      f.name == "proj:geometry" && f.dataType == BinaryType)
+    val kv = Map(
+      "geo" -> StacSchema.geoMetadata(schemaVersion, hasProjGeometry),
+      "stac-geoparquet" -> StacSchema.stacGeoParquetMetadata(collectionsJson))
+    addFooterMetadata(df.sparkSession, path, kv)
+  }
+
+  /** Attach KV metadata to every part file under `dir`. */
+  def addFooterMetadata(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, kv: Map[String, String]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(dir)
+    val fs = p.getFileSystem(hconf)
+    val parts = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(_.toString).toIndexedSeq
+    if (parts.size <= 8) parts.foreach(f => rewriteWithMetadata(new Configuration(hconf), f, kv))
+    else {
+      // distribute the rewrite: one task per file
+      val kvB = kv
+      spark.sparkContext.parallelize(parts, math.min(parts.size, 64))
+        .foreach(f => rewriteWithMetadata(new Configuration(), f, kvB))
+    }
+  }
+
+  /** Rewrite one parquet file with extra footer KV entries (row groups are
+    * byte-copied, statistics and encodings preserved). */
+  def rewriteWithMetadata(conf: Configuration, file: String, kv: Map[String, String]): Unit = {
+    val src = new Path(file)
+    val fs = src.getFileSystem(conf)
+    val inFile = HadoopInputFile.fromPath(src, conf)
+    val reader = ParquetFileReader.open(inFile)
+    val (schema, existing) =
+      try {
+        val md = reader.getFooter.getFileMetaData
+        (md.getSchema, md.getKeyValueMetaData.asScala.toMap)
+      } finally reader.close()
+    val tmp = new Path(src.getParent, s".${src.getName}.geo.tmp")
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(tmp, conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE,
+      128L * 1024 * 1024, 8 * 1024 * 1024)
+    writer.start()
+    writer.appendFile(inFile)
+    writer.end((existing ++ kv).asJava)
+    if (!fs.delete(src, false) || !fs.rename(tmp, src))
+      throw new java.io.IOException(s"footer rewrite failed for $file")
+  }
+
+  /** Read back the KV metadata of one parquet file (test/verification aid). */
+  def readFooterMetadata(conf: Configuration, file: String): Map[String, String] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
+    try reader.getFooter.getFileMetaData.getKeyValueMetaData.asScala.toMap
+    finally reader.close()
+  }
+}

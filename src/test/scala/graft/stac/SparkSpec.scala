@@ -1,0 +1,22 @@
+package graft.stac
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local SparkSession for all suites. */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def resource(name: String): String =
+    getClass.getResource(name).getPath
+}
