@@ -32,23 +32,37 @@ object DedupOps {
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), array_distinct(shingles3(words(col("text")))).as("g"))
 
-  /** (doc_id, seed, minhash) — min over md5(seed:shingle), one row per
-    * seed so the LSH bucket join is a plain shuffle join on (seed, mhv). */
+  /** (doc_id, seed, minhash) — min over md5(seed:shingle), computed as
+    * explode → hash-aggregate min: map-side combine collapses each doc's
+    * shingles before the shuffle, and each shingle is hashed exactly once
+    * per seed (an array_min-over-transform form re-evaluates the whole
+    * shingle pipeline per seed — 4× the md5 work). */
   private def minhashes(s: SparkSession, dir: String): DataFrame =
     docShingles(s, dir)
+      .select(col("doc_id"), explode(col("g")).as("sh"))
       .withColumn("seed", explode(lit((0 until nSeeds).toArray)))
       .select(col("doc_id"), col("seed"),
-        array_min(transform(col("g"),
-          x => md5(concat(col("seed").cast("string"), lit(":"), x)))).as("mhv"))
+        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("hv"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("hv")).as("mhv"))
 
   /** 32-bit SimHash over per-token 32-bit md5 prefixes: bit b of the
-    * signature is the sign of sum(+1/-1 of token-hash bit b). */
-  private def simhash32(ws: Column): Column = {
-    val xs = transform(ws, w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
-    (0 until 32).map { b =>
-      when(sumOver(xs, x => (shiftright(x, b).bitwiseAND(lit(1L))) * 2 - 1) > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * signature is the sign of sum(+1/-1 of token-hash bit b). Computed as
+    * explode → one hash-aggregate with 32 partial sums (each token hashed
+    * once; map-side combine keeps the shuffle at one row per doc — the
+    * shape that scales, unlike 32 interpreted array folds per row). */
+  private def simhash32Agg(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
+    val bitSums = (0 until 32).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+    }
+    docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .select(col("doc_id"), h.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   private def simhashSql: String = {
@@ -148,8 +162,7 @@ object DedupOps {
               FROM documents)
         ORDER BY doc_id"""),
       (s, dir) =>
-        Tables.t(s, dir, "documents")
-          .select(col("doc_id"), simhash32(words(col("text"))).as("simhash"))
+        simhash32Agg(Tables.t(s, dir, "documents"))
           .orderBy(col("doc_id")))
   )
 }

@@ -105,6 +105,34 @@ object StacOps {
           .orderBy(col("c_custkey"))
       }),
 
+    // ----- F4: self-link selection via higher-order array filter -----
+    QuerySpec(
+      "stac06_self_link",
+      Some("""
+        SELECT o_orderkey,
+               list_filter([{'rel': 'root', 'type': '', 'href': 'https://example.com/'},
+                            {'rel': 'self', 'type': 'application/json',
+                             'href': 'https://example.com/items/o' || o_orderkey}],
+                           l -> l.rel = 'self' AND
+                                l.type IN ('application/json', 'application/geo+json', ''))[1].href
+                 AS self_href
+        FROM orders
+        ORDER BY o_orderkey"""),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val links = array(
+          struct(lit("root").as("rel"), lit("").as("type"),
+            lit("https://example.com/").as("href")),
+          struct(lit("self").as("rel"), lit("application/json").as("type"),
+            concat(lit("https://example.com/items/o"), col("o_orderkey")).as("href")))
+        val selfHref = element_at(
+          filter(links, l => l.getField("rel") === "self" &&
+            l.getField("type").isin("application/json", "application/geo+json", "")),
+          1).getField("href")
+        o.select(col("o_orderkey"), selfHref.as("self_href"))
+          .orderBy(col("o_orderkey"))
+      }),
+
     // ----- full ingest pipeline: items JSON → G1 → infer → normalize -----
     QuerySpec(
       "stac05_full_pipeline",

@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import graft.stac.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def payloads = spark.read.parquet(s"$sfDir/documents.parquet")
+    .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
+
+  test("image metadata extraction is deterministic and schema-typed") {
+    val meta = Multimodal.extractImageMeta(payloads)
+    val rows = meta.collect()
+    assert(rows.length == 500)
+    rows.foreach { m =>
+      assert(m.n_bytes == 16)
+      assert(m.width >= 64 && m.width < 64 + 64 * 16)
+      assert(Set("png", "jpeg").contains(m.format))
+    }
+    // decoding twice gives identical results (pure function of bytes)
+    val again = Multimodal.extractImageMeta(payloads).collect()
+    assert(rows.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
+  }
+
+  test("audio metadata extraction") {
+    val rows = Multimodal.extractAudioMeta(payloads).collect()
+    assert(rows.length == 500)
+    rows.foreach { a =>
+      assert(a.sample_rate == 44100 || a.sample_rate == 16000)
+      assert(a.channels == 1 || a.channels == 2)
+    }
+  }
+
+  test("frame sampling explodes one row per sampled frame") {
+    val df = Multimodal.sampleFrames(payloads, frameBytes = 4, every = 2)
+    // 16 bytes → 4 frames → sampled idx 0 and 2
+    val perDoc = df.groupBy("doc_id").count().select("count").distinct().collect()
+    assert(perDoc.length == 1 && perDoc.head.getLong(0) == 2)
+    assert(df.filter(col("frame_len") =!= 4).count() == 0)
+  }
+
+  test("metadata-only query prunes the payload column from the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("mm").toString
+    payloads.withColumn("n", length(col("payload")))
+      .write.mode("overwrite").parquet(tmp)
+    val plan = spark.read.parquet(tmp).select("doc_id", "n")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("payload"),
+      s"payload should be pruned:\n$plan")
+  }
+}

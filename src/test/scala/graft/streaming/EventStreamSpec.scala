@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.stac.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def stageEvents(dst: java.nio.file.Path, copies: Int = 1): Unit = {
+    val src = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+    (1 to copies).foreach { i =>
+      java.nio.file.Files.copy(src, dst.resolve(s"events_$i.parquet"))
+    }
+  }
+
+  test("watermarked hourly aggregation matches the batch plan") {
+    val dir = java.nio.file.Files.createTempDirectory("ev")
+    stageEvents(dir)
+    val q = EventStream.hourlyAgg(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly")
+      .select(col("hour"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour"), col("event_type")).collect()
+    val batch = spark.read.parquet(s"$dir/events_1.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0).as("total_value"))
+      .orderBy(col("hour"), col("event_type")).collect()
+    assert(streamed.length == batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("streaming dedup drops replayed events") {
+    val dir = java.nio.file.Files.createTempDirectory("evdup")
+    stageEvents(dir, copies = 2) // every event delivered twice
+    val q = EventStream.dedup(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val total = spark.read.parquet(dir.toString).count()
+    val distinct = spark.table("dedup").count()
+    assert(total == 2 * distinct, s"staged $total, deduped $distinct")
+  }
+
+  test("session windows per user produce disjoint sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("evses")
+    stageEvents(dir)
+    val q = EventStream.sessions(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sessions = spark.table("sessions")
+      .select(col("user_id"), col("session_start").cast("long"),
+        col("session_end").cast("long")).collect()
+    assert(sessions.nonEmpty)
+    // sessions of one user must not overlap
+    sessions.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) => assert(e1 <= s2, "overlapping sessions")
+        case _ =>
+      }
+    }
+  }
+
+  test("incremental sync (K6 analog) picks up only new files, exactly once") {
+    val src = java.nio.file.Files.createTempDirectory("evsrc")
+    val out = java.nio.file.Files.createTempDirectory("evout").toString + "/data"
+    val ckpt = java.nio.file.Files.createTempDirectory("evckpt").toString
+
+    stageEvents(src)
+    EventStream.incrementalSync(spark, src.toString, out, ckpt).awaitTermination(120000)
+    val n1 = spark.read.parquet(out).count()
+
+    // no new data → no new rows
+    EventStream.incrementalSync(spark, src.toString, out, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == n1)
+
+    // new file arrives → only its rows are appended
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), src.resolve("events_new.parquet"))
+    EventStream.incrementalSync(spark, src.toString, out, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(out).count() == 2 * n1)
+  }
+}
