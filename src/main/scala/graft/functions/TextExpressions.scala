@@ -1,0 +1,178 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-pipeline expressions for the dedup operators.
+  *
+  * The composable form (`transform(sequence(...), i -> concat_ws(...))` +
+  * `array_distinct` + `explode` × seeds + `md5` + `groupBy.min`) evaluates
+  * interpreted higher-order lambdas per element and shuffles one row per
+  * (shingle, seed). These expressions collapse that to one virtual call per
+  * document inside the scan stage — the signature is computed where the data
+  * is, and only (doc, seed, minhash) rows ever shuffle. At 100 TB that keeps
+  * the MinHash exchange at `4 rows × docs`, independent of document length.
+  *
+  * Hash parity: MD5 over the UTF-8 bytes of `"<seed>:<shingle>"`, hex
+  * lowercase — byte-identical to Spark's `md5()` and DuckDB's `md5()`, so
+  * the DuckDB oracle reproduces the signatures exactly.
+  */
+object TextExpressions {
+
+  private val digests = ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
+  private[functions] def digest(): MessageDigest = digests.get()
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private[functions] def md5Hex(bytes: Array[Byte]): String = {
+    val d = digests.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(h(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Unsigned-lexicographic compare of two equal-length digests (hex encoding
+    * is monotone in unsigned byte order, so comparing raw digests matches
+    * comparing their hex strings). */
+  private[functions] def digestLt(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+}
+
+/** Distinct word n-gram shingles of a single-space-tokenized text, in first-
+  * occurrence order. Equivalent to
+  * `array_distinct(transform(sequence(1, size(ws)-(n-1)), i -> concat_ws(" ", ws[i..i+n-1])))`
+  * with the <n-token guard, evaluated in one pass. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"word_shingles requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val last = words.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** MinHash signature: element `s` (0-based) is `min(md5("<s>:<shingle>"))`
+  * in hex over the input shingle array, or null for an empty input. One
+  * digest per (shingle, seed), computed in a single pass per row. */
+case class MinHashSig(child: Expression, numSeeds: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(numSeeds >= 1, "numSeeds must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash_sig requires array<string>, got ${other.sql}")
+  }
+
+  private lazy val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(numSeeds)(s => (s.toString + ":").getBytes("UTF-8"))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val mins = new Array[Array[Byte]](numSeeds)
+    val md = TextExpressions.digest()
+    var i = 0
+    while (i < m) {
+      val shingleBytes = arr.getUTF8String(i).getBytes
+      var s = 0
+      while (s < numSeeds) {
+        md.reset()
+        md.update(seedPrefixes(s))
+        md.update(shingleBytes)
+        val digest = md.digest()
+        if (mins(s) == null || TextExpressions.digestLt(digest, mins(s))) mins(s) = digest
+        s += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](numSeeds)
+    var s = 0
+    while (s < numSeeds) {
+      out(s) = if (mins(s) == null) null else {
+        val hex = new Array[Char](32)
+        var k = 0
+        while (k < 16) {
+          hex(2 * k) = "0123456789abcdef".charAt((mins(s)(k) >> 4) & 0xf)
+          hex(2 * k + 1) = "0123456789abcdef".charAt(mins(s)(k) & 0xf)
+          k += 1
+        }
+        UTF8String.fromString(new String(hex))
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object TextFunctions {
+  def wordShingles(text: Column, n: Int): Column =
+    GraftSqlShim.column(WordShingles(GraftSqlShim.expression(text), n))
+
+  def minhashSig(shingles: Column, numSeeds: Int): Column =
+    GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(shingles), numSeeds))
+}

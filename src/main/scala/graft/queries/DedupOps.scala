@@ -27,24 +27,23 @@ object DedupOps {
 
   private val nSeeds = 4
 
-  /** doc_id + distinct word-3-gram shingle set. */
+  /** doc_id + distinct word-3-gram shingle set (native one-pass expression;
+    * the interpreted `transform(sequence(...))` + `array_distinct` form costs
+    * ~10× more per row — see graft.functions.WordShingles). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
-      .select(col("doc_id"), array_distinct(shingles3(words(col("text")))).as("g"))
+      .select(col("doc_id"), graft.functions.TextFunctions.wordShingles(col("text"), 3).as("g"))
 
-  /** (doc_id, seed, minhash) — min over md5(seed:shingle), computed as
-    * explode → hash-aggregate min: map-side combine collapses each doc's
-    * shingles before the shuffle, and each shingle is hashed exactly once
-    * per seed (an array_min-over-transform form re-evaluates the whole
-    * shingle pipeline per seed — 4× the md5 work). */
+  /** (doc_id, seed, minhash): the whole signature is computed per document
+    * inside the scan stage (graft.functions.MinHashSig), so the only rows
+    * that ever shuffle are `nSeeds × docs` — independent of document length.
+    * posexplode's position is the seed; empty docs yield null minhashes,
+    * which the candidate equi-join drops (same as the oracle's NULL
+    * list_aggregate over an empty shingle list). */
   private def minhashes(s: SparkSession, dir: String): DataFrame =
     docShingles(s, dir)
-      .select(col("doc_id"), explode(col("g")).as("sh"))
-      .withColumn("seed", explode(lit((0 until nSeeds).toArray)))
-      .select(col("doc_id"), col("seed"),
-        md5(concat(col("seed").cast("string"), lit(":"), col("sh"))).as("hv"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("hv")).as("mhv"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.minhashSig(col("g"), nSeeds)).as(Seq("seed", "mhv")))
 
   /** 32-bit SimHash over per-token 32-bit md5 prefixes: bit b of the
     * signature is the sign of sum(+1/-1 of token-hash bit b). Computed as

@@ -17,21 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential-fold dot product of two float arrays in double precision.
-    * A JIT-compiled UDF while-loop: ~60× faster than the interpreted
-    * higher-order `aggregate(zip_with(...))` form on the pair join's hot
-    * path, with the identical left-to-right accumulation order (bit-equal
-    * to DuckDB's list_sum). */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var i = 0; var s = 0.0
-    val n = a.length
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  /** Codegen'd native dot product (graft.functions.FloatDot): left-to-right
+    * double fold, bit-equal to DuckDB's list_sum, no per-element boxing and
+    * no codegen barrier on the pair-join hot path. */
+  def dotd(a: Column, b: Column): Column = graft.functions.VectorFunctions.floatDot(a, b)
 
-  def dotd(a: Column, b: Column): Column = dotUdf(a, b)
-
-  def norm(a: Column): Column = sqrt(dotUdf(a, a))
+  def norm(a: Column): Column = sqrt(dotd(a, a))
 
   /** DuckDB mirror of dotd/norm (identical fold order). */
   private def dotSql(a: String, b: String) =

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column↔Expression converters so graft's native
+  * Catalyst expressions (e.g. graft.functions.FloatDot) can be exposed as
+  * `Column`s. Public Spark API offers no stable constructor for a Column
+  * from a raw Expression in 4.x; this shim is the single sanctioned
+  * crossing point.
+  */
+object GraftSqlShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
