@@ -23,8 +23,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JIT/classloading warmup outside the timed region
+    // Warmup outside the timed region: JIT/codegen, Hadoop FS + parquet
+    // reader init, and the noop sink path — one-time infra costs that would
+    // otherwise all land on the first measured query.
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy("r_regionkey").count()
+      .write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.specs.map { spec =>
       val t0 = System.nanoTime()

@@ -157,8 +157,13 @@ object StacOps {
           lit(""""properties":{"datetime":""""),
           date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\"},"),
           lit(""""links":[],"assets":{}}"""))
+        // Persist the WKB-encoded item strings: spark.read.json's schema
+        // inference is a second full pass, and without the cache it would
+        // re-run the per-row GeoJSON→WKB parse (the reference's ChunksToDisk
+        // strategy spills for exactly this reason, `_api.py:128-155`).
         val items = o.select(itemJson.as("value")).as[String](Encoders.STRING)
           .map(StacJsonReader.geometryToWkbHex)(Encoders.STRING)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val df = StacJsonReader.hexGeometryToBinary(s.read.json(items))
         val norm = Normalize(df, bboxDims = Some(4))
         norm.select(col("id"),
