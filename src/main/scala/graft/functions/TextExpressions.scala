@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-pipeline expressions for the dedup operators.
@@ -169,10 +169,73 @@ case class MinHashSig(child: Expression, numSeeds: Int)
     copy(child = newChild)
 }
 
+/** Rabin–Karp rolling-hash fingerprint stats over all `w`-codepoint windows
+  * of a document: `h(window) = Σ c_j · B^(w-1-j) mod M` with B=257,
+  * M=2^31-1, maintained with the O(1) rolling update (subtract the outgoing
+  * codepoint's `B^(w-1)` term, multiply by B, add the incoming codepoint) —
+  * O(n) per document regardless of window width, vs O(n·w) for re-hashing
+  * each window. Returns struct(n_windows, min_fp, n_distinct); min_fp is
+  * null when the text is shorter than the window.
+  *
+  * The same values are reproducible in plain SQL as a Horner fold per
+  * window (the d-oracle does exactly that), which pins the modular
+  * arithmetic: all intermediates stay under 2^40, so BIGINT-only math on
+  * both sides.
+  */
+case class RollingHashStats(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 2, "window must be >= 2")
+
+  private val B = 257L
+  private val M = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_windows", IntegerType, nullable = false),
+    StructField("min_fp", LongType, nullable = true),
+    StructField("n_distinct", LongType, nullable = false)))
+
+  override def prettyName: String = "rolling_hash_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"rolling_hash_stats requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length - w + 1
+    if (n <= 0) return InternalRow(0, null, 0L)
+    // B^(w-1) mod M, for the rolling removal of the outgoing codepoint
+    var pw = 1L
+    var k = 0
+    while (k < w - 1) { pw = pw * B % M; k += 1 }
+    val seen = new java.util.HashSet[Long]()
+    var minFp = Long.MaxValue
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + cps(i)) % M; i += 1 }
+    seen.add(h); if (h < minFp) minFp = h
+    while (i < cps.length) {
+      var x = (h - cps(i - w) * pw % M) % M
+      if (x < 0) x += M
+      h = (x * B + cps(i)) % M
+      seen.add(h); if (h < minFp) minFp = h
+      i += 1
+    }
+    InternalRow(n, minFp, seen.size().toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashStats =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlShim.column(WordShingles(GraftSqlShim.expression(text), n))
 
   def minhashSig(shingles: Column, numSeeds: Int): Column =
     GraftSqlShim.column(MinHashSig(GraftSqlShim.expression(shingles), numSeeds))
+
+  def rollingHashStats(text: Column, w: Int): Column =
+    GraftSqlShim.column(RollingHashStats(GraftSqlShim.expression(text), w))
 }

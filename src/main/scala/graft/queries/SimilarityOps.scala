@@ -139,6 +139,71 @@ object SimilarityOps {
           .filter(col("rank") <= 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
           .orderBy(col("query_id"), col("rank"))
+      }),
+
+    // ----- IVF ANN: coarse-quantize to centroid cells, probe top-2 cells -----
+    // The scale path for billion-vector search: the 16 centroids broadcast
+    // to every executor (the "trained codebook"), cell assignment is a
+    // narrow map over the corpus, and the candidate search is an equi-join
+    // on cell id — the only shuffle is corpus-sized, never pairs-sized.
+    QuerySpec(
+      "s04_ann_ivf",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                   FROM embeddings),
+             cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                      FROM n WHERE vec_id < 16),
+             scored AS (SELECT v.vec_id, c.cent_id,
+                               ${dotSql("v.embedding", "c.ce")} / (v.nrm * c.cn) AS ccos,
+                               row_number() OVER (PARTITION BY v.vec_id
+                                                  ORDER BY ${dotSql("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC,
+                                                           c.cent_id ASC) AS crank
+                        FROM n v JOIN cent c ON true),
+             assign AS (SELECT vec_id, cent_id AS cell FROM scored WHERE crank = 1),
+             probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM scored
+                        WHERE crank <= 2 AND vec_id % 100 = 0),
+             cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                      FROM probes p JOIN assign a ON a.cell = p.cell
+                      WHERE a.vec_id != p.query_id),
+             sc AS (SELECT c.query_id, c.neighbor_id,
+                           ${dotSql("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos
+                    FROM cand c
+                    JOIN n q ON q.vec_id = c.query_id
+                    JOIN n v ON v.vec_id = c.neighbor_id),
+             rk AS (SELECT query_id, neighbor_id, cos,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM sc)
+        SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+        FROM rk WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val cent = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val cw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cent_id").asc)
+        val scored = e.join(broadcast(cent))
+          .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"),
+            (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+          .withColumn("crank", row_number().over(cw))
+        val assign = scored.filter(col("crank") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+        val probes = scored.filter(col("crank") <= 2 && col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
+            col("embedding").as("qe"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        probes.join(assign, "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            (dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+          .orderBy(col("query_id"), col("rank"))
       })
   )
 }

@@ -172,6 +172,50 @@ object StacOps {
             col("bbox").getField("ymin").as("ymin"),
             length(col("geometry")).cast("int").as("wkb_len"))
           .orderBy(col("id"))
+      }),
+
+    // ----- F2: CQL2 JSON filter translated to a native Catalyst predicate -----
+    // and / >= timestamp / in / s_intersects (planar bbox overlap) — the
+    // translated conjunction reaches the parquet scan as PushedFilters on
+    // datetime/collection/bbox.* (the reference can only delegate this to
+    // pgstac's search(); here it prunes row groups directly).
+    QuerySpec(
+      "stac07_cql2_filter",
+      Some("""
+        SELECT 'o' || o_orderkey AS id,
+               'c' || CAST(o_orderkey % 3 AS VARCHAR) AS collection,
+               strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%fZ') AS datetime_out,
+               CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin
+        FROM orders
+        WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-06-01 00:00:00'
+          AND ('c' || CAST(o_orderkey % 3 AS VARCHAR)) IN ('c0', 'c2')
+          AND CAST(o_orderkey % 360 - 180 AS DOUBLE) <= 60.0
+          AND CAST(o_orderkey % 360 - 180 AS DOUBLE) + 1.0 >= -60.0
+          AND CAST(o_orderkey % 170 - 85 AS DOUBLE) <= 90.0
+          AND CAST(o_orderkey % 170 - 85 AS DOUBLE) + 0.5 >= -90.0
+        ORDER BY id"""),
+      (s, dir) => {
+        val cql =
+          """{"op":"and","args":[
+            |  {"op":">=","args":[{"property":"datetime"},{"timestamp":"1997-06-01T00:00:00Z"}]},
+            |  {"op":"in","args":[{"property":"collection"},["c0","c2"]]},
+            |  {"op":"s_intersects","args":[{"property":"geometry"},
+            |    {"type":"Polygon","coordinates":[[[-60.0,-90.0],[60.0,-90.0],[60.0,90.0],[-60.0,90.0],[-60.0,-90.0]]]}]}
+            |]}""".stripMargin
+        val o = Tables.t(s, dir, "orders")
+        val bx = (col("o_orderkey") % 360 - 180).cast("double")
+        val by = (col("o_orderkey") % 170 - 85).cast("double")
+        o.select(
+            concat(lit("o"), col("o_orderkey")).as("id"),
+            concat(lit("c"), (col("o_orderkey") % 3).cast("string")).as("collection"),
+            col("o_orderdate").cast("timestamp").as("datetime"),
+            struct(bx.as("xmin"), by.as("ymin"),
+              (bx + 1.0).as("xmax"), (by + 0.5).as("ymax")).as("bbox"))
+          .filter(graft.stac.Cql2.filter(cql))
+          .select(col("id"), col("collection"),
+            date_format(col("datetime"), graft.stac.StacSchema.Rfc3339Format).as("datetime_out"),
+            col("bbox.xmin").as("xmin"))
+          .orderBy(col("id"))
       })
   )
 }

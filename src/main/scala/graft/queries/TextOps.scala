@@ -115,6 +115,62 @@ object TextOps {
             md5(concat_ws(" ", element_at(ws, 1), element_at(ws, 2), element_at(ws, 3))).as("prefix_fp"),
             md5(array_join(array_sort(array_distinct(ws)), " ")).as("bag_fp"))
           .orderBy(col("doc_id"))
+      }),
+
+    // BPE-ish tokenization: a regex pre-tokenizer (letter runs / digit runs /
+    // punctuation runs — the GPT-2 pre-tokenizer shape restricted to classes
+    // RE2 and java.util.regex treat identically), then a fixed-width subword
+    // budget of ceil(len/4) per token standing in for learned merges.
+    QuerySpec(
+      "t05_bpe_tokens",
+      Some("""
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_vocab,
+               CAST(list_sum(list_transform(toks, t -> CAST((length(t)+3)//4 AS BIGINT))) AS BIGINT) AS n_subwords
+        FROM (SELECT doc_id, regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+') AS toks
+              FROM documents)
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_vocab"),
+            sumOver(col("toks"), t => ((length(t) + 3).cast("long") / 4).cast("long")).as("n_subwords"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // Rolling-hash fingerprinting: Rabin–Karp over every 16-codepoint
+    // window (graft.functions.RollingHashStats — O(n) per doc); the oracle
+    // recomputes each window as a Horner fold, pinning the modular math.
+    QuerySpec(
+      "t06_rolling_fingerprint",
+      Some("""
+        WITH cs AS (SELECT doc_id,
+                           list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)) AS cps
+                    FROM documents),
+             fp AS (SELECT doc_id,
+                           [list_reduce(list_prepend(CAST(0 AS BIGINT), cps[i:i+15]),
+                                        (a, b) -> (a*257 + b) % 2147483647)
+                            for i in generate_series(1, len(cps) - 15)] AS fps
+                    FROM cs)
+        SELECT doc_id,
+               len(fps) AS n_windows,
+               list_aggregate(fps, 'min') AS min_fp,
+               CAST(len(list_distinct(fps)) AS BIGINT) AS n_distinct
+        FROM fp
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val st = graft.functions.TextFunctions.rollingHashStats(col("text"), 16)
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), st.as("st"))
+          .select(col("doc_id"),
+            col("st.n_windows").as("n_windows"),
+            col("st.min_fp").as("min_fp"),
+            col("st.n_distinct").as("n_distinct"))
+          .orderBy(col("doc_id"))
       })
   )
 }

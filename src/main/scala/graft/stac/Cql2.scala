@@ -1,0 +1,113 @@
+package graft.stac
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** CQL2 (JSON encoding) filter → Catalyst `Column` translator.
+  *
+  * The reference delegates CQL2 to pgstac's `search()` SQL function
+  * (`pgstac_reader.py:178-181`) — it never evaluates a filter itself. Here
+  * the filter becomes a native Spark predicate over the spec-shape table
+  * (top-level property columns, µs timestamps, struct bbox), so it
+  * participates in Catalyst pushdown: a translated `datetime >=` or
+  * `bbox.xmin <=` lands in the parquet scan's PushedFilters and prunes row
+  * groups — the STAC-GeoParquet spec's motivating access path
+  * (`_to_arrow.py:124-130`).
+  *
+  * Supported (CQL2 "basic" + the STAC-common operators):
+  *   and/or/not; = <> < <= > >=; between, in, like, isNull;
+  *   t_before/t_after/t_during over timestamps;
+  *   s_intersects evaluated in planar bbox semantics against the struct
+  *   bbox column (the literal geometry collapses to its envelope on the
+  *   driver — conservative, exactly the row-group pruning predicate).
+  *
+  * Literals: strings, numbers, booleans, {"timestamp": s}, {"date": s},
+  * {"interval": [lo, hi]}, {"property": name}, GeoJSON geometry objects,
+  * and {"bbox": [xmin,ymin,xmax,ymax]}.
+  */
+object Cql2 {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  /** Parse a cql2-json document into a Spark predicate. */
+  def filter(cql2Json: String): Column = toColumn(mapper.readTree(cql2Json))
+
+  private def toColumn(n: JsonNode): Column = {
+    if (n.isObject && n.has("op")) {
+      val op = n.get("op").asText
+      val args = n.get("args").elements().asScala.toIndexedSeq
+      op match {
+        case "and" => args.map(toColumn).reduce(_ && _)
+        case "or"  => args.map(toColumn).reduce(_ || _)
+        case "not" => !toColumn(args(0))
+        case "="   => toColumn(args(0)) === toColumn(args(1))
+        case "<>"  => toColumn(args(0)) =!= toColumn(args(1))
+        case "<"   => toColumn(args(0)) < toColumn(args(1))
+        case "<="  => toColumn(args(0)) <= toColumn(args(1))
+        case ">"   => toColumn(args(0)) > toColumn(args(1))
+        case ">="  => toColumn(args(0)) >= toColumn(args(1))
+        case "between" =>
+          val e = toColumn(args(0))
+          e >= toColumn(args(1)) && e <= toColumn(args(2))
+        case "in" =>
+          val list = args(1).elements().asScala.toSeq.map(toColumn)
+          toColumn(args(0)).isInCollection(list)
+        case "like"   => toColumn(args(0)).like(args(1).asText)
+        case "isNull" => toColumn(args(0)).isNull
+        case "t_before" => toColumn(args(0)) < toColumn(args(1))
+        case "t_after"  => toColumn(args(0)) > toColumn(args(1))
+        case "t_during" =>
+          val iv = args(1).get("interval")
+          val e = toColumn(args(0))
+          e >= tsLit(iv.get(0).asText) && e <= tsLit(iv.get(1).asText)
+        case "s_intersects" => sIntersects(args(0), args(1))
+        case other => throw new IllegalArgumentException(s"unsupported CQL2 op: $other")
+      }
+    } else if (n.isObject && n.has("property")) {
+      // nested property paths ("properties.datetime") work via getField
+      n.get("property").asText.split('.').toSeq match {
+        case head +: rest => rest.foldLeft(col(head))(_ getField _)
+        case _            => throw new IllegalArgumentException("empty property name")
+      }
+    } else if (n.isObject && n.has("timestamp")) tsLit(n.get("timestamp").asText)
+    else if (n.isObject && n.has("date")) to_date(lit(n.get("date").asText))
+    else if (n.isTextual) lit(n.asText)
+    else if (n.isIntegralNumber) lit(n.asLong)
+    else if (n.isNumber) lit(n.asDouble)
+    else if (n.isBoolean) lit(n.asBoolean)
+    else if (n.isNull) lit(null)
+    else throw new IllegalArgumentException(s"unsupported CQL2 term: $n")
+  }
+
+  private def tsLit(s: String): Column = to_timestamp(lit(s))
+
+  /** Planar bbox-overlap test between the item's struct bbox column and the
+    * envelope of the literal geometry/bbox argument. One side must be the
+    * `geometry`/`bbox` property; the other a GeoJSON object or bbox array. */
+  private def sIntersects(a: JsonNode, b: JsonNode): Column = {
+    val (propSide, litSide) =
+      if (a.isObject && a.has("property")) (a, b)
+      else if (b.isObject && b.has("property")) (b, a)
+      else throw new IllegalArgumentException("s_intersects needs a property argument")
+    val prop = propSide.get("property").asText
+    require(prop == "geometry" || prop == "bbox",
+      s"s_intersects supported on geometry/bbox, got $prop")
+    val (xmin, ymin, xmax, ymax) = envelope(litSide)
+    col("bbox.xmin") <= xmax && col("bbox.xmax") >= xmin &&
+      col("bbox.ymin") <= ymax && col("bbox.ymax") >= ymin
+  }
+
+  private def envelope(n: JsonNode): (Double, Double, Double, Double) = {
+    if (n.isObject && n.has("bbox")) {
+      val b = n.get("bbox").elements().asScala.toIndexedSeq.map(_.asDouble)
+      // 6-element bbox carries z bounds in the middle positions
+      if (b.length == 6) (b(0), b(1), b(3), b(4)) else (b(0), b(1), b(2), b(3))
+    } else if (n.isObject && n.has("type")) {
+      Wkb.bounds(Wkb.nodeToWkb(n))
+        .getOrElse(throw new IllegalArgumentException("empty geometry in s_intersects"))
+    } else throw new IllegalArgumentException(s"unsupported spatial literal: $n")
+  }
+}

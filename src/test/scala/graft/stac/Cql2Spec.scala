@@ -1,0 +1,95 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CQL2-JSON → Column translation, evaluated over a small spec-shape table. */
+class Cql2Spec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  import spark.implicits._
+
+  private lazy val items = Seq(
+    // id, collection, datetime, cloud, (xmin, ymin, xmax, ymax)
+    ("a", "s2", "2024-06-01T00:00:00Z", 5.0, (0.0, 0.0, 1.0, 1.0)),
+    ("b", "s2", "2024-07-15T12:00:00Z", 40.0, (10.0, 10.0, 11.0, 11.0)),
+    ("c", "landsat", "2023-01-01T00:00:00Z", 0.5, (-120.0, 30.0, -119.0, 31.0)),
+    ("d", "s2", "2024-06-20T06:30:00Z", 19.9, (0.5, 0.5, 2.0, 2.0))
+  ).toDF("id", "collection", "dt", "eo:cloud_cover", "b")
+    .select(col("id"), col("collection"), to_timestamp(col("dt")).as("datetime"),
+      col("eo:cloud_cover"),
+      struct(col("b._1").as("xmin"), col("b._2").as("ymin"),
+        col("b._3").as("xmax"), col("b._4").as("ymax")).as("bbox"))
+
+  private def ids(cql: String): Seq[String] =
+    items.filter(Cql2.filter(cql)).select("id").as[String].collect().toSeq.sorted
+
+  test("the README motivating query: collection + datetime range + cloud + bbox") {
+    val cql = """{"op":"and","args":[
+      {"op":"=","args":[{"property":"collection"},"s2"]},
+      {"op":">=","args":[{"property":"datetime"},{"timestamp":"2024-06-01T00:00:00Z"}]},
+      {"op":"<","args":[{"property":"datetime"},{"timestamp":"2024-07-01T00:00:00Z"}]},
+      {"op":"<","args":[{"property":"eo:cloud_cover"},20]},
+      {"op":"s_intersects","args":[{"property":"geometry"},
+        {"type":"Polygon","coordinates":[[[1.2,1.2],[3.0,1.2],[3.0,3.0],[1.2,3.0],[1.2,1.2]]]}]}]}"""
+    assert(ids(cql) == Seq("d"))
+  }
+
+  test("or / not / <>") {
+    val cql = """{"op":"or","args":[
+      {"op":"<>","args":[{"property":"collection"},"s2"]},
+      {"op":"not","args":[{"op":"<","args":[{"property":"eo:cloud_cover"},30]}]}]}"""
+    assert(ids(cql) == Seq("b", "c"))
+  }
+
+  test("between and in") {
+    val cql = """{"op":"and","args":[
+      {"op":"between","args":[{"property":"eo:cloud_cover"},1,25]},
+      {"op":"in","args":[{"property":"collection"},["s2","landsat"]]}]}"""
+    assert(ids(cql) == Seq("a", "d"))
+  }
+
+  test("like and isNull") {
+    assert(ids("""{"op":"like","args":[{"property":"collection"},"s%"]}""") == Seq("a", "b", "d"))
+    assert(ids("""{"op":"not","args":[{"op":"isNull","args":[{"property":"id"}]}]}""") ==
+      Seq("a", "b", "c", "d"))
+  }
+
+  test("temporal operators") {
+    assert(ids("""{"op":"t_before","args":[{"property":"datetime"},{"timestamp":"2024-01-01T00:00:00Z"}]}""") ==
+      Seq("c"))
+    assert(ids("""{"op":"t_after","args":[{"property":"datetime"},{"timestamp":"2024-07-01T00:00:00Z"}]}""") ==
+      Seq("b"))
+    assert(ids(
+      """{"op":"t_during","args":[{"property":"datetime"},
+        {"interval":["2024-06-01T00:00:00Z","2024-06-30T00:00:00Z"]}]}""") == Seq("a", "d"))
+  }
+
+  test("s_intersects with a bbox literal, including 3-D bbox") {
+    assert(ids("""{"op":"s_intersects","args":[{"property":"bbox"},{"bbox":[-125.0,25.0,-110.0,35.0]}]}""") ==
+      Seq("c"))
+    assert(ids("""{"op":"s_intersects","args":[{"property":"bbox"},{"bbox":[-125.0,25.0,0.0,-110.0,35.0,100.0]}]}""") ==
+      Seq("c"))
+  }
+
+  test("date literal and unsupported op") {
+    assert(ids("""{"op":">=","args":[{"property":"datetime"},{"date":"2024-07-01"}]}""") == Seq("b"))
+    val e = intercept[IllegalArgumentException](Cql2.filter("""{"op":"a_containedBy","args":[]}"""))
+    assert(e.getMessage.contains("unsupported CQL2 op"))
+  }
+
+  test("translated predicate reaches the parquet scan as pushed filters") {
+    val dir = java.nio.file.Files.createTempDirectory("cql2push").toString
+    items.write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir).filter(Cql2.filter(
+      """{"op":"and","args":[
+        {"op":"=","args":[{"property":"collection"},"s2"]},
+        {"op":"s_intersects","args":[{"property":"bbox"},{"bbox":[0.0,0.0,5.0,5.0]}]}]}"""))
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: ["))
+    assert(physical.contains("IsNotNull(collection)") || physical.contains("EqualTo(collection,s2)"))
+    // nested bbox.* predicates push down as parquet filters on the struct leaves
+    assert(physical.contains("bbox.xmin") || physical.contains("`bbox`.`xmin`"))
+  }
+}
