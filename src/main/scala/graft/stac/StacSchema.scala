@@ -65,4 +65,55 @@ object StacSchema {
     * `_to_arrow.py:203-217`). */
   def geoArrowFieldMetadataJson: String =
     s"""{"ARROW:extension:name":"geoarrow.wkb","ARROW:extension:metadata":"{\\"crs\\": ${Wgs84ProjJson.replace("\"", "\\\"")}}"}"""
+
+  import org.apache.spark.sql.types._
+
+  /** A1: permissive union-merge of two schemas, mirroring the reference's
+    * fold over `pa.unify_schemas(..., promote_options="permissive")`
+    * (`_schema/models.py:52-59`) for the dict-input path (Spark's own JSON
+    * inference performs this fold internally; this utility exists for
+    * merging schemas of separately-read chunks).
+    *
+    * Promotion rules: null adopts the other side; integral widths widen;
+    * integral + fractional → double; any other scalar conflict → string
+    * (Spark's JSON-inference fallback); arrays merge element types;
+    * structs union fields by name (left order first) and merge recursively;
+    * a field missing on one side stays nullable.
+    */
+  def mergeStructTypes(a: StructType, b: StructType): StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val aNames = a.fieldNames.toSet
+    val merged = a.fields.map { fa =>
+      bByName.get(fa.name) match {
+        case Some(fb) => StructField(fa.name, mergeDataTypes(fa.dataType, fb.dataType),
+          fa.nullable || fb.nullable, fa.metadata)
+        case None => fa.copy(nullable = true)
+      }
+    } ++ b.fields.filterNot(f => aNames.contains(f.name)).map(_.copy(nullable = true))
+    StructType(merged)
+  }
+
+  def mergeDataTypes(x: DataType, y: DataType): DataType = (x, y) match {
+    case (a, b) if a == b => a
+    case (NullType, t) => t
+    case (t, NullType) => t
+    case (a: StructType, b: StructType) => mergeStructTypes(a, b)
+    case (ArrayType(a, n1), ArrayType(b, n2)) => ArrayType(mergeDataTypes(a, b), n1 || n2)
+    case (a, b) if integralWidth(a) > 0 && integralWidth(b) > 0 =>
+      if (integralWidth(a) >= integralWidth(b)) a else b
+    case (a, b) if isNumeric(a) && isNumeric(b) => DoubleType
+    case _ => StringType
+  }
+
+  /** >0 for integer types (their byte width), 0 otherwise. */
+  private def integralWidth(t: DataType): Int = t match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 4
+    case LongType => 8
+    case _ => 0
+  }
+
+  private def isNumeric(t: DataType): Boolean =
+    integralWidth(t) > 0 || t == FloatType || t == DoubleType
 }
