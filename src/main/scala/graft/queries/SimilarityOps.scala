@@ -183,20 +183,31 @@ object SimilarityOps {
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
         val cent = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val cw = Window.partitionBy(col("vec_id"))
+        val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
+        // Cell assignment as a max_by hash-aggregate, not a window: partial
+        // aggregation collapses the 16 centroid scores per vector map-side,
+        // so the one corpus-wide shuffle carries one row per vector.
+        // Tie-break (-cent_id) matches the oracle's `crank = 1` ordering.
+        val assign = e.join(broadcast(cent))
+          .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"), ccos)
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
+            first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+        // Probes restrict to the query set BEFORE scoring (row_number is
+        // per-vec_id, so dropping other vectors cannot change the ranks),
+        // then broadcast: the query set is tiny by construction.
+        val cw = Window.partitionBy(col("query_id"))
           .orderBy(col("ccos").desc, col("cent_id").asc)
-        val scored = e.join(broadcast(cent))
-          .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"),
-            (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos"))
+        val probes = e.filter(col("vec_id") % 100 === 0)
+          .join(broadcast(cent))
+          .select(col("vec_id").as("query_id"), col("cent_id"),
+            col("embedding").as("qe"), col("nrm").as("qn"), ccos)
           .withColumn("crank", row_number().over(cw))
-        val assign = scored.filter(col("crank") === 1)
-          .select(col("vec_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
-        val probes = scored.filter(col("crank") <= 2 && col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("cent_id").as("cell"),
-            col("embedding").as("qe"), col("nrm").as("qn"))
+          .filter(col("crank") <= 2)
+          .select(col("query_id"), col("cent_id").as("cell"), col("qe"), col("qn"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)
-        probes.join(assign, "cell")
+        broadcast(probes).join(assign, "cell")
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             (dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))

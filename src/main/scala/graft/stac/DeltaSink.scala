@@ -1,0 +1,40 @@
+package graft.stac
+
+import org.apache.spark.sql.DataFrame
+
+/** K3: Delta Lake sink (`stac_geoparquet/arrow/_delta_lake.py:28-71`).
+  *
+  * The reference writes the normalized Arrow stream with `write_deltalake`,
+  * carrying the same `geo` metadata on the table. The Spark mapping is
+  * `df.write.format("delta")` with the geo/stac metadata as table
+  * properties (Delta has first-class table properties; parquet footer
+  * rewriting is not needed).
+  *
+  * delta-spark is not on this environment's classpath (zero-egress build;
+  * `/opt/spark/jars` has no delta jar), so availability is probed at
+  * runtime and the writer fails with a clear message instead of a
+  * ClassNotFoundException mid-job.
+  */
+object DeltaSink {
+
+  /** True when delta-spark is on the classpath. */
+  lazy val available: Boolean =
+    try { Class.forName("org.apache.spark.sql.delta.sources.DeltaDataSource"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** Write a normalized STAC table as a Delta table with the geo metadata
+    * as table properties. Requires delta-spark on the classpath and
+    * `spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension`. */
+  def write(df: DataFrame, path: String,
+            schemaVersion: String = StacSchema.DefaultGeoParquetVersion,
+            mode: String = "error"): Unit = {
+    require(available,
+      "delta-spark is not on the classpath; add the delta-spark jars and set " +
+        "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension")
+    df.write.format("delta")
+      .mode(mode)
+      .option("delta.geo", StacSchema.geoMetadata(schemaVersion))
+      .option("delta.stac-geoparquet", StacSchema.stacGeoParquetMetadata())
+      .save(path)
+  }
+}

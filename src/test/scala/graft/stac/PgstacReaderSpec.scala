@@ -1,0 +1,37 @@
+package graft.stac
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure query-assembly tests for the pgstac path (S5/S6/K6) — a live
+  * Postgres is unavailable here (the reference tests use Docker), so the
+  * SQL building and partition-file naming are pinned exactly. */
+class PgstacReaderSpec extends AnyFunSuite {
+
+  test("items query forms: all / collection / collection+range (pgstac_reader.py:178-199)") {
+    assert(PgstacReader.itemsSql() ===
+      "SELECT id, geometry, collection, datetime, end_datetime, content FROM items")
+    assert(PgstacReader.itemsSql(collection = Some("naip")).endsWith("WHERE collection = 'naip'"))
+    val ranged = PgstacReader.itemsSql(Some("naip"), Some("2020-01-01"), Some("2021-01-01"))
+    assert(ranged.endsWith(
+      "WHERE collection = 'naip' AND datetime >= '2020-01-01' AND datetime < '2021-01-01'"))
+  }
+
+  test("CQL2 filter delegates to pgstac search() with quote escaping (F2)") {
+    val sql = PgstacReader.itemsSql(cql2Json = Some("""{"op":"=","args":["a","o'b"]}"""))
+    assert(sql.contains("search_query("))
+    assert(sql.contains("o''b"))
+  }
+
+  test("partitions query carries the last_updated watermark and ordering (S6)") {
+    val sql = PgstacReader.partitionsSql(Some("2024-05-01T00:00:00Z"))
+    assert(sql.contains("WHERE last_updated >= '2024-05-01T00:00:00Z'"))
+    assert(sql.trim.endsWith("ORDER BY last_updated"))
+    assert(PgstacReader.partitionsSql(None).contains("FROM partitions_view ORDER BY"))
+  }
+
+  test("partition file naming matches items_YYYYMMDD_YYYYMMDD (pgstac_reader.py:315-323)") {
+    assert(PgstacReader.partitionFileName(Some("2020-01-01T00:00:00Z"), Some("2020-02-01T00:00:00Z"))
+      === "items_20200101_20200201.parquet")
+    assert(PgstacReader.partitionFileName(None, None) === "items_open_open.parquet")
+  }
+}
