@@ -369,6 +369,28 @@ object Relational {
           .filter(col("event_type") === "purchase" && col("click_id").isNotNull)
           .select(col("event_id").as("purchase_id"), col("click_id"))
           .orderBy(col("purchase_id"))
-      })
+      }),
+
+    // ----- grouping sets via CUBE (completes rollup/cube/grouping-sets
+    // alongside q10's ROLLUP; same partial-aggregate shuffle shape) -----
+    QuerySpec(
+      "q15_cube_orders",
+      Some("""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY priority, status"""),
+      (s, dir) =>
+        Tables.t(s, dir, "orders")
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(cents(col("o_totalprice"))).cast("double") / 100.0).as("total_price"))
+          .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("n_orders"), col("total_price"))
+          .orderBy(col("priority"), col("status")))
   )
 }
