@@ -71,6 +71,36 @@ object Multimodal {
     }(Encoders.product[AudioMeta])
   }
 
+  /** Feature extraction: fold the payload bytes into a `dim`-bucket
+    * Array[Float] (bucket i sums bytes at positions ≡ i mod dim) — the
+    * embedding-extraction dataflow (binary column → vector column ready
+    * for the similarity operators). STUB arithmetic, real plumbing: swap
+    * the fold for a model forward pass and the schema/batching is
+    * unchanged. */
+  def extractFeatures(df: DataFrame, dim: Int,
+                      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val featUdf = udf { (bytes: Array[Byte]) =>
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) { acc(i % dim) += (bytes(i) & 0xff).toFloat; i += 1 }
+      acc
+    }
+    df.select(col(idCol), featUdf(col(binCol)).as("features"))
+  }
+
+  /** "Resize" stub: stride-sample the payload down to `outBytes` bytes
+    * (deterministic; stands in for a real image resample — the plumbing is
+    * binary-in/binary-out at full column pruning). */
+  def resizeStub(df: DataFrame, outBytes: Int,
+                 idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val rz = udf { (bytes: Array[Byte]) =>
+      if (bytes.isEmpty) bytes
+      else Array.tabulate(math.min(outBytes, bytes.length))(i =>
+        bytes((i.toLong * bytes.length / math.min(outBytes, bytes.length)).toInt))
+    }
+    df.select(col(idCol), rz(col(binCol)).as("resized"))
+  }
+
   /** "Frame sampling" stub: cut a binary payload into fixed-size frame
     * slices and explode one row per sampled frame — the video-pipeline
     * shape (decode → sample every Nth frame → per-frame features). */

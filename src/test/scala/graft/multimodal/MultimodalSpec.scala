@@ -43,6 +43,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter(col("frame_len") =!= 4).count() == 0)
   }
 
+  test("feature extraction folds bytes into dim buckets and feeds similarity ops") {
+    val feats = Multimodal.extractFeatures(payloads, dim = 4)
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val f = r.getSeq[Float](1)
+      assert(f.length == 4 && f.forall(v => v >= 0f && v <= 4 * 255f))
+    }
+    // the output column type matches the embeddings table (similarity-ready):
+    // self-cosine is 1 up to the sqrt·sqrt rounding of the norm product
+    import graft.queries.SimilarityOps.{dotd, norm}
+    val self = feats.select(
+      (dotd(col("features"), col("features")) / (norm(col("features")) * norm(col("features")))).as("c"))
+    assert(self.filter(abs(col("c") - 1.0) > 1e-12).count() == 0)
+  }
+
+  test("resize stub is deterministic, length-bounded, and binary-in/binary-out") {
+    val r1 = Multimodal.resizeStub(payloads, outBytes = 8).collect()
+    assert(r1.forall(_.getAs[Array[Byte]]("resized").length == 8))
+    val r2 = Multimodal.resizeStub(payloads, outBytes = 8).collect()
+    assert(r1.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq ==
+      r2.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq)
+    // upscale request never exceeds source length
+    val big = Multimodal.resizeStub(payloads, outBytes = 64).collect()
+    assert(big.forall(_.getAs[Array[Byte]]("resized").length == 16))
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("mm").toString
     payloads.withColumn("n", length(col("payload")))
