@@ -169,6 +169,51 @@ case class MinHashSig(child: Expression, numSeeds: Int)
     copy(child = newChild)
 }
 
+/** 32-bit SimHash of a single-space-tokenized text, computed per document
+  * in one pass: every token occurrence hashes to its md5's first 4 bytes
+  * (unsigned, = DuckDB `('0x'||substr(md5(w),1,8))::BIGINT` and Spark
+  * `conv(substring(md5(w),1,8),16,10)`), bit b of the signature is the sign
+  * of Σ(±1 per token) over that hash bit. Replaces the explode → 32-sum
+  * hash-aggregate form: no token-level rows ever exist, so the operator is
+  * narrow — one signature row per document out of the scan stage. */
+case class SimHashSig(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"simhash_sig requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val counts = new Array[Int](32)
+    val md = TextExpressions.digest()
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val digest = md.digest(words(i).getBytes("UTF-8"))
+      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      var b = 0
+      while (b < 32) {
+        counts(b) += (((h >> b) & 1L).toInt * 2) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
 /** Rabin–Karp rolling-hash fingerprint stats over all `w`-codepoint windows
   * of a document: `h(window) = Σ c_j · B^(w-1-j) mod M` with B=257,
   * M=2^31-1, maintained with the O(1) rolling update (subtract the outgoing
@@ -238,4 +283,7 @@ object TextFunctions {
 
   def rollingHashStats(text: Column, w: Int): Column =
     GraftSqlShim.column(RollingHashStats(GraftSqlShim.expression(text), w))
+
+  def simhashSig(text: Column): Column =
+    GraftSqlShim.column(SimHashSig(GraftSqlShim.expression(text)))
 }

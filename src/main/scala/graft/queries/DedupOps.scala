@@ -45,25 +45,9 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(graft.functions.TextFunctions.minhashSig(col("g"), nSeeds)).as(Seq("seed", "mhv")))
 
-  /** 32-bit SimHash over per-token 32-bit md5 prefixes: bit b of the
-    * signature is the sign of sum(+1/-1 of token-hash bit b). Computed as
-    * explode → one hash-aggregate with 32 partial sums (each token hashed
-    * once; map-side combine keeps the shuffle at one row per doc — the
-    * shape that scales, unlike 32 interpreted array folds per row). */
-  private def simhash32Agg(docs: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long")
-    val bitSums = (0 until 32).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
-    }
-    docs.select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-      .select(col("doc_id"), h.as("h"))
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 32).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
-
+  /** DuckDB mirror of graft.functions.SimHashSig: bit b of the signature is
+    * the sign of sum(±1 of token-hash bit b) over per-token 32-bit md5
+    * prefixes. */
   private def simhashSql: String = {
     val terms = (0 until 32).map { b =>
       s"(CASE WHEN CAST(list_sum(list_transform(xs, x -> ((x >> $b) & 1)*2 - 1)) AS BIGINT) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
@@ -150,7 +134,7 @@ object DedupOps {
           .orderBy(col("doc_a"), col("doc_b"))
       }),
 
-    // ----- SimHash signatures (32-bit) -----
+    // ----- SimHash signatures (32-bit), native per-document expression -----
     QuerySpec(
       "d04_simhash",
       Some(s"""
@@ -161,7 +145,9 @@ object DedupOps {
               FROM documents)
         ORDER BY doc_id"""),
       (s, dir) =>
-        simhash32Agg(Tables.t(s, dir, "documents"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.simhashSig(col("text")).as("simhash"))
           .orderBy(col("doc_id")))
   )
 }
