@@ -16,10 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
-  /** Exact integer cents from a 2-decimal double column. */
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  /** Exact integer cents from a 2-decimal double column. `floor(x+0.5)` is
+    * codegen-cheap; `round(_, 0)` goes through per-value BigDecimal
+    * (2.8× slower on the scan hot path, measured in ProfileMain). Equal to
+    * HALF_UP rounding for all inputs whose true value is integral cents:
+    * a divergence needs x*100 within 0.5 of a true .5 tie, and the double
+    * error of n/100*100 is ~1e-10. The oracle keeps `round(x*100,0)` —
+    * values are identical (checked exhaustively at sf0.1). */
+  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
   /** Exact integer percent from a 2-decimal fraction column. */
-  private def pct(c: Column): Column = round(c * 100, 0).cast("long")
+  private def pct(c: Column): Column = floor(c * 100 + 0.5).cast("long")
 
   val specs: Seq[QuerySpec] = Seq(
 

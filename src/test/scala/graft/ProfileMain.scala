@@ -41,6 +41,48 @@ object ProfileMain {
       time("minhash_agg")(mh)
       println("[profile] rows: docs=" + docs.count() + " exploded=" + ex.count() +
         " seeded=" + seeded.count())
+      // q01 decomposition
+      val li = Tables.t(spark, dir, "lineitem")
+      time("q01_scan_only")(li.select(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+      time("q01_filter")(li.filter(col("l_shipdate") <= "2000-12-01").select(col("l_quantity")))
+      def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
+      def centsF(c: org.apache.spark.sql.Column) = floor(c * 100 + 0.5).cast("long")
+      time("q01_cents_round")(li.select(cents(col("l_quantity")), cents(col("l_extendedprice")),
+        cents(col("l_discount")), cents(col("l_tax"))))
+      time("q01_cents_floor")(li.select(centsF(col("l_quantity")), centsF(col("l_extendedprice")),
+        centsF(col("l_discount")), centsF(col("l_tax"))))
+      val eq = li.select((centsF(col("l_quantity")) =!= cents(col("l_quantity"))).as("d1"),
+        (centsF(col("l_extendedprice")) =!= cents(col("l_extendedprice"))).as("d2"))
+      println("[profile] floor!=round rows: " + eq.filter(col("d1") || col("d2")).count())
+      // stac05 decomposition
+      locally {
+        import graft.stac.{Normalize, StacJsonReader}
+        import org.apache.spark.sql.Encoders
+        val o = Tables.t(spark, dir, "orders")
+        val x = (col("o_orderkey") % 360 - 180).cast("double") + 0.5
+        val y = (col("o_orderkey") % 170 - 85).cast("double") + 0.25
+        val itemJson = concat(
+          lit("{\"type\":\"Feature\",\"id\":\"o"), col("o_orderkey"), lit("\","),
+          lit("\"geometry\":{\"type\":\"Point\",\"coordinates\":["),
+          x.cast("string"), lit(","), y.cast("string"), lit("]},"),
+          lit("\"bbox\":["), (x - 0.5).cast("string"), lit(","), (y - 0.25).cast("string"),
+          lit(","), (x + 0.5).cast("string"), lit(","), (y + 0.25).cast("string"), lit("],"),
+          lit("\"properties\":{\"datetime\":\""),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\"},"),
+          lit("\"links\":[],\"assets\":{}}"))
+        val strs = o.select(itemJson.as("value")).as[String](Encoders.STRING)
+        time("s05_build_json")(strs.toDF)
+        val wkb = strs.map(StacJsonReader.geometryToWkbHex)(Encoders.STRING)
+        time("s05_wkb_map")(wkb.toDF)
+        val cached = wkb.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count()
+        val t0 = System.nanoTime(); val sch = spark.read.json(cached).schema
+        println(f"[profile] s05_infer_cached              ${(System.nanoTime()-t0)/1e9}%.2f s")
+        val df = spark.read.schema(sch).json(cached)
+        time("s05_read_pass")(df)
+        time("s05_norm")(Normalize(graft.stac.StacJsonReader.hexGeometryToBinary(df), bboxDims = Some(4)))
+      }
     } finally spark.stop()
   }
 }
