@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{FloatDot, MinHashSig, RollingHashStats, SimHashSig, WordShingles}
+
+/** Spark-native registration of graft's Catalyst expressions, so SQL users
+  * get them too:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions   (or .withExtensions)
+  *   SELECT float_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT minhash_sig(word_shingles(text, 3), 4) FROM docs
+  *
+  * Width/seed arguments must be integer literals (they parameterize the
+  * expression tree, not per-row inputs). For an existing session, use
+  * [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("float_dot",
+      info("float_dot", "float_dot(a, b) - double-precision dot product of two float arrays"),
+      (es: Seq[Expression]) => FloatDot(es(0), es(1))),
+    ("word_shingles",
+      info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
+      (es: Seq[Expression]) => WordShingles(es(0), intLit(es(1), "shingle width"))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(shingles, nSeeds) - MinHash signature array"),
+      (es: Seq[Expression]) => MinHashSig(es(0), intLit(es(1), "seed count"))),
+    ("simhash_sig",
+      info("simhash_sig", "simhash_sig(text) - 32-bit SimHash of a tokenized text"),
+      (es: Seq[Expression]) => SimHashSig(es(0))),
+    ("rolling_hash_stats",
+      info("rolling_hash_stats",
+        "rolling_hash_stats(text, w) - Rabin-Karp window fingerprint stats"),
+      (es: Seq[Expression]) => RollingHashStats(es(0), intLit(es(1), "window width"))))
+
+  /** Register on an already-running session (the extensions path only
+    * applies at session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, i, builder) =>
+      org.apache.spark.sql.GraftSqlShim.registerFunction(spark, name, i, builder)
+    }
+}

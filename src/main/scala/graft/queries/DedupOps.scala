@@ -45,6 +45,42 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(graft.functions.TextFunctions.minhashSig(col("g"), nSeeds)).as(Seq("seed", "mhv")))
 
+  /** Shared CTE: LSH candidates verified with exact n-gram Jaccard (`jp`). */
+  private def pairsCte: String = s"""
+    sg AS (SELECT doc_id,
+                  list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                                 for i in generate_series(1, len(ws)-2)]) AS g
+           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+    mh AS (SELECT doc_id, s.seed AS seed,
+                  list_aggregate(list_transform(g, x -> md5(s.seed||':'||x)), 'min') AS mhv
+           FROM sg, (SELECT unnest(generate_series(0, ${nSeeds - 1})) AS seed) s),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM mh a JOIN mh b ON a.seed = b.seed AND a.mhv = b.mhv
+                                AND a.doc_id < b.doc_id),
+    jp AS (SELECT c.doc_a, c.doc_b,
+                  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                    / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
+           FROM cand c
+           JOIN sg ga ON ga.doc_id = c.doc_a
+           JOIN sg gb ON gb.doc_id = c.doc_b)"""
+
+  /** Spark side of `jp`: (doc_a, doc_b, jaccard) candidate pairs. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val mh = minhashes(s, dir)
+    val a = mh.select(col("seed"), col("mhv"), col("doc_id").as("doc_a"))
+    val b = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"), col("doc_id").as("doc_b"))
+    val cand = a.join(b,
+        a("seed") === b("seed_b") && a("mhv") === b("mhv_b") && a("doc_a") < b("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sg = docShingles(s, dir)
+    val ga = sg.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val gb = sg.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
+  }
+
   /** DuckDB mirror of graft.functions.SimHashSig: bit b of the signature is
     * the sign of sum(±1 of token-hash bit b) over per-token 32-bit md5
     * prefixes. */
@@ -100,39 +136,10 @@ object DedupOps {
     QuerySpec(
       "d03_minhash_lsh_jaccard",
       Some(s"""
-        WITH sg AS (SELECT doc_id,
-                           list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
-                                          for i in generate_series(1, len(ws)-2)]) AS g
-                    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
-             mh AS (SELECT doc_id, s.seed AS seed,
-                           list_aggregate(list_transform(g, x -> md5(s.seed||':'||x)), 'min') AS mhv
-                    FROM sg, (SELECT unnest(generate_series(0, ${nSeeds - 1})) AS seed) s),
-             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                      FROM mh a JOIN mh b ON a.seed = b.seed AND a.mhv = b.mhv
-                                         AND a.doc_id < b.doc_id)
-        SELECT c.doc_a, c.doc_b,
-               CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-                 / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
-        FROM cand c
-        JOIN sg ga ON ga.doc_id = c.doc_a
-        JOIN sg gb ON gb.doc_id = c.doc_b
+        WITH $pairsCte
+        SELECT doc_a, doc_b, jaccard FROM jp
         ORDER BY doc_a, doc_b"""),
-      (s, dir) => {
-        val mh = minhashes(s, dir)
-        val a = mh.select(col("seed"), col("mhv"), col("doc_id").as("doc_a"))
-        val b = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"), col("doc_id").as("doc_b"))
-        val cand = a.join(b,
-            a("seed") === b("seed_b") && a("mhv") === b("mhv_b") && a("doc_a") < b("doc_b"))
-          .select(col("doc_a"), col("doc_b")).distinct()
-        val sg = docShingles(s, dir)
-        val ga = sg.select(col("doc_id").as("doc_a"), col("g").as("ga"))
-        val gb = sg.select(col("doc_id").as("doc_b"), col("g").as("gb"))
-        val inter = size(array_intersect(col("ga"), col("gb")))
-        cand.join(ga, "doc_a").join(gb, "doc_b")
-          .select(col("doc_a"), col("doc_b"),
-            (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
-          .orderBy(col("doc_a"), col("doc_b"))
-      }),
+      (s, dir) => jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
     // ----- SimHash signatures (32-bit), native per-document expression -----
     QuerySpec(
@@ -148,6 +155,39 @@ object DedupOps {
         Tables.t(s, dir, "documents")
           .select(col("doc_id"),
             graft.functions.TextFunctions.simhashSig(col("text")).as("simhash"))
-          .orderBy(col("doc_id")))
+          .orderBy(col("doc_id"))),
+
+    // ----- duplicate clusters: connected components over verified pairs -----
+    // The end-to-end dedup decision: near-dup pairs (jaccard ≥ 0.6) →
+    // min-label clusters (graft.operators.ConnectedComponents, one shuffle
+    // per iteration) → keep the min doc_id per cluster. The oracle computes
+    // the same closure with a recursive CTE.
+    QuerySpec(
+      "d05_dedup_clusters",
+      Some(s"""
+        WITH RECURSIVE $pairsCte,
+             p AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.6),
+             e AS (SELECT doc_a AS x, doc_b AS y FROM p
+                   UNION ALL SELECT doc_b, doc_a FROM p),
+             reach(doc, lbl) AS (
+               SELECT x, x FROM e
+               UNION
+               SELECT e.x, r.lbl FROM e JOIN reach r ON r.doc = e.y),
+             lab AS (SELECT doc, min(lbl) AS root FROM reach GROUP BY doc),
+             siz AS (SELECT root, count(*) AS n FROM lab GROUP BY root)
+        SELECT lab.doc AS doc_id, lab.root AS cluster_root,
+               siz.n AS cluster_size, lab.doc = lab.root AS is_kept
+        FROM lab JOIN siz ON lab.root = siz.root
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val pairs = jaccardPairs(s, dir).filter(col("jaccard") >= 0.6)
+          .select(col("doc_a"), col("doc_b"))
+        val cc = graft.operators.ConnectedComponents.run(pairs)
+        val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "component")
+          .select(col("id").as("doc_id"), col("component").as("cluster_root"),
+            col("cluster_size"), (col("id") === col("component")).as("is_kept"))
+          .orderBy(col("doc_id"))
+      })
   )
 }

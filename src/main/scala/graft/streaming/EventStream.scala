@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2.7 notes the reference's only
@@ -51,6 +51,34 @@ object EventStream {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("value_cents"))
+
+  /** Per-user running totals as an explicit state machine
+    * (`flatMapGroupsWithState` — the arbitrary-stateful-processing hook for
+    * logic that windowed aggregation can't express). State is one compact
+    * tuple per user, partitioned by the grouping key across executors; each
+    * micro-batch folds its events into the state and emits the updated
+    * summary (Update mode). Exact integer-cents arithmetic as everywhere. */
+  final case class UserEvent(user_id: Long, value: Double, us: Long)
+  final case class UserStat(user_id: Long, n_events: Long, value_cents: Long, last_us: Long)
+
+  def userRunningStats(events: DataFrame): Dataset[UserStat] = {
+    val evs = events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .as[UserEvent](Encoders.product[UserEvent])
+    evs.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[(Long, Long, Long), UserStat](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[(Long, Long, Long)]) =>
+          var (n, cents, last) = state.getOption.getOrElse((0L, 0L, 0L))
+          it.foreach { e =>
+            n += 1
+            cents += math.floor(e.value * 100 + 0.5).toLong
+            if (e.us > last) last = e.us
+          }
+          state.update((n, cents, last))
+          Iterator(UserStat(uid, n, cents, last))
+      }(Encoders.product[(Long, Long, Long)], Encoders.product[UserStat])
+  }
 
   /** K6-analog incremental sync: process whatever is new since the last
     * checkpoint and stop (Trigger.AvailableNow) — repeated invocations

@@ -71,6 +71,31 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState running totals converge to the batch aggregate") {
+    val dir = java.nio.file.Files.createTempDirectory("evstate")
+    stageEvents(dir)
+    val q = EventStream.userRunningStats(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("ustats")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update mode emits one row per user per micro-batch; the final state is
+    // the row with the highest n_events per user
+    val finalRows = spark.table("ustats")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("value_cents"), col("last_us"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.value_cents"), col("s.last_us"))
+      .orderBy(col("user_id")).collect()
+    val batch = spark.read.parquet(s"$dir/events_1.parquet")
+      .withColumn("us", expr("ts div 1000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
+        max(col("us")).as("last_us"))
+      .orderBy(col("user_id")).collect()
+    assert(finalRows.length == batch.length)
+    finalRows.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
   test("incremental sync (K6 analog) picks up only new files, exactly once") {
     val src = java.nio.file.Files.createTempDirectory("evsrc")
     val out = java.nio.file.Files.createTempDirectory("evout").toString + "/data"
