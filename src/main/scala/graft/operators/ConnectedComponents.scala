@@ -52,6 +52,8 @@ object ConnectedComponents {
     }
     und.unpersist()
     e.unpersist()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged after $iter iterations")
     labels
   }
 }

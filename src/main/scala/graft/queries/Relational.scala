@@ -397,6 +397,22 @@ object Relational {
           .select(coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
             coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
             col("n_orders"), col("total_price"))
-          .orderBy(col("priority"), col("status")))
+          .orderBy(col("priority"), col("status"))),
+
+    // ----- sketches: HyperLogLog++ distinct + approximate quantiles -----
+    // No SQL oracle: sketch outputs are algorithm-specific (DuckDB's
+    // approx_* uses different sketches), so the driver records the weaker
+    // rows-only check. The point is the single-pass, mergeable-partial
+    // shape — at 100 TB these replace exact distinct/percentile scans.
+    QuerySpec(
+      "q16_sketches",
+      None,
+      (s, dir) =>
+        Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+            percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
+          .orderBy(col("l_returnflag")))
   )
 }

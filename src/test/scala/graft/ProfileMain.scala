@@ -83,6 +83,13 @@ object ProfileMain {
         time("s05_read_pass")(df)
         time("s05_norm")(Normalize(graft.stac.StacJsonReader.hexGeometryToBinary(df), bboxDims = Some(4)))
       }
+      // d05 CC iteration count
+      locally {
+        val t0 = System.nanoTime()
+        val d05 = graft.SparkEntry.queries("d05_dedup_clusters")(spark, dir)
+        d05.write.format("noop").mode("overwrite").save()
+        println(f"[profile] d05_total                    ${(System.nanoTime()-t0)/1e9}%.2f s")
+      }
     } finally spark.stop()
   }
 }
