@@ -413,6 +413,80 @@ object Relational {
           .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
             percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
             percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
-          .orderBy(col("l_returnflag")))
+          .orderBy(col("l_returnflag"))),
+
+    // ----- generic as-of join OPERATOR (graft.operators.AsofJoin) -----
+    // Same semantics class as q14 but through the reusable operator; ties
+    // at equal times resolve right-side-first then greatest payload, which
+    // the oracle mirrors with (us, side, click_id NULLS FIRST) ordering.
+    QuerySpec(
+      "q17_asof_operator",
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(epoch_ns(ts)//1000 AS BIGINT) AS us
+          FROM events WHERE event_type IN ('purchase','click')),
+             u AS (
+          SELECT user_id, us,
+                 CASE WHEN event_type='click' THEN 0 ELSE 1 END AS side,
+                 CASE WHEN event_type='purchase' THEN event_id END AS purchase_id,
+                 CASE WHEN event_type='click' THEN event_id END AS click_id
+          FROM ev)
+        SELECT purchase_id, click_id
+        FROM (SELECT purchase_id, side,
+                     last_value(click_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us, side, click_id ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+              FROM u)
+        WHERE side = 1 AND click_id IS NOT NULL
+        ORDER BY purchase_id"""),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("us").as("cus"))
+        graft.operators.AsofJoin(purchases, clicks, "user_id", "us", "cus", Seq("click_id"))
+          .filter(col("asof_click_id").isNotNull)
+          .select(col("purchase_id"), col("asof_click_id").as("click_id"))
+          .orderBy(col("purchase_id"))
+      }),
+
+    // ----- bucketed range join OPERATOR (graft.operators.RangeJoin) -----
+    // Clicks within 10 minutes after each purchase: intervals explode to
+    // overlapped buckets, equi-join on (user, bucket), exact containment
+    // filter — never a nested-loop range join.
+    QuerySpec(
+      "q18_range_join",
+      Some("""
+        WITH ev AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(epoch_ns(ts)//1000 AS BIGINT) AS us
+          FROM events WHERE event_type IN ('purchase','click')),
+             p AS (SELECT user_id, event_id AS purchase_id, us AS lo,
+                          us + 600000000 AS hi FROM ev WHERE event_type='purchase'),
+             c AS (SELECT user_id, event_id AS click_id, us FROM ev WHERE event_type='click')
+        SELECT p.purchase_id, count(*) AS n_clicks,
+               CAST(min(c.click_id) AS BIGINT) AS first_click
+        FROM p JOIN c ON c.user_id = p.user_id AND p.lo <= c.us AND c.us < p.hi
+        GROUP BY 1
+        ORDER BY 1"""),
+      (s, dir) => {
+        val tenMinUs = 600000000L
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "click"))
+        val intervals = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("us").as("lo"), (col("us") + tenMinUs).as("hi"))
+        val points = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("us"))
+        graft.operators.RangeJoin
+          .pointInInterval(points, intervals, "user_id", "us", "lo", "hi", tenMinUs)
+          .groupBy(col("purchase_id"))
+          .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
+          .orderBy(col("purchase_id"))
+      })
   )
 }

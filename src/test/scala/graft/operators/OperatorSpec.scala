@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.stac.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Edge semantics of the custom join operators. */
+class OperatorSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  import spark.implicits._
+
+  test("AsofJoin: inclusive <=, per-key isolation, null when nothing precedes") {
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 100L, "r-at-100"), (1L, 60L, "r-at-60"), (2L, 20L, "r-late"))
+      .toDF("k", "rt", "payload")
+    val out = AsofJoin(left, right, "k", "t", "rt", Seq("payload"))
+      .select("name", "asof_payload").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("p1") == "r-at-100") // equal time matches (inclusive)
+    assert(out("p0") == null)      // nothing at or before 50
+    assert(out("p2") == null)      // right row at 20 is after left 10; no cross-key leak
+  }
+
+  test("AsofJoin: ties among right rows resolve to greatest payload") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L), (1L, 100L, 8L)).toDF("k", "rt", "v")
+    val out = AsofJoin(left, right, "k", "t", "rt", Seq("v")).select("asof_v").head().getLong(0)
+    assert(out == 9L)
+  }
+
+  test("RangeJoin: boundary semantics — lo inclusive, hi exclusive, bucket-edge intervals") {
+    val points = Seq((1L, 0L, "at-lo"), (1L, 9L, "inside"), (1L, 10L, "at-hi"),
+      (1L, 20L, "beyond"), (2L, 5L, "other-key")).toDF("k", "t", "name")
+    val intervals = Seq((1L, 0L, 10L, "iv")).toDF("k", "lo", "hi", "ivname")
+    for (bucket <- Seq(1L, 3L, 10L, 100L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "k", "t", "lo", "hi", bucket)
+        .select("name").as[String].collect().sorted.toSeq
+      assert(got == Seq("at-lo", "inside"), s"bucketWidth=$bucket")
+    }
+  }
+
+  test("RangeJoin: an interval spanning many buckets still matches every point once") {
+    val points = (0L until 50L).map(t => (1L, t, t)).toDF("k", "t", "id")
+    val intervals = Seq((1L, 5L, 45L, "wide")).toDF("k", "lo", "hi", "nm")
+    val got = RangeJoin.pointInInterval(points, intervals, "k", "t", "lo", "hi", 7L)
+    assert(got.count() == 40)                      // t in [5, 45)
+    assert(got.select("id").distinct().count() == 40) // no duplicate matches
+  }
+}
