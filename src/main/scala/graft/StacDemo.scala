@@ -19,6 +19,8 @@ object StacDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = IngestMetrics.install(spark)
+    val t0 = System.nanoTime()
 
     val df = StacJsonReader.read(spark, Seq(input))
     val norm = Normalize(df)
@@ -38,6 +40,10 @@ object StacDemo {
     Denormalize.writeNdjson(back, s"$outDir/ndjson")
     val lines = spark.read.text(s"$outDir/ndjson").count()
     println(s"[stac-demo] wrote $lines ndjson items to $outDir/ndjson")
+    // memlog-parity counters (BASELINE.md "engine-side counters"); listener
+    // delivery is async — give the bus a beat to drain
+    Thread.sleep(300)
+    println(s"[stac-demo] metrics: ${metrics.report((System.nanoTime() - t0) / 1e9)}")
     spark.stop()
   }
 }
