@@ -42,9 +42,16 @@ object GeoParquetWriter {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new Path(dir)
     val fs = p.getFileSystem(hconf)
-    val parts = fs.listStatus(p).map(_.getPath)
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-      .map(_.toString).toIndexedSeq
+    // recursive: partitionBy layouts (K6's per-collection dirs) nest part
+    // files under partition subdirectories
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        buf += f.toString
+    }
+    val parts = buf.toIndexedSeq
     if (parts.size <= 8) parts.foreach(f => rewriteWithMetadata(new Configuration(hconf), f, kv))
     else {
       // distribute the rewrite: one task per file

@@ -83,6 +83,28 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("K6 layout: partitionBy(collection) write gets footers in every subdirectory") {
+    val tmp = java.nio.file.Files.createTempDirectory("gpqpart").toString
+    val df = Normalize(StacJsonReader.read(spark, Seq(
+      SparkSpec.resource("/data/naip-pc.json"), SparkSpec.resource("/data/sentinel-2-l2a-pc.json"))))
+    df.write.partitionBy("collection").parquet(s"$tmp/by_collection")
+    GeoParquetWriter.addFooterMetadata(spark, s"$tmp/by_collection",
+      Map("geo" -> graft.stac.StacSchema.geoMetadata(),
+        "stac-geoparquet" -> graft.stac.StacSchema.stacGeoParquetMetadata()))
+    val partFiles = new java.io.File(s"$tmp/by_collection").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.getName.endsWith(".parquet"))
+    assert(partFiles.length >= 2, "expected one part dir per collection")
+    partFiles.foreach { f =>
+      val kv = GeoParquetWriter.readFooterMetadata(
+        new org.apache.hadoop.conf.Configuration(), f.getAbsolutePath)
+      assert(kv.contains("geo") && kv.contains("stac-geoparquet"), f.getName)
+    }
+    // data still reads back with partition pruning on collection
+    val back = spark.read.parquet(s"$tmp/by_collection")
+    assert(back.filter(org.apache.spark.sql.functions.col("collection") === "naip").count() > 0)
+  }
+
   test("3-D bbox becomes 6-field struct with zmin/zmax: 3dep-lidar-copc-pc") {
     val df = Normalize(StacJsonReader.read(spark,
       Seq(SparkSpec.resource("/data/3dep-lidar-copc-pc.json"))))
