@@ -31,8 +31,11 @@ object StacJsonReader {
     * `_api.py:114-119,128-155` — Spark's inference is already
     * distributed/out-of-core so both collapse to this). */
   case object InferFull extends SchemaStrategy
-  /** Infer from the first `n` items, fail later if rows disagree
-    * (`FirstBatch`, `_api.py:121-126`). */
+  /** Infer from the first `n` items (`FirstBatch`, `_api.py:121-126`).
+    * Divergence from the reference: FirstBatch raises on ANY later-chunk
+    * schema disagreement; here FAILFAST raises on type conflicts, while
+    * fields absent from the sampled prefix are silently dropped (Spark's
+    * JSON reader ignores unknown fields). Pinned by InferSampleSpec. */
   final case class InferSample(n: Int) extends SchemaStrategy
 
   @transient private lazy val mapper = new ObjectMapper()

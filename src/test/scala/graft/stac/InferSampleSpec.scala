@@ -1,0 +1,43 @@
+package graft.stac
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins InferSample's divergence envelope vs the reference's FirstBatch
+  * strategy (`_api.py:121-126,49-62`): FirstBatch raises on ANY schema
+  * disagreement in later chunks; Spark's FAILFAST JSON read raises on type
+  * conflicts but silently drops fields absent from the schema. The
+  * difference is documented on StacJsonReader — this test keeps it true. */
+class InferSampleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def writeNdjson(lines: Seq[String]): String = {
+    val f = java.nio.file.Files.createTempFile("infer", ".ndjson")
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("type conflict after the sampled prefix fails loudly (FAILFAST)") {
+    val path = writeNdjson(Seq(
+      """{"id":"a","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":10}}""",
+      """{"id":"b","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":20}}""",
+      """{"id":"c","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":"not-a-number"}}"""))
+    val e = intercept[org.apache.spark.SparkException] {
+      StacJsonReader.read(spark, Seq(path), StacJsonReader.InferSample(2)).collect()
+    }
+    assert(e.getMessage.contains("FAILFAST") || e.getMessage.contains("MALFORMED"))
+  }
+
+  test("fields absent from the sampled prefix are dropped, not errors (divergence from FirstBatch)") {
+    val path = writeNdjson(Seq(
+      """{"id":"a","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":10}}""",
+      """{"id":"b","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":20}}""",
+      """{"id":"c","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":30,"platform":"s2"}}"""))
+    val df = StacJsonReader.read(spark, Seq(path), StacJsonReader.InferSample(2))
+    assert(df.count() == 3)
+    assert(!df.select("properties.*").columns.contains("platform"))
+    // the full-inference strategy keeps it
+    val full = StacJsonReader.read(spark, Seq(path), StacJsonReader.InferFull)
+    assert(full.select("properties.*").columns.contains("platform"))
+  }
+}
