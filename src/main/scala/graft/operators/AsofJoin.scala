@@ -35,25 +35,29 @@ object AsofJoin {
     val leftCols = left.columns
     val t = "__asof_t"
     val side = "__asof_side" // 0 = right, 1 = left → right wins ties (<=)
+    val pay = "__asof_payload"
+    // carry the right payload as ONE struct so the matched right row is
+    // attached wholesale — per-column carries could stitch fields from
+    // different right rows when payload columns contain nulls
+    val payType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c).copy(name = c)))
     val lTagged = left
       .withColumn(t, col(leftTime)).withColumn(side, lit(1))
       .select(Seq(col(key), col(t), col(side)) ++
-        leftCols.filterNot(_ == key).map(c => col(c)) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(_ == key).map(c => col(c)) :+
+        lit(null).cast(payType).as(pay): _*)
     val rTagged = right
       .withColumn(t, col(rightTime)).withColumn(side, lit(0))
       .select(Seq(col(key), col(t), col(side)) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as(pay): _*)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(t), col(side),
-        struct(rightCols.map(c => col(s"__r_$c")): _*).asc_nulls_first)
+      .orderBy(col(t), col(side), col(pay).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
     carried.filter(col(side) === 1)
       .select(Seq(col(key)) ++ leftCols.filterNot(_ == key).map(col) ++
-        rightCols.map(c => col(s"asof_$c")): _*)
+        rightCols.map(c => col(s"$pay.$c").as(s"asof_$c")): _*)
   }
 }

@@ -35,7 +35,9 @@ object ConnectedComponents {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var iter = 0
-    var prevSum = labels.agg(sum("component")).head().getLong(0)
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
 
     while (!converged && iter < maxIter) {
       val prop = und.join(labels.withColumnRenamed("id", "y"), "y")
@@ -43,7 +45,7 @@ object ConnectedComponents {
       val next = labels.union(prop)
         .groupBy("id").agg(min("component").as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = next.agg(sum("component")).head().getLong(0)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s == prevSum

@@ -28,15 +28,22 @@ object Denormalize {
     if (df.schema.fieldNames.contains("type")) df
     else df.select(lit("Feature").as("type") +: df.columns.map(col).toIndexedSeq: _*)
 
-  /** P5: timestamps → `%Y-%m-%dT%H:%M:%SZ` strings (`_from_arrow.py:8-31`). */
-  def convertTimestampColumnsToString(df: DataFrame): DataFrame =
+  /** P5: timestamps → `%Y-%m-%dT%H:%M:%SZ` strings (`_from_arrow.py:8-31`).
+    * `date_format` renders in the session timezone, so the instant is first
+    * shifted with `to_utc_timestamp(_, sessionTz)` — the emitted wall clock
+    * is UTC (matching the literal `Z`) for ANY session timezone, not just
+    * the UTC the in-repo mains pin. */
+  def convertTimestampColumnsToString(df: DataFrame): DataFrame = {
+    val sessionTz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     StacSchema.TimestampColumns.foldLeft(df) { (d, name) =>
       d.schema.fields.find(_.name == name) match {
         case Some(f) if f.dataType == TimestampType =>
-          d.withColumn(name, date_format(col(name), StacSchema.Rfc3339Format))
+          d.withColumn(name,
+            date_format(to_utc_timestamp(col(name), sessionTz), StacSchema.Rfc3339Format))
         case _ => d
       }
     }
+  }
 
   /** P6: re-nest every non-top-level column into a `properties` struct
     * (`_from_arrow.py:34-64`), preserving column order. */

@@ -54,10 +54,18 @@ object GeoParquetWriter {
     val parts = buf.toIndexedSeq
     if (parts.size <= 8) parts.foreach(f => rewriteWithMetadata(new Configuration(hconf), f, kv))
     else {
-      // distribute the rewrite: one task per file
+      // distribute the rewrite: one task per file. Hadoop Configuration is
+      // not serializable — ship its entries and rebuild per task, so
+      // spark.hadoop.* settings (object-store credentials, endpoints,
+      // defaultFS) reach the executors.
+      val confEntries = hconf.asScala.map(e => e.getKey -> e.getValue).toSeq
       val kvB = kv
       spark.sparkContext.parallelize(parts, math.min(parts.size, 64))
-        .foreach(f => rewriteWithMetadata(new Configuration(), f, kvB))
+        .foreach { f =>
+          val c = new Configuration(false)
+          confEntries.foreach { case (k, v) => c.set(k, v) }
+          rewriteWithMetadata(c, f, kvB)
+        }
     }
   }
 

@@ -50,21 +50,31 @@ object PgstacReader {
 
   /** Partitioned JDBC scan of pgstac items. `numPartitions`/`fetchsize`
     * replace the reference's server-side cursor (itersize=10000,
-    * `pgstac_reader.py:163`). */
+    * `pgstac_reader.py:163`). Spark's JDBC source requires
+    * partitionColumn + lowerBound + upperBound + numPartitions all-or-none,
+    * so the scan parallelizes only when the datetime range is known
+    * (it always is on the K6 sync path — partition ranges come from S6);
+    * otherwise it falls back to a single-partition read. */
   def readItems(
       spark: SparkSession,
       jdbcUrl: String,
       collection: Option[String] = None,
       startDatetime: Option[String] = None,
       endDatetime: Option[String] = None,
-      numPartitions: Int = 16): DataFrame =
-    spark.read.format("jdbc")
+      numPartitions: Int = 16): DataFrame = {
+    val base = spark.read.format("jdbc")
       .option("url", jdbcUrl)
       .option("dbtable", s"(${itemsSql(collection, startDatetime, endDatetime)}) q")
-      .option("partitionColumn", "datetime")
-      .option("numPartitions", numPartitions)
       .option("fetchsize", 10000)
-      .load()
+    val partitioned = (startDatetime, endDatetime) match {
+      case (Some(lo), Some(hi)) =>
+        base.option("partitionColumn", "datetime")
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", numPartitions)
+      case _ => base
+    }
+    partitioned.load()
+  }
 
   /** K6: incremental sync — read changed partitions (S6) and export each
     * through the normalize→GeoParquet pipeline into

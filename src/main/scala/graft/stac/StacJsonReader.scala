@@ -81,7 +81,18 @@ object StacJsonReader {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    val in = fs.open(p)
+    // resolve globs and directories to a concrete first file to peek at —
+    // every other Spark read accepts them, so this path must too
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val firstFile = matched.iterator.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).iterator
+          .filter(c => c.isFile && !c.getPath.getName.startsWith("_") && !c.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      else Iterator(st.getPath)
+    }.toSeq.headOption
+    if (firstFile.isEmpty) return false
+    val in = fs.open(firstFile.get)
     try {
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
       val first = reader.readLine()
@@ -98,7 +109,6 @@ object StacJsonReader {
   /** Split a whole-file JSON doc into item strings: JSON array, GeoJSON
     * FeatureCollection (`features`), or a single item. */
   private def splitItems(content: String): Iterator[String] = {
-    val mapper = new ObjectMapper()
     val node = mapper.readTree(content)
     val items =
       if (node.isArray) (0 until node.size()).iterator.map(node.get)
@@ -113,7 +123,8 @@ object StacJsonReader {
     * and every `assets.*.proj:geometry` GeoJSON object to hex ISO WKB, so
     * JSON inference sees uniform strings (`_batch.py:89-118`). */
   def geometryToWkbHex(itemJson: String): String = {
-    val mapper = new ObjectMapper()
+    // the shared @transient lazy mapper re-initializes once per executor
+    // JVM; constructing an ObjectMapper per row dominates the codec cost
     val node = mapper.readTree(itemJson).asInstanceOf[ObjectNode]
     val hex = java.util.HexFormat.of()
     def convert(parent: ObjectNode, key: String): Unit = {

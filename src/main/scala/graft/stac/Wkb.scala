@@ -150,14 +150,19 @@ object Wkb {
     val order = bb.get()
     bb.order(if (order == 0) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
     var code = bb.getInt()
-    // tolerate EWKB flags on read (Z / M / embedded SRID)
+    // tolerate EWKB flags on read (Z / M / embedded SRID); M ordinates are
+    // consumed and dropped (GeoJSON positions carry no M)
     val ewkbZ = (code & 0x80000000) != 0
+    val ewkbM = (code & 0x40000000) != 0
     val ewkbSrid = (code & 0x20000000) != 0
     code &= 0x0fffffff
     if (ewkbSrid) bb.getInt() // skip SRID
     val isoZ = code >= 1000 && code < 2000
-    val baseCode = if (isoZ) code - 1000 else code
-    val hasZ = isoZ || ewkbZ
+    val isoM = code >= 2000 && code < 3000
+    val isoZM = code >= 3000 && code < 4000
+    val baseCode = code % 1000
+    val hasZ = isoZ || isoZM || ewkbZ
+    val hasM = isoM || isoZM || ewkbM
     val typ = CodeTypes.getOrElse(baseCode,
       throw new IllegalArgumentException(s"unknown WKB type code: $code"))
     val f = JsonNodeFactory.instance
@@ -169,15 +174,15 @@ object Wkb {
         val geoms = f.arrayNode()
         (0 until n).foreach(_ => geoms.add(readGeometry(bb)))
         obj.set("geometries", geoms)
-      case "Point" => obj.set("coordinates", readPosition(bb, hasZ, f))
-      case "LineString" | "MultiPoint" => obj.set("coordinates", readPointSeq(bb, hasZ, f))
-      case "Polygon" => obj.set("coordinates", readRings(bb, hasZ, f))
+      case "Point" => obj.set("coordinates", readPosition(bb, hasZ, hasM, f))
+      case "LineString" | "MultiPoint" => obj.set("coordinates", readPointSeq(bb, hasZ, hasM, f))
+      case "Polygon" => obj.set("coordinates", readRings(bb, hasZ, hasM, f))
       case "MultiLineString" =>
         val n = bb.getInt()
         val arr = f.arrayNode()
         (0 until n).foreach { _ =>
           skipHeader(bb)
-          arr.add(readPointSeq(bb, hasZ, f))
+          arr.add(readPointSeq(bb, hasZ, hasM, f))
         }
         obj.set("coordinates", arr)
       case "MultiPolygon" =>
@@ -185,7 +190,7 @@ object Wkb {
         val arr = f.arrayNode()
         (0 until n).foreach { _ =>
           skipHeader(bb)
-          arr.add(readRings(bb, hasZ, f))
+          arr.add(readRings(bb, hasZ, hasM, f))
         }
         obj.set("coordinates", arr)
     }
@@ -198,24 +203,25 @@ object Wkb {
     bb.getInt()
   }
 
-  private def readPosition(bb: ByteBuffer, hasZ: Boolean, f: JsonNodeFactory): ArrayNode = {
+  private def readPosition(bb: ByteBuffer, hasZ: Boolean, hasM: Boolean, f: JsonNodeFactory): ArrayNode = {
     val arr = f.arrayNode()
     arr.add(bb.getDouble()); arr.add(bb.getDouble())
     if (hasZ) arr.add(bb.getDouble())
+    if (hasM) bb.getDouble() // M is not representable in GeoJSON — dropped
     arr
   }
 
-  private def readPointSeq(bb: ByteBuffer, hasZ: Boolean, f: JsonNodeFactory): ArrayNode = {
+  private def readPointSeq(bb: ByteBuffer, hasZ: Boolean, hasM: Boolean, f: JsonNodeFactory): ArrayNode = {
     val n = bb.getInt()
     val arr = f.arrayNode()
-    (0 until n).foreach(_ => arr.add(readPosition(bb, hasZ, f)))
+    (0 until n).foreach(_ => arr.add(readPosition(bb, hasZ, hasM, f)))
     arr
   }
 
-  private def readRings(bb: ByteBuffer, hasZ: Boolean, f: JsonNodeFactory): ArrayNode = {
+  private def readRings(bb: ByteBuffer, hasZ: Boolean, hasM: Boolean, f: JsonNodeFactory): ArrayNode = {
     val n = bb.getInt()
     val arr = f.arrayNode()
-    (0 until n).foreach(_ => arr.add(readPointSeq(bb, hasZ, f)))
+    (0 until n).foreach(_ => arr.add(readPointSeq(bb, hasZ, hasM, f)))
     arr
   }
 

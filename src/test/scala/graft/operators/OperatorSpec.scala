@@ -30,6 +30,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == 9L)
   }
 
+  test("AsofJoin: right rows attach wholesale — no cross-row stitching through nulls") {
+    val left = Seq((1L, 3L)).toDF("k", "t")
+    val right = Seq(
+      (1L, 1L, Option(10L), Option.empty[Long]), // r1: a=10, b=null
+      (1L, 2L, Option.empty[Long], Option(20L))  // r2: a=null, b=20 (latest)
+    ).toDF("k", "rt", "a", "b")
+    val row = AsofJoin(left, right, "k", "t", "rt", Seq("a", "b"))
+      .select("asof_a", "asof_b").head()
+    // the matched row is r2 as a whole: a must be null, not r1's 10
+    assert(row.isNullAt(0) && row.getLong(1) == 20L)
+  }
+
+  test("ConnectedComponents: empty edge list yields empty labels, no NPE") {
+    val edges = Seq((1L, 2L)).toDF("a", "b").filter(col("a") > 100)
+    assert(ConnectedComponents.run(edges).count() == 0)
+  }
+
   test("RangeJoin: boundary semantics — lo inclusive, hi exclusive, bucket-edge intervals") {
     val points = Seq((1L, 0L, "at-lo"), (1L, 9L, "inside"), (1L, 10L, "at-hi"),
       (1L, 20L, "beyond"), (2L, 5L, "other-key")).toDF("k", "t", "name")

@@ -71,4 +71,23 @@ class StacApiSpec extends AnyFunSuite {
     assert(Stac.DefaultJsonChunkSize == 65536)
     assert(Stac.SupportedParquetSchemaVersions == Seq("1.0.0", "1.1.0"))
   }
+
+  test("directory and glob inputs work like any other Spark read") {
+    val dir = java.nio.file.Files.createTempDirectory("stacdir")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), dir.resolve("naip.json"))
+    val fromDir = Stac.parseStacNdjsonToArrow(spark, Seq(dir.toString))
+    val fromGlob = Stac.parseStacNdjsonToArrow(spark, Seq(s"$dir/*.json"))
+    assert(fromDir.count() == 4 && fromGlob.count() == 4)
+  }
+
+  test("ndjson output keeps UTC wall clock in a non-UTC session") {
+    val ny = spark.newSession()
+    ny.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val item =
+      """{"id":"tz","geometry":{"type":"Point","coordinates":[0.0,0.0]},
+        |"assets":{},"properties":{"datetime":"2020-06-01T12:30:00Z"}}""".stripMargin.replace("\n", "")
+    val df = Stac.parseStacItemsToArrow(ny, Seq(item))
+    val out = mapper.readTree(Stac.stacTableToItems(df).next())
+    assert(out.get("properties").get("datetime").asText() == "2020-06-01T12:30:00.000000Z")
+  }
 }

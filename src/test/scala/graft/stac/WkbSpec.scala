@@ -57,6 +57,26 @@ class WkbSpec extends AnyFunSuite {
     assert(b._1 > 32 && b._3 < 37 && b._2 > 71 && b._4 < 73) // Sentinel-2 tile over 72N
   }
 
+  test("M ordinates (ISO 2000+/3000+ and EWKB 0x40000000) are consumed and dropped") {
+    def le(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def i32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def f64(v: Double) = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+    // ISO XYM LineString (code 2002), 2 points: (1,2,M=99), (3,4,M=98)
+    val xym = le(Array(1.toByte), i32(2002), i32(2),
+      f64(1), f64(2), f64(99), f64(3), f64(4), f64(98))
+    val n1 = Wkb.wkbToNode(xym)
+    assert(n1.get("type").asText == "LineString")
+    assert(n1.get("coordinates").toString == "[[1.0,2.0],[3.0,4.0]]")
+    // ISO XYZM Point (code 3001): z kept, M dropped
+    val xyzm = le(Array(1.toByte), i32(3001), f64(1), f64(2), f64(5), f64(99))
+    assert(Wkb.wkbToNode(xyzm).get("coordinates").toString == "[1.0,2.0,5.0]")
+    // EWKB M-flagged Point (0x40000000 | 1)
+    val ewkbM = le(Array(1.toByte), i32(0x40000001), f64(7), f64(8), f64(99))
+    assert(Wkb.wkbToNode(ewkbM).get("coordinates").toString == "[7.0,8.0]")
+  }
+
   test("bounds (G4)") {
     val wkb = Wkb.geoJsonToWkb("""{"type":"Polygon","coordinates":[[[-1.0,-2.0],[3.0,-2.0],[3.0,4.0],[-1.0,-2.0]]]}""")
     assert(Wkb.bounds(wkb).contains((-1.0, -2.0, 3.0, 4.0)))
