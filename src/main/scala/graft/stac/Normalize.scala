@@ -72,6 +72,10 @@ object Normalize {
     df.schema.fields.find(_.name == "bbox") match {
       case Some(StructField(_, ArrayType(_, _), _, _)) =>
         val dims = bboxDims.getOrElse {
+          // the probe is an action — impossible on a streaming frame
+          require(!df.isStreaming,
+            "bbox dimensionality cannot be probed on a streaming DataFrame; " +
+              "pass bboxDims explicitly (StacStream.inferIngestSpec derives it from a sample)")
           val probe = df.agg(
             max(size(col("bbox"))).as("mx"),
             min(size(col("bbox"))).as("mn")).head()
