@@ -46,7 +46,9 @@ object AsofJoin {
       .select(Seq(col(key), col(t), col(side)) ++
         leftCols.filterNot(_ == key).map(c => col(c)) :+
         lit(null).cast(payType).as(pay): _*)
-    val rTagged = right
+    // null-timed right rows can never satisfy rightTime <= leftTime, and
+    // under nulls-first ordering their payload would leak into every match
+    val rTagged = right.filter(col(rightTime).isNotNull)
       .withColumn(t, col(rightTime)).withColumn(side, lit(0))
       .select(Seq(col(key), col(t), col(side)) ++
         leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+

@@ -44,12 +44,16 @@ object GeoParquetWriter {
     val fs = p.getFileSystem(hconf)
     // recursive: partitionBy layouts (K6's per-collection dirs) nest part
     // files under partition subdirectories
+    val base = p.toUri.getPath
     val it = fs.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
       val f = it.next().getPath
-      if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-        buf += f.toString
+      // Spark hiddenFileFilter semantics on the whole relative path: skip
+      // anything under _temporary/.staging dirs, not just hidden leaf names
+      val rel = f.toUri.getPath.stripPrefix(base).split('/').filter(_.nonEmpty)
+      val hidden = rel.exists(c => c.startsWith("_") || c.startsWith("."))
+      if (f.getName.endsWith(".parquet") && !hidden) buf += f.toString
     }
     val parts = buf.toIndexedSeq
     if (parts.size <= 8) parts.foreach(f => rewriteWithMetadata(new Configuration(hconf), f, kv))

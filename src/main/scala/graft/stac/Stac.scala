@@ -26,19 +26,9 @@ object Stac {
   /** `parse_stac_items_to_arrow` (`_api.py:65-155`): in-memory items →
     * spec-shape DataFrame. */
   def parseStacItemsToArrow(spark: SparkSession, items: Seq[String],
-                            strategy: StacJsonReader.SchemaStrategy = StacJsonReader.InferFull): DataFrame = {
-    val ds: Dataset[String] = spark.createDataset(items)(Encoders.STRING)
-      .map(StacJsonReader.geometryToWkbHex)(Encoders.STRING)
-    val raw = strategy match {
-      case StacJsonReader.Explicit(s) => spark.read.schema(s).json(ds)
-      case StacJsonReader.InferFull => spark.read.json(ds)
-      case StacJsonReader.InferSample(n) =>
-        val sample = spark.createDataset(ds.take(n).toSeq)(Encoders.STRING)
-        spark.read.schema(spark.read.json(sample).schema)
-          .option("mode", "FAILFAST").json(ds)
-    }
-    Normalize(StacJsonReader.hexGeometryToBinary(raw))
-  }
+                            strategy: StacJsonReader.SchemaStrategy = StacJsonReader.InferFull): DataFrame =
+    Normalize(StacJsonReader.readItemDataset(
+      spark, spark.createDataset(items)(Encoders.STRING), strategy))
 
   /** `parse_stac_ndjson_to_arrow` (`_api.py:219-278`): files (ndjson /
     * JSON array / FeatureCollection, autodetected) → spec-shape DataFrame. */
@@ -89,17 +79,30 @@ object Stac {
   def toGeoDataFrame(spark: SparkSession, items: Seq[String],
                      addSelfLink: Boolean = false): DataFrame = {
     val df = parseStacItemsToArrow(spark, items)
-    if (!addSelfLink) df
-    else df.withColumn("self_link", selfHref(col("links")))
+    if (!addSelfLink) df else withSelfLink(df)
   }
 
-  /** First link with rel=self, JSON-ish type, per F4. */
-  def selfHref(links: Column): Column =
-    element_at(
-      filter(links, l => l.getField("rel") === "self" &&
-        coalesce(l.getField("type"), lit(""))
-          .isin("application/json", "application/geo+json", "")),
-      1).getField("href")
+  /** Add the F4 self-href column, schema-aware: links structs in the wild
+    * omit `type` (the reference reads it with dict.get), and items may
+    * carry no links column at all — both yield a null href, not an
+    * analysis error. */
+  def withSelfLink(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    df.schema.fields.find(_.name == "links").map(_.dataType) match {
+      case Some(ArrayType(st: StructType, _)) =>
+        def fld(l: Column, n: String): Column =
+          if (st.fieldNames.contains(n)) l.getField(n) else lit(null).cast("string")
+        val matching = filter(col("links"), l =>
+          fld(l, "rel") === "self" &&
+            coalesce(fld(l, "type"), lit(""))
+              .isin("application/json", "application/geo+json", ""))
+        val href =
+          if (st.fieldNames.contains("href")) element_at(matching, 1).getField("href")
+          else lit(null).cast("string")
+        df.withColumn("self_link", href)
+      case _ => df.withColumn("self_link", lit(null).cast("string"))
+    }
+  }
 
   /** Legacy `to_dict` / `to_item_collection` (`stac_geoparquet.py:200-269`):
     * row pivots — same streaming pivot as [[stacTableToItems]]. */

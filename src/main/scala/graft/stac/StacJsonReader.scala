@@ -59,8 +59,19 @@ object StacJsonReader {
 
   /** Full read: items → JSON-shape DataFrame with binary geometry. */
   def read(spark: SparkSession, paths: Seq[String],
-           strategy: SchemaStrategy = InferFull): DataFrame = {
-    val items = readItemStrings(spark, paths)
+           strategy: SchemaStrategy = InferFull): DataFrame =
+    readCoded(spark, readItemStrings(spark, paths), strategy)
+
+  /** S3 for in-memory items: raw item-JSON strings → JSON-shape DataFrame
+    * (the codec is applied here — pass strings WITHOUT WKB hex). */
+  def readItemDataset(spark: SparkSession, items: Dataset[String],
+                      strategy: SchemaStrategy = InferFull): DataFrame =
+    readCoded(spark, items.map(geometryToWkbHex)(items.encoder), strategy)
+
+  /** One strategy dispatch shared by every entry point (file, in-memory,
+    * facade) — `items` must already be WKB-hex-coded. */
+  private def readCoded(spark: SparkSession, items: Dataset[String],
+                        strategy: SchemaStrategy): DataFrame = {
     val raw = strategy match {
       case Explicit(s) => spark.read.schema(s).json(items)
       case InferFull => spark.read.json(items)

@@ -30,15 +30,17 @@ object StacStream {
     * streaming normalize cannot probe dimensionality itself (it would be
     * an action on an unbounded frame). */
   def inferIngestSpec(spark: SparkSession, samplePaths: Seq[String]): (StructType, Option[Int]) = {
+    import org.apache.spark.sql.functions.{col, max, min, size}
     val sample = StacJsonReader.read(spark, samplePaths)
     val dims =
       if (!sample.columns.contains("bbox")) None
       else {
-        val probe = sample.agg(
-          org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.size(
-              org.apache.spark.sql.functions.col("bbox")))).head()
-        if (probe.isNullAt(0)) None else Some(probe.getInt(0))
+        val probe = sample.agg(max(size(col("bbox"))).as("mx"), min(size(col("bbox"))).as("mn")).head()
+        if (probe.isNullAt(0)) None
+        else if (probe.getInt(0) != probe.getInt(1))
+          throw new IllegalArgumentException(
+            s"Mixed 2d-3d bounding boxes not yet supported (sizes ${probe.getInt(1)}..${probe.getInt(0)})")
+        else Some(probe.getInt(0))
       }
     (sample.schema, dims)
   }
@@ -54,10 +56,14 @@ object StacStream {
       .filter((l: String) => l.trim.nonEmpty)
       .map(StacJsonReader.geometryToWkbHex)(Encoders.STRING)
     // from_json with the hex-geometry schema (strings), then binary + P1-P4
+    // FAILFAST keeps the batch InferSample guarantee (InferSampleSpec):
+    // a line conflicting with the pinned schema fails the batch instead of
+    // silently writing a row of nulls into the exactly-once sink
     val parsed = raw.select(
       org.apache.spark.sql.functions.from_json(
         org.apache.spark.sql.functions.col("value"),
-        hexShape(jsonShapeSchema)).as("item"))
+        hexShape(jsonShapeSchema),
+        Map("mode" -> "FAILFAST")).as("item"))
       .select("item.*")
     val normalized = Normalize(StacJsonReader.hexGeometryToBinary(parsed), bboxDims = bboxDims)
     normalized.writeStream

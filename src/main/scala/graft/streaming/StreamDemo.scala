@@ -26,7 +26,7 @@ object StreamDemo {
       .getOrCreate()
     try {
       if (stacMode) {
-        val sample = new java.io.File(src).listFiles()
+        val sample = Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
           .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getPath).take(1)
         require(sample.nonEmpty, s"no sample file in $src to infer the item schema from")
         val (schema, bboxDims) = StacStream.inferIngestSpec(spark, sample.toSeq)

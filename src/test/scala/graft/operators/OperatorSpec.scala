@@ -42,6 +42,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(row.isNullAt(0) && row.getLong(1) == 20L)
   }
 
+  test("AsofJoin: null-timed right rows never match") {
+    val left = Seq((1L, 5L)).toDF("k", "t")
+    val right = Seq((1L, Option.empty[Long], "ghost")).toDF("k", "rt", "v")
+    assert(AsofJoin(left, right, "k", "t", "rt", Seq("v")).select("asof_v").head().isNullAt(0))
+  }
+
   test("ConnectedComponents: empty edge list yields empty labels, no NPE") {
     val edges = Seq((1L, 2L)).toDF("a", "b").filter(col("a") > 100)
     assert(ConnectedComponents.run(edges).count() == 0)

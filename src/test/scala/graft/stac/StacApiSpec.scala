@@ -72,6 +72,20 @@ class StacApiSpec extends AnyFunSuite {
     assert(Stac.SupportedParquetSchemaVersions == Seq("1.0.0", "1.1.0"))
   }
 
+  test("addSelfLink tolerates links without a type field and items without links") {
+    val noType =
+      """{"id":"nt","geometry":{"type":"Point","coordinates":[0.0,0.0]},
+        |"links":[{"rel":"self","href":"https://r/items/nt"}],
+        |"assets":{},"properties":{"datetime":"2024-01-01T00:00:00Z"}}""".stripMargin.replace("\n", "")
+    val df1 = Stac.toGeoDataFrame(spark, Seq(noType), addSelfLink = true)
+    assert(df1.select("self_link").head().getString(0) == "https://r/items/nt")
+    val noLinks =
+      """{"id":"nl","geometry":{"type":"Point","coordinates":[0.0,0.0]},
+        |"assets":{},"properties":{"datetime":"2024-01-01T00:00:00Z"}}""".stripMargin.replace("\n", "")
+    val df2 = Stac.toGeoDataFrame(spark, Seq(noLinks), addSelfLink = true)
+    assert(df2.select("self_link").head().isNullAt(0))
+  }
+
   test("directory and glob inputs work like any other Spark read") {
     val dir = java.nio.file.Files.createTempDirectory("stacdir")
     java.nio.file.Files.copy(java.nio.file.Paths.get(fixture), dir.resolve("naip.json"))

@@ -19,6 +19,33 @@ class StacStreamSpec extends AnyFunSuite {
       s""""properties":{"datetime":"2024-03-0${1 + id % 9}T00:00:00Z","gsd":10}}"""
   }
 
+  test("a line conflicting with the pinned schema fails the batch (FAILFAST), no silent nulls") {
+    val src = java.nio.file.Files.createTempDirectory("ss-bad")
+    val out = java.nio.file.Files.createTempDirectory("ss-badout").toString + "/items"
+    val ckpt = java.nio.file.Files.createTempDirectory("ss-badckpt").toString
+    java.nio.file.Files.write(src.resolve("a.ndjson"), itemLine(0).getBytes("UTF-8"))
+    val (schema, dims) = StacStream.inferIngestSpec(spark, Seq(src.resolve("a.ndjson").toString))
+    java.nio.file.Files.write(src.resolve("bad.ndjson"),
+      """{"id":"b","geometry":{"type":"Point","coordinates":[0.0,0.0]},"bbox":[0.0,0.0,0.0,0.0],"assets":{},"properties":{"datetime":"2024-01-01T00:00:00Z","gsd":"oops"}}""".getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StacStream.ingest(spark, src.toString, out, ckpt, schema, dims).awaitTermination()
+    }
+    assert(e.getMessage.contains("MALFORMED") || e.getMessage.contains("FAILFAST")
+      || Option(e.getCause).exists(c => c.toString.contains("MALFORMED") || c.toString.contains("FAILFAST")))
+  }
+
+  test("inferIngestSpec rejects mixed 2-D/3-D bboxes") {
+    val src = java.nio.file.Files.createTempDirectory("ss-mix")
+    java.nio.file.Files.write(src.resolve("a.ndjson"),
+      (Seq(itemLine(1)) :+
+        """{"id":"z","geometry":{"type":"Point","coordinates":[0.0,0.0,1.0]},"bbox":[0.0,0.0,1.0,0.0,0.0,1.0],"assets":{},"properties":{"datetime":"2024-01-01T00:00:00Z","gsd":10}}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      StacStream.inferIngestSpec(spark, Seq(src.resolve("a.ndjson").toString))
+    }
+    assert(e.getMessage.contains("Mixed 2d-3d"))
+  }
+
   test("incremental streaming ingest normalizes new files exactly once") {
     val src = java.nio.file.Files.createTempDirectory("ss-src")
     val out = java.nio.file.Files.createTempDirectory("ss-out").toString + "/items"
