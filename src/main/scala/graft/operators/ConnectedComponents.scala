@@ -37,7 +37,9 @@ object ConnectedComponents {
     var iter = 0
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
+    // sentinel: the first iteration must run regardless, so don't pay a
+    // separate job just to materialize the starting sum
+    var prevSum = -1L
 
     while (!converged && iter < maxIter) {
       val prop = und.join(labels.withColumnRenamed("id", "y"), "y")
