@@ -46,7 +46,7 @@ object DedupOps {
         posexplode(graft.functions.TextFunctions.minhashSig(col("g"), nSeeds)).as(Seq("seed", "mhv")))
 
   /** Shared CTE: LSH candidates verified with exact n-gram Jaccard (`jp`). */
-  private def pairsCte: String = s"""
+  private[queries] def pairsCte: String = s"""
     sg AS (SELECT doc_id,
                   list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
                                  for i in generate_series(1, len(ws)-2)]) AS g
@@ -65,7 +65,7 @@ object DedupOps {
            JOIN sg gb ON gb.doc_id = c.doc_b)"""
 
   /** Spark side of `jp`: (doc_a, doc_b, jaccard) candidate pairs. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val mh = minhashes(s, dir)
     val a = mh.select(col("seed"), col("mhv"), col("doc_id").as("doc_a"))
     val b = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"), col("doc_id").as("doc_b"))

@@ -25,9 +25,9 @@ object SimilarityOps {
   def norm(a: Column): Column = sqrt(dotd(a, a))
 
   /** DuckDB mirror of dotd/norm (identical fold order). */
-  private def dotSql(a: String, b: String) =
+  private[queries] def dotSql(a: String, b: String) =
     s"list_sum([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1, len($a))])"
-  private def normSql(a: String) =
+  private[queries] def normSql(a: String) =
     s"sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in $a]))"
 
   /** Sign-bit LSH bucket from the first `bits` dimensions (axis-aligned
@@ -215,6 +215,36 @@ object SimilarityOps {
           .filter(col("rank") <= 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
           .orderBy(col("query_id"), col("rank"))
+      }),
+
+    // ----- cross-modal validation: text near-dup pairs scored by embedding
+    // cosine (documents.doc_id ≡ embeddings.vec_id in the corpus) — the
+    // realistic dedup-pipeline check that a textual candidate pair is also
+    // semantically close. Reuses the MinHash+Jaccard pair derivation and a
+    // broadcast-able embeddings lookup. -----
+    QuerySpec(
+      "s05_text_embedding_crosscheck",
+      Some(s"""
+        WITH ${graft.queries.DedupOps.pairsCte},
+             n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
+        SELECT jp.doc_a, jp.doc_b,
+               round(jp.jaccard, 9) AS jaccard,
+               round(${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm), 9) AS cos
+        FROM jp
+        JOIN n a ON a.vec_id = jp.doc_a
+        JOIN n b ON b.vec_id = jp.doc_b
+        ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val pairs = graft.queries.DedupOps.jaccardPairs(s, dir)
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("doc_a"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("doc_b"), col("embedding").as("eb"), col("nrm").as("nb"))
+        pairs.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jaccard"), 9).as("jaccard"),
+            round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 9).as("cos"))
+          .orderBy(col("doc_a"), col("doc_b"))
       })
   )
 }

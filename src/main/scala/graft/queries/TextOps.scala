@@ -171,6 +171,52 @@ object TextOps {
             col("st.min_fp").as("min_fp"),
             col("st.n_distinct").as("n_distinct"))
           .orderBy(col("doc_id"))
+      }),
+
+    // TF-IDF-style term scoring with an exact-rational idf surrogate:
+    // score = tf · (2(N−df)+1)/(2df+1) — the Robertson–Sparck-Jones weight
+    // shape without ln(), so numerator/denominator are exact integers and
+    // the single double division is bit-identical in Spark and DuckDB.
+    // Top-3 terms per document. Scale shape: one explode + two
+    // hash-aggregates (tf, df) + a broadcast-able df join + per-doc top-k.
+    QuerySpec(
+      "t07_tfidf_topterms",
+      Some("""
+        WITH N AS (SELECT count(*) AS n FROM documents),
+             tf AS (SELECT doc_id, w AS term, count(*) AS tf
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+                    GROUP BY 1, 2),
+             df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf)
+                    GROUP BY 1),
+             scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                               CAST(tf.tf * (2*((SELECT n FROM N) - df.df) + 1) AS DOUBLE)
+                                 / (2*df.df + 1) AS score
+                        FROM tf JOIN df ON tf.term = df.term),
+             rk AS (SELECT doc_id, term, tf, df, score,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY score DESC, term ASC) AS rank
+                    FROM scored)
+        SELECT doc_id, rank, term, tf, df, round(score, 9) AS score
+        FROM rk WHERE rank <= 3
+        ORDER BY doc_id, rank"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.t(s, dir, "documents")
+        val n = docs.count() // tiny driver-side scalar, same as the oracle's (SELECT n)
+        val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = tf.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df, "term")
+          .withColumn("score",
+            (col("tf") * (lit(2L) * (lit(n) - col("df")) + 1)).cast("double") / (col("df") * 2 + 1))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+            round(col("score"), 9).as("score"))
+          .orderBy(col("doc_id"), col("rank"))
       })
   )
 }
