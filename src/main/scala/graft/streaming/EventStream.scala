@@ -28,6 +28,33 @@ object EventStream {
     spark.readStream.schema(eventsSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Sliding-window aggregation: 1-hour windows every 30 minutes — each
+    * event lands in two windows (vs one in the tumbling form below). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Stream-stream interval join: clicks joined to the same user's
+    * purchases within 10 minutes after the purchase. Both sides carry
+    * watermarks, so the join state is bounded — Spark drops buffered rows
+    * once they age past watermark + interval (late-data handling built in). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+      .withWatermark("pts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("c_user_id") &&
+        col("cts") >= col("pts") &&
+        col("cts") < col("pts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"))
+  }
+
   /** Watermarked tumbling-window aggregation (count + exact cent sum). */
   def hourlyAgg(events: DataFrame): DataFrame =
     events

@@ -71,6 +71,38 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding windows put each event in exactly two windows") {
+    val dir = java.nio.file.Files.createTempDirectory("evslide")
+    stageEvents(dir)
+    val q = EventStream.slidingAgg(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val slidingTotal = spark.table("sliding").agg(sum("n")).head().getLong(0)
+    val events = spark.read.parquet(s"$dir/events_1.parquet").count()
+    assert(slidingTotal == 2 * events, s"each event should land in 2 windows: $slidingTotal vs $events")
+  }
+
+  test("stream-stream interval join matches the equivalent batch range join") {
+    val dir = java.nio.file.Files.createTempDirectory("evssj")
+    stageEvents(dir)
+    val q = EventStream.purchaseClickJoin(EventStream.readEvents(spark, dir.toString))
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssj").count()
+    val ev = spark.read.parquet(s"$dir/events_1.parquet")
+      .withColumn("us", expr("ts div 1000"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("lo"),
+        (col("us") + 600000000L).as("hi"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("us"))
+    val batch = p.join(c, col("user_id") === col("cu") &&
+      col("us") >= col("lo") && col("us") < col("hi")).count()
+    assert(streamed == batch, s"stream-stream join $streamed vs batch $batch")
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch aggregate") {
     val dir = java.nio.file.Files.createTempDirectory("evstate")
     stageEvents(dir)
