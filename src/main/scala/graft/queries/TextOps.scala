@@ -186,8 +186,7 @@ object TextOps {
              tf AS (SELECT doc_id, w AS term, count(*) AS tf
                     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
                     GROUP BY 1, 2),
-             df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf)
-                    GROUP BY 1),
+             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
              scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
                                CAST(tf.tf * (2*((SELECT n FROM N) - df.df) + 1) AS DOUBLE)
                                  / (2*df.df + 1) AS score
@@ -205,8 +204,9 @@ object TextOps {
         val n = docs.count() // tiny driver-side scalar, same as the oracle's (SELECT n)
         val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-        val df = tf.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // tf rows are already unique per (doc_id, term) — counting them per
+        // term IS the document frequency, no distinct pass needed
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term").asc)
         tf.join(df, "term")
