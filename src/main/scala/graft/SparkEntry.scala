@@ -12,7 +12,8 @@ object SparkEntry {
       _root_.graft.queries.DedupOps.specs ++
       _root_.graft.queries.SimilarityOps.specs ++
       _root_.graft.queries.StacOps.specs ++
-      _root_.graft.queries.MultimodalOps.specs
+      _root_.graft.queries.MultimodalOps.specs ++
+      _root_.graft.queries.StreamingOps.specs
 
   /** Flagship: the full STAC ingest pipeline (G1 → inference → P1-P4) on
     * sf0.001; driver smoke-checks rows>0. */
