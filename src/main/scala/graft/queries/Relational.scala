@@ -487,6 +487,32 @@ object Relational {
           .groupBy(col("purchase_id"))
           .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click"))
           .orderBy(col("purchase_id"))
+      }),
+
+    // ----- salted skew join OPERATOR (graft.operators.SkewJoin) -----
+    // events.user_id has ~670 rows/key at sf0.1 (150 users, 100k events) —
+    // the hot-key shape. The salted join spreads each key over 8 reducers;
+    // the result is row-identical to the plain join, which is exactly what
+    // the oracle computes.
+    QuerySpec(
+      "q19_skew_join",
+      Some("""
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(e.value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+        ORDER BY 1"""),
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"), col("value"))
+        val c = Tables.t(s, dir, "customer")
+          .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        graft.operators.SkewJoin.saltedEquiJoin(e, c, "user_id", salts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(cents(col("value"))).as("value_cents"))
+          .select(col("c_mktsegment").as("segment"), col("n_events"), col("value_cents"))
+          .orderBy(col("segment"))
       })
   )
 }

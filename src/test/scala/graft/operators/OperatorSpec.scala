@@ -64,6 +64,17 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("SkewJoin: salted join is row-identical to the plain equi-join") {
+    val large = (0L until 1000L).map(i => (i % 3, i)).toDF("k", "v") // 3 hot keys
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "never")).toDF("k", "name")
+    val salted = SkewJoin.saltedEquiJoin(large, small, "k", salts = 8)
+      .orderBy("k", "v").collect().toSeq
+    val plain = large.join(small, "k")
+      .orderBy("k", "v").collect().toSeq
+    assert(salted == plain)
+    assert(salted.length == 1000) // key 9 never matches
+  }
+
   test("RangeJoin: an interval spanning many buckets still matches every point once") {
     val points = (0L until 50L).map(t => (1L, t, t)).toDF("k", "t", "id")
     val intervals = Seq((1L, 5L, 45L, "wide")).toDF("k", "lo", "hi", "nm")
