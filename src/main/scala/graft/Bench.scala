@@ -32,10 +32,10 @@ object Bench {
       .groupBy("r_regionkey").count()
       .write.format("noop").mode("overwrite").save()
 
-    // streaming gate queries (st*) prove batch-exactness in Verify; their
-    // wall time is micro-batch/state-store machinery, not analytic
-    // throughput, so they are not part of the timed headline set
-    val results = SparkEntry.specs.filterNot(_.name.startsWith("st0")).map { spec =>
+    // non-timed specs (streaming jobs that execute inside run()) prove
+    // batch-exactness in Verify; their wall time is micro-batch machinery,
+    // not analytic throughput
+    val results = SparkEntry.specs.filter(_.timed).map { spec =>
       val t0 = System.nanoTime()
       try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

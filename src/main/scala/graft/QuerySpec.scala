@@ -12,10 +12,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - ratios are a SINGLE double division of two exact integers;
   *   - timestamps in output are formatted to strings.
   */
+/** @param timed false for specs whose run function executes a job itself
+  *              (e.g. a streaming query materialized to a sink) — they stay
+  *              in the correctness gate but are excluded from Bench timing
+  *              and PlanDump (their returned frame is the already-computed
+  *              result, not the pipeline). */
 final case class QuerySpec(
     name: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    timed: Boolean = true)
 
 object Tables {
   val all: Seq[String] = Seq(

@@ -26,19 +26,26 @@ object StreamingOps {
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
       (s, dir) => {
-        // stage the events file as a streaming source dir
+        // stage the events file as a streaming source dir (cleaned on exit)
         val src = java.nio.file.Files.createTempDirectory("st01src")
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"), src.resolve("events.parquet"))
+        val staged = src.resolve("events.parquet")
+        src.toFile.deleteOnExit(); staged.toFile.deleteOnExit()
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
         val name = s"st01_${System.nanoTime()}"
         val q = EventStream.hourlyAgg(EventStream.readEvents(s, src.toString))
           .writeStream.format("memory").queryName(name)
           .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        // bounded wait: a wedged micro-batch fails this query like any
+        // other gate error instead of hanging the whole Verify run
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new RuntimeException("st01 streaming job did not finish within 300s")
+        }
         s.table(name)
           .select(date_format(col("hour"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("hour"),
             col("event_type"), col("n"), col("total_value"))
           .orderBy(col("hour"), col("event_type"))
-      })
+      },
+      timed = false)
   )
 }

@@ -22,7 +22,7 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val pw = new PrintWriter(new File(out))
     try {
-      SparkEntry.specs.foreach { spec =>
+      SparkEntry.specs.filter(_.timed).foreach { spec =>
         pw.println(s"===== ${spec.name} =====")
         try {
           val df = spec.run(spark, dir)

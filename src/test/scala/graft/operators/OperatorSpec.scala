@@ -75,6 +75,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(salted.length == 1000) // key 9 never matches
   }
 
+  test("SkewJoin: duplicate hot-key rows keep full multiplicity (and still spread)") {
+    // every row of the hot key is byte-identical — a whole-row-hash salt
+    // would collapse them onto one reducer; result multiplicity must hold
+    val large = Seq.fill(500)((1L, "same")).toDF("k", "payload")
+    val small = Seq((1L, "dim")).toDF("k", "name")
+    assert(SkewJoin.saltedEquiJoin(large, small, "k", salts = 8).count() == 500)
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(large.withColumn("__salt", lit(0)), small, "k")
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
+
   test("RangeJoin: an interval spanning many buckets still matches every point once") {
     val points = (0L until 50L).map(t => (1L, t, t)).toDF("k", "t", "id")
     val intervals = Seq((1L, 5L, 45L, "wide")).toDF("k", "lo", "hi", "nm")
