@@ -24,17 +24,24 @@ object DeltaSink {
 
   /** Write a normalized STAC table as a Delta table with the geo metadata
     * as table properties. Requires delta-spark on the classpath and
-    * `spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension`. */
+    * `spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension`.
+    *
+    * Writer `.option(...)` calls are NOT persisted as table properties by
+    * Delta — the metadata is attached with `ALTER TABLE ... SET
+    * TBLPROPERTIES` on the path-based table after the write (custom,
+    * non-`delta.`-prefixed keys are allowed there). */
   def write(df: DataFrame, path: String,
             schemaVersion: String = StacSchema.DefaultGeoParquetVersion,
             mode: String = "error"): Unit = {
     require(available,
       "delta-spark is not on the classpath; add the delta-spark jars and set " +
         "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension")
-    df.write.format("delta")
-      .mode(mode)
-      .option("delta.geo", StacSchema.geoMetadata(schemaVersion))
-      .option("delta.stac-geoparquet", StacSchema.stacGeoParquetMetadata())
-      .save(path)
+    df.write.format("delta").mode(mode).save(path)
+    def q(s: String) = s.replace("'", "''")
+    df.sparkSession.sql(
+      s"""ALTER TABLE delta.`$path` SET TBLPROPERTIES (
+         |  'geo' = '${q(StacSchema.geoMetadata(schemaVersion))}',
+         |  'stac-geoparquet' = '${q(StacSchema.stacGeoParquetMetadata())}'
+         |)""".stripMargin)
   }
 }

@@ -44,6 +44,7 @@ object GeoParquetWriter {
     val fs = p.getFileSystem(hconf)
     // recursive: partitionBy layouts (K6's per-collection dirs) nest part
     // files under partition subdirectories
+    recoverOrphans(hconf, dir) // restore any crashed prior rewrite first
     val base = p.toUri.getPath
     val it = fs.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -74,7 +75,13 @@ object GeoParquetWriter {
   }
 
   /** Rewrite one parquet file with extra footer KV entries (row groups are
-    * byte-copied, statistics and encodings preserved). */
+    * byte-copied, statistics and encodings preserved).
+    *
+    * Crash safety: the original is renamed to a hidden `.geo.bak` (atomic)
+    * before the rewritten file takes its name, so no window exists where
+    * the data's only copy has been deleted. A crash mid-protocol leaves
+    * the hidden backup; [[recoverOrphans]] restores it on the next pass.
+    */
   def rewriteWithMetadata(conf: Configuration, file: String, kv: Map[String, String]): Unit = {
     val src = new Path(file)
     val fs = src.getFileSystem(conf)
@@ -93,8 +100,31 @@ object GeoParquetWriter {
     writer.start()
     writer.appendFile(inFile)
     writer.end((existing ++ kv).asJava)
-    if (!fs.delete(src, false) || !fs.rename(tmp, src))
+    val bak = new Path(src.getParent, s".${src.getName}.geo.bak")
+    if (!fs.rename(src, bak))
+      throw new java.io.IOException(s"footer rewrite: could not move $file aside")
+    if (!fs.rename(tmp, src)) {
+      fs.rename(bak, src) // restore; the original was never lost
       throw new java.io.IOException(s"footer rewrite failed for $file")
+    }
+    fs.delete(bak, false)
+  }
+
+  /** Restore any part file whose previous rewrite crashed between renames
+    * (hidden `.geo.bak` present): if the visible file is missing the
+    * backup IS the data; otherwise the rewrite completed and the backup
+    * is just leftover. */
+  def recoverOrphans(conf: Configuration, dir: String): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.startsWith(".") && f.getName.endsWith(".geo.bak")) {
+        val orig = new Path(f.getParent, f.getName.stripPrefix(".").stripSuffix(".geo.bak"))
+        if (!fs.exists(orig)) fs.rename(f, orig) else fs.delete(f, false)
+      }
+    }
   }
 
   /** Read back the KV metadata of one parquet file (test/verification aid). */

@@ -23,8 +23,11 @@ object Hydrate {
 
   val DoNotMergeMarker = "𒍟※"
 
+  // shared thread-safe mapper: per-row ObjectMapper construction would
+  // dominate the hydration cost (same reasoning as StacJsonReader)
+  @transient private lazy val mapper = new ObjectMapper()
+
   def hydrate(baseJson: String, itemJson: String): String = {
-    val mapper = new ObjectMapper()
     if (itemJson == null) return null
     if (baseJson == null) return itemJson
     val merged = merge(mapper.readTree(baseJson), mapper.readTree(itemJson), mapper)

@@ -76,15 +76,10 @@ object Normalize {
           require(!df.isStreaming,
             "bbox dimensionality cannot be probed on a streaming DataFrame; " +
               "pass bboxDims explicitly (StacStream.inferIngestSpec derives it from a sample)")
-          val probe = df.agg(
-            max(size(col("bbox"))).as("mx"),
-            min(size(col("bbox"))).as("mn")).head()
-          if (probe.isNullAt(0)) return df // bbox entirely null: leave as list
-          val (mx, mn) = (probe.getInt(0), probe.getInt(1))
-          if (mx != mn)
-            throw new IllegalArgumentException(
-              s"Mixed 2d-3d bounding boxes not yet supported (sizes $mn..$mx)")
-          mx
+          probeBboxDims(df) match {
+            case Some(d) => d
+            case None => return df // bbox entirely null: leave as list
+          }
         }
         val names =
           if (dims == 6) Seq("xmin", "ymin", "zmin", "xmax", "ymax", "zmax")
@@ -95,6 +90,23 @@ object Normalize {
         }: _*)
         df.withColumn("bbox", when(col("bbox").isNull, lit(null)).otherwise(st))
       case _ => df
+    }
+  }
+
+  /** Dimensionality of the list bbox over non-null rows, None when every
+    * bbox is null. `size()` runs only on non-null inputs so the result is
+    * identical under ANSI on or off (legacy mode returns -1 for
+    * size(null), which would poison a raw min/max probe). */
+  def probeBboxDims(df: DataFrame): Option[Int] = {
+    val sz = when(col("bbox").isNotNull, size(col("bbox")))
+    val probe = df.agg(max(sz).as("mx"), min(sz).as("mn")).head()
+    if (probe.isNullAt(0)) None
+    else {
+      val (mx, mn) = (probe.getInt(0), probe.getInt(1))
+      if (mx != mn)
+        throw new IllegalArgumentException(
+          s"Mixed 2d-3d bounding boxes not yet supported (sizes $mn..$mx)")
+      Some(mx)
     }
   }
 

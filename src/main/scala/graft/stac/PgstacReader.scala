@@ -31,10 +31,11 @@ object PgstacReader {
           JOIN items ON items.id = s.id""".stripMargin
     case None =>
       val base = "SELECT id, geometry, collection, datetime, end_datetime, content FROM items"
+      def q(s: String) = s.replace("'", "''")
       (collection, startDatetime, endDatetime) match {
         case (Some(c), Some(a), Some(b)) =>
-          s"$base WHERE collection = '$c' AND datetime >= '$a' AND datetime < '$b'"
-        case (Some(c), _, _) => s"$base WHERE collection = '$c'"
+          s"$base WHERE collection = '${q(c)}' AND datetime >= '${q(a)}' AND datetime < '${q(b)}'"
+        case (Some(c), _, _) => s"$base WHERE collection = '${q(c)}'"
         case _ => base
       }
   }

@@ -73,7 +73,14 @@ object StacJsonReader {
   private def readCoded(spark: SparkSession, items: Dataset[String],
                         strategy: SchemaStrategy): DataFrame = {
     val raw = strategy match {
-      case Explicit(s) => spark.read.schema(s).json(items)
+      case Explicit(s) =>
+        // FAILFAST: a row conflicting with the supplied schema must error
+        // (the reference raises on schema mismatch); PERMISSIVE would
+        // silently null the record. Binary geometry fields in a
+        // caller-supplied spec-shape schema read as hex STRINGS at this
+        // point (the codec already ran) — swap them so the JSON reader
+        // doesn't base64-mangle them; hexGeometryToBinary converts after.
+        spark.read.schema(binaryAsString(s)).option("mode", "FAILFAST").json(items)
       case InferFull => spark.read.json(items)
       case InferSample(n) =>
         val sample = spark.createDataset(items.take(n))(items.encoder)
@@ -106,9 +113,12 @@ object StacJsonReader {
     val in = fs.open(firstFile.get)
     try {
       val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
-      val first = reader.readLine()
+      // skip blank lines and a UTF-8 BOM when peeking — a leading blank
+      // line must not reroute a whole ndjson file (and lose its items)
+      var first = reader.readLine()
+      while (first != null && first.trim.isEmpty) first = reader.readLine()
       if (first == null) return false
-      val t = first.trim
+      val t = first.trim.stripPrefix("﻿")
       if (!t.startsWith("{")) return false
       try {
         val node = mapper.readTree(t)
@@ -117,17 +127,22 @@ object StacJsonReader {
     } finally in.close()
   }
 
-  /** Split a whole-file JSON doc into item strings: JSON array, GeoJSON
-    * FeatureCollection (`features`), or a single item. */
+  /** Split whole-file JSON content into item strings: JSON array, GeoJSON
+    * FeatureCollection (`features`), or one-or-more concatenated JSON
+    * documents (a misrouted ndjson file must yield every item, not just
+    * the first top-level value Jackson happens to parse). */
   private def splitItems(content: String): Iterator[String] = {
-    val node = mapper.readTree(content)
-    val items =
+    val parser = mapper.createParser(content)
+    val docs = Iterator.continually(parser.readValueAsTree[com.fasterxml.jackson.databind.JsonNode]())
+      .takeWhile(_ != null)
+      .toSeq
+    docs.iterator.flatMap { node =>
       if (node.isArray) (0 until node.size()).iterator.map(node.get)
       else if (node.has("features")) {
         val f = node.get("features")
         (0 until f.size()).iterator.map(f.get)
       } else Iterator(node)
-    items.map(mapper.writeValueAsString)
+    }.map(mapper.writeValueAsString)
   }
 
   /** G1 at the string level: convert `geometry`, `properties.proj:geometry`
@@ -161,11 +176,28 @@ object StacJsonReader {
     mapper.writeValueAsString(node)
   }
 
+  /** Every BinaryType leaf becomes StringType (the shape between the hex
+    * codec and [[hexGeometryToBinary]]). */
+  private def binaryAsString(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BinaryType => StringType
+      case s: StructType => StructType(s.fields.map(f => f.copy(dataType = binaryAsString(f.dataType))))
+      case ArrayType(e, n) => ArrayType(binaryAsString(e), n)
+      case other => other
+    }
+  }
+
+  private def binaryAsString(s: StructType): StructType =
+    binaryAsString(s: org.apache.spark.sql.types.DataType).asInstanceOf[StructType]
+
   /** Convert the hex-string geometry columns produced by [[geometryToWkbHex]]
     * into BinaryType columns (top-level and nested). */
   def hexGeometryToBinary(df: DataFrame): DataFrame = {
     var out = df
-    if (hasField(df.schema, "geometry"))
+    // StringType guard: an Explicit schema may already declare geometry
+    // binary, in which case there is nothing to unhex
+    if (fieldType(df.schema, "geometry").contains(StringType))
       out = out.withColumn("geometry", unhex(col("geometry")))
     // properties.proj:geometry
     fieldType(out.schema, "properties") match {

@@ -103,11 +103,17 @@ object Wkb {
     while (i < arr.size()) { f(arr.get(i)); i += 1 }
   }
 
+  /** Length of the first NON-EMPTY position anywhere in the coordinate
+    * tree — drilling only into `get(0)` would return 0 for a geometry
+    * whose first subtree is an empty shell (e.g. a MultiPolygon opening
+    * with an empty polygon) and silently flatten 3-D parts to 2-D. */
   private def firstPositionLength(coords: JsonNode): Int = {
-    if (coords == null || coords.size() == 0) return 2
-    var n = coords
-    while (n.size() > 0 && n.get(0).isArray) n = n.get(0)
-    n.size()
+    def search(n: JsonNode): Option[Int] = {
+      if (n == null || !n.isArray || n.size() == 0) None
+      else if (n.get(0).isArray) children(n).iterator.flatMap(search(_).iterator).nextOption()
+      else Some(n.size())
+    }
+    search(coords).getOrElse(2)
   }
 
   private def writePosition(pos: JsonNode, hasZ: Boolean, buf: LeBuf): Unit = {
@@ -205,9 +211,15 @@ object Wkb {
 
   private def readPosition(bb: ByteBuffer, hasZ: Boolean, hasM: Boolean, f: JsonNodeFactory): ArrayNode = {
     val arr = f.arrayNode()
-    arr.add(bb.getDouble()); arr.add(bb.getDouble())
-    if (hasZ) arr.add(bb.getDouble())
+    val x = bb.getDouble(); val y = bb.getDouble()
+    val z = if (hasZ) Some(bb.getDouble()) else None
     if (hasM) bb.getDouble() // M is not representable in GeoJSON — dropped
+    // ISO empty point = NaN ordinates; emit empty coordinates (Jackson
+    // would serialize NaN as the STRING "NaN" — invalid GeoJSON whose
+    // re-ingest turns the empty point into POINT(0 0))
+    if (x.isNaN && y.isNaN) return arr
+    arr.add(x); arr.add(y)
+    z.foreach(arr.add)
     arr
   }
 

@@ -30,18 +30,10 @@ object StacStream {
     * streaming normalize cannot probe dimensionality itself (it would be
     * an action on an unbounded frame). */
   def inferIngestSpec(spark: SparkSession, samplePaths: Seq[String]): (StructType, Option[Int]) = {
-    import org.apache.spark.sql.functions.{col, max, min, size}
     val sample = StacJsonReader.read(spark, samplePaths)
     val dims =
       if (!sample.columns.contains("bbox")) None
-      else {
-        val probe = sample.agg(max(size(col("bbox"))).as("mx"), min(size(col("bbox"))).as("mn")).head()
-        if (probe.isNullAt(0)) None
-        else if (probe.getInt(0) != probe.getInt(1))
-          throw new IllegalArgumentException(
-            s"Mixed 2d-3d bounding boxes not yet supported (sizes ${probe.getInt(1)}..${probe.getInt(0)})")
-        else Some(probe.getInt(0))
-      }
+      else Normalize.probeBboxDims(sample)
     (sample.schema, dims)
   }
 

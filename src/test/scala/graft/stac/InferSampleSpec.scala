@@ -28,6 +28,30 @@ class InferSampleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("FAILFAST") || e.getMessage.contains("MALFORMED"))
   }
 
+  test("Explicit schema conflicts fail loudly instead of silently nulling rows") {
+    val path = writeNdjson(Seq(
+      """{"id":"a","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":10}}""",
+      """{"id":"b","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":"oops"}}"""))
+    val schema = StacJsonReader.read(spark, Seq(writeNdjson(Seq(
+      """{"id":"a","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":10}}""")))).schema
+    val e = intercept[org.apache.spark.SparkException] {
+      StacJsonReader.read(spark, Seq(path), StacJsonReader.Explicit(schema)).collect()
+    }
+    assert(e.getMessage.contains("FAILFAST") || e.getMessage.contains("MALFORMED"))
+  }
+
+  test("ndjson misrouted to the whole-file path still yields every item") {
+    // leading blank line defeats line-peek detection ONLY if blank lines
+    // weren't skipped; even when a file does land on the whole-file path,
+    // concatenated documents must all be parsed
+    val path = writeNdjson(Seq(
+      "",
+      """{"id":"a","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":10}}""",
+      """{"id":"b","geometry":{"type":"Point","coordinates":[3.0,4.0]},"properties":{"gsd":20}}"""))
+    val df = StacJsonReader.read(spark, Seq(path))
+    assert(df.count() == 2, "all items must survive regardless of routing")
+  }
+
   test("fields absent from the sampled prefix are dropped, not errors (divergence from FirstBatch)") {
     val path = writeNdjson(Seq(
       """{"id":"a","geometry":{"type":"Point","coordinates":[1.0,2.0]},"properties":{"gsd":10}}""",

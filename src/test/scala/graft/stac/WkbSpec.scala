@@ -77,6 +77,23 @@ class WkbSpec extends AnyFunSuite {
     assert(Wkb.wkbToNode(ewkbM).get("coordinates").toString == "[7.0,8.0]")
   }
 
+  test("MultiPolygon with an empty first shell keeps Z of later polygons") {
+    val gj = """{"type":"MultiPolygon","coordinates":[[],[[[1.0,2.0,5.0],[3.0,4.0,5.0],[1.0,4.0,5.0],[1.0,2.0,5.0]]]]}"""
+    val node = Wkb.wkbToNode(Wkb.geoJsonToWkb(gj))
+    val firstPos = node.get("coordinates").get(0).get(0).get(0)
+    assert(firstPos.size() == 3, s"Z must survive: $node")
+    assert(firstPos.get(2).asDouble() == 5.0)
+  }
+
+  test("empty point round-trips as empty coordinates, not POINT(0 0)") {
+    val gj = """{"type":"Point","coordinates":[]}"""
+    val once = Wkb.wkbToGeoJson(Wkb.geoJsonToWkb(gj))
+    assert(mapper.readTree(once).get("coordinates").size() == 0, once)
+    // and a second round trip is stable
+    val twice = Wkb.wkbToGeoJson(Wkb.geoJsonToWkb(once))
+    assert(mapper.readTree(twice).get("coordinates").size() == 0, twice)
+  }
+
   test("bounds (G4)") {
     val wkb = Wkb.geoJsonToWkb("""{"type":"Polygon","coordinates":[[[-1.0,-2.0],[3.0,-2.0],[3.0,4.0],[-1.0,-2.0]]]}""")
     assert(Wkb.bounds(wkb).contains((-1.0, -2.0, 3.0, 4.0)))
