@@ -33,13 +33,11 @@ object TextExpressions {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
-  private[functions] def md5Hex(bytes: Array[Byte]): String = {
-    val d = digests.get()
-    d.reset()
-    val h = d.digest(bytes)
-    val out = new Array[Char](32)
+  /** Lowercase hex of a digest (= Spark's / DuckDB's md5() encoding). */
+  private[functions] def toHex(h: Array[Byte]): String = {
+    val out = new Array[Char](h.length * 2)
     var i = 0
-    while (i < 16) {
+    while (i < h.length) {
       out(2 * i) = hexChars((h(i) >> 4) & 0xf)
       out(2 * i + 1) = hexChars(h(i) & 0xf)
       i += 1
@@ -150,16 +148,8 @@ case class MinHashSig(child: Expression, numSeeds: Int)
     val out = new Array[Any](numSeeds)
     var s = 0
     while (s < numSeeds) {
-      out(s) = if (mins(s) == null) null else {
-        val hex = new Array[Char](32)
-        var k = 0
-        while (k < 16) {
-          hex(2 * k) = "0123456789abcdef".charAt((mins(s)(k) >> 4) & 0xf)
-          hex(2 * k + 1) = "0123456789abcdef".charAt(mins(s)(k) & 0xf)
-          k += 1
-        }
-        UTF8String.fromString(new String(hex))
-      }
+      out(s) = if (mins(s) == null) null
+      else UTF8String.fromString(TextExpressions.toHex(mins(s)))
       s += 1
     }
     new GenericArrayData(out)
@@ -224,8 +214,8 @@ case class SimHashSig(child: Expression)
   *
   * The same values are reproducible in plain SQL as a Horner fold per
   * window (the d-oracle does exactly that), which pins the modular
-  * arithmetic: all intermediates stay under 2^40, so BIGINT-only math on
-  * both sides.
+  * arithmetic: the largest intermediate is codepoint·B^(w-1) < 2^21·2^31 =
+  * 2^52, so 64-bit integer math suffices on both sides (do NOT narrow).
   */
 case class RollingHashStats(child: Expression, w: Int)
     extends UnaryExpression with CodegenFallback {

@@ -37,13 +37,19 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
 
   override def prettyName: String = "float_dot"
 
+  // a null ELEMENT poisons the product: the result is null, never a
+  // silent 0.0 contribution (ArrayData.getFloat on a null slot returns 0)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     s
   }
 
@@ -56,11 +62,14 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $s;
        """.stripMargin
     })
+
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDot =
     copy(left = newLeft, right = newRight)

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  import TextOps.{words, sumOver}
+  import TextOps.words
 
   /** Word 3-gram shingles (guarded for <3 tokens — Spark's sequence()
     * would run descending; DuckDB's generate_series is naturally empty). */

@@ -87,9 +87,12 @@ object SimilarityOps {
              sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                            ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
                     FROM n a JOIN n b ON a.vec_id < b.vec_id)
-        SELECT id_a, id_b, round(cos, 9) AS cos
+        SELECT id_a, id_b, round(sc.cos, 9) AS cos
         FROM sc
-        ORDER BY cos DESC, id_a ASC, id_b ASC
+        -- qualified sc.cos: a bare cos binds to the rounded SELECT alias in
+        -- DuckDB, which on near-ties could pick a different LIMIT-20
+        -- membership than the Spark side (full-precision ordering)
+        ORDER BY sc.cos DESC, id_a ASC, id_b ASC
         LIMIT 20"""),
       (s, dir) => {
         val e = Tables.t(s, dir, "embeddings")

@@ -161,6 +161,9 @@ object StacOps {
         // inference is a second full pass, and without the cache it would
         // re-run the per-row GeoJSON→WKB parse (the reference's ChunksToDisk
         // strategy spills for exactly this reason, `_api.py:128-155`).
+        // No explicit unpersist is possible (the returned frame depends on
+        // the cache); the ContextCleaner drops the blocks once the frame
+        // is released, bounding the footprint to in-flight invocations.
         val items = o.select(itemJson.as("value")).as[String](Encoders.STRING)
           .map(StacJsonReader.geometryToWkbHex)(Encoders.STRING)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -149,7 +149,7 @@ object TextOps {
       "t06_rolling_fingerprint",
       Some("""
         WITH cs AS (SELECT doc_id,
-                           list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)) AS cps
+                           list_transform(regexp_extract_all(text, '(?s).'), c -> CAST(ascii(c) AS BIGINT)) AS cps
                     FROM documents),
              fp AS (SELECT doc_id,
                            [list_reduce(list_prepend(CAST(0 AS BIGINT), cps[i:i+15]),
