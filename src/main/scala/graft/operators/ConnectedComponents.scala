@@ -12,8 +12,18 @@ import org.apache.spark.storage.StorageLevel
   * aggregate); iterations = cluster diameter, which for dup clusters
   * (near-cliques out of LSH) is small. Labels persist per round and the
   * previous round unpersists — lineage stays O(1) deep, so the loop is
-  * stable at any scale. Convergence is an exact driver-side check of a
-  * single aggregate (sum of labels strictly decreases until fixpoint).
+  * stable at any scale.
+  *
+  * Job economy (the local-mode cost is per-action scheduling, and at
+  * cluster scale every extra action is an extra pass over the labels):
+  *   - the seed IS the first propagation hop: `min(id, min(neighbors))`
+  *     per vertex, fusing the vertex-distinct and hop 1 into one shuffle;
+  *   - each iteration carries the previous label through the min-aggregate
+  *     (tagged with `Long.MaxValue` on the propagated rows), so the exact
+  *     changed-vertex count comes out of the SAME aggregate that
+  *     materializes the round — one action per round, and convergence is
+  *     detected the first round nothing moves (no extra confirming
+  *     iteration, unlike a label-sum fixpoint check).
   */
 object ConnectedComponents {
 
@@ -30,34 +40,37 @@ object ConnectedComponents {
       .union(e.select(col(dst).as("x"), col(src).as("y")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = und.select(col("x").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // seed = hop 1: component(v) = min(v, min(neighbors(v)))
+    var labels = und.groupBy("x")
+      .agg(min("y").as("mn"))
+      .select(col("x").as("id"), least(col("x"), col("mn")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
     var converged = false
     var iter = 0
-    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(coalesce(sum("component"), lit(0L))).head().getLong(0)
-    // sentinel: the first iteration must run regardless, so don't pay a
-    // separate job just to materialize the starting sum
-    var prevSum = -1L
-
     while (!converged && iter < maxIter) {
       val prop = und.join(labels.withColumnRenamed("id", "y"), "y")
-        .select(col("x").as("id"), col("component"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("component").as("component"))
+        .select(col("x").as("id"), col("component"), lit(Long.MaxValue).as("prev"))
+      val next = labels
+        .select(col("id"), col("component"), col("component").as("prev"))
+        .unionByName(prop)
+        .groupBy("id")
+        .agg(min("component").as("component"), min("prev").as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next)
+      // single action: materializes the round's cache AND yields the exact
+      // number of vertices whose label improved this round
+      val changed = next
+        .agg(count(when(col("component") < col("prev"), 1)).as("c"))
+        .head().getLong(0)
       labels.unpersist()
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = changed == 0L
       iter += 1
     }
     und.unpersist()
     e.unpersist()
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged after $iter iterations")
-    labels
+    labels.select("id", "component")
   }
 }
