@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over the embedding column (Array[Float], 64-dim).
   *
-  * s01 is the brute-force baseline (cross join — quadratic, correct,
-  * fine for a re-rank stage or small query sets). s02 is the scale path:
-  * sign-bit LSH bucketing turns the O(n²) cross join into a per-bucket
-  * join, the same shape an IVF index gives — at 100 TB the bucket id is
-  * the shuffle key and each bucket fits an executor.
+  * Memory-safety at scale (nothing here broadcasts a corpus):
+  *   - s01 (exact k-NN) broadcasts only the QUERY set — guarded by
+  *     [[graft.operators.AllPairsTopK.requireBroadcastable]] — and streams
+  *     the corpus past it: linear in corpus size, O(queries) memory. Large
+  *     query sets route to s03/s04 (the guard's error message says so).
+  *   - s02 (exact global closest pairs) uses block-pair partitioning
+  *     ([[graft.operators.AllPairsTopK]]): per-executor memory O(n/blocks),
+  *     no broadcast; compute stays the inherent O(n²) of an exact answer.
+  *   - s03/s04 are the sub-quadratic approximate paths (LSH buckets / IVF
+  *     cells as the only shuffle keys).
   *
   * Dot products fold sequentially in double precision — bit-identical to
   * DuckDB's list_sum over the same float32 inputs (verified empirically).
@@ -64,12 +69,18 @@ object SimilarityOps {
         import org.apache.spark.sql.expressions.Window
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        val q = e.filter(col("vec_id") < 50)
+        // broadcast the QUERY side only (small by construction, and guarded
+        // so a fat query set fails with routing advice instead of an
+        // executor OOM); the corpus streams past it — linear at any scale
+        val q = graft.operators.AllPairsTopK.requireBroadcastable(
+          e.filter(col("vec_id") < 50),
+          what = "s01 exact k-NN query set",
+          route = "use s03_ann_lsh_bucketed or s04_ann_ivf for corpus-sized query sets")
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
         val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("cos").desc, col("neighbor_id").asc)
-        q.join(broadcast(c), col("neighbor_id") =!= col("query_id"))
+        c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"),
             (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
           .withColumn("rank", row_number().over(w))
@@ -95,16 +106,16 @@ object SimilarityOps {
         ORDER BY sc.cos DESC, id_a ASC, id_b ASC
         LIMIT 20"""),
       (s, dir) => {
+        // exact answer with NO broadcast: block-pair partitioning keeps
+        // per-executor memory at O(corpus/blocks) while every unordered
+        // pair is scored exactly once (see AllPairsTopK scaladoc)
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-        a.join(broadcast(b), col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            (dotd(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-          .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-          .limit(20)
-          .select(col("id_a"), col("id_b"), round(col("cos"), 9).as("cos"))
+        graft.operators.AllPairsTopK.closestPairs(
+            e, idCol = "vec_id",
+            score = (a, b) => dotd(a("embedding"), b("embedding")) / (a("nrm") * b("nrm")),
+            k = 20)
+          .select(col("id_a"), col("id_b"), round(col("score"), 9).as("cos"))
       }),
 
     // ----- LSH-bucketed ANN: top-3 neighbors within each sign bucket -----
@@ -218,6 +229,104 @@ object SimilarityOps {
           .filter(col("rank") <= 3)
           .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
           .orderBy(col("query_id"), col("rank"))
+      }),
+
+    // ----- ANN quality gate: recall@3 of the approximate paths (s03 LSH
+    // buckets, s04 IVF 2-probe) against exact brute-force ground truth for
+    // the same query set. The recall NUMBERS are value-checked (both
+    // engines recompute the full derivation); the *_ok booleans are
+    // pinned `true` in the oracle, so recall dropping below the floor
+    // FAILS the hash check — a regression tripwire for the bucketing
+    // logic. Floors are calibrated to the synthetic corpus: uniform random
+    // embeddings have no cluster structure, which bounds achievable recall
+    // for any sub-linear index (LSH 4-bit ≈ 0.13, IVF 2/16-probe ≈ 0.33
+    // at sf0.01); on real embedding distributions the same operators do
+    // far better, but the tripwire (recall collapsing to ~0 on a bucketing
+    // bug) is scale-independent. -----
+    QuerySpec(
+      "s06_ann_recall",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+                          ${signBucketSql("embedding", 4)} AS bucket
+                   FROM embeddings),
+             q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+             ex AS (SELECT query_id, neighbor_id FROM (
+                      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                             row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                                        c.vec_id ASC) AS rank
+                      FROM q JOIN n c ON c.vec_id != q.vec_id)
+                    WHERE rank <= 3),
+             lsh AS (SELECT query_id, neighbor_id FROM (
+                       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                              row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) DESC,
+                                         b.vec_id ASC) AS rank
+                       FROM q a JOIN n b ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+                     WHERE rank <= 3),
+             cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                      FROM n WHERE vec_id < 16),
+             scored AS (SELECT v.vec_id, c.cent_id,
+                               row_number() OVER (PARTITION BY v.vec_id
+                                 ORDER BY ${dotSql("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC,
+                                          c.cent_id ASC) AS crank
+                        FROM n v JOIN cent c ON true),
+             assign AS (SELECT vec_id, cent_id AS cell FROM scored WHERE crank = 1),
+             probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM scored
+                        WHERE crank <= 2 AND vec_id % 100 = 0),
+             ivf AS (SELECT query_id, neighbor_id FROM (
+                       SELECT p.query_id, a.vec_id AS neighbor_id,
+                              row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY ${dotSql("qq.embedding", "vv.embedding")} / (qq.nrm * vv.nrm) DESC,
+                                         a.vec_id ASC) AS rank
+                       FROM probes p
+                       JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+                       JOIN n qq ON qq.vec_id = p.query_id
+                       JOIN n vv ON vv.vec_id = a.vec_id)
+                     WHERE rank <= 3)
+        SELECT nq AS n_queries, hl AS hits_lsh, hi AS hits_ivf,
+               CAST(hl AS DOUBLE)/(3*nq) AS recall_lsh,
+               CAST(hi AS DOUBLE)/(3*nq) AS recall_ivf,
+               true AS lsh_ok, true AS ivf_ok
+        FROM (SELECT (SELECT count(*) FROM q) AS nq,
+                     (SELECT count(*) FROM ex JOIN lsh USING (query_id, neighbor_id)) AS hl,
+                     (SELECT count(*) FROM ex JOIN ivf USING (query_id, neighbor_id)) AS hi)"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // candidate sets come from the REAL s03/s04 pipelines (specs looked
+        // up lazily at run time), restricted to the s04 query set
+        def pairsOf(name: String) = specs.find(_.name == name).get.run(s, dir)
+          .filter(col("query_id") % 100 === 0)
+          .select(col("query_id"), col("neighbor_id"))
+        val lsh = pairsOf("s03_ann_lsh_bucketed")
+        val ivf = pairsOf("s04_ann_ivf")
+        // exact ground truth: guarded broadcast of the query set, corpus
+        // streams past it (the s01 shape)
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val q = graft.operators.AllPairsTopK.requireBroadcastable(
+          e.filter(col("vec_id") % 100 === 0),
+          what = "s06 recall query set",
+          route = "recall audits should sample a bounded query set")
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val exact = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+          .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("neighbor_id"))
+        val nq = q.agg(count(lit(1)).as("nq"))
+        val hl = exact.join(lsh, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("hl"))
+        val hi = exact.join(ivf, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("hi"))
+        nq.crossJoin(hl).crossJoin(hi)
+          .select(col("nq").as("n_queries"), col("hl").as("hits_lsh"), col("hi").as("hits_ivf"),
+            (col("hl").cast("double") / (lit(3) * col("nq"))).as("recall_lsh"),
+            (col("hi").cast("double") / (lit(3) * col("nq"))).as("recall_ivf"),
+            (col("hl").cast("double") / (lit(3) * col("nq")) >= 0.10).as("lsh_ok"),
+            (col("hi").cast("double") / (lit(3) * col("nq")) >= 0.30).as("ivf_ok"))
       }),
 
     // ----- cross-modal validation: text near-dup pairs scored by embedding

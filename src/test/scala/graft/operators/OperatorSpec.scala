@@ -94,4 +94,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.count() == 40)                      // t in [5, 45)
     assert(got.select("id").distinct().count() == 40) // no duplicate matches
   }
+
+  test("AllPairsTopK: blocked plan equals broadcast plan (every pair scored once)") {
+    // 40 points on a line, score = -|a-b| so closest pairs are adjacent ids
+    val rng = new scala.util.Random(7)
+    val pts = (0L until 40L).map(i => (i, rng.nextDouble() * 100)).toDF("id", "x")
+    def score(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      -abs(a("x") - b("x"))
+    val blocked = AllPairsTopK.closestPairsBlocked(pts, "id", score, k = 15, blocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // force the broadcast plan via a huge threshold
+    val bcast = AllPairsTopK.closestPairs(pts, "id", score, k = 15, broadcastThreshold = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(blocked == bcast)
+    assert(blocked.forall { case (a, b, _) => a < b })
+    assert(blocked.map(p => (p._1, p._2)).distinct.size == 15) // no dup pairs
+  }
+
+  test("AllPairsTopK: adaptive probe routes big inputs to the blocked plan; guard trips") {
+    val pts = (0L until 30L).map(i => (i, i.toDouble)).toDF("id", "x")
+    def score(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      -abs(a("x") - b("x"))
+    // threshold below input size → blocked path; result must still be exact:
+    // 29 adjacent pairs at distance 1 fill the top-29
+    val got = AllPairsTopK.closestPairs(pts, "id", score, k = 29, broadcastThreshold = 10L)
+      .collect()
+    assert(got.length == 29 && got.forall(_.getDouble(2) == -1.0))
+    val e = intercept[IllegalArgumentException] {
+      AllPairsTopK.requireBroadcastable(pts, "test side", "route elsewhere", maxRows = 10L)
+    }
+    assert(e.getMessage.contains("route elsewhere"))
+  }
 }
