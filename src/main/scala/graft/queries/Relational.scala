@@ -400,20 +400,66 @@ object Relational {
           .orderBy(col("priority"), col("status"))),
 
     // ----- sketches: HyperLogLog++ distinct + approximate quantiles -----
-    // No SQL oracle: sketch outputs are algorithm-specific (DuckDB's
-    // approx_* uses different sketches), so the driver records the weaker
-    // rows-only check. The point is the single-pass, mergeable-partial
-    // shape — at 100 TB these replace exact distinct/percentile scans.
+    // Raw sketch values are algorithm-specific (DuckDB's approx_* uses
+    // different sketches), so they can't be value-checked cross-engine.
+    // Instead the query emits (a) the EXACT distinct count — integer,
+    // bit-identical in both engines — and (b) booleans asserting each
+    // sketch lands within ε of the exact answer computed in the same
+    // single pass; the oracle pins the booleans to literal true, so a
+    // sketch drifting past ε fails the hash check. The point remains the
+    // single-pass, mergeable-partial shape — at 100 TB the sketches
+    // replace exact distinct/percentile scans and ε is the accuracy
+    // contract this gate row enforces.
     QuerySpec(
       "q16_sketches",
-      None,
-      (s, dir) =>
-        Tables.t(s, dir, "lineitem")
+      Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               true AS hll_ok, true AS p50_ok, true AS p99_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val epsHll = 0.05 // generous vs the sketch's rsd=0.01 below
+        val epsQ = 0.02   // accuracy=10000 ⇒ rank error ≤ n/10000 ⇒ tiny value error
+        def within(approx: Column, exact: Column, eps: Double): Column =
+          abs(approx.cast("double") - exact.cast("double")) <= lit(eps) * abs(exact.cast("double"))
+        val li = Tables.t(s, dir, "lineitem").select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+        // countDistinct stays ALONE in its aggregate: the distinct rewrite
+        // re-keys the first-level agg by (flag, orderkey), and any sketch
+        // placed in the same agg would materialize one multi-KB buffer per
+        // DISTINCT KEY (~GBs at bench scale) instead of one per flag.
+        val distincts = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        val sketches = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50a"),
+            percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99a"))
+          .join(distincts, "l_returnflag")
+        // exact reference quantiles by RANK (discrete quantile at
+        // ceil(q·n)), via one sort-shuffle window — NOT Spark's exact
+        // `percentile`, whose per-group value→count hash maps take minutes
+        // at bench scale. percentile_approx returns a real element with
+        // rank error ≤ n/accuracy, so the rank-based reference bounds it.
+        val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+        val wAll = Window.partitionBy(col("l_returnflag"))
+        val exacts = li
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .filter(col("rn") === ceil(lit(0.5) * col("cnt")) ||
+            col("rn") === ceil(lit(0.99) * col("cnt")))
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-            percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99_price"))
-          .orderBy(col("l_returnflag"))),
+          .agg(min(when(col("rn") === ceil(lit(0.5) * col("cnt")), col("l_extendedprice"))).as("p50x"),
+            min(when(col("rn") === ceil(lit(0.99) * col("cnt")), col("l_extendedprice"))).as("p99x"))
+        sketches.join(exacts, "l_returnflag")
+          .select(col("l_returnflag"),
+            col("exact_orders"),
+            within(col("approx_orders"), col("exact_orders"), epsHll).as("hll_ok"),
+            within(col("p50a"), col("p50x"), epsQ).as("p50_ok"),
+            within(col("p99a"), col("p99x"), epsQ).as("p99_ok"))
+          .orderBy(col("l_returnflag"))
+      }),
 
     // ----- generic as-of join OPERATOR (graft.operators.AsofJoin) -----
     // Same semantics class as q14 but through the reusable operator; ties
