@@ -6,19 +6,27 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support: image/audio/video as opaque binary columns
   * with typed metadata, processed batch-at-a-time through mapPartitions.
   *
-  * The decode step is a STUB — the real image/audio libraries are not in
-  * this container — but it is a *deterministic* function of the bytes, so
-  * the Spark-side plumbing (schema, partitioning, batch shape, typed
-  * Dataset boundary) is real and verified end-to-end. Swap
-  * [[decodeImageStub]]/[[decodeAudioStub]] for a JNI/library call and
-  * nothing else changes.
+  * The IMAGE path is real: [[encodePng]] emits genuine PNG bytes
+  * (java.awt.image + javax.imageio, JDK-builtin — no external jar) and
+  * [[decodeImage]] reads any PNG/JPEG the JDK can parse, so the gate
+  * queries exercise a true encode→bytes→decode round trip. The audio and
+  * video-frame decoders remain deterministic STUBS (no audio/video codec
+  * ships with the JDK for those containers); their Spark-side plumbing —
+  * schema, partitioning, batch shape, typed Dataset boundary — is real
+  * and verified end-to-end, and swapping the stub for a JNI/library call
+  * changes nothing else.
   *
-  * Scale notes: binary payloads stay columnar in parquet; the decoder runs
-  * once per row inside a partition iterator (no per-row task overhead, no
+  * Scale notes: binary payloads stay columnar in parquet; codecs run
+  * per-row inside a partition iterator (no per-row task overhead, no
   * driver collect); metadata-only queries never touch the bytes thanks to
   * parquet column pruning.
   */
 object Multimodal {
+
+  // ImageIO defaults to a DISK-backed stream cache — per-call temp-file
+  // I/O that dominates small-image codec time. Byte-array streams need no
+  // cache at all.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Typed metadata extracted from an "image" payload. */
   final case class ImageMeta(doc_id: Long, width: Int, height: Int,
@@ -28,34 +36,78 @@ object Multimodal {
   final case class AudioMeta(doc_id: Long, sample_rate: Int,
                              duration_ms: Int, channels: Int)
 
-  /** STUB image decoder: deterministic pseudo-metadata from the first
-    * bytes (replace with a real codec; the dataflow is what matters). */
-  def decodeImageStub(bytes: Array[Byte]): (Int, Int, String) = {
-    val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
-    val width = (b0 % 64) * 16 + 64
-    val height = (b1 % 64) * 16 + 64
-    val format = if (b0 % 2 == 0) "png" else "jpeg"
-    (width, height, format)
+  /** Real PNG encoder (JDK ImageIO): solid-color w×h TYPE_INT_RGB image.
+    * Deterministic bytes-in → image-out, runs distributed inside UDFs. */
+  def encodePng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** STUB audio decoder. */
-  def decodeAudioStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
-    (if (b2 % 2 == 0) 44100 else 16000, b3 * 250 + 1000, b2 % 2 + 1)
+  /** Real image decoder (JDK ImageIO): dimensions from the actual codec,
+    * format sniffed from magic bytes. Returns null dimensions (-1) for
+    * bytes no installed reader understands — corrupt rows surface as a
+    * filterable value instead of killing the task. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
+    val format =
+      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') "png"
+      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+      else "unknown"
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException => null }
+    if (img == null) (-1, -1, format)
+    else (img.getWidth, img.getHeight, format)
+  }
+
+  /** Decoded RGB pixels as a flat [r,g,b, r,g,b, …] byte-value sequence
+    * (row-major) — the input surface for pixel-space feature extraction. */
+  def decodeRgb(bytes: Array[Byte]): Array[Int] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image bytes")
+    val w = img.getWidth; val h = img.getHeight
+    val seq = new Array[Int](3 * w * h)
+    var y = 0; var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        seq(i) = (p >> 16) & 0xff; seq(i + 1) = (p >> 8) & 0xff; seq(i + 2) = p & 0xff
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    seq
   }
 
   /** Image metadata extraction over a (doc_id, payload) frame:
-    * batch-shaped mapPartitions, typed output. */
+    * batch-shaped mapPartitions, typed output, REAL ImageIO decode. */
   def extractImageMeta(df: DataFrame, idCol: String = "doc_id",
                        binCol: String = "payload"): Dataset[ImageMeta] = {
     val pruned = df.select(col(idCol).cast("long"), col(binCol))
     pruned.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, f) = decodeImageStub(bytes)
+        val (w, h, f) = decodeImage(bytes)
         ImageMeta(r.getLong(0), w, h, f, bytes.length)
       }
     }(Encoders.product[ImageMeta])
+  }
+
+  /** STUB audio decoder (documented: no audio codec in this JDK for the
+    * formats a real pipeline carries; swap for a library call). */
+  def decodeAudioStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
+    (if (b2 % 2 == 0) 44100 else 16000, b3 * 250 + 1000, b2 % 2 + 1)
   }
 
   /** Audio metadata extraction. */
@@ -69,6 +121,24 @@ object Multimodal {
         AudioMeta(r.getLong(0), sr, dur, ch)
       }
     }(Encoders.product[AudioMeta])
+  }
+
+  /** Pixel-space feature extraction with REAL decode: each payload is
+    * decoded through ImageIO, and the flat RGB sequence folds into a
+    * `dim`-bucket Array[Float] (bucket i sums channel values at positions
+    * ≡ i mod dim) — the embedding-extraction dataflow (binary column →
+    * decode → vector column ready for the similarity operators). Swap the
+    * fold for a model forward pass and the schema/batching is unchanged. */
+  def extractPixelFeatures(df: DataFrame, dim: Int,
+                           idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val featUdf = udf { (bytes: Array[Byte]) =>
+      val seq = decodeRgb(bytes)
+      val acc = new Array[Float](dim)
+      var i = 0
+      while (i < seq.length) { acc(i % dim) += seq(i).toFloat; i += 1 }
+      acc
+    }
+    df.select(col(idCol), featUdf(col(binCol)).as("features"))
   }
 
   /** Feature extraction: fold the payload bytes into a `dim`-bucket

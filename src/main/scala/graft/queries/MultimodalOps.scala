@@ -2,34 +2,58 @@ package graft.queries
 
 import graft.{QuerySpec, Tables}
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Multimodal gate queries: binary payloads (deterministically derived
-  * from document text so the oracle can mirror the arithmetic) flowing
-  * through the real mapPartitions decode plumbing. */
+/** Multimodal gate queries over REAL image bytes: each document derives a
+  * deterministic solid-color PNG (dimensions + color from its md5), the
+  * payload is encoded with the real JDK ImageIO codec inside the query,
+  * and the decode side reads those bytes back through ImageIO — a genuine
+  * encode→binary column→decode round trip whose *painted* arithmetic the
+  * oracle can mirror exactly (PNG is lossless). m02 remains the video
+  * frame-sampling stub (no video codec in the JDK). */
 object MultimodalOps {
+
+  import org.apache.spark.sql.Column
+
+  /** i-th byte (0-based) of md5(text) as an int column. */
+  private def md5Byte(i: Int): Column =
+    conv(substring(md5(col("text")), 2 * i + 1, 2), 16, 10).cast("int")
+
+  /** Real PNG payload: w,h in 8..23 px, solid RGB — all from md5(text). */
+  private val pngUdf = udf { (w: Int, h: Int, r: Int, g: Int, b: Int) =>
+    Multimodal.encodePng(w, h, r, g, b)
+  }
+
+  /** The test files are single row groups (one scan task), but the codec
+    * work is CPU-bound per row — repartition BEFORE encoding so the
+    * encode/decode pipeline uses every core, exactly as a production
+    * ingest would spread codec work across executors. */
+  private def pngDocs(s: SparkSession, dir: String) =
+    Tables.t(s, dir, "documents")
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        pngUdf(md5Byte(0) % 16 + 8, md5Byte(1) % 16 + 8,
+          md5Byte(2), md5Byte(3), md5Byte(4)).as("payload"))
 
   val specs: Seq[QuerySpec] = Seq(
 
+    // Real codec round trip: the decoded dimensions/format must equal the
+    // painted ones — width/height via ImageIO.read, format via magic-byte
+    // sniffing of genuine PNG bytes.
     QuerySpec(
       "m01_image_metadata",
       Some("""
         SELECT doc_id,
-               (CAST(('0x'||substr(md5(text),1,2)) AS INTEGER) % 64) * 16 + 64 AS width,
-               (CAST(('0x'||substr(md5(text),3,2)) AS INTEGER) % 64) * 16 + 64 AS height,
-               CASE WHEN CAST(('0x'||substr(md5(text),1,2)) AS INTEGER) % 2 = 0
-                    THEN 'png' ELSE 'jpeg' END AS format,
-               16 AS n_bytes
+               CAST(('0x'||substr(md5(text),1,2)) AS INTEGER) % 16 + 8 AS width,
+               CAST(('0x'||substr(md5(text),3,2)) AS INTEGER) % 16 + 8 AS height,
+               'png' AS format
         FROM documents
         ORDER BY doc_id"""),
-      (s, dir) => {
-        val docs = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
-        Multimodal.extractImageMeta(docs).toDF()
-          .select(col("doc_id"), col("width"), col("height"), col("format"),
-            col("n_bytes").cast("int").as("n_bytes"))
-          .orderBy(col("doc_id"))
-      }),
+      (s, dir) =>
+        Multimodal.extractImageMeta(pngDocs(s, dir)).toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("format"))
+          .orderBy(col("doc_id"))),
 
     QuerySpec(
       "m02_frame_sampling",
@@ -49,33 +73,37 @@ object MultimodalOps {
           .orderBy(col("doc_id"), col("frame_idx"))
       }),
 
-    // Feature extraction: payload bytes fold into 4 float buckets (bucket i
-    // sums bytes at positions ≡ i mod 4); the oracle mirrors the byte
-    // arithmetic from the md5 hex. Integer sums → exact doubles.
+    // Feature extraction over DECODED PIXELS: the PNG payload is decoded
+    // through ImageIO and the flat RGB sequence [r,g,b,r,g,b,…] folds into
+    // 4 float buckets (bucket i sums channel values at positions ≡ i mod
+    // 4). The oracle replays the painted arithmetic: a w×h solid-color
+    // image contributes c[i%3] at sequence position i. Integer sums →
+    // exact doubles, so the hash check proves the real decode recovered
+    // every pixel.
     QuerySpec(
       "m03_feature_extract",
       Some("""
         WITH b AS (SELECT doc_id,
-                          [CAST(('0x'||substr(md5(text), 2*j+1, 2)) AS BIGINT)
-                           for j in generate_series(0, 15)] AS bytes
+                          CAST(('0x'||substr(md5(text),1,2)) AS INTEGER) % 16 + 8 AS w,
+                          CAST(('0x'||substr(md5(text),3,2)) AS INTEGER) % 16 + 8 AS h,
+                          [CAST(('0x'||substr(md5(text),5,2)) AS BIGINT),
+                           CAST(('0x'||substr(md5(text),7,2)) AS BIGINT),
+                           CAST(('0x'||substr(md5(text),9,2)) AS BIGINT)] AS c
                    FROM documents)
         SELECT doc_id,
-               CAST(bytes[1]+bytes[5]+bytes[9]+bytes[13] AS DOUBLE) AS f0,
-               CAST(bytes[2]+bytes[6]+bytes[10]+bytes[14] AS DOUBLE) AS f1,
-               CAST(bytes[3]+bytes[7]+bytes[11]+bytes[15] AS DOUBLE) AS f2,
-               CAST(bytes[4]+bytes[8]+bytes[12]+bytes[16] AS DOUBLE) AS f3
+               CAST(list_sum([c[i%3 + 1] for i in generate_series(0, 3*w*h-1) if i%4 = 0]) AS DOUBLE) AS f0,
+               CAST(list_sum([c[i%3 + 1] for i in generate_series(0, 3*w*h-1) if i%4 = 1]) AS DOUBLE) AS f1,
+               CAST(list_sum([c[i%3 + 1] for i in generate_series(0, 3*w*h-1) if i%4 = 2]) AS DOUBLE) AS f2,
+               CAST(list_sum([c[i%3 + 1] for i in generate_series(0, 3*w*h-1) if i%4 = 3]) AS DOUBLE) AS f3
         FROM b
         ORDER BY doc_id"""),
-      (s, dir) => {
-        val docs = Tables.t(s, dir, "documents")
-          .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
-        Multimodal.extractFeatures(docs, dim = 4)
+      (s, dir) =>
+        Multimodal.extractPixelFeatures(pngDocs(s, dir), dim = 4)
           .select(col("doc_id"),
             element_at(col("features"), 1).cast("double").as("f0"),
             element_at(col("features"), 2).cast("double").as("f1"),
             element_at(col("features"), 3).cast("double").as("f2"),
             element_at(col("features"), 4).cast("double").as("f3"))
-          .orderBy(col("doc_id"))
-      })
+          .orderBy(col("doc_id")))
   )
 }

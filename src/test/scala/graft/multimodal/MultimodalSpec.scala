@@ -12,18 +12,41 @@ class MultimodalSpec extends AnyFunSuite {
   private def payloads = spark.read.parquet(s"$sfDir/documents.parquet")
     .select(col("doc_id"), unhex(md5(col("text"))).as("payload"))
 
-  test("image metadata extraction is deterministic and schema-typed") {
-    val meta = Multimodal.extractImageMeta(payloads)
-    val rows = meta.collect()
-    assert(rows.length == 500)
+  test("image metadata extraction decodes real PNG bytes via ImageIO") {
+    val png = udf((id: Long) => Multimodal.encodePng(
+      (id % 13).toInt + 5, (id % 7).toInt + 3, id.toInt & 0xff, 10, 20))
+    val imgs = spark.range(0, 50).select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val rows = Multimodal.extractImageMeta(imgs).collect().sortBy(_.doc_id)
+    assert(rows.length == 50)
     rows.foreach { m =>
-      assert(m.n_bytes == 16)
-      assert(m.width >= 64 && m.width < 64 + 64 * 16)
-      assert(Set("png", "jpeg").contains(m.format))
+      assert(m.width == (m.doc_id % 13).toInt + 5)
+      assert(m.height == (m.doc_id % 7).toInt + 3)
+      assert(m.format == "png")
+      assert(m.n_bytes > 8) // real encoded payload, not a fixed stub
     }
     // decoding twice gives identical results (pure function of bytes)
-    val again = Multimodal.extractImageMeta(payloads).collect()
-    assert(rows.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
+    val again = Multimodal.extractImageMeta(imgs).collect().sortBy(_.doc_id)
+    assert(rows.sameElements(again))
+  }
+
+  test("real JPEG bytes are sniffed and decoded; corrupt bytes surface as -1") {
+    val img = new java.awt.image.BufferedImage(9, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    assert(Multimodal.decodeImage(out.toByteArray) == ((9, 4, "jpeg")))
+    assert(Multimodal.decodeImage(Array.fill[Byte](16)(42)) == ((-1, -1, "unknown")))
+  }
+
+  test("pixel feature extraction recovers painted channel sums through the codec") {
+    val png = udf((id: Long) => Multimodal.encodePng(4, 3, 100, 50, 25))
+    val imgs = spark.range(0, 5).select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val rows = Multimodal.extractPixelFeatures(imgs, dim = 3).collect()
+    // dim == channel count and 3|seq: bucket j is exactly channel j summed
+    // over the 12 pixels
+    rows.foreach { r =>
+      val f = r.getSeq[Float](1)
+      assert(f == Seq(100f * 12, 50f * 12, 25f * 12))
+    }
   }
 
   test("audio metadata extraction") {
