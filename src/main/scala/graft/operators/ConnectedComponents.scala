@@ -19,11 +19,12 @@ import org.apache.spark.storage.StorageLevel
   *   - the seed IS the first propagation hop: `min(id, min(neighbors))`
   *     per vertex, fusing the vertex-distinct and hop 1 into one shuffle;
   *   - each iteration carries the previous label through the min-aggregate
-  *     (tagged with `Long.MaxValue` on the propagated rows), so the exact
-  *     changed-vertex count comes out of the SAME aggregate that
-  *     materializes the round — one action per round, and convergence is
-  *     detected the first round nothing moves (no extra confirming
-  *     iteration, unlike a label-sum fixpoint check).
+  *     (null-tagged on the propagated rows — min ignores nulls, so the
+  *     carry is exact for ANY orderable label type, not just numeric), so
+  *     the exact changed-vertex count comes out of the SAME aggregate that
+  *     materializes the round — one action per round, with convergence
+  *     detected by a direct per-vertex label comparison rather than a
+  *     label-sum proxy that relies on strict monotonic decrease.
   */
 object ConnectedComponents {
 
@@ -49,8 +50,12 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      // null sentinel (not a numeric max): min(prev) over {old_label, null…}
+      // is the old label for any label type — a typed max sentinel would
+      // coerce string labels and make the change-check lexicographic
+      val labelType = labels.schema("component").dataType
       val prop = und.join(labels.withColumnRenamed("id", "y"), "y")
-        .select(col("x").as("id"), col("component"), lit(Long.MaxValue).as("prev"))
+        .select(col("x").as("id"), col("component"), lit(null).cast(labelType).as("prev"))
       val next = labels
         .select(col("id"), col("component"), col("component").as("prev"))
         .unionByName(prop)

@@ -64,8 +64,25 @@ object DedupOps {
            JOIN sg ga ON ga.doc_id = c.doc_a
            JOIN sg gb ON gb.doc_id = c.doc_b)"""
 
-  /** Spark side of `jp`: (doc_a, doc_b, jaccard) candidate pairs. */
-  private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Spark side of `jp`: (doc_a, doc_b, jaccard) candidate pairs.
+    *
+    * Memoized + persisted per (session, dataset): the derivation is shared
+    * by three pipeline stages (d03 candidate listing, d05 clustering, s05
+    * cross-modal scoring) and recomputing the minhash self-join for each
+    * would triple the most expensive shuffle in the dedup suite. The
+    * materialized pair set is tiny relative to the corpus (candidates
+    * only, never all-pairs), so MEMORY_AND_DISK persistence is safe at
+    * scale — this is the "materialize the candidate table once" step a
+    * production dedup pipeline does explicitly. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir),
+      computeJaccardPairs(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def computeJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val mh = minhashes(s, dir)
     val a = mh.select(col("seed"), col("mhv"), col("doc_id").as("doc_a"))
     val b = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"), col("doc_id").as("doc_b"))
