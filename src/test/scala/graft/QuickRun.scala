@@ -8,8 +8,18 @@ import org.apache.spark.sql.SparkSession
   */
 object QuickRun {
   def main(args: Array[String]): Unit = {
+    def known = SparkEntry.specs.map(_.name).sorted.mkString(", ")
+    if (args.length < 2) {
+      System.err.println(s"usage: QuickRun <sfDir> <query> [query ...]\nknown queries: $known")
+      sys.exit(2)
+    }
     val dir = args.head
     val names = args.tail
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\nknown queries: $known")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]").appName("graft-quickrun")
