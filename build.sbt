@@ -9,6 +9,13 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// DuckDB's JDBC driver already sits in the local artifact cache; picking
+// it up path-agnostically (no resolution) backs the live-JDBC pgstac
+// tests, which self-skip when no driver jar is found.
+Test / unmanagedJars ++= {
+  val cache = file(sys.props.getOrElse("user.home", "/root")) / ".cache" / "coursier"
+  (cache ** "duckdb_jdbc-*.jar").classpath
+}
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

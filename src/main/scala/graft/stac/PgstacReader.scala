@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * A CQL2 JSON filter delegates to pgstac's `search()` SQL function as a
   * literal subquery (F2), exactly like the reference.
   *
-  * Untestable without a live Postgres (the reference uses Docker); the
-  * query-building logic is pure and unit-tested.
+  * No live Postgres exists in this environment (the reference uses
+  * Docker); the query-building logic is pure and unit-tested, and the
+  * full JDBC execution path — partitioned read, WHERE pushdown,
+  * hydration — runs for real against a DuckDB stand-in in
+  * `graft.stac.PgstacLiveSpec`.
   */
 object PgstacReader {
 

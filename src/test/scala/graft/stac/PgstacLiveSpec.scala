@@ -1,0 +1,135 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S5/S6/J1 over a LIVE JDBC connection (reference:
+  * `tests/test_pgstac_reader.py:70-173`, which runs real Postgres in
+  * Docker). No Postgres exists in this environment, so DuckDB's JDBC
+  * driver stands in: the same `items` / `collections` table shapes are
+  * loaded into a DuckDB file and `PgstacReader.readItems` executes its
+  * real partitioned-JDBC path against it — SQL assembly, WHERE pushdown,
+  * datetime range partitioning, and broadcast hydration all run for real
+  * instead of being string-pinned.
+  *
+  * Tests self-skip (ScalaTest `assume`) if no DuckDB JDBC driver jar was
+  * found by the build.
+  */
+class PgstacLiveSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def driverPresent: Boolean =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** One DuckDB database file with 6 items across 2 collections plus the
+    * per-collection base items (the pgstac `collection_base_item` shape). */
+  private lazy val dbPath: String = {
+    val path = java.nio.file.Files.createTempDirectory("pgstac").resolve("pg.db").toString
+    val conn = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$path")
+    val st = conn.createStatement()
+    st.execute("""CREATE TABLE items (
+      id VARCHAR, geometry VARCHAR, collection VARCHAR,
+      datetime TIMESTAMP, end_datetime TIMESTAMP, content VARCHAR)""")
+    st.execute("""INSERT INTO items VALUES
+      ('i1','0101000000000000000000F03F000000000000F03F','naip',
+       TIMESTAMP '2020-01-15 00:00:00', TIMESTAMP '2020-01-15 00:00:00',
+       '{"id":"i1","properties":{"datetime":"2020-01-15T00:00:00Z"},"assets":{"image":{"href":"s3://naip/i1.tif"}}}'),
+      ('i2','0101000000000000000000004000000000000000C0','naip',
+       TIMESTAMP '2020-06-01 00:00:00', TIMESTAMP '2020-06-01 00:00:00',
+       '{"id":"i2","properties":{"datetime":"2020-06-01T00:00:00Z"},"assets":{"image":{"href":"s3://naip/i2.tif"}}}'),
+      ('i3','010100000000000000000008400000000000001040','naip',
+       TIMESTAMP '2021-03-10 00:00:00', TIMESTAMP '2021-03-10 00:00:00',
+       '{"id":"i3","properties":{"datetime":"2021-03-10T00:00:00Z"},"assets":{"image":{"href":"s3://naip/i3.tif"}}}'),
+      ('i4','0101000000000000000000144000000000000014C0','naip',
+       TIMESTAMP '2021-09-20 00:00:00', TIMESTAMP '2021-09-20 00:00:00',
+       '{"id":"i4","properties":{"datetime":"2021-09-20T00:00:00Z"},"assets":{"image":{"href":"s3://naip/i4.tif"}}}'),
+      ('s1','010100000000000000000018400000000000001840','sentinel',
+       TIMESTAMP '2020-02-02 00:00:00', TIMESTAMP '2020-02-02 00:00:00',
+       '{"id":"s1","properties":{"datetime":"2020-02-02T00:00:00Z"}}'),
+      ('s2','01010000000000000000001C400000000000001C40','sentinel',
+       TIMESTAMP '2022-02-02 00:00:00', TIMESTAMP '2022-02-02 00:00:00',
+       '{"id":"s2","properties":{"datetime":"2022-02-02T00:00:00Z"}}')""")
+    st.execute("""CREATE TABLE collections (collection VARCHAR, base_item VARCHAR)""")
+    st.execute("""INSERT INTO collections VALUES
+      ('naip','{"type":"Feature","stac_version":"1.0.0","assets":{"image":{"type":"image/tiff","roles":["data"]}}}'),
+      ('sentinel','{"type":"Feature","stac_version":"1.0.0"}')""")
+    st.close(); conn.close()
+    path
+  }
+
+  private def url = s"jdbc:duckdb:$dbPath"
+
+  test("readItems executes the items SQL over a real JDBC connection") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    val all = PgstacReader.readItems(spark, url)
+    assert(all.count() == 6)
+    assert(all.columns.toSeq ==
+      Seq("id", "geometry", "collection", "datetime", "end_datetime", "content"))
+  }
+
+  test("collection + datetime-range filters push down as WHERE over JDBC") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    val got = PgstacReader.readItems(spark, url,
+      collection = Some("naip"),
+      startDatetime = Some("2020-01-01 00:00:00"),
+      endDatetime = Some("2021-01-01 00:00:00"))
+    assert(got.select("id").collect().map(_.getString(0)).sorted.toSeq == Seq("i1", "i2"))
+  }
+
+  test("datetime bounds drive a genuinely partitioned read (one query per slice)") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    val got = PgstacReader.readItems(spark, url,
+      collection = Some("naip"),
+      startDatetime = Some("2020-01-01 00:00:00"),
+      endDatetime = Some("2022-01-01 00:00:00"),
+      numPartitions = 3)
+    assert(got.rdd.getNumPartitions == 3)
+    // no row lost or duplicated across the partition slices
+    assert(got.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("i1", "i2", "i3", "i4"))
+  }
+
+  test("end-to-end: JDBC read -> broadcast hydration merges base_item defaults") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    val items = PgstacReader.readItems(spark, url, collection = Some("naip"))
+      .select(col("collection"), col("content").as("item"))
+    val base = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "collections").load()
+    val hydrated = Hydrate.hydrateItems(items, base, itemCol = "item")
+      .select(col("item")).collect().map(_.getString(0))
+    assert(hydrated.length == 4)
+    // the base item contributed type/roles that raw content lacks
+    hydrated.foreach { j =>
+      assert(j.contains("\"stac_version\":\"1.0.0\""))
+      assert(j.contains("\"type\":\"image/tiff\""))
+      assert(j.contains("\"roles\":[\"data\"]"))
+    }
+    // per-item fields survived the merge
+    assert(hydrated.exists(_.contains("s3://naip/i1.tif")))
+  }
+
+  test("partitions sync query shape runs on a live connection") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    // partitions_view is pgstac-internal; emulate its projection to prove
+    // the watermark filter + ordering run on a real connection
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("""CREATE OR REPLACE VIEW partitions_view AS
+      SELECT collection, 'p0' AS partition,
+             ['2020-01-01 00:00:00'::TIMESTAMP, '2022-01-01 00:00:00'::TIMESTAMP] AS partition_dtrange,
+             TIMESTAMP '2024-05-02 00:00:00' AS last_updated
+      FROM (SELECT DISTINCT collection FROM items)""")
+    st.close(); conn.close()
+    val sql = PgstacReader.partitionsSql(Some("2024-05-01T00:00:00Z"))
+      // DuckDB lacks Postgres range types; the emulation view stores the
+      // dtrange as a 2-element list, so map lower()/upper() accessors
+      .replace("lower(partition_dtrange)", "partition_dtrange[1]")
+      .replace("upper(partition_dtrange)", "partition_dtrange[2]")
+    val parts = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", s"($sql) p").load()
+    assert(parts.count() == 2)
+    assert(parts.columns.contains("last_updated"))
+  }
+}
