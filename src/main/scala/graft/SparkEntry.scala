@@ -8,6 +8,7 @@ object SparkEntry {
   /** All verifiable queries, grouped by domain. */
   def specs: Seq[QuerySpec] =
     _root_.graft.queries.Relational.specs ++
+      _root_.graft.queries.BucketedOps.specs ++
       _root_.graft.queries.TextOps.specs ++
       _root_.graft.queries.DedupOps.specs ++
       _root_.graft.queries.SimilarityOps.specs ++

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located fact-fact join as a value-checked gate entry — the
+  * 100-TB join strategy: both fact tables bucketed by the join key at
+  * write time, so every subsequent join on that key reads co-located
+  * buckets and never exchanges either side. At cluster scale this is the
+  * difference between shuffling two 100-TB tables per join and shuffling
+  * them once at ingest.
+  *
+  * The bucketed tables are materialized once per (session, dataset) into
+  * a /tmp-located database (the one-time ingest cost); the gate query
+  * then runs the exchange-free join and ASSERTS the physical plan shuffles
+  * neither join key — a plan regression fails the gate row, not just a
+  * unit test. Values are checked against DuckDB over the raw tables
+  * (bucketing must never change results).
+  */
+object BucketedOps {
+
+  private val tables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  /** Bucketed copies of lineitem/orders keyed by orderkey (8 buckets,
+    * sorted within buckets). Idempotent per session; leftover on-disk
+    * locations from dead sessions are cleared first (the in-memory catalog
+    * forgets them but the directories survive). */
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    tables.getOrElseUpdate((s, dir), {
+      val tag = java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(dir)).takeRight(8)
+      val db = s"graft_bkt_$tag"
+      val loc = s"/tmp/graft_bkt_$tag"
+      val li = s"$db.lineitem_b"
+      val ord = s"$db.orders_b"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      def freshTable(name: String, leafDir: String)(write: => Unit): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val p = java.nio.file.Paths.get(loc, leafDir)
+          if (java.nio.file.Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+          write
+        }
+      freshTable(li, "lineitem_b") {
+        Tables.t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .format("parquet").saveAsTable(li)
+      }
+      freshTable(ord, "orders_b") {
+        Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .format("parquet").saveAsTable(ord)
+      }
+      (li, ord)
+    })
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec(
+      "q20_bucketed_join",
+      Some("""
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE)/100.0 AS gross
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""),
+      (s, dir) => {
+        val (li, ord) = bucketedTables(s, dir)
+        // `merge` hint: a fact-fact join must not broadcast at scale; with
+        // both sides bucketed to the same count the SMJ needs no exchange
+        val joined = s.table(li).hint("merge")
+          .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("gross"))
+          .orderBy(col("o_orderpriority"))
+        val plan = joined.queryExecution.executedPlan.toString
+        require(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+          !plan.contains("Exchange hashpartitioning(o_orderkey"),
+          s"bucketed join must not shuffle its join keys:\n$plan")
+        require(plan.contains("SortMergeJoin"),
+          s"bucketed fact-fact join should sort-merge over co-located buckets:\n$plan")
+        joined
+      })
+  )
+}
