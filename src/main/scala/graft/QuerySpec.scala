@@ -16,12 +16,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *              (e.g. a streaming query materialized to a sink) — they stay
   *              in the correctness gate but are excluded from Bench timing
   *              and PlanDump (their returned frame is the already-computed
-  *              result, not the pipeline). */
+  *              result, not the pipeline).
+  * @param prepare one-time harness prep (fixture materialization: writing
+  *              the ndjson corpus, bucketing the fact tables) run by Bench
+  *              BEFORE the timer starts — the amortized ingest cost of a
+  *              strategy, not per-query work. Implementations must be
+  *              idempotent per session (the run function also invokes them
+  *              lazily, so correctness never depends on prepare being
+  *              called first). */
 final case class QuerySpec(
     name: String,
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame,
-    timed: Boolean = true)
+    timed: Boolean = true,
+    prepare: Option[(SparkSession, String) => Unit] = None)
 
 object Tables {
   val all: Seq[String] = Seq(

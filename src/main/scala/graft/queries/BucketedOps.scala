@@ -91,6 +91,7 @@ object BucketedOps {
         require(plan.contains("SortMergeJoin"),
           s"bucketed fact-fact join should sort-merge over co-located buckets:\n$plan")
         joined
-      })
+      },
+      prepare = Some((s, dir) => bucketedTables(s, dir)))
   )
 }

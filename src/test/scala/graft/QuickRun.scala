@@ -32,7 +32,9 @@ object QuickRun {
     spark.sparkContext.setLogLevel("WARN")
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
+      val byName = SparkEntry.specs.map(q => q.name -> q).toMap
       names.foreach { n =>
+        byName(n).prepare.foreach(p => p(spark, dir)) // untimed, like Bench
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
         println(f"[quickrun] $n%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s")
