@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support: image/audio/video as opaque binary columns
   * with typed metadata, processed batch-at-a-time through mapPartitions.
   *
-  * The IMAGE path is real: [[encodePng]] emits genuine PNG bytes
-  * (java.awt.image + javax.imageio, JDK-builtin — no external jar) and
-  * [[decodeImage]] reads any PNG/JPEG the JDK can parse, so the gate
-  * queries exercise a true encode→bytes→decode round trip. The audio and
-  * video-frame decoders remain deterministic STUBS (no audio/video codec
-  * ships with the JDK for those containers); their Spark-side plumbing —
-  * schema, partitioning, batch shape, typed Dataset boundary — is real
-  * and verified end-to-end, and swapping the stub for a JNI/library call
-  * changes nothing else.
+  * The IMAGE and AUDIO paths are real, JDK-builtin codecs (no external
+  * jar): [[encodePng]]/[[decodeImage]] emit and parse genuine PNG/JPEG
+  * bytes via javax.imageio, and [[encodeWav]]/[[decodeAudio]] emit and
+  * parse genuine RIFF/WAV via javax.sound.sampled — the gate queries
+  * exercise true encode→binary column→decode round trips. Only the
+  * video-frame decoder remains a deterministic STUB (no video codec ships
+  * with the JDK); its Spark-side plumbing — schema, partitioning, batch
+  * shape, typed Dataset boundary — is real and verified end-to-end, and
+  * swapping the stub for a JNI/library call changes nothing else.
   *
   * Scale notes: binary payloads stay columnar in parquet; codecs run
   * per-row inside a partition iterator (no per-row task overhead, no
@@ -103,21 +103,51 @@ object Multimodal {
     }(Encoders.product[ImageMeta])
   }
 
-  /** STUB audio decoder (documented: no audio codec in this JDK for the
-    * formats a real pipeline carries; swap for a library call). */
-  def decodeAudioStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
-    (if (b2 % 2 == 0) 44100 else 16000, b3 * 250 + 1000, b2 % 2 + 1)
+  /** Real WAV encoder (JDK javax.sound.sampled): `frames` samples of
+    * 16-bit signed PCM at `sampleRate`, `channels`-channel, payload a
+    * deterministic sawtooth seeded by `seed`. */
+  def encodeWav(sampleRate: Int, channels: Int, frames: Int, seed: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * 2 * channels)
+    var i = 0
+    while (i < pcm.length / 2) {
+      val v = ((seed + i * 257) % 65536 - 32768).toShort
+      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
   }
 
-  /** Audio metadata extraction. */
+  /** Real WAV decoder: sample rate, duration (floor ms), channel count
+    * parsed from the actual RIFF header by the JDK's audio file reader.
+    * Returns (-1, -1, -1) for bytes no installed reader understands. */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Int) =
+    try {
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ff.getFormat
+      val rate = fmt.getSampleRate.toInt
+      val durMs = (ff.getFrameLength.toLong * 1000L / rate).toInt
+      (rate, durMs, fmt.getChannels)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => (-1, -1, -1)
+      case _: java.io.IOException => (-1, -1, -1)
+    }
+
+  /** Audio metadata extraction — REAL WAV header parse. */
   def extractAudioMeta(df: DataFrame, idCol: String = "doc_id",
                        binCol: String = "payload"): Dataset[AudioMeta] = {
     val pruned = df.select(col(idCol).cast("long"), col(binCol))
     pruned.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val (sr, dur, ch) = decodeAudioStub(bytes)
+        val (sr, dur, ch) = decodeAudio(bytes)
         AudioMeta(r.getLong(0), sr, dur, ch)
       }
     }(Encoders.product[AudioMeta])

@@ -73,6 +73,40 @@ object MultimodalOps {
           .orderBy(col("doc_id"), col("frame_idx"))
       }),
 
+    // Real WAV codec round trip: each document derives a 16-bit PCM WAV
+    // (rate/channels/frame count from md5 bytes), encoded with the JDK's
+    // javax.sound.sampled writer inside the query and parsed back from
+    // the actual RIFF header. The oracle replays the written arithmetic:
+    // duration_ms = frames*1000 // rate (floor division, both engines).
+    QuerySpec(
+      "m04_audio_metadata",
+      Some("""
+        SELECT doc_id,
+               CASE WHEN CAST(('0x'||substr(md5(text),11,2)) AS INTEGER) % 2 = 0
+                    THEN 44100 ELSE 16000 END AS sample_rate,
+               CAST((CAST(('0x'||substr(md5(text),13,2)) AS BIGINT) * 50 + 1000) * 1000
+                    // (CASE WHEN CAST(('0x'||substr(md5(text),11,2)) AS INTEGER) % 2 = 0
+                        THEN 44100 ELSE 16000 END) AS INTEGER) AS duration_ms,
+               CAST(('0x'||substr(md5(text),15,2)) AS INTEGER) % 2 + 1 AS channels
+        FROM documents
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val wavUdf = udf { (rate: Int, ch: Int, frames: Int, seed: Int) =>
+          Multimodal.encodeWav(rate, ch, frames, seed)
+        }
+        val docs = Tables.t(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            wavUdf(
+              when(md5Byte(5) % 2 === 0, 44100).otherwise(16000),
+              md5Byte(7) % 2 + 1,
+              md5Byte(6) * 50 + 1000,
+              md5Byte(8)).as("payload"))
+        Multimodal.extractAudioMeta(docs).toDF()
+          .select(col("doc_id"), col("sample_rate"), col("duration_ms"), col("channels"))
+          .orderBy(col("doc_id"))
+      }),
+
     // Feature extraction over DECODED PIXELS: the PNG payload is decoded
     // through ImageIO and the flat RGB sequence [r,g,b,r,g,b,…] folds into
     // 4 float buckets (bucket i sums channel values at positions ≡ i mod

@@ -49,13 +49,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("audio metadata extraction") {
-    val rows = Multimodal.extractAudioMeta(payloads).collect()
-    assert(rows.length == 500)
+  test("audio metadata extraction parses real WAV headers") {
+    val wav = udf((id: Long) => Multimodal.encodeWav(
+      if (id % 2 == 0) 44100 else 16000, (id % 2).toInt + 1, 2000 + id.toInt, id.toInt))
+    val audio = spark.range(0, 20).select(col("id").as("doc_id"), wav(col("id")).as("payload"))
+    val rows = Multimodal.extractAudioMeta(audio).collect().sortBy(_.doc_id)
+    assert(rows.length == 20)
     rows.foreach { a =>
-      assert(a.sample_rate == 44100 || a.sample_rate == 16000)
-      assert(a.channels == 1 || a.channels == 2)
+      val rate = if (a.doc_id % 2 == 0) 44100 else 16000
+      assert(a.sample_rate == rate)
+      assert(a.channels == (a.doc_id % 2).toInt + 1)
+      assert(a.duration_ms == (2000 + a.doc_id.toInt) * 1000L / rate)
     }
+    // corrupt bytes surface as -1, not an exception
+    assert(Multimodal.decodeAudio(Array.fill[Byte](32)(7)) == ((-1, -1, -1)))
   }
 
   test("frame sampling explodes one row per sampled frame") {
