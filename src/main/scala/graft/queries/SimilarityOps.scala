@@ -47,6 +47,27 @@ object SimilarityOps {
       s"(CASE WHEN $e[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Exact k-NN: guarded broadcast of the (small) query set, corpus
+    * streamed past it, and per-query top-k via the bounded-buffer
+    * aggregate (graft.operators.TopK) — the shuffle carries k-element
+    * buffers per query per map task, never the n·q scored rows a window
+    * would move. Output: (query_id, rank, neighbor_id, cos·1e-9-rounded). */
+  private def exactKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val topk = graft.operators.TopK.topK(k)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nbr.id").as("neighbor_id"), round(col("nbr.score"), 9).as("cos"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- brute-force cosine top-5 for a query set -----
@@ -66,7 +87,6 @@ object SimilarityOps {
         FROM rk WHERE rank <= 5
         ORDER BY query_id, rank"""),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
         // broadcast the QUERY side only (small by construction, and guarded
@@ -76,17 +96,7 @@ object SimilarityOps {
           e.filter(col("vec_id") < 50),
           what = "s01 exact k-NN query set",
           route = "use s03_ann_lsh_bucketed or s04_ann_ivf for corpus-sized query sets")
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-        val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
-          .orderBy(col("query_id"), col("rank"))
+        exactKnn(q, e, k = 5).orderBy(col("query_id"), col("rank"))
       }),
 
     // ----- global top-20 closest pairs (embedding near-dup detection) -----
@@ -300,23 +310,15 @@ object SimilarityOps {
           .select(col("query_id"), col("neighbor_id"))
         val lsh = pairsOf("s03_ann_lsh_bucketed")
         val ivf = pairsOf("s04_ann_ivf")
-        // exact ground truth: guarded broadcast of the query set, corpus
-        // streams past it (the s01 shape)
+        // exact ground truth: the s01 shape (guarded query broadcast,
+        // streamed corpus, bounded top-k aggregate)
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
         val q = graft.operators.AllPairsTopK.requireBroadcastable(
           e.filter(col("vec_id") % 100 === 0),
           what = "s06 recall query set",
           route = "recall audits should sample a bounded query set")
-          .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        val exact = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-          .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
+        val exact = exactKnn(q, e, k = 3)
           .select(col("query_id"), col("neighbor_id"))
         val nq = q.agg(count(lit(1)).as("nq"))
         val hl = exact.join(lsh, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("hl"))

@@ -111,6 +111,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(blocked.map(p => (p._1, p._2)).distinct.size == 15) // no dup pairs
   }
 
+  test("TopK aggregate: equals the window ranking and partially aggregates") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(11)
+    val scored = (0 until 2000).map { i =>
+      (i.toLong % 7, rng.nextInt(50).toDouble, i.toLong)
+    }.toDF("g", "score", "id").repartition(8) // ties guaranteed (50 buckets)
+    val viaAgg = scored.groupBy("g")
+      .agg(TopK.topK(5)(col("score"), col("id")).as("nbrs"))
+      .select(col("g"), posexplode(col("nbrs")).as(Seq("pos", "n")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("n.id").as("id"), col("n.score").as("score"))
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5).select("g", "rank", "id", "score")
+    assert(viaAgg.collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3))).sorted.toSeq ==
+      viaWindow.collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getDouble(3))).sorted.toSeq)
+    // the plan must aggregate (partial top-k buffers), not window-sort
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based plan:\n$plan")
+  }
+
   test("AllPairsTopK: adaptive probe routes big inputs to the blocked plan; guard trips") {
     val pts = (0L until 30L).map(i => (i, i.toDouble)).toDF("id", "x")
     def score(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
