@@ -63,17 +63,23 @@ object Multimodal {
         bytes(2) == 'N' && bytes(3) == 'G') "png"
       else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
       else "unknown"
+    // NonFatal, not just IOException: ImageIO.read throws RuntimeExceptions
+    // on malformed-but-magic-valid inputs (bogus dimensions, broken ICC
+    // profiles) and the corrupt-row contract must hold for those too
     val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) (-1, -1, format)
     else (img.getWidth, img.getHeight, format)
   }
 
   /** Decoded RGB pixels as a flat [r,g,b, r,g,b, …] byte-value sequence
-    * (row-major) — the input surface for pixel-space feature extraction. */
+    * (row-major) — the input surface for pixel-space feature extraction.
+    * Null for undecodable bytes (same corrupt-row contract as
+    * [[decodeImage]]: surface a filterable value, don't kill the task). */
   def decodeRgb(bytes: Array[Byte]): Array[Int] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    require(img != null, "undecodable image bytes")
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
     val seq = new Array[Int](3 * w * h)
     var y = 0; var i = 0
@@ -136,8 +142,9 @@ object Multimodal {
       val durMs = (ff.getFrameLength.toLong * 1000L / rate).toInt
       (rate, durMs, fmt.getChannels)
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => (-1, -1, -1)
-      case _: java.io.IOException => (-1, -1, -1)
+      // NonFatal: header parsers can throw RuntimeExceptions on malformed
+      // RIFF chunks, not just the two declared exception types
+      case scala.util.control.NonFatal(_) => (-1, -1, -1)
     }
 
   /** Audio metadata extraction — REAL WAV header parse. */
@@ -163,10 +170,13 @@ object Multimodal {
                            idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
     val featUdf = udf { (bytes: Array[Byte]) =>
       val seq = decodeRgb(bytes)
-      val acc = new Array[Float](dim)
-      var i = 0
-      while (i < seq.length) { acc(i % dim) += seq(i).toFloat; i += 1 }
-      acc
+      if (seq == null) null // corrupt payload → null features, filterable
+      else {
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < seq.length) { acc(i % dim) += seq(i).toFloat; i += 1 }
+        acc
+      }
     }
     df.select(col(idCol), featUdf(col(binCol)).as("features"))
   }

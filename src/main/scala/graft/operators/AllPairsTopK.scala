@@ -57,10 +57,16 @@ object AllPairsTopK {
                    k: Int, blocks: Int = 8,
                    broadcastThreshold: Long = 100000L): DataFrame = {
     require(blocks >= 1, s"blocks must be >= 1, got $blocks")
-    val probe = df.select(col(idCol))
-      .limit(math.min(broadcastThreshold + 1, Int.MaxValue).toInt).count()
-    if (probe <= broadcastThreshold) closestPairsBroadcast(df, idCol, score, k)
-    else closestPairsBlocked(df, idCol, score, k, blocks)
+    // clamp BEFORE adding 1: threshold+1 can overflow Long, and a probe
+    // capped at Int.MaxValue rows cannot distinguish larger inputs — any
+    // threshold at/above the cap routes to the blocked plan unprobed
+    val capped = math.min(broadcastThreshold, Int.MaxValue - 1L)
+    if (broadcastThreshold > capped) closestPairsBlocked(df, idCol, score, k, blocks)
+    else {
+      val probe = df.select(col(idCol)).limit((capped + 1).toInt).count()
+      if (probe <= broadcastThreshold) closestPairsBroadcast(df, idCol, score, k)
+      else closestPairsBlocked(df, idCol, score, k, blocks)
+    }
   }
 
   /** Broadcast nested-loop exact closest pairs — small inputs only (the
@@ -115,7 +121,10 @@ object AllPairsTopK {
     * executor. The probe reads at most maxRows+1 rows (limit-pushdown). */
   def requireBroadcastable(df: DataFrame, what: String, route: String,
                            maxRows: Long = 100000L): DataFrame = {
-    val n = df.limit(math.min(maxRows + 1, Int.MaxValue).toInt).count()
+    val capped = math.min(maxRows, Int.MaxValue - 1L)
+    require(maxRows == capped,
+      s"maxRows=$maxRows exceeds the probe's Int.MaxValue row cap — a guard that can't probe that many rows can't enforce the bound")
+    val n = df.limit((capped + 1).toInt).count()
     require(n <= maxRows,
       s"$what has >$maxRows rows — too large to broadcast; $route")
     df

@@ -24,9 +24,19 @@ final case class Scored(score: Double, id: Long)
 final class TopKAggregator(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
-  /** true when a ranks strictly better than b. */
-  private def better(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** true when a ranks strictly better than b. java.lang.Double.compare
+    * gives Spark's sort semantics for the score — NaN greater than every
+    * value and equal to itself — so a NaN score ranks FIRST under
+    * descending order, exactly like the `row_number().over(orderBy(desc))`
+    * window this aggregate replaces (raw `>`/`==` would instead rank NaN
+    * last and silently diverge). */
+  private def better(a: Scored, b: Scored): Boolean = {
+    // -0.0 folds to 0.0 first: Spark normalizes signed zeros before sort
+    // (NormalizeFloatingNumbers), Double.compare orders them
+    def n(x: Double) = if (x == 0.0) 0.0 else x
+    val c = java.lang.Double.compare(n(a.score), n(b.score))
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** buffer invariant: sorted best-first, length <= k. */
   private def insert(buf: Seq[Scored], x: Scored): Seq[Scored] =

@@ -62,8 +62,6 @@ object BucketedOps {
     })
   }
 
-  private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
-
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec(
       "q20_bucketed_join",
@@ -82,7 +80,7 @@ object BucketedOps {
           .join(s.table(ord), col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_items"),
-            (sum(cents(col("l_extendedprice"))).cast("double") / 100.0).as("gross"))
+            (sum(Relational.cents(col("l_extendedprice"))).cast("double") / 100.0).as("gross"))
           .orderBy(col("o_orderpriority"))
         val plan = joined.queryExecution.executedPlan.toString
         require(!plan.contains("Exchange hashpartitioning(l_orderkey") &&

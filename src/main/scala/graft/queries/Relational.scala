@@ -23,7 +23,7 @@ object Relational {
     * a divergence needs x*100 within 0.5 of a true .5 tie, and the double
     * error of n/100*100 is ~1e-10. The oracle keeps `round(x*100,0)` —
     * values are identical (checked exhaustively at sf0.1). */
-  private def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
+  private[queries] def cents(c: Column): Column = floor(c * 100 + 0.5).cast("long")
   /** Exact integer percent from a 2-decimal fraction column. */
   private def pct(c: Column): Column = floor(c * 100 + 0.5).cast("long")
 

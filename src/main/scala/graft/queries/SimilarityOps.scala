@@ -359,6 +359,7 @@ object SimilarityOps {
             round(col("jaccard"), 9).as("jaccard"),
             round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 9).as("cos"))
           .orderBy(col("doc_a"), col("doc_b"))
-      })
+      },
+      prepare = graft.queries.DedupOps.materializePairs)
   )
 }

@@ -49,6 +49,17 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt payloads yield null features and do not kill the task") {
+    val mixed = udf((id: Long) =>
+      if (id == 2L) Array.fill[Byte](16)(33) // not an image
+      else Multimodal.encodePng(3, 3, 1, 2, 3))
+    val imgs = spark.range(0, 4).select(col("id").as("doc_id"), mixed(col("id")).as("payload"))
+    val rows = Multimodal.extractPixelFeatures(imgs, dim = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(2L).isEmpty)                    // corrupt row → null, query survived
+    assert(rows.filterKeys(_ != 2L).forall(_._2.nonEmpty))
+  }
+
   test("audio metadata extraction parses real WAV headers") {
     val wav = udf((id: Long) => Multimodal.encodeWav(
       if (id % 2 == 0) 44100 else 16000, (id % 2).toInt + 1, 2000 + id.toInt, id.toInt))

@@ -132,6 +132,21 @@ class OperatorSpec extends AnyFunSuite {
       s"expected an aggregate-based plan:\n$plan")
   }
 
+  test("TopK aggregate: NaN scores rank first under desc, like the window it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Seq((1L, 0.9, 10L), (1L, Double.NaN, 11L), (1L, 0.8, 12L), (1L, Double.NaN, 9L))
+      .toDF("g", "score", "id").repartition(3)
+    val viaAgg = scored.groupBy("g")
+      .agg(TopK.topK(3)(col("score"), col("id")).as("nbrs"))
+      .select(posexplode(col("nbrs")).as(Seq("pos", "n")))
+      .select(col("n.id")).collect().map(_.getLong(0)).toSeq
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = scored.withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .orderBy("r").select("id").collect().map(_.getLong(0)).toSeq
+    assert(viaAgg == viaWindow) // NaN pair (ids 9, 11) first, then 0.9
+    assert(viaAgg == Seq(9L, 11L, 10L))
+  }
+
   test("AllPairsTopK: adaptive probe routes big inputs to the blocked plan; guard trips") {
     val pts = (0L until 30L).map(i => (i, i.toDouble)).toDF("id", "x")
     def score(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
