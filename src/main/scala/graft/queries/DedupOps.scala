@@ -45,12 +45,16 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(graft.functions.TextFunctions.minhashSig(col("g"), nSeeds)).as(Seq("seed", "mhv")))
 
-  /** Shared CTE: LSH candidates verified with exact n-gram Jaccard (`jp`). */
-  private[queries] def pairsCte: String = s"""
+  /** DuckDB CTE for the distinct word-3-gram shingle sets (`sg`). */
+  private[queries] def sgCte: String = s"""
     sg AS (SELECT doc_id,
                   list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2]
                                  for i in generate_series(1, len(ws)-2)]) AS g
-           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)),
+           FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents))"""
+
+  /** Shared CTE: LSH candidates verified with exact n-gram Jaccard (`jp`). */
+  private[queries] def pairsCte: String = s"""
+    $sgCte,
     mh AS (SELECT doc_id, s.seed AS seed,
                   list_aggregate(list_transform(g, x -> md5(s.seed||':'||x)), 'min') AS mhv
            FROM sg, (SELECT unnest(generate_series(0, ${nSeeds - 1})) AS seed) s),
@@ -214,6 +218,68 @@ object DedupOps {
             col("cluster_size"), (col("id") === col("component")).as("is_kept"))
           .orderBy(col("doc_id"))
       },
-      prepare = materializePairs)
+      prepare = materializePairs),
+
+    // ----- benchmark decontamination (n-gram overlap vs an eval set) -----
+    // The pretraining decontamination step: flag corpus documents sharing
+    // any word-3-gram with a (small) held-out benchmark set. The eval
+    // shingle vocabulary broadcasts — the corpus side is one narrow
+    // explode + broadcast hash join + hash-agg, linear in corpus size and
+    // never joined corpus×corpus. Here the "benchmark" is doc_id < 10.
+    QuerySpec(
+      "d07_contamination",
+      Some(s"""
+        WITH $sgCte,
+             ev AS (SELECT DISTINCT unnest(g) AS sh FROM sg WHERE doc_id < 10),
+             ds AS (SELECT doc_id, unnest(g) AS sh FROM sg WHERE doc_id >= 10)
+        SELECT ds.doc_id, count(DISTINCT ds.sh) AS n_shared
+        FROM ds JOIN ev ON ds.sh = ev.sh
+        GROUP BY ds.doc_id
+        ORDER BY ds.doc_id"""),
+      (s, dir) => {
+        val sg = docShingles(s, dir)
+        val ev = sg.filter(col("doc_id") < 10)
+          .select(explode(col("g")).as("sh")).distinct()
+        val ds = sg.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(col("g")).as("sh"))
+        ds.join(broadcast(ev), "sh")
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("sh")).as("n_shared"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // ----- deterministic stratified sampling (corpus mixture control) -----
+    // The domain-mixing op of a training-data pipeline: downsample each
+    // source to a target rate with a DETERMINISTIC hash bucket per doc
+    // (md5 — identical bytes in both engines), so the sample is
+    // reproducible run-to-run and machine-to-machine, unlike rand()-based
+    // sampling. Narrow scan + one hash-agg; the kept-id checksum
+    // value-checks the exact membership, not just the counts.
+    QuerySpec(
+      "d06_stratified_sample",
+      Some("""
+        WITH s AS (SELECT source, doc_id,
+                          CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,4)) AS BIGINT) % 100 AS bucket,
+                          CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 50 ELSE 90 END AS rate
+                   FROM documents)
+        SELECT source, count(*) AS n_total,
+               CAST(count(*) FILTER (bucket < rate) AS BIGINT) AS n_kept,
+               CAST(coalesce(sum(doc_id) FILTER (bucket < rate), 0) AS BIGINT) AS kept_id_sum
+        FROM s
+        GROUP BY source
+        ORDER BY source"""),
+      (s, dir) => {
+        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100
+        val rate = when(col("source") === "src0", 10)
+          .when(col("source") === "src1", 50).otherwise(90)
+        Tables.t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), (bucket < rate).as("kept"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("kept"), 1)).as("n_kept"),
+            coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("kept_id_sum"))
+          .orderBy(col("source"))
+      })
   )
 }

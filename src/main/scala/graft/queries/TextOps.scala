@@ -217,6 +217,45 @@ object TextOps {
           .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
             round(col("score"), 9).as("score"))
           .orderBy(col("doc_id"), col("rank"))
+      }),
+
+    // ----- repetition/quality signals (Gopher-style filters) -----
+    // The document-level repetition family real pretraining pipelines
+    // filter on: duplicate-word fraction and most-frequent-word share.
+    // Pure scan-stage higher-order functions (no explode, no shuffle
+    // until the output sort) — linear at any corpus size. Ratios are a
+    // single double division of exact integers.
+    QuerySpec(
+      "t08_repetition_stats",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             s AS (SELECT doc_id, len(ws) AS n_words,
+                          len(list_distinct(ws)) AS n_distinct,
+                          list_max([len(list_filter(ws, x -> x = u))
+                                    for u in list_distinct(ws)]) AS top_freq
+                   FROM w)
+        SELECT doc_id, n_words, n_distinct,
+               CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END AS rep_ratio,
+               CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(top_freq AS DOUBLE) / n_words END AS top_share
+        FROM s
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val ws = words(col("text"))
+        val distinctWs = array_distinct(ws)
+        val topFreq = array_max(transform(distinctWs, u => size(filter(ws, x => x === u))))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), size(ws).as("n_words"),
+            size(distinctWs).as("n_distinct"), topFreq.as("top_freq"))
+          .select(col("doc_id"), col("n_words"), col("n_distinct"),
+            when(col("n_words") === 0, lit(0.0))
+              .otherwise((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+              .as("rep_ratio"),
+            when(col("n_words") === 0, lit(0.0))
+              .otherwise(col("top_freq").cast("double") / col("n_words"))
+              .as("top_share"))
+          .orderBy(col("doc_id"))
       })
   )
 }
