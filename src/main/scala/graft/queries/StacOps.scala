@@ -192,6 +192,43 @@ object StacOps {
       },
       prepare = Some((s, dir) => itemsNdjsonDir(s, dir))),
 
+    // ----- the 100-TB ingest fast path: Explicit schema, ONE pass -----
+    // Same corpus, same oracle, same output as stac05, but with a
+    // caller-supplied schema (the reference's explicit-pa.Schema strategy,
+    // `_api.py:103-112`): no inference pass, and the schema names only the
+    // fields this pipeline consumes, so the JSON parser skips the rest —
+    // schema pruning pushed into the parse. The bench delta between
+    // stac05 and stac08 IS the measured cost of inference at this scale.
+    QuerySpec(
+      "stac08_explicit_ingest",
+      Some("""
+        SELECT 'o' || o_orderkey AS id,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%fZ') AS datetime_out,
+               CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin,
+               CAST(o_orderkey % 170 - 85 AS DOUBLE) AS ymin,
+               21 AS wkb_len
+        FROM orders
+        ORDER BY id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("id", StringType),
+          StructField("geometry", BinaryType),
+          StructField("bbox", ArrayType(DoubleType)),
+          StructField("properties", StructType(Seq(StructField("datetime", StringType))))))
+        val norm = Normalize(
+          StacJsonReader.read(s, Seq(itemsNdjsonDir(s, dir)),
+            StacJsonReader.Explicit(schema)),
+          bboxDims = Some(4))
+        norm.select(col("id"),
+            date_format(col("datetime"), graft.stac.StacSchema.Rfc3339Format).as("datetime_out"),
+            col("bbox").getField("xmin").as("xmin"),
+            col("bbox").getField("ymin").as("ymin"),
+            length(col("geometry")).cast("int").as("wkb_len"))
+          .orderBy(col("id"))
+      },
+      prepare = Some((s, dir) => itemsNdjsonDir(s, dir))),
+
     // ----- F2: CQL2 JSON filter translated to a native Catalyst predicate -----
     // and / >= timestamp / in / s_intersects (planar bbox overlap) — the
     // translated conjunction reaches the parquet scan as PushedFilters on
