@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatDot, MinHashSig, RollingHashStats, SimHashSig, WordShingles}
+import graft.functions.{FloatDot, MinHashSig, RepetitionStats, RollingHashStats, SimHashSig, WordShingles}
 
 /** Spark-native registration of graft's Catalyst expressions, so SQL users
   * get them too:
@@ -51,7 +51,11 @@ object GraftFunctions {
     ("rolling_hash_stats",
       info("rolling_hash_stats",
         "rolling_hash_stats(text, w) - Rabin-Karp window fingerprint stats"),
-      (es: Seq[Expression]) => RollingHashStats(es(0), intLit(es(1), "window width"))))
+      (es: Seq[Expression]) => RollingHashStats(es(0), intLit(es(1), "window width"))),
+    ("repetition_stats",
+      info("repetition_stats",
+        "repetition_stats(text) - (n_words, n_distinct, top_freq) in one pass"),
+      (es: Seq[Expression]) => RepetitionStats(es(0))))
 
   /** Register on an already-running session (the extensions path only
     * applies at session construction). */

@@ -264,7 +264,48 @@ case class RollingHashStats(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** One-pass repetition/quality stats (Gopher-style filter inputs): word
+  * count, distinct-word count, and most-frequent-word count in a single
+  * tokenization with a per-row hash map — the composable form
+  * (`transform(array_distinct(ws), u -> size(filter(ws, x -> x = u)))`)
+  * is O(distinct × words) interpreted lambda calls per document.
+  * Tokenization matches `split(text, " ")` exactly: single-space split,
+  * empty tokens (including trailing) kept. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_freq", IntegerType, nullable = false)))
+
+  override def prettyName: String = "repetition_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"repetition_stats requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int](words.length * 2)
+    var top = 0
+    var i = 0
+    while (i < words.length) {
+      val c = counts.merge(words(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    InternalRow(words.length, counts.size(), top)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 object TextFunctions {
+  def repetitionStats(text: Column): Column =
+    GraftSqlShim.column(RepetitionStats(GraftSqlShim.expression(text)))
+
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlShim.column(WordShingles(GraftSqlShim.expression(text), n))
 

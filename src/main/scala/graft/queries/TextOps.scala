@@ -242,12 +242,13 @@ object TextOps {
         FROM s
         ORDER BY doc_id"""),
       (s, dir) => {
-        val ws = words(col("text"))
-        val distinctWs = array_distinct(ws)
-        val topFreq = array_max(transform(distinctWs, u => size(filter(ws, x => x === u))))
+        // native one-pass expression (graft.functions.RepetitionStats);
+        // the composable transform/filter form costs O(distinct × words)
+        // interpreted lambda calls per document
+        val st = graft.functions.TextFunctions.repetitionStats(col("text"))
         Tables.t(s, dir, "documents")
-          .select(col("doc_id"), size(ws).as("n_words"),
-            size(distinctWs).as("n_distinct"), topFreq.as("top_freq"))
+          .select(col("doc_id"), st.getField("n_words").as("n_words"),
+            st.getField("n_distinct").as("n_distinct"), st.getField("top_freq").as("top_freq"))
           .select(col("doc_id"), col("n_words"), col("n_distinct"),
             when(col("n_words") === 0, lit(0.0))
               .otherwise((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))

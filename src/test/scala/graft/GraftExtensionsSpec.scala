@@ -17,13 +17,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       word_shingles('a b c d', 3) AS sh,
         |       minhash_sig(word_shingles('a b c d', 3), 2) AS mh,
         |       simhash_sig('hello world') AS sim,
-        |       rolling_hash_stats('abcdef', 3).n_windows AS nw
+        |       rolling_hash_stats('abcdef', 3).n_windows AS nw,
+        |       repetition_stats('a b a a c') AS rep
         |""".stripMargin).collect()(0)
     assert(row.getDouble(0) == 1.5 * 2.0 + 2.0 * 0.5)
     assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(row.getSeq[String](2).length == 2)
     assert(row.getLong(3) != 0L)
     assert(row.getInt(4) == 4)
+    val rep = row.getStruct(5)
+    assert((rep.getInt(0), rep.getInt(1), rep.getInt(2)) == ((5, 3, 3)))
   }
 
   test("GraftExtensions injects the same functions at session build") {
