@@ -32,30 +32,38 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  /** Exact-arity check: extra arguments must error, not be silently
+    * ignored, and zero arguments must not IndexOutOfBounds. */
+  private def arity(es: Seq[Expression], n: Int, name: String): Seq[Expression] = {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name takes exactly $n argument(s), got ${es.length}")
+    es
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("float_dot",
       info("float_dot", "float_dot(a, b) - double-precision dot product of two float arrays"),
-      (es: Seq[Expression]) => FloatDot(es(0), es(1))),
+      (es: Seq[Expression]) => { val a = arity(es, 2, "float_dot"); FloatDot(a(0), a(1)) }),
     ("word_shingles",
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
-      (es: Seq[Expression]) => WordShingles(es(0), intLit(es(1), "shingle width"))),
+      (es: Seq[Expression]) => { val a = arity(es, 2, "word_shingles"); WordShingles(a(0), intLit(a(1), "shingle width")) }),
     ("minhash_sig",
       info("minhash_sig", "minhash_sig(shingles, nSeeds) - MinHash signature array"),
-      (es: Seq[Expression]) => MinHashSig(es(0), intLit(es(1), "seed count"))),
+      (es: Seq[Expression]) => { val a = arity(es, 2, "minhash_sig"); MinHashSig(a(0), intLit(a(1), "seed count")) }),
     ("simhash_sig",
       info("simhash_sig", "simhash_sig(text) - 32-bit SimHash of a tokenized text"),
-      (es: Seq[Expression]) => SimHashSig(es(0))),
+      (es: Seq[Expression]) => SimHashSig(arity(es, 1, "simhash_sig").head)),
     ("rolling_hash_stats",
       info("rolling_hash_stats",
         "rolling_hash_stats(text, w) - Rabin-Karp window fingerprint stats"),
-      (es: Seq[Expression]) => RollingHashStats(es(0), intLit(es(1), "window width"))),
+      (es: Seq[Expression]) => { val a = arity(es, 2, "rolling_hash_stats"); RollingHashStats(a(0), intLit(a(1), "window width")) }),
     ("repetition_stats",
       info("repetition_stats",
         "repetition_stats(text) - (n_words, n_distinct, top_freq) in one pass"),
-      (es: Seq[Expression]) => RepetitionStats(es(0))))
+      (es: Seq[Expression]) => RepetitionStats(arity(es, 1, "repetition_stats").head)))
 
   /** Register on an already-running session (the extensions path only
     * applies at session construction). */

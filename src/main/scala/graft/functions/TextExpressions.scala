@@ -287,7 +287,10 @@ case class RepetitionStats(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val counts = new java.util.HashMap[String, Int](words.length * 2)
+    // capacity capped: the map only ever holds n_distinct entries, and
+    // sizing by document length would allocate O(words) buckets per row
+    // (and overflow Int on pathological inputs)
+    val counts = new java.util.HashMap[String, Int](math.min(words.length, 1 << 16))
     var top = 0
     var i = 0
     while (i < words.length) {

@@ -238,8 +238,13 @@ object DedupOps {
         ORDER BY ds.doc_id"""),
       (s, dir) => {
         val sg = docShingles(s, dir)
-        val ev = sg.filter(col("doc_id") < 10)
-          .select(explode(col("g")).as("sh")).distinct()
+        // the eval vocabulary is small only by assumption — guard the
+        // broadcast like every other derived-small-side in this repo
+        val ev = graft.operators.AllPairsTopK.requireBroadcastable(
+          sg.filter(col("doc_id") < 10)
+            .select(explode(col("g")).as("sh")).distinct(),
+          what = "d07 eval-set shingle vocabulary",
+          route = "shuffle-join the vocabularies (equi-join on sh) for benchmark sets past broadcast size")
         val ds = sg.filter(col("doc_id") >= 10)
           .select(col("doc_id"), explode(col("g")).as("sh"))
         ds.join(broadcast(ev), "sh")

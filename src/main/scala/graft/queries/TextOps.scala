@@ -235,27 +235,28 @@ object TextOps {
                                     for u in list_distinct(ws)]) AS top_freq
                    FROM w)
         SELECT doc_id, n_words, n_distinct,
-               CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
-                    ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END AS rep_ratio,
-               CASE WHEN n_words = 0 THEN CAST(0 AS DOUBLE)
-                    ELSE CAST(top_freq AS DOUBLE) / n_words END AS top_share
+               CAST(n_words - n_distinct AS DOUBLE) / n_words AS rep_ratio,
+               CAST(top_freq AS DOUBLE) / n_words AS top_share
         FROM s
         ORDER BY doc_id"""),
       (s, dir) => {
         // native one-pass expression (graft.functions.RepetitionStats);
         // the composable transform/filter form costs O(distinct × words)
-        // interpreted lambda calls per document
-        val st = graft.functions.TextFunctions.repetitionStats(col("text"))
+        // interpreted lambda calls per document. Aliased ONCE then field-
+        // accessed so the expression is guaranteed a single evaluation
+        // per row (three inline getFields could evaluate it three times
+        // when subexpression elimination doesn't apply).
+        // n_words >= 1 always: split(text, " ") yields [""] for "" in
+        // both engines, so the divisions need no zero guard.
         Tables.t(s, dir, "documents")
-          .select(col("doc_id"), st.getField("n_words").as("n_words"),
-            st.getField("n_distinct").as("n_distinct"), st.getField("top_freq").as("top_freq"))
-          .select(col("doc_id"), col("n_words"), col("n_distinct"),
-            when(col("n_words") === 0, lit(0.0))
-              .otherwise((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.repetitionStats(col("text")).as("st"))
+          .select(col("doc_id"),
+            col("st.n_words").as("n_words"),
+            col("st.n_distinct").as("n_distinct"),
+            ((col("st.n_words") - col("st.n_distinct")).cast("double") / col("st.n_words"))
               .as("rep_ratio"),
-            when(col("n_words") === 0, lit(0.0))
-              .otherwise(col("top_freq").cast("double") / col("n_words"))
-              .as("top_share"))
+            (col("st.top_freq").cast("double") / col("st.n_words")).as("top_share"))
           .orderBy(col("doc_id"))
       })
   )
