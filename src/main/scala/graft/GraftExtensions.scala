@@ -18,10 +18,14 @@ import graft.functions.{FloatDot, MinHashSig, RepetitionStats, RollingHashStats,
   * [[GraftFunctions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // open bbox_intersects into pushable bbox.* conjuncts (row-group
+    // pruning via the STAC-GeoParquet covering stats)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteBboxIntersects)
+  }
 }
 
 object GraftFunctions {
@@ -63,7 +67,12 @@ object GraftFunctions {
     ("repetition_stats",
       info("repetition_stats",
         "repetition_stats(text) - (n_words, n_distinct, top_freq) in one pass"),
-      (es: Seq[Expression]) => RepetitionStats(arity(es, 1, "repetition_stats").head)))
+      (es: Seq[Expression]) => RepetitionStats(arity(es, 1, "repetition_stats").head)),
+    ("bbox_intersects",
+      info("bbox_intersects",
+        "bbox_intersects(bbox, xmin, ymin, xmax, ymax) - STAC bbox-struct intersects query rectangle (optimizer rewrites it to pushable bbox.* bounds)"),
+      (es: Seq[Expression]) => { val a = arity(es, 5, "bbox_intersects")
+        graft.plans.BboxIntersects(a(0), a(1), a(2), a(3), a(4)) }))
 
   /** Register on an already-running session (the extensions path only
     * applies at session construction). */

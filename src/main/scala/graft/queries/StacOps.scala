@@ -48,6 +48,22 @@ object StacOps {
       out
     })
 
+  /** stac09 harness prep: the normalized corpus as a GeoParquet table
+    * (struct bbox → per-column row-group stats), written once per
+    * (session, dataset) — the stored-table side of the spatial-pruning
+    * story. */
+  private val geoTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def itemsGeoParquet(s: SparkSession, dir: String): String =
+    geoTables.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("stac_gpq").toString + "/items"
+      val norm = Normalize(
+        StacJsonReader.read(s, Seq(itemsNdjsonDir(s, dir))), bboxDims = Some(4))
+      graft.stac.GeoParquetWriter.write(norm, out)
+      out
+    })
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- G1+G2: GeoJSON → ISO WKB → GeoJSON round trip, value-checked -----
@@ -228,6 +244,41 @@ object StacOps {
           .orderBy(col("id"))
       },
       prepare = Some((s, dir) => itemsNdjsonDir(s, dir))),
+
+    // ----- the README.md:15 motivating query shape: spatial predicate over
+    // the STORED GeoParquet table, pruned at the scan. `bbox_intersects` is
+    // the ergonomic form; graft.plans.RewriteBboxIntersects opens it into
+    // bbox.xmin/xmax/ymin/ymax conjuncts that reach PushedFilters (asserted
+    // inside the gate row), where the struct-bbox row-group stats — the
+    // reason the spec stores bbox as a struct — skip row groups at 100 TB.
+    QuerySpec(
+      "stac09_bbox_pruning",
+      Some("""
+        WITH b AS (SELECT 'o' || o_orderkey AS id,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin,
+                          CAST(o_orderkey % 170 - 85 AS DOUBLE) AS ymin,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) + 1.0 AS xmax,
+                          CAST(o_orderkey % 170 - 85 AS DOUBLE) + 0.5 AS ymax
+                   FROM orders)
+        SELECT id, xmin, ymin
+        FROM b
+        WHERE xmin <= 10 AND xmax >= -10 AND ymin <= 10 AND ymax >= -10
+        ORDER BY id"""),
+      (s, dir) => {
+        graft.plans.BboxFunctions.armRewrite(s)
+        val out = s.read.parquet(itemsGeoParquet(s, dir))
+          .filter(graft.plans.BboxFunctions.bboxIntersects(
+            col("bbox"), -10.0, -10.0, 10.0, 10.0))
+          .select(col("id"),
+            col("bbox").getField("xmin").as("xmin"),
+            col("bbox").getField("ymin").as("ymin"))
+          .orderBy(col("id"))
+        val scan = out.queryExecution.executedPlan.toString
+        require(scan.contains("PushedFilters") && scan.contains("bbox.xmin"),
+          s"bbox_intersects must reach the scan as pushed bbox.* bounds:\n$scan")
+        out
+      },
+      prepare = Some((s, dir) => itemsGeoParquet(s, dir))),
 
     // ----- F2: CQL2 JSON filter translated to a native Catalyst predicate -----
     // and / >= timestamp / in / s_intersects (planar bbox overlap) — the

@@ -46,6 +46,55 @@ object StreamingOps {
             col("event_type"), col("n"), col("total_value"))
           .orderBy(col("hour"), col("event_type"))
       },
+      timed = false),
+
+    // ----- session windows, value-checked against gaps-and-islands -----
+    // Spark's session_window (30-min gap, merge while next_ts < current
+    // end) replayed by the oracle as a lag()-based island numbering with
+    // the same strict boundary (gap >= 30 min starts a new session) and
+    // the same end = last_ts + gap. Everything in integer µs so both
+    // engines do identical arithmetic on the nanos-precision source.
+    QuerySpec(
+      "st02_streaming_sessions",
+      Some("""
+        WITH e AS (SELECT user_id,
+                          CAST(epoch_ns(ts)//1000 AS BIGINT) AS us,
+                          CAST(round(value*100,0) AS BIGINT) AS cents
+                   FROM events),
+             m AS (SELECT user_id, us, cents,
+                          CASE WHEN lag(us) OVER w IS NULL
+                                 OR us - lag(us) OVER w >= 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             g AS (SELECT user_id, us, cents,
+                          sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                              ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM m)
+        SELECT strftime(make_timestamp(min(us)), '%Y-%m-%dT%H:%M:%SZ') AS session_start,
+               strftime(make_timestamp(max(us) + 30*60*1000000), '%Y-%m-%dT%H:%M:%SZ') AS session_end,
+               user_id, count(*) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM g
+        GROUP BY user_id, sid
+        ORDER BY session_start, user_id"""),
+      (s, dir) => {
+        val src = java.nio.file.Files.createTempDirectory("st02src")
+        val staged = src.resolve("events.parquet")
+        src.toFile.deleteOnExit(); staged.toFile.deleteOnExit()
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+        val name = s"st02_${System.nanoTime()}"
+        val q = EventStream.sessions(EventStream.readEvents(s, src.toString))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new RuntimeException("st02 streaming job did not finish within 300s")
+        }
+        s.table(name)
+          .select(date_format(col("session_start"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("session_start"),
+            date_format(col("session_end"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("session_end"),
+            col("user_id"), col("n_events"), col("value_cents"))
+          .orderBy(col("session_start"), col("user_id"))
+      },
       timed = false)
   )
 }
