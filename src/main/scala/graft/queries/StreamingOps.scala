@@ -95,6 +95,43 @@ object StreamingOps {
             col("user_id"), col("n_events"), col("value_cents"))
           .orderBy(col("session_start"), col("user_id"))
       },
+      timed = false),
+
+    // ----- stream-stream interval join, value-checked vs batch range join -----
+    // Both sides watermarked so the join state is bounded (rows age out
+    // past watermark + interval); the oracle is the same [pts, pts+10min)
+    // per-user range join in integer µs — the streaming answer must equal
+    // the batch answer exactly.
+    QuerySpec(
+      "st03_streaming_interval_join",
+      Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          CAST(epoch_ns(ts)//1000 AS BIGINT) AS us
+                   FROM events),
+             p AS (SELECT event_id AS purchase_id, user_id, us AS pus FROM e WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, user_id, us AS cus FROM e WHERE event_type = 'click')
+        SELECT p.purchase_id, c.click_id, p.user_id
+        FROM p JOIN c ON p.user_id = c.user_id
+                     AND c.cus >= p.pus AND c.cus < p.pus + 3600000000
+        ORDER BY purchase_id, click_id"""),
+      (s, dir) => {
+        val src = java.nio.file.Files.createTempDirectory("st03src")
+        val staged = src.resolve("events.parquet")
+        src.toFile.deleteOnExit(); staged.toFile.deleteOnExit()
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+        val name = s"st03_${System.nanoTime()}"
+        val q = EventStream
+          .purchaseClickJoin(EventStream.readEvents(s, src.toString), intervalMinutes = 60)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new RuntimeException("st03 streaming job did not finish within 300s")
+        }
+        s.table(name)
+          .select(col("purchase_id"), col("click_id"), col("user_id"))
+          .orderBy(col("purchase_id"), col("click_id"))
+      },
       timed = false)
   )
 }

@@ -41,7 +41,7 @@ object EventStream {
     * purchases within 10 minutes after the purchase. Both sides carry
     * watermarks, so the join state is bounded — Spark drops buffered rows
     * once they age past watermark + interval (late-data handling built in). */
-  def purchaseClickJoin(events: DataFrame): DataFrame = {
+  def purchaseClickJoin(events: DataFrame, intervalMinutes: Int = 10): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
       .withWatermark("pts", "1 hour")
@@ -51,7 +51,7 @@ object EventStream {
     purchases.join(clicks,
       col("user_id") === col("c_user_id") &&
         col("cts") >= col("pts") &&
-        col("cts") < col("pts") + expr("INTERVAL 10 MINUTES"))
+        col("cts") < col("pts") + expr(s"INTERVAL $intervalMinutes MINUTES"))
       .select(col("purchase_id"), col("click_id"), col("user_id"))
   }
 
