@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 
 import graft.functions.{FloatDot, MinHashSig, RepetitionStats, RollingHashStats, SimHashSig, WordShingles}
 
@@ -72,7 +72,10 @@ object GraftFunctions {
       info("bbox_intersects",
         "bbox_intersects(bbox, xmin, ymin, xmax, ymax) - STAC bbox-struct intersects query rectangle (optimizer rewrites it to pushable bbox.* bounds)"),
       (es: Seq[Expression]) => { val a = arity(es, 5, "bbox_intersects")
-        graft.plans.BboxIntersects(a(0), a(1), a(2), a(3), a(4)) }))
+        // coerce the bounds so plain SQL literals work (1, 1.0 parse as
+        // int/decimal; the expression wants doubles)
+        def d(e: Expression) = Cast(e, org.apache.spark.sql.types.DoubleType)
+        graft.plans.BboxIntersects(a(0), d(a(1)), d(a(2)), d(a(3)), d(a(4))) }))
 
   /** Register on an already-running session (the extensions path only
     * applies at session construction). */

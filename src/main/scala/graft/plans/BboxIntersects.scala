@@ -66,20 +66,26 @@ case class BboxIntersects(bbox: Expression, qxmin: Expression, qymin: Expression
 }
 
 /** Optimizer rule: open [[BboxIntersects]] into its four pushable
-  * conjuncts. Null semantics are preserved (a null bbox or null bound
-  * makes every conjunct null, so the AND is null — same as the
-  * expression's own eval). Runs anywhere in optimization: physical
-  * planning extracts data-source filters from the optimized Filter
-  * condition, so the conjuncts land in `PushedFilters` whether the rule
-  * ran in an injected batch or in `experimental.extraOptimizations`. */
+  * conjuncts — ONLY inside Filter conditions, where null and false
+  * coincide (a row is dropped either way). In a projection context the
+  * conjunction could differ from the expression's eval when individual
+  * bbox FIELDS are null (false AND null = false, while eval nulls out on
+  * any null field), so SELECTed occurrences are left for the expression
+  * itself to evaluate. Runs anywhere in optimization: physical planning
+  * extracts data-source filters from the optimized Filter condition, so
+  * the conjuncts land in `PushedFilters` whether the rule ran in an
+  * injected batch or in `experimental.extraOptimizations`. */
 object RewriteBboxIntersects extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case bi @ BboxIntersects(bbox, x0, y0, x1, y1) if bbox.resolved =>
-      val st = bbox.dataType.asInstanceOf[StructType]
-      def f(name: String) = GetStructField(bbox, st.fieldIndex(name), Some(name))
-      And(
-        And(LessThanOrEqual(f("xmin"), x1), GreaterThanOrEqual(f("xmax"), x0)),
-        And(LessThanOrEqual(f("ymin"), y1), GreaterThanOrEqual(f("ymax"), y0)))
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      f.copy(condition = f.condition.transform {
+        case BboxIntersects(bbox, x0, y0, x1, y1) if bbox.resolved =>
+          val st = bbox.dataType.asInstanceOf[StructType]
+          def fld(name: String) = GetStructField(bbox, st.fieldIndex(name), Some(name))
+          And(
+            And(LessThanOrEqual(fld("xmin"), x1), GreaterThanOrEqual(fld("xmax"), x0)),
+            And(LessThanOrEqual(fld("ymin"), y1), GreaterThanOrEqual(fld("ymax"), y0)))
+      })
   }
 }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.QuerySpec
 import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -12,6 +13,28 @@ import org.apache.spark.sql.streaming.Trigger
   * the batch answer, not just "some rows".
   */
 object StreamingOps {
+
+  /** Stage the events file as a streaming source dir, run `build` on the
+    * stream to completion (AvailableNow -> memory sink), return the
+    * materialized table. The bounded wait makes a wedged micro-batch fail
+    * the gate row like any other query error instead of hanging the whole
+    * Verify run. */
+  private def runToMemoryTable(s: SparkSession, dir: String, prefix: String,
+                               mode: String)(build: DataFrame => DataFrame): DataFrame = {
+    val src = java.nio.file.Files.createTempDirectory(prefix)
+    val staged = src.resolve("events.parquet")
+    src.toFile.deleteOnExit(); staged.toFile.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    val name = s"${prefix}_${System.nanoTime()}"
+    val q = build(EventStream.readEvents(s, src.toString))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new RuntimeException(s"$prefix streaming job did not finish within 300s")
+    }
+    s.table(name)
+  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -26,22 +49,7 @@ object StreamingOps {
         GROUP BY 1, 2
         ORDER BY 1, 2"""),
       (s, dir) => {
-        // stage the events file as a streaming source dir (cleaned on exit)
-        val src = java.nio.file.Files.createTempDirectory("st01src")
-        val staged = src.resolve("events.parquet")
-        src.toFile.deleteOnExit(); staged.toFile.deleteOnExit()
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-        val name = s"st01_${System.nanoTime()}"
-        val q = EventStream.hourlyAgg(EventStream.readEvents(s, src.toString))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        // bounded wait: a wedged micro-batch fails this query like any
-        // other gate error instead of hanging the whole Verify run
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new RuntimeException("st01 streaming job did not finish within 300s")
-        }
-        s.table(name)
+        runToMemoryTable(s, dir, "st01", "complete")(EventStream.hourlyAgg)
           .select(date_format(col("hour"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("hour"),
             col("event_type"), col("n"), col("total_value"))
           .orderBy(col("hour"), col("event_type"))
@@ -49,11 +57,12 @@ object StreamingOps {
       timed = false),
 
     // ----- session windows, value-checked against gaps-and-islands -----
-    // Spark's session_window (30-min gap, merge while next_ts < current
-    // end) replayed by the oracle as a lag()-based island numbering with
-    // the same strict boundary (gap >= 30 min starts a new session) and
-    // the same end = last_ts + gap. Everything in integer µs so both
-    // engines do identical arithmetic on the nanos-precision source.
+    // Spark's session_window (30-min gap) MERGES touching windows: an
+    // event at exactly last_ts + gap still extends the session, so a new
+    // session starts only when the gap is STRICTLY greater than 30 min.
+    // The oracle replays that boundary (`>`), with end = last_ts + gap.
+    // Everything in integer µs so both engines do identical arithmetic on
+    // the nanos-precision source.
     QuerySpec(
       "st02_streaming_sessions",
       Some("""
@@ -63,7 +72,7 @@ object StreamingOps {
                    FROM events),
              m AS (SELECT user_id, us, cents,
                           CASE WHEN lag(us) OVER w IS NULL
-                                 OR us - lag(us) OVER w >= 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
+                                 OR us - lag(us) OVER w > 30*60*1000000 THEN 1 ELSE 0 END AS new_sess
                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
              g AS (SELECT user_id, us, cents,
                           sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
@@ -77,19 +86,7 @@ object StreamingOps {
         GROUP BY user_id, sid
         ORDER BY session_start, user_id"""),
       (s, dir) => {
-        val src = java.nio.file.Files.createTempDirectory("st02src")
-        val staged = src.resolve("events.parquet")
-        src.toFile.deleteOnExit(); staged.toFile.deleteOnExit()
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-        val name = s"st02_${System.nanoTime()}"
-        val q = EventStream.sessions(EventStream.readEvents(s, src.toString))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new RuntimeException("st02 streaming job did not finish within 300s")
-        }
-        s.table(name)
+        runToMemoryTable(s, dir, "st02", "complete")(EventStream.sessions)
           .select(date_format(col("session_start"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("session_start"),
             date_format(col("session_end"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("session_end"),
             col("user_id"), col("n_events"), col("value_cents"))
@@ -99,9 +96,10 @@ object StreamingOps {
 
     // ----- stream-stream interval join, value-checked vs batch range join -----
     // Both sides watermarked so the join state is bounded (rows age out
-    // past watermark + interval); the oracle is the same [pts, pts+10min)
-    // per-user range join in integer µs — the streaming answer must equal
-    // the batch answer exactly.
+    // past watermark + interval). Gate interval = 60 minutes (denser
+    // membership than the operator's 10-minute default); the oracle is
+    // the same [pts, pts+60min) per-user range join in integer µs — the
+    // streaming answer must equal the batch answer exactly.
     QuerySpec(
       "st03_streaming_interval_join",
       Some("""
@@ -115,20 +113,8 @@ object StreamingOps {
                      AND c.cus >= p.pus AND c.cus < p.pus + 3600000000
         ORDER BY purchase_id, click_id"""),
       (s, dir) => {
-        val src = java.nio.file.Files.createTempDirectory("st03src")
-        val staged = src.resolve("events.parquet")
-        src.toFile.deleteOnExit(); staged.toFile.deleteOnExit()
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
-        val name = s"st03_${System.nanoTime()}"
-        val q = EventStream
-          .purchaseClickJoin(EventStream.readEvents(s, src.toString), intervalMinutes = 60)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        if (!q.awaitTermination(300000)) {
-          q.stop()
-          throw new RuntimeException("st03 streaming job did not finish within 300s")
-        }
-        s.table(name)
+        runToMemoryTable(s, dir, "st03", "append")(
+          EventStream.purchaseClickJoin(_, intervalMinutes = 60))
           .select(col("purchase_id"), col("click_id"), col("user_id"))
           .orderBy(col("purchase_id"), col("click_id"))
       },

@@ -38,9 +38,10 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("event_type"), col("n"))
 
   /** Stream-stream interval join: clicks joined to the same user's
-    * purchases within 10 minutes after the purchase. Both sides carry
-    * watermarks, so the join state is bounded — Spark drops buffered rows
-    * once they age past watermark + interval (late-data handling built in). */
+    * purchases within `intervalMinutes` after the purchase (default 10).
+    * Both sides carry watermarks, so the join state is bounded — Spark
+    * drops buffered rows once they age past watermark + interval
+    * (late-data handling built in). */
   def purchaseClickJoin(events: DataFrame, intervalMinutes: Int = 10): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))

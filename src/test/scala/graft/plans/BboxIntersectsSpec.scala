@@ -46,7 +46,9 @@ class BboxIntersectsSpec extends AnyFunSuite {
   }
 
   test("rewritten filter equals direct evaluation on every row") {
-    // no-rule evaluation (expression eval) vs rewritten path must agree
+    // the rule only rewrites Filter conditions, so the select path below
+    // is genuine expression eval even on an armed session — the two
+    // paths' agreement is a real rewrite≡eval check
     val direct = boxes
       .select(col("id"), BboxFunctions.bboxIntersects(col("bbox"), 1.0, 1.0, 3.0, 3.0).as("h"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getBoolean(1))).toMap
@@ -57,12 +59,27 @@ class BboxIntersectsSpec extends AnyFunSuite {
     assert(filtered == direct.collect { case (id, true) => id }.toSet)
   }
 
+  test("projection context keeps eval's null-on-null-field semantics (no rewrite)") {
+    // a disjoint x-range with a NULL ymin: the 4-conjunct form would give
+    // FALSE (false AND null), eval gives NULL — the rule must not rewrite
+    // outside Filter, so the select sees NULL either way
+    BboxFunctions.armRewrite(spark)
+    val row = Seq(5L).toDF("id")
+      .select(col("id"), struct(lit(0.0).as("xmin"), lit(null).cast("double").as("ymin"),
+        lit(0.5).as("xmax"), lit(2.0).as("ymax")).as("bbox"))
+      .select(BboxFunctions.bboxIntersects(col("bbox"), 10.0, 1.0, 20.0, 3.0).as("h"))
+      .collect()(0)
+    assert(row.isNullAt(0))
+  }
+
   test("SQL surface: bbox_intersects registers and rewrites") {
     graft.GraftFunctions.register(spark)
     BboxFunctions.armRewrite(spark)
     boxes.createOrReplaceTempView("bbx_view")
+    // plain int and decimal literals must coerce (the registration casts
+    // the bounds to double)
     val ids = spark.sql(
-      "SELECT id FROM bbx_view WHERE bbox_intersects(bbox, 1.0D, 1.0D, 3.0D, 3.0D)")
+      "SELECT id FROM bbx_view WHERE bbox_intersects(bbox, 1, 1.0, 3, 3.0)")
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 3L))
   }
