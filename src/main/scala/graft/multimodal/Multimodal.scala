@@ -198,6 +198,35 @@ object Multimodal {
     df.select(col(idCol), featUdf(col(binCol)).as("features"))
   }
 
+  /** Real image resize (JDK Graphics2D): decode → draw scaled onto a new
+    * RGB canvas → re-encode PNG. Nearest-neighbor interpolation so solid-
+    * color images stay exactly solid (closed-form oracle-able); swap the
+    * rendering hint for bilinear in a quality-first pipeline. Null for
+    * undecodable input (same corrupt-row contract as [[decodeImage]]). */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+      g.drawImage(img, 0, 0, outW, outH, null)
+    } finally g.dispose()
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Resize a (id, payload) frame of images to `outW`×`outH` PNGs. */
+  def resizeImages(df: DataFrame, outW: Int, outH: Int,
+                   idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
+    val rz = udf { (bytes: Array[Byte]) => resizeImage(bytes, outW, outH) }
+    df.select(col(idCol), rz(col(binCol)).as("resized"))
+  }
+
   /** "Resize" stub: stride-sample the payload down to `outBytes` bytes
     * (deterministic; stands in for a real image resample — the plumbing is
     * binary-in/binary-out at full column pruning). */

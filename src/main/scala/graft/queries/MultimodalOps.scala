@@ -107,6 +107,37 @@ object MultimodalOps {
           .orderBy(col("doc_id"))
       }),
 
+    // Real resize round trip: encode → Graphics2D nearest-neighbor resize
+    // to fixed 6×4 → decode. Dimensions come from the real codec; the
+    // solid fill survives nearest-neighbor resampling exactly, so the
+    // per-image channel sums are closed-form for the oracle: 24 pixels ×
+    // the painted color.
+    QuerySpec(
+      "m05_image_resize",
+      Some("""
+        SELECT doc_id, 6 AS width, 4 AS height,
+               CAST(CAST(('0x'||substr(md5(text),5,2)) AS BIGINT) * 24 AS DOUBLE) AS f0,
+               CAST(CAST(('0x'||substr(md5(text),7,2)) AS BIGINT) * 24 AS DOUBLE) AS f1,
+               CAST(CAST(('0x'||substr(md5(text),9,2)) AS BIGINT) * 24 AS DOUBLE) AS f2
+        FROM documents
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val resized = Multimodal.resizeImages(pngDocs(s, dir), outW = 6, outH = 4)
+          .withColumnRenamed("resized", "payload")
+        val meta = Multimodal.extractImageMeta(resized).toDF()
+          .select(col("doc_id"), col("width"), col("height"))
+        // dim=3 over the 6×4 RGB sequence: 3 | seq length, so bucket j is
+        // exactly channel j summed over the 24 pixels
+        val feats = Multimodal.extractPixelFeatures(resized, dim = 3)
+          .select(col("doc_id"),
+            element_at(col("features"), 1).cast("double").as("f0"),
+            element_at(col("features"), 2).cast("double").as("f1"),
+            element_at(col("features"), 3).cast("double").as("f2"))
+        meta.join(feats, "doc_id")
+          .select(col("doc_id"), col("width"), col("height"), col("f0"), col("f1"), col("f2"))
+          .orderBy(col("doc_id"))
+      }),
+
     // Feature extraction over DECODED PIXELS: the PNG payload is decoded
     // through ImageIO and the flat RGB sequence [r,g,b,r,g,b,…] folds into
     // 4 float buckets (bucket i sums channel values at positions ≡ i mod

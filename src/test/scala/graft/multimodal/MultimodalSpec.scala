@@ -49,6 +49,22 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("real resize round-trips dimensions and preserves solid color exactly") {
+    val png = udf((id: Long) => Multimodal.encodePng(16, 10, 200, 100, 50))
+    val imgs = spark.range(0, 5).select(col("id").as("doc_id"), png(col("id")).as("payload"))
+    val resized = Multimodal.resizeImages(imgs, outW = 8, outH = 5)
+      .withColumnRenamed("resized", "payload")
+    val meta = Multimodal.extractImageMeta(resized).collect()
+    meta.foreach { m => assert(m.width == 8 && m.height == 5 && m.format == "png") }
+    // nearest-neighbor on a solid image: every output pixel keeps the color
+    val feats = Multimodal.extractPixelFeatures(resized, dim = 3).collect()
+    feats.foreach { r =>
+      assert(r.getSeq[Float](1) == Seq(200f * 40, 100f * 40, 50f * 40))
+    }
+    // corrupt input → null resized payload, not an exception
+    assert(Multimodal.resizeImage(Array.fill[Byte](8)(1), 4, 4) == null)
+  }
+
   test("corrupt payloads yield null features and do not kill the task") {
     val mixed = udf((id: Long) =>
       if (id == 2L) Array.fill[Byte](16)(33) // not an image
