@@ -227,6 +227,34 @@ object Multimodal {
     df.select(col(idCol), rz(col(binCol)).as("resized"))
   }
 
+  /** Metadata + pixel features in ONE decode per row — a consumer needing
+    * both must not pay the codec twice (two separate extract calls would
+    * re-derive and re-decode the payload on each branch of the join). */
+  final case class ImageMetaFeatures(doc_id: Long, width: Int, height: Int,
+                                     format: String, features: Array[Float])
+
+  def extractImageMetaAndFeatures(df: DataFrame, dim: Int,
+                                  idCol: String = "doc_id",
+                                  binCol: String = "payload"): Dataset[ImageMetaFeatures] = {
+    val pruned = df.select(col(idCol).cast("long"), col(binCol))
+    pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val (w, h, f) = decodeImage(bytes)
+        val feats =
+          if (w < 0) null
+          else {
+            val seq = decodeRgb(bytes)
+            val acc = new Array[Float](dim)
+            var i = 0
+            while (i < seq.length) { acc(i % dim) += seq(i).toFloat; i += 1 }
+            acc
+          }
+        ImageMetaFeatures(r.getLong(0), w, h, f, feats)
+      }
+    }(Encoders.product[ImageMetaFeatures])
+  }
+
   /** "Resize" stub: stride-sample the payload down to `outBytes` bytes
     * (deterministic; stands in for a real image resample — the plumbing is
     * binary-in/binary-out at full column pruning). */

@@ -124,17 +124,14 @@ object MultimodalOps {
       (s, dir) => {
         val resized = Multimodal.resizeImages(pngDocs(s, dir), outW = 6, outH = 4)
           .withColumnRenamed("resized", "payload")
-        val meta = Multimodal.extractImageMeta(resized).toDF()
-          .select(col("doc_id"), col("width"), col("height"))
         // dim=3 over the 6×4 RGB sequence: 3 | seq length, so bucket j is
-        // exactly channel j summed over the 24 pixels
-        val feats = Multimodal.extractPixelFeatures(resized, dim = 3)
-          .select(col("doc_id"),
+        // exactly channel j summed over the 24 pixels; meta and features
+        // come from ONE decode per row
+        Multimodal.extractImageMetaAndFeatures(resized, dim = 3).toDF()
+          .select(col("doc_id"), col("width"), col("height"),
             element_at(col("features"), 1).cast("double").as("f0"),
             element_at(col("features"), 2).cast("double").as("f1"),
             element_at(col("features"), 3).cast("double").as("f2"))
-        meta.join(feats, "doc_id")
-          .select(col("doc_id"), col("width"), col("height"), col("f0"), col("f1"), col("f2"))
           .orderBy(col("doc_id"))
       }),
 
