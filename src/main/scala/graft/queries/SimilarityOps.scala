@@ -331,6 +331,94 @@ object SimilarityOps {
             (col("hi").cast("double") / (lit(3) * col("nq")) >= 0.30).as("ivf_ok"))
       }),
 
+    // ----- trained coarse quantizer: one Lloyd refinement of the IVF
+    // codebook (the "training" step s04's static first-16 codebook skips).
+    // Determinism discipline so DuckDB reproduces it bit-for-bit:
+    //   - embeddings quantize to exact integers (floor(x·2^20 + 0.5));
+    //   - round-1 assignment distances are PURE INTEGER sums (≤2^48);
+    //   - refined centroids stay exact rationals (per-dim integer sum +
+    //     count; never a double mean);
+    //   - round-2 distances compare Σ(n·q_d − s_d)² / n² as per-row
+    //     scalar double folds (left-to-right in both engines) — doubles
+    //     never pass through an order-dependent aggregation;
+    //   - ties break toward the lower cell id via min_by struct ordering.
+    // Scale shape: k centroids broadcast; assignments are narrow maps +
+    // one integer hash-agg per refinement — the k-means iteration cost is
+    // linear per pass, the same shuffle story as s04. -----
+    QuerySpec(
+      "s07_kmeans_refine",
+      Some(s"""
+        WITH q AS (SELECT vec_id,
+                          [CAST(floor(CAST(x AS DOUBLE)*1048576 + 0.5) AS BIGINT) for x in embedding] AS qv
+                   FROM embeddings),
+             c0 AS (SELECT vec_id AS cell, qv AS qc FROM q WHERE vec_id < 8),
+             d1 AS (SELECT q.vec_id, c0.cell,
+                           list_sum([(q.qv[i]-c0.qc[i])*(q.qv[i]-c0.qc[i])
+                                     for i in generate_series(1, len(q.qv))]) AS dist2
+                    FROM q CROSS JOIN c0),
+             a1 AS (SELECT vec_id, cell FROM (
+                      SELECT vec_id, cell,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+                      FROM d1) WHERE rn = 1),
+             mem AS (SELECT a1.cell, q.vec_id, q.qv FROM a1 JOIN q USING (vec_id)),
+             dims AS (SELECT cell, i.pos, CAST(sum(qv[i.pos]) AS BIGINT) AS s
+                      FROM mem, (SELECT unnest(generate_series(1, 64)) AS pos) i
+                      GROUP BY cell, i.pos),
+             c1 AS (SELECT cell, list(s ORDER BY pos) AS sv,
+                           (SELECT count(*) FROM mem m WHERE m.cell = dims.cell) AS n
+                    FROM dims GROUP BY cell),
+             d2 AS (SELECT q.vec_id, c1.cell,
+                           list_sum([(CAST(c1.n*q.qv[i] - c1.sv[i] AS DOUBLE))*(CAST(c1.n*q.qv[i] - c1.sv[i] AS DOUBLE))
+                                     for i in generate_series(1, len(q.qv))]) / (CAST(c1.n AS DOUBLE)*c1.n) AS dist2
+                    FROM q CROSS JOIN c1),
+             a2 AS (SELECT vec_id, cell FROM (
+                      SELECT vec_id, cell,
+                             row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+                      FROM d2) WHERE rn = 1)
+        SELECT cell, count(*) AS n_members,
+               CAST(min(vec_id) AS BIGINT) AS min_member,
+               CAST(max(vec_id) AS BIGINT) AS max_member,
+               CAST(sum(vec_id) AS BIGINT) AS member_id_sum
+        FROM a2
+        GROUP BY cell
+        ORDER BY cell"""),
+      (s, dir) => {
+        val qv = transform(col("embedding"),
+          x => floor(x.cast("double") * 1048576d + 0.5d).cast("long"))
+        val q = Tables.t(s, dir, "embeddings").select(col("vec_id"), qv.as("qv"))
+        val c0 = q.filter(col("vec_id") < 8).select(col("vec_id").as("cell"), col("qv").as("qc"))
+        // round 1: integer distances to the broadcast seed codebook
+        val dist1 = aggregate(zip_with(col("qv"), col("qc"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        val a1 = q.join(broadcast(c0))
+          .select(col("vec_id"), col("cell"), dist1.as("dist2"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"))
+        // refined centroids as exact rationals: per-dim integer sums + n
+        val mem = a1.join(q, "vec_id")
+        val dims = mem.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos")).agg(sum(col("v")).as("s"))
+        val c1 = dims.groupBy(col("cell"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            e => e.getField("s")).as("sv"))
+          .join(mem.groupBy(col("cell")).agg(count(lit(1)).as("n")), "cell")
+        // round 2: per-row scalar double fold against the rational centroids
+        val dist2 = aggregate(
+          zip_with(col("qv"), col("sv"),
+            (a, b) => { val t = (col("n") * a - b).cast("double"); t * t }),
+          lit(0d), (acc, x) => acc + x) / (col("n").cast("double") * col("n"))
+        val a2 = q.join(broadcast(c1))
+          .select(col("vec_id"), col("cell"), dist2.as("dist2"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"))
+        a2.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("vec_id")).as("min_member"),
+            max(col("vec_id")).as("max_member"),
+            sum(col("vec_id")).as("member_id_sum"))
+          .orderBy(col("cell"))
+      }),
+
     // ----- cross-modal validation: text near-dup pairs scored by embedding
     // cosine (documents.doc_id ≡ embeddings.vec_id in the corpus) — the
     // realistic dedup-pipeline check that a textual candidate pair is also
