@@ -53,33 +53,25 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Real image decoder (JDK ImageIO): dimensions from the actual codec,
-    * format sniffed from magic bytes. Returns null dimensions (-1) for
-    * bytes no installed reader understands — corrupt rows surface as a
-    * filterable value instead of killing the task. */
-  def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
-    val format =
-      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
-        bytes(2) == 'N' && bytes(3) == 'G') "png"
-      else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
-      else "unknown"
-    // NonFatal, not just IOException: ImageIO.read throws RuntimeExceptions
-    // on malformed-but-magic-valid inputs (bogus dimensions, broken ICC
-    // profiles) and the corrupt-row contract must hold for those too
-    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) (-1, -1, format)
-    else (img.getWidth, img.getHeight, format)
-  }
+  /** Magic-byte format sniff (null/short bytes → "unknown"). */
+  private def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes == null) "unknown"
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "png"
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+    else "unknown"
 
-  /** Decoded RGB pixels as a flat [r,g,b, r,g,b, …] byte-value sequence
-    * (row-major) — the input surface for pixel-space feature extraction.
-    * Null for undecodable bytes (same corrupt-row contract as
-    * [[decodeImage]]: surface a filterable value, don't kill the task). */
-  def decodeRgb(bytes: Array[Byte]): Array[Int] = {
-    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  /** Null-safe single decode. NonFatal, not just IOException: ImageIO.read
+    * throws RuntimeExceptions on malformed-but-magic-valid inputs (bogus
+    * dimensions, broken ICC profiles) and the corrupt-row contract must
+    * hold for those too. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    if (bytes == null) null
+    else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) return null
+
+  /** Flat [r,g,b, r,g,b, …] byte-value sequence of a decoded image. */
+  private def rgbSeq(img: java.awt.image.BufferedImage): Array[Int] = {
     val w = img.getWidth; val h = img.getHeight
     val seq = new Array[Int](3 * w * h)
     var y = 0; var i = 0
@@ -95,6 +87,35 @@ object Multimodal {
     seq
   }
 
+  /** dim-bucket fold of an RGB sequence (bucket i sums channel values at
+    * positions ≡ i mod dim) — the ONE definition of "pixel features",
+    * shared by every extractor. */
+  private def foldRgb(seq: Array[Int], dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    var i = 0
+    while (i < seq.length) { acc(i % dim) += seq(i).toFloat; i += 1 }
+    acc
+  }
+
+  /** Real image decoder (JDK ImageIO): dimensions from the actual codec,
+    * format sniffed from magic bytes. Returns null dimensions (-1) for
+    * null payloads or bytes no installed reader understands — corrupt
+    * rows surface as a filterable value instead of killing the task. */
+  def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
+    val img = readImage(bytes)
+    if (img == null) (-1, -1, sniffFormat(bytes))
+    else (img.getWidth, img.getHeight, sniffFormat(bytes))
+  }
+
+  /** Decoded RGB pixels as a flat [r,g,b, r,g,b, …] byte-value sequence
+    * (row-major) — the input surface for pixel-space feature extraction.
+    * Null for null/undecodable bytes (same corrupt-row contract as
+    * [[decodeImage]]: surface a filterable value, don't kill the task). */
+  def decodeRgb(bytes: Array[Byte]): Array[Int] = {
+    val img = readImage(bytes)
+    if (img == null) null else rgbSeq(img)
+  }
+
   /** Image metadata extraction over a (doc_id, payload) frame:
     * batch-shaped mapPartitions, typed output, REAL ImageIO decode. */
   def extractImageMeta(df: DataFrame, idCol: String = "doc_id",
@@ -104,7 +125,7 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
         val (w, h, f) = decodeImage(bytes)
-        ImageMeta(r.getLong(0), w, h, f, bytes.length)
+        ImageMeta(r.getLong(0), w, h, f, if (bytes == null) 0 else bytes.length)
       }
     }(Encoders.product[ImageMeta])
   }
@@ -171,12 +192,7 @@ object Multimodal {
     val featUdf = udf { (bytes: Array[Byte]) =>
       val seq = decodeRgb(bytes)
       if (seq == null) null // corrupt payload → null features, filterable
-      else {
-        val acc = new Array[Float](dim)
-        var i = 0
-        while (i < seq.length) { acc(i % dim) += seq(i).toFloat; i += 1 }
-        acc
-      }
+      else foldRgb(seq, dim)
     }
     df.select(col(idCol), featUdf(col(binCol)).as("features"))
   }
@@ -204,8 +220,7 @@ object Multimodal {
     * rendering hint for bilinear in a quality-first pipeline. Null for
     * undecodable input (same corrupt-row contract as [[decodeImage]]). */
   def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
-    val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    catch { case scala.util.control.NonFatal(_) => null }
+    val img = readImage(bytes)
     if (img == null) return null
     val out = new java.awt.image.BufferedImage(
       outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -240,17 +255,12 @@ object Multimodal {
     pruned.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](1)
-        val (w, h, f) = decodeImage(bytes)
-        val feats =
-          if (w < 0) null
-          else {
-            val seq = decodeRgb(bytes)
-            val acc = new Array[Float](dim)
-            var i = 0
-            while (i < seq.length) { acc(i % dim) += seq(i).toFloat; i += 1 }
-            acc
-          }
-        ImageMetaFeatures(r.getLong(0), w, h, f, feats)
+        val img = readImage(bytes) // literally one ImageIO.read per row
+        if (img == null)
+          ImageMetaFeatures(r.getLong(0), -1, -1, sniffFormat(bytes), null)
+        else
+          ImageMetaFeatures(r.getLong(0), img.getWidth, img.getHeight,
+            sniffFormat(bytes), foldRgb(rgbSeq(img), dim))
       }
     }(Encoders.product[ImageMetaFeatures])
   }

@@ -396,12 +396,17 @@ object SimilarityOps {
           .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"))
         // refined centroids as exact rationals: per-dim integer sums + n
         val mem = a1.join(q, "vec_id")
+        // n rides the same per-(cell,pos) aggregation as the sums (every
+        // pos of a cell has exactly n rows), so the corpus-sized
+        // assignment join is consumed ONCE — a second branch over `mem`
+        // would re-execute the distance evaluation feeding a1
         val dims = mem.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos")).agg(sum(col("v")).as("s"))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
         val c1 = dims.groupBy(col("cell"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-            e => e.getField("s")).as("sv"))
-          .join(mem.groupBy(col("cell")).agg(count(lit(1)).as("n")), "cell")
+            e => e.getField("s")).as("sv"),
+            max(col("cnt")).as("n"))
         // round 2: per-row scalar double fold against the rational centroids
         val dist2 = aggregate(
           zip_with(col("qv"), col("sv"),
