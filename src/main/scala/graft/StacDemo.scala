@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object StacDemo {
   def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: StacDemo <input.json> <outDir>")
+      sys.exit(2)
+    }
     val Array(input, outDir) = args.take(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
