@@ -447,7 +447,12 @@ object SimilarityOps {
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
         val a = e.select(col("vec_id").as("doc_a"), col("embedding").as("ea"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("doc_b"), col("embedding").as("eb"), col("nrm").as("nb"))
-        pairs.join(broadcast(a), "doc_a").join(broadcast(b), "doc_b")
+        // NO broadcast hints: the embeddings corpus must never be forced
+        // into executor memory. Cost-based planning (with AQE) broadcasts
+        // whichever side is actually small — at toy scale either works; at
+        // 100 TB the candidate-pair set is the only broadcastable side and
+        // past that the join degrades safely to a shuffle join on vec_id.
+        pairs.join(a, "doc_a").join(b, "doc_b")
           .select(col("doc_a"), col("doc_b"),
             round(col("jaccard"), 9).as("jaccard"),
             round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 9).as("cos"))
