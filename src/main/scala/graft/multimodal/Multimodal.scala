@@ -6,15 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support: image/audio/video as opaque binary columns
   * with typed metadata, processed batch-at-a-time through mapPartitions.
   *
-  * The IMAGE and AUDIO paths are real, JDK-builtin codecs (no external
-  * jar): [[encodePng]]/[[decodeImage]] emit and parse genuine PNG/JPEG
-  * bytes via javax.imageio, and [[encodeWav]]/[[decodeAudio]] emit and
-  * parse genuine RIFF/WAV via javax.sound.sampled — the gate queries
-  * exercise true encode→binary column→decode round trips. Only the
-  * video-frame decoder remains a deterministic STUB (no video codec ships
-  * with the JDK); its Spark-side plumbing — schema, partitioning, batch
-  * shape, typed Dataset boundary — is real and verified end-to-end, and
-  * swapping the stub for a JNI/library call changes nothing else.
+  * The IMAGE, AUDIO, and VIDEO paths are all real, JDK-builtin codecs (no
+  * external jar): [[encodePng]]/[[decodeImage]] emit and parse genuine
+  * PNG/JPEG bytes via javax.imageio, [[encodeWav]]/[[decodeAudio]] emit
+  * and parse genuine RIFF/WAV via javax.sound.sampled, and the video path
+  * demuxes a concatenated-image (MJPEG-style) container — PNG chunk walk
+  * / JPEG marker scan — and decodes each sampled frame through the same
+  * ImageIO path ([[splitVideoFrames]]/[[sampleVideoFrames]]). The gate
+  * queries exercise true encode→binary column→decode round trips.
   *
   * Scale notes: binary payloads stay columnar in parquet; codecs run
   * per-row inside a partition iterator (no per-row task overhead, no
@@ -50,6 +49,25 @@ object Multimodal {
     }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real JPEG encoder (JDK ImageIO), same painted input as [[encodePng]].
+    * Lossy: decoded pixels approximate the painted color, so JPEG frames
+    * are exercised by round-trip tests, while oracle-exact gate arithmetic
+    * uses the lossless PNG path. */
+  def encodeJpeg(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
     out.toByteArray
   }
 
@@ -197,23 +215,6 @@ object Multimodal {
     df.select(col(idCol), featUdf(col(binCol)).as("features"))
   }
 
-  /** Feature extraction: fold the payload bytes into a `dim`-bucket
-    * Array[Float] (bucket i sums bytes at positions ≡ i mod dim) — the
-    * embedding-extraction dataflow (binary column → vector column ready
-    * for the similarity operators). STUB arithmetic, real plumbing: swap
-    * the fold for a model forward pass and the schema/batching is
-    * unchanged. */
-  def extractFeatures(df: DataFrame, dim: Int,
-                      idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
-    val featUdf = udf { (bytes: Array[Byte]) =>
-      val acc = new Array[Float](dim)
-      var i = 0
-      while (i < bytes.length) { acc(i % dim) += (bytes(i) & 0xff).toFloat; i += 1 }
-      acc
-    }
-    df.select(col(idCol), featUdf(col(binCol)).as("features"))
-  }
-
   /** Real image resize (JDK Graphics2D): decode → draw scaled onto a new
     * RGB canvas → re-encode PNG. Nearest-neighbor interpolation so solid-
     * color images stay exactly solid (closed-form oracle-able); swap the
@@ -265,30 +266,107 @@ object Multimodal {
     }(Encoders.product[ImageMetaFeatures])
   }
 
-  /** "Resize" stub: stride-sample the payload down to `outBytes` bytes
-    * (deterministic; stands in for a real image resample — the plumbing is
-    * binary-in/binary-out at full column pruning). */
-  def resizeStub(df: DataFrame, outBytes: Int,
-                 idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
-    val rz = udf { (bytes: Array[Byte]) =>
-      if (bytes.isEmpty) bytes
-      else Array.tabulate(math.min(outBytes, bytes.length))(i =>
-        bytes((i.toLong * bytes.length / math.min(outBytes, bytes.length)).toInt))
-    }
-    df.select(col(idCol), rz(col(binCol)).as("resized"))
+  // ---------------------------------------------------------------- video
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Concatenated-image "video" container (MJPEG-style): frames are whole
+    * PNG or JPEG byte streams laid back-to-back with no index — exactly
+    * how motion-JPEG AVI payloads and many camera ring buffers store
+    * frames. Encoding is plain concatenation. */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    frames.foreach(out.write)
+    out.toByteArray
   }
 
-  /** "Frame sampling" stub: cut a binary payload into fixed-size frame
-    * slices and explode one row per sampled frame — the video-pipeline
-    * shape (decode → sample every Nth frame → per-frame features). */
-  def sampleFrames(df: DataFrame, frameBytes: Int, every: Int,
-                   idCol: String = "doc_id", binCol: String = "payload"): DataFrame = {
-    val slices = udf { (bytes: Array[Byte]) =>
-      bytes.grouped(frameBytes).zipWithIndex
-        .filter(_._2 % every == 0)
-        .map { case (frame, idx) => (idx, frame.length) }.toSeq
+  /** End offset (exclusive) of the PNG stream starting at `pos`, or -1 if
+    * malformed/truncated: walks the real chunk structure — 8-byte
+    * signature, then (4-byte big-endian length, 4-byte type, data, CRC)
+    * chunks until IEND — rather than pattern-scanning, so pixel data that
+    * happens to contain a signature can't split a frame. */
+  private def pngEnd(bytes: Array[Byte], pos: Int): Int = {
+    var p = pos + 8
+    while (p + 8 <= bytes.length) {
+      val len = ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+      val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+        bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+      if (len < 0 || p + 12L + len > bytes.length) return -1
+      p += 12 + len
+      if (isEnd) return p
     }
-    df.select(col(idCol), explode(slices(col(binCol))).as("frame"))
-      .select(col(idCol), col("frame._1").as("frame_idx"), col("frame._2").as("frame_len"))
+    -1
+  }
+
+  /** End offset (exclusive) of the JPEG stream starting at `pos`, or -1:
+    * scans entropy-coded data for the EOI marker FFD9. Sound for baseline
+    * JPEG because 0xFF bytes inside entropy data are always stuffed as
+    * FF00 (or are RSTn markers), so a raw FFD9 can only be the real end. */
+  private def jpegEnd(bytes: Array[Byte], pos: Int): Int = {
+    var p = pos + 2
+    while (p + 1 < bytes.length) {
+      if ((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) == 0xd9) return p + 2
+      p += 1
+    }
+    -1
+  }
+
+  /** Demux a concatenated-image container into its frames. Format is
+    * sniffed per frame (PNG chunk walk / JPEG marker scan), so mixed
+    * containers work. A malformed or truncated tail yields the frames
+    * parsed before it — the corrupt-row contract again: bad bytes degrade,
+    * they don't kill the task. */
+  def splitVideoFrames(bytes: Array[Byte]): Array[Array[Byte]] = {
+    if (bytes == null) return Array.empty
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var pos = 0
+    var ok = true
+    while (ok && pos < bytes.length) {
+      val end =
+        if (pos + 8 <= bytes.length &&
+          java.util.Arrays.equals(bytes, pos, pos + 8, PngSig, 0, 8)) pngEnd(bytes, pos)
+        else if (pos + 2 <= bytes.length && (bytes(pos) & 0xff) == 0xff &&
+          (bytes(pos + 1) & 0xff) == 0xd8) jpegEnd(bytes, pos)
+        else -1
+      if (end < 0) ok = false
+      else {
+        frames += java.util.Arrays.copyOfRange(bytes, pos, end)
+        pos = end
+      }
+    }
+    frames.toArray
+  }
+
+  /** One decoded, sampled video frame: real per-frame dimensions and
+    * `dim`-bucket pixel features (same fold as the image path). Corrupt
+    * frames surface as (-1, -1, null). */
+  final case class VideoFrame(doc_id: Long, frame_idx: Int, width: Int,
+                              height: Int, features: Array[Float])
+
+  /** REAL frame sampling over a video binary column: demux the container,
+    * keep every `every`-th frame, decode each kept frame through ImageIO,
+    * emit per-frame metadata + pixel features. Skipped frames are never
+    * decoded — at scale that is the point of sampling (an every=30 pass
+    * over an MJPEG corpus pays 1/30th of the codec cost). Runs in a
+    * partition iterator: no per-row task overhead, no driver collect. */
+  def sampleVideoFrames(df: DataFrame, every: Int, dim: Int = 3,
+                        idCol: String = "doc_id",
+                        binCol: String = "payload"): Dataset[VideoFrame] = {
+    val pruned = df.select(col(idCol).cast("long"), col(binCol))
+    pruned.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        splitVideoFrames(r.getAs[Array[Byte]](1)).iterator.zipWithIndex
+          .filter(_._2 % every == 0)
+          .map { case (frame, idx) =>
+            val img = readImage(frame)
+            if (img == null) VideoFrame(id, idx, -1, -1, null)
+            else VideoFrame(id, idx, img.getWidth, img.getHeight,
+              foldRgb(rgbSeq(img), dim))
+          }
+      }
+    }(Encoders.product[VideoFrame])
   }
 }

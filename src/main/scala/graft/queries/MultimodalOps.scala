@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * payload is encoded with the real JDK ImageIO codec inside the query,
   * and the decode side reads those bytes back through ImageIO — a genuine
   * encode→binary column→decode round trip whose *painted* arithmetic the
-  * oracle can mirror exactly (PNG is lossless). m02 remains the video
-  * frame-sampling stub (no video codec in the JDK). */
+  * oracle can mirror exactly (PNG is lossless). m02 runs the same real
+  * codec through the video path: a concatenated-PNG (MJPEG-style)
+  * container demuxed by chunk structure, every 2nd frame decoded. */
 object MultimodalOps {
 
   import org.apache.spark.sql.Column
@@ -55,21 +56,52 @@ object MultimodalOps {
           .select(col("doc_id"), col("width"), col("height"), col("format"))
           .orderBy(col("doc_id"))),
 
+    // REAL video path: each document builds a 5-frame MJPEG-style
+    // container (concatenated solid-color PNGs, per-frame dimensions and
+    // color from md5(text#frame)), the container is demuxed by walking
+    // the actual PNG chunk structure, and every 2nd frame — frames 0, 2,
+    // 4; skipped frames are never decoded — goes through the real ImageIO
+    // decode. The oracle replays the painted arithmetic per sampled
+    // frame: a w×h solid fill decodes to channel sums w·h·c exactly
+    // (PNG is lossless), so the hash check proves the demuxer found the
+    // true frame boundaries AND the codec recovered every pixel.
     QuerySpec(
       "m02_frame_sampling",
       Some("""
-        SELECT doc_id, f.idx AS frame_idx, f.len AS frame_len
-        FROM documents,
-             (SELECT unnest([{'idx': 0, 'len': 8}, {'idx': 2, 'len': 8},
-                             {'idx': 4, 'len': 4}], recursive := true)) f(idx, len)
+        WITH f AS (SELECT unnest([0, 2, 4]) AS i),
+        b AS (SELECT doc_id, i,
+                     CAST(('0x'||substr(md5(text||'#'||i),1,2)) AS INTEGER) % 16 + 8 AS w,
+                     CAST(('0x'||substr(md5(text||'#'||i),3,2)) AS INTEGER) % 16 + 8 AS h,
+                     CAST(('0x'||substr(md5(text||'#'||i),5,2)) AS BIGINT) AS r,
+                     CAST(('0x'||substr(md5(text||'#'||i),7,2)) AS BIGINT) AS g,
+                     CAST(('0x'||substr(md5(text||'#'||i),9,2)) AS BIGINT) AS bl
+              FROM documents, f)
+        SELECT doc_id, i AS frame_idx, w AS width, h AS height,
+               CAST(w*h*r AS DOUBLE) AS f0,
+               CAST(w*h*g AS DOUBLE) AS f1,
+               CAST(w*h*bl AS DOUBLE) AS f2
+        FROM b
         ORDER BY doc_id, frame_idx"""),
       (s, dir) => {
-        // 36-byte payload (md5 ∥ md5 ∥ md5[0:4]) → 8-byte frames, every 2nd
+        val nFrames = 5
+        // frame j's (w,h,r,g,b) from md5(text || "#j") — mirrors the oracle
+        def fb(j: Int, i: Int) =
+          conv(substring(md5(concat(col("text"), lit("#" + j))), 2 * i + 1, 2), 16, 10)
+            .cast("int")
+        val videoUdf = udf { (params: Seq[Seq[Int]]) =>
+          Multimodal.encodeVideo(params.map(p =>
+            Multimodal.encodePng(p(0), p(1), p(2), p(3), p(4))))
+        }
+        val frameParams = array((0 until nFrames).map(j =>
+          array(fb(j, 0) % 16 + 8, fb(j, 1) % 16 + 8, fb(j, 2), fb(j, 3), fb(j, 4))): _*)
         val docs = Tables.t(s, dir, "documents")
-          .select(col("doc_id"),
-            unhex(concat(md5(col("text")), md5(col("text")),
-              substring(md5(col("text")), 1, 8))).as("payload"))
-        Multimodal.sampleFrames(docs, frameBytes = 8, every = 2)
+          .repartition(col("doc_id")) // spread codec work, as in pngDocs
+          .select(col("doc_id"), videoUdf(frameParams).as("payload"))
+        Multimodal.sampleVideoFrames(docs, every = 2, dim = 3).toDF()
+          .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+            element_at(col("features"), 1).cast("double").as("f0"),
+            element_at(col("features"), 2).cast("double").as("f1"),
+            element_at(col("features"), 3).cast("double").as("f2"))
           .orderBy(col("doc_id"), col("frame_idx"))
       }),
 

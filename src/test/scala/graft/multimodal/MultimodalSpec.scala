@@ -92,39 +92,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(Array.fill[Byte](32)(7)) == ((-1, -1, -1)))
   }
 
-  test("frame sampling explodes one row per sampled frame") {
-    val df = Multimodal.sampleFrames(payloads, frameBytes = 4, every = 2)
-    // 16 bytes → 4 frames → sampled idx 0 and 2
-    val perDoc = df.groupBy("doc_id").count().select("count").distinct().collect()
-    assert(perDoc.length == 1 && perDoc.head.getLong(0) == 2)
-    assert(df.filter(col("frame_len") =!= 4).count() == 0)
-  }
-
-  test("feature extraction folds bytes into dim buckets and feeds similarity ops") {
-    val feats = Multimodal.extractFeatures(payloads, dim = 4)
-    val rows = feats.collect()
-    assert(rows.length == 500)
-    rows.foreach { r =>
-      val f = r.getSeq[Float](1)
-      assert(f.length == 4 && f.forall(v => v >= 0f && v <= 4 * 255f))
+  test("video demux + frame sampling decodes real PNG frames at true boundaries") {
+    // 4 frames per doc, each with its own dims and color
+    val video = udf { (id: Long) =>
+      Multimodal.encodeVideo((0 until 4).map(j =>
+        Multimodal.encodePng(5 + j, 3 + j, 10 * j + 1, 20 * j + 2, 30 * j + 3)))
     }
-    // the output column type matches the embeddings table (similarity-ready):
-    // self-cosine is 1 up to the sqrt·sqrt rounding of the norm product
-    import graft.queries.SimilarityOps.{dotd, norm}
-    val self = feats.select(
-      (dotd(col("features"), col("features")) / (norm(col("features")) * norm(col("features")))).as("c"))
-    assert(self.filter(abs(col("c") - 1.0) > 1e-12).count() == 0)
+    val vids = spark.range(0, 20).select(col("id").as("doc_id"), video(col("id")).as("payload"))
+    val rows = Multimodal.sampleVideoFrames(vids, every = 2, dim = 3).collect()
+    // every 2nd of 4 frames → idx 0 and 2 per doc
+    assert(rows.length == 40)
+    assert(rows.map(_.frame_idx).toSet == Set(0, 2))
+    rows.foreach { f =>
+      val j = f.frame_idx
+      assert(f.width == 5 + j && f.height == 3 + j)
+      val px = (5 + j) * (3 + j)
+      // lossless PNG: channel sums equal the painted arithmetic exactly
+      assert(f.features.toSeq == Seq((10 * j + 1f) * px, (20 * j + 2f) * px, (30 * j + 3f) * px))
+    }
   }
 
-  test("resize stub is deterministic, length-bounded, and binary-in/binary-out") {
-    val r1 = Multimodal.resizeStub(payloads, outBytes = 8).collect()
-    assert(r1.forall(_.getAs[Array[Byte]]("resized").length == 8))
-    val r2 = Multimodal.resizeStub(payloads, outBytes = 8).collect()
-    assert(r1.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq ==
-      r2.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq)
-    // upscale request never exceeds source length
-    val big = Multimodal.resizeStub(payloads, outBytes = 64).collect()
-    assert(big.forall(_.getAs[Array[Byte]]("resized").length == 16))
+  test("video demux handles real JPEG frames via EOI marker scan") {
+    val frames = (0 until 3).map(j => Multimodal.encodeJpeg(8 + j, 6, 200, 100, 50))
+    val container = Multimodal.encodeVideo(frames)
+    val split = Multimodal.splitVideoFrames(container)
+    assert(split.length == 3)
+    assert(split.map(_.toSeq).toSeq == frames.map(_.toSeq)) // exact byte boundaries
+    // each demuxed frame decodes with the right dimensions (dims are exact
+    // even though JPEG pixel values are lossy)
+    split.zipWithIndex.foreach { case (fb, j) =>
+      val (w, h, fmt) = Multimodal.decodeImage(fb)
+      assert(w == 8 + j && h == 6 && fmt == "jpeg")
+    }
+  }
+
+  test("mixed/corrupt containers degrade to the parsed prefix, never throw") {
+    val png = Multimodal.encodePng(4, 4, 1, 2, 3)
+    val jpg = Multimodal.encodeJpeg(5, 5, 9, 9, 9)
+    val garbage = Array.fill[Byte](24)(77)
+    // mixed formats demux fine; a malformed tail yields the good prefix
+    assert(Multimodal.splitVideoFrames(png ++ jpg).length == 2)
+    assert(Multimodal.splitVideoFrames(png ++ jpg ++ garbage).length == 2)
+    assert(Multimodal.splitVideoFrames(garbage).isEmpty)
+    assert(Multimodal.splitVideoFrames(null).isEmpty)
+    // truncated final frame: the complete frames still come back
+    val truncated = png ++ jpg.dropRight(10)
+    assert(Multimodal.splitVideoFrames(truncated).length == 1)
   }
 
   test("metadata-only query prunes the payload column from the scan") {
