@@ -148,31 +148,92 @@ object Multimodal {
     }(Encoders.product[ImageMeta])
   }
 
-  /** Real WAV encoder (JDK javax.sound.sampled): `frames` samples of
-    * 16-bit signed PCM at `sampleRate`, `channels`-channel, payload a
-    * deterministic sawtooth seeded by `seed`. */
+  /** Real WAV encoder: `frames` samples of 16-bit signed PCM at
+    * `sampleRate`, `channels`-channel, payload a deterministic sawtooth
+    * seeded by `seed`. Writes the canonical 44-byte RIFF/WAVE header
+    * directly — byte-identical layout to what `AudioSystem.write`
+    * produces (MultimodalSpec round-trips the bytes through the JDK SPI
+    * reader to pin that), without `AudioSystem.write`'s per-call provider
+    * scan and stream copy, which at one call per ROW dominated the encode
+    * stage of the audio gate. */
   def encodeWav(sampleRate: Int, channels: Int, frames: Int, seed: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(
-      sampleRate.toFloat, 16, channels, true, false)
-    val pcm = new Array[Byte](frames * 2 * channels)
+    val blockAlign = 2 * channels
+    val dataLen = frames * blockAlign
+    val b = new Array[Byte](44 + dataLen)
+    @inline def putTag(p: Int, s: String): Unit = {
+      b(p) = s.charAt(0).toByte; b(p + 1) = s.charAt(1).toByte
+      b(p + 2) = s.charAt(2).toByte; b(p + 3) = s.charAt(3).toByte
+    }
+    @inline def putLe32(p: Int, v: Int): Unit = {
+      b(p) = (v & 0xff).toByte; b(p + 1) = ((v >> 8) & 0xff).toByte
+      b(p + 2) = ((v >> 16) & 0xff).toByte; b(p + 3) = ((v >> 24) & 0xff).toByte
+    }
+    @inline def putLe16(p: Int, v: Int): Unit = {
+      b(p) = (v & 0xff).toByte; b(p + 1) = ((v >> 8) & 0xff).toByte
+    }
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16) // PCM fmt chunk is 16 bytes
+    putLe16(20, 1) // audio format 1 = linear PCM
+    putLe16(22, channels); putLe32(24, sampleRate)
+    putLe32(28, sampleRate * blockAlign) // byte rate
+    putLe16(32, blockAlign); putLe16(34, 16) // bits per sample
+    putTag(36, "data"); putLe32(40, dataLen)
     var i = 0
-    while (i < pcm.length / 2) {
+    while (i < dataLen / 2) {
       val v = ((seed + i * 257) % 65536 - 32768).toShort
-      pcm(2 * i) = (v & 0xff).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      b(44 + 2 * i) = (v & 0xff).toByte; b(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
     }
-    val stream = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(stream,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    b
   }
 
-  /** Real WAV decoder: sample rate, duration (floor ms), channel count
-    * parsed from the actual RIFF header by the JDK's audio file reader.
-    * Returns (-1, -1, -1) for bytes no installed reader understands. */
-  def decodeAudio(bytes: Array[Byte]): (Int, Int, Int) =
+  /** Little-endian u16/u32 reads for the RIFF chunk walk. */
+  @inline private def leU16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  @inline private def leU32(b: Array[Byte], p: Int): Long =
+    (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) |
+      ((b(p + 2) & 0xffL) << 16) | ((b(p + 3) & 0xffL) << 24)
+
+  /** Direct RIFF/WAVE header walk: (rate, durMs, channels) or null if the
+    * bytes aren't a well-formed WAV. This is the hot decode path —
+    * `AudioSystem.getAudioFileFormat` runs an exception-driven provider
+    * scan per call (each non-matching SPI reader throws), which at one
+    * call per ROW dominates the metadata query; the chunk walk reads the
+    * same genuine header fields at pure-arithmetic cost. */
+  private def parseRiffWave(b: Array[Byte]): (Int, Int, Int) = {
+    if (b == null || b.length < 44 ||
+      b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    var p = 12
+    var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1L
+    while (p + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+      val size = leU32(b, p + 4)
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
+        if (p + 8 + 16 > b.length) return null
+        channels = leU16(b, p + 10)
+        rate = leU32(b, p + 12).toInt
+        blockAlign = leU16(b, p + 20)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
+        dataLen = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      p += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || p < 0) return null
+    }
+    if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataLen < 0) null
+    else {
+      val frames = dataLen / blockAlign
+      ((rate, (frames * 1000L / rate).toInt, channels))
+    }
+  }
+
+  /** Real audio decoder: sample rate, duration (floor ms), channel count
+    * from the actual container header. WAV takes the direct RIFF chunk
+    * walk; any other format falls back to the JDK's SPI reader scan
+    * (AIFF, AU, …). Returns (-1, -1, -1) for bytes no parser understands. */
+  def decodeAudio(bytes: Array[Byte]): (Int, Int, Int) = {
+    val wav = parseRiffWave(bytes)
+    if (wav != null) return wav
     try {
       val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(bytes))
@@ -185,6 +246,7 @@ object Multimodal {
       // RIFF chunks, not just the two declared exception types
       case scala.util.control.NonFatal(_) => (-1, -1, -1)
     }
+  }
 
   /** Audio metadata extraction — REAL WAV header parse. */
   def extractAudioMeta(df: DataFrame, idCol: String = "doc_id",

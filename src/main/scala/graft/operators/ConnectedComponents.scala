@@ -29,8 +29,24 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** @param edges two-column DataFrame (src, dst), any orientation
+    * @param loopShuffleWidth shuffle-partition count scoped to the
+    *   iteration loop. The iteration state is the candidate-VERTEX set —
+    *   orders of magnitude smaller than the corpus the pairs came from —
+    *   so running each round at the session's corpus-sized shuffle width
+    *   schedules mostly-empty tasks every iteration. Size this to the
+    *   label state (rows / a few million per partition), not to the
+    *   session default; None keeps the session width.
     * @return (id, component) — component = min id reachable */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 25,
+          loopShuffleWidth: Option[Int] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    loopShuffleWidth.foreach(w => spark.conf.set("spark.sql.shuffle.partitions", w))
+    try runLoop(edges, maxIter)
+    finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
+  }
+
+  private def runLoop(edges: DataFrame, maxIter: Int): DataFrame = {
     val src = edges.columns(0)
     val dst = edges.columns(1)
     // persist the input FIRST: the undirected union references it twice,

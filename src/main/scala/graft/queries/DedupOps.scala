@@ -211,7 +211,9 @@ object DedupOps {
       (s, dir) => {
         val pairs = jaccardPairs(s, dir).filter(col("jaccard") >= 0.6)
           .select(col("doc_a"), col("doc_b"))
-        val cc = graft.operators.ConnectedComponents.run(pairs)
+        // loop width sized to the label state (near-dup candidate vertices,
+        // a tiny fraction of the corpus), not the session's corpus width
+        val cc = graft.operators.ConnectedComponents.run(pairs, loopShuffleWidth = Some(8))
         val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         cc.join(sizes, "component")
           .select(col("id").as("doc_id"), col("component").as("cluster_root"),

@@ -201,7 +201,10 @@ object TextOps {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.t(s, dir, "documents")
-        val n = docs.count() // tiny driver-side scalar, same as the oracle's (SELECT n)
+        // N rides along as a one-row broadcast instead of a driver-side
+        // docs.count() action — one fewer job, no collected scalar in the
+        // plan, same arithmetic as the oracle's (SELECT n)
+        val nDf = docs.agg(count(lit(1)).as("n"))
         val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         // tf rows are already unique per (doc_id, term) — counting them per
@@ -209,9 +212,9 @@ object TextOps {
         val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term").asc)
-        tf.join(df, "term")
+        tf.join(df, "term").crossJoin(broadcast(nDf))
           .withColumn("score",
-            (col("tf") * (lit(2L) * (lit(n) - col("df")) + 1)).cast("double") / (col("df") * 2 + 1))
+            (col("tf") * (lit(2L) * (col("n") - col("df")) + 1)).cast("double") / (col("df") * 2 + 1))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),

@@ -90,6 +90,14 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // corrupt bytes surface as -1, not an exception
     assert(Multimodal.decodeAudio(Array.fill[Byte](32)(7)) == ((-1, -1, -1)))
+    // the directly-written RIFF header is genuine WAV: the JDK's own SPI
+    // reader parses the same rate/channels/frames out of our bytes
+    val bytes = Multimodal.encodeWav(22050, 2, 777, 5)
+    val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ff.getFormat.getSampleRate.toInt == 22050)
+    assert(ff.getFormat.getChannels == 2)
+    assert(ff.getFrameLength == 777)
   }
 
   test("video demux + frame sampling decodes real PNG frames at true boundaries") {
