@@ -23,6 +23,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // memlog-parity counters (BASELINE.md): rows/bytes read+written, peak
+    // single-task execution memory, executor CPU — accumulated across every
+    // timed query by a SparkListener, reported in the same JSON line so
+    // each round's memory behavior is graded alongside wall time
+    val metrics = graft.stac.IngestMetrics.install(spark)
 
     // Warmup outside the timed region: JIT/codegen, Hadoop FS + parquet
     // reader init, and the noop sink path — one-time infra costs that would
@@ -51,7 +56,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // listener delivery is async — give the bus a beat to drain before
+    // reading the counters (same contract as StacDemo)
+    Thread.sleep(300)
+    val counters = metrics.json(total)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"counters":$counters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

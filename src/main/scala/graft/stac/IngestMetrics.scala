@@ -33,6 +33,18 @@ final class IngestMetrics extends SparkListener {
     }
   }
 
+  /** The same counters as [[report]], as one JSON object (for embedding
+    * in Bench's single-line output). */
+  def json(wallSecs: Double): String = {
+    val itemsPerSec = if (wallSecs > 0) recordsRead.get() / wallSecs else 0.0
+    val mbPerSec = if (wallSecs > 0) bytesWritten.get() / 1e6 / wallSecs else 0.0
+    f"""{"rows_read":${recordsRead.get()},"bytes_read":${bytesRead.get()},""" +
+      f""""rows_written":${recordsWritten.get()},"bytes_written":${bytesWritten.get()},""" +
+      f""""rows_per_sec":$itemsPerSec%.0f,"write_mb_per_sec":$mbPerSec%.2f,""" +
+      f""""peak_task_exec_mem_mb":${peakExecutionMemory.get() / 1e6}%.1f,""" +
+      f""""executor_cpu_s":${totalCpuNanos.get() / 1e9}%.1f}"""
+  }
+
   def report(wallSecs: Double): String = {
     val itemsPerSec = if (wallSecs > 0) recordsRead.get() / wallSecs else 0.0
     val mbWritten = bytesWritten.get() / 1e6
