@@ -322,6 +322,51 @@ object StacOps {
             date_format(col("datetime"), graft.stac.StacSchema.Rfc3339Format).as("datetime_out"),
             col("bbox.xmin").as("xmin"))
           .orderBy(col("id"))
+      }),
+
+    // ----- CQL2 advanced operators (the rest of pgstac search()'s set) -----
+    // casei (case-insensitive compare), LIKE, a_contains over an array
+    // column, and s_disjoint in the declared envelope semantics — all
+    // translated natively to Catalyst predicates; the oracle mirrors each
+    // operator structurally (lower(), LIKE, list_contains, NOT overlap).
+    QuerySpec(
+      "stac10_cql2_advanced",
+      Some("""
+        SELECT 'o' || o_orderkey AS id,
+               'C' || CAST(o_orderkey % 3 AS VARCHAR) AS collection,
+               CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin
+        FROM orders
+        WHERE lower('C' || CAST(o_orderkey % 3 AS VARCHAR)) = 'c1'
+          AND ('o' || o_orderkey) LIKE 'o%0'
+          AND list_contains(['t' || CAST(o_orderkey % 4 AS VARCHAR),
+                             'x' || CAST(o_orderkey % 5 AS VARCHAR)], 't2')
+          AND NOT (CAST(o_orderkey % 360 - 180 AS DOUBLE) <= 180.0
+                   AND CAST(o_orderkey % 360 - 180 AS DOUBLE) + 1.0 >= 100.0
+                   AND CAST(o_orderkey % 170 - 85 AS DOUBLE) <= 90.0
+                   AND CAST(o_orderkey % 170 - 85 AS DOUBLE) + 0.5 >= -90.0)
+        ORDER BY id"""),
+      (s, dir) => {
+        val cql =
+          """{"op":"and","args":[
+            |  {"op":"=","args":[{"op":"casei","args":[{"property":"collection"}]},"c1"]},
+            |  {"op":"like","args":[{"property":"id"},"o%0"]},
+            |  {"op":"a_contains","args":[{"property":"tags"},["t2"]]},
+            |  {"op":"s_disjoint","args":[{"property":"geometry"},
+            |    {"bbox":[100.0,-90.0,180.0,90.0]}]}
+            |]}""".stripMargin
+        val o = Tables.t(s, dir, "orders")
+        val bx = (col("o_orderkey") % 360 - 180).cast("double")
+        val by = (col("o_orderkey") % 170 - 85).cast("double")
+        o.select(
+            concat(lit("o"), col("o_orderkey")).as("id"),
+            concat(lit("C"), (col("o_orderkey") % 3).cast("string")).as("collection"),
+            array(concat(lit("t"), (col("o_orderkey") % 4).cast("string")),
+              concat(lit("x"), (col("o_orderkey") % 5).cast("string"))).as("tags"),
+            struct(bx.as("xmin"), by.as("ymin"),
+              (bx + 1.0).as("xmax"), (by + 0.5).as("ymax")).as("bbox"))
+          .filter(graft.stac.Cql2.filter(cql))
+          .select(col("id"), col("collection"), col("bbox.xmin").as("xmin"))
+          .orderBy(col("id"))
       })
   )
 }

@@ -17,16 +17,24 @@ import scala.jdk.CollectionConverters._
   * groups — the STAC-GeoParquet spec's motivating access path
   * (`_to_arrow.py:124-130`).
   *
-  * Supported (CQL2 "basic" + the STAC-common operators):
+  * Supported (CQL2 "basic" + the operator set pgstac's `search()`
+  * accepts):
   *   and/or/not; = <> < <= > >=; between, in, like, isNull;
+  *   casei (case-insensitive wrapper, CQL2 "Case-insensitive Comparison");
+  *   a_equals/a_contains/a_containedBy/a_overlaps over array columns
+  *   (CQL2 "Array Operators", e.g. stac_extensions);
   *   t_before/t_after/t_during over timestamps;
-  *   s_intersects evaluated in planar bbox semantics against the struct
-  *   bbox column (the literal geometry collapses to its envelope on the
-  *   driver — conservative, exactly the row-group pruning predicate).
+  *   s_intersects/s_disjoint/s_within/s_contains evaluated in planar
+  *   ENVELOPE semantics against the struct bbox column (the literal
+  *   geometry collapses to its envelope on the driver). For intersects/
+  *   within/contains the envelope test is the necessary condition a
+  *   row-group pruning predicate wants; s_disjoint is its exact negation
+  *   under the same declared semantics. Anything beyond this set stays on
+  *   the reference's delegation path (PgstacReader → `search()`).
   *
-  * Literals: strings, numbers, booleans, {"timestamp": s}, {"date": s},
-  * {"interval": [lo, hi]}, {"property": name}, GeoJSON geometry objects,
-  * and {"bbox": [xmin,ymin,xmax,ymax]}.
+  * Literals: strings, numbers, booleans, arrays, {"timestamp": s},
+  * {"date": s}, {"interval": [lo, hi]}, {"property": name}, GeoJSON
+  * geometry objects, and {"bbox": [xmin,ymin,xmax,ymax]}.
   */
 object Cql2 {
 
@@ -57,13 +65,26 @@ object Cql2 {
           toColumn(args(0)).isInCollection(list)
         case "like"   => toColumn(args(0)).like(args(1).asText)
         case "isNull" => toColumn(args(0)).isNull
+        case "casei"  => lower(toColumn(args(0)))
+        // CQL2 array operators: a_contains(a,b) ⇔ every element of b is in
+        // a; a_containedBy is the converse; a_equals ignores order and
+        // duplicates-insensitive position (set-style, like pgstac's SQL)
+        case "a_equals" =>
+          array_sort(toColumn(args(0))) === array_sort(toColumn(args(1)))
+        case "a_contains" =>
+          size(array_except(toColumn(args(1)), toColumn(args(0)))) === 0
+        case "a_containedBy" =>
+          size(array_except(toColumn(args(0)), toColumn(args(1)))) === 0
+        case "a_overlaps" =>
+          arrays_overlap(toColumn(args(0)), toColumn(args(1)))
         case "t_before" => toColumn(args(0)) < toColumn(args(1))
         case "t_after"  => toColumn(args(0)) > toColumn(args(1))
         case "t_during" =>
           val iv = args(1).get("interval")
           val e = toColumn(args(0))
           e >= tsLit(iv.get(0).asText) && e <= tsLit(iv.get(1).asText)
-        case "s_intersects" => sIntersects(args(0), args(1))
+        case "s_intersects" => spatial(op, args(0), args(1))
+        case "s_disjoint" | "s_within" | "s_contains" => spatial(op, args(0), args(1))
         case other => throw new IllegalArgumentException(s"unsupported CQL2 op: $other")
       }
     } else if (n.isObject && n.has("property")) {
@@ -74,6 +95,7 @@ object Cql2 {
       }
     } else if (n.isObject && n.has("timestamp")) tsLit(n.get("timestamp").asText)
     else if (n.isObject && n.has("date")) to_date(lit(n.get("date").asText))
+    else if (n.isArray) array(n.elements().asScala.toSeq.map(toColumn): _*)
     else if (n.isTextual) lit(n.asText)
     else if (n.isIntegralNumber) lit(n.asLong)
     else if (n.isNumber) lit(n.asDouble)
@@ -84,20 +106,34 @@ object Cql2 {
 
   private def tsLit(s: String): Column = to_timestamp(lit(s))
 
-  /** Planar bbox-overlap test between the item's struct bbox column and the
+  /** Planar envelope tests between the item's struct bbox column and the
     * envelope of the literal geometry/bbox argument. One side must be the
-    * `geometry`/`bbox` property; the other a GeoJSON object or bbox array. */
-  private def sIntersects(a: JsonNode, b: JsonNode): Column = {
+    * `geometry`/`bbox` property; the other a GeoJSON object or bbox array.
+    * Argument ORDER matters for the asymmetric operators: s_within(a, b)
+    * means a within b, so when the property is the second argument the
+    * roles flip (within ↔ contains). */
+  private def spatial(op: String, a: JsonNode, b: JsonNode): Column = {
+    val propFirst = a.isObject && a.has("property")
     val (propSide, litSide) =
-      if (a.isObject && a.has("property")) (a, b)
+      if (propFirst) (a, b)
       else if (b.isObject && b.has("property")) (b, a)
-      else throw new IllegalArgumentException("s_intersects needs a property argument")
+      else throw new IllegalArgumentException(s"$op needs a property argument")
     val prop = propSide.get("property").asText
     require(prop == "geometry" || prop == "bbox",
-      s"s_intersects supported on geometry/bbox, got $prop")
+      s"$op supported on geometry/bbox, got $prop")
     val (xmin, ymin, xmax, ymax) = envelope(litSide)
-    col("bbox.xmin") <= xmax && col("bbox.xmax") >= xmin &&
+    val overlap = col("bbox.xmin") <= xmax && col("bbox.xmax") >= xmin &&
       col("bbox.ymin") <= ymax && col("bbox.ymax") >= ymin
+    val propWithinLit = col("bbox.xmin") >= xmin && col("bbox.xmax") <= xmax &&
+      col("bbox.ymin") >= ymin && col("bbox.ymax") <= ymax
+    val propContainsLit = col("bbox.xmin") <= xmin && col("bbox.xmax") >= xmax &&
+      col("bbox.ymin") <= ymin && col("bbox.ymax") >= ymax
+    op match {
+      case "s_intersects" => overlap
+      case "s_disjoint"   => !overlap
+      case "s_within"     => if (propFirst) propWithinLit else propContainsLit
+      case "s_contains"   => if (propFirst) propContainsLit else propWithinLit
+    }
   }
 
   private def envelope(n: JsonNode): (Double, Double, Double, Double) = {

@@ -75,8 +75,54 @@ class Cql2Spec extends AnyFunSuite {
 
   test("date literal and unsupported op") {
     assert(ids("""{"op":">=","args":[{"property":"datetime"},{"date":"2024-07-01"}]}""") == Seq("b"))
-    val e = intercept[IllegalArgumentException](Cql2.filter("""{"op":"a_containedBy","args":[]}"""))
+    val e = intercept[IllegalArgumentException](Cql2.filter("""{"op":"s_crosses","args":[]}"""))
     assert(e.getMessage.contains("unsupported CQL2 op"))
+  }
+
+  test("casei compares case-insensitively on both sides") {
+    val cql = """{"op":"=","args":[
+      {"op":"casei","args":[{"property":"collection"}]},
+      {"op":"casei","args":["LANDSAT"]}]}"""
+    assert(ids(cql) == Seq("c"))
+  }
+
+  private lazy val tagged = Seq(
+    ("a", Seq("eo", "proj")),
+    ("b", Seq("proj", "eo")),      // same set, different order
+    ("c", Seq("eo", "proj", "sar")),
+    ("d", Seq("view"))
+  ).toDF("id", "stac_extensions")
+
+  private def tids(cql: String): Seq[String] =
+    tagged.filter(Cql2.filter(cql)).select("id").as[String].collect().toSeq.sorted
+
+  test("array operators: a_equals / a_contains / a_containedBy / a_overlaps") {
+    // a_equals is order-insensitive (set-style, like pgstac's SQL)
+    assert(tids("""{"op":"a_equals","args":[{"property":"stac_extensions"},["proj","eo"]]}""") ==
+      Seq("a", "b"))
+    // a_contains: the column contains every listed element
+    assert(tids("""{"op":"a_contains","args":[{"property":"stac_extensions"},["eo","sar"]]}""") ==
+      Seq("c"))
+    // a_containedBy: every column element is in the listed set
+    assert(tids("""{"op":"a_containedBy","args":[{"property":"stac_extensions"},["eo","proj","view"]]}""") ==
+      Seq("a", "b", "d"))
+    assert(tids("""{"op":"a_overlaps","args":[{"property":"stac_extensions"},["sar","view"]]}""") ==
+      Seq("c", "d"))
+  }
+
+  test("spatial operators: s_disjoint / s_within / s_contains, either argument order") {
+    // disjoint = exact negation of intersects under envelope semantics
+    assert(ids("""{"op":"s_disjoint","args":[{"property":"bbox"},{"bbox":[-125.0,25.0,-110.0,35.0]}]}""") ==
+      Seq("a", "b", "d"))
+    // a and d within [0,0,5,5]; b is not
+    assert(ids("""{"op":"s_within","args":[{"property":"bbox"},{"bbox":[0.0,0.0,5.0,5.0]}]}""") ==
+      Seq("a", "d"))
+    // property contains the literal point-ish box
+    assert(ids("""{"op":"s_contains","args":[{"property":"bbox"},{"bbox":[0.1,0.1,0.2,0.2]}]}""") ==
+      Seq("a"))
+    // flipped argument order: literal within property ⇔ property contains it
+    assert(ids("""{"op":"s_within","args":[{"bbox":[0.1,0.1,0.2,0.2]},{"property":"bbox"}]}""") ==
+      Seq("a"))
   }
 
   test("translated predicate reaches the parquet scan as pushed filters") {
