@@ -11,9 +11,10 @@ import org.apache.spark.sql.DataFrame
   * rewriting is not needed).
   *
   * delta-spark is not on this environment's classpath (zero-egress build;
-  * `/opt/spark/jars` has no delta jar), so availability is probed at
-  * runtime and the writer fails with a clear message instead of a
-  * ClassNotFoundException mid-job.
+  * `/opt/spark/jars` has no delta jar, and the offline coursier cache was
+  * re-probed round 4: no io.delta artifacts either), so availability is
+  * probed at runtime and the writer fails with a clear message instead of
+  * a ClassNotFoundException mid-job.
   */
 object DeltaSink {
 

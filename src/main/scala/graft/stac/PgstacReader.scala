@@ -43,13 +43,30 @@ object PgstacReader {
       }
   }
 
-  /** The partitions query (`pgstac_reader.py:312-328`): one row per pgstac
-    * partition with its datetime range and last_updated watermark. */
+  /** The partitions query, mirroring `pgstac_reader.py:312-333` exactly:
+    * the output FILENAME derives from `partition_dtrange` (the partition's
+    * constraint range; infinite bounds collapse to plain 'items.parquet'),
+    * while the read-slice bounds come from `dtrange` (the actual data
+    * range) with upper+1µs — Postgres's minimum timestamptz resolution —
+    * so the inclusive range upper bound works with the exclusive
+    * `datetime <` in the items query (S5). Postgres-flavored SQL by
+    * design (to_char/format/interval-string); PgstacLiveSpec maps those
+    * three functions to DuckDB equivalents to execute the same statement
+    * over live JDBC. */
   def partitionsSql(updatedAfter: Option[String] = None): String = {
     val where = updatedAfter.map(ts => s" WHERE last_updated >= '$ts'").getOrElse("")
-    s"""SELECT collection, partition, lower(partition_dtrange) AS start,
-        upper(partition_dtrange) AS "end", last_updated
-        FROM partitions_view$where ORDER BY last_updated"""
+    s"""SELECT collection,
+        CASE WHEN lower(partition_dtrange) = '-infinity' OR upper(partition_dtrange) = 'infinity' THEN
+            'items.parquet'
+        ELSE
+            format('items_%s_%s.parquet',
+                to_char(lower(partition_dtrange),'YYYYMMDD'),
+                to_char(upper(partition_dtrange),'YYYYMMDD'))
+        END AS partition,
+        lower(dtrange) AS start,
+        upper(dtrange) + '.000001 seconds' AS "end",
+        last_updated
+        FROM partitions_view$where ORDER BY last_updated asc"""
   }
 
   /** Partitioned JDBC scan of pgstac items. `numPartitions`/`fetchsize`
@@ -84,9 +101,15 @@ object PgstacReader {
     * through the normalize→GeoParquet pipeline into
     * `<out>/<collection>/items_<start>_<end>.parquet`
     * (`pgstac_reader.py:340-383`). The partition list is a tiny driver-side
-    * read; each partition export is a distributed job. */
+    * read; each partition export is a distributed job. Driver-side twin of
+    * the filename CASE inside [[partitionsSql]]: an unbounded partition
+    * collapses to plain 'items.parquet', like the reference's
+    * '-infinity'/'infinity' branch. */
   def partitionFileName(start: Option[String], end: Option[String]): String = {
-    def fmt(s: Option[String]) = s.map(_.replaceAll("[-:TZ ]", "").take(8)).getOrElse("open")
-    s"items_${fmt(start)}_${fmt(end)}.parquet"
+    def fmt(s: Option[String]) = s.map(_.replaceAll("[-:TZ ]", "").take(8))
+    (fmt(start), fmt(end)) match {
+      case (Some(a), Some(b)) => s"items_${a}_$b.parquet"
+      case _                  => "items.parquet"
+    }
   }
 }

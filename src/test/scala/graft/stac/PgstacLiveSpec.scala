@@ -110,26 +110,91 @@ class PgstacLiveSpec extends AnyFunSuite {
     assert(hydrated.exists(_.contains("s3://naip/i1.tif")))
   }
 
-  test("partitions sync query shape runs on a live connection") {
-    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
-    // partitions_view is pgstac-internal; emulate its projection to prove
-    // the watermark filter + ordering run on a real connection
+  /** Map the pinned Postgres partitions SQL onto DuckDB: range accessors
+    * become 2-element-list indexing, to_char→strftime, format→printf, the
+    * interval-string epsilon → INTERVAL syntax. The STATEMENT SHAPE —
+    * filename CASE, dtrange-vs-partition_dtrange distinction, watermark,
+    * ordering — executes unchanged. */
+  private def duckPartitionsSql(updatedAfter: Option[String]): String =
+    PgstacReader.partitionsSql(updatedAfter)
+      .replace("lower(partition_dtrange)", "partition_dtrange[1]")
+      .replace("upper(partition_dtrange)", "partition_dtrange[2]")
+      .replace("lower(dtrange)", "dtrange[1]")
+      .replace("upper(dtrange)", "dtrange[2]")
+      .replace("to_char(", "strftime(")
+      .replace("'YYYYMMDD'", "'%Y%m%d'")
+      .replace("format('items_", "printf('items_")
+      .replace("+ '.000001 seconds'", "+ INTERVAL 1 MICROSECOND")
+
+  /** The pgstac partitions_view CONTRACT (one row per partition: its
+    * constraint range, its actual data range, a last_updated watermark),
+    * emulated over the live database: naip has two yearly partitions —
+    * only one touched after the watermark — and sentinel a single
+    * unbounded partition (the '-infinity'/'infinity' filename branch). */
+  private def createPartitionsView(): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     val st = conn.createStatement()
     st.execute("""CREATE OR REPLACE VIEW partitions_view AS
-      SELECT collection, 'p0' AS partition,
-             ['2020-01-01 00:00:00'::TIMESTAMP, '2022-01-01 00:00:00'::TIMESTAMP] AS partition_dtrange,
-             TIMESTAMP '2024-05-02 00:00:00' AS last_updated
-      FROM (SELECT DISTINCT collection FROM items)""")
+      SELECT * FROM (VALUES
+        ('naip',
+         ['2020-01-01 00:00:00'::TIMESTAMP, '2021-01-01 00:00:00'::TIMESTAMP],
+         ['2020-01-15 00:00:00'::TIMESTAMP, '2020-06-01 00:00:00'::TIMESTAMP],
+         TIMESTAMP '2024-05-02 00:00:00'),
+        ('naip',
+         ['2021-01-01 00:00:00'::TIMESTAMP, '2022-01-01 00:00:00'::TIMESTAMP],
+         ['2021-03-10 00:00:00'::TIMESTAMP, '2021-09-20 00:00:00'::TIMESTAMP],
+         TIMESTAMP '2024-04-01 00:00:00'),
+        ('sentinel',
+         ['-infinity'::TIMESTAMP, 'infinity'::TIMESTAMP],
+         ['2020-02-02 00:00:00'::TIMESTAMP, '2022-02-02 00:00:00'::TIMESTAMP],
+         TIMESTAMP '2024-06-01 00:00:00')
+      ) v(collection, partition_dtrange, dtrange, last_updated)""")
     st.close(); conn.close()
-    val sql = PgstacReader.partitionsSql(Some("2024-05-01T00:00:00Z"))
-      // DuckDB lacks Postgres range types; the emulation view stores the
-      // dtrange as a 2-element list, so map lower()/upper() accessors
-      .replace("lower(partition_dtrange)", "partition_dtrange[1]")
-      .replace("upper(partition_dtrange)", "partition_dtrange[2]")
+  }
+
+  test("partitions sync query runs the pinned statement on a live connection") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    createPartitionsView()
     val parts = spark.read.format("jdbc").option("url", url)
-      .option("dbtable", s"($sql) p").load()
-    assert(parts.count() == 2)
-    assert(parts.columns.contains("last_updated"))
+      .option("dbtable", s"(${duckPartitionsSql(Some("2024-05-01 00:00:00"))}) p").load()
+      .collect()
+    // the stale naip partition is filtered by the watermark; ordering is
+    // last_updated asc; filenames take the YYYYMMDD vs unbounded branches
+    assert(parts.map(_.getAs[String]("partition")).toSeq ==
+      Seq("items_20200101_20210101.parquet", "items.parquet"))
+    assert(parts.map(_.getAs[String]("collection")).toSeq == Seq("naip", "sentinel"))
+    // the read-slice end is the DATA range upper + 1µs (not the constraint
+    // range), so an item AT the inclusive upper bound survives exclusive <
+    assert(parts.head.getAs[java.sql.Timestamp]("end").toString == "2020-06-01 00:00:00.000001")
+  }
+
+  test("end-to-end incremental sync: changed partitions -> sliced reads -> per-partition files") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    createPartitionsView()
+    val outDir = java.nio.file.Files.createTempDirectory("pgsync").toString
+    val parts = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", s"(${duckPartitionsSql(Some("2024-05-01 00:00:00"))}) p").load()
+      .collect()
+    val written = parts.map { p =>
+      val coll = p.getAs[String]("collection")
+      val slice = PgstacReader.readItems(spark, url,
+        collection = Some(coll),
+        startDatetime = Some(p.getAs[java.sql.Timestamp]("start").toString),
+        endDatetime = Some(p.getAs[java.sql.Timestamp]("end").toString),
+        numPartitions = 2)
+      val path = s"$outDir/$coll/${p.getAs[String]("partition")}"
+      slice.write.mode("overwrite").parquet(path)
+      path
+    }
+    assert(written.toSeq == Seq(
+      s"$outDir/naip/items_20200101_20210101.parquet",
+      s"$outDir/sentinel/items.parquet"))
+    // naip: i1 and i2 — i2 sits exactly AT upper(dtrange); without the 1µs
+    // epsilon the exclusive `datetime <` in the items query would drop it.
+    // The stale 2021 naip partition (i3, i4) was not reprocessed.
+    assert(spark.read.parquet(written(0)).select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("i1", "i2"))
+    assert(spark.read.parquet(written(1)).select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("s1", "s2"))
   }
 }

@@ -25,13 +25,29 @@ class PgstacReaderSpec extends AnyFunSuite {
   test("partitions query carries the last_updated watermark and ordering (S6)") {
     val sql = PgstacReader.partitionsSql(Some("2024-05-01T00:00:00Z"))
     assert(sql.contains("WHERE last_updated >= '2024-05-01T00:00:00Z'"))
-    assert(sql.trim.endsWith("ORDER BY last_updated"))
+    assert(sql.trim.endsWith("ORDER BY last_updated asc"))
     assert(PgstacReader.partitionsSql(None).contains("FROM partitions_view ORDER BY"))
+  }
+
+  test("partitions query pins the reference SQL semantics (pgstac_reader.py:312-333)") {
+    val sql = PgstacReader.partitionsSql(None)
+    // filename derives from the partition CONSTRAINT range…
+    assert(sql.contains("to_char(lower(partition_dtrange),'YYYYMMDD')"))
+    assert(sql.contains("format('items_%s_%s.parquet'"))
+    // …with the infinite-bounds collapse to a plain name…
+    assert(sql.contains("lower(partition_dtrange) = '-infinity'"))
+    assert(sql.contains("'items.parquet'"))
+    // …while the read-slice bounds come from the DATA range, end +1µs so
+    // the inclusive range bound composes with the items query's exclusive <
+    assert(sql.contains("lower(dtrange) AS start"))
+    assert(sql.contains("""upper(dtrange) + '.000001 seconds' AS "end""""))
   }
 
   test("partition file naming matches items_YYYYMMDD_YYYYMMDD (pgstac_reader.py:315-323)") {
     assert(PgstacReader.partitionFileName(Some("2020-01-01T00:00:00Z"), Some("2020-02-01T00:00:00Z"))
       === "items_20200101_20200201.parquet")
-    assert(PgstacReader.partitionFileName(None, None) === "items_open_open.parquet")
+    // unbounded partition → the reference's '-infinity'/'infinity' branch
+    assert(PgstacReader.partitionFileName(None, None) === "items.parquet")
+    assert(PgstacReader.partitionFileName(Some("2020-01-01"), None) === "items.parquet")
   }
 }
