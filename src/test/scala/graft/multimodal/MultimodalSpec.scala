@@ -134,6 +134,24 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random mixed-format containers demux to the exact input frames") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val frameGen: Gen[Array[Byte]] = for {
+      w <- Gen.choose(1, 12); h <- Gen.choose(1, 9)
+      r <- Gen.choose(0, 255); g <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+      jpeg <- Gen.oneOf(true, false)
+    } yield if (jpeg) Multimodal.encodeJpeg(w, h, r, g, b)
+            else Multimodal.encodePng(w, h, r, g, b)
+    val prop = Prop.forAll(Gen.listOfN(4, frameGen).flatMap(l =>
+      Gen.choose(0, 4).map(n => l.take(n)))) { frames =>
+      val split = Multimodal.splitVideoFrames(Multimodal.encodeVideo(frames))
+      split.length == frames.length &&
+        split.zip(frames).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
   test("mixed/corrupt containers degrade to the parsed prefix, never throw") {
     val png = Multimodal.encodePng(4, 4, 1, 2, 3)
     val jpg = Multimodal.encodeJpeg(5, 5, 9, 9, 9)
