@@ -458,6 +458,111 @@ object SimilarityOps {
             round(dotd(col("ea"), col("eb")) / (col("na") * col("nb")), 9).as("cos"))
           .orderBy(col("doc_a"), col("doc_b"))
       },
-      prepare = graft.queries.DedupOps.materializePairs)
+      prepare = graft.queries.DedupOps.materializePairs),
+
+    // ----- int8 embedding quantization + recall/error gate -----
+    // The storage-compression leg of a 100-TB embedding store: symmetric
+    // int8 quantization (one global scale from the corpus max-|x|, a
+    // one-row broadcast) shrinks vectors 4× and turns the scoring hot
+    // loop into integer multiply-adds. The gate runs exact top-3 search
+    // on the QUANTIZED vectors and audits it against the float ground
+    // truth: recall@3 plus the max |cos_int8 − cos_float| over the
+    // returned pairs, both floored in the oracle so a quantizer
+    // regression fails the hash. Determinism discipline: quantized values
+    // are exact integers via floor(x·scale + 0.5) (identical semantics in
+    // both engines — never round(), whose half-cases differ); integer
+    // dots are exact BIGINTs; each cosine is one double division.
+    QuerySpec(
+      "s08_int8_quantization",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                   FROM embeddings),
+             ma AS (SELECT max(list_max([abs(CAST(x AS DOUBLE)) for x in embedding])) AS m
+                    FROM embeddings),
+             qd AS (SELECT vec_id,
+                           [CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma.m + 0.5) AS BIGINT)
+                            for x in embedding] AS qv
+                    FROM embeddings, ma),
+             qn AS (SELECT vec_id, qv,
+                           sqrt(CAST(list_sum([v*v for v in qv]) AS DOUBLE)) AS qnrm
+                    FROM qd),
+             q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+             ex AS (SELECT query_id, neighbor_id FROM (
+                      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                             row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                                        c.vec_id ASC) AS rank
+                      FROM q JOIN n c ON c.vec_id != q.vec_id)
+                    WHERE rank <= 3),
+             i8 AS (SELECT query_id, neighbor_id, cos8 FROM (
+                      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                             CAST(list_sum([a.qv[i]*b.qv[i] for i in generate_series(1, len(a.qv))]) AS DOUBLE)
+                               / (a.qnrm * b.qnrm) AS cos8,
+                             row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY CAST(list_sum([a.qv[i]*b.qv[i] for i in generate_series(1, len(a.qv))]) AS DOUBLE)
+                                          / (a.qnrm * b.qnrm) DESC,
+                                        b.vec_id ASC) AS rank
+                      FROM qn a JOIN qn b ON a.vec_id % 100 = 0 AND b.vec_id != a.vec_id)
+                    WHERE rank <= 3),
+             err AS (SELECT max(abs(i8.cos8 -
+                       ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm))) AS e
+                     FROM i8 JOIN n a ON a.vec_id = i8.query_id
+                             JOIN n b ON b.vec_id = i8.neighbor_id)
+        SELECT nq AS n_queries, h AS hits_int8,
+               CAST(h AS DOUBLE)/(3*nq) AS recall_int8,
+               true AS recall_ok, true AS err_ok
+        FROM (SELECT (SELECT count(*) FROM q) AS nq,
+                     (SELECT count(*) FROM ex JOIN i8 USING (query_id, neighbor_id)) AS h,
+                     (SELECT e FROM err) AS e)"""),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        // one global symmetric scale: a single-row aggregate, broadcast
+        val maxAbs = e.agg(
+          max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("m"))
+        val quant = e.crossJoin(broadcast(maxAbs))
+          .select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(127.0) / col("m") + 0.5).cast("long")).as("qv"))
+          .withColumn("qnrm",
+            sqrt(aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v).cast("double")))
+        def intDot(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+        // exact top-3 over the QUANTIZED corpus: same scale-correct shape
+        // as s01 — guarded query broadcast, streamed corpus, bounded top-k
+        val qq = graft.operators.AllPairsTopK.requireBroadcastable(
+          quant.filter(col("vec_id") % 100 === 0),
+          what = "s08 int8 query set",
+          route = "route corpus-sized query sets to s03/s04 over quantized vectors")
+        val topk = graft.operators.TopK.topK(3)
+        val i8 = quant
+          .select(col("vec_id").as("neighbor_id"), col("qv").as("cv"), col("qnrm").as("cn"))
+          .join(broadcast(qq.select(col("vec_id").as("query_id"),
+            col("qv").as("qqv"), col("qnrm").as("qn"))),
+            col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (intDot(col("qqv"), col("cv")).cast("double") / (col("qn") * col("cn"))).as("cos8"))
+          .groupBy(col("query_id"))
+          .agg(topk(col("cos8"), col("neighbor_id")).as("nbrs"))
+          .select(col("query_id"), explode(col("nbrs")).as("nbr"))
+          .select(col("query_id"), col("nbr.id").as("neighbor_id"), col("nbr.score").as("cos8"))
+        // float ground truth (s01 shape) + the two audit scalars
+        val fq = graft.operators.AllPairsTopK.requireBroadcastable(
+          e.filter(col("vec_id") % 100 === 0),
+          what = "s08 float reference query set",
+          route = "recall audits should sample a bounded query set")
+        val exact = exactKnn(fq, e, k = 3).select(col("query_id"), col("neighbor_id"))
+        val a = e.select(col("vec_id").as("query_id"), col("embedding").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb"), col("nrm").as("nb"))
+        val err = i8.join(a, "query_id").join(b, "neighbor_id")
+          .agg(max(abs(col("cos8") - dotd(col("ea"), col("eb")) / (col("na") * col("nb")))).as("e"))
+        val nq = fq.agg(count(lit(1)).as("nq"))
+        val hits = exact.join(i8, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("h"))
+        nq.crossJoin(hits).crossJoin(err)
+          .select(col("nq").as("n_queries"), col("h").as("hits_int8"),
+            (col("h").cast("double") / (lit(3) * col("nq"))).as("recall_int8"),
+            (col("h").cast("double") / (lit(3) * col("nq")) >= 0.65).as("recall_ok"),
+            (col("e") <= 0.01).as("err_ok"))
+      })
   )
 }
