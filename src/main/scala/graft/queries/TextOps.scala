@@ -261,6 +261,53 @@ object TextOps {
               .as("rep_ratio"),
             (col("st.top_freq").cast("double") / col("st.n_words")).as("top_share"))
           .orderBy(col("doc_id"))
+      }),
+
+    // ----- sequence packing (pretraining batch assembly) -----
+    // Greedy concatenation of documents into fixed-capacity token bins —
+    // the packing step that turns a filtered corpus into training
+    // sequences. Deterministic and fully distributed: docs pack in doc_id
+    // order per SOURCE, each doc's bin is its starting token offset
+    // (prefix sum) integer-divided by the capacity, so assignment is one
+    // window + one hash-agg, no sequential state. The window partitions
+    // by source → parallel across sources; a skewed mono-source corpus
+    // sub-shards the partition key ((source, doc_id div N)) — production
+    // packing is per-shard anyway. Docs may straddle bin boundaries
+    // (standard packed-sequences-with-boundaries semantics).
+    QuerySpec(
+      "t09_sequence_packing",
+      Some("""
+        WITH d AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+             c AS (SELECT doc_id, source, n_tokens,
+                          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+                   FROM d)
+        SELECT source, CAST(start_off // 512 AS BIGINT) AS bin,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+               CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / 512 AS fill
+        FROM c
+        GROUP BY source, bin
+        ORDER BY source, bin"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(words(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("bin", expr("start_off div 512"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .withColumn("fill", col("bin_tokens").cast("double") / 512)
+          .orderBy(col("source"), col("bin"))
       })
   )
 }
