@@ -118,6 +118,33 @@ object StreamingOps {
           .select(col("purchase_id"), col("click_id"), col("user_id"))
           .orderBy(col("purchase_id"), col("click_id"))
       },
+      timed = false),
+
+    // ----- arbitrary stateful processing, value-checked vs batch -----
+    // The flatMapGroupsWithState state machine (per-user running totals)
+    // run to completion under AvailableNow in Update mode: the memory
+    // sink receives every per-batch update, and the FINAL state per user
+    // (n_events is strictly increasing, so max-struct selects it) must
+    // equal the batch aggregate exactly — proving the hand-rolled state
+    // fold neither drops nor double-counts events across micro-batches.
+    QuerySpec(
+      "st04_streaming_stateful",
+      Some("""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+               max(CAST(epoch_ns(ts)//1000 AS BIGINT)) AS last_us
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id"""),
+      (s, dir) => {
+        val updates = runToMemoryTable(s, dir, "st04", "update")(
+          EventStream.userRunningStats(_).toDF())
+        updates.groupBy(col("user_id"))
+          .agg(max(struct(col("n_events"), col("value_cents"), col("last_us"))).as("f"))
+          .select(col("user_id"), col("f.n_events").as("n_events"),
+            col("f.value_cents").as("value_cents"), col("f.last_us").as("last_us"))
+          .orderBy(col("user_id"))
+      },
       timed = false)
   )
 }
