@@ -20,7 +20,8 @@ import scala.jdk.CollectionConverters._
   * Supported (CQL2 "basic" + the operator set pgstac's `search()`
   * accepts):
   *   and/or/not; = <> < <= > >=; between, in, like, isNull;
-  *   casei (case-insensitive wrapper, CQL2 "Case-insensitive Comparison");
+  *   casei / accenti (case- and accent-insensitive wrappers, CQL2
+  *   "Case-insensitive Comparison" / unaccent-equivalent via NFD);
   *   a_equals/a_contains/a_containedBy/a_overlaps over array columns
   *   (CQL2 "Array Operators", e.g. stac_extensions);
   *   t_before/t_after/t_during over timestamps;
@@ -66,6 +67,11 @@ object Cql2 {
         case "like"   => toColumn(args(0)).like(args(1).asText)
         case "isNull" => toColumn(args(0)).isNull
         case "casei"  => lower(toColumn(args(0)))
+        // accent-insensitive wrapper: NFD-decompose then drop combining
+        // marks (the portable equivalent of Postgres unaccent). A UDF, not
+        // an expression — accenti terms are rare and tiny (filter
+        // literals/ids), never a hot scan column.
+        case "accenti" => stripAccents(toColumn(args(0)))
         // CQL2 array operators: a_contains(a,b) ⇔ every element of b is in
         // a; a_containedBy is the converse; a_equals ignores order and
         // duplicates-insensitive position (set-style, like pgstac's SQL)
@@ -105,6 +111,12 @@ object Cql2 {
   }
 
   private def tsLit(s: String): Column = to_timestamp(lit(s))
+
+  private val stripAccents = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}", "")
+  }
 
   /** Planar envelope tests between the item's struct bbox column and the
     * envelope of the literal geometry/bbox argument. One side must be the

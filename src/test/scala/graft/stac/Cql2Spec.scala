@@ -86,6 +86,13 @@ class Cql2Spec extends AnyFunSuite {
     assert(ids(cql) == Seq("c"))
   }
 
+  test("accenti strips diacritics on both sides") {
+    val cql = """{"op":"=","args":[
+      {"op":"accenti","args":[{"property":"collection"}]},
+      {"op":"accenti","args":["lándsât"]}]}"""
+    assert(ids(cql) == Seq("c"))
+  }
+
   private lazy val tagged = Seq(
     ("a", Seq("eo", "proj")),
     ("b", Seq("proj", "eo")),      // same set, different order
