@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 
-import graft.functions.{FloatDot, MinHashSig, RepetitionStats, RollingHashStats, SimHashSig, WordShingles}
+import graft.functions.{FloatDot, LongDot, MinHashSig, RepetitionStats, RollingHashStats, SimHashSig, WordShingles}
 
 /** Spark-native registration of graft's Catalyst expressions, so SQL users
   * get them too:
@@ -51,6 +51,9 @@ object GraftFunctions {
     ("float_dot",
       info("float_dot", "float_dot(a, b) - double-precision dot product of two float arrays"),
       (es: Seq[Expression]) => { val a = arity(es, 2, "float_dot"); FloatDot(a(0), a(1)) }),
+    ("long_dot",
+      info("long_dot", "long_dot(a, b) - exact integer dot product of two bigint arrays"),
+      (es: Seq[Expression]) => { val a = arity(es, 2, "long_dot"); LongDot(a(0), a(1)) }),
     ("word_shingles",
       info("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles"),
       (es: Seq[Expression]) => { val a = arity(es, 2, "word_shingles"); WordShingles(a(0), intLit(a(1), "shingle width")) }),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Double-precision dot product of two float32 vectors as a native Catalyst
   * expression with whole-stage codegen.
@@ -75,8 +75,69 @@ case class FloatDot(left: Expression, right: Expression) extends BinaryExpressio
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product of two int64 vectors — the scoring loop of
+  * quantized (int8-in-int64) embedding search. Same codegen rationale as
+  * [[FloatDot]]; the accumulator is a plain long, so the result is exact
+  * (quantized dims are ≤127 in magnitude — 64 dims overflow nowhere near
+  * 2^63) and trivially bit-identical across engines. */
+case class LongDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"long_dot requires array<bigint> inputs, got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** `float_dot(a, b)` as a Column — stays inside whole-stage codegen. */
   def floatDot(a: Column, b: Column): Column =
     GraftSqlShim.column(FloatDot(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
+  /** `long_dot(a, b)` as a Column — exact integer dot, codegen'd. */
+  def longDot(a: Column, b: Column): Column =
+    GraftSqlShim.column(LongDot(GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 }

@@ -525,9 +525,12 @@ object SimilarityOps {
             transform(col("embedding"),
               x => floor(x.cast("double") * lit(127.0) / col("m") + 0.5).cast("long")).as("qv"))
           .withColumn("qnrm",
-            sqrt(aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v).cast("double")))
+            sqrt(graft.functions.VectorFunctions.longDot(col("qv"), col("qv")).cast("double")))
+        // codegen'd native integer dot (graft.functions.LongDot) — the
+        // zip_with/aggregate lambda form costs interpreted per-element
+        // calls on the pairs×dims hot loop
         def intDot(a: Column, b: Column): Column =
-          aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+          graft.functions.VectorFunctions.longDot(a, b)
         // exact top-3 over the QUANTIZED corpus: same scale-correct shape
         // as s01 — guarded query broadcast, streamed corpus, bounded top-k
         val qq = graft.operators.AllPairsTopK.requireBroadcastable(

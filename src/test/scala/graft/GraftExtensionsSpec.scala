@@ -18,7 +18,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       minhash_sig(word_shingles('a b c d', 3), 2) AS mh,
         |       simhash_sig('hello world') AS sim,
         |       rolling_hash_stats('abcdef', 3).n_windows AS nw,
-        |       repetition_stats('a b a a c') AS rep
+        |       repetition_stats('a b a a c') AS rep,
+        |       long_dot(array(3L, -2L), array(5L, 7L)) AS ld
         |""".stripMargin).collect()(0)
     assert(row.getDouble(0) == 1.5 * 2.0 + 2.0 * 0.5)
     assert(row.getSeq[String](1) == Seq("a b c", "b c d"))
@@ -27,6 +28,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getInt(4) == 4)
     val rep = row.getStruct(5)
     assert((rep.getInt(0), rep.getInt(1), rep.getInt(2)) == ((5, 3, 3)))
+    assert(row.getLong(6) == 3L * 5L - 2L * 7L)
   }
 
   test("GraftExtensions injects the same functions at session build") {
