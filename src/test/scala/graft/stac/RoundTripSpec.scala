@@ -83,6 +83,111 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random synthetic item batches survive the full round trip") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    // fixed-precision grid doubles survive the JSON round trip exactly
+    val coord = Gen.chooseNum(-17900L, 17900L).map(_ / 100.0)
+    val grid = Gen.chooseNum(-999999L, 999999L).map(_ / 100.0)
+    val rfc3339 = for {
+      y <- Gen.choose(2015, 2024); mo <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+      h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59)
+    } yield f"$y%04d-$mo%02d-$d%02dT$h%02d:$mi%02d:00Z"
+
+    def geometry(node: ObjectNode, is3d: Boolean, pts: Seq[(Double, Double, Double)],
+                 poly: Boolean): Unit = {
+      val g = node.putObject("geometry")
+      def arr(p: (Double, Double, Double)) = {
+        val a = mapper.createArrayNode()
+        a.add(p._1); a.add(p._2); if (is3d) a.add(p._3); a
+      }
+      if (poly) {
+        g.put("type", "Polygon")
+        val ring = g.putArray("coordinates").addArray()
+        (pts :+ pts.head).foreach(p => ring.add(arr(p)))
+      } else {
+        g.put("type", "Point")
+        g.set[com.fasterxml.jackson.databind.JsonNode]("coordinates", arr(pts.head))
+      }
+    }
+
+    def itemGen(idx: Int, is3d: Boolean, bbox3d: Boolean): Gen[ObjectNode] = for {
+      poly <- Gen.oneOf(true, false)
+      pts <- Gen.listOfN(if (poly) 4 else 1, Gen.zip(coord, coord, coord)).map(_.map(t => t))
+      hasDt <- Gen.prob(0.8); dt <- rfc3339
+      hasStr <- Gen.prob(0.7); sv <- Gen.alphaNumStr.map(_.take(12))
+      nullStr <- Gen.prob(0.15)
+      hasInt <- Gen.prob(0.7); iv <- Gen.chooseNum(-100000L, 100000L)
+      hasDbl <- Gen.prob(0.7); dv <- grid
+      hasBool <- Gen.prob(0.5); bv <- Gen.oneOf(true, false)
+      hasArr <- Gen.prob(0.5); a1 <- grid; a2 <- grid
+      hasNested <- Gen.prob(0.4); nv <- Gen.chooseNum(0L, 999L); ns <- Gen.alphaNumStr.map(_.take(6))
+      hasBbox <- Gen.prob(0.8); b1 <- coord; b2 <- coord; bz <- coord
+      hasAssets <- Gen.prob(0.7); hasThumb <- Gen.prob(0.4)
+    } yield {
+      val item = mapper.createObjectNode()
+      item.put("type", "Feature"); item.put("stac_version", "1.0.0")
+      item.put("id", s"item-$idx")
+      geometry(item, is3d, pts, poly)
+      if (hasBbox) {
+        val b = item.putArray("bbox")
+        val (x0, x1) = (math.min(b1, b2), math.max(b1, b2))
+        b.add(x0); b.add(x0)
+        if (bbox3d) b.add(bz)
+        b.add(x1); b.add(x1)
+        if (bbox3d) b.add(bz + 1.0)
+      }
+      val props = item.putObject("properties")
+      if (hasDt) props.put("datetime", dt)
+      if (nullStr) props.putNull("str_prop")
+      else if (hasStr) props.put("str_prop", sv)
+      if (hasInt) props.put("int_prop", iv)
+      if (hasDbl) props.put("dbl_prop", dv)
+      if (hasBool) props.put("bool_prop", bv)
+      if (hasArr) { val a = props.putArray("arr_prop"); a.add(a1); a.add(a2) }
+      if (hasNested) { val n = props.putObject("nested"); n.put("a", nv); n.put("b", ns) }
+      item.putArray("links")
+      val assets = item.putObject("assets")
+      if (hasAssets) {
+        val d = assets.putObject("data")
+        d.put("href", s"s3://bucket/item-$idx.tif")
+        d.putArray("roles").add("data")
+      }
+      if (hasThumb) {
+        val t = assets.putObject("thumb")
+        t.put("href", s"s3://bucket/item-$idx.png")
+        t.put("type", "image/png")
+      }
+      item
+    }
+
+    val batchGen: Gen[(List[ObjectNode], Boolean)] = for {
+      is3d <- Gen.oneOf(true, false)     // geometry dims: batch-wide
+      bbox3d <- Gen.oneOf(true, false)   // bbox dims: batch-wide (mixed is rejected by P3)
+      n <- Gen.choose(3, 7)
+      items <- Gen.sequence[List[ObjectNode], ObjectNode](
+        (0 until n).map(i => itemGen(i, is3d, bbox3d)))
+    } yield (items, is3d)
+
+    val prop = Prop.forAll(batchGen) { case (items, _) =>
+      val arr = mapper.createArrayNode()
+      items.foreach(arr.add)
+      val tmp = java.nio.file.Files.createTempFile("fuzzitems", ".json")
+      java.nio.file.Files.writeString(tmp, mapper.writeValueAsString(arr))
+      try {
+        val norm = Normalize(StacJsonReader.read(spark, Seq(tmp.toString)))
+        val back = Denormalize.toItemJson(norm).collect()
+        val orig = items.map(i => i.get("id").asText() -> i).toMap
+        back.length == orig.size && back.forall { itemJson =>
+          val node = mapper.readTree(itemJson)
+          JsonEquals.equal(orig(node.get("id").asText()), node)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
   test("K6 layout: partitionBy(collection) write gets footers in every subdirectory") {
     val tmp = java.nio.file.Files.createTempDirectory("gpqpart").toString
     val df = Normalize(StacJsonReader.read(spark, Seq(
