@@ -24,10 +24,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // memlog-parity counters (BASELINE.md): rows/bytes read+written, peak
-    // single-task execution memory, executor CPU — accumulated across every
-    // timed query by a SparkListener, reported in the same JSON line so
-    // each round's memory behavior is graded alongside wall time
+    // single-task execution memory, executor CPU — accumulated by a
+    // SparkListener and reported in the same JSON line so each round's
+    // memory behavior is graded alongside wall time. Accounting is
+    // TIMED-REGION DELTAS: the listener bus is drained (not slept on)
+    // before each snapshot, and per-query deltas exclude the untimed
+    // prepare hooks — the counters describe the measured queries, not
+    // corpus generation.
     val metrics = graft.stac.IngestMetrics.install(spark)
+    def quiescedSnapshot(): graft.stac.IngestMetrics.Snapshot = {
+      org.apache.spark.GraftSparkShim.drainListenerBus(spark)
+      metrics.snapshot()
+    }
 
     // Warmup outside the timed region: JIT/codegen, Hadoop FS + parquet
     // reader init, and the noop sink path — one-time infra costs that would
@@ -40,26 +48,27 @@ object Bench {
     // non-timed specs (streaming jobs that execute inside run()) prove
     // batch-exactness in Verify; their wall time is micro-batch machinery,
     // not analytic throughput
+    var timedCounters = graft.stac.IngestMetrics.EmptySnapshot
     val results = SparkEntry.specs.filter(_.timed).map { spec =>
       // one-time fixture materialization (bucketed tables, ndjson corpus)
       // runs before the timer: it's the amortized ingest cost of a
       // strategy, and timing it would charge N-run infrastructure to a
       // single measured run
       spec.prepare.foreach(p => p(spark, sfDir))
+      val before = quiescedSnapshot()
       val t0 = System.nanoTime()
       try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
       }
-      spec.name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      timedCounters = timedCounters.plus(quiescedSnapshot().minus(before))
+      spec.name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // listener delivery is async — give the bus a beat to drain before
-    // reading the counters (same contract as StacDemo)
-    Thread.sleep(300)
-    val counters = metrics.json(total)
+    val counters = graft.stac.IngestMetrics.json(timedCounters, total)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"counters":$counters,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -44,9 +44,9 @@ object StacDemo {
     Denormalize.writeNdjson(back, s"$outDir/ndjson")
     val lines = spark.read.text(s"$outDir/ndjson").count()
     println(s"[stac-demo] wrote $lines ndjson items to $outDir/ndjson")
-    // memlog-parity counters (BASELINE.md "engine-side counters"); listener
-    // delivery is async — give the bus a beat to drain
-    Thread.sleep(300)
+    // memlog-parity counters (BASELINE.md "engine-side counters"); drain
+    // the async listener bus so the read is deterministic
+    org.apache.spark.GraftSparkShim.drainListenerBus(spark)
     println(s"[stac-demo] metrics: ${metrics.report((System.nanoTime() - t0) / 1e9)}")
     spark.stop()
   }

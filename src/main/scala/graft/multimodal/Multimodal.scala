@@ -207,7 +207,11 @@ object Multimodal {
     var p = 12
     var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1L
     while (p + 8 <= b.length && (rate < 0 || dataLen < 0)) {
-      val size = leU32(b, p + 4)
+      val size = leU32(b, p + 4) // unsigned 32-bit, always >= 0 as a Long
+      // a size that walks past the buffer (or whose word-aligned skip
+      // doesn't advance p) is malformed — bail out rather than spin: the
+      // corrupt-row contract says bad bytes DEGRADE, they never hang a task
+      if (size > b.length.toLong - p - 8) return null
       if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
         if (p + 8 + 16 > b.length) return null
         channels = leU16(b, p + 10)
@@ -218,7 +222,6 @@ object Multimodal {
       }
       // chunks are word-aligned: odd sizes carry a pad byte
       p += 8 + size.toInt + (size.toInt & 1)
-      if (size < 0 || p < 0) return null
     }
     if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataLen < 0) null
     else {
@@ -363,14 +366,43 @@ object Multimodal {
   }
 
   /** End offset (exclusive) of the JPEG stream starting at `pos`, or -1:
-    * scans entropy-coded data for the EOI marker FFD9. Sound for baseline
-    * JPEG because 0xFF bytes inside entropy data are always stuffed as
-    * FF00 (or are RSTn markers), so a raw FFD9 can only be the real end. */
+    * a real marker-segment walk, not a byte scan. Length-prefixed header
+    * segments (APPn/COM/DQT/DHT/SOF…) are SKIPPED whole — an EXIF APP1
+    * carrying an embedded thumbnail (itself a JPEG ending in FFD9) must
+    * not split the frame early. Only inside entropy-coded scan data is
+    * the FFD9 search sound, because there 0xFF is always stuffed as FF00
+    * or is an RSTn marker. */
   private def jpegEnd(bytes: Array[Byte], pos: Int): Int = {
+    val n = bytes.length
     var p = pos + 2
-    while (p + 1 < bytes.length) {
-      if ((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xff) == 0xd9) return p + 2
-      p += 1
+    while (p + 1 < n) {
+      if ((bytes(p) & 0xff) != 0xff) return -1 // expected a marker
+      var m = bytes(p + 1) & 0xff
+      while (m == 0xff && p + 2 < n) { p += 1; m = bytes(p + 1) & 0xff } // fill bytes
+      m match {
+        case 0xd9 => return p + 2 // EOI
+        case 0x01 | 0xd8 => p += 2 // standalone, no length
+        case rst if rst >= 0xd0 && rst <= 0xd7 => p += 2
+        case 0xda => // SOS: skip its header, then entropy-scan to next true marker
+          if (p + 3 >= n) return -1
+          val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          if (segLen < 2) return -1
+          p += 2 + segLen
+          var done = false
+          while (!done && p + 1 < n) {
+            if ((bytes(p) & 0xff) == 0xff) {
+              val nm = bytes(p + 1) & 0xff
+              if (nm == 0x00 || (nm >= 0xd0 && nm <= 0xd7)) p += 2 // stuffed / RSTn
+              else done = true // real marker (EOI, next SOS, DNL, …) — outer loop handles
+            } else p += 1
+          }
+          if (!done) return -1
+        case _ => // length-prefixed segment: skip payload without scanning it
+          if (p + 3 >= n) return -1
+          val segLen = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+          if (segLen < 2) return -1
+          p += 2 + segLen
+      }
     }
     -1
   }

@@ -211,9 +211,15 @@ object DedupOps {
       (s, dir) => {
         val pairs = jaccardPairs(s, dir).filter(col("jaccard") >= 0.6)
           .select(col("doc_a"), col("doc_b"))
-        // loop width sized to the label state (near-dup candidate vertices,
-        // a tiny fraction of the corpus), not the session's corpus width
-        val cc = graft.operators.ConnectedComponents.run(pairs, loopShuffleWidth = Some(8))
+        // loop width DERIVED from the label state (≤ 2 vertices per
+        // verified pair — a tiny fraction of the corpus), not hardcoded
+        // and not the session's corpus width: ~2M labels per partition,
+        // floored at 8, capped at the session width. The count is a cheap
+        // action on the already-persisted pair cache.
+        val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val width = math.max(8, math.min(sessionWidth,
+          (pairs.count() * 2 / 2000000L).toInt + 1))
+        val cc = graft.operators.ConnectedComponents.run(pairs, loopShuffleWidth = Some(width))
         val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         cc.join(sizes, "component")
           .select(col("id").as("doc_id"), col("component").as("cluster_root"),

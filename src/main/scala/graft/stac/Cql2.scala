@@ -73,10 +73,13 @@ object Cql2 {
         // literals/ids), never a hot scan column.
         case "accenti" => stripAccents(toColumn(args(0)))
         // CQL2 array operators: a_contains(a,b) ⇔ every element of b is in
-        // a; a_containedBy is the converse; a_equals ignores order and
-        // duplicates-insensitive position (set-style, like pgstac's SQL)
+        // a; a_containedBy is the converse; a_equals is mutual containment
+        // (order- AND duplicate-insensitive — pgstac's `a @> b AND a <@ b`;
+        // a sorted-array compare would wrongly distinguish ["eo","eo"]
+        // from ["eo"])
         case "a_equals" =>
-          array_sort(toColumn(args(0))) === array_sort(toColumn(args(1)))
+          val (a, b) = (toColumn(args(0)), toColumn(args(1)))
+          size(array_except(a, b)) === 0 && size(array_except(b, a)) === 0
         case "a_contains" =>
           size(array_except(toColumn(args(1)), toColumn(args(0)))) === 0
         case "a_containedBy" =>

@@ -33,17 +33,15 @@ final class IngestMetrics extends SparkListener {
     }
   }
 
-  /** The same counters as [[report]], as one JSON object (for embedding
-    * in Bench's single-line output). */
-  def json(wallSecs: Double): String = {
-    val itemsPerSec = if (wallSecs > 0) recordsRead.get() / wallSecs else 0.0
-    val mbPerSec = if (wallSecs > 0) bytesWritten.get() / 1e6 / wallSecs else 0.0
-    f"""{"rows_read":${recordsRead.get()},"bytes_read":${bytesRead.get()},""" +
-      f""""rows_written":${recordsWritten.get()},"bytes_written":${bytesWritten.get()},""" +
-      f""""rows_per_sec":$itemsPerSec%.0f,"write_mb_per_sec":$mbPerSec%.2f,""" +
-      f""""peak_task_exec_mem_mb":${peakExecutionMemory.get() / 1e6}%.1f,""" +
-      f""""executor_cpu_s":${totalCpuNanos.get() / 1e9}%.1f}"""
-  }
+  def snapshot(): IngestMetrics.Snapshot = IngestMetrics.Snapshot(
+    recordsRead.get(), bytesRead.get(), recordsWritten.get(),
+    bytesWritten.get(), peakExecutionMemory.get(), totalCpuNanos.get())
+
+  /** Counters as one JSON object (for embedding in Bench's single-line
+    * output). Locale.ROOT formatting — the f interpolator is
+    * locale-sensitive and a comma-decimal default locale would emit
+    * malformed JSON. */
+  def json(wallSecs: Double): String = IngestMetrics.json(snapshot(), wallSecs)
 
   def report(wallSecs: Double): String = {
     val itemsPerSec = if (wallSecs > 0) recordsRead.get() / wallSecs else 0.0
@@ -63,5 +61,33 @@ object IngestMetrics {
     val m = new IngestMetrics
     spark.sparkContext.addSparkListener(m)
     m
+  }
+
+  /** Immutable counter snapshot, for delta accounting around a timed
+    * region (peak memory is a high-water mark, not a delta). */
+  final case class Snapshot(rowsRead: Long, bytesRead: Long, rowsWritten: Long,
+                            bytesWritten: Long, peakMem: Long, cpuNanos: Long) {
+    def minus(base: Snapshot): Snapshot = Snapshot(
+      rowsRead - base.rowsRead, bytesRead - base.bytesRead,
+      rowsWritten - base.rowsWritten, bytesWritten - base.bytesWritten,
+      peakMem, cpuNanos - base.cpuNanos)
+    def plus(o: Snapshot): Snapshot = Snapshot(
+      rowsRead + o.rowsRead, bytesRead + o.bytesRead,
+      rowsWritten + o.rowsWritten, bytesWritten + o.bytesWritten,
+      math.max(peakMem, o.peakMem), cpuNanos + o.cpuNanos)
+  }
+
+  val EmptySnapshot: Snapshot = Snapshot(0L, 0L, 0L, 0L, 0L, 0L)
+
+  /** Render a snapshot as one JSON object, locale-safe. */
+  def json(s: Snapshot, wallSecs: Double): String = {
+    val itemsPerSec = if (wallSecs > 0) s.rowsRead / wallSecs else 0.0
+    val mbPerSec = if (wallSecs > 0) s.bytesWritten / 1e6 / wallSecs else 0.0
+    def d(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    s"""{"rows_read":${s.rowsRead},"bytes_read":${s.bytesRead},""" +
+      s""""rows_written":${s.rowsWritten},"bytes_written":${s.bytesWritten},""" +
+      s""""rows_per_sec":${d("%.0f", itemsPerSec)},"write_mb_per_sec":${d("%.2f", mbPerSec)},""" +
+      s""""peak_task_exec_mem_mb":${d("%.1f", s.peakMem / 1e6)},""" +
+      s""""executor_cpu_s":${d("%.1f", s.cpuNanos / 1e9)}}"""
   }
 }

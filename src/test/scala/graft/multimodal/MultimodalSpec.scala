@@ -152,6 +152,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
   }
 
+  test("hostile RIFF size field returns corrupt-row values instead of hanging") {
+    // 'RIFF' + len + 'WAVE' + chunk 'JUNK' with size 0xFFFFFFF8: the
+    // unsigned size truncates to a negative int, which before the bounds
+    // guard left the chunk walk spinning in place forever
+    val b = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(b, 0)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "JUNK".getBytes.copyToArray(b, 12)
+    b(16) = 0xf8.toByte; b(17) = 0xff.toByte; b(18) = 0xff.toByte; b(19) = 0xff.toByte
+    assert(Multimodal.decodeAudio(b) == ((-1, -1, -1)))
+    // zero-size chunks advance past themselves too (8-byte header)
+    val z = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(z, 0); "WAVE".getBytes.copyToArray(z, 8)
+    "JUNK".getBytes.copyToArray(z, 12)
+    assert(Multimodal.decodeAudio(z) == ((-1, -1, -1)))
+  }
+
+  test("JPEG demux skips an FFD9 inside an APP1 header segment (EXIF thumbnail)") {
+    val plain = Multimodal.encodeJpeg(7, 5, 10, 20, 30)
+    // splice an APP1 segment right after SOI whose payload contains FFD9
+    // (an embedded thumbnail's EOI) — a byte scan would cut the frame here
+    val payload = Array[Byte](0x45, 0x78, 0x69, 0x66, 0x00, 0x00,
+      0xff.toByte, 0xd8.toByte, 0x01, 0x02, 0xff.toByte, 0xd9.toByte, 0x03)
+    val segLen = payload.length + 2
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++ payload
+    val withExif = plain.take(2) ++ app1 ++ plain.drop(2)
+    val frames = Multimodal.splitVideoFrames(
+      Multimodal.encodeVideo(Seq(withExif, plain)))
+    assert(frames.length == 2)
+    assert(frames(0).length == withExif.length) // not cut at the embedded FFD9
+    assert(Multimodal.decodeImage(frames(0))._1 == 7) // still decodable
+    assert(frames(1).length == plain.length)
+  }
+
   test("mixed/corrupt containers degrade to the parsed prefix, never throw") {
     val png = Multimodal.encodePng(4, 4, 1, 2, 3)
     val jpg = Multimodal.encodeJpeg(5, 5, 9, 9, 9)
