@@ -586,6 +586,159 @@ object SimilarityOps {
             (col("h").cast("double") / (lit(3) * col("nq")) >= 0.65).as("recall_ok"),
             (col("e") <= 0.01).as("err_ok"))
       },
+      prepare = materializeQuantized),
+
+    // ----- product quantization + ADC lookup scoring -----
+    // The deep-compression leg of the ANN stack (IVF in s04/s07, int8 in
+    // s08, PQ here): the 64-dim int8 vector splits into 8 subspaces of 8
+    // dims; each subvector is coded as the nearest of 16 per-subspace
+    // centroids (the static first-16 codebook, like s04's coarse one), so
+    // a vector stores as 8 code bytes — 32× smaller than float32. Queries
+    // score by Asymmetric Distance Computation: a per-query 8×16 lookup
+    // table of partial squared distances (tiny, broadcast), and each
+    // corpus vector's approximate distance is the sum of 8 LUT entries —
+    // no per-pair vector arithmetic at all. Everything is exact integer
+    // math over the s08 quantization, so the oracle replays it
+    // bit-for-bit; the gate pins recall@3 of ADC against the exact
+    // quantized-L2 ground truth.
+    QuerySpec(
+      "s09_pq_adc",
+      Some(s"""
+        WITH ma AS (SELECT max(list_max([abs(CAST(x AS DOUBLE)) for x in embedding])) AS m
+                    FROM embeddings),
+             qd AS (SELECT vec_id,
+                           [CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma.m + 0.5) AS BIGINT)
+                            for x in embedding] AS qv
+                    FROM embeddings, ma),
+             js AS (SELECT unnest(generate_series(0, 7)) AS j),
+             sub AS (SELECT qd.vec_id, js.j,
+                            [qd.qv[js.j*8 + i] for i in generate_series(1, 8)] AS sv
+                     FROM qd, js),
+             cent AS (SELECT j, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16),
+             enc AS (SELECT vec_id, j, c AS code FROM (
+                       SELECT s.vec_id, s.j, ct.c,
+                              row_number() OVER (PARTITION BY s.vec_id, s.j
+                                ORDER BY list_sum([(s.sv[i]-ct.cv[i])*(s.sv[i]-ct.cv[i])
+                                                   for i in generate_series(1, 8)]) ASC,
+                                         ct.c ASC) AS rk
+                       FROM sub s JOIN cent ct ON ct.j = s.j)
+                     WHERE rk = 1),
+             lut AS (SELECT s.vec_id AS query_id, ct.j, ct.c,
+                            CAST(list_sum([(s.sv[i]-ct.cv[i])*(s.sv[i]-ct.cv[i])
+                                           for i in generate_series(1, 8)]) AS BIGINT) AS pd
+                     FROM sub s JOIN cent ct ON ct.j = s.j
+                     WHERE s.vec_id % 100 = 0),
+             adc AS (SELECT l.query_id, e.vec_id AS neighbor_id, CAST(sum(l.pd) AS BIGINT) AS adist
+                     FROM enc e JOIN lut l ON l.j = e.j AND l.c = e.code
+                     WHERE e.vec_id != l.query_id
+                     GROUP BY 1, 2),
+             short AS (SELECT query_id, neighbor_id FROM (
+                         SELECT query_id, neighbor_id,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id ASC) AS rk
+                         FROM adc) WHERE rk <= 64),
+             rr AS (SELECT query_id, neighbor_id FROM (
+                      SELECT sh.query_id, sh.neighbor_id,
+                             row_number() OVER (PARTITION BY sh.query_id
+                               ORDER BY list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                                                  for i in generate_series(1, len(a.qv))]) ASC,
+                                        sh.neighbor_id ASC) AS rk
+                      FROM short sh
+                      JOIN qd a ON a.vec_id = sh.query_id
+                      JOIN qd b ON b.vec_id = sh.neighbor_id)
+                    WHERE rk <= 3),
+             ex AS (SELECT query_id, neighbor_id FROM (
+                      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                             row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                                                  for i in generate_series(1, len(a.qv))]) ASC,
+                                        b.vec_id ASC) AS rk
+                      FROM qd a JOIN qd b ON a.vec_id % 100 = 0 AND b.vec_id != a.vec_id)
+                    WHERE rk <= 3)
+        SELECT nq AS n_queries, h AS hits_pq,
+               CAST(h AS DOUBLE)/(3*nq) AS recall_pq,
+               true AS recall_ok
+        FROM (SELECT (SELECT count(*) FROM qd WHERE vec_id % 100 = 0) AS nq,
+                     (SELECT count(*) FROM ex JOIN rr USING (query_id, neighbor_id)) AS h)"""),
+      (s, dir) => {
+        val M = 8; val dsub = 8; val nCodes = 16
+        val longDot = graft.functions.VectorFunctions.longDot _
+        // exact ||a-b||² from three codegen'd integer dots
+        def sqDist(a: Column, b: Column): Column =
+          longDot(a, a) - lit(2L) * longDot(a, b) + longDot(b, b)
+        val quant = quantizedEmbeddings(s, dir)
+        // one row per (vector, subspace): the 8-dim subvector
+        val subArr = array((0 until M).map(j => slice(col("qv"), j * dsub + 1, dsub)): _*)
+        val sub = quant.select(col("vec_id"), posexplode(subArr).as(Seq("j", "sv")))
+        // static per-subspace codebook: the first-16 vectors' subvectors
+        // (8×16 = 128 tiny rows — broadcast, like s04's coarse codebook)
+        val cent = sub.filter(col("vec_id") < nCodes)
+          .select(col("j").as("cj"), col("vec_id").cast("int").as("c"), col("sv").as("cv"))
+        // encode: nearest centroid per (vector, subspace); min(struct) is
+        // (dist ASC, c ASC) — the oracle's tie rule
+        val enc = sub.join(broadcast(cent), col("j") === col("cj"))
+          .select(col("vec_id"), col("j"), col("c"),
+            sqDist(col("sv"), col("cv")).as("d"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(min(struct(col("d"), col("c"))).as("m"))
+          .select(col("vec_id").as("neighbor_id"), col("j").as("ej"), col("m.c").as("code"))
+        // per-query LUT: partial squared distance to every centroid of
+        // every subspace (queries × 8 × 16 rows — broadcast)
+        val lut = sub.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("j").as("lj"), col("sv").as("qsv"))
+          .join(broadcast(cent), col("lj") === col("cj"))
+          .select(col("query_id"), col("lj"), col("c").as("lc"),
+            sqDist(col("qsv"), col("cv")).as("pd"))
+        // ADC: approximate distance = Σ over subspaces of LUT[code]; the
+        // only per-corpus-row work is 8 lookup-joins + a sum — no vector
+        // arithmetic touches corpus data at scoring time. ADC quality
+        // buys a SHORTLIST, not the final answer (the production PQ
+        // deployment): exact re-ranking on the 64-candidate shortlist
+        // recovers the precision the 8-byte codes gave up.
+        val topk = graft.operators.TopK.topK(3)
+        val top64 = graft.operators.TopK.topK(64)
+        val shortlist = enc.join(broadcast(lut),
+            col("ej") === col("lj") && col("code") === col("lc") &&
+              col("neighbor_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("neighbor_id"))
+          .agg(sum(col("pd")).as("adist"))
+          // TopK ranks score DESC with id-ASC ties; negate the exact
+          // integer distance (≪ 2^53, so the double is still exact)
+          .groupBy(col("query_id"))
+          .agg(top64((col("adist") * -1L).cast("double"), col("neighbor_id")).as("nbrs"))
+          .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
+        // exact re-rank of the shortlist: 64 full-precision distances per
+        // query — constant work per query, independent of corpus size
+        val qvA = quant.select(col("vec_id").as("query_id"), col("qv").as("aqv"))
+        val qvB = quant.select(col("vec_id").as("neighbor_id"), col("qv").as("bqv"))
+        val approx = shortlist.join(qvA, "query_id").join(qvB, "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            (sqDist(col("aqv"), col("bqv")) * -1L).cast("double").as("nd"))
+          .groupBy(col("query_id"))
+          .agg(topk(col("nd"), col("neighbor_id")).as("nbrs"))
+          .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
+        // exact ground truth on the same quantized vectors: guarded query
+        // broadcast + bounded top-k, L2 by the same three-dot identity
+        val qq = graft.operators.AllPairsTopK.requireBroadcastable(
+          quant.filter(col("vec_id") % 100 === 0),
+          what = "s09 PQ query set",
+          route = "recall audits should sample a bounded query set")
+        val exact = quant
+          .select(col("vec_id").as("neighbor_id"), col("qv").as("cqv"))
+          .join(broadcast(qq.select(col("vec_id").as("query_id"), col("qv").as("qqv"))),
+            col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (sqDist(col("qqv"), col("cqv")) * -1L).cast("double").as("nd"))
+          .groupBy(col("query_id"))
+          .agg(topk(col("nd"), col("neighbor_id")).as("nbrs"))
+          .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
+        val nq = qq.agg(count(lit(1)).as("nq"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("h"))
+        nq.crossJoin(hits)
+          .select(col("nq").as("n_queries"), col("h").as("hits_pq"),
+            (col("h").cast("double") / (lit(3) * col("nq"))).as("recall_pq"),
+            (col("h").cast("double") / (lit(3) * col("nq")) >= 0.30).as("recall_ok"))
+      },
       prepare = materializeQuantized)
   )
 }
