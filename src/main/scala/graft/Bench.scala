@@ -55,7 +55,12 @@ object Bench {
       // strategy, and timing it would charge N-run infrastructure to a
       // single measured run
       spec.prepare.foreach(p => p(spark, sfDir))
-      val before = quiescedSnapshot()
+      // peak memory is a high-water mark, not a delta: reset it after the
+      // prepare hooks so a corpus-materialization peak can't masquerade
+      // as a timed query's
+      org.apache.spark.GraftSparkShim.drainListenerBus(spark)
+      metrics.resetPeak()
+      val before = metrics.snapshot()
       val t0 = System.nanoTime()
       try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

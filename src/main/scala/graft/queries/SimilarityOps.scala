@@ -54,8 +54,11 @@ object SimilarityOps {
         .select(col("vec_id"),
           transform(col("embedding"),
             x => floor(x.cast("double") * lit(127.0) / col("m") + 0.5).cast("long")).as("qv"))
-        .withColumn("qnrm",
-          sqrt(graft.functions.VectorFunctions.longDot(col("qv"), col("qv")).cast("double")))
+        // exact integer self-dot + its root, cached with the vectors: the
+        // ||a-b||² = qsq_a − 2·a·b + qsq_b identity then needs ONE dot per
+        // pair on the scoring hot loops instead of three
+        .withColumn("qsq", graft.functions.VectorFunctions.longDot(col("qv"), col("qv")))
+        .withColumn("qnrm", sqrt(col("qsq").cast("double")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -663,32 +666,37 @@ object SimilarityOps {
       (s, dir) => {
         val M = 8; val dsub = 8; val nCodes = 16
         val longDot = graft.functions.VectorFunctions.longDot _
-        // exact ||a-b||² from three codegen'd integer dots
-        def sqDist(a: Column, b: Column): Column =
-          longDot(a, a) - lit(2L) * longDot(a, b) + longDot(b, b)
+        // exact ||a-b||² via qsq_a − 2·a·b + qsq_b with PRE-COMPUTED self
+        // dots: one codegen'd dot per pair on the hot loops, not three
+        // (the self dots are per-row constants, cached on each side)
+        def sqDist(aSq: Column, a: Column, b: Column, bSq: Column): Column =
+          aSq - lit(2L) * longDot(a, b) + bSq
         val quant = quantizedEmbeddings(s, dir)
-        // one row per (vector, subspace): the 8-dim subvector
+        // one row per (vector, subspace): the 8-dim subvector + its self-dot
         val subArr = array((0 until M).map(j => slice(col("qv"), j * dsub + 1, dsub)): _*)
         val sub = quant.select(col("vec_id"), posexplode(subArr).as(Seq("j", "sv")))
+          .withColumn("ssq", longDot(col("sv"), col("sv")))
         // static per-subspace codebook: the first-16 vectors' subvectors
         // (8×16 = 128 tiny rows — broadcast, like s04's coarse codebook)
         val cent = sub.filter(col("vec_id") < nCodes)
-          .select(col("j").as("cj"), col("vec_id").cast("int").as("c"), col("sv").as("cv"))
+          .select(col("j").as("cj"), col("vec_id").cast("int").as("c"),
+            col("sv").as("cv"), col("ssq").as("csq"))
         // encode: nearest centroid per (vector, subspace); min(struct) is
         // (dist ASC, c ASC) — the oracle's tie rule
         val enc = sub.join(broadcast(cent), col("j") === col("cj"))
           .select(col("vec_id"), col("j"), col("c"),
-            sqDist(col("sv"), col("cv")).as("d"))
+            sqDist(col("ssq"), col("sv"), col("cv"), col("csq")).as("d"))
           .groupBy(col("vec_id"), col("j"))
           .agg(min(struct(col("d"), col("c"))).as("m"))
           .select(col("vec_id").as("neighbor_id"), col("j").as("ej"), col("m.c").as("code"))
         // per-query LUT: partial squared distance to every centroid of
         // every subspace (queries × 8 × 16 rows — broadcast)
         val lut = sub.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("j").as("lj"), col("sv").as("qsv"))
+          .select(col("vec_id").as("query_id"), col("j").as("lj"),
+            col("sv").as("qsv"), col("ssq").as("qssq"))
           .join(broadcast(cent), col("lj") === col("cj"))
           .select(col("query_id"), col("lj"), col("c").as("lc"),
-            sqDist(col("qsv"), col("cv")).as("pd"))
+            sqDist(col("qssq"), col("qsv"), col("cv"), col("csq")).as("pd"))
         // ADC: approximate distance = Σ over subspaces of LUT[code]; the
         // only per-corpus-row work is 8 lookup-joins + a sum — no vector
         // arithmetic touches corpus data at scoring time. ADC quality
@@ -709,26 +717,31 @@ object SimilarityOps {
           .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
         // exact re-rank of the shortlist: 64 full-precision distances per
         // query — constant work per query, independent of corpus size
-        val qvA = quant.select(col("vec_id").as("query_id"), col("qv").as("aqv"))
-        val qvB = quant.select(col("vec_id").as("neighbor_id"), col("qv").as("bqv"))
+        val qvA = quant.select(col("vec_id").as("query_id"),
+          col("qv").as("aqv"), col("qsq").as("asq"))
+        val qvB = quant.select(col("vec_id").as("neighbor_id"),
+          col("qv").as("bqv"), col("qsq").as("bsq"))
         val approx = shortlist.join(qvA, "query_id").join(qvB, "neighbor_id")
           .select(col("query_id"), col("neighbor_id"),
-            (sqDist(col("aqv"), col("bqv")) * -1L).cast("double").as("nd"))
+            (sqDist(col("asq"), col("aqv"), col("bqv"), col("bsq")) * -1L)
+              .cast("double").as("nd"))
           .groupBy(col("query_id"))
           .agg(topk(col("nd"), col("neighbor_id")).as("nbrs"))
           .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
         // exact ground truth on the same quantized vectors: guarded query
-        // broadcast + bounded top-k, L2 by the same three-dot identity
+        // broadcast + bounded top-k, L2 by the same cached-self-dot identity
         val qq = graft.operators.AllPairsTopK.requireBroadcastable(
           quant.filter(col("vec_id") % 100 === 0),
           what = "s09 PQ query set",
           route = "recall audits should sample a bounded query set")
         val exact = quant
-          .select(col("vec_id").as("neighbor_id"), col("qv").as("cqv"))
-          .join(broadcast(qq.select(col("vec_id").as("query_id"), col("qv").as("qqv"))),
+          .select(col("vec_id").as("neighbor_id"), col("qv").as("cqv"), col("qsq").as("csq2"))
+          .join(broadcast(qq.select(col("vec_id").as("query_id"),
+            col("qv").as("qqv"), col("qsq").as("qsq2"))),
             col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"),
-            (sqDist(col("qqv"), col("cqv")) * -1L).cast("double").as("nd"))
+            (sqDist(col("qsq2"), col("qqv"), col("cqv"), col("csq2")) * -1L)
+              .cast("double").as("nd"))
           .groupBy(col("query_id"))
           .agg(topk(col("nd"), col("neighbor_id")).as("nbrs"))
           .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))

@@ -37,21 +37,25 @@ final class IngestMetrics extends SparkListener {
     recordsRead.get(), bytesRead.get(), recordsWritten.get(),
     bytesWritten.get(), peakExecutionMemory.get(), totalCpuNanos.get())
 
-  /** Counters as one JSON object (for embedding in Bench's single-line
-    * output). Locale.ROOT formatting — the f interpolator is
-    * locale-sensitive and a comma-decimal default locale would emit
-    * malformed JSON. */
-  def json(wallSecs: Double): String = IngestMetrics.json(snapshot(), wallSecs)
+  /** Reset the peak-memory high-water mark. Unlike the additive counters,
+    * the peak can't be delta'd between snapshots — a region-scoped peak
+    * needs an explicit reset at the region start (Bench does this so
+    * untimed prepare-hook peaks don't leak into the timed counters). */
+  def resetPeak(): Unit = peakExecutionMemory.set(0L)
 
+  /** Human-readable counter line (StacDemo). Locale.ROOT — the f
+    * interpolator is locale-sensitive and would emit comma decimals on
+    * e.g. a de_DE JVM, breaking consumers that parse the line. */
   def report(wallSecs: Double): String = {
     val itemsPerSec = if (wallSecs > 0) recordsRead.get() / wallSecs else 0.0
     val mbWritten = bytesWritten.get() / 1e6
     val mbPerSec = if (wallSecs > 0) mbWritten / wallSecs else 0.0
-    f"rows_read=${recordsRead.get()} (${itemsPerSec}%.0f rows/s) " +
-      f"bytes_read=${bytesRead.get()} rows_written=${recordsWritten.get()} " +
-      f"mb_written=$mbWritten%.1f ($mbPerSec%.1f MB/s) " +
-      f"peak_task_exec_mem_mb=${peakExecutionMemory.get() / 1e6}%.1f " +
-      f"executor_cpu_s=${totalCpuNanos.get() / 1e9}%.1f"
+    def d(fmt: String, v: Double) = String.format(java.util.Locale.ROOT, fmt, Double.box(v))
+    s"rows_read=${recordsRead.get()} (${d("%.0f", itemsPerSec)} rows/s) " +
+      s"bytes_read=${bytesRead.get()} rows_written=${recordsWritten.get()} " +
+      s"mb_written=${d("%.1f", mbWritten)} (${d("%.1f", mbPerSec)} MB/s) " +
+      s"peak_task_exec_mem_mb=${d("%.1f", peakExecutionMemory.get() / 1e6)} " +
+      s"executor_cpu_s=${d("%.1f", totalCpuNanos.get() / 1e9)}"
   }
 }
 
