@@ -64,6 +64,29 @@ object StacOps {
       out
     })
 
+  /** stac11 harness prep: the SAME corpus re-laid-out by Z-order — range
+    * partitioned + sorted on the Morton key of the bbox center, so each
+    * file/row group covers a compact key range and its bbox min/max stats
+    * actually prune window queries (written once per session; at scale
+    * this is the one-time compaction pass, like q20's bucketing). */
+  private val zTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def itemsZOrdered(s: SparkSession, dir: String): String =
+    zTables.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("stac_zgpq").toString + "/items"
+      val zkey = graft.stac.ZOrder.mortonKey(
+        (col("bbox.xmin") + col("bbox.xmax")) / 2.0,
+        (col("bbox.ymin") + col("bbox.ymax")) / 2.0)
+      s.read.parquet(itemsGeoParquet(s, dir))
+        .withColumn("_z", zkey)
+        .repartitionByRange(8, col("_z"))
+        .sortWithinPartitions(col("_z"))
+        .drop("_z")
+        .write.parquet(out)
+      out
+    })
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- G1+G2: GeoJSON → ISO WKB → GeoJSON round trip, value-checked -----
@@ -367,6 +390,50 @@ object StacOps {
           .filter(graft.stac.Cql2.filter(cql))
           .select(col("id"), col("collection"), col("bbox.xmin").as("xmin"))
           .orderBy(col("id"))
-      })
+      }),
+
+    // ----- Z-order spatial layout: window query over the clustered table -----
+    // stac09 proves the bbox predicate REACHES the scan; this proves the
+    // LAYOUT makes it prune: the corpus is range-partitioned + sorted on
+    // the Morton key of the bbox center (prepare hook), the same window
+    // query runs over it, and the output pins every item's Morton key so
+    // the oracle value-checks the interleave arithmetic bit-for-bit.
+    // ZOrderSpec measures the actual row-group pruning win.
+    QuerySpec(
+      "stac11_zorder_layout",
+      Some(s"""
+        WITH b AS (SELECT 'o' || o_orderkey AS id,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin,
+                          CAST(o_orderkey % 170 - 85 AS DOUBLE) AS ymin,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) + 1.0 AS xmax,
+                          CAST(o_orderkey % 170 - 85 AS DOUBLE) + 0.5 AS ymax
+                   FROM orders),
+             q AS (SELECT id, xmin, ymin,
+                          ${graft.stac.ZOrder.quantizeSql("(xmin + xmax) / 2.0", -180.0, 180.0)} AS qx,
+                          ${graft.stac.ZOrder.quantizeSql("(ymin + ymax) / 2.0", -90.0, 90.0)} AS qy
+                   FROM b
+                   WHERE xmin <= 40 AND xmax >= 20 AND ymin <= 40 AND ymax >= 20)
+        SELECT id, xmin, ymin,
+               ${graft.stac.ZOrder.interleaveSql("qx", "qy")} AS zkey
+        FROM q
+        ORDER BY id"""),
+      (s, dir) => {
+        graft.plans.BboxFunctions.armRewrite(s)
+        val out = s.read.parquet(itemsZOrdered(s, dir))
+          .filter(graft.plans.BboxFunctions.bboxIntersects(
+            col("bbox"), 20.0, 20.0, 40.0, 40.0))
+          .select(col("id"),
+            col("bbox").getField("xmin").as("xmin"),
+            col("bbox").getField("ymin").as("ymin"),
+            graft.stac.ZOrder.mortonKey(
+              (col("bbox.xmin") + col("bbox.xmax")) / 2.0,
+              (col("bbox.ymin") + col("bbox.ymax")) / 2.0).as("zkey"))
+          .orderBy(col("id"))
+        val scan = out.queryExecution.executedPlan.toString
+        require(scan.contains("PushedFilters") && scan.contains("bbox.xmin"),
+          s"window predicate must reach the z-ordered scan as pushed bbox.* bounds:\n$scan")
+        out
+      },
+      prepare = Some((s, dir) => itemsZOrdered(s, dir)))
   )
 }
