@@ -75,15 +75,15 @@ object StacOps {
   private def itemsZOrdered(s: SparkSession, dir: String): String =
     zTables.getOrElseUpdate((s, dir), {
       val out = java.nio.file.Files.createTempDirectory("stac_zgpq").toString + "/items"
-      val zkey = graft.stac.ZOrder.mortonKey(
-        (col("bbox.xmin") + col("bbox.xmax")) / 2.0,
-        (col("bbox.ymin") + col("bbox.ymax")) / 2.0)
-      s.read.parquet(itemsGeoParquet(s, dir))
-        .withColumn("_z", zkey)
+      val sorted = s.read.parquet(itemsGeoParquet(s, dir))
+        .withColumn("_z", graft.stac.ZOrder.mortonKeyOfBboxCenter(col("bbox")))
         .repartitionByRange(8, col("_z"))
         .sortWithinPartitions(col("_z"))
         .drop("_z")
-        .write.parquet(out)
+      // through GeoParquetWriter, not a bare parquet write: the re-laid-out
+      // table must STAY valid GeoParquet (geo/stac-geoparquet footer keys),
+      // and the writer preserves the frame's partitioning/sort
+      graft.stac.GeoParquetWriter.write(sorted, out)
       out
     })
 
@@ -425,9 +425,7 @@ object StacOps {
           .select(col("id"),
             col("bbox").getField("xmin").as("xmin"),
             col("bbox").getField("ymin").as("ymin"),
-            graft.stac.ZOrder.mortonKey(
-              (col("bbox.xmin") + col("bbox.xmax")) / 2.0,
-              (col("bbox.ymin") + col("bbox.ymax")) / 2.0).as("zkey"))
+            graft.stac.ZOrder.mortonKeyOfBboxCenter(col("bbox")).as("zkey"))
           .orderBy(col("id"))
         val scan = out.queryExecution.executedPlan.toString
         require(scan.contains("PushedFilters") && scan.contains("bbox.xmin"),

@@ -36,6 +36,15 @@ object ZOrder {
     interleave(qx, qy)
   }
 
+  /** Morton key of a struct-bbox column's CENTER — the one definition
+    * shared by the layout writer, the gate query's value-checked output,
+    * and the tests: all three must compute the identical key or the
+    * value check stops certifying the written layout. */
+  def mortonKeyOfBboxCenter(bbox: Column): Column =
+    mortonKey(
+      (bbox.getField("xmin") + bbox.getField("xmax")) / 2.0,
+      (bbox.getField("ymin") + bbox.getField("ymax")) / 2.0)
+
   /** Interleave two pre-quantized 16-bit cell columns. */
   def interleave(qx: Column, qy: Column): Column =
     (0 until Bits).map { b =>

@@ -80,9 +80,7 @@ class ZOrderSpec extends AnyFunSuite {
     // random layout: hash-partitioned, every file covers all of space
     df.repartition(8, col("id")).write.parquet(s"$tmp/random")
     // Z-ordered layout: range-partitioned + sorted on the Morton key
-    val zkey = ZOrder.mortonKey(
-      (col("bbox.xmin") + col("bbox.xmax")) / 2.0,
-      (col("bbox.ymin") + col("bbox.ymax")) / 2.0)
+    val zkey = ZOrder.mortonKeyOfBboxCenter(col("bbox"))
     df.withColumn("_z", zkey).repartitionByRange(8, col("_z"))
       .sortWithinPartitions(col("_z")).drop("_z")
       .write.parquet(s"$tmp/zorder")
