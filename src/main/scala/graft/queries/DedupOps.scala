@@ -186,6 +186,56 @@ object DedupOps {
             graft.functions.TextFunctions.simhashSig(col("text")).as("simhash"))
           .orderBy(col("doc_id"))),
 
+    // ----- SimHash near-dup pairs: banded candidates + Hamming verify -----
+    // d04 computes the signatures; this DEDUPS with them, the same
+    // bucket-join discipline as MinHash/LSH (d03): the 32-bit signature
+    // splits into 4 bands of 8 bits, candidate pairs share ANY band value
+    // (an equi-join on (band, value) — never all-pairs), and candidates
+    // verify by exact Hamming distance ≤ 3. The banding is EXACT for this
+    // threshold by pigeonhole: ≤3 differing bits damage at most 3 of the
+    // 4 bands, so every qualifying pair shares an intact band and is
+    // found — approximate candidate generation, provably lossless recall.
+    QuerySpec(
+      "d08_simhash_dedup",
+      Some(s"""
+        WITH s AS (SELECT doc_id, $simhashSql AS sig
+                   FROM (SELECT doc_id,
+                                list_transform(string_split(text,' '),
+                                               w -> CAST(('0x'||substr(md5(w),1,8)) AS BIGINT)) AS xs
+                         FROM documents)),
+             bands AS (SELECT doc_id, sig, b, (sig >> (8*b)) & 255 AS bv
+                       FROM s, (SELECT unnest([0, 1, 2, 3]) AS b)),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        SELECT c.doc_a, c.doc_b,
+               CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.doc_a
+        JOIN s sb ON sb.doc_id = c.doc_b
+        WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+        ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sigs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFunctions.simhashSig(col("text")).as("sig"))
+        val bands = sigs.select(col("doc_id"), col("sig"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("b", "bv")))
+        val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("b").as("ba"), col("bv").as("bva"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("b").as("bb"), col("bv").as("bvb"))
+        a.join(b, col("ba") === col("bb") && col("bva") === col("bvb") &&
+            col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+          .distinct()
+          .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      }),
+
     // ----- duplicate clusters: connected components over verified pairs -----
     // The end-to-end dedup decision: near-dup pairs (jaccard ≥ 0.6) →
     // min-label clusters (graft.operators.ConnectedComponents, one shuffle
