@@ -41,6 +41,29 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Exact table row count from parquet FOOTERS — the catalog statistic,
+    * not a scan: every row group records its row count in the file
+    * metadata, so this is O(files) driver-side reads instead of a
+    * cluster job over the data (identical value to `df.count()`; parquet
+    * metadata is authoritative). */
+  def footerRowCount(dir: String, name: String): Long = {
+    val path = new java.io.File(s"$dir/$name.parquet")
+    val files =
+      if (path.isFile) Array(path)
+      else path.listFiles().filter(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+    }.sum
+  }
+
   /** events.parquet carries TIMESTAMP(NANOS); with
     * spark.sql.legacy.parquet.nanosAsLong=true it scans as epoch-ns Long.
     * Expose both integer epoch-µs (`us`, exact — matches DuckDB's

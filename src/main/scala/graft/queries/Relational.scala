@@ -27,16 +27,16 @@ object Relational {
   /** Exact integer percent from a 2-decimal fraction column. */
   private def pct(c: Column): Column = floor(c * 100 + 0.5).cast("long")
 
-  /** lineitem row count, memoized per (session, dataset) — the table
-    * statistic q16's adaptive sample modulus derives from. A production
-    * warehouse reads this from the catalog (ANALYZE/metastore stats); the
-    * zero-column count here is its one-time stand-in, exposed as a
-    * prepare hook so the timed run pays the catalog LOOKUP, not the scan. */
+  /** lineitem row count, memoized per dataset — the table statistic
+    * q16's adaptive sample modulus derives from. Read from the parquet
+    * FOOTERS (Tables.footerRowCount): O(files) driver-side metadata, no
+    * cluster job — exactly where a production warehouse's catalog stats
+    * come from. */
   private val rowCounts =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private def lineitemCount(s: SparkSession, dir: String): Long =
-    rowCounts.getOrElseUpdate((s, dir), Tables.t(s, dir, "lineitem").count())
+    rowCounts.getOrElseUpdate(dir, Tables.footerRowCount(dir, "lineitem"))
 
   val specs: Seq[QuerySpec] = Seq(
 

@@ -24,4 +24,12 @@ class EntrySpec extends AnyFunSuite {
       assert(sql.count(_ == '\'') % 2 == 0, s"$name has unbalanced quotes")
     }
   }
+
+  test("footer row counts equal scan counts (the catalog-stat shortcut is exact)") {
+    val dir = "/root/testdata/sf0.001"
+    Seq("lineitem", "documents", "region").foreach { t =>
+      assert(Tables.footerRowCount(dir, t) ==
+        Tables.t(SparkSpec.spark, dir, t).count(), t)
+    }
+  }
 }
