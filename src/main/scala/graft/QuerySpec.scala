@@ -45,22 +45,32 @@ object Tables {
     * not a scan: every row group records its row count in the file
     * metadata, so this is O(files) driver-side reads instead of a
     * cluster job over the data (identical value to `df.count()`; parquet
-    * metadata is authoritative). */
+    * metadata is authoritative). Listing goes through the Hadoop
+    * FileSystem of the path (works on hdfs://, s3a://, …, not just
+    * file://), recurses into partitioned layouts, and applies Spark's
+    * hidden-file rule (skip '_'- and '.'-prefixed names) so the visible
+    * set matches what a scan would read. */
   def footerRowCount(dir: String, name: String): Long = {
-    val path = new java.io.File(s"$dir/$name.parquet")
-    val files =
-      if (path.isFile) Array(path)
-      else path.listFiles().filter(f =>
-        f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    import scala.jdk.CollectionConverters._
     val conf = new org.apache.hadoop.conf.Configuration()
-    files.map { f =>
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"no such table: $root")
+    def collect(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.Path] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filter { c =>
+            val n = c.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          .flatMap(collect)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+      else Nil
+    collect(fs.getFileStatus(root)).map { p =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
-      try {
-        import scala.jdk.CollectionConverters._
-        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      } finally r.close()
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
     }.sum
   }
 

@@ -159,15 +159,26 @@ case class MinHashSig(child: Expression, numSeeds: Int)
     copy(child = newChild)
 }
 
-/** 32-bit SimHash of a single-space-tokenized text, computed per document
-  * in one pass: every token occurrence hashes to its md5's first 4 bytes
-  * (unsigned, = DuckDB `('0x'||substr(md5(w),1,8))::BIGINT` and Spark
-  * `conv(substring(md5(w),1,8),16,10)`), bit b of the signature is the sign
-  * of Σ(±1 per token) over that hash bit. Replaces the explode → 32-sum
-  * hash-aggregate form: no token-level rows ever exist, so the operator is
-  * narrow — one signature row per document out of the scan stage. */
-case class SimHashSig(child: Expression)
+/** SimHash of a single-space-tokenized text, computed per document in one
+  * pass. Two widths:
+  *   - 32-bit (default, the d04 signature): token hash = md5's first 4
+  *     bytes (unsigned, = DuckDB `('0x'||substr(md5(w),1,8))::BIGINT`);
+  *   - 60-bit (the d08 DEDUP signature): token hash = the value of the
+  *     first 15 md5 hex chars (= DuckDB
+  *     `('0x'||substr(md5(w),1,15))::BIGINT` — 60 bits keeps the value in
+  *     a signed BIGINT on both engines). The wider signature exists for
+  *     BANDING cardinality: 4 bands of 15 bits give 32768 bucket values
+  *     per band, vs 256 for 8-bit bands of a 32-bit signature — the
+  *     difference between near-constant candidate buckets and O(n²/256)
+  *     candidate growth at corpus scale.
+  * Bit b of the signature is the sign of Σ(±1 per token) over that hash
+  * bit. Replaces the explode → per-bit-sum hash-aggregate form: no
+  * token-level rows ever exist, so the operator is narrow — one signature
+  * row per document out of the scan stage. */
+case class SimHashSig(child: Expression, bits: Int = 32)
     extends UnaryExpression with CodegenFallback {
+
+  require(bits == 32 || bits == 60, s"simhash_sig supports 32 or 60 bits, got $bits")
 
   override def dataType: DataType = LongType
 
@@ -179,16 +190,27 @@ case class SimHashSig(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](bits)
     val md = TextExpressions.digest()
     var i = 0
     while (i < words.length) {
       md.reset()
       val digest = md.digest(words(i).getBytes("UTF-8"))
-      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
-        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      val h =
+        if (bits == 32)
+          ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+            ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+        else {
+          // value of the first 15 hex chars: bytes 0..6 whole, then the
+          // HIGH nibble of byte 7 (hex chars map to nibbles in order)
+          val v56 = ((digest(0) & 0xffL) << 48) | ((digest(1) & 0xffL) << 40) |
+            ((digest(2) & 0xffL) << 32) | ((digest(3) & 0xffL) << 24) |
+            ((digest(4) & 0xffL) << 16) | ((digest(5) & 0xffL) << 8) |
+            (digest(6) & 0xffL)
+          (v56 << 4) | ((digest(7) >> 4) & 0xfL)
+        }
       var b = 0
-      while (b < 32) {
+      while (b < bits) {
         counts(b) += (((h >> b) & 1L).toInt * 2) - 1
         b += 1
       }
@@ -196,7 +218,7 @@ case class SimHashSig(child: Expression)
     }
     var sig = 0L
     var b = 0
-    while (b < 32) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    while (b < bits) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
     sig
   }
 
@@ -318,6 +340,6 @@ object TextFunctions {
   def rollingHashStats(text: Column, w: Int): Column =
     GraftSqlShim.column(RollingHashStats(GraftSqlShim.expression(text), w))
 
-  def simhashSig(text: Column): Column =
-    GraftSqlShim.column(SimHashSig(GraftSqlShim.expression(text)))
+  def simhashSig(text: Column, bits: Int = 32): Column =
+    GraftSqlShim.column(SimHashSig(GraftSqlShim.expression(text), bits))
 }

@@ -110,10 +110,10 @@ object DedupOps {
   }
 
   /** DuckDB mirror of graft.functions.SimHashSig: bit b of the signature is
-    * the sign of sum(±1 of token-hash bit b) over per-token 32-bit md5
-    * prefixes. */
-  private def simhashSql: String = {
-    val terms = (0 until 32).map { b =>
+    * the sign of sum(±1 of token-hash bit b) over per-token md5-prefix
+    * hashes (32-bit prefixes for the 32-bit signature, 60-bit for 60). */
+  private def simhashSql(bits: Int = 32): String = {
+    val terms = (0 until bits).map { b =>
       s"(CASE WHEN CAST(list_sum(list_transform(xs, x -> ((x >> $b) & 1)*2 - 1)) AS BIGINT) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
     s"($terms)"
@@ -174,7 +174,7 @@ object DedupOps {
     QuerySpec(
       "d04_simhash",
       Some(s"""
-        SELECT doc_id, $simhashSql AS simhash
+        SELECT doc_id, ${simhashSql()} AS simhash
         FROM (SELECT doc_id,
                      list_transform(string_split(text,' '),
                                     w -> CAST(('0x'||substr(md5(w),1,8)) AS BIGINT)) AS xs
@@ -188,22 +188,27 @@ object DedupOps {
 
     // ----- SimHash near-dup pairs: banded candidates + Hamming verify -----
     // d04 computes the signatures; this DEDUPS with them, the same
-    // bucket-join discipline as MinHash/LSH (d03): the 32-bit signature
-    // splits into 4 bands of 8 bits, candidate pairs share ANY band value
-    // (an equi-join on (band, value) — never all-pairs), and candidates
-    // verify by exact Hamming distance ≤ 3. The banding is EXACT for this
-    // threshold by pigeonhole: ≤3 differing bits damage at most 3 of the
-    // 4 bands, so every qualifying pair shares an intact band and is
-    // found — approximate candidate generation, provably lossless recall.
+    // bucket-join discipline as MinHash/LSH (d03): the WIDE (60-bit)
+    // signature splits into 4 bands of 15 bits, candidate pairs share ANY
+    // band value (an equi-join on (band, value) — never all-pairs), and
+    // candidates verify by exact Hamming distance ≤ 3. The banding is
+    // EXACT for this threshold by pigeonhole: ≤3 differing bits damage at
+    // most 3 of the 4 bands, so every qualifying pair shares an intact
+    // band and is found — approximate candidate generation, provably
+    // lossless recall. The signature is 60-bit (not d04's 32) for BUCKET
+    // CARDINALITY: 15-bit bands give 32768 values per band, so candidate
+    // volume stays near-linear far longer than 8-bit bands' 256 buckets;
+    // past ~millions of docs per band value, split hot buckets on a
+    // second signature permutation (same join shape).
     QuerySpec(
       "d08_simhash_dedup",
       Some(s"""
-        WITH s AS (SELECT doc_id, $simhashSql AS sig
+        WITH s AS (SELECT doc_id, ${simhashSql(60)} AS sig
                    FROM (SELECT doc_id,
                                 list_transform(string_split(text,' '),
-                                               w -> CAST(('0x'||substr(md5(w),1,8)) AS BIGINT)) AS xs
+                                               w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT)) AS xs
                          FROM documents)),
-             bands AS (SELECT doc_id, sig, b, (sig >> (8*b)) & 255 AS bv
+             bands AS (SELECT doc_id, sig, b, (sig >> (15*b)) & 32767 AS bv
                        FROM s, (SELECT unnest([0, 1, 2, 3]) AS b)),
              cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                       FROM bands a JOIN bands b
@@ -218,10 +223,10 @@ object DedupOps {
       (s, dir) => {
         val sigs = Tables.t(s, dir, "documents")
           .select(col("doc_id"),
-            graft.functions.TextFunctions.simhashSig(col("text")).as("sig"))
+            graft.functions.TextFunctions.simhashSig(col("text"), bits = 60).as("sig"))
         val bands = sigs.select(col("doc_id"), col("sig"),
           posexplode(array((0 until 4).map(b =>
-            shiftright(col("sig"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("b", "bv")))
+            shiftright(col("sig"), 15 * b).bitwiseAND(lit(32767L))): _*)).as(Seq("b", "bv")))
         val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
           col("b").as("ba"), col("bv").as("bva"))
         val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),

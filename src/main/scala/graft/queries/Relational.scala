@@ -27,16 +27,14 @@ object Relational {
   /** Exact integer percent from a 2-decimal fraction column. */
   private def pct(c: Column): Column = floor(c * 100 + 0.5).cast("long")
 
-  /** lineitem row count, memoized per dataset — the table statistic
-    * q16's adaptive sample modulus derives from. Read from the parquet
-    * FOOTERS (Tables.footerRowCount): O(files) driver-side metadata, no
-    * cluster job — exactly where a production warehouse's catalog stats
-    * come from. */
-  private val rowCounts =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
-
+  /** lineitem row count — the table statistic q16's adaptive sample
+    * modulus derives from. Read from the parquet FOOTERS
+    * (Tables.footerRowCount): O(files) driver-side metadata, no cluster
+    * job — exactly where a production warehouse's catalog stats come
+    * from. Cheap enough to skip memoizing, which also means a rewritten
+    * dataset can never serve a stale count. */
   private def lineitemCount(s: SparkSession, dir: String): Long =
-    rowCounts.getOrElseUpdate(dir, Tables.footerRowCount(dir, "lineitem"))
+    Tables.footerRowCount(dir, "lineitem")
 
   val specs: Seq[QuerySpec] = Seq(
 
