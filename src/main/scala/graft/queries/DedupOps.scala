@@ -348,6 +348,74 @@ object DedupOps {
             count(when(col("kept"), 1)).as("n_kept"),
             coalesce(sum(when(col("kept"), col("doc_id"))), lit(0L)).as("kept_id_sum"))
           .orderBy(col("source"))
-      })
+      }),
+
+    // ----- EXACT n-gram Jaccard similarity join (AllPairs prefix filter) -----
+    // The third candidate-generation discipline alongside MinHash bands
+    // (d03) and SimHash bands (d08) — and unlike those, EXACT by
+    // construction: prefix filtering (Bayardo et al. "Scaling Up All
+    // Pairs", Xiao et al. PPJoin) guarantees every pair with Jaccard ≥ τ
+    // is generated. Each document keeps only the first
+    // |A| − ⌈τ·|A|⌉ + 1 of its shingles under a global rarity order
+    // (document frequency asc, shingle asc): if two sets shared no prefix
+    // element, their intersection would fit inside the suffix,
+    // |A∩B| ≤ ⌈τ|A|⌉ − 1 < τ|A| ≤ τ|A∪B| — contradiction. Candidates are
+    // an equi-join on PREFIX shingles only (rare tokens → small posting
+    // lists → no hot keys), then exact Jaccard verifies on the full sets.
+    // The oracle deliberately uses the NAIVE inverted index (all shared
+    // shingles) — if the prefix filter dropped a qualifying pair, the
+    // hash compare would fail. τ = 0.5.
+    QuerySpec(
+      "d09_ngram_jaccard",
+      Some(s"""
+        WITH $sgCte,
+             post AS (SELECT doc_id, unnest(g) AS sh FROM sg),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM post a JOIN post b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id),
+             jp AS (SELECT doc_a, doc_b,
+                           CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+                             / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
+                    FROM cand
+                    JOIN sg ga ON ga.doc_id = doc_a
+                    JOIN sg gb ON gb.doc_id = doc_b)
+        SELECT doc_a, doc_b, jaccard FROM jp
+        WHERE jaccard >= 0.5
+        ORDER BY doc_a, doc_b"""),
+      (s, dir) =>
+        jaccardSimilarityJoin(docShingles(s, dir), tau = 0.5)
+          .orderBy(col("doc_a"), col("doc_b")))
   )
+
+  /** Prefix-filtered EXACT Jaccard similarity self-join (d09's engine).
+    *
+    * @param sg  (doc_id, g) rows, g = the distinct element set (array)
+    * @param tau Jaccard threshold; keep τ a dyadic rational (k/2^m) so
+    *            ⌈τ·sz⌉ computed through doubles is the mathematical
+    *            ceiling for every set size
+    * @return (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ τ —
+    *         provably ALL such pairs (prefix filtering loses none) */
+  private[queries] def jaccardSimilarityJoin(sg: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = sg.select(col("doc_id"), size(col("g")).as("sz"),
+      explode(col("g")).as("sh"))
+    val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    // prefix length: sz − ⌈τ·sz⌉ + 1 under the global (df asc, sh asc) order
+    val prefix = post.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(tau)).cast("int") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.join(
+        prefix.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        col("sh") === col("sh_b") && col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val ga = sg.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val gb = sg.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
 }

@@ -589,6 +589,71 @@ object Relational {
             sum(cents(col("value"))).as("value_cents"))
           .select(col("c_mktsegment").as("segment"), col("n_events"), col("value_cents"))
           .orderBy(col("segment"))
-      })
+      }),
+
+    // ----- semi-structured extraction (JSON metadata column) -----
+    // Training-data tables carry per-row JSON metadata; the scan-stage op
+    // is schema-on-read extraction (get_json_object → typed column) fused
+    // into the same stage as the aggregation — the JSON never shuffles,
+    // only the extracted long does. At 100 TB the alternative (a separate
+    // parse-then-write pass) doubles the IO; this shape parses exactly
+    // once per row inside WholeStageCodegen.
+    QuerySpec(
+      "q21_json_extract",
+      Some("""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS k_sum,
+               CAST(min(k) AS BIGINT) AS k_min,
+               CAST(max(k) AS BIGINT) AS k_max,
+               CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(*) AS k_avg
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
+        ORDER BY event_type"""),
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("k_sum"),
+            min(col("k")).as("k_min"),
+            max(col("k")).as("k_max"))
+          .withColumn("k_avg", col("k_sum").cast("double") / col("n"))
+          .orderBy(col("event_type"))),
+
+    // ----- pivot (wide-format report over a low-cardinality dimension) -----
+    // groupBy().pivot() with an EXPLICIT value list — no extra job to
+    // discover the pivot domain, and the aggregation stays a single
+    // hash-agg with `count/sum FILTER`-style branches per value (exactly
+    // the plan the oracle's FILTER clauses describe). Revenue goes through
+    // the integer-cents path; the single final division produces the
+    // dollar doubles.
+    QuerySpec(
+      "q22_pivot",
+      Some("""
+        SELECT l_returnflag,
+               CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS f_lines,
+               CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS o_lines,
+               CAST(coalesce(sum(CAST(round(l_extendedprice*100,0) AS BIGINT))
+                             FILTER (l_linestatus = 'F'), 0) AS DOUBLE)/100.0 AS f_revenue,
+               CAST(coalesce(sum(CAST(round(l_extendedprice*100,0) AS BIGINT))
+                             FILTER (l_linestatus = 'O'), 0) AS DOUBLE)/100.0 AS o_revenue
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""),
+      (s, dir) =>
+        Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)).as("lines"),
+            coalesce(sum(cents(col("l_extendedprice"))), lit(0L)).as("revcents"))
+          .select(col("l_returnflag"),
+            col("F_lines").as("f_lines"), col("O_lines").as("o_lines"),
+            (col("F_revcents").cast("double") / 100.0).as("f_revenue"),
+            (col("O_revcents").cast("double") / 100.0).as("o_revenue"))
+          .orderBy(col("l_returnflag")))
   )
 }

@@ -24,6 +24,21 @@ object TextOps {
 
   private val stopwords = Seq("the", "a")
 
+  /** Redaction patterns (t10) — a regex subset java.util.regex and RE2
+    * evaluate identically, so the same literal serves both engines. */
+  private[queries] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[queries] val ipv4Re = "\\b[0-9]{1,3}(?:\\.[0-9]{1,3}){3}\\b"
+  private[queries] val blockRe = "\\b(?:spark|vector)\\b"
+
+  /** Apply all three redaction classes, in fixed order (email → IP →
+    * blocklist) so the two engines see identical intermediate strings. */
+  private[queries] def scrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]"),
+      blockRe, "[TERM]")
+
   val specs: Seq[QuerySpec] = Seq(
 
     QuerySpec(
@@ -308,6 +323,92 @@ object TextOps {
             max(col("doc_id")).as("last_doc"))
           .withColumn("fill", col("bin_tokens").cast("double") / 512)
           .orderBy(col("source"), col("bin"))
+      }),
+
+    // ----- PII / blocklist scrubbing (pre-training redaction pass) -----
+    // The standard privacy scrub a corpus gets before training: regex
+    // classes for emails and IPv4 literals plus a term blocklist, each
+    // counted and replaced with a typed placeholder. Pure scan-stage
+    // regexp_extract_all/regexp_replace (codegen'd, no UDF, no shuffle
+    // before the output sort) — streams at scan speed over 100 TB. The
+    // patterns stay inside the regex subset java.util.regex and DuckDB's
+    // RE2 treat identically (character classes, bounded quantifiers,
+    // non-capturing groups, \b — no backrefs, no lookaround). The
+    // synthetic corpus contains no PII, so the email/IP legs pin zeros
+    // here (the regexes themselves are value-tested on adversarial
+    // strings in ScrubSpec); the blocklist leg has real matches.
+    QuerySpec(
+      "t10_pii_scrub",
+      Some(s"""
+        WITH r AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '$emailRe')) AS n_email,
+                          len(regexp_extract_all(text, '$ipv4Re')) AS n_ipv4,
+                          len(regexp_extract_all(text, '$blockRe')) AS n_blocked,
+                          regexp_replace(regexp_replace(regexp_replace(text,
+                            '$emailRe', '[EMAIL]', 'g'),
+                            '$ipv4Re', '[IP]', 'g'),
+                            '$blockRe', '[TERM]', 'g') AS clean
+                   FROM documents)
+        SELECT doc_id, n_email, n_ipv4, n_blocked,
+               length(clean) AS n_clean_chars, md5(clean) AS clean_fp
+        FROM r
+        ORDER BY doc_id"""),
+      (s, dir) =>
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_email"),
+            size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0))).as("n_ipv4"),
+            size(regexp_extract_all(col("text"), lit(blockRe), lit(0))).as("n_blocked"),
+            scrub(col("text")).as("clean"))
+          .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_blocked"),
+            length(col("clean")).as("n_clean_chars"),
+            md5(col("clean")).as("clean_fp"))
+          .orderBy(col("doc_id"))),
+
+    // ----- segment-level dedup (CCNet/Dolma paragraph dedup shape) -----
+    // Paragraph-level dedup generalized to fixed 16-word segments (this
+    // corpus has no newlines): explode each document into segments, keep
+    // the globally FIRST occurrence of each distinct segment (ordered by
+    // (doc_id, seg_idx)), and report the per-document duplicated-segment
+    // fraction — the signal CCNet thresholds on. Scale shape: one explode
+    // + one hash-partitioned window keyed by the segment hash (group size
+    // = duplicate multiplicity, tiny), then a per-doc hash-agg. Linear in
+    // corpus size, no all-pairs anything; the only wide exchange is on
+    // md5(segment), which is uniform by construction.
+    QuerySpec(
+      "t11_segment_dedup",
+      Some("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             segs AS (SELECT doc_id, u.i AS seg_idx,
+                             array_to_string(ws[u.i*16+1 : u.i*16+16], ' ') AS seg
+                      FROM w, unnest(generate_series(0, (len(ws)+15)//16 - 1)) AS u(i)),
+             m AS (SELECT doc_id,
+                          row_number() OVER (PARTITION BY md5(seg)
+                                             ORDER BY doc_id, seg_idx) > 1 AS is_dup
+                   FROM segs)
+        SELECT doc_id,
+               count(*) AS n_segments,
+               CAST(count(*) FILTER (is_dup) AS BIGINT) AS n_dup,
+               CAST(count(*) FILTER (is_dup) AS DOUBLE) / count(*) AS dup_ratio
+        FROM m
+        GROUP BY doc_id
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ws = words(col("text"))
+        val segArr = transform(
+          sequence(lit(0), ((size(ws) + lit(15)) / 16).cast("int") - 1),
+          i => array_join(slice(ws, i * 16 + 1, lit(16)), " "))
+        val firstWin = Window.partitionBy(md5(col("seg")))
+          .orderBy(col("doc_id"), col("seg_idx"))
+        Tables.t(s, dir, "documents")
+          .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+          .withColumn("is_dup", row_number().over(firstWin) > 1)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segments"),
+            count(when(col("is_dup"), 1)).as("n_dup"))
+          .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_segments"))
+          .orderBy(col("doc_id"))
       })
   )
 }
