@@ -362,60 +362,169 @@ object DedupOps {
     // |A∩B| ≤ ⌈τ|A|⌉ − 1 < τ|A| ≤ τ|A∪B| — contradiction. Candidates are
     // an equi-join on PREFIX shingles only (rare tokens → small posting
     // lists → no hot keys), then exact Jaccard verifies on the full sets.
-    // The oracle deliberately uses the NAIVE inverted index (all shared
-    // shingles) — if the prefix filter dropped a qualifying pair, the
-    // hash compare would fail. τ = 0.5.
+    // Sets are carried as 60-bit md5-prefix hashes, not strings: the
+    // postings/window/join keys are fixed-width longs and the verify
+    // intersects long arrays (~2.5× narrower rows, no per-element string
+    // hashing). BOTH engines hash with the same md5 prefix, so even a
+    // collision collapses identically on both sides — the compare stays
+    // exact unconditionally. The oracle deliberately uses the NAIVE
+    // inverted index (all shared shingles) — if the prefix filter dropped
+    // a qualifying pair, the hash compare would fail. τ = 0.5.
     QuerySpec(
       "d09_ngram_jaccard",
       Some(s"""
         WITH $sgCte,
-             post AS (SELECT doc_id, unnest(g) AS sh FROM sg),
+             sgh AS (SELECT doc_id,
+                            list_distinct(list_transform(g,
+                              x -> CAST(('0x'||substr(md5(x),1,15)) AS BIGINT))) AS gh
+                     FROM sg),
+             post AS (SELECT doc_id, unnest(gh) AS h FROM sgh),
              cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                       FROM post a JOIN post b
-                        ON a.sh = b.sh AND a.doc_id < b.doc_id),
+                        ON a.h = b.h AND a.doc_id < b.doc_id),
              jp AS (SELECT doc_a, doc_b,
-                           CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
-                             / (len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g))) AS jaccard
+                           CAST(len(list_intersect(ga.gh, gb.gh)) AS DOUBLE)
+                             / (len(ga.gh) + len(gb.gh) - len(list_intersect(ga.gh, gb.gh))) AS jaccard
                     FROM cand
-                    JOIN sg ga ON ga.doc_id = doc_a
-                    JOIN sg gb ON gb.doc_id = doc_b)
+                    JOIN sgh ga ON ga.doc_id = doc_a
+                    JOIN sgh gb ON gb.doc_id = doc_b)
         SELECT doc_a, doc_b, jaccard FROM jp
         WHERE jaccard >= 0.5
         ORDER BY doc_a, doc_b"""),
       (s, dir) =>
         jaccardSimilarityJoin(docShingles(s, dir), tau = 0.5)
-          .orderBy(col("doc_a"), col("doc_b")))
+          .orderBy(col("doc_a"), col("doc_b"))),
+
+    // ----- embedding-cosine near-dup (the vector-space dedup family member) -----
+    // The synthetic embeddings are near-orthogonal (max pairwise cosine
+    // ~0.51), so the near-dup population is CONSTRUCTED deterministically:
+    // every 5th vector gets a variant (vec_id + 1,000,000) with ~1/4 of
+    // its dimensions halved, the dims chosen by md5(vec_id:pos). Halving a
+    // float is EXACT in both float32 and float64 arithmetic (exponent
+    // decrement, no mantissa rounding), so Spark's float path and DuckDB's
+    // double path see bit-identical values — and halving preserves SIGN,
+    // so a variant lands in the same sign-LSH bucket as its source in
+    // every band: the banded candidate generation provably reaches recall
+    // 1.0 on the true pairs. Candidates = same (band, bucket) equi-join
+    // over 4 bands × 8 sign bits (dims 1–32; P[collision] = 1/256 per band
+    // for random vectors — the quadratic term is damped 256×), then exact
+    // cosine ≥ 0.9 verifies via the codegen'd float_dot. The oracle replays
+    // the same derivation, banding, and verify in SQL — a dropped true
+    // pair or a phantom candidate fails the hash.
+    QuerySpec(
+      "d10_embedding_neardup",
+      Some(s"""
+        WITH base AS (SELECT vec_id, embedding FROM embeddings),
+             var AS (SELECT vec_id + 1000000 AS vec_id,
+                            CAST([CASE WHEN CAST(('0x'||substr(md5(vec_id||':'||i),1,2)) AS INTEGER) < 64
+                                       THEN embedding[i]*0.5 ELSE embedding[i] END
+                                  for i in generate_series(1, 64)] AS FLOAT[]) AS embedding
+                     FROM base WHERE vec_id % 5 = 0),
+             corpus AS (SELECT vec_id, embedding FROM base
+                        UNION ALL SELECT vec_id, embedding FROM var),
+             bands AS (SELECT vec_id, b.band AS band,
+                              list_sum([CASE WHEN embedding[b.band*8 + k + 1] > 0
+                                             THEN CAST(2**k AS BIGINT) ELSE 0 END
+                                        for k in generate_series(0, 7)]) AS bucket
+                       FROM corpus, (SELECT unnest(generate_series(0, 3)) AS band) b),
+             cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                      FROM bands a JOIN bands b
+                        ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.vec_id < b.vec_id),
+             n AS (SELECT vec_id, embedding,
+                          ${SimilarityOps.normSql("embedding")} AS nrm
+                   FROM corpus),
+             scored AS (SELECT vec_a, vec_b,
+                               ${SimilarityOps.dotSql("na.embedding", "nb.embedding")}
+                                 /(na.nrm*nb.nrm) AS c
+                        FROM cand JOIN n na ON na.vec_id = vec_a
+                                  JOIN n nb ON nb.vec_id = vec_b)
+        SELECT vec_a, vec_b, round(c, 9) AS cos
+        FROM scored WHERE c >= 0.9
+        ORDER BY vec_a, vec_b"""),
+      (s, dir) => {
+        import graft.functions.VectorFunctions.floatDot
+        val base = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        // NOTE: the variant embedding must be derived BEFORE the id is
+        // renamed — in a single select the later transform would resolve
+        // `vec_id` to the earlier `vec_id + 1000000` alias (lateral column
+        // alias resolution), silently keying md5 off the wrong id.
+        val variants = base.filter(col("vec_id") % 5 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              when(conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
+                       (i + 1).cast("string"))), 1, 2), 16, 10)
+                     .cast("int") < 64, x * lit(0.5f))
+                .otherwise(x)).as("embedding"))
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+        val corpus = base.unionByName(variants)
+        def bandBucket(e: Column, band: Int): Column =
+          (0 until 8).map { k =>
+            when(element_at(e, band * 8 + k + 1) > 0f, lit(1L << k)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        val bands = corpus.select(col("vec_id"),
+          posexplode(array((0 until 4).map(j => bandBucket(col("embedding"), j)): _*))
+            .as(Seq("band", "bucket")))
+        val cand = bands.join(
+            bands.select(col("vec_id").as("vec_b"), col("band").as("band_b"),
+              col("bucket").as("bucket_b")),
+            col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+              col("vec_id") < col("vec_b"))
+          .select(col("vec_id").as("vec_a"), col("vec_b")).distinct()
+        val n = corpus.select(col("vec_id"), col("embedding"),
+          sqrt(floatDot(col("embedding"), col("embedding"))).as("nrm"))
+        val cos = floatDot(col("ea"), col("eb")) / (col("na") * col("nb"))
+        cand
+          .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+          .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+          .filter(cos >= 0.9)
+          .select(col("vec_a"), col("vec_b"), round(cos, 9).as("cos"))
+          .orderBy(col("vec_a"), col("vec_b"))
+      })
   )
 
   /** Prefix-filtered EXACT Jaccard similarity self-join (d09's engine).
+    *
+    * The element sets are re-keyed to 60-bit md5-prefix hashes up front:
+    * every downstream stage (document-frequency agg, prefix window,
+    * candidate equi-join, verify intersect) then works on fixed-width
+    * longs instead of ~20-char strings — narrower shuffles and no
+    * per-element string hashing in the hot verify loop. The hashed set
+    * table is tiny (one row per doc) and feeds FOUR plan branches, so it
+    * is persisted: one scan + one shingle pass instead of four.
     *
     * @param sg  (doc_id, g) rows, g = the distinct element set (array)
     * @param tau Jaccard threshold; keep τ a dyadic rational (k/2^m) so
     *            ⌈τ·sz⌉ computed through doubles is the mathematical
     *            ceiling for every set size
-    * @return (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ τ —
-    *         provably ALL such pairs (prefix filtering loses none) */
+    * @return (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ τ over the
+    *         hashed sets — provably ALL such pairs (prefix filtering
+    *         loses none) */
   private[queries] def jaccardSimilarityJoin(sg: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val post = sg.select(col("doc_id"), size(col("g")).as("sz"),
-      explode(col("g")).as("sh"))
-    val dfreq = post.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    // prefix length: sz − ⌈τ·sz⌉ + 1 under the global (df asc, sh asc) order
-    val prefix = post.join(dfreq, "sh")
+    val hashed = sg.select(col("doc_id"),
+        array_distinct(transform(col("g"),
+          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))).as("gh"))
+      .withColumn("sz", size(col("gh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val post = hashed.select(col("doc_id"), col("sz"), explode(col("gh")).as("h"))
+    val dfreq = post.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // prefix length: sz − ⌈τ·sz⌉ + 1 under the global (df asc, h asc) order
+    val prefix = post.join(dfreq, "h")
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(tau)).cast("int") + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("h"))
     val cand = prefix.join(
-        prefix.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
-        col("sh") === col("sh_b") && col("doc_id") < col("doc_b"))
+        prefix.select(col("doc_id").as("doc_b"), col("h").as("h_b")),
+        col("h") === col("h_b") && col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
-    val ga = sg.select(col("doc_id").as("doc_a"), col("g").as("ga"))
-    val gb = sg.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    val ga = hashed.select(col("doc_id").as("doc_a"), col("gh").as("ga"), col("sz").as("sza"))
+    val gb = hashed.select(col("doc_id").as("doc_b"), col("gh").as("gb"), col("sz").as("szb"))
     val inter = size(array_intersect(col("ga"), col("gb")))
     cand.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
+        (inter.cast("double") / (col("sza") + col("szb") - inter)).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 }
