@@ -409,6 +409,53 @@ object TextOps {
             count(when(col("is_dup"), 1)).as("n_dup"))
           .withColumn("dup_ratio", col("n_dup").cast("double") / col("n_segments"))
           .orderBy(col("doc_id"))
+      }),
+
+    // ----- exact heavy hitters via bounded-memory candidates -----
+    // Frequent bigrams per source (relative frequency ≥ 1/300), computed
+    // the way a 100-TB corpus forces: pass 1 aggregates each source's
+    // terms into a ≤512-entry Misra–Gries summary (a native typed
+    // aggregate with mergeable partials — only k-entry maps ever shuffle,
+    // never the full term domain, unlike a groupBy(term) whose shuffle is
+    // vocabulary-sized); pass 2 re-counts EXACTLY, but only for terms that
+    // survived pass 1 — the broadcast semi-filter drops everything else
+    // map-side, so the wide agg shuffles candidate terms only. MG
+    // guarantees every term with freq > n/513 survives pass 1, and the
+    // threshold n/300 > n/513, so the exact pass sees every qualifying
+    // term: the output is EXACT and order-independent even though the MG
+    // candidate set itself depends on arrival order. The oracle is the
+    // naive exact count — a dropped qualifier would fail the hash.
+    QuerySpec(
+      "t12_heavy_hitters",
+      Some("""
+        WITH w AS (SELECT source, ws[i]||' '||ws[i+1] AS term
+                   FROM (SELECT source, string_split(text,' ') AS ws FROM documents),
+                        unnest(generate_series(1, len(ws)-1)) AS u(i)),
+             tot AS (SELECT source, count(*) AS n FROM w GROUP BY source),
+             c AS (SELECT source, term, count(*) AS freq FROM w GROUP BY source, term)
+        SELECT c.source, c.term, c.freq
+        FROM c JOIN tot USING (source)
+        WHERE freq*300 >= n
+        ORDER BY source, freq DESC, term"""),
+      (s, dir) => {
+        val ws = words(col("text"))
+        val bigramArr = when(size(ws) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(ws) - 1),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        val bigrams = Tables.t(s, dir, "documents")
+          .select(col("source"), explode(bigramArr).as("term"))
+        val mg = graft.operators.HeavyHitters.mgCandidates(512)
+        val cands = bigrams.groupBy(col("source")).agg(mg(col("term")).as("terms"))
+          .select(col("source"), explode(col("terms")).as("term"))
+        val tot = bigrams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        // candidate lists are ≤ k per source BY CONSTRUCTION — broadcast
+        // is bounded by the sketch capacity, not the data
+        bigrams.join(broadcast(cands), Seq("source", "term"))
+          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("freq"))
+          .join(broadcast(tot), "source")
+          .filter(col("freq") * 300 >= col("n"))
+          .select(col("source"), col("term"), col("freq"))
+          .orderBy(col("source"), col("freq").desc, col("term"))
       })
   )
 }

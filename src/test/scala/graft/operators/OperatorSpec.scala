@@ -161,4 +161,44 @@ class OperatorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("route elsewhere"))
   }
+
+  test("MisraGries: every term over the n/(k+1) bound survives any partitioning") {
+    val rnd = new scala.util.Random(42)
+    // skewed stream: a few heavy terms buried in a long uniform tail
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(250)("beta") ++ Seq.fill(120)("gamma")
+    val tail = Seq.tabulate(1200)(i => s"t${rnd.nextInt(600)}")
+    val stream = rnd.shuffle(heavy ++ tail)
+    val n = stream.length
+    val k = 15
+    val agg = new MisraGriesAggregator(k)
+    // exercise reduce AND merge across several random partitionings
+    for (parts <- Seq(1, 3, 8)) {
+      val groups = stream.grouped(math.max(1, n / parts)).toSeq
+      val summaries = groups.map(g => g.foldLeft(agg.zero)(agg.reduce))
+      summaries.foreach(s => assert(s.size <= k))
+      val merged = summaries.reduce(agg.merge)
+      assert(merged.size <= k)
+      val out = agg.finish(merged).toSet
+      val exact = stream.groupBy(identity).view.mapValues(_.size).toMap
+      exact.collect { case (t, c) if c > n / (k + 1) => t }
+        .foreach(t => assert(out.contains(t), s"lost heavy term $t at parts=$parts"))
+    }
+  }
+
+  test("MisraGries: distributed candidates + exact re-count equal the full groupBy") {
+    val terms = (Seq.fill(300)("hot") ++ Seq.fill(90)("warm") ++
+      (0 until 800).map(i => s"cold${i % 400}")).map(Tuple1(_))
+    val df = terms.toDF("term").repartition(7)
+    val mg = HeavyHitters.mgCandidates(32)
+    val cands = df.agg(mg(col("term")).as("ts"))
+      .select(explode(col("ts")).as("term"))
+    val exactOverCands = df.join(cands, "term")
+      .groupBy("term").count()
+      .filter(col("count") * 10 >= terms.size) // threshold 10% > 1/33 bound
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = df.groupBy("term").count()
+      .filter(col("count") * 10 >= terms.size)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactOverCands == full && full.keySet == Set("hot"))
+  }
 }
