@@ -432,6 +432,85 @@ object StacOps {
           s"window predicate must reach the z-ordered scan as pushed bbox.* bounds:\n$scan")
         out
       },
-      prepare = Some((s, dir) => itemsZOrdered(s, dir)))
+      prepare = Some((s, dir) => itemsZOrdered(s, dir))),
+
+    // ----- distributed spatial join: AOI set × stored catalog -----
+    // The query shape stac09/stac11 can't express: N regions of interest
+    // joined against the whole catalog at once. Plan is PBSM/grid-join
+    // (Patel & DeWitt): both sides map each bbox to the fixed-size grid
+    // cells it covers (≤4 cells per item, ≤6 per AOI — the explode factor
+    // is bounded by construction), candidates come from an EQUI-join on
+    // the cell, the exact closed-interval overlap predicate verifies, and
+    // multi-cell duplicates are eliminated WITHOUT a distinct: a pair is
+    // kept only in the cell that contains the intersection's min corner
+    // (the PBSM reference-point rule — that corner lies in exactly one
+    // cell, and the filter is evaluated row-local in the join stage).
+    // Scale-honest: no broadcast required at any corpus size — both sides
+    // shuffle on the cell key; local-mode picks broadcast for the tiny AOI
+    // side, and the in-gate assertion pins that the join is never a
+    // nested-loop/cartesian under EITHER strategy. The oracle is the
+    // brute-force cross join with the same overlap predicate — a pair
+    // dropped by binning or duplicated by a wrong reference point fails
+    // the hash.
+    QuerySpec(
+      "stac12_spatial_join",
+      Some("""
+        WITH items AS (SELECT 'o' || o_orderkey AS item_id,
+                              CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin,
+                              CAST(o_orderkey % 170 - 85 AS DOUBLE) AS ymin,
+                              CAST(o_orderkey % 360 - 180 AS DOUBLE) + 1.0 AS xmax,
+                              CAST(o_orderkey % 170 - 85 AS DOUBLE) + 0.5 AS ymax
+                       FROM orders),
+             aoi AS (SELECT s_suppkey AS aoi_id,
+                            CAST((s_suppkey * 7) % 360 - 180 AS DOUBLE) AS axmin,
+                            CAST((s_suppkey * 11) % 170 - 85 AS DOUBLE) AS aymin,
+                            CAST((s_suppkey * 7) % 360 - 180 AS DOUBLE) + 10.0 AS axmax,
+                            CAST((s_suppkey * 11) % 170 - 85 AS DOUBLE) + 5.0 AS aymax
+                     FROM supplier)
+        SELECT aoi_id, item_id,
+               greatest(axmin, xmin) AS ixmin, greatest(aymin, ymin) AS iymin,
+               least(axmax, xmax) AS ixmax, least(aymax, ymax) AS iymax
+        FROM aoi JOIN items
+          ON axmin <= xmax AND axmax >= xmin AND aymin <= ymax AND aymax >= ymin
+        ORDER BY aoi_id, item_id"""),
+      (s, dir) => {
+        val grid = 10.0
+        def cellsX(xmin: Column, xmax: Column): Column =
+          sequence(floor(xmin / grid).cast("int"), floor(xmax / grid).cast("int"))
+        def cellsY(ymin: Column, ymax: Column): Column =
+          sequence(floor(ymin / grid).cast("int"), floor(ymax / grid).cast("int"))
+        val items = s.read.parquet(itemsGeoParquet(s, dir))
+          .select(col("id").as("item_id"),
+            col("bbox.xmin").as("xmin"), col("bbox.ymin").as("ymin"),
+            col("bbox.xmax").as("xmax"), col("bbox.ymax").as("ymax"))
+          .withColumn("cx", explode(cellsX(col("xmin"), col("xmax"))))
+          .withColumn("cy", explode(cellsY(col("ymin"), col("ymax"))))
+        val ax = ((col("s_suppkey") * 7) % 360 - 180).cast("double")
+        val ay = ((col("s_suppkey") * 11) % 170 - 85).cast("double")
+        val aoi = Tables.t(s, dir, "supplier")
+          .select(col("s_suppkey").as("aoi_id"), ax.as("axmin"), ay.as("aymin"),
+            (ax + 10.0).as("axmax"), (ay + 5.0).as("aymax"))
+          .withColumn("cx", explode(cellsX(col("axmin"), col("axmax"))))
+          .withColumn("cy", explode(cellsY(col("aymin"), col("aymax"))))
+        val out = aoi.join(items, Seq("cx", "cy"))
+          .filter(col("axmin") <= col("xmax") && col("axmax") >= col("xmin") &&
+            col("aymin") <= col("ymax") && col("aymax") >= col("ymin"))
+          // PBSM reference point: intersection min corner decides the one
+          // owning cell, so multi-cell candidate copies die row-local
+          .filter(floor(greatest(col("axmin"), col("xmin")) / grid).cast("int") === col("cx") &&
+            floor(greatest(col("aymin"), col("ymin")) / grid).cast("int") === col("cy"))
+          .select(col("aoi_id"), col("item_id"),
+            greatest(col("axmin"), col("xmin")).as("ixmin"),
+            greatest(col("aymin"), col("ymin")).as("iymin"),
+            least(col("axmax"), col("xmax")).as("ixmax"),
+            least(col("aymax"), col("ymax")).as("iymax"))
+          .orderBy(col("aoi_id"), col("item_id"))
+        val plan = out.queryExecution.executedPlan.toString
+        require(!plan.contains("CartesianProduct") &&
+          !plan.contains("BroadcastNestedLoopJoin"),
+          s"spatial join must stay an equi-join on the grid cell:\n$plan")
+        out
+      },
+      prepare = Some((s, dir) => itemsGeoParquet(s, dir)))
   )
 }
