@@ -2,8 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.{Column, Encoder}
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+
+import scala.collection.mutable
 
 /** Bounded-memory frequent-items candidates (Misra–Gries) as a typed
   * aggregate with PARTIAL aggregation — the scale-correct first pass of
@@ -25,46 +26,54 @@ import org.apache.spark.sql.functions.udaf
   * count) before emitting results — the verified output is then
   * deterministic and independent of partitioning, which is what the d/t
   * gate queries rely on.
+  *
+  * The buffer is a MUTABLE hash map updated in place (the Aggregator
+  * contract allows returning the mutated buffer): with ObjectHashAggregate
+  * the buffer lives as a JVM object between arrivals, so the hot path is
+  * one hash probe + counter bump with zero allocation, and the Kryo
+  * buffer encoder only runs at the partial/merge shuffle boundary.
   */
 final class MisraGriesAggregator(k: Int)
-    extends Aggregator[String, Map[String, Long], Seq[String]] {
+    extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]] {
   require(k >= 1, s"k must be >= 1, got $k")
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
   /** Classic MG step: hit → increment; room → insert at 1; full → decrement
     * every counter (the arrival itself is absorbed by the decrement). The
-    * O(k) rebuild triggers at most once per k arrivals in aggregate, so the
-    * amortized cost stays O(1) per item. */
-  override def reduce(buf: Map[String, Long], t: String): Map[String, Long] =
+    * O(k) decrement sweep triggers at most once per k arrivals in
+    * aggregate, so the amortized cost stays O(1) per item. */
+  override def reduce(
+      buf: mutable.HashMap[String, Long], t: String): mutable.HashMap[String, Long] = {
     buf.get(t) match {
-      case Some(c)                  => buf.updated(t, c + 1)
-      case None if buf.size < k     => buf.updated(t, 1L)
-      case None                     =>
-        buf.iterator.flatMap { case (w, c) =>
-          if (c > 1) Iterator((w, c - 1)) else Iterator.empty
-        }.toMap
+      case Some(c)              => buf.update(t, c + 1)
+      case None if buf.size < k => buf.update(t, 1L)
+      case None                 =>
+        buf.filterInPlace((_, c) => c > 1).mapValuesInPlace((_, c) => c - 1)
     }
+    buf
+  }
 
   /** Mergeable-summaries merge: sum counts, then if over capacity subtract
     * the (k+1)-th largest count from everything and drop the non-positive
     * remainder — the summed error bounds add, keeping error ≤ n/(k+1). */
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val summed = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
-    if (summed.size <= k) summed
-    else {
-      val kth = summed.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
-      summed.iterator.flatMap { case (t, c) =>
-        if (c > kth) Iterator((t, c - kth)) else Iterator.empty
-      }.toMap
+  override def merge(
+      a: mutable.HashMap[String, Long],
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+    if (a.size > k) {
+      val kth = a.valuesIterator.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
+      a.filterInPlace((_, c) => c > kth).mapValuesInPlace((_, c) => c - kth)
     }
+    a
   }
 
   /** Sorted for a stable display; consumers treat this as a SET. */
-  override def finish(r: Map[String, Long]): Seq[String] = r.keys.toSeq.sorted
+  override def finish(r: mutable.HashMap[String, Long]): Seq[String] =
+    r.keys.toSeq.sorted
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    ExpressionEncoder[Map[String, Long]]()
+  override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+    Encoders.kryo[mutable.HashMap[String, Long]]
   override def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
 }
 
@@ -73,7 +82,8 @@ object HeavyHitters {
     * terms to the ≤ k Misra–Gries survivors — a guaranteed superset of
     * every term with relative frequency above 1/(k+1). */
   def mgCandidates(k: Int): Column => Column = {
-    val f = udaf(new MisraGriesAggregator(k), ExpressionEncoder[String]())
+    val f = org.apache.spark.sql.functions.udaf(
+      new MisraGriesAggregator(k), ExpressionEncoder[String]())
     term => f(term)
   }
 }

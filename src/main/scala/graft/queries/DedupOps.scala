@@ -502,7 +502,12 @@ object DedupOps {
     *         loses none) */
   private[queries] def jaccardSimilarityJoin(sg: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashed = sg.select(col("doc_id"),
+    // repartition before the per-shingle md5/conv projection: the toy
+    // corpus is one parquet row group, so without the exchange the whole
+    // hashing pass (and the persisted partitioning every downstream branch
+    // inherits) would run in a single task — at 100 TB the file count
+    // provides this parallelism for free and the exchange is a no-op cost
+    val hashed = sg.repartition(col("doc_id")).select(col("doc_id"),
         array_distinct(transform(col("g"),
           x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))).as("gh"))
       .withColumn("sz", size(col("gh")))

@@ -438,21 +438,31 @@ object TextOps {
         WHERE freq*300 >= n
         ORDER BY source, freq DESC, term"""),
       (s, dir) => {
-        val ws = words(col("text"))
+        val ws = col("ws")
         val bigramArr = when(size(ws) < 2, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(ws) - 1),
             i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        // repartition BEFORE the explode: the toy corpus is one parquet row
+        // group, so without it the whole bigram materialization runs in a
+        // single task (at 100 TB the file count gives this parallelism for
+        // free); splitting text into `ws` first also pins ONE split() per
+        // doc instead of re-splitting inside the lambda
         val bigrams = Tables.t(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(col("source"), words(col("text")).as("ws"))
           .select(col("source"), explode(bigramArr).as("term"))
         val mg = graft.operators.HeavyHitters.mgCandidates(512)
-        val cands = bigrams.groupBy(col("source")).agg(mg(col("term")).as("terms"))
-          .select(col("source"), explode(col("terms")).as("term"))
-        val tot = bigrams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        // the per-source total rides the SAME aggregate as the MG summary
+        // (one pass over the bigrams, not two) and is carried on each
+        // exploded candidate row, so the recount needs no second join
+        val cands = bigrams.groupBy(col("source"))
+          .agg(mg(col("term")).as("terms"), count(lit(1)).as("n"))
+          .select(col("source"), col("n"), explode(col("terms")).as("term"))
         // candidate lists are ≤ k per source BY CONSTRUCTION — broadcast
         // is bounded by the sketch capacity, not the data
         bigrams.join(broadcast(cands), Seq("source", "term"))
-          .groupBy(col("source"), col("term")).agg(count(lit(1)).as("freq"))
-          .join(broadcast(tot), "source")
+          .groupBy(col("source"), col("term"))
+          .agg(count(lit(1)).as("freq"), max(col("n")).as("n"))
           .filter(col("freq") * 300 >= col("n"))
           .select(col("source"), col("term"), col("freq"))
           .orderBy(col("source"), col("freq").desc, col("term"))
