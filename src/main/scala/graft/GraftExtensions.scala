@@ -71,6 +71,19 @@ object GraftFunctions {
       info("repetition_stats",
         "repetition_stats(text) - (n_words, n_distinct, top_freq) in one pass"),
       (es: Seq[Expression]) => RepetitionStats(arity(es, 1, "repetition_stats").head)),
+    ("bloom_filter_agg",
+      info("bloom_filter_agg",
+        "bloom_filter_agg(v, expectedItems, numBits) - aggregate v into a bloom-filter sketch (xxhash64-keyed, mergeable partials)"),
+      (es: Seq[Expression]) => { val a = arity(es, 3, "bloom_filter_agg")
+        def l(e: Expression) = Cast(e, org.apache.spark.sql.types.LongType)
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(a(0))), l(a(1)), l(a(2))) }),
+    ("bloom_might_contain",
+      info("bloom_might_contain",
+        "bloom_might_contain(bloom, v) - membership probe against a bloom_filter_agg sketch (no false negatives)"),
+      (es: Seq[Expression]) => { val a = arity(es, 2, "bloom_might_contain")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          a(0), new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(a(1)))) }),
     ("bbox_intersects",
       info("bbox_intersects",
         "bbox_intersects(bbox, xmin, ymin, xmax, ymax) - STAC bbox-struct intersects query rectangle (optimizer rewrites it to pushable bbox.* bounds)"),

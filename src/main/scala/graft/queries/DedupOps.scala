@@ -480,6 +480,72 @@ object DedupOps {
           .filter(cos >= 0.9)
           .select(col("vec_a"), col("vec_b"), round(cos, 9).as("cos"))
           .orderBy(col("vec_a"), col("vec_b"))
+      }),
+
+    // ----- bloom-filter decontamination (the no-join membership path) -----
+    // d07 decontaminates by JOINING corpus shingles to the eval
+    // vocabulary; at fleet scale the filter is often shipped instead of
+    // the set — a serialized bloom sketch is a few hundred KB regardless
+    // of corpus size and needs no shuffle on the probe side at all. This
+    // row builds Spark's own runtime-filter sketch (BloomFilterAggregate,
+    // exposed via graft's bloom_filter_agg) over the eval 3-gram
+    // vocabulary and probes every corpus shingle with bloom_might_contain:
+    // one aggregate producing ONE row, then a scan-stage predicate.
+    // Correctness contract, all deterministic (the bitset is an OR — no
+    // order dependence; xxhash64 is seed-fixed): a bloom filter has NO
+    // false negatives, so recall_ok (every exactly-contaminated doc is
+    // bloom-flagged) is provably true; fp_ok pins the measured
+    // false-positive docs under 1% of the corpus + 1 (sized 2^20 bits for
+    // ~2.5k keys → per-probe fp is ~0). The oracle recomputes the EXACT
+    // side in SQL and pins the two booleans — a bloom miss, a broken
+    // merge, or an fp blow-up all fail the hash.
+    QuerySpec(
+      "d11_bloom_decontaminate",
+      Some(s"""
+        WITH $sgCte,
+             ev AS (SELECT DISTINCT unnest(g) AS sh FROM sg WHERE doc_id < 10),
+             ex AS (SELECT DISTINCT sg.doc_id
+                    FROM (SELECT doc_id, unnest(g) AS sh FROM sg WHERE doc_id >= 10) sg
+                    JOIN ev ON sg.sh = ev.sh)
+        SELECT d.source, count(*) AS n_docs,
+               CAST(count(*) FILTER (d.doc_id IN (SELECT doc_id FROM ex)) AS BIGINT) AS n_exact,
+               true AS recall_ok, true AS fp_ok
+        FROM documents d WHERE d.doc_id >= 10
+        GROUP BY d.source
+        ORDER BY d.source"""),
+      (s, dir) => {
+        // analysis requires the bloom side of might_contain to be foldable
+        // or a scalar subquery — the sketch rides the plan as a
+        // non-correlated scalar subquery (built once, ~128 KB, shipped to
+        // every probe task like Spark's own runtime filters)
+        graft.GraftFunctions.register(s)
+        val sg = docShingles(s, dir)
+        sg.filter(col("doc_id") < 10)
+          .select(explode(col("g")).as("sh")).distinct()
+          .createOrReplaceTempView("d11_ev")
+        sg.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(col("g")).as("sh"))
+          .createOrReplaceTempView("d11_corpus")
+        Tables.t(s, dir, "documents").filter(col("doc_id") >= 10)
+          .select(col("source"), col("doc_id"))
+          .createOrReplaceTempView("d11_docs")
+        s.sql("""
+          WITH perdoc AS (
+            SELECT c.doc_id,
+                   max(bloom_might_contain(
+                     (SELECT bloom_filter_agg(sh, 4096, 1048576) FROM d11_ev),
+                     c.sh)) AS bloom_hit,
+                   max(e.sh IS NOT NULL) AS exact_hit
+            FROM d11_corpus c LEFT JOIN d11_ev e ON c.sh = e.sh
+            GROUP BY c.doc_id)
+          SELECT d.source,
+                 count(*) AS n_docs,
+                 count(IF(p.exact_hit, 1, NULL)) AS n_exact,
+                 count(IF(p.exact_hit AND NOT p.bloom_hit, 1, NULL)) = 0 AS recall_ok,
+                 count(IF(p.bloom_hit AND NOT p.exact_hit, 1, NULL)) <= count(*) div 100 + 1 AS fp_ok
+          FROM d11_docs d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+          GROUP BY d.source
+          ORDER BY d.source""")
       })
   )
 

@@ -20,11 +20,15 @@ object StreamingOps {
     * the gate row like any other query error instead of hanging the whole
     * Verify run. */
   private def runToMemoryTable(s: SparkSession, dir: String, prefix: String,
-                               mode: String)(build: DataFrame => DataFrame): DataFrame = {
+                               mode: String, copies: Int = 1)(
+                               build: DataFrame => DataFrame): DataFrame = {
     val src = java.nio.file.Files.createTempDirectory(prefix)
-    val staged = src.resolve("events.parquet")
-    src.toFile.deleteOnExit(); staged.toFile.deleteOnExit()
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    src.toFile.deleteOnExit()
+    (1 to copies).foreach { i =>
+      val staged = src.resolve(s"events_$i.parquet")
+      staged.toFile.deleteOnExit()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+    }
     val name = s"${prefix}_${System.nanoTime()}"
     val q = build(EventStream.readEvents(s, src.toString))
       .writeStream.format("memory").queryName(name)
@@ -144,6 +148,29 @@ object StreamingOps {
           .select(col("user_id"), col("f.n_events").as("n_events"),
             col("f.value_cents").as("value_cents"), col("f.last_us").as("last_us"))
           .orderBy(col("user_id"))
+      },
+      timed = false),
+
+    // ----- streaming dedup, value-checked against the clean set -----
+    // The source dir is staged with TWO copies of the events file, so the
+    // stream delivers every event exactly twice; the watermarked
+    // dropDuplicates must emit each exactly once. Correct under either
+    // micro-batching: duplicates in the same batch dedup against each
+    // other; a copy arriving after its original either matches live state
+    // (ts ≥ watermark) or is dropped as late (ts < watermark) — both paths
+    // reduce to the distinct set. The oracle is the single-copy events
+    // table row-for-row, so a dropped original OR a surviving duplicate
+    // fails both the row count and the hash.
+    QuerySpec(
+      "st05_streaming_dedup",
+      Some("""
+        SELECT event_id, user_id, CAST(epoch_ns(ts)//1000 AS BIGINT) AS us
+        FROM events
+        ORDER BY event_id"""),
+      (s, dir) => {
+        runToMemoryTable(s, dir, "st05", "append", copies = 2)(EventStream.dedup)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+          .orderBy(col("event_id"))
       },
       timed = false)
   )

@@ -466,6 +466,72 @@ object TextOps {
           .filter(col("freq") * 300 >= col("n"))
           .select(col("source"), col("term"), col("freq"))
           .orderBy(col("source"), col("freq").desc, col("term"))
+      }),
+
+    // ----- the composed cleaning pipeline (C4/RefinedWeb shape) -----
+    // The individual signals exist as t02/t03/t10 gates; this row composes
+    // them the way a real corpus build runs them — langid gate → quality
+    // floor → PII scrub → exact dedup of the scrubbed text — and
+    // value-checks the per-source funnel (input → lang → clean → unique)
+    // plus an id checksum of the surviving docs, so a document leaking
+    // through ANY stage, or the wrong dedup winner, fails the hash. Plan:
+    // the per-doc flags and the scrub are narrow scan-stage projections
+    // (one pass, no shuffle); dedup is one hash-agg on md5(scrubbed) over
+    // the clean subset with the winner chosen by min(struct(doc_id, src))
+    // — first-occurrence-wins without a window or a join-back; the two
+    // tiny per-source aggregates (≤ sources rows each) merge on a
+    // broadcast join. Everything is linear in the corpus at 100 TB.
+    QuerySpec(
+      "t13_clean_pipeline",
+      Some(s"""
+        WITH b AS (SELECT source, doc_id,
+                          len(list_filter(ws, w -> w IN ('the','a'))) * 15 >= len(ws) AS lang_ok,
+                          (len(list_filter(ws, w -> w IN ('the','a'))) * 20 >= len(ws)
+                           AND len(ws) >= 20) AS quality_ok,
+                          md5(scrubbed) AS fp
+                   FROM (SELECT source, doc_id, string_split(text,' ') AS ws,
+                                regexp_replace(regexp_replace(regexp_replace(text,
+                                  '$emailRe', '[EMAIL]', 'g'),
+                                  '$ipv4Re', '[IP]', 'g'),
+                                  '$blockRe', '[TERM]', 'g') AS scrubbed
+                         FROM documents)),
+             st AS (SELECT source, count(*) AS n_input,
+                           CAST(count(*) FILTER (lang_ok) AS BIGINT) AS n_lang,
+                           CAST(count(*) FILTER (lang_ok AND quality_ok) AS BIGINT) AS n_clean
+                    FROM b GROUP BY source),
+             win AS (SELECT fp, min(doc_id) AS doc_id
+                     FROM b WHERE lang_ok AND quality_ok GROUP BY fp),
+             uq AS (SELECT b.source, count(*) AS n_unique,
+                           CAST(sum(b.doc_id) AS BIGINT) AS kept_id_sum
+                    FROM win JOIN b ON b.doc_id = win.doc_id
+                    GROUP BY b.source)
+        SELECT st.source, n_input, n_lang, n_clean,
+               coalesce(n_unique, 0) AS n_unique,
+               coalesce(kept_id_sum, 0) AS kept_id_sum
+        FROM st LEFT JOIN uq ON st.source = uq.source
+        ORDER BY st.source"""),
+      (s, dir) => {
+        val ws = words(col("text"))
+        val base = Tables.t(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            (size(filter(ws, w => w.isin(stopwords: _*))) * 15 >= size(ws)).as("lang_ok"),
+            (size(filter(ws, w => w.isin(stopwords: _*))) * 20 >= size(ws) &&
+              size(ws) >= 20).as("quality_ok"),
+            md5(scrub(col("text"))).as("fp"))
+        val stages = base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_input"),
+            count(when(col("lang_ok"), 1)).as("n_lang"),
+            count(when(col("lang_ok") && col("quality_ok"), 1)).as("n_clean"))
+        val unique = base.filter(col("lang_ok") && col("quality_ok"))
+          .groupBy(col("fp"))
+          .agg(min(struct(col("doc_id"), col("source"))).as("w"))
+          .groupBy(col("w.source").as("source"))
+          .agg(count(lit(1)).as("n_unique"), sum(col("w.doc_id")).as("kept_id_sum"))
+        stages.join(broadcast(unique), Seq("source"), "left")
+          .select(col("source"), col("n_input"), col("n_lang"), col("n_clean"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+            coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+          .orderBy(col("source"))
       })
   )
 }
