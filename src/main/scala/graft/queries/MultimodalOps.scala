@@ -52,6 +52,29 @@ object MultimodalOps {
   private def pngDocs(s: SparkSession, dir: String) =
     s.read.parquet(pngDocsPath(s, dir))
 
+  /** m06 harness prep: the base image corpus plus a re-encoded variant of
+    * every 5th document — DIFFERENT dimensions (md5 bytes 5/6), same
+    * painted color, doc_id + 1,000,000 — so content-level dedup has a
+    * known-true duplicate population that byte-level dedup cannot see.
+    * Written once per (session, dataset), same amortization contract as
+    * the other media corpora. */
+  private val dedupImageTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def dedupImageDocs(s: SparkSession, dir: String): String =
+    dedupImageTables.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_imgdedup").toString + "/images"
+      val variants = Tables.t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .repartition(col("doc_id"))
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          pngUdf(md5Byte(5) % 16 + 8, md5Byte(6) % 16 + 8,
+            md5Byte(2), md5Byte(3), md5Byte(4)).as("payload"))
+      s.read.parquet(pngDocsPath(s, dir)).unionByName(variants)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   private val materializeImages: Option[(SparkSession, String) => Unit] =
     Some((s, dir) => { pngDocsPath(s, dir); () })
 
@@ -240,6 +263,53 @@ object MultimodalOps {
             element_at(col("features"), 3).cast("double").as("f2"),
             element_at(col("features"), 4).cast("double").as("f3"))
           .orderBy(col("doc_id")),
-      prepare = materializeImages)
+      prepare = materializeImages),
+
+    // ----- image dedup: decode → canonical resize → pixel fingerprint -----
+    // The image-side dedup pipeline: every 5th document gets a RE-ENCODED
+    // variant at different dimensions but the same painted color
+    // (doc_id + 1,000,000 — the dimension change defeats byte-level
+    // dedup), and the pipeline must collapse variant with source by
+    // CONTENT: real ImageIO decode → real Graphics2D resize to a 4×4
+    // canonical thumbnail (nearest-neighbor keeps solid fills exact) →
+    // per-channel pixel sums as the fingerprint → hash-agg clusters. The
+    // oracle derives each image's color straight from the md5 recipe, so
+    // any codec/resize deviation from the painted pixels, a missed
+    // variant, or a wrong cluster winner fails the hash. All linear:
+    // decode+resize are scan-stage partition iterators, the only shuffle
+    // is the fingerprint hash-agg.
+    QuerySpec(
+      "m06_image_dedup",
+      Some("""
+        WITH base AS (SELECT doc_id,
+                             CAST(('0x'||substr(md5(text),5,2)) AS INTEGER) AS r,
+                             CAST(('0x'||substr(md5(text),7,2)) AS INTEGER) AS g,
+                             CAST(('0x'||substr(md5(text),9,2)) AS INTEGER) AS b
+                      FROM documents),
+             c AS (SELECT doc_id, r, g, b FROM base
+                   UNION ALL
+                   SELECT doc_id + 1000000, r, g, b FROM base WHERE doc_id % 5 = 0)
+        SELECT min(doc_id) AS keeper, count(*) AS n_members,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM c GROUP BY r, g, b
+        ORDER BY keeper"""),
+      (s, dir) => {
+        val corpus = s.read.parquet(dedupImageDocs(s, dir))
+        val resized = Multimodal.resizeImages(corpus, outW = 4, outH = 4)
+          .withColumnRenamed("resized", "payload")
+        // 4×4 solid thumbnail → channel sum = 16 × color; /16 is exact
+        // (power-of-two scale) so the group key is the recovered color
+        Multimodal.extractPixelFeatures(resized, dim = 3)
+          .select(col("doc_id"),
+            (element_at(col("features"), 1) / 16).cast("int").as("r"),
+            (element_at(col("features"), 2) / 16).cast("int").as("g"),
+            (element_at(col("features"), 3) / 16).cast("int").as("b"))
+          .groupBy(col("r"), col("g"), col("b"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_members"),
+            sum(col("doc_id")).as("id_sum"))
+          .select(col("keeper"), col("n_members"), col("id_sum"))
+          .orderBy(col("keeper"))
+      },
+      prepare = Some((s, dir) => { dedupImageDocs(s, dir); () }))
   )
 }

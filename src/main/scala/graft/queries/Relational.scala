@@ -654,6 +654,36 @@ object Relational {
             col("F_lines").as("f_lines"), col("O_lines").as("o_lines"),
             (col("F_revcents").cast("double") / 100.0).as("f_revenue"),
             (col("O_revcents").cast("double") / 100.0).as("o_revenue"))
-          .orderBy(col("l_returnflag")))
+          .orderBy(col("l_returnflag"))),
+
+    // ----- unpivot (melt): q22's inverse, wide metrics → long -----
+    // Spark's native unpivot (an Expand node — each input row fans out to
+    // one row per value column in the SAME stage, no shuffle and no
+    // N-way union re-scan); the aggregate beneath stays one hash-agg in
+    // exact cents. The oracle melts with an explicit metric×CASE cross.
+    QuerySpec(
+      "q23_unpivot",
+      Some("""
+        WITH w AS (SELECT l_returnflag,
+                          CAST(sum(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS qty_cents,
+                          CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents,
+                          CAST(sum(CAST(round(l_discount*100,0) AS BIGINT)) AS BIGINT) AS disc_cents
+                   FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, m.metric,
+               CASE m.metric WHEN 'qty_cents' THEN qty_cents
+                             WHEN 'price_cents' THEN price_cents
+                             ELSE disc_cents END AS value
+        FROM w, (SELECT unnest(['qty_cents','price_cents','disc_cents']) AS metric) m
+        ORDER BY l_returnflag, metric"""),
+      (s, dir) =>
+        Tables.t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(cents(col("l_quantity"))).as("qty_cents"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"),
+            sum(cents(col("l_discount"))).as("disc_cents"))
+          .unpivot(Array(col("l_returnflag")),
+            Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
+            "metric", "value")
+          .orderBy(col("l_returnflag"), col("metric")))
   )
 }

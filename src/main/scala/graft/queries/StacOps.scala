@@ -87,6 +87,28 @@ object StacOps {
       out
     })
 
+  /** stac13 harness prep: the items corpus hive-partitioned by collection
+    * (the coarsest pruning layer of a 100-TB layout: directory-level
+    * partition elimination BEFORE any footer or row group is opened —
+    * above stac09's row-group stats, stac11's z-order clustering, and
+    * q20's bucketing). Written once per (session, dataset). */
+  private val partTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def itemsPartitioned(s: SparkSession, dir: String): String =
+    partTables.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("stac_part").toString + "/items"
+      val o = Tables.t(s, dir, "orders")
+      val x = (col("o_orderkey") % 360 - 180).cast("double")
+      o.select(concat(lit("o"), col("o_orderkey")).as("id"),
+          concat(lit("c"), (col("o_orderkey") % 3).cast("string")).as("collection"),
+          x.as("xmin"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("datetime"))
+        .repartition(col("collection"))
+        .write.mode("overwrite").partitionBy("collection").parquet(out)
+      out
+    })
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- G1+G2: GeoJSON → ISO WKB → GeoJSON round trip, value-checked -----
@@ -511,6 +533,45 @@ object StacOps {
           s"spatial join must stay an equi-join on the grid cell:\n$plan")
         out
       },
-      prepare = Some((s, dir) => itemsGeoParquet(s, dir)))
+      prepare = Some((s, dir) => itemsGeoParquet(s, dir))),
+
+    // ----- hive-partitioned layout: directory-level pruning -----
+    // The collection predicate must be eliminated at partition DISCOVERY
+    // (PartitionFilters — no footer of a non-matching partition is even
+    // opened), not at the scan (PushedFilters): the in-gate assertion pins
+    // the filter on the partition side and its ABSENCE from the data
+    // filters, plus that the scan touched exactly the one matching
+    // partition's files. At 100 TB this is the difference between listing
+    // one directory and stat-ing every file in the lake.
+    QuerySpec(
+      "stac13_partitioned_layout",
+      Some("""
+        SELECT 'o' || o_orderkey AS id,
+               'c' || CAST(o_orderkey % 3 AS VARCHAR) AS collection,
+               CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin
+        FROM orders
+        WHERE o_orderkey % 3 = 1
+        ORDER BY id"""),
+      (s, dir) => {
+        val out = s.read.parquet(itemsPartitioned(s, dir))
+          .filter(col("collection") === "c1")
+          .select(col("id"), col("collection"), col("xmin"))
+          .orderBy(col("id"))
+        // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+        // root whose tree is not populated until execution
+        val scan = out.queryExecution.sparkPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.getOrElse(sys.error("no file scan in the plan"))
+        val partFilters = scan.partitionFilters.map(_.sql).mkString(",")
+        require(partFilters.contains("collection"),
+          s"collection must prune at partition discovery, got: $partFilters")
+        require(!scan.dataFilters.exists(_.references.exists(_.name == "collection")),
+          "partition predicate must not reach the data filters")
+        val dirs = scan.relation.location.listFiles(scan.partitionFilters, Nil)
+        require(dirs.length == 1 && dirs.head.values.getString(0) == "c1",
+          s"exactly the c1 partition must survive pruning, got ${dirs.length}")
+        out
+      },
+      prepare = Some((s, dir) => itemsPartitioned(s, dir)))
   )
 }
