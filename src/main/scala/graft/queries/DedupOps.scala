@@ -523,7 +523,10 @@ object DedupOps {
         sg.filter(col("doc_id") < 10)
           .select(explode(col("g")).as("sh")).distinct()
           .createOrReplaceTempView("d11_ev")
+        // repartition before the explode: the toy corpus is one row group
+        // (single task otherwise); at 100 TB file count gives this free
         sg.filter(col("doc_id") >= 10)
+          .repartition(col("doc_id"))
           .select(col("doc_id"), explode(col("g")).as("sh"))
           .createOrReplaceTempView("d11_corpus")
         Tables.t(s, dir, "documents").filter(col("doc_id") >= 10)
