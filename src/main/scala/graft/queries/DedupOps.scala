@@ -549,6 +549,54 @@ object DedupOps {
           FROM d11_docs d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
           GROUP BY d.source
           ORDER BY d.source""")
+      }),
+
+    // ----- temperature-weighted corpus mixing (the sampling schedule) -----
+    // The pretraining mixture step d06 samples FROM: given per-source doc
+    // counts, allocate a fixed budget proportionally to n^α (α = 0.5 —
+    // sqrt damping upweights small sources, the standard multilingual/
+    // multi-domain temperature trick) with EXACT integer largest-remainder
+    // rounding, so the allocations sum to the budget precisely and every
+    // engine computes the identical schedule. Determinism: sqrt is an
+    // IEEE-exact basic op (unlike ln/pow), weights quantize through
+    // floor(·×10^6) into BIGINTs, and everything after is integer
+    // arithmetic + a total-order tiebreak. The corpus-sized work is one
+    // hash-agg; the allocation itself runs on the per-source frame
+    // (source cardinality is bounded — double-digit even at 100 TB), so
+    // the single-partition windows over it are free.
+    QuerySpec(
+      "d12_temperature_mixing",
+      Some("""
+        WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             w AS (SELECT source, n_docs,
+                          CAST(floor(sqrt(n_docs) * 1000000) AS BIGINT) AS wt
+                   FROM c),
+             a AS (SELECT source, n_docs, wt,
+                          (1000000 * wt) // sum(wt) OVER () AS base,
+                          (1000000 * wt) % sum(wt) OVER () AS rem
+                   FROM w),
+             r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                          1000000 - sum(base) OVER () AS leftover
+                   FROM a)
+        SELECT source, n_docs, wt,
+               CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM r
+        ORDER BY source"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val whole = Window.partitionBy()
+        Tables.t(s, dir, "documents")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .withColumn("wt", floor(sqrt(col("n_docs")) * 1000000).cast("long"))
+          .withColumn("w_total", sum(col("wt")).over(whole))
+          .withColumn("base", expr("(1000000 * wt) div w_total"))
+          .withColumn("rem", expr("(1000000 * wt) % w_total"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("source"))))
+          .withColumn("leftover", lit(1000000L) - sum(col("base")).over(whole))
+          .select(col("source"), col("n_docs"), col("wt"),
+            (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+          .orderBy(col("source"))
       })
   )
 

@@ -172,6 +172,29 @@ object StreamingOps {
           .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
           .orderBy(col("event_id"))
       },
+      timed = false),
+
+    // ----- stream-static enrichment join, value-checked vs batch -----
+    // The event stream joins the STATIC customer dimension (broadcast per
+    // micro-batch, stateless — the remaining join family after st03's
+    // stream-stream case) and aggregates per market segment in complete
+    // mode; the streaming answer must equal the batch join + aggregate
+    // exactly.
+    QuerySpec(
+      "st06_stream_static_join",
+      Some("""
+        SELECT c_mktsegment AS segment, count(*) AS n,
+               CAST(sum(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1
+        ORDER BY 1"""),
+      (s, dir) => {
+        val dim = graft.Tables.t(s, dir, "customer")
+        runToMemoryTable(s, dir, "st06", "complete")(
+          EventStream.staticEnrichedAgg(_, dim, "c_custkey", "c_mktsegment"))
+          .select(col("segment"), col("n"), col("value_cents"))
+          .orderBy(col("segment"))
+      },
       timed = false)
   )
 }

@@ -69,6 +69,20 @@ object EventStream {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id", "ts")
 
+  /** Stream-static enrichment: the streaming side joins a STATIC
+    * dimension frame (broadcast per micro-batch — stateless, no
+    * watermark needed on either side; the planner re-reads the static
+    * side each batch, so a dim table updated between batches is picked
+    * up) and aggregates per dim attribute. The standard "enrich the
+    * event firehose against a slowly-changing dim" shape. */
+  def staticEnrichedAgg(events: DataFrame, dim: DataFrame,
+                        dimKey: String, dimAttr: String): DataFrame =
+    events.join(broadcast(dim.select(col(dimKey).as("user_id"),
+        col(dimAttr).as("segment"))), "user_id")
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+
   /** Session windows per user (30-minute gap). */
   def sessions(events: DataFrame): DataFrame =
     events
