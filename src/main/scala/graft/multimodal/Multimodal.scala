@@ -251,6 +251,55 @@ object Multimodal {
     }
   }
 
+  /** PCM sample statistics over the REAL data chunk: (sample_sum,
+    * peak_abs, n_samples) across all channels, 16-bit LE signed PCM.
+    * Returns (-1, -1, -1) for bytes that aren't a well-formed WAV — the
+    * same corrupt-row contract as [[decodeAudio]]. This is the
+    * feature-extraction analogue of [[extractPixelFeatures]]: the full
+    * payload decodes at pure-arithmetic cost in the scan stage (swap the
+    * fold for an embedding forward pass, the dataflow is unchanged). */
+  def decodeAudioSamples(bytes: Array[Byte]): (Long, Int, Int) = {
+    if (bytes == null || bytes.length < 44 ||
+      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
+      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
+      return (-1L, -1, -1)
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val size = leU32(bytes, p + 4)
+      if (size > bytes.length.toLong - p - 8) return (-1L, -1, -1)
+      if (bytes(p) == 'd' && bytes(p + 1) == 'a' &&
+        bytes(p + 2) == 't' && bytes(p + 3) == 'a') {
+        val n = (size / 2).toInt
+        var sum = 0L; var peak = 0; var i = 0
+        while (i < n) {
+          val v = (leU16(bytes, p + 8 + 2 * i) << 16) >> 16 // sign-extend
+          sum += v
+          val a = if (v < 0) -v else v // -32768 → 32768, no overflow in Int
+          if (a > peak) peak = a
+          i += 1
+        }
+        return (sum, peak, n)
+      }
+      p += 8 + size.toInt + (size.toInt & 1)
+    }
+    (-1L, -1, -1)
+  }
+
+  final case class AudioFeatures(doc_id: Long, n_samples: Int,
+                                 sample_sum: Long, peak: Int)
+
+  /** Audio feature extraction — decodes the full PCM payload per row. */
+  def extractAudioFeatures(df: DataFrame, idCol: String = "doc_id",
+                           binCol: String = "payload"): Dataset[AudioFeatures] = {
+    val pruned = df.select(col(idCol).cast("long"), col(binCol))
+    pruned.mapPartitions { rows =>
+      rows.map { r =>
+        val (sum, peak, n) = decodeAudioSamples(r.getAs[Array[Byte]](1))
+        AudioFeatures(r.getLong(0), n, sum, peak)
+      }
+    }(Encoders.product[AudioFeatures])
+  }
+
   /** Audio metadata extraction — REAL WAV header parse. */
   def extractAudioMeta(df: DataFrame, idCol: String = "doc_id",
                        binCol: String = "payload"): Dataset[AudioMeta] = {

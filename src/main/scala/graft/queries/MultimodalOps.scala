@@ -310,6 +310,47 @@ object MultimodalOps {
           .select(col("keeper"), col("n_members"), col("id_sum"))
           .orderBy(col("keeper"))
       },
-      prepare = Some((s, dir) => { dedupImageDocs(s, dir); () }))
+      prepare = Some((s, dir) => { dedupImageDocs(s, dir); () })),
+
+    // ----- audio feature extraction: the FULL PCM payload decodes -----
+    // m04 proves the header round trip; this proves every SAMPLE: the
+    // 16-bit PCM stream (seeded generator (seed + i·257) mod 2^16 −
+    // 2^15) is encoded through the real writer and the query folds the
+    // decoded samples to (sum, peak) per document — the audio analogue
+    // of m03's pixel-feature extraction, and the dataflow an embedding
+    // forward pass would ride. The oracle replays the generator formula
+    // over the full sample index range: one wrong byte anywhere in the
+    // data chunk fails the hash.
+    QuerySpec(
+      "m07_audio_features",
+      Some("""
+        WITH p AS (SELECT doc_id,
+                          (CAST(('0x'||substr(md5(text),13,2)) AS INTEGER) * 50 + 1000)
+                            * (CAST(('0x'||substr(md5(text),15,2)) AS INTEGER) % 2 + 1) AS n,
+                          CAST(('0x'||substr(md5(text),17,2)) AS INTEGER) AS seed
+                   FROM documents)
+        SELECT doc_id, n AS n_samples,
+               CAST(list_sum([(seed + i*257) % 65536 - 32768
+                              for i in generate_series(0, n-1)]) AS BIGINT) AS sample_sum,
+               CAST(list_max([abs((seed + i*257) % 65536 - 32768)
+                              for i in generate_series(0, n-1)]) AS INTEGER) AS peak
+        FROM p
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val wavUdf = udf { (rate: Int, ch: Int, frames: Int, seed: Int) =>
+          Multimodal.encodeWav(rate, ch, frames, seed)
+        }
+        val docs = Tables.t(s, dir, "documents")
+          .repartition(col("doc_id"))
+          .select(col("doc_id"),
+            wavUdf(
+              when(md5Byte(5) % 2 === 0, 44100).otherwise(16000),
+              md5Byte(7) % 2 + 1,
+              md5Byte(6) * 50 + 1000,
+              md5Byte(8)).as("payload"))
+        Multimodal.extractAudioFeatures(docs).toDF()
+          .select(col("doc_id"), col("n_samples"), col("sample_sum"), col("peak"))
+          .orderBy(col("doc_id"))
+      })
   )
 }

@@ -572,6 +572,48 @@ object StacOps {
           s"exactly the c1 partition must survive pruning, got ${dirs.length}")
         out
       },
-      prepare = Some((s, dir) => itemsPartitioned(s, dir)))
+      prepare = Some((s, dir) => itemsPartitioned(s, dir))),
+
+    // ----- STAC Collection extent (the Collection-object aggregate) -----
+    // What a STAC API serves as a collection's `extent`: the spatial
+    // envelope (union of item bboxes = min/max over the struct fields —
+    // the bbox encoding makes extent a plain min/max aggregate, no
+    // geometry pass) and the temporal interval, per collection. One
+    // hash-agg with mergeable partials; the reference has no extent
+    // computation (its collections come pre-written from pgstac).
+    QuerySpec(
+      "stac14_collection_extent",
+      Some("""
+        WITH b AS (SELECT 'c' || CAST(o_orderkey % 3 AS VARCHAR) AS collection,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin,
+                          CAST(o_orderkey % 170 - 85 AS DOUBLE) AS ymin,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) + 1.0 AS xmax,
+                          CAST(o_orderkey % 170 - 85 AS DOUBLE) + 0.5 AS ymax,
+                          CAST(o_orderdate AS TIMESTAMP) AS dt
+                   FROM orders)
+        SELECT collection, count(*) AS n_items,
+               min(xmin) AS xmin, min(ymin) AS ymin,
+               max(xmax) AS xmax, max(ymax) AS ymax,
+               strftime(min(dt), '%Y-%m-%dT%H:%M:%SZ') AS t_start,
+               strftime(max(dt), '%Y-%m-%dT%H:%M:%SZ') AS t_end
+        FROM b GROUP BY collection
+        ORDER BY collection"""),
+      (s, dir) => {
+        val o = Tables.t(s, dir, "orders")
+        val bx = (col("o_orderkey") % 360 - 180).cast("double")
+        val by = (col("o_orderkey") % 170 - 85).cast("double")
+        o.select(
+            concat(lit("c"), (col("o_orderkey") % 3).cast("string")).as("collection"),
+            bx.as("xmin"), by.as("ymin"),
+            (bx + 1.0).as("xmax"), (by + 0.5).as("ymax"),
+            col("o_orderdate").cast("timestamp").as("dt"))
+          .groupBy(col("collection"))
+          .agg(count(lit(1)).as("n_items"),
+            min(col("xmin")).as("xmin"), min(col("ymin")).as("ymin"),
+            max(col("xmax")).as("xmax"), max(col("ymax")).as("ymax"),
+            date_format(min(col("dt")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("t_start"),
+            date_format(max(col("dt")), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("t_end"))
+          .orderBy(col("collection"))
+      })
   )
 }

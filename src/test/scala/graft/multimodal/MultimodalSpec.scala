@@ -201,6 +201,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.splitVideoFrames(truncated).length == 1)
   }
 
+  test("PCM sample decode recovers the exact generated stream") {
+    // 3 frames × 2 channels from seed 5: samples (5 + i·257) mod 2^16 − 2^15
+    val wav = Multimodal.encodeWav(16000, 2, 3, 5)
+    val expected = (0 until 6).map(i => (5 + i * 257) % 65536 - 32768)
+    val (sum, peak, n) = Multimodal.decodeAudioSamples(wav)
+    assert(n == 6)
+    assert(sum == expected.map(_.toLong).sum)
+    assert(peak == expected.map(math.abs).max)
+    // corrupt-row contract: garbage and null degrade, never throw
+    assert(Multimodal.decodeAudioSamples(Array[Byte](1, 2, 3)) == ((-1L, -1, -1)))
+    assert(Multimodal.decodeAudioSamples(null) == ((-1L, -1, -1)))
+    // hostile data-chunk size: bail out, don't overrun or spin
+    val bad = wav.clone()
+    bad(40) = -1; bad(41) = -1; bad(42) = -1; bad(43) = 0x7f
+    assert(Multimodal.decodeAudioSamples(bad) == ((-1L, -1, -1)))
+  }
+
   test("metadata-only query prunes the payload column from the scan") {
     val tmp = java.nio.file.Files.createTempDirectory("mm").toString
     payloads.withColumn("n", length(col("payload")))
