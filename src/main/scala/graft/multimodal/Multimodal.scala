@@ -200,13 +200,19 @@ object Multimodal {
     * scan per call (each non-matching SPI reader throws), which at one
     * call per ROW dominates the metadata query; the chunk walk reads the
     * same genuine header fields at pure-arithmetic cost. */
-  private def parseRiffWave(b: Array[Byte]): (Int, Int, Int) = {
+  /** Shared RIFF/WAVE chunk walk — the ONE copy of the hostile-input
+    * guards (magic check, size-overrun bail-out, word-aligned pad
+    * advance), so the header path (m04) and the sample path (m07) cannot
+    * diverge on the corrupt-row contract. Returns (fmtOff, dataOff,
+    * dataLen) with -1 for a chunk not found, or null for bytes that
+    * aren't a well-formed WAV. Offsets point at each chunk's payload. */
+  private def riffLayout(b: Array[Byte]): (Int, Int, Long) = {
     if (b == null || b.length < 44 ||
       b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
       b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
     var p = 12
-    var rate = -1; var channels = -1; var blockAlign = -1; var dataLen = -1L
-    while (p + 8 <= b.length && (rate < 0 || dataLen < 0)) {
+    var fmtOff = -1; var dataOff = -1; var dataLen = -1L
+    while (p + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
       val size = leU32(b, p + 4) // unsigned 32-bit, always >= 0 as a Long
       // a size that walks past the buffer (or whose word-aligned skip
       // doesn't advance p) is malformed — bail out rather than spin: the
@@ -214,16 +220,25 @@ object Multimodal {
       if (size > b.length.toLong - p - 8) return null
       if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' ') {
         if (p + 8 + 16 > b.length) return null
-        channels = leU16(b, p + 10)
-        rate = leU32(b, p + 12).toInt
-        blockAlign = leU16(b, p + 20)
+        fmtOff = p + 8
       } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' && b(p + 3) == 'a') {
-        dataLen = size
+        dataOff = p + 8; dataLen = size
       }
       // chunks are word-aligned: odd sizes carry a pad byte
       p += 8 + size.toInt + (size.toInt & 1)
     }
-    if (rate <= 0 || channels <= 0 || blockAlign <= 0 || dataLen < 0) null
+    (fmtOff, dataOff, dataLen)
+  }
+
+  private def parseRiffWave(b: Array[Byte]): (Int, Int, Int) = {
+    val layout = riffLayout(b)
+    if (layout == null) return null
+    val (fmtOff, _, dataLen) = layout
+    if (fmtOff < 0 || dataLen < 0) return null
+    val channels = leU16(b, fmtOff + 2)
+    val rate = leU32(b, fmtOff + 4).toInt
+    val blockAlign = leU16(b, fmtOff + 12)
+    if (rate <= 0 || channels <= 0 || blockAlign <= 0) null
     else {
       val frames = dataLen / blockAlign
       ((rate, (frames * 1000L / rate).toInt, channels))
@@ -259,30 +274,20 @@ object Multimodal {
     * payload decodes at pure-arithmetic cost in the scan stage (swap the
     * fold for an embedding forward pass, the dataflow is unchanged). */
   def decodeAudioSamples(bytes: Array[Byte]): (Long, Int, Int) = {
-    if (bytes == null || bytes.length < 44 ||
-      bytes(0) != 'R' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != 'F' ||
-      bytes(8) != 'W' || bytes(9) != 'A' || bytes(10) != 'V' || bytes(11) != 'E')
-      return (-1L, -1, -1)
-    var p = 12
-    while (p + 8 <= bytes.length) {
-      val size = leU32(bytes, p + 4)
-      if (size > bytes.length.toLong - p - 8) return (-1L, -1, -1)
-      if (bytes(p) == 'd' && bytes(p + 1) == 'a' &&
-        bytes(p + 2) == 't' && bytes(p + 3) == 'a') {
-        val n = (size / 2).toInt
-        var sum = 0L; var peak = 0; var i = 0
-        while (i < n) {
-          val v = (leU16(bytes, p + 8 + 2 * i) << 16) >> 16 // sign-extend
-          sum += v
-          val a = if (v < 0) -v else v // -32768 → 32768, no overflow in Int
-          if (a > peak) peak = a
-          i += 1
-        }
-        return (sum, peak, n)
-      }
-      p += 8 + size.toInt + (size.toInt & 1)
+    val layout = riffLayout(bytes)
+    if (layout == null) return (-1L, -1, -1)
+    val (_, dataOff, dataLen) = layout
+    if (dataOff < 0) return (-1L, -1, -1)
+    val n = (dataLen / 2).toInt
+    var sum = 0L; var peak = 0; var i = 0
+    while (i < n) {
+      val v = (leU16(bytes, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      sum += v
+      val a = if (v < 0) -v else v // -32768 → 32768, no overflow in Int
+      if (a > peak) peak = a
+      i += 1
     }
-    (-1L, -1, -1)
+    (sum, peak, n)
   }
 
   final case class AudioFeatures(doc_id: Long, n_samples: Int,

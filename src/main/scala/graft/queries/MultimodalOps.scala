@@ -52,28 +52,29 @@ object MultimodalOps {
   private def pngDocs(s: SparkSession, dir: String) =
     s.read.parquet(pngDocsPath(s, dir))
 
-  /** m06 harness prep: the base image corpus plus a re-encoded variant of
-    * every 5th document — DIFFERENT dimensions (md5 bytes 5/6), same
-    * painted color, doc_id + 1,000,000 — so content-level dedup has a
-    * known-true duplicate population that byte-level dedup cannot see.
-    * Written once per (session, dataset), same amortization contract as
-    * the other media corpora. */
-  private val dedupImageTables =
+  /** m06 harness prep: a re-encoded variant of every 5th document —
+    * dimensions from md5 bytes 5/6 shifted into 24..39, DISJOINT from the
+    * base corpus's 8..23 range, so variant bytes are unconditionally
+    * different from their source — same painted color, doc_id +
+    * 1,000,000: a known-true duplicate population that byte-level dedup
+    * cannot see. Only the variants are written; m06 reads this dir
+    * TOGETHER with the existing base corpus (no re-copy of the already-
+    * materialized images). Written once per (session, dataset). */
+  private val dedupVariantTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
-  private def dedupImageDocs(s: SparkSession, dir: String): String =
-    dedupImageTables.getOrElseUpdate((s, dir), {
-      val out = java.nio.file.Files.createTempDirectory("graft_imgdedup").toString + "/images"
-      val variants = Tables.t(s, dir, "documents")
+  private def dedupImageDocs(s: SparkSession, dir: String): Seq[String] =
+    Seq(pngDocsPath(s, dir), dedupVariantTables.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_imgdedup").toString + "/variants"
+      Tables.t(s, dir, "documents")
         .filter(col("doc_id") % 5 === 0)
         .repartition(col("doc_id"))
         .select((col("doc_id") + 1000000L).as("doc_id"),
-          pngUdf(md5Byte(5) % 16 + 8, md5Byte(6) % 16 + 8,
+          pngUdf(md5Byte(5) % 16 + 24, md5Byte(6) % 16 + 24,
             md5Byte(2), md5Byte(3), md5Byte(4)).as("payload"))
-      s.read.parquet(pngDocsPath(s, dir)).unionByName(variants)
         .write.mode("overwrite").parquet(out)
       out
-    })
+    }))
 
   private val materializeImages: Option[(SparkSession, String) => Unit] =
     Some((s, dir) => { pngDocsPath(s, dir); () })
@@ -294,7 +295,7 @@ object MultimodalOps {
         FROM c GROUP BY r, g, b
         ORDER BY keeper"""),
       (s, dir) => {
-        val corpus = s.read.parquet(dedupImageDocs(s, dir))
+        val corpus = s.read.parquet(dedupImageDocs(s, dir): _*)
         val resized = Multimodal.resizeImages(corpus, outW = 4, outH = 4)
           .withColumnRenamed("resized", "payload")
         // 4×4 solid thumbnail → channel sum = 16 × color; /16 is exact

@@ -512,12 +512,18 @@ object TextOps {
         ORDER BY st.source"""),
       (s, dir) => {
         val ws = words(col("text"))
+        // persisted: two aggregation branches consume this frame, and the
+        // projection (3 regex scrubs + md5 + lambda filters per doc) is
+        // the expensive part of the whole pipeline — materializing the
+        // narrow (source, id, flags, fp) rows once halves the corpus
+        // passes (same contract as the d03 pairs cache)
         val base = Tables.t(s, dir, "documents")
           .select(col("source"), col("doc_id"),
             (size(filter(ws, w => w.isin(stopwords: _*))) * 15 >= size(ws)).as("lang_ok"),
             (size(filter(ws, w => w.isin(stopwords: _*))) * 20 >= size(ws) &&
               size(ws) >= 20).as("quality_ok"),
             md5(scrub(col("text"))).as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stages = base.groupBy(col("source"))
           .agg(count(lit(1)).as("n_input"),
             count(when(col("lang_ok"), 1)).as("n_lang"),

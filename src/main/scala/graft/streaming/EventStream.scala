@@ -28,6 +28,13 @@ object EventStream {
     spark.readStream.schema(eventsSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Exact-cents sum — the SINGLE definition of the cross-engine money
+    * convention shared by the windowed/session/enrichment aggregates
+    * (st04's state machine deliberately uses a floor(+0.5) form instead;
+    * that difference is part of its pinned contract). */
+  private def centsSum(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(value * 100, 0).cast("long"))
+
   /** Sliding-window aggregation: 1-hour windows every 30 minutes — each
     * event lands in two windows (vs one in the tumbling form below). */
   def slidingAgg(events: DataFrame): DataFrame =
@@ -62,7 +69,7 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0).as("total_value"))
+        (centsSum(col("value")).cast("double") / 100.0).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
   /** Streaming dedup: drop duplicate event_ids within the watermark. */
@@ -81,7 +88,7 @@ object EventStream {
         col(dimAttr).as("segment"))), "user_id")
       .groupBy(col("segment"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+        centsSum(col("value")).as("value_cents"))
 
   /** Session windows per user (30-minute gap). */
   def sessions(events: DataFrame): DataFrame =
@@ -89,7 +96,7 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+        centsSum(col("value")).as("value_cents"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("value_cents"))
