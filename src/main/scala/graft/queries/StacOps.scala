@@ -496,31 +496,18 @@ object StacOps {
           ON axmin <= xmax AND axmax >= xmin AND aymin <= ymax AND aymax >= ymin
         ORDER BY aoi_id, item_id"""),
       (s, dir) => {
-        val grid = 10.0
-        def cellsX(xmin: Column, xmax: Column): Column =
-          sequence(floor(xmin / grid).cast("int"), floor(xmax / grid).cast("int"))
-        def cellsY(ymin: Column, ymax: Column): Column =
-          sequence(floor(ymin / grid).cast("int"), floor(ymax / grid).cast("int"))
         val items = s.read.parquet(itemsGeoParquet(s, dir))
           .select(col("id").as("item_id"),
             col("bbox.xmin").as("xmin"), col("bbox.ymin").as("ymin"),
             col("bbox.xmax").as("xmax"), col("bbox.ymax").as("ymax"))
-          .withColumn("cx", explode(cellsX(col("xmin"), col("xmax"))))
-          .withColumn("cy", explode(cellsY(col("ymin"), col("ymax"))))
         val ax = ((col("s_suppkey") * 7) % 360 - 180).cast("double")
         val ay = ((col("s_suppkey") * 11) % 170 - 85).cast("double")
         val aoi = Tables.t(s, dir, "supplier")
           .select(col("s_suppkey").as("aoi_id"), ax.as("axmin"), ay.as("aymin"),
             (ax + 10.0).as("axmax"), (ay + 5.0).as("aymax"))
-          .withColumn("cx", explode(cellsX(col("axmin"), col("axmax"))))
-          .withColumn("cy", explode(cellsY(col("aymin"), col("aymax"))))
-        val out = aoi.join(items, Seq("cx", "cy"))
-          .filter(col("axmin") <= col("xmax") && col("axmax") >= col("xmin") &&
-            col("aymin") <= col("ymax") && col("aymax") >= col("ymin"))
-          // PBSM reference point: intersection min corner decides the one
-          // owning cell, so multi-cell candidate copies die row-local
-          .filter(floor(greatest(col("axmin"), col("xmin")) / grid).cast("int") === col("cx") &&
-            floor(greatest(col("aymin"), col("ymin")) / grid).cast("int") === col("cy"))
+        val out = graft.operators.SpatialJoin.bboxJoin(aoi, items, cell = 10.0,
+            leftBox = Seq("axmin", "aymin", "axmax", "aymax"),
+            rightBox = Seq("xmin", "ymin", "xmax", "ymax"))
           .select(col("aoi_id"), col("item_id"),
             greatest(col("axmin"), col("xmin")).as("ixmin"),
             greatest(col("aymin"), col("ymin")).as("iymin"),
