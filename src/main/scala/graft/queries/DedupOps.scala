@@ -582,23 +582,34 @@ object DedupOps {
                CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
         FROM r
         ORDER BY source"""),
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val whole = Window.partitionBy()
-        Tables.t(s, dir, "documents")
-          .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-          .withColumn("wt", floor(sqrt(col("n_docs")) * 1000000).cast("long"))
-          .withColumn("w_total", sum(col("wt")).over(whole))
-          .withColumn("base", expr("(1000000 * wt) div w_total"))
-          .withColumn("rem", expr("(1000000 * wt) % w_total"))
-          .withColumn("rk", row_number().over(
-            Window.orderBy(col("rem").desc, col("source"))))
-          .withColumn("leftover", lit(1000000L) - sum(col("base")).over(whole))
-          .select(col("source"), col("n_docs"), col("wt"),
-            (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
-          .orderBy(col("source"))
-      })
+      (s, dir) =>
+        temperatureAllocation(
+          Tables.t(s, dir, "documents")
+            .groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
+          budget = 1000000L)
+          .orderBy(col("source")))
   )
+
+  /** d12's allocation engine, separated so MixingSpec can fuzz it: split
+    * `budget` across the (source, n_docs) rows proportionally to
+    * sqrt(n_docs), exact largest-remainder rounding (allocations sum to
+    * the budget precisely; each is the floor or ceiling of its exact
+    * rational share). All integer arithmetic after the sqrt quantization;
+    * runs on the bounded per-source frame. */
+  private[queries] def temperatureAllocation(counts: DataFrame, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val whole = Window.partitionBy()
+    counts
+      .withColumn("wt", floor(sqrt(col("n_docs")) * 1000000).cast("long"))
+      .withColumn("w_total", sum(col("wt")).over(whole))
+      .withColumn("base", expr(s"($budget * wt) div w_total"))
+      .withColumn("rem", expr(s"($budget * wt) % w_total"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("leftover", lit(budget) - sum(col("base")).over(whole))
+      .select(col("source"), col("n_docs"), col("wt"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+  }
 
   /** Prefix-filtered EXACT Jaccard similarity self-join (d09's engine).
     *
