@@ -684,6 +684,38 @@ object Relational {
           .unpivot(Array(col("l_returnflag")),
             Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
             "metric", "value")
-          .orderBy(col("l_returnflag"), col("metric")))
+          .orderBy(col("l_returnflag"), col("metric"))),
+
+    // ----- arbitrary GROUPING SETS (beyond rollup q10 / cube q15) -----
+    // Two unrelated groupings computed in ONE pass: a single Expand node
+    // fans each row to its grouping-set copies feeding one hash-agg —
+    // the shape to prefer over the N-scan union-of-aggregates a naive
+    // port would write (N× the input read at 100 TB). grouping() tags
+    // disambiguate NULL-as-data from NULL-as-grouped-out.
+    QuerySpec(
+      "q24_grouping_sets",
+      Some("""
+        SELECT coalesce(l_returnflag, '') AS rf,
+               coalesce(l_linestatus, '') AS ls,
+               CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+               CAST(grouping(l_linestatus) AS INTEGER) AS g_ls,
+               count(*) AS n,
+               CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS price_cents
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY rf, ls"""),
+      (s, dir) => {
+        Tables.t(s, dir, "lineitem").createOrReplaceTempView("q24_lineitem")
+        s.sql("""
+          SELECT coalesce(l_returnflag, '') AS rf,
+                 coalesce(l_linestatus, '') AS ls,
+                 CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                 count(*) AS n,
+                 sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS price_cents
+          FROM q24_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          ORDER BY rf, ls""")
+      })
   )
 }
