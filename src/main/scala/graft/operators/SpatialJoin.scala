@@ -27,7 +27,9 @@ import org.apache.spark.sql.functions._
   *
   * @param left     frame carrying `leftBox` columns (+ any payload)
   * @param right    frame carrying `rightBox` columns (+ any payload);
-  *                 column names must not collide with `left`'s
+  *                 ALL column names must be disjoint from `left`'s, and
+  *                 neither side may use the reserved `__cx`/`__cy`
+  *                 (enforced)
   * @param cell     grid cell size in coordinate units (> 0)
   * @param leftBox  left bbox column names: xmin, ymin, xmax, ymax
   * @param rightBox right bbox column names: xmin, ymin, xmax, ymax
@@ -40,12 +42,20 @@ object SpatialJoin {
     require(cell > 0, s"cell size must be positive, got $cell")
     require(leftBox.length == 4 && rightBox.length == 4,
       "leftBox/rightBox must name xmin, ymin, xmax, ymax")
-    require(leftBox.toSet.intersect(rightBox.toSet).isEmpty,
-      s"bbox column names must be disjoint across sides, got $leftBox vs $rightBox")
+    // fail fast at the call site, not at a downstream select: ALL output
+    // columns (payloads included) must be unambiguous, and the internal
+    // cell columns must not clobber caller data
+    val collisions = left.columns.toSet.intersect(right.columns.toSet)
+    require(collisions.isEmpty,
+      s"column names must be disjoint across sides, both have: $collisions")
+    val reserved = (left.columns ++ right.columns).toSet.intersect(Set("__cx", "__cy"))
+    require(reserved.isEmpty, s"__cx/__cy are reserved cell columns, input has: $reserved")
     val Seq(lx0, ly0, lx1, ly1) = leftBox.map(col)
     val Seq(rx0, ry0, rx1, ry1) = rightBox.map(col)
+    // LONG cell indices: an int cast would wrap silently past 2^31 cells
+    // (tiny cell size × planet-scale coordinates) and drop true pairs
     def cells(lo: Column, hi: Column): Column =
-      sequence(floor(lo / cell).cast("int"), floor(hi / cell).cast("int"))
+      sequence(floor(lo / cell).cast("long"), floor(hi / cell).cast("long"))
     val l = left
       .withColumn("__cx", explode(cells(lx0, lx1)))
       .withColumn("__cy", explode(cells(ly0, ly1)))
@@ -56,8 +66,8 @@ object SpatialJoin {
       .filter(lx0 <= rx1 && lx1 >= rx0 && ly0 <= ry1 && ly1 >= ry0)
       // reference point: the intersection's min corner owns exactly one
       // cell, so multi-cell candidate copies die row-local
-      .filter(floor(greatest(lx0, rx0) / cell).cast("int") === col("__cx") &&
-        floor(greatest(ly0, ry0) / cell).cast("int") === col("__cy"))
+      .filter(floor(greatest(lx0, rx0) / cell).cast("long") === col("__cx") &&
+        floor(greatest(ly0, ry0) / cell).cast("long") === col("__cy"))
       .drop("__cx", "__cy")
   }
 }

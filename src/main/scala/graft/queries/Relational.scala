@@ -704,18 +704,17 @@ object Relational {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         ORDER BY rf, ls"""),
-      (s, dir) => {
-        Tables.t(s, dir, "lineitem").createOrReplaceTempView("q24_lineitem")
-        s.sql("""
-          SELECT coalesce(l_returnflag, '') AS rf,
-                 coalesce(l_linestatus, '') AS ls,
-                 CAST(grouping(l_returnflag) AS INT) AS g_rf,
-                 CAST(grouping(l_linestatus) AS INT) AS g_ls,
-                 count(*) AS n,
-                 sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS price_cents
-          FROM q24_lineitem
-          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-          ORDER BY rf, ls""")
-      })
+      (s, dir) =>
+        Tables.t(s, dir, "lineitem")
+          .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+            grouping(col("l_linestatus")).cast("int").as("g_ls"),
+            count(lit(1)).as("n"),
+            sum(cents(col("l_extendedprice"))).as("price_cents"))
+          .select(coalesce(col("l_returnflag"), lit("")).as("rf"),
+            coalesce(col("l_linestatus"), lit("")).as("ls"),
+            col("g_rf"), col("g_ls"), col("n"), col("price_cents"))
+          .orderBy(col("rf"), col("ls")))
   )
 }
