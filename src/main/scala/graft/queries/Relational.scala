@@ -715,6 +715,56 @@ object Relational {
           .select(coalesce(col("l_returnflag"), lit("")).as("rf"),
             coalesce(col("l_linestatus"), lit("")).as("ls"),
             col("g_rf"), col("g_ls"), col("n"), col("price_cents"))
-          .orderBy(col("rf"), col("ls")))
+          .orderBy(col("rf"), col("ls"))),
+
+    // ----- time-series resample + gap fill (carry-forward) -----
+    // The missing analytics shape: regularize an irregular event stream
+    // onto a daily grid. Per user, a day spine spans [first, last] active
+    // day (sequence + explode off ONE tiny aggregate — never a
+    // users×calendar cross join), a left join lands the real daily
+    // aggregates on it, gaps take n = 0, and the last seen daily cents
+    // carries forward (last_value IGNORE NULLS over an unbounded-
+    // preceding window). Day arithmetic is integer epoch-days end to end.
+    // Shuffles: one groupBy and one window, both keyed by user — the
+    // spine join is broadcast-size per user and AQE-local.
+    QuerySpec(
+      "q25_gap_fill",
+      Some("""
+        WITH e AS (SELECT user_id,
+                          (CAST(epoch_ns(ts)//1000 AS BIGINT)) // 86400000000 AS day_num,
+                          CAST(round(value*100,0) AS BIGINT) AS cents
+                   FROM events),
+             daily AS (SELECT user_id, day_num, count(*) AS n,
+                              CAST(sum(cents) AS BIGINT) AS cents
+                       FROM e GROUP BY user_id, day_num),
+             bounds AS (SELECT user_id, min(day_num) AS d0, max(day_num) AS d1
+                        FROM daily GROUP BY user_id),
+             spine AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day_num
+                       FROM bounds)
+        SELECT s.user_id, s.day_num,
+               coalesce(daily.n, 0) AS n,
+               last_value(daily.cents IGNORE NULLS)
+                 OVER (PARTITION BY s.user_id ORDER BY s.day_num
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_filled
+        FROM spine s LEFT JOIN daily USING (user_id, day_num)
+        ORDER BY user_id, day_num"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), expr("us div 86400000000").as("day_num"),
+            cents(col("value")).as("c"))
+        val daily = e.groupBy(col("user_id"), col("day_num"))
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("cents"))
+        val spine = daily.groupBy(col("user_id"))
+          .agg(min(col("day_num")).as("d0"), max(col("day_num")).as("d1"))
+          .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day_num"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("user_id", "day_num"), "left")
+          .select(col("user_id"), col("day_num"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("cents"), ignoreNulls = true).over(w).as("cents_filled"))
+          .orderBy(col("user_id"), col("day_num"))
+      })
   )
 }

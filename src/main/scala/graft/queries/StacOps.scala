@@ -561,6 +561,47 @@ object StacOps {
       },
       prepare = Some((s, dir) => itemsPartitioned(s, dir))),
 
+    // ----- streaming STAC ingest ≡ batch ingest, value-checked -----
+    // The E1 pipeline as a Structured Streaming job (StacStream.ingest:
+    // text stream → per-line WKB codec → FAILFAST from_json → normalize →
+    // exactly-once parquet sink, Trigger.AvailableNow) run to completion
+    // over the SAME multi-file ndjson corpus stac05 ingests in batch —
+    // and checked against the SAME oracle: the streaming table must equal
+    // the batch answer row-for-row. Schema comes from the bounded
+    // inferIngestSpec sample, exactly how a production stream pins its
+    // schema from a prior batch run.
+    QuerySpec(
+      "st07_streaming_stac_ingest",
+      Some("""
+        SELECT 'o' || o_orderkey AS id,
+               strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%fZ') AS datetime_out,
+               CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin,
+               CAST(o_orderkey % 170 - 85 AS DOUBLE) AS ymin,
+               21 AS wkb_len
+        FROM orders
+        ORDER BY id"""),
+      (s, dir) => {
+        val src = itemsNdjsonDir(s, dir)
+        val work = java.nio.file.Files.createTempDirectory("st07")
+        work.toFile.deleteOnExit()
+        val (schema, dims) = graft.streaming.StacStream.inferIngestSpec(s, Seq(src))
+        val q = graft.streaming.StacStream.ingest(s, src,
+          s"$work/out", s"$work/ck", schema, dims)
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new RuntimeException("st07 streaming ingest did not finish within 300s")
+        }
+        s.read.parquet(s"$work/out")
+          .select(col("id"),
+            date_format(col("datetime"), graft.stac.StacSchema.Rfc3339Format).as("datetime_out"),
+            col("bbox").getField("xmin").as("xmin"),
+            col("bbox").getField("ymin").as("ymin"),
+            length(col("geometry")).cast("int").as("wkb_len"))
+          .orderBy(col("id"))
+      },
+      timed = false,
+      prepare = Some((s, dir) => itemsNdjsonDir(s, dir))),
+
     // ----- STAC Collection extent (the Collection-object aggregate) -----
     // What a STAC API serves as a collection's `extent`: the spatial
     // envelope (union of item bboxes = min/max over the struct fields —
