@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public facade over the training-data-pipeline operators the gate
+  * queries exercise — the pipeline-side analogue of `graft.stac.Stac`:
+  * a user of the library calls these directly on their own frames
+  * instead of reading the gate specs for the recipe. Each function is
+  * the exact implementation its gate query verifies (d01/d09/d12/t10/
+  * t13 …), so the DuckDB-checked semantics carry over. The native
+  * expression surface (`word_shingles`, `minhash_sig`, `simhash_sig`,
+  * `float_dot`, `bloom_filter_agg`, …) lives in
+  * [[graft.functions.TextFunctions]], [[graft.functions.VectorFunctions]],
+  * [[graft.functions.BloomFunctions]] and the SQL registry
+  * [[graft.GraftFunctions]]; whole-frame join/top-k operators in
+  * `graft.operators` (SpatialJoin, AsofJoin, RangeJoin, SkewJoin,
+  * AllPairsTopK, TopK, ConnectedComponents, HeavyHitters).
+  */
+object Pipeline {
+
+  /** Whitespace tokens (the corpus convention all t-ops share). */
+  def tokens(text: Column): Column = TextOps.words(text)
+
+  /** Distinct word n-gram shingles via the native one-pass expression. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.wordShingles(text, n)
+
+  /** PII scrub: email → [EMAIL], IPv4 → [IP], blocklist → [TERM], in
+    * that fixed order (t10's verified redaction chain). */
+  def scrubPii(text: Column): Column = TextOps.scrub(text)
+
+  /** Exact dedup: keep the first (smallest `idCol`) row per distinct
+    * value of `keyCol` — one hash-agg, no window (d01/t13's winner
+    * rule). Returns the surviving ids. */
+  def exactDedupKeepers(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
+    df.groupBy(md5(keyCol.cast("string")).as("fp"))
+      .agg(min(idCol).as("keeper_id"))
+
+  /** EXACT Jaccard similarity self-join via AllPairs/PPJoin prefix
+    * filtering (d09's engine — provably lossless at `tau`).
+    * @param sg (doc_id, g) rows; g = the distinct element set */
+  def jaccardSimilarityJoin(sg: DataFrame, tau: Double): DataFrame =
+    DedupOps.jaccardSimilarityJoin(sg, tau)
+
+  /** Temperature-weighted mixture allocation (d12): split `budget`
+    * across (source, n_docs) rows ∝ sqrt(n_docs) with exact integer
+    * largest-remainder rounding — allocations sum to `budget` exactly. */
+  def temperatureAllocation(counts: DataFrame, budget: Long): DataFrame =
+    DedupOps.temperatureAllocation(counts, budget)
+
+  /** Deterministic stratified sample flag: keep a row iff its md5
+    * bucket (0–99) falls under `ratePercent` (d06's reproducible
+    * membership — same rows on every engine, every run). */
+  def stratifiedKeep(idCol: Column, ratePercent: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
+      .cast("long") % 100 < ratePercent
+}

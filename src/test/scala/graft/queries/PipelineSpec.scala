@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.stac.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The public pipeline facade — each function must behave exactly like
+  * the gate query that verifies its implementation. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  import spark.implicits._
+
+  test("tokens/shingles/scrub compose on a frame") {
+    val df = Seq((1L, "contact bob@example.com about the spark cluster at 10.0.0.1"))
+      .toDF("doc_id", "text")
+    val row = df.select(
+      size(Pipeline.tokens(col("text"))).as("n"),
+      Pipeline.shingles(col("text"), 3).as("sh"),
+      Pipeline.scrubPii(col("text")).as("clean")).head()
+    assert(row.getAs[Int]("n") == 8)
+    assert(row.getSeq[String](row.fieldIndex("sh")).nonEmpty)
+    assert(row.getAs[String]("clean") ==
+      "contact [EMAIL] about the [TERM] cluster at [IP]")
+  }
+
+  test("exactDedupKeepers keeps the smallest id per duplicate group") {
+    val df = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("id", "text")
+    val keepers = Pipeline.exactDedupKeepers(df, col("text"), col("id"))
+      .select("keeper_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keepers == Seq(2L, 9L))
+  }
+
+  test("jaccardSimilarityJoin finds the known near-dup pair") {
+    val sg = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f")),
+      (2L, Seq("a b c", "b c d", "c d e", "x y z")),
+      (3L, Seq("p q r", "q r s", "r s t", "s t u"))).toDF("doc_id", "g")
+    val pairs = Pipeline.jaccardSimilarityJoin(sg, tau = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
+  }
+
+  test("stratifiedKeep is deterministic and respects rate 0/100") {
+    val df = (0L until 200L).toDF("id")
+    assert(df.filter(Pipeline.stratifiedKeep(col("id"), lit(0))).count() == 0)
+    assert(df.filter(Pipeline.stratifiedKeep(col("id"), lit(100))).count() == 200)
+    val a = df.filter(Pipeline.stratifiedKeep(col("id"), lit(50))).collect().map(_.getLong(0)).toSet
+    val b = df.filter(Pipeline.stratifiedKeep(col("id"), lit(50))).collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty && a.size < 200)
+  }
+}
