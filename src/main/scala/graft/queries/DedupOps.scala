@@ -20,6 +20,13 @@ object DedupOps {
 
   /** Word 3-gram shingles (guarded for <3 tokens — Spark's sequence()
     * would run descending; DuckDB's generate_series is naturally empty). */
+  /** Deterministic 0–99 hash bucket per id (md5 — identical bytes in
+    * both engines): the ONE definition of d06's membership rule, shared
+    * with `Pipeline.stratifiedKeep` so the facade cannot drift from the
+    * gate-verified semantics. */
+  private[queries] def hashBucket100(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
+
   def shingles3(ws: Column): Column =
     when(size(ws) < 3, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(ws) - 2),
@@ -337,12 +344,11 @@ object DedupOps {
         GROUP BY source
         ORDER BY source"""),
       (s, dir) => {
-        val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 100
         val rate = when(col("source") === "src0", 10)
           .when(col("source") === "src1", 50).otherwise(90)
         Tables.t(s, dir, "documents")
-          .select(col("source"), col("doc_id"), (bucket < rate).as("kept"))
+          .select(col("source"), col("doc_id"),
+            (hashBucket100(col("doc_id")) < rate).as("kept"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_total"),
             count(when(col("kept"), 1)).as("n_kept"),
@@ -628,7 +634,16 @@ object DedupOps {
     * @return (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ τ over the
     *         hashed sets — provably ALL such pairs (prefix filtering
     *         loses none) */
-  private[queries] def jaccardSimilarityJoin(sg: DataFrame, tau: Double): DataFrame = {
+  private[queries] def jaccardSimilarityJoin(sg: DataFrame, tau: Double): DataFrame =
+    jaccardSimilarityJoinReleasable(sg, tau)._1
+
+  /** As [[jaccardSimilarityJoin]], plus a release hook that unpersists
+    * the intermediate hashed-sets cache: the run-once gate never needs
+    * it, but a long-lived session calling the join repeatedly (the
+    * Pipeline facade's use case) must release each call's cache after
+    * materializing the result or dead entries accumulate. */
+  private[queries] def jaccardSimilarityJoinReleasable(
+      sg: DataFrame, tau: Double): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     // repartition before the per-shingle md5/conv projection: the toy
     // corpus is one parquet row group, so without the exchange the whole
@@ -655,9 +670,10 @@ object DedupOps {
     val ga = hashed.select(col("doc_id").as("doc_a"), col("gh").as("ga"), col("sz").as("sza"))
     val gb = hashed.select(col("doc_id").as("doc_b"), col("gh").as("gb"), col("sz").as("szb"))
     val inter = size(array_intersect(col("ga"), col("gb")))
-    cand.join(ga, "doc_a").join(gb, "doc_b")
+    val out = cand.join(ga, "doc_a").join(gb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / (col("sza") + col("szb") - inter)).as("jaccard"))
       .filter(col("jaccard") >= tau)
+    (out, () => { hashed.unpersist(); () })
   }
 }

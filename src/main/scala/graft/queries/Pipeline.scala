@@ -30,18 +30,29 @@ object Pipeline {
     * that fixed order (t10's verified redaction chain). */
   def scrubPii(text: Column): Column = TextOps.scrub(text)
 
-  /** Exact dedup: keep the first (smallest `idCol`) row per distinct
-    * value of `keyCol` — one hash-agg, no window (d01/t13's winner
-    * rule). Returns the surviving ids. */
+  /** Exact dedup: one hash-agg, no window — the first-occurrence-wins
+    * convention of the d02/t13 gates (smallest `idCol` per duplicate
+    * group). Returns one row per distinct `keyCol` value: its md5
+    * fingerprint `fp` and the surviving `keeper_id`. */
   def exactDedupKeepers(df: DataFrame, keyCol: Column, idCol: Column): DataFrame =
     df.groupBy(md5(keyCol.cast("string")).as("fp"))
       .agg(min(idCol).as("keeper_id"))
 
   /** EXACT Jaccard similarity self-join via AllPairs/PPJoin prefix
-    * filtering (d09's engine — provably lossless at `tau`).
+    * filtering (d09's engine — provably lossless at `tau`). The engine
+    * persists an intermediate hashed-sets frame shared by four plan
+    * branches; this form leaves it cached for the session — when calling
+    * repeatedly in one session, use [[jaccardSimilarityJoinReleasable]]
+    * and release each call's cache after materializing the result.
     * @param sg (doc_id, g) rows; g = the distinct element set */
   def jaccardSimilarityJoin(sg: DataFrame, tau: Double): DataFrame =
     DedupOps.jaccardSimilarityJoin(sg, tau)
+
+  /** As [[jaccardSimilarityJoin]] plus a `release()` hook that
+    * unpersists the call's intermediate cache (call it AFTER the pairs
+    * frame has been materialized — the result is lazy). */
+  def jaccardSimilarityJoinReleasable(sg: DataFrame, tau: Double): (DataFrame, () => Unit) =
+    DedupOps.jaccardSimilarityJoinReleasable(sg, tau)
 
   /** Temperature-weighted mixture allocation (d12): split `budget`
     * across (source, n_docs) rows ∝ sqrt(n_docs) with exact integer
@@ -50,9 +61,9 @@ object Pipeline {
     DedupOps.temperatureAllocation(counts, budget)
 
   /** Deterministic stratified sample flag: keep a row iff its md5
-    * bucket (0–99) falls under `ratePercent` (d06's reproducible
-    * membership — same rows on every engine, every run). */
+    * bucket (0–99) falls under `ratePercent` — delegates to the SAME
+    * bucket expression the d06 gate verifies (reproducible membership:
+    * same rows on every engine, every run). */
   def stratifiedKeep(idCol: Column, ratePercent: Column): Column =
-    conv(substring(md5(idCol.cast("string")), 1, 4), 16, 10)
-      .cast("long") % 100 < ratePercent
+    DedupOps.hashBucket100(idCol) < ratePercent
 }

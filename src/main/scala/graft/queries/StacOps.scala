@@ -583,7 +583,6 @@ object StacOps {
       (s, dir) => {
         val src = itemsNdjsonDir(s, dir)
         val work = java.nio.file.Files.createTempDirectory("st07")
-        work.toFile.deleteOnExit()
         val (schema, dims) = graft.streaming.StacStream.inferIngestSpec(s, Seq(src))
         val q = graft.streaming.StacStream.ingest(s, src,
           s"$work/out", s"$work/ck", schema, dims)
