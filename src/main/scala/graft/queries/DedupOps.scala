@@ -670,7 +670,12 @@ object DedupOps {
     val ga = hashed.select(col("doc_id").as("doc_a"), col("gh").as("ga"), col("sz").as("sza"))
     val gb = hashed.select(col("doc_id").as("doc_b"), col("gh").as("gb"), col("sz").as("szb"))
     val inter = size(array_intersect(col("ga"), col("gb")))
+    // PPJoin length filter: jaccard ≥ τ forces min(|A|,|B|) ≥ τ·max —
+    // candidates failing it skip the O(|A|+|B|) intersect entirely
+    // (a cheap scalar compare ahead of the verify's array walk)
     val out = cand.join(ga, "doc_a").join(gb, "doc_b")
+      .filter(least(col("sza"), col("szb")).cast("double") >=
+        greatest(col("sza"), col("szb")) * lit(tau))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / (col("sza") + col("szb") - inter)).as("jaccard"))
       .filter(col("jaccard") >= tau)
