@@ -109,6 +109,22 @@ object StacOps {
       out
     })
 
+  /** stac15 harness prep: a deliberately fragmented items table (64 tiny
+    * parquet files — the small-file problem every incremental 100-TB
+    * ingest accumulates), written once per (session, dataset). */
+  private val fragTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def itemsFragmented(s: SparkSession, dir: String): String =
+    fragTables.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("stac_frag").toString + "/items"
+      Tables.t(s, dir, "orders")
+        .select(col("o_orderkey").as("id"), (col("o_orderkey") % 4).as("grp"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ----- G1+G2: GeoJSON → ISO WKB → GeoJSON round trip, value-checked -----
@@ -600,6 +616,43 @@ object StacOps {
       },
       timed = false,
       prepare = Some((s, dir) => itemsNdjsonDir(s, dir))),
+
+    // ----- small-file compaction (the lake-maintenance pass) -----
+    // Incremental ingest leaves the table as a spray of tiny files; every
+    // scan then pays per-file open/footer costs and task-scheduling
+    // overhead. The compaction pass rewrites the 64-fragment table as 4
+    // hash-partitioned files (deterministic assignment — Murmur3 on grp
+    // with a fixed partition count, no sampled range boundaries), and the
+    // gate checks BOTH halves of the contract: the in-gate assertion pins
+    // the physical win (≤ 8 files from 64), and the oracle pins exact row
+    // preservation — per-group counts and id checksums over the compacted
+    // table must equal the source-of-truth accounting, so a row dropped
+    // or duplicated by the rewrite fails the hash.
+    QuerySpec(
+      "stac15_compaction",
+      Some("""
+        SELECT o_orderkey % 4 AS grp, count(*) AS n,
+               CAST(sum(o_orderkey) AS BIGINT) AS id_sum
+        FROM orders
+        GROUP BY 1
+        ORDER BY grp"""),
+      (s, dir) => {
+        val src = itemsFragmented(s, dir)
+        val outDir = src + "_compacted"
+        s.read.parquet(src)
+          .repartition(4, col("grp"))
+          .write.mode("overwrite").parquet(outDir)
+        val files = new java.io.File(outDir).listFiles()
+          .count(f => f.getName.endsWith(".parquet"))
+        require(files > 0 && files <= 8,
+          s"compaction must collapse 64 fragments to a handful of files, got $files")
+        s.read.parquet(outDir)
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"))
+          .orderBy(col("grp"))
+      },
+      prepare = Some((s, dir) => itemsFragmented(s, dir)),
+      timed = false),
 
     // ----- STAC Collection extent (the Collection-object aggregate) -----
     // What a STAC API serves as a collection's `extent`: the spatial
