@@ -61,6 +61,14 @@ class SpatialJoinSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L))
   }
 
+  test("empty sides produce an empty result, not an error") {
+    val a = Seq((1L, 0.0, 0.0, 10.0, 10.0)).toDF("aid", "ax0", "ay0", "ax1", "ay1")
+    val none = Seq.empty[(Long, Double, Double, Double, Double)]
+      .toDF("bid", "bx0", "by0", "bx1", "by1")
+    assert(SpatialJoin.bboxJoin(a, none, 10.0,
+      Seq("ax0", "ay0", "ax1", "ay1"), Seq("bx0", "by0", "bx1", "by1")).count() == 0)
+  }
+
   test("input validation: bad cell, arity, colliding names") {
     val df = Seq((1L, 0.0, 0.0, 1.0, 1.0)).toDF("id", "x0", "y0", "x1", "y1")
     intercept[IllegalArgumentException](

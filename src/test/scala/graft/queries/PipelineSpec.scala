@@ -42,6 +42,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("empty inputs flow through without errors") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Pipeline.exactDedupKeepers(emptyDocs, col("text"), col("id")).count() == 0)
+    val emptySets = Seq.empty[(Long, Seq[String])].toDF("doc_id", "g")
+    val (pairs, release) = Pipeline.jaccardSimilarityJoinReleasable(emptySets, 0.5)
+    assert(pairs.count() == 0)
+    release()
+    val emptyCounts = Seq.empty[(String, Long)].toDF("source", "n_docs")
+    assert(Pipeline.temperatureAllocation(emptyCounts, 1000L).count() == 0)
+  }
+
   test("stratifiedKeep is deterministic and respects rate 0/100") {
     val df = (0L until 200L).toDF("id")
     assert(df.filter(Pipeline.stratifiedKeep(col("id"), lit(0))).count() == 0)
