@@ -66,4 +66,12 @@ object Pipeline {
     * same rows on every engine, every run). */
   def stratifiedKeep(idCol: Column, ratePercent: Column): Column =
     DedupOps.hashBucket100(idCol) < ratePercent
+
+  /** The composed C4-style cleaning funnel (t13's engine): langid gate →
+    * quality floor → PII scrub → exact dedup of scrubbed text over a
+    * (source, doc_id, text) frame; returns per-source (n_input, n_lang,
+    * n_clean, n_unique, kept_id_sum) plus a `release()` hook for the
+    * persisted intermediate (call after materializing the result). */
+  def cleanCorpusFunnel(docs: DataFrame): (DataFrame, () => Unit) =
+    TextOps.cleanFunnelReleasable(docs)
 }

@@ -510,34 +510,47 @@ object TextOps {
                coalesce(kept_id_sum, 0) AS kept_id_sum
         FROM st LEFT JOIN uq ON st.source = uq.source
         ORDER BY st.source"""),
-      (s, dir) => {
-        val ws = words(col("text"))
-        // persisted: two aggregation branches consume this frame, and the
-        // projection (3 regex scrubs + md5 + lambda filters per doc) is
-        // the expensive part of the whole pipeline — materializing the
-        // narrow (source, id, flags, fp) rows once halves the corpus
-        // passes (same contract as the d03 pairs cache)
-        val base = Tables.t(s, dir, "documents")
-          .select(col("source"), col("doc_id"),
-            (size(filter(ws, w => w.isin(stopwords: _*))) * 15 >= size(ws)).as("lang_ok"),
-            (size(filter(ws, w => w.isin(stopwords: _*))) * 20 >= size(ws) &&
-              size(ws) >= 20).as("quality_ok"),
-            md5(scrub(col("text"))).as("fp"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val stages = base.groupBy(col("source"))
-          .agg(count(lit(1)).as("n_input"),
-            count(when(col("lang_ok"), 1)).as("n_lang"),
-            count(when(col("lang_ok") && col("quality_ok"), 1)).as("n_clean"))
-        val unique = base.filter(col("lang_ok") && col("quality_ok"))
-          .groupBy(col("fp"))
-          .agg(min(struct(col("doc_id"), col("source"))).as("w"))
-          .groupBy(col("w.source").as("source"))
-          .agg(count(lit(1)).as("n_unique"), sum(col("w.doc_id")).as("kept_id_sum"))
-        stages.join(broadcast(unique), Seq("source"), "left")
-          .select(col("source"), col("n_input"), col("n_lang"), col("n_clean"),
-            coalesce(col("n_unique"), lit(0L)).as("n_unique"),
-            coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
-          .orderBy(col("source"))
-      })
+      (s, dir) =>
+        cleanFunnel(Tables.t(s, dir, "documents")).orderBy(col("source")))
   )
+
+  /** t13's engine, exposed for `Pipeline.cleanCorpusFunnel`: the
+    * C4-style funnel (langid gate → quality floor → PII scrub → exact
+    * dedup of scrubbed text) over a (source, doc_id, text) frame,
+    * returning per-source (n_input, n_lang, n_clean, n_unique,
+    * kept_id_sum). The intermediate per-doc frame persists for the two
+    * aggregation branches; the gate leaves it cached (run-once),
+    * repeated callers release via [[cleanFunnelReleasable]]. */
+  private[queries] def cleanFunnel(docs: DataFrame): DataFrame =
+    cleanFunnelReleasable(docs)._1
+
+  private[queries] def cleanFunnelReleasable(docs: DataFrame): (DataFrame, () => Unit) = {
+    val ws = words(col("text"))
+    // persisted: two aggregation branches consume this frame, and the
+    // projection (3 regex scrubs + md5 + lambda filters per doc) is
+    // the expensive part of the whole pipeline — materializing the
+    // narrow (source, id, flags, fp) rows once halves the corpus
+    // passes (same contract as the d03 pairs cache)
+    val base = docs
+      .select(col("source"), col("doc_id"),
+        (size(filter(ws, w => w.isin(stopwords: _*))) * 15 >= size(ws)).as("lang_ok"),
+        (size(filter(ws, w => w.isin(stopwords: _*))) * 20 >= size(ws) &&
+          size(ws) >= 20).as("quality_ok"),
+        md5(scrub(col("text"))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stages = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_input"),
+        count(when(col("lang_ok"), 1)).as("n_lang"),
+        count(when(col("lang_ok") && col("quality_ok"), 1)).as("n_clean"))
+    val unique = base.filter(col("lang_ok") && col("quality_ok"))
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("w"))
+      .groupBy(col("w.source").as("source"))
+      .agg(count(lit(1)).as("n_unique"), sum(col("w.doc_id")).as("kept_id_sum"))
+    val out = stages.join(broadcast(unique), Seq("source"), "left")
+      .select(col("source"), col("n_input"), col("n_lang"), col("n_clean"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+    (out, () => { base.unpersist(); () })
+  }
 }

@@ -53,6 +53,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.temperatureAllocation(emptyCounts, 1000L).count() == 0)
   }
 
+  test("cleanCorpusFunnel counts each stage and dedups scrubbed text") {
+    // doc 1/2: quality English; doc 3: same text as 1 → dedup; doc 4: no stopwords → langid reject
+    val good = ("the a " * 12).trim
+    val docs = Seq(
+      (1L, "s", good), (2L, "s", good + " extra"), (3L, "s", good),
+      (4L, "s", "x y z w v u t q r p o n m l k j i h g f"))
+      .toDF("doc_id", "source", "text")
+    val (funnel, release) = Pipeline.cleanCorpusFunnel(docs)
+    val r = funnel.head()
+    release()
+    assert(r.getAs[Long]("n_input") == 4 && r.getAs[Long]("n_lang") == 3 &&
+      r.getAs[Long]("n_clean") == 3 && r.getAs[Long]("n_unique") == 2 &&
+      r.getAs[Long]("kept_id_sum") == 3L) // keepers: doc 1 (beats 3) + doc 2
+  }
+
   test("stratifiedKeep is deterministic and respects rate 0/100") {
     val df = (0L until 200L).toDF("id")
     assert(df.filter(Pipeline.stratifiedKeep(col("id"), lit(0))).count() == 0)
