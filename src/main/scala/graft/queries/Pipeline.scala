@@ -74,4 +74,24 @@ object Pipeline {
     * persisted intermediate (call after materializing the result). */
   def cleanCorpusFunnel(docs: DataFrame): (DataFrame, () => Unit) =
     TextOps.cleanFunnelReleasable(docs)
+
+  /** Exact cosine k-NN (s01's engine): guarded broadcast of the QUERY
+    * set only — the corpus streams past it, and per-query top-k is the
+    * bounded-buffer aggregate (`graft.operators.TopK`), so the shuffle
+    * carries k-element buffers, never n·q scored rows. Both frames:
+    * (vec_id, embedding: Array[Float]). Errors with routing advice when
+    * the query set exceeds broadcast size (the sub-quadratic routes are
+    * the LSH/IVF gates and `AllPairsTopK`). Output: (query_id, rank,
+    * neighbor_id, cos) with cos rounded to 1e-9 for cross-engine
+    * comparability. */
+  def exactKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions.floatDot
+    require(k >= 1, s"k must be >= 1, got $k")
+    def withNorm(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
+      sqrt(floatDot(col("embedding"), col("embedding"))).as("nrm"))
+    val q = graft.operators.AllPairsTopK.requireBroadcastable(withNorm(queries),
+      what = "exact k-NN query set",
+      route = "bucket the queries (the LSH/IVF paths) or block-partition with AllPairsTopK for query sets past broadcast size")
+    SimilarityOps.exactKnn(q, withNorm(corpus), k)
+  }
 }

@@ -82,7 +82,7 @@ object SimilarityOps {
     * aggregate (graft.operators.TopK) — the shuffle carries k-element
     * buffers per query per map task, never the n·q scored rows a window
     * would move. Output: (query_id, rank, neighbor_id, cos·1e-9-rounded). */
-  private def exactKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  private[queries] def exactKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val c = corpus

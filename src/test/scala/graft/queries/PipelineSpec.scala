@@ -68,6 +68,19 @@ class PipelineSpec extends AnyFunSuite {
       r.getAs[Long]("kept_id_sum") == 3L) // keepers: doc 1 (beats 3) + doc 2
   }
 
+  test("exactKnn ranks by cosine, excludes self, caps at k") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f)), (4L, Array(-1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Pipeline.exactKnn(corpus, queries, k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(got.toSeq == Seq((1, 2L), (2, 3L))) // closest first; self (id 1) excluded
+    intercept[IllegalArgumentException](Pipeline.exactKnn(corpus, queries, 0))
+  }
+
   test("stratifiedKeep is deterministic and respects rate 0/100") {
     val df = (0L until 200L).toDF("id")
     assert(df.filter(Pipeline.stratifiedKeep(col("id"), lit(0))).count() == 0)
