@@ -654,6 +654,57 @@ object StacOps {
       prepare = Some((s, dir) => itemsFragmented(s, dir)),
       timed = false),
 
+    // ----- upsert / MERGE-equivalent over plain parquet -----
+    // K3's Delta sink is environment-gated, so the engine carries the
+    // portable form of MERGE INTO: new-version rows replace matched keys,
+    // unmatched keys survive, inserts append — expressed as the one-pass
+    // plan `base LEFT ANTI JOIN updates ∪ updates` (both legs shuffle on
+    // the key; no window, no full-table sort) and rewritten atomically
+    // (write to a fresh dir — the swap is a rename in a real lake). The
+    // oracle recomputes the merged table's exact accounting (counts, id
+    // and value checksums, per-version split), so a lost base row, a
+    // surviving stale version, or a dropped insert fails the hash.
+    QuerySpec(
+      "stac16_upsert",
+      Some("""
+        WITH base AS (SELECT o_orderkey AS id,
+                             CAST(round(o_totalprice*100,0) AS BIGINT) AS cents,
+                             1 AS version
+                      FROM orders),
+             upd AS (SELECT id, cents + 7 AS cents, 2 AS version
+                     FROM base WHERE id % 10 = 0
+                     UNION ALL
+                     SELECT id + 10000000, 42, 2 FROM base WHERE id % 100 = 0),
+             merged AS (SELECT b.* FROM base b
+                        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.id = b.id)
+                        UNION ALL SELECT * FROM upd)
+        SELECT version, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
+               CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM merged
+        GROUP BY version
+        ORDER BY version"""),
+      (s, dir) => {
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            lit(1).as("version"))
+        val upd = base.filter(col("id") % 10 === 0)
+          .select(col("id"), (col("cents") + 7).as("cents"), lit(2).as("version"))
+          .unionByName(base.filter(col("id") % 100 === 0)
+            .select((col("id") + 10000000L).as("id"), lit(42L).as("cents"),
+              lit(2).as("version")))
+        val out = java.nio.file.Files.createTempDirectory("stac16").toString + "/merged"
+        base.join(upd, Seq("id"), "left_anti")
+          .unionByName(upd)
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+            sum(col("cents")).as("cents_sum"))
+          .orderBy(col("version"))
+      },
+      timed = false),
+
     // ----- STAC Collection extent (the Collection-object aggregate) -----
     // What a STAC API serves as a collection's `extent`: the spatial
     // envelope (union of item bboxes = min/max over the struct fields —
