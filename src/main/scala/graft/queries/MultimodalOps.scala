@@ -313,6 +313,52 @@ object MultimodalOps {
       },
       prepare = Some((s, dir) => { dedupImageDocs(s, dir); () })),
 
+    // ----- video scene-cut detection: temporal analytics over frames -----
+    // The temporal op on top of m02's demux: ALL frames decode (every=1),
+    // each frame's mean RGB is recovered from the real pixel sums
+    // (f/(w·h) is exact — solid fills make the mean the painted color),
+    // and a per-video lag window scores consecutive-frame L1 color
+    // distance; a cut is a jump past the threshold. The oracle replays
+    // the painted colors per frame index and the same lag arithmetic —
+    // a demux misalignment, a codec pixel error, or a wrong window
+    // order fails the hash. Scale: decode is scan-stage; the window
+    // partitions by video (5 rows each), shuffling only (id, frame,
+    // 3 ints) per frame.
+    QuerySpec(
+      "m08_scene_cuts",
+      Some("""
+        WITH f AS (SELECT doc_id, u.j AS frame_idx,
+                          CAST(('0x'||substr(md5(text||'#'||u.j),5,2)) AS INTEGER) AS r,
+                          CAST(('0x'||substr(md5(text||'#'||u.j),7,2)) AS INTEGER) AS g,
+                          CAST(('0x'||substr(md5(text||'#'||u.j),9,2)) AS INTEGER) AS b
+                   FROM documents, unnest(generate_series(0, 4)) AS u(j)),
+             d AS (SELECT doc_id, frame_idx,
+                          abs(r - lag(r) OVER w) + abs(g - lag(g) OVER w)
+                            + abs(b - lag(b) OVER w) AS l1
+                   FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+        SELECT doc_id, frame_idx, l1, l1 > 100 AS is_cut
+        FROM d WHERE frame_idx > 0
+        ORDER BY doc_id, frame_idx"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = s.read.parquet(videoDocs(s, dir))
+        val frames = Multimodal.sampleVideoFrames(docs, every = 1, dim = 3).toDF()
+        val px = col("width") * col("height")
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+        def mean(i: Int) = (element_at(col("features"), i).cast("double") / px).cast("int")
+        val l1 = abs(col("r") - lag(col("r"), 1).over(w)) +
+          abs(col("g") - lag(col("g"), 1).over(w)) +
+          abs(col("b") - lag(col("b"), 1).over(w))
+        frames
+          .select(col("doc_id"), col("frame_idx"),
+            mean(1).as("r"), mean(2).as("g"), mean(3).as("b"))
+          .select(col("doc_id"), col("frame_idx"), l1.as("l1"))
+          .filter(col("frame_idx") > 0)
+          .select(col("doc_id"), col("frame_idx"), col("l1"), (col("l1") > 100).as("is_cut"))
+          .orderBy(col("doc_id"), col("frame_idx"))
+      },
+      prepare = Some((s, dir) => { videoDocs(s, dir); () })),
+
     // ----- audio feature extraction: the FULL PCM payload decodes -----
     // m04 proves the header round trip; this proves every SAMPLE: the
     // 16-bit PCM stream (seeded generator (seed + i·257) mod 2^16 −
