@@ -81,17 +81,24 @@ object Pipeline {
     * carries k-element buffers, never n·q scored rows. Both frames:
     * (vec_id, embedding: Array[Float]). Errors with routing advice when
     * the query set exceeds broadcast size (the sub-quadratic routes are
-    * the LSH/IVF gates and `AllPairsTopK`). Output: (query_id, rank,
-    * neighbor_id, cos) with cos rounded to 1e-9 for cross-engine
-    * comparability. */
-  def exactKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    import graft.functions.VectorFunctions.floatDot
+    * the LSH/IVF gates and `AllPairsTopK`). Zero-norm vectors have no
+    * defined cosine and are EXCLUDED from both sides. Output:
+    * (query_id, rank, neighbor_id, cos), cos rounded to 1e-9 for
+    * cross-engine comparability.
+    * @param excludeSameId drop candidates whose vec_id equals the
+    *   query's — the self-join convention when corpus and queries are
+    *   the same table (the default); pass false for unrelated id
+    *   spaces, where an id coincidence must not suppress a true
+    *   neighbor */
+  def exactKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+               excludeSameId: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def withNorm(df: DataFrame) = df.select(col("vec_id"), col("embedding"),
-      sqrt(floatDot(col("embedding"), col("embedding"))).as("nrm"))
+        SimilarityOps.norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // cos undefined; a NULL score would poison top-k
     val q = graft.operators.AllPairsTopK.requireBroadcastable(withNorm(queries),
       what = "exact k-NN query set",
       route = "bucket the queries (the LSH/IVF paths) or block-partition with AllPairsTopK for query sets past broadcast size")
-    SimilarityOps.exactKnn(q, withNorm(corpus), k)
+    SimilarityOps.exactKnn(q, withNorm(corpus), k, excludeSameId)
   }
 }

@@ -82,13 +82,19 @@ object SimilarityOps {
     * aggregate (graft.operators.TopK) — the shuffle carries k-element
     * buffers per query per map task, never the n·q scored rows a window
     * would move. Output: (query_id, rank, neighbor_id, cos·1e-9-rounded). */
-  private[queries] def exactKnn(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  /** @param excludeSameId drop candidate pairs whose ids match — the
+    *   self-join convention (s01: corpus and queries are the same table);
+    *   pass false when the two frames have unrelated id spaces, where an
+    *   id coincidence must NOT suppress a true neighbor */
+  private[queries] def exactKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                                excludeSameId: Boolean = true): DataFrame = {
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
     val c = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
     val topk = graft.operators.TopK.topK(k)
-    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+    val cond = if (excludeSameId) col("neighbor_id") =!= col("query_id") else lit(true)
+    c.join(broadcast(q), cond)
       .select(col("query_id"), col("neighbor_id"),
         (dotd(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("cos"))
       .groupBy(col("query_id"))

@@ -115,6 +115,10 @@ object StacOps {
   private val fragTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** stac16's stable rewrite target per (session, dataset). */
+  private val upsertDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   private def itemsFragmented(s: SparkSession, dir: String): String =
     fragTables.getOrElseUpdate((s, dir), {
       val out = java.nio.file.Files.createTempDirectory("stac_frag").toString + "/items"
@@ -686,14 +690,17 @@ object StacOps {
       (s, dir) => {
         val base = Tables.t(s, dir, "orders")
           .select(col("o_orderkey").as("id"),
-            round(col("o_totalprice") * 100, 0).cast("long").as("cents"),
+            Relational.cents(col("o_totalprice")).as("cents"),
             lit(1).as("version"))
         val upd = base.filter(col("id") % 10 === 0)
           .select(col("id"), (col("cents") + 7).as("cents"), lit(2).as("version"))
           .unionByName(base.filter(col("id") % 100 === 0)
             .select((col("id") + 10000000L).as("id"), lit(42L).as("cents"),
               lit(2).as("version")))
-        val out = java.nio.file.Files.createTempDirectory("stac16").toString + "/merged"
+        // stable per-(session, dataset) target + overwrite — repeated runs
+        // rewrite in place instead of leaking a merged copy per invocation
+        val out = upsertDirs.getOrElseUpdate((s, dir),
+          java.nio.file.Files.createTempDirectory("stac16").toString + "/merged")
         base.join(upd, Seq("id"), "left_anti")
           .unionByName(upd)
           .write.mode("overwrite").parquet(out)

@@ -79,6 +79,16 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
     assert(got.toSeq == Seq((1, 2L), (2, 3L))) // closest first; self (id 1) excluded
     intercept[IllegalArgumentException](Pipeline.exactKnn(corpus, queries, 0))
+    // unrelated id spaces: the id coincidence must NOT suppress corpus
+    // vector 1 (the query's true nearest neighbor)
+    val cross = Pipeline.exactKnn(corpus, queries, k = 1, excludeSameId = false)
+      .head()
+    assert(cross.getAs[Long]("neighbor_id") == 1L && cross.getAs[Double]("cos") == 1.0)
+    // zero-norm vectors are excluded, not NULL-scored
+    val withZero = corpus.union(Seq((9L, Array(0f, 0f))).toDF("vec_id", "embedding"))
+    val ids = Pipeline.exactKnn(withZero, queries, k = 10)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(9L) && ids.nonEmpty)
   }
 
   test("stratifiedKeep is deterministic and respects rate 0/100") {
