@@ -201,6 +201,62 @@ object SimilarityOps {
           .orderBy(col("query_id"), col("rank"))
       }),
 
+    // ----- multiprobe LSH: widen candidates WITHOUT more tables -----
+    // s03's recall/cost dial turned the standard way (Lv et al., VLDB
+    // '07): each QUERY probes its own sign bucket plus every Hamming-1
+    // neighbor bucket (5 probes at 4 bits) — the corpus side is
+    // untouched (one bucket per vector, same single table as s03; only
+    // the query side fans out ×5), so candidate volume grows linearly
+    // in probes while recall approaches multi-table LSH. Probe values
+    // are distinct and a vector lives in ONE bucket, so no (query,
+    // neighbor) pair can duplicate — no distinct needed. Oracle replays
+    // probe generation, scoring, and ranking; results are value-checked
+    // row-for-row like s03 (whose candidates these strictly contain).
+    QuerySpec(
+      "s10_multiprobe_lsh",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+                          ${signBucketSql("embedding", 4)} AS bucket
+                   FROM embeddings),
+             p AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                  xor(bucket, 4), xor(bucket, 8)]) AS probe
+                   FROM n),
+             sc AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+                           ${dotSql("p.qe", "b.embedding")} / (p.qn * b.nrm) AS cos
+                    FROM p JOIN n b ON b.bucket = p.probe AND b.vec_id != p.query_id),
+             rk AS (SELECT query_id, neighbor_id, cos,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM sc)
+        SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+        FROM rk WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+            signBucket(col("embedding"), 4).as("bucket"))
+        val probes = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"),
+          explode(array(col("bucket"),
+            col("bucket").bitwiseXOR(lit(1L)), col("bucket").bitwiseXOR(lit(2L)),
+            col("bucket").bitwiseXOR(lit(4L)), col("bucket").bitwiseXOR(lit(8L))))
+            .as("probe"))
+        val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"),
+          col("embedding").as("eb"), col("nrm").as("nb"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        probes.join(b, col("probe") === col("bucket_b") &&
+            col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (dotd(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+          .orderBy(col("query_id"), col("rank"))
+      }),
+
     // ----- IVF ANN: coarse-quantize to centroid cells, probe top-2 cells -----
     // The scale path for billion-vector search: the 16 centroids broadcast
     // to every executor (the "trained codebook"), cell assignment is a
