@@ -174,6 +174,35 @@ object StreamingOps {
       },
       timed = false),
 
+    // ----- sliding windows, value-checked vs the two-window expansion -----
+    // 1-hour windows every 30 minutes: each event lands in exactly TWO
+    // windows (the one starting at its floor-to-30min mark and the one
+    // 30 minutes earlier). The oracle materializes that membership
+    // directly — unnest both window starts per event and aggregate — so
+    // a wrong window assignment or a dropped overlap fails the hash.
+    QuerySpec(
+      "st08_streaming_sliding",
+      Some("""
+        WITH e AS (SELECT event_type,
+                          CAST(epoch_ns(ts)//1000 AS BIGINT) AS us
+                   FROM events),
+             w AS (SELECT event_type,
+                          unnest([us - us % 1800000000,
+                                  us - us % 1800000000 - 1800000000]) AS win_us
+                   FROM e)
+        SELECT strftime(make_timestamp(win_us), '%Y-%m-%dT%H:%M:%SZ') AS win_start,
+               event_type, count(*) AS n
+        FROM w
+        GROUP BY win_us, event_type
+        ORDER BY win_start, event_type"""),
+      (s, dir) => {
+        runToMemoryTable(s, dir, "st08", "complete")(EventStream.slidingAgg)
+          .select(date_format(col("win_start"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("win_start"),
+            col("event_type"), col("n"))
+          .orderBy(col("win_start"), col("event_type"))
+      },
+      timed = false),
+
     // ----- stream-static enrichment join, value-checked vs batch -----
     // The event stream joins the STATIC customer dimension (broadcast per
     // micro-batch, stateless — the remaining join family after st03's
