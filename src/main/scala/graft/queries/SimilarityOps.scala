@@ -386,13 +386,26 @@ object SimilarityOps {
                        JOIN n qq ON qq.vec_id = p.query_id
                        JOIN n vv ON vv.vec_id = a.vec_id)
                      WHERE rank <= 3)
-        SELECT nq AS n_queries, hl AS hits_lsh, hi AS hits_ivf,
+        , mp AS (SELECT query_id, neighbor_id FROM (
+                 SELECT p.query_id, b.vec_id AS neighbor_id,
+                        row_number() OVER (PARTITION BY p.query_id
+                          ORDER BY ${dotSql("p.qe", "b.embedding")} / (p.qn * b.nrm) DESC,
+                                   b.vec_id ASC) AS rank
+                 FROM (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                              unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                      xor(bucket, 4), xor(bucket, 8)]) AS probe
+                       FROM q) p
+                 JOIN n b ON b.bucket = p.probe AND b.vec_id != p.query_id)
+               WHERE rank <= 3)
+        SELECT nq AS n_queries, hl AS hits_lsh, hi AS hits_ivf, hm AS hits_mp,
                CAST(hl AS DOUBLE)/(3*nq) AS recall_lsh,
                CAST(hi AS DOUBLE)/(3*nq) AS recall_ivf,
-               true AS lsh_ok, true AS ivf_ok
+               CAST(hm AS DOUBLE)/(3*nq) AS recall_mp,
+               true AS lsh_ok, true AS ivf_ok, hm >= hl AS mp_ge_lsh
         FROM (SELECT (SELECT count(*) FROM q) AS nq,
                      (SELECT count(*) FROM ex JOIN lsh USING (query_id, neighbor_id)) AS hl,
-                     (SELECT count(*) FROM ex JOIN ivf USING (query_id, neighbor_id)) AS hi)"""),
+                     (SELECT count(*) FROM ex JOIN ivf USING (query_id, neighbor_id)) AS hi,
+                     (SELECT count(*) FROM ex JOIN mp USING (query_id, neighbor_id)) AS hm)"""),
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         // candidate sets come from the REAL s03/s04 pipelines (specs looked
@@ -402,6 +415,7 @@ object SimilarityOps {
           .select(col("query_id"), col("neighbor_id"))
         val lsh = pairsOf("s03_ann_lsh_bucketed")
         val ivf = pairsOf("s04_ann_ivf")
+        val mp = pairsOf("s10_multiprobe_lsh")
         // exact ground truth: the s01 shape (guarded query broadcast,
         // streamed corpus, bounded top-k aggregate)
         val e = Tables.t(s, dir, "embeddings")
@@ -415,12 +429,19 @@ object SimilarityOps {
         val nq = q.agg(count(lit(1)).as("nq"))
         val hl = exact.join(lsh, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("hl"))
         val hi = exact.join(ivf, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("hi"))
-        nq.crossJoin(hl).crossJoin(hi)
-          .select(col("nq").as("n_queries"), col("hl").as("hits_lsh"), col("hi").as("hits_ivf"),
+        val hm = exact.join(mp, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("hm"))
+        nq.crossJoin(hl).crossJoin(hi).crossJoin(hm)
+          .select(col("nq").as("n_queries"), col("hl").as("hits_lsh"),
+            col("hi").as("hits_ivf"), col("hm").as("hits_mp"),
             (col("hl").cast("double") / (lit(3) * col("nq"))).as("recall_lsh"),
             (col("hi").cast("double") / (lit(3) * col("nq"))).as("recall_ivf"),
+            (col("hm").cast("double") / (lit(3) * col("nq"))).as("recall_mp"),
             (col("hl").cast("double") / (lit(3) * col("nq")) >= 0.10).as("lsh_ok"),
-            (col("hi").cast("double") / (lit(3) * col("nq")) >= 0.30).as("ivf_ok"))
+            (col("hi").cast("double") / (lit(3) * col("nq")) >= 0.30).as("ivf_ok"),
+            // provable: multiprobe candidates ⊇ single-bucket candidates
+            // and ground-truth members beat every other candidate, so
+            // hits are |G ∩ C| — monotone under candidate-set inclusion
+            (col("hm") >= col("hl")).as("mp_ge_lsh"))
       }),
 
     // ----- trained coarse quantizer: one Lloyd refinement of the IVF
