@@ -65,6 +65,27 @@ object SimilarityOps {
   private[queries] val materializeQuantized: Option[(SparkSession, String) => Unit] =
     Some((s, dir) => { quantizedEmbeddings(s, dir).count(); () })
 
+  /** The shared bucketed-ANN scaffold of s03/s10: equi-join a probe frame
+    * (query_id, qe, qn, probe) to the bucketed corpus, score cosines, and
+    * keep each query's top 3 — ONE definition of the ranking contract
+    * (tie-break, rounding, k), so the single- and multi-probe gates
+    * cannot drift apart. */
+  private def bucketTop3(probes: DataFrame, bucketed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(b, col("probe") === col("bucket_b") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Sign-bit LSH bucket from the first `bits` dimensions (axis-aligned
     * hyperplanes — deterministic, no stored model). */
   def signBucket(e: Column, bits: Int): Column =
@@ -182,23 +203,12 @@ object SimilarityOps {
         FROM rk WHERE rank <= 3
         ORDER BY query_id, rank"""),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
             signBucket(col("embedding"), 4).as("bucket"))
-        val a = e.select(col("bucket"), col("vec_id").as("query_id"),
-          col("embedding").as("ea"), col("nrm").as("na"))
-        val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("eb"), col("nrm").as("nb"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        a.join(b, col("bucket") === col("bucket_b") && col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (dotd(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
-          .orderBy(col("query_id"), col("rank"))
+        val probes = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bucket").as("probe"))
+        bucketTop3(probes, e)
       }),
 
     // ----- multiprobe LSH: widen candidates WITHOUT more tables -----
@@ -233,7 +243,6 @@ object SimilarityOps {
         FROM rk WHERE rank <= 3
         ORDER BY query_id, rank"""),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val e = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
             signBucket(col("embedding"), 4).as("bucket"))
@@ -243,18 +252,7 @@ object SimilarityOps {
             col("bucket").bitwiseXOR(lit(1L)), col("bucket").bitwiseXOR(lit(2L)),
             col("bucket").bitwiseXOR(lit(4L)), col("bucket").bitwiseXOR(lit(8L))))
             .as("probe"))
-        val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"),
-          col("embedding").as("eb"), col("nrm").as("nb"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        probes.join(b, col("probe") === col("bucket_b") &&
-            col("query_id") =!= col("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (dotd(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
-          .orderBy(col("query_id"), col("rank"))
+        bucketTop3(probes, e)
       }),
 
     // ----- IVF ANN: coarse-quantize to centroid cells, probe top-2 cells -----
@@ -401,7 +399,7 @@ object SimilarityOps {
                CAST(hl AS DOUBLE)/(3*nq) AS recall_lsh,
                CAST(hi AS DOUBLE)/(3*nq) AS recall_ivf,
                CAST(hm AS DOUBLE)/(3*nq) AS recall_mp,
-               true AS lsh_ok, true AS ivf_ok, hm >= hl AS mp_ge_lsh
+               true AS lsh_ok, true AS ivf_ok, true AS mp_ok, true AS mp_ge_lsh
         FROM (SELECT (SELECT count(*) FROM q) AS nq,
                      (SELECT count(*) FROM ex JOIN lsh USING (query_id, neighbor_id)) AS hl,
                      (SELECT count(*) FROM ex JOIN ivf USING (query_id, neighbor_id)) AS hi,
@@ -438,9 +436,13 @@ object SimilarityOps {
             (col("hm").cast("double") / (lit(3) * col("nq"))).as("recall_mp"),
             (col("hl").cast("double") / (lit(3) * col("nq")) >= 0.10).as("lsh_ok"),
             (col("hi").cast("double") / (lit(3) * col("nq")) >= 0.30).as("ivf_ok"),
-            // provable: multiprobe candidates ⊇ single-bucket candidates
-            // and ground-truth members beat every other candidate, so
-            // hits are |G ∩ C| — monotone under candidate-set inclusion
+            // all four booleans are PINNED true in the oracle, so a recall
+            // collapse or an ordering violation FAILS the hash: mp_ge_lsh
+            // is provable (multiprobe candidates ⊇ single-bucket ones and
+            // ground-truth members beat every other candidate, so hits are
+            // |G ∩ C|, monotone under inclusion) — the pin makes even a
+            // mirrored conceptual bug in both engines trip the gate
+            (col("hm").cast("double") / (lit(3) * col("nq")) >= 0.40).as("mp_ok"),
             (col("hm") >= col("hl")).as("mp_ge_lsh"))
       }),
 
