@@ -276,8 +276,10 @@ object Multimodal {
   def decodeAudioSamples(bytes: Array[Byte]): (Long, Int, Int) = {
     val layout = riffLayout(bytes)
     if (layout == null) return (-1L, -1, -1)
-    val (_, dataOff, dataLen) = layout
-    if (dataOff < 0) return (-1L, -1, -1)
+    val (fmtOff, dataOff, dataLen) = layout
+    // a WAV with a data chunk but no fmt chunk is malformed: bail exactly
+    // like decodeAudio does, so m04 and m07 agree on which rows are corrupt
+    if (fmtOff < 0 || dataOff < 0) return (-1L, -1, -1)
     val n = (dataLen / 2).toInt
     var sum = 0L; var peak = 0; var i = 0
     while (i < n) {

@@ -53,9 +53,26 @@ object SpatialJoin {
     val Seq(lx0, ly0, lx1, ly1) = leftBox.map(col)
     val Seq(rx0, ry0, rx1, ry1) = rightBox.map(col)
     // LONG cell indices: an int cast would wrap silently past 2^31 cells
-    // (tiny cell size × planet-scale coordinates) and drop true pairs
-    def cells(lo: Column, hi: Column): Column =
-      sequence(floor(lo / cell).cast("long"), floor(hi / cell).cast("long"))
+    // (tiny cell size × planet-scale coordinates) and drop true pairs.
+    // Explode-factor guard: a cell much smaller than a box's extent (or a
+    // planet-spanning box) would make sequence() emit up to millions of
+    // indices per row — Spark's sequence errors past ~2^31 elements and
+    // memory blows far earlier, with a stack trace that never mentions the
+    // misconfigured parameter. Cap the per-axis fan-out and fail with
+    // routing advice naming `cell`, like the broadcast guards do.
+    val maxCellsPerAxis = 4096L
+    def cells(lo: Column, hi: Column): Column = {
+      val first = floor(lo / cell).cast("long")
+      val last = floor(hi / cell).cast("long")
+      val n = last - first + 1L
+      when(n > maxCellsPerAxis,
+        raise_error(concat(
+          lit("SpatialJoin.bboxJoin: a box spans "), n.cast("string"),
+          lit(s" grid cells on one axis (cap $maxCellsPerAxis) at cell=$cell — " +
+            "pick `cell` near the typical box extent, or split oversized boxes " +
+            "before the join"))))
+        .otherwise(sequence(first, last))
+    }
     val l = left
       .withColumn("__cx", explode(cells(lx0, lx1)))
       .withColumn("__cy", explode(cells(ly0, ly1)))

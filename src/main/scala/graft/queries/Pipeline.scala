@@ -41,18 +41,19 @@ object Pipeline {
   /** EXACT Jaccard similarity self-join via AllPairs/PPJoin prefix
     * filtering (d09's engine — provably lossless at `tau`). The engine
     * persists an intermediate hashed-sets frame shared by four plan
-    * branches; this form leaves it cached for the session — when calling
-    * repeatedly in one session, use [[jaccardSimilarityJoinReleasable]]
-    * and release each call's cache after materializing the result.
+    * branches, so the primary form returns a `release()` hook alongside
+    * the pairs — call it AFTER materializing the (lazy) result, exactly
+    * like [[cleanCorpusFunnel]]; a loop that skips release accumulates
+    * dead MEMORY_AND_DISK entries for the life of the session.
     * @param sg (doc_id, g) rows; g = the distinct element set */
-  def jaccardSimilarityJoin(sg: DataFrame, tau: Double): DataFrame =
-    DedupOps.jaccardSimilarityJoin(sg, tau)
-
-  /** As [[jaccardSimilarityJoin]] plus a `release()` hook that
-    * unpersists the call's intermediate cache (call it AFTER the pairs
-    * frame has been materialized — the result is lazy). */
-  def jaccardSimilarityJoinReleasable(sg: DataFrame, tau: Double): (DataFrame, () => Unit) =
+  def jaccardSimilarityJoin(sg: DataFrame, tau: Double): (DataFrame, () => Unit) =
     DedupOps.jaccardSimilarityJoinReleasable(sg, tau)
+
+  /** As [[jaccardSimilarityJoin]] but deliberately leaves the
+    * intermediate cached for the session — ONLY for run-once callers
+    * (the d09 gate's shape) where the cache dies with the session. */
+  def jaccardSimilarityJoinCached(sg: DataFrame, tau: Double): DataFrame =
+    DedupOps.jaccardSimilarityJoin(sg, tau)
 
   /** Temperature-weighted mixture allocation (d12): split `budget`
     * across (source, n_docs) rows ∝ sqrt(n_docs) with exact integer

@@ -678,7 +678,8 @@ object StacOps {
              upd AS (SELECT id, cents + 7 AS cents, 2 AS version
                      FROM base WHERE id % 10 = 0
                      UNION ALL
-                     SELECT id + 10000000, 42, 2 FROM base WHERE id % 100 = 0),
+                     SELECT id + (SELECT max(id) FROM base), 42, 2
+                     FROM base WHERE id % 100 = 0),
              merged AS (SELECT b.* FROM base b
                         WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.id = b.id)
                         UNION ALL SELECT * FROM upd)
@@ -692,10 +693,16 @@ object StacOps {
           .select(col("o_orderkey").as("id"),
             Relational.cents(col("o_totalprice")).as("cents"),
             lit(1).as("version"))
+        // insert keys offset by max(id) — a one-row broadcast — so they are
+        // provably above every live base id at ANY scale factor (a fixed
+        // constant collides with real o_orderkeys once 6M·SF passes it,
+        // silently turning inserts into deletes of live base rows)
+        val maxId = base.agg(max(col("id")).as("max_id"))
         val upd = base.filter(col("id") % 10 === 0)
           .select(col("id"), (col("cents") + 7).as("cents"), lit(2).as("version"))
           .unionByName(base.filter(col("id") % 100 === 0)
-            .select((col("id") + 10000000L).as("id"), lit(42L).as("cents"),
+            .crossJoin(broadcast(maxId))
+            .select((col("id") + col("max_id")).as("id"), lit(42L).as("cents"),
               lit(2).as("version")))
         // stable per-(session, dataset) target + overwrite — repeated runs
         // rewrite in place instead of leaking a merged copy per invocation

@@ -37,8 +37,10 @@ class PipelineSpec extends AnyFunSuite {
       (1L, Seq("a b c", "b c d", "c d e", "d e f")),
       (2L, Seq("a b c", "b c d", "c d e", "x y z")),
       (3L, Seq("p q r", "q r s", "r s t", "s t u"))).toDF("doc_id", "g")
-    val pairs = Pipeline.jaccardSimilarityJoin(sg, tau = 0.5)
+    val (pairsDf, release) = Pipeline.jaccardSimilarityJoin(sg, tau = 0.5)
+    val pairs = pairsDf
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    release()
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
@@ -46,9 +48,10 @@ class PipelineSpec extends AnyFunSuite {
     val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
     assert(Pipeline.exactDedupKeepers(emptyDocs, col("text"), col("id")).count() == 0)
     val emptySets = Seq.empty[(Long, Seq[String])].toDF("doc_id", "g")
-    val (pairs, release) = Pipeline.jaccardSimilarityJoinReleasable(emptySets, 0.5)
+    val (pairs, release) = Pipeline.jaccardSimilarityJoin(emptySets, 0.5)
     assert(pairs.count() == 0)
     release()
+    assert(Pipeline.jaccardSimilarityJoinCached(emptySets, 0.5).count() == 0)
     val emptyCounts = Seq.empty[(String, Long)].toDF("source", "n_docs")
     assert(Pipeline.temperatureAllocation(emptyCounts, 1000L).count() == 0)
   }
