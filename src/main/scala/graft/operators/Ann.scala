@@ -1,0 +1,344 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-callable approximate-nearest-neighbor search over an embedding
+  * column — the operator surface behind the `s03/s04/s09/s10` gate
+  * queries, lifted out of the gate lambdas so a 100-TB embedding store
+  * can actually call it (reference capability class: the similarity
+  * pipeline stage; no reference counterpart — the cited reference
+  * `stac_geoparquet` delegates analytics to the stored format).
+  *
+  * Input convention (all entry points): frames carrying
+  * `(vec_id: Long, embedding: Array[Float])`. Zero-norm vectors have no
+  * defined cosine and are EXCLUDED from both sides. Output convention:
+  * `(query_id, rank, neighbor_id, …score)` with rank 1..k per query,
+  * ties broken by neighbor_id ascending, cosine rounded to 1e-9 for
+  * cross-engine comparability (the gate convention).
+  *
+  * Scale discipline — the dials that keep candidate generation
+  * sub-quadratic are ARGUMENTS, not constants:
+  *   - `bits`/`cells` default to a function of corpus size (target
+  *     bucket occupancy, the d08 32k-buckets-per-band discipline), so a
+  *     100× corpus gets more buckets, not 100× hotter ones: candidate
+  *     volume stays ~n·targetBucketRows instead of Θ(n²/C) with C fixed.
+  *   - residual hot buckets (skewed data piling into one hash value) are
+  *     ordinary join-key skew: `salt > 1` splits every bucket's corpus
+  *     side into `salt` sub-buckets and fans the QUERY side out across
+  *     them — every (query, corpus) pair still meets exactly once, so
+  *     results are IDENTICAL to salt=1 (spec-verified) while per-task
+  *     join size drops ×salt. AQE skew-join handles moderate skew
+  *     without the query-side fan-out cost; salt is the explicit dial
+  *     for pathological piles (d08's "split hot buckets, same join
+  *     shape" note, made executable).
+  */
+object Ann {
+
+  private def dotd(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.floatDot(a, b)
+  private def norm(a: Column): Column = sqrt(dotd(a, a))
+
+  /** Sign-bit LSH bucket from the first `bits` dimensions (axis-aligned
+    * hyperplanes — deterministic, no stored model; `bits` must not
+    * exceed the embedding dimension or the high bits degenerate to 0). */
+  def signBucket(e: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucket-count dial from corpus size: the smallest `bits` whose
+    * 2^bits buckets hold ≤ `targetBucketRows` expected rows each —
+    * candidate volume then grows ~linearly (n · targetBucketRows)
+    * instead of quadratically in n. Clamped to [4, 32]: below 4 the
+    * buckets are useless, above 32 the first-dims sign projection runs
+    * out of axes before a 64-dim embedding does signal. */
+  def adaptiveBits(corpusRows: Long, targetBucketRows: Long = 1024L): Int = {
+    require(corpusRows >= 0, s"corpusRows must be >= 0, got $corpusRows")
+    require(targetBucketRows > 0, s"targetBucketRows must be > 0, got $targetBucketRows")
+    val buckets = math.max(1.0, corpusRows.toDouble / targetBucketRows)
+    math.min(32, math.max(4, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** IVF cell-count dial: the classic ~√n rule (cells ≈ probes-work =
+    * assignment-work balance point), clamped to [16, 65536]. */
+  def adaptiveCells(corpusRows: Long): Int =
+    math.min(65536, math.max(16, math.ceil(math.sqrt(math.max(0L, corpusRows).toDouble)).toInt))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0) // cosine undefined; a NULL score would poison top-k
+
+  /** Sign-LSH ANN top-k with multiprobe (Lv et al., VLDB '07).
+    *
+    * Plan shape: ONE bucket per corpus vector (a narrow map — the corpus
+    * is never duplicated), `probes` probe buckets per query (own bucket
+    * + Hamming-1 flips of the low probe−1 bits), candidates from the
+    * bucket equi-join, exact cosine scoring, per-query top-k window.
+    * Candidate volume grows linearly in `probes`; recall approaches
+    * multi-table LSH without extra corpus tables.
+    *
+    * @param corpus  (vec_id, embedding) — the indexed side, any size
+    * @param queries (vec_id, embedding) — may be the corpus itself
+    *                (self-index, the s03/s10 shape) or a separate frame
+    * @param k       neighbors per query
+    * @param bits    sign-bucket width; 0 (default) derives it from a
+    *                corpus count via [[adaptiveBits]] — one metadata
+    *                action, the "train" step
+    * @param probes  probe buckets per query (1 = single-probe s03;
+    *                bits+1 = full Hamming-1 ring, the s10 shape)
+    * @param salt    hot-bucket split factor (see object scaladoc);
+    *                results identical for every value ≥ 1
+    * @param excludeSameId drop candidates whose vec_id equals the
+    *                query's — the self-join convention; pass false for
+    *                unrelated id spaces
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 0,
+              probes: Int = 1, salt: Int = 1,
+              excludeSameId: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    require(bits >= 0, s"bits must be >= 0 (0 = adaptive), got $bits")
+    val b = if (bits > 0) bits else adaptiveBits(corpus.select(col("vec_id")).count())
+    require(probes <= b + 1,
+      s"probes=$probes exceeds the ${b + 1} Hamming-≤1 buckets at bits=$b — raise bits or lower probes")
+    val c = withNorm(corpus).withColumn("bucket", signBucket(col("embedding"), b))
+    val q = withNorm(queries).withColumn("bucket", signBucket(col("embedding"), b))
+    // probe ring: own bucket, then single-bit flips of bits 0..probes-2
+    val probeArr = array(col("bucket") +:
+      (0 until probes - 1).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val probesDf = q.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"), explode(probeArr).as("probe"))
+    bucketTopK(probesDf, c, k, salt, excludeSameId)
+  }
+
+  /** The bucketed scoring tail shared by [[annTopK]]'s probe shapes:
+    * equi-join probe frame → bucketed corpus (optionally salted), exact
+    * cosine, per-query top-k. ONE definition of the ranking contract
+    * (tie-break, rounding, k) so probe variants cannot drift apart. */
+  private def bucketTopK(probes: DataFrame, bucketed: DataFrame, k: Int,
+                         salt: Int, excludeSameId: Boolean): DataFrame = {
+    val c0 = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    // hot-bucket split: corpus rows scatter over `salt` sub-buckets by id
+    // hash; each query probe covers all of them, so every (query, corpus)
+    // pair still meets exactly once — identical results, ×salt smaller
+    // per-task join state
+    val (cS, pS, saltCond) =
+      if (salt <= 1) (c0, probes, lit(true))
+      else (c0.withColumn("__salt_c", pmod(xxhash64(col("neighbor_id")), lit(salt.toLong))),
+        probes.withColumn("__salt_q",
+          explode(array((0 until salt).map(i => lit(i.toLong)): _*))),
+        col("__salt_q") === col("__salt_c"))
+    val idCond = if (excludeSameId) col("query_id") =!= col("neighbor_id") else lit(true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    pS.join(cS, col("probe") === col("bucket_b") && saltCond && idCond)
+      .select(col("query_id"), col("neighbor_id"),
+        (dotd(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+  }
+
+  /** IVF (inverted-file) ANN top-k — the scale path for billion-vector
+    * search: a `cells`-entry coarse codebook broadcasts to every
+    * executor, cell assignment is a narrow map + max_by hash-aggregate
+    * over the corpus (the ONE corpus-sized shuffle carries one row per
+    * vector), and candidates come from an equi-join on cell id across
+    * the query's `nprobe` nearest cells.
+    *
+    * The codebook is the `cells` lowest-vec_id corpus vectors (static —
+    * deterministic, no stored model; one Lloyd refinement of exactly
+    * this codebook is the s07 gate). The QUERY side must be bounded
+    * (guarded broadcast with routing advice): corpus-sized query sets
+    * should self-index via [[annTopK]] instead.
+    *
+    * @param cells  codebook size; 0 (default) derives ~√n via
+    *               [[adaptiveCells]] from a corpus count
+    * @param nprobe cells probed per query (recall/cost dial)
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 0,
+              nprobe: Int = 2, excludeSameId: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(cells >= 0, s"cells must be >= 0 (0 = adaptive), got $cells")
+    val e = withNorm(corpus)
+    val nCells = if (cells > 0) cells else adaptiveCells(e.select(col("vec_id")).count())
+    require(nprobe <= nCells, s"nprobe=$nprobe exceeds cells=$nCells")
+    val cent = e.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
+    // cell assignment as a max_by hash-aggregate, not a window: partial
+    // aggregation collapses the per-centroid scores map-side, so the one
+    // corpus-wide shuffle carries one row per vector; tie-break
+    // (-cent_id) = nearest centroid, lowest id first
+    val assign = e.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"), ccos)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    val qn = AllPairsTopK.requireBroadcastable(withNorm(queries),
+      what = "ivfTopK query set",
+      route = "self-index corpus-sized query sets with annTopK (bucket equi-join, no broadcast)")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = qn
+      .join(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("embedding").as("qe"), col("nrm").as("qn"), ccos)
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"), col("qe"), col("qn"))
+    val idCond = if (excludeSameId) col("vec_id") =!= col("query_id") else lit(true)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes).join(assign, "cell")
+      .filter(idCond)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+  }
+
+  // --------------------------------------------------------------------
+  // Vector compression: int8 symmetric quantization + product quantization
+  // --------------------------------------------------------------------
+
+  /** Symmetric int8 quantization — the storage format of a production
+    * embedding store (4× smaller than float32, integer multiply-add
+    * scoring). ONE global scale (the corpus max-|x|, a single-row
+    * broadcast); values are exact integers via floor(x·scale + 0.5)
+    * (identical semantics in every engine — never round(), whose
+    * half-cases differ). Output per row: `qv` (array<long> in [-127,
+    * 127]… ±1 from rounding), `qsq` (exact integer self-dot, so the
+    * ||a−b||² = qsq_a − 2ab + qsq_b identity needs ONE dot per scored
+    * pair), `qnrm` (√qsq). Pure transformation — persist/release is the
+    * caller's choice (the Pipeline facade wraps it with a hook). */
+  def int8Quantize(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val maxAbs = e.agg(
+      max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("m"))
+    e.crossJoin(broadcast(maxAbs))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(127.0) / col("m") + 0.5).cast("long")).as("qv"))
+      .withColumn("qsq", graft.functions.VectorFunctions.longDot(col("qv"), col("qv")))
+      .withColumn("qnrm", sqrt(col("qsq").cast("double")))
+  }
+
+  /** Exact quantized ||a-b||² via the cached-self-dot identity: one
+    * codegen'd integer dot per pair instead of three. */
+  private def sqDist(aSq: Column, a: Column, b: Column, bSq: Column): Column =
+    aSq - lit(2L) * graft.functions.VectorFunctions.longDot(a, b) + bSq
+
+  /** One row per (vector, subspace): the dsub-dim subvector + self-dot. */
+  private def subvectors(quant: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val subArr = array((0 until m).map(j => slice(col("qv"), j * dsub + 1, dsub)): _*)
+    quant.select(col("vec_id"), posexplode(subArr).as(Seq("j", "sv")))
+      .withColumn("ssq", graft.functions.VectorFunctions.longDot(col("sv"), col("sv")))
+  }
+
+  /** The static per-subspace PQ codebook: the `codes` lowest-vec_id
+    * vectors' subvectors (codes × subspaces tiny rows — broadcast). */
+  private def pqCodebook(quant: DataFrame, m: Int, dsub: Int, codes: Int): DataFrame =
+    subvectors(quant.orderBy(col("vec_id")).limit(codes), m, dsub)
+      .select(col("j").as("cj"), col("vec_id").cast("int").as("c"),
+        col("sv").as("cv"), col("ssq").as("csq"))
+
+  /** Product-quantization encoding: each int8 vector (from
+    * [[int8Quantize]]) splits into `subspaces` subvectors, each coded as
+    * its nearest of `codes` per-subspace centroids — a vector stores as
+    * `subspaces` code bytes (32× smaller than float32 at 8×16 over 64
+    * dims). Output: (vec_id, pq_code: array<int> ordered by subspace).
+    * Tie-break toward the lower code id (min-struct ordering). */
+  def pqEncode(quant: DataFrame, subspaces: Int = 8, codes: Int = 16): DataFrame = {
+    val dsub = pqDsub(quant, subspaces)
+    val cent = pqCodebook(quant, subspaces, dsub, codes)
+    subvectors(quant, subspaces, dsub)
+      .join(broadcast(cent), col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), col("c"),
+        sqDist(col("ssq"), col("sv"), col("cv"), col("csq")).as("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d"), col("c"))).as("m"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m.c").as("c")))),
+        e => e.getField("c")).as("pq_code"))
+  }
+
+  /** Subspace width from the (uniform) quantized vector length — one
+    * metadata row read; fails fast on a non-divisible split. */
+  private def pqDsub(quant: DataFrame, subspaces: Int): Int = {
+    require(subspaces >= 1, s"subspaces must be >= 1, got $subspaces")
+    val dim = quant.select(size(col("qv"))).head().getInt(0)
+    require(dim % subspaces == 0,
+      s"embedding dim $dim is not divisible into $subspaces subspaces")
+    dim / subspaces
+  }
+
+  /** PQ + ADC top-k over int8-quantized vectors ([[int8Quantize]]
+    * frames on both sides). Queries score by Asymmetric Distance
+    * Computation: a per-query subspaces×codes lookup table of partial
+    * squared distances (tiny, broadcast); each corpus vector's
+    * approximate distance is a sum of `subspaces` LUT entries — no
+    * per-pair vector arithmetic at all. ADC buys a SHORTLIST, not the
+    * final answer (the production deployment): exact re-ranking of the
+    * `shortlist` candidates recovers the precision the code bytes gave
+    * up. Query side must be bounded (guarded broadcast).
+    * Output: (query_id, rank, neighbor_id, dist2) — dist2 the EXACT
+    * quantized L2² of the re-ranked survivor (integer, scale-free). */
+  def pqTopK(quantCorpus: DataFrame, quantQueries: DataFrame, k: Int,
+             subspaces: Int = 8, codes: Int = 16, shortlist: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val dsub = pqDsub(quantCorpus, subspaces)
+    val cent = pqCodebook(quantCorpus, subspaces, dsub, codes)
+    // encode: nearest centroid per (vector, subspace), kept in row form
+    // for the ADC lookup-join (pqEncode packages the same codes as the
+    // storable array)
+    val enc = subvectors(quantCorpus, subspaces, dsub)
+      .join(broadcast(cent), col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), col("c"),
+        sqDist(col("ssq"), col("sv"), col("cv"), col("csq")).as("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d"), col("c"))).as("m"))
+      .select(col("vec_id").as("neighbor_id"), col("j").as("ej"), col("m.c").as("code"))
+    val qq = AllPairsTopK.requireBroadcastable(quantQueries,
+      what = "pqTopK query set",
+      route = "self-index corpus-sized query sets with annTopK over the raw embeddings")
+    val lut = subvectors(qq, subspaces, dsub)
+      .select(col("vec_id").as("query_id"), col("j").as("lj"),
+        col("sv").as("qsv"), col("ssq").as("qssq"))
+      .join(broadcast(cent), col("lj") === col("cj"))
+      .select(col("query_id"), col("lj"), col("c").as("lc"),
+        sqDist(col("qssq"), col("qsv"), col("cv"), col("csq")).as("pd"))
+    val topkAgg = TopK.topK(k)
+    val topShort = TopK.topK(shortlist)
+    val short = enc.join(broadcast(lut),
+        col("ej") === col("lj") && col("code") === col("lc") &&
+          col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).as("adist"))
+      // TopK ranks score DESC with id-ASC ties; negate the exact integer
+      // distance (≪ 2^53, the double stays exact)
+      .groupBy(col("query_id"))
+      .agg(topShort((col("adist") * -1L).cast("double"), col("neighbor_id")).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
+    val qvA = quantQueries.select(col("vec_id").as("query_id"),
+      col("qv").as("aqv"), col("qsq").as("asq"))
+    val qvB = quantCorpus.select(col("vec_id").as("neighbor_id"),
+      col("qv").as("bqv"), col("qsq").as("bsq"))
+    short.join(qvA, "query_id").join(qvB, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (sqDist(col("asq"), col("aqv"), col("bqv"), col("bsq")) * -1L)
+          .cast("double").as("nd"))
+      .groupBy(col("query_id"))
+      .agg(topkAgg(col("nd"), col("neighbor_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nbr.id").as("neighbor_id"), (-col("nbr.score")).cast("long").as("dist2"))
+  }
+}

@@ -102,4 +102,44 @@ object Pipeline {
       route = "bucket the queries (the LSH/IVF paths) or block-partition with AllPairsTopK for query sets past broadcast size")
     SimilarityOps.exactKnn(q, withNorm(corpus), k, excludeSameId)
   }
+
+  /** Sign-LSH ANN top-k with multiprobe — the sub-quadratic similarity
+    * search the s03/s10 gates verify, with the scale dials as arguments:
+    * `bits=0` derives the bucket count from corpus size (target bucket
+    * occupancy), `probes` widens recall linearly, `salt` splits hot
+    * buckets without changing results. See [[graft.operators.Ann]]. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 0,
+              probes: Int = 1, salt: Int = 1,
+              excludeSameId: Boolean = true): DataFrame =
+    graft.operators.Ann.annTopK(corpus, queries, k, bits, probes, salt, excludeSameId)
+
+  /** IVF ANN top-k — the billion-vector scale path the s04 gate
+    * verifies; `cells=0` derives ~√n cells, `nprobe` is the recall/cost
+    * dial. Query side must be bounded (guarded broadcast). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 0,
+              nprobe: Int = 2, excludeSameId: Boolean = true): DataFrame =
+    graft.operators.Ann.ivfTopK(corpus, queries, k, cells, nprobe, excludeSameId)
+
+  /** Symmetric int8 corpus quantization (the s08 gate's storage format:
+    * 4× smaller, integer scoring, exact cached self-dots) — persisted,
+    * with a `release()` hook: materializing the quantized table once and
+    * serving every search from it IS the point; release it when the
+    * corpus is retired. */
+  def int8Quantize(embeddings: DataFrame): (DataFrame, () => Unit) = {
+    val q = graft.operators.Ann.int8Quantize(embeddings)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (q, () => { q.unpersist(); () })
+  }
+
+  /** Product-quantization codes for an int8-quantized corpus
+    * ([[int8Quantize]] output): `subspaces` code bytes per vector —
+    * the 32×-compressed storage format behind [[pqTopK]]. */
+  def pqEncode(quant: DataFrame, subspaces: Int = 8, codes: Int = 16): DataFrame =
+    graft.operators.Ann.pqEncode(quant, subspaces, codes)
+
+  /** PQ + ADC top-k over int8-quantized frames — LUT scoring plus exact
+    * shortlist re-rank, the s09 gate's engine. */
+  def pqTopK(quantCorpus: DataFrame, quantQueries: DataFrame, k: Int,
+             subspaces: Int = 8, codes: Int = 16, shortlist: Int = 64): DataFrame =
+    graft.operators.Ann.pqTopK(quantCorpus, quantQueries, k, subspaces, codes, shortlist)
 }

@@ -45,53 +45,29 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
-    quantCache.getOrElseUpdate((s, dir), {
-      val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      // one global symmetric scale: a single-row aggregate, broadcast
-      val maxAbs = e.agg(
-        max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("m"))
-      e.crossJoin(broadcast(maxAbs))
-        .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * lit(127.0) / col("m") + 0.5).cast("long")).as("qv"))
-        // exact integer self-dot + its root, cached with the vectors: the
-        // ||a-b||² = qsq_a − 2·a·b + qsq_b identity then needs ONE dot per
-        // pair on the scoring hot loops instead of three
-        .withColumn("qsq", graft.functions.VectorFunctions.longDot(col("qv"), col("qv")))
-        .withColumn("qnrm", sqrt(col("qsq").cast("double")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    quantCache.getOrElseUpdate((s, dir),
+      // the quantization itself is the facade operator (graft.operators
+      // .Ann.int8Quantize — one global-scale broadcast, exact integer
+      // values + cached self-dots); only the persist is gate-level policy
+      graft.operators.Ann.int8Quantize(
+          Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist + drop the (session, dir) quantized-corpus cache entry —
+    * the release hook mirroring `jaccardSimilarityJoinReleasable`: the
+    * run-once gate never needs it, but a long-lived session re-pointing
+    * at new datasets must release retired entries. */
+  def releaseQuantized(s: SparkSession, dir: String): Unit =
+    quantCache.remove((s, dir)).foreach { df => df.unpersist(); () }
 
   private[queries] val materializeQuantized: Option[(SparkSession, String) => Unit] =
     Some((s, dir) => { quantizedEmbeddings(s, dir).count(); () })
 
-  /** The shared bucketed-ANN scaffold of s03/s10: equi-join a probe frame
-    * (query_id, qe, qn, probe) to the bucketed corpus, score cosines, and
-    * keep each query's top 3 — ONE definition of the ranking contract
-    * (tie-break, rounding, k), so the single- and multi-probe gates
-    * cannot drift apart. */
-  private def bucketTop3(probes: DataFrame, bucketed: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(b, col("probe") === col("bucket_b") &&
-        col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dotd(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
-      .orderBy(col("query_id"), col("rank"))
-  }
-
-  /** Sign-bit LSH bucket from the first `bits` dimensions (axis-aligned
-    * hyperplanes — deterministic, no stored model). */
+  /** Sign-bit LSH bucket — delegates to the facade operator
+    * ([[graft.operators.Ann.signBucket]]), kept here for source and SQL
+    * compatibility with earlier rounds. */
   def signBucket(e: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      when(element_at(e, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.operators.Ann.signBucket(e, bits)
 
   private def signBucketSql(e: String, bits: Int): String =
     (0 until bits).map { i =>
@@ -203,12 +179,12 @@ object SimilarityOps {
         FROM rk WHERE rank <= 3
         ORDER BY query_id, rank"""),
       (s, dir) => {
-        val e = Tables.t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-            signBucket(col("embedding"), 4).as("bucket"))
-        val probes = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("bucket").as("probe"))
-        bucketTop3(probes, e)
+        // the facade operator, pinned to the oracle's dials (bits=4,
+        // single probe, self-index); at production scale bits=0 derives
+        // the bucket count from the corpus size instead
+        val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        graft.operators.Ann.annTopK(e, e, k = 3, bits = 4, probes = 1)
+          .orderBy(col("query_id"), col("rank"))
       }),
 
     // ----- multiprobe LSH: widen candidates WITHOUT more tables -----
@@ -243,16 +219,11 @@ object SimilarityOps {
         FROM rk WHERE rank <= 3
         ORDER BY query_id, rank"""),
       (s, dir) => {
-        val e = Tables.t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-            signBucket(col("embedding"), 4).as("bucket"))
-        val probes = e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"),
-          explode(array(col("bucket"),
-            col("bucket").bitwiseXOR(lit(1L)), col("bucket").bitwiseXOR(lit(2L)),
-            col("bucket").bitwiseXOR(lit(4L)), col("bucket").bitwiseXOR(lit(8L))))
-            .as("probe"))
-        bucketTop3(probes, e)
+        // probes=5 = own bucket + the full Hamming-1 ring at bits=4 —
+        // the facade's multiprobe dial at the oracle's pinned settings
+        val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        graft.operators.Ann.annTopK(e, e, k = 3, bits = 4, probes = 5)
+          .orderBy(col("query_id"), col("rank"))
       }),
 
     // ----- IVF ANN: coarse-quantize to centroid cells, probe top-2 cells -----
@@ -292,42 +263,11 @@ object SimilarityOps {
         FROM rk WHERE rank <= 3
         ORDER BY query_id, rank"""),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = Tables.t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-        val cent = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-        val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
-        // Cell assignment as a max_by hash-aggregate, not a window: partial
-        // aggregation collapses the 16 centroid scores per vector map-side,
-        // so the one corpus-wide shuffle carries one row per vector.
-        // Tie-break (-cent_id) matches the oracle's `crank = 1` ordering.
-        val assign = e.join(broadcast(cent))
-          .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"), ccos)
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
-            first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-        // Probes restrict to the query set BEFORE scoring (row_number is
-        // per-vec_id, so dropping other vectors cannot change the ranks),
-        // then broadcast: the query set is tiny by construction.
-        val cw = Window.partitionBy(col("query_id"))
-          .orderBy(col("ccos").desc, col("cent_id").asc)
-        val probes = e.filter(col("vec_id") % 100 === 0)
-          .join(broadcast(cent))
-          .select(col("vec_id").as("query_id"), col("cent_id"),
-            col("embedding").as("qe"), col("nrm").as("qn"), ccos)
-          .withColumn("crank", row_number().over(cw))
-          .filter(col("crank") <= 2)
-          .select(col("query_id"), col("cent_id").as("cell"), col("qe"), col("qn"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("neighbor_id").asc)
-        broadcast(probes).join(assign, "cell")
-          .filter(col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            (dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+        // the facade operator at the oracle's pinned dials (16 static
+        // cells, 2 probes); cells=0 derives ~√n cells at production scale
+        val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        graft.operators.Ann.ivfTopK(e, e.filter(col("vec_id") % 100 === 0),
+            k = 3, cells = 16, nprobe = 2)
           .orderBy(col("query_id"), col("rank"))
       }),
 
@@ -444,6 +384,84 @@ object SimilarityOps {
             // mirrored conceptual bug in both engines trip the gate
             (col("hm").cast("double") / (lit(3) * col("nq")) >= 0.40).as("mp_ok"),
             (col("hm") >= col("hl")).as("mp_ge_lsh"))
+      }),
+
+    // ----- bucket-width dial audit: annTopK at 8 bits vs 4 bits -----
+    // The facade's `bits` parameter is THE dial that keeps LSH candidate
+    // generation sub-quadratic (buckets scale with the corpus, per the
+    // adaptiveBits discipline); this gate proves turning it does not
+    // change semantics: both widths run through the same facade code,
+    // both recalls are value-checked against exact ground truth, and the
+    // ordering recall(4) ≥ recall(8) is PINNED in the oracle — provable,
+    // because agreeing on the first 8 signs implies agreeing on the
+    // first 4, so candidates(8 bits) ⊆ candidates(4 bits), and hits are
+    // |G ∩ C| (ground-truth members outrank every other candidate),
+    // monotone under candidate inclusion. A facade change that broke
+    // bucket nesting or scoring at EITHER width fails the hash.
+    QuerySpec(
+      "s11_ann_bits_scaling",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+                          ${signBucketSql("embedding", 4)} AS b4,
+                          ${signBucketSql("embedding", 8)} AS b8
+                   FROM embeddings),
+             q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+             ex AS (SELECT query_id, neighbor_id FROM (
+                      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                             row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) DESC,
+                                        c.vec_id ASC) AS rank
+                      FROM q JOIN n c ON c.vec_id != q.vec_id)
+                    WHERE rank <= 3),
+             w4 AS (SELECT query_id, neighbor_id FROM (
+                      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                             row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) DESC,
+                                        b.vec_id ASC) AS rank
+                      FROM q a JOIN n b ON a.b4 = b.b4 AND a.vec_id != b.vec_id)
+                    WHERE rank <= 3),
+             w8 AS (SELECT query_id, neighbor_id FROM (
+                      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                             row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) DESC,
+                                        b.vec_id ASC) AS rank
+                      FROM q a JOIN n b ON a.b8 = b.b8 AND a.vec_id != b.vec_id)
+                    WHERE rank <= 3)
+        SELECT nq AS n_queries, h4 AS hits_b4, h8 AS hits_b8,
+               CAST(h4 AS DOUBLE)/(3*nq) AS recall_b4,
+               CAST(h8 AS DOUBLE)/(3*nq) AS recall_b8,
+               true AS b4_ok, true AS b4_ge_b8
+        FROM (SELECT (SELECT count(*) FROM q) AS nq,
+                     (SELECT count(*) FROM ex JOIN w4 USING (query_id, neighbor_id)) AS h4,
+                     (SELECT count(*) FROM ex JOIN w8 USING (query_id, neighbor_id)) AS h8)"""),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val queries = e.filter(col("vec_id") % 100 === 0)
+        def pairsAt(bits: Int) =
+          graft.operators.Ann.annTopK(e, queries, k = 3, bits = bits, probes = 1)
+            .select(col("query_id"), col("neighbor_id"))
+        val w4 = pairsAt(4)
+        val w8 = pairsAt(8)
+        val en = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val q = graft.operators.AllPairsTopK.requireBroadcastable(
+          en.filter(col("vec_id") % 100 === 0),
+          what = "s11 recall query set",
+          route = "recall audits should sample a bounded query set")
+        val exact = exactKnn(q, en, k = 3).select(col("query_id"), col("neighbor_id"))
+        val nq = q.agg(count(lit(1)).as("nq"))
+        val h4 = exact.join(w4, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("h4"))
+        val h8 = exact.join(w8, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("h8"))
+        nq.crossJoin(h4).crossJoin(h8)
+          .select(col("nq").as("n_queries"), col("h4").as("hits_b4"), col("h8").as("hits_b8"),
+            (col("h4").cast("double") / (lit(3) * col("nq"))).as("recall_b4"),
+            (col("h8").cast("double") / (lit(3) * col("nq"))).as("recall_b8"),
+            // both booleans PINNED true in the oracle: a recall collapse
+            // at the s06-calibrated floor, or a nesting violation
+            // (possible only through a facade bucketing bug), fails the
+            // hash even if mirrored conceptually in both engines
+            (col("h4").cast("double") / (lit(3) * col("nq")) >= 0.10).as("b4_ok"),
+            (col("h4") >= col("h8")).as("b4_ge_b8"))
       }),
 
     // ----- trained coarse quantizer: one Lloyd refinement of the IVF
@@ -749,7 +767,6 @@ object SimilarityOps {
         FROM (SELECT (SELECT count(*) FROM qd WHERE vec_id % 100 = 0) AS nq,
                      (SELECT count(*) FROM ex JOIN rr USING (query_id, neighbor_id)) AS h)"""),
       (s, dir) => {
-        val M = 8; val dsub = 8; val nCodes = 16
         val longDot = graft.functions.VectorFunctions.longDot _
         // exact ||a-b||² via qsq_a − 2·a·b + qsq_b with PRE-COMPUTED self
         // dots: one codegen'd dot per pair on the hot loops, not three
@@ -757,68 +774,18 @@ object SimilarityOps {
         def sqDist(aSq: Column, a: Column, b: Column, bSq: Column): Column =
           aSq - lit(2L) * longDot(a, b) + bSq
         val quant = quantizedEmbeddings(s, dir)
-        // one row per (vector, subspace): the 8-dim subvector + its self-dot
-        val subArr = array((0 until M).map(j => slice(col("qv"), j * dsub + 1, dsub)): _*)
-        val sub = quant.select(col("vec_id"), posexplode(subArr).as(Seq("j", "sv")))
-          .withColumn("ssq", longDot(col("sv"), col("sv")))
-        // static per-subspace codebook: the first-16 vectors' subvectors
-        // (8×16 = 128 tiny rows — broadcast, like s04's coarse codebook)
-        val cent = sub.filter(col("vec_id") < nCodes)
-          .select(col("j").as("cj"), col("vec_id").cast("int").as("c"),
-            col("sv").as("cv"), col("ssq").as("csq"))
-        // encode: nearest centroid per (vector, subspace); min(struct) is
-        // (dist ASC, c ASC) — the oracle's tie rule
-        val enc = sub.join(broadcast(cent), col("j") === col("cj"))
-          .select(col("vec_id"), col("j"), col("c"),
-            sqDist(col("ssq"), col("sv"), col("cv"), col("csq")).as("d"))
-          .groupBy(col("vec_id"), col("j"))
-          .agg(min(struct(col("d"), col("c"))).as("m"))
-          .select(col("vec_id").as("neighbor_id"), col("j").as("ej"), col("m.c").as("code"))
-        // per-query LUT: partial squared distance to every centroid of
-        // every subspace (queries × 8 × 16 rows — broadcast)
-        val lut = sub.filter(col("vec_id") % 100 === 0)
-          .select(col("vec_id").as("query_id"), col("j").as("lj"),
-            col("sv").as("qsv"), col("ssq").as("qssq"))
-          .join(broadcast(cent), col("lj") === col("cj"))
-          .select(col("query_id"), col("lj"), col("c").as("lc"),
-            sqDist(col("qssq"), col("qsv"), col("cv"), col("csq")).as("pd"))
-        // ADC: approximate distance = Σ over subspaces of LUT[code]; the
-        // only per-corpus-row work is 8 lookup-joins + a sum — no vector
-        // arithmetic touches corpus data at scoring time. ADC quality
-        // buys a SHORTLIST, not the final answer (the production PQ
-        // deployment): exact re-ranking on the 64-candidate shortlist
-        // recovers the precision the 8-byte codes gave up.
-        val topk = graft.operators.TopK.topK(3)
-        val top64 = graft.operators.TopK.topK(64)
-        val shortlist = enc.join(broadcast(lut),
-            col("ej") === col("lj") && col("code") === col("lc") &&
-              col("neighbor_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("neighbor_id"))
-          .agg(sum(col("pd")).as("adist"))
-          // TopK ranks score DESC with id-ASC ties; negate the exact
-          // integer distance (≪ 2^53, so the double is still exact)
-          .groupBy(col("query_id"))
-          .agg(top64((col("adist") * -1L).cast("double"), col("neighbor_id")).as("nbrs"))
-          .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
-        // exact re-rank of the shortlist: 64 full-precision distances per
-        // query — constant work per query, independent of corpus size
-        val qvA = quant.select(col("vec_id").as("query_id"),
-          col("qv").as("aqv"), col("qsq").as("asq"))
-        val qvB = quant.select(col("vec_id").as("neighbor_id"),
-          col("qv").as("bqv"), col("qsq").as("bsq"))
-        val approx = shortlist.join(qvA, "query_id").join(qvB, "neighbor_id")
-          .select(col("query_id"), col("neighbor_id"),
-            (sqDist(col("asq"), col("aqv"), col("bqv"), col("bsq")) * -1L)
-              .cast("double").as("nd"))
-          .groupBy(col("query_id"))
-          .agg(topk(col("nd"), col("neighbor_id")).as("nbrs"))
-          .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
-        // exact ground truth on the same quantized vectors: guarded query
-        // broadcast + bounded top-k, L2 by the same cached-self-dot identity
+        // guarded query set, then the facade operator at the oracle's
+        // pinned dials (8 subspaces × 16 codes, 64-candidate shortlist)
         val qq = graft.operators.AllPairsTopK.requireBroadcastable(
           quant.filter(col("vec_id") % 100 === 0),
           what = "s09 PQ query set",
           route = "recall audits should sample a bounded query set")
+        val approx = graft.operators.Ann.pqTopK(quant, qq, k = 3,
+            subspaces = 8, codes = 16, shortlist = 64)
+          .select(col("query_id"), col("neighbor_id"))
+        // exact ground truth on the same quantized vectors: guarded query
+        // broadcast + bounded top-k, L2 by the same cached-self-dot identity
+        val topk = graft.operators.TopK.topK(3)
         val exact = quant
           .select(col("vec_id").as("neighbor_id"), col("qv").as("cqv"), col("qsq").as("csq2"))
           .join(broadcast(qq.select(col("vec_id").as("query_id"),

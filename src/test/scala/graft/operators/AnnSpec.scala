@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.stac.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The user-callable ANN operator surface (graft.operators.Ann) — the
+  * engine the s03/s04/s08/s09/s10 gates value-check against DuckDB;
+  * these specs pin the library-surface contracts the gates cannot see:
+  * the adaptive dials, the salt-invariance proof, probe nesting, and
+  * the guard messages. */
+class AnnSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: 64-dim embeddings with sign
+    * structure driven by the id (NO RNG — reproducible membership). */
+  private def corpus(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => (sin(col("id") * (d + 1) + d * 0.7) + 0.01f).cast("float")).as("embedding"))
+
+  private def collected(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.select("query_id", "rank", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+
+  test("adaptiveBits scales the bucket count with the corpus") {
+    assert(Ann.adaptiveBits(0) == 4) // floor
+    assert(Ann.adaptiveBits(1000, 1024) == 4)
+    assert(Ann.adaptiveBits(1024 * 16, 1024) == 4)
+    assert(Ann.adaptiveBits(1024 * 32, 1024) == 5)
+    assert(Ann.adaptiveBits(1L << 40, 1024) == 30) // 2^30 buckets for 2^40 rows
+    assert(Ann.adaptiveBits(Long.MaxValue) == 32)  // ceiling
+    // monotone: more rows never means fewer buckets
+    val bits = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L).map(Ann.adaptiveBits(_))
+    assert(bits == bits.sorted)
+  }
+
+  test("adaptiveCells follows the ~sqrt(n) rule with clamps") {
+    assert(Ann.adaptiveCells(0) == 16)
+    assert(Ann.adaptiveCells(10000) == 100)
+    assert(Ann.adaptiveCells(1000000) == 1000)
+    assert(Ann.adaptiveCells(Long.MaxValue) == 65536)
+  }
+
+  test("annTopK finds bucket-mates and never the query itself") {
+    val c = corpus(200)
+    val got = Ann.annTopK(c, c, k = 3, bits = 4, probes = 1)
+    val rows = collected(got)
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, _, n, _) => q != n })
+    assert(rows.forall { case (_, r, _, _) => r >= 1 && r <= 3 })
+    // per-query ranks are dense from 1 and cosines non-increasing
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Seq((_, _, _, a), (_, _, _, b)) => a >= b; case _ => true })
+    }
+  }
+
+  test("salt > 1 returns IDENTICAL results to salt = 1 (hot-bucket split is lossless)") {
+    val c = corpus(300)
+    val base = collected(Ann.annTopK(c, c, k = 3, bits = 4, probes = 3, salt = 1))
+    val split = collected(Ann.annTopK(c, c, k = 3, bits = 4, probes = 3, salt = 7))
+    assert(base == split)
+  }
+
+  test("multiprobe candidates nest: more probes never lowers a query's best cosine") {
+    val c = corpus(250)
+    def best(df: DataFrame): Map[Long, Double] =
+      collected(df).filter(_._2 == 1).map(t => t._1 -> t._4).toMap
+    val p1 = best(Ann.annTopK(c, c, k = 1, bits = 5, probes = 1))
+    val p4 = best(Ann.annTopK(c, c, k = 1, bits = 5, probes = 4))
+    // probe sets nest (own bucket ⊂ own+flips), so every query seen at
+    // p1 is seen at p4 with an equal-or-better top hit
+    p1.foreach { case (q, cos1) => assert(p4(q) >= cos1 - 1e-12) }
+    assert(p1.keySet.subsetOf(p4.keySet))
+  }
+
+  test("adaptive bits (bits=0) runs and respects the probe cap") {
+    val c = corpus(120)
+    val got = Ann.annTopK(c, c, k = 2, bits = 0, probes = 2)
+    assert(collected(got).nonEmpty)
+    val err = intercept[IllegalArgumentException](
+      Ann.annTopK(c, c, k = 2, bits = 3, probes = 9))
+    assert(err.getMessage.contains("probes"))
+  }
+
+  test("ivfTopK matches exactKnn when every cell is probed") {
+    val c = corpus(80)
+    val queries = c.filter(col("vec_id") % 20 === 0)
+    // probing ALL cells makes IVF exhaustive — must equal brute force
+    val ivf = collected(Ann.ivfTopK(c, queries, k = 3, cells = 4, nprobe = 4))
+    val exact = graft.queries.Pipeline.exactKnn(c, queries, k = 3)
+    val ex = collected(exact)
+    assert(ivf == ex)
+  }
+
+  test("ivfTopK guards a corpus-sized query set with routing advice") {
+    val c = corpus(60)
+    val err = intercept[IllegalArgumentException](
+      AllPairsTopK.requireBroadcastable(c, "ivfTopK query set",
+        "self-index corpus-sized query sets with annTopK", maxRows = 10L))
+    assert(err.getMessage.contains("annTopK"))
+  }
+
+  test("int8Quantize: values in [-127,127], qsq/qnrm consistent, scale preserves argmax") {
+    val c = corpus(50)
+    val q = Ann.int8Quantize(c)
+    val rows = q.select(col("vec_id"), col("qv"), col("qsq"), col("qnrm")).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val qv = r.getSeq[Long](1)
+      assert(qv.forall(v => v >= -128 && v <= 128)) // ±1 from floor(+0.5) rounding
+      assert(r.getLong(2) == qv.map(v => v * v).sum)
+      assert(math.abs(r.getDouble(3) - math.sqrt(r.getLong(2).toDouble)) < 1e-9)
+    }
+    // the corpus max-|x| element maps to ±127 exactly
+    val maxQ = rows.flatMap(_.getSeq[Long](1)).map(math.abs).max
+    assert(maxQ == 127L)
+  }
+
+  test("pqEncode emits one code per subspace, codes within range") {
+    val c = corpus(40)
+    val quant = Ann.int8Quantize(c)
+    val enc = Ann.pqEncode(quant, subspaces = 8, codes = 16)
+    val rows = enc.select(col("vec_id"), col("pq_code")).collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.length == 8)
+      assert(codes.forall(cd => cd >= 0 && cd < 16))
+    }
+    // a codebook vector encodes as itself in every subspace (distance 0)
+    val self = rows.find(_.getLong(0) == 3L).get.getSeq[Int](1)
+    assert(self == Seq.fill(8)(3))
+  }
+
+  test("pqTopK re-rank: full-shortlist PQ equals exact quantized search") {
+    val c = corpus(60)
+    val quant = Ann.int8Quantize(c)
+    val queries = quant.filter(col("vec_id") % 15 === 0)
+    // shortlist = whole corpus → the exact re-rank IS exact quantized-L2 top-k
+    val pq = Ann.pqTopK(quant, queries, k = 3, subspaces = 8, codes = 16, shortlist = 59)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val exact = quant.as("a").join(quant.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .where(col("a.vec_id") % 15 === 0)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        (col("a.qsq") - lit(2L) * graft.functions.VectorFunctions.longDot(col("a.qv"), col("b.qv"))
+          + col("b.qsq")).as("d"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d").asc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(pq == exact)
+  }
+
+  test("pqTopK rejects a non-divisible subspace split and an undersized shortlist") {
+    val c = corpus(30)
+    val quant = Ann.int8Quantize(c)
+    val q = quant.filter(col("vec_id") === 0)
+    val e1 = intercept[IllegalArgumentException](Ann.pqTopK(quant, q, 3, subspaces = 7))
+    assert(e1.getMessage.contains("divisible"))
+    val e2 = intercept[IllegalArgumentException](Ann.pqTopK(quant, q, 5, shortlist = 3))
+    assert(e2.getMessage.contains("shortlist"))
+  }
+}

@@ -44,6 +44,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("int8Quantize persists with a release hook; ANN facade delegations run") {
+    val c = spark.range(60).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        d => (sin(col("id") * (d + 1) + d * 0.7) + 0.01f).cast("float")).as("embedding"))
+    val (quant, release) = Pipeline.int8Quantize(c)
+    assert(quant.count() == 60)
+    assert(quant.storageLevel.useMemory) // materialized once, served many times
+    val pq = Pipeline.pqTopK(quant, quant.filter(col("vec_id") % 20 === 0), k = 2)
+    assert(pq.count() > 0)
+    release()
+    assert(quant.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    assert(Pipeline.annTopK(c, c, k = 2, bits = 4, probes = 2).count() > 0)
+    assert(Pipeline.ivfTopK(c, c.filter(col("vec_id") < 3), k = 2, cells = 4).count() > 0)
+    assert(Pipeline.pqEncode(Pipeline.int8Quantize(c) match {
+      case (q, rel) => { val r = q; rel(); r } // encode plans fine post-release
+    }).count() == 60)
+  }
+
   test("empty inputs flow through without errors") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("id", "text")
     assert(Pipeline.exactDedupKeepers(emptyDocs, col("text"), col("id")).count() == 0)
