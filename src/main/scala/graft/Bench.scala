@@ -61,20 +61,35 @@ object Bench {
       org.apache.spark.GraftSparkShim.drainListenerBus(spark)
       metrics.resetPeak()
       val before = metrics.snapshot()
-      val t0 = System.nanoTime()
-      try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val secs = (System.nanoTime() - t0) / 1e9
+      val first = once()
+      // counters describe ONE logical execution of each query — snapshot
+      // before the adjudication re-run or every rows/bytes figure doubles
       timedCounters = timedCounters.plus(quiescedSnapshot().minus(before))
-      spec.name -> secs
+      // single-shot numbers produced phantom ×3-5 "regressions" in past
+      // rounds (JIT/codegen cold-start + host noisy neighbors): a second
+      // run makes the line self-adjudicating — `steady` = min(first,
+      // second) is the number to trend round-over-round; `first` keeps
+      // the cold-start cost visible
+      val steady = math.min(first, once())
+      (spec.name, first, steady)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(f: ((String, Double, Double)) => (String, Double)) =
+      results.map(r => { val (k, v) = f(r); "\"" + k + "\":" + v })
+        .mkString("{", ",", "}")
+    val qs = jmap { case (k, first, _) => (k, first) }
+    val qsSteady = jmap { case (k, _, steady) => (k, steady) }
     val total = results.map(_._2).sum
+    val totalSteady = results.map(_._3).sum
     val counters = graft.stac.IngestMetrics.json(timedCounters, total)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"counters":$counters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":$qs,"queries_steady":$qsSteady,"counters":$counters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
