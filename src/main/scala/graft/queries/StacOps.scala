@@ -119,6 +119,10 @@ object StacOps {
   private val upsertDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** stac17's stable evolved-layout target per (session, dataset). */
+  private val evoDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   private def itemsFragmented(s: SparkSession, dir: String): String =
     fragTables.getOrElseUpdate((s, dir), {
       val out = java.nio.file.Files.createTempDirectory("stac_frag").toString + "/items"
@@ -715,6 +719,68 @@ object StacOps {
           .groupBy(col("version"))
           .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
             sum(col("cents")).as("cents_sum"))
+          .orderBy(col("version"))
+      },
+      timed = false),
+
+    // ----- schema-evolution upsert: mergeSchema over evolved part files -----
+    // Real lake maintenance hits ADDED columns, not just new rows: the
+    // v2 writer ships a `quality` column the v1 files never had. The
+    // gate writes genuinely divergent parquet (v1 schema without the
+    // column, v2 schema with it), reads them back under `mergeSchema`
+    // (the permissive unify — reference anchor
+    // stac_geoparquet/_schema/models.py:52-59, which widens by unioning
+    // fields and nulling absences), applies the stac16 one-pass MERGE,
+    // and value-checks the accounting INCLUDING the null contract:
+    // count(quality) must be 0 for surviving v1 rows and n for v2 rows,
+    // so a reader that dropped the new column, defaulted it, or
+    // back-filled v1 rows fails the hash. Schema nullability is also
+    // asserted in-gate.
+    QuerySpec(
+      "stac17_schema_evolution",
+      Some("""
+        WITH base AS (SELECT o_orderkey AS id,
+                             CAST(round(o_totalprice*100,0) AS BIGINT) AS cents,
+                             1 AS version, CAST(NULL AS VARCHAR) AS quality
+                      FROM orders),
+             upd AS (SELECT id, cents + 7 AS cents, 2 AS version,
+                            'q' || CAST(id % 5 AS VARCHAR) AS quality
+                     FROM base WHERE id % 10 = 0),
+             merged AS (SELECT b.* FROM base b
+                        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.id = b.id)
+                        UNION ALL SELECT * FROM upd)
+        SELECT version, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
+               CAST(sum(cents) AS BIGINT) AS cents_sum,
+               CAST(count(quality) AS BIGINT) AS n_quality,
+               CAST(count(*) - count(quality) AS BIGINT) AS n_missing_quality
+        FROM merged
+        GROUP BY version
+        ORDER BY version"""),
+      (s, dir) => {
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            Relational.cents(col("o_totalprice")).as("cents"),
+            lit(1).as("version"))
+        val upd = base.filter(col("id") % 10 === 0)
+          .select(col("id"), (col("cents") + 7).as("cents"), lit(2).as("version"),
+            concat(lit("q"), (col("id") % 5).cast("string")).as("quality"))
+        val out = evoDirs.getOrElseUpdate((s, dir),
+          java.nio.file.Files.createTempDirectory("stac17").toString)
+        base.write.mode("overwrite").parquet(out + "/v1") // quality-less schema
+        upd.write.mode("overwrite").parquet(out + "/v2")  // evolved schema
+        val merged = s.read.option("mergeSchema", "true").parquet(out + "/v1", out + "/v2")
+        require(merged.schema.fieldNames.contains("quality") &&
+          merged.schema("quality").nullable,
+          "mergeSchema must surface the evolved column as nullable")
+        val m1 = merged.filter(col("version") === 1)
+        val m2 = merged.filter(col("version") === 2)
+        m1.join(m2.select(col("id")), Seq("id"), "left_anti")
+          .unionByName(m2)
+          .groupBy(col("version"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("id_sum"),
+            sum(col("cents")).as("cents_sum"),
+            count(col("quality")).as("n_quality"),
+            (count(lit(1)) - count(col("quality"))).as("n_missing_quality"))
           .orderBy(col("version"))
       },
       timed = false),
