@@ -1,0 +1,107 @@
+package graft.stac
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Chaos test for the GeoParquet footer-rewrite crash protocol
+  * (GeoParquetWriter.rewriteWithMetadata / recoverOrphans): a process
+  * killed between the two renames must never lose the data file —
+  * the hidden `.geo.bak` IS the data, and the next pass restores it. */
+class GeoParquetWriterSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  import spark.implicits._
+
+  /** A clean Configuration routed at the (well-behaved) local FS. */
+  private def cleanConf: Configuration = {
+    val c = new Configuration(spark.sparkContext.hadoopConfiguration)
+    c.set("fs.file.impl.disable.cache", "true")
+    c
+  }
+
+  /** A Configuration whose file:// FS throws on the protocol's SECOND
+    * rename (tmp → visible name) while armed — the process-kill moment
+    * the scaladoc claims is survivable. */
+  private def crashingConf: Configuration = {
+    val c = cleanConf
+    c.set("fs.file.impl", classOf[CrashingLocalFileSystem].getName)
+    c
+  }
+
+  private def writeOnePart(dir: String): String = {
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .head.getAbsolutePath
+  }
+
+  test("crash between the renames loses nothing; recoverOrphans restores the data file") {
+    val dir = java.nio.file.Files.createTempDirectory("gpw_chaos").toString
+    val part = writeOnePart(dir)
+    val kv = Map("geo" -> """{"version":"1.1.0"}""")
+
+    // inject the kill: first rename (visible → .geo.bak) succeeds, second
+    // (tmp → visible) throws mid-protocol, like a lost executor would
+    CrashingLocalFileSystem.armed = true
+    val boom = intercept[java.io.IOException] {
+      try GeoParquetWriter.rewriteWithMetadata(crashingConf, part, kv)
+      finally CrashingLocalFileSystem.armed = false
+    }
+    assert(boom.getMessage.contains("injected crash"))
+
+    // post-crash state: the visible name is GONE but the backup holds the
+    // only copy of the data — the no-loss window the protocol guarantees
+    val partFile = new java.io.File(part)
+    val bak = new java.io.File(partFile.getParent, s".${partFile.getName}.geo.bak")
+    assert(!partFile.exists(), "crash happened after the visible file moved aside")
+    assert(bak.exists(), "the backup must survive the crash")
+
+    // next pass: recovery restores the visible file, data intact
+    GeoParquetWriter.recoverOrphans(cleanConf, dir)
+    assert(partFile.exists() && !bak.exists())
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().sorted ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // and the retried rewrite completes: footer carries the metadata,
+    // rows unchanged, no hidden residue
+    GeoParquetWriter.rewriteWithMetadata(cleanConf, part, kv)
+    val footer = GeoParquetWriter.readFooterMetadata(cleanConf, part)
+    assert(footer.get("geo").contains("""{"version":"1.1.0"}"""))
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".geo.bak")))
+  }
+
+  test("recoverOrphans treats a leftover backup beside a completed rewrite as garbage") {
+    val dir = java.nio.file.Files.createTempDirectory("gpw_leftover").toString
+    val part = writeOnePart(dir)
+    GeoParquetWriter.rewriteWithMetadata(cleanConf, part, Map("k" -> "v"))
+    // crash AFTER the second rename but before the backup delete: both
+    // the rewritten visible file and the stale backup exist
+    val partFile = new java.io.File(part)
+    val bak = new java.io.File(partFile.getParent, s".${partFile.getName}.geo.bak")
+    java.nio.file.Files.copy(partFile.toPath, bak.toPath)
+    GeoParquetWriter.recoverOrphans(cleanConf, dir)
+    assert(partFile.exists() && !bak.exists(), "completed rewrite wins; backup is residue")
+    assert(GeoParquetWriter.readFooterMetadata(cleanConf, part).get("k").contains("v"))
+  }
+}
+
+/** file:// FileSystem that throws on the footer protocol's second rename
+  * (…/.geo.tmp → visible …parquet) while armed — simulating a process
+  * kill at the exact point the crash-safety scaladoc promises to
+  * survive. Instantiated reflectively by Hadoop via `fs.file.impl`. */
+class CrashingLocalFileSystem extends org.apache.hadoop.fs.LocalFileSystem {
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (CrashingLocalFileSystem.armed &&
+        src.getName.endsWith(".geo.tmp") && dst.getName.endsWith(".parquet"))
+      throw new java.io.IOException(s"injected crash between renames: $src -> $dst")
+    super.rename(src, dst)
+  }
+}
+
+object CrashingLocalFileSystem {
+  @volatile var armed = false
+}
