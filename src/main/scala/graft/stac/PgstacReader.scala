@@ -28,8 +28,13 @@ object PgstacReader {
       endDatetime: Option[String] = None,
       cql2Json: Option[String] = None): String = cql2Json match {
     case Some(filter) =>
-      // F2: delegate filtering to pgstac's search()
-      s"""SELECT id, geometry, collection, datetime, end_datetime, content
+      // F2: delegate filtering to pgstac's search(). Columns must be
+      // items-qualified: the search results also carry `id`, and an
+      // unqualified list is a binder error on any engine — caught the
+      // first time this statement actually EXECUTED (PgstacLiveSpec's
+      // vendored search_query), not by the earlier string pins.
+      s"""SELECT items.id, items.geometry, items.collection,
+          items.datetime, items.end_datetime, items.content
           FROM search_query('${filter.replace("'", "''")}') AS s
           JOIN items ON items.id = s.id""".stripMargin
     case None =>
@@ -76,16 +81,23 @@ object PgstacReader {
     * so the scan parallelizes only when the datetime range is known
     * (it always is on the K6 sync path — partition ranges come from S6);
     * otherwise it falls back to a single-partition read. */
+  /** @param cql2Json a CQL2 JSON filter to DELEGATE to pgstac's
+    *   `search_query()` SQL function (F2) — when set, the server's own
+    *   CQL2 engine resolves the predicate and the other filter args are
+    *   ignored (the delegated subquery subsumes them), exactly the
+    *   reference's split of labor; datetime-range partitioning still
+    *   applies when both bounds are given */
   def readItems(
       spark: SparkSession,
       jdbcUrl: String,
       collection: Option[String] = None,
       startDatetime: Option[String] = None,
       endDatetime: Option[String] = None,
-      numPartitions: Int = 16): DataFrame = {
+      numPartitions: Int = 16,
+      cql2Json: Option[String] = None): DataFrame = {
     val base = spark.read.format("jdbc")
       .option("url", jdbcUrl)
-      .option("dbtable", s"(${itemsSql(collection, startDatetime, endDatetime)}) q")
+      .option("dbtable", s"(${itemsSql(collection, startDatetime, endDatetime, cql2Json)}) q")
       .option("fetchsize", 10000)
     val partitioned = (startDatetime, endDatetime) match {
       case (Some(lo), Some(hi)) =>

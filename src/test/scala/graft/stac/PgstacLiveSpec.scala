@@ -152,6 +152,55 @@ class PgstacLiveSpec extends AnyFunSuite {
     st.close(); conn.close()
   }
 
+  /** A minimal `search_query()`-equivalent vendored into the stand-in
+    * (the partitions_view approach applied to F2): a table macro that
+    * interprets the CQL2 JSON argument server-side — `=` on
+    * collection/id and `t_after` on datetime, enough to prove the
+    * DELEGATED subquery (`FROM search_query('…') JOIN items`) executes
+    * as SQL rather than being string-pinned. pgstac's real function
+    * covers full CQL2; the wire contract (filter JSON in, matching ids
+    * out, join back to items) is identical. */
+  private def createSearchFunction(): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("""CREATE OR REPLACE MACRO search_query(f) AS TABLE
+      SELECT id FROM items
+      WHERE CASE json_extract_string(f, '$.op')
+        WHEN '=' THEN
+          CASE json_extract_string(f, '$.args[0].property')
+            WHEN 'collection' THEN collection = json_extract_string(f, '$.args[1]')
+            WHEN 'id' THEN id = json_extract_string(f, '$.args[1]')
+            ELSE FALSE END
+        WHEN 't_after' THEN
+          datetime > CAST(json_extract_string(f, '$.args[1]') AS TIMESTAMP)
+        ELSE FALSE END""")
+    st.close(); conn.close()
+  }
+
+  test("CQL2 filter delegates to a live search_query() function (F2 through S5)") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    createSearchFunction()
+    val eq = """{"op":"=","args":[{"property":"collection"},"naip"]}"""
+    val got = PgstacReader.readItems(spark, url, cql2Json = Some(eq))
+    assert(got.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("i1", "i2", "i3", "i4"))
+    // full item columns ride back through the join, not just ids
+    assert(got.columns.toSeq ==
+      Seq("id", "geometry", "collection", "datetime", "end_datetime", "content"))
+    val after = """{"op":"t_after","args":[{"property":"datetime"},"2021-01-01T00:00:00"]}"""
+    assert(PgstacReader.readItems(spark, url, cql2Json = Some(after))
+      .select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("i3", "i4", "s2"))
+    // delegation composes with the partitioned-scan machinery: datetime
+    // bounds still split the delegated subquery into range slices
+    val sliced = PgstacReader.readItems(spark, url, cql2Json = Some(eq),
+      startDatetime = Some("2020-01-01 00:00:00"),
+      endDatetime = Some("2022-01-01 00:00:00"), numPartitions = 2)
+    assert(sliced.rdd.getNumPartitions == 2)
+    assert(sliced.select("id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("i1", "i2", "i3", "i4"))
+  }
+
   test("partitions sync query runs the pinned statement on a live connection") {
     assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
     createPartitionsView()
