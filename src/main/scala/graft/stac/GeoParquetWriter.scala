@@ -8,16 +8,22 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.{BinaryType, StructType}
 import scala.jdk.CollectionConverters._
 
-/** K1: GeoParquet sink — `df.write.parquet` for the data path plus a
-  * per-file footer rewrite that attaches the `geo` and `stac-geoparquet`
-  * key-value metadata (`stac_geoparquet/arrow/_to_parquet.py:23-175`).
+/** K1: GeoParquet sink — part files are BORN with the `geo` and
+  * `stac-geoparquet` key-value footer metadata
+  * (`stac_geoparquet/arrow/_to_parquet.py:23-175`) via the
+  * [[GeoParquetFileFormat]] commit-time seam: the KV entries ride the
+  * write job's conf and parquet writes them into each footer at file
+  * close, inside the normal commit protocol (no second pass, no
+  * transient double-write window).
   *
-  * Spark has no API for arbitrary Parquet file-level KV metadata, so after
-  * the distributed write each part file's row groups are block-copied
+  * The per-file footer REWRITE path below ([[addFooterMetadata]] /
+  * [[rewriteWithMetadata]]) remains for attaching metadata to tables
+  * that already exist (the K6 partitioned layouts, or parquet written
+  * by other engines): each part file's row groups are block-copied
   * (`ParquetFileWriter.appendFile` — no decode/re-encode) into a file
-  * whose footer carries the merged metadata. The rewrite is
-  * embarrassingly parallel; above a threshold it fans out over executors
-  * so a 100-TB write doesn't serialize through the driver.
+  * whose footer carries the merged metadata, embarrassingly parallel,
+  * fanned out over executors above a threshold, with a crash-safe
+  * rename protocol (chaos-tested in GeoParquetWriterSpec).
   */
 object GeoParquetWriter {
 
@@ -27,13 +33,14 @@ object GeoParquetWriter {
       schemaVersion: String = StacSchema.DefaultGeoParquetVersion,
       collectionsJson: Option[String] = None,
       mode: String = "overwrite"): Unit = {
-    df.write.mode(mode).parquet(path)
     val hasProjGeometry = df.schema.fields.exists(f =>
       f.name == "proj:geometry" && f.dataType == BinaryType)
     val kv = Map(
       "geo" -> StacSchema.geoMetadata(schemaVersion, hasProjGeometry),
       "stac-geoparquet" -> StacSchema.stacGeoParquetMetadata(collectionsJson))
-    addFooterMetadata(df.sparkSession, path, kv)
+    val w = df.write.mode(mode).format("geoparquet")
+    kv.foreach { case (k, v) => w.option(GeoParquetFileFormat.OptionPrefix + k, v) }
+    w.save(path)
   }
 
   /** Attach KV metadata to every part file under `dir`. */

@@ -74,6 +74,44 @@ class GeoParquetWriterSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.endsWith(".geo.bak")))
   }
 
+  test("geoparquet format writes footers at commit time — born with metadata, no rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("gpw_born").toString + "/t"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .repartition(2) // multiple part files: every one must carry the KV
+      .write.format("geoparquet")
+      .option("kv.geo", """{"version":"1.1.0"}""")
+      .option("kv.stac-geoparquet", """{"version":"1.0.0"}""")
+      .save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(parts.length == 2)
+    parts.foreach { p =>
+      val kv = GeoParquetWriter.readFooterMetadata(cleanConf, p.getAbsolutePath)
+      assert(kv.get("geo").contains("""{"version":"1.1.0"}"""))
+      assert(kv.get("stac-geoparquet").contains("""{"version":"1.0.0"}"""))
+      // Spark's own footer entry survives alongside ours (the WriteContext
+      // was merged, not replaced) — readers still recover the Spark schema
+      assert(kv.contains("org.apache.spark.sql.parquet.row.metadata"))
+    }
+    // born-with means the rewrite protocol never ran: no hidden residue
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.contains(".geo.bak") || f.getName.contains(".geo.tmp")))
+    // and the format reads back as plain parquet
+    assert(spark.read.format("geoparquet").load(dir).count() == 2)
+  }
+
+  test("GeoParquetWriter.write produces born-with-footer files end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("gpw_write").toString + "/t"
+    val df = Seq((1L, Array[Byte](1, 2)), (2L, Array[Byte](3))).toDF("id", "geometry")
+    GeoParquetWriter.write(df, dir, collectionsJson = Some("""{"c":1}"""))
+    val part = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    val kv = GeoParquetWriter.readFooterMetadata(cleanConf, part.getAbsolutePath)
+    assert(kv.contains("geo") && kv.contains("stac-geoparquet"))
+    assert(kv("stac-geoparquet").contains("""{"c":1}"""))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("recoverOrphans treats a leftover backup beside a completed rewrite as garbage") {
     val dir = java.nio.file.Files.createTempDirectory("gpw_leftover").toString
     val part = writeOnePart(dir)
