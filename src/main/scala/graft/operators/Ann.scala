@@ -143,6 +143,95 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
   }
 
+  // --------------------------------------------------------------------
+  // Materialized LSH index: build the bucketed corpus layout ONCE, serve
+  // query batches from it with row-group pruning
+  // --------------------------------------------------------------------
+
+  /** Footer key carrying the index parameters (written born-with via the
+    * `geoparquet` format — graft.stac.GeoParquetFileFormat). */
+  val IndexMetaKey = "graft.ann.index"
+
+  /** One-time index build: bucket every corpus vector, store
+    * (vec_id, embedding, nrm, bucket) range-clustered by bucket so each
+    * parquet row group covers a narrow bucket interval and min/max stats
+    * prune serving scans. The bucket width is stamped into every part
+    * file's footer, so serving never guesses the build parameter. This
+    * is the production shape: the O(n) layout pass runs once; every
+    * query batch after it reads only probed row groups instead of
+    * re-bucketing 100 TB per search.
+    * @param files output file count (range-partitioned — NOT one dir
+    *   per bucket, which at 2^20 buckets would melt the file listing) */
+  def buildIndex(corpus: DataFrame, path: String, bits: Int, files: Int = 64): Unit = {
+    require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
+    require(files >= 1, s"files must be >= 1, got $files")
+    withNorm(corpus).withColumn("bucket", signBucket(col("embedding"), bits))
+      .repartitionByRange(files, col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("vec_id"))
+      .write.mode("overwrite").format("geoparquet")
+      .option(graft.stac.GeoParquetFileFormat.OptionPrefix + IndexMetaKey,
+        s"""{"bits":$bits}""")
+      .save(path)
+  }
+
+  /** Read the bucket width back from the index footer. */
+  def indexBits(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val it = fs.listFiles(p, true)
+    var part: Option[String] = None
+    while (part.isEmpty && it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")) part = Some(f.toString)
+    }
+    val meta = part.flatMap(f =>
+      graft.stac.GeoParquetWriter.readFooterMetadata(
+        new org.apache.hadoop.conf.Configuration(hconf), f).get(IndexMetaKey))
+    val bits = meta.flatMap(m => "\"bits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(m))
+      .map(_.group(1).toInt)
+    require(bits.isDefined,
+      s"$path is not an ANN index (no $IndexMetaKey footer entry) — build it with Ann.buildIndex")
+    bits.get
+  }
+
+  /** Serve a BOUNDED query batch from a [[buildIndex]] layout: probe
+    * generation mirrors [[annTopK]] (bits come from the index footer),
+    * and the distinct probe bucket values — tiny, by the query guard —
+    * push into the parquet scan as an `In(bucket, …)` filter, so the
+    * range-clustered layout prunes non-probed row groups instead of
+    * reading the whole corpus per batch. Past `maxPushdownProbes`
+    * distinct values the filter is skipped (a giant IN list costs more
+    * than it saves) and the bucket equi-join alone does the work —
+    * results are identical either way. Ranking contract = [[annTopK]]'s
+    * exactly (same bucketTopK tail). */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, probes: Int = 1, salt: Int = 1,
+                     excludeSameId: Boolean = true,
+                     maxPushdownProbes: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    val bits = indexBits(spark, path)
+    require(probes <= bits + 1,
+      s"probes=$probes exceeds the ${bits + 1} Hamming-≤1 buckets of this bits=$bits index")
+    val q = AllPairsTopK.requireBroadcastable(withNorm(queries),
+        what = "annTopKIndexed query batch",
+        route = "self-index corpus-sized query sets with annTopK (no index materialization)")
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val probeArr = array(col("bucket") +:
+      (0 until probes - 1).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)
+    val probesDf = q.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+      col("nrm").as("qn"), explode(probeArr).as("probe"))
+    // bounded by the guard: ≤ guard-rows × probes values, collected once
+    val probeValues = probesDf.select(col("probe")).distinct()
+      .limit(maxPushdownProbes + 1).collect().map(_.getLong(0))
+    val idx0 = spark.read.format("geoparquet").load(path)
+    val idx = if (probeValues.length <= maxPushdownProbes)
+      idx0.filter(col("bucket").isin(probeValues: _*)) else idx0
+    bucketTopK(probesDf, idx, k, salt, excludeSameId)
+  }
+
   /** IVF (inverted-file) ANN top-k — the scale path for billion-vector
     * search: a `cells`-entry coarse codebook broadcasts to every
     * executor, cell assignment is a narrow map + max_by hash-aggregate

@@ -113,6 +113,17 @@ object Pipeline {
               excludeSameId: Boolean = true): DataFrame =
     graft.operators.Ann.annTopK(corpus, queries, k, bits, probes, salt, excludeSameId)
 
+  /** One-time materialized LSH index build + bounded-batch serving with
+    * probe pushdown (the s12 gate's engine) — see
+    * [[graft.operators.Ann.buildIndex]] / `annTopKIndexed`. */
+  def buildAnnIndex(corpus: DataFrame, path: String, bits: Int, files: Int = 64): Unit =
+    graft.operators.Ann.buildIndex(corpus, path, bits, files)
+
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, probes: Int = 1,
+                     salt: Int = 1): DataFrame =
+    graft.operators.Ann.annTopKIndexed(spark, path, queries, k, probes, salt)
+
   /** IVF ANN top-k — the billion-vector scale path the s04 gate
     * verifies; `cells=0` derives ~√n cells, `nprobe` is the recall/cost
     * dial. Query side must be bounded (guarded broadcast). */

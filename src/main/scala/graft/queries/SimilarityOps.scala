@@ -53,6 +53,22 @@ object SimilarityOps {
           Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** s12's one-time materialized LSH index layout per (session, dataset)
+    * — the production shape: the O(n) bucket-clustered build runs once
+    * (untimed prepare, like the bucketed tables and the ndjson corpus),
+    * every query batch after it serves from the layout. */
+  private val annIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def annIndex(s: SparkSession, dir: String): String =
+    annIndexDirs.getOrElseUpdate((s, dir), {
+      val path = java.nio.file.Files.createTempDirectory("ann_index").toString + "/idx"
+      graft.operators.Ann.buildIndex(
+        Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        path, bits = 4, files = 8)
+      path
+    })
+
   /** Unpersist + drop the (session, dir) quantized-corpus cache entry —
     * the release hook mirroring `jaccardSimilarityJoinReleasable`: the
     * run-once gate never needs it, but a long-lived session re-pointing
@@ -385,6 +401,58 @@ object SimilarityOps {
             (col("hm").cast("double") / (lit(3) * col("nq")) >= 0.40).as("mp_ok"),
             (col("hm") >= col("hl")).as("mp_ge_lsh"))
       }),
+
+    // ----- materialized-index serving: build once, probe row groups -----
+    // The deployment shape of the LSH path at 100 TB: Ann.buildIndex
+    // lays the corpus out ONCE, range-clustered by bucket with the
+    // bucket width stamped in the parquet footer (born-with via the
+    // geoparquet format), and every query batch after it serves through
+    // Ann.annTopKIndexed — probe values push into the scan as an
+    // In(bucket, …) filter, so row-group min/max stats prune the
+    // non-probed corpus instead of re-reading and re-bucketing it per
+    // batch. The gate asserts the pushdown actually reached the scan
+    // (stac13 discipline) and value-checks the served results
+    // row-for-row against the oracle's from-scratch multiprobe
+    // derivation — layout, footer round trip, probe generation, and
+    // ranking must all agree with the inline path to stay green.
+    QuerySpec(
+      "s12_ann_indexed",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+                          ${signBucketSql("embedding", 4)} AS bucket
+                   FROM embeddings),
+             p AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                  xor(bucket, 4), xor(bucket, 8)]) AS probe
+                   FROM n WHERE vec_id % 100 = 0),
+             sc AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+                           ${dotSql("p.qe", "b.embedding")} / (p.qn * b.nrm) AS cos
+                    FROM p JOIN n b ON b.bucket = p.probe AND b.vec_id != p.query_id),
+             rk AS (SELECT query_id, neighbor_id, cos,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM sc)
+        SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+        FROM rk WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val queries = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % 100 === 0)
+        val out = graft.operators.Ann.annTopKIndexed(s, annIndex(s, dir),
+            queries, k = 3, probes = 5)
+          .orderBy(col("query_id"), col("rank"))
+        // the probed buckets must prune at the SCAN, not post-read: find
+        // the index scan and pin its pushed In(bucket, …) filter
+        val pushed = out.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metadata.getOrElse("PushedFilters", "")
+        }
+        require(pushed.exists(p => p.contains("In(bucket")),
+          s"index serving must push probe buckets into the scan, got: $pushed")
+        out
+      },
+      prepare = Some((s, dir) => { annIndex(s, dir); () })),
 
     // ----- bucket-width dial audit: annTopK at 8 bits vs 4 bits -----
     // The facade's `bits` parameter is THE dial that keeps LSH candidate

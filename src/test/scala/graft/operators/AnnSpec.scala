@@ -162,6 +162,38 @@ class AnnSpec extends AnyFunSuite {
     assert(pq == exact)
   }
 
+  test("indexed serving equals the inline path, with and without probe pushdown") {
+    val c = corpus(200)
+    val queries = c.filter(col("vec_id") % 40 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString + "/idx"
+    Ann.buildIndex(c, dir, bits = 5, files = 4)
+    assert(Ann.indexBits(spark, dir) == 5) // footer round trip
+    val inline = collected(Ann.annTopK(c, queries, k = 3, bits = 5, probes = 4))
+    val served = collected(Ann.annTopKIndexed(spark, dir, queries, k = 3, probes = 4))
+    assert(served == inline)
+    // fallback (no In-filter) must serve the identical answer
+    val noPush = collected(Ann.annTopKIndexed(spark, dir, queries, k = 3, probes = 4,
+      maxPushdownProbes = 0))
+    assert(noPush == inline)
+    // salt composes with the index too
+    val salted = collected(Ann.annTopKIndexed(spark, dir, queries, k = 3, probes = 4, salt = 3))
+    assert(salted == inline)
+  }
+
+  test("annTopKIndexed rejects a non-index directory and over-probing") {
+    val dir = java.nio.file.Files.createTempDirectory("not_idx").toString + "/t"
+    corpus(10).write.parquet(dir) // plain parquet: no footer stamp
+    val q = corpus(10)
+    val e1 = intercept[IllegalArgumentException](
+      Ann.annTopKIndexed(spark, dir, q, k = 1))
+    assert(e1.getMessage.contains("buildIndex"))
+    val idx = java.nio.file.Files.createTempDirectory("idx2").toString + "/idx"
+    Ann.buildIndex(corpus(50), idx, bits = 3)
+    val e2 = intercept[IllegalArgumentException](
+      Ann.annTopKIndexed(spark, idx, q, k = 1, probes = 5))
+    assert(e2.getMessage.contains("bits=3"))
+  }
+
   test("pqTopK rejects a non-divisible subspace split and an undersized shortlist") {
     val c = corpus(30)
     val quant = Ann.int8Quantize(c)
