@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-duplicate detection and decontamination over a document corpus —
+  * the user-callable form of the gate-verified d03/d05/d07/d11 machinery
+  * (reference scope: stac-geoparquet has no analytics surface; this is the
+  * LLM-pipeline extension mandated by the builder brief).
+  *
+  * Scale design (100 TB):
+  *   - Candidate generation is ALWAYS bucketed: a MinHash-band equi-join on
+  *     (seed, minhash) — candidates only, never all-pairs. Signatures are
+  *     computed per document inside the scan stage
+  *     ([[graft.functions.TextFunctions.minhashSig]]), so the only rows that
+  *     shuffle are `seeds × docs`, independent of document length.
+  *   - The exact-Jaccard verify joins shingle sets for CANDIDATE pairs only;
+  *     the quadratic tail never materializes.
+  *   - Clustering iterates over the candidate-VERTEX set (orders of magnitude
+  *     smaller than the corpus) with a loop shuffle width derived from that
+  *     state, not the session's corpus width.
+  *   - Decontamination folds the eval vocabulary into ONE mergeable bloom
+  *     sketch (~128 KB) that rides to every probe task; the corpus side is a
+  *     linear scan-stage probe. Nothing corpus-sized moves.
+  */
+object NearDup {
+
+  /** (id, g): distinct word-n-gram shingle sets, computed one-pass in the
+    * scan stage. `idName` must not collide with "g". */
+  def shingleSets(docs: DataFrame, idName: String = "doc_id",
+                  textName: String = "text", shingleN: Int = 3): DataFrame =
+    docs.select(col(idName),
+      graft.functions.TextFunctions.wordShingles(col(textName), shingleN).as("g"))
+
+  /** LSH candidate pairs verified with exact n-gram Jaccard:
+    * (doc_a, doc_b, jaccard), doc_a < doc_b, one row per candidate pair.
+    *
+    * This IS the d03 gate body (value-checked against the DuckDB oracle at
+    * every scale factor); the gate delegates here so facade and gate cannot
+    * drift. More seeds = more bands = higher recall at proportionally more
+    * shuffle rows; 4 seeds ~ the reference dedup literature's default for
+    * word-3-gram near-dup at τ ≥ 0.6. */
+  def verifiedPairs(docs: DataFrame, idName: String = "doc_id",
+                    textName: String = "text", seeds: Int = 4,
+                    shingleN: Int = 3): DataFrame = {
+    require(seeds >= 1, s"seeds must be >= 1, got $seeds")
+    val sg = shingleSets(docs, idName, textName, shingleN)
+    val mh = sg.select(col(idName),
+      posexplode(graft.functions.TextFunctions.minhashSig(col("g"), seeds))
+        .as(Seq("seed", "mhv")))
+    val a = mh.select(col("seed"), col("mhv"), col(idName).as("doc_a"))
+    val b = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"),
+      col(idName).as("doc_b"))
+    val cand = a.join(b,
+        a("seed") === b("seed_b") && a("mhv") === b("mhv_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val ga = sg.select(col(idName).as("doc_a"), col("g").as("ga"))
+    val gb = sg.select(col(idName).as("doc_b"), col("g").as("gb"))
+    val inter = size(array_intersect(col("ga"), col("gb")))
+    cand.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter))
+          .as("jaccard"))
+  }
+
+  /** Duplicate clusters from verified pairs: (doc_id, cluster_root,
+    * cluster_size, is_kept) — min-label connected components over pairs with
+    * jaccard ≥ tau, keeping the minimum id per cluster. Docs in no cluster
+    * are not returned (they are all keepers by definition).
+    *
+    * The iteration shuffle width is derived from the pair count (≤ 2
+    * vertices per pair, ~2M labels per partition, floored at 8, capped at
+    * the session width) — the d05 gate discipline. `pairs` should be
+    * persisted by the caller if it is expensive to recompute (the count
+    * here and the CC loop both consume it). */
+  def clusters(pairs: DataFrame, tau: Double): DataFrame = {
+    val s = pairs.sparkSession
+    val p = pairs.filter(col("jaccard") >= tau).select(col("doc_a"), col("doc_b"))
+    val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val width = math.max(8, math.min(sessionWidth,
+      (p.count() * 2 / 2000000L).toInt + 1))
+    val cc = ConnectedComponents.run(p, loopShuffleWidth = Some(width))
+    val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("component").as("cluster_root"),
+        col("cluster_size"), (col("id") === col("component")).as("is_kept"))
+  }
+
+  /** End-to-end near-dup dedup: returns (keepers, release) where `keepers`
+    * is `docs` minus non-minimal cluster members at threshold `tau`, and
+    * `release()` unpersists the candidate-pair intermediate (shared by the
+    * pair derivation and the clustering loop — without the persist the most
+    * expensive shuffle in the pipeline would run twice). */
+  def dedup(docs: DataFrame, tau: Double, idName: String = "doc_id",
+            textName: String = "text", seeds: Int = 4,
+            shingleN: Int = 3): (DataFrame, () => Unit) = {
+    val pairs = verifiedPairs(docs, idName, textName, seeds, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val drop = clusters(pairs, tau).filter(!col("is_kept"))
+      .select(col("doc_id").as(idName))
+    (docs.join(drop, Seq(idName), "left_anti"), () => { pairs.unpersist(); () })
+  }
+
+  /** Benchmark decontamination: per-corpus-doc contamination flag from ONE
+    * bloom sketch over the eval set's shingle vocabulary.
+    *
+    * Returns (id, contaminated). A bloom filter has no false negatives, so
+    * every document sharing a shingle with the eval set is flagged;
+    * false-positive rate follows from `numBits` vs the vocabulary size
+    * (default 2^20 bits ≈ 0 fp for ~4k keys — size numBits ~ 10× expected
+    * distinct shingles). The sketch is mergeable (map-side partials), rides
+    * to probe tasks as a one-row broadcast, and the corpus side is a linear
+    * scan-stage probe — the d11 gate shape, callable. */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+                    idName: String = "doc_id", textName: String = "text",
+                    shingleN: Int = 3, expectedItems: Long = 4096,
+                    numBits: Long = 1L << 20): DataFrame = {
+    import graft.functions.BloomFunctions
+    val evalSh = shingleSets(evalDocs, idName, textName, shingleN)
+      .select(explode(col("g")).as("sh")).distinct()
+    // might_contain requires its sketch side CONSTANT (or a scalar
+    // subquery — the d11 gate's SQL form). The facade builds the sketch
+    // eagerly — one action over the (small) eval set, merged map-side —
+    // and embeds the ~numBits/8 bytes as a literal, which the driver then
+    // ships to every probe task exactly once: the same build-once
+    // contract as Spark's own DataFrameStatFunctions.bloomFilter.
+    val sketchBytes = evalSh.agg(
+        BloomFunctions.bloomFilterAgg(col("sh"), expectedItems, numBits).as("sketch"))
+      .head().getAs[Array[Byte]]("sketch")
+    // repartition by id before the explode: a few dense input files would
+    // otherwise serialize the probe; at 100 TB file count provides this
+    val corpusSh = shingleSets(corpus, idName, textName, shingleN)
+      .repartition(col(idName))
+      .select(col(idName), explode(col("g")).as("sh"))
+    val hit = // empty eval set → empty sketch aggregate (null): nothing contaminates
+      if (sketchBytes == null) lit(false)
+      else BloomFunctions.mightContain(lit(sketchBytes), col("sh"))
+    corpusSh
+      .groupBy(col(idName))
+      .agg(max(hit).as("contaminated"))
+  }
+}

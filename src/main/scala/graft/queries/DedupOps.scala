@@ -41,16 +41,11 @@ object DedupOps {
     Tables.t(s, dir, "documents")
       .select(col("doc_id"), graft.functions.TextFunctions.wordShingles(col("text"), 3).as("g"))
 
-  /** (doc_id, seed, minhash): the whole signature is computed per document
-    * inside the scan stage (graft.functions.MinHashSig), so the only rows
-    * that ever shuffle are `nSeeds × docs` — independent of document length.
-    * posexplode's position is the seed; empty docs yield null minhashes,
-    * which the candidate equi-join drops (same as the oracle's NULL
-    * list_aggregate over an empty shingle list). */
-  private def minhashes(s: SparkSession, dir: String): DataFrame =
-    docShingles(s, dir)
-      .select(col("doc_id"),
-        posexplode(graft.functions.TextFunctions.minhashSig(col("g"), nSeeds)).as(Seq("seed", "mhv")))
+  // (minhash signature derivation moved to graft.operators.NearDup in the
+  // round-5 facade lift: signatures are computed per document inside the
+  // scan stage, so the only rows that ever shuffle are `seeds × docs`;
+  // empty docs yield null minhashes, which the candidate equi-join drops —
+  // same as the oracle's NULL list_aggregate over an empty shingle list.)
 
   /** DuckDB CTE for the distinct word-3-gram shingle sets (`sg`). */
   private[queries] def sgCte: String = s"""
@@ -100,21 +95,12 @@ object DedupOps {
   private[queries] val materializePairs: Option[(SparkSession, String) => Unit] =
     Some((s, dir) => { jaccardPairs(s, dir).count(); () })
 
-  private def computeJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val mh = minhashes(s, dir)
-    val a = mh.select(col("seed"), col("mhv"), col("doc_id").as("doc_a"))
-    val b = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"), col("doc_id").as("doc_b"))
-    val cand = a.join(b,
-        a("seed") === b("seed_b") && a("mhv") === b("mhv_b") && a("doc_a") < b("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val sg = docShingles(s, dir)
-    val ga = sg.select(col("doc_id").as("doc_a"), col("g").as("ga"))
-    val gb = sg.select(col("doc_id").as("doc_b"), col("g").as("gb"))
-    val inter = size(array_intersect(col("ga"), col("gb")))
-    cand.join(ga, "doc_a").join(gb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter)).as("jaccard"))
-  }
+  /** Delegates to the user-callable operator (round-5 lift): the gate and
+    * `Pipeline.nearDupPairs` run the SAME code, so the facade cannot drift
+    * from the value-checked semantics. */
+  private def computeJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.verifiedPairs(
+      Tables.t(s, dir, "documents"), seeds = nSeeds)
 
   /** DuckDB mirror of graft.functions.SimHashSig: bit b of the signature is
     * the sign of sum(±1 of token-hash bit b) over per-token md5-prefix
@@ -270,24 +256,14 @@ object DedupOps {
                siz.n AS cluster_size, lab.doc = lab.root AS is_kept
         FROM lab JOIN siz ON lab.root = siz.root
         ORDER BY doc_id"""),
-      (s, dir) => {
-        val pairs = jaccardPairs(s, dir).filter(col("jaccard") >= 0.6)
-          .select(col("doc_a"), col("doc_b"))
-        // loop width DERIVED from the label state (≤ 2 vertices per
-        // verified pair — a tiny fraction of the corpus), not hardcoded
-        // and not the session's corpus width: ~2M labels per partition,
-        // floored at 8, capped at the session width. The count is a cheap
-        // action on the already-persisted pair cache.
-        val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
-        val width = math.max(8, math.min(sessionWidth,
-          (pairs.count() * 2 / 2000000L).toInt + 1))
-        val cc = graft.operators.ConnectedComponents.run(pairs, loopShuffleWidth = Some(width))
-        val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
-        cc.join(sizes, "component")
-          .select(col("id").as("doc_id"), col("component").as("cluster_root"),
-            col("cluster_size"), (col("id") === col("component")).as("is_kept"))
-          .orderBy(col("doc_id"))
-      },
+      (s, dir) =>
+        // delegates to the user-callable operator (round-5 lift): the loop
+        // shuffle width is derived from the pair count inside clusters()
+        // (≤ 2 vertices per verified pair — a tiny fraction of the corpus),
+        // and the count is a cheap action on the already-persisted pair
+        // cache this gate shares with d03/s05.
+        graft.operators.NearDup.clusters(jaccardPairs(s, dir), tau = 0.6)
+          .orderBy(col("doc_id")),
       prepare = materializePairs),
 
     // ----- benchmark decontamination (n-gram overlap vs an eval set) -----

@@ -55,6 +55,46 @@ object Pipeline {
   def jaccardSimilarityJoinCached(sg: DataFrame, tau: Double): DataFrame =
     DedupOps.jaccardSimilarityJoin(sg, tau)
 
+  /** MinHash-LSH near-duplicate candidate pairs verified with exact
+    * n-gram Jaccard (the d03 gate's engine, shared code): (doc_a, doc_b,
+    * jaccard), doc_a < doc_b. Candidate generation is a banded equi-join
+    * on (seed, minhash) — never all-pairs; signatures are computed in the
+    * scan stage so only `seeds × docs` rows shuffle. */
+  def nearDupPairs(docs: DataFrame, idName: String = "doc_id",
+                   textName: String = "text", seeds: Int = 4,
+                   shingleN: Int = 3): DataFrame =
+    graft.operators.NearDup.verifiedPairs(docs, idName, textName, seeds, shingleN)
+
+  /** Duplicate clusters over verified pairs at threshold `tau` (the d05
+    * gate's engine): min-label connected components, loop shuffle width
+    * derived from the pair count. Persist `pairs` first if it is
+    * expensive — both the width derivation and the loop consume it. */
+  def nearDupClusters(pairs: DataFrame, tau: Double): DataFrame =
+    graft.operators.NearDup.clusters(pairs, tau)
+
+  /** End-to-end near-dup dedup: `docs` minus non-minimal cluster members
+    * at `tau`, plus a `release()` hook for the shared candidate-pair
+    * intermediate (call after materializing the result — the
+    * [[cleanCorpusFunnel]] contract). */
+  def nearDupDedup(docs: DataFrame, tau: Double, idName: String = "doc_id",
+                   textName: String = "text", seeds: Int = 4,
+                   shingleN: Int = 3): (DataFrame, () => Unit) =
+    graft.operators.NearDup.dedup(docs, tau, idName, textName, seeds, shingleN)
+
+  /** Benchmark decontamination (the d11 gate's shape, callable): per-doc
+    * contamination flag from ONE mergeable bloom sketch over the eval
+    * set's shingle vocabulary — no false negatives by construction; size
+    * `numBits` ~10× the expected distinct eval shingles to keep false
+    * positives ≈ 0. The sketch rides to probe tasks as a one-row
+    * broadcast; the corpus side is a linear scan-stage probe. Returns
+    * (idName, contaminated). */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+                    idName: String = "doc_id", textName: String = "text",
+                    shingleN: Int = 3, expectedItems: Long = 4096,
+                    numBits: Long = 1L << 20): DataFrame =
+    graft.operators.NearDup.decontaminate(
+      corpus, evalDocs, idName, textName, shingleN, expectedItems, numBits)
+
   /** Temperature-weighted mixture allocation (d12): split `budget`
     * across (source, n_docs) rows ∝ sqrt(n_docs) with exact integer
     * largest-remainder rounding — allocations sum to `budget` exactly. */

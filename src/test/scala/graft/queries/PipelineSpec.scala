@@ -112,6 +112,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!ids.contains(9L) && ids.nonEmpty)
   }
 
+  test("nearDupPairs/Clusters/Dedup: LSH candidates, exact verify, min-id keepers") {
+    // docs 1/2/3 are a near-dup chain (each adjacent pair shares most
+    // 3-gram shingles); doc 4 is disjoint
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base + " one"), (2L, base + " two"), (3L, base + " three"),
+      (4L, "completely different words about some other topic entirely here"))
+      .toDF("doc_id", "text")
+    val pairs = Pipeline.nearDupPairs(docs)
+    val got = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && !got.exists(p => p._1 == 4L || p._2 == 4L))
+    val clusters = Pipeline.nearDupClusters(pairs, tau = 0.5)
+    val kept = clusters.filter(col("is_kept")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L)) // min id of the 1-2-3 cluster; 4 not clustered
+    val (keepers, release) = Pipeline.nearDupDedup(docs, tau = 0.5)
+    val ids = keepers.select("doc_id").collect().map(_.getLong(0)).toSet
+    release()
+    assert(ids == Set(1L, 4L)) // cluster keeper + the unclustered doc
+  }
+
+  test("decontaminate flags every doc sharing an eval shingle, no misses") {
+    val evalDocs = Seq((100L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox runs far away now"), // shares "the quick brown"
+      (2L, "nothing in common with that sentence at all"),
+      (3L, "zz yy xx the quick brown fox")) // shares a shingle mid-doc
+      .toDF("doc_id", "text")
+    val flags = Pipeline.decontaminate(corpus, evalDocs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("stratifiedKeep is deterministic and respects rate 0/100") {
     val df = (0L until 200L).toDF("id")
     assert(df.filter(Pipeline.stratifiedKeep(col("id"), lit(0))).count() == 0)
