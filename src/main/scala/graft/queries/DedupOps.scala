@@ -105,7 +105,7 @@ object DedupOps {
   /** DuckDB mirror of graft.functions.SimHashSig: bit b of the signature is
     * the sign of sum(±1 of token-hash bit b) over per-token md5-prefix
     * hashes (32-bit prefixes for the 32-bit signature, 60-bit for 60). */
-  private def simhashSql(bits: Int = 32): String = {
+  private[queries] def simhashSql(bits: Int = 32): String = {
     val terms = (0 until bits).map { b =>
       s"(CASE WHEN CAST(list_sum(list_transform(xs, x -> ((x >> $b) & 1)*2 - 1)) AS BIGINT) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")

@@ -21,16 +21,25 @@ object StreamingOps {
     * Verify run. */
   private def runToMemoryTable(s: SparkSession, dir: String, prefix: String,
                                mode: String, copies: Int = 1)(
-                               build: DataFrame => DataFrame): DataFrame = {
+                               build: DataFrame => DataFrame): DataFrame =
+    runStagedToMemoryTable(s, dir, "events", prefix, mode, copies)(
+      src => build(EventStream.readEvents(s, src)))
+
+  /** As [[runToMemoryTable]] but for any source table: stages
+    * `dir/<table>.parquet` into a fresh stream dir `copies` times and
+    * hands the dir to `build` (which owns the readStream). */
+  private def runStagedToMemoryTable(s: SparkSession, dir: String, table: String,
+                                     prefix: String, mode: String, copies: Int)(
+                                     build: String => DataFrame): DataFrame = {
     val src = java.nio.file.Files.createTempDirectory(prefix)
     src.toFile.deleteOnExit()
     (1 to copies).foreach { i =>
-      val staged = src.resolve(s"events_$i.parquet")
+      val staged = src.resolve(s"${table}_$i.parquet")
       staged.toFile.deleteOnExit()
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), staged)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/$table.parquet"), staged)
     }
     val name = s"${prefix}_${System.nanoTime()}"
-    val q = build(EventStream.readEvents(s, src.toString))
+    val q = build(src.toString)
       .writeStream.format("memory").queryName(name)
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     if (!q.awaitTermination(300000)) {
@@ -223,6 +232,46 @@ object StreamingOps {
           EventStream.staticEnrichedAgg(_, dim, "c_custkey", "c_mktsegment"))
           .select(col("segment"), col("n"), col("value_cents"))
           .orderBy(col("segment"))
+      },
+      timed = false),
+
+    // ----- streaming NEAR-dup dedup over the document stream -----
+    // Continuous-ingest near-duplicate detection: each arriving document's
+    // 60-bit SimHash signature (d04/d08's gate-verified expression)
+    // computes IN THE SCAN STAGE, and the streaming state is the
+    // per-SIGNATURE dedup ledger (keep_id = min doc_id, n_seen) — state
+    // scales with distinct signatures, never with raw documents, which is
+    // the signature-directory pattern a 100-TB ingest pipeline keeps
+    // (bound it further with a TTL watermark or periodic batch compaction
+    // when the signature space itself outgrows memory). The source is
+    // staged with TWO copies of every document, so the ledger must count
+    // each exactly twice while the keeper stays the minimum id —
+    // re-delivery cannot change the dedup decision. The oracle recomputes
+    // the signatures and the ledger from the single-copy table: a dropped
+    // batch, a double-counted group, or a signature drift all fail the
+    // hash. (Order-dependence is designed out: min/count are
+    // arrival-order-invariant, unlike first-wins dropDuplicates.)
+    QuerySpec(
+      "st09_streaming_neardup",
+      Some(s"""
+        WITH s AS (SELECT doc_id, ${DedupOps.simhashSql(60)} AS sig
+                   FROM (SELECT doc_id,
+                                list_transform(string_split(text,' '),
+                                               w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT)) AS xs
+                         FROM documents))
+        SELECT sig, CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(2*count(*) AS BIGINT) AS n_seen
+        FROM s GROUP BY sig
+        ORDER BY keep_id"""),
+      (s, dir) => {
+        val docsSchema = graft.Tables.t(s, dir, "documents").schema
+        runStagedToMemoryTable(s, dir, "documents", "st09", "complete", copies = 2)(
+          src => s.readStream.schema(docsSchema).parquet(src)
+            .select(col("doc_id"),
+              graft.functions.TextFunctions.simhashSig(col("text"), bits = 60).as("sig"))
+            .groupBy(col("sig"))
+            .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_seen")))
+          .orderBy(col("keep_id"))
       },
       timed = false)
   )
