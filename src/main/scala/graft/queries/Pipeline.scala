@@ -55,6 +55,14 @@ object Pipeline {
   def jaccardSimilarityJoinCached(sg: DataFrame, tau: Double): DataFrame =
     DedupOps.jaccardSimilarityJoin(sg, tau)
 
+  /** Self-trained bigram-LM fluency score (the t14 gate's engine): per
+    * doc (n_bigrams, hit_sum, n_rare, avg_freq) — the CCNet/KenLM-style
+    * quality signal with exact-integer math (no ln/exp). Returns the
+    * scored frame plus a `release()` hook for the collapsed
+    * (doc, bigram, m) intermediate (call after materializing). */
+  def bigramLmScore(docs: DataFrame): (DataFrame, () => Unit) =
+    TextOps.bigramLmScoreReleasable(docs)
+
   /** MinHash-LSH near-duplicate candidate pairs verified with exact
     * n-gram Jaccard (the d03 gate's engine, shared code): (doc_a, doc_b,
     * jaccard), doc_a < doc_b. Candidate generation is a banded equi-join

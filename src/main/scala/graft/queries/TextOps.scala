@@ -511,8 +511,79 @@ object TextOps {
         FROM st LEFT JOIN uq ON st.source = uq.source
         ORDER BY st.source"""),
       (s, dir) =>
-        cleanFunnel(Tables.t(s, dir, "documents")).orderBy(col("source")))
+        cleanFunnel(Tables.t(s, dir, "documents")).orderBy(col("source"))),
+
+    // ----- corpus-LM fluency scoring (the CCNet/KenLM-style filter) -----
+    // The remaining standard quality signal after t02/t08: score each
+    // document by how typical its BIGRAMS are of the corpus itself — a
+    // self-trained bigram language model. Rare-bigram-heavy docs (OCR
+    // noise, boilerplate soup, wrong-language fragments) score low and
+    // get filtered. Determinism: the score is exact-integer (sum of
+    // global bigram counts over the doc's bigram occurrences + the
+    // rare-bigram occurrence count) with ONE final double division —
+    // no ln/exp perplexity, which would not hash cross-engine.
+    // Plan: bigram occurrences collapse per (doc, bigram) FIRST (hash-agg
+    // with map-side partials), the global model is a second hash-agg over
+    // that frame (sum of m — no second corpus pass), and the score join
+    // runs on the collapsed frame, not raw occurrences. The model join is
+    // shuffle-on-bigram: the vocabulary is corpus-scale (NOT broadcast);
+    // hot bigrams ("of the") are Zipf-skewed, which AQE skew-join splits
+    // at runtime — the same discipline as q19's salting, left to AQE here
+    // because the skew is data-dependent, not key-structural.
+    QuerySpec(
+      "t14_bigram_lm_score",
+      Some("""
+        WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             bg AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]
+                                           for i in generate_series(1, len(ws)-1)]) AS bg
+                    FROM ws WHERE len(ws) >= 2),
+             m  AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
+             gc AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c FROM m GROUP BY 1)
+        SELECT m.doc_id,
+               CAST(sum(m.m) AS BIGINT) AS n_bigrams,
+               CAST(sum(m.m * gc.c) AS BIGINT) AS hit_sum,
+               CAST(sum(CASE WHEN gc.c = 1 THEN m.m ELSE 0 END) AS BIGINT) AS n_rare,
+               CAST(sum(m.m * gc.c) AS DOUBLE) / sum(m.m) AS avg_freq
+        FROM m JOIN gc ON m.bg = gc.bg
+        GROUP BY m.doc_id
+        ORDER BY m.doc_id"""),
+      (s, dir) => {
+        val (scored, _) = bigramLmScoreReleasable(Tables.t(s, dir, "documents"))
+        scored.orderBy(col("doc_id")) // gate leaves the cache (run-once)
+      })
   )
+
+  /** Self-trained bigram-LM fluency score per document (t14's engine):
+    * (doc_id, n_bigrams, hit_sum, n_rare, avg_freq) + a `release()` hook
+    * for the collapsed (doc, bigram, m) intermediate shared by the model
+    * aggregation and the score join — the [[cleanFunnelReleasable]]
+    * contract. Exact-integer score, one final double division. */
+  private[queries] def bigramLmScoreReleasable(docs: DataFrame): (DataFrame, () => Unit) = {
+    val ws = words(col("text"))
+    // repartition by doc_id before the explode: the toy parquet is a
+    // single row group (one task otherwise); at 100 TB file count
+    // provides this parallelism for free
+    val bg = docs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(
+        when(size(ws) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(ws) - 1),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))))
+        .as("bg"))
+    // collapse occurrences per (doc, bigram) FIRST — the model and the
+    // score join both run on this much smaller frame; one
+    // materialization instead of two corpus passes
+    val m = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gc = m.groupBy(col("bg")).agg(sum(col("m")).as("c"))
+    val out = m.join(gc, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("c")).as("hit_sum"),
+        sum(when(col("c") === 1, col("m")).otherwise(0L)).as("n_rare"),
+        (sum(col("m") * col("c")).cast("double") / sum(col("m"))).as("avg_freq"))
+    (out, () => { m.unpersist(); () })
+  }
 
   /** t13's engine, exposed for `Pipeline.cleanCorpusFunnel`: the
     * C4-style funnel (langid gate → quality floor → PII scrub → exact

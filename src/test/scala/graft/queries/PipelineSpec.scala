@@ -44,6 +44,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("bigramLmScore: hand-computed LM stats; short docs drop; release hook") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: "a b"×2, "b a"×1
+      (2L, "a b c"),   // bigrams: "a b"×1, "b c"×1
+      (3L, "x")        // <2 words → no bigrams → no output row
+    ).toDF("doc_id", "text")
+    val (scored, release) = Pipeline.bigramLmScore(docs)
+    val rows = scored.orderBy("doc_id").collect()
+    release()
+    // global model: c("a b")=3, c("b a")=1, c("b c")=1
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getLong(r1.fieldIndex("n_bigrams")) == 3L)
+    assert(r1.getLong(r1.fieldIndex("hit_sum")) == 2 * 3 + 1 * 1) // 7
+    assert(r1.getLong(r1.fieldIndex("n_rare")) == 1L)             // "b a"
+    assert(r1.getDouble(r1.fieldIndex("avg_freq")) == 7.0 / 3.0)
+    val r2 = rows(1)
+    assert(r2.getLong(r2.fieldIndex("n_bigrams")) == 2L)
+    assert(r2.getLong(r2.fieldIndex("hit_sum")) == 1 * 3 + 1 * 1) // 4
+    assert(r2.getLong(r2.fieldIndex("n_rare")) == 1L)             // "b c"
+    assert(r2.getDouble(r2.fieldIndex("avg_freq")) == 2.0)
+  }
+
   test("int8Quantize persists with a release hook; ANN facade delegations run") {
     val c = spark.range(60).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(63)),
