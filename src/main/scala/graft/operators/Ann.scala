@@ -249,6 +249,40 @@ object Ann {
     *               [[adaptiveCells]] from a corpus count
     * @param nprobe cells probed per query (recall/cost dial)
     */
+  /** The `cells` lowest-vec_id vectors of a normed frame as the static
+    * coarse codebook (deterministic, no stored model). */
+  private def centroids(e: DataFrame, nCells: Int): DataFrame =
+    e.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+
+  /** Nearest-centroid assignment of a normed frame: (vec_id, cell,
+    * embedding, nrm). A max_by hash-aggregate, not a window: partial
+    * aggregation collapses the per-centroid scores map-side, so the one
+    * corpus-wide shuffle carries one row per vector; tie-break
+    * (-cent_id) = nearest centroid, lowest id first. */
+  private def assignTo(e: DataFrame, cent: DataFrame): DataFrame = {
+    val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
+    e.join(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"), ccos)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+  }
+
+  /** IVF cell assignment, user-callable: (vec_id, cell, embedding, nrm)
+    * with `cell` the nearest of the `cells` lowest-vec_id centroids by
+    * cosine (ties toward the lower centroid id). The semantic-clustering
+    * primitive under [[ivfTopK]] and [[NearDup.semanticVictims]]: the
+    * codebook broadcasts, assignment is a narrow map + one hash-agg —
+    * linear in the corpus, the only shuffle carries one row per vector.
+    * `cells=0` derives ~√n via [[adaptiveCells]]. */
+  def assignCells(corpus: DataFrame, cells: Int = 0): DataFrame = {
+    require(cells >= 0, s"cells must be >= 0 (0 = adaptive), got $cells")
+    val e = withNorm(corpus)
+    val nCells = if (cells > 0) cells else adaptiveCells(e.select(col("vec_id")).count())
+    assignTo(e, centroids(e, nCells))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 0,
               nprobe: Int = 2, excludeSameId: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -257,18 +291,9 @@ object Ann {
     val e = withNorm(corpus)
     val nCells = if (cells > 0) cells else adaptiveCells(e.select(col("vec_id")).count())
     require(nprobe <= nCells, s"nprobe=$nprobe exceeds cells=$nCells")
-    val cent = e.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    val cent = centroids(e, nCells)
     val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
-    // cell assignment as a max_by hash-aggregate, not a window: partial
-    // aggregation collapses the per-centroid scores map-side, so the one
-    // corpus-wide shuffle carries one row per vector; tie-break
-    // (-cent_id) = nearest centroid, lowest id first
-    val assign = e.join(broadcast(cent))
-      .select(col("vec_id"), col("cent_id"), col("embedding"), col("nrm"), ccos)
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"), struct(col("ccos"), -col("cent_id"))).as("cell"),
-        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+    val assign = assignTo(e, cent)
     val qn = AllPairsTopK.requireBroadcastable(withNorm(queries),
       what = "ivfTopK query set",
       route = "self-index corpus-sized query sets with annTopK (bucket equi-join, no broadcast)")

@@ -103,6 +103,39 @@ object NearDup {
     (docs.join(drop, Seq(idName), "left_anti"), () => { pairs.unpersist(); () })
   }
 
+  /** SemDeDup-style semantic dedup victims over an embedding corpus:
+    * (vec_id, cell, keeper_id, cos) — one row per vector that has a
+    * SMALLER-id neighbor in its semantic cell with cosine ≥ `tau`
+    * (keeper_id = the minimum such neighbor, cos = cosine to it,
+    * rounded to 9 places). Rows absent from the result are keepers.
+    *
+    * Candidate generation is the IVF cell (Abbas et al.'s SemDeDup
+    * recipe: cluster, then prune near-dups within each cluster) — an
+    * equi-join on `cell`, never all-pairs. Per-cell work is (n/C)², so
+    * `cells` is the scale dial: size it ∝ corpus/target-occupancy
+    * (`cells=0` derives ~√n via [[Ann.adaptiveCells]], making the
+    * expected per-cell candidate volume ~n·√n/occupancy, not n²). The
+    * min-id-keeper rule is deterministic, so results are partitioning-
+    * invariant and cross-engine reproducible. */
+  def semanticVictims(embeddings: DataFrame, tau: Double,
+                      cells: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.floatDot
+    val assign = Ann.assignCells(embeddings, cells)
+    val a = assign.select(col("cell"), col("vec_id").as("keeper_cand"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assign.select(col("cell").as("cell_b"), col("vec_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val cos = floatDot(col("ea"), col("eb")) / (col("na") * col("nb"))
+    // within-cell pairs: a shuffle equi-join on the cell key (both sides
+    // corpus-sized — NEVER broadcast); the a<b inequality rides the join
+    a.join(b, col("cell") === col("cell_b") && col("keeper_cand") < col("vec_id"))
+      .select(col("vec_id"), col("cell"), col("keeper_cand"), cos.as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("keeper_cand")).as("keeper_id"),
+        round(min_by(col("cos"), col("keeper_cand")), 9).as("cos"))
+  }
+
   /** Benchmark decontamination: per-corpus-doc contamination flag from ONE
     * bloom sketch over the eval set's shingle vocabulary.
     *

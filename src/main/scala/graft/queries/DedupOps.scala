@@ -105,6 +105,39 @@ object DedupOps {
   /** DuckDB mirror of graft.functions.SimHashSig: bit b of the signature is
     * the sign of sum(±1 of token-hash bit b) over per-token md5-prefix
     * hashes (32-bit prefixes for the 32-bit signature, 60-bit for 60). */
+  /** d10/d13's constructed near-dup population over the embeddings table:
+    * every 5th vector gets a variant (vec_id + 1,000,000) with ~1/4 of its
+    * dimensions HALVED, dims chosen by md5(vec_id:pos). Halving a float is
+    * exact in float32 and float64 (exponent decrement — no mantissa
+    * rounding), so both engines see bit-identical values; see d10's spec
+    * comment for why this also preserves sign-LSH buckets. */
+  private[queries] val variantCorpusCte: String = """base AS (SELECT vec_id, embedding FROM embeddings),
+             var AS (SELECT vec_id + 1000000 AS vec_id,
+                            CAST([CASE WHEN CAST(('0x'||substr(md5(vec_id||':'||i),1,2)) AS INTEGER) < 64
+                                       THEN embedding[i]*0.5 ELSE embedding[i] END
+                                  for i in generate_series(1, 64)] AS FLOAT[]) AS embedding
+                     FROM base WHERE vec_id % 5 = 0),
+             corpus AS (SELECT vec_id, embedding FROM base
+                        UNION ALL SELECT vec_id, embedding FROM var)"""
+
+  /** Spark side of [[variantCorpusCte]] — (vec_id, embedding).
+    * NOTE: the variant embedding must be derived BEFORE the id is renamed —
+    * in a single select the later transform would resolve `vec_id` to the
+    * earlier `vec_id + 1000000` alias (lateral column alias resolution),
+    * silently keying md5 off the wrong id. */
+  private[queries] def variantCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val variants = base.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
+                   (i + 1).cast("string"))), 1, 2), 16, 10)
+                 .cast("int") < 64, x * lit(0.5f))
+            .otherwise(x)).as("embedding"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    base.unionByName(variants)
+  }
+
   private[queries] def simhashSql(bits: Int = 32): String = {
     val terms = (0 until bits).map { b =>
       s"(CASE WHEN CAST(list_sum(list_transform(xs, x -> ((x >> $b) & 1)*2 - 1)) AS BIGINT) > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
@@ -396,14 +429,7 @@ object DedupOps {
     QuerySpec(
       "d10_embedding_neardup",
       Some(s"""
-        WITH base AS (SELECT vec_id, embedding FROM embeddings),
-             var AS (SELECT vec_id + 1000000 AS vec_id,
-                            CAST([CASE WHEN CAST(('0x'||substr(md5(vec_id||':'||i),1,2)) AS INTEGER) < 64
-                                       THEN embedding[i]*0.5 ELSE embedding[i] END
-                                  for i in generate_series(1, 64)] AS FLOAT[]) AS embedding
-                     FROM base WHERE vec_id % 5 = 0),
-             corpus AS (SELECT vec_id, embedding FROM base
-                        UNION ALL SELECT vec_id, embedding FROM var),
+        WITH $variantCorpusCte,
              bands AS (SELECT vec_id, b.band AS band,
                               list_sum([CASE WHEN embedding[b.band*8 + k + 1] > 0
                                              THEN CAST(2**k AS BIGINT) ELSE 0 END
@@ -426,20 +452,7 @@ object DedupOps {
         ORDER BY vec_a, vec_b"""),
       (s, dir) => {
         import graft.functions.VectorFunctions.floatDot
-        val base = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-        // NOTE: the variant embedding must be derived BEFORE the id is
-        // renamed — in a single select the later transform would resolve
-        // `vec_id` to the earlier `vec_id + 1000000` alias (lateral column
-        // alias resolution), silently keying md5 off the wrong id.
-        val variants = base.filter(col("vec_id") % 5 === 0)
-          .select(col("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              when(conv(substring(md5(concat(col("vec_id").cast("string"), lit(":"),
-                       (i + 1).cast("string"))), 1, 2), 16, 10)
-                     .cast("int") < 64, x * lit(0.5f))
-                .otherwise(x)).as("embedding"))
-          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-        val corpus = base.unionByName(variants)
+        val corpus = variantCorpus(s, dir)
         def bandBucket(e: Column, band: Int): Column =
           (0 until 8).map { k =>
             when(element_at(e, band * 8 + k + 1) > 0f, lit(1L << k)).otherwise(lit(0L))
@@ -462,6 +475,66 @@ object DedupOps {
           .filter(cos >= 0.9)
           .select(col("vec_a"), col("vec_b"), round(cos, 9).as("cos"))
           .orderBy(col("vec_a"), col("vec_b"))
+      }),
+
+    // ----- SemDeDup: semantic dedup via IVF-cell clustering -----
+    // The embedding-space analogue of d03's LSH banding, following the
+    // SemDeDup recipe (Abbas et al.): cluster the corpus into semantic
+    // cells (nearest-centroid cosine assignment — exactly s04's IVF
+    // codebook), then prune near-duplicates WITHIN each cell with the
+    // min-id-keeper rule. Candidates are bounded by cell occupancy —
+    // Θ(Σ n_c²) with `cells` the scale dial — never all-pairs. The
+    // constructed d10 variant population provides the true near-dups;
+    // the recall floor (fraction of variants caught despite the cell
+    // boundary cutting some source/variant pairs apart) is computed in
+    // both engines and PINNED ≥0.5 in the oracle: a cell-assignment or
+    // pruning regression fails the hash even though the operator is
+    // approximate by design (measured: 0.80 at sf0.01, 0.775 at sf0.1).
+    QuerySpec(
+      "d13_semantic_dedup",
+      Some(s"""
+        WITH $variantCorpusCte,
+             n AS (SELECT vec_id, embedding, ${SimilarityOps.normSql("embedding")} AS nrm
+                   FROM corpus),
+             cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                      FROM n WHERE vec_id < 16),
+             scored AS (SELECT v.vec_id, c.cent_id,
+                               row_number() OVER (PARTITION BY v.vec_id
+                                                  ORDER BY ${SimilarityOps.dotSql("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC,
+                                                           c.cent_id ASC) AS crank
+                        FROM n v JOIN cent c ON true),
+             assign AS (SELECT vec_id, cent_id AS cell FROM scored WHERE crank = 1),
+             pr AS (SELECT b.vec_id, a.cell, a.vec_id AS keeper_cand,
+                           ${SimilarityOps.dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) AS pcos
+                    FROM assign a
+                    JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                    JOIN n na ON na.vec_id = a.vec_id
+                    JOIN n nb ON nb.vec_id = b.vec_id),
+             victims AS (SELECT vec_id, cell,
+                                CAST(min(keeper_cand) AS BIGINT) AS keeper_id,
+                                min_by(pcos, keeper_cand) AS vcos
+                         FROM pr WHERE pcos >= 0.9
+                         GROUP BY vec_id, cell)
+        SELECT v.vec_id, v.cell, v.keeper_id, round(v.vcos, 9) AS cos,
+               (SELECT CAST(count(*) AS BIGINT) FROM var) AS n_variants,
+               (SELECT CAST(count(*) AS BIGINT) FROM victims WHERE vec_id >= 1000000) AS n_var_victims,
+               true AS recall_ok
+        FROM victims v
+        ORDER BY v.vec_id"""),
+      (s, dir) => {
+        val corpus = variantCorpus(s, dir)
+        val victims = graft.operators.NearDup.semanticVictims(corpus, tau = 0.9, cells = 16)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // run-once gate: two branches below
+        val nVar = corpus.filter(col("vec_id") >= 1000000L)
+          .agg(count(lit(1)).as("n_variants"))
+        val nVict = victims.filter(col("vec_id") >= 1000000L)
+          .agg(count(lit(1)).as("n_var_victims"))
+        victims.crossJoin(broadcast(nVar)).crossJoin(broadcast(nVict))
+          .select(col("vec_id"), col("cell"), col("keeper_id"), col("cos"),
+            col("n_variants"), col("n_var_victims"),
+            // pinned true in the oracle: recall collapse fails the hash
+            (col("n_var_victims").cast("double") / col("n_variants") >= 0.5).as("recall_ok"))
+          .orderBy(col("vec_id"))
       }),
 
     // ----- bloom-filter decontamination (the no-join membership path) -----

@@ -89,6 +89,15 @@ object Pipeline {
                    shingleN: Int = 3): (DataFrame, () => Unit) =
     graft.operators.NearDup.dedup(docs, tau, idName, textName, seeds, shingleN)
 
+  /** SemDeDup-style semantic dedup victims (the d13 gate's engine):
+    * (vec_id, cell, keeper_id, cos) for every vector with a smaller-id
+    * neighbor at cosine ≥ `tau` in its IVF semantic cell; absent rows
+    * are keepers. Candidates are bounded per cell — `cells` is the
+    * scale dial (0 derives ~√n). */
+  def semanticDedupVictims(embeddings: DataFrame, tau: Double,
+                           cells: Int = 0): DataFrame =
+    graft.operators.NearDup.semanticVictims(embeddings, tau, cells)
+
   /** Benchmark decontamination (the d11 gate's shape, callable): per-doc
     * contamination flag from ONE mergeable bloom sketch over the eval
     * set's shingle vocabulary — no false negatives by construction; size

@@ -44,6 +44,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("semanticDedupVictims: within-cell pruning, min-id keeper, cross-cell pairs ignored") {
+    // cells=2 → centroids are vec 0 ([1,0,0,0]) and vec 1 ([0,1,0,0]).
+    // 10 and 12 land in cell 0 at cos≈0.995 to vec 0 (and cos 1.0 to each
+    // other); 20 lands in cell 1 at cos 0.866 to vec 1 — below tau.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f)),
+      (10L, Seq(1f, 0.1f, 0f, 0f)),
+      (12L, Seq(1f, 0.1f, 0f, 0f)),
+      (20L, Seq(0.5f, 0.866f, 0f, 0f))).toDF("vec_id", "embedding")
+    val v = Pipeline.semanticDedupVictims(vecs, tau = 0.99, cells = 2)
+      .orderBy("vec_id").collect()
+    assert(v.map(_.getLong(0)).toSeq == Seq(10L, 12L))
+    assert(v.forall(_.getLong(v.head.fieldIndex("cell")) == 0L))
+    // keeper of 12 is the MIN same-cell neighbor (0), not its identical
+    // twin (10) — and the reported cos is the cosine TO THE KEEPER
+    assert(v.forall(_.getLong(v.head.fieldIndex("keeper_id")) == 0L))
+    val cs = v.map(r => r.getDouble(r.fieldIndex("cos")))
+    assert(cs.forall(c => c > 0.99 && c < 1.0) && cs.distinct.length == 1)
+  }
+
   test("bigramLmScore: hand-computed LM stats; short docs drop; release hook") {
     val docs = Seq(
       (1L, "a b a b"), // bigrams: "a b"×2, "b a"×1
