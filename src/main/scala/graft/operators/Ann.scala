@@ -334,15 +334,23 @@ object Ann {
     * caller's choice (the Pipeline facade wraps it with a hook). */
   def int8Quantize(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val maxAbs = e.agg(
-      max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("m"))
+    quantizeAt(e, corpusMaxAbs(e))
+  }
+
+  /** The one-row global-scale frame (corpus max-|x|). */
+  private def corpusMaxAbs(e: DataFrame): DataFrame =
+    e.agg(max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("m"))
+
+  /** int8-quantize a frame at a GIVEN one-row scale — lets query sets
+    * quantize at the corpus scale (the production contract: the stored
+    * scale applies to incoming queries). */
+  private def quantizeAt(e: DataFrame, maxAbs: DataFrame): DataFrame =
     e.crossJoin(broadcast(maxAbs))
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * lit(127.0) / col("m") + 0.5).cast("long")).as("qv"))
       .withColumn("qsq", graft.functions.VectorFunctions.longDot(col("qv"), col("qv")))
       .withColumn("qnrm", sqrt(col("qsq").cast("double")))
-  }
 
   /** Exact quantized ||a-b||² via the cached-self-dot identity: one
     * codegen'd integer dot per pair instead of three. */
@@ -410,26 +418,11 @@ object Ann {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val dsub = pqDsub(quantCorpus, subspaces)
     val cent = pqCodebook(quantCorpus, subspaces, dsub, codes)
-    // encode: nearest centroid per (vector, subspace), kept in row form
-    // for the ADC lookup-join (pqEncode packages the same codes as the
-    // storable array)
-    val enc = subvectors(quantCorpus, subspaces, dsub)
-      .join(broadcast(cent), col("j") === col("cj"))
-      .select(col("vec_id"), col("j"), col("c"),
-        sqDist(col("ssq"), col("sv"), col("cv"), col("csq")).as("d"))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d"), col("c"))).as("m"))
-      .select(col("vec_id").as("neighbor_id"), col("j").as("ej"), col("m.c").as("code"))
+    val enc = pqEncRows(quantCorpus, subspaces, dsub, cent)
     val qq = AllPairsTopK.requireBroadcastable(quantQueries,
       what = "pqTopK query set",
       route = "self-index corpus-sized query sets with annTopK over the raw embeddings")
-    val lut = subvectors(qq, subspaces, dsub)
-      .select(col("vec_id").as("query_id"), col("j").as("lj"),
-        col("sv").as("qsv"), col("ssq").as("qssq"))
-      .join(broadcast(cent), col("lj") === col("cj"))
-      .select(col("query_id"), col("lj"), col("c").as("lc"),
-        sqDist(col("qssq"), col("qsv"), col("cv"), col("csq")).as("pd"))
-    val topkAgg = TopK.topK(k)
+    val lut = pqLutRows(qq, subspaces, dsub, cent)
     val topShort = TopK.topK(shortlist)
     val short = enc.join(broadcast(lut),
         col("ej") === col("lj") && col("code") === col("lc") &&
@@ -441,6 +434,39 @@ object Ann {
       .groupBy(col("query_id"))
       .agg(topShort((col("adist") * -1L).cast("double"), col("neighbor_id")).as("nbrs"))
       .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
+    pqExactRerank(short, quantCorpus, quantQueries, k)
+  }
+
+  /** Encode: nearest centroid per (vector, subspace), kept in row form
+    * for the ADC lookup-join: (neighbor_id, ej, code). [[pqEncode]]
+    * packages the same codes as the storable array. */
+  private def pqEncRows(quant: DataFrame, m: Int, dsub: Int,
+                        cent: DataFrame): DataFrame =
+    subvectors(quant, m, dsub)
+      .join(broadcast(cent), col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), col("c"),
+        sqDist(col("ssq"), col("sv"), col("cv"), col("csq")).as("d"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d"), col("c"))).as("m"))
+      .select(col("vec_id").as("neighbor_id"), col("j").as("ej"), col("m.c").as("code"))
+
+  /** Per-query ADC lookup table: partial squared distance to every
+    * (subspace, code) centroid — (query_id, lj, lc, pd). m×codes rows
+    * per query: tiny, broadcast. */
+  private def pqLutRows(qq: DataFrame, m: Int, dsub: Int,
+                        cent: DataFrame): DataFrame =
+    subvectors(qq, m, dsub)
+      .select(col("vec_id").as("query_id"), col("j").as("lj"),
+        col("sv").as("qsv"), col("ssq").as("qssq"))
+      .join(broadcast(cent), col("lj") === col("cj"))
+      .select(col("query_id"), col("lj"), col("c").as("lc"),
+        sqDist(col("qssq"), col("qsv"), col("cv"), col("csq")).as("pd"))
+
+  /** Exact re-rank of an ADC shortlist: (query_id, rank, neighbor_id,
+    * dist2) with dist2 the EXACT quantized L2² (integer, scale-free). */
+  private def pqExactRerank(short: DataFrame, quantCorpus: DataFrame,
+                            quantQueries: DataFrame, k: Int): DataFrame = {
+    val topkAgg = TopK.topK(k)
     val qvA = quantQueries.select(col("vec_id").as("query_id"),
       col("qv").as("aqv"), col("qsq").as("asq"))
     val qvB = quantCorpus.select(col("vec_id").as("neighbor_id"),
@@ -454,5 +480,70 @@ object Ann {
       .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("nbr.id").as("neighbor_id"), (-col("nbr.score")).cast("long").as("dist2"))
+  }
+
+  /** IVF-PQ top-k — the full production composition (the FAISS IVFPQ
+    * shape) over RAW embedding frames: coarse IVF cells bound WHICH
+    * vectors are scored (candidates = the query's `nprobe` nearest
+    * cells, an equi-join on cell — Θ(nprobe·n/C) per query, never the
+    * corpus), PQ+ADC bounds HOW MUCH each scoring costs (a sum of
+    * `subspaces` broadcast-LUT lookups — no per-pair vector math), and
+    * an exact re-rank of the `shortlist` recovers precision. Both sides
+    * int8-quantize at the CORPUS scale (the stored-scale contract), so
+    * every distance is exact integer math and cross-engine reproducible.
+    * Query side must be bounded (guarded broadcast).
+    * Output: (query_id, rank, neighbor_id, dist2 — exact quantized L2²). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                cells: Int = 0, nprobe: Int = 2, subspaces: Int = 8,
+                codes: Int = 16, shortlist: Int = 64,
+                excludeSameId: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val raw = corpus.select(col("vec_id"), col("embedding"))
+    val e = withNorm(corpus)
+    val nCells = if (cells > 0) cells else adaptiveCells(e.select(col("vec_id")).count())
+    require(nprobe <= nCells, s"nprobe=$nprobe exceeds cells=$nCells")
+    val cent = centroids(e, nCells)
+    val assign = assignTo(e, cent)
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val qn = AllPairsTopK.requireBroadcastable(withNorm(queries),
+      what = "ivfPqTopK query set",
+      route = "self-index corpus-sized query sets with annTopK over the raw embeddings")
+    val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val probes = qn.join(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("cent_id"), ccos)
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val scale = corpusMaxAbs(raw)
+    val quantCorpus = quantizeAt(raw, scale)
+    val quantQueries = quantizeAt(queries.select(col("vec_id"), col("embedding")), scale)
+    val dsub = pqDsub(quantCorpus, subspaces)
+    val pqc = pqCodebook(quantCorpus, subspaces, dsub, codes)
+    val enc = pqEncRows(quantCorpus, subspaces, dsub, pqc)
+    val lut = pqLutRows(quantQueries, subspaces, dsub, pqc)
+      .withColumnRenamed("query_id", "lq")
+    val idCond = if (excludeSameId) col("query_id") =!= col("neighbor_id") else lit(true)
+    // candidates: probed cells only — the equi-join on cell is what makes
+    // the scoring volume Θ(nprobe·n/C) per query instead of Θ(n)
+    val cand = broadcast(probes).join(assign, "cell")
+      .filter(idCond)
+      .select(col("query_id"), col("neighbor_id"))
+    val topShort = TopK.topK(shortlist)
+    val short = cand.join(enc, "neighbor_id")
+      .join(broadcast(lut),
+        col("ej") === col("lj") && col("code") === col("lc") &&
+          col("query_id") === col("lq"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("pd")).as("adist"))
+      // TopK ranks score DESC with id-ASC ties; negate the exact integer
+      // distance (≪ 2^53, the double stays exact)
+      .groupBy(col("query_id"))
+      .agg(topShort((col("adist") * -1L).cast("double"), col("neighbor_id")).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
+    pqExactRerank(short, quantCorpus, quantQueries, k)
   }
 }

@@ -210,4 +210,14 @@ object Pipeline {
   def pqTopK(quantCorpus: DataFrame, quantQueries: DataFrame, k: Int,
              subspaces: Int = 8, codes: Int = 16, shortlist: Int = 64): DataFrame =
     graft.operators.Ann.pqTopK(quantCorpus, quantQueries, k, subspaces, codes, shortlist)
+
+  /** IVF-PQ top-k over RAW embedding frames (the s13 gate's engine —
+    * the FAISS IVFPQ composition): coarse cells bound which vectors are
+    * scored, ADC bounds what each scoring costs, exact re-rank
+    * finishes. Both sides quantize at the corpus scale internally. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                cells: Int = 0, nprobe: Int = 2, subspaces: Int = 8,
+                codes: Int = 16, shortlist: Int = 64): DataFrame =
+    graft.operators.Ann.ivfPqTopK(corpus, queries, k, cells, nprobe,
+      subspaces, codes, shortlist)
 }

@@ -872,6 +872,153 @@ object SimilarityOps {
             (col("h").cast("double") / (lit(3) * col("nq"))).as("recall_pq"),
             (col("h").cast("double") / (lit(3) * col("nq")) >= 0.30).as("recall_ok"))
       },
+      prepare = materializeQuantized),
+
+    // ----- IVF-PQ: the full production composition (FAISS IVFPQ shape) -----
+    // s04 bounds WHICH vectors are scored (coarse cells, nprobe probe);
+    // s09 bounds HOW MUCH each scoring costs (8 LUT lookups per pair).
+    // This gate runs them COMPOSED through Ann.ivfPqTopK: candidates come
+    // only from the query's 2 nearest cells (Θ(nprobe·n/C) per query —
+    // n_candidates is value-checked to pin that volume), ADC shortlists
+    // them, an exact integer re-rank finishes. Both sides quantize at the
+    // corpus scale, so the whole derivation is exact integer math after
+    // the (fold-order-identical) cosine cell routing — the oracle replays
+    // it bit-for-bit. recall@3 vs the exact quantized ground truth is
+    // value-checked with the floor PINNED (measured ~0.33 at sf0.01 —
+    // cells are the binding constraint, matching s06's IVF numbers).
+    QuerySpec(
+      "s13_ann_ivfpq",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                   FROM embeddings),
+             ccent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                       FROM n WHERE vec_id < 16),
+             cscored AS (SELECT v.vec_id, c.cent_id,
+                                row_number() OVER (PARTITION BY v.vec_id
+                                                   ORDER BY ${dotSql("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC,
+                                                            c.cent_id ASC) AS crank
+                         FROM n v JOIN ccent c ON true),
+             assign AS (SELECT vec_id, cent_id AS cell FROM cscored WHERE crank = 1),
+             probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM cscored
+                        WHERE crank <= 2 AND vec_id % 100 = 0),
+             cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                      FROM probes p JOIN assign a ON a.cell = p.cell
+                      WHERE a.vec_id != p.query_id),
+             ma AS (SELECT max(list_max([abs(CAST(x AS DOUBLE)) for x in embedding])) AS m
+                    FROM embeddings),
+             qd AS (SELECT vec_id,
+                           [CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma.m + 0.5) AS BIGINT)
+                            for x in embedding] AS qv
+                    FROM embeddings, ma),
+             js AS (SELECT unnest(generate_series(0, 7)) AS j),
+             sub AS (SELECT qd.vec_id, js.j,
+                            [qd.qv[js.j*8 + i] for i in generate_series(1, 8)] AS sv
+                     FROM qd, js),
+             pcent AS (SELECT j, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16),
+             enc AS (SELECT vec_id, j, c AS code FROM (
+                       SELECT s.vec_id, s.j, ct.c,
+                              row_number() OVER (PARTITION BY s.vec_id, s.j
+                                ORDER BY list_sum([(s.sv[i]-ct.cv[i])*(s.sv[i]-ct.cv[i])
+                                                   for i in generate_series(1, 8)]) ASC,
+                                         ct.c ASC) AS rk
+                       FROM sub s JOIN pcent ct ON ct.j = s.j)
+                     WHERE rk = 1),
+             lut AS (SELECT s.vec_id AS query_id, ct.j, ct.c,
+                            CAST(list_sum([(s.sv[i]-ct.cv[i])*(s.sv[i]-ct.cv[i])
+                                           for i in generate_series(1, 8)]) AS BIGINT) AS pd
+                     FROM sub s JOIN pcent ct ON ct.j = s.j
+                     WHERE s.vec_id % 100 = 0),
+             adc AS (SELECT c.query_id, c.neighbor_id, CAST(sum(l.pd) AS BIGINT) AS adist
+                     FROM cand c
+                     JOIN enc e ON e.vec_id = c.neighbor_id
+                     JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.c = e.code
+                     GROUP BY 1, 2),
+             short AS (SELECT query_id, neighbor_id FROM (
+                         SELECT query_id, neighbor_id,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id ASC) AS rk
+                         FROM adc) WHERE rk <= 32),
+             rr AS (SELECT query_id, neighbor_id FROM (
+                      SELECT sh.query_id, sh.neighbor_id,
+                             row_number() OVER (PARTITION BY sh.query_id
+                               ORDER BY list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                                                  for i in generate_series(1, len(a.qv))]) ASC,
+                                        sh.neighbor_id ASC) AS rk
+                      FROM short sh
+                      JOIN qd a ON a.vec_id = sh.query_id
+                      JOIN qd b ON b.vec_id = sh.neighbor_id)
+                    WHERE rk <= 3),
+             ex AS (SELECT query_id, neighbor_id FROM (
+                      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                             row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                                                  for i in generate_series(1, len(a.qv))]) ASC,
+                                        b.vec_id ASC) AS rk
+                      FROM qd a JOIN qd b ON a.vec_id % 100 = 0 AND b.vec_id != a.vec_id)
+                    WHERE rk <= 3)
+        SELECT nq AS n_queries,
+               nc AS n_candidates,
+               h AS hits_ivfpq,
+               CAST(h AS DOUBLE)/(3*nq) AS recall_ivfpq,
+               true AS recall_ok
+        FROM (SELECT (SELECT count(*) FROM qd WHERE vec_id % 100 = 0) AS nq,
+                     (SELECT CAST(count(*) AS BIGINT) FROM cand) AS nc,
+                     (SELECT count(*) FROM ex JOIN rr USING (query_id, neighbor_id)) AS h)"""),
+      (s, dir) => {
+        val longDot = graft.functions.VectorFunctions.longDot _
+        def sqDist(aSq: Column, a: Column, b: Column, bSq: Column): Column =
+          aSq - lit(2L) * longDot(a, b) + bSq
+        val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        val q = e.filter(col("vec_id") % 100 === 0)
+        val approx = graft.operators.Ann.ivfPqTopK(e, q, k = 3,
+            cells = 16, nprobe = 2, subspaces = 8, codes = 16, shortlist = 32)
+          .select(col("query_id"), col("neighbor_id"))
+        // candidate volume: replay the cell routing to count what the
+        // operator scored — pins the Θ(nprobe·n/C) claim as a VALUE
+        val en = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val cent = en.orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+        val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
+        val scored = en.join(broadcast(cent))
+          .select(col("vec_id"), col("cent_id"), ccos)
+          .withColumn("crank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+              .orderBy(col("ccos").desc, col("cent_id").asc)))
+        val assign = scored.filter(col("crank") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"))
+        val probes = scored.filter(col("crank") <= 2 && col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+        val nCand = broadcast(probes).join(assign, "cell")
+          .filter(col("vec_id") =!= col("query_id"))
+          .agg(count(lit(1)).as("nc"))
+        // exact quantized ground truth (s09's shape)
+        val quant = quantizedEmbeddings(s, dir)
+        val qq = graft.operators.AllPairsTopK.requireBroadcastable(
+          quant.filter(col("vec_id") % 100 === 0),
+          what = "s13 IVF-PQ query set",
+          route = "recall audits should sample a bounded query set")
+        val topk = graft.operators.TopK.topK(3)
+        val exact = quant
+          .select(col("vec_id").as("neighbor_id"), col("qv").as("cqv"), col("qsq").as("csq2"))
+          .join(broadcast(qq.select(col("vec_id").as("query_id"),
+            col("qv").as("qqv"), col("qsq").as("qsq2"))),
+            col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (sqDist(col("qsq2"), col("qqv"), col("cqv"), col("csq2")) * -1L)
+              .cast("double").as("nd"))
+          .groupBy(col("query_id"))
+          .agg(topk(col("nd"), col("neighbor_id")).as("nbrs"))
+          .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
+        val nq = qq.agg(count(lit(1)).as("nq"))
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id")).agg(count(lit(1)).as("h"))
+        nq.crossJoin(nCand).crossJoin(hits)
+          .select(col("nq").as("n_queries"), col("nc").as("n_candidates"),
+            col("h").as("hits_ivfpq"),
+            (col("h").cast("double") / (lit(3) * col("nq"))).as("recall_ivfpq"),
+            // pinned true in the oracle — a recall collapse fails the hash
+            (col("h").cast("double") / (lit(3) * col("nq")) >= 0.10).as("recall_ok"))
+      },
       prepare = materializeQuantized)
   )
 }

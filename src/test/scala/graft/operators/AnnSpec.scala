@@ -100,6 +100,23 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf == ex)
   }
 
+  test("ivfPqTopK with all cells probed and a full shortlist equals pqTopK") {
+    val c = corpus(80)
+    val queries = c.filter(col("vec_id") % 20 === 0)
+    // exhaustive dials: every cell probed, shortlist covers the corpus —
+    // the IVF routing must then cost nothing and the exact re-rank must
+    // agree with the un-routed PQ path (queries ⊂ corpus → same scale)
+    def rows(df: DataFrame): Seq[(Long, Int, Long, Long)] =
+      df.select("query_id", "rank", "neighbor_id", "dist2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val ivfpq = rows(Ann.ivfPqTopK(c, queries, k = 3,
+      cells = 4, nprobe = 4, subspaces = 4, codes = 8, shortlist = 100))
+    val quant = Ann.int8Quantize(c)
+    val pq = rows(Ann.pqTopK(quant, quant.filter(col("vec_id") % 20 === 0),
+      k = 3, subspaces = 4, codes = 8, shortlist = 100))
+    assert(ivfpq == pq && ivfpq.nonEmpty)
+  }
+
   test("ivfTopK guards a corpus-sized query set with routing advice") {
     val c = corpus(60)
     val err = intercept[IllegalArgumentException](
