@@ -273,6 +273,78 @@ object StreamingOps {
             .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_seen")))
           .orderBy(col("keep_id"))
       },
+      timed = false),
+
+    // ----- streaming decontamination, value-checked vs the batch join -----
+    // The production shape of "filter incoming crawl against eval
+    // benchmarks IN-FLIGHT": the eval vocabulary folds to one ~128 KB
+    // bloom sketch BATCH-side (d11's build), which rides into the
+    // streaming query as a literal — shipped to every micro-batch task
+    // once, like Spark's own runtime filters; the probe is a scan-stage
+    // expression, so per-batch state is only the per-doc flag aggregate.
+    // The source stages every document TWICE: max(flag) is delivery-
+    // invariant, and n_shingle_rows (value-checked = 2× the distinct
+    // shingle count) proves both copies actually flowed through the
+    // probe. recall_ok (bloom ⊇ exact — no false negatives, a sketch
+    // property DuckDB cannot replay) and fp_ok (measured fp ≤ 1% + 1)
+    // are computed from the streamed flags and PINNED in the oracle;
+    // n_docs / n_exact are value-checked against the batch join.
+    QuerySpec(
+      "st10_streaming_decontaminate",
+      Some(s"""
+        WITH ${DedupOps.sgCte},
+             ev AS (SELECT DISTINCT unnest(g) AS sh FROM sg WHERE doc_id < 10),
+             ex AS (SELECT DISTINCT c.doc_id
+                    FROM (SELECT doc_id, unnest(g) AS sh FROM sg WHERE doc_id >= 10) c
+                    JOIN ev ON c.sh = ev.sh)
+        SELECT d.source, count(*) AS n_docs,
+               CAST(count(*) FILTER (d.doc_id IN (SELECT doc_id FROM ex)) AS BIGINT) AS n_exact,
+               CAST(coalesce(sum(2*sg2.nsh), 0) AS BIGINT) AS n_shingle_rows,
+               true AS recall_ok, true AS fp_ok
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, len(g) AS nsh FROM sg WHERE len(g) > 0) sg2
+               ON sg2.doc_id = d.doc_id
+        WHERE d.doc_id >= 10
+        GROUP BY d.source
+        ORDER BY d.source"""),
+      (s, dir) => {
+        import graft.functions.BloomFunctions
+        val docsB = graft.Tables.t(s, dir, "documents")
+        val sg = graft.operators.NearDup.shingleSets(docsB)
+        val evalSh = sg.filter(col("doc_id") < 10)
+          .select(explode(col("g")).as("sh")).distinct()
+        // batch-built sketch (one small-side action, map-side merged)
+        val sketchBytes = evalSh
+          .agg(BloomFunctions.bloomFilterAgg(col("sh"), 4096, 1L << 20).as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        val perDoc = runStagedToMemoryTable(s, dir, "documents", "st10", "complete", copies = 2)(
+          src => s.readStream.schema(docsB.schema).parquet(src)
+            .filter(col("doc_id") >= 10)
+            .select(col("doc_id"),
+              explode(graft.functions.TextFunctions.wordShingles(col("text"), 3)).as("sh"))
+            .groupBy(col("doc_id"))
+            .agg(max(BloomFunctions.mightContain(lit(sketchBytes), col("sh"))).as("bloom_hit"),
+              count(lit(1)).as("n_sh_rows")))
+        // batch legs: exact contamination + per-source summary
+        val ex = sg.filter(col("doc_id") >= 10)
+          .select(col("doc_id"), explode(col("g")).as("sh"))
+          .join(evalSh, "sh").select(col("doc_id")).distinct()
+          .withColumn("exact_hit", lit(true))
+        val bloomHit = coalesce(col("bloom_hit"), lit(false))
+        docsB.filter(col("doc_id") >= 10).select(col("source"), col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(ex, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("exact_hit"), 1)).as("n_exact"),
+            coalesce(sum(col("n_sh_rows")), lit(0L)).as("n_shingle_rows"),
+            // pinned true in the oracle: a false negative (impossible for
+            // a correct sketch) or an fp blow-up fails the hash
+            (count(when(col("exact_hit") && !bloomHit, 1)) === 0).as("recall_ok"),
+            (count(when(bloomHit && col("exact_hit").isNull, 1)) <=
+              (count(lit(1)) / 100).cast("long") + 1).as("fp_ok"))
+          .orderBy(col("source"))
+      },
       timed = false)
   )
 }
