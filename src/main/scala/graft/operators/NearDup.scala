@@ -103,6 +103,40 @@ object NearDup {
     (docs.join(drop, Seq(idName), "left_anti"), () => { pairs.unpersist(); () })
   }
 
+  /** The full fuzzy-dedup funnel (the Dolma/RedPajama shape) as one
+    * call: per-source counts through the near-dup pipeline —
+    * (source, n_docs, n_in_pairs, n_dropped, n_kept, keep_id_sum) —
+    * where n_in_pairs counts docs bound by any verified pair at
+    * jaccard ≥ `tau`, n_dropped the non-minimal cluster members, and
+    * keep_id_sum checksums the surviving ids. Returns the funnel frame
+    * plus a `release()` hook for the shared candidate-pair intermediate
+    * (consumed by the pair filter AND the clustering loop — call after
+    * materializing). Scale shape: the only corpus-sized work is
+    * [[verifiedPairs]]' banded candidate generation; the funnel itself
+    * is narrow left joins on the doc id plus one per-source hash-agg. */
+  def funnel(docs: DataFrame, tau: Double, idName: String = "doc_id",
+             textName: String = "text", sourceName: String = "source",
+             seeds: Int = 4, shingleN: Int = 3): (DataFrame, () => Unit) = {
+    val pairs = verifiedPairs(docs, idName, textName, seeds, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.filter(col("jaccard") >= tau)
+    val inPair = p.select(col("doc_a").as(idName))
+      .unionByName(p.select(col("doc_b").as(idName)))
+      .distinct().withColumn("in_pair", lit(true))
+    val drops = clusters(pairs, tau).filter(!col("is_kept"))
+      .select(col("doc_id").as(idName)).withColumn("dropped", lit(true))
+    val out = docs.select(col(sourceName), col(idName))
+      .join(inPair, Seq(idName), "left")
+      .join(drops, Seq(idName), "left")
+      .groupBy(col(sourceName))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("in_pair"), 1)).as("n_in_pairs"),
+        count(when(col("dropped"), 1)).as("n_dropped"),
+        count(when(col("dropped").isNull, 1)).as("n_kept"),
+        sum(when(col("dropped").isNull, col(idName))).as("keep_id_sum"))
+    (out, () => { pairs.unpersist(); () })
+  }
+
   /** SemDeDup-style semantic dedup victims over an embedding corpus:
     * (vec_id, cell, keeper_id, cos) — one row per vector that has a
     * SMALLER-id neighbor in its semantic cell with cosine ≥ `tau`

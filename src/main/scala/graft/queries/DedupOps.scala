@@ -537,6 +537,47 @@ object DedupOps {
           .orderBy(col("vec_id"))
       }),
 
+    // ----- the composed fuzzy-dedup funnel (Dolma/RedPajama shape) -----
+    // d03 verifies pairs, d05 clusters them; this gate runs the WHOLE
+    // near-dup pipeline through the one user-callable composition
+    // (Pipeline.nearDupFunnel): shingle → MinHash-LSH candidates →
+    // exact-Jaccard verify → min-label clusters → min-id keepers, with
+    // per-source funnel counts and a survivor-id checksum — the
+    // t13-for-near-dup. The oracle replays every stage (the shared
+    // pairsCte + d05's recursive components) so a drift anywhere in the
+    // composed pipeline fails the hash. Corpus-sized work is only the
+    // banded candidate generation (one persisted pass feeding both the
+    // pair filter and the clustering loop — the operator's release
+    // hook); the funnel itself is narrow id joins + one hash-agg.
+    QuerySpec(
+      "d14_neardup_funnel",
+      Some(s"""
+        WITH RECURSIVE $pairsCte,
+             p AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.6),
+             e AS (SELECT doc_a AS x, doc_b AS y FROM p
+                   UNION ALL SELECT doc_b, doc_a FROM p),
+             reach(doc, lbl) AS (
+               SELECT x, x FROM e
+               UNION
+               SELECT e.x, r.lbl FROM e JOIN reach r ON r.doc = e.y),
+             lab AS (SELECT doc, min(lbl) AS root FROM reach GROUP BY doc),
+             drops AS (SELECT doc FROM lab WHERE doc != root),
+             inpair AS (SELECT DISTINCT x AS doc FROM e)
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (d.doc_id IN (SELECT doc FROM inpair)) AS BIGINT) AS n_in_pairs,
+               CAST(count(*) FILTER (d.doc_id IN (SELECT doc FROM drops)) AS BIGINT) AS n_dropped,
+               CAST(count(*) FILTER (d.doc_id NOT IN (SELECT doc FROM drops)) AS BIGINT) AS n_kept,
+               CAST(sum(d.doc_id) FILTER (d.doc_id NOT IN (SELECT doc FROM drops)) AS BIGINT) AS keep_id_sum
+        FROM documents d
+        GROUP BY d.source
+        ORDER BY d.source"""),
+      (s, dir) => {
+        val (funnel, _) = Pipeline.nearDupFunnel(
+          Tables.t(s, dir, "documents"), tau = 0.6)
+        funnel.orderBy(col("source")) // gate leaves the cache (run-once)
+      }),
+
     // ----- bloom-filter decontamination (the no-join membership path) -----
     // d07 decontaminates by JOINING corpus shingles to the eval
     // vocabulary; at fleet scale the filter is often shipped instead of

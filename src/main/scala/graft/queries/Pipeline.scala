@@ -89,6 +89,15 @@ object Pipeline {
                    shingleN: Int = 3): (DataFrame, () => Unit) =
     graft.operators.NearDup.dedup(docs, tau, idName, textName, seeds, shingleN)
 
+  /** The full fuzzy-dedup funnel (the d14 gate's engine): per-source
+    * counts through shingle → MinHash-LSH → exact-Jaccard verify →
+    * cluster → min-id keepers, with a survivor-id checksum. Returns
+    * (funnel, release) — the [[cleanCorpusFunnel]] contract. */
+  def nearDupFunnel(docs: DataFrame, tau: Double, idName: String = "doc_id",
+                    textName: String = "text", sourceName: String = "source",
+                    seeds: Int = 4, shingleN: Int = 3): (DataFrame, () => Unit) =
+    graft.operators.NearDup.funnel(docs, tau, idName, textName, sourceName, seeds, shingleN)
+
   /** SemDeDup-style semantic dedup victims (the d13 gate's engine):
     * (vec_id, cell, keeper_id, cos) for every vector with a smaller-id
     * neighbor at cosine ≥ `tau` in its IVF semantic cell; absent rows

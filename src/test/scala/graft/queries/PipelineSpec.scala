@@ -44,6 +44,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("nearDupFunnel: per-source stage counts and survivor checksum") {
+    // docs 1,2 are near-dups (share 3 of 4 shingles → jaccard 0.6 ≥ τ);
+    // doc 3 is disjoint; doc 4 is a different source, no duplicates
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "web"),
+      (2L, "alpha beta gamma delta epsilon eta", "web"),
+      (3L, "one two three four five six", "web"),
+      (4L, "seven eight nine ten eleven twelve", "books")).toDF("doc_id", "text", "source")
+    val (funnel, release) = Pipeline.nearDupFunnel(docs, tau = 0.5)
+    val rows = funnel.orderBy("source").collect()
+    release()
+    val books = rows(0); val web = rows(1)
+    def g(r: org.apache.spark.sql.Row, c: String) = r.getLong(r.fieldIndex(c))
+    assert(g(books, "n_docs") == 1 && g(books, "n_in_pairs") == 0 &&
+      g(books, "n_dropped") == 0 && g(books, "n_kept") == 1 && g(books, "keep_id_sum") == 4L)
+    assert(g(web, "n_docs") == 3 && g(web, "n_in_pairs") == 2 &&
+      g(web, "n_dropped") == 1 && g(web, "n_kept") == 2 && g(web, "keep_id_sum") == 1L + 3L)
+  }
+
   test("semanticDedupVictims: within-cell pruning, min-id keeper, cross-cell pairs ignored") {
     // cells=2 → centroids are vec 0 ([1,0,0,0]) and vec 1 ([0,1,0,0]).
     // 10 and 12 land in cell 0 at cos≈0.995 to vec 0 (and cos 1.0 to each
