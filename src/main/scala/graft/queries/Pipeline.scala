@@ -63,6 +63,20 @@ object Pipeline {
   def bigramLmScore(docs: DataFrame): (DataFrame, () => Unit) =
     TextOps.bigramLmScoreReleasable(docs)
 
+  /** CCNet-style LM quality filter (the t15 gate's engine): score docs
+    * with the self-trained bigram LM, bucket per source by fluency
+    * (ntile over avg_freq DESC with doc_id tiebreak — deterministic),
+    * and keep buckets ≤ `keepMax` (1 = most fluent). Unscorable docs
+    * (<2 words) are dropped. Returns (kept docs, release). */
+  def lmQualityFilter(docs: DataFrame, buckets: Int = 4,
+                      keepMax: Int = 3): (DataFrame, () => Unit) = {
+    require(keepMax >= 1 && keepMax <= buckets,
+      s"keepMax must be in [1, $buckets], got $keepMax")
+    val (bucketed, release) = TextOps.lmQualityBucketsReleasable(docs, buckets)
+    val keep = bucketed.filter(col("bucket") <= keepMax).select(col("doc_id"))
+    (docs.join(keep, "doc_id"), release)
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs verified with exact
     * n-gram Jaccard (the d03 gate's engine, shared code): (doc_a, doc_b,
     * jaccard), doc_a < doc_b. Candidate generation is a banded equi-join

@@ -532,26 +532,88 @@ object TextOps {
     // because the skew is data-dependent, not key-structural.
     QuerySpec(
       "t14_bigram_lm_score",
-      Some("""
-        WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+      Some(s"""
+        WITH $lmScoreCte
+        SELECT doc_id, n_bigrams, hit_sum, n_rare, avg_freq
+        FROM sc
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val (scored, _) = bigramLmScoreReleasable(Tables.t(s, dir, "documents"))
+        scored.orderBy(col("doc_id")) // gate leaves the cache (run-once)
+      }),
+
+    // ----- CCNet-style LM quality buckets (the perplexity-filter step) -----
+    // CCNet/RefinedWeb bucket documents by language-model fluency and keep
+    // the head/middle. Here the model is t14's self-trained bigram LM and
+    // the bucketing is per-SOURCE ntile over (avg_freq DESC, doc_id) —
+    // fluent-first with a unique tiebreak, so bucket membership is fully
+    // deterministic and both engines compute identical assignments (the
+    // ordering doubles are exact: integer sums with one final division).
+    // Unscorable docs (<2 words → no bigrams) drop from the ranking, the
+    // same contract as t14. Plan: t14's one-corpus-pass scoring + a join
+    // for source + ONE per-source window — the window shuffles one narrow
+    // row per scored doc; at 100 TB the rank is per-source and the spill
+    // surface is (doc_id, source, avg_freq), not documents.
+    QuerySpec(
+      "t15_lm_quality_buckets",
+      Some(s"""
+        WITH $lmScoreCte,
+             b AS (SELECT d.source, sc.doc_id, sc.avg_freq,
+                          ntile(4) OVER (PARTITION BY d.source
+                                         ORDER BY sc.avg_freq DESC, sc.doc_id) AS bucket
+                   FROM sc JOIN documents d USING (doc_id))
+        SELECT source, bucket,
+               count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               round(min(avg_freq), 9) AS min_avg_freq,
+               round(max(avg_freq), 9) AS max_avg_freq
+        FROM b
+        GROUP BY source, bucket
+        ORDER BY source, bucket"""),
+      (s, dir) => {
+        val (bucketed, _) = lmQualityBucketsReleasable(
+          Tables.t(s, dir, "documents"), buckets = 4) // gate leaves the cache
+        bucketed
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            round(min(col("avg_freq")), 9).as("min_avg_freq"),
+            round(max(col("avg_freq")), 9).as("max_avg_freq"))
+          .orderBy(col("source"), col("bucket"))
+      })
+  )
+
+  /** Shared oracle CTEs for the t14/t15 bigram-LM family: `sc` = the
+    * per-document score frame (doc_id, n_bigrams, hit_sum, n_rare,
+    * avg_freq). */
+  private def lmScoreCte: String = """ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
              bg AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]
                                            for i in generate_series(1, len(ws)-1)]) AS bg
                     FROM ws WHERE len(ws) >= 2),
              m  AS (SELECT doc_id, bg, count(*) AS m FROM bg GROUP BY 1, 2),
-             gc AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c FROM m GROUP BY 1)
-        SELECT m.doc_id,
-               CAST(sum(m.m) AS BIGINT) AS n_bigrams,
-               CAST(sum(m.m * gc.c) AS BIGINT) AS hit_sum,
-               CAST(sum(CASE WHEN gc.c = 1 THEN m.m ELSE 0 END) AS BIGINT) AS n_rare,
-               CAST(sum(m.m * gc.c) AS DOUBLE) / sum(m.m) AS avg_freq
-        FROM m JOIN gc ON m.bg = gc.bg
-        GROUP BY m.doc_id
-        ORDER BY m.doc_id"""),
-      (s, dir) => {
-        val (scored, _) = bigramLmScoreReleasable(Tables.t(s, dir, "documents"))
-        scored.orderBy(col("doc_id")) // gate leaves the cache (run-once)
-      })
-  )
+             gc AS (SELECT bg, CAST(sum(m) AS BIGINT) AS c FROM m GROUP BY 1),
+             sc AS (SELECT m.doc_id,
+                           CAST(sum(m.m) AS BIGINT) AS n_bigrams,
+                           CAST(sum(m.m * gc.c) AS BIGINT) AS hit_sum,
+                           CAST(sum(CASE WHEN gc.c = 1 THEN m.m ELSE 0 END) AS BIGINT) AS n_rare,
+                           CAST(sum(m.m * gc.c) AS DOUBLE) / sum(m.m) AS avg_freq
+                    FROM m JOIN gc ON m.bg = gc.bg
+                    GROUP BY m.doc_id)"""
+
+  /** t15's engine: t14 scores + per-source fluency buckets —
+    * (doc_id, n_bigrams, hit_sum, n_rare, avg_freq, source, bucket),
+    * bucket = ntile(`buckets`) per source over (avg_freq DESC, doc_id).
+    * Returns the frame plus the t14 release hook. */
+  private[queries] def lmQualityBucketsReleasable(docs: DataFrame,
+                                                  buckets: Int): (DataFrame, () => Unit) = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val (scored, release) = bigramLmScoreReleasable(docs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("avg_freq").desc, col("doc_id"))
+    val out = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("bucket", ntile(buckets).over(w))
+    (out, release)
+  }
 
   /** Self-trained bigram-LM fluency score per document (t14's engine):
     * (doc_id, n_bigrams, hit_sum, n_rare, avg_freq) + a `release()` hook

@@ -44,6 +44,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("lmQualityFilter keeps the fluent buckets, drops tail and unscorable docs") {
+    // avg_freq: d1 = 19/5 = 3.8, d2 = 12/4 = 3.0, d3 = 1.0, d4 = 1.0
+    // (tie broken by doc_id), d5 has <2 words → unscorable → dropped
+    val docs = Seq(
+      (1L, "a b a b a b", "web"),
+      (2L, "a b c a b", "web"),
+      (3L, "x y z w v u", "web"),
+      (4L, "q r", "web"),
+      (5L, "solo", "web")).toDF("doc_id", "text", "source")
+    val (kept, release) = Pipeline.lmQualityFilter(docs, buckets = 2, keepMax = 1)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    release()
+    assert(ids == Seq(1L, 2L)) // ntile(2) head = the two most fluent
+    val err = intercept[IllegalArgumentException](
+      Pipeline.lmQualityFilter(docs, buckets = 2, keepMax = 3))
+    assert(err.getMessage.contains("keepMax"))
+  }
+
   test("nearDupFunnel: per-source stage counts and survivor checksum") {
     // docs 1,2 are near-dups (share 3 of 4 shingles → jaccard 0.6 ≥ τ);
     // doc 3 is disjoint; doc 4 is a different source, no duplicates
