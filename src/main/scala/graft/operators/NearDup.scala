@@ -170,6 +170,36 @@ object NearDup {
         round(min_by(col("cos"), col("keeper_cand")), 9).as("cos"))
   }
 
+  /** Contamination FRACTION per corpus document — the graded form of
+    * [[decontaminate]]'s boolean (the Llama-style overlap-fraction
+    * decision rule): (id, n_shingles, n_hit, overlap_frac, contaminated)
+    * where n_hit counts the doc's distinct shingles present in the eval
+    * vocabulary and contaminated = n_hit ≥ tau·n_shingles. Counts are
+    * exact integers (one final division for the reported fraction), so
+    * results are engine- and partitioning-invariant. The eval vocabulary
+    * joins as the small side (eval sets are bounded by construction);
+    * the corpus side is one explode + one hash-agg — linear. */
+  def contaminationFraction(corpus: DataFrame, evalDocs: DataFrame, tau: Double,
+                            idName: String = "doc_id", textName: String = "text",
+                            shingleN: Int = 3): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, s"tau must be in [0,1], got $tau")
+    val evalSh = shingleSets(evalDocs, idName, textName, shingleN)
+      .select(explode(col("g")).as("sh")).distinct()
+      .withColumn("hit", lit(true))
+    // repartition by id before the explode — single-row-group toy inputs
+    // would serialize the probe; at 100 TB file count provides this
+    val corpusSh = shingleSets(corpus, idName, textName, shingleN)
+      .repartition(col(idName))
+      .select(col(idName), explode(col("g")).as("sh"))
+    corpusSh.join(evalSh, Seq("sh"), "left")
+      .groupBy(col(idName))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("hit"), 1)).as("n_hit"))
+      .select(col(idName), col("n_shingles"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_shingles"), 9).as("overlap_frac"),
+        (col("n_hit").cast("double") >= lit(tau) * col("n_shingles")).as("contaminated"))
+  }
+
   /** Benchmark decontamination: per-corpus-doc contamination flag from ONE
     * bloom sketch over the eval set's shingle vocabulary.
     *

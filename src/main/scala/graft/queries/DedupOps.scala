@@ -647,6 +647,38 @@ object DedupOps {
           ORDER BY d.source""")
       }),
 
+    // ----- contamination fraction (the graded decontamination rule) -----
+    // d07/d11 flag membership; real decontamination policies GRADE the
+    // overlap (the Llama-style rule: drop when the fraction of a doc's
+    // n-grams seen in the eval set crosses a threshold). Counts are exact
+    // integers with one final division; the threshold compare runs on
+    // identical IEEE ops in both engines, so the per-doc flag is
+    // VALUE-checked, not pinned. tau = 0.05 flags ~11% of the corpus at
+    // sf0.01 — a live decision boundary, not a degenerate one.
+    QuerySpec(
+      "d15_contamination_fraction",
+      Some(s"""
+        WITH $sgCte,
+             ev AS (SELECT DISTINCT unnest(g) AS sh FROM sg WHERE doc_id < 10),
+             c AS (SELECT doc_id, unnest(g) AS sh FROM sg WHERE doc_id >= 10),
+             pd AS (SELECT c.doc_id, count(*) AS n_shingles, count(ev.sh) AS n_hit
+                    FROM c LEFT JOIN ev ON c.sh = ev.sh
+                    GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               round(CAST(n_hit AS DOUBLE) / n_shingles, 9) AS overlap_frac,
+               CAST(n_hit AS DOUBLE) >= 0.05 * n_shingles AS contaminated
+        FROM pd
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        graft.operators.NearDup.contaminationFraction(
+            docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+            tau = 0.05)
+          .orderBy(col("doc_id"))
+      }),
+
     // ----- temperature-weighted corpus mixing (the sampling schedule) -----
     // The pretraining mixture step d06 samples FROM: given per-source doc
     // counts, allocate a fixed budget proportionally to n^α (α = 0.5 —

@@ -135,6 +135,16 @@ object Pipeline {
     graft.operators.NearDup.decontaminate(
       corpus, evalDocs, idName, textName, shingleN, expectedItems, numBits)
 
+  /** Contamination fraction per doc (the d15 gate's engine — the graded
+    * Llama-style overlap rule): (idName, n_shingles, n_hit,
+    * overlap_frac, contaminated) with contaminated = n_hit ≥
+    * tau·n_shingles. Exact integer counts, one final division. */
+  def contaminationFraction(corpus: DataFrame, evalDocs: DataFrame, tau: Double,
+                            idName: String = "doc_id", textName: String = "text",
+                            shingleN: Int = 3): DataFrame =
+    graft.operators.NearDup.contaminationFraction(
+      corpus, evalDocs, tau, idName, textName, shingleN)
+
   /** Temperature-weighted mixture allocation (d12): split `budget`
     * across (source, n_docs) rows ∝ sqrt(n_docs) with exact integer
     * largest-remainder rounding — allocations sum to `budget` exactly. */

@@ -44,6 +44,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("contaminationFraction: exact counts, boundary-inclusive threshold") {
+    // corpus doc 10 shares 2 of its 4 shingles with the eval doc → frac
+    // exactly 0.5; tau = 0.5 must flag it (>= is inclusive). Doc 11 is
+    // disjoint → 0 hits, not flagged.
+    val corpus = Seq((10L, "a b c d e f"), (11L, "u v w x y z")).toDF("doc_id", "text")
+    val evalDocs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val rows = Pipeline.contaminationFraction(corpus, evalDocs, tau = 0.5)
+      .orderBy("doc_id").collect()
+    def g(i: Int, c: String) = rows(i).getLong(rows(i).fieldIndex(c))
+    assert(g(0, "n_shingles") == 4 && g(0, "n_hit") == 2)
+    assert(rows(0).getDouble(rows(0).fieldIndex("overlap_frac")) == 0.5)
+    assert(rows(0).getBoolean(rows(0).fieldIndex("contaminated")))
+    assert(g(1, "n_shingles") == 4 && g(1, "n_hit") == 0)
+    assert(!rows(1).getBoolean(rows(1).fieldIndex("contaminated")))
+  }
+
   test("lmQualityFilter keeps the fluent buckets, drops tail and unscorable docs") {
     // avg_freq: d1 = 19/5 = 3.8, d2 = 12/4 = 3.0, d3 = 1.0, d4 = 1.0
     // (tie broken by doc_id), d5 has <2 words → unscorable → dropped
