@@ -60,7 +60,7 @@ object SimilarityOps {
   private val annIndexDirs =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
-  private def annIndex(s: SparkSession, dir: String): String =
+  private[queries] def annIndex(s: SparkSession, dir: String): String =
     annIndexDirs.getOrElseUpdate((s, dir), {
       val path = java.nio.file.Files.createTempDirectory("ann_index").toString + "/idx"
       graft.operators.Ann.buildIndex(
@@ -85,7 +85,7 @@ object SimilarityOps {
   def signBucket(e: Column, bits: Int): Column =
     graft.operators.Ann.signBucket(e, bits)
 
-  private def signBucketSql(e: String, bits: Int): String =
+  private[queries] def signBucketSql(e: String, bits: Int): String =
     (0 until bits).map { i =>
       s"(CASE WHEN $e[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -31,6 +31,19 @@ object StreamingOps {
   private def runStagedToMemoryTable(s: SparkSession, dir: String, table: String,
                                      prefix: String, mode: String, copies: Int)(
                                      build: String => DataFrame): DataFrame = {
+    val src = stageSource(dir, table, prefix, copies)
+    val name = s"${prefix}_${System.nanoTime()}"
+    val q = build(src)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    awaitBounded(q, prefix)
+    s.table(name)
+  }
+
+  /** Copy `dir/<table>.parquet` into a fresh stream-source dir `copies`
+    * times; returns the dir path. */
+  private def stageSource(dir: String, table: String, prefix: String,
+                          copies: Int): String = {
     val src = java.nio.file.Files.createTempDirectory(prefix)
     src.toFile.deleteOnExit()
     (1 to copies).foreach { i =>
@@ -38,16 +51,15 @@ object StreamingOps {
       staged.toFile.deleteOnExit()
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/$table.parquet"), staged)
     }
-    val name = s"${prefix}_${System.nanoTime()}"
-    val q = build(src.toString)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    src.toString
+  }
+
+  private def awaitBounded(q: org.apache.spark.sql.streaming.StreamingQuery,
+                           prefix: String): Unit =
     if (!q.awaitTermination(300000)) {
       q.stop()
       throw new RuntimeException(s"$prefix streaming job did not finish within 300s")
     }
-    s.table(name)
-  }
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -345,6 +357,66 @@ object StreamingOps {
               (count(lit(1)) / 100).cast("long") + 1).as("fp_ok"))
           .orderBy(col("source"))
       },
-      timed = false)
+      timed = false),
+
+    // ----- streaming ANN serving from the materialized index -----
+    // The query-side production loop: a STREAM of search requests served
+    // micro-batch by micro-batch against the static s12 index layout
+    // (bits from the footer, probe values pushed into the scan). The
+    // serving call needs a bounded batch and a driver-side probe-value
+    // collection, so the composition is `foreachBatch` — the standard
+    // seam for batch operators inside a stream — writing each batch's
+    // answers to an append sink. The source stages every query TWICE
+    // (arriving in the same or different batches — the gate must not
+    // depend on which): queries dedup within a batch before serving, and
+    // identical re-served answers collapse in the final distinct because
+    // the whole derivation is deterministic to the bit. The oracle is
+    // s12's full SQL replay — the streamed serving must give exactly the
+    // one-shot batch answer.
+    QuerySpec(
+      "st11_streaming_ann_serving",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${SimilarityOps.normSql("embedding")} AS nrm,
+                          ${SimilarityOps.signBucketSql("embedding", 4)} AS bucket
+                   FROM embeddings),
+             p AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn,
+                          unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                  xor(bucket, 4), xor(bucket, 8)]) AS probe
+                   FROM n WHERE vec_id % 100 = 0),
+             sc AS (SELECT p.query_id, b.vec_id AS neighbor_id,
+                           ${SimilarityOps.dotSql("p.qe", "b.embedding")} / (p.qn * b.nrm) AS cos
+                    FROM p JOIN n b ON b.bucket = p.probe AND b.vec_id != p.query_id),
+             rk AS (SELECT query_id, neighbor_id, cos,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM sc)
+        SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+        FROM rk WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val idxPath = SimilarityOps.annIndex(s, dir)
+        val emb = graft.Tables.t(s, dir, "embeddings")
+        val src = stageSource(dir, "embeddings", "st11", copies = 2)
+        val outDir = java.nio.file.Files.createTempDirectory("st11_out").toString
+        val q = s.readStream.schema(emb.schema).parquet(src)
+          .filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // re-delivery within one batch must not double candidates
+            val queries = batch.dropDuplicates("vec_id")
+            if (!queries.isEmpty) {
+              graft.operators.Ann.annTopKIndexed(s, idxPath, queries, k = 3, probes = 5)
+                .write.mode("append").parquet(outDir)
+            }
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        awaitBounded(q, "st11")
+        s.read.parquet(outDir).distinct()
+          .orderBy(col("query_id"), col("rank"))
+      },
+      timed = false,
+      prepare = Some((s, dir) => { SimilarityOps.annIndex(s, dir); () }))
   )
 }
