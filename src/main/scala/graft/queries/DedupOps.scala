@@ -95,6 +95,13 @@ object DedupOps {
   private[queries] val materializePairs: Option[(SparkSession, String) => Unit] =
     Some((s, dir) => { jaccardPairs(s, dir).count(); () })
 
+  /** Unpersist + drop the (session, dir) candidate-pair cache entry — the
+    * release hook mirroring [[SimilarityOps.releaseQuantized]]: run-once
+    * gates never need it, but a long-lived session re-pointing at new
+    * datasets must release retired entries. */
+  def releasePairs(s: SparkSession, dir: String): Unit =
+    pairsCache.remove((s, dir)).foreach { df => df.unpersist(); () }
+
   /** Delegates to the user-callable operator (round-5 lift): the gate and
     * `Pipeline.nearDupPairs` run the SAME code, so the facade cannot drift
     * from the value-checked semantics. */

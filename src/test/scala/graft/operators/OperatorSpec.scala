@@ -185,6 +185,71 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("NearDup.semanticVictims equals brute force over random vector families") {
+    val rnd = new scala.util.Random(7)
+    var totalVictims = 0
+    for (_ <- 1 to 3) {
+      val n = 30; val d = 8; val cells = 4; val tau = 0.5
+      val vecs = (0L until n.toLong).map(i => i -> Array.fill(d)(rnd.nextFloat() * 2 - 1))
+      // brute force with the operator's exact arithmetic: double-accumulated
+      // float products left-to-right (FloatDot), cosine tie toward lower cell
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+      }
+      def cos(a: Array[Float], b: Array[Float]): Double =
+        dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      val cents = vecs.take(cells)
+      val cell = vecs.map { case (id, v) =>
+        id -> cents.map { case (cid, c) => (cos(v, c), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }.head._2
+      }.toMap
+      val byId = vecs.toMap
+      val expected = vecs.flatMap { case (id, v) =>
+        val nbrs = vecs.filter { case (o, _) => o < id && cell(o) == cell(id) }
+          .map { case (o, ov) => (o, cos(v, ov)) }
+          .filter(_._2 >= tau)
+        if (nbrs.isEmpty) None
+        else {
+          val (keeper, c) = nbrs.minBy(_._1)
+          Some((id, cell(id), keeper,
+            BigDecimal(c).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }.sortBy(_._1)
+      val df = vecs.map { case (id, a) => (id, a.toSeq) }.toDF("vec_id", "embedding")
+      val got = NearDup.semanticVictims(df, tau = tau, cells = cells)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(got == expected)
+      totalVictims += got.length
+    }
+    assert(totalVictims > 0) // the trials must actually exercise pruning
+  }
+
+  test("NearDup.contaminationFraction equals brute force over random corpora") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    def doc(len: Int) = (0 until len).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val corpus = (10L until 40L).map(i => (i, doc(3 + rnd.nextInt(8))))
+    val evalDocs = (0L until 3L).map(i => (i, doc(6)))
+    def sh3(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val vocab = evalDocs.flatMap(d => sh3(d._2)).toSet
+    val expected = corpus.flatMap { case (id, t) =>
+      val g = sh3(t)
+      if (g.isEmpty) None
+      else Some((id, g.size.toLong, g.count(vocab).toLong))
+    }.sortBy(_._1)
+    val got = NearDup.contaminationFraction(
+        corpus.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"), tau = 0.3)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == expected)
+    got.foreach { r =>
+      val (nSh, nHit) = (r.getLong(1), r.getLong(2))
+      assert(r.getBoolean(r.fieldIndex("contaminated")) == (nHit.toDouble >= 0.3 * nSh))
+    }
+  }
+
   test("MisraGries: distributed candidates + exact re-count equal the full groupBy") {
     val terms = (Seq.fill(300)("hot") ++ Seq.fill(90)("warm") ++
       (0 until 800).map(i => s"cold${i % 400}")).map(Tuple1(_))

@@ -98,6 +98,21 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   // ---------- q21/q22 shapes that the gate data can't stress ----------
 
+  test("session caches: hit returns the same frame, release retires it") {
+    val dir = java.nio.file.Files.createTempDirectory("cache_release").toString
+    Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w v"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val first = DedupOps.jaccardPairs(spark, dir)
+    assert(DedupOps.jaccardPairs(spark, dir) eq first) // cached identity
+    DedupOps.releasePairs(spark, dir)
+    assert(!(DedupOps.jaccardPairs(spark, dir) eq first)) // retired, rebuilt
+    DedupOps.releasePairs(spark, dir)
+    // unknown keys are safe no-ops
+    DedupOps.releasePairs(spark, "/nonexistent")
+    SimilarityOps.releaseQuantized(spark, "/nonexistent")
+  }
+
   test("q21 json extract: malformed and missing keys become null, not errors") {
     val df = Seq("""{"k": 5}""", """{"other": 1}""", "not json", null)
       .toDF("props")
