@@ -47,6 +47,7 @@ object ConnectedComponents {
   }
 
   private def runLoop(edges: DataFrame, maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
     val src = edges.columns(0)
     val dst = edges.columns(1)
     // persist the input FIRST: the undirected union references it twice,
@@ -57,11 +58,24 @@ object ConnectedComponents {
       .union(e.select(col(dst).as("x"), col(src).as("y")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Each round ends in a SQL-LINEAGE TRUNCATION (createDataFrame over
+    // the round's RDD): the persist alone bounds recomputation, but the
+    // LOGICAL plan would still chain every round's joins, and Catalyst
+    // re-analyzes the whole tree on every downstream action — composed
+    // pipelines over the CC output (d16) paid minutes of analyzer time
+    // for microseconds of data. The truncated frame's plan is a one-node
+    // LogicalRDD whose RDD scans the round's cache (partition loss
+    // recomputes through the cached round — fault tolerance keeps the
+    // RDD-lineage path).
+    def truncate(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+
     // seed = hop 1: component(v) = min(v, min(neighbors(v)))
-    var labels = und.groupBy("x")
+    var cached = und.groupBy("x")
       .agg(min("y").as("mn"))
       .select(col("x").as("id"), least(col("x"), col("mn")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = truncate(cached)
 
     var converged = false
     var iter = 0
@@ -83,8 +97,9 @@ object ConnectedComponents {
       val changed = next
         .agg(count(when(col("component") < col("prev"), 1)).as("c"))
         .head().getLong(0)
-      labels.unpersist()
-      labels = next
+      cached.unpersist()
+      cached = next
+      labels = truncate(next)
       converged = changed == 0L
       iter += 1
     }

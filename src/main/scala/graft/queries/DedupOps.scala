@@ -686,6 +686,66 @@ object DedupOps {
           .orderBy(col("doc_id"))
       }),
 
+    // ----- the end-to-end pretraining pipeline (the marquee composition) -----
+    // Every stage above, composed the way a real corpus build runs them
+    // and value-checked as ONE derivation: near-dup dedup (d03/d05, over
+    // the corpus partition only — LSH candidates within a subset equal
+    // the full-corpus candidates restricted to it, so the oracle filters
+    // pairsCte) → graded decontamination (d15's τ·n rule vs the eval
+    // partition) → CCNet LM filter (t15, the bigram model trained on the
+    // SURVIVING set — the oracle's lmScoreCteFor('s2')). Per-source
+    // stage counts and the survivor checksum are all value-checked; any
+    // stage drifting, reordering, or leaking dropped docs into a later
+    // model fails the hash.
+    QuerySpec(
+      "d16_training_pipeline",
+      Some(s"""
+        WITH RECURSIVE $pairsCte,
+             p AS (SELECT doc_a, doc_b FROM jp
+                   WHERE jaccard >= 0.6 AND doc_a >= 10 AND doc_b >= 10),
+             e AS (SELECT doc_a AS x, doc_b AS y FROM p
+                   UNION ALL SELECT doc_b, doc_a FROM p),
+             reach(doc, lbl) AS (
+               SELECT x, x FROM e
+               UNION
+               SELECT e.x, r.lbl FROM e JOIN reach r ON r.doc = e.y),
+             lab AS (SELECT doc, min(lbl) AS root FROM reach GROUP BY doc),
+             drops AS (SELECT doc FROM lab WHERE doc != root),
+             s1 AS (SELECT d.doc_id, d.text, d.source FROM documents d
+                    WHERE d.doc_id >= 10
+                      AND d.doc_id NOT IN (SELECT doc FROM drops)),
+             ev AS (SELECT DISTINCT unnest(g) AS sh FROM sg WHERE doc_id < 10),
+             cf AS (SELECT c.doc_id, count(*) AS n_sh, count(ev.sh) AS n_hit
+                    FROM (SELECT sg.doc_id, unnest(sg.g) AS sh FROM sg
+                          JOIN s1 ON s1.doc_id = sg.doc_id) c
+                    LEFT JOIN ev ON c.sh = ev.sh
+                    GROUP BY 1),
+             s2 AS (SELECT s1.* FROM s1 LEFT JOIN cf ON cf.doc_id = s1.doc_id
+                    WHERE cf.doc_id IS NULL
+                       OR CAST(cf.n_hit AS DOUBLE) < 0.05 * cf.n_sh),
+             ${graft.queries.TextOps.lmScoreCteFor("s2")},
+             b AS (SELECT s2.source, sc.doc_id,
+                          ntile(4) OVER (PARTITION BY s2.source
+                                         ORDER BY sc.avg_freq DESC, sc.doc_id) AS bucket
+                   FROM sc JOIN s2 ON s2.doc_id = sc.doc_id),
+             s3 AS (SELECT doc_id FROM b WHERE bucket <= 3)
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s1)) AS BIGINT) AS n_after_neardup,
+               CAST(count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s2)) AS BIGINT) AS n_after_decontam,
+               CAST(count(*) FILTER (d.doc_id IN (SELECT doc_id FROM s3)) AS BIGINT) AS n_after_lm,
+               CAST(sum(d.doc_id) FILTER (d.doc_id IN (SELECT doc_id FROM s3)) AS BIGINT) AS kept_id_sum
+        FROM documents d
+        WHERE d.doc_id >= 10
+        GROUP BY d.source
+        ORDER BY d.source"""),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val (_, funnel, _) = Pipeline.pretrainingPipeline(
+          docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+        funnel.orderBy(col("source")) // gate leaves the caches (run-once)
+      }),
+
     // ----- temperature-weighted corpus mixing (the sampling schedule) -----
     // The pretraining mixture step d06 samples FROM: given per-source doc
     // counts, allocate a fixed budget proportionally to n^α (α = 0.5 —

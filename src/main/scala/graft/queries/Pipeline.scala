@@ -77,6 +77,42 @@ object Pipeline {
     (docs.join(keep, "doc_id"), release)
   }
 
+  /** The END-TO-END pretraining data pipeline (the d16 gate's engine),
+    * composed from the gate-verified stages over (doc_id, text, source)
+    * frames: near-dup dedup (MinHash-LSH + clusters, min-id keepers at
+    * `dedupTau`) → benchmark decontamination (drop docs whose eval
+    * n-gram overlap fraction ≥ `contamTau`) → LM quality filter (keep
+    * the `keepMax` most fluent of `buckets` per-source fluency buckets,
+    * model TRAINED ON THE SURVIVING SET — the CCNet ordering). Returns
+    * (kept docs, per-source funnel frame with stage counts + survivor
+    * checksum, release hook for every persisted intermediate). */
+  def pretrainingPipeline(corpus: DataFrame, evalDocs: DataFrame,
+                          dedupTau: Double = 0.6, contamTau: Double = 0.05,
+                          buckets: Int = 4, keepMax: Int = 3): (DataFrame, DataFrame, () => Unit) = {
+    import org.apache.spark.storage.StorageLevel
+    val (s1raw, rel1) = graft.operators.NearDup.dedup(corpus, dedupTau)
+    val s1 = s1raw.persist(StorageLevel.MEMORY_AND_DISK)
+    val contaminated = graft.operators.NearDup
+      .contaminationFraction(s1, evalDocs, contamTau)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (s3, rel3) = lmQualityFilter(s2, buckets, keepMax)
+    def stage(df: DataFrame, c: String) =
+      df.select(col("doc_id")).withColumn(c, lit(true))
+    val funnel = corpus.select(col("source"), col("doc_id"))
+      .join(stage(s1, "in1"), Seq("doc_id"), "left")
+      .join(stage(s2, "in2"), Seq("doc_id"), "left")
+      .join(stage(s3, "in3"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("in1"), 1)).as("n_after_neardup"),
+        count(when(col("in2"), 1)).as("n_after_decontam"),
+        count(when(col("in3"), 1)).as("n_after_lm"),
+        sum(when(col("in3"), col("doc_id"))).as("kept_id_sum"))
+    (s3, funnel, () => { rel1(); rel3(); s1.unpersist(); s2.unpersist(); () })
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs verified with exact
     * n-gram Jaccard (the d03 gate's engine, shared code): (doc_a, doc_b,
     * jaccard), doc_a < doc_b. Candidate generation is a banded equi-join

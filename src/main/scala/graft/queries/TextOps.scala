@@ -585,8 +585,14 @@ object TextOps {
 
   /** Shared oracle CTEs for the t14/t15 bigram-LM family: `sc` = the
     * per-document score frame (doc_id, n_bigrams, hit_sum, n_rare,
-    * avg_freq). */
-  private def lmScoreCte: String = """ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+    * avg_freq). `lmScoreCteFor` parameterizes the source relation so
+    * composed pipelines (d16) can train the model on a FILTERED set. */
+  private def lmScoreCte: String = lmScoreCteFor("documents")
+
+  private[queries] def lmScoreCteFor(rel: String): String =
+    lmScoreTemplate.replace("__REL__", rel)
+
+  private def lmScoreTemplate: String = """ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM __REL__),
              bg AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]
                                            for i in generate_series(1, len(ws)-1)]) AS bg
                     FROM ws WHERE len(ws) >= 2),

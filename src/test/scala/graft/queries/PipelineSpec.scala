@@ -44,6 +44,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("pretrainingPipeline: each stage drops its doc, funnel counts the stages") {
+    // 11 near-dups 10 (jaccard 0.6) → dropped at dedup; 12 shares an eval
+    // shingle (frac 0.25) → dropped at decontamination; 16 is the least
+    // fluent of the 5 survivors → dropped by the ntile(4) tail (13/14/15
+    // share the common "c1 c2" bigram, 10 and 16 tie at 1.0 with 10
+    // winning the doc_id tiebreak into bucket 3)
+    val corpus = Seq(
+      (10L, "d1 d2 d3 d4 d5 d6", "web"),
+      (11L, "d1 d2 d3 d4 d5 x11", "web"),
+      (12L, "w1 w2 w3 q1 q2 q3", "web"),
+      (13L, "c1 c2 x13 c1 c2", "web"),
+      (14L, "c1 c2 x14 c1 c2", "web"),
+      (15L, "c1 c2 x15 c1 c2", "web"),
+      (16L, "r1 r2 r3 r4", "web")).toDF("doc_id", "text", "source")
+    val evalDocs = Seq((1L, "w1 w2 w3 w4 w5", "eval")).toDF("doc_id", "text", "source")
+    val (kept, funnel, release) = Pipeline.pretrainingPipeline(corpus, evalDocs)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val f = funnel.collect().head
+    release()
+    assert(keptIds == Seq(10L, 13L, 14L, 15L))
+    def g(c: String) = f.getLong(f.fieldIndex(c))
+    assert(g("n_docs") == 7 && g("n_after_neardup") == 6 &&
+      g("n_after_decontam") == 5 && g("n_after_lm") == 4 &&
+      g("kept_id_sum") == 52L)
+  }
+
   test("contaminationFraction: exact counts, boundary-inclusive threshold") {
     // corpus doc 10 shares 2 of its 4 shingles with the eval doc → frac
     // exactly 0.5; tau = 0.5 must flag it (>= is inclusive). Doc 11 is
