@@ -398,6 +398,108 @@ object MultimodalOps {
         Multimodal.extractAudioFeatures(docs).toDF()
           .select(col("doc_id"), col("n_samples"), col("sample_sum"), col("peak"))
           .orderBy(col("doc_id"))
-      })
+      }),
+
+    // ----- perceptual image NEAR-dup: grid-banded color candidates -----
+    // m06 collapses exact content duplicates; real pipelines also prune
+    // PERCEPTUALLY close images (re-exports with slight color shifts).
+    // Every 7th document gets a variant repainted with each channel
+    // shifted +2 (clipped at 255) — bytes differ, content nearly equal.
+    // Candidates come from a 3-D GRID join over the decoded thumbnail
+    // colors (cell width 8 ≥ 2ε+1, so a ±2 neighbor is within one cell
+    // step per axis — provably lossless): one side sits in its own cell,
+    // the other emits its 27 neighbor cells; a pair meets in EXACTLY one
+    // cell (the cell delta is unique), so no dedup pass is needed. The
+    // exact per-channel |Δ| ≤ 2 verify runs on candidates only — never
+    // all-pairs (the in-gate assert pins no cartesian in the plan). The
+    // oracle brute-forces the same predicate over the painted colors, so
+    // a codec drift, a missed boundary-crossing pair, or a phantom
+    // candidate fails the hash.
+    QuerySpec(
+      "m09_image_neardup",
+      Some("""
+        WITH base AS (SELECT doc_id,
+                             CAST(('0x'||substr(md5(text),5,2)) AS INTEGER) AS r,
+                             CAST(('0x'||substr(md5(text),7,2)) AS INTEGER) AS g,
+                             CAST(('0x'||substr(md5(text),9,2)) AS INTEGER) AS b
+                      FROM documents),
+             c AS (SELECT doc_id, r, g, b FROM base
+                   UNION ALL
+                   SELECT doc_id + 2000000, least(r+2, 255), least(g+2, 255), least(b+2, 255)
+                   FROM base WHERE doc_id % 7 = 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               b.r - a.r AS dr, b.g - a.g AS dg, b.b - a.b AS db
+        FROM c a JOIN c b
+          ON a.doc_id < b.doc_id
+         AND abs(a.r - b.r) <= 2 AND abs(a.g - b.g) <= 2 AND abs(a.b - b.b) <= 2
+        ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val corpus = s.read.parquet(nearDupPerceptualDocs(s, dir): _*)
+        val resized = Multimodal.resizeImages(corpus, outW = 4, outH = 4)
+          .withColumnRenamed("resized", "payload")
+        val colors = Multimodal.extractPixelFeatures(resized, dim = 3)
+          .select(col("doc_id"),
+            (element_at(col("features"), 1) / 16).cast("int").as("r"),
+            (element_at(col("features"), 2) / 16).cast("int").as("g"),
+            (element_at(col("features"), 3) / 16).cast("int").as("b"))
+        def cellOf(c: Column): Column = floor(c / 8).cast("int")
+        val a = colors.select(col("doc_id").as("doc_a"),
+          col("r").as("ra"), col("g").as("ga"), col("b").as("ba"),
+          cellOf(col("r")).as("cr"), cellOf(col("g")).as("cg"), cellOf(col("b")).as("cb"))
+        val offsets = array((for (i <- -1 to 1; j <- -1 to 1; k <- -1 to 1)
+          yield struct(lit(i).as("oi"), lit(j).as("oj"), lit(k).as("ok"))): _*)
+        val b = colors.select(col("doc_id").as("doc_b"),
+            col("r").as("rb"), col("g").as("gb"), col("b").as("bb"),
+            cellOf(col("r")).as("br_c"), cellOf(col("g")).as("bg_c"), cellOf(col("b")).as("bb_c"))
+          .withColumn("o", explode(offsets))
+          .select(col("doc_b"), col("rb"), col("gb"), col("bb"),
+            (col("br_c") + col("o.oi")).as("cr"),
+            (col("bg_c") + col("o.oj")).as("cg"),
+            (col("bb_c") + col("o.ok")).as("cb"))
+        val out = a.join(b, Seq("cr", "cg", "cb"))
+          .filter(col("doc_a") < col("doc_b") &&
+            abs(col("ra") - col("rb")) <= 2 &&
+            abs(col("ga") - col("gb")) <= 2 &&
+            abs(col("ba") - col("bb")) <= 2)
+          .select(col("doc_a"), col("doc_b"),
+            (col("rb") - col("ra")).as("dr"),
+            (col("gb") - col("ga")).as("dg"),
+            (col("bb") - col("ba")).as("db"))
+          .orderBy(col("doc_a"), col("doc_b"))
+        // the grid join must plan as an equi-join on the cell key — a
+        // silent fallback to cartesian/BNLJ would be the quadratic shape
+        // this operator exists to avoid
+        val physical = out.queryExecution.executedPlan.toString
+        require(!physical.contains("CartesianProduct") &&
+          !physical.contains("BroadcastNestedLoopJoin"),
+          "m09 grid join degraded to a quadratic join")
+        out
+      },
+      prepare = Some((s, dir) => { nearDupPerceptualDocs(s, dir); () }))
   )
+
+  /** m09 harness prep: a repainted variant of every 7th document — same
+    * md5-derived dimensions as the source, each color channel shifted +2
+    * (clipped at 255), doc_id + 2,000,000: a perceptually-near duplicate
+    * population whose BYTES differ everywhere (different pixel values →
+    * different compressed stream), so only content-level comparison can
+    * find it. Written once per (session, dataset); read together with
+    * the base corpus. */
+  private val perceptualVariantTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def nearDupPerceptualDocs(s: SparkSession, dir: String): Seq[String] =
+    Seq(pngDocsPath(s, dir), perceptualVariantTables.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_imgneardup").toString + "/variants"
+      Tables.t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .repartition(col("doc_id"))
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          pngUdf(md5Byte(0) % 16 + 8, md5Byte(1) % 16 + 8,
+            least(md5Byte(2) + 2, lit(255)).cast("int"),
+            least(md5Byte(3) + 2, lit(255)).cast("int"),
+            least(md5Byte(4) + 2, lit(255)).cast("int")).as("payload"))
+        .write.mode("overwrite").parquet(out)
+      out
+    }))
 }
