@@ -437,11 +437,17 @@ object MultimodalOps {
         val corpus = s.read.parquet(nearDupPerceptualDocs(s, dir): _*)
         val resized = Multimodal.resizeImages(corpus, outW = 4, outH = 4)
           .withColumnRenamed("resized", "payload")
+        // persist the decoded colors BEFORE branching: the frame feeds
+        // both join sides and sits under the 27× neighbor explode —
+        // without the cache, projection collapsing re-runs the codec
+        // chain per exploded row (measured 94 s → ~2 s at sf0.1). The
+        // cached frame is 4 ints per image; run-once gate keeps it.
         val colors = Multimodal.extractPixelFeatures(resized, dim = 3)
           .select(col("doc_id"),
             (element_at(col("features"), 1) / 16).cast("int").as("r"),
             (element_at(col("features"), 2) / 16).cast("int").as("g"),
             (element_at(col("features"), 3) / 16).cast("int").as("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         def cellOf(c: Column): Column = floor(c / 8).cast("int")
         val a = colors.select(col("doc_id").as("doc_a"),
           col("r").as("ra"), col("g").as("ga"), col("b").as("ba"),
