@@ -482,6 +482,60 @@ object Ann {
         col("nbr.id").as("neighbor_id"), (-col("nbr.score")).cast("long").as("dist2"))
   }
 
+  /** One Lloyd refinement of the static coarse codebook, in EXACT
+    * arithmetic so assignments are engine- and partitioning-invariant
+    * (the s07 gate's engine): embeddings quantize to integers
+    * (floor(x·2²⁰ + 0.5)); round-1 assignment distances are pure
+    * integer sums against the `cells` lowest-vec_id seeds; refined
+    * centroids stay exact rationals (per-dim integer sum + count —
+    * never a double mean); round-2 distances compare
+    * Σ(n·q_d − s_d)² / n² as per-row scalar double folds; ties break
+    * toward the lower cell id. Returns (vec_id, cell) — the trained
+    * assignment a production IVF index would store. One refinement is
+    * the exact-arithmetic ceiling: further rounds would need
+    * rational-over-rational distances with compounding denominators
+    * (or floating centroids, which lose cross-engine determinism).
+    * Cost: two broadcast-codebook passes + one per-(cell,dim) hash-agg
+    * — linear, the same shuffle story as [[assignCells]]. */
+  def lloydRefineAssign(corpus: DataFrame, cells: Int = 0): DataFrame = {
+    require(cells >= 0, s"cells must be >= 0 (0 = adaptive), got $cells")
+    val qvE = transform(col("embedding"),
+      x => floor(x.cast("double") * 1048576d + 0.5d).cast("long"))
+    val q = corpus.select(col("vec_id"), qvE.as("qv"))
+    val nCells = if (cells > 0) cells else adaptiveCells(q.select(col("vec_id")).count())
+    val c0 = q.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cell"), col("qv").as("qc"))
+    // round 1: integer distances to the broadcast seed codebook
+    val dist1 = aggregate(zip_with(col("qv"), col("qc"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val a1 = q.join(broadcast(c0))
+      .select(col("vec_id"), col("cell"), dist1.as("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"))
+    // refined centroids as exact rationals: per-dim integer sums + n.
+    // n rides the same per-(cell,pos) aggregation as the sums (every
+    // pos of a cell has exactly n rows), so the corpus-sized assignment
+    // join is consumed ONCE — a second branch over `mem` would
+    // re-execute the distance evaluation feeding a1
+    val mem = a1.join(q, "vec_id")
+    val dims = mem.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+    val c1 = dims.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        e => e.getField("s")).as("sv"),
+        max(col("cnt")).as("n"))
+    // round 2: per-row scalar double fold against the rational centroids
+    val dist2 = aggregate(
+      zip_with(col("qv"), col("sv"),
+        (a, b) => { val t = (col("n") * a - b).cast("double"); t * t }),
+      lit(0d), (acc, x) => acc + x) / (col("n").cast("double") * col("n"))
+    q.join(broadcast(c1))
+      .select(col("vec_id"), col("cell"), dist2.as("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"))
+  }
+
   /** IVF-PQ top-k — the full production composition (the FAISS IVFPQ
     * shape) over RAW embedding frames: coarse IVF cells bound WHICH
     * vectors are scored (candidates = the query's `nprobe` nearest

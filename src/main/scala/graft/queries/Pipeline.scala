@@ -280,6 +280,13 @@ object Pipeline {
              subspaces: Int = 8, codes: Int = 16, shortlist: Int = 64): DataFrame =
     graft.operators.Ann.pqTopK(quantCorpus, quantQueries, k, subspaces, codes, shortlist)
 
+  /** Trained IVF cell assignment (the s07 gate's engine): one Lloyd
+    * refinement of the static codebook in exact integer/rational
+    * arithmetic — (vec_id, cell), deterministic on every engine and
+    * partitioning. The assignment a production IVF index would store. */
+  def lloydRefineAssign(corpus: DataFrame, cells: Int = 0): DataFrame =
+    graft.operators.Ann.lloydRefineAssign(corpus, cells)
+
   /** IVF-PQ top-k over RAW embedding frames (the s13 gate's engine —
     * the FAISS IVFPQ composition): coarse cells bound which vectors are
     * scored, ADC bounds what each scoring costs, exact re-rank

@@ -584,39 +584,11 @@ object SimilarityOps {
         GROUP BY cell
         ORDER BY cell"""),
       (s, dir) => {
-        val qv = transform(col("embedding"),
-          x => floor(x.cast("double") * 1048576d + 0.5d).cast("long"))
-        val q = Tables.t(s, dir, "embeddings").select(col("vec_id"), qv.as("qv"))
-        val c0 = q.filter(col("vec_id") < 8).select(col("vec_id").as("cell"), col("qv").as("qc"))
-        // round 1: integer distances to the broadcast seed codebook
-        val dist1 = aggregate(zip_with(col("qv"), col("qc"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
-        val a1 = q.join(broadcast(c0))
-          .select(col("vec_id"), col("cell"), dist1.as("dist2"))
-          .groupBy(col("vec_id"))
-          .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"))
-        // refined centroids as exact rationals: per-dim integer sums + n
-        val mem = a1.join(q, "vec_id")
-        // n rides the same per-(cell,pos) aggregation as the sums (every
-        // pos of a cell has exactly n rows), so the corpus-sized
-        // assignment join is consumed ONCE — a second branch over `mem`
-        // would re-execute the distance evaluation feeding a1
-        val dims = mem.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
-        val c1 = dims.groupBy(col("cell"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-            e => e.getField("s")).as("sv"),
-            max(col("cnt")).as("n"))
-        // round 2: per-row scalar double fold against the rational centroids
-        val dist2 = aggregate(
-          zip_with(col("qv"), col("sv"),
-            (a, b) => { val t = (col("n") * a - b).cast("double"); t * t }),
-          lit(0d), (acc, x) => acc + x) / (col("n").cast("double") * col("n"))
-        val a2 = q.join(broadcast(c1))
-          .select(col("vec_id"), col("cell"), dist2.as("dist2"))
-          .groupBy(col("vec_id"))
-          .agg(min_by(col("cell"), struct(col("dist2"), col("cell"))).as("cell"))
+        // the facade operator at the oracle's pinned dial (8 seed cells);
+        // round-5 lift — gate and Ann.lloydRefineAssign share one body
+        val a2 = graft.operators.Ann.lloydRefineAssign(
+          Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          cells = 8)
         a2.groupBy(col("cell"))
           .agg(count(lit(1)).as("n_members"),
             min(col("vec_id")).as("min_member"),

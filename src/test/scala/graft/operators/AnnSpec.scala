@@ -117,6 +117,17 @@ class AnnSpec extends AnyFunSuite {
     assert(ivfpq == pq && ivfpq.nonEmpty)
   }
 
+  test("lloydRefineAssign: complete, deterministic, cells from the seed set") {
+    val c = corpus(60)
+    val a = Ann.lloydRefineAssign(c, cells = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.size == 60)                       // every vector assigned once
+    assert(a.values.toSet.subsetOf(Set(0L, 1L, 2L, 3L))) // cells = seed ids
+    val again = Ann.lloydRefineAssign(c, cells = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == again)                         // exact-arithmetic determinism
+  }
+
   test("ivfTopK guards a corpus-sized query set with routing advice") {
     val c = corpus(60)
     val err = intercept[IllegalArgumentException](
