@@ -44,6 +44,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("round-5 operators tolerate empty inputs") {
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Pipeline.semanticDedupVictims(emptyVecs, tau = 0.9, cells = 4).count() == 0)
+    assert(Pipeline.contaminationFraction(emptyDocs, emptyDocs, tau = 0.5).count() == 0)
+    val (sc, r1) = Pipeline.bigramLmScore(emptyDocs)
+    assert(sc.count() == 0); r1()
+    val (fn, r2) = Pipeline.nearDupFunnel(emptyDocs, tau = 0.6)
+    assert(fn.count() == 0); r2()
+    val (kept, funnel, r3) = Pipeline.pretrainingPipeline(emptyDocs, emptyDocs)
+    assert(kept.count() == 0 && funnel.count() == 0); r3()
+  }
+
   test("pretrainingPipeline: each stage drops its doc, funnel counts the stages") {
     // 11 near-dups 10 (jaccard 0.6) → dropped at dedup; 12 shares an eval
     // shingle (frac 0.25) → dropped at decontamination; 16 is the least
