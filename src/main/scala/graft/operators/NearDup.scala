@@ -103,6 +103,47 @@ object NearDup {
     (docs.join(drop, Seq(idName), "left_anti"), () => { pairs.unpersist(); () })
   }
 
+  /** Incremental near-dup filtering of a NEW batch against an existing
+    * HISTORY corpus — the production ingestion shape (each crawl
+    * snapshot dedups against everything already kept, history always
+    * wins): returns (kept, flagged) where `flagged` is (idName,
+    * hist_id, jaccard) for every new doc with a verified cross-corpus
+    * pair at jaccard ≥ `tau` (hist_id = the minimum matching history
+    * id), and `kept` = newDocs minus flagged. Candidates come ONLY
+    * from the cross minhash-band join (new × history on (seed, band
+    * value)) — never new×new (within-batch dedup is [[dedup]]'s job,
+    * composable before or after) and never history×history. At 100 TB
+    * the history side is the stored signature directory: per-snapshot
+    * cost scales with the new batch's bands, not with history size. */
+  def dedupAgainstHistory(history: DataFrame, newDocs: DataFrame, tau: Double,
+                          idName: String = "doc_id", textName: String = "text",
+                          seeds: Int = 4, shingleN: Int = 3): (DataFrame, DataFrame) = {
+    require(seeds >= 1, s"seeds must be >= 1, got $seeds")
+    val sgH = shingleSets(history, idName, textName, shingleN)
+    val sgN = shingleSets(newDocs, idName, textName, shingleN)
+    def bands(sg: DataFrame, as: String) = sg.select(col(idName).as(as),
+      posexplode(graft.functions.TextFunctions.minhashSig(col("g"), seeds))
+        .as(Seq("seed", "mhv")))
+    val cand = bands(sgN, "new_id").join(
+        bands(sgH, "hist_id")
+          .withColumnRenamed("seed", "seed_h").withColumnRenamed("mhv", "mhv_h"),
+        col("seed") === col("seed_h") && col("mhv") === col("mhv_h"))
+      .select(col("new_id"), col("hist_id")).distinct()
+    val inter = size(array_intersect(col("gn"), col("gh")))
+    val flagged = cand
+      .join(sgN.select(col(idName).as("new_id"), col("g").as("gn")), "new_id")
+      .join(sgH.select(col(idName).as("hist_id"), col("g").as("gh")), "hist_id")
+      .select(col("new_id"), col("hist_id"),
+        (inter.cast("double") / (size(col("gn")) + size(col("gh")) - inter))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("new_id"))
+      .agg(min(col("hist_id")).as("hist_id"),
+        round(min_by(col("jaccard"), col("hist_id")), 9).as("jaccard"))
+      .withColumnRenamed("new_id", idName)
+    (newDocs.join(flagged.select(col(idName)), Seq(idName), "left_anti"), flagged)
+  }
+
   /** The full fuzzy-dedup funnel (the Dolma/RedPajama shape) as one
     * call: per-source counts through the near-dup pipeline —
     * (source, n_docs, n_in_pairs, n_dropped, n_kept, keep_id_sum) —

@@ -686,6 +686,38 @@ object DedupOps {
           .orderBy(col("doc_id"))
       }),
 
+    // ----- incremental dedup against history (the snapshot-ingest shape) -----
+    // Production corpora dedup each NEW crawl snapshot against everything
+    // already kept — history always wins, and the cost must scale with
+    // the new batch, not the archive. The operator joins only new×history
+    // minhash bands (never new×new, never history×history). History =
+    // even doc_ids, new batch = odd; the oracle derives the same flags
+    // from the full pairsCte restricted to cross-parity pairs (band
+    // candidates within a partition pair equal the full-corpus candidates
+    // restricted to it — same argument as d16's subset restriction).
+    QuerySpec(
+      "d17_incremental_dedup",
+      Some(s"""
+        WITH $pairsCte,
+             x AS (SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_id,
+                          CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS hist_id,
+                          jaccard
+                   FROM jp
+                   WHERE jaccard >= 0.6 AND (doc_a % 2) != (doc_b % 2))
+        SELECT new_id AS doc_id,
+               CAST(min(hist_id) AS BIGINT) AS hist_id,
+               round(min_by(jaccard, hist_id), 9) AS jaccard
+        FROM x
+        GROUP BY new_id
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val (_, flagged) = graft.operators.NearDup.dedupAgainstHistory(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), tau = 0.6)
+        flagged.orderBy(col("doc_id"))
+      }),
+
     // ----- the end-to-end pretraining pipeline (the marquee composition) -----
     // Every stage above, composed the way a real corpus build runs them
     // and value-checked as ONE derivation: near-dup dedup (d03/d05, over

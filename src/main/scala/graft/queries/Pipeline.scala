@@ -148,6 +148,17 @@ object Pipeline {
                     seeds: Int = 4, shingleN: Int = 3): (DataFrame, () => Unit) =
     graft.operators.NearDup.funnel(docs, tau, idName, textName, sourceName, seeds, shingleN)
 
+  /** Incremental near-dup filtering of a new batch against an existing
+    * history corpus (the d17 gate's engine — history always wins):
+    * returns (kept, flagged). Candidates come only from the cross
+    * new×history band join, so per-snapshot cost scales with the new
+    * batch. Compose with [[nearDupDedup]] for within-batch dedup. */
+  def dedupAgainstHistory(history: DataFrame, newDocs: DataFrame, tau: Double,
+                          idName: String = "doc_id", textName: String = "text",
+                          seeds: Int = 4, shingleN: Int = 3): (DataFrame, DataFrame) =
+    graft.operators.NearDup.dedupAgainstHistory(
+      history, newDocs, tau, idName, textName, seeds, shingleN)
+
   /** SemDeDup-style semantic dedup victims (the d13 gate's engine):
     * (vec_id, cell, keeper_id, cos) for every vector with a smaller-id
     * neighbor at cosine ≥ `tau` in its IVF semantic cell; absent rows

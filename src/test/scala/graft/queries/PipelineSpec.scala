@@ -44,6 +44,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L))) // |∩|=3, |∪|=5 → 0.6 ≥ τ; doc 3 disjoint
   }
 
+  test("dedupAgainstHistory flags only cross-corpus pairs; within-batch dups survive") {
+    // new doc 3 near-dups history doc 2 → flagged; new docs 5 and 7 are
+    // near-dups of EACH OTHER but of nothing in history → both kept
+    // (within-batch dedup is nearDupDedup's job, deliberately not this op's)
+    val history = Seq((2L, "a b c d e f")).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (3L, "a b c d e x"),
+      (5L, "p q r s t u"),
+      (7L, "p q r s t v")).toDF("doc_id", "text")
+    val (kept, flagged) = Pipeline.dedupAgainstHistory(history, newDocs, tau = 0.5)
+    val f = flagged.collect()
+    assert(f.length == 1 && f.head.getLong(0) == 3L && f.head.getLong(1) == 2L)
+    assert(f.head.getDouble(f.head.fieldIndex("jaccard")) == 0.6) // |∩|=3,|∪|=5
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 7L))
+  }
+
   test("round-5 operators tolerate empty inputs") {
     val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
     val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
