@@ -417,6 +417,68 @@ object StreamingOps {
           .orderBy(col("query_id"), col("rank"))
       },
       timed = false,
-      prepare = Some((s, dir) => { SimilarityOps.annIndex(s, dir); () }))
+      prepare = Some((s, dir) => { SimilarityOps.annIndex(s, dir); () })),
+
+    // ----- streaming incremental dedup vs a static history (d17's form) -----
+    // The streaming face of the snapshot-ingest shape: NEW documents
+    // arrive as a stream and near-dup-check against the STATIC kept
+    // archive via two stateless stream-static joins per micro-batch
+    // (bands for candidates, shingle sets for the exact verify) — no
+    // growing state beyond the per-doc flag aggregate, since history is
+    // a static frame re-read per batch exactly like st06's dimension.
+    // Every new doc is staged TWICE: min/min_by make the flag delivery-
+    // invariant. The oracle is d17's batch derivation verbatim — the
+    // streamed flags must equal the one-shot batch answer row-for-row.
+    QuerySpec(
+      "st12_streaming_incremental_dedup",
+      Some(s"""
+        WITH ${DedupOps.pairsCte},
+             x AS (SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_id,
+                          CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS hist_id,
+                          jaccard
+                   FROM jp
+                   WHERE jaccard >= 0.6 AND (doc_a % 2) != (doc_b % 2))
+        SELECT new_id AS doc_id,
+               CAST(min(hist_id) AS BIGINT) AS hist_id,
+               round(min_by(jaccard, hist_id), 9) AS jaccard
+        FROM x
+        GROUP BY new_id
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val docsB = graft.Tables.t(s, dir, "documents")
+        val sgH = graft.operators.NearDup.shingleSets(docsB.filter(col("doc_id") % 2 === 0))
+        val histBands = sgH.select(col("doc_id").as("hist_id"),
+          posexplode(TextFunctions.minhashSig(col("g"), 4)).as(Seq("seed_h", "mhv_h")))
+        val histSets = sgH.select(col("doc_id").as("hist_id"), col("g").as("gh"))
+        runStagedToMemoryTable(s, dir, "documents", "st12", "complete", copies = 2)(
+          src => {
+            val newSg = s.readStream.schema(docsB.schema).parquet(src)
+              .filter(col("doc_id") % 2 === 1)
+              .select(col("doc_id"),
+                TextFunctions.wordShingles(col("text"), 3).as("gn"))
+            val inter = size(array_intersect(col("gn"), col("gh")))
+            newSg
+              .select(col("doc_id"), col("gn"),
+                posexplode(TextFunctions.minhashSig(col("gn"), 4)).as(Seq("seed", "mhv")))
+              .join(histBands,
+                col("seed") === col("seed_h") && col("mhv") === col("mhv_h"))
+              // no candidate dedup: multi-seed matches (and the staged
+              // double delivery) only multiply rows into a min/min_by
+              // aggregate, which is multiplicity-invariant — and a
+              // streaming dropDuplicates would add cross-batch state
+              .select(col("doc_id"), col("gn"), col("hist_id"))
+              .join(histSets, "hist_id")
+              .select(col("doc_id"), col("hist_id"),
+                (inter.cast("double") / (size(col("gn")) + size(col("gh")) - inter))
+                  .as("jaccard"))
+              .filter(col("jaccard") >= 0.6)
+              .groupBy(col("doc_id"))
+              .agg(min(col("hist_id")).as("hist_id"),
+                round(min_by(col("jaccard"), col("hist_id")), 9).as("jaccard"))
+          })
+          .orderBy(col("doc_id"))
+      },
+      timed = false)
   )
 }
