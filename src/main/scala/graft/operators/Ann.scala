@@ -101,7 +101,7 @@ object Ann {
     require(probes >= 1, s"probes must be >= 1, got $probes")
     require(salt >= 1, s"salt must be >= 1, got $salt")
     require(bits >= 0, s"bits must be >= 0 (0 = adaptive), got $bits")
-    val b = if (bits > 0) bits else adaptiveBits(corpus.select(col("vec_id")).count())
+    val b = resolveBits(corpus, bits)
     require(probes <= b + 1,
       s"probes=$probes exceeds the ${b + 1} Hamming-≤1 buckets at bits=$b — raise bits or lower probes")
     val c = withNorm(corpus).withColumn("bucket", signBucket(col("embedding"), b))
@@ -112,6 +112,26 @@ object Ann {
     val probesDf = q.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
       col("nrm").as("qn"), explode(probeArr).as("probe"))
     bucketTopK(probesDf, c, k, salt, excludeSameId)
+  }
+
+  /** Resolve the bucket width against the embedding DIMENSION: sign
+    * bits past the dimension read null and fold to 0, silently
+    * collapsing the bucket space (2^bits → 2^dim) — the quadratic creep
+    * the dial exists to prevent. Explicit bits beyond the dimension is
+    * a caller error (fail fast); the adaptive derivation caps at the
+    * dimension (the best an LSH of this family can do). */
+  private def resolveBits(corpus: DataFrame, bits: Int): Int = {
+    // one-row metadata read; empty corpus → no dimension to check
+    val dim = corpus.select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0))
+    if (bits > 0) {
+      dim.foreach(d => require(bits <= d,
+        s"bits=$bits exceeds the $d-dim embedding — sign bits past the dimension are dead; lower bits"))
+      bits
+    } else {
+      val b = adaptiveBits(corpus.select(col("vec_id")).count())
+      dim.map(math.min(b, _)).getOrElse(b)
+    }
   }
 
   /** The bucketed scoring tail shared by [[annTopK]]'s probe shapes:
@@ -165,6 +185,7 @@ object Ann {
   def buildIndex(corpus: DataFrame, path: String, bits: Int, files: Int = 64): Unit = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     require(files >= 1, s"files must be >= 1, got $files")
+    resolveBits(corpus, bits) // fail fast on bits > embedding dimension
     withNorm(corpus).withColumn("bucket", signBucket(col("embedding"), bits))
       .repartitionByRange(files, col("bucket"))
       .sortWithinPartitions(col("bucket"), col("vec_id"))
@@ -269,6 +290,22 @@ object Ann {
         first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
   }
 
+  /** ONE definition of the query-side centroid probe (cosine ranking,
+    * lower-cent_id ties, top-`nprobe` cells) shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]: (query_id, cell, embedding, nrm) — one row per
+    * probed cell. */
+  private def probeCells(qn: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    qn.join(broadcast(cent))
+      .select(col("vec_id").as("query_id"), col("cent_id"),
+        col("embedding"), col("nrm"), ccos)
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"), col("embedding"), col("nrm"))
+  }
+
   /** IVF cell assignment, user-callable: (vec_id, cell, embedding, nrm)
     * with `cell` the nearest of the `cells` lowest-vec_id centroids by
     * cosine (ties toward the lower centroid id). The semantic-clustering
@@ -292,20 +329,13 @@ object Ann {
     val nCells = if (cells > 0) cells else adaptiveCells(e.select(col("vec_id")).count())
     require(nprobe <= nCells, s"nprobe=$nprobe exceeds cells=$nCells")
     val cent = centroids(e, nCells)
-    val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
     val assign = assignTo(e, cent)
     val qn = AllPairsTopK.requireBroadcastable(withNorm(queries),
       what = "ivfTopK query set",
       route = "self-index corpus-sized query sets with annTopK (bucket equi-join, no broadcast)")
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val probes = qn
-      .join(broadcast(cent))
-      .select(col("vec_id").as("query_id"), col("cent_id"),
-        col("embedding").as("qe"), col("nrm").as("qn"), ccos)
-      .withColumn("crank", row_number().over(cw))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cent_id").as("cell"), col("qe"), col("qn"))
+    val probes = probeCells(qn, cent, nprobe)
+      .select(col("query_id"), col("cell"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
     val idCond = if (excludeSameId) col("vec_id") =!= col("query_id") else lit(true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -413,7 +443,8 @@ object Ann {
     * Output: (query_id, rank, neighbor_id, dist2) — dist2 the EXACT
     * quantized L2² of the re-ranked survivor (integer, scale-free). */
   def pqTopK(quantCorpus: DataFrame, quantQueries: DataFrame, k: Int,
-             subspaces: Int = 8, codes: Int = 16, shortlist: Int = 64): DataFrame = {
+             subspaces: Int = 8, codes: Int = 16, shortlist: Int = 64,
+             excludeSameId: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val dsub = pqDsub(quantCorpus, subspaces)
@@ -423,10 +454,22 @@ object Ann {
       what = "pqTopK query set",
       route = "self-index corpus-sized query sets with annTopK over the raw embeddings")
     val lut = pqLutRows(qq, subspaces, dsub, cent)
+    val idCond = if (excludeSameId) col("neighbor_id") =!= col("query_id") else lit(true)
+    val short = adcShortlist(
+      enc.join(broadcast(lut),
+        col("ej") === col("lj") && col("code") === col("lc") && idCond),
+      shortlist)
+    pqExactRerank(short, quantCorpus, quantQueries, k)
+  }
+
+  /** ONE definition of the ADC shortlist contract (sum of LUT partials,
+    * negate-exact-integer-distance TopK with id-ASC ties) shared by
+    * [[pqTopK]] and [[ivfPqTopK]], so the routed and un-routed paths
+    * cannot drift apart. Input: scored (query_id, neighbor_id, pd)
+    * rows; output: (query_id, neighbor_id) shortlist. */
+  private def adcShortlist(scored: DataFrame, shortlist: Int): DataFrame = {
     val topShort = TopK.topK(shortlist)
-    val short = enc.join(broadcast(lut),
-        col("ej") === col("lj") && col("code") === col("lc") &&
-          col("neighbor_id") =!= col("query_id"))
+    scored
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("pd")).as("adist"))
       // TopK ranks score DESC with id-ASC ties; negate the exact integer
@@ -434,7 +477,6 @@ object Ann {
       .groupBy(col("query_id"))
       .agg(topShort((col("adist") * -1L).cast("double"), col("neighbor_id")).as("nbrs"))
       .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
-    pqExactRerank(short, quantCorpus, quantQueries, k)
   }
 
   /** Encode: nearest centroid per (vector, subspace), kept in row form
@@ -564,14 +606,7 @@ object Ann {
     val qn = AllPairsTopK.requireBroadcastable(withNorm(queries),
       what = "ivfPqTopK query set",
       route = "self-index corpus-sized query sets with annTopK over the raw embeddings")
-    val ccos = (dotd(col("embedding"), col("ce")) / (col("nrm") * col("cn"))).as("ccos")
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    val probes = qn.join(broadcast(cent))
-      .select(col("vec_id").as("query_id"), col("cent_id"), ccos)
-      .withColumn("crank", row_number().over(cw))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cent_id").as("cell"))
+    val probes = probeCells(qn, cent, nprobe).select(col("query_id"), col("cell"))
     val scale = corpusMaxAbs(raw)
     val quantCorpus = quantizeAt(raw, scale)
     val quantQueries = quantizeAt(queries.select(col("vec_id"), col("embedding")), scale)
@@ -586,18 +621,12 @@ object Ann {
     val cand = broadcast(probes).join(assign, "cell")
       .filter(idCond)
       .select(col("query_id"), col("neighbor_id"))
-    val topShort = TopK.topK(shortlist)
-    val short = cand.join(enc, "neighbor_id")
-      .join(broadcast(lut),
-        col("ej") === col("lj") && col("code") === col("lc") &&
-          col("query_id") === col("lq"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("pd")).as("adist"))
-      // TopK ranks score DESC with id-ASC ties; negate the exact integer
-      // distance (≪ 2^53, the double stays exact)
-      .groupBy(col("query_id"))
-      .agg(topShort((col("adist") * -1L).cast("double"), col("neighbor_id")).as("nbrs"))
-      .select(col("query_id"), explode(col("nbrs.id")).as("neighbor_id"))
+    val short = adcShortlist(
+      cand.join(enc, "neighbor_id")
+        .join(broadcast(lut),
+          col("ej") === col("lj") && col("code") === col("lc") &&
+            col("query_id") === col("lq")),
+      shortlist)
     pqExactRerank(short, quantCorpus, quantQueries, k)
   }
 }

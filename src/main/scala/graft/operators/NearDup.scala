@@ -232,13 +232,24 @@ object NearDup {
     val corpusSh = shingleSets(corpus, idName, textName, shingleN)
       .repartition(col(idName))
       .select(col(idName), explode(col("g")).as("sh"))
-    corpusSh.join(evalSh, Seq("sh"), "left")
+    val perDoc = corpusSh.join(evalSh, Seq("sh"), "left")
       .groupBy(col(idName))
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("hit"), 1)).as("n_hit"))
+    // contract: ONE row per corpus doc. Too-short docs carry (0, 0, 0.0,
+    // false) — no shingles is no evidence, never contamination (even at
+    // tau = 0, where the raw ≥ compare would vacuously flag them).
+    corpus.select(col(idName))
+      .join(perDoc, Seq(idName), "left")
+      .select(col(idName),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .select(col(idName), col("n_shingles"), col("n_hit"),
-        round(col("n_hit").cast("double") / col("n_shingles"), 9).as("overlap_frac"),
-        (col("n_hit").cast("double") >= lit(tau) * col("n_shingles")).as("contaminated"))
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_hit").cast("double") / col("n_shingles"), 9))
+          .as("overlap_frac"),
+        (col("n_shingles") > 0 &&
+          col("n_hit").cast("double") >= lit(tau) * col("n_shingles")).as("contaminated"))
   }
 
   /** Benchmark decontamination: per-corpus-doc contamination flag from ONE
@@ -275,8 +286,12 @@ object NearDup {
     val hit = // empty eval set → empty sketch aggregate (null): nothing contaminates
       if (sketchBytes == null) lit(false)
       else BloomFunctions.mightContain(lit(sketchBytes), col("sh"))
-    corpusSh
-      .groupBy(col(idName))
-      .agg(max(hit).as("contaminated"))
+    // contract: ONE row per corpus doc — a doc too short to shingle has
+    // no probe rows but is still (id, false), so an inner join on the
+    // flags cannot silently drop clean short docs
+    corpus.select(col(idName))
+      .join(corpusSh.groupBy(col(idName)).agg(max(hit).as("contaminated")),
+        Seq(idName), "left")
+      .select(col(idName), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 }

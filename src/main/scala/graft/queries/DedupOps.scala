@@ -671,13 +671,16 @@ object DedupOps {
              pd AS (SELECT c.doc_id, count(*) AS n_shingles, count(ev.sh) AS n_hit
                     FROM c LEFT JOIN ev ON c.sh = ev.sh
                     GROUP BY 1)
-        SELECT doc_id,
-               CAST(n_shingles AS BIGINT) AS n_shingles,
-               CAST(n_hit AS BIGINT) AS n_hit,
-               round(CAST(n_hit AS DOUBLE) / n_shingles, 9) AS overlap_frac,
-               CAST(n_hit AS DOUBLE) >= 0.05 * n_shingles AS contaminated
-        FROM pd
-        ORDER BY doc_id"""),
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+               CAST(coalesce(pd.n_hit, 0) AS BIGINT) AS n_hit,
+               CASE WHEN coalesce(pd.n_shingles, 0) = 0 THEN 0.0
+                    ELSE round(CAST(pd.n_hit AS DOUBLE) / pd.n_shingles, 9) END AS overlap_frac,
+               coalesce(pd.n_shingles, 0) > 0
+                 AND CAST(pd.n_hit AS DOUBLE) >= 0.05 * pd.n_shingles AS contaminated
+        FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+        WHERE d.doc_id >= 10
+        ORDER BY d.doc_id"""),
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
         graft.operators.NearDup.contaminationFraction(

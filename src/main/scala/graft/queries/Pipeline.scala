@@ -258,8 +258,10 @@ object Pipeline {
 
   def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, probes: Int = 1,
-                     salt: Int = 1): DataFrame =
-    graft.operators.Ann.annTopKIndexed(spark, path, queries, k, probes, salt)
+                     salt: Int = 1, excludeSameId: Boolean = true,
+                     maxPushdownProbes: Int = 1024): DataFrame =
+    graft.operators.Ann.annTopKIndexed(spark, path, queries, k, probes, salt,
+      excludeSameId, maxPushdownProbes)
 
   /** IVF ANN top-k — the billion-vector scale path the s04 gate
     * verifies; `cells=0` derives ~√n cells, `nprobe` is the recall/cost
@@ -288,8 +290,10 @@ object Pipeline {
   /** PQ + ADC top-k over int8-quantized frames — LUT scoring plus exact
     * shortlist re-rank, the s09 gate's engine. */
   def pqTopK(quantCorpus: DataFrame, quantQueries: DataFrame, k: Int,
-             subspaces: Int = 8, codes: Int = 16, shortlist: Int = 64): DataFrame =
-    graft.operators.Ann.pqTopK(quantCorpus, quantQueries, k, subspaces, codes, shortlist)
+             subspaces: Int = 8, codes: Int = 16, shortlist: Int = 64,
+             excludeSameId: Boolean = true): DataFrame =
+    graft.operators.Ann.pqTopK(quantCorpus, quantQueries, k, subspaces, codes,
+      shortlist, excludeSameId)
 
   /** Trained IVF cell assignment (the s07 gate's engine): one Lloyd
     * refinement of the static codebook in exact integer/rational
@@ -304,7 +308,8 @@ object Pipeline {
     * finishes. Both sides quantize at the corpus scale internally. */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 cells: Int = 0, nprobe: Int = 2, subspaces: Int = 8,
-                codes: Int = 16, shortlist: Int = 64): DataFrame =
+                codes: Int = 16, shortlist: Int = 64,
+                excludeSameId: Boolean = true): DataFrame =
     graft.operators.Ann.ivfPqTopK(corpus, queries, k, cells, nprobe,
-      subspaces, codes, shortlist)
+      subspaces, codes, shortlist, excludeSameId)
 }

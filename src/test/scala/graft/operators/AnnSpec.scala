@@ -117,6 +117,21 @@ class AnnSpec extends AnyFunSuite {
     assert(ivfpq == pq && ivfpq.nonEmpty)
   }
 
+  test("bits beyond the embedding dimension fail fast; adaptive bits cap at it") {
+    // 4-dim embeddings: explicit bits=8 would read dead sign positions
+    val c = spark.range(40).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        d => (sin(col("id") * (d + 1)) + 0.01f).cast("float")).as("embedding"))
+    val err = intercept[IllegalArgumentException](
+      Ann.annTopK(c, c, k = 2, bits = 8))
+    assert(err.getMessage.contains("dim"))
+    val errIdx = intercept[IllegalArgumentException](
+      Ann.buildIndex(c, "/tmp/ann_dim_guard", bits = 8))
+    assert(errIdx.getMessage.contains("dim"))
+    // adaptive path caps at the dimension instead of erroring
+    assert(Ann.annTopK(c, c, k = 2, bits = 0).count() > 0)
+  }
+
   test("lloydRefineAssign: complete, deterministic, cells from the seed set") {
     val c = corpus(60)
     val a = Ann.lloydRefineAssign(c, cells = 4)

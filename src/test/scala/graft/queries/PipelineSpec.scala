@@ -99,6 +99,23 @@ class PipelineSpec extends AnyFunSuite {
       g("kept_id_sum") == 52L)
   }
 
+  test("decontamination contracts emit one row per doc — short docs are clean, kept") {
+    val corpus = Seq((10L, "a b c d e f"), (11L, "hi")).toDF("doc_id", "text")
+    val evalDocs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    // graded form: the 2-word doc rides as (0, 0, 0.0, false) — an inner
+    // join on the flags must not drop it (even at tau = 0)
+    val cf = Pipeline.contaminationFraction(corpus, evalDocs, tau = 0.0)
+      .orderBy("doc_id").collect()
+    assert(cf.length == 2)
+    val short = cf(1)
+    assert(short.getLong(short.fieldIndex("n_shingles")) == 0L &&
+      short.getDouble(short.fieldIndex("overlap_frac")) == 0.0 &&
+      !short.getBoolean(short.fieldIndex("contaminated")))
+    // boolean form: same one-row-per-doc contract
+    val dc = Pipeline.decontaminate(corpus, evalDocs).orderBy("doc_id").collect()
+    assert(dc.length == 2 && !dc(1).getBoolean(1))
+  }
+
   test("contaminationFraction: exact counts, boundary-inclusive threshold") {
     // corpus doc 10 shares 2 of its 4 shingles with the eval doc → frac
     // exactly 0.5; tau = 0.5 must flag it (>= is inclusive). Doc 11 is
