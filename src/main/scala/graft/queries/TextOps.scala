@@ -325,6 +325,71 @@ object TextOps {
           .orderBy(col("source"), col("bin"))
       }),
 
+    // ----- training-shard export (the corpus-to-trainer handoff) -----
+    // The last step of a corpus build: the packed sequences (t09's bin
+    // derivation) distribute deterministically over numbered shards and
+    // WRITE as a shard-partitioned parquet layout — the fixed-size file
+    // sets a training job's data loader consumes. The gate goes through
+    // the REAL write+read cycle (like stac13): the manifest is computed
+    // from the read-back files, the directory layout is asserted
+    // in-gate (one shard=N dir per shard), and the oracle replays the
+    // packing + shard arithmetic — a lost row, a misrouted bin, or a
+    // partition-column round-trip bug fails the hash. Scale: the write
+    // is one pass partitioned on a bounded column (8 dirs, not one per
+    // bin); the manifest is one hash-agg over file metadata-pruned
+    // reads.
+    QuerySpec(
+      "t16_shard_export",
+      Some("""
+        WITH d AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+             c AS (SELECT doc_id, source, n_tokens,
+                          sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_off
+                   FROM d),
+             sh AS (SELECT source, doc_id, n_tokens,
+                           CAST(start_off // 512 AS BIGINT) AS bin,
+                           CAST((start_off // 512) % 8 AS INTEGER) AS shard
+                    FROM c)
+        SELECT shard,
+               CAST(count(DISTINCT (source, bin)) AS BIGINT) AS n_bins,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS token_sum,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        FROM sh
+        GROUP BY shard
+        ORDER BY shard"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val packed = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(words(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("bin", expr("start_off div 512"))
+          .withColumn("shard", pmod(col("bin"), lit(8)).cast("int"))
+          .select(col("source"), col("doc_id"), col("n_tokens"), col("bin"), col("shard"))
+        val out = java.nio.file.Files.createTempDirectory("t16_shards").toString + "/shards"
+        packed.write.mode("overwrite").partitionBy("shard").parquet(out)
+        // layout assert: one shard=N directory per occupied shard (small
+        // corpora fill fewer than 8 bins per source — derive from data)
+        val expected = packed.select(col("shard")).distinct()
+          .collect().map(r => s"shard=${r.getInt(0)}").sorted
+        val dirs = new java.io.File(out).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).sorted
+        require(dirs.sameElements(expected),
+          s"t16 expected dirs ${expected.mkString(",")}, got ${dirs.mkString(",")}")
+        s.read.parquet(out)
+          .groupBy(col("shard"))
+          .agg(countDistinct(col("source"), col("bin")).as("n_bins"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("token_sum"),
+            sum(col("doc_id")).as("doc_id_sum"))
+          .orderBy(col("shard"))
+      }),
+
     // ----- PII / blocklist scrubbing (pre-training redaction pass) -----
     // The standard privacy scrub a corpus gets before training: regex
     // classes for emails and IPv4 literals plus a term blocklist, each
