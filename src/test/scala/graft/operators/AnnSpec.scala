@@ -117,6 +117,24 @@ class AnnSpec extends AnyFunSuite {
     assert(ivfpq == pq && ivfpq.nonEmpty)
   }
 
+  test("pqTopK excludeSameId=false scores id-colliding vectors (unrelated id spaces)") {
+    val c = corpus(40)
+    val quant = Ann.int8Quantize(c)
+    val q = quant.filter(col("vec_id") % 10 === 0)
+    // with the exclusion off, a query that IS a corpus vector must rank
+    // itself first at exact distance 0 — the behavior an external query
+    // batch with its own id space relies on (ids colliding by accident)
+    val withSelf = Ann.pqTopK(quant, q, k = 1, subspaces = 4, codes = 8,
+        shortlist = 40, excludeSameId = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(withSelf.nonEmpty &&
+      withSelf.forall { case (qid, nid, d2) => qid == nid && d2 == 0L })
+    // default keeps the self-join convention
+    val noSelf = Ann.pqTopK(quant, q, k = 1, subspaces = 4, codes = 8, shortlist = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(noSelf.forall { case (qid, nid) => qid != nid })
+  }
+
   test("bits beyond the embedding dimension fail fast; adaptive bits cap at it") {
     // 4-dim embeddings: explicit bits=8 would read dead sign positions
     val c = spark.range(40).select(col("id").as("vec_id"),
