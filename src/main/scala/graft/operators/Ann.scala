@@ -121,9 +121,13 @@ object Ann {
     * a caller error (fail fast); the adaptive derivation caps at the
     * dimension (the best an LSH of this family can do). */
   private def resolveBits(corpus: DataFrame, bits: Int): Int = {
-    // one-row metadata read; empty corpus → no dimension to check
-    val dim = corpus.select(size(col("embedding"))).limit(1)
+    // one-row metadata read; empty / all-null-embedding corpus → no
+    // dimension to check (null rows are probed past, not NPE'd on)
+    val dim = corpus.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1)
       .collect().headOption.map(_.getInt(0))
+    dim.foreach(d => require(d > 0,
+      s"corpus embeddings are empty arrays (dim=$d) — nothing to bucket on"))
     if (bits > 0) {
       dim.foreach(d => require(bits <= d,
         s"bits=$bits exceeds the $d-dim embedding — sign bits past the dimension are dead; lower bits"))

@@ -109,18 +109,25 @@ object NearDup {
     * wins): returns (kept, flagged) where `flagged` is (idName,
     * hist_id, jaccard) for every new doc with a verified cross-corpus
     * pair at jaccard ≥ `tau` (hist_id = the minimum matching history
-    * id), and `kept` = newDocs minus flagged. Candidates come ONLY
-    * from the cross minhash-band join (new × history on (seed, band
-    * value)) — never new×new (within-batch dedup is [[dedup]]'s job,
-    * composable before or after) and never history×history. At 100 TB
-    * the history side is the stored signature directory: per-snapshot
-    * cost scales with the new batch's bands, not with history size. */
+    * id), and `kept` = newDocs minus flagged, plus a `release()` hook
+    * for the shingle-set intermediates (each side feeds BOTH the band
+    * candidate join and the exact-Jaccard verify join — call after
+    * materializing, the [[dedup]]/[[funnel]] contract). Candidates come
+    * ONLY from the cross minhash-band join (new × history on (seed,
+    * band value)) — never new×new (within-batch dedup is [[dedup]]'s
+    * job, composable before or after) and never history×history. At
+    * 100 TB the history side is the stored signature directory:
+    * per-snapshot cost scales with the new batch's bands, not with
+    * history size. */
   def dedupAgainstHistory(history: DataFrame, newDocs: DataFrame, tau: Double,
                           idName: String = "doc_id", textName: String = "text",
-                          seeds: Int = 4, shingleN: Int = 3): (DataFrame, DataFrame) = {
+                          seeds: Int = 4, shingleN: Int = 3)
+      : (DataFrame, DataFrame, () => Unit) = {
     require(seeds >= 1, s"seeds must be >= 1, got $seeds")
     val sgH = shingleSets(history, idName, textName, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sgN = shingleSets(newDocs, idName, textName, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     def bands(sg: DataFrame, as: String) = sg.select(col(idName).as(as),
       posexplode(graft.functions.TextFunctions.minhashSig(col("g"), seeds))
         .as(Seq("seed", "mhv")))
@@ -141,7 +148,8 @@ object NearDup {
       .agg(min(col("hist_id")).as("hist_id"),
         round(min_by(col("jaccard"), col("hist_id")), 9).as("jaccard"))
       .withColumnRenamed("new_id", idName)
-    (newDocs.join(flagged.select(col(idName)), Seq(idName), "left_anti"), flagged)
+    (newDocs.join(flagged.select(col(idName)), Seq(idName), "left_anti"), flagged,
+      () => { sgH.unpersist(); sgN.unpersist(); () })
   }
 
   /** The full fuzzy-dedup funnel (the Dolma/RedPajama shape) as one

@@ -715,7 +715,7 @@ object DedupOps {
         ORDER BY doc_id"""),
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
-        val (_, flagged) = graft.operators.NearDup.dedupAgainstHistory(
+        val (_, flagged, _) = graft.operators.NearDup.dedupAgainstHistory(
           docs.filter(col("doc_id") % 2 === 0),
           docs.filter(col("doc_id") % 2 === 1), tau = 0.6)
         flagged.orderBy(col("doc_id"))

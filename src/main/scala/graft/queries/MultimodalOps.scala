@@ -475,7 +475,10 @@ object MultimodalOps {
         // the grid join must plan as an equi-join on the cell key — a
         // silent fallback to cartesian/BNLJ would be the quadratic shape
         // this operator exists to avoid
-        val physical = out.queryExecution.executedPlan.toString
+        // sparkPlan, not executedPlan: under AQE the latter is an
+        // AdaptiveSparkPlan snapshot (the StacOps.scala spatial-join
+        // precedent)
+        val physical = out.queryExecution.sparkPlan.toString
         require(!physical.contains("CartesianProduct") &&
           !physical.contains("BroadcastNestedLoopJoin"),
           "m09 grid join degraded to a quadratic join")

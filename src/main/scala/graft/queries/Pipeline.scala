@@ -97,7 +97,11 @@ object Pipeline {
       .filter(col("contaminated")).select(col("doc_id"))
     val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val (s3, rel3) = lmQualityFilter(s2, buckets, keepMax)
+    val (s3raw, rel3) = lmQualityFilter(s2, buckets, keepMax)
+    // s3 feeds BOTH the returned kept-docs frame and the funnel agg:
+    // unpersisted, materializing each would re-run the LM score join +
+    // per-source quality window twice
+    val s3 = s3raw.persist(StorageLevel.MEMORY_AND_DISK)
     def stage(df: DataFrame, c: String) =
       df.select(col("doc_id")).withColumn(c, lit(true))
     val funnel = corpus.select(col("source"), col("doc_id"))
@@ -110,7 +114,8 @@ object Pipeline {
         count(when(col("in2"), 1)).as("n_after_decontam"),
         count(when(col("in3"), 1)).as("n_after_lm"),
         sum(when(col("in3"), col("doc_id"))).as("kept_id_sum"))
-    (s3, funnel, () => { rel1(); rel3(); s1.unpersist(); s2.unpersist(); () })
+    (s3, funnel,
+      () => { rel1(); rel3(); s1.unpersist(); s2.unpersist(); s3.unpersist(); () })
   }
 
   /** MinHash-LSH near-duplicate candidate pairs verified with exact
@@ -150,12 +155,15 @@ object Pipeline {
 
   /** Incremental near-dup filtering of a new batch against an existing
     * history corpus (the d17 gate's engine — history always wins):
-    * returns (kept, flagged). Candidates come only from the cross
-    * new×history band join, so per-snapshot cost scales with the new
-    * batch. Compose with [[nearDupDedup]] for within-batch dedup. */
+    * returns (kept, flagged, release) — call `release()` after
+    * materializing to drop the shared shingle intermediates. Candidates
+    * come only from the cross new×history band join, so per-snapshot
+    * cost scales with the new batch. Compose with [[nearDupDedup]] for
+    * within-batch dedup. */
   def dedupAgainstHistory(history: DataFrame, newDocs: DataFrame, tau: Double,
                           idName: String = "doc_id", textName: String = "text",
-                          seeds: Int = 4, shingleN: Int = 3): (DataFrame, DataFrame) =
+                          seeds: Int = 4, shingleN: Int = 3)
+      : (DataFrame, DataFrame, () => Unit) =
     graft.operators.NearDup.dedupAgainstHistory(
       history, newDocs, tau, idName, textName, seeds, shingleN)
 

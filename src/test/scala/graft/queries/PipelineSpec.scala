@@ -53,11 +53,12 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "a b c d e x"),
       (5L, "p q r s t u"),
       (7L, "p q r s t v")).toDF("doc_id", "text")
-    val (kept, flagged) = Pipeline.dedupAgainstHistory(history, newDocs, tau = 0.5)
+    val (kept, flagged, release) = Pipeline.dedupAgainstHistory(history, newDocs, tau = 0.5)
     val f = flagged.collect()
     assert(f.length == 1 && f.head.getLong(0) == 3L && f.head.getLong(1) == 2L)
     assert(f.head.getDouble(f.head.fieldIndex("jaccard")) == 0.6) // |∩|=3,|∪|=5
     assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 7L))
+    release()
   }
 
   test("round-5 operators tolerate empty inputs") {
