@@ -785,6 +785,65 @@ object StacOps {
       },
       timed = false),
 
+    // ----- K3 executable: portable Delta transaction log round trip -----
+    // The one reference capability (arrow/_delta_lake.py:28-71) that was
+    // jar-gated until now. PortableDelta emits the OPEN Delta log format
+    // (protocol/metaData/add/remove JSON actions, put-if-absent commit
+    // files) with no delta-spark dependency. Three commits: CREATE (even
+    // ids) → APPEND (odd ids) → logical OVERWRITE (ids % 7 == 0). The
+    // read-back goes through log replay only — after the overwrite the
+    // DIRECTORY still holds every data file ever written (Delta keeps
+    // old versions' files), so a reader that listed the directory
+    // instead of replaying add/remove actions would return ~7× the rows
+    // and fail the hash. Protocol pins, table-property round trip, and
+    // filesystem-true add sizes are asserted in-gate; the oracle
+    // recomputes the final table state from the source table.
+    QuerySpec(
+      "stac18_delta_log",
+      Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars,
+               true AS log_ok
+        FROM documents
+        WHERE doc_id % 7 = 0
+        GROUP BY source
+        ORDER BY source"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val docs = Tables.t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+        val out = java.nio.file.Files.createTempDirectory("stac18").toString + "/tbl"
+        PortableDelta.write(docs.filter(col("doc_id") % 2 === 0), out,
+          properties = Map("graft.gate" -> "stac18"), mode = "error")
+        PortableDelta.write(docs.filter(col("doc_id") % 2 === 1), out, mode = "append")
+        PortableDelta.write(docs.filter(col("doc_id") % 7 === 0), out, mode = "overwrite")
+        val conf = s.sessionState.newHadoopConf()
+        val snap = PortableDelta.snapshot(conf, out)
+        require(snap.version == 2, s"expected 3 commits (v2), got v${snap.version}")
+        require(snap.minReaderVersion == PortableDelta.MinReaderVersion &&
+          snap.minWriterVersion == PortableDelta.MinWriterVersion,
+          s"protocol drifted: ${snap.minReaderVersion}/${snap.minWriterVersion}")
+        require(snap.configuration.get("graft.gate").contains("stac18"),
+          "table properties did not survive the log round trip")
+        val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+        val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+          .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        require(onDisk > snap.files.size,
+          s"overwrite must keep prior files on disk: $onDisk files, ${snap.files.size} live")
+        snap.files.foreach { f =>
+          val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$out/${f.path}"))
+          require(st.getLen == f.size, s"add action size drift for ${f.path}")
+        }
+        PortableDelta.readTable(s, out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text"))).as("n_chars"))
+          .withColumn("log_ok", lit(true))
+          .orderBy(col("source"))
+      },
+      timed = false),
+
     // ----- STAC Collection extent (the Collection-object aggregate) -----
     // What a STAC API serves as a collection's `extent`: the spatial
     // envelope (union of item bboxes = min/max over the struct fields —

@@ -24,8 +24,12 @@ object DeltaSink {
     catch { case _: ClassNotFoundException => false }
 
   /** Write a normalized STAC table as a Delta table with the geo metadata
-    * as table properties. Requires delta-spark on the classpath and
-    * `spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension`.
+    * as table properties. With delta-spark on the classpath this goes
+    * through the full engine (`spark.sql.extensions=io.delta.sql.
+    * DeltaSparkSessionExtension` required); without it, the write falls
+    * back to [[PortableDelta.writeStac]] — the SAME on-disk transaction-
+    * log format (open protocol: JSON actions, add/remove replay), so the
+    * produced table is readable by delta-spark/delta-rs/DuckDB later.
     *
     * Writer `.option(...)` calls are NOT persisted as table properties by
     * Delta — the metadata is attached with `ALTER TABLE ... SET
@@ -34,9 +38,10 @@ object DeltaSink {
   def write(df: DataFrame, path: String,
             schemaVersion: String = StacSchema.DefaultGeoParquetVersion,
             mode: String = "error"): Unit = {
-    require(available,
-      "delta-spark is not on the classpath; add the delta-spark jars and set " +
-        "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension")
+    if (!available) {
+      PortableDelta.writeStac(df, path, schemaVersion, mode = mode)
+      return
+    }
     df.write.format("delta").mode(mode).save(path)
     def q(s: String) = s.replace("'", "''")
     df.sparkSession.sql(

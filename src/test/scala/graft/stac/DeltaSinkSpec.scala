@@ -7,12 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * `tests/test_delta_lake.py:38-54`, 10-collection round trip).
   *
   * This environment has no delta-spark jar anywhere on disk (zero-egress;
-  * probed at `/opt/spark/jars` and the artifact caches), so the round
-  * trip CANNOT execute here — the first test self-skips with that reason,
-  * and runs the full write→read-back round trip on any environment where
-  * the jar exists. The second test pins the unavailable-path behavior:
-  * fail fast with an actionable message, not a ClassNotFoundException
-  * mid-job. */
+  * probed at `/opt/spark/jars` and the artifact caches), so the
+  * delta-spark round trip self-skips here and runs on any environment
+  * where the jar exists. Without the jar, `DeltaSink.write` now falls
+  * back to [[PortableDelta]] — the same open on-disk log format —
+  * exercised end-to-end in PortableDeltaSpec and the stac18 gate. */
 class DeltaSinkSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.spark
@@ -32,11 +31,14 @@ class DeltaSinkSpec extends AnyFunSuite {
     assert(props.contains("geo") && props.contains("stac-geoparquet"))
   }
 
-  test("unavailable classpath fails fast with an actionable message") {
-    assume(!DeltaSink.available)
-    val df = spark.range(1).select(col("id"))
-    val e = intercept[IllegalArgumentException] { DeltaSink.write(df, "/tmp/never") }
-    assert(e.getMessage.contains("delta-spark"))
-    assert(e.getMessage.contains("DeltaSparkSessionExtension"))
+  test("delta-spark reads a PortableDelta table as-is (cross-engine leg)") {
+    assume(DeltaSink.available,
+      "SKIPPED: no delta-spark jar here; on a cluster with delta-spark this " +
+        "validates the portable log against the full engine's reader")
+    val tmp = java.nio.file.Files.createTempDirectory("pdelta-x").toString
+    val df = Normalize(StacJsonReader.read(spark, Seq(SparkSpec.resource("/data/naip-pc.json"))))
+    PortableDelta.writeStac(df, s"$tmp/t")
+    val back = spark.read.format("delta").load(s"$tmp/t")
+    assert(back.count() == df.count())
   }
 }

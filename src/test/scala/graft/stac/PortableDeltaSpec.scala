@@ -1,0 +1,163 @@
+package graft.stac
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** The portable Delta transaction-log writer (K3 without the jar).
+  * Validates the EMITTED BYTES against the open Delta protocol — file
+  * naming, action shapes, pinned protocol versions, schemaString — not
+  * just our own reader's replay, so any conformant engine (delta-spark,
+  * delta-rs, DuckDB delta) loads these tables. Where delta-spark exists,
+  * DeltaSinkSpec's jar-gated leg is the cross-engine read. */
+class PortableDeltaSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val mapper = new ObjectMapper()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("pdelta").toString + "/tbl"
+
+  private def df(ids: Long*) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, s"doc $i")).toDF("id", "body")
+  }
+
+  private def logLines(path: String, version: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val f = new java.io.File(s"$path/_delta_log/${"%020d".format(version)}.json")
+    assert(f.isFile, s"missing commit file $f")
+    scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .map(mapper.readTree).toSeq
+  }
+
+  test("version 0 emits spec-shaped commitInfo/protocol/metaData/add actions") {
+    val path = tmp()
+    val data = df(1L, 2L, 3L)
+    PortableDelta.write(data, path, properties = Map("k" -> "v"), mode = "error")
+    val logDir = new java.io.File(s"$path/_delta_log")
+    // ignore local-FS checksum shadows (.crc) — hidden names per Delta/Spark
+    assert(logDir.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq ==
+      Seq("00000000000000000000.json"), "exactly one 20-digit commit file")
+    val lines = logLines(path, 0)
+    val protocol = lines.filter(_.has("protocol"))
+    assert(protocol.size == 1)
+    assert(protocol.head.get("protocol").get("minReaderVersion").asInt() == 1)
+    assert(protocol.head.get("protocol").get("minWriterVersion").asInt() == 2)
+    val meta = lines.filter(_.has("metaData"))
+    assert(meta.size == 1)
+    val m = meta.head.get("metaData")
+    assert(m.get("format").get("provider").asText() == "parquet")
+    // schemaString is the Spark StructType JSON — what delta-spark parses
+    assert(m.get("schemaString").asText() == data.schema.json)
+    assert(m.get("configuration").get("k").asText() == "v")
+    assert(m.get("id").asText().nonEmpty)
+    assert(m.get("partitionColumns").isArray && m.get("partitionColumns").size() == 0)
+    val adds = lines.filter(_.has("add")).map(_.get("add"))
+    assert(adds.nonEmpty)
+    adds.foreach { a =>
+      val f = new java.io.File(s"$path/${a.get("path").asText()}")
+      assert(f.isFile, s"add action points at missing file $f")
+      assert(f.length() == a.get("size").asLong(), "size must be filesystem-true")
+      assert(a.get("dataChange").asBoolean())
+      assert(a.get("partitionValues").isObject)
+    }
+  }
+
+  test("append commits v1 with add-only actions; metaData stays v0's") {
+    val path = tmp()
+    PortableDelta.write(df(1L), path)
+    PortableDelta.write(df(2L, 3L), path, mode = "append")
+    val lines = logLines(path, 1)
+    assert(lines.exists(_.has("add")))
+    assert(!lines.exists(_.has("metaData")) && !lines.exists(_.has("protocol")))
+    val snap = PortableDelta.snapshot(
+      spark.sessionState.newHadoopConf(), path)
+    assert(snap.version == 1)
+    val back = PortableDelta.readTable(spark, path)
+    assert(back.select(sum(col("id"))).collect().head.getLong(0) == 6L)
+  }
+
+  test("append with a different schema is rejected before any write") {
+    val path = tmp()
+    PortableDelta.write(df(1L), path)
+    val s = spark; import s.implicits._
+    val bad = Seq((1L, 2.0)).toDF("id", "score")
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.write(bad, path, mode = "append")
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("overwrite is logical: removes in the log, old files stay on disk") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L), path)
+    PortableDelta.write(df(10L), path, mode = "overwrite")
+    val lines = logLines(path, 1)
+    val removed = lines.filter(_.has("remove")).map(_.get("remove").get("path").asText())
+    assert(removed.nonEmpty, "overwrite must emit remove actions")
+    removed.foreach { p =>
+      assert(new java.io.File(s"$path/$p").isFile,
+        "removed files remain on disk for earlier-version readers")
+    }
+    val back = PortableDelta.readTable(spark, path)
+    assert(back.select(col("id")).collect().map(_.getLong(0)).toSeq == Seq(10L))
+    // directory listing would double-count — the log is the source of truth
+    assert(spark.read.parquet(path).count() > back.count())
+  }
+
+  test("mode=error refuses an existing table; commit clash surfaces clearly") {
+    val path = tmp()
+    PortableDelta.write(df(1L), path)
+    val e1 = intercept[IllegalArgumentException] { PortableDelta.write(df(2L), path) }
+    assert(e1.getMessage.contains("already exists"))
+    // a racing writer that computed the same next version must hit the
+    // put-if-absent guard, not clobber the existing commit file
+    val e2 = intercept[IllegalArgumentException] {
+      PortableDelta.commit(spark.sessionState.newHadoopConf(), path, 0, Seq.empty)
+    }
+    assert(e2.getMessage.contains("commit 0 already exists"))
+  }
+
+  test("non-contiguous log is rejected, not silently replayed") {
+    val path = tmp()
+    PortableDelta.write(df(1L), path)
+    PortableDelta.write(df(2L), path, mode = "append")
+    // a missing EARLIER version (v0 gone, v1 present) breaks replay
+    assert(new java.io.File(s"$path/_delta_log/${"%020d".format(0L)}.json").delete())
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
+    }
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+
+  test("writeStac carries geo metadata as table properties AND parquet footers") {
+    val path = tmp()
+    val items = Normalize(StacJsonReader.read(
+      spark, Seq(SparkSpec.resource("/data/naip-pc.json"))))
+    PortableDelta.writeStac(items, path)
+    val snap = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
+    assert(snap.configuration.contains("geo") &&
+      snap.configuration.contains("stac-geoparquet"))
+    // the same metadata rides each part file's footer (K1's born-with seam)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    snap.files.foreach { f =>
+      val kv = GeoParquetWriter.readFooterMetadata(conf, s"$path/${f.path}")
+      assert(kv.contains("geo") && kv.contains("stac-geoparquet"))
+    }
+    val back = PortableDelta.readTable(spark, path)
+    assert(back.count() == items.count())
+    assert(back.schema == snap.schema)
+  }
+
+  test("DeltaSink.write falls back to the portable log when the jar is absent") {
+    assume(!DeltaSink.available)
+    val path = tmp()
+    val items = Normalize(StacJsonReader.read(
+      spark, Seq(SparkSpec.resource("/data/naip-pc.json"))))
+    DeltaSink.write(items, path)
+    val snap = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
+    assert(snap.configuration.contains("geo"))
+    assert(PortableDelta.readTable(spark, path).count() == items.count())
+  }
+}
