@@ -87,4 +87,19 @@ object SpatialJoin {
         floor(greatest(ly0, ry0) / cell).cast("long") === col("__cy"))
       .drop("__cx", "__cy")
   }
+
+  /** Exact-geometry spatial join: [[bboxJoin]]'s grid candidates + bbox
+    * overlap as the PREFILTER, then a JTS `intersects` verify over the
+    * two WKB geometry columns — pairs whose envelopes overlap but whose
+    * shapes don't are rejected here and only here (gate
+    * stac20_exact_geom_join pins a population where the two answers
+    * differ). The verify runs on the candidate survivors, never the
+    * cross product, so WKB parse count ∝ candidate pairs — the same
+    * filter-behind-prefilter layering as [[graft.stac.Cql2]]'s spatial
+    * predicates. */
+  def geomJoin(left: DataFrame, right: DataFrame, cell: Double,
+               leftBox: Seq[String], rightBox: Seq[String],
+               leftWkb: String, rightWkb: String): DataFrame =
+    bboxJoin(left, right, cell, leftBox, rightBox)
+      .filter(graft.stac.GeoFunctions.st_intersects(col(leftWkb), col(rightWkb)))
 }

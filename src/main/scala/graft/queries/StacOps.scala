@@ -385,7 +385,13 @@ object StacOps {
             concat(lit("c"), (col("o_orderkey") % 3).cast("string")).as("collection"),
             col("o_orderdate").cast("timestamp").as("datetime"),
             struct(bx.as("xmin"), by.as("ymin"),
-              (bx + 1.0).as("xmax"), (by + 0.5).as("ymax")).as("bbox"))
+              (bx + 1.0).as("xmax"), (by + 0.5).as("ymax")).as("bbox"),
+            // geometry = the bbox rectangle: the exact JTS verify runs for
+            // real but agrees with the envelope answer (rectangle items),
+            // so the oracle stays arithmetic; stac19 holds the
+            // shapes-differ population
+            graft.stac.GeoFunctions.bbox_polygon_wkb(bx, by, bx + 1.0, by + 0.5)
+              .as("geometry"))
           .filter(graft.stac.Cql2.filter(cql))
           .select(col("id"), col("collection"),
             date_format(col("datetime"), graft.stac.StacSchema.Rfc3339Format).as("datetime_out"),
@@ -432,7 +438,9 @@ object StacOps {
             array(concat(lit("t"), (col("o_orderkey") % 4).cast("string")),
               concat(lit("x"), (col("o_orderkey") % 5).cast("string"))).as("tags"),
             struct(bx.as("xmin"), by.as("ymin"),
-              (bx + 1.0).as("xmax"), (by + 0.5).as("ymax")).as("bbox"))
+              (bx + 1.0).as("xmax"), (by + 0.5).as("ymax")).as("bbox"),
+            graft.stac.GeoFunctions.bbox_polygon_wkb(bx, by, bx + 1.0, by + 0.5)
+              .as("geometry"))
           .filter(graft.stac.Cql2.filter(cql))
           .select(col("id"), col("collection"), col("bbox.xmin").as("xmin"))
           .orderBy(col("id"))
@@ -843,6 +851,156 @@ object StacOps {
           .orderBy(col("source"))
       },
       timed = false),
+
+    // ----- exact-geometry CQL2: envelope and exact answers DIFFER -----
+    // Items are lower-left right triangles (vertices (x,y),(x+2,y),
+    // (x,y+2)); the query region is the big triangle x+y ≤ 100 in
+    // [0,100]². EVERY item's bbox overlaps the region's bbox, so the
+    // envelope prefilter keeps all rows — only the JTS exact verify can
+    // tell which triangles actually reach the region: an item triangle
+    // (whose min-sum vertex is (x,y)) intersects the half-plane iff
+    // x + y ≤ 100, is within it iff its max-sum vertices obey
+    // x + y + 2 ≤ 100, and is disjoint iff x + y > 100 — all arithmetic
+    // the oracle recomputes without any geometry engine. Boundary rows
+    // (x+y exactly 100, a single-point touch) pin JTS's closed-set
+    // intersects semantics. The in-gate require proves the
+    // distinguishing population is non-empty: envelope-only would keep
+    // every row and fail the hash on bands 6+.
+    QuerySpec(
+      "stac19_cql2_exact_geometry",
+      Some("""
+        WITH g AS (SELECT o_orderkey AS id,
+                          CAST(o_orderkey % 100 AS DOUBLE) AS x0,
+                          CAST((o_orderkey // 100) % 100 AS DOUBLE) AS y0
+                   FROM orders),
+             b AS (SELECT id, x0 + y0 AS s,
+                          CAST(floor((x0 + y0) / 20) AS BIGINT) AS band
+                   FROM g)
+        SELECT band,
+               count(*) AS n_items,
+               CAST(count(*) FILTER (s <= 100) AS BIGINT) AS n_intersects,
+               CAST(count(*) FILTER (s <= 98) AS BIGINT) AS n_within,
+               CAST(count(*) FILTER (s > 100) AS BIGINT) AS n_disjoint,
+               CAST(sum(id) FILTER (s <= 100) AS BIGINT) AS id_sum_intersects
+        FROM b GROUP BY band ORDER BY band"""),
+      (s, dir) => {
+        import graft.stac.{Cql2, GeoFunctions}
+        val bigTriangle =
+          """{"type":"Polygon","coordinates":[[[0.0,0.0],[100.0,0.0],[0.0,100.0],[0.0,0.0]]]}"""
+        def cql(op: String) =
+          s"""{"op":"$op","args":[{"property":"geometry"},$bigTriangle]}"""
+        val x0 = (col("o_orderkey") % 100).cast("double")
+        val y0 = expr("(o_orderkey div 100) % 100").cast("double")
+        val items = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"), x0.as("x0"), y0.as("y0"))
+          .withColumn("bbox", struct(col("x0").as("xmin"), col("y0").as("ymin"),
+            (col("x0") + 2.0).as("xmax"), (col("y0") + 2.0).as("ymax")))
+          // the triangle goes through our own GeoJSON→WKB codec (G1), so
+          // the exact predicate exercises the stored-WKB path end to end
+          .withColumn("geometry", GeoFunctions.geojson_to_wkb(format_string(
+            """{"type":"Polygon","coordinates":[[[%s,%s],[%s,%s],[%s,%s],[%s,%s]]]}""",
+            col("x0"), col("y0"), col("x0") + 2.0, col("y0"),
+            col("x0"), col("y0") + 2.0, col("x0"), col("y0"))))
+          .withColumn("is_int", Cql2.filter(cql("s_intersects")))
+          .withColumn("is_win", Cql2.filter(cql("s_within")))
+          .withColumn("is_dis", Cql2.filter(cql("s_disjoint")))
+          .withColumn("band", floor((col("x0") + col("y0")) / 20).cast("long"))
+          .persist()
+        // the envelope answer (bbox property: rectangle-vs-region-bbox)
+        // must STRICTLY exceed the exact answer, or this gate would pass
+        // on envelope semantics too and prove nothing
+        val envCql =
+          """{"op":"s_intersects","args":[{"property":"bbox"},{"bbox":[0.0,0.0,100.0,100.0]}]}"""
+        val nEnv = items.filter(Cql2.filter(envCql)).count()
+        val nExact = items.filter(col("is_int")).count()
+        require(nEnv > nExact,
+          s"exact must reject envelope-only rows: envelope $nEnv, exact $nExact")
+        val out = items
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_items"),
+            count(when(col("is_int"), 1)).as("n_intersects"),
+            count(when(col("is_win"), 1)).as("n_within"),
+            count(when(col("is_dis"), 1)).as("n_disjoint"),
+            sum(when(col("is_int"), col("id"))).as("id_sum_intersects"))
+          .orderBy(col("band"))
+        items.unpersist()
+        out
+      }),
+
+    // ----- exact-geometry spatial JOIN (geomJoin: grid + JTS verify) -----
+    // Two triangle populations joined on actual shape intersection. For
+    // congruent lower-left triangles K+a and K+b (side 2), shapes
+    // intersect iff a−b lies in the Minkowski body K ⊕ (−K): the hexagon
+    // |dx| ≤ 2 ∧ |dy| ≤ 2 ∧ |dx+dy| ≤ 2 — the bbox test is just the
+    // first two conjuncts, so candidate pairs with dx+dy ∈ {3,4} (or
+    // −{3,4}) overlap by envelope but NOT by shape. The oracle joins on
+    // the hexagon arithmetically; Spark runs the PBSM grid join + JTS
+    // verify and must land on exactly the hexagon's pairs. Output is
+    // grouped by the dx+dy diagonal so the envelope-vs-exact boundary
+    // (|dx+dy| = 2, single-point touches, JTS closed semantics) is
+    // hash-visible band by band.
+    QuerySpec(
+      "stac20_exact_geom_join",
+      Some("""
+        WITH a AS (SELECT o_orderkey AS ida,
+                          CAST(o_orderkey % 97 AS DOUBLE) AS xa,
+                          CAST((o_orderkey // 97) % 97 AS DOUBLE) AS ya
+                   FROM orders WHERE o_orderkey % 2 = 0),
+             b AS (SELECT o_orderkey AS idb,
+                          CAST(o_orderkey % 97 AS DOUBLE) AS xb,
+                          CAST((o_orderkey // 97) % 97 AS DOUBLE) AS yb
+                   FROM orders WHERE o_orderkey % 2 = 1),
+             p AS (SELECT ida, idb, CAST((xa - xb) + (ya - yb) AS BIGINT) AS ds
+                   FROM a JOIN b
+                     ON abs(xa - xb) <= 2 AND abs(ya - yb) <= 2
+                        AND abs((xa - xb) + (ya - yb)) <= 2)
+        SELECT ds, count(*) AS n_pairs,
+               CAST(sum(ida + idb) AS BIGINT) AS id_sum
+        FROM p GROUP BY ds ORDER BY ds"""),
+      (s, dir) => {
+        import graft.stac.GeoFunctions
+        def tri(side: String, idAs: String) = {
+          val k = col("o_orderkey")
+          val x = (k % 97).cast("double")
+          val y = expr("(o_orderkey div 97) % 97").cast("double")
+          Tables.t(s, dir, "orders")
+            .filter(k % 2 === (if (side == "a") 0 else 1))
+            .select(k.as(idAs), x.as(s"x_$side"), y.as(s"y_$side"))
+            .withColumn(s"wkb_$side", GeoFunctions.geojson_to_wkb(format_string(
+              """{"type":"Polygon","coordinates":[[[%s,%s],[%s,%s],[%s,%s],[%s,%s]]]}""",
+              col(s"x_$side"), col(s"y_$side"),
+              col(s"x_$side") + 2.0, col(s"y_$side"),
+              col(s"x_$side"), col(s"y_$side") + 2.0,
+              col(s"x_$side"), col(s"y_$side"))))
+            .withColumn(s"xmax_$side", col(s"x_$side") + 2.0)
+            .withColumn(s"ymax_$side", col(s"y_$side") + 2.0)
+        }
+        val a = tri("a", "ida")
+        val b = tri("b", "idb")
+        val exact = graft.operators.SpatialJoin.geomJoin(a, b, cell = 2.0,
+          leftBox = Seq("x_a", "y_a", "xmax_a", "ymax_a"),
+          rightBox = Seq("x_b", "y_b", "xmax_b", "ymax_b"),
+          leftWkb = "wkb_a", rightWkb = "wkb_b")
+          .persist()
+        // the bbox-only join must produce strictly more pairs (the
+        // dx+dy = ±3, ±4 corner-overlap population) or the verify layer
+        // proved nothing
+        val env = graft.operators.SpatialJoin.bboxJoin(a, b, cell = 2.0,
+          leftBox = Seq("x_a", "y_a", "xmax_a", "ymax_a"),
+          rightBox = Seq("x_b", "y_b", "xmax_b", "ymax_b")).count()
+        val nExact = exact.count()
+        require(env > nExact,
+          s"exact join must reject envelope-only pairs: envelope $env, exact $nExact")
+        val out = exact
+          .select(col("ida"), col("idb"),
+            ((col("x_a") - col("x_b")) + (col("y_a") - col("y_b")))
+              .cast("long").as("ds"))
+          .groupBy(col("ds"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("ida") + col("idb")).as("id_sum"))
+          .orderBy(col("ds"))
+        exact.unpersist()
+        out
+      }),
 
     // ----- STAC Collection extent (the Collection-object aggregate) -----
     // What a STAC API serves as a collection's `extent`: the spatial

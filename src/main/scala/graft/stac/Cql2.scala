@@ -25,13 +25,17 @@ import scala.jdk.CollectionConverters._
   *   a_equals/a_contains/a_containedBy/a_overlaps over array columns
   *   (CQL2 "Array Operators", e.g. stac_extensions);
   *   t_before/t_after/t_during over timestamps;
-  *   s_intersects/s_disjoint/s_within/s_contains evaluated in planar
-  *   ENVELOPE semantics against the struct bbox column (the literal
-  *   geometry collapses to its envelope on the driver). For intersects/
-  *   within/contains the envelope test is the necessary condition a
-  *   row-group pruning predicate wants; s_disjoint is its exact negation
-  *   under the same declared semantics. Anything beyond this set stays on
-  *   the reference's delegation path (PgstacReader → `search()`).
+  *   s_intersects/s_disjoint/s_within/s_contains with EXACT geometry
+  *   semantics on the `geometry` property: the planar envelope test over
+  *   the struct bbox column is the PUSHDOWN prefilter (a necessary
+  *   condition the parquet scan prunes row groups on), conjoined with a
+  *   JTS robust-predicate verify over the stored WKB — polygons whose
+  *   envelopes overlap but shapes don't are rejected by the verify, not
+  *   by the prefilter (gate stac19 pins a population where the two
+  *   answers differ). On the `bbox` property the envelope test IS exact
+  *   (the property is an axis-aligned rectangle). Anything beyond this
+  *   set stays on the reference's delegation path (PgstacReader →
+  *   `search()`).
   *
   * Literals: strings, numbers, booleans, arrays, {"timestamp": s},
   * {"date": s}, {"interval": [lo, hi]}, {"property": name}, GeoJSON
@@ -121,12 +125,18 @@ object Cql2 {
       .replaceAll("\\p{M}", "")
   }
 
-  /** Planar envelope tests between the item's struct bbox column and the
-    * envelope of the literal geometry/bbox argument. One side must be the
-    * `geometry`/`bbox` property; the other a GeoJSON object or bbox array.
-    * Argument ORDER matters for the asymmetric operators: s_within(a, b)
-    * means a within b, so when the property is the second argument the
-    * roles flip (within ↔ contains). */
+  /** Spatial predicate: envelope prefilter (pushable bbox.* conjuncts)
+    * AND, on the `geometry` property, a JTS exact verify over the WKB
+    * column. One side must be the `geometry`/`bbox` property; the other
+    * a GeoJSON object or bbox array. Argument ORDER matters for the
+    * asymmetric operators: s_within(a, b) means a within b, so when the
+    * property is the second argument the roles flip (within ↔ contains).
+    *
+    * Envelope necessity (why the prefilter never drops a true row):
+    * a ∩ b ≠ ∅ ⇒ env(a) ∩ env(b) ≠ ∅, and a ⊆ b ⇒ env(a) ⊆ env(b) —
+    * each exact relation implies its envelope counterpart. s_disjoint is
+    * the negation of the exact intersects, so envelope-disjoint rows
+    * short-circuit true without ever parsing WKB. */
   private def spatial(op: String, a: JsonNode, b: JsonNode): Column = {
     val propFirst = a.isObject && a.has("property")
     val (propSide, litSide) =
@@ -143,13 +153,41 @@ object Cql2 {
       col("bbox.ymin") >= ymin && col("bbox.ymax") <= ymax
     val propContainsLit = col("bbox.xmin") <= xmin && col("bbox.xmax") >= xmax &&
       col("bbox.ymin") <= ymin && col("bbox.ymax") >= ymax
-    op match {
-      case "s_intersects" => overlap
-      case "s_disjoint"   => !overlap
-      case "s_within"     => if (propFirst) propWithinLit else propContainsLit
-      case "s_contains"   => if (propFirst) propContainsLit else propWithinLit
+    if (prop == "bbox") {
+      // the bbox property IS an axis-aligned rectangle: envelope = exact
+      op match {
+        case "s_intersects" => overlap
+        case "s_disjoint"   => !overlap
+        case "s_within"     => if (propFirst) propWithinLit else propContainsLit
+        case "s_contains"   => if (propFirst) propContainsLit else propWithinLit
+      }
+    } else {
+      val litWkb = literalWkb(litSide)
+      def exact(jtsOp: String) =
+        GeoFunctions.relateLiteral(jtsOp, col("geometry"), litWkb)
+      op match {
+        case "s_intersects" => overlap && exact("intersects")
+        case "s_disjoint"   => !(overlap && exact("intersects"))
+        case "s_within" =>
+          if (propFirst) propWithinLit && exact("within")
+          else propContainsLit && exact("contains")
+        case "s_contains" =>
+          if (propFirst) propContainsLit && exact("contains")
+          else propWithinLit && exact("within")
+      }
     }
   }
+
+  /** The literal argument as ISO WKB: a GeoJSON object directly, a bbox
+    * array as its rectangle polygon (the CQL2 spec's reading of a bbox
+    * operand). */
+  private def literalWkb(n: JsonNode): Array[Byte] =
+    if (n.isObject && n.has("bbox")) {
+      val b = n.get("bbox").elements().asScala.toIndexedSeq.map(_.asDouble)
+      if (b.length == 6) GeoFunctions.bboxPolygonWkb(b(0), b(1), b(3), b(4))
+      else GeoFunctions.bboxPolygonWkb(b(0), b(1), b(2), b(3))
+    } else if (n.isObject && n.has("type")) Wkb.nodeToWkb(n)
+    else throw new IllegalArgumentException(s"unsupported spatial literal: $n")
 
   private def envelope(n: JsonNode): (Double, Double, Double, Double) = {
     if (n.isObject && n.has("bbox")) {

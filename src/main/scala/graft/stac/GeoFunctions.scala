@@ -28,5 +28,92 @@ object GeoFunctions {
     spark.udf.register("geojson_to_wkb", geojsonToWkbUdf)
     spark.udf.register("wkb_to_geojson", wkbToGeojsonUdf)
     spark.udf.register("wkb_bounds", wkbBoundsUdf)
+    spark.udf.register("st_intersects", stIntersectsUdf)
+    spark.udf.register("st_within", stWithinUdf)
+    spark.udf.register("st_contains", stContainsUdf)
   }
+
+  // ------------------------- exact JTS predicates -------------------------
+  // The envelope tests above are the PUSHDOWN layer (bbox.* conjuncts the
+  // parquet scan prunes on); these are the exact-shape verify BEHIND that
+  // prefilter — polygons whose envelopes overlap but shapes don't are the
+  // rows only this layer rejects. JTS robust predicates over the stored
+  // ISO WKB (the reference stores real WKB too: arrow/_batch.py:93-118).
+  // Deliberately UDFs, not codegen expressions: they run post-prefilter on
+  // the surviving fraction, never against the full scan.
+
+  /** JTS parse of our ISO WKB (2-D and 1000+ Z codes). Geometries are
+    * parsed per call — these predicates sit behind the envelope prefilter,
+    * so the parse count is the candidate count, not the corpus size. */
+  private[stac] def jtsRead(wkb: Array[Byte]): org.locationtech.jts.geom.Geometry =
+    new org.locationtech.jts.io.WKBReader().read(wkb)
+
+  private def relate(op: String, a: Array[Byte], b: Array[Byte]): Boolean = {
+    if (a == null || b == null) false
+    else {
+      val (ga, gb) = (jtsRead(a), jtsRead(b))
+      op match {
+        case "intersects" => ga.intersects(gb)
+        case "within"     => ga.within(gb)   // non-strict: equal shapes are within
+        case "contains"   => ga.contains(gb)
+      }
+    }
+  }
+
+  val stIntersectsUdf = udf((a: Array[Byte], b: Array[Byte]) => relate("intersects", a, b))
+  val stWithinUdf = udf((a: Array[Byte], b: Array[Byte]) => relate("within", a, b))
+  val stContainsUdf = udf((a: Array[Byte], b: Array[Byte]) => relate("contains", a, b))
+
+  def st_intersects(a: Column, b: Column): Column = stIntersectsUdf(a, b)
+  def st_within(a: Column, b: Column): Column = stWithinUdf(a, b)
+  def st_contains(a: Column, b: Column): Column = stContainsUdf(a, b)
+
+  /** Column-vs-literal exact predicate with the literal PREPARED once per
+    * task (JTS PreparedGeometry caches the literal's edge index — the
+    * filter-by-region shape where one geometry meets millions of rows).
+    * `op`: intersects | within (column within literal) | contains
+    * (column contains literal). */
+  def relateLiteral(op: String, geomWkb: Column, literalWkb: Array[Byte]): Column = {
+    require(Set("intersects", "within", "contains")(op), s"unknown spatial op: $op")
+    val f = new PreparedRelate(op, literalWkb)
+    udf((b: Array[Byte]) => f(b)).apply(geomWkb)
+  }
+
+  /** Serializable holder: the prepared literal is rebuilt lazily on each
+    * executor after closure deserialization (PreparedGeometry itself is
+    * not serializable and must not ship). CQL2 "within literal" means the
+    * prepared side is the CONTAINER, so within maps to prep.contains. */
+  private final class PreparedRelate(op: String, litWkb: Array[Byte]) extends Serializable {
+    @transient private lazy val prep =
+      org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(jtsRead(litWkb))
+    def apply(wkb: Array[Byte]): Boolean =
+      if (wkb == null) false
+      else op match {
+        case "intersects" => prep.intersects(jtsRead(wkb))
+        case "within"     => prep.contains(jtsRead(wkb)) // column within literal
+        case "contains"   => prep.within(jtsRead(wkb))   // column contains literal
+      }
+  }
+
+  /** ISO WKB for the axis-aligned rectangle [xmin,xmax]×[ymin,ymax] — the
+    * bbox-literal face of the exact predicates (a bbox argument IS this
+    * polygon per the CQL2 spec). */
+  def bboxPolygonWkb(xmin: Double, ymin: Double, xmax: Double, ymax: Double): Array[Byte] = {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    import org.locationtech.jts.geom.Coordinate
+    val ring = Array(
+      new Coordinate(xmin, ymin), new Coordinate(xmax, ymin),
+      new Coordinate(xmax, ymax), new Coordinate(xmin, ymax),
+      new Coordinate(xmin, ymin))
+    new org.locationtech.jts.io.WKBWriter(2).write(gf.createPolygon(ring))
+  }
+
+  val bboxPolygonWkbUdf = udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
+    bboxPolygonWkb(x0, y0, x1, y1))
+
+  /** Column form: the rectangle polygon WKB of per-row bbox bounds — how a
+    * synthetic/bbox-only frame materializes a `geometry` column the exact
+    * predicates can run on. */
+  def bbox_polygon_wkb(x0: Column, y0: Column, x1: Column, y1: Column): Column =
+    bboxPolygonWkbUdf(x0, y0, x1, y1)
 }

@@ -20,7 +20,11 @@ class Cql2Spec extends AnyFunSuite {
     .select(col("id"), col("collection"), to_timestamp(col("dt")).as("datetime"),
       col("eo:cloud_cover"),
       struct(col("b._1").as("xmin"), col("b._2").as("ymin"),
-        col("b._3").as("xmax"), col("b._4").as("ymax")).as("bbox"))
+        col("b._3").as("xmax"), col("b._4").as("ymax")).as("bbox"),
+      // geometry = the bbox rectangle, so exact and envelope answers agree
+      // on this fixture (the shapes-differ population lives in ExactSpatialSpec)
+      GeoFunctions.bbox_polygon_wkb(col("b._1"), col("b._2"),
+        col("b._3"), col("b._4")).as("geometry"))
 
   private def ids(cql: String): Seq[String] =
     items.filter(Cql2.filter(cql)).select("id").as[String].collect().toSeq.sorted
