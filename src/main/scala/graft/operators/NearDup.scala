@@ -40,21 +40,35 @@ object NearDup {
     * every scale factor); the gate delegates here so facade and gate cannot
     * drift. More seeds = more bands = higher recall at proportionally more
     * shuffle rows; 4 seeds ~ the reference dedup literature's default for
-    * word-3-gram near-dup at τ ≥ 0.6. */
+    * word-3-gram near-dup at τ ≥ 0.6.
+    *
+    * `salt` is the hot-bucket dial (the Ann.bucketTopK pattern, identical
+    * identity proof in OperatorSpec): a pathological band value holding m
+    * docs costs one task m² join state; at salt > 1 the doc_b side
+    * scatters over `salt` sub-buckets by id hash and the doc_a side
+    * replicates across all of them, so every (a, b) pair still meets
+    * EXACTLY once — identical results, ×salt smaller per-task state at
+    * ×salt more doc_a-side rows. */
   def verifiedPairs(docs: DataFrame, idName: String = "doc_id",
                     textName: String = "text", seeds: Int = 4,
-                    shingleN: Int = 3): DataFrame = {
+                    shingleN: Int = 3, salt: Int = 1): DataFrame = {
     require(seeds >= 1, s"seeds must be >= 1, got $seeds")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
     val sg = shingleSets(docs, idName, textName, shingleN)
     val mh = sg.select(col(idName),
       posexplode(graft.functions.TextFunctions.minhashSig(col("g"), seeds))
         .as(Seq("seed", "mhv")))
-    val a = mh.select(col("seed"), col("mhv"), col(idName).as("doc_a"))
-    val b = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"),
+    val a0 = mh.select(col("seed"), col("mhv"), col(idName).as("doc_a"))
+    val b0 = mh.select(col("seed").as("seed_b"), col("mhv").as("mhv_b"),
       col(idName).as("doc_b"))
+    val (a, b, saltCond) =
+      if (salt <= 1) (a0, b0, lit(true))
+      else (a0.withColumn("__sa", explode(array((0 until salt).map(lit): _*))),
+        b0.withColumn("__sb", pmod(xxhash64(col("doc_b")), lit(salt)).cast("int")),
+        col("__sa") === col("__sb"))
     val cand = a.join(b,
         a("seed") === b("seed_b") && a("mhv") === b("mhv_b") &&
-          col("doc_a") < col("doc_b"))
+          col("doc_a") < col("doc_b") && saltCond)
       .select(col("doc_a"), col("doc_b")).distinct()
     val ga = sg.select(col(idName).as("doc_a"), col("g").as("ga"))
     val gb = sg.select(col(idName).as("doc_b"), col("g").as("gb"))
@@ -63,6 +77,51 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / (size(col("ga")) + size(col("gb")) - inter))
           .as("jaccard"))
+  }
+
+  /** SimHash near-duplicate pairs by banded Hamming search — the d08 gate's
+    * engine: (doc_a, doc_b, hamming), doc_a < doc_b, exact Hamming ≤
+    * `maxHamming` over 60-bit signatures, candidates from an equi-join on
+    * 4×15-bit band values. EXACT for maxHamming ≤ 3 by pigeonhole: ≤3
+    * differing bits damage at most 3 of the 4 bands, so every qualifying
+    * pair shares an intact band — approximate candidate generation,
+    * provably lossless recall. Returns (pairs, release): the signature
+    * frame is persisted (per-word md5 over the corpus is the expensive op
+    * — it feeds the band explode AND both verify sides; unpersisted,
+    * projection collapsing re-runs it per consumer, the m09 lesson) —
+    * call `release()` after materializing.
+    *
+    * `salt` splits hot band values exactly as [[verifiedPairs]] (identity
+    * proof in OperatorSpec): results are independent of the dial. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idName: String = "doc_id", textName: String = "text",
+                   salt: Int = 1): (DataFrame, () => Unit) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding is lossless only for maxHamming <= 3 (4 bands), got $maxHamming")
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val sigs = docs.select(col(idName),
+      graft.functions.TextFunctions.simhashSig(col(textName), bits = 60).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = sigs.select(col(idName), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), 15 * b).bitwiseAND(lit(32767L))): _*)).as(Seq("b", "bv")))
+    val a0 = bands.select(col(idName).as("doc_a"), col("sig").as("sig_a"),
+      col("b").as("ba"), col("bv").as("bva"))
+    val b0 = bands.select(col(idName).as("doc_b"), col("sig").as("sig_b"),
+      col("b").as("bb"), col("bv").as("bvb"))
+    val (a, b, saltCond) =
+      if (salt <= 1) (a0, b0, lit(true))
+      else (a0.withColumn("__sa", explode(array((0 until salt).map(lit): _*))),
+        b0.withColumn("__sb", pmod(xxhash64(col("doc_b")), lit(salt)).cast("int")),
+        col("__sa") === col("__sb"))
+    val pairs = a.join(b, col("ba") === col("bb") && col("bva") === col("bvb") &&
+        col("doc_a") < col("doc_b") && saltCond)
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    (pairs, () => { sigs.unpersist(); () })
   }
 
   /** Duplicate clusters from verified pairs: (doc_id, cluster_root,

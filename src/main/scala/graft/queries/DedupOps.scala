@@ -231,8 +231,15 @@ object DedupOps {
     // lossless recall. The signature is 60-bit (not d04's 32) for BUCKET
     // CARDINALITY: 15-bit bands give 32768 values per band, so candidate
     // volume stays near-linear far longer than 8-bit bands' 256 buckets;
-    // past ~millions of docs per band value, split hot buckets on a
-    // second signature permutation (same join shape).
+    // hot band values split via NearDup.simhashPairs' `salt` dial
+    // (identity-proved in OperatorSpec — same answer at any salt).
+    // The token hash stays md5 DELIBERATELY: the oracle must recompute
+    // bit-identical signatures, and md5 is the only cheap hash Spark and
+    // DuckDB both evaluate exactly (DuckDB has no xxhash64; its hash()
+    // is engine-internal). The steady cost lives in the persist: the
+    // signature frame feeds the band explode and both verify sides, so
+    // without it projection collapsing re-runs the per-word digest per
+    // consumer (the m09 lesson).
     QuerySpec(
       "d08_simhash_dedup",
       Some(s"""
@@ -254,24 +261,9 @@ object DedupOps {
         WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
         ORDER BY doc_a, doc_b"""),
       (s, dir) => {
-        val sigs = Tables.t(s, dir, "documents")
-          .select(col("doc_id"),
-            graft.functions.TextFunctions.simhashSig(col("text"), bits = 60).as("sig"))
-        val bands = sigs.select(col("doc_id"), col("sig"),
-          posexplode(array((0 until 4).map(b =>
-            shiftright(col("sig"), 15 * b).bitwiseAND(lit(32767L))): _*)).as(Seq("b", "bv")))
-        val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-          col("b").as("ba"), col("bv").as("bva"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-          col("b").as("bb"), col("bv").as("bvb"))
-        a.join(b, col("ba") === col("bb") && col("bva") === col("bvb") &&
-            col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
-          .distinct()
-          .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
-          .filter(col("hamming") <= 3)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
-          .orderBy(col("doc_a"), col("doc_b"))
+        val (pairs, _) = graft.operators.NearDup.simhashPairs(
+          Tables.t(s, dir, "documents"), maxHamming = 3)
+        pairs.orderBy(col("doc_a"), col("doc_b"))
       }),
 
     // ----- duplicate clusters: connected components over verified pairs -----

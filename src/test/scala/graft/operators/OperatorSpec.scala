@@ -266,4 +266,33 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(exactOverCands == full && full.keySet == Set("hot"))
   }
+
+  // near-dup docs: clusters of near-identical texts so band buckets are hot
+  private def saltDocs = (0L until 60L).map { i =>
+    val base = s"w${i % 5} alpha beta gamma delta epsilon zeta eta theta"
+    (i, if (i % 3 == 0) base else base + s" tail${i % 7}")
+  }.toDF("doc_id", "text")
+
+  test("NearDup.verifiedPairs: salt > 1 is pair-identical to salt = 1") {
+    def pairs(salt: Int) =
+      NearDup.verifiedPairs(saltDocs, salt = salt)
+        .orderBy("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val base = pairs(1)
+    assert(base.nonEmpty, "fixture must produce candidate pairs")
+    assert(pairs(5) == base) // hot-bucket split is lossless: every pair meets exactly once
+  }
+
+  test("NearDup.simhashPairs: salt > 1 is pair-identical to salt = 1") {
+    def pairs(salt: Int) = {
+      val (p, release) = NearDup.simhashPairs(saltDocs, salt = salt)
+      val got = p.orderBy("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      release()
+      got
+    }
+    val base = pairs(1)
+    assert(base.nonEmpty, "fixture must produce Hamming-close pairs")
+    assert(pairs(5) == base)
+  }
 }
