@@ -633,4 +633,128 @@ object Ann {
       shortlist)
     pqExactRerank(short, quantCorpus, quantQueries, k)
   }
+
+  /** Footer key carrying the IVF-PQ index parameters. */
+  val IvfPqMetaKey = "graft.ann.ivfpq"
+
+  /** One-time IVF-PQ index build — the billion-vector production layout
+    * (FAISS IVFPQ on disk): every corpus vector stored ONCE as
+    * (vec_id, cell, qv int8, qsq, pq_code), range-clustered by `cell` so
+    * row-group min/max stats prune serving scans to the probed cells;
+    * the coarse centroids and PQ codebook persist as tiny sidecar
+    * tables; the quantization scale and all dials ride every part
+    * file's footer so serving never guesses a build parameter. The
+    * O(n) pass (assignment + quantization + encoding) runs once;
+    * every query batch after it reads only probed row groups — the
+    * same build-once/serve-bounded asymmetry as [[buildIndex]], with
+    * PQ's 32× storage shrink on top. */
+  def buildIvfPqIndex(corpus: DataFrame, path: String, cells: Int = 0,
+                      subspaces: Int = 8, codes: Int = 16,
+                      files: Int = 16): Unit = {
+    require(files >= 1, s"files must be >= 1, got $files")
+    val raw = corpus.select(col("vec_id"), col("embedding"))
+    val e = withNorm(corpus)
+    val nCells = if (cells > 0) cells else adaptiveCells(e.select(col("vec_id")).count())
+    val cent = centroids(e, nCells)
+    val assign = assignTo(e, cent).select(col("vec_id"), col("cell"))
+    val scaleRow = corpusMaxAbs(raw).head()
+    require(!scaleRow.isNullAt(0), "cannot index an empty/all-null corpus")
+    val m = scaleRow.getDouble(0)
+    val quant = quantizeAt(raw, corpusMaxAbs(raw))
+    val dsub = pqDsub(quant, subspaces)
+    val cb = pqCodebook(quant, subspaces, dsub, codes)
+    val enc = pqEncode(quant, subspaces, codes)
+    // Double.toString round-trips exactly through parseDouble, so the
+    // footer-JSON scale is the bit-identical build scale
+    val meta = s"""{"cells":$nCells,"subspaces":$subspaces,"codes":$codes,"scale":$m}"""
+    quant.join(assign, "vec_id").join(enc, "vec_id")
+      .select(col("vec_id"), col("cell"), col("qv"), col("qsq"), col("pq_code"))
+      .repartitionByRange(files, col("cell"))
+      .sortWithinPartitions(col("cell"), col("vec_id"))
+      .write.mode("overwrite").format("geoparquet")
+      .option(graft.stac.GeoParquetFileFormat.OptionPrefix + IvfPqMetaKey, meta)
+      .save(s"$path/data")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  private def ivfPqMeta(spark: org.apache.spark.sql.SparkSession,
+                        path: String): (Int, Int, Int, Double) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$path/data")
+    val fs = p.getFileSystem(hconf)
+    val it = fs.listFiles(p, true)
+    var part: Option[String] = None
+    while (part.isEmpty && it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")) part = Some(f.toString)
+    }
+    val meta = part.flatMap(f =>
+      graft.stac.GeoParquetWriter.readFooterMetadata(
+        new org.apache.hadoop.conf.Configuration(hconf), f).get(IvfPqMetaKey))
+    require(meta.isDefined,
+      s"$path is not an IVF-PQ index (no $IvfPqMetaKey footer entry) — build it with Ann.buildIvfPqIndex")
+    def num(k: String) = s""""$k"\\s*:\\s*([-0-9.eE]+)""".r
+      .findFirstMatchIn(meta.get).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(s"missing $k in $meta"))
+    (num("cells").toInt, num("subspaces").toInt, num("codes").toInt, num("scale").toDouble)
+  }
+
+  /** Serve IVF-PQ top-k from a [[buildIvfPqIndex]] layout — identical
+    * ranking contract to the from-scratch [[ivfPqTopK]] (gate s14
+    * value-checks row-for-row equality): coarse probe against the
+    * stored centroids, then the data scan reads ONLY the probed cells —
+    * the distinct probed cell values (bounded: ≤ nprobe × guarded-batch
+    * rows, and ≤ the index's cell count) push into the parquet scan as
+    * an `In(cell, …)` filter over the range-clustered layout, the same
+    * probe pushdown as [[annTopKIndexed]]. ADC scores against the
+    * stored code bytes, exact re-rank against the stored int8 rows;
+    * queries quantize at the footer's build scale (the stored-scale
+    * contract). */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nprobe: Int = 2,
+                       shortlist: Int = 64, excludeSameId: Boolean = true,
+                       maxPushdownCells: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val (nCells, subspaces, _, scale) = ivfPqMeta(spark, path)
+    require(nprobe <= nCells, s"nprobe=$nprobe exceeds this index's cells=$nCells")
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val qn = AllPairsTopK.requireBroadcastable(withNorm(queries),
+      what = "ivfPqTopKIndexed query batch",
+      route = "corpus-sized query sets should run ivfPqTopK over the raw embeddings")
+    val probes = probeCells(qn, cent, nprobe).select(col("query_id"), col("cell"))
+    // bounded by the guard and by the index's cell count
+    val probedCells = probes.select(col("cell")).distinct()
+      .limit(maxPushdownCells + 1).collect().map(_.getLong(0))
+    val data0 = spark.read.format("geoparquet").load(s"$path/data")
+    val data = if (probedCells.length <= maxPushdownCells)
+      data0.filter(col("cell").isin(probedCells: _*)) else data0
+    val quantQueries = quantizeAt(queries.select(col("vec_id"), col("embedding")),
+      spark.range(1).select(lit(scale).as("m")))
+    val dim = data0.select(size(col("qv"))).head().getInt(0)
+    val dsub = dim / subspaces
+    val lut = pqLutRows(quantQueries, subspaces, dsub,
+        cb.select(col("cj"), col("c"), col("cv"), col("csq")))
+      .withColumnRenamed("query_id", "lq")
+    val idCond = if (excludeSameId) col("query_id") =!= col("neighbor_id") else lit(true)
+    val cand = broadcast(probes).join(
+        data.select(col("vec_id").as("neighbor_id"), col("cell")), "cell")
+      .filter(idCond)
+      .select(col("query_id"), col("neighbor_id"))
+    // stored code bytes back to ADC row form
+    val enc = data.select(col("vec_id").as("neighbor_id"),
+      posexplode(col("pq_code")).as(Seq("ej", "code")))
+    val short = adcShortlist(
+      cand.join(enc, "neighbor_id")
+        .join(broadcast(lut),
+          col("ej") === col("lj") && col("code") === col("lc") &&
+            col("query_id") === col("lq")),
+      shortlist)
+    pqExactRerank(short,
+      data.select(col("vec_id"), col("qv"), col("qsq")), quantQueries, k)
+  }
 }

@@ -69,6 +69,21 @@ object SimilarityOps {
       path
     })
 
+  /** s14's one-time materialized IVF-PQ layout per (session, dataset) —
+    * same build-once discipline as [[annIndex]], with s13's dials so the
+    * served answer is comparable row-for-row to the from-scratch path. */
+  private val ivfPqIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[queries] def ivfPqIndex(s: SparkSession, dir: String): String =
+    ivfPqIndexDirs.getOrElseUpdate((s, dir), {
+      val path = java.nio.file.Files.createTempDirectory("ivfpq_index").toString + "/idx"
+      graft.operators.Ann.buildIvfPqIndex(
+        Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        path, cells = 16, subspaces = 8, codes = 16, files = 4)
+      path
+    })
+
   /** Unpersist + drop the (session, dir) quantized-corpus cache entry —
     * the release hook mirroring `jaccardSimilarityJoinReleasable`: the
     * run-once gate never needs it, but a long-lived session re-pointing
@@ -991,6 +1006,113 @@ object SimilarityOps {
             // pinned true in the oracle — a recall collapse fails the hash
             (col("h").cast("double") / (lit(3) * col("nq")) >= 0.10).as("recall_ok"))
       },
-      prepare = materializeQuantized)
+      prepare = materializeQuantized),
+
+    // ----- IVF-PQ served from the MATERIALIZED index (the production shape) -----
+    // s12 serves sign-LSH from storage; this is the billion-vector form:
+    // Ann.buildIvfPqIndex lays the corpus down ONCE as cell-clustered
+    // (vec_id, cell, int8 qv, qsq, pq codes) with centroid/codebook
+    // sidecars and every dial + the quantization scale in the parquet
+    // footer — then ivfPqTopKIndexed probes the stored centroids, pushes
+    // the probed cells into the scan as In(cell, …) (asserted on the
+    // FileSourceScan below), ADC-scores the stored code bytes, and
+    // exact-reranks the stored int8 rows. The answer must equal the
+    // from-scratch Ann.ivfPqTopK ROW FOR ROW (required in-gate, both
+    // directions) — the index is a layout change, never a semantics
+    // change. The oracle replays the whole derivation (s13's CTE chain)
+    // to the ranked rows themselves: (query_id, rank, neighbor_id,
+    // exact quantized dist2), all integer math, bit-identical
+    // cross-engine.
+    QuerySpec(
+      "s14_ann_ivfpq_indexed",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                   FROM embeddings),
+             ccent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                       FROM n WHERE vec_id < 16),
+             cscored AS (SELECT v.vec_id, c.cent_id,
+                                row_number() OVER (PARTITION BY v.vec_id
+                                                   ORDER BY ${dotSql("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC,
+                                                            c.cent_id ASC) AS crank
+                         FROM n v JOIN ccent c ON true),
+             assign AS (SELECT vec_id, cent_id AS cell FROM cscored WHERE crank = 1),
+             probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM cscored
+                        WHERE crank <= 2 AND vec_id % 100 = 0),
+             cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                      FROM probes p JOIN assign a ON a.cell = p.cell
+                      WHERE a.vec_id != p.query_id),
+             ma AS (SELECT max(list_max([abs(CAST(x AS DOUBLE)) for x in embedding])) AS m
+                    FROM embeddings),
+             qd AS (SELECT vec_id,
+                           [CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma.m + 0.5) AS BIGINT)
+                            for x in embedding] AS qv
+                    FROM embeddings, ma),
+             js AS (SELECT unnest(generate_series(0, 7)) AS j),
+             sub AS (SELECT qd.vec_id, js.j,
+                            [qd.qv[js.j*8 + i] for i in generate_series(1, 8)] AS sv
+                     FROM qd, js),
+             pcent AS (SELECT j, vec_id AS c, sv AS cv FROM sub WHERE vec_id < 16),
+             enc AS (SELECT vec_id, j, c AS code FROM (
+                       SELECT s.vec_id, s.j, ct.c,
+                              row_number() OVER (PARTITION BY s.vec_id, s.j
+                                ORDER BY list_sum([(s.sv[i]-ct.cv[i])*(s.sv[i]-ct.cv[i])
+                                                   for i in generate_series(1, 8)]) ASC,
+                                         ct.c ASC) AS rk
+                       FROM sub s JOIN pcent ct ON ct.j = s.j)
+                     WHERE rk = 1),
+             lut AS (SELECT s.vec_id AS query_id, ct.j, ct.c,
+                            CAST(list_sum([(s.sv[i]-ct.cv[i])*(s.sv[i]-ct.cv[i])
+                                           for i in generate_series(1, 8)]) AS BIGINT) AS pd
+                     FROM sub s JOIN pcent ct ON ct.j = s.j
+                     WHERE s.vec_id % 100 = 0),
+             adc AS (SELECT c.query_id, c.neighbor_id, CAST(sum(l.pd) AS BIGINT) AS adist
+                     FROM cand c
+                     JOIN enc e ON e.vec_id = c.neighbor_id
+                     JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.c = e.code
+                     GROUP BY 1, 2),
+             short AS (SELECT query_id, neighbor_id FROM (
+                         SELECT query_id, neighbor_id,
+                                row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id ASC) AS rk
+                         FROM adc) WHERE rk <= 32)
+        SELECT query_id, CAST(rk AS INT) AS rank, neighbor_id,
+               CAST(d2 AS BIGINT) AS dist2
+        FROM (SELECT sh.query_id, sh.neighbor_id,
+                     list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                               for i in generate_series(1, len(a.qv))]) AS d2,
+                     row_number() OVER (PARTITION BY sh.query_id
+                       ORDER BY list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                                          for i in generate_series(1, len(a.qv))]) ASC,
+                                sh.neighbor_id ASC) AS rk
+              FROM short sh
+              JOIN qd a ON a.vec_id = sh.query_id
+              JOIN qd b ON b.vec_id = sh.neighbor_id)
+        WHERE rk <= 3
+        ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val q = Tables.t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % 100 === 0)
+        val out = graft.operators.Ann.ivfPqTopKIndexed(s, ivfPqIndex(s, dir),
+            q, k = 3, nprobe = 2, shortlist = 32)
+          .orderBy(col("query_id"), col("rank"))
+        // probed cells must prune at the SCAN of the stored layout
+        val pushed = out.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metadata.getOrElse("PushedFilters", "")
+        }
+        require(pushed.exists(p => p.contains("In(cell")),
+          s"IVF-PQ index serving must push probed cells into the scan, got: $pushed")
+        // layout change, not semantics change: equal to from-scratch,
+        // both directions
+        val scratch = graft.operators.Ann.ivfPqTopK(
+          Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          q, k = 3, cells = 16, nprobe = 2, subspaces = 8, codes = 16,
+          shortlist = 32)
+        require(out.except(scratch).isEmpty && scratch.except(out).isEmpty,
+          "indexed IVF-PQ must equal the from-scratch ivfPqTopK row for row")
+        out
+      },
+      prepare = Some((s, dir) => { ivfPqIndex(s, dir); () }))
   )
 }

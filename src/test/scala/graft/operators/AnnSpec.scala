@@ -264,4 +264,36 @@ class AnnSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](Ann.pqTopK(quant, q, 5, shortlist = 3))
     assert(e2.getMessage.contains("shortlist"))
   }
+
+  test("IVF-PQ indexed serving equals the from-scratch path, with and without pushdown") {
+    val c = corpus(120)
+    val queries = c.filter(col("vec_id") % 30 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx"
+    Ann.buildIvfPqIndex(c, dir, cells = 8, subspaces = 8, codes = 16, files = 2)
+    def rows(df: DataFrame) = df.select("query_id", "rank", "neighbor_id", "dist2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    val scratch = rows(Ann.ivfPqTopK(c, queries, k = 3, cells = 8, nprobe = 2,
+      subspaces = 8, codes = 16, shortlist = 16))
+    val served = rows(Ann.ivfPqTopKIndexed(spark, dir, queries, k = 3, nprobe = 2,
+      shortlist = 16))
+    assert(served == scratch)
+    // fallback (no In(cell) filter) must serve the identical answer
+    val noPush = rows(Ann.ivfPqTopKIndexed(spark, dir, queries, k = 3, nprobe = 2,
+      shortlist = 16, maxPushdownCells = 0))
+    assert(noPush == scratch)
+  }
+
+  test("ivfPqTopKIndexed rejects a non-index directory and over-probing") {
+    val dir = java.nio.file.Files.createTempDirectory("not_ivfpq").toString + "/t"
+    corpus(10).write.parquet(dir + "/data")
+    val q = corpus(10).filter(col("vec_id") === 0)
+    val e1 = intercept[IllegalArgumentException](
+      Ann.ivfPqTopKIndexed(spark, dir, q, k = 1))
+    assert(e1.getMessage.contains("buildIvfPqIndex"))
+    val good = java.nio.file.Files.createTempDirectory("ivfpq2").toString + "/idx"
+    Ann.buildIvfPqIndex(corpus(20), good, cells = 4, subspaces = 8, codes = 8, files = 1)
+    val e2 = intercept[IllegalArgumentException](
+      Ann.ivfPqTopKIndexed(spark, good, q, k = 1, nprobe = 9))
+    assert(e2.getMessage.contains("cells"))
+  }
 }
