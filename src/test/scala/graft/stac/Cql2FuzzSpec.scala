@@ -1,0 +1,222 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CQL2 translator fuzzing: ScalaCheck-generated random CQL2-JSON ASTs
+  * evaluated two independent ways on the same rows —
+  *   1. `Cql2.filter` → Catalyst Column (the production translator);
+  *   2. a structurally direct CQL2→SQL mapping executed by DuckDB over
+  *      JDBC (an INDEPENDENT second implementation of the spec).
+  * Any precedence, null-semantics (SQL three-valued logic), casei /
+  * accenti, between-bounds, IN, LIKE, temporal, or array-operator drift
+  * between the two shows up as a per-row Boolean mismatch. 1200 ASTs at
+  * a pinned seed (deterministic), evaluated in batches so Spark runs
+  * ~12 jobs, not 1200. Predicates are compared as nullable Booleans
+  * (stricter than WHERE-filtered id sets: a null-vs-false disagreement
+  * fails even though both would drop the row).
+  *
+  * Spatial ops are excluded: DuckDB has no JTS; their exactness is
+  * pinned separately (ExactSpatialSpec, gates stac19/stac20).
+  * Self-skips if no DuckDB JDBC driver jar was found by the build. */
+class Cql2FuzzSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def driverPresent: Boolean =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  // ------------------------------------------------------------ fixture rows
+  // 40 rows, nulls sprinkled through every scalar column, accents and
+  // mixed case in the string pool, timestamps on a day grid.
+  private val strPool =
+    Vector("alpha", "Beta", "café", "CAFE", "naïve", "Ünion", "r2d2", "", "a_b%c")
+  private val tagPool = Vector("t0", "t1", "t2", "eo")
+
+  private case class R(id: String, v: Option[Long], w: Option[Double],
+                       s: Option[String], tags: Seq[String], dt: Option[String])
+
+  private val rows: Seq[R] = (0 until 40).map { i =>
+    R(f"r$i%02d",
+      if (i % 7 == 3) None else Some((i % 11).toLong - 5),
+      if (i % 9 == 4) None else Some((i * 37 % 19) * 0.25 - 2.0),
+      if (i % 8 == 6) None else Some(strPool(i % strPool.length)),
+      (0 until i % 4).map(j => tagPool((i + j) % tagPool.length)),
+      if (i % 13 == 5) None
+      else Some(f"2020-${1 + i % 12}%02d-${1 + i % 28}%02d 0${i % 10}:00:00"))
+  }
+
+  private lazy val df = {
+    val s = spark; import s.implicits._
+    rows.map(r => (r.id, r.v, r.w, r.s, r.tags, r.dt))
+      .toDF("id", "v", "w", "s", "tags", "dts")
+      .withColumn("dt", to_timestamp(col("dts"))).drop("dts")
+  }
+
+  // ------------------------------------------------- AST + its two renderings
+  /** Generated predicates carry BOTH renderings, built together so the
+    * mapping is structural (no re-parse): (cql2Json, duckdbSql). */
+  private type P = (String, String)
+
+  private def qs(x: String) = "'" + x.replace("'", "''") + "'"
+  private def js(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private val genLong = Gen.choose(-6L, 6L)
+  private val genDouble = Gen.choose(-10, 10).map(_ * 0.25)
+  private val genStr = Gen.oneOf(strPool)
+  private val genTs = for {
+    m <- Gen.choose(1, 12); d <- Gen.choose(1, 28); h <- Gen.choose(0, 9)
+  } yield f"2020-$m%02d-$d%02d 0$h:00:00"
+
+  private val cmpOps = Seq("=" -> "=", "<>" -> "<>", "<" -> "<",
+    "<=" -> "<=", ">" -> ">", ">=" -> ">=")
+
+  private val genNumCmp: Gen[P] = for {
+    (cop, sop) <- Gen.oneOf(cmpOps)
+    useV <- Gen.oneOf(true, false)
+    lit <- if (useV) genLong.map(_.toString) else genDouble.map(_.toString)
+    prop = if (useV) "v" else "w"
+  } yield (s"""{"op":"$cop","args":[{"property":"$prop"},$lit]}""", s"($prop $sop $lit)")
+
+  private val genStrCmp: Gen[P] = for {
+    (cop, sop) <- Gen.oneOf(cmpOps.take(2)) // = and <> on strings
+    lit <- genStr
+    wrap <- Gen.oneOf("none", "casei", "accenti")
+  } yield wrap match {
+    case "none" =>
+      (s"""{"op":"$cop","args":[{"property":"s"},${js(lit)}]}""",
+        s"(s $sop ${qs(lit)})")
+    case "casei" =>
+      (s"""{"op":"$cop","args":[{"op":"casei","args":[{"property":"s"}]},${js(lit.toLowerCase)}]}""",
+        s"(lower(s) $sop ${qs(lit.toLowerCase)})")
+    case "accenti" =>
+      (s"""{"op":"$cop","args":[{"op":"accenti","args":[{"property":"s"}]},${js(lit)}]}""",
+        s"(strip_accents(s) $sop ${qs(lit)})")
+  }
+
+  private val genBetween: Gen[P] = for {
+    lo <- genLong; hi <- genLong
+  } yield (s"""{"op":"between","args":[{"property":"v"},$lo,$hi]}""",
+    s"(v BETWEEN $lo AND $hi)")
+
+  private val genIn: Gen[P] = for {
+    useV <- Gen.oneOf(true, false)
+    n <- Gen.choose(1, 4)
+    longs <- Gen.listOfN(n, genLong)
+    strs <- Gen.listOfN(n, genStr)
+  } yield if (useV)
+    (s"""{"op":"in","args":[{"property":"v"},[${longs.mkString(",")}]]}""",
+      s"(v IN (${longs.mkString(",")}))")
+  else
+    (s"""{"op":"in","args":[{"property":"s"},[${strs.map(js).mkString(",")}]]}""",
+      s"(s IN (${strs.map(qs).mkString(",")}))")
+
+  private val genLike: Gen[P] = Gen.oneOf("r%", "%a%", "%é", "_b%", "%2", "caf_")
+    .map(p => (s"""{"op":"like","args":[{"property":"s"},${js(p)}]}""",
+      s"(s LIKE ${qs(p)})"))
+
+  private val genIsNull: Gen[P] = Gen.oneOf("v", "w", "s", "dt")
+    .map(p => (s"""{"op":"isNull","args":[{"property":"$p"}]}""", s"($p IS NULL)"))
+
+  private val genTemporal: Gen[P] = for {
+    kind <- Gen.oneOf("t_before", "t_after", "t_during")
+    a <- genTs; b <- genTs
+  } yield kind match {
+    case "t_before" =>
+      (s"""{"op":"t_before","args":[{"property":"dt"},{"timestamp":"$a"}]}""",
+        s"(dt < TIMESTAMP '$a')")
+    case "t_after" =>
+      (s"""{"op":"t_after","args":[{"property":"dt"},{"timestamp":"$a"}]}""",
+        s"(dt > TIMESTAMP '$a')")
+    case _ =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      (s"""{"op":"t_during","args":[{"property":"dt"},{"interval":["$lo","$hi"]}]}""",
+        s"(dt >= TIMESTAMP '$lo' AND dt <= TIMESTAMP '$hi')")
+  }
+
+  private val genArrayOp: Gen[P] = for {
+    op <- Gen.oneOf("a_equals", "a_contains", "a_containedBy", "a_overlaps")
+    n <- Gen.choose(1, 3)
+    elems <- Gen.listOfN(n, Gen.oneOf(tagPool))
+  } yield {
+    val jarr = s"[${elems.map(js).mkString(",")}]"
+    val sarr = s"[${elems.map(qs).mkString(",")}]"
+    val sql = op match {
+      case "a_equals"      => s"(list_has_all(tags, $sarr) AND list_has_all($sarr, tags))"
+      case "a_contains"    => s"(list_has_all(tags, $sarr))"
+      case "a_containedBy" => s"(list_has_all($sarr, tags))"
+      case "a_overlaps"    => s"(list_has_any(tags, $sarr))"
+    }
+    (s"""{"op":"$op","args":[{"property":"tags"},$jarr]}""", sql)
+  }
+
+  private val genLeaf: Gen[P] = Gen.frequency(
+    4 -> genNumCmp, 3 -> genStrCmp, 2 -> genBetween, 2 -> genIn,
+    2 -> genLike, 1 -> genIsNull, 2 -> genTemporal, 2 -> genArrayOp)
+
+  private def genPred(depth: Int): Gen[P] =
+    if (depth <= 0) genLeaf
+    else Gen.frequency(
+      3 -> genLeaf,
+      2 -> (for { a <- genPred(depth - 1); b <- genPred(depth - 1) }
+        yield (s"""{"op":"and","args":[${a._1},${b._1}]}""", s"(${a._2} AND ${b._2})")),
+      2 -> (for { a <- genPred(depth - 1); b <- genPred(depth - 1) }
+        yield (s"""{"op":"or","args":[${a._1},${b._1}]}""", s"(${a._2} OR ${b._2})")),
+      1 -> genPred(depth - 1).map(a =>
+        (s"""{"op":"not","args":[${a._1}]}""", s"(NOT ${a._2})")))
+
+  test("1200 random CQL2 ASTs: Catalyst translation == independent DuckDB SQL, null-exact") {
+    assume(driverPresent, "SKIPPED: no DuckDB JDBC driver jar in the artifact cache")
+    // deterministic sample at a pinned seed — reproducible failures
+    val preds: Seq[P] = Gen.listOfN(1200, genPred(2))
+      .apply(Gen.Parameters.default, rng.Seed(42L))
+      .getOrElse(fail("generator returned no sample"))
+
+    val conn = java.sql.DriverManager.getConnection("jdbc:duckdb:")
+    try {
+      val st = conn.createStatement()
+      st.execute("""CREATE TABLE t (id VARCHAR, v BIGINT, w DOUBLE, s VARCHAR,
+        tags VARCHAR[], dt TIMESTAMP)""")
+      val values = rows.map { r =>
+        val tags = s"[${r.tags.map(qs).mkString(",")}]"
+        Seq(qs(r.id), r.v.map(_.toString).getOrElse("NULL"),
+          r.w.map(_.toString).getOrElse("NULL"),
+          r.s.map(qs).getOrElse("NULL"), tags,
+          r.dt.map(d => s"TIMESTAMP '$d'").getOrElse("NULL")).mkString("(", ",", ")")
+      }
+      st.execute(s"INSERT INTO t VALUES ${values.mkString(",")}")
+
+      var mismatches = List.empty[String]
+      preds.grouped(100).zipWithIndex.foreach { case (batch, bi) =>
+        // Spark: one job evaluating 100 predicates as boolean columns
+        val sparkCols = col("id") +: batch.zipWithIndex.map { case ((cql, _), i) =>
+          Cql2.filter(cql).as(s"p$i")
+        }
+        val sparkRes = df.select(sparkCols: _*).collect().map { r =>
+          r.getString(0) -> batch.indices.map(i =>
+            if (r.isNullAt(i + 1)) None else Some(r.getBoolean(i + 1)))
+        }.toMap
+        // DuckDB: one query evaluating the same 100 renderings
+        val sqlCols = batch.zipWithIndex
+          .map { case ((_, sql), i) => s"$sql AS p$i" }.mkString(", ")
+        val rs = st.executeQuery(s"SELECT id, $sqlCols FROM t")
+        while (rs.next()) {
+          val id = rs.getString(1)
+          val duck = batch.indices.map { i =>
+            val b = rs.getObject(i + 2)
+            if (b == null) None else Some(b.asInstanceOf[Boolean])
+          }
+          val sp = sparkRes(id)
+          batch.indices.foreach { i =>
+            if (sp(i) != duck(i) && mismatches.length < 5)
+              mismatches ::= s"case ${bi * 100 + i} row $id: spark=${sp(i)} duckdb=${duck(i)}\n  cql: ${batch(i)._1}\n  sql: ${batch(i)._2}"
+          }
+        }
+        rs.close()
+      }
+      assert(mismatches.isEmpty, mismatches.mkString("\n"))
+    } finally conn.close()
+  }
+}
