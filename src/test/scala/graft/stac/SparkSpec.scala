@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[8]")
+      // local[8, 3]: allow task re-attempts (production semantics) — the
+      // streaming chaos spec injects first-attempt task failures and
+      // asserts the retry converges to the exactly-once answer
+      .master("local[8, 3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -59,12 +59,14 @@ class StacApiSpec extends AnyFunSuite {
     assert(df.select("self_link").head().getString(0) == "https://r/items/x")
   }
 
-  test("delta sink is gated with a clear error when delta-spark is absent") {
+  test("delta sink without the jar writes the portable log end to end (K3)") {
     assume(!DeltaSink.available)
-    val e = intercept[IllegalArgumentException] {
-      Stac.parseStacNdjsonToDeltaLake(spark, Seq(fixture), "/tmp/never")
-    }
-    assert(e.getMessage.contains("delta-spark"))
+    val out = java.nio.file.Files.createTempDirectory("api_delta").toString + "/t"
+    Stac.parseStacNdjsonToDeltaLake(spark, Seq(fixture), out)
+    val snap = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), out)
+    assert(snap.configuration.contains("geo") &&
+      snap.configuration.contains("stac-geoparquet"))
+    assert(PortableDelta.readTable(spark, out).count() > 0)
   }
 
   test("constants mirror the reference") {
