@@ -843,6 +843,18 @@ object StacOps {
           val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$out/${f.path}"))
           require(st.getLen == f.size, s"add action size drift for ${f.path}")
         }
+        // checkpoint + log truncation: compact the three commits into the
+        // spec's checkpoint parquet, delete the subsumed JSON tail, and
+        // make the value-checked read-back go through the CHECKPOINT
+        // alone — a reader that still needed the JSON commits would throw
+        val cv = PortableDelta.checkpoint(s, out)
+        require(cv == 2, s"checkpoint should land at v2, got v$cv")
+        val dropped = PortableDelta.cleanupLog(conf, out)
+        require(dropped == 3, s"log truncation should subsume 3 commits, dropped $dropped")
+        val snap2 = PortableDelta.snapshot(s, out)
+        require(snap2.version == 2 && snap2.files.map(_.path).toSet ==
+          snap.files.map(_.path).toSet,
+          "checkpoint replay must reproduce the JSON replay's exact state")
         PortableDelta.readTable(s, out)
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"),

@@ -29,9 +29,11 @@ import scala.jdk.CollectionConverters._
   * Scope (documented, deliberate): single-writer commits via
   * atomic-rename put-if-absent (the Delta storage contract for
   * filesystems with atomic rename; no LogStore coordination for S3
-  * multi-writer), no checkpoint compaction (replay is O(commits) —
-  * fine for the bounded-commit sink shape; long-lived tables should be
-  * maintained by a full Delta engine, which reads these logs as-is). */
+  * multi-writer). Checkpoint compaction IS supported ([[checkpoint]]
+  * writes the spec's `<v>.checkpoint.parquet` + `_last_checkpoint`,
+  * [[cleanupLog]] truncates the JSON tail behind it), so replay cost
+  * is O(commits-since-checkpoint) — the same maintenance story as a
+  * full Delta engine, which reads these logs and checkpoints as-is. */
 object PortableDelta {
 
   /** Pinned protocol: the base feature set this writer emits needs
@@ -69,7 +71,10 @@ object PortableDelta {
     require(Set("error", "append", "overwrite").contains(mode),
       s"mode must be error|append|overwrite, got $mode")
     val conf = df.sparkSession.sessionState.newHadoopConf()
-    val prior = currentSnapshot(conf, path)
+    val prior =
+      if (lastCheckpointVersion(conf, path).isDefined)
+        Some(snapshot(df.sparkSession, path)) // checkpoint-truncated log
+      else currentSnapshot(conf, path)
     require(mode != "error" || prior.isEmpty,
       s"Delta table already exists at $path (version ${prior.map(_.version).orNull}); " +
         "use mode=append or mode=overwrite")
@@ -147,22 +152,201 @@ object PortableDelta {
   }
 
   /** Replay the log: contiguous versions from 0, newline-delimited JSON
-    * actions, last protocol/metaData win, adds minus removes by path. */
+    * actions, last protocol/metaData win, adds minus removes by path.
+    * JSON-only — on a checkpoint-truncated log this fails with a pointer
+    * to the SparkSession overload (reading the checkpoint parquet needs
+    * an engine). */
   def snapshot(conf: Configuration, path: String): Snapshot =
     currentSnapshot(conf, path).getOrElse(
       throw new IllegalArgumentException(s"no Delta table at $path (no _delta_log)"))
+
+  /** Checkpoint-aware replay: start from `_last_checkpoint`'s parquet
+    * state when present, then apply the JSON commits after it. */
+  def snapshot(spark: SparkSession, path: String): Snapshot = {
+    val conf = spark.sessionState.newHadoopConf()
+    lastCheckpointVersion(conf, path) match {
+      case None => snapshot(conf, path)
+      case Some(cv) => checkpointSnapshot(spark, path, cv)
+    }
+  }
 
   /** Read the table's CURRENT version: exactly the log's live files with
     * the logged schema — files on disk but removed (or never committed)
     * in the log are invisible, the property that makes the log, not the
     * directory listing, the source of truth. */
   def readTable(spark: SparkSession, path: String): DataFrame = {
-    val snap = snapshot(spark.sessionState.newHadoopConf(), path)
+    val snap = snapshot(spark, path)
     if (snap.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else
       spark.read.schema(snap.schema)
         .parquet(snap.files.map(f => s"$path/${f.path}"): _*)
+  }
+
+  /** Write the spec's checkpoint for the CURRENT version V:
+    * `_delta_log/<V padded>.checkpoint.parquet` — one row per live
+    * action with the protocol / metaData / add struct columns a Delta
+    * reader expects — plus the `_last_checkpoint` pointer file. Replay
+    * after this is O(commits since V); pair with [[cleanupLog]] to
+    * actually truncate the JSON tail. Returns V. */
+  def checkpoint(spark: SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions.{lit, map_from_arrays, array, struct, typedLit}
+    val conf = spark.sessionState.newHadoopConf()
+    val snap = snapshot(spark, path)
+    val s = spark; import s.implicits._
+    val emptyMap = typedLit(Map.empty[String, String])
+    val protocolDf = Seq(1).toDF("x").select(
+      struct(lit(snap.minReaderVersion).as("minReaderVersion"),
+        lit(snap.minWriterVersion).as("minWriterVersion")).as("protocol"),
+      lit(null).cast("struct<id:string,format:struct<provider:string,options:map<string,string>>," +
+        "schemaString:string,partitionColumns:array<string>," +
+        "configuration:map<string,string>,createdTime:bigint>").as("metaData"),
+      lit(null).cast("struct<path:string,partitionValues:map<string,string>," +
+        "size:bigint,modificationTime:bigint,dataChange:boolean>").as("add"))
+    val metaDf = Seq(1).toDF("x").select(
+      lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"),
+      struct(lit(snap.tableId).as("id"),
+        struct(lit("parquet").as("provider"), emptyMap.as("options")).as("format"),
+        lit(snap.schema.json).as("schemaString"),
+        array().cast("array<string>").as("partitionColumns"),
+        typedLit(snap.configuration).as("configuration"),
+        lit(System.currentTimeMillis()).as("createdTime")).as("metaData"),
+      lit(null).cast("struct<path:string,partitionValues:map<string,string>," +
+        "size:bigint,modificationTime:bigint,dataChange:boolean>").as("add"))
+    val addsDf = snap.files.map(f => (f.path, f.size, f.modificationTime))
+      .toDF("p", "sz", "mt").select(
+        lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"),
+        lit(null).cast("struct<id:string,format:struct<provider:string,options:map<string,string>>," +
+          "schemaString:string,partitionColumns:array<string>," +
+          "configuration:map<string,string>,createdTime:bigint>").as("metaData"),
+        struct($"p".as("path"), emptyMap.as("partitionValues"),
+          $"sz".as("size"), $"mt".as("modificationTime"),
+          lit(true).as("dataChange")).as("add"))
+    val all = protocolDf.unionByName(metaDf).unionByName(addsDf)
+    // Spark writes a directory; the spec wants ONE file at the exact
+    // name — write single-part to a temp dir and move the part file in
+    val tmp = new Path(logDir(path), s".ckpt-tmp-${java.util.UUID.randomUUID()}")
+    all.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val fs = tmp.getFileSystem(conf)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val target = new Path(logDir(path), f"${snap.version}%020d.checkpoint.parquet")
+    fs.delete(target, false)
+    require(fs.rename(part, target), s"could not move checkpoint into place at $target")
+    fs.delete(tmp, true)
+    val lc = new Path(logDir(path), "_last_checkpoint")
+    val out = fs.create(lc, true)
+    try out.write(
+      s"""{"version":${snap.version},"size":${2 + snap.files.size}}""".getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
+
+  /** Truncate the JSON tail behind the checkpoint: delete commit files
+    * with version ≤ the `_last_checkpoint` version (they are fully
+    * subsumed by the checkpoint parquet — the Delta maintenance pass).
+    * No-op without a checkpoint. Returns the number of files removed. */
+  def cleanupLog(conf: Configuration, path: String): Int =
+    lastCheckpointVersion(conf, path) match {
+      case None => 0
+      case Some(cv) =>
+        val dir = logDir(path)
+        val fs = dir.getFileSystem(conf)
+        val old = fs.listStatus(dir).toSeq
+          .map(_.getPath)
+          .filter(p => p.getName.matches("\\d{20}\\.json") &&
+            p.getName.stripSuffix(".json").toLong <= cv)
+        old.foreach(p => fs.delete(p, false))
+        old.size
+    }
+
+  private def lastCheckpointVersion(conf: Configuration, path: String): Option[Long] = {
+    val lc = new Path(logDir(path), "_last_checkpoint")
+    val fs = lc.getFileSystem(conf)
+    if (!fs.exists(lc)) None
+    else {
+      val in = fs.open(lc)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(mapper.readTree(txt).get("version").asLong())
+    }
+  }
+
+  private def checkpointSnapshot(spark: SparkSession, path: String, cv: Long): Snapshot = {
+    val conf = spark.sessionState.newHadoopConf()
+    val ckpt = new Path(logDir(path), f"$cv%020d.checkpoint.parquet")
+    val fs = ckpt.getFileSystem(conf)
+    require(fs.exists(ckpt), s"_last_checkpoint points at $cv but $ckpt is missing")
+    val rows = spark.read.parquet(ckpt.toString).collect()
+    var readerV = MinReaderVersion; var writerV = MinWriterVersion
+    var tableId = ""; var schemaJson = ""
+    var configuration = Map.empty[String, String]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    rows.foreach { r =>
+      val pi = r.fieldIndex("protocol")
+      if (!r.isNullAt(pi)) {
+        val p = r.getStruct(pi)
+        readerV = p.getInt(p.fieldIndex("minReaderVersion"))
+        writerV = p.getInt(p.fieldIndex("minWriterVersion"))
+      }
+      val mi = r.fieldIndex("metaData")
+      if (!r.isNullAt(mi)) {
+        val m = r.getStruct(mi)
+        tableId = m.getString(m.fieldIndex("id"))
+        schemaJson = m.getString(m.fieldIndex("schemaString"))
+        configuration = m.getMap[String, String](m.fieldIndex("configuration")).toMap
+      }
+      val ai = r.fieldIndex("add")
+      if (!r.isNullAt(ai)) {
+        val a = r.getStruct(ai)
+        val p = a.getString(a.fieldIndex("path"))
+        live.put(p, AddFile(p, a.getLong(a.fieldIndex("size")),
+          a.getLong(a.fieldIndex("modificationTime"))))
+      }
+    }
+    require(schemaJson.nonEmpty, s"checkpoint $ckpt carries no metaData row")
+    // JSON commits after the checkpoint (contiguous from cv+1, if any)
+    val tail = fs.listStatus(logDir(path)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
+      .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st.getPath)
+      .filter(_._1 > cv).sortBy(_._1)
+    require(tail.map(_._1) == (cv + 1 to cv + tail.size),
+      s"non-contiguous Delta log after checkpoint $cv: ${tail.map(_._1).mkString(",")}")
+    var version = cv
+    tail.foreach { case (v, p) =>
+      version = v
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) {
+          readerV = node.get("protocol").get("minReaderVersion").asInt()
+          writerV = node.get("protocol").get("minWriterVersion").asInt()
+        }
+        if (node.has("metaData")) {
+          val m = node.get("metaData")
+          tableId = m.get("id").asText()
+          schemaJson = m.get("schemaString").asText()
+          configuration = Option(m.get("configuration")).map(_.asInstanceOf[ObjectNode]
+            .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty)
+        }
+        if (node.has("add")) {
+          val a = node.get("add")
+          live.put(a.get("path").asText(),
+            AddFile(a.get("path").asText(), a.get("size").asLong(),
+              a.get("modificationTime").asLong()))
+        }
+        if (node.has("remove"))
+          live.remove(node.get("remove").get("path").asText())
+      }
+    }
+    require(readerV <= MinReaderVersion,
+      s"table at $path requires reader version $readerV; this portable reader supports $MinReaderVersion")
+    Snapshot(version, readerV, writerV, tableId,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], configuration,
+      live.values.toSeq)
   }
 
   // ---------------------------------------------------------------- internals
@@ -245,9 +429,15 @@ object PortableDelta {
       .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
       .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st.getPath)
       .sortBy(_._1)
-    if (versioned.isEmpty) return None
+    val truncated = " — this log is checkpoint-truncated; use snapshot(spark, path)"
+    if (versioned.isEmpty) {
+      require(lastCheckpointVersion(conf, path).isEmpty,
+        s"Delta log at $dir has no JSON commits$truncated")
+      return None
+    }
     require(versioned.map(_._1) == (0L until versioned.size.toLong),
-      s"non-contiguous Delta log at $dir: versions ${versioned.map(_._1).mkString(",")}")
+      s"non-contiguous Delta log at $dir: versions ${versioned.map(_._1).mkString(",")}" +
+        (if (lastCheckpointVersion(conf, path).isDefined) truncated else ""))
 
     var readerV = MinReaderVersion; var writerV = MinWriterVersion
     var tableId = ""; var schemaJson = ""

@@ -150,6 +150,43 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(back.schema == snap.schema)
   }
 
+  test("checkpoint: spec-named parquet + _last_checkpoint, replay survives log truncation") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L), path, properties = Map("k" -> "v"))
+    PortableDelta.write(df(3L), path, mode = "append")
+    PortableDelta.write(df(10L, 11L), path, mode = "overwrite")
+    val cv = PortableDelta.checkpoint(spark, path)
+    assert(cv == 2)
+    val ckpt = new java.io.File(s"$path/_delta_log/${"%020d".format(2L)}.checkpoint.parquet")
+    assert(ckpt.isFile, "checkpoint must be ONE file at the spec name")
+    val lc = new java.io.File(s"$path/_delta_log/_last_checkpoint")
+    assert(lc.isFile)
+    val lcNode = mapper.readTree(scala.io.Source.fromFile(lc).mkString)
+    assert(lcNode.get("version").asLong() == 2 && lcNode.get("size").asLong() > 0)
+    // checkpoint rows carry the reader-expected struct columns
+    val rows = spark.read.parquet(ckpt.getPath)
+    assert(rows.columns.sorted.toSeq == Seq("add", "metaData", "protocol"))
+    assert(rows.filter(col("protocol").isNotNull).count() == 1)
+    assert(rows.filter(col("metaData").isNotNull).count() == 1)
+    assert(rows.filter(col("add").isNotNull).count() > 0)
+    // truncate the JSON tail: state must survive on checkpoint alone
+    val removed = PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    assert(removed == 3, s"all three subsumed commits should go, removed $removed")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.version == 2 && snap.configuration("k") == "v")
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    // the JSON-only reader points at the engine overload, not a puzzle
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
+    }
+    assert(e.getMessage.contains("checkpoint-truncated"))
+    // commits continue AFTER the truncation: append lands as v3 on top
+    PortableDelta.write(df(12L), path, mode = "append")
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L, 12L))
+  }
+
   test("DeltaSink.write falls back to the portable log when the jar is absent") {
     assume(!DeltaSink.available)
     val path = tmp()
