@@ -36,23 +36,32 @@ class Cql2FuzzSpec extends AnyFunSuite {
   private val tagPool = Vector("t0", "t1", "t2", "eo")
 
   private case class R(id: String, v: Option[Long], w: Option[Double],
-                       s: Option[String], tags: Seq[String], dt: Option[String])
+                       s: Option[String], tags: Seq[String], dt: Option[String],
+                       bx0: Double, by0: Double, bx1: Double, by1: Double)
 
   private val rows: Seq[R] = (0 until 40).map { i =>
+    // bboxes on the same 0.5 grid the spatial literals use, so boundary
+    // touches (<= vs <) occur in the sample
+    val bx0 = (i % 9).toDouble - 4.0 + 0.5 * (i % 2)
+    val by0 = (i % 7).toDouble - 3.0 + 0.5 * ((i / 2) % 2)
     R(f"r$i%02d",
       if (i % 7 == 3) None else Some((i % 11).toLong - 5),
       if (i % 9 == 4) None else Some((i * 37 % 19) * 0.25 - 2.0),
       if (i % 8 == 6) None else Some(strPool(i % strPool.length)),
       (0 until i % 4).map(j => tagPool((i + j) % tagPool.length)),
       if (i % 13 == 5) None
-      else Some(f"2020-${1 + i % 12}%02d-${1 + i % 28}%02d 0${i % 10}:00:00"))
+      else Some(f"2020-${1 + i % 12}%02d-${1 + i % 28}%02d 0${i % 10}:00:00"),
+      bx0, by0, bx0 + 1.0 + 0.5 * (i % 3), by0 + 0.5 + 0.5 * (i % 4))
   }
 
   private lazy val df = {
     val s = spark; import s.implicits._
-    rows.map(r => (r.id, r.v, r.w, r.s, r.tags, r.dt))
-      .toDF("id", "v", "w", "s", "tags", "dts")
+    rows.map(r => (r.id, r.v, r.w, r.s, r.tags, r.dt, r.bx0, r.by0, r.bx1, r.by1))
+      .toDF("id", "v", "w", "s", "tags", "dts", "bx0", "by0", "bx1", "by1")
       .withColumn("dt", to_timestamp(col("dts"))).drop("dts")
+      .withColumn("bbox", struct(col("bx0").as("xmin"), col("by0").as("ymin"),
+        col("bx1").as("xmax"), col("by1").as("ymax")))
+      .drop("bx0", "by0", "bx1", "by1")
   }
 
   // ------------------------------------------------- AST + its two renderings
@@ -152,9 +161,32 @@ class Cql2FuzzSpec extends AnyFunSuite {
     (s"""{"op":"$op","args":[{"property":"tags"},$jarr]}""", sql)
   }
 
+  // spatial ops on the BBOX property (envelope semantics = exact for
+  // rectangles, so the whole predicate is SQL arithmetic both engines
+  // evaluate; the geometry-property exact path is pinned in
+  // ExactSpatialSpec — DuckDB has no JTS to mirror it)
+  private val genSpatial: Gen[P] = for {
+    op <- Gen.oneOf("s_intersects", "s_disjoint", "s_within", "s_contains")
+    x0 <- Gen.choose(-8, 8).map(_ * 0.5); y0 <- Gen.choose(-8, 8).map(_ * 0.5)
+    w <- Gen.choose(1, 8).map(_ * 0.5); h <- Gen.choose(1, 8).map(_ * 0.5)
+  } yield {
+    val (x1, y1) = (x0 + w, y0 + h)
+    val overlap = s"(bx0 <= $x1 AND bx1 >= $x0 AND by0 <= $y1 AND by1 >= $y0)"
+    val propWithin = s"(bx0 >= $x0 AND bx1 <= $x1 AND by0 >= $y0 AND by1 <= $y1)"
+    val propContains = s"(bx0 <= $x0 AND bx1 >= $x1 AND by0 <= $y0 AND by1 >= $y1)"
+    val sql = op match {
+      case "s_intersects" => overlap
+      case "s_disjoint"   => s"(NOT $overlap)"
+      case "s_within"     => propWithin
+      case "s_contains"   => propContains
+    }
+    (s"""{"op":"$op","args":[{"property":"bbox"},{"bbox":[$x0,$y0,$x1,$y1]}]}""", sql)
+  }
+
   private val genLeaf: Gen[P] = Gen.frequency(
     4 -> genNumCmp, 3 -> genStrCmp, 2 -> genBetween, 2 -> genIn,
-    2 -> genLike, 1 -> genIsNull, 2 -> genTemporal, 2 -> genArrayOp)
+    2 -> genLike, 1 -> genIsNull, 2 -> genTemporal, 2 -> genArrayOp,
+    2 -> genSpatial)
 
   private def genPred(depth: Int): Gen[P] =
     if (depth <= 0) genLeaf
@@ -178,13 +210,16 @@ class Cql2FuzzSpec extends AnyFunSuite {
     try {
       val st = conn.createStatement()
       st.execute("""CREATE TABLE t (id VARCHAR, v BIGINT, w DOUBLE, s VARCHAR,
-        tags VARCHAR[], dt TIMESTAMP)""")
+        tags VARCHAR[], dt TIMESTAMP,
+        bx0 DOUBLE, by0 DOUBLE, bx1 DOUBLE, by1 DOUBLE)""")
       val values = rows.map { r =>
         val tags = s"[${r.tags.map(qs).mkString(",")}]"
         Seq(qs(r.id), r.v.map(_.toString).getOrElse("NULL"),
           r.w.map(_.toString).getOrElse("NULL"),
           r.s.map(qs).getOrElse("NULL"), tags,
-          r.dt.map(d => s"TIMESTAMP '$d'").getOrElse("NULL")).mkString("(", ",", ")")
+          r.dt.map(d => s"TIMESTAMP '$d'").getOrElse("NULL"),
+          r.bx0.toString, r.by0.toString, r.bx1.toString, r.by1.toString)
+          .mkString("(", ",", ")")
       }
       st.execute(s"INSERT INTO t VALUES ${values.mkString(",")}")
 
