@@ -1093,9 +1093,13 @@ object SimilarityOps {
         val q = Tables.t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
           .filter(col("vec_id") % 100 === 0)
+        // persisted: the two except legs and the harness materialization
+        // each consume `out`/`scratch` — uncached, the whole serving and
+        // from-scratch pipelines would re-run per consumer
         val out = graft.operators.Ann.ivfPqTopKIndexed(s, ivfPqIndex(s, dir),
             q, k = 3, nprobe = 2, shortlist = 32)
           .orderBy(col("query_id"), col("rank"))
+          .persist()
         // probed cells must prune at the SCAN of the stored layout
         val pushed = out.queryExecution.sparkPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
@@ -1109,8 +1113,10 @@ object SimilarityOps {
           Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
           q, k = 3, cells = 16, nprobe = 2, subspaces = 8, codes = 16,
           shortlist = 32)
+          .persist()
         require(out.except(scratch).isEmpty && scratch.except(out).isEmpty,
           "indexed IVF-PQ must equal the from-scratch ivfPqTopK row for row")
+        scratch.unpersist() // out stays cached for the harness materialization
         out
       },
       prepare = Some((s, dir) => { ivfPqIndex(s, dir); () }))
