@@ -74,16 +74,26 @@ object Tables {
     }.sum
   }
 
-  /** events.parquet carries TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it scans as epoch-ns Long.
-    * Expose both integer epoch-µs (`us`, exact — matches DuckDB's
-    * epoch_ns(ts)//1000) and a µs TimestampType `ts`. `div` keeps the
-    * arithmetic integral (a double division would lose precision above
-    * 2^53 ns). */
+  /** events.parquet's `ts` arrives in one of two physical shapes depending
+    * on how the generator wrote it: TIMESTAMP(NANOS) (scans as epoch-ns
+    * Long under spark.sql.legacy.parquet.nanosAsLong=true) or
+    * TIMESTAMP(MICROS) (scans as TimestampType/TimestampNTZType). Expose
+    * ONE logical contract either way: integer epoch-µs (`us`, exact —
+    * matches DuckDB's epoch_ns(ts)//1000, which is total over both
+    * physical types) and a µs TimestampType `ts`. All arithmetic stays
+    * integral (a double division would lose precision above 2^53 ns);
+    * the NTZ→timestamp cast is exact under the gate's UTC session
+    * contract (Verify.gateSession). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("us")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("us")))
+      case _ =>
+        raw.withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts", timestamp_micros(col("us")))
+    }
   }
 }

@@ -102,6 +102,23 @@ object DedupOps {
   def releasePairs(s: SparkSession, dir: String): Unit =
     pairsCache.remove((s, dir)).foreach { df => df.unpersist(); () }
 
+  /** d08's simhash pair set, memoized per (session, dataset) like
+    * [[jaccardPairs]]: `NearDup.simhashPairs` persists its signature frame
+    * and hands back a release hook — calling it fresh per gate invocation
+    * and discarding the hook stacked a new cached copy on every
+    * QuickRun/VerifySome repeat in one session. One entry per (session,
+    * dir), released via [[releaseSimhash]]. */
+  private val simhashCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, () => Unit)]
+
+  private[queries] def simhashPairsMemo(s: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate((s, dir),
+      graft.operators.NearDup.simhashPairs(
+        Tables.t(s, dir, "documents"), maxHamming = 3))._1
+
+  def releaseSimhash(s: SparkSession, dir: String): Unit =
+    simhashCache.remove((s, dir)).foreach { case (_, release) => release() }
+
   /** Delegates to the user-callable operator (round-5 lift): the gate and
     * `Pipeline.nearDupPairs` run the SAME code, so the facade cannot drift
     * from the value-checked semantics. */
@@ -260,11 +277,7 @@ object DedupOps {
         JOIN s sb ON sb.doc_id = c.doc_b
         WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
         ORDER BY doc_a, doc_b"""),
-      (s, dir) => {
-        val (pairs, _) = graft.operators.NearDup.simhashPairs(
-          Tables.t(s, dir, "documents"), maxHamming = 3)
-        pairs.orderBy(col("doc_a"), col("doc_b"))
-      }),
+      (s, dir) => simhashPairsMemo(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
     // ----- duplicate clusters: connected components over verified pairs -----
     // The end-to-end dedup decision: near-dup pairs (jaccard ≥ 0.6) →

@@ -1099,14 +1099,18 @@ object SimilarityOps {
         val out = graft.operators.Ann.ivfPqTopKIndexed(s, ivfPqIndex(s, dir),
             q, k = 3, nprobe = 2, shortlist = 32)
           .orderBy(col("query_id"), col("rank"))
-          .persist()
-        // probed cells must prune at the SCAN of the stored layout
+        // probed cells must prune at the SCAN of the stored layout.
+        // Forced BEFORE persist(): once the frame is registered with the
+        // cache manager, its own sparkPlan is substituted by an
+        // InMemoryRelation root and the file scans become unreachable to
+        // collect — the assert would see zero scans, not the pushdown.
         val pushed = out.queryExecution.sparkPlan.collect {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
             f.metadata.getOrElse("PushedFilters", "")
         }
         require(pushed.exists(p => p.contains("In(cell")),
           s"IVF-PQ index serving must push probed cells into the scan, got: $pushed")
+        out.persist()
         // layout change, not semantics change: equal to from-scratch,
         // both directions
         val scratch = graft.operators.Ann.ivfPqTopK(

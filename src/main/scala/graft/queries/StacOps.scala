@@ -899,8 +899,6 @@ object StacOps {
         import graft.stac.{Cql2, GeoFunctions}
         val bigTriangle =
           """{"type":"Polygon","coordinates":[[[0.0,0.0],[100.0,0.0],[0.0,100.0],[0.0,0.0]]]}"""
-        def cql(op: String) =
-          s"""{"op":"$op","args":[{"property":"geometry"},$bigTriangle]}"""
         val x0 = (col("o_orderkey") % 100).cast("double")
         val y0 = expr("(o_orderkey div 100) % 100").cast("double")
         val items = Tables.t(s, dir, "orders")
@@ -916,9 +914,17 @@ object StacOps {
             """{"type":"Polygon","coordinates":[[[%s,%s],[%s,%s],[%s,%s],[%s,%s]]]}""",
             col("x0"), col("y0"), col("x0") + 2.0, col("y0"),
             col("x0"), col("y0") + 2.0, col("x0"), col("y0"))))
-          .withColumn("is_int", Cql2.filter(cql("s_intersects")))
-          .withColumn("is_win", Cql2.filter(cql("s_within")))
-          .withColumn("is_dis", Cql2.filter(cql("s_disjoint")))
+          // parse-once: ONE UDF JTS-parses each row geometry and derives
+          // all relations (three independent Cql2.filter columns would
+          // re-parse the same WKB per predicate — 3× the JTS cost on this
+          // gate, whose population deliberately defeats the envelope
+          // prefilter so every row reaches the verify). `rel` is
+          // referenced by three projections, which keeps CollapseProject
+          // from inlining the non-cheap UDF three times.
+          .withColumn("rel", Cql2.spatialRelations(bigTriangle))
+          .withColumn("is_int", col("rel.intersects"))
+          .withColumn("is_win", col("rel.within"))
+          .withColumn("is_dis", col("rel.disjoint"))
           .withColumn("band", floor((col("x0") + col("y0")) / 20).cast("long"))
           .persist()
         // the envelope answer (bbox property: rectangle-vs-region-bbox)

@@ -167,7 +167,10 @@ object Cql2 {
         GeoFunctions.relateLiteral(jtsOp, col("geometry"), litWkb)
       op match {
         case "s_intersects" => overlap && exact("intersects")
-        case "s_disjoint"   => !(overlap && exact("intersects"))
+        // null geometry must not satisfy disjoint: relate() maps null WKB
+        // to false, and !(overlap && false) would otherwise be true —
+        // inconsistent with s_intersects/s_within, which drop such rows
+        case "s_disjoint"   => col("geometry").isNotNull && !(overlap && exact("intersects"))
         case "s_within" =>
           if (propFirst) propWithinLit && exact("within")
           else propContainsLit && exact("contains")
@@ -178,16 +181,36 @@ object Cql2 {
     }
   }
 
+  /** All four exact spatial relations of the row's `geometry`/`bbox`
+    * columns against one literal (GeoJSON object or `{"bbox": [...]}`),
+    * as `struct(intersects, within, contains, disjoint)` — the parse-once
+    * path for workloads that evaluate several spatial predicates against
+    * the same region. Each per-predicate [[filter]] column JTS-parses the
+    * row geometry independently; this evaluates ONE UDF that parses once
+    * and derives all four (envelope short-circuits inside, so
+    * envelope-disjoint rows never touch WKB). Null geometry → null
+    * struct: every relation, disjoint included, drops the row. */
+  def spatialRelations(literalJson: String): Column = {
+    val n = mapper.readTree(literalJson)
+    val (xmin, ymin, xmax, ymax) = envelope(n)
+    GeoFunctions.relateLiteralAll(col("geometry"), col("bbox"), literalWkb(n),
+      xmin, ymin, xmax, ymax)
+  }
+
   /** The literal argument as ISO WKB: a GeoJSON object directly, a bbox
     * array as its rectangle polygon (the CQL2 spec's reading of a bbox
     * operand). */
   private def literalWkb(n: JsonNode): Array[Byte] =
-    if (n.isObject && n.has("bbox")) {
+    // the GeoJSON branch must win over the bbox branch: a geometry object
+    // may legally carry an optional `bbox` member (GeoJSON §5), and taking
+    // the rectangle then would silently evaluate the exact predicates
+    // against the envelope. Only envelope() gets the bbox shortcut.
+    if (n.isObject && n.has("type")) Wkb.nodeToWkb(n)
+    else if (n.isObject && n.has("bbox")) {
       val b = n.get("bbox").elements().asScala.toIndexedSeq.map(_.asDouble)
       if (b.length == 6) GeoFunctions.bboxPolygonWkb(b(0), b(1), b(3), b(4))
       else GeoFunctions.bboxPolygonWkb(b(0), b(1), b(2), b(3))
-    } else if (n.isObject && n.has("type")) Wkb.nodeToWkb(n)
-    else throw new IllegalArgumentException(s"unsupported spatial literal: $n")
+    } else throw new IllegalArgumentException(s"unsupported spatial literal: $n")
 
   private def envelope(n: JsonNode): (Double, Double, Double, Double) = {
     if (n.isObject && n.has("bbox")) {

@@ -44,9 +44,14 @@ object GeoFunctions {
 
   /** JTS parse of our ISO WKB (2-D and 1000+ Z codes). Geometries are
     * parsed per call — these predicates sit behind the envelope prefilter,
-    * so the parse count is the candidate count, not the corpus size. */
+    * so the parse count is the candidate count, not the corpus size. The
+    * reader is per-thread (WKBReader is stateful during a read but holds
+    * no cross-read state), so the hot path allocates nothing. */
+  private val readerTl = new ThreadLocal[org.locationtech.jts.io.WKBReader] {
+    override def initialValue() = new org.locationtech.jts.io.WKBReader()
+  }
   private[stac] def jtsRead(wkb: Array[Byte]): org.locationtech.jts.geom.Geometry =
-    new org.locationtech.jts.io.WKBReader().read(wkb)
+    readerTl.get().read(wkb)
 
   private def relate(op: String, a: Array[Byte], b: Array[Byte]): Boolean = {
     if (a == null || b == null) false
@@ -92,6 +97,53 @@ object GeoFunctions {
         case "intersects" => prep.intersects(jtsRead(wkb))
         case "within"     => prep.contains(jtsRead(wkb)) // column within literal
         case "contains"   => prep.within(jtsRead(wkb))   // column contains literal
+      }
+  }
+
+  /** All four exact relations of a WKB column against one prepared
+    * literal, with the envelope prefilter folded in — ONE JTS parse per
+    * row (the reference's one-decode-per-geometry discipline,
+    * `_batch.py:150-161`), versus one parse per predicate when each
+    * relation is its own [[relateLiteral]] column. The row's envelope
+    * comes in as the four bbox struct fields so envelope-disjoint rows
+    * short-circuit `(false,false,false,true)` without touching WKB, and
+    * within/contains skip their JTS call when the envelope necessary
+    * condition already fails. Null geometry → null struct, so all four
+    * relations drop the row under three-valued logic (the s_disjoint
+    * null-consistency fix). */
+  def relateLiteralAll(geomWkb: Column, bbox: Column, literalWkb: Array[Byte],
+                       lx0: Double, ly0: Double, lx1: Double, ly1: Double): Column = {
+    val f = new PreparedRelateAll(literalWkb, lx0, ly0, lx1, ly1)
+    udf((b: Array[Byte], x0: Double, y0: Double, x1: Double, y1: Double) => f(b, x0, y0, x1, y1))
+      .apply(geomWkb, bbox.getField("xmin"), bbox.getField("ymin"),
+        bbox.getField("xmax"), bbox.getField("ymax"))
+  }
+
+  case class Relations(intersects: Boolean, within: Boolean,
+                       contains: Boolean, disjoint: Boolean)
+
+  private final class PreparedRelateAll(litWkb: Array[Byte],
+      lx0: Double, ly0: Double, lx1: Double, ly1: Double) extends Serializable {
+    @transient private lazy val prep =
+      org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(jtsRead(litWkb))
+    def apply(wkb: Array[Byte], x0: Double, y0: Double, x1: Double, y1: Double): Relations =
+      if (wkb == null) null
+      else {
+        val overlap = x0 <= lx1 && x1 >= lx0 && y0 <= ly1 && y1 >= ly0
+        if (!overlap) Relations(intersects = false, within = false,
+          contains = false, disjoint = true)
+        else {
+          val g = jtsRead(wkb) // the ONE parse
+          val it = prep.intersects(g)
+          // envelope containment is necessary for exact containment, so a
+          // failed envelope test skips the (more expensive) JTS relate
+          val envWithin = x0 >= lx0 && x1 <= lx1 && y0 >= ly0 && y1 <= ly1
+          val envContains = x0 <= lx0 && x1 >= lx1 && y0 <= ly0 && y1 >= ly1
+          Relations(it,
+            within = envWithin && prep.contains(g), // column within literal
+            contains = envContains && prep.within(g),
+            disjoint = !it)
+        }
       }
   }
 

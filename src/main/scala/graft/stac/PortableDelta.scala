@@ -3,7 +3,7 @@ package graft.stac
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 import scala.jdk.CollectionConverters._
@@ -83,18 +83,34 @@ object PortableDelta {
         s"append schema mismatch at $path:\n table: ${s.schema.simpleString}\n " +
           s"batch: ${df.schema.simpleString}")
     }
-    // new data files = listing diff around an append-mode write: Spark
-    // part filenames embed a per-job UUID, so concurrent/sequential jobs
-    // never collide and the diff is exactly this job's committed output
-    val before = dataFiles(conf, path).map(_.getPath.getName).toSet
+    // this job's output is discovered from a JOB-SCOPED staging directory,
+    // not a before/after listing diff of the table root: a diff would
+    // silently commit any file that lands in the window (a concurrent
+    // writer, leftover staging output) as this version's data. The part
+    // files keep their committer-given names (unique via the per-job
+    // UUID), and the move is an atomic-rename metadata op on filesystems
+    // honoring the same Delta storage contract commit() already assumes.
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(conf)
+    val staging = new Path(rootP, s".staging-${java.util.UUID.randomUUID()}")
     val w = df.write.mode("append")
     val writer =
       if (footerKv.isEmpty) w.format("parquet")
       else footerKv.foldLeft(w.format("geoparquet")) { case (b, (k, v)) =>
         b.option(GeoParquetFileFormat.OptionPrefix + k, v)
       }
-    writer.save(path)
-    val added = dataFiles(conf, path).filterNot(f => before(f.getPath.getName))
+    writer.save(staging.toString)
+    val parts = fs.listStatus(staging).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val added = parts.map { st =>
+      val dest = new Path(rootP, st.getPath.getName)
+      require(!fs.exists(dest), s"part-file collision at $dest — staging move aborted")
+      require(fs.rename(st.getPath, dest), s"could not move ${st.getPath} to $dest")
+      fs.getFileStatus(dest)
+    }
+    fs.delete(staging, true)
     val version = prior.map(_.version + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
 
@@ -161,12 +177,14 @@ object PortableDelta {
       throw new IllegalArgumentException(s"no Delta table at $path (no _delta_log)"))
 
   /** Checkpoint-aware replay: start from `_last_checkpoint`'s parquet
-    * state when present, then apply the JSON commits after it. */
+    * state when present (single-file or the spec's multi-part
+    * `<v>.checkpoint.<i>.<n>.parquet` layout external writers produce),
+    * then apply the JSON commits after it. */
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val conf = spark.sessionState.newHadoopConf()
-    lastCheckpointVersion(conf, path) match {
+    lastCheckpointRef(conf, path) match {
       case None => snapshot(conf, path)
-      case Some(cv) => checkpointSnapshot(spark, path, cv)
+      case Some(ref) => checkpointSnapshot(spark, path, ref)
     }
   }
 
@@ -222,7 +240,16 @@ object PortableDelta {
         struct($"p".as("path"), emptyMap.as("partitionValues"),
           $"sz".as("size"), $"mt".as("modificationTime"),
           lit(true).as("dataChange")).as("add"))
+    // the full action schema: some conformant readers (older delta-rs,
+    // DuckDB delta) expect the remove/txn columns to exist even when no
+    // row populates them — emit them null-typed so the checkpoint parquet
+    // matches the spec's action shape, not just the columns we use
     val all = protocolDf.unionByName(metaDf).unionByName(addsDf)
+      .withColumn("remove", lit(null).cast(
+        "struct<path:string,deletionTimestamp:bigint,dataChange:boolean," +
+          "extendedFileMetadata:boolean,partitionValues:map<string,string>,size:bigint>"))
+      .withColumn("txn", lit(null).cast(
+        "struct<appId:string,version:bigint,lastUpdated:bigint>"))
     // Spark writes a directory; the spec wants ONE file at the exact
     // name — write single-part to a temp dir and move the part file in
     val tmp = new Path(logDir(path), s".ckpt-tmp-${java.util.UUID.randomUUID()}")
@@ -261,54 +288,138 @@ object PortableDelta {
         old.size
     }
 
-  private def lastCheckpointVersion(conf: Configuration, path: String): Option[Long] = {
+  /** `_last_checkpoint` content: version plus the optional `parts` count
+    * external writers use for multi-part checkpoints. */
+  private final case class CheckpointRef(version: Long, parts: Option[Int])
+
+  private def lastCheckpointRef(conf: Configuration, path: String): Option[CheckpointRef] = {
     val lc = new Path(logDir(path), "_last_checkpoint")
     val fs = lc.getFileSystem(conf)
     if (!fs.exists(lc)) None
     else {
       val in = fs.open(lc)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(mapper.readTree(txt).get("version").asLong())
+      val node = mapper.readTree(txt)
+      Some(CheckpointRef(node.get("version").asLong(),
+        Option(node.get("parts")).map(_.asInt()).filter(_ > 0)))
     }
   }
 
-  private def checkpointSnapshot(spark: SparkSession, path: String, cv: Long): Snapshot = {
-    val conf = spark.sessionState.newHadoopConf()
-    val ckpt = new Path(logDir(path), f"$cv%020d.checkpoint.parquet")
-    val fs = ckpt.getFileSystem(conf)
-    require(fs.exists(ckpt), s"_last_checkpoint points at $cv but $ckpt is missing")
-    val rows = spark.read.parquet(ckpt.toString).collect()
-    var readerV = MinReaderVersion; var writerV = MinWriterVersion
+  private def lastCheckpointVersion(conf: Configuration, path: String): Option[Long] =
+    lastCheckpointRef(conf, path).map(_.version)
+
+  /** Mutable replay accumulator shared by the JSON and checkpoint paths:
+    * last protocol/metaData win, adds minus removes by path (a `remove`
+    * for a never-added path is a legal no-op — external logs carry such
+    * tombstones), every action key this reader does not understand
+    * (`txn`, `cdc`, `domainMetadata`, commitInfo variants, future ones)
+    * is IGNORED, which is exactly the Delta forward-compatibility rule:
+    * feature gating lives in `protocol`, not in action names. */
+  private final class ReplayState(tablePath: String) {
+    var readerV: Int = MinReaderVersion
+    var writerV: Int = MinWriterVersion
+    var readerFeatures: Seq[String] = Nil
     var tableId = ""; var schemaJson = ""
-    var configuration = Map.empty[String, String]
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    var configuration: Map[String, String] = Map.empty
+    val live: scala.collection.mutable.LinkedHashMap[String, AddFile] =
+      scala.collection.mutable.LinkedHashMap.empty
+
+    def applyJson(node: JsonNode): Unit = {
+      if (node.has("protocol")) {
+        val p = node.get("protocol")
+        readerV = p.get("minReaderVersion").asInt()
+        writerV = p.get("minWriterVersion").asInt()
+        readerFeatures = Option(p.get("readerFeatures"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+      }
+      if (node.has("metaData")) {
+        val m = node.get("metaData")
+        tableId = m.get("id").asText()
+        schemaJson = m.get("schemaString").asText()
+        configuration = Option(m.get("configuration")).map(_.asInstanceOf[ObjectNode]
+          .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty)
+      }
+      if (node.has("add")) {
+        val a = node.get("add")
+        live.put(a.get("path").asText(),
+          AddFile(a.get("path").asText(), a.get("size").asLong(),
+            a.get("modificationTime").asLong()))
+      }
+      if (node.has("remove"))
+        live.remove(node.get("remove").get("path").asText())
+    }
+
+    /** The protocol gate: reject tables needing features this portable
+      * reader does not implement (column mapping, deletion vectors, ...)
+      * with an error that NAMES them — never a silent wrong read. */
+    def requireReadable(): Unit =
+      require(readerV <= MinReaderVersion,
+        s"table at $tablePath requires reader version $readerV" +
+          (if (readerFeatures.nonEmpty)
+            s" with reader features [${readerFeatures.mkString(", ")}]" else "") +
+          s"; this portable reader supports version $MinReaderVersion" +
+          " (no column mapping, no deletion vectors, no v2 checkpoints)")
+
+    def toSnapshot(version: Long): Snapshot = {
+      requireReadable()
+      Snapshot(version, readerV, writerV, tableId,
+        DataType.fromJson(schemaJson).asInstanceOf[StructType],
+        configuration, live.values.toSeq)
+    }
+  }
+
+  private def checkpointSnapshot(spark: SparkSession, path: String,
+                                 ref: CheckpointRef): Snapshot = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cv = ref.version
+    val fs = logDir(path).getFileSystem(conf)
+    // single-file `<v>.checkpoint.parquet` or the multi-part layout
+    // `<v>.checkpoint.<i>.<n>.parquet`, i = 1..n (the spec's sharding for
+    // state too large for one file — external writers emit this shape)
+    val ckptFiles: Seq[Path] = ref.parts match {
+      case None => Seq(new Path(logDir(path), f"$cv%020d.checkpoint.parquet"))
+      case Some(n) => (1 to n).map(i =>
+        new Path(logDir(path), f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet"))
+    }
+    ckptFiles.foreach(p => require(fs.exists(p),
+      s"_last_checkpoint points at $cv but $p is missing"))
+    val st = new ReplayState(path)
+    val rows = spark.read.parquet(ckptFiles.map(_.toString): _*).collect()
     rows.foreach { r =>
       val pi = r.fieldIndex("protocol")
       if (!r.isNullAt(pi)) {
         val p = r.getStruct(pi)
-        readerV = p.getInt(p.fieldIndex("minReaderVersion"))
-        writerV = p.getInt(p.fieldIndex("minWriterVersion"))
+        st.readerV = p.getInt(p.fieldIndex("minReaderVersion"))
+        st.writerV = p.getInt(p.fieldIndex("minWriterVersion"))
+        if (p.schema != null && p.schema.fieldNames.contains("readerFeatures") &&
+            !p.isNullAt(p.fieldIndex("readerFeatures")))
+          st.readerFeatures = p.getSeq[String](p.fieldIndex("readerFeatures"))
       }
       val mi = r.fieldIndex("metaData")
       if (!r.isNullAt(mi)) {
         val m = r.getStruct(mi)
-        tableId = m.getString(m.fieldIndex("id"))
-        schemaJson = m.getString(m.fieldIndex("schemaString"))
-        configuration = m.getMap[String, String](m.fieldIndex("configuration")).toMap
+        st.tableId = m.getString(m.fieldIndex("id"))
+        st.schemaJson = m.getString(m.fieldIndex("schemaString"))
+        st.configuration = m.getMap[String, String](m.fieldIndex("configuration")).toMap
       }
       val ai = r.fieldIndex("add")
       if (!r.isNullAt(ai)) {
         val a = r.getStruct(ai)
         val p = a.getString(a.fieldIndex("path"))
-        live.put(p, AddFile(p, a.getLong(a.fieldIndex("size")),
+        st.live.put(p, AddFile(p, a.getLong(a.fieldIndex("size")),
           a.getLong(a.fieldIndex("modificationTime"))))
       }
+      // remove rows in a checkpoint are VACUUM tombstones, not state: live
+      // files are exactly the add rows, so they (and txn/cdc/unknown
+      // columns) are deliberately not replayed
     }
-    require(schemaJson.nonEmpty, s"checkpoint $ckpt carries no metaData row")
+    require(st.schemaJson.nonEmpty,
+      s"checkpoint ${ckptFiles.head} carries no metaData row")
     // JSON commits after the checkpoint (contiguous from cv+1, if any)
     val tail = fs.listStatus(logDir(path)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
-      .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st.getPath)
+      .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
+      .map(s => s.getPath.getName.stripSuffix(".json").toLong -> s.getPath)
       .filter(_._1 > cv).sortBy(_._1)
     require(tail.map(_._1) == (cv + 1 to cv + tail.size),
       s"non-contiguous Delta log after checkpoint $cv: ${tail.map(_._1).mkString(",")}")
@@ -318,35 +429,9 @@ object PortableDelta {
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
-      lines.filter(_.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        if (node.has("protocol")) {
-          readerV = node.get("protocol").get("minReaderVersion").asInt()
-          writerV = node.get("protocol").get("minWriterVersion").asInt()
-        }
-        if (node.has("metaData")) {
-          val m = node.get("metaData")
-          tableId = m.get("id").asText()
-          schemaJson = m.get("schemaString").asText()
-          configuration = Option(m.get("configuration")).map(_.asInstanceOf[ObjectNode]
-            .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-            .getOrElse(Map.empty)
-        }
-        if (node.has("add")) {
-          val a = node.get("add")
-          live.put(a.get("path").asText(),
-            AddFile(a.get("path").asText(), a.get("size").asLong(),
-              a.get("modificationTime").asLong()))
-        }
-        if (node.has("remove"))
-          live.remove(node.get("remove").get("path").asText())
-      }
+      lines.filter(_.nonEmpty).foreach(line => st.applyJson(mapper.readTree(line)))
     }
-    require(readerV <= MinReaderVersion,
-      s"table at $path requires reader version $readerV; this portable reader supports $MinReaderVersion")
-    Snapshot(version, readerV, writerV, tableId,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType], configuration,
-      live.values.toSeq)
+    st.toSnapshot(version)
   }
 
   // ---------------------------------------------------------------- internals
@@ -411,16 +496,6 @@ object PortableDelta {
     }
   }
 
-  private def dataFiles(conf: Configuration, path: String): Seq[FileStatus] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
-
   private def currentSnapshot(conf: Configuration, path: String): Option[Snapshot] = {
     val dir = logDir(path)
     val fs = dir.getFileSystem(conf)
@@ -439,43 +514,14 @@ object PortableDelta {
       s"non-contiguous Delta log at $dir: versions ${versioned.map(_._1).mkString(",")}" +
         (if (lastCheckpointVersion(conf, path).isDefined) truncated else ""))
 
-    var readerV = MinReaderVersion; var writerV = MinWriterVersion
-    var tableId = ""; var schemaJson = ""
-    var configuration = Map.empty[String, String]
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    val st = new ReplayState(path)
     versioned.foreach { case (_, p) =>
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
-      lines.filter(_.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        if (node.has("protocol")) {
-          readerV = node.get("protocol").get("minReaderVersion").asInt()
-          writerV = node.get("protocol").get("minWriterVersion").asInt()
-        }
-        if (node.has("metaData")) {
-          val m = node.get("metaData")
-          tableId = m.get("id").asText()
-          schemaJson = m.get("schemaString").asText()
-          configuration = Option(m.get("configuration")).map(_.asInstanceOf[ObjectNode]
-            .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-            .getOrElse(Map.empty)
-        }
-        if (node.has("add")) {
-          val a = node.get("add")
-          live.put(a.get("path").asText(),
-            AddFile(a.get("path").asText(), a.get("size").asLong(),
-              a.get("modificationTime").asLong()))
-        }
-        if (node.has("remove"))
-          live.remove(node.get("remove").get("path").asText())
-      }
+      lines.filter(_.nonEmpty).foreach(line => st.applyJson(mapper.readTree(line)))
     }
-    require(readerV <= MinReaderVersion,
-      s"table at $path requires reader version $readerV; this portable reader supports $MinReaderVersion")
-    require(schemaJson.nonEmpty, s"Delta log at $dir has no metaData action")
-    Some(Snapshot(versioned.last._1, readerV, writerV, tableId,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      configuration, live.values.toSeq))
+    require(st.schemaJson.nonEmpty, s"Delta log at $dir has no metaData action")
+    Some(st.toSnapshot(versioned.last._1))
   }
 }

@@ -17,16 +17,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema as scanned with nanosAsLong (ts = epoch ns). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-source stream over an events directory. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-source stream over an events directory. A file stream needs its
+    * schema up front; the physical `ts` type depends on how the source
+    * parquet was generated (TIMESTAMP(NANOS)→Long under nanosAsLong, or
+    * TIMESTAMP(MICROS)→timestamp/ntz), so take it from one driver-side
+    * footer read of the directory and normalize `ts` to µs TimestampType
+    * either way — the same dual-shape contract as `Tables.events`. The
+    * probe is O(footers), not a scan. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(fileSchema).parquet(dir)
+    fileSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Exact-cents sum — the SINGLE definition of the cross-engine money
     * convention shared by the windowed/session/enrichment aggregates

@@ -94,6 +94,61 @@ class ExactSpatialSpec extends AnyFunSuite {
     assert(out.select("id").as[String].collect().toSeq == Seq("a"))
   }
 
+  test("spatialRelations (parse-once) ≡ the per-predicate filter columns") {
+    // a grid population straddling the literal: some envelope-disjoint,
+    // some envelope-overlap/shape-disjoint, some intersecting, some within
+    val pts = for { i <- 0 until 12; j <- 0 until 12 }
+      yield (s"g$i-$j", i * 1.3 - 4.0, j * 1.3 - 4.0)
+    val items = triangles(pts: _*)
+    val lit = """{"type":"Polygon","coordinates":[[[0.0,0.0],[9.0,0.0],[0.0,9.0],[0.0,0.0]]]}"""
+    def cql(op: String) = s"""{"op":"$op","args":[{"property":"geometry"},$lit]}"""
+    val both = items
+      .withColumn("rel", Cql2.spatialRelations(lit))
+      .withColumn("p_int", Cql2.filter(cql("s_intersects")))
+      .withColumn("p_win", Cql2.filter(cql("s_within")))
+      .withColumn("p_con", Cql2.filter(cql("s_contains")))
+      .withColumn("p_dis", Cql2.filter(cql("s_disjoint")))
+    val mismatch = both.filter(
+      col("rel.intersects") =!= col("p_int") || col("rel.within") =!= col("p_win") ||
+        col("rel.contains") =!= col("p_con") || col("rel.disjoint") =!= col("p_dis"))
+    assert(mismatch.count() == 0,
+      s"parse-once struct must agree with per-predicate filters:\n${mismatch.select("id").as[String].collect().mkString(",")}")
+    // and the population is non-trivial: every relation fires somewhere
+    assert(both.filter(col("p_int")).count() > 0 && both.filter(col("p_win")).count() > 0
+      && both.filter(col("p_dis")).count() > 0)
+  }
+
+  test("geometry literal carrying a bbox member is the shape, not its envelope") {
+    // GeoJSON §5 allows a geometry object to carry an optional bbox; the
+    // literal must still be evaluated as the SHAPE. "corner" overlaps the
+    // triangle's bbox but not the triangle itself — a bbox-first reading
+    // of the literal would wrongly keep it.
+    val items = triangles(("hit", 0.0, 0.0), ("corner", 7.0, 7.0))
+    val lit =
+      """{"type":"Polygon","bbox":[-1.0,-1.0,10.0,10.0],"coordinates":[[[-1.0,-1.0],[10.0,-1.0],[-1.0,10.0],[-1.0,-1.0]]]}"""
+    assert(ids(items, s"""{"op":"s_intersects","args":[{"property":"geometry"},$lit]}""")
+      == Seq("hit"))
+    // parse-once path agrees
+    val rel = items.withColumn("rel", Cql2.spatialRelations(lit))
+    assert(rel.filter(col("rel.intersects")).select("id").as[String].collect().toSeq == Seq("hit"))
+  }
+
+  test("null geometry does not satisfy s_disjoint") {
+    val items = triangles(("a", 0.0, 0.0))
+      .union(Seq(("n", 50.0, 50.0)).toDF("id", "x", "y")
+        .select(col("id"),
+          struct(col("x").as("xmin"), col("y").as("ymin"),
+            (col("x") + 2.0).as("xmax"), (col("y") + 2.0).as("ymax")).as("bbox"),
+          lit(null).cast("binary").as("geometry")))
+    val far = """{"type":"Polygon","coordinates":[[[90.0,90.0],[92.0,90.0],[90.0,92.0],[90.0,90.0]]]}"""
+    // both rows are far from the literal, but "n"'s geometry is unknown —
+    // three-valued logic must drop it, same as s_intersects would
+    assert(ids(items, s"""{"op":"s_disjoint","args":[{"property":"geometry"},$far]}""")
+      == Seq("a"))
+    val rel = items.withColumn("rel", Cql2.spatialRelations(far))
+    assert(rel.filter(col("rel.disjoint")).select("id").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("geomJoin rejects corner pairs the bbox join keeps") {
     // dx = 1, dy = 2 → boxes overlap, hexagon |dx+dy| ≤ 2 violated
     val a = Seq(("a1", 1.0, 2.0)).toDF("ida", "xa0", "ya0")

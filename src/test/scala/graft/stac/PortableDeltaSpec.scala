@@ -163,12 +163,16 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(lc.isFile)
     val lcNode = mapper.readTree(scala.io.Source.fromFile(lc).mkString)
     assert(lcNode.get("version").asLong() == 2 && lcNode.get("size").asLong() > 0)
-    // checkpoint rows carry the reader-expected struct columns
+    // checkpoint rows carry the spec's FULL action schema: readers that
+    // require the remove/txn columns (older delta-rs, DuckDB delta) must
+    // find them, null-typed — not just the columns this writer populates
     val rows = spark.read.parquet(ckpt.getPath)
-    assert(rows.columns.sorted.toSeq == Seq("add", "metaData", "protocol"))
+    assert(rows.columns.sorted.toSeq == Seq("add", "metaData", "protocol", "remove", "txn"))
     assert(rows.filter(col("protocol").isNotNull).count() == 1)
     assert(rows.filter(col("metaData").isNotNull).count() == 1)
     assert(rows.filter(col("add").isNotNull).count() > 0)
+    assert(rows.filter(col("remove").isNotNull || col("txn").isNotNull).count() == 0,
+      "remove/txn are shape-only in our checkpoints: no row populates them")
     // truncate the JSON tail: state must survive on checkpoint alone
     val removed = PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
     assert(removed == 3, s"all three subsumed commits should go, removed $removed")
@@ -185,6 +189,110 @@ class PortableDeltaSpec extends AnyFunSuite {
     PortableDelta.write(df(12L), path, mode = "append")
     assert(PortableDelta.readTable(spark, path)
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L, 12L))
+  }
+
+  // ------------------------------------------------- external-shaped logs
+  // The reference hands Delta writes to a full engine (`_delta_lake.py:
+  // 28-71`) and assumes a full engine on the read side; our portable
+  // reader must load logs OTHER writers produce. These cases synthesize
+  // the external shapes a conformant engine emits — multi-part
+  // checkpoints, tombstones for never-added paths, action types beyond
+  // our writer's vocabulary — and the protocol gate that refuses tables
+  // needing reader features we don't implement.
+
+  test("interop: multi-part checkpoint (<v>.checkpoint.<i>.<n>.parquet) replays") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L), path, properties = Map("k" -> "v"))
+    PortableDelta.write(df(3L), path, mode = "append")
+    PortableDelta.write(df(10L, 11L), path, mode = "overwrite")
+    val cv = PortableDelta.checkpoint(spark, path)
+    val logDir = s"$path/_delta_log"
+    val single = new java.io.File(s"$logDir/${"%020d".format(cv)}.checkpoint.parquet")
+    // shard the single-file checkpoint into the spec's multi-part layout:
+    // part 1 = protocol+metaData rows, part 2 = add rows (an external
+    // writer shards by row ranges; any partition of the rows is legal)
+    val rows = spark.read.parquet(single.getPath)
+    def moveSinglePart(src: org.apache.spark.sql.DataFrame, dest: java.io.File): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("ckpt-part").toString + "/p"
+      src.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+      assert(part.renameTo(dest))
+    }
+    moveSinglePart(rows.filter(col("add").isNull),
+      new java.io.File(f"$logDir/$cv%020d.checkpoint.${1}%010d.${2}%010d.parquet"))
+    moveSinglePart(rows.filter(col("add").isNotNull),
+      new java.io.File(f"$logDir/$cv%020d.checkpoint.${2}%010d.${2}%010d.parquet"))
+    assert(single.delete())
+    val lc = new java.io.File(s"$logDir/_last_checkpoint")
+    val lcNode = mapper.readTree(scala.io.Source.fromFile(lc).mkString)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    lcNode.put("parts", 2)
+    java.nio.file.Files.write(lc.toPath,
+      lcNode.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the raw rewrite bypassed Hadoop's LocalFileSystem, leaving OUR
+    // stale .crc shadow behind; an external writer's log has no such
+    // sidecar, so drop it to keep the synthesized shape faithful
+    new java.io.File(s"$logDir/._last_checkpoint.crc").delete()
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.version == cv && snap.configuration("k") == "v")
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    // a missing shard is an error, not a silent partial replay
+    assert(new java.io.File(f"$logDir/$cv%020d.checkpoint.${2}%010d.${2}%010d.parquet").delete())
+    val e = intercept[IllegalArgumentException] { PortableDelta.snapshot(spark, path) }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("interop: remove for a never-added path is a legal no-op tombstone") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L), path)
+    val conf = spark.sessionState.newHadoopConf()
+    val tomb = mapper.createObjectNode()
+    tomb.putObject("remove").put("path", "part-ghost.parquet")
+      .put("deletionTimestamp", 1L).put("dataChange", true)
+    PortableDelta.commit(conf, path, 1, Seq(tomb))
+    val snap = PortableDelta.snapshot(conf, path)
+    assert(snap.version == 1 && snap.files.size > 0)
+    assert(PortableDelta.readTable(spark, path)
+      .select(sum(col("id"))).collect().head.getLong(0) == 3L)
+  }
+
+  test("interop: unknown action types (txn/domainMetadata/future) are ignored") {
+    val path = tmp()
+    PortableDelta.write(df(1L), path)
+    val conf = spark.sessionState.newHadoopConf()
+    val txn = mapper.createObjectNode()
+    txn.putObject("txn").put("appId", "ext-app").put("version", 7L)
+    val dom = mapper.createObjectNode()
+    dom.putObject("domainMetadata").put("domain", "ext.domain")
+      .put("configuration", "{}").put("removed", false)
+    val future = mapper.createObjectNode()
+    future.putObject("someFutureAction").put("x", 1)
+    PortableDelta.commit(conf, path, 1, Seq(txn, dom, future))
+    // forward-compatibility rule: unknown action NAMES never fail a read —
+    // feature gating lives in the protocol action alone
+    val snap = PortableDelta.snapshot(conf, path)
+    assert(snap.version == 1)
+    assert(PortableDelta.readTable(spark, path).count() == 1)
+  }
+
+  test("interop: reader features beyond minReaderVersion 1 are refused BY NAME") {
+    val path = tmp()
+    PortableDelta.write(df(1L), path)
+    val conf = spark.sessionState.newHadoopConf()
+    val proto = mapper.createObjectNode()
+    val p = proto.putObject("protocol")
+    p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    p.putArray("readerFeatures").add("deletionVectors").add("columnMapping")
+    PortableDelta.commit(conf, path, 1, Seq(proto))
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.snapshot(conf, path)
+    }
+    assert(e.getMessage.contains("reader version 3"))
+    assert(e.getMessage.contains("deletionVectors") && e.getMessage.contains("columnMapping"),
+      s"rejection must NAME the unsupported features: ${e.getMessage}")
   }
 
   test("DeltaSink.write falls back to the portable log when the jar is absent") {

@@ -17,6 +17,20 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  /** Batch leg over a staged copy with `ts`/`us` normalized the same way
+    * `Tables.events` does — robust to either physical ts type. */
+  private def batchEvents(path: String) = {
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("us")))
+      case _ =>
+        raw.withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("ts", timestamp_micros(col("us")))
+    }
+  }
+
   test("watermarked hourly aggregation matches the batch plan") {
     val dir = java.nio.file.Files.createTempDirectory("ev")
     stageEvents(dir)
@@ -28,8 +42,7 @@ class EventStreamSpec extends AnyFunSuite {
     val streamed = spark.table("hourly")
       .select(col("hour"), col("event_type"), col("n"), col("total_value"))
       .orderBy(col("hour"), col("event_type")).collect()
-    val batch = spark.read.parquet(s"$dir/events_1.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = batchEvents(s"$dir/events_1.parquet")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0).as("total_value"))
@@ -91,8 +104,7 @@ class EventStreamSpec extends AnyFunSuite {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val streamed = spark.table("ssj").count()
-    val ev = spark.read.parquet(s"$dir/events_1.parquet")
-      .withColumn("us", expr("ts div 1000"))
+    val ev = batchEvents(s"$dir/events_1.parquet")
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("lo"),
         (col("us") + 600000000L).as("hi"))
@@ -117,8 +129,7 @@ class EventStreamSpec extends AnyFunSuite {
       .agg(max(struct(col("n_events"), col("value_cents"), col("last_us"))).as("s"))
       .select(col("user_id"), col("s.n_events"), col("s.value_cents"), col("s.last_us"))
       .orderBy(col("user_id")).collect()
-    val batch = spark.read.parquet(s"$dir/events_1.parquet")
-      .withColumn("us", expr("ts div 1000"))
+    val batch = batchEvents(s"$dir/events_1.parquet")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"),
