@@ -1048,6 +1048,175 @@ object StacOps {
         out
       }),
 
+    // ----- full CQL2 temporal algebra (Allen relations, strict spec) -----
+    // Items carry a day-grid interval [s, s+L] (s = key % 32, L = key % 5,
+    // L = 0 giving degenerate instants); two query intervals probe every
+    // relation: Q = [10, 20] for the coarse/strict split (t_intersects
+    // keeps bound-touching and contained rows that t_overlaps must
+    // reject — the in-gate require proves those populations are
+    // non-empty) and the 1-day Q2 = [12, 13] for the equality-edged
+    // relations (equals/starts/finishes/meets and converses). The Spark
+    // side evaluates all 15 operators THROUGH the CQL2 translator over
+    // real timestamp columns (interval operands as property references);
+    // the oracle recomputes each relation as integer day arithmetic —
+    // any drift in strictness (< vs <=), bound handling, or operand
+    // roles breaks a band count. All comparisons are codegen'd Catalyst
+    // predicates: one scan, one hash-agg, no UDF, no shuffle beyond the
+    // 5-band agg.
+    QuerySpec(
+      "stac21_cql2_temporal_algebra",
+      Some("""
+        WITH g AS (SELECT o_orderkey AS id,
+                          CAST(o_orderkey % 32 AS BIGINT) AS s,
+                          CAST(o_orderkey % 32 + o_orderkey % 5 AS BIGINT) AS e,
+                          CAST(o_orderkey % 5 AS BIGINT) AS band
+                   FROM orders)
+        SELECT band, count(*) AS n_items,
+               CAST(count(*) FILTER (e < 10) AS BIGINT) AS n_before,
+               CAST(count(*) FILTER (s > 20) AS BIGINT) AS n_after,
+               CAST(count(*) FILTER (s <= 20 AND e >= 10) AS BIGINT) AS n_intersects,
+               CAST(count(*) FILTER (s < 10 AND e > 10 AND e < 20) AS BIGINT) AS n_overlaps,
+               CAST(count(*) FILTER (s > 10 AND e < 20) AS BIGINT) AS n_during,
+               CAST(count(*) FILTER (s > 10 AND s < 20 AND e > 20) AS BIGINT) AS n_overlapped_by,
+               CAST(count(*) FILTER (s = 12 AND e = 13) AS BIGINT) AS n_equals,
+               CAST(count(*) FILTER (s < 12 AND e > 13) AS BIGINT) AS n_contains,
+               CAST(count(*) FILTER (s = 12 AND e < 13) AS BIGINT) AS n_starts,
+               CAST(count(*) FILTER (s = 12 AND e > 13) AS BIGINT) AS n_started_by,
+               CAST(count(*) FILTER (s > 12 AND e = 13) AS BIGINT) AS n_finishes,
+               CAST(count(*) FILTER (s < 12 AND e = 13) AS BIGINT) AS n_finished_by,
+               CAST(count(*) FILTER (e = 12) AS BIGINT) AS n_meets,
+               CAST(count(*) FILTER (s = 13) AS BIGINT) AS n_met_by,
+               CAST(COALESCE(sum(id) FILTER (s < 10 AND e > 10 AND e < 20), 0) AS BIGINT)
+                 AS id_sum_overlaps
+        FROM g GROUP BY band ORDER BY band"""),
+      (s, dir) => {
+        import graft.stac.Cql2
+        val itemIv = """{"interval":[{"property":"dt0"},{"property":"dt1"}]}"""
+        // day d on the epoch grid is 1970-01-(d+1); Q = [10, 20], Q2 = [12, 13]
+        val q = """{"interval":["1970-01-11 00:00:00","1970-01-21 00:00:00"]}"""
+        val q2 = """{"interval":["1970-01-13 00:00:00","1970-01-14 00:00:00"]}"""
+        def rel(op: String, against: String) =
+          Cql2.filter(s"""{"op":"$op","args":[$itemIv,$against]}""")
+        val items = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"),
+            (col("o_orderkey") % 32).as("sday"),
+            (col("o_orderkey") % 32 + col("o_orderkey") % 5).as("eday"),
+            (col("o_orderkey") % 5).as("band"))
+          .withColumn("dt0", timestamp_seconds(col("sday") * 86400))
+          .withColumn("dt1", timestamp_seconds(col("eday") * 86400))
+        def cnt(op: String, against: String, as: String) =
+          count(when(rel(op, against), 1)).as(as)
+        val out = items.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_items"),
+            cnt("t_before", q, "n_before"),
+            cnt("t_after", q, "n_after"),
+            cnt("t_intersects", q, "n_intersects"),
+            cnt("t_overlaps", q, "n_overlaps"),
+            cnt("t_during", q, "n_during"),
+            cnt("t_overlappedBy", q, "n_overlapped_by"),
+            cnt("t_equals", q2, "n_equals"),
+            cnt("t_contains", q2, "n_contains"),
+            cnt("t_starts", q2, "n_starts"),
+            cnt("t_startedBy", q2, "n_started_by"),
+            cnt("t_finishes", q2, "n_finishes"),
+            cnt("t_finishedBy", q2, "n_finished_by"),
+            cnt("t_meets", q2, "n_meets"),
+            cnt("t_metBy", q2, "n_met_by"),
+            coalesce(sum(when(rel("t_overlaps", q), col("id"))), lit(0L))
+              .as("id_sum_overlaps"))
+          .orderBy(col("band"))
+          .persist()
+        // strict vs coarse must DIFFER, and the equality-edged relations
+        // must fire, or this gate proves nothing about the algebra
+        val chk = out.agg(
+          sum(col("n_intersects")).as("ni"), sum(col("n_overlaps")).as("no"),
+          sum(col("n_equals") + col("n_meets") + col("n_starts")).as("edges")).head()
+        require(chk.getLong(0) > chk.getLong(1),
+          s"t_intersects must exceed strict t_overlaps: ${chk.getLong(0)} vs ${chk.getLong(1)}")
+        require(chk.getLong(2) > 0, "equality-edged relations never fired")
+        out
+      }),
+
+    // ----- exact spatial relates: touches / overlaps / crosses -----
+    // Same triangle scheme as stac19 (items are lower-left right
+    // triangles with min-vertex sum s = x0 + y0; the region is the big
+    // triangle x + y ≤ 100), which makes each RELATE a one-line
+    // arithmetic fact the oracle recomputes with no geometry engine:
+    //   touches  ⇔ s = 100  (single-point contact on the hypotenuse;
+    //              interiors disjoint, envelopes overlap — the coarse
+    //              envelope answer cannot see this)
+    //   overlaps ⇔ s = 99   (interiors meet, item pokes past the
+    //              hypotenuse, neither contains the other)
+    //   crosses  ⇔ s ∈ {98, 99} against the LINE x + y = 99.5 (a
+    //              line/area relation rectangle arithmetic cannot even
+    //              express; for s = 99.5±ε the line passes through the
+    //              item's interior)
+    // All three relations + intersects/within run over the stored-WKB
+    // path through ONE parse-once UDF (GeoFunctions.relateLiterals: one
+    // JTS parse per row serves all five predicates against BOTH
+    // literals — the stac19 lesson, generalized to multiple regions).
+    QuerySpec(
+      "stac22_cql2_exact_relates",
+      Some("""
+        WITH g AS (SELECT o_orderkey AS id,
+                          CAST(o_orderkey % 100 AS DOUBLE) +
+                          CAST((o_orderkey // 100) % 100 AS DOUBLE) AS s
+                   FROM orders),
+             b AS (SELECT id, s, CAST(floor(s / 20) AS BIGINT) AS band FROM g)
+        SELECT band, count(*) AS n_items,
+               CAST(count(*) FILTER (s <= 100) AS BIGINT) AS n_intersects,
+               CAST(count(*) FILTER (s <= 98) AS BIGINT) AS n_within,
+               CAST(count(*) FILTER (s = 100) AS BIGINT) AS n_touches,
+               CAST(count(*) FILTER (s = 99) AS BIGINT) AS n_overlaps,
+               CAST(count(*) FILTER (s = 98 OR s = 99) AS BIGINT) AS n_crosses,
+               CAST(COALESCE(sum(id) FILTER (s = 100), 0) AS BIGINT) AS id_sum_touches
+        FROM b GROUP BY band ORDER BY band"""),
+      (s, dir) => {
+        import graft.stac.{GeoFunctions, Wkb}
+        val triWkb = Wkb.geoJsonToWkb(
+          """{"type":"Polygon","coordinates":[[[0.0,0.0],[100.0,0.0],[0.0,100.0],[0.0,0.0]]]}""")
+        val lineWkb = Wkb.geoJsonToWkb(
+          """{"type":"LineString","coordinates":[[0.0,99.5],[99.5,0.0]]}""")
+        val x0 = (col("o_orderkey") % 100).cast("double")
+        val y0 = expr("(o_orderkey div 100) % 100").cast("double")
+        val items = Tables.t(s, dir, "orders")
+          // toy input is one row group: spread the codec + JTS UDFs
+          // across tasks (at 100 TB the file count provides this)
+          .repartition(col("o_orderkey"))
+          .select(col("o_orderkey").as("id"), x0.as("x0"), y0.as("y0"))
+          .withColumn("geometry", GeoFunctions.geojson_to_wkb(format_string(
+            """{"type":"Polygon","coordinates":[[[%s,%s],[%s,%s],[%s,%s],[%s,%s]]]}""",
+            col("x0"), col("y0"), col("x0") + 2.0, col("y0"),
+            col("x0"), col("y0") + 2.0, col("x0"), col("y0"))))
+          // ONE row parse serves all five relations against two literals
+          .withColumn("rel", GeoFunctions.relateLiterals(Seq(
+            "intersects" -> triWkb, "within" -> triWkb,
+            "touches" -> triWkb, "overlaps" -> triWkb,
+            "crosses" -> lineWkb), col("geometry")))
+          .withColumn("band", floor((col("x0") + col("y0")) / 20).cast("long"))
+          .persist()
+        val out = items.groupBy(col("band"))
+          .agg(count(lit(1)).as("n_items"),
+            count(when(col("rel")(0), 1)).as("n_intersects"),
+            count(when(col("rel")(1), 1)).as("n_within"),
+            count(when(col("rel")(2), 1)).as("n_touches"),
+            count(when(col("rel")(3), 1)).as("n_overlaps"),
+            count(when(col("rel")(4), 1)).as("n_crosses"),
+            coalesce(sum(when(col("rel")(2), col("id"))), lit(0L))
+              .as("id_sum_touches"))
+          .orderBy(col("band"))
+          .persist()
+        // each fine relation must be non-empty AND strictly finer than
+        // coarse intersects, or the gate proves nothing
+        val chk = out.agg(sum(col("n_intersects")), sum(col("n_touches")),
+          sum(col("n_overlaps")), sum(col("n_crosses"))).head()
+        require(chk.getLong(1) > 0 && chk.getLong(2) > 0 && chk.getLong(3) > 0,
+          s"touch/overlap/cross populations must be non-empty: $chk")
+        require(chk.getLong(0) > chk.getLong(1) + chk.getLong(2),
+          s"relates must be strictly finer than intersects: $chk")
+        out
+      }),
+
     // ----- STAC Collection extent (the Collection-object aggregate) -----
     // What a STAC API serves as a collection's `extent`: the spatial
     // envelope (union of item bboxes = min/max over the struct fields —

@@ -24,8 +24,14 @@ import scala.jdk.CollectionConverters._
   *   "Case-insensitive Comparison" / unaccent-equivalent via NFD);
   *   a_equals/a_contains/a_containedBy/a_overlaps over array columns
   *   (CQL2 "Array Operators", e.g. stac_extensions);
-  *   t_before/t_after/t_during over timestamps;
-  *   s_intersects/s_disjoint/s_within/s_contains with EXACT geometry
+  *   the FULL temporal algebra (OGC 21-065 Allen relations) over
+  *   instants and intervals — t_before/t_after/t_disjoint/t_intersects/
+  *   t_equals/t_during/t_contains/t_overlaps/t_overlappedBy/t_meets/
+  *   t_metBy/t_starts/t_startedBy/t_finishes/t_finishedBy, with
+  *   interval bounds from timestamps, dates, property references, or
+  *   ".." (open);
+  *   s_intersects/s_disjoint/s_within/s_contains (and the symmetric
+  *   s_equals/s_touches/s_crosses/s_overlaps) with EXACT geometry
   *   semantics on the `geometry` property: the planar envelope test over
   *   the struct bbox column is the PUSHDOWN prefilter (a necessary
   *   condition the parquet scan prunes row groups on), conjoined with a
@@ -90,14 +96,37 @@ object Cql2 {
           size(array_except(toColumn(args(0)), toColumn(args(1)))) === 0
         case "a_overlaps" =>
           arrays_overlap(toColumn(args(0)), toColumn(args(1)))
-        case "t_before" => toColumn(args(0)) < toColumn(args(1))
-        case "t_after"  => toColumn(args(0)) > toColumn(args(1))
-        case "t_during" =>
-          val iv = args(1).get("interval")
-          val e = toColumn(args(0))
-          e >= tsLit(iv.get(0).asText) && e <= tsLit(iv.get(1).asText)
-        case "s_intersects" => spatial(op, args(0), args(1))
-        case "s_disjoint" | "s_within" | "s_contains" => spatial(op, args(0), args(1))
+        // full CQL2 temporal algebra (OGC 21-065 "Temporal Operators" —
+        // Allen's interval relations): every operand is a closed interval
+        // [start, end]; instants are the degenerate [t, t]. The spec's
+        // definitions are STRICT where they read < / > (t_during excludes
+        // bound-touching; the inclusive reading belongs to t_intersects).
+        case "t_before" | "t_after" | "t_disjoint" | "t_intersects" | "t_equals"
+           | "t_during" | "t_contains" | "t_overlaps" | "t_overlappedBy"
+           | "t_meets" | "t_metBy" | "t_starts" | "t_startedBy"
+           | "t_finishes" | "t_finishedBy" =>
+          val (s1, e1) = tInterval(args(0))
+          val (s2, e2) = tInterval(args(1))
+          op match {
+            case "t_before"       => e1 < s2
+            case "t_after"        => s1 > e2
+            case "t_disjoint"     => e1 < s2 || s1 > e2
+            case "t_intersects"   => s1 <= e2 && e1 >= s2
+            case "t_equals"       => s1 === s2 && e1 === e2
+            case "t_during"       => s1 > s2 && e1 < e2
+            case "t_contains"     => s1 < s2 && e1 > e2
+            case "t_overlaps"     => s1 < s2 && e1 > s2 && e1 < e2
+            case "t_overlappedBy" => s1 > s2 && s1 < e2 && e1 > e2
+            case "t_meets"        => e1 === s2
+            case "t_metBy"        => s1 === e2
+            case "t_starts"       => s1 === s2 && e1 < e2
+            case "t_startedBy"    => s1 === s2 && e1 > e2
+            case "t_finishes"     => s1 > s2 && e1 === e2
+            case "t_finishedBy"   => s1 < s2 && e1 === e2
+          }
+        case "s_intersects" | "s_disjoint" | "s_within" | "s_contains"
+           | "s_equals" | "s_touches" | "s_crosses" | "s_overlaps" =>
+          spatial(op, args(0), args(1))
         case other => throw new IllegalArgumentException(s"unsupported CQL2 op: $other")
       }
     } else if (n.isObject && n.has("property")) {
@@ -118,6 +147,31 @@ object Cql2 {
   }
 
   private def tsLit(s: String): Column = to_timestamp(lit(s))
+
+  /** CQL2's open-bound sentinels: ".." in an interval means unbounded;
+    * the distant-past/future timestamps make every comparison against an
+    * open bound vacuously true/false without null-logic special cases. */
+  private val TsOpenLo = "0001-01-01 00:00:00"
+  private val TsOpenHi = "9999-12-31 23:59:59"
+
+  /** A temporal operand as a closed interval (start, end): an instant
+    * (property reference, {"timestamp"}, {"date"}) is the degenerate
+    * [t, t]; {"interval": [lo, hi]} takes each bound from a
+    * timestamp/date string, a nested {"property"} reference (the
+    * start_datetime/end_datetime shape STAC interval properties use),
+    * or ".." (unbounded). */
+  private def tInterval(n: JsonNode): (Column, Column) =
+    if (n.isObject && n.has("interval")) {
+      val iv = n.get("interval")
+      def bound(b: JsonNode, open: String): Column =
+        if (b.isTextual && b.asText == "..") tsLit(open)
+        else if (b.isTextual) tsLit(b.asText)
+        else toColumn(b)
+      (bound(iv.get(0), TsOpenLo), bound(iv.get(1), TsOpenHi))
+    } else {
+      val c = toColumn(n)
+      (c, c)
+    }
 
   private val stripAccents = udf { (s: String) =>
     if (s == null) null
@@ -153,6 +207,11 @@ object Cql2 {
       col("bbox.ymin") >= ymin && col("bbox.ymax") <= ymax
     val propContainsLit = col("bbox.xmin") <= xmin && col("bbox.xmax") >= xmax &&
       col("bbox.ymin") <= ymin && col("bbox.ymax") >= ymax
+    // interiors (open sets) intersect — the strict form of `overlap`;
+    // rectangles touch exactly when their closed envelopes meet but
+    // their interiors do not
+    val strictOverlap = col("bbox.xmin") < xmax && col("bbox.xmax") > xmin &&
+      col("bbox.ymin") < ymax && col("bbox.ymax") > ymin
     if (prop == "bbox") {
       // the bbox property IS an axis-aligned rectangle: envelope = exact
       op match {
@@ -160,6 +219,12 @@ object Cql2 {
         case "s_disjoint"   => !overlap
         case "s_within"     => if (propFirst) propWithinLit else propContainsLit
         case "s_contains"   => if (propFirst) propContainsLit else propWithinLit
+        case "s_equals"     => propWithinLit && propContainsLit
+        case "s_touches"    => overlap && !strictOverlap
+        // crosses requires the intersection's dimension to be LESS than
+        // both operands' max dimension — impossible for two areas
+        case "s_crosses"    => lit(false)
+        case "s_overlaps"   => strictOverlap && !propWithinLit && !propContainsLit
       }
     } else {
       val litWkb = literalWkb(litSide)
@@ -177,6 +242,14 @@ object Cql2 {
         case "s_contains" =>
           if (propFirst) propContainsLit && exact("contains")
           else propWithinLit && exact("within")
+        // the remaining four are symmetric — argument order is irrelevant.
+        // Each keeps a pushable envelope necessary condition in front of
+        // the JTS verify: equal shapes have equal envelopes; touching,
+        // crossing, or overlapping shapes have intersecting envelopes.
+        case "s_equals"   => propWithinLit && propContainsLit && exact("equals")
+        case "s_touches"  => overlap && exact("touches")
+        case "s_crosses"  => overlap && exact("crosses")
+        case "s_overlaps" => overlap && exact("overlaps")
       }
     }
   }

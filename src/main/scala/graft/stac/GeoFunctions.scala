@@ -77,9 +77,11 @@ object GeoFunctions {
     * task (JTS PreparedGeometry caches the literal's edge index — the
     * filter-by-region shape where one geometry meets millions of rows).
     * `op`: intersects | within (column within literal) | contains
-    * (column contains literal). */
+    * (column contains literal) | touches | crosses | overlaps | equals
+    * (the last four are symmetric, so no role mapping is needed). */
   def relateLiteral(op: String, geomWkb: Column, literalWkb: Array[Byte]): Column = {
-    require(Set("intersects", "within", "contains")(op), s"unknown spatial op: $op")
+    require(Set("intersects", "within", "contains",
+      "touches", "crosses", "overlaps", "equals")(op), s"unknown spatial op: $op")
     val f = new PreparedRelate(op, literalWkb)
     udf((b: Array[Byte]) => f(b)).apply(geomWkb)
   }
@@ -97,6 +99,11 @@ object GeoFunctions {
         case "intersects" => prep.intersects(jtsRead(wkb))
         case "within"     => prep.contains(jtsRead(wkb)) // column within literal
         case "contains"   => prep.within(jtsRead(wkb))   // column contains literal
+        case "touches"    => prep.touches(jtsRead(wkb))
+        case "crosses"    => prep.crosses(jtsRead(wkb))
+        case "overlaps"   => prep.overlaps(jtsRead(wkb))
+        // topological equality; PreparedGeometry has no equals accessor
+        case "equals"     => prep.getGeometry.equalsTopo(jtsRead(wkb))
       }
   }
 
@@ -117,6 +124,42 @@ object GeoFunctions {
     udf((b: Array[Byte], x0: Double, y0: Double, x1: Double, y1: Double) => f(b, x0, y0, x1, y1))
       .apply(geomWkb, bbox.getField("xmin"), bbox.getField("ymin"),
         bbox.getField("xmax"), bbox.getField("ymax"))
+  }
+
+  /** N exact relations of ONE row geometry against N prepared literals,
+    * as array<boolean> aligned with `specs` — the general parse-once
+    * form: a workload probing k predicates (possibly against different
+    * regions) pays ONE JTS parse per row, not k. Null geometry → null
+    * array (all relations drop the row). */
+  def relateLiterals(specs: Seq[(String, Array[Byte])], geomWkb: Column): Column = {
+    val allowed = Set("intersects", "within", "contains",
+      "touches", "crosses", "overlaps", "equals")
+    specs.foreach { case (op, _) =>
+      require(allowed(op), s"unknown spatial op: $op") }
+    val f = new PreparedRelateArray(specs)
+    udf((b: Array[Byte]) => f(b)).apply(geomWkb)
+  }
+
+  private final class PreparedRelateArray(specs: Seq[(String, Array[Byte])])
+      extends Serializable {
+    @transient private lazy val preps = specs.map { case (op, lit) =>
+      op -> org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(jtsRead(lit))
+    }
+    def apply(wkb: Array[Byte]): Seq[Boolean] =
+      if (wkb == null) null
+      else {
+        val g = jtsRead(wkb) // the ONE parse
+        preps.map {
+          case ("intersects", p) => p.intersects(g)
+          case ("within", p)     => p.contains(g) // column within literal
+          case ("contains", p)   => p.within(g)   // column contains literal
+          case ("touches", p)    => p.touches(g)
+          case ("crosses", p)    => p.crosses(g)
+          case ("overlaps", p)   => p.overlaps(g)
+          case ("equals", p)     => p.getGeometry.equalsTopo(g)
+          case (op, _)           => throw new IllegalStateException(op)
+        }
+      }
   }
 
   case class Relations(intersects: Boolean, within: Boolean,

@@ -37,6 +37,7 @@ class Cql2FuzzSpec extends AnyFunSuite {
 
   private case class R(id: String, v: Option[Long], w: Option[Double],
                        s: Option[String], tags: Seq[String], dt: Option[String],
+                       dt0: Option[String], dt1: Option[String],
                        bx0: Double, by0: Double, bx1: Double, by1: Double)
 
   private val rows: Seq[R] = (0 until 40).map { i =>
@@ -44,6 +45,11 @@ class Cql2FuzzSpec extends AnyFunSuite {
     // touches (<= vs <) occur in the sample
     val bx0 = (i % 9).toDouble - 4.0 + 0.5 * (i % 2)
     val by0 = (i % 7).toDouble - 3.0 + 0.5 * ((i / 2) % 2)
+    // interval property [dt0, dt1] on the same day grid the literals use
+    // so bound-equality cases (meets/starts/finishes) occur; i%5 == 0
+    // gives degenerate single-instant intervals
+    val d0 = 1 + (i * 3) % 24
+    val d1 = math.min(28, d0 + i % 5)
     R(f"r$i%02d",
       if (i % 7 == 3) None else Some((i % 11).toLong - 5),
       if (i % 9 == 4) None else Some((i * 37 % 19) * 0.25 - 2.0),
@@ -51,14 +57,20 @@ class Cql2FuzzSpec extends AnyFunSuite {
       (0 until i % 4).map(j => tagPool((i + j) % tagPool.length)),
       if (i % 13 == 5) None
       else Some(f"2020-${1 + i % 12}%02d-${1 + i % 28}%02d 0${i % 10}:00:00"),
+      if (i % 11 == 7) None else Some(f"2020-${1 + i % 6}%02d-$d0%02d 00:00:00"),
+      if (i % 11 == 7) None else Some(f"2020-${1 + i % 6}%02d-$d1%02d 00:00:00"),
       bx0, by0, bx0 + 1.0 + 0.5 * (i % 3), by0 + 0.5 + 0.5 * (i % 4))
   }
 
   private lazy val df = {
     val s = spark; import s.implicits._
-    rows.map(r => (r.id, r.v, r.w, r.s, r.tags, r.dt, r.bx0, r.by0, r.bx1, r.by1))
-      .toDF("id", "v", "w", "s", "tags", "dts", "bx0", "by0", "bx1", "by1")
+    rows.map(r => (r.id, r.v, r.w, r.s, r.tags, r.dt, r.dt0, r.dt1,
+        r.bx0, r.by0, r.bx1, r.by1))
+      .toDF("id", "v", "w", "s", "tags", "dts", "dts0", "dts1",
+        "bx0", "by0", "bx1", "by1")
       .withColumn("dt", to_timestamp(col("dts"))).drop("dts")
+      .withColumn("dt0", to_timestamp(col("dts0"))).drop("dts0")
+      .withColumn("dt1", to_timestamp(col("dts1"))).drop("dts1")
       .withColumn("bbox", struct(col("bx0").as("xmin"), col("by0").as("ymin"),
         col("bx1").as("xmax"), col("by1").as("ymax")))
       .drop("bx0", "by0", "bx1", "by1")
@@ -129,21 +141,66 @@ class Cql2FuzzSpec extends AnyFunSuite {
   private val genIsNull: Gen[P] = Gen.oneOf("v", "w", "s", "dt")
     .map(p => (s"""{"op":"isNull","args":[{"property":"$p"}]}""", s"($p IS NULL)"))
 
-  private val genTemporal: Gen[P] = for {
-    kind <- Gen.oneOf("t_before", "t_after", "t_during")
-    a <- genTs; b <- genTs
-  } yield kind match {
-    case "t_before" =>
-      (s"""{"op":"t_before","args":[{"property":"dt"},{"timestamp":"$a"}]}""",
-        s"(dt < TIMESTAMP '$a')")
-    case "t_after" =>
-      (s"""{"op":"t_after","args":[{"property":"dt"},{"timestamp":"$a"}]}""",
-        s"(dt > TIMESTAMP '$a')")
-    case _ =>
-      val (lo, hi) = if (a <= b) (a, b) else (b, a)
-      (s"""{"op":"t_during","args":[{"property":"dt"},{"interval":["$lo","$hi"]}]}""",
-        s"(dt >= TIMESTAMP '$lo' AND dt <= TIMESTAMP '$hi')")
+  // ------------------------- full temporal algebra (Allen relations)
+  // A temporal operand is (cql2Json, sqlStart, sqlEnd); the SQL rendering
+  // of each relation is built from interval endpoints with the SAME
+  // formulas the spec defines — but evaluated by DuckDB, so any drift in
+  // the translator's comparisons, open-bound sentinels, or null logic
+  // shows up as a mismatch.
+  private type TOperand = (String, String, String)
+
+  private val genTOperand: Gen[TOperand] = {
+    val openLo = "TIMESTAMP '0001-01-01 00:00:00'"
+    val openHi = "TIMESTAMP '9999-12-31 23:59:59'"
+    Gen.frequency(
+      3 -> Gen.const(("""{"property":"dt"}""", "dt", "dt")),
+      3 -> Gen.const(
+        ("""{"interval":[{"property":"dt0"},{"property":"dt1"}]}""", "dt0", "dt1")),
+      2 -> genTs.map(a =>
+        (s"""{"timestamp":"$a"}""", s"TIMESTAMP '$a'", s"TIMESTAMP '$a'")),
+      3 -> (for { a <- genTs; b <- genTs; open <- Gen.oneOf(0, 0, 0, 1, 2) } yield {
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        open match {
+          case 1 => (s"""{"interval":["..","$hi"]}""", openLo, s"TIMESTAMP '$hi'")
+          case 2 => (s"""{"interval":["$lo",".."]}""", s"TIMESTAMP '$lo'", openHi)
+          case _ => (s"""{"interval":["$lo","$hi"]}""",
+            s"TIMESTAMP '$lo'", s"TIMESTAMP '$hi'")
+        }
+      }))
   }
+
+  private val tOps = Seq("t_before", "t_after", "t_disjoint", "t_intersects",
+    "t_equals", "t_during", "t_contains", "t_overlaps", "t_overlappedBy",
+    "t_meets", "t_metBy", "t_starts", "t_startedBy", "t_finishes", "t_finishedBy")
+
+  private def tSql(op: String, s1: String, e1: String, s2: String, e2: String): String =
+    op match {
+      case "t_before"       => s"($e1 < $s2)"
+      case "t_after"        => s"($s1 > $e2)"
+      case "t_disjoint"     => s"($e1 < $s2 OR $s1 > $e2)"
+      case "t_intersects"   => s"($s1 <= $e2 AND $e1 >= $s2)"
+      case "t_equals"       => s"($s1 = $s2 AND $e1 = $e2)"
+      case "t_during"       => s"($s1 > $s2 AND $e1 < $e2)"
+      case "t_contains"     => s"($s1 < $s2 AND $e1 > $e2)"
+      case "t_overlaps"     => s"($s1 < $s2 AND $e1 > $s2 AND $e1 < $e2)"
+      case "t_overlappedBy" => s"($s1 > $s2 AND $s1 < $e2 AND $e1 > $e2)"
+      case "t_meets"        => s"($e1 = $s2)"
+      case "t_metBy"        => s"($s1 = $e2)"
+      case "t_starts"       => s"($s1 = $s2 AND $e1 < $e2)"
+      case "t_startedBy"    => s"($s1 = $s2 AND $e1 > $e2)"
+      case "t_finishes"     => s"($s1 > $s2 AND $e1 = $e2)"
+      case "t_finishedBy"   => s"($s1 < $s2 AND $e1 = $e2)"
+    }
+
+  private val genTemporal: Gen[P] = for {
+    op <- Gen.oneOf(tOps)
+    a <- genTOperand
+    b <- genTOperand
+    // at least one side must involve a property, or the predicate is a
+    // row-independent constant (legal but zero-coverage)
+    if a._2.startsWith("dt") || b._2.startsWith("dt")
+  } yield (s"""{"op":"$op","args":[${a._1},${b._1}]}""",
+    tSql(op, a._2, a._3, b._2, b._3))
 
   private val genArrayOp: Gen[P] = for {
     op <- Gen.oneOf("a_equals", "a_contains", "a_containedBy", "a_overlaps")
@@ -166,12 +223,14 @@ class Cql2FuzzSpec extends AnyFunSuite {
   // evaluate; the geometry-property exact path is pinned in
   // ExactSpatialSpec — DuckDB has no JTS to mirror it)
   private val genSpatial: Gen[P] = for {
-    op <- Gen.oneOf("s_intersects", "s_disjoint", "s_within", "s_contains")
+    op <- Gen.oneOf("s_intersects", "s_disjoint", "s_within", "s_contains",
+      "s_equals", "s_touches", "s_crosses", "s_overlaps")
     x0 <- Gen.choose(-8, 8).map(_ * 0.5); y0 <- Gen.choose(-8, 8).map(_ * 0.5)
     w <- Gen.choose(1, 8).map(_ * 0.5); h <- Gen.choose(1, 8).map(_ * 0.5)
   } yield {
     val (x1, y1) = (x0 + w, y0 + h)
     val overlap = s"(bx0 <= $x1 AND bx1 >= $x0 AND by0 <= $y1 AND by1 >= $y0)"
+    val strict = s"(bx0 < $x1 AND bx1 > $x0 AND by0 < $y1 AND by1 > $y0)"
     val propWithin = s"(bx0 >= $x0 AND bx1 <= $x1 AND by0 >= $y0 AND by1 <= $y1)"
     val propContains = s"(bx0 <= $x0 AND bx1 >= $x1 AND by0 <= $y0 AND by1 >= $y1)"
     val sql = op match {
@@ -179,6 +238,10 @@ class Cql2FuzzSpec extends AnyFunSuite {
       case "s_disjoint"   => s"(NOT $overlap)"
       case "s_within"     => propWithin
       case "s_contains"   => propContains
+      case "s_equals"     => s"($propWithin AND $propContains)"
+      case "s_touches"    => s"($overlap AND NOT $strict)"
+      case "s_crosses"    => "FALSE" // two areas can never cross
+      case "s_overlaps"   => s"($strict AND NOT $propWithin AND NOT $propContains)"
     }
     (s"""{"op":"$op","args":[{"property":"bbox"},{"bbox":[$x0,$y0,$x1,$y1]}]}""", sql)
   }
@@ -210,7 +273,7 @@ class Cql2FuzzSpec extends AnyFunSuite {
     try {
       val st = conn.createStatement()
       st.execute("""CREATE TABLE t (id VARCHAR, v BIGINT, w DOUBLE, s VARCHAR,
-        tags VARCHAR[], dt TIMESTAMP,
+        tags VARCHAR[], dt TIMESTAMP, dt0 TIMESTAMP, dt1 TIMESTAMP,
         bx0 DOUBLE, by0 DOUBLE, bx1 DOUBLE, by1 DOUBLE)""")
       val values = rows.map { r =>
         val tags = s"[${r.tags.map(qs).mkString(",")}]"
@@ -218,6 +281,8 @@ class Cql2FuzzSpec extends AnyFunSuite {
           r.w.map(_.toString).getOrElse("NULL"),
           r.s.map(qs).getOrElse("NULL"), tags,
           r.dt.map(d => s"TIMESTAMP '$d'").getOrElse("NULL"),
+          r.dt0.map(d => s"TIMESTAMP '$d'").getOrElse("NULL"),
+          r.dt1.map(d => s"TIMESTAMP '$d'").getOrElse("NULL"),
           r.bx0.toString, r.by0.toString, r.bx1.toString, r.by1.toString)
           .mkString("(", ",", ")")
       }

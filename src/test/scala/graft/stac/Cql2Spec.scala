@@ -65,9 +65,25 @@ class Cql2Spec extends AnyFunSuite {
       Seq("c"))
     assert(ids("""{"op":"t_after","args":[{"property":"datetime"},{"timestamp":"2024-07-01T00:00:00Z"}]}""") ==
       Seq("b"))
+    // t_during is STRICT per OGC 21-065 (Allen's "during"): "a" sits
+    // exactly on the interval's low bound and is excluded; the inclusive
+    // reading is t_intersects
     assert(ids(
       """{"op":"t_during","args":[{"property":"datetime"},
+        {"interval":["2024-06-01T00:00:00Z","2024-06-30T00:00:00Z"]}]}""") == Seq("d"))
+    assert(ids(
+      """{"op":"t_intersects","args":[{"property":"datetime"},
         {"interval":["2024-06-01T00:00:00Z","2024-06-30T00:00:00Z"]}]}""") == Seq("a", "d"))
+    // open bound: everything from June 1 on (boundary included — the
+    // instant [t,t] intersects [t, ..])
+    assert(ids(
+      """{"op":"t_intersects","args":[{"property":"datetime"},
+        {"interval":["2024-06-01T00:00:00Z",".."]}]}""") == Seq("a", "b", "d"))
+    // interval-vs-interval Allen relations: the month of June strictly
+    // contains [a's instant .. d's instant]
+    assert(ids(
+      """{"op":"t_metBy","args":[{"property":"datetime"},
+        {"interval":["2024-05-01T00:00:00Z","2024-06-01T00:00:00Z"]}]}""") == Seq("a"))
   }
 
   test("s_intersects with a bbox literal, including 3-D bbox") {
@@ -79,8 +95,32 @@ class Cql2Spec extends AnyFunSuite {
 
   test("date literal and unsupported op") {
     assert(ids("""{"op":">=","args":[{"property":"datetime"},{"date":"2024-07-01"}]}""") == Seq("b"))
-    val e = intercept[IllegalArgumentException](Cql2.filter("""{"op":"s_crosses","args":[]}"""))
+    val e = intercept[IllegalArgumentException](Cql2.filter("""{"op":"s_frobnicate","args":[]}"""))
     assert(e.getMessage.contains("unsupported CQL2 op"))
+  }
+
+  test("symmetric spatial ops: s_equals / s_touches / s_overlaps / s_crosses") {
+    // geometry property (JTS exact path behind the envelope prefilter)
+    assert(ids("""{"op":"s_equals","args":[{"property":"geometry"},{"bbox":[0.0,0.0,1.0,1.0]}]}""")
+      == Seq("a"))
+    // "a" shares only the edge x=1 with the literal; "d" overlaps its interior
+    assert(ids("""{"op":"s_touches","args":[{"property":"geometry"},{"bbox":[1.0,0.0,2.0,1.0]}]}""")
+      == Seq("a"))
+    // partial interior overlap, neither side contains the other
+    assert(ids("""{"op":"s_overlaps","args":[{"property":"geometry"},{"bbox":[0.75,0.75,3.0,3.0]}]}""")
+      == Seq("a", "d"))
+    // a line through "a"'s interior; it runs ALONG "d"'s bottom edge
+    // (boundary, not interior), so only "a" is crossed — a distinction
+    // rectangle arithmetic cannot express
+    assert(ids("""{"op":"s_crosses","args":[{"property":"geometry"},
+      {"type":"LineString","coordinates":[[-1.0,0.5],[3.0,0.5]]}]}""") == Seq("a"))
+    // bbox property: pure rectangle semantics, no JTS
+    assert(ids("""{"op":"s_equals","args":[{"property":"bbox"},{"bbox":[0.0,0.0,1.0,1.0]}]}""")
+      == Seq("a"))
+    assert(ids("""{"op":"s_touches","args":[{"property":"bbox"},{"bbox":[1.0,0.0,2.0,1.0]}]}""")
+      == Seq("a"))
+    // two areas can never cross
+    assert(ids("""{"op":"s_crosses","args":[{"property":"bbox"},{"bbox":[0.0,0.0,1.0,1.0]}]}""").isEmpty)
   }
 
   test("casei compares case-insensitively on both sides") {
