@@ -48,8 +48,36 @@ object Bench {
     // non-timed specs (streaming jobs that execute inside run()) prove
     // batch-exactness in Verify; their wall time is micro-batch machinery,
     // not analytic throughput
+    val specs = SparkEntry.specs.filter(_.timed)
+    def once(spec: QuerySpec): Double = {
+      val t0 = System.nanoTime()
+      try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ").head.toDouble
+      catch { case _: Throwable => -1.0 }
+
+    // Congestion armor: single-shot numbers produced phantom ×3-5
+    // "regressions" in past rounds (JIT/codegen cold-start + host noisy
+    // neighbors), and round 6 showed even min-of-2 back-to-back runs lose
+    // to a sustained congestion window. Three INTERLEAVED passes over the
+    // whole suite (A,B,C,A,B,C — not A,A,A) put each query's repeats
+    // minutes apart, so a congestion spike lands on different queries in
+    // different passes; `steady` = min over passes is the trend number,
+    // `median` separates one-spike noise from a real shift, and the
+    // 1-minute /proc/loadavg stamped at every pass boundary makes a
+    // congested bench self-identifying in the JSON.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     var timedCounters = graft.stac.IngestMetrics.EmptySnapshot
-    val results = SparkEntry.specs.filter(_.timed).map { spec =>
+    val loads = scala.collection.mutable.ArrayBuffer(loadavg())
+    // pass 1: prepare hooks + memlog counters (counters describe ONE
+    // logical execution of each query — later passes are timing-only)
+    val firstTimes = specs.map { spec =>
       // one-time fixture materialization (bucketed tables, ndjson corpus)
       // runs before the timer: it's the amortized ingest cost of a
       // strategy, and timing it would charge N-run infrastructure to a
@@ -61,35 +89,36 @@ object Bench {
       org.apache.spark.GraftSparkShim.drainListenerBus(spark)
       metrics.resetPeak()
       val before = metrics.snapshot()
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try spec.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${spec.name} failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val first = once()
-      // counters describe ONE logical execution of each query — snapshot
-      // before the adjudication re-run or every rows/bytes figure doubles
+      val t = once(spec)
       timedCounters = timedCounters.plus(quiescedSnapshot().minus(before))
-      // single-shot numbers produced phantom ×3-5 "regressions" in past
-      // rounds (JIT/codegen cold-start + host noisy neighbors): a second
-      // run makes the line self-adjudicating — `steady` = min(first,
-      // second) is the number to trend round-over-round; `first` keeps
-      // the cold-start cost visible
-      val steady = math.min(first, once())
-      (spec.name, first, steady)
+      spec.name -> t
     }
-    def jmap(f: ((String, Double, Double)) => (String, Double)) =
+    loads += loadavg()
+    val later = (2 to passes).map { _ =>
+      val ts = specs.map(spec => once(spec))
+      loads += loadavg()
+      ts
+    }
+    val results = specs.zipWithIndex.map { case (spec, i) =>
+      val all = firstTimes(i)._2 +: later.map(_(i))
+      val sorted = all.sorted
+      val median =
+        if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+        else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+      (spec.name, firstTimes(i)._2, sorted.head, median)
+    }
+    def jmap(f: ((String, Double, Double, Double)) => (String, Double)) =
       results.map(r => { val (k, v) = f(r); "\"" + k + "\":" + v })
         .mkString("{", ",", "}")
-    val qs = jmap { case (k, first, _) => (k, first) }
-    val qsSteady = jmap { case (k, _, steady) => (k, steady) }
+    val qs = jmap { case (k, first, _, _) => (k, first) }
+    val qsSteady = jmap { case (k, _, steady, _) => (k, steady) }
+    val qsMedian = jmap { case (k, _, _, med) => (k, med) }
     val total = results.map(_._2).sum
     val totalSteady = results.map(_._3).sum
+    val totalMedian = results.map(_._4).sum
     val counters = graft.stac.IngestMetrics.json(timedCounters, total)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"queries":$qs,"queries_steady":$qsSteady,"counters":$counters,"sf":"$sfDir"}""")
+    val loadJson = loads.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_steady":$totalSteady,"total_median":$totalMedian,"passes":$passes,"loadavg":$loadJson,"queries":$qs,"queries_steady":$qsSteady,"queries_median":$qsMedian,"counters":$counters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -479,6 +479,63 @@ object StreamingOps {
           })
           .orderBy(col("doc_id"))
       },
+      timed = false),
+
+    // ----- streaming → Delta sink, EXACTLY-once via per-batch txn -----
+    // Composes the two round-6/7 pieces: foreachBatch +
+    // PortableDelta.write(append) where every micro-batch commits
+    // atomically WITH its {appId, batchId} transaction action
+    // (EventStream.deltaSink). Two staged copies stream as TWO
+    // micro-batches (maxFilesPerTrigger=1), so the table legitimately
+    // holds every event twice — then the gate re-delivers an
+    // already-committed batchId (the post-crash replay Spark's
+    // foreachBatch contract allows) and requires the log version, file
+    // set, and row count unchanged: the txn gate skipped it before any
+    // data landed. Unlike st11/st12's effectively-once (append sink +
+    // distinct on read), a Delta reader of this table needs NO dedup
+    // pass — exactly-once lives in the log itself. The oracle doubles
+    // the batch aggregate (two legitimate deliveries), exact-cents
+    // convention.
+    QuerySpec(
+      "st13_streaming_delta_exactly_once",
+      Some("""
+        SELECT event_type,
+               CAST(2 * count(*) AS BIGINT) AS n_rows,
+               CAST(2 * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS BIGINT)
+                 AS value_cents
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val src = stageSource(dir, "events", "st13", copies = 2)
+        val tbl = java.nio.file.Files.createTempDirectory("st13_delta").toString + "/tbl"
+        val ck = java.nio.file.Files.createTempDirectory("st13_ck").toString
+        val fileSchema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(fileSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .select(col("event_id"), col("event_type"), col("value"))
+        awaitBounded(EventStream.deltaSink(stream, tbl, "st13", ck), "st13")
+        val conf = s.sessionState.newHadoopConf()
+        val before = PortableDelta.snapshot(conf, tbl)
+        // two files → two micro-batches → the txn watermark must be 1
+        require(before.txns.get("st13").contains(1L),
+          s"expected per-batch txns up to batchId 1, got ${before.txns}")
+        val nBefore = PortableDelta.readTable(s, tbl).count()
+        // crash-replay simulation: re-deliver an already-committed
+        // batchId — the txn gate must skip BEFORE anything lands
+        val replayedV = PortableDelta.write(
+          s.read.parquet(src).select(col("event_id"), col("event_type"), col("value")),
+          tbl, mode = "append", txn = Some(("st13", 1L)))
+        val after = PortableDelta.snapshot(conf, tbl)
+        require(replayedV == before.version && after.version == before.version &&
+          after.files.map(_.path).toSet == before.files.map(_.path).toSet &&
+          PortableDelta.readTable(s, tbl).count() == nBefore,
+          "re-delivered batch must be a no-op: version/files/rows changed")
+        PortableDelta.readTable(s, tbl)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+          .orderBy(col("event_type"))
+      },
       timed = false)
   )
 }

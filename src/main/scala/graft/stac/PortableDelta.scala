@@ -42,6 +42,10 @@ object PortableDelta {
   val MinWriterVersion = 2
 
   final case class AddFile(path: String, size: Long, modificationTime: Long)
+  /** `txns` is the spec's per-appId transaction watermark (latest `txn`
+    * action per application id) — the idempotent-streaming-writes
+    * contract: a writer that tags each commit with {appId, version}
+    * can detect an already-committed batch after a crash. */
   final case class Snapshot(
       version: Long,
       minReaderVersion: Int,
@@ -49,7 +53,8 @@ object PortableDelta {
       tableId: String,
       schema: StructType,
       configuration: Map[String, String],
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      txns: Map[String, Long] = Map.empty)
 
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -63,11 +68,21 @@ object PortableDelta {
     *
     * `footerKv` non-empty routes the data write through the
     * `geoparquet` format so part files are born with those footer
-    * entries (the K1 seam); empty uses stock parquet. */
+    * entries (the K1 seam); empty uses stock parquet.
+    *
+    * `txn` = Some((appId, version)) tags the commit with the spec's
+    * transaction-identifier action AND makes the write IDEMPOTENT per
+    * (appId, version): if the table has already committed a txn for
+    * `appId` at `version` or later, the call is a no-op returning the
+    * current table version — nothing is staged, written, or committed.
+    * This is the Delta idempotent-streaming-writes pattern: a
+    * foreachBatch sink passes its batchId and a crash-replayed batch
+    * cannot double-append. */
   def write(df: DataFrame, path: String,
             properties: Map[String, String] = Map.empty,
             mode: String = "error",
-            footerKv: Map[String, String] = Map.empty): Long = {
+            footerKv: Map[String, String] = Map.empty,
+            txn: Option[(String, Long)] = None): Long = {
     require(Set("error", "append", "overwrite").contains(mode),
       s"mode must be error|append|overwrite, got $mode")
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -78,6 +93,14 @@ object PortableDelta {
     require(mode != "error" || prior.isEmpty,
       s"Delta table already exists at $path (version ${prior.map(_.version).orNull}); " +
         "use mode=append or mode=overwrite")
+    // idempotence gate: an (appId, version) the log already carries —
+    // at this version or newer — is a re-delivered batch; skip BEFORE
+    // any data lands
+    txn.foreach { case (appId, v) =>
+      prior.foreach { p =>
+        if (p.txns.get(appId).exists(_ >= v)) return p.version
+      }
+    }
     prior.filter(_ => mode == "append").foreach { s =>
       require(DataType.equalsIgnoreNullability(s.schema, df.schema),
         s"append schema mismatch at $path:\n table: ${s.schema.simpleString}\n " +
@@ -117,6 +140,12 @@ object PortableDelta {
     val actions = Seq.newBuilder[JsonNode]
     actions += commitInfo(now, if (prior.isEmpty) "CREATE TABLE AS SELECT"
       else if (mode == "overwrite") "WRITE (overwrite)" else "WRITE (append)")
+    txn.foreach { case (appId, v) =>
+      val r = mapper.createObjectNode()
+      val t = r.putObject("txn")
+      t.put("appId", appId); t.put("version", v); t.put("lastUpdated", now)
+      actions += r
+    }
     if (prior.isEmpty) {
       actions += protocolAction()
       actions += metaDataAction(java.util.UUID.randomUUID().toString,
@@ -240,16 +269,29 @@ object PortableDelta {
         struct($"p".as("path"), emptyMap.as("partitionValues"),
           $"sz".as("size"), $"mt".as("modificationTime"),
           lit(true).as("dataChange")).as("add"))
+    // the per-appId streaming watermarks must survive log truncation —
+    // the spec stores the latest txn action per appId in the checkpoint
+    val txnType = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+    val txnsDf = snap.txns.toSeq.map { case (app, v) => (app, v) }
+      .toDF("app", "v").select(
+        lit(null).cast("struct<minReaderVersion:int,minWriterVersion:int>").as("protocol"),
+        lit(null).cast("struct<id:string,format:struct<provider:string,options:map<string,string>>," +
+          "schemaString:string,partitionColumns:array<string>," +
+          "configuration:map<string,string>,createdTime:bigint>").as("metaData"),
+        lit(null).cast("struct<path:string,partitionValues:map<string,string>," +
+          "size:bigint,modificationTime:bigint,dataChange:boolean>").as("add"),
+        struct($"app".as("appId"), $"v".as("version"),
+          lit(null).cast("bigint").as("lastUpdated")).as("txn"))
     // the full action schema: some conformant readers (older delta-rs,
     // DuckDB delta) expect the remove/txn columns to exist even when no
     // row populates them — emit them null-typed so the checkpoint parquet
     // matches the spec's action shape, not just the columns we use
     val all = protocolDf.unionByName(metaDf).unionByName(addsDf)
+      .withColumn("txn", lit(null).cast(txnType))
+      .unionByName(txnsDf)
       .withColumn("remove", lit(null).cast(
         "struct<path:string,deletionTimestamp:bigint,dataChange:boolean," +
           "extendedFileMetadata:boolean,partitionValues:map<string,string>,size:bigint>"))
-      .withColumn("txn", lit(null).cast(
-        "struct<appId:string,version:bigint,lastUpdated:bigint>"))
     // Spark writes a directory; the spec wants ONE file at the exact
     // name — write single-part to a temp dir and move the part file in
     val tmp = new Path(logDir(path), s".ckpt-tmp-${java.util.UUID.randomUUID()}")
@@ -265,7 +307,7 @@ object PortableDelta {
     val lc = new Path(logDir(path), "_last_checkpoint")
     val out = fs.create(lc, true)
     try out.write(
-      s"""{"version":${snap.version},"size":${2 + snap.files.size}}""".getBytes("UTF-8"))
+      s"""{"version":${snap.version},"size":${2 + snap.files.size + snap.txns.size}}""".getBytes("UTF-8"))
     finally out.close()
     snap.version
   }
@@ -311,9 +353,10 @@ object PortableDelta {
   /** Mutable replay accumulator shared by the JSON and checkpoint paths:
     * last protocol/metaData win, adds minus removes by path (a `remove`
     * for a never-added path is a legal no-op — external logs carry such
-    * tombstones), every action key this reader does not understand
-    * (`txn`, `cdc`, `domainMetadata`, commitInfo variants, future ones)
-    * is IGNORED, which is exactly the Delta forward-compatibility rule:
+    * tombstones), latest txn per appId (the idempotent-streaming
+    * watermark), and every action key this reader does not understand
+    * (`cdc`, `domainMetadata`, commitInfo variants, future ones) is
+    * IGNORED, which is exactly the Delta forward-compatibility rule:
     * feature gating lives in `protocol`, not in action names. */
   private final class ReplayState(tablePath: String) {
     var readerV: Int = MinReaderVersion
@@ -323,8 +366,16 @@ object PortableDelta {
     var configuration: Map[String, String] = Map.empty
     val live: scala.collection.mutable.LinkedHashMap[String, AddFile] =
       scala.collection.mutable.LinkedHashMap.empty
+    // spec: the LATEST txn action per appId wins (commits replay in
+    // version order, so plain overwrite is the right merge)
+    val txns: scala.collection.mutable.LinkedHashMap[String, Long] =
+      scala.collection.mutable.LinkedHashMap.empty
 
     def applyJson(node: JsonNode): Unit = {
+      if (node.has("txn")) {
+        val t = node.get("txn")
+        txns.put(t.get("appId").asText(), t.get("version").asLong())
+      }
       if (node.has("protocol")) {
         val p = node.get("protocol")
         readerV = p.get("minReaderVersion").asInt()
@@ -365,7 +416,7 @@ object PortableDelta {
       requireReadable()
       Snapshot(version, readerV, writerV, tableId,
         DataType.fromJson(schemaJson).asInstanceOf[StructType],
-        configuration, live.values.toSeq)
+        configuration, live.values.toSeq, txns.toMap)
     }
   }
 
@@ -410,9 +461,20 @@ object PortableDelta {
         st.live.put(p, AddFile(p, a.getLong(a.fieldIndex("size")),
           a.getLong(a.fieldIndex("modificationTime"))))
       }
+      // txn rows carry the per-appId streaming watermark across log
+      // truncation (the spec stores the latest txn per appId in the
+      // checkpoint); ours and external writers both emit them
+      if (r.schema.fieldNames.contains("txn")) {
+        val ti = r.fieldIndex("txn")
+        if (!r.isNullAt(ti)) {
+          val t = r.getStruct(ti)
+          st.txns.put(t.getString(t.fieldIndex("appId")),
+            t.getLong(t.fieldIndex("version")))
+        }
+      }
       // remove rows in a checkpoint are VACUUM tombstones, not state: live
-      // files are exactly the add rows, so they (and txn/cdc/unknown
-      // columns) are deliberately not replayed
+      // files are exactly the add rows, so they (and cdc/unknown columns)
+      // are deliberately not replayed
     }
     require(st.schemaJson.nonEmpty,
       s"checkpoint ${ckptFiles.head} carries no metaData row")

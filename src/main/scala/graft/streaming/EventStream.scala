@@ -147,4 +147,25 @@ object EventStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** EXACTLY-once streaming append into a portable Delta table: each
+    * micro-batch commits atomically together with its {appId, batchId}
+    * transaction-identifier action, so a batch re-delivered after a
+    * crash (same batchId from the recovered checkpoint) is detected in
+    * the log and skipped BEFORE any data lands — the Delta
+    * idempotent-streaming-writes pattern, upgrading foreachBatch's
+    * native at-least-once to exactly-once without a distinct pass on
+    * read (st11/st12's documented effectively-once needs one; a Delta
+    * reader of this table does not). */
+  def deltaSink(df: DataFrame, path: String, appId: String,
+                checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.stac.PortableDelta.write(batch, path, mode = "append",
+          txn = Some((appId, batchId)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

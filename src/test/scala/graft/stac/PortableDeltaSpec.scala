@@ -295,6 +295,43 @@ class PortableDeltaSpec extends AnyFunSuite {
       s"rejection must NAME the unsupported features: ${e.getMessage}")
   }
 
+  test("txn actions: idempotent writes, watermark survives checkpoint truncation") {
+    val path = tmp()
+    val v0 = PortableDelta.write(df(1L, 2L), path, mode = "append", txn = Some(("app", 0L)))
+    val v1 = PortableDelta.write(df(3L), path, mode = "append", txn = Some(("app", 1L)))
+    assert(v0 == 0 && v1 == 1)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(PortableDelta.snapshot(conf, path).txns == Map("app" -> 1L))
+    // re-delivery of batch 1 (and any older batch) is a committed-txn
+    // no-op: same version back, nothing staged or appended
+    val nBefore = PortableDelta.readTable(spark, path).count()
+    assert(PortableDelta.write(df(3L), path, mode = "append", txn = Some(("app", 1L))) == 1)
+    assert(PortableDelta.write(df(1L, 2L), path, mode = "append", txn = Some(("app", 0L))) == 1)
+    assert(PortableDelta.readTable(spark, path).count() == nBefore)
+    assert(PortableDelta.snapshot(conf, path).version == 1)
+    // a SECOND app's watermark is independent
+    PortableDelta.write(df(9L), path, mode = "append", txn = Some(("other", 5L)))
+    val snap2 = PortableDelta.snapshot(conf, path)
+    assert(snap2.txns == Map("app" -> 1L, "other" -> 5L))
+    // the watermark must survive checkpoint + JSON-tail truncation (the
+    // spec stores the latest txn per appId in the checkpoint parquet)
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(conf, path)
+    val replayed = PortableDelta.snapshot(spark, path)
+    assert(replayed.txns == Map("app" -> 1L, "other" -> 5L),
+      s"txn watermarks lost in checkpoint replay: ${replayed.txns}")
+    // and stays idempotent across the truncation boundary
+    val n2 = PortableDelta.readTable(spark, path).count()
+    // post-truncation writes consult the checkpoint-aware snapshot
+    val eNoEngine = intercept[IllegalArgumentException] {
+      PortableDelta.snapshot(conf, path)
+    }
+    assert(eNoEngine.getMessage.contains("checkpoint-truncated"))
+    assert(PortableDelta.write(df(9L), path.toString, mode = "append",
+      txn = Some(("other", 4L))) == replayed.version)
+    assert(PortableDelta.readTable(spark, path).count() == n2)
+  }
+
   test("DeltaSink.write falls back to the portable log when the jar is absent") {
     assume(!DeltaSink.available)
     val path = tmp()

@@ -155,4 +155,47 @@ class StreamChaosSpec extends AnyFunSuite {
     assert(collapsed == (0L until 100L).map(i => (i, i * 2)),
       "distinct over the deterministic derivation must equal the one-shot answer")
   }
+
+  test("delta sink: crash AFTER the batch write, restart — the txn gate makes replay a no-op") {
+    // the st13 shape under the SAME crash window as the test above: the
+    // batch's Delta commit lands, the crash hits before Spark's
+    // checkpoint commit, and the restart re-delivers the batchId. The
+    // per-batch txn action must turn that replay into a no-op — the
+    // PLAIN read (no distinct) equals the source exactly.
+    import graft.stac.PortableDelta
+    ChaosInjector.reset()
+    val src = makeSource()
+    val work = java.nio.file.Files.createTempDirectory("chaos4").toString
+    val tbl = s"$work/tbl"
+    def run() = {
+      val q = stream(src).writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          PortableDelta.write(batch, tbl, mode = "append",
+            txn = Some(("chaos4", batchId)))
+          // crash AFTER the Delta commit, BEFORE the checkpoint commit
+          if (ChaosInjector.armed &&
+              batch.filter(col("id") === 57L).limit(1).count() == 1) {
+            ChaosInjector.fired.incrementAndGet()
+            throw new RuntimeException("injected post-commit crash")
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    ChaosInjector.armed = true
+    intercept[StreamingQueryException](run())
+    ChaosInjector.armed = false
+    assert(ChaosInjector.fired.get() >= 1)
+    assert(run(), "recovery run did not finish")
+    // no distinct, no dedup: the log itself is exactly-once
+    val got = PortableDelta.readTable(spark, tbl)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 100L),
+      "plain Delta read after crash+replay must equal the source exactly")
+    // the watermark reached the last batch and every batch has one txn
+    val snap = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), tbl)
+    assert(snap.txns("chaos4") == 3L, s"txn watermark: ${snap.txns}")
+  }
 }
