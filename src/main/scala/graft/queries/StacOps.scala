@@ -864,6 +864,70 @@ object StacOps {
       },
       timed = false),
 
+    // ----- Delta time travel: versionAsOf reads the state that WAS -----
+    // Three commits (create / append / logical overwrite), then EVERY
+    // version is read back via snapshotAt replay — v0 and v1's files are
+    // only reachable through the log (the overwrite removed them from
+    // the live set; a directory listing would see all files at once and
+    // a current-snapshot read only v2's). The oracle recomputes each
+    // version's membership from the commit rules. The in-gate require
+    // pins that time travel still works for the CHECKPOINTED version
+    // after log truncation, and that truncated-away versions fail with
+    // the reconstructability error rather than a wrong answer.
+    QuerySpec(
+      "stac23_delta_time_travel",
+      Some("""
+        WITH v AS (SELECT 0 AS version, o_orderkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 3 = 0
+                   UNION ALL
+                   SELECT 1, o_orderkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 3 IN (0, 1)
+                   UNION ALL
+                   SELECT 2, o_orderkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 3 = 2)
+        SELECT CAST(version AS BIGINT) AS version,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum
+        FROM v GROUP BY version ORDER BY version"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val out = java.nio.file.Files.createTempDirectory("stac23").toString + "/tbl"
+        PortableDelta.write(orders.filter(col("o_orderkey") % 3 === 0), out)
+        PortableDelta.write(orders.filter(col("o_orderkey") % 3 === 1), out, mode = "append")
+        PortableDelta.write(orders.filter(col("o_orderkey") % 3 === 2), out, mode = "overwrite")
+        def agged(v: Int) = PortableDelta.readTable(s, out, v.toLong)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .select(lit(v.toLong).as("version"), col("n_rows"), col("key_sum"),
+            col("cents_sum"))
+        val result = agged(0).unionByName(agged(1)).unionByName(agged(2))
+          .orderBy(col("version")).persist()
+        result.count() // materialize BEFORE the truncation below voids v0/v1
+        // history shows the three operations newest-first
+        val conf = s.sessionState.newHadoopConf()
+        val hist = PortableDelta.history(conf, out)
+        require(hist.map(_._1) == Seq(2L, 1L, 0L),
+          s"history must list v2,v1,v0 — got ${hist.map(_._1)}")
+        // checkpoint + truncation: the checkpointed version remains
+        // travel-able, truncated versions error by NAME (not wrong data)
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.cleanupLog(conf, out)
+        val atCkpt = PortableDelta.readTable(s, out, 2L).count()
+        require(atCkpt == PortableDelta.readTable(s, out).count(),
+          "versionAsOf at the checkpoint must equal the current read")
+        val gone = try { PortableDelta.snapshotAt(s, out, 0L); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("not reconstructable") }
+        require(gone, "truncated version must fail with the reconstructability error")
+        result
+      },
+      timed = false),
+
     // ----- exact-geometry CQL2: envelope and exact answers DIFFER -----
     // Items are lower-left right triangles (vertices (x,y),(x+2,y),
     // (x,y+2)); the query region is the big triangle x+y ≤ 100 in

@@ -420,14 +420,14 @@ object PortableDelta {
     }
   }
 
-  private def checkpointSnapshot(spark: SparkSession, path: String,
-                                 ref: CheckpointRef): Snapshot = {
+  /** Seed a ReplayState from the checkpoint parquet at `ref` (single-file
+    * or the spec's multi-part `<v>.checkpoint.<i>.<n>.parquet` layout
+    * external writers emit). */
+  private def seedCheckpoint(spark: SparkSession, path: String,
+                             ref: CheckpointRef, st: ReplayState): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val cv = ref.version
     val fs = logDir(path).getFileSystem(conf)
-    // single-file `<v>.checkpoint.parquet` or the multi-part layout
-    // `<v>.checkpoint.<i>.<n>.parquet`, i = 1..n (the spec's sharding for
-    // state too large for one file — external writers emit this shape)
     val ckptFiles: Seq[Path] = ref.parts match {
       case None => Seq(new Path(logDir(path), f"$cv%020d.checkpoint.parquet"))
       case Some(n) => (1 to n).map(i =>
@@ -435,7 +435,6 @@ object PortableDelta {
     }
     ckptFiles.foreach(p => require(fs.exists(p),
       s"_last_checkpoint points at $cv but $p is missing"))
-    val st = new ReplayState(path)
     val rows = spark.read.parquet(ckptFiles.map(_.toString): _*).collect()
     rows.foreach { r =>
       val pi = r.fieldIndex("protocol")
@@ -478,6 +477,23 @@ object PortableDelta {
     }
     require(st.schemaJson.nonEmpty,
       s"checkpoint ${ckptFiles.head} carries no metaData row")
+  }
+
+  private def applyJsonCommit(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                              st: ReplayState): Unit = {
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.nonEmpty).foreach(line => st.applyJson(mapper.readTree(line)))
+  }
+
+  private def checkpointSnapshot(spark: SparkSession, path: String,
+                                 ref: CheckpointRef): Snapshot = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cv = ref.version
+    val fs = logDir(path).getFileSystem(conf)
+    val st = new ReplayState(path)
+    seedCheckpoint(spark, path, ref, st)
     // JSON commits after the checkpoint (contiguous from cv+1, if any)
     val tail = fs.listStatus(logDir(path)).toSeq
       .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
@@ -488,12 +504,82 @@ object PortableDelta {
     var version = cv
     tail.foreach { case (v, p) =>
       version = v
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.filter(_.nonEmpty).foreach(line => st.applyJson(mapper.readTree(line)))
+      applyJsonCommit(fs, p, st)
     }
     st.toSnapshot(version)
+  }
+
+  /** Time travel: the table state AS OF `versionAsOf` (the Delta
+    * `versionAsOf` read). Replays JSON commits 0..v when they survive,
+    * else seeds from a checkpoint at cv ≤ v and applies the JSON tail
+    * (cv, v]; errors — naming what is reconstructable — when cleanupLog
+    * has truncated past the requested version. */
+  def snapshotAt(spark: SparkSession, path: String, versionAsOf: Long): Snapshot = {
+    require(versionAsOf >= 0, s"versionAsOf must be >= 0, got $versionAsOf")
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = logDir(path)
+    val fs = dir.getFileSystem(conf)
+    require(fs.exists(dir), s"no Delta table at $path (no _delta_log)")
+    val jsons = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
+      .map(s => s.getPath.getName.stripSuffix(".json").toLong -> s.getPath)
+      .sortBy(_._1).toMap
+    val current = (jsons.keySet ++ lastCheckpointVersion(conf, path)).maxOption
+      .getOrElse(throw new IllegalArgumentException(s"empty Delta log at $dir"))
+    require(versionAsOf <= current,
+      s"versionAsOf $versionAsOf exceeds the current version $current of $path")
+    val st = new ReplayState(path)
+    val ckpt = lastCheckpointRef(conf, path).filter(_.version <= versionAsOf)
+    val fromV: Long =
+      if ((0L to versionAsOf).forall(jsons.contains)) 0L
+      else ckpt match {
+        case Some(ref) if ((ref.version + 1) to versionAsOf).forall(jsons.contains) =>
+          seedCheckpoint(spark, path, ref, st)
+          ref.version + 1
+        case _ =>
+          throw new IllegalArgumentException(
+            s"version $versionAsOf of $path is not reconstructable: JSON log covers " +
+              s"[${jsons.keySet.minOption.getOrElse(-1L)}, ${jsons.keySet.maxOption.getOrElse(-1L)}]" +
+              ckpt.map(r => s", checkpoint at ${r.version}").getOrElse(", no checkpoint") +
+              " (cleanupLog truncated past it)")
+      }
+    (fromV to versionAsOf).foreach(v => applyJsonCommit(fs, jsons(v), st))
+    st.toSnapshot(versionAsOf)
+  }
+
+  /** Read the table AS OF a version — the files that were live then,
+    * under the schema that was current then. */
+  def readTable(spark: SparkSession, path: String, versionAsOf: Long): DataFrame = {
+    val snap = snapshotAt(spark, path, versionAsOf)
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else
+      spark.read.schema(snap.schema)
+        .parquet(snap.files.map(f => s"$path/${f.path}"): _*)
+  }
+
+  /** DESCRIBE HISTORY analog: (version, operation, timestamp) per
+    * surviving JSON commit, newest first, from the commitInfo actions.
+    * Commits truncated by cleanupLog no longer appear — same as any
+    * Delta engine after log cleanup. */
+  def history(conf: Configuration, path: String): Seq[(Long, String, Long)] = {
+    val dir = logDir(path)
+    val fs = dir.getFileSystem(conf)
+    require(fs.exists(dir), s"no Delta table at $path (no _delta_log)")
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
+      .map(s => s.getPath.getName.stripSuffix(".json").toLong -> s.getPath)
+      .sortBy(-_._1)
+      .map { case (v, p) =>
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        val ci = lines.filter(_.nonEmpty).map(mapper.readTree)
+          .find(_.has("commitInfo")).map(_.get("commitInfo"))
+        (v,
+          ci.flatMap(c => Option(c.get("operation"))).map(_.asText()).getOrElse(""),
+          ci.flatMap(c => Option(c.get("timestamp"))).map(_.asLong()).getOrElse(0L))
+      }
   }
 
   // ---------------------------------------------------------------- internals

@@ -332,6 +332,34 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path).count() == n2)
   }
 
+  test("time travel: versionAsOf replays the state that WAS current; history lists commits") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L), path)                       // v0
+    PortableDelta.write(df(3L), path, mode = "append")          // v1
+    PortableDelta.write(df(10L, 11L), path, mode = "overwrite") // v2
+    def idsAt(v: Long) = PortableDelta.readTable(spark, path, v)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsAt(0) == Seq(1L, 2L))
+    assert(idsAt(1) == Seq(1L, 2L, 3L))
+    assert(idsAt(2) == Seq(10L, 11L))
+    val e = intercept[IllegalArgumentException](PortableDelta.snapshotAt(spark, path, 3))
+    assert(e.getMessage.contains("exceeds"))
+    val h = PortableDelta.history(spark.sessionState.newHadoopConf(), path)
+    assert(h.map(_._1) == Seq(2L, 1L, 0L), "history is newest first")
+    assert(h.head._2.contains("overwrite") && h.last._2.contains("CREATE"))
+    assert(h.forall(_._3 > 0), "commitInfo timestamps present")
+    // checkpoint + truncation: the checkpointed version stays travel-able
+    // (checkpoint seed), older versions are gone and the error SAYS so
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    assert(idsAt(2) == Seq(10L, 11L))
+    val e2 = intercept[IllegalArgumentException](PortableDelta.snapshotAt(spark, path, 1))
+    assert(e2.getMessage.contains("not reconstructable"))
+    // appends after truncation remain travel-able from the checkpoint seed
+    PortableDelta.write(df(12L), path, mode = "append")          // v3
+    assert(idsAt(2) == Seq(10L, 11L) && idsAt(3) == Seq(10L, 11L, 12L))
+  }
+
   test("DeltaSink.write falls back to the portable log when the jar is absent") {
     assume(!DeltaSink.available)
     val path = tmp()
