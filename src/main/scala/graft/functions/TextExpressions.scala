@@ -286,6 +286,58 @@ case class RollingHashStats(child: Expression, w: Int)
     copy(child = newChild)
 }
 
+/** Per-position Rabin–Karp hashes over all `w`-codepoint windows — the
+  * per-window form of [[RollingHashStats]] (same B=257 / M=2^31-1
+  * arithmetic, same O(n) rolling update): element i (0-based) is the
+  * hash of the window starting at codepoint i. This is the scan-stage
+  * index for exact-substring (passage-level) dedup: downstream ships
+  * 8-byte hashes + positions through the shuffle instead of the w-char
+  * window texts — a w/8× reduction in shuffle bytes at corpus scale —
+  * and only hash-matched candidates ever re-extract text for the exact
+  * verify. Empty output for texts shorter than w. */
+case class RollingHashes(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(w >= 2, "window must be >= 2")
+
+  private val B = 257L
+  private val M = 2147483647L // 2^31 - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "rolling_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"rolling_hashes requires a string input, got ${child.dataType.sql}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length - w + 1
+    if (n <= 0)
+      return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[Long])
+    var pw = 1L
+    var k = 0
+    while (k < w - 1) { pw = pw * B % M; k += 1 }
+    val out = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < w) { h = (h * B + cps(i)) % M; i += 1 }
+    out(0) = h
+    while (i < cps.length) {
+      var x = (h - cps(i - w) * pw % M) % M
+      if (x < 0) x += M
+      h = (x * B + cps(i)) % M
+      out(i - w + 1) = h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
 /** One-pass repetition/quality stats (Gopher-style filter inputs): word
   * count, distinct-word count, and most-frequent-word count in a single
   * tokenization with a per-row hash map — the composable form
@@ -339,6 +391,9 @@ object TextFunctions {
 
   def rollingHashStats(text: Column, w: Int): Column =
     GraftSqlShim.column(RollingHashStats(GraftSqlShim.expression(text), w))
+
+  def rollingHashes(text: Column, w: Int): Column =
+    GraftSqlShim.column(RollingHashes(GraftSqlShim.expression(text), w))
 
   def simhashSig(text: Column, bits: Int = 32): Column =
     GraftSqlShim.column(SimHashSig(GraftSqlShim.expression(text), bits))

@@ -361,4 +361,64 @@ object NearDup {
         Seq(idName), "left")
       .select(col(idName), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
+
+  /** EXACT-substring (passage-level) duplication stats — the granularity
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): for every `w`-codepoint sliding window at EVERY
+    * position (stride 1, so copies at any alignment are caught — the
+    * aligned-segment pass t11 runs misses an offset-by-one-word copy),
+    * count per document how many window positions carry text that also
+    * occurs in at least one OTHER document. Returns one row per eligible
+    * doc (length ≥ w): (id, n_windows, n_dup).
+    *
+    * Scale shape (100 TB): the corpus-wide shuffle carries (hash, id)
+    * pairs only — 8-byte rolling Karp–Rabin hashes computed scan-stage
+    * by the native [[graft.functions.RollingHashes]] expression (w/8×
+    * fewer shuffle bytes than shipping window texts; suffix arrays, the
+    * paper's single-node structure, don't distribute). Only hash buckets
+    * with ≥ 2 distinct docs re-extract their window text, and the final
+    * dup decision groups on the TEXT itself — hash collisions are
+    * routing noise the verify eliminates, so the answer is defined by
+    * text equality alone. Within-doc repeats do NOT count as dups (the
+    * distinct-doc bound), matching the cross-document contamination
+    * question.
+    *
+    * The windows frame is persisted: it feeds the candidate aggregate,
+    * the verify join, and the per-doc totals, and it sits over a
+    * non-cheap scan-stage expression (the m09/stac20 rule). Session-
+    * lifetime cache, released by the caller's session teardown. */
+  def substringDupStats(docs: DataFrame, w: Int = 64,
+                        idName: String = "doc_id",
+                        textName: String = "text"): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    val eligible = docs.filter(length(col(textName)) >= w)
+      .select(col(idName), col(textName))
+    // toy inputs are single row groups: spread the per-row hash pass
+    // (file count provides this parallelism at 100 TB)
+    val win = eligible.repartition(col(idName))
+      .select(col(idName),
+        posexplode(graft.functions.TextFunctions.rollingHashes(col(textName), w))
+          .as(Seq("pos", "h")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = win.groupBy(col("h"))
+      .agg(countDistinct(col(idName)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    // candidates only: re-extract the window text for the exact verify
+    val candText = win.join(cand, "h")
+      .join(eligible, idName)
+      .select(col(idName), col("pos"), col("h"),
+        expr(s"substring($textName, pos + 1, $w)").as("wtext"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val trueDup = candText.groupBy(col("h"), col("wtext"))
+      .agg(countDistinct(col(idName)).as("ndt"))
+      .filter(col("ndt") >= 2)
+      .select(col("h"), col("wtext"))
+    val dupPerDoc = candText.join(trueDup, Seq("h", "wtext"))
+      .groupBy(col(idName)).agg(count(lit(1)).as("n_dup"))
+    win.groupBy(col(idName)).agg(count(lit(1)).as("n_windows"))
+      .join(dupPerDoc, Seq(idName), "left")
+      .select(col(idName), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
 }

@@ -822,7 +822,50 @@ object DedupOps {
           Tables.t(s, dir, "documents")
             .groupBy(col("source")).agg(count(lit(1)).as("n_docs")),
           budget = 1000000L)
-          .orderBy(col("source")))
+          .orderBy(col("source"))),
+
+    // ----- EXACT-substring (passage-level) dedup, any alignment -----
+    // Lee et al. 2022's dedup granularity: 64-char sliding windows at
+    // EVERY position. t11's aligned 16-word segments miss an offset
+    // copy; this catches a duplicated passage wherever it starts. The
+    // Spark side routes candidates through 8-byte scan-stage rolling
+    // hashes (shuffle carries hash+id, never window text) and verifies
+    // on the re-extracted TEXT, so hash collisions cannot change the
+    // answer; the oracle recomputes the whole thing from substr/text
+    // equality alone — if the hash routing dropped or invented a
+    // candidate, a per-doc count would drift. dup_frac is ONE double
+    // division of two exact integers.
+    QuerySpec(
+      "d18_substring_dedup",
+      Some("""
+        WITH e AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+             w AS (SELECT doc_id, u.i AS pos, substr(text, u.i, 64) AS wt
+                   FROM e, unnest(generate_series(1, length(text) - 63)) AS u(i)),
+             d AS (SELECT wt FROM w GROUP BY wt HAVING count(DISTINCT doc_id) >= 2),
+             m AS (SELECT w.doc_id, CASE WHEN d.wt IS NULL THEN 0 ELSE 1 END AS isd
+                   FROM w LEFT JOIN d ON w.wt = d.wt)
+        SELECT doc_id,
+               count(*) AS n_windows,
+               CAST(sum(isd) AS BIGINT) AS n_dup,
+               CAST(sum(isd) AS DOUBLE) / count(*) AS dup_frac
+        FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val out = graft.operators.NearDup.substringDupStats(
+            Tables.t(s, dir, "documents"), w = 64)
+          .withColumn("dup_frac", col("n_dup").cast("double") / col("n_windows"))
+          .orderBy(col("doc_id"))
+          .persist()
+        // the duplicated-passage population must be non-empty and proper
+        // (some docs clean, some contaminated) or the verify layer and
+        // the per-doc split prove nothing
+        val chk = out.agg(
+          sum(col("n_dup")).as("nd"),
+          count(when(col("n_dup") > 0, 1)).as("docs_dup"),
+          count(when(col("n_dup") === 0, 1)).as("docs_clean")).head()
+        require(chk.getLong(0) > 0 && chk.getLong(1) > 0 && chk.getLong(2) > 0,
+          s"degenerate substring-dup population: $chk")
+        out
+      })
   )
 
   /** d12's allocation engine, separated so MixingSpec can fuzz it: split

@@ -295,4 +295,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(base.nonEmpty, "fixture must produce Hamming-close pairs")
     assert(pairs(5) == base)
   }
+
+  test("substringDupStats: any-alignment detection; within-doc repeats are not dups") {
+    val w = 16
+    val passage = "the quick brown fox jumps over it" // 33 chars
+    val docs = Seq(
+      // the shared passage at DIFFERENT offsets (an aligned-segment pass
+      // would miss this); distinct prefixes/suffixes
+      (1L, s"AAAA $passage and more tail text here"),
+      (2L, s"completely different opening words $passage ZZ"),
+      // a doc that repeats ITS OWN phrase twice but shares nothing
+      // cross-doc: within-doc repeats must not count
+      (3L, "unique self copy unique self copy unique self copy padd"),
+      // clean doc, no shared windows
+      (4L, "nothing in common with anything else whatsoever at all!"),
+      // too short for any window: must simply be absent (not a crash)
+      (5L, "tiny")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.NearDup.substringDupStats(docs, w = w)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(!rows.contains(5L), "sub-window doc must be excluded")
+    // the maximal shared substring is the passage PLUS its flanking
+    // spaces (both docs surround it with ' '): 35 chars → 35 - 16 + 1 =
+    // 20 dup windows in each doc
+    assert(rows(1L)._2 == 20, s"doc 1 dup windows: ${rows(1L)}")
+    assert(rows(2L)._2 == 20, s"doc 2 dup windows: ${rows(2L)}")
+    assert(rows(3L)._2 == 0, s"within-doc repeats must not count: ${rows(3L)}")
+    assert(rows(4L)._2 == 0)
+    // totals: len - w + 1
+    assert(rows(4L)._1 ==
+      "nothing in common with anything else whatsoever at all!".length - w + 1)
+  }
+
+  test("RollingHashes equals the per-window Horner brute force") {
+    val w = 8
+    val texts = Seq("abcdefghijklmnop", "ω unicode façade test", "exact", "")
+    val got = texts.toDF("t")
+      .select(graft.functions.TextFunctions.rollingHashes(col("t"), w).as("hs"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    def brute(s: String): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      (0 to cps.length - w).map { i =>
+        cps.slice(i, i + w).foldLeft(0L)((a, c) => (a * 257 + c) % 2147483647L)
+      }
+    }
+    texts.zip(got).foreach { case (t, hs) =>
+      assert(hs == brute(t), s"rolling hash drift for '$t'")
+    }
+  }
 }

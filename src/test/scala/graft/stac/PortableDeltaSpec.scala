@@ -332,6 +332,26 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path).count() == n2)
   }
 
+  test("a foreign file in the table directory is never committed") {
+    // write() discovers its output from a job-scoped staging dir, not a
+    // before/after listing diff — a file landing in the table root during
+    // the write window (concurrent writer, leftover staging) must stay
+    // invisible to the log, not become silent table data
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L), path)
+    val existing = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    java.nio.file.Files.copy(existing.toPath,
+      java.nio.file.Paths.get(path, "stray-foreign-file.parquet"))
+    PortableDelta.write(df(3L), path, mode = "append")
+    val snap = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
+    assert(!snap.files.exists(_.path.contains("stray")),
+      s"foreign file leaked into the log: ${snap.files.map(_.path)}")
+    assert(PortableDelta.readTable(spark, path)
+      .select(sum(col("id"))).collect().head.getLong(0) == 6L,
+      "foreign rows must not appear in the table read")
+  }
+
   test("time travel: versionAsOf replays the state that WAS current; history lists commits") {
     val path = tmp()
     PortableDelta.write(df(1L, 2L), path)                       // v0
