@@ -362,14 +362,25 @@ object NearDup {
       .select(col(idName), coalesce(col("contaminated"), lit(false)).as("contaminated"))
   }
 
-  /** EXACT-substring (passage-level) duplication stats — the granularity
-    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
-    * Models Better"): for every `w`-codepoint sliding window at EVERY
-    * position (stride 1, so copies at any alignment are caught — the
-    * aligned-segment pass t11 runs misses an offset-by-one-word copy),
-    * count per document how many window positions carry text that also
-    * occurs in at least one OTHER document. Returns one row per eligible
-    * doc (length ≥ w): (id, n_windows, n_dup).
+  /** The shared substring-dedup state: `win` = every (id, pos, hash)
+    * sliding window (persisted — it feeds the candidate aggregate AND
+    * the per-doc totals), `dupPositions` = (id, pos) for every window
+    * position whose TEXT occurs in ≥ 2 distinct docs (persisted —
+    * [[substringDupStats]] and [[substringDupSpans]] both consume it),
+    * `release()` unpersists both. The candidate-text intermediate is
+    * materialized and released INSIDE [[substringDupWindows]] — it never
+    * outlives the call (the round-7 advice: stacked MEMORY_AND_DISK
+    * copies per invocation skewed interleaved bench passes). */
+  final case class SubstringDups(win: DataFrame, dupPositions: DataFrame,
+                                 release: () => Unit)
+
+  /** EXACT-substring (passage-level) duplicate-window detection — the
+    * granularity of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): for every `w`-codepoint sliding window at
+    * EVERY position (stride 1, so copies at any alignment are caught —
+    * the aligned-segment pass t11 runs misses an offset-by-one-word
+    * copy), find the positions whose window text also occurs in at
+    * least one OTHER document.
     *
     * Scale shape (100 TB): the corpus-wide shuffle carries (hash, id)
     * pairs only — 8-byte rolling Karp–Rabin hashes computed scan-stage
@@ -381,15 +392,10 @@ object NearDup {
     * routing noise the verify eliminates, so the answer is defined by
     * text equality alone. Within-doc repeats do NOT count as dups (the
     * distinct-doc bound), matching the cross-document contamination
-    * question.
-    *
-    * The windows frame is persisted: it feeds the candidate aggregate,
-    * the verify join, and the per-doc totals, and it sits over a
-    * non-cheap scan-stage expression (the m09/stac20 rule). Session-
-    * lifetime cache, released by the caller's session teardown. */
-  def substringDupStats(docs: DataFrame, w: Int = 64,
-                        idName: String = "doc_id",
-                        textName: String = "text"): DataFrame = {
+    * question. */
+  def substringDupWindows(docs: DataFrame, w: Int = 64,
+                          idName: String = "doc_id",
+                          textName: String = "text"): SubstringDups = {
     require(w >= 2, s"window must be >= 2, got $w")
     val eligible = docs.filter(length(col(textName)) >= w)
       .select(col(idName), col(textName))
@@ -404,7 +410,9 @@ object NearDup {
       .agg(countDistinct(col(idName)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("h"))
-    // candidates only: re-extract the window text for the exact verify
+    // candidates only: re-extract the window text for the exact verify.
+    // Persisted for the two consumers below, materialized eagerly, and
+    // unpersisted before returning — only win + dupPositions stay cached.
     val candText = win.join(cand, "h")
       .join(eligible, idName)
       .select(col(idName), col("pos"), col("h"),
@@ -414,11 +422,73 @@ object NearDup {
       .agg(countDistinct(col(idName)).as("ndt"))
       .filter(col("ndt") >= 2)
       .select(col("h"), col("wtext"))
-    val dupPerDoc = candText.join(trueDup, Seq("h", "wtext"))
-      .groupBy(col(idName)).agg(count(lit(1)).as("n_dup"))
-    win.groupBy(col(idName)).agg(count(lit(1)).as("n_windows"))
+    val dupPositions = candText.join(trueDup, Seq("h", "wtext"))
+      .select(col(idName), col("pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    dupPositions.count() // materialize, then drop the candidate texts
+    candText.unpersist()
+    SubstringDups(win, dupPositions,
+      () => { win.unpersist(); dupPositions.unpersist(); () })
+  }
+
+  /** Per-doc duplicated-window counts from [[substringDupWindows]] state:
+    * one row per eligible doc (length ≥ w): (id, n_windows, n_dup). */
+  def substringStatsFrom(sd: SubstringDups, idName: String = "doc_id"): DataFrame = {
+    val dupPerDoc = sd.dupPositions.groupBy(col(idName))
+      .agg(count(lit(1)).as("n_dup"))
+    sd.win.groupBy(col(idName)).agg(count(lit(1)).as("n_windows"))
       .join(dupPerDoc, Seq(idName), "left")
       .select(col(idName), col("n_windows"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
+  /** Per-doc substring-dup stats in one call: returns the (id,
+    * n_windows, n_dup) frame plus the release hook for the cached
+    * intermediates — call after materializing (the simhashPairs
+    * contract). */
+  def substringDupStats(docs: DataFrame, w: Int = 64,
+                        idName: String = "doc_id",
+                        textName: String = "text"): (DataFrame, () => Unit) = {
+    val sd = substringDupWindows(docs, w, idName, textName)
+    (substringStatsFrom(sd, idName), sd.release)
+  }
+
+  /** MAXIMAL duplicated spans from [[substringDupWindows]] state — the
+    * merge step Lee et al. 2022 apply after window detection: adjacent
+    * or overlapping duplicated `w`-windows in one document coalesce into
+    * a single span (two windows at positions p ≤ q belong to the same
+    * span iff q ≤ p + w, i.e. their character ranges touch or overlap).
+    * Returns one row per span: (id, span_start, span_end, span_chars),
+    * positions 1-based inclusive character coordinates (the SQL substr
+    * convention; a span covers substring(text, span_start, span_chars)).
+    *
+    * The merge is a classic gaps-and-islands pass: per-doc window over
+    * the dup positions (lag + running break-sum). The window partitions
+    * by doc id, so at 100 TB the state per task is one document's dup
+    * positions — bounded by doc length, never corpus-shaped. */
+  def substringSpansFrom(sd: SubstringDups, w: Int,
+                         idName: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col(idName)).orderBy(col("pos"))
+    // brk = 1 when this window's range does not touch the previous one's;
+    // lag is null on the first row → otherwise-branch 0 (same as the SQL
+    // CASE the oracle uses)
+    val brk = when(col("pos") > lag(col("pos"), 1).over(byDoc) + w, 1).otherwise(0)
+    sd.dupPositions
+      .withColumn("brk", brk)
+      .withColumn("span_id", sum(col("brk")).over(byDoc))
+      .groupBy(col(idName), col("span_id"))
+      .agg((min(col("pos")) + 1).as("span_start"),
+        (max(col("pos")) + lit(w.toLong)).as("span_end"))
+      .select(col(idName), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_chars"))
+  }
+
+  /** Maximal duplicated spans in one call: (spans, release). */
+  def substringDupSpans(docs: DataFrame, w: Int = 64,
+                        idName: String = "doc_id",
+                        textName: String = "text"): (DataFrame, () => Unit) = {
+    val sd = substringDupWindows(docs, w, idName, textName)
+    (substringSpansFrom(sd, w, idName), sd.release)
   }
 }

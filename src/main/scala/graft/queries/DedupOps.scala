@@ -119,6 +119,26 @@ object DedupOps {
   def releaseSimhash(s: SparkSession, dir: String): Unit =
     simhashCache.remove((s, dir)).foreach { case (_, release) => release() }
 
+  /** d18/d19's shared substring-window state (Karp–Rabin windows + verified
+    * dup positions), memoized per (session, dataset) like [[simhashCache]]:
+    * `NearDup.substringDupWindows` persists two frames and hands back a
+    * release hook; the round-7 advice flagged the original per-call form
+    * stacking fresh cached copies across interleaved bench passes. d18's
+    * stats and d19's span merge both read the one cached dup-position set. */
+  private val substringCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.operators.NearDup.SubstringDups]
+
+  private[queries] val substringW = 64
+
+  private[queries] def substringMemo(s: SparkSession, dir: String)
+      : graft.operators.NearDup.SubstringDups =
+    substringCache.getOrElseUpdate((s, dir),
+      graft.operators.NearDup.substringDupWindows(
+        Tables.t(s, dir, "documents"), w = substringW))
+
+  def releaseSubstring(s: SparkSession, dir: String): Unit =
+    substringCache.remove((s, dir)).foreach(_.release())
+
   /** Delegates to the user-callable operator (round-5 lift): the gate and
     * `Pipeline.nearDupPairs` run the SAME code, so the facade cannot drift
     * from the value-checked semantics. */
@@ -850,8 +870,8 @@ object DedupOps {
                CAST(sum(isd) AS DOUBLE) / count(*) AS dup_frac
         FROM m GROUP BY doc_id ORDER BY doc_id"""),
       (s, dir) => {
-        val out = graft.operators.NearDup.substringDupStats(
-            Tables.t(s, dir, "documents"), w = 64)
+        val out = graft.operators.NearDup
+          .substringStatsFrom(substringMemo(s, dir))
           .withColumn("dup_frac", col("n_dup").cast("double") / col("n_windows"))
           .orderBy(col("doc_id"))
           .persist()
@@ -865,7 +885,48 @@ object DedupOps {
         require(chk.getLong(0) > 0 && chk.getLong(1) > 0 && chk.getLong(2) > 0,
           s"degenerate substring-dup population: $chk")
         out
-      })
+      }),
+
+    // ----- MAXIMAL duplicated spans (suffix-window merge of d18) -----
+    // Lee et al. 2022 remove *maximal* duplicated substrings ≥ w, not
+    // fixed windows: adjacent/overlapping dup windows in one doc
+    // coalesce into a span (gaps-and-islands over the verified dup
+    // positions — per-doc window state, never corpus-shaped). The gate
+    // reports per-doc span stats; the oracle recomputes the windows,
+    // the dup decision, AND the island merge from substr/text equality
+    // alone, so a span boundary off by one character breaks the hash.
+    // Shares d18's memoized window state — the expensive rolling-hash
+    // pass runs once for both.
+    QuerySpec(
+      "d19_substring_spans",
+      Some("""
+        WITH e AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+             w AS (SELECT doc_id, u.i AS pos, substr(text, u.i, 64) AS wt
+                   FROM e, unnest(generate_series(1, length(text) - 63)) AS u(i)),
+             d AS (SELECT wt FROM w GROUP BY wt HAVING count(DISTINCT doc_id) >= 2),
+             p AS (SELECT w.doc_id, w.pos FROM w JOIN d ON w.wt = d.wt),
+             g AS (SELECT doc_id, pos,
+                          CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 64
+                               THEN 1 ELSE 0 END AS brk
+                   FROM p),
+             i AS (SELECT doc_id, pos,
+                          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                   FROM g),
+             sp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 63 AS span_end
+                    FROM i GROUP BY doc_id, span_id)
+        SELECT doc_id,
+               count(*) AS n_spans,
+               CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars,
+               CAST(max(span_end - span_start + 1) AS BIGINT) AS max_span_chars
+        FROM sp GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) =>
+        graft.operators.NearDup
+          .substringSpansFrom(substringMemo(s, dir), w = substringW)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("span_chars")).as("dup_chars"),
+            max(col("span_chars")).as("max_span_chars"))
+          .orderBy(col("doc_id")))
   )
 
   /** d12's allocation engine, separated so MixingSpec can fuzz it: split

@@ -108,25 +108,44 @@ object Cql2 {
           val (s1, e1) = tInterval(args(0))
           val (s2, e2) = tInterval(args(1))
           op match {
-            case "t_before"       => e1 < s2
-            case "t_after"        => s1 > e2
-            case "t_disjoint"     => e1 < s2 || s1 > e2
-            case "t_intersects"   => s1 <= e2 && e1 >= s2
-            case "t_equals"       => s1 === s2 && e1 === e2
-            case "t_during"       => s1 > s2 && e1 < e2
-            case "t_contains"     => s1 < s2 && e1 > e2
-            case "t_overlaps"     => s1 < s2 && e1 > s2 && e1 < e2
-            case "t_overlappedBy" => s1 > s2 && s1 < e2 && e1 > e2
-            case "t_meets"        => e1 === s2
-            case "t_metBy"        => s1 === e2
-            case "t_starts"       => s1 === s2 && e1 < e2
-            case "t_startedBy"    => s1 === s2 && e1 > e2
-            case "t_finishes"     => s1 > s2 && e1 === e2
-            case "t_finishedBy"   => s1 < s2 && e1 === e2
+            case "t_before"       => bLt(e1, s2)
+            case "t_after"        => bGt(s1, e2)
+            case "t_disjoint"     => bLt(e1, s2) || bGt(s1, e2)
+            case "t_intersects"   => bLe(s1, e2) && bGe(e1, s2)
+            case "t_equals"       => bEq(s1, s2) && bEq(e1, e2)
+            case "t_during"       => bGt(s1, s2) && bLt(e1, e2)
+            case "t_contains"     => bLt(s1, s2) && bGt(e1, e2)
+            case "t_overlaps"     => bLt(s1, s2) && bGt(e1, s2) && bLt(e1, e2)
+            case "t_overlappedBy" => bGt(s1, s2) && bLt(s1, e2) && bGt(e1, e2)
+            case "t_meets"        => bEq(e1, s2)
+            case "t_metBy"        => bEq(s1, e2)
+            case "t_starts"       => bEq(s1, s2) && bLt(e1, e2)
+            case "t_startedBy"    => bEq(s1, s2) && bGt(e1, e2)
+            case "t_finishes"     => bGt(s1, s2) && bEq(e1, e2)
+            case "t_finishedBy"   => bLt(s1, s2) && bEq(e1, e2)
           }
         case "s_intersects" | "s_disjoint" | "s_within" | "s_contains"
            | "s_equals" | "s_touches" | "s_crosses" | "s_overlaps" =>
           spatial(op, args(0), args(1))
+        // OGC CQL2 arithmetic class (21-065 "Arithmetic Expressions"):
+        // + - * / plus the advanced operators % (modulo, sign of the
+        // dividend — the Spark, DuckDB, and Postgres convention), div
+        // (integer division truncating toward zero) and ^
+        // (exponentiation). Arithmetic terms appear INSIDE comparisons
+        // — plain Column arithmetic, so a pushable predicate over an
+        // arithmetic of literals constant-folds in Catalyst and still
+        // reaches the scan.
+        case "+" => toColumn(args(0)) + toColumn(args(1))
+        case "-" =>
+          if (args.length == 1) negate(toColumn(args(0)))
+          else toColumn(args(0)) - toColumn(args(1))
+        case "*" => toColumn(args(0)) * toColumn(args(1))
+        case "/" => toColumn(args(0)) / toColumn(args(1))
+        case "%" => toColumn(args(0)) % toColumn(args(1))
+        case "div" =>
+          (toColumn(args(0)).cast("double") / toColumn(args(1)))
+            .cast("long")
+        case "^" => pow(toColumn(args(0)), toColumn(args(1)))
         case other => throw new IllegalArgumentException(s"unsupported CQL2 op: $other")
       }
     } else if (n.isObject && n.has("property")) {
@@ -148,29 +167,76 @@ object Cql2 {
 
   private def tsLit(s: String): Column = to_timestamp(lit(s))
 
-  /** CQL2's open-bound sentinels: ".." in an interval means unbounded;
-    * the distant-past/future timestamps make every comparison against an
-    * open bound vacuously true/false without null-logic special cases. */
-  private val TsOpenLo = "0001-01-01 00:00:00"
-  private val TsOpenHi = "9999-12-31 23:59:59"
+  /** An interval bound: finite (a Column), or TRULY unbounded (CQL2's
+    * ".." open bound). ±∞ are resolved at PARSE time — each of the 15
+    * Allen comparisons folds to a constant or a plain column compare, so
+    * finite/finite predicates stay pushable and an open bound can never
+    * mis-evaluate against extreme real timestamps (the round-7 advice on
+    * the previous sentinel-clamp encoding: a property inside the
+    * sentinel's final second compared wrongly). */
+  private sealed trait Bnd
+  private case object NegInf extends Bnd
+  private case object PosInf extends Bnd
+  private final case class Fin(c: Column) extends Bnd
+
+  /** The folded constant, but NULL when the finite operand is NULL — SQL
+    * three-valued logic survives the fold (`-∞ < x` is true for every
+    * KNOWN x; for unknown x the comparison is unknown, and the fuzz
+    * harness's independent DuckDB evaluation holds us to exactly that). */
+  private def nullT(c: Column): Column =
+    when(c.isNull, lit(null).cast("boolean")).otherwise(lit(true))
+  private def nullF(c: Column): Column =
+    when(c.isNull, lit(null).cast("boolean")).otherwise(lit(false))
+
+  private def bLt(a: Bnd, b: Bnd): Column = (a, b) match {
+    case (NegInf, NegInf)   => lit(false)
+    case (NegInf, Fin(y))   => nullT(y)
+    case (NegInf, PosInf)   => lit(true)
+    case (Fin(x), NegInf)   => nullF(x)
+    case (Fin(x), PosInf)   => nullT(x)
+    case (PosInf, Fin(y))   => nullF(y)
+    case (PosInf, _)        => lit(false)
+    case (Fin(x), Fin(y))   => x < y
+  }
+  private def bGt(a: Bnd, b: Bnd): Column = bLt(b, a)
+  private def bLe(a: Bnd, b: Bnd): Column = (a, b) match {
+    case (NegInf, NegInf)   => lit(true)
+    case (NegInf, Fin(y))   => nullT(y)
+    case (NegInf, PosInf)   => lit(true)
+    case (Fin(x), NegInf)   => nullF(x)
+    case (Fin(x), PosInf)   => nullT(x)
+    case (PosInf, Fin(y))   => nullF(y)
+    case (PosInf, NegInf)   => lit(false)
+    case (PosInf, PosInf)   => lit(true)
+    case (Fin(x), Fin(y))   => x <= y
+  }
+  private def bGe(a: Bnd, b: Bnd): Column = bLe(b, a)
+  private def bEq(a: Bnd, b: Bnd): Column = (a, b) match {
+    case (NegInf, NegInf)   => lit(true)
+    case (PosInf, PosInf)   => lit(true)
+    case (Fin(x), Fin(y))   => x === y
+    case (Fin(x), _)        => nullF(x)
+    case (_, Fin(y))        => nullF(y)
+    case _                  => lit(false)
+  }
 
   /** A temporal operand as a closed interval (start, end): an instant
     * (property reference, {"timestamp"}, {"date"}) is the degenerate
     * [t, t]; {"interval": [lo, hi]} takes each bound from a
     * timestamp/date string, a nested {"property"} reference (the
     * start_datetime/end_datetime shape STAC interval properties use),
-    * or ".." (unbounded). */
-  private def tInterval(n: JsonNode): (Column, Column) =
+    * or ".." (unbounded → ±∞, folded at parse time). */
+  private def tInterval(n: JsonNode): (Bnd, Bnd) =
     if (n.isObject && n.has("interval")) {
       val iv = n.get("interval")
-      def bound(b: JsonNode, open: String): Column =
-        if (b.isTextual && b.asText == "..") tsLit(open)
-        else if (b.isTextual) tsLit(b.asText)
-        else toColumn(b)
-      (bound(iv.get(0), TsOpenLo), bound(iv.get(1), TsOpenHi))
+      def bound(b: JsonNode, open: Bnd): Bnd =
+        if (b.isTextual && b.asText == "..") open
+        else if (b.isTextual) Fin(tsLit(b.asText))
+        else Fin(toColumn(b))
+      (bound(iv.get(0), NegInf), bound(iv.get(1), PosInf))
     } else {
       val c = toColumn(n)
-      (c, c)
+      (Fin(c), Fin(c))
     }
 
   private val stripAccents = udf { (s: String) =>

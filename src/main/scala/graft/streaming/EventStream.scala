@@ -17,15 +17,32 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** The events schema as the CURRENT generator writes it
+    * (TIMESTAMP(MICROS)) — the fallback when [[readEvents]]' footer probe
+    * finds no files yet (a stream may legally start over an empty
+    * directory primed later; the probe would throw "unable to infer
+    * schema"). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** File-source stream over an events directory. A file stream needs its
     * schema up front; the physical `ts` type depends on how the source
     * parquet was generated (TIMESTAMP(NANOS)→Long under nanosAsLong, or
     * TIMESTAMP(MICROS)→timestamp/ntz), so take it from one driver-side
     * footer read of the directory and normalize `ts` to µs TimestampType
     * either way — the same dual-shape contract as `Tables.events`. The
-    * probe is O(footers), not a scan. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(dir).schema
+    * probe is O(footers), not a scan; pass `schema` explicitly (or prime
+    * the directory) when the source starts empty AND its eventual shape
+    * is not [[eventsSchema]]. */
+  def readEvents(spark: SparkSession, dir: String,
+                 schema: Option[StructType] = None): DataFrame = {
+    val fileSchema = schema.getOrElse(
+      try spark.read.parquet(dir).schema
+      catch { // no files yet (empty or missing dir): start on the static shape
+        case _: org.apache.spark.sql.AnalysisException => eventsSchema
+      })
     val raw = spark.readStream.schema(fileSchema).parquet(dir)
     fileSchema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

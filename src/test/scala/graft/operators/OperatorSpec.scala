@@ -312,7 +312,8 @@ class OperatorSpec extends AnyFunSuite {
       // too short for any window: must simply be absent (not a crash)
       (5L, "tiny")
     ).toDF("doc_id", "text")
-    val rows = graft.operators.NearDup.substringDupStats(docs, w = w)
+    val sd = graft.operators.NearDup.substringDupWindows(docs, w = w)
+    val rows = graft.operators.NearDup.substringStatsFrom(sd)
       .orderBy("doc_id")
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(!rows.contains(5L), "sub-window doc must be excluded")
@@ -326,6 +327,20 @@ class OperatorSpec extends AnyFunSuite {
     // totals: len - w + 1
     assert(rows(4L)._1 ==
       "nothing in common with anything else whatsoever at all!".length - w + 1)
+    // the span merge must coalesce the 20 overlapping dup windows per doc
+    // into ONE maximal span covering the shared passage + flanking spaces
+    // (35 chars), at the right 1-based offsets in each doc
+    val spans = graft.operators.NearDup.substringSpansFrom(sd, w)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(spans.map(_._1).toSeq == Seq(1L, 2L), s"span docs: ${spans.toSeq}")
+    val d1 = spans.find(_._1 == 1L).get._2
+    val d2 = spans.find(_._1 == 2L).get._2
+    // doc 1: "AAAA " is 5 chars → shared " passage " region starts at 5
+    assert(d1 == ((5L, 39L, 35L)), s"doc 1 span: $d1")
+    // doc 2: "completely different opening words" is 34 chars → starts at 35
+    assert(d2 == ((35L, 69L, 35L)), s"doc 2 span: $d2")
+    sd.release()
   }
 
   test("RollingHashes equals the per-window Horner brute force") {

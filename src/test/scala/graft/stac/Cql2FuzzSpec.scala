@@ -246,10 +246,40 @@ class Cql2FuzzSpec extends AnyFunSuite {
     (s"""{"op":"$op","args":[{"property":"bbox"},{"bbox":[$x0,$y0,$x1,$y1]}]}""", sql)
   }
 
+  // ------------------------- arithmetic class (OGC 21-065 arithmetic)
+  // Arithmetic terms inside comparisons: (prop ∘ k) cmp lit and the
+  // nested ((prop ∘ k1) ∘ k2) cmp lit. Divisors/moduli are nonzero by
+  // construction (both engines' div-by-zero behaviors differ and the
+  // spec leaves it undefined); long terms stay far from overflow; double
+  // terms live on a 0.25 grid, and + - * / are single IEEE ops — both
+  // engines produce bit-identical doubles, so even `=` comparisons are
+  // engine-stable. `div`/`^`/unary minus are pinned in Cql2Spec instead
+  // (DuckDB's // and pow have engine-specific corners).
+  private val genArith: Gen[P] = for {
+    useV <- Gen.oneOf(true, false)
+    (cop, sop) <- Gen.oneOf(cmpOps)
+    aop <- if (useV) Gen.oneOf("+", "-", "*", "%") else Gen.oneOf("+", "-", "*", "/")
+    k0 <- Gen.choose(1, 5)
+    sign <- Gen.oneOf(1, -1)
+    nest <- Gen.oneOf(true, false, false)
+    aop2 <- Gen.oneOf("+", "-", "*")
+    k2 <- Gen.choose(-4, 4)
+    lit2 <- if (useV) genLong.map(_.toString) else genDouble.map(_.toString)
+  } yield {
+    val prop = if (useV) "v" else "w"
+    val k = k0 * sign
+    val inner = (s"""{"op":"$aop","args":[{"property":"$prop"},$k]}""",
+      s"($prop $aop $k)")
+    val term =
+      if (!nest) inner
+      else (s"""{"op":"$aop2","args":[${inner._1},$k2]}""", s"(${inner._2} $aop2 $k2)")
+    (s"""{"op":"$cop","args":[${term._1},$lit2]}""", s"(${term._2} $sop $lit2)")
+  }
+
   private val genLeaf: Gen[P] = Gen.frequency(
     4 -> genNumCmp, 3 -> genStrCmp, 2 -> genBetween, 2 -> genIn,
     2 -> genLike, 1 -> genIsNull, 2 -> genTemporal, 2 -> genArrayOp,
-    2 -> genSpatial)
+    2 -> genSpatial, 2 -> genArith)
 
   private def genPred(depth: Int): Gen[P] =
     if (depth <= 0) genLeaf

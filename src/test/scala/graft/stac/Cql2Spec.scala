@@ -54,6 +54,56 @@ class Cql2Spec extends AnyFunSuite {
     assert(ids(cql) == Seq("a", "d"))
   }
 
+  test("arithmetic: + - * / % div ^ inside comparisons") {
+    // cloud covers: a=5.0 b=40.0 c=0.5 d=19.9
+    assert(ids("""{"op":">","args":[{"op":"+","args":[{"property":"eo:cloud_cover"},10]},25]}""") ==
+      Seq("b", "d"))
+    assert(ids("""{"op":"<","args":[{"op":"-","args":[{"property":"eo:cloud_cover"},0.5]},0.1]}""") ==
+      Seq("c"))
+    assert(ids("""{"op":">=","args":[{"op":"*","args":[{"property":"eo:cloud_cover"},2]},39.8]}""") ==
+      Seq("b", "d"))
+    assert(ids("""{"op":"=","args":[{"op":"/","args":[{"property":"eo:cloud_cover"},2]},2.5]}""") ==
+      Seq("a"))
+    // % keeps the dividend's sign (Spark/DuckDB/Postgres convention)
+    assert(ids("""{"op":"=","args":[{"op":"%","args":[{"property":"eo:cloud_cover"},2]},1.0]}""") ==
+      Seq("a"))
+    // div truncates toward zero; 40 div 6 = 6, 19.9 div 6 = 3
+    assert(ids("""{"op":"=","args":[{"op":"div","args":[{"property":"eo:cloud_cover"},6]},3]}""") ==
+      Seq("d"))
+    // ^ is exponentiation: 0.5^2 = 0.25 (exact in binary floating point)
+    assert(ids("""{"op":"=","args":[{"op":"^","args":[{"property":"eo:cloud_cover"},2]},0.25]}""") ==
+      Seq("c"))
+    // unary minus; nested arithmetic precedence comes from the AST shape
+    assert(ids("""{"op":"<","args":[{"op":"-","args":[{"property":"eo:cloud_cover"}]},-30]}""") ==
+      Seq("b"))
+    assert(ids("""{"op":"=","args":[{"op":"*","args":[{"op":"+","args":[{"property":"eo:cloud_cover"},5]},2]},20]}""") ==
+      Seq("a"))
+  }
+
+  test("truly open interval bounds: extreme timestamps compare correctly") {
+    // a row INSIDE the old sentinel's final second (9999-12-31 23:59:59.5)
+    // and one before year 1 sentinel semantics could bite — the round-7
+    // advice: sentinel clamping evaluated these wrongly against ".."
+    val far = Seq(("x", "9999-12-31T23:59:59.5Z"), ("y", "2020-01-01T00:00:00Z"))
+      .toDF("id", "s").select(col("id"), to_timestamp(col("s")).as("datetime"))
+    def fids(cql: String): Seq[String] =
+      far.filter(Cql2.filter(cql)).select("id").as[String].collect().toSeq.sorted
+    // t_before(datetime, [.., 2021]): x (year 9999) must NOT pass; with
+    // the old hi-sentinel encoding this was decided against 23:59:59.0
+    assert(fids("""{"op":"t_intersects","args":[{"property":"datetime"},
+      {"interval":["..","2021-01-01T00:00:00Z"]}]}""") == Seq("y"))
+    // open upper bound: everything from 2021 on intersects, including the
+    // final-second row the sentinel clamp would have excluded
+    assert(fids("""{"op":"t_intersects","args":[{"property":"datetime"},
+      {"interval":["2021-01-01T00:00:00Z",".."]}]}""") == Seq("x"))
+    // fully open interval intersects every instant
+    assert(fids("""{"op":"t_intersects","args":[{"property":"datetime"},
+      {"interval":["..",".."]}]}""") == Seq("x", "y"))
+    // an instant can never be BEFORE an interval open at the low end
+    assert(fids("""{"op":"t_before","args":[{"property":"datetime"},
+      {"interval":["..","2021-01-01T00:00:00Z"]}]}""") == Seq())
+  }
+
   test("like and isNull") {
     assert(ids("""{"op":"like","args":[{"property":"collection"},"s%"]}""") == Seq("a", "b", "d"))
     assert(ids("""{"op":"not","args":[{"op":"isNull","args":[{"property":"id"}]}]}""") ==
