@@ -478,8 +478,8 @@ object NearDup {
       .withColumn("brk", brk)
       .withColumn("span_id", sum(col("brk")).over(byDoc))
       .groupBy(col(idName), col("span_id"))
-      .agg((min(col("pos")) + 1).as("span_start"),
-        (max(col("pos")) + lit(w.toLong)).as("span_end"))
+      .agg((min(col("pos")) + 1).cast("long").as("span_start"),
+        (max(col("pos")).cast("long") + w).as("span_end"))
       .select(col(idName), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_chars"))
   }

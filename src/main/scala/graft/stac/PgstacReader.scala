@@ -94,11 +94,13 @@ object PgstacReader {
       startDatetime: Option[String] = None,
       endDatetime: Option[String] = None,
       numPartitions: Int = 16,
-      cql2Json: Option[String] = None): DataFrame = {
+      cql2Json: Option[String] = None,
+      fetchsize: Int = 10000): DataFrame = {
+    require(fetchsize >= 1, s"fetchsize must be >= 1, got $fetchsize")
     val base = spark.read.format("jdbc")
       .option("url", jdbcUrl)
       .option("dbtable", s"(${itemsSql(collection, startDatetime, endDatetime, cql2Json)}) q")
-      .option("fetchsize", 10000)
+      .option("fetchsize", fetchsize)
     val partitioned = (startDatetime, endDatetime) match {
       case (Some(lo), Some(hi)) =>
         base.option("partitionColumn", "datetime")

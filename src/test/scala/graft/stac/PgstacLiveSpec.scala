@@ -246,4 +246,139 @@ class PgstacLiveSpec extends AnyFunSuite {
     assert(spark.read.parquet(written(1)).select("id").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("s1", "s2"))
   }
+
+  test("named-cursor chunking: the read drains batch-wise at the declared fetchsize") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    // The reference streams items through a server-side named cursor
+    // fetching itersize=10000 rows per round trip (pgstac_reader.py:163).
+    // The JDBC analog is statement fetchSize: this leg interposes a
+    // recording proxy driver between Spark and the stand-in database and
+    // asserts (a) the fetchsize reaches the statement BEFORE execution,
+    // (b) the result drains through ceil(rows / fetchsize) simulated
+    // round trips — i.e. batch-wise cursor paging, not one row-at-a-time
+    // re-query and not an unbounded single slurp the server must buffer.
+    FetchRecordingDriver.ensureRegistered()
+    FetchRecordingDriver.clear()
+    val got = PgstacReader.readItems(spark, s"jdbc:graftrec:$dbPath", fetchsize = 2)
+    assert(got.count() == 6)
+    val dataRecs = FetchRecordingDriver.finished.filter(_.rows > 0)
+    assert(dataRecs.nonEmpty, "the recording proxy saw no data query")
+    val items = dataRecs.filter(_.sql.contains("FROM items"))
+    assert(items.nonEmpty, s"no items query recorded: ${dataRecs.map(_.sql)}")
+    items.foreach { r =>
+      assert(r.fetchSize == 2,
+        s"fetchsize must be set on the statement before execute, got ${r.fetchSize}")
+      assert(r.rows == 6)
+      assert(r.batches == 3, // ceil(6 rows / fetchsize 2)
+        s"expected 3 fetch round-trips for 6 rows at fetchsize 2, got ${r.batches}")
+    }
+    // and the DEFAULT path pins the reference's itersize contract
+    FetchRecordingDriver.clear()
+    PgstacReader.readItems(spark, s"jdbc:graftrec:$dbPath").count()
+    val dflt = FetchRecordingDriver.finished.filter(r => r.rows > 0 && r.sql.contains("FROM items"))
+    assert(dflt.nonEmpty && dflt.forall(_.fetchSize == 10000),
+      s"default fetchsize must be the reference's itersize=10000: ${dflt.map(_.fetchSize)}")
+    assert(dflt.forall(_.batches == 1), "6 rows fit one 10000-row fetch")
+  }
+}
+
+/** A java.sql proxy driver (`jdbc:graftrec:<duckdb path>`) that records
+  * per-query fetchSize, row count, and SIMULATED fetch round-trips
+  * (a new batch every `fetchSize` rows drained — the named-cursor
+  * accounting a real Postgres server would do). Dynamic proxies over the
+  * java.sql interfaces; everything else passes through to DuckDB. */
+object FetchRecordingDriver {
+  final class Rec(val sql: String, val fetchSize: Int) {
+    @volatile var rows: Long = 0
+    @volatile var batches: Long = 0
+  }
+  private val recs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[Rec]())
+  def finished: Seq[Rec] = {
+    import scala.jdk.CollectionConverters._
+    recs.synchronized { recs.asScala.toList }
+  }
+  def clear(): Unit = recs.synchronized { recs.clear() }
+
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def ensureRegistered(): Unit =
+    if (registered.compareAndSet(false, true))
+      java.sql.DriverManager.registerDriver(new GraftRecordingJdbcDriver)
+
+  private[stac] val Prefix = "jdbc:graftrec:"
+
+  private[stac] def invoke(target: AnyRef, m: java.lang.reflect.Method,
+                           args: Array[AnyRef]): AnyRef =
+    try { if (args == null) m.invoke(target) else m.invoke(target, args: _*) }
+    catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+
+  private[stac] def proxyConn(real: java.sql.Connection): java.sql.Connection =
+    java.lang.reflect.Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]),
+      (_, m, args) => {
+        val res = invoke(real, m, args)
+        m.getName match {
+          case "prepareStatement" =>
+            proxyStmt(res.asInstanceOf[java.sql.PreparedStatement],
+              classOf[java.sql.PreparedStatement], args(0).asInstanceOf[String])
+          case "createStatement" =>
+            proxyStmt(res.asInstanceOf[java.sql.Statement],
+              classOf[java.sql.Statement], null)
+          case _ => res
+        }
+      }).asInstanceOf[java.sql.Connection]
+
+  private def proxyStmt[T <: java.sql.Statement](real: T, iface: Class[T],
+                                                 preparedSql: String): T = {
+    val fetchSize = new java.util.concurrent.atomic.AtomicInteger(0)
+    java.lang.reflect.Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(iface),
+      (_, m, args) => {
+        if (m.getName == "setFetchSize") fetchSize.set(args(0).asInstanceOf[Integer])
+        val res = invoke(real, m, args)
+        m.getName match {
+          case "executeQuery" =>
+            val sql = if (args != null && args.nonEmpty) args(0).asInstanceOf[String]
+              else preparedSql
+            val rec = new Rec(if (sql == null) "" else sql, fetchSize.get())
+            recs.add(rec)
+            proxyRs(res.asInstanceOf[java.sql.ResultSet], rec)
+          case _ => res
+        }
+      }).asInstanceOf[T]
+  }
+
+  private def proxyRs(real: java.sql.ResultSet, rec: Rec): java.sql.ResultSet =
+    java.lang.reflect.Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.ResultSet]),
+      (_, m, args) => {
+        val res = invoke(real, m, args)
+        if (m.getName == "next" && res == java.lang.Boolean.TRUE) {
+          // a new simulated server round-trip every fetchSize rows; a
+          // fetchSize of 0 means "driver default" = one unbounded slurp
+          if (rec.fetchSize > 0 && rec.rows % rec.fetchSize == 0) rec.batches += 1
+          else if (rec.fetchSize <= 0 && rec.rows == 0) rec.batches = 1
+          rec.rows += 1
+        }
+        res
+      }).asInstanceOf[java.sql.ResultSet]
+}
+
+/** Top-level (Spark's DriverRegistry re-registers the driver by its
+  * CANONICAL class name, which must equal the binary name — a nested
+  * class would not resolve). Delegates all recording to
+  * [[FetchRecordingDriver]]. */
+final class GraftRecordingJdbcDriver extends java.sql.Driver {
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith(FetchRecordingDriver.Prefix)
+  override def connect(url: String, info: java.util.Properties): java.sql.Connection =
+    if (!acceptsURL(url)) null
+    else FetchRecordingDriver.proxyConn(java.sql.DriverManager.getConnection(
+      "jdbc:duckdb:" + url.stripPrefix(FetchRecordingDriver.Prefix), info))
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getPropertyInfo(u: String, i: java.util.Properties): Array[java.sql.DriverPropertyInfo] =
+    Array.empty
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger = throw new java.sql.SQLFeatureNotSupportedException()
 }

@@ -112,11 +112,13 @@ class PortableDeltaSpec extends AnyFunSuite {
     val e1 = intercept[IllegalArgumentException] { PortableDelta.write(df(2L), path) }
     assert(e1.getMessage.contains("already exists"))
     // a racing writer that computed the same next version must hit the
-    // put-if-absent guard, not clobber the existing commit file
-    val e2 = intercept[IllegalArgumentException] {
+    // put-if-absent guard, not clobber the existing commit file — and the
+    // signal is the typed conflict write() rebases on
+    val e2 = intercept[PortableDelta.ConcurrentCommitException] {
       PortableDelta.commit(spark.sessionState.newHadoopConf(), path, 0, Seq.empty)
     }
-    assert(e2.getMessage.contains("commit 0 already exists"))
+    assert(e2.getMessage.contains("concurrent commit") ||
+      e2.getMessage.contains("already exists"))
   }
 
   test("non-contiguous log is rejected, not silently replayed") {
@@ -389,5 +391,218 @@ class PortableDeltaSpec extends AnyFunSuite {
     val snap = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
     assert(snap.configuration.contains("geo"))
     assert(PortableDelta.readTable(spark, path).count() == items.count())
+  }
+
+  test("optimistic concurrency: two interleaved writers all land, replay is consistent") {
+    val path = tmp()
+    PortableDelta.write(df(0L), path) // v0
+    val perWriter = 5
+    // two threads append concurrently; every commit conflict must rebase
+    // and land at the next version — no lost writes, no clobbered log
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = Seq("a", "b").map { w =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          override def call(): Seq[Long] = (0 until perWriter).map { i =>
+            PortableDelta.write(df(1000L * (w.head - 'a' + 1) + i), path, mode = "append")
+          }
+        })
+      }
+      val versions = tasks.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // all 10 commits landed at DISTINCT versions 1..10
+      assert(versions.sorted == (1L to (2 * perWriter)).toSeq,
+        s"commit versions: ${versions.sorted}")
+    } finally pool.shutdown()
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    val want = (Seq(0L) ++ (0 until perWriter).flatMap(i => Seq(1000L + i, 2000L + i))).sorted
+    assert(got == want, "every writer's rows must be present exactly once")
+    // no orphan part files: every parquet in the root is log-visible
+    val snap = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk == snap.files.map(_.path).toSet)
+  }
+
+  test("optimistic concurrency: racing txn writers — one lands, the loser withdraws") {
+    val path = tmp()
+    PortableDelta.write(df(0L), path) // v0
+    // both writers deliver THE SAME batch (appId, batchId) — the crash-
+    // replay/zombie-executor shape; exactly one copy may commit
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            PortableDelta.write(df(42L), path, mode = "append", txn = Some(("app", 7L)))
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val rows = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(0L, 42L), s"the batch must land EXACTLY once, got $rows")
+    // the loser's withdrawn part file must not linger in the table root
+    val snap = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(onDisk == snap.files.map(_.path).toSet,
+      "withdrawn staged files must be deleted, not orphaned")
+    assert(snap.txns("app") == 7L)
+  }
+
+  test("multi-part checkpoint WRITE: sharded parts, own + external-shaped read-back") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L).coalesce(1), path, properties = Map("k" -> "v"))
+    (0 until 4).foreach(i => PortableDelta.write(df(10L + i).coalesce(1), path, mode = "append"))
+    // force sharding: 5 live files at 2 adds/part → 3 parts
+    val cv = PortableDelta.checkpoint(spark, path, addsPerPart = 2)
+    assert(cv == 4)
+    val logDir = new java.io.File(s"$path/_delta_log")
+    val parts = logDir.listFiles().map(_.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")).sorted
+    assert(parts.length >= 2, s"expected multi-part checkpoint, got ${parts.toSeq}")
+    val lc = mapper.readTree(scala.io.Source
+      .fromFile(s"$path/_delta_log/_last_checkpoint").mkString)
+    assert(lc.get("version").asLong() == 4 && lc.get("parts").asInt() == parts.length)
+    // every declared part exists under the spec naming <v>.checkpoint.<i>.<n>
+    (1 to parts.length).foreach { i =>
+      assert(new java.io.File(logDir,
+        f"$cv%020d.checkpoint.$i%010d.${parts.length}%010d.parquet").isFile)
+    }
+    // external expectation: ALL parts together hold exactly one protocol,
+    // one metaData, and the 5 add rows, under the full action schema
+    val rows = spark.read.parquet(parts.map(p => s"$path/_delta_log/$p").toSeq: _*)
+    assert(rows.columns.sorted.toSeq == Seq("add", "metaData", "protocol", "remove", "txn"))
+    assert(rows.filter(col("protocol").isNotNull).count() == 1)
+    assert(rows.filter(col("metaData").isNotNull).count() == 1)
+    assert(rows.filter(col("add").isNotNull).count() == 5)
+    // truncate the JSON tail: replay must come from the parts alone
+    assert(PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path) == 5)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.version == 4 && snap.configuration("k") == "v" && snap.files.size == 5)
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 10L, 11L, 12L, 13L))
+    // and the NEXT checkpoint reseeds from the multi-part state (the
+    // checkpoint→checkpoint DataFrame path), then compacts to one part
+    PortableDelta.write(df(99L), path, mode = "append")
+    val cv2 = PortableDelta.checkpoint(spark, path)
+    assert(cv2 == 5)
+    assert(new java.io.File(logDir, f"$cv2%020d.checkpoint.parquet").isFile)
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 10L, 11L, 12L, 13L, 99L))
+  }
+
+  test("deletion vectors: codec round-trips, including multi-bitmap 64-bit indexes") {
+    val idx = Seq(0L, 1L, 63L, 100000L, (1L << 32) + 5L, (1L << 33) + 7L)
+    val dv = DeletionVectors.deserialize(DeletionVectors.serialize(idx))
+    idx.foreach(i => assert(dv.contains(i), s"index $i must be deleted"))
+    Seq(2L, 64L, 99999L, (1L << 32) + 4L, (1L << 34)).foreach(i =>
+      assert(!dv.contains(i), s"index $i must NOT be deleted"))
+    assert(dv.cardinality == idx.size)
+    // z85 round-trip
+    val bytes = Array.tabulate(32)(i => (i * 7 - 100).toByte)
+    assert(DeletionVectors.z85Decode(DeletionVectors.z85Encode(bytes)).toSeq == bytes.toSeq)
+  }
+
+  test("deletion vectors: external log with an INLINE DV reads back minus deleted rows") {
+    val path = tmp()
+    PortableDelta.write(df(0L, 1L, 2L, 3L, 4L).coalesce(1), path) // ONE part file
+    // row order within the file is whatever the committer wrote; derive
+    // the victim ids FROM physical positions so the check is exact
+    val snap0 = PortableDelta.snapshot(spark.sessionState.newHadoopConf(), path)
+    assert(snap0.files.size == 1)
+    val file = snap0.files.head
+    val physical = spark.read.parquet(s"$path/${file.path}")
+      .select(col("_metadata.row_index"), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deadPositions = Seq(1L, 3L)
+    val deadIds = deadPositions.map(physical)
+    // synthesize the external commit: protocol upgrade to reader v3 +
+    // deletionVectors, and a re-add of the same file carrying the DV
+    val (z85, sizeInBytes, card) = DeletionVectors.inlineDescriptor(deadPositions)
+    val proto = mapper.createObjectNode()
+    val p = proto.putObject("protocol")
+    p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    p.putArray("readerFeatures").add("deletionVectors")
+    p.putArray("writerFeatures").add("deletionVectors")
+    val addN = mapper.createObjectNode()
+    val a = addN.putObject("add")
+    a.put("path", file.path); a.putObject("partitionValues")
+    a.put("size", file.size); a.put("modificationTime", file.modificationTime)
+    a.put("dataChange", false)
+    val d = a.putObject("deletionVector")
+    d.put("storageType", "i"); d.put("pathOrInlineDv", z85)
+    d.put("sizeInBytes", sizeInBytes); d.put("cardinality", card)
+    PortableDelta.commit(spark.sessionState.newHadoopConf(), path, 1, Seq(proto, addN))
+    // current read: deleted positions gone, value-checked
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (Seq(0L, 1L, 2L, 3L, 4L) diff deadIds).sorted,
+      s"DV must hide exactly ids $deadIds, got $got")
+    // time travel BEFORE the delete still sees all rows
+    assert(PortableDelta.readTable(spark, path, 0L).count() == 5)
+  }
+
+  test("deletion vectors: on-disk DV FILE (storageType u) with CRC reads back") {
+    val path = tmp()
+    PortableDelta.write(df(10L, 11L, 12L, 13L).coalesce(1), path)
+    val conf = spark.sessionState.newHadoopConf()
+    val snap0 = PortableDelta.snapshot(conf, path)
+    val file = snap0.files.head
+    val physical = spark.read.parquet(s"$path/${file.path}")
+      .select(col("_metadata.row_index"), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val deadPositions = Seq(0L, 2L)
+    val deadIds = deadPositions.map(physical)
+    val (uuidZ85, offset, sizeInBytes, card) =
+      DeletionVectors.writeDvFile(conf, path, deadPositions)
+    val proto = mapper.createObjectNode()
+    val p = proto.putObject("protocol")
+    p.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    p.putArray("readerFeatures").add("deletionVectors")
+    val addN = mapper.createObjectNode()
+    val a = addN.putObject("add")
+    a.put("path", file.path); a.putObject("partitionValues")
+    a.put("size", file.size); a.put("modificationTime", file.modificationTime)
+    a.put("dataChange", false)
+    val d = a.putObject("deletionVector")
+    d.put("storageType", "u"); d.put("pathOrInlineDv", uuidZ85)
+    d.put("offset", offset); d.put("sizeInBytes", sizeInBytes)
+    d.put("cardinality", card)
+    PortableDelta.commit(conf, path, 1, Seq(proto, addN))
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (Seq(10L, 11L, 12L, 13L) diff deadIds).sorted)
+    // a DV table survives checkpoint + truncation: the descriptor rides
+    // the checkpoint's add struct
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(conf, path)
+    val got2 = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got2 == got, "DV must survive checkpoint-seeded replay")
+  }
+
+  test("history survives checkpoint + cleanupLog via the sidecar") {
+    val path = tmp()
+    PortableDelta.write(df(1L), path)                        // v0 CREATE
+    PortableDelta.write(df(2L), path, mode = "append")       // v1 append
+    PortableDelta.write(df(9L), path, mode = "overwrite")    // v2 overwrite
+    val conf = spark.sessionState.newHadoopConf()
+    val before = PortableDelta.history(conf, path)
+    assert(before.map(_._1) == Seq(2L, 1L, 0L))
+    PortableDelta.checkpoint(spark, path)
+    assert(PortableDelta.cleanupLog(conf, path) == 3)
+    // all three versions still listed, operations intact, newest first
+    val after = PortableDelta.history(conf, path)
+    assert(after.map(_._1) == Seq(2L, 1L, 0L), s"history after cleanup: $after")
+    assert(after.map(_._2) ==
+      Seq("WRITE (overwrite)", "WRITE (append)", "CREATE TABLE AS SELECT"))
+    assert(after.forall(_._3 > 0), "timestamps must survive the harvest")
+    // commits after truncation append to the merged view
+    PortableDelta.write(df(3L), path, mode = "append")       // v3
+    assert(PortableDelta.history(conf, path).map(_._1) == Seq(3L, 2L, 1L, 0L))
   }
 }
