@@ -1359,6 +1359,73 @@ object StacOps {
             ((col("o_orderkey") % 100).cast("double") / 4).as("cloud"))
           .filter(graft.stac.Cql2.filter(cql))
           .orderBy(col("id"))
-      })
+      }),
+
+    // ----- Delta DELETE via deletion vectors: mutate without rewrite -----
+    // The 100-TB delete path: rows die by position in per-file roaring
+    // bitmaps (the published Delta DV protocol), the parquet bytes are
+    // never rewritten — a predicate clipping 10% of rows in EVERY file
+    // would force a full-table rewrite under copy-on-write. Two stacked
+    // deletes (categorical, then an overlapping range) prove DV union;
+    // the in-gate requires pin the contract the oracle can't see: the
+    // on-disk part-file set is byte-identical before/after, the protocol
+    // upgraded to table-features (3/7, deletionVectors), v0 time travel
+    // still reads every pre-delete row, and the final value-checked read
+    // goes through checkpoint-seeded replay AFTER log truncation.
+    QuerySpec(
+      "stac25_delta_delete",
+      Some("""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS dv_ok
+        FROM orders
+        WHERE o_orderstatus <> 'F' AND o_totalprice >= 50000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartition(8, col("o_orderkey")) // hash-mixed files: every stratum in every file
+        val out = java.nio.file.Files.createTempDirectory("stac25").toString + "/tbl"
+        PortableDelta.write(orders, out)
+        val conf = s.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+        def partsOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSet
+        val before = partsOnDisk
+        val total = PortableDelta.readTable(s, out).count()
+        val d1 = PortableDelta.delete(s, out, col("o_orderstatus") === "F")
+        val d2 = PortableDelta.delete(s, out, col("o_totalprice") < 50000.0)
+        require(d1.deletedRows > 0 && d2.deletedRows > 0,
+          "gate needs both deletes to bite")
+        require(d1.removedFiles == 0 && d2.removedFiles == 0,
+          "hash-mixed files each hold every stratum; none should fully die")
+        require(partsOnDisk == before,
+          "DELETE must not rewrite or add data files — the DV contract")
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.minReaderVersion == 3 && snap.minWriterVersion == 7 &&
+          snap.readerFeatures == Seq("deletionVectors"),
+          s"protocol must carry the deletionVectors feature, got " +
+            s"${snap.minReaderVersion}/${snap.minWriterVersion}/${snap.readerFeatures}")
+        require(snap.files.forall(_.dv.isDefined),
+          "both deletes hit every hash-mixed file: each must carry a DV")
+        require(PortableDelta.readTable(s, out, 0L).count() == total,
+          "versionAsOf 0 must still see every pre-delete row")
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.cleanupLog(conf, out)
+        PortableDelta.readTable(s, out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("dv_ok", lit(true))
+          .orderBy(col("o_orderstatus"))
+      },
+      timed = false)
   )
 }

@@ -87,12 +87,33 @@ object DeletionVectors {
   /** A decoded deletion vector: membership test over 64-bit row indexes.
     * Serializable (RoaringBitmap is Externalizable) so it can ride a
     * broadcast to probe tasks. */
-  final class Dv(private val bitmaps: Array[RoaringBitmap]) extends Serializable {
+  final class Dv(private[stac] val bitmaps: Array[RoaringBitmap]) extends Serializable {
     def contains(rowIndex: Long): Boolean = {
       val hi = (rowIndex >>> 32).toInt
       hi < bitmaps.length && bitmaps(hi).contains(rowIndex.toInt)
     }
     def cardinality: Long = bitmaps.map(_.getLongCardinality).sum
+  }
+
+  /** Incremental DV accumulator for the DELETE write path: rows stream in
+    * (any order), memory is the COMPRESSED bitmap — a task that marks
+    * millions of deleted rows in one file holds KBs, never a row list.
+    * `or` unions a previously-committed DV in (an updated add action's
+    * descriptor must carry ALL deleted positions, old and new). */
+  final class DvBuilder extends Serializable {
+    private val maps = scala.collection.mutable.ArrayBuffer.empty[RoaringBitmap]
+    private def at(hi: Int): RoaringBitmap = {
+      while (maps.size <= hi) maps += new RoaringBitmap()
+      maps(hi)
+    }
+    def add(rowIndex: Long): Unit = {
+      require(rowIndex >= 0, s"row index must be >= 0, got $rowIndex")
+      at((rowIndex >>> 32).toInt).add(rowIndex.toInt)
+    }
+    def or(dv: Dv): Unit =
+      dv.bitmaps.zipWithIndex.foreach { case (m, i) => at(i).or(m) }
+    def cardinality: Long = maps.map(_.getLongCardinality).sum
+    def serialize(): Array[Byte] = serializeMaps(maps.toArray)
   }
 
   /** Serialize row indexes as a portable RoaringBitmapArray. */
@@ -101,10 +122,14 @@ object DeletionVectors {
     val nMaps = if (rowIndexes.isEmpty) 0 else (rowIndexes.max >>> 32).toInt + 1
     val maps = Array.fill(nMaps)(new RoaringBitmap())
     rowIndexes.foreach(v => maps((v >>> 32).toInt).add(v.toInt))
+    serializeMaps(maps)
+  }
+
+  private def serializeMaps(maps: Array[RoaringBitmap]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     // magic + count are little-endian per the portable spec
     val head = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    head.putInt(FormatMagic); head.putLong(nMaps.toLong)
+    head.putInt(FormatMagic); head.putLong(maps.length.toLong)
     bos.write(head.array())
     maps.foreach { m =>
       m.runOptimize()
@@ -143,16 +168,7 @@ object DeletionVectors {
     case "u" | "p" =>
       val p =
         if (storageType == "p") new Path(pathOrInlineDv)
-        else {
-          // pathOrInlineDv = [random prefix]<20-char z85 uuid>
-          val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
-          val raw = z85Decode(enc)
-          val bb = java.nio.ByteBuffer.wrap(raw)
-          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-          val name = s"deletion_vector_$uuid.bin"
-          if (prefix.isEmpty) new Path(tablePath, name)
-          else new Path(new Path(tablePath, prefix), name)
-        }
+        else dvFilePath(tablePath, pathOrInlineDv)
       val fs = p.getFileSystem(conf)
       val in = fs.open(p)
       try {
@@ -172,6 +188,18 @@ object DeletionVectors {
       } finally in.close()
     case other =>
       throw new IllegalArgumentException(s"unsupported DV storageType '$other'")
+  }
+
+  /** Resolve a "u"-storage `pathOrInlineDv` ([random prefix] + 20-char
+    * z85-encoded 16-byte UUID) to its `deletion_vector_<uuid>.bin` path. */
+  def dvFilePath(tablePath: String, pathOrInlineDv: String): Path = {
+    val (prefix, enc) = pathOrInlineDv.splitAt(pathOrInlineDv.length - 20)
+    val raw = z85Decode(enc)
+    val bb = java.nio.ByteBuffer.wrap(raw)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val name = s"deletion_vector_$uuid.bin"
+    if (prefix.isEmpty) new Path(tablePath, name)
+    else new Path(new Path(tablePath, prefix), name)
   }
 
   /** Write a DV FILE (storageType "u" shape) holding one deletion vector;
@@ -195,6 +223,38 @@ object DeletionVectors {
     val bb = java.nio.ByteBuffer.allocate(16)
     bb.putLong(uuid.getMostSignificantBits); bb.putLong(uuid.getLeastSignificantBits)
     (z85Encode(bb.array()), 1, data.length, rowIndexes.distinct.size.toLong)
+  }
+
+  /** Write ONE DV file holding MANY deletion vectors — the shape real
+    * Delta writers produce per DELETE commit (one `deletion_vector_*.bin`
+    * per transaction, each touched file's blob at its own offset), so a
+    * delete over thousands of files costs one auxiliary file, not
+    * thousands. Returns the shared `pathOrInlineDv` (z85 uuid, "u"
+    * storage) plus each blob's (offset, sizeInBytes) in input order. */
+  def writeDvPack(conf: Configuration, tablePath: String,
+                  blobs: Seq[Array[Byte]]): (String, Seq[(Int, Int)]) = {
+    require(blobs.nonEmpty, "writeDvPack needs at least one deletion vector")
+    val uuid = java.util.UUID.randomUUID()
+    val p = new Path(tablePath, s"deletion_vector_$uuid.bin")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, false)
+    val slots = Seq.newBuilder[(Int, Int)]
+    try {
+      out.writeByte(1)            // format version
+      var pos = 1
+      blobs.foreach { data =>
+        slots += ((pos, data.length))
+        out.writeInt(data.length) // big-endian length
+        out.write(data)
+        val c = new java.util.zip.CRC32()
+        c.update(data)
+        out.writeInt(c.getValue.toInt)
+        pos += 4 + data.length + 4
+      }
+    } finally out.close()
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits); bb.putLong(uuid.getLeastSignificantBits)
+    (z85Encode(bb.array()), slots.result())
   }
 
   /** Inline descriptor fields for `rowIndexes`: (z85 data, sizeInBytes,

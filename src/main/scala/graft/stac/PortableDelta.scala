@@ -73,7 +73,9 @@ object PortableDelta {
       schema: StructType,
       configuration: Map[String, String],
       files: Seq[AddFile],
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      readerFeatures: Seq[String] = Nil,
+      writerFeatures: Seq[String] = Nil)
 
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -345,12 +347,183 @@ object PortableDelta {
       .drop("__graft_file", "__graft_idx")
   }
 
+  /** Outcome of a [[delete]]: the committed version, how many rows became
+    * newly deleted, and the file-action split (files that gained/updated a
+    * deletion vector vs files removed outright because every row died). */
+  final case class DeleteStats(version: Long, deletedRows: Long,
+                               dvFiles: Int, removedFiles: Int)
+
+  /** DELETE without rewriting data: rows matching `condition` are marked
+    * dead via the Delta deletion-vector protocol — each touched file's add
+    * action is re-stated with a DV descriptor; the parquet bytes are NOT
+    * touched. This is the 100-TB delete path: the work is one predicate
+    * scan plus O(touched files) KB-sized bitmaps, never a rewrite of the
+    * table (a predicate hitting 0.1% of rows in every file would force a
+    * full-table rewrite under copy-on-write).
+    *
+    * Mechanics, per the published protocol (Delta PROTOCOL.md "Deletion
+    * Vectors" — same format [[DeletionVectors]] already reads for
+    * externally-written tables):
+    *   - the matching physical row positions are aggregated into a
+    *     compressed roaring bitmap PER FILE on executors (`mapGroups`
+    *     streams the iterator — task memory is the compressed bitmap,
+    *     KBs per millions of deleted rows, never a row list);
+    *   - a previously-committed DV on the file is unioned in (the new
+    *     descriptor must carry ALL dead positions);
+    *   - all new DVs ship in ONE `deletion_vector_<uuid>.bin` pack file
+    *     (offset-addressed, the shape engines emit per DELETE commit);
+    *   - a file whose every row is dead gets a plain remove action —
+    *     later readers never open it;
+    *   - first DV on a table upgrades the protocol to the table-features
+    *     form (reader 3 / writer 7, `deletionVectors` in both feature
+    *     lists) — exactly what external engines do, and what this
+    *     module's own reader gate requires.
+    *
+    * Concurrency: the commit is the same put-if-absent rename as
+    * [[write]]; a lost race re-snapshots and recomputes (the file set may
+    * have changed), bounded by `maxRetries`. Returns [[DeleteStats]];
+    * a predicate matching nothing commits nothing. */
+  def delete(spark: SparkSession, path: String,
+             condition: org.apache.spark.sql.Column,
+             maxRetries: Int = 10): DeleteStats = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      if (snap.files.isEmpty) return DeleteStats(snap.version, 0L, 0, 0)
+      val byName = snap.files.map(f => new Path(f.path).getName -> f).toMap
+
+      // distributed predicate scan → per-file bitmap of dead positions;
+      // only (fileName, compressed bitmap, cardinality) reaches the
+      // driver — O(touched files), the same order as the commit JSON
+      val base = spark.read.schema(snap.schema)
+        .parquet(snap.files.map(f => s"$path/${f.path}"): _*)
+      val s2 = spark; import s2.implicits._
+      val perFile: Array[(String, Array[Byte], Long)] = base
+        .withColumn("__graft_file",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__graft_idx", col("_metadata.row_index"))
+        .filter(condition)
+        .select(col("__graft_file").as("f"), col("__graft_idx").as("i"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (f, it) =>
+          val b = new DeletionVectors.DvBuilder
+          it.foreach(t => b.add(t._2))
+          (f, b.serialize(), b.cardinality)
+        }
+        .collect()
+      if (perFile.isEmpty) return DeleteStats(snap.version, 0L, 0, 0)
+
+      // merge previously-committed DVs and split full-file deaths (file
+      // row counts come from parquet footers — metadata reads for the
+      // touched files only)
+      val prepared = perFile.toSeq.sortBy(_._1).map { case (name, bytes, _) =>
+        val f = byName.getOrElse(name,
+          throw new IllegalStateException(s"scan surfaced unknown file $name"))
+        val b = new DeletionVectors.DvBuilder
+        b.or(DeletionVectors.deserialize(bytes))
+        val oldCard = f.dv.map { d =>
+          val dv = DeletionVectors.load(conf, path, d.storageType,
+            d.pathOrInlineDv, d.offset, d.sizeInBytes)
+          b.or(dv); dv.cardinality
+        }.getOrElse(0L)
+        val physRows = parquetRowCount(conf, new Path(new Path(path), f.path))
+        (f, b.serialize(), b.cardinality, oldCard, physRows)
+      }
+      val newlyDeleted = prepared.map(p => p._3 - p._4).sum
+      if (newlyDeleted == 0) return DeleteStats(snap.version, 0L, 0, 0)
+      val (gone, kept) = prepared.partition(p => p._3 == p._5)
+
+      val (packPath, slots) =
+        if (kept.isEmpty) ("", Seq.empty[(Int, Int)])
+        else DeletionVectors.writeDvPack(conf, path, kept.map(_._2))
+      def dropPack(): Unit = if (kept.nonEmpty) {
+        val fs = new Path(path).getFileSystem(conf)
+        try { fs.delete(DeletionVectors.dvFilePath(path, packPath), false); () }
+        catch { case _: java.io.IOException => () }
+      }
+
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, "DELETE")
+      if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
+        actions += dvProtocolAction()
+      def removeNode(f: AddFile): JsonNode = {
+        val r = mapper.createObjectNode()
+        val b = r.putObject("remove")
+        b.put("path", f.path); b.put("deletionTimestamp", now)
+        b.put("dataChange", true); b.put("extendedFileMetadata", true)
+        b.put("size", f.size)
+        f.dv.foreach { d =>
+          val n = b.putObject("deletionVector")
+          n.put("storageType", d.storageType)
+          n.put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(n.put("offset", _))
+          n.put("sizeInBytes", d.sizeInBytes); n.put("cardinality", d.cardinality)
+        }
+        r
+      }
+      gone.foreach(p => actions += removeNode(p._1))
+      // remove BEFORE the re-stating add: both this module's sequential
+      // replay (last action per path wins) and spec reconciliation
+      // (distinct (path, dvId) pairs) resolve to the new add
+      kept.zip(slots).foreach { case ((f, _, card, _, _), (off, len)) =>
+        actions += removeNode(f)
+        val r = mapper.createObjectNode()
+        val b = r.putObject("add")
+        b.put("path", f.path)
+        b.putObject("partitionValues")
+        b.put("size", f.size)
+        b.put("modificationTime", f.modificationTime)
+        b.put("dataChange", true)
+        val n = b.putObject("deletionVector")
+        n.put("storageType", "u"); n.put("pathOrInlineDv", packPath)
+        n.put("offset", off); n.put("sizeInBytes", len); n.put("cardinality", card)
+        actions += r
+      }
+      try {
+        commit(conf, path, snap.version + 1, actions.result())
+        return DeleteStats(snap.version + 1, newlyDeleted, kept.size, gone.size)
+      } catch {
+        case e: ConcurrentCommitException =>
+          dropPack()
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"delete on $path lost the commit race $attempt times " +
+                s"(last: ${e.getMessage})", e)
+          // loop: re-snapshot and recompute against the new file set
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The table-features protocol a DV-writing table must declare. */
+  private def dvProtocolAction(): JsonNode = {
+    val r = mapper.createObjectNode()
+    val b = r.putObject("protocol")
+    b.put("minReaderVersion", 3); b.put("minWriterVersion", 7)
+    b.putArray("readerFeatures").add("deletionVectors")
+    b.putArray("writerFeatures").add("deletionVectors")
+    r
+  }
+
+  /** Physical row count from the parquet footer — a metadata-only read. */
+  private def parquetRowCount(conf: Configuration, file: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   // action struct SQL types shared by the checkpoint writer; the full
   // action schema matters: some conformant readers (older delta-rs,
   // DuckDB delta) expect every action column to exist even when no row
   // populates it
   private val ProtoT =
-    "struct<minReaderVersion:int,minWriterVersion:int,readerFeatures:array<string>>"
+    "struct<minReaderVersion:int,minWriterVersion:int," +
+      "readerFeatures:array<string>,writerFeatures:array<string>>"
   private val MetaT =
     "struct<id:string,format:struct<provider:string,options:map<string,string>>," +
       "schemaString:string,partitionColumns:array<string>," +
@@ -467,6 +640,7 @@ object PortableDelta {
       case None =>
         val snap = snapshot(conf, path) // pre-first-checkpoint: log is young
         st.readerV = snap.minReaderVersion; st.writerV = snap.minWriterVersion
+        st.readerFeatures = snap.readerFeatures; st.writerFeatures = snap.writerFeatures
         st.tableId = snap.tableId; st.schemaJson = snap.schema.json
         st.configuration = snap.configuration
         snap.txns.foreach { case (k, v) => st.txns.put(k, v) }
@@ -491,7 +665,9 @@ object PortableDelta {
       struct(lit(st.readerV).as("minReaderVersion"),
         lit(st.writerV).as("minWriterVersion"),
         (if (st.readerFeatures.nonEmpty) typedLit(st.readerFeatures)
-         else lit(null).cast("array<string>")).as("readerFeatures")).as("protocol"),
+         else lit(null).cast("array<string>")).as("readerFeatures"),
+        (if (st.writerFeatures.nonEmpty) typedLit(st.writerFeatures)
+         else lit(null).cast("array<string>")).as("writerFeatures")).as("protocol"),
       nullMeta.as("metaData"), nullAdd.as("add"), nullTxn.as("txn"))
     val metaDf = Seq(1).toDF("x").select(
       nullProto.as("protocol"),
@@ -669,6 +845,7 @@ object PortableDelta {
     var readerV: Int = MinReaderVersion
     var writerV: Int = MinWriterVersion
     var readerFeatures: Seq[String] = Nil
+    var writerFeatures: Seq[String] = Nil
     var tableId = ""; var schemaJson = ""
     var configuration: Map[String, String] = Map.empty
     val live: scala.collection.mutable.LinkedHashMap[String, AddFile] =
@@ -688,6 +865,8 @@ object PortableDelta {
         readerV = p.get("minReaderVersion").asInt()
         writerV = p.get("minWriterVersion").asInt()
         readerFeatures = Option(p.get("readerFeatures"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        writerFeatures = Option(p.get("writerFeatures"))
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       }
       if (node.has("metaData")) {
@@ -728,7 +907,8 @@ object PortableDelta {
       requireReadable()
       Snapshot(version, readerV, writerV, tableId,
         DataType.fromJson(schemaJson).asInstanceOf[StructType],
-        configuration, live.values.toSeq, txns.toMap)
+        configuration, live.values.toSeq, txns.toMap,
+        readerFeatures, writerFeatures)
     }
   }
 
@@ -773,6 +953,9 @@ object PortableDelta {
         if (p.schema != null && p.schema.fieldNames.contains("readerFeatures") &&
             !p.isNullAt(p.fieldIndex("readerFeatures")))
           st.readerFeatures = p.getSeq[String](p.fieldIndex("readerFeatures"))
+        if (p.schema != null && p.schema.fieldNames.contains("writerFeatures") &&
+            !p.isNullAt(p.fieldIndex("writerFeatures")))
+          st.writerFeatures = p.getSeq[String](p.fieldIndex("writerFeatures"))
       }
       if (!r.isNullAt(1)) {
         val m = r.getStruct(1)

@@ -605,4 +605,93 @@ class PortableDeltaSpec extends AnyFunSuite {
     PortableDelta.write(df(3L), path, mode = "append")       // v3
     assert(PortableDelta.history(conf, path).map(_._1) == Seq(3L, 2L, 1L, 0L))
   }
+
+  test("DELETE via DVs: no data rewrite, protocol upgrade, value-correct read") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    val data = (0L until 100L).map(i => (i, s"doc $i")).toDF("id", "body")
+      .repartition(4)
+    PortableDelta.write(data, path)
+    val conf = spark.sessionState.newHadoopConf()
+    def partsOnDisk = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val partsBefore = partsOnDisk
+
+    val st1 = PortableDelta.delete(spark, path, col("id") % 10 === 0)
+    assert(st1.version == 1 && st1.deletedRows == 10 && st1.removedFiles == 0,
+      s"unexpected $st1")
+    // the delete touched ZERO parquet bytes — that is the point of DVs
+    assert(partsOnDisk == partsBefore, "DELETE must not rewrite data files")
+    // exactly one pack file holds every touched file's bitmap
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("deletion_vector_")) == 1)
+    // first DV upgraded the protocol to the table-features form
+    val proto = logLines(path, 1).filter(_.has("protocol"))
+    assert(proto.size == 1)
+    val p = proto.head.get("protocol")
+    assert(p.get("minReaderVersion").asInt() == 3 &&
+      p.get("minWriterVersion").asInt() == 7)
+    assert(p.get("readerFeatures").elements().asScala.map(_.asText()).toSeq ==
+      Seq("deletionVectors"))
+    assert(p.get("writerFeatures").elements().asScala.map(_.asText()).toSeq ==
+      Seq("deletionVectors"))
+    val got1 = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got1 == (0L until 100L).filter(_ % 10 != 0).toSet)
+
+    // a second DELETE UNIONS into the existing DVs (descriptors must
+    // carry all dead positions, old and new); overlap is not re-counted
+    val st2 = PortableDelta.delete(spark, path, col("id") < 30)
+    assert(st2.version == 2 && st2.deletedRows == 27, s"unexpected $st2") // 0,10,20 were dead
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.files.forall(_.dv.isDefined), "every file holds ids <30 after repartition(4)")
+    assert(snap.files.flatMap(_.dv).map(_.cardinality).sum == 37)
+    val got2 = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got2 == (30L until 100L).filter(_ % 10 != 0).toSet)
+
+    // a predicate matching nothing (or only already-dead rows) commits nothing
+    val st3 = PortableDelta.delete(spark, path, col("id") === 20L)
+    assert(st3.version == 2 && st3.deletedRows == 0)
+    assert(!new java.io.File(s"$path/_delta_log/${"%020d".format(3L)}.json").exists())
+
+    // DVs survive checkpoint-seeded replay after log truncation, and
+    // time travel still reads the PRE-delete state from v0
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(conf, path)
+    val got3 = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got3 == got2, "DV state must survive checkpoint + cleanup")
+    val snapCk = PortableDelta.snapshot(spark, path)
+    assert(snapCk.minReaderVersion == 3 && snapCk.minWriterVersion == 7 &&
+      snapCk.readerFeatures == Seq("deletionVectors") &&
+      snapCk.writerFeatures == Seq("deletionVectors"),
+      "table-features protocol must survive the checkpoint")
+  }
+
+  test("DELETE that kills every row of a file emits a plain remove") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    // two commits → disjoint file sets by id range
+    PortableDelta.write((0L until 5L).map(i => (i, s"d$i")).toDF("id", "body")
+      .coalesce(1), path)
+    PortableDelta.write((5L until 10L).map(i => (i, s"d$i")).toDF("id", "body")
+      .coalesce(1), path, mode = "append")
+    val before = PortableDelta.snapshot(spark, path)
+    assert(before.files.size == 2)
+    val st = PortableDelta.delete(spark, path, col("id") < 5)
+    assert(st.deletedRows == 5 && st.removedFiles == 1 && st.dvFiles == 0,
+      s"unexpected $st")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.files.size == 1 && snap.files.forall(_.dv.isEmpty))
+    // no DV pack was written for a remove-only delete
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("deletion_vector_")) == 0)
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == (5L until 10L).toSet)
+    // the dead file is still on disk for earlier-version readers
+    val v0 = PortableDelta.readTable(spark, path, 0L).count()
+    assert(v0 == 5L, "time travel to v0 must still see the removed file's rows")
+  }
 }
