@@ -1426,6 +1426,126 @@ object StacOps {
           .withColumn("dv_ok", lit(true))
           .orderBy(col("o_orderstatus"))
       },
+      timed = false),
+
+    // ----- Delta data skipping: per-file stats prune before any I/O -----
+    // The log-as-index scale feature: every add action carries the spec's
+    // stats JSON (numRecords/minValues/maxValues/nullCount, harvested
+    // from parquet footers on executors at commit time), and a time-range
+    // read consults ONLY those stats to drop files — at 100 TB this is
+    // the difference between listing a million footers and opening the
+    // files a week-of-data predicate actually touches. The table is
+    // written range-partitioned by o_orderdate (time-ordered ingest, the
+    // realistic layout), so files tile disjoint date ranges; the in-gate
+    // requires pin that >0 files were pruned WITHOUT being opened and
+    // that every add carries stats. Wrong pruning cannot hide: a file
+    // dropped in error would change the value-checked aggregate.
+    QuerySpec(
+      "stac26_delta_skipping",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS skip_ok
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY yr
+        ORDER BY yr"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .repartitionByRange(10, col("o_orderdate"))
+        val out = java.nio.file.Files.createTempDirectory("stac26").toString + "/tbl"
+        PortableDelta.write(orders, out)
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.files.size > 1 && snap.files.forall(_.stats.isDefined),
+          "every committed file must carry footer-harvested stats")
+        val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        val cond = col("o_orderdate") >= lit(cutoff)
+        val (kept, pruned) = PortableDelta.statsPrune(s, snap, cond)
+        require(pruned > 0 && kept.size < snap.files.size,
+          s"time-range skipping must drop files by stats alone: " +
+            s"kept ${kept.size} of ${snap.files.size}")
+        require(kept.nonEmpty, "the range holds ~2.5 years of orders")
+        PortableDelta.readTableWhere(s, out, cond)
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("skip_ok", lit(true))
+          .orderBy(col("yr"))
+      },
+      timed = false),
+
+    // ----- Delta OPTIMIZE: compaction + Z-order, the layout doctor -----
+    // The two maintenance passes a 100-TB lakehouse table needs: (1)
+    // bin-packing compaction — a per-minute streaming sink makes
+    // thousands of KB-files/day and scan cost becomes per-file overhead;
+    // the rewrite also MATERIALIZES deletion vectors away; (2) OPTIMIZE
+    // ZORDER BY — after clustering on the interleaved (o_orderkey,
+    // o_custkey) key, per-file stats are tight in BOTH dimensions, so
+    // data skipping prunes on either predicate (a plain sort helps only
+    // its leading column). Both rewrites commit dataChange=false. The
+    // in-gate requires pin what the oracle can't see: file count drops,
+    // DVs purged, both dims prune post-zorder (neither pruned before),
+    // and the pre-optimize version still time-travels. The final
+    // aggregate is read through readTableWhere over the z-ordered
+    // layout — wrong pruning or a lost row would fail the hash.
+    QuerySpec(
+      "stac27_delta_optimize",
+      Some("""
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+               true AS opt_ok
+        FROM orders
+        WHERE o_orderkey % 10 <> 0
+          AND o_orderkey < 3000 AND o_custkey < 700
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .repartition(12, col("o_orderkey")) // the small-files shape
+        val out = java.nio.file.Files.createTempDirectory("stac27").toString + "/tbl"
+        PortableDelta.write(orders, out)
+        PortableDelta.delete(s, out, col("o_orderkey") % 10 === 0)
+        val preSnap = PortableDelta.snapshot(s, out)
+        require(preSnap.files.size == 12 && preSnap.files.forall(_.dv.isDefined))
+        val compact = PortableDelta.optimizeCompact(s, out)
+        require(compact.removedFiles == 12 && compact.addedFiles < 12 &&
+          compact.purgedDvRows > 0,
+          s"compaction must shrink the file set and purge DVs: $compact")
+        require(PortableDelta.snapshot(s, out).files.forall(_.dv.isEmpty),
+          "compaction output must be DV-free")
+        val zo = PortableDelta.optimizeZOrder(s, out,
+          Seq("o_orderkey", "o_custkey"), numFiles = 8)
+        val snap = PortableDelta.snapshot(s, out)
+        val condK = col("o_orderkey") < 3000L
+        val condC = col("o_custkey") < 700L
+        val (_, prunedK) = PortableDelta.statsPrune(s, snap, condK)
+        val (_, prunedC) = PortableDelta.statsPrune(s, snap, condC)
+        require(prunedK > 0 && prunedC > 0,
+          s"zorder must enable skipping on BOTH dims: key $prunedK, cust $prunedC " +
+            s"of ${snap.files.size}")
+        // rewrites are invisible to logical history: pre-optimize version
+        // reads the same surviving rows (via old files + their DVs)
+        require(PortableDelta.readTable(s, out, preSnap.version).count() ==
+          PortableDelta.readTable(s, out).count(),
+          "dataChange=false rewrites must not alter any version's rows")
+        PortableDelta.readTableWhere(s, out, condK && condC)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .withColumn("opt_ok", lit(true))
+          .orderBy(col("o_orderstatus"))
+      },
       timed = false)
   )
 }

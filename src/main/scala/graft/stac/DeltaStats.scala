@@ -1,0 +1,412 @@
+package graft.stac
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Per-file column statistics for the portable Delta log — the Delta
+  * `add.stats` JSON (`numRecords` / `minValues` / `maxValues` /
+  * `nullCount`, the published spec shape) — plus the data-skipping
+  * evaluator that turns those stats into file pruning at read time.
+  *
+  * This is THE Delta scale feature: at 100 TB a predicate like
+  * `ts >= yesterday` must not open a million parquet footers — the log
+  * already knows every file's min/max, so the planner drops files whose
+  * range cannot satisfy the predicate before any data I/O. Reference
+  * behavior: `write_deltalake` (stac_geoparquet/arrow/_delta_lake.py:28-71)
+  * produces these stats via delta-rs; engines reading its tables skip on
+  * them.
+  *
+  * Stats are harvested from the parquet FOOTERS of the just-written
+  * files — metadata-only reads, distributed over executors (a
+  * million-file commit never serializes footer I/O through the driver).
+  * Skipping supports the standard conjunct shapes (=, <, <=, >, >=, IN,
+  * IS [NOT] NULL over literal comparisons, AND/OR); anything else is
+  * conservatively kept — pruning is an optimization, never a filter.
+  */
+object DeltaStats {
+
+  /** Spark-side types whose parquet footer stats we harvest. Nested /
+    * binary / decimal columns are skipped (absent from the JSON → never
+    * pruned on). */
+  private def eligible(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  /** Harvest the Delta stats JSON for each file (name → stats). Footer
+    * reads run as a Spark job over the file list: metadata-only I/O,
+    * sharded across executors; only the O(files) small JSON strings
+    * return to the driver (the same order the commit itself costs). */
+  def collectFileStats(spark: SparkSession, tableRoot: String,
+                       fileNames: Seq[String], schema: StructType): Map[String, String] = {
+    if (fileNames.isEmpty) return Map.empty
+    val cols: Seq[(String, DataType)] =
+      schema.fields.toSeq.collect { case f if eligible(f.dataType) => f.name -> f.dataType }
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    val parts = math.min(fileNames.size, 64)
+    spark.sparkContext.parallelize(fileNames, parts).map { name =>
+      name -> statsJsonOfFile(confW.value, new Path(tableRoot, name), cols)
+    }.collect().toMap
+  }
+
+  /** One file's stats JSON from its parquet footer. */
+  private[stac] def statsJsonOfFile(conf: Configuration, file: Path,
+                                    cols: Seq[(String, DataType)]): String = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val numRecords = blocks.map(_.getRowCount).sum
+      val byName = cols.toMap
+      // accumulate across row groups, per top-level column
+      val mins = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      val maxs = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      val nulls = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      var statsComplete = true
+      val undecodable = scala.collection.mutable.Set.empty[String]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val pathParts = c.getPath.toArray
+        if (pathParts.length == 1 && byName.contains(pathParts(0))) {
+          val name = pathParts(0)
+          val dt = byName(name)
+          val st = c.getStatistics
+          if (st == null || !st.isNumNullsSet) statsComplete = false
+          else {
+            nulls.update(name, nulls.getOrElse(name, 0L) + st.getNumNulls)
+            if (st.hasNonNullValue)
+              decodeChunk(st.genericGetMin().asInstanceOf[AnyRef],
+                st.genericGetMax().asInstanceOf[AnyRef],
+                c.getPrimitiveType, dt) match {
+                case Some((lo, hi)) =>
+                  val ord = orderingFor(dt)
+                  mins.update(name,
+                    mins.get(name).map(m => ord.min(m, lo)).getOrElse(lo))
+                  maxs.update(name,
+                    maxs.get(name).map(m => ord.max(m, hi)).getOrElse(hi))
+                case None => undecodable += name // e.g. INT96 timestamps
+              }
+          }
+        }
+      }
+      // a column any row group can't decode gets NO min/max (partial
+      // bounds would be unsound); its nullCount stays
+      undecodable.foreach { n => mins.remove(n); maxs.remove(n) }
+      val root = mapper.createObjectNode()
+      root.put("numRecords", numRecords)
+      val minN = root.putObject("minValues"); val maxN = root.putObject("maxValues")
+      mins.foreach { case (k, v) => putJson(minN, k, v, byName(k)) }
+      maxs.foreach { case (k, v) => putJson(maxN, k, v, byName(k)) }
+      if (statsComplete) {
+        val nullN = root.putObject("nullCount")
+        nulls.foreach { case (k, v) => nullN.put(k, v) }
+      }
+      mapper.writeValueAsString(root)
+    } finally reader.close()
+  }
+
+  /** Parquet footer (min, max) → the comparable internal domain we keep:
+    * Long for integral/date/timestamp-µs, Double for fp, String for
+    * strings, Boolean. Returns None when the PHYSICAL type can't be
+    * decoded soundly for the declared Spark type — notably INT96
+    * timestamps (legacy layout; their footer stats are Binary and
+    * deprecated-unordered) — so the column simply gets no min/max and is
+    * never pruned on. Timestamp INT64 units (MILLIS/MICROS/NANOS) all
+    * normalize to epoch-µs. */
+  private def decodeChunk(minV: AnyRef, maxV: AnyRef,
+                          prim: org.apache.parquet.schema.PrimitiveType,
+                          dt: DataType): Option[(Any, Any)] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    def num(v: AnyRef): Long = v.asInstanceOf[Number].longValue()
+    def dbl(v: AnyRef): Double = v.asInstanceOf[Number].doubleValue()
+    scala.util.Try[(Any, Any)] {
+      (dt, prim.getPrimitiveTypeName) match {
+        case (ByteType | ShortType | IntegerType | DateType, INT32) =>
+          (num(minV), num(maxV))
+        case (LongType, INT64) => (num(minV), num(maxV))
+        case (FloatType, FLOAT) | (DoubleType, DOUBLE) =>
+          (dbl(minV), dbl(maxV))
+        case (BooleanType, BOOLEAN) =>
+          (minV.asInstanceOf[java.lang.Boolean].booleanValue(),
+            maxV.asInstanceOf[java.lang.Boolean].booleanValue())
+        case (StringType, BINARY) =>
+          (minV.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+            maxV.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        case (TimestampType | TimestampNTZType, INT64) =>
+          val toMicros: Long => Long = prim.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit match {
+                case LogicalTypeAnnotation.TimeUnit.MILLIS => l => Math.multiplyExact(l, 1000L)
+                case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+                case LogicalTypeAnnotation.TimeUnit.NANOS => l => Math.floorDiv(l, 1000L)
+              }
+            case _ => throw new IllegalArgumentException("INT64 without timestamp annotation")
+          }
+          (toMicros(num(minV)), toMicros(num(maxV)))
+        case other => throw new IllegalArgumentException(s"no sound decode for $other")
+      }
+    }.toOption
+  }
+
+  private def orderingFor(dt: DataType): Ordering[Any] = (dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType => Ordering.Long
+    case FloatType | DoubleType => Ordering.Double.TotalOrdering
+    case BooleanType => Ordering.Boolean
+    case StringType => Ordering.String
+    case other => throw new IllegalArgumentException(s"ineligible type $other")
+  }).asInstanceOf[Ordering[Any]]
+
+  /** Write one min/max value into the stats JSON, in the spec's
+    * representation: numbers as numbers, strings as strings, dates as
+    * `yyyy-MM-dd`, timestamps as ISO-8601 micros (UTC). */
+  private def putJson(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                      k: String, v: Any, dt: DataType): Unit = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      node.put(k, v.asInstanceOf[Long])
+    case FloatType | DoubleType => node.put(k, v.asInstanceOf[Double])
+    case BooleanType => node.put(k, v.asInstanceOf[Boolean])
+    case StringType => node.put(k, v.asInstanceOf[String])
+    case DateType =>
+      node.put(k, java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long]).toString)
+    case TimestampType | TimestampNTZType =>
+      val us = v.asInstanceOf[Long]
+      node.put(k, java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L).toString)
+    case other => throw new IllegalArgumentException(s"ineligible type $other")
+  }
+
+  /** Parse a stats JSON back into per-column (min, max) comparables plus
+    * nullCount/numRecords. Missing pieces → None (never prune). */
+  private final case class FileStats(numRecords: Option[Long],
+                                     mins: Map[String, Any], maxs: Map[String, Any],
+                                     nulls: Map[String, Long])
+
+  private def parseStats(json: String, schema: StructType): FileStats = {
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    val node = mapper.readTree(json)
+    def section(key: String): Map[String, Any] =
+      Option(node.get(key)).map { s =>
+        s.properties().asScala.flatMap { e =>
+          byName.get(e.getKey).flatMap(dt => decodeJson(e.getValue, dt))
+            .map(e.getKey -> _)
+        }.toMap
+      }.getOrElse(Map.empty)
+    val nulls = Option(node.get("nullCount")).map { s =>
+      s.properties().asScala.collect {
+        case e if e.getValue.isNumber => e.getKey -> e.getValue.asLong()
+      }.toMap
+    }.getOrElse(Map.empty[String, Long])
+    FileStats(Option(node.get("numRecords")).filter(_.isNumber).map(_.asLong()),
+      section("minValues"), section("maxValues"), nulls)
+  }
+
+  private def decodeJson(n: JsonNode, dt: DataType): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType if n.isNumber => Some(n.asLong())
+    case FloatType | DoubleType if n.isNumber => Some(n.asDouble())
+    case BooleanType if n.isBoolean => Some(n.asBoolean())
+    case StringType if n.isTextual => Some(n.asText())
+    case DateType if n.isTextual =>
+      scala.util.Try(java.time.LocalDate.parse(n.asText()).toEpochDay).toOption
+    case (TimestampType | TimestampNTZType) if n.isTextual =>
+      scala.util.Try {
+        val i = java.time.Instant.parse(n.asText())
+        Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L
+      }.toOption
+    case _ => None
+  }
+
+  /** Catalyst literal (internal representation) → the same comparable
+    * domain as the stored stats, keyed by the COLUMN's declared type. */
+  private def literalValue(l: Literal, dt: DataType): Option[Any] = (l.value, dt) match {
+    case (null, _) => None
+    case (v: Byte, _) => widen(v.toLong, dt)
+    case (v: Short, _) => widen(v.toLong, dt)
+    case (v: Int, _) => widen(v.toLong, dt)
+    case (v: Long, _) => widen(v, dt)
+    case (v: Float, _) => widen(v.toDouble, dt)
+    case (v: Double, _) => widen(v, dt)
+    case (v: Boolean, BooleanType) => Some(v)
+    case (v: org.apache.spark.unsafe.types.UTF8String, StringType) => Some(v.toString)
+    case _ => None
+  }
+
+  /** Align numeric literal vs column domain: integral columns compare as
+    * Long only against integral literals (a fractional literal against an
+    * integral column falls back to Double on both sides), fp columns as
+    * Double. Dates/timestamps arrive as Int days / Long micros. */
+  private def widen(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (l: Long, ByteType | ShortType | IntegerType | LongType |
+                   DateType | TimestampType | TimestampNTZType) => Some(l)
+    case (l: Long, FloatType | DoubleType) => Some(l.toDouble)
+    case (d: Double, FloatType | DoubleType) => Some(d)
+    case (d: Double, ByteType | ShortType | IntegerType | LongType) => Some(d)
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  /** Resolve a user `Column` predicate against `schema` into a TYPED
+    * Catalyst expression (LessThan/EqualTo/... over AttributeReferences
+    * and coercion-cast literals). The unresolved form a `Column` carries
+    * in Spark 4 is `UnresolvedFunction("<", ...)` nodes the evaluator
+    * can't pattern-match; analysis over a zero-row frame of the table's
+    * schema is pure planning — no job runs. */
+  def resolvePredicate(spark: SparkSession, schema: StructType,
+                       condition: org.apache.spark.sql.Column): Expression = {
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    empty.filter(condition).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(Literal.TrueLiteral)
+  }
+
+  /** Could ANY row of a file with `stats` satisfy `pred`? Conservative
+    * three-valued walk: an unrecognized node, a column without stats, or
+    * an un-comparable pair keeps the file. Supported: comparisons of a
+    * column against a literal (either side), IN, IS [NOT] NULL, AND/OR,
+    * and NOT over those. */
+  def satisfiable(statsJson: Option[String], schema: StructType,
+                  pred: Expression): Boolean = statsJson match {
+    case None => true
+    case Some(json) =>
+      val fs = parseStats(json, schema)
+      val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+
+      def attrName(e: Expression): Option[String] = e match {
+        case a: AttributeReference => Some(a.name)
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          Some(u.nameParts.last)
+        // the analyzer may widen the COLUMN side (int col vs long lit)
+        case c: Cast => attrName(c.child)
+        case _ => None
+      }
+      // the analyzer wraps literal sides in Cast (type coercion): any
+      // attribute-free deterministic foldable side IS a literal
+      def litOf(e: Expression): Option[Literal] = e match {
+        case l: Literal => Some(l)
+        case c if c.deterministic && c.foldable && c.references.isEmpty =>
+          scala.util.Try(Literal.create(c.eval(null), c.dataType)).toOption
+        case _ => None
+      }
+      // (column, literal, flipped): `5 < col` normalizes to `col > 5`
+      def sides(l: Expression, r: Expression): Option[(String, Literal, Boolean)] =
+        (attrName(l), litOf(r), attrName(r), litOf(l)) match {
+          case (Some(n), Some(lit), _, _) => Some((n, lit, false))
+          case (_, _, Some(n), Some(lit)) => Some((n, lit, true))
+          case _ => None
+        }
+      def bounds(name: String): (Option[Any], Option[Any]) =
+        (fs.mins.get(name), fs.maxs.get(name))
+      def lv(name: String, lit: Literal): Option[Any] =
+        byName.get(name).flatMap(dt => literalValue(lit, dt))
+      // a column whose every row is null can satisfy no value comparison
+      def allNull(name: String): Boolean =
+        (fs.numRecords, fs.nulls.get(name)) match {
+          case (Some(n), Some(k)) => n > 0 && k == n
+          case _ => false
+        }
+
+      def cmpKeep(name: String, lit: Literal,
+                  keep: (Option[Int], Option[Int]) => Boolean): Boolean = {
+        if (allNull(name)) return false
+        val (lo, hi) = bounds(name)
+        lv(name, lit) match {
+          case None => true
+          case Some(v) =>
+            val cLo = lo.flatMap(cmp(_, v)) // sign of (min - v)
+            val cHi = hi.flatMap(cmp(_, v)) // sign of (max - v)
+            if (cLo.isEmpty || cHi.isEmpty) true else keep(cLo, cHi)
+        }
+      }
+
+      def walk(e: Expression): Boolean = e match {
+        case And(a, b) => walk(a) && walk(b)
+        case Or(a, b) => walk(a) || walk(b)
+        case EqualTo(l, r) => sides(l, r) match {
+          case Some((n, lit, _)) =>
+            cmpKeep(n, lit, (lo, hi) => lo.get <= 0 && hi.get >= 0)
+          case None => true
+        }
+        case GreaterThan(l, r) => sides(l, r) match {
+          case Some((n, lit, false)) => cmpKeep(n, lit, (_, hi) => hi.get > 0)
+          case Some((n, lit, true)) => cmpKeep(n, lit, (lo, _) => lo.get < 0)
+          case None => true
+        }
+        case GreaterThanOrEqual(l, r) => sides(l, r) match {
+          case Some((n, lit, false)) => cmpKeep(n, lit, (_, hi) => hi.get >= 0)
+          case Some((n, lit, true)) => cmpKeep(n, lit, (lo, _) => lo.get <= 0)
+          case None => true
+        }
+        case LessThan(l, r) => sides(l, r) match {
+          case Some((n, lit, false)) => cmpKeep(n, lit, (lo, _) => lo.get < 0)
+          case Some((n, lit, true)) => cmpKeep(n, lit, (_, hi) => hi.get > 0)
+          case None => true
+        }
+        case LessThanOrEqual(l, r) => sides(l, r) match {
+          case Some((n, lit, false)) => cmpKeep(n, lit, (lo, _) => lo.get <= 0)
+          case Some((n, lit, true)) => cmpKeep(n, lit, (_, hi) => hi.get >= 0)
+          case None => true
+        }
+        case In(a, values) =>
+          (attrName(a), values.map(litOf)) match {
+            case (Some(n), lits) if lits.forall(_.isDefined) =>
+              lits.flatten.exists(v =>
+                cmpKeep(n, v, (lo, hi) => lo.get <= 0 && hi.get >= 0))
+            case _ => true
+          }
+        case IsNull(a) => attrName(a) match {
+          case Some(n) => fs.nulls.get(n).forall(_ > 0)
+          case None => true
+        }
+        case IsNotNull(a) => attrName(a) match {
+          case Some(n) => (fs.numRecords, fs.nulls.get(n)) match {
+            case (Some(rows), Some(k)) => k < rows
+            case _ => true
+          }
+          case None => true
+        }
+        case Not(inner) => inner match {
+          // ¬(a = v) is satisfied by any NON-NULL value ≠ v (SQL: NULL
+          // input → NULL, not true) — prune only all-null files and
+          // single-point files where min = max = v
+          case EqualTo(l, r) => sides(l, r) match {
+            case Some((n, lit, _)) =>
+              if (allNull(n)) false
+              else {
+                val (lo, hi) = bounds(n)
+                lv(n, lit) match {
+                  case None => true
+                  case Some(v) => (lo.flatMap(cmp(_, v)), hi.flatMap(cmp(_, v))) match {
+                    case (Some(cl), Some(ch)) => !(cl == 0 && ch == 0)
+                    case _ => true
+                  }
+                }
+              }
+            case None => true
+          }
+          case _ => true
+        }
+        case _ => true
+      }
+      walk(pred)
+  }
+}

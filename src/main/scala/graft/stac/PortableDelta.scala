@@ -59,8 +59,11 @@ object PortableDelta {
                                 offset: Option[Int], sizeInBytes: Int,
                                 cardinality: Long)
 
+  /** `stats` is the spec's per-file column-statistics JSON (numRecords /
+    * minValues / maxValues / nullCount) — the data-skipping substrate. */
   final case class AddFile(path: String, size: Long, modificationTime: Long,
-                           dv: Option[DvDescriptor] = None)
+                           dv: Option[DvDescriptor] = None,
+                           stats: Option[String] = None)
   /** `txns` is the spec's per-appId transaction watermark (latest `txn`
     * action per application id) — the idempotent-streaming-writes
     * contract: a writer that tags each commit with {appId, version}
@@ -129,49 +132,13 @@ object PortableDelta {
         s"append schema mismatch at $path:\n table: ${s.schema.simpleString}\n " +
           s"batch: ${df.schema.simpleString}")
     }
-    // this job's output is discovered from a JOB-SCOPED staging directory,
-    // not a before/after listing diff of the table root: a diff would
-    // silently commit any file that lands in the window (a concurrent
-    // writer, leftover staging output) as this version's data. The part
-    // files keep their committer-given names (unique via the per-job
-    // UUID), and the move is an atomic-rename metadata op on filesystems
-    // honoring the same Delta storage contract commit() already assumes.
-    // The whole stage-and-move runs under try/finally: an abort deletes
-    // the staging dir AND best-effort removes any already-moved part
-    // files, so a failed write leaves no orphans (round-7 advice).
-    val rootP = new Path(path)
-    val fs = rootP.getFileSystem(conf)
-    val staging = new Path(rootP, s".staging-${java.util.UUID.randomUUID()}")
-    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
-    def cleanupMoved(): Unit = moved.foreach { p =>
-      try fs.delete(p, false)
-      catch { case _: java.io.IOException => () } // best-effort
-    }
-    val added: Seq[org.apache.hadoop.fs.FileStatus] =
-      try {
-        val w = df.write.mode("append")
-        val writer =
-          if (footerKv.isEmpty) w.format("parquet")
-          else footerKv.foldLeft(w.format("geoparquet")) { case (b, (k, v)) =>
-            b.option(GeoParquetFileFormat.OptionPrefix + k, v)
-          }
-        writer.save(staging.toString)
-        val parts = fs.listStatus(staging).toSeq.filter { st =>
-          val n = st.getPath.getName
-          st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-        }
-        parts.map { st =>
-          val dest = new Path(rootP, st.getPath.getName)
-          require(!fs.exists(dest), s"part-file collision at $dest — staging move aborted")
-          require(fs.rename(st.getPath, dest), s"could not move ${st.getPath} to $dest")
-          moved += dest
-          fs.getFileStatus(dest)
-        }
-      } catch {
-        case e: Throwable => cleanupMoved(); throw e
-      } finally {
-        fs.delete(staging, true); ()
-      }
+    val (added, cleanupMoved) = stageAndMove(df, path, footerKv, conf)
+
+    // per-file column stats from the just-written parquet footers —
+    // metadata-only reads sharded over executors; committed on the add
+    // actions so readers skip files by min/max without opening them
+    val statsByName: Map[String, String] = DeltaStats.collectFileStats(
+      df.sparkSession, path, added.map(_.getPath.getName), df.schema)
 
     // Optimistic-concurrency commit loop: build the action list against
     // the CURRENT snapshot, attempt the put-if-absent rename, and on a
@@ -241,6 +208,7 @@ object PortableDelta {
         b.put("size", f.getLen)
         b.put("modificationTime", f.getModificationTime)
         b.put("dataChange", true)
+        statsByName.get(f.getPath.getName).foreach(b.put("stats", _))
         actions += r
       }
       try {
@@ -259,6 +227,57 @@ object PortableDelta {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Stage `df`'s part files under a hidden job-scoped directory, then
+    * move them into the table root. The job's output is discovered from
+    * the STAGING dir, not a before/after listing diff of the root: a diff
+    * would silently commit any file landing in the window (a concurrent
+    * writer, leftover staging output) as this version's data. Part files
+    * keep their committer-given names (unique via the per-job UUID); the
+    * move is an atomic-rename metadata op on filesystems honoring the
+    * same Delta storage contract commit() already assumes. Runs under
+    * try/finally: an abort deletes the staging dir AND best-effort
+    * removes already-moved part files, so a failed write leaves no
+    * orphans. Returns the moved files plus a withdraw hook for callers
+    * whose COMMIT later aborts. */
+  private def stageAndMove(df: DataFrame, path: String,
+                           footerKv: Map[String, String], conf: Configuration)
+      : (Seq[org.apache.hadoop.fs.FileStatus], () => Unit) = {
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(conf)
+    val staging = new Path(rootP, s".staging-${java.util.UUID.randomUUID()}")
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def cleanupMoved(): Unit = moved.foreach { p =>
+      try fs.delete(p, false)
+      catch { case _: java.io.IOException => () } // best-effort
+    }
+    val added: Seq[org.apache.hadoop.fs.FileStatus] =
+      try {
+        val w = df.write.mode("append")
+        val writer =
+          if (footerKv.isEmpty) w.format("parquet")
+          else footerKv.foldLeft(w.format("geoparquet")) { case (b, (k, v)) =>
+            b.option(GeoParquetFileFormat.OptionPrefix + k, v)
+          }
+        writer.save(staging.toString)
+        val parts = fs.listStatus(staging).toSeq.filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        }
+        parts.map { st =>
+          val dest = new Path(rootP, st.getPath.getName)
+          require(!fs.exists(dest), s"part-file collision at $dest — staging move aborted")
+          require(fs.rename(st.getPath, dest), s"could not move ${st.getPath} to $dest")
+          moved += dest
+          fs.getFileStatus(dest)
+        }
+      } catch {
+        case e: Throwable => cleanupMoved(); throw e
+      } finally {
+        fs.delete(staging, true); ()
+      }
+    (added, () => cleanupMoved())
   }
 
   /** The K3 face: STAC table → Delta table carrying the `geo` /
@@ -309,6 +328,32 @@ object PortableDelta {
     * positions are filtered out via `_metadata.row_index`. */
   def readTable(spark: SparkSession, path: String): DataFrame =
     snapshotDf(spark, path, snapshot(spark, path))
+
+  /** Stats-based file pruning: the subset of `snap.files` whose min/max
+    * stats could satisfy `condition`, plus the pruned-away count. Files
+    * without stats (or predicates outside the supported conjunct shapes)
+    * are conservatively kept — skipping is an optimization, never a
+    * filter. */
+  def statsPrune(spark: SparkSession, snap: Snapshot,
+                 condition: org.apache.spark.sql.Column): (Seq[AddFile], Int) = {
+    val pred = DeltaStats.resolvePredicate(spark, snap.schema, condition)
+    val kept = snap.files.filter(f =>
+      DeltaStats.satisfiable(f.stats, snap.schema, pred))
+    (kept, snap.files.size - kept.size)
+  }
+
+  /** Read the current version with `condition` applied, DATA-SKIPPING
+    * files whose logged stats prove no row can match — at 100 TB this is
+    * the difference between opening a million footers and opening the
+    * dozen files a range predicate actually touches; the log itself is
+    * the index. The full predicate still runs over surviving rows (and
+    * parquet row-group pushdown applies within kept files). */
+  def readTableWhere(spark: SparkSession, path: String,
+                     condition: org.apache.spark.sql.Column): DataFrame = {
+    val snap = snapshot(spark, path)
+    val (kept, _) = statsPrune(spark, snap, condition)
+    snapshotDf(spark, path, snap.copy(files = kept)).filter(condition)
+  }
 
   /** Snapshot → DataFrame, applying deletion vectors when present. The
     * DV bitmaps are decoded once on the driver and broadcast (compressed
@@ -450,27 +495,12 @@ object PortableDelta {
       actions += commitInfo(now, "DELETE")
       if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
         actions += dvProtocolAction()
-      def removeNode(f: AddFile): JsonNode = {
-        val r = mapper.createObjectNode()
-        val b = r.putObject("remove")
-        b.put("path", f.path); b.put("deletionTimestamp", now)
-        b.put("dataChange", true); b.put("extendedFileMetadata", true)
-        b.put("size", f.size)
-        f.dv.foreach { d =>
-          val n = b.putObject("deletionVector")
-          n.put("storageType", d.storageType)
-          n.put("pathOrInlineDv", d.pathOrInlineDv)
-          d.offset.foreach(n.put("offset", _))
-          n.put("sizeInBytes", d.sizeInBytes); n.put("cardinality", d.cardinality)
-        }
-        r
-      }
-      gone.foreach(p => actions += removeNode(p._1))
+      gone.foreach(p => actions += removeActionNode(p._1, now, dataChange = true))
       // remove BEFORE the re-stating add: both this module's sequential
       // replay (last action per path wins) and spec reconciliation
       // (distinct (path, dvId) pairs) resolve to the new add
       kept.zip(slots).foreach { case ((f, _, card, _, _), (off, len)) =>
-        actions += removeNode(f)
+        actions += removeActionNode(f, now, dataChange = true)
         val r = mapper.createObjectNode()
         val b = r.putObject("add")
         b.put("path", f.path)
@@ -478,6 +508,9 @@ object PortableDelta {
         b.put("size", f.size)
         b.put("modificationTime", f.modificationTime)
         b.put("dataChange", true)
+        // the pre-delete stats remain SOUND bounds over surviving rows
+        // (a DV only hides rows; it can't widen min/max)
+        f.stats.foreach(b.put("stats", _))
         val n = b.putObject("deletionVector")
         n.put("storageType", "u"); n.put("pathOrInlineDv", packPath)
         n.put("offset", off); n.put("sizeInBytes", len); n.put("cardinality", card)
@@ -498,6 +531,151 @@ object PortableDelta {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Outcome of an [[optimizeCompact]] / [[optimizeZOrder]] rewrite. */
+  final case class OptimizeStats(version: Long, removedFiles: Int,
+                                 addedFiles: Int, purgedDvRows: Long)
+
+  /** OPTIMIZE (bin-packing compaction): rewrite small files — and any
+    * file carrying a deletion vector — into ~`targetFileBytes` files.
+    * The small-files problem is the quiet 100-TB killer (a streaming
+    * sink committing every minute makes thousands of KB-files per day;
+    * scan cost becomes per-file overhead, not bytes), and compaction is
+    * the standard maintenance answer. Rewritten files are committed with
+    * `dataChange=false` (the spec's signal that no logical rows changed
+    * — streaming readers must not reprocess). DV-carrying inputs are
+    * MATERIALIZED: the rewrite reads them through the DV filter, so the
+    * new files shed their tombstones (the DV-purge path real OPTIMIZE
+    * implements). No-op (no commit) when fewer than 2 rewrite
+    * candidates exist. */
+  def optimizeCompact(spark: SparkSession, path: String,
+                      targetFileBytes: Long = 128L << 20,
+                      footerKv: Map[String, String] = Map.empty,
+                      maxRetries: Int = 10): OptimizeStats = {
+    require(targetFileBytes > 0)
+    val snap = snapshot(spark, path)
+    val victims = snap.files.filter(f => f.size < targetFileBytes || f.dv.isDefined)
+    if (victims.size < 2)
+      return OptimizeStats(snap.version, 0, 0, 0L)
+    val bins = math.max(1L,
+      (victims.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = snapshotDf(spark, path, snap.copy(files = victims)).repartition(bins)
+    commitRewrite(spark, path, snap, victims, df, footerKv,
+      "OPTIMIZE", maxRetries)
+  }
+
+  /** OPTIMIZE ZORDER BY: rewrite the WHOLE live set clustered by the
+    * bit-interleaved key of `zCols` ([[ZOrder.zKeyLinear]] — pure
+    * Catalyst, codegen end-to-end). After this, every file's min/max
+    * stats are tight in EVERY listed dimension, so [[readTableWhere]]
+    * data-skips on any of them — the multi-dimensional pruning a plain
+    * sort gives only its first column. The one-shuffle
+    * `repartitionByRange` + in-partition sort is the amortized layout
+    * cost (same contract as bucketing); DVs are materialized away. */
+  def optimizeZOrder(spark: SparkSession, path: String, zCols: Seq[String],
+                     numFiles: Int, footerKv: Map[String, String] = Map.empty,
+                     maxRetries: Int = 10): OptimizeStats = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    require(zCols.nonEmpty && numFiles >= 1)
+    val snap = snapshot(spark, path)
+    zCols.foreach(c => require(snap.schema.fieldNames.contains(c),
+      s"z-order column $c not in table schema"))
+    if (snap.files.isEmpty) return OptimizeStats(snap.version, 0, 0, 0L)
+    val full = snapshotDf(spark, path, snap)
+    // observed [lo, hi] per z-column: ONE small aggregate row to the
+    // driver, the only non-distributed step
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"lo_$c"), max(col(c).cast("double")).as(s"hi_$c")))
+    val r = full.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val los = zCols.indices.map(i => r.getDouble(2 * i))
+    val his = zCols.indices.map(i => r.getDouble(2 * i + 1))
+    val bits = math.min(16, 62 / zCols.size)
+    val zv = ZOrder.zKeyLinear(zCols.map(col), los, his, bits)
+    val clustered = full
+      .withColumn("__graft_z", zv)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+    commitRewrite(spark, path, snap, snap.files, clustered, footerKv,
+      s"OPTIMIZE ZORDER BY (${zCols.mkString(", ")})", maxRetries)
+  }
+
+  /** Shared rewrite commit: stage `df`'s files, then commit
+    * remove(victims) + add(staged) with `dataChange=false` on both sides
+    * (no logical change — the spec's compaction shape). On a lost commit
+    * race: rebase if every victim is still live in the new snapshot
+    * (nothing rewrote them under us), else withdraw the staged files and
+    * abort — never commit a rewrite over vanished inputs. */
+  private def commitRewrite(spark: SparkSession, path: String,
+                            snap0: Snapshot, victims: Seq[AddFile],
+                            df: DataFrame, footerKv: Map[String, String],
+                            op: String, maxRetries: Int): OptimizeStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (added, cleanupMoved) = stageAndMove(df, path, footerKv, conf)
+    val statsByName = DeltaStats.collectFileStats(
+      spark, path, added.map(_.getPath.getName), snap0.schema)
+    val victimPaths = victims.map(_.path).toSet
+    var prior = snap0
+    var attempt = 0
+    while (true) {
+      if (!victimPaths.subsetOf(prior.files.map(_.path).toSet)) {
+        cleanupMoved()
+        throw new IllegalStateException(
+          s"$op on $path: rewrite inputs changed under us (concurrent " +
+            "delete/overwrite); staged files withdrawn — rerun")
+      }
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, op)
+      victims.foreach(f => actions += removeActionNode(f, now, dataChange = false))
+      added.foreach { f =>
+        val r = mapper.createObjectNode()
+        val b = r.putObject("add")
+        b.put("path", f.getPath.getName)
+        b.putObject("partitionValues")
+        b.put("size", f.getLen)
+        b.put("modificationTime", f.getModificationTime)
+        b.put("dataChange", false)
+        statsByName.get(f.getPath.getName).foreach(b.put("stats", _))
+        actions += r
+      }
+      try {
+        commit(conf, path, prior.version + 1, actions.result())
+        return OptimizeStats(prior.version + 1, victims.size, added.size,
+          victims.flatMap(_.dv).map(_.cardinality).sum)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) {
+            cleanupMoved()
+            throw new IllegalStateException(
+              s"$op on $path lost the commit race $attempt times " +
+                s"(last: ${e.getMessage}); staged files withdrawn", e)
+          }
+          prior = snapshot(spark, path) // rebase and re-check victims
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** One remove action node (tombstone) for `f`, carrying its DV
+    * descriptor when present (spec: extended file metadata). */
+  private def removeActionNode(f: AddFile, ts: Long,
+                               dataChange: Boolean): JsonNode = {
+    val r = mapper.createObjectNode()
+    val b = r.putObject("remove")
+    b.put("path", f.path); b.put("deletionTimestamp", ts)
+    b.put("dataChange", dataChange); b.put("extendedFileMetadata", true)
+    b.put("size", f.size)
+    f.dv.foreach { d =>
+      val n = b.putObject("deletionVector")
+      n.put("storageType", d.storageType)
+      n.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(n.put("offset", _))
+      n.put("sizeInBytes", d.sizeInBytes); n.put("cardinality", d.cardinality)
+    }
+    r
   }
 
   /** The table-features protocol a DV-writing table must declare. */
@@ -533,7 +711,8 @@ object PortableDelta {
       "sizeInBytes:int,cardinality:bigint>"
   private val AddT =
     "struct<path:string,partitionValues:map<string,string>,size:bigint," +
-      s"modificationTime:bigint,dataChange:boolean,deletionVector:$DvT>"
+      s"modificationTime:bigint,dataChange:boolean,deletionVector:$DvT," +
+      "stats:string>"
   private val TxnT = "struct<appId:string,version:bigint,lastUpdated:bigint>"
   private val RemoveT =
     "struct<path:string,deletionTimestamp:bigint,dataChange:boolean," +
@@ -546,7 +725,8 @@ object PortableDelta {
     StructField("dv_pathOrInlineDv", StringType),
     StructField("dv_offset", IntegerType),
     StructField("dv_sizeInBytes", IntegerType),
-    StructField("dv_cardinality", LongType)))
+    StructField("dv_cardinality", LongType),
+    StructField("stats", StringType)))
 
   private def addFilesToFlatDf(spark: SparkSession, files: Seq[AddFile]): DataFrame = {
     val rows = files.map { f =>
@@ -554,7 +734,8 @@ object PortableDelta {
         f.dv.map(_.storageType).orNull, f.dv.map(_.pathOrInlineDv).orNull,
         f.dv.flatMap(_.offset).map(Int.box).orNull,
         f.dv.map(d => Int.box(d.sizeInBytes)).orNull,
-        f.dv.map(d => Long.box(d.cardinality)).orNull)
+        f.dv.map(d => Long.box(d.cardinality)).orNull,
+        f.stats.orNull)
     }
     spark.createDataFrame(rows.asJava, FlatAddSchema)
   }
@@ -695,7 +876,8 @@ object PortableDelta {
             col("dv_offset").as("offset"),
             col("dv_sizeInBytes").as("sizeInBytes"),
             col("dv_cardinality").as("cardinality")))
-          .otherwise(lit(null).cast(DvT)).as("deletionVector")).as("add"),
+          .otherwise(lit(null).cast(DvT)).as("deletionVector"),
+        col("stats")).as("add"),
       nullTxn.as("txn"))
     val all = protocolDf.unionByName(metaDf).unionByName(txnsDf)
       .unionByName(addsActions)
@@ -1002,9 +1184,13 @@ object PortableDelta {
         lit(null).cast("int").as("dv_offset"),
         lit(null).cast("int").as("dv_sizeInBytes"),
         lit(null).cast("bigint").as("dv_cardinality"))
+    val statsCol =
+      if (addType.fieldNames.contains("stats")) col("add.stats").as("stats")
+      else lit(null).cast("string").as("stats")
     df.where(col("add").isNotNull)
       .select(Seq(col("add.path").as("path"), col("add.size").as("size"),
-        col("add.modificationTime").as("modificationTime")) ++ dvCols: _*)
+        col("add.modificationTime").as("modificationTime")) ++ dvCols
+        :+ statsCol: _*)
   }
 
   private def rowToAddFile(r: org.apache.spark.sql.Row): AddFile = {
@@ -1013,7 +1199,8 @@ object PortableDelta {
       else Some(DvDescriptor(r.getString(3), r.getString(4),
         if (r.isNullAt(5)) None else Some(r.getInt(5)),
         r.getInt(6), r.getLong(7)))
-    AddFile(r.getString(0), r.getLong(1), r.getLong(2), dv)
+    AddFile(r.getString(0), r.getLong(1), r.getLong(2), dv,
+      if (r.isNullAt(8)) None else Some(r.getString(8)))
   }
 
   /** Compat seeding for the Snapshot API: small state + a NARROW driver
@@ -1132,7 +1319,8 @@ object PortableDelta {
         d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
     }
     AddFile(a.get("path").asText(), a.get("size").asLong(),
-      a.get("modificationTime").asLong(), dv)
+      a.get("modificationTime").asLong(), dv,
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
   }
 
   private def logDir(path: String) = new Path(path, "_delta_log")

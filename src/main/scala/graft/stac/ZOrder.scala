@@ -59,6 +59,33 @@ object ZOrder {
       (((qx >> b) & 1L) << (2 * b)) | (((qy >> b) & 1L) << (2 * b + 1))
     }.sum
 
+  /** GENERIC N-column Z-key for table clustering (the OPTIMIZE ZORDER BY
+    * path): each column is linearly quantized over its observed [lo, hi]
+    * to `bits` levels, then the cells bit-interleave round-robin. Pure
+    * Catalyst shifts/masks — the whole key stays in whole-stage codegen;
+    * no UDF in the rewrite's hot path. `bits * cols.size` must fit a
+    * long. Linear quantization (vs rank/quantile) keeps the key
+    * deterministic and cross-engine-recomputable; heavily skewed columns
+    * trade some balance for that determinism — the range partitioner
+    * downstream re-balances row COUNTS regardless. */
+  def zKeyLinear(cols: Seq[Column], los: Seq[Double], his: Seq[Double],
+                 bits: Int): Column = {
+    require(cols.nonEmpty && cols.size == los.size && cols.size == his.size)
+    require(bits * cols.size <= 62, s"$bits bits × ${cols.size} cols overflows a long")
+    val n = cols.size
+    val qs = cols.indices.map { i =>
+      val span = math.max(his(i) - los(i), java.lang.Double.MIN_NORMAL)
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((cols(i).cast("double") - los(i)) / span * (1L << bits).toDouble)
+          .cast("long")))
+    }
+    (0 until bits).flatMap { b =>
+      qs.zipWithIndex.map { case (q, i) =>
+        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), n * b + i)
+      }
+    }.reduce(_ + _)
+  }
+
   // ---- DuckDB mirrors (identical arithmetic, so keys hash-match) ----
 
   def quantizeSql(e: String, lo: Double, hi: Double): String =

@@ -1,0 +1,133 @@
+package graft.stac
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-file stats on add actions + data skipping. The contract under
+  * test: every committed file carries the spec's stats JSON (numRecords /
+  * minValues / maxValues / nullCount), range predicates prune files
+  * WITHOUT opening them, pruning is conservative (unsupported predicate
+  * shapes and stats-less files are kept), and the skipping answer is
+  * always value-identical to the full-scan answer. */
+class DeltaStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val mapper = new ObjectMapper()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("dstats").toString + "/tbl"
+
+  /** ids 0..99 written as 4 range-partitioned files → disjoint id ranges. */
+  private def rangeTable(): String = {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    val df = (0L until 100L).map(i =>
+        (i, s"doc $i", if (i % 10 == 0) null else s"g${i / 25}"))
+      .toDF("id", "body", "grp")
+      .repartitionByRange(4, col("id"))
+    PortableDelta.write(df, path)
+    path
+  }
+
+  test("add actions carry spec-shaped stats harvested from parquet footers") {
+    val path = rangeTable()
+    val f = new java.io.File(s"$path/_delta_log/${"%020d".format(0L)}.json")
+    val adds = scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .map(mapper.readTree).filter(_.has("add")).map(_.get("add")).toSeq
+    assert(adds.size == 4)
+    adds.foreach { a =>
+      assert(a.has("stats"), "every add action must carry stats")
+      val st = mapper.readTree(a.get("stats").asText())
+      assert(st.get("numRecords").asLong() > 0)
+      assert(st.get("minValues").has("id") && st.get("maxValues").has("id"))
+      assert(st.get("minValues").has("body"), "strings are stats-eligible")
+      assert(st.get("nullCount").has("grp"))
+    }
+    // the four files tile 0..99 disjointly and null counts add up
+    val snap = PortableDelta.snapshot(spark, path)
+    val ranges = snap.files.map { af =>
+      val st = mapper.readTree(af.stats.get)
+      (st.get("minValues").get("id").asLong(), st.get("maxValues").get("id").asLong())
+    }.sortBy(_._1)
+    assert(ranges.head._1 == 0L && ranges.last._2 == 99L)
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) => assert(hi < lo) }
+    val nullsTotal = snap.files.map { af =>
+      mapper.readTree(af.stats.get).get("nullCount").get("grp").asLong()
+    }.sum
+    assert(nullsTotal == 10L)
+  }
+
+  test("range predicates prune files; the skipped answer equals the full scan") {
+    val path = rangeTable()
+    val snap = PortableDelta.snapshot(spark, path)
+
+    val (kept1, pruned1) = PortableDelta.statsPrune(spark, snap, col("id") < 10L)
+    assert(kept1.size == 1 && pruned1 == 3, s"kept ${kept1.size}, pruned $pruned1")
+    val (kept2, pruned2) =
+      PortableDelta.statsPrune(spark, snap, col("id") >= 30L && col("id") < 60L)
+    assert(kept2.size < 4 && kept2.size + pruned2 == 4)
+    // equality on a mid-range point hits exactly one file
+    val (kept3, _) = PortableDelta.statsPrune(spark, snap, col("id") === 50L)
+    assert(kept3.size == 1)
+    // IN with members in two different files keeps exactly those
+    val (kept4, _) = PortableDelta.statsPrune(spark, snap, col("id").isin(1L, 99L))
+    assert(kept4.size == 2)
+    // an impossible range prunes everything
+    val (kept5, _) = PortableDelta.statsPrune(spark, snap, col("id") > 1000L)
+    assert(kept5.isEmpty)
+
+    for (cond <- Seq(col("id") < 10L, col("id") >= 30L && col("id") < 60L,
+        col("id") === 50L, col("id").isin(1L, 99L), col("id") > 1000L)) {
+      val skipped = PortableDelta.readTableWhere(spark, path, cond)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val full = PortableDelta.readTable(spark, path).filter(cond)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(skipped == full, s"skipping changed the answer for $cond")
+    }
+  }
+
+  test("pruning is conservative: unsupported shapes and stats-less files keep") {
+    val path = rangeTable()
+    val snap = PortableDelta.snapshot(spark, path)
+    // a predicate shape the evaluator doesn't understand keeps everything
+    val (keptF, prunedF) = PortableDelta.statsPrune(spark, snap, length(col("body")) > 2)
+    assert(keptF.size == 4 && prunedF == 0)
+    // NOT over a non-equality keeps everything
+    val (keptN, _) = PortableDelta.statsPrune(spark, snap, !(col("id") < 10L))
+    assert(keptN.size == 4)
+    // files with stats stripped are never pruned
+    val bare = snap.copy(files = snap.files.map(_.copy(stats = None)))
+    val (keptB, _) = PortableDelta.statsPrune(spark, bare, col("id") < 10L)
+    assert(keptB.size == 4)
+    // IS NULL keeps files holding nulls; IS NOT NULL keeps non-all-null
+    val (keptNull, _) = PortableDelta.statsPrune(spark, snap, col("grp").isNull)
+    assert(keptNull.size == 4, "every range file holds an id % 10 == 0 null")
+    val (keptNN, _) = PortableDelta.statsPrune(spark, snap, col("grp").isNotNull)
+    assert(keptNN.size == 4)
+  }
+
+  test("stats survive checkpoint replay, appends, and DELETE re-adds") {
+    val path = rangeTable()
+    val s = spark; import s.implicits._
+    // append a second batch with a disjoint id range (one more file)
+    PortableDelta.write((100L until 120L).map(i => (i, s"doc $i", "g4"))
+      .toDF("id", "body", "grp").coalesce(1), path, mode = "append")
+    // DELETE some rows: the re-stated adds must keep their stats
+    val del = PortableDelta.delete(spark, path, col("id") % 7 === 3L)
+    assert(del.deletedRows > 0)
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.files.size == 5)
+    assert(snap.files.forall(_.stats.isDefined),
+      "stats must ride the checkpoint add struct and DELETE re-adds")
+    val (kept, pruned) = PortableDelta.statsPrune(spark, snap, col("id") >= 100L)
+    assert(kept.size == 1 && pruned == 4,
+      s"append file alone holds ids >= 100: kept ${kept.size}")
+    // skipping + DV compose: deleted rows stay gone in the pruned read
+    val got = PortableDelta.readTableWhere(spark, path, col("id") >= 100L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == (100L until 120L).filter(_ % 7 != 3).toSet)
+  }
+}

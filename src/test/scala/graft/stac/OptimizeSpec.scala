@@ -1,0 +1,101 @@
+package graft.stac
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** OPTIMIZE over the portable Delta log: bin-packing compaction (the
+  * small-files maintenance pass) and multi-dimension Z-order clustering.
+  * Contracts under test: rewrites commit with `dataChange=false` on both
+  * action sides, old files stay on disk for time travel, DV-carrying
+  * inputs are materialized (tombstones purged), the logical table is
+  * value-identical across the rewrite, and after ZORDER BY the per-file
+  * stats prune on EVERY listed dimension. */
+class OptimizeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val mapper = new ObjectMapper()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("popt").toString + "/tbl"
+
+  test("compaction bin-packs small files, purges DVs, commits dataChange=false") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    // three single-file appends → 3 tiny files
+    for (base <- Seq(0L, 100L, 200L))
+      PortableDelta.write((base until base + 50L).map(i => (i, s"doc $i"))
+        .toDF("id", "body").coalesce(1), path,
+        mode = if (base == 0L) "error" else "append")
+    // a DV on one file: compaction must materialize it away
+    val del = PortableDelta.delete(spark, path, col("id") < 10L)
+    assert(del.dvFiles == 1)
+    val preVersion = PortableDelta.snapshot(spark, path).version
+    val expect = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+
+    val opt = PortableDelta.optimizeCompact(spark, path)
+    assert(opt.removedFiles == 3 && opt.addedFiles == 1 && opt.purgedDvRows == 10L,
+      s"unexpected $opt")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.version == preVersion + 1)
+    assert(snap.files.size == 1 && snap.files.forall(_.dv.isEmpty),
+      "compaction output is one DV-free file")
+    assert(snap.files.forall(_.stats.isDefined), "rewritten adds carry stats")
+    // value-identity across the rewrite
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // dataChange=false on BOTH sides of the rewrite commit
+    val f = new java.io.File(s"$path/_delta_log/${"%020d".format(snap.version)}.json")
+    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .map(mapper.readTree).toSeq
+    val rs = lines.filter(_.has("remove")).map(_.get("remove"))
+    val as = lines.filter(_.has("add")).map(_.get("add"))
+    assert(rs.size == 3 && as.size == 1)
+    assert(rs.forall(!_.get("dataChange").asBoolean()) &&
+      as.forall(!_.get("dataChange").asBoolean()),
+      "OPTIMIZE must not signal a logical data change")
+    // old files remain on disk: time travel to the pre-optimize version
+    val pre = PortableDelta.readTable(spark, path, preVersion)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(pre == expect, "pre-optimize version must read through old files + DV")
+    // idempotence: a second pass has nothing to do (single file ≥ no-op)
+    val again = PortableDelta.optimizeCompact(spark, path)
+    assert(again.removedFiles == 0 && again.version == snap.version)
+  }
+
+  test("zorder clusters so stats prune on BOTH dimensions") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    // a 100×100 grid, hash-scattered so NO dimension can prune pre-zorder
+    val grid = (0L until 10000L).map(i => (i, i % 100L, i / 100L))
+      .toDF("id", "x", "y").repartition(8)
+    PortableDelta.write(grid, path)
+    val snap0 = PortableDelta.snapshot(spark, path)
+    val condX = col("x") < 10L
+    val condY = col("y") >= 90L
+    val (_, prunedX0) = PortableDelta.statsPrune(spark, snap0, condX)
+    val (_, prunedY0) = PortableDelta.statsPrune(spark, snap0, condY)
+    assert(prunedX0 == 0 && prunedY0 == 0,
+      "hash-scattered files span the full range in every dimension")
+
+    val opt = PortableDelta.optimizeZOrder(spark, path, Seq("x", "y"), numFiles = 16)
+    assert(opt.removedFiles == 8 && opt.addedFiles > 1)
+    val snap1 = PortableDelta.snapshot(spark, path)
+    val (keptX, prunedX) = PortableDelta.statsPrune(spark, snap1, condX)
+    val (keptY, prunedY) = PortableDelta.statsPrune(spark, snap1, condY)
+    assert(prunedX > 0 && prunedY > 0,
+      s"z-order must enable pruning on both dims: x $prunedX, y $prunedY " +
+        s"of ${snap1.files.size}")
+    assert(keptX.nonEmpty && keptY.nonEmpty)
+    // and the skipped reads stay value-correct
+    for (cond <- Seq(condX, condY, condX && condY)) {
+      val skipped = PortableDelta.readTableWhere(spark, path, cond)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val full = PortableDelta.readTable(spark, path).filter(cond)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(skipped == full, s"zorder+skipping changed the answer for $cond")
+    }
+  }
+}
