@@ -1546,6 +1546,81 @@ object StacOps {
           .withColumn("opt_ok", lit(true))
           .orderBy(col("o_orderstatus"))
       },
+      timed = false),
+
+    // ----- Delta MERGE: DV-era upsert, untouched files never rewritten -----
+    // The write-path capstone: matched target rows die by POSITION in
+    // per-file deletion vectors and their new versions append — a
+    // thousand-row upsert into a million-file table touches only the
+    // files holding those rows (KB bitmaps) plus one appended file,
+    // where copy-on-write MERGE rewrites every touched file wholesale.
+    // Source = updates for o_orderkey % 6 = 0 (price bumped by a fixed
+    // cents-exact delta, status 'U') + inserts for the % 3 = 2 rows the
+    // target never had (status 'I'). In-gate requires pin the exact
+    // update/insert counters, that the pre-merge on-disk file set is a
+    // SUBSET of the post-merge set (nothing rewritten), and that the
+    // pre-merge version still time-travels. The oracle reconstructs the
+    // merged state from the source table with pure SQL set logic.
+    QuerySpec(
+      "stac28_delta_merge",
+      Some("""
+        WITH merged AS (
+          SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 111.0 AS price
+          FROM orders WHERE o_orderkey % 6 = 0
+          UNION ALL
+          SELECT o_orderkey, 'I', o_totalprice
+          FROM orders WHERE o_orderkey % 3 = 2
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 6 <> 0)
+        SELECT o_orderstatus,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS merge_ok
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val target = orders.filter(col("o_orderkey") % 3 =!= 2)
+          .repartition(8, col("o_orderkey"))
+        val out = java.nio.file.Files.createTempDirectory("stac28").toString + "/tbl"
+        PortableDelta.write(target, out)
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        def partsOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSet
+        val before = partsOnDisk
+        val updates = orders.filter(col("o_orderkey") % 6 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") + 111.0)
+        val inserts = orders.filter(col("o_orderkey") % 3 === 2)
+          .withColumn("o_orderstatus", lit("I"))
+        val source = updates.unionByName(inserts)
+        val st = PortableDelta.merge(s, out, source, Seq("o_orderkey"))
+        val nUpd = orders.filter(col("o_orderkey") % 6 === 0).count()
+        val nIns = orders.filter(col("o_orderkey") % 3 === 2).count()
+        require(st.updatedRows == nUpd && st.insertedRows == nIns &&
+          st.deletedRows == 0,
+          s"merge counters drifted: $st, expected upd=$nUpd ins=$nIns")
+        require(before.subsetOf(partsOnDisk),
+          "merge must only APPEND files — pre-merge parts untouched on disk")
+        require(PortableDelta.readTable(s, out, st.version - 1).count() ==
+          target.count(),
+          "pre-merge version must still time-travel to the original rows")
+        PortableDelta.readTable(s, out)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("merge_ok", lit(true))
+          .orderBy(col("o_orderstatus"))
+      },
       timed = false)
   )
 }

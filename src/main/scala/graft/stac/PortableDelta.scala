@@ -431,76 +431,88 @@ object PortableDelta {
   def delete(spark: SparkSession, path: String,
              condition: org.apache.spark.sql.Column,
              maxRetries: Int = 10): DeleteStats = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+    import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
       if (snap.files.isEmpty) return DeleteStats(snap.version, 0L, 0, 0)
-      val byName = snap.files.map(f => new Path(f.path).getName -> f).toMap
-
-      // distributed predicate scan → per-file bitmap of dead positions;
-      // only (fileName, compressed bitmap, cardinality) reaches the
-      // driver — O(touched files), the same order as the commit JSON
-      val base = spark.read.schema(snap.schema)
-        .parquet(snap.files.map(f => s"$path/${f.path}"): _*)
-      val s2 = spark; import s2.implicits._
-      val perFile: Array[(String, Array[Byte], Long)] = base
-        .withColumn("__graft_file",
-          element_at(split(col("_metadata.file_path"), "/"), -1))
-        .withColumn("__graft_idx", col("_metadata.row_index"))
+      val dead = scanWithPos(spark, path, snap, applyDvs = false)
         .filter(condition)
-        .select(col("__graft_file").as("f"), col("__graft_idx").as("i"))
-        .as[(String, Long)]
-        .groupByKey(_._1)
-        .mapGroups { (f, it) =>
-          val b = new DeletionVectors.DvBuilder
-          it.foreach(t => b.add(t._2))
-          (f, b.serialize(), b.cardinality)
-        }
-        .collect()
-      if (perFile.isEmpty) return DeleteStats(snap.version, 0L, 0, 0)
-
-      // merge previously-committed DVs and split full-file deaths (file
-      // row counts come from parquet footers — metadata reads for the
-      // touched files only)
-      val prepared = perFile.toSeq.sortBy(_._1).map { case (name, bytes, _) =>
-        val f = byName.getOrElse(name,
-          throw new IllegalStateException(s"scan surfaced unknown file $name"))
-        val b = new DeletionVectors.DvBuilder
-        b.or(DeletionVectors.deserialize(bytes))
-        val oldCard = f.dv.map { d =>
-          val dv = DeletionVectors.load(conf, path, d.storageType,
-            d.pathOrInlineDv, d.offset, d.sizeInBytes)
-          b.or(dv); dv.cardinality
-        }.getOrElse(0L)
-        val physRows = parquetRowCount(conf, new Path(new Path(path), f.path))
-        (f, b.serialize(), b.cardinality, oldCard, physRows)
+        .select(col(PosFileCol), col(PosIdxCol))
+      dvDeathParts(spark, path, snap, dead) match {
+        case None => return DeleteStats(snap.version, 0L, 0, 0)
+        case Some(parts) =>
+          val now = System.currentTimeMillis()
+          val actions = Seq.newBuilder[JsonNode]
+          actions += commitInfo(now, "DELETE")
+          if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
+            actions += dvProtocolAction()
+          actions ++= parts.actions(now)
+          try {
+            commit(conf, path, snap.version + 1, actions.result())
+            return DeleteStats(snap.version + 1, parts.newlyDeleted,
+              parts.dvFiles, parts.removedFiles)
+          } catch {
+            case e: ConcurrentCommitException =>
+              parts.dropPack()
+              attempt += 1
+              if (attempt > maxRetries)
+                throw new IllegalStateException(
+                  s"delete on $path lost the commit race $attempt times " +
+                    s"(last: ${e.getMessage})", e)
+              // loop: re-snapshot and recompute against the new file set
+          }
       }
-      val newlyDeleted = prepared.map(p => p._3 - p._4).sum
-      if (newlyDeleted == 0) return DeleteStats(snap.version, 0L, 0, 0)
-      val (gone, kept) = prepared.partition(p => p._3 == p._5)
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
-      val (packPath, slots) =
-        if (kept.isEmpty) ("", Seq.empty[(Int, Int)])
-        else DeletionVectors.writeDvPack(conf, path, kept.map(_._2))
-      def dropPack(): Unit = if (kept.nonEmpty) {
-        val fs = new Path(path).getFileSystem(conf)
-        try { fs.delete(DeletionVectors.dvFilePath(path, packPath), false); () }
-        catch { case _: java.io.IOException => () }
-      }
+  private val PosFileCol = "__graft_file"
+  private val PosIdxCol = "__graft_idx"
 
-      val now = System.currentTimeMillis()
-      val actions = Seq.newBuilder[JsonNode]
-      actions += commitInfo(now, "DELETE")
-      if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
-        actions += dvProtocolAction()
-      gone.foreach(p => actions += removeActionNode(p._1, now, dataChange = true))
+  /** The live-file scan with each row's physical position exposed
+    * (`__graft_file` = part-file name, `__graft_idx` = row index).
+    * `applyDvs = true` additionally filters already-deleted rows — the
+    * frame row-mutation operators (MERGE key-matching) must see. */
+  private def scanWithPos(spark: SparkSession, path: String, snap: Snapshot,
+                          applyDvs: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split, udf}
+    val base = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(f => s"$path/${f.path}"): _*)
+      .withColumn(PosFileCol,
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn(PosIdxCol, col("_metadata.row_index"))
+    val dvFiles = snap.files.filter(_.dv.isDefined)
+    if (!applyDvs || dvFiles.isEmpty) return base
+    val conf = spark.sessionState.newHadoopConf()
+    val decoded: Map[String, DeletionVectors.Dv] = dvFiles.map { f =>
+      val d = f.dv.get
+      new Path(f.path).getName -> DeletionVectors.load(conf, path,
+        d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
+    }.toMap
+    val bc = spark.sparkContext.broadcast(decoded)
+    val keep = udf((fileName: String, idx: Long) =>
+      !bc.value.get(fileName).exists(_.contains(idx)))
+    base.filter(keep(col(PosFileCol), col(PosIdxCol)))
+  }
+
+  /** The assembled DV half of a row-mutation commit: remove/re-add (or
+    * remove-only) actions, counters, and the staged-pack withdraw hook
+    * for callers whose commit later aborts. */
+  private final class DvParts(
+      val newlyDeleted: Long, val dvFiles: Int, val removedFiles: Int,
+      gone: Seq[AddFile], kept: Seq[(AddFile, Long)],
+      packPath: String, slots: Seq[(Int, Int)],
+      path: String, conf: Configuration) {
+    def actions(now: Long): Seq[JsonNode] = {
+      val out = Seq.newBuilder[JsonNode]
+      gone.foreach(f => out += removeActionNode(f, now, dataChange = true))
       // remove BEFORE the re-stating add: both this module's sequential
       // replay (last action per path wins) and spec reconciliation
       // (distinct (path, dvId) pairs) resolve to the new add
-      kept.zip(slots).foreach { case ((f, _, card, _, _), (off, len)) =>
-        actions += removeActionNode(f, now, dataChange = true)
+      kept.zip(slots).foreach { case ((f, card), (off, len)) =>
+        out += removeActionNode(f, now, dataChange = true)
         val r = mapper.createObjectNode()
         val b = r.putObject("add")
         b.put("path", f.path)
@@ -514,23 +526,287 @@ object PortableDelta {
         val n = b.putObject("deletionVector")
         n.put("storageType", "u"); n.put("pathOrInlineDv", packPath)
         n.put("offset", off); n.put("sizeInBytes", len); n.put("cardinality", card)
-        actions += r
+        out += r
       }
-      try {
-        commit(conf, path, snap.version + 1, actions.result())
-        return DeleteStats(snap.version + 1, newlyDeleted, kept.size, gone.size)
-      } catch {
-        case e: ConcurrentCommitException =>
-          dropPack()
-          attempt += 1
-          if (attempt > maxRetries)
-            throw new IllegalStateException(
-              s"delete on $path lost the commit race $attempt times " +
-                s"(last: ${e.getMessage})", e)
-          // loop: re-snapshot and recompute against the new file set
+      out.result()
+    }
+    def dropPack(): Unit = if (kept.nonEmpty) {
+      val fs = new Path(path).getFileSystem(conf)
+      try { fs.delete(DeletionVectors.dvFilePath(path, packPath), false); () }
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Distributed core of every DV row-death commit (DELETE, MERGE):
+    * `dead` is a frame of (file name, row index) positions to kill.
+    * Positions aggregate into a compressed roaring bitmap PER FILE on
+    * executors (`mapGroups` streams the iterator — task memory is the
+    * compressed bitmap, KBs per millions of dead rows, never a row
+    * list); only (fileName, bitmap, cardinality) reaches the driver —
+    * O(touched files), the same order as the commit JSON itself. Prior
+    * DVs union in; full-file deaths (bitmap == footer row count) become
+    * plain removes; surviving bitmaps ship in ONE offset-addressed pack
+    * file. Returns None when no row newly dies (nothing staged). */
+  private def dvDeathParts(spark: SparkSession, path: String, snap: Snapshot,
+                           dead: DataFrame): Option[DvParts] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val byName = snap.files.map(f => new Path(f.path).getName -> f).toMap
+    val s2 = spark; import s2.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = dead
+      .toDF("f", "i")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val b = new DeletionVectors.DvBuilder
+        it.foreach(t => b.add(t._2))
+        (f, b.serialize(), b.cardinality)
+      }
+      .collect()
+    if (perFile.isEmpty) return None
+
+    // merge previously-committed DVs and split full-file deaths (file
+    // row counts come from parquet footers — metadata reads for the
+    // touched files only)
+    val prepared = perFile.toSeq.sortBy(_._1).map { case (name, bytes, _) =>
+      val f = byName.getOrElse(name,
+        throw new IllegalStateException(s"scan surfaced unknown file $name"))
+      val b = new DeletionVectors.DvBuilder
+      b.or(DeletionVectors.deserialize(bytes))
+      val oldCard = f.dv.map { d =>
+        val dv = DeletionVectors.load(conf, path, d.storageType,
+          d.pathOrInlineDv, d.offset, d.sizeInBytes)
+        b.or(dv); dv.cardinality
+      }.getOrElse(0L)
+      val physRows = parquetRowCount(conf, new Path(new Path(path), f.path))
+      (f, b.serialize(), b.cardinality, oldCard, physRows)
+    }
+    val newlyDeleted = prepared.map(p => p._3 - p._4).sum
+    if (newlyDeleted == 0) return None
+    val (gone, kept) = prepared.partition(p => p._3 == p._5)
+    val (packPath, slots) =
+      if (kept.isEmpty) ("", Seq.empty[(Int, Int)])
+      else DeletionVectors.writeDvPack(conf, path, kept.map(_._2))
+    Some(new DvParts(newlyDeleted, kept.size, gone.size,
+      gone.map(_._1), kept.map(p => (p._1, p._3)), packPath, slots, path, conf))
+  }
+
+  /** Outcome of a [[merge]]: committed version plus the three row
+    * counters (a source row matching a LIVE target key counts as one
+    * update — its target row dies and its new version appends; an
+    * unmatched source row is an insert; `whenMatched = "delete"` turns
+    * the update counter into deletes). */
+  final case class MergeStats(version: Long, updatedRows: Long,
+                              insertedRows: Long, deletedRows: Long)
+
+  /** MERGE (upsert) without rewriting untouched data — the DV-era merge
+    * real engines ship: matched target rows die by POSITION in per-file
+    * deletion vectors, and the new row versions (plus not-matched
+    * inserts) land in fresh appended files. A 1000-row upsert into a
+    * million-file table touches the files holding those 1000 rows with
+    * KB-sized bitmaps and appends one small file — copy-on-write MERGE
+    * would rewrite every touched file wholesale.
+    *
+    *   - `keys`: the join columns; source keys MUST be unique (checked —
+    *     a double-matching source is ambiguous, the spec error). Null
+    *     source keys never match (SQL join semantics) and fall through
+    *     to the insert branch.
+    *   - `whenMatched = "update"`: the source row REPLACES the target
+    *     row (die-by-DV + re-append). `"delete"`: matched target rows
+    *     just die.
+    *   - `insertNotMatched = false` drops unmatched source rows (pure
+    *     UPDATE / DELETE-matched semantics).
+    *
+    * Matching runs against the LIVE view (DV-filtered): a source key
+    * whose only target occurrences are already-deleted rows is an
+    * INSERT. The key join is a plain shuffle join (AQE may broadcast a
+    * small source; nothing is force-broadcast — a corpus-sized source
+    * must not be collected). Commit races rebase like [[delete]]:
+    * everything (match, bitmaps, staged appends) recomputes against the
+    * new snapshot, bounded by `maxRetries`. */
+  def merge(spark: SparkSession, path: String, source: DataFrame,
+            keys: Seq[String], whenMatched: String = "update",
+            insertNotMatched: Boolean = true,
+            footerKv: Map[String, String] = Map.empty,
+            maxRetries: Int = 10): MergeStats = {
+    import org.apache.spark.sql.functions.col
+    require(Set("update", "delete").contains(whenMatched),
+      s"whenMatched must be update|delete, got $whenMatched")
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val conf = spark.sessionState.newHadoopConf()
+    val snap0 = snapshot(spark, path)
+    keys.foreach(k => require(snap0.schema.fieldNames.contains(k),
+      s"merge key $k not in table schema"))
+    // align source columns to the table schema (order-insensitive input)
+    require(DataType.equalsIgnoreNullability(
+      StructType(snap0.schema.map(f =>
+        StructField(f.name, f.dataType))),
+      StructType(snap0.schema.flatMap(f =>
+        source.schema.find(_.name == f.name).map(s =>
+          StructField(s.name, s.dataType)))) ),
+      s"merge source schema mismatch:\n table: ${snap0.schema.simpleString}\n " +
+        s"source: ${source.schema.simpleString}")
+    val src = source.select(snap0.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcRows = src.count()
+      if (srcRows == 0) return MergeStats(snap0.version, 0L, 0L, 0L)
+      require(src.select(keys.map(col): _*).distinct().count() == srcRows,
+        "merge source keys must be unique — a multi-matching source is ambiguous")
+
+      var attempt = 0
+      var prior = snap0
+      while (true) {
+        val liveKeysDf =
+          if (prior.files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(prior.schema.filter(f => keys.contains(f.name))))
+              .withColumn(PosFileCol, org.apache.spark.sql.functions.lit(null).cast("string"))
+              .withColumn(PosIdxCol, org.apache.spark.sql.functions.lit(null).cast("bigint"))
+          else scanWithPos(spark, path, prior, applyDvs = true)
+            .select(keys.map(col) :+ col(PosFileCol) :+ col(PosIdxCol): _*)
+        // matched LIVE target positions die; shuffle join, AQE decides
+        val dead = liveKeysDf
+          .join(src.select(keys.map(col): _*), keys, "left_semi")
+          .select(col(PosFileCol), col(PosIdxCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val parts = dvDeathParts(spark, path, prior, dead)
+          val matchedTargetRows = parts.map(_.newlyDeleted).getOrElse(0L)
+          // source-side split for the append set and counters
+          val matchedSrc = src.join(
+            liveKeysDf.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          val unmatchedSrc = src.join(
+            liveKeysDf.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          val updatedRows = if (whenMatched == "update") matchedTargetRows else 0L
+          val deletedRows = if (whenMatched == "delete") matchedTargetRows else 0L
+          val insertedRows = if (insertNotMatched) unmatchedSrc.count() else 0L
+          val toAppend = (whenMatched, insertNotMatched) match {
+            case ("update", true) => Some(src)
+            case ("update", false) => Some(matchedSrc)
+            case ("delete", true) => Some(unmatchedSrc)
+            case ("delete", false) => None
+          }
+          val appendDf = toAppend.filter(_ => updatedRows + insertedRows > 0)
+          if (parts.isEmpty && appendDf.isEmpty)
+            return MergeStats(prior.version, 0L, 0L, 0L)
+          val (added, cleanupMoved) = appendDf match {
+            case Some(df) => stageAndMove(df, path, footerKv, conf)
+            case None => (Seq.empty[org.apache.hadoop.fs.FileStatus], () => ())
+          }
+          val statsByName = DeltaStats.collectFileStats(
+            spark, path, added.map(_.getPath.getName), prior.schema)
+          val now = System.currentTimeMillis()
+          val actions = Seq.newBuilder[JsonNode]
+          actions += commitInfo(now, "MERGE")
+          if (parts.nonEmpty &&
+              (prior.minReaderVersion < 3 || prior.minWriterVersion < 7))
+            actions += dvProtocolAction()
+          parts.foreach(p => actions ++= p.actions(now))
+          added.foreach { f =>
+            val r = mapper.createObjectNode()
+            val b = r.putObject("add")
+            b.put("path", f.getPath.getName)
+            b.putObject("partitionValues")
+            b.put("size", f.getLen)
+            b.put("modificationTime", f.getModificationTime)
+            b.put("dataChange", true)
+            statsByName.get(f.getPath.getName).foreach(b.put("stats", _))
+            actions += r
+          }
+          try {
+            commit(conf, path, prior.version + 1, actions.result())
+            return MergeStats(prior.version + 1, updatedRows, insertedRows,
+              deletedRows)
+          } catch {
+            case e: ConcurrentCommitException =>
+              parts.foreach(_.dropPack())
+              cleanupMoved()
+              attempt += 1
+              if (attempt > maxRetries)
+                throw new IllegalStateException(
+                  s"merge on $path lost the commit race $attempt times " +
+                    s"(last: ${e.getMessage}); staged files withdrawn", e)
+              prior = snapshot(spark, path) // rebase: recompute everything
+          }
+        } finally { dead.unpersist(); () }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally { src.unpersist(); () }
+  }
+
+  /** VACUUM: delete data files (and DV packs) that NO reconstructable
+    * version references — the disk-reclaim half of the maintenance story
+    * ([[checkpoint]] + [[cleanupLog]] bound replay cost; vacuum bounds
+    * storage). The referenced set is every `add` path — and every DV
+    * file those adds point at — across the checkpoint state AND the JSON
+    * tail (earlier versions are already unreconstructable after
+    * truncation, so their exclusive files are safe to drop; overwrite /
+    * OPTIMIZE leftovers from still-travelable versions are KEPT).
+    * `graceMillis` additionally protects recently-modified files — an
+    * in-flight writer's moved-but-uncommitted parts (Delta's retention
+    * guard; default 7 days, tests pass 0). Listing is the table-root
+    * dir scan that IS vacuum's job; at extreme file counts the listing
+    * itself would be sharded, the reclaim decision per file is O(1)
+    * against the referenced-set hash. Returns the number of files
+    * deleted. */
+  def vacuum(spark: SparkSession, path: String,
+             graceMillis: Long = 7L * 24 * 3600 * 1000): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val referenced = scala.collection.mutable.Set.empty[String]
+    def noteAdd(p: String, dv: Option[DvDescriptor]): Unit = {
+      referenced += new Path(p).getName
+      dv.filter(_.storageType == "u").foreach(d =>
+        referenced += DeletionVectors.dvFilePath(path, d.pathOrInlineDv).getName)
+      dv.filter(_.storageType == "p").foreach(d =>
+        referenced += new Path(d.pathOrInlineDv).getName)
+    }
+    lastCheckpointRef(conf, path) match {
+      case None =>
+        // whole log replayable from v0: every add EVER is referenced
+        val versioned = fs.listStatus(logDir(path)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
+          .map(_.getPath)
+        versioned.foreach { p =>
+          val in = fs.open(p)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+            if (n.has("add")) {
+              val f = parseAddNode(n.get("add"))
+              noteAdd(f.path, f.dv)
+            }
+          }
+        }
+      case Some(ref) =>
+        // checkpoint state (distributed scan, narrow projection) + tail
+        ckptAddsFlatDf(spark, path, ref).collect().foreach { r =>
+          val f = rowToAddFile(r); noteAdd(f.path, f.dv)
+        }
+        tailCommits(fs, path, ref.version).foreach { case (_, p) =>
+          val in = fs.open(p)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+            if (n.has("add")) {
+              val f = parseAddNode(n.get("add"))
+              noteAdd(f.path, f.dv)
+            }
+          }
+        }
+    }
+    val cutoff = System.currentTimeMillis() - graceMillis
+    var deleted = 0
+    fs.listStatus(new Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      val candidate = st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+        (n.endsWith(".parquet") || n.startsWith("deletion_vector_"))
+      if (candidate && !referenced.contains(n) && st.getModificationTime < cutoff) {
+        if (fs.delete(st.getPath, false)) deleted += 1
       }
     }
-    throw new IllegalStateException("unreachable")
+    deleted
   }
 
   /** Outcome of an [[optimizeCompact]] / [[optimizeZOrder]] rewrite. */

@@ -98,4 +98,60 @@ class OptimizeSpec extends AnyFunSuite {
       assert(skipped == full, s"zorder+skipping changed the answer for $cond")
     }
   }
+
+  test("vacuum reclaims only files no reconstructable version references") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    def mk(tag: String, n: Int) =
+      (0L until 30L).map(i => (i, tag)).toDF("id", "tag").repartition(n)
+    PortableDelta.write(mk("v0", 3), path)                      // 3 files
+    PortableDelta.write(mk("v1", 2), path, mode = "overwrite")  // +2 files
+    def parquetCount = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetCount == 5)
+    // v0 is still replayable → its files are referenced → nothing to do
+    assert(PortableDelta.vacuum(spark, path, graceMillis = 0L) == 0)
+    // a foreign never-committed file is reclaimable garbage
+    val junk = new java.io.File(path, "junk-not-committed.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    // truncate history: only the checkpointed tail stays reconstructable
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val got = PortableDelta.vacuum(spark, path, graceMillis = 0L)
+    assert(got == 4, s"3 dead v0 files + 1 junk file, deleted $got")
+    assert(parquetCount == 2)
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("tag")).distinct().collect().map(_.getString(0)).toSeq == Seq("v1"))
+    // default grace protects fresh files: nothing younger than 7 days dies
+    PortableDelta.write(mk("v2", 1), path, mode = "overwrite")
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    assert(PortableDelta.vacuum(spark, path) == 0,
+      "grace window must keep recently-written files")
+  }
+
+  test("vacuum keeps referenced DV packs, reclaims purged ones") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write((0L until 40L).map(i => (i, s"d$i")).toDF("id", "b")
+      .repartition(2), path)
+    PortableDelta.delete(spark, path, col("id") % 4 === 0L)
+    def packCount = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("deletion_vector_"))
+    assert(packCount == 1)
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    PortableDelta.vacuum(spark, path, graceMillis = 0L)
+    assert(packCount == 1, "live adds still point at the DV pack")
+    val expect = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // compaction purges the DVs; after truncation the pack is garbage
+    PortableDelta.optimizeCompact(spark, path)
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val n = PortableDelta.vacuum(spark, path, graceMillis = 0L)
+    assert(packCount == 0, s"purged DV pack must be reclaimed (deleted $n files)")
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == expect)
+  }
 }
