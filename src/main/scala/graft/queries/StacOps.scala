@@ -1621,6 +1621,129 @@ object StacOps {
           .withColumn("merge_ok", lit(true))
           .orderBy(col("o_orderstatus"))
       },
+      timed = false),
+
+    // ----- Hive-partitioned Delta: partition pruning composes with stats -----
+    // The layout most external Delta tables actually have: `col=value/`
+    // subdirs, partition columns absent from the parquet bytes,
+    // partitionValues on every add. Partition pruning is POINT-statistics
+    // data skipping (min = max = the partition value), so it composes
+    // with per-file min/max: a (status, key-range) predicate first drops
+    // whole partitions, then drops range-disjoint files INSIDE the kept
+    // partition. A DELETE (DV) in the partitioned layout proves the
+    // row-mutation path keys files by RELATIVE path — hive dirs reuse
+    // part numbers, so name-keyed bitmaps would tombstone the wrong
+    // partition's rows and fail the hash here. In-gate requires pin the
+    // partition layout, both pruning stages, and the log-authoritative
+    // partition values; the oracle recomputes from the source table.
+    QuerySpec(
+      "stac29_delta_partitioned",
+      Some("""
+        SELECT CAST(o_orderkey % 10 AS BIGINT) AS bucket,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS part_ok
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderkey < 7500
+          AND NOT (o_totalprice < 20000)
+        GROUP BY bucket
+        ORDER BY bucket"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .repartitionByRange(4, col("o_orderkey")) // range files WITHIN partitions
+        val out = java.nio.file.Files.createTempDirectory("stac29").toString + "/tbl"
+        PortableDelta.write(orders, out, partitionBy = Seq("o_orderstatus"))
+        val snap0 = PortableDelta.snapshot(s, out)
+        require(snap0.partitionColumns == Seq("o_orderstatus"))
+        require(snap0.files.forall(_.path.startsWith("o_orderstatus=")),
+          "adds must be partition-relative hive paths")
+        // DELETE inside the hive layout (bitmaps keyed by relative path)
+        val del = PortableDelta.delete(s, out, col("o_totalprice") < 20000.0)
+        require(del.deletedRows > 0)
+        val snap = PortableDelta.snapshot(s, out)
+        val byStatus = col("o_orderstatus") === "O"
+        val byBoth = byStatus && col("o_orderkey") < 7500L
+        val (keptP, prunedP) = PortableDelta.statsPrune(s, snap, byStatus)
+        require(prunedP > 0 &&
+          keptP.forall(_.partitionValues("o_orderstatus") == "O"),
+          s"partition pruning must keep only the O partition: pruned $prunedP")
+        val (keptB, _) = PortableDelta.statsPrune(s, snap, byBoth)
+        require(keptB.size < keptP.size,
+          s"stats pruning must bite INSIDE the kept partition: " +
+            s"${keptB.size} vs ${keptP.size}")
+        PortableDelta.readTableWhere(s, out, byBoth)
+          .groupBy((col("o_orderkey") % 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("part_ok", lit(true))
+          .orderBy(col("bucket"))
+      },
+      timed = false),
+
+    // ----- Delta Change Data Feed: row-level changes from the log -----
+    // The incremental-consumer API: readChanges(from, to) reconstructs
+    // exactly which rows appeared/died per version from file actions
+    // alone — appends are inserts, DV growth is position-exact deletes,
+    // MERGE shows its delete+insert pair. At 100 TB this turns a
+    // downstream sync from "re-read the table and diff" into "read the
+    // changed files of the changed commits" — work bounded by the delta,
+    // not the table. Four commits (create / append / DELETE / MERGE);
+    // the oracle reconstructs every version's change set with SQL set
+    // logic over the source table; a wrong DV diff (e.g. re-reporting
+    // v2's deletes at v3) would fail the hash.
+    QuerySpec(
+      "stac30_delta_cdf",
+      Some("""
+        WITH dead AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice < 30000),
+             src AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0),
+             matched AS (SELECT k FROM src
+                         WHERE k % 3 IN (0, 1)
+                           AND k NOT IN (SELECT k FROM dead)),
+             ch AS (
+               SELECT 0 AS version, 'insert' AS change, o_orderkey AS k
+               FROM orders WHERE o_orderkey % 3 = 0
+               UNION ALL
+               SELECT 1, 'insert', o_orderkey FROM orders WHERE o_orderkey % 3 = 1
+               UNION ALL
+               SELECT 2, 'delete', k FROM dead
+               UNION ALL
+               SELECT 3, 'delete', k FROM matched
+               UNION ALL
+               SELECT 3, 'insert', k FROM src)
+        SELECT CAST(version AS BIGINT) AS version, change,
+               count(*) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS key_sum,
+               true AS cdf_ok
+        FROM ch GROUP BY version, change
+        ORDER BY version, change"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val out = java.nio.file.Files.createTempDirectory("stac30").toString + "/tbl"
+        PortableDelta.write(orders.filter(col("o_orderkey") % 3 === 0)
+          .repartition(4), out)                                        // v0
+        PortableDelta.write(orders.filter(col("o_orderkey") % 3 === 1)
+          .repartition(4), out, mode = "append")                       // v1
+        PortableDelta.delete(s, out, col("o_totalprice") < 30000.0)    // v2
+        val source = orders.filter(col("o_orderkey") % 4 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+        val st = PortableDelta.merge(s, out, source, Seq("o_orderkey")) // v3
+        require(st.version == 3 && st.updatedRows > 0 && st.insertedRows > 0)
+        PortableDelta.readChanges(s, out, 0L, 3L)
+          .groupBy(col("_commit_version").as("version"),
+            col("_change_type").as("change"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("cdf_ok", lit(true))
+          .orderBy(col("version"), col("change"))
+      },
       timed = false)
   )
 }

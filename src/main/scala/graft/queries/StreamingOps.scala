@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QuerySpec
+import graft.{QuerySpec, Tables}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -534,6 +534,74 @@ object StreamingOps {
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_rows"),
             sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+          .orderBy(col("event_type"))
+      },
+      timed = false),
+
+    // ----- CDF-driven incremental sync: the downstream never re-reads -----
+    // The consumer side of the Change Data Feed: a downstream aggregate
+    // (count + cents per event_type) is maintained ONLY from
+    // readChanges deltas — inserts add, deletes subtract — across three
+    // commits (two appends, then a DELETE). At 100 TB this is the
+    // difference between a sync job re-scanning the table per cycle and
+    // one that reads exactly the changed files of the changed commits.
+    // The in-gate require proves the incremental state equals a direct
+    // recompute of the final table IN BOTH DIRECTIONS (except() both
+    // ways); the oracle recomputes the final state from the source
+    // table. A CDF bug that leaked v2's deletes into the insert stream
+    // — or re-reported prior versions — fails the equality and the hash.
+    QuerySpec(
+      "st14_delta_cdf_sync",
+      Some("""
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               true AS sync_ok
+        FROM events
+        WHERE event_id % 5 <> 0
+        GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tbl = java.nio.file.Files.createTempDirectory("st14").toString + "/tbl"
+        val cents = floor(col("value") * 100 + 0.5).cast("long")
+        var downstream: org.apache.spark.sql.DataFrame = null
+        var lastSeen = -1L
+        def sync(): Unit = {
+          val cur = PortableDelta.snapshot(s, tbl).version
+          val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+          val delta = PortableDelta.readChanges(s, tbl, lastSeen + 1, cur)
+            .groupBy(col("event_type"))
+            .agg(sum(sign).as("n_rows"), sum(cents * sign).as("value_cents"))
+          val merged =
+            if (downstream == null) delta
+            else downstream.unionByName(delta).groupBy(col("event_type"))
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sum(col("value_cents")).as("value_cents"))
+          val next = merged.filter(col("n_rows") > 0).persist()
+          next.count() // materialize before the next round's changes land
+          if (downstream != null) downstream.unpersist()
+          downstream = next
+          lastSeen = cur
+        }
+        PortableDelta.write(ev.filter(col("event_id") % 2 === 0)
+          .repartition(4), tbl)                                        // v0
+        sync()
+        PortableDelta.write(ev.filter(col("event_id") % 2 === 1)
+          .repartition(4), tbl, mode = "append")                       // v1
+        sync()
+        PortableDelta.delete(s, tbl, col("event_id") % 5 === 0)        // v2
+        sync()
+        val direct = PortableDelta.readTable(s, tbl)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
+        require(downstream.except(direct).isEmpty &&
+          direct.except(downstream).isEmpty,
+          "incremental CDF state must equal the direct recompute exactly")
+        downstream
+          .withColumn("sync_ok", lit(true))
           .orderBy(col("event_type"))
       },
       timed = false)

@@ -279,17 +279,52 @@ object DeltaStats {
     }.getOrElse(Literal.TrueLiteral)
   }
 
-  /** Could ANY row of a file with `stats` satisfy `pred`? Conservative
-    * three-valued walk: an unrecognized node, a column without stats, or
-    * an un-comparable pair keeps the file. Supported: comparisons of a
-    * column against a literal (either side), IN, IS [NOT] NULL, AND/OR,
-    * and NOT over those. */
-  def satisfiable(statsJson: Option[String], schema: StructType,
-                  pred: Expression): Boolean = statsJson match {
-    case None => true
-    case Some(json) =>
-      val fs = parseStats(json, schema)
+  /** Decode one hive-serialized partition value into the stats
+    * comparable domain for its column type. Timestamps accept both the
+    * hive `yyyy-MM-dd HH:mm:ss[.ffffff]` and ISO `T` forms. */
+  private def partitionValueComparable(v: String, dt: DataType): Option[Any] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      scala.util.Try(v.toLong).toOption
+    case FloatType | DoubleType => scala.util.Try(v.toDouble).toOption
+    case BooleanType => scala.util.Try(v.toBoolean).toOption
+    case StringType => Some(v)
+    case DateType =>
+      scala.util.Try(java.time.LocalDate.parse(v).toEpochDay).toOption
+    case TimestampType | TimestampNTZType =>
+      scala.util.Try {
+        val ldt = java.time.LocalDateTime.parse(v.replace(' ', 'T'))
+        val i = ldt.toInstant(java.time.ZoneOffset.UTC)
+        Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L
+      }.toOption
+    case _ => None
+  }
+
+  /** Could ANY row of a file with `stats` + `partitionValues` satisfy
+    * `pred`? Conservative three-valued walk: an unrecognized node, a
+    * column without stats, or an un-comparable pair keeps the file.
+    * Supported: comparisons of a column against a literal (either
+    * side), IN, IS [NOT] NULL, AND/OR, and NOT over those. A partition
+    * value is a POINT statistic (min = max = value; null = the null
+    * partition) — partition pruning is exactly data skipping over
+    * point ranges, and works even on files with no stats JSON. */
+  def satisfiable(statsJson: Option[String], partitionValues: Map[String, String],
+                  schema: StructType, pred: Expression): Boolean = {
+    if (statsJson.isEmpty && partitionValues.isEmpty) true else {
+      val parsed = statsJson.map(parseStats(_, schema))
+        .getOrElse(FileStats(None, Map.empty, Map.empty, Map.empty))
       val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+      // partition columns: value → point bounds; null → all-null column
+      val nullParts = partitionValues.collect {
+        case (k, null) if byName.contains(k) => k
+      }.toSet
+      val pointBounds = partitionValues.flatMap {
+        case (k, v) if v != null && byName.contains(k) =>
+          partitionValueComparable(v, byName(k)).map(k -> _)
+        case _ => None
+      }
+      val fs = parsed.copy(
+        mins = parsed.mins ++ pointBounds,
+        maxs = parsed.maxs ++ pointBounds)
 
       def attrName(e: Expression): Option[String] = e match {
         case a: AttributeReference => Some(a.name)
@@ -319,11 +354,13 @@ object DeltaStats {
       def lv(name: String, lit: Literal): Option[Any] =
         byName.get(name).flatMap(dt => literalValue(lit, dt))
       // a column whose every row is null can satisfy no value comparison
+      // (incl. the hive null partition: every row shares the null value)
       def allNull(name: String): Boolean =
-        (fs.numRecords, fs.nulls.get(name)) match {
-          case (Some(n), Some(k)) => n > 0 && k == n
-          case _ => false
-        }
+        nullParts.contains(name) ||
+          ((fs.numRecords, fs.nulls.get(name)) match {
+            case (Some(n), Some(k)) => n > 0 && k == n
+            case _ => false
+          })
 
       def cmpKeep(name: String, lit: Literal,
                   keep: (Option[Int], Option[Int]) => Boolean): Boolean = {
@@ -374,10 +411,14 @@ object DeltaStats {
             case _ => true
           }
         case IsNull(a) => attrName(a) match {
+          case Some(n) if nullParts.contains(n) => true
+          case Some(n) if pointBounds.contains(n) => false // non-null partition value everywhere
           case Some(n) => fs.nulls.get(n).forall(_ > 0)
           case None => true
         }
         case IsNotNull(a) => attrName(a) match {
+          case Some(n) if nullParts.contains(n) => false // the null partition
+          case Some(n) if pointBounds.contains(n) => true
           case Some(n) => (fs.numRecords, fs.nulls.get(n)) match {
             case (Some(rows), Some(k)) => k < rows
             case _ => true
@@ -408,5 +449,6 @@ object DeltaStats {
         case _ => true
       }
       walk(pred)
+    }
   }
 }

@@ -60,10 +60,15 @@ object PortableDelta {
                                 cardinality: Long)
 
   /** `stats` is the spec's per-file column-statistics JSON (numRecords /
-    * minValues / maxValues / nullCount) — the data-skipping substrate. */
+    * minValues / maxValues / nullCount) — the data-skipping substrate.
+    * `partitionValues` is the spec's hive-partition map (column →
+    * serialized value; null value = the hive default/null partition);
+    * partitioned files live under `col=value/` subdirs and do NOT store
+    * the partition columns in their parquet bytes. */
   final case class AddFile(path: String, size: Long, modificationTime: Long,
                            dv: Option[DvDescriptor] = None,
-                           stats: Option[String] = None)
+                           stats: Option[String] = None,
+                           partitionValues: Map[String, String] = Map.empty)
   /** `txns` is the spec's per-appId transaction watermark (latest `txn`
     * action per application id) — the idempotent-streaming-writes
     * contract: a writer that tags each commit with {appId, version}
@@ -78,7 +83,8 @@ object PortableDelta {
       files: Seq[AddFile],
       txns: Map[String, Long] = Map.empty,
       readerFeatures: Seq[String] = Nil,
-      writerFeatures: Seq[String] = Nil)
+      writerFeatures: Seq[String] = Nil,
+      partitionColumns: Seq[String] = Nil)
 
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -107,7 +113,10 @@ object PortableDelta {
             mode: String = "error",
             footerKv: Map[String, String] = Map.empty,
             txn: Option[(String, Long)] = None,
-            maxRetries: Int = 10): Long = {
+            maxRetries: Int = 10,
+            partitionBy: Seq[String] = Nil): Long = {
+    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column $c not in the batch schema"))
     require(Set("error", "append", "overwrite").contains(mode),
       s"mode must be error|append|overwrite, got $mode")
     val conf = df.sparkSession.sessionState.newHadoopConf()
@@ -132,13 +141,22 @@ object PortableDelta {
         s"append schema mismatch at $path:\n table: ${s.schema.simpleString}\n " +
           s"batch: ${df.schema.simpleString}")
     }
-    val (added, cleanupMoved) = stageAndMove(df, path, footerKv, conf)
+    // appends inherit the table's partitioning; an explicit partitionBy
+    // must agree (a mixed-layout table would be unreadable)
+    val effPartitionBy = prior0 match {
+      case Some(p) if mode == "append" =>
+        require(partitionBy.isEmpty || partitionBy == p.partitionColumns,
+          s"append partitioning $partitionBy != table's ${p.partitionColumns}")
+        p.partitionColumns
+      case _ => partitionBy
+    }
+    val (added, cleanupMoved) = stageAndMove(df, path, footerKv, conf, effPartitionBy)
 
     // per-file column stats from the just-written parquet footers —
     // metadata-only reads sharded over executors; committed on the add
     // actions so readers skip files by min/max without opening them
     val statsByName: Map[String, String] = DeltaStats.collectFileStats(
-      df.sparkSession, path, added.map(_.getPath.getName), df.schema)
+      df.sparkSession, path, added.map(_.relPath), df.schema)
 
     // Optimistic-concurrency commit loop: build the action list against
     // the CURRENT snapshot, attempt the put-if-absent rename, and on a
@@ -186,12 +204,13 @@ object PortableDelta {
       if (prior.isEmpty) {
         actions += protocolAction()
         actions += metaDataAction(java.util.UUID.randomUUID().toString,
-          df.schema, properties, now)
+          df.schema, properties, now, effPartitionBy)
       } else if (mode == "overwrite") {
         // overwrite re-states metaData (schema/properties may change) but
         // keeps the table id — the replace-table shape
         actions += metaDataAction(prior.get.tableId, df.schema,
-          if (properties.nonEmpty) properties else prior.get.configuration, now)
+          if (properties.nonEmpty) properties else prior.get.configuration, now,
+          effPartitionBy)
         prior.get.files.foreach { f =>
           val r = mapper.createObjectNode()
           val b = r.putObject("remove")
@@ -203,12 +222,12 @@ object PortableDelta {
       added.foreach { f =>
         val r = mapper.createObjectNode()
         val b = r.putObject("add")
-        b.put("path", f.getPath.getName)
-        b.putObject("partitionValues")
-        b.put("size", f.getLen)
-        b.put("modificationTime", f.getModificationTime)
+        b.put("path", f.relPath)
+        putPartitionValues(b, f.partitionValues)
+        b.put("size", f.status.getLen)
+        b.put("modificationTime", f.status.getModificationTime)
         b.put("dataChange", true)
-        statsByName.get(f.getPath.getName).foreach(b.put("stats", _))
+        statsByName.get(f.relPath).foreach(b.put("stats", _))
         actions += r
       }
       try {
@@ -241,9 +260,17 @@ object PortableDelta {
     * removes already-moved part files, so a failed write leaves no
     * orphans. Returns the moved files plus a withdraw hook for callers
     * whose COMMIT later aborts. */
+  /** One staged-and-moved part file: filesystem status, table-relative
+    * path (subdirs for hive-partitioned layouts), and the partition
+    * values parsed from its directory components. */
+  private final case class StagedFile(
+      status: org.apache.hadoop.fs.FileStatus, relPath: String,
+      partitionValues: Map[String, String])
+
   private def stageAndMove(df: DataFrame, path: String,
-                           footerKv: Map[String, String], conf: Configuration)
-      : (Seq[org.apache.hadoop.fs.FileStatus], () => Unit) = {
+                           footerKv: Map[String, String], conf: Configuration,
+                           partitionBy: Seq[String] = Nil)
+      : (Seq[StagedFile], () => Unit) = {
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(conf)
     val staging = new Path(rootP, s".staging-${java.util.UUID.randomUUID()}")
@@ -252,25 +279,45 @@ object PortableDelta {
       try fs.delete(p, false)
       catch { case _: java.io.IOException => () } // best-effort
     }
-    val added: Seq[org.apache.hadoop.fs.FileStatus] =
+    val added: Seq[StagedFile] =
       try {
-        val w = df.write.mode("append")
+        val w0 = df.write.mode("append")
+        val w = if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*)
         val writer =
           if (footerKv.isEmpty) w.format("parquet")
           else footerKv.foldLeft(w.format("geoparquet")) { case (b, (k, v)) =>
             b.option(GeoParquetFileFormat.OptionPrefix + k, v)
           }
         writer.save(staging.toString)
-        val parts = fs.listStatus(staging).toSeq.filter { st =>
+        // recursive walk: partitioned writes nest part files under
+        // hive-style `col=value/` directories
+        val it = fs.listFiles(staging, true)
+        val parts = scala.collection.mutable.ArrayBuffer
+          .empty[(Path, String)] // (absolute, staging-relative)
+        val prefix = staging.toUri.getPath.stripSuffix("/") + "/"
+        while (it.hasNext) {
+          val st = it.next()
           val n = st.getPath.getName
-          st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          if (st.isFile && n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith("."))
+            parts += ((st.getPath,
+              st.getPath.toUri.getPath.stripPrefix(prefix)))
         }
-        parts.map { st =>
-          val dest = new Path(rootP, st.getPath.getName)
+        parts.toSeq.map { case (src, rel) =>
+          val dest = new Path(rootP, rel)
+          fs.mkdirs(dest.getParent)
           require(!fs.exists(dest), s"part-file collision at $dest — staging move aborted")
-          require(fs.rename(st.getPath, dest), s"could not move ${st.getPath} to $dest")
+          require(fs.rename(src, dest), s"could not move $src to $dest")
           moved += dest
-          fs.getFileStatus(dest)
+          // hive components in nesting order = partitionBy order; the
+          // LOG carries the authoritative values
+          val pv = rel.split('/').dropRight(1).collect {
+            case seg if seg.contains('=') =>
+              val (k, v) = seg.splitAt(seg.indexOf('='))
+              val raw = unescapeHive(v.drop(1))
+              k -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+          }.toMap
+          StagedFile(fs.getFileStatus(dest), rel, pv)
         }
       } catch {
         case e: Throwable => cleanupMoved(); throw e
@@ -278,6 +325,24 @@ object PortableDelta {
         fs.delete(staging, true); ()
       }
     (added, () => cleanupMoved())
+  }
+
+  /** Hive path-segment unescape (%XX sequences, the encoding Spark's
+    * partitioned writer applies to special characters). */
+  private def unescapeHive(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: Exception => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString()
   }
 
   /** The K3 face: STAC table → Delta table carrying the `geo` /
@@ -338,7 +403,7 @@ object PortableDelta {
                  condition: org.apache.spark.sql.Column): (Seq[AddFile], Int) = {
     val pred = DeltaStats.resolvePredicate(spark, snap.schema, condition)
     val kept = snap.files.filter(f =>
-      DeltaStats.satisfiable(f.stats, snap.schema, pred))
+      DeltaStats.satisfiable(f.stats, f.partitionValues, snap.schema, pred))
     (kept, snap.files.size - kept.size)
   }
 
@@ -360,36 +425,89 @@ object PortableDelta {
     * Roaring bytes — KBs per million deleted rows); the per-row probe is
     * a bitmap contains() against the file's physical row index, which
     * Spark's parquet reader exposes as `_metadata.row_index`. Files
-    * without a DV take the plain scan path untouched. */
-  private def snapshotDf(spark: SparkSession, path: String, snap: Snapshot): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split, udf}
+    * without a DV take the plain scan path untouched. Partitioned
+    * tables (hive layout: `col=value/` subdirs, partition columns absent
+    * from the parquet bytes) re-inject the partition columns as per-file
+    * literals from the log's `partitionValues` — the LOG values are
+    * authoritative, never the directory names. */
+  private def snapshotDf(spark: SparkSession, path: String, snap: Snapshot): DataFrame =
+    buildScan(spark, path, snap, withPos = false, applyDvs = true,
+      validateDvCardinality = true)
+
+  private def buildScan(spark: SparkSession, path: String, snap: Snapshot,
+                        withPos: Boolean, applyDvs: Boolean,
+                        validateDvCardinality: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, lit, split, udf}
+    val posFields = if (withPos)
+      Seq(StructField(PosFileCol, StringType), StructField(PosIdxCol, LongType))
+      else Nil
     if (snap.files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    val base = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(f => s"$path/${f.path}"): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snap.schema.fields.toSeq ++ posFields))
+    val partCols = snap.partitionColumns
+    val dataSchema = StructType(
+      snap.schema.filterNot(f => partCols.contains(f.name)))
+    val typeOf = snap.schema.map(f => f.name -> f.dataType).toMap
     val dvFiles = snap.files.filter(_.dv.isDefined)
-    if (dvFiles.isEmpty) return base
-    val conf = spark.sessionState.newHadoopConf()
-    // keyed by file NAME (part names are committer-UUID unique); decode
-    // eagerly so a corrupt DV fails the read, not a random task
-    val decoded: Map[String, DeletionVectors.Dv] = dvFiles.map { f =>
-      val d = f.dv.get
-      val dv = DeletionVectors.load(conf, path, d.storageType,
-        d.pathOrInlineDv, d.offset, d.sizeInBytes)
-      require(dv.cardinality == d.cardinality,
-        s"DV for ${f.path}: decoded cardinality ${dv.cardinality} != " +
-          s"descriptor ${d.cardinality}")
-      new Path(f.path).getName -> dv
-    }.toMap
-    val bc = spark.sparkContext.broadcast(decoded)
-    val keep = udf((fileName: String, idx: Long) =>
-      !bc.value.get(fileName).exists(_.contains(idx)))
-    base
-      .withColumn("__graft_file", element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__graft_idx", col("_metadata.row_index"))
-      .filter(keep(col("__graft_file"), col("__graft_idx")))
-      .drop("__graft_file", "__graft_idx")
+    val needPos = withPos || dvFiles.nonEmpty
+
+    // PosFileCol must be the TABLE-RELATIVE path, not the bare file
+    // name: hive-partitioned writes reuse part numbers in every
+    // `col=value/` dir, so names collide across partitions and a
+    // name-keyed DV would tombstone rows of the WRONG partition's file
+    val relDepth = partCols.size + 1
+    def scanGroup(files: Seq[AddFile]): DataFrame = {
+      var df = spark.read.schema(dataSchema)
+        .parquet(files.map(f => s"$path/${f.path}"): _*)
+      if (needPos) df = df
+        .withColumn(PosFileCol,
+          org.apache.spark.sql.functions.array_join(
+            org.apache.spark.sql.functions.slice(
+              split(col("_metadata.file_path"), "/"), -relDepth, relDepth), "/"))
+        .withColumn(PosIdxCol, col("_metadata.row_index"))
+      // re-inject partition columns from the group's (shared) log values
+      val pv = files.head.partitionValues
+      partCols.foreach { c =>
+        val v = pv.getOrElse(c, null)
+        df = df.withColumn(c,
+          (if (v == null) lit(null) else lit(v)).cast(typeOf(c)))
+      }
+      df.select((snap.schema.fieldNames.toSeq ++
+        (if (needPos) Seq(PosFileCol, PosIdxCol) else Nil)).map(col): _*)
+    }
+
+    // one scan per distinct partition tuple (unpartitioned = one group);
+    // at many-partition scale the groups are a driver-side plan union —
+    // bounded by TOUCHED partitions, the same order as planning itself
+    val base =
+      if (partCols.isEmpty) scanGroup(snap.files)
+      else snap.files.groupBy(_.partitionValues).values.toSeq
+        .map(scanGroup).reduce(_ unionByName _)
+
+    val filtered =
+      if (!applyDvs || dvFiles.isEmpty) base
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        // keyed by table-relative path (see PosFileCol note above);
+        // decode eagerly so a corrupt DV fails the read, not a random task
+        val decoded: Map[String, DeletionVectors.Dv] = dvFiles.map { f =>
+          val d = f.dv.get
+          val dv = DeletionVectors.load(conf, path, d.storageType,
+            d.pathOrInlineDv, d.offset, d.sizeInBytes)
+          if (validateDvCardinality)
+            require(dv.cardinality == d.cardinality,
+              s"DV for ${f.path}: decoded cardinality ${dv.cardinality} != " +
+                s"descriptor ${d.cardinality}")
+          f.path -> dv
+        }.toMap
+        val bc = spark.sparkContext.broadcast(decoded)
+        val keep = udf((fileName: String, idx: Long) =>
+          !bc.value.get(fileName).exists(_.contains(idx)))
+        base.filter(keep(col(PosFileCol), col(PosIdxCol)))
+      }
+    if (withPos || !needPos) filtered
+    else filtered.drop(PosFileCol, PosIdxCol)
   }
 
   /** Outcome of a [[delete]]: the committed version, how many rows became
@@ -476,26 +594,8 @@ object PortableDelta {
     * `applyDvs = true` additionally filters already-deleted rows — the
     * frame row-mutation operators (MERGE key-matching) must see. */
   private def scanWithPos(spark: SparkSession, path: String, snap: Snapshot,
-                          applyDvs: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.{col, element_at, split, udf}
-    val base = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(f => s"$path/${f.path}"): _*)
-      .withColumn(PosFileCol,
-        element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn(PosIdxCol, col("_metadata.row_index"))
-    val dvFiles = snap.files.filter(_.dv.isDefined)
-    if (!applyDvs || dvFiles.isEmpty) return base
-    val conf = spark.sessionState.newHadoopConf()
-    val decoded: Map[String, DeletionVectors.Dv] = dvFiles.map { f =>
-      val d = f.dv.get
-      new Path(f.path).getName -> DeletionVectors.load(conf, path,
-        d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
-    }.toMap
-    val bc = spark.sparkContext.broadcast(decoded)
-    val keep = udf((fileName: String, idx: Long) =>
-      !bc.value.get(fileName).exists(_.contains(idx)))
-    base.filter(keep(col(PosFileCol), col(PosIdxCol)))
-  }
+                          applyDvs: Boolean): DataFrame =
+    buildScan(spark, path, snap, withPos = true, applyDvs = applyDvs)
 
   /** The assembled DV half of a row-mutation commit: remove/re-add (or
     * remove-only) actions, counters, and the staged-pack withdraw hook
@@ -516,7 +616,7 @@ object PortableDelta {
         val r = mapper.createObjectNode()
         val b = r.putObject("add")
         b.put("path", f.path)
-        b.putObject("partitionValues")
+        putPartitionValues(b, f.partitionValues)
         b.put("size", f.size)
         b.put("modificationTime", f.modificationTime)
         b.put("dataChange", true)
@@ -550,7 +650,9 @@ object PortableDelta {
   private def dvDeathParts(spark: SparkSession, path: String, snap: Snapshot,
                            dead: DataFrame): Option[DvParts] = {
     val conf = spark.sessionState.newHadoopConf()
-    val byName = snap.files.map(f => new Path(f.path).getName -> f).toMap
+    // keyed by table-RELATIVE path — hive partitions reuse part numbers,
+    // so bare names collide across `col=value/` dirs
+    val byName = snap.files.map(f => f.path -> f).toMap
     val s2 = spark; import s2.implicits._
     val perFile: Array[(String, Array[Byte], Long)] = dead
       .toDF("f", "i")
@@ -588,6 +690,139 @@ object PortableDelta {
       else DeletionVectors.writeDvPack(conf, path, kept.map(_._2))
     Some(new DvParts(newlyDeleted, kept.size, gone.size,
       gone.map(_._1), kept.map(p => (p._1, p._3)), packPath, slots, path, conf))
+  }
+
+  /** Change Data Feed: reconstruct ROW-LEVEL changes for versions
+    * `fromVersion..toVersion` (inclusive) from the log alone — the
+    * incremental-consumer API (downstream sync, audit, streaming
+    * backfill) that turns "re-read the table and diff" into "read
+    * exactly what changed". No cdc files are materialized; changes
+    * derive from the file actions, which is exactly what DV-era engines
+    * do for non-CDF tables:
+    *
+    *   - a NEW file with `dataChange=true` → its rows (minus any DV it
+    *     was born with) are `insert`s;
+    *   - a re-stated file whose DV GREW → the rows at positions in
+    *     (newDV \ oldDV) are `delete`s (the DELETE/MERGE shape; the
+    *     probe is two broadcast bitmaps, never a position list);
+    *   - a removed file (`dataChange=true`, not re-stated in the same
+    *     commit) → its then-live rows are `delete`s;
+    *   - `dataChange=false` actions (OPTIMIZE, compaction) produce
+    *     NOTHING — layout changes are not data changes.
+    *
+    * Output = table schema + `_change_type` (insert|delete) +
+    * `_commit_version`. An update appears as its delete + insert pair
+    * (this writer's MERGE commits exactly that). Requires the JSON
+    * commits for the requested range — checkpoint-truncated versions
+    * fail by name, never silently. Work is bounded by the CHANGED files
+    * per version, not table size. */
+  def readChanges(spark: SparkSession, path: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, udf}
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad CDF range [$fromVersion, $toVersion]")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    val endSnap = snapshotAt(spark, path, toVersion)
+    var live: Map[String, AddFile] =
+      if (fromVersion == 0) Map.empty
+      else snapshotAt(spark, path, fromVersion - 1).files.map(f => f.path -> f).toMap
+
+    def loadDv(d: DvDescriptor): DeletionVectors.Dv =
+      DeletionVectors.load(conf, path, d.storageType, d.pathOrInlineDv,
+        d.offset, d.sizeInBytes)
+    def scanFiles(files: Seq[AddFile]) =
+      buildScan(spark, path, endSnap.copy(files = files),
+        withPos = true, applyDvs = false)
+    val outSchema = StructType(endSnap.schema.fields.toSeq ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+    def finish(df: DataFrame, change: String, v: Long): DataFrame =
+      df.drop(PosIdxCol).drop(PosFileCol)
+        .withColumn("_change_type", lit(change))
+        .withColumn("_commit_version", lit(v))
+    val pieces = Seq.newBuilder[DataFrame]
+
+    for (v <- fromVersion to toVersion) {
+      val p = new Path(logDir(path), versionFileName(v))
+      require(fs.exists(p),
+        s"CDF needs commit $v of $path but its JSON is not available " +
+          "(checkpoint-truncated log)")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val nodes = lines.filter(_.nonEmpty).map(mapper.readTree)
+      val adds = nodes.filter(_.has("add")).map(_.get("add"))
+        .filter(a => Option(a.get("dataChange")).forall(_.asBoolean()))
+        .map(parseAddNode)
+      val removedPaths = nodes.filter(_.has("remove")).map(_.get("remove"))
+        .filter(r => Option(r.get("dataChange")).forall(_.asBoolean()))
+        .map(_.get("path").asText())
+
+      val (restated, born) = adds.partition(a => live.contains(a.path))
+      // fresh files: inserts (minus any DV they were born with)
+      if (born.nonEmpty) {
+        val withDv = born.filter(_.dv.isDefined)
+        val base = scanFiles(born)
+        val df =
+          if (withDv.isEmpty) base
+          else {
+            val bc = spark.sparkContext.broadcast(
+              withDv.map(f => f.path -> loadDv(f.dv.get)).toMap)
+            val keep = udf((rel: String, idx: Long) =>
+              !bc.value.get(rel).exists(_.contains(idx)))
+            base.filter(keep(col(PosFileCol), col(PosIdxCol)))
+          }
+        pieces += finish(df, "insert", v)
+      }
+      // re-stated files: the DV growth is this commit's deletes
+      val grew = restated.filter(f =>
+        f.dv.map(_.cardinality).getOrElse(0L) >
+          live(f.path).dv.map(_.cardinality).getOrElse(0L))
+      if (grew.nonEmpty) {
+        val bc = spark.sparkContext.broadcast(grew.map { f =>
+          f.path -> (live(f.path).dv.map(loadDv), loadDv(f.dv.get))
+        }.toMap)
+        val diff = udf((rel: String, idx: Long) =>
+          bc.value.get(rel).exists { case (old, nw) =>
+            nw.contains(idx) && !old.exists(_.contains(idx))
+          })
+        pieces += finish(
+          scanFiles(grew).filter(diff(col(PosFileCol), col(PosIdxCol))),
+          "delete", v)
+      }
+      // removed (and not re-stated) files: their then-live rows die
+      val gone = removedPaths.filterNot(rp => adds.exists(_.path == rp))
+        .flatMap(live.get) // a foreign tombstone has no pre-state: no-op
+      if (gone.nonEmpty) {
+        val withDv = gone.filter(_.dv.isDefined)
+        val base = scanFiles(gone)
+        val df =
+          if (withDv.isEmpty) base
+          else {
+            val bc = spark.sparkContext.broadcast(
+              withDv.map(f => f.path -> loadDv(f.dv.get)).toMap)
+            val keep = udf((rel: String, idx: Long) =>
+              !bc.value.get(rel).exists(_.contains(idx)))
+            base.filter(keep(col(PosFileCol), col(PosIdxCol)))
+          }
+        pieces += finish(df, "delete", v)
+      }
+      // advance the pre-state: all actions apply, dataChange or not
+      nodes.foreach { n =>
+        if (n.has("add")) {
+          val f = parseAddNode(n.get("add"))
+          live = live + (f.path -> f)
+        }
+        if (n.has("remove"))
+          live = live - n.get("remove").get("path").asText()
+      }
+    }
+    val all = pieces.result()
+    if (all.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else all.reduce(_ unionByName _)
   }
 
   /** Outcome of a [[merge]]: committed version plus the three row
@@ -691,11 +926,12 @@ object PortableDelta {
           if (parts.isEmpty && appendDf.isEmpty)
             return MergeStats(prior.version, 0L, 0L, 0L)
           val (added, cleanupMoved) = appendDf match {
-            case Some(df) => stageAndMove(df, path, footerKv, conf)
-            case None => (Seq.empty[org.apache.hadoop.fs.FileStatus], () => ())
+            case Some(df) =>
+              stageAndMove(df, path, footerKv, conf, prior.partitionColumns)
+            case None => (Seq.empty[StagedFile], () => ())
           }
           val statsByName = DeltaStats.collectFileStats(
-            spark, path, added.map(_.getPath.getName), prior.schema)
+            spark, path, added.map(_.relPath), prior.schema)
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
           actions += commitInfo(now, "MERGE")
@@ -706,12 +942,12 @@ object PortableDelta {
           added.foreach { f =>
             val r = mapper.createObjectNode()
             val b = r.putObject("add")
-            b.put("path", f.getPath.getName)
-            b.putObject("partitionValues")
-            b.put("size", f.getLen)
-            b.put("modificationTime", f.getModificationTime)
+            b.put("path", f.relPath)
+            putPartitionValues(b, f.partitionValues)
+            b.put("size", f.status.getLen)
+            b.put("modificationTime", f.status.getModificationTime)
             b.put("dataChange", true)
-            statsByName.get(f.getPath.getName).foreach(b.put("stats", _))
+            statsByName.get(f.relPath).foreach(b.put("stats", _))
             actions += r
           }
           try {
@@ -755,8 +991,10 @@ object PortableDelta {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     val referenced = scala.collection.mutable.Set.empty[String]
+    // table-relative add paths (bare names collide across hive dirs);
+    // DV packs live at the root so their rel path IS the name
     def noteAdd(p: String, dv: Option[DvDescriptor]): Unit = {
-      referenced += new Path(p).getName
+      referenced += p
       dv.filter(_.storageType == "u").foreach(d =>
         referenced += DeletionVectors.dvFilePath(path, d.pathOrInlineDv).getName)
       dv.filter(_.storageType == "p").foreach(d =>
@@ -798,11 +1036,20 @@ object PortableDelta {
     }
     val cutoff = System.currentTimeMillis() - graceMillis
     var deleted = 0
-    fs.listStatus(new Path(path)).foreach { st =>
+    // recursive walk (partitioned layouts nest under col=value/ dirs);
+    // anything under _delta_log or a hidden dir is out of scope
+    val rootUri = new Path(path).toUri.getPath.stripSuffix("/") + "/"
+    val it = fs.listFiles(new Path(path), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
+      val segs = rel.split('/')
       val n = st.getPath.getName
-      val candidate = st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+      val inScope = !segs.dropRight(1).exists(s =>
+        s.startsWith(".") || s.startsWith("_"))
+      val candidate = inScope && !n.startsWith(".") && !n.startsWith("_") &&
         (n.endsWith(".parquet") || n.startsWith("deletion_vector_"))
-      if (candidate && !referenced.contains(n) && st.getModificationTime < cutoff) {
+      if (candidate && !referenced.contains(rel) && st.getModificationTime < cutoff) {
         if (fs.delete(st.getPath, false)) deleted += 1
       }
     }
@@ -888,9 +1135,10 @@ object PortableDelta {
                             df: DataFrame, footerKv: Map[String, String],
                             op: String, maxRetries: Int): OptimizeStats = {
     val conf = spark.sessionState.newHadoopConf()
-    val (added, cleanupMoved) = stageAndMove(df, path, footerKv, conf)
+    val (added, cleanupMoved) =
+      stageAndMove(df, path, footerKv, conf, snap0.partitionColumns)
     val statsByName = DeltaStats.collectFileStats(
-      spark, path, added.map(_.getPath.getName), snap0.schema)
+      spark, path, added.map(_.relPath), snap0.schema)
     val victimPaths = victims.map(_.path).toSet
     var prior = snap0
     var attempt = 0
@@ -908,12 +1156,12 @@ object PortableDelta {
       added.foreach { f =>
         val r = mapper.createObjectNode()
         val b = r.putObject("add")
-        b.put("path", f.getPath.getName)
-        b.putObject("partitionValues")
-        b.put("size", f.getLen)
-        b.put("modificationTime", f.getModificationTime)
+        b.put("path", f.relPath)
+        putPartitionValues(b, f.partitionValues)
+        b.put("size", f.status.getLen)
+        b.put("modificationTime", f.status.getModificationTime)
         b.put("dataChange", false)
-        statsByName.get(f.getPath.getName).foreach(b.put("stats", _))
+        statsByName.get(f.relPath).foreach(b.put("stats", _))
         actions += r
       }
       try {
@@ -1002,7 +1250,9 @@ object PortableDelta {
     StructField("dv_offset", IntegerType),
     StructField("dv_sizeInBytes", IntegerType),
     StructField("dv_cardinality", LongType),
-    StructField("stats", StringType)))
+    StructField("stats", StringType),
+    StructField("partitionValues",
+      org.apache.spark.sql.types.MapType(StringType, StringType))))
 
   private def addFilesToFlatDf(spark: SparkSession, files: Seq[AddFile]): DataFrame = {
     val rows = files.map { f =>
@@ -1011,7 +1261,8 @@ object PortableDelta {
         f.dv.flatMap(_.offset).map(Int.box).orNull,
         f.dv.map(d => Int.box(d.sizeInBytes)).orNull,
         f.dv.map(d => Long.box(d.cardinality)).orNull,
-        f.stats.orNull)
+        f.stats.orNull,
+        f.partitionValues)
     }
     spark.createDataFrame(rows.asJava, FlatAddSchema)
   }
@@ -1087,7 +1338,7 @@ object PortableDelta {
     * [[cleanupLog]] to truncate the JSON tail. Returns V. */
   def checkpoint(spark: SparkSession, path: String,
                  addsPerPart: Int = 100000): Long = {
-    import org.apache.spark.sql.functions.{array, broadcast, col, lit, struct, typedLit, when}
+    import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, lit, struct, typedLit, when}
     require(addsPerPart >= 1, s"addsPerPart must be >= 1, got $addsPerPart")
     val conf = spark.sessionState.newHadoopConf()
     val fs = logDir(path).getFileSystem(conf)
@@ -1100,6 +1351,7 @@ object PortableDelta {
         st.readerFeatures = snap.readerFeatures; st.writerFeatures = snap.writerFeatures
         st.tableId = snap.tableId; st.schemaJson = snap.schema.json
         st.configuration = snap.configuration
+        st.partitionCols = snap.partitionColumns
         snap.txns.foreach { case (k, v) => st.txns.put(k, v) }
       case Some(ref) =>
         seedCheckpointSmall(spark, path, ref, st)
@@ -1131,7 +1383,8 @@ object PortableDelta {
       struct(lit(st.tableId).as("id"),
         struct(lit("parquet").as("provider"), emptyMap.as("options")).as("format"),
         lit(st.schemaJson).as("schemaString"),
-        array().cast("array<string>").as("partitionColumns"),
+        (if (st.partitionCols.nonEmpty) typedLit(st.partitionCols)
+         else array().cast("array<string>")).as("partitionColumns"),
         typedLit(st.configuration).as("configuration"),
         lit(System.currentTimeMillis()).as("createdTime")).as("metaData"),
       nullAdd.as("add"), nullTxn.as("txn"))
@@ -1144,7 +1397,8 @@ object PortableDelta {
           lit(null).cast("bigint").as("lastUpdated")).as("txn"))
     val addsActions = adds.select(
       nullProto.as("protocol"), nullMeta.as("metaData"),
-      struct(col("path"), emptyMap.as("partitionValues"),
+      struct(col("path"),
+        coalesce(col("partitionValues"), emptyMap).as("partitionValues"),
         col("size"), col("modificationTime"), lit(true).as("dataChange"),
         when(col("dv_storageType").isNotNull,
           struct(col("dv_storageType").as("storageType"),
@@ -1306,6 +1560,7 @@ object PortableDelta {
     var writerFeatures: Seq[String] = Nil
     var tableId = ""; var schemaJson = ""
     var configuration: Map[String, String] = Map.empty
+    var partitionCols: Seq[String] = Nil
     val live: scala.collection.mutable.LinkedHashMap[String, AddFile] =
       scala.collection.mutable.LinkedHashMap.empty
     // spec: the LATEST txn action per appId wins (commits replay in
@@ -1334,6 +1589,8 @@ object PortableDelta {
         configuration = Option(m.get("configuration")).map(_.asInstanceOf[ObjectNode]
           .properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty)
+        partitionCols = Option(m.get("partitionColumns")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
       }
       if (node.has("add")) {
         val f = parseAddNode(node.get("add"))
@@ -1366,7 +1623,7 @@ object PortableDelta {
       Snapshot(version, readerV, writerV, tableId,
         DataType.fromJson(schemaJson).asInstanceOf[StructType],
         configuration, live.values.toSeq, txns.toMap,
-        readerFeatures, writerFeatures)
+        readerFeatures, writerFeatures, partitionCols)
     }
   }
 
@@ -1420,6 +1677,9 @@ object PortableDelta {
         st.tableId = m.getString(m.fieldIndex("id"))
         st.schemaJson = m.getString(m.fieldIndex("schemaString"))
         st.configuration = m.getMap[String, String](m.fieldIndex("configuration")).toMap
+        if (m.schema != null && m.schema.fieldNames.contains("partitionColumns") &&
+            !m.isNullAt(m.fieldIndex("partitionColumns")))
+          st.partitionCols = m.getSeq[String](m.fieldIndex("partitionColumns"))
       }
       // txn rows carry the per-appId streaming watermark across log
       // truncation (the spec stores the latest txn per appId in the
@@ -1463,10 +1723,14 @@ object PortableDelta {
     val statsCol =
       if (addType.fieldNames.contains("stats")) col("add.stats").as("stats")
       else lit(null).cast("string").as("stats")
+    val pvCol =
+      if (addType.fieldNames.contains("partitionValues"))
+        col("add.partitionValues").as("partitionValues")
+      else lit(null).cast("map<string,string>").as("partitionValues")
     df.where(col("add").isNotNull)
       .select(Seq(col("add.path").as("path"), col("add.size").as("size"),
         col("add.modificationTime").as("modificationTime")) ++ dvCols
-        :+ statsCol: _*)
+        ++ Seq(statsCol, pvCol): _*)
   }
 
   private def rowToAddFile(r: org.apache.spark.sql.Row): AddFile = {
@@ -1476,7 +1740,9 @@ object PortableDelta {
         if (r.isNullAt(5)) None else Some(r.getInt(5)),
         r.getInt(6), r.getLong(7)))
     AddFile(r.getString(0), r.getLong(1), r.getLong(2), dv,
-      if (r.isNullAt(8)) None else Some(r.getString(8)))
+      if (r.isNullAt(8)) None else Some(r.getString(8)),
+      if (r.isNullAt(9)) Map.empty
+      else r.getMap[String, String](9).toMap)
   }
 
   /** Compat seeding for the Snapshot API: small state + a NARROW driver
@@ -1594,9 +1860,13 @@ object PortableDelta {
         Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
         d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
     }
+    val pv = Option(a.get("partitionValues")).filterNot(_.isNull).map { p =>
+      p.asInstanceOf[ObjectNode].properties().asScala.map(e =>
+        e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+    }.getOrElse(Map.empty[String, String])
     AddFile(a.get("path").asText(), a.get("size").asLong(),
       a.get("modificationTime").asLong(), dv,
-      Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), pv)
   }
 
   private def logDir(path: String) = new Path(path, "_delta_log")
@@ -1621,18 +1891,28 @@ object PortableDelta {
   }
 
   private def metaDataAction(id: String, schema: StructType,
-                             properties: Map[String, String], ts: Long): JsonNode = {
+                             properties: Map[String, String], ts: Long,
+                             partitionColumns: Seq[String] = Nil): JsonNode = {
     val r = mapper.createObjectNode()
     val b = r.putObject("metaData")
     b.put("id", id)
     val fmt = b.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
     b.put("schemaString", schema.json)
-    b.putArray("partitionColumns")
+    val pc = b.putArray("partitionColumns")
+    partitionColumns.foreach(pc.add)
     val cfg = b.putObject("configuration")
     properties.foreach { case (k, v) => cfg.put(k, v) }
     b.put("createdTime", ts)
     r
+  }
+
+  /** The spec's partitionValues object on an add action (null value =
+    * hive default/null partition). */
+  private def putPartitionValues(b: ObjectNode,
+                                 pv: Map[String, String]): Unit = {
+    val o = b.putObject("partitionValues")
+    pv.foreach { case (k, v) => if (v == null) o.putNull(k) else o.put(k, v) }
   }
 
   /** Atomic put-if-absent commit: write the actions to a hidden temp

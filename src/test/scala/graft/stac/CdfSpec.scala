@@ -1,0 +1,92 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Change Data Feed reconstruction from the portable log: row-level
+  * insert/delete changes per version, derived from file actions alone.
+  * Contracts: appends are inserts, DV growth is position-exact deletes,
+  * file removal deletes only then-live rows, MERGE shows the
+  * delete+insert pair, OPTIMIZE (dataChange=false) is silent, and
+  * truncated ranges fail by name. */
+class CdfSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("pcdf").toString + "/tbl"
+
+  private def rows(ids: Seq[Long], tag: String) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, tag)).toDF("id", "tag")
+  }
+
+  private def changes(path: String, from: Long, to: Long): Seq[(Long, String, Long)] =
+    PortableDelta.readChanges(spark, path, from, to)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("create/append/delete/merge each produce their exact row changes") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 5L, "a").coalesce(1), path)          // v0
+    PortableDelta.write(rows(5L until 8L, "b").coalesce(1), path,
+      mode = "append")                                                     // v1
+    PortableDelta.delete(spark, path, col("id") < 2L)                      // v2
+    val s = spark; import s.implicits._
+    PortableDelta.merge(spark, path,
+      rows(Seq(4L, 9L), "m"), Seq("id"))                                   // v3
+
+    val all = changes(path, 0L, 3L)
+    assert(all.filter(_._3 == 0L).map(c => (c._1, c._2)).toSet ==
+      (0L until 5L).map(i => (i, "insert")).toSet)
+    assert(all.filter(_._3 == 1L).map(c => (c._1, c._2)).toSet ==
+      (5L until 8L).map(i => (i, "insert")).toSet)
+    assert(all.filter(_._3 == 2L).map(c => (c._1, c._2)).toSet ==
+      Set((0L, "delete"), (1L, "delete")))
+    // merge: id 4 updates (delete + insert), id 9 inserts
+    assert(all.filter(_._3 == 3L).map(c => (c._1, c._2)).toSet ==
+      Set((4L, "delete"), (4L, "insert"), (9L, "insert")))
+    // a sub-range slices cleanly
+    assert(changes(path, 2L, 2L).map(c => (c._1, c._2)).toSet ==
+      Set((0L, "delete"), (1L, "delete")))
+  }
+
+  test("second DELETE reports only NEWLY dead positions (DV diff)") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 10L, "a").coalesce(1), path)         // v0
+    PortableDelta.delete(spark, path, col("id") < 4L)                      // v1
+    PortableDelta.delete(spark, path, col("id") < 6L)                      // v2: only 4,5 new
+    assert(changes(path, 2L, 2L).map(c => (c._1, c._2)).toSet ==
+      Set((4L, "delete"), (5L, "delete")))
+  }
+
+  test("OPTIMIZE is invisible; overwrite is full delete + insert") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 4L, "a").coalesce(1), path)          // v0
+    PortableDelta.write(rows(4L until 6L, "a").coalesce(1), path,
+      mode = "append")                                                     // v1
+    val opt = PortableDelta.optimizeCompact(spark, path)                   // v2
+    assert(opt.removedFiles == 2)
+    assert(changes(path, 2L, 2L).isEmpty,
+      "dataChange=false rewrites must produce no CDF rows")
+    PortableDelta.write(rows(100L until 102L, "c").coalesce(1), path,
+      mode = "overwrite")                                                  // v3
+    val ov = changes(path, 3L, 3L)
+    assert(ov.filter(_._2 == "delete").map(_._1).toSet == (0L until 6L).toSet)
+    assert(ov.filter(_._2 == "insert").map(_._1).toSet == Set(100L, 101L))
+  }
+
+  test("a truncated range fails by name, not with wrong data") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 3L, "a").coalesce(1), path)          // v0
+    PortableDelta.write(rows(3L until 5L, "a").coalesce(1), path,
+      mode = "append")                                                     // v1
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val e = intercept[Exception] {
+      PortableDelta.readChanges(spark, path, 0L, 1L).collect()
+    }
+    assert(e.getMessage.contains("not reconstructable") ||
+      e.getMessage.contains("CDF needs commit"), e.getMessage)
+  }
+}
