@@ -1744,6 +1744,59 @@ object StacOps {
           .withColumn("cdf_ok", lit(true))
           .orderBy(col("version"), col("change"))
       },
+      timed = false),
+
+    // ----- Delta schema evolution: mergeSchema append, nulls backfill -----
+    // The long-lived-table reality: the pipeline adds a column mid-life.
+    // A mergeSchema append re-states metaData with the evolved schema
+    // (new columns nullable, type changes REJECTED — old bytes can't be
+    // reinterpreted); old files read the new column as null with zero
+    // rewrite — at 100 TB, adding a column to a petabyte table is one
+    // metaData action, not a table copy. In-gate requires pin the
+    // evolved field list, that time travel to v0 still reads the
+    // ORIGINAL two-column schema, and that exactly the v0 rows carry
+    // nulls; the oracle recomputes the merged view from the source.
+    QuerySpec(
+      "stac31_delta_schema_evolution",
+      Some("""
+        SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                    ELSE 'NONE' END AS status,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS evo_ok
+        FROM orders
+        GROUP BY status ORDER BY status"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+        val out = java.nio.file.Files.createTempDirectory("stac31").toString + "/tbl"
+        PortableDelta.write(orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartition(4), out)                                        // v0: 2 cols
+        PortableDelta.write(orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .repartition(4), out, mode = "append", mergeSchema = true)   // v1: +status
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.schema.fieldNames.toSeq ==
+          Seq("o_orderkey", "o_totalprice", "o_orderstatus"),
+          s"schema must evolve in place, got ${snap.schema.fieldNames.toSeq}")
+        require(PortableDelta.snapshotAt(s, out, 0L).schema.fieldNames.toSeq ==
+          Seq("o_orderkey", "o_totalprice"),
+          "time travel to v0 must read the ORIGINAL schema")
+        val tbl = PortableDelta.readTable(s, out)
+        require(tbl.filter(col("o_orderstatus").isNull).count() ==
+          orders.filter(col("o_orderkey") % 2 === 0).count(),
+          "exactly the pre-evolution rows read the new column as null")
+        tbl
+          .groupBy(coalesce(col("o_orderstatus"), lit("NONE")).as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("evo_ok", lit(true))
+          .orderBy(col("status"))
+      },
       timed = false)
   )
 }

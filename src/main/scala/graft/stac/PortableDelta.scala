@@ -114,7 +114,8 @@ object PortableDelta {
             footerKv: Map[String, String] = Map.empty,
             txn: Option[(String, Long)] = None,
             maxRetries: Int = 10,
-            partitionBy: Seq[String] = Nil): Long = {
+            partitionBy: Seq[String] = Nil,
+            mergeSchema: Boolean = false): Long = {
     partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"partition column $c not in the batch schema"))
     require(Set("error", "append", "overwrite").contains(mode),
@@ -136,11 +137,15 @@ object PortableDelta {
         if (p.txns.get(appId).exists(_ >= v)) return p.version
       }
     }
-    prior0.filter(_ => mode == "append").foreach { s =>
-      require(DataType.equalsIgnoreNullability(s.schema, df.schema),
-        s"append schema mismatch at $path:\n table: ${s.schema.simpleString}\n " +
-          s"batch: ${df.schema.simpleString}")
-    }
+    def appendSchemaOf(prior: Snapshot): StructType =
+      if (!mergeSchema) {
+        require(DataType.equalsIgnoreNullability(prior.schema, df.schema),
+          s"append schema mismatch at $path:\n table: ${prior.schema.simpleString}\n " +
+            s"batch: ${df.schema.simpleString}\n " +
+            "(pass mergeSchema = true to evolve the table schema)")
+        prior.schema
+      } else evolveSchema(prior.schema, df.schema)
+    prior0.filter(_ => mode == "append").foreach(appendSchemaOf)
     // appends inherit the table's partitioning; an explicit partitionBy
     // must agree (a mixed-layout table would be unreadable)
     val effPartitionBy = prior0 match {
@@ -182,14 +187,13 @@ object PortableDelta {
           s"Delta table already exists at $path (version ${prior.map(_.version).orNull}); " +
             "use mode=append or mode=overwrite")
       }
-      prior.filter(_ => mode == "append").foreach { s =>
-        if (!DataType.equalsIgnoreNullability(s.schema, df.schema)) {
-          cleanupMoved()
-          throw new IllegalArgumentException(
-            s"append schema mismatch at $path:\n table: ${s.schema.simpleString}\n " +
-              s"batch: ${df.schema.simpleString}")
+      val evolvedSchema: Option[StructType] =
+        prior.filter(_ => mode == "append").flatMap { s =>
+          val target =
+            try appendSchemaOf(s)
+            catch { case e: IllegalArgumentException => cleanupMoved(); throw e }
+          if (target.json == s.schema.json) None else Some(target)
         }
-      }
       val version = prior.map(_.version + 1).getOrElse(0L)
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[JsonNode]
@@ -218,6 +222,11 @@ object PortableDelta {
           b.put("dataChange", true)
           actions += r
         }
+      } else if (evolvedSchema.isDefined) {
+        // mergeSchema append: re-state metaData with the EVOLVED schema
+        // (same table id/config) — old files read the new columns as null
+        actions += metaDataAction(prior.get.tableId, evolvedSchema.get,
+          prior.get.configuration, now, effPartitionBy)
       }
       added.foreach { f =>
         val r = mapper.createObjectNode()
@@ -1905,6 +1914,34 @@ object PortableDelta {
     properties.foreach { case (k, v) => cfg.put(k, v) }
     b.put("createdTime", ts)
     r
+  }
+
+  /** Delta-strict schema evolution for mergeSchema appends: NEW columns
+    * (top-level or nested in structs) join the table as nullable; a
+    * column missing from the batch stays (its new rows read null); a
+    * TYPE change is rejected — old files' bytes can't be reinterpreted,
+    * so silent coercion would corrupt reads (this is deliberately
+    * stricter than [[StacSchema.mergeStructTypes]]'s permissive
+    * JSON-inference promotion). Field order: table first, new batch
+    * fields appended. */
+  private[stac] def evolveSchema(table: StructType, batch: StructType): StructType = {
+    val tNames = table.fieldNames.toSet
+    val merged = table.fields.map { tf =>
+      batch.fields.find(_.name == tf.name) match {
+        case Some(bf) => (tf.dataType, bf.dataType) match {
+          case (a: StructType, b: StructType) =>
+            tf.copy(dataType = evolveSchema(a, b),
+              nullable = tf.nullable || bf.nullable)
+          case (a, b) =>
+            require(DataType.equalsIgnoreNullability(a, b),
+              s"mergeSchema cannot change column '${tf.name}': table " +
+                s"${a.simpleString} vs batch ${b.simpleString}")
+            tf.copy(nullable = tf.nullable || bf.nullable)
+        }
+        case None => tf.copy(nullable = true)
+      }
+    } ++ batch.fields.filterNot(f => tNames.contains(f.name)).map(_.copy(nullable = true))
+    StructType(merged)
   }
 
   /** The spec's partitionValues object on an add action (null value =
