@@ -46,7 +46,7 @@ object PortableDelta {
   /** Reader features this portable reader implements beyond the base
     * protocol (Delta's table-features gate: a reader may open a
     * version-3 table iff it supports EVERY listed reader feature). */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors")
+  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
 
   /** Commit-conflict signal: the target version file appeared between
     * snapshot and rename — the loser of the put-if-absent race. write()
@@ -455,11 +455,24 @@ object PortableDelta {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(snap.schema.fields.toSeq ++ posFields))
     val partCols = snap.partitionColumns
-    val dataSchema = StructType(
-      snap.schema.filterNot(f => partCols.contains(f.name)))
-    val typeOf = snap.schema.map(f => f.name -> f.dataType).toMap
     val dvFiles = snap.files.filter(_.dv.isDefined)
     val needPos = withPos || dvFiles.nonEmpty
+
+    // column mapping (reader v2 / the columnMapping feature): the
+    // parquet bytes store PHYSICAL column names (`col-<uuid>` style,
+    // stamped in each field's `delta.columnMapping.physicalName`
+    // metadata by the renaming engine); the scan reads the physical
+    // schema and projects back to logical names with a positional
+    // struct cast — sound because the physical schema is a pure
+    // node-for-node rename of the logical one
+    val mapped = snap.configuration.get("delta.columnMapping.mode")
+      .exists(m => m == "name" || m == "id")
+    val physDataSchema = StructType(
+      snap.schema.filterNot(f => partCols.contains(f.name)).map { f =>
+        StructField(physFieldName(f),
+          if (mapped) physDataType(f.dataType) else f.dataType, f.nullable)
+      })
+    val physOf = snap.schema.map(f => f.name -> physFieldName(f)).toMap
 
     // PosFileCol must be the TABLE-RELATIVE path, not the bare file
     // name: hive-partitioned writes reuse part numbers in every
@@ -467,7 +480,7 @@ object PortableDelta {
     // name-keyed DV would tombstone rows of the WRONG partition's file
     val relDepth = partCols.size + 1
     def scanGroup(files: Seq[AddFile]): DataFrame = {
-      var df = spark.read.schema(dataSchema)
+      var df = spark.read.schema(physDataSchema)
         .parquet(files.map(f => s"$path/${f.path}"): _*)
       if (needPos) df = df
         .withColumn(PosFileCol,
@@ -475,15 +488,22 @@ object PortableDelta {
             org.apache.spark.sql.functions.slice(
               split(col("_metadata.file_path"), "/"), -relDepth, relDepth), "/"))
         .withColumn(PosIdxCol, col("_metadata.row_index"))
-      // re-inject partition columns from the group's (shared) log values
       val pv = files.head.partitionValues
-      partCols.foreach { c =>
-        val v = pv.getOrElse(c, null)
-        df = df.withColumn(c,
-          (if (v == null) lit(null) else lit(v)).cast(typeOf(c)))
-      }
-      df.select((snap.schema.fieldNames.toSeq ++
-        (if (needPos) Seq(PosFileCol, PosIdxCol) else Nil)).map(col): _*)
+      // the alias re-attaches each field's METADATA (geoarrow extension
+      // tags, column-mapping ids) — a bare .as() would drop it
+      val sel = snap.schema.fields.toSeq.map { f =>
+        if (partCols.contains(f.name)) {
+          // partitionValues keys are physical under column mapping;
+          // tolerate logical-keyed maps from plainer writers
+          val v = pv.get(physOf(f.name)).orElse(pv.get(f.name)).orNull
+          (if (v == null) lit(null) else lit(v))
+            .cast(f.dataType).as(f.name, f.metadata)
+        } else {
+          val c = col(physOf(f.name))
+          (if (mapped) c.cast(f.dataType) else c).as(f.name, f.metadata)
+        }
+      } ++ (if (needPos) Seq(col(PosFileCol), col(PosIdxCol)) else Nil)
+      df.select(sel: _*)
     }
 
     // one scan per distinct partition tuple (unpartitioned = one group);
@@ -1617,14 +1637,15 @@ object PortableDelta {
     def requireReadable(): Unit = {
       val featuresOk = readerV == 3 &&
         readerFeatures.forall(SupportedReaderFeatures.contains)
-      require(readerV <= MinReaderVersion || featuresOk,
+      // reader version 2 is the legacy column-mapping protocol — its one
+      // capability is implemented here, so v2 tables read
+      require(readerV <= 2 || featuresOk,
         s"table at $tablePath requires reader version $readerV" +
           (if (readerFeatures.nonEmpty)
             s" with reader features [${readerFeatures.mkString(", ")}]" else "") +
-          s"; this portable reader supports version $MinReaderVersion plus " +
-          s"version-3 tables whose features are within " +
-          s"[${SupportedReaderFeatures.mkString(", ")}]" +
-          " (no column mapping, no v2 checkpoints)")
+          s"; this portable reader supports versions ≤ 2 (column mapping) " +
+          s"plus version-3 tables whose features are within " +
+          s"[${SupportedReaderFeatures.mkString(", ")}] (no v2 checkpoints)")
     }
 
     def toSnapshot(version: Long): Snapshot = {
@@ -1942,6 +1963,25 @@ object PortableDelta {
       }
     } ++ batch.fields.filterNot(f => tNames.contains(f.name)).map(_.copy(nullable = true))
     StructType(merged)
+  }
+
+  /** A field's parquet-physical name under column mapping (falls back
+    * to the logical name when no mapping metadata is present). */
+  private def physFieldName(f: StructField): String =
+    if (f.metadata.contains("delta.columnMapping.physicalName"))
+      f.metadata.getString("delta.columnMapping.physicalName")
+    else f.name
+
+  /** Recursively rename a data type's struct fields to their physical
+    * names (arrays/maps recurse into their element/value types). */
+  private def physDataType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(physFieldName(f), physDataType(f.dataType), f.nullable)))
+    case org.apache.spark.sql.types.ArrayType(e, n) =>
+      org.apache.spark.sql.types.ArrayType(physDataType(e), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(physDataType(k), physDataType(v), n)
+    case other => other
   }
 
   /** The spec's partitionValues object on an add action (null value =

@@ -280,21 +280,31 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path).count() == 1)
   }
 
-  test("interop: reader features beyond minReaderVersion 1 are refused BY NAME") {
+  test("interop: unimplemented reader features are refused BY NAME") {
     val path = tmp()
     PortableDelta.write(df(1L), path)
     val conf = spark.sessionState.newHadoopConf()
+    // deletionVectors + columnMapping are IMPLEMENTED now (round 8) —
+    // a v3 table carrying only those must load; one carrying a feature
+    // this reader lacks (v2Checkpoint, timestampNtz, …) must not
     val proto = mapper.createObjectNode()
     val p = proto.putObject("protocol")
     p.put("minReaderVersion", 3).put("minWriterVersion", 7)
     p.putArray("readerFeatures").add("deletionVectors").add("columnMapping")
     PortableDelta.commit(conf, path, 1, Seq(proto))
+    assert(PortableDelta.snapshot(conf, path).minReaderVersion == 3,
+      "supported v3 feature sets must load")
+    val proto2 = mapper.createObjectNode()
+    val p2 = proto2.putObject("protocol")
+    p2.put("minReaderVersion", 3).put("minWriterVersion", 7)
+    p2.putArray("readerFeatures").add("deletionVectors").add("v2Checkpoint")
+    PortableDelta.commit(conf, path, 2, Seq(proto2))
     val e = intercept[IllegalArgumentException] {
       PortableDelta.snapshot(conf, path)
     }
     assert(e.getMessage.contains("reader version 3"))
-    assert(e.getMessage.contains("deletionVectors") && e.getMessage.contains("columnMapping"),
-      s"rejection must NAME the unsupported features: ${e.getMessage}")
+    assert(e.getMessage.contains("v2Checkpoint"),
+      s"rejection must NAME the unsupported feature: ${e.getMessage}")
   }
 
   test("txn actions: idempotent writes, watermark survives checkpoint truncation") {
