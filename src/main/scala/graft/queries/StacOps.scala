@@ -1797,6 +1797,151 @@ object StacOps {
           .withColumn("evo_ok", lit(true))
           .orderBy(col("status"))
       },
+      timed = false),
+
+    // ----- Delta UPDATE via deletion vectors: the third DML verb -----
+    // UPDATE without rewriting untouched data: matched rows die by
+    // position in per-file DVs, their new versions (SET applied to the
+    // OLD row) append as fresh files — a predicate touching 0.1% of rows
+    // in every file costs O(matched) append + KB bitmaps, never a
+    // rewrite (copy-on-write UPDATE rewrites every touched file whole).
+    // Two STACKED updates: the second's predicate reads the FIRST's
+    // output values, so it must see post-u1 state — and it lands DVs on
+    // the files u1 itself appended. In-gate requires pin what the oracle
+    // can't see: the on-disk part-file set only ever grows, the protocol
+    // carries deletionVectors, and v0 time travel still reads the
+    // pre-update cents total. The oracle replays both updates as CASE
+    // derivations; a row updated twice, missed, or double-appended fails
+    // the hash.
+    QuerySpec(
+      "stac32_delta_update",
+      Some("""
+        WITH base AS (SELECT o_orderkey,
+                             o_orderstatus AS st,
+                             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                      FROM orders),
+             u1 AS (SELECT o_orderkey,
+                           CASE WHEN st = 'O' THEN 'U' ELSE st END AS st,
+                           CASE WHEN st = 'O' THEN cents + 500 ELSE cents END AS cents
+                    FROM base),
+             u2 AS (SELECT o_orderkey, st,
+                           CASE WHEN cents < 10000000 THEN cents * 2 ELSE cents END AS cents
+                    FROM u1)
+        SELECT st AS status, count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(cents) AS BIGINT) AS cents_sum,
+               true AS upd_ok
+        FROM u2 GROUP BY st ORDER BY st"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus").as("st"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+          .repartition(6, col("o_orderkey")) // hash-mixed: every file holds every stratum
+        val out = java.nio.file.Files.createTempDirectory("stac32").toString + "/tbl"
+        PortableDelta.write(base, out)                                  // v0
+        val conf = s.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+        def partsOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSet
+        val before = partsOnDisk
+        val preCents = PortableDelta.readTable(s, out)
+          .agg(sum(col("cents"))).collect()(0).getLong(0)
+        val u1 = PortableDelta.update(s, out, col("st") === "O",
+          Map("st" -> lit("U"), "cents" -> (col("cents") + 500L)))     // v1
+        val u2 = PortableDelta.update(s, out, col("cents") < 10000000L,
+          Map("cents" -> (col("cents") * 2L)))                          // v2
+        require(u1.updatedRows > 0 && u2.updatedRows > 0,
+          "gate needs both updates to bite")
+        require(before.subsetOf(partsOnDisk),
+          "UPDATE must never rewrite existing data files — the DV contract")
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.minReaderVersion == 3 &&
+          snap.readerFeatures == Seq("deletionVectors"),
+          s"protocol must carry deletionVectors, got ${snap.readerFeatures}")
+        require(PortableDelta.readTable(s, out, 0L)
+          .agg(sum(col("cents"))).collect()(0).getLong(0) == preCents,
+          "versionAsOf 0 must read the pre-update totals")
+        PortableDelta.readTable(s, out)
+          .groupBy(col("st").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("cents")).as("cents_sum"))
+          .withColumn("upd_ok", lit(true))
+          .orderBy(col("status"))
+      },
+      timed = false),
+
+    // ----- Delta RESTORE: roll back to an earlier version, append-only -----
+    // The operational undo: after an append, a DELETE (DVs), and an
+    // UPDATE mangle the table, RESTORE TO VERSION 0 makes the original
+    // state current again as ONE new commit of file-action diffs — no
+    // data file is copied, written, or deleted (pure log surgery, which
+    // is why it is instant at 100 TB), the botched versions stay
+    // readable (append-only audit), and the delete's deletion vectors
+    // roll back with the data. In-gate requires pin exactly those
+    // invariants plus history carrying the RESTORE op; the final
+    // value-checked read must equal the ORIGINAL table — the oracle is
+    // the plain source aggregate, so one leaked tombstone, surviving
+    // DV, or lost row fails the hash.
+    QuerySpec(
+      "stac33_delta_restore",
+      Some("""
+        SELECT o_orderstatus AS status, count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS restore_ok
+        FROM orders
+        GROUP BY o_orderstatus ORDER BY status"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val out = java.nio.file.Files.createTempDirectory("stac33").toString + "/tbl"
+        PortableDelta.write(orders.repartition(4), out)                 // v0
+        val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        PortableDelta.write(
+          orders.withColumn("o_orderkey", col("o_orderkey") + maxKey),
+          out, mode = "append")                                         // v1
+        PortableDelta.delete(s, out, col("o_totalprice") < 50000.0)     // v2
+        PortableDelta.update(s, out, col("o_orderstatus") === "F",
+          Map("o_totalprice" -> (col("o_totalprice") + 1.0)))           // v3
+        val conf = s.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+        def filesOnDisk = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
+          val b = Set.newBuilder[String]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && !st.getPath.toString.contains("_delta_log"))
+              b += st.getPath.getName
+          }
+          b.result()
+        }
+        val disk = filesOnDisk
+        val rs = PortableDelta.restore(s, out, 0L)                      // v4
+        require(rs.version == 4 && rs.restoredVersion == 0 &&
+          rs.addedFiles > 0 && rs.removedFiles > 0, s"unexpected $rs")
+        require(filesOnDisk == disk,
+          "RESTORE is log surgery: no data file may be written or deleted")
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.files.forall(_.dv.isEmpty),
+          "the delete's deletion vectors must roll back with the data")
+        require(PortableDelta.readTable(s, out, 3L).count() > 0,
+          "pre-restore versions stay readable — the log is append-only")
+        require(PortableDelta.history(conf, out)
+          .exists(_._2.startsWith("RESTORE")),
+          "history must record the RESTORE commit")
+        PortableDelta.readTable(s, out)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("restore_ok", lit(true))
+          .orderBy(col("status"))
+      },
       timed = false)
   )
 }

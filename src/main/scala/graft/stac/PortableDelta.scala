@@ -1000,6 +1000,203 @@ object PortableDelta {
     } finally { src.unpersist(); () }
   }
 
+  /** Outcome of an [[update]]: committed version + rows rewritten. */
+  final case class UpdateStats(version: Long, updatedRows: Long)
+
+  /** UPDATE without rewriting untouched data — the third DV-era DML verb
+    * next to [[delete]] and [[merge]]: rows matching `condition` die by
+    * POSITION in per-file deletion vectors and their new versions (the
+    * `set` expressions applied, every other column carried over) land in
+    * fresh appended files. A predicate touching 0.1% of rows in every
+    * file costs O(matched rows) append + KB-sized bitmaps, never a
+    * rewrite of the touched files (copy-on-write UPDATE rewrites each
+    * touched file wholesale).
+    *
+    *   - `set`: column → new-value expression, evaluated against the OLD
+    *     row (standard SQL UPDATE scoping: `SET a = a + b` reads the
+    *     pre-update `a` and `b`). Values cast to the column's declared
+    *     type — UPDATE never changes the table schema.
+    *   - Updating a PARTITION column is allowed: the new row versions
+    *     stage through the table's hive layout, so rows migrate to their
+    *     new `col=value/` directory (the log, not the path, is
+    *     authoritative either way).
+    *   - Matching runs against the LIVE view (DV-filtered): rows already
+    *     deleted can't be updated, so `updatedRows` is exact.
+    *
+    * Commit races rebase like [[merge]]: the match, bitmaps, and staged
+    * appends all recompute against the new snapshot (an interleaved
+    * writer may have changed which rows match), bounded by
+    * `maxRetries`. A predicate matching nothing commits nothing. */
+  def update(spark: SparkSession, path: String,
+             condition: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             footerKv: Map[String, String] = Map.empty,
+             maxRetries: Int = 10): UpdateStats = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "update needs at least one SET column")
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      set.keys.foreach(k => require(snap.schema.fieldNames.contains(k),
+        s"update SET column $k not in table schema"))
+      if (snap.files.isEmpty) return UpdateStats(snap.version, 0L)
+      // one matched-row frame feeds BOTH the death positions and the
+      // re-appended row versions — persist so the predicate scan runs once
+      val matched = scanWithPos(spark, path, snap, applyDvs = true)
+        .filter(condition)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val parts = dvDeathParts(spark, path, snap,
+          matched.select(col(PosFileCol), col(PosIdxCol)))
+        if (parts.isEmpty) return UpdateStats(snap.version, 0L)
+        val updatedRows = parts.get.newlyDeleted
+        val newRows = matched.drop(PosFileCol, PosIdxCol).select(
+          snap.schema.fields.toSeq.map { f =>
+            set.get(f.name)
+              .map(_.cast(f.dataType).as(f.name, f.metadata))
+              .getOrElse(col(f.name))
+          }: _*)
+        val (added, cleanupMoved) =
+          stageAndMove(newRows, path, footerKv, conf, snap.partitionColumns)
+        val statsByName = DeltaStats.collectFileStats(
+          spark, path, added.map(_.relPath), snap.schema)
+        val now = System.currentTimeMillis()
+        val actions = Seq.newBuilder[JsonNode]
+        actions += commitInfo(now, "UPDATE")
+        if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
+          actions += dvProtocolAction()
+        actions ++= parts.get.actions(now)
+        added.foreach { f =>
+          val r = mapper.createObjectNode()
+          val b = r.putObject("add")
+          b.put("path", f.relPath)
+          putPartitionValues(b, f.partitionValues)
+          b.put("size", f.status.getLen)
+          b.put("modificationTime", f.status.getModificationTime)
+          b.put("dataChange", true)
+          statsByName.get(f.relPath).foreach(b.put("stats", _))
+          actions += r
+        }
+        try {
+          commit(conf, path, snap.version + 1, actions.result())
+          return UpdateStats(snap.version + 1, updatedRows)
+        } catch {
+          case e: ConcurrentCommitException =>
+            parts.get.dropPack()
+            cleanupMoved()
+            attempt += 1
+            if (attempt > maxRetries)
+              throw new IllegalStateException(
+                s"update on $path lost the commit race $attempt times " +
+                  s"(last: ${e.getMessage}); staged files withdrawn", e)
+            // loop: re-snapshot, re-match, re-stage against the new state
+        }
+      } finally { matched.unpersist(); () }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Outcome of a [[restore]]: the new commit, the version whose state it
+    * reinstates, and the file-action split. */
+  final case class RestoreStats(version: Long, restoredVersion: Long,
+                                addedFiles: Int, removedFiles: Int)
+
+  /** RESTORE TABLE ... TO VERSION AS OF — roll the table's CURRENT state
+    * back to `versionAsOf` as a NEW commit (time travel is read-only;
+    * restore makes the old state current again while keeping the log
+    * append-only, so the botched commits remain auditable and
+    * themselves restorable). The commit is the set difference in file
+    * actions: adds for target-version files no longer live (or live with
+    * a different deletion vector — a later DELETE's tombstones must roll
+    * back too), removes for current files absent from the target. Data
+    * files are never copied — restore is O(changed file actions), pure
+    * log surgery, which is why it's instant at 100 TB.
+    *
+    * Every re-added file's bytes must still exist on disk ([[vacuum]]
+    * may have reclaimed files only unreconstructable versions
+    * referenced); missing files fail the restore BY NAME before anything
+    * commits. Schema/properties/partitioning roll back with the data
+    * (metaData is re-stated when it differs). Commit races rebase,
+    * bounded by `maxRetries`. Restoring the current version commits
+    * nothing. */
+  def restore(spark: SparkSession, path: String, versionAsOf: Long,
+              maxRetries: Int = 10): RestoreStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val target = snapshotAt(spark, path, versionAsOf)
+    val fs = new Path(path).getFileSystem(conf)
+    // every re-added file's bytes AND its DV pack must still be on disk
+    val missing = target.files.flatMap { f =>
+      val data = new Path(new Path(path), f.path)
+      val dvp = f.dv.filter(_.storageType == "u")
+        .map(d => DeletionVectors.dvFilePath(path, d.pathOrInlineDv))
+      (Seq(data) ++ dvp).filterNot(fs.exists).map(_.getName)
+    }
+    require(missing.isEmpty,
+      s"cannot restore $path to version $versionAsOf: ${missing.size} " +
+        s"file(s) no longer exist (vacuumed?), first: ${missing.headOption.orNull}")
+    def dvId(f: AddFile): Option[(String, String)] =
+      f.dv.map(d => (d.storageType, d.pathOrInlineDv))
+    var attempt = 0
+    while (true) {
+      val cur = snapshot(spark, path)
+      if (cur.version == versionAsOf)
+        return RestoreStats(cur.version, versionAsOf, 0, 0)
+      val curByPath = cur.files.map(f => f.path -> f).toMap
+      val tgtByPath = target.files.map(f => f.path -> f).toMap
+      // re-add: in target but not live now, or live with a different DV
+      val toAdd = target.files.filter(f =>
+        !curByPath.get(f.path).exists(c => dvId(c) == dvId(f)))
+      // tombstone: live now but not in target (same-path-different-DV
+      // files are re-stated by the add — replay resolves to the new add)
+      val toRemove = cur.files.filter(f => !tgtByPath.contains(f.path))
+      val metaChanged = cur.schema.json != target.schema.json ||
+        cur.configuration != target.configuration ||
+        cur.partitionColumns != target.partitionColumns
+      if (toAdd.isEmpty && toRemove.isEmpty && !metaChanged)
+        return RestoreStats(cur.version, versionAsOf, 0, 0)
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, s"RESTORE (version $versionAsOf)")
+      if (metaChanged)
+        actions += metaDataAction(cur.tableId, target.schema,
+          target.configuration, now, target.partitionColumns)
+      toRemove.foreach(f => actions += removeActionNode(f, now, dataChange = true))
+      toAdd.foreach { f =>
+        val r = mapper.createObjectNode()
+        val b = r.putObject("add")
+        b.put("path", f.path)
+        putPartitionValues(b, f.partitionValues)
+        b.put("size", f.size)
+        b.put("modificationTime", f.modificationTime)
+        b.put("dataChange", true)
+        f.stats.foreach(b.put("stats", _))
+        f.dv.foreach { d =>
+          val n = b.putObject("deletionVector")
+          n.put("storageType", d.storageType)
+          n.put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(n.put("offset", _))
+          n.put("sizeInBytes", d.sizeInBytes); n.put("cardinality", d.cardinality)
+        }
+        actions += r
+      }
+      try {
+        commit(conf, path, cur.version + 1, actions.result())
+        return RestoreStats(cur.version + 1, versionAsOf,
+          toAdd.size, toRemove.size)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"restore on $path lost the commit race $attempt times " +
+                s"(last: ${e.getMessage})", e)
+          // loop: recompute the diff against the new current state
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** VACUUM: delete data files (and DV packs) that NO reconstructable
     * version references — the disk-reclaim half of the maintenance story
     * ([[checkpoint]] + [[cleanupLog]] bound replay cost; vacuum bounds

@@ -1,0 +1,148 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based fuzz of the WHOLE portable-Delta DML surface: a seeded
+  * random sequence of append / overwrite / DELETE / UPDATE / MERGE /
+  * OPTIMIZE / Z-ORDER / checkpoint / vacuum / RESTORE runs against the
+  * real log while a trivial in-memory map applies the same semantics.
+  * After EVERY op the table read-back must equal the model exactly, and
+  * time travel to a random earlier version must equal the model's
+  * recorded history — so any cross-op interaction bug (a DV the
+  * optimize rewrite resurrects, a restore that misses an update's
+  * appended files, a checkpoint that drops a tombstone) surfaces at the
+  * op where state first diverges, with the seed + op trace in the
+  * failure message. */
+class DeltaModelSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  // model row: id -> (tag, v)
+  private type Model = Map[Long, (String, Long)]
+
+  private def toDf(m: Seq[(Long, String, Long)]) = {
+    val s = spark; import s.implicits._
+    m.toDF("id", "tag", "v")
+  }
+
+  private def readBack(path: String): Model =
+    PortableDelta.readTable(spark, path).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  private def runSeed(seed: Int, nOps: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val path = java.nio.file.Files.createTempDirectory(s"pfuzz$seed")
+      .toString + "/tbl"
+    val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+    def ctx = s"seed=$seed trace=[${trace.mkString("; ")}]"
+
+    var nextId = 0L
+    def freshRows(n: Int, tag: String): Seq[(Long, String, Long)] = {
+      val out = (nextId until nextId + n).map(i => (i, tag, rnd.nextInt(1000).toLong))
+      nextId += n
+      out
+    }
+
+    // create v0
+    val r0 = freshRows(20, "base")
+    PortableDelta.write(toDf(r0).repartition(3), path)
+    var model: Model = r0.map(t => t._1 -> ((t._2, t._3))).toMap
+    // model history per committed version; minRestorable rises when
+    // cleanupLog truncates the JSON the restore replay needs
+    val history = scala.collection.mutable.Map[Long, Model](0L -> model)
+    var minRestorable = 0L
+
+    def syncVersion(): Long = {
+      val v = PortableDelta.snapshot(spark, path).version
+      history(v) = model
+      v
+    }
+
+    for (step <- 1 to nOps) {
+      val op = rnd.nextInt(10)
+      op match {
+        case 0 | 1 => // append fresh rows
+          val rows = freshRows(5 + rnd.nextInt(10), s"ap$step")
+          trace += s"append(${rows.size})"
+          PortableDelta.write(toDf(rows).repartition(1 + rnd.nextInt(3)),
+            path, mode = "append")
+          model = model ++ rows.map(t => t._1 -> ((t._2, t._3)))
+        case 2 => // overwrite with a fresh set
+          val rows = freshRows(10 + rnd.nextInt(10), s"ow$step")
+          trace += s"overwrite(${rows.size})"
+          PortableDelta.write(toDf(rows).repartition(2), path, mode = "overwrite")
+          model = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+        case 3 => // DELETE by predicate (DV path)
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          trace += s"delete(id%$m==$r)"
+          PortableDelta.delete(spark, path, col("id") % m === r)
+          model = model.filterNot { case (id, _) => id % m == r }
+        case 4 | 5 => // UPDATE by predicate (DV + re-append path)
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          val c = 1L + rnd.nextInt(50)
+          trace += s"update(id%$m==$r, v+=$c, tag=u$step)"
+          PortableDelta.update(spark, path, col("id") % m === r,
+            Map("v" -> (col("v") + c), "tag" -> lit(s"u$step")))
+          model = model.map { case (id, (t, v)) =>
+            if (id % m == r) id -> ((s"u$step", v + c)) else id -> ((t, v))
+          }
+        case 6 => // MERGE: update half the existing sample, insert fresh
+          val existing = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(8)
+          val fresh = freshRows(3, s"mi$step")
+          val src = existing.map(id => (id, s"mu$step", rnd.nextInt(1000).toLong)) ++ fresh
+          if (src.nonEmpty) {
+            trace += s"merge(${existing.size}u+${fresh.size}i)"
+            PortableDelta.merge(spark, path, toDf(src), Seq("id"))
+            model = model ++ src.map(t => t._1 -> ((t._2, t._3)))
+          } else trace += "merge(skipped)"
+        case 7 => // OPTIMIZE / Z-ORDER: layout only, no logical change
+          if (rnd.nextBoolean()) {
+            trace += "optimizeCompact"
+            PortableDelta.optimizeCompact(spark, path)
+          } else {
+            trace += "optimizeZOrder"
+            PortableDelta.optimizeZOrder(spark, path, Seq("id", "v"), 2)
+          }
+        case 8 => // checkpoint (+ sometimes truncate + vacuum)
+          val v = PortableDelta.checkpoint(spark, path)
+          if (rnd.nextBoolean()) {
+            trace += s"checkpoint($v)+cleanup+vacuum"
+            PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+            minRestorable = PortableDelta.snapshot(spark, path).version
+            PortableDelta.vacuum(spark, path, graceMillis = 0L)
+          } else trace += s"checkpoint($v)"
+        case 9 => // RESTORE to a random reachable earlier version
+          val candidates = history.keys.filter(_ >= minRestorable).toSeq.sorted
+          val target = candidates(rnd.nextInt(candidates.size))
+          trace += s"restore($target)"
+          PortableDelta.restore(spark, path, target)
+          model = history(target)
+      }
+      val v = syncVersion()
+      val got = readBack(path)
+      assert(got == model,
+        s"$ctx step=$step v=$v: table != model\n extra=${(got.keySet -- model.keySet).toSeq.sorted.take(10)}" +
+          s"\n missing=${(model.keySet -- got.keySet).toSeq.sorted.take(10)}" +
+          s"\n changed=${got.keySet.intersect(model.keySet).filter(k => got(k) != model(k)).toSeq.sorted.take(10)}")
+      // time travel to a random reachable recorded version
+      val tv = {
+        val cands = history.keys.filter(_ >= minRestorable).toSeq.sorted
+        cands(rnd.nextInt(cands.size))
+      }
+      val tgot = PortableDelta.readTable(spark, path, tv).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(tgot == history(tv),
+        s"$ctx step=$step: versionAsOf $tv != recorded model")
+    }
+  }
+
+  test("seeded op-sequence fuzz: table state equals the model after every op (seed 11)") {
+    runSeed(11, 14)
+  }
+
+  test("seeded op-sequence fuzz: table state equals the model after every op (seed 42)") {
+    runSeed(42, 14)
+  }
+}

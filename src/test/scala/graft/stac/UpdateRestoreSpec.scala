@@ -1,0 +1,146 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UPDATE (DV-style: matched rows die by position, new row versions
+  * append — untouched files never rewritten) and RESTORE (roll the
+  * current state back to an earlier version as a NEW commit — pure log
+  * surgery, no data-file copies) over the portable Delta log. */
+class UpdateRestoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("pupd").toString + "/tbl"
+
+  private def rows(ids: Seq[Long], tag: String) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, tag, i * 10L)).toDF("id", "tag", "v")
+  }
+
+  private def partsOnDisk(path: String): Set[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), true)
+    val out = scala.collection.mutable.Set.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) out += st.getPath.getName
+    }
+    out.toSet
+  }
+
+  test("update: SET reads the OLD row, untouched files never rewritten") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 10L, "base").repartition(3), path)
+    val before = partsOnDisk(path)
+    // v = v + id reads BOTH pre-update columns; tag rewrites to a literal
+    val st = PortableDelta.update(spark, path, col("id") >= 6L,
+      Map("v" -> (col("v") + col("id")), "tag" -> lit("upd")))
+    assert(st.updatedRows == 4, s"unexpected $st")
+    assert(before.subsetOf(partsOnDisk(path)),
+      "update must never rewrite existing files — the DV contract")
+    val got = PortableDelta.readTable(spark, path)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size == 10)
+    (0L until 6L).foreach(i => assert(got(i) == ("base", i * 10L)))
+    (6L until 10L).foreach(i => assert(got(i) == ("upd", i * 10L + i)))
+    // protocol upgraded by the first DV; pre-update version still reads
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.minReaderVersion == 3 && snap.minWriterVersion == 7)
+    val pre = PortableDelta.readTable(spark, path, st.version - 1)
+      .filter(col("tag") === "upd").count()
+    assert(pre == 0L, "versionAsOf must predate the update")
+  }
+
+  test("update matches the LIVE view only; no match commits nothing") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 6L, "base").coalesce(1), path)
+    PortableDelta.delete(spark, path, col("id") === 2L)
+    val v1 = PortableDelta.snapshot(spark, path).version
+    // predicate covers the dead row 2: only 1 and 3 update
+    val st = PortableDelta.update(spark, path, col("id").between(1L, 3L),
+      Map("tag" -> lit("u")))
+    assert(st.updatedRows == 2, s"dead rows must not update: $st")
+    val got = PortableDelta.readTable(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "base", 1L -> "u", 3L -> "u", 4L -> "base", 5L -> "base"))
+    // nothing matches: version must not advance
+    val st2 = PortableDelta.update(spark, path, col("id") === 99L,
+      Map("tag" -> lit("x")))
+    assert(st2.updatedRows == 0 &&
+      st2.version == PortableDelta.snapshot(spark, path).version)
+    assert(PortableDelta.snapshot(spark, path).version == v1 + 1)
+  }
+
+  test("update of a partition column migrates rows across hive dirs") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    val df = (0L until 8L).map(i => (i, if (i < 4) "a" else "b", i)).toDF("id", "p", "v")
+    PortableDelta.write(df, path, partitionBy = Seq("p"))
+    val st = PortableDelta.update(spark, path, col("id") === 1L,
+      Map("p" -> lit("b")))
+    assert(st.updatedRows == 1)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.partitionColumns == Seq("p"))
+    val got = PortableDelta.readTable(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "b" && got.size == 8)
+    // the migrated row's new file lives under the b partition dir
+    val newAdds = snap.files.filter(_.partitionValues.get("p").contains("b"))
+    assert(newAdds.size >= 2, "row 1 must land in a NEW file under p=b")
+  }
+
+  test("restore rolls data, DVs, and schema back; log stays append-only") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 10L, "base").repartition(2), path)   // v0
+    PortableDelta.write(rows(10L until 14L, "extra"), path, mode = "append") // v1
+    PortableDelta.delete(spark, path, col("id") < 3L)                       // v2
+    PortableDelta.update(spark, path, col("id") === 5L, Map("tag" -> lit("u"))) // v3
+    val diskBefore = partsOnDisk(path)
+    val rs = PortableDelta.restore(spark, path, 0L)                         // v4
+    assert(rs.version == 4L && rs.restoredVersion == 0L)
+    assert(rs.addedFiles > 0 && rs.removedFiles > 0)
+    assert(partsOnDisk(path) == diskBefore,
+      "restore is log surgery — it must not write or delete data files")
+    // current state == v0 exactly (rows 0..9 all tag=base, no DVs)
+    val got = PortableDelta.readTable(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0L until 10L).map(i => (i, "base")).toSet)
+    assert(PortableDelta.snapshot(spark, path).files.forall(_.dv.isEmpty),
+      "the delete's deletion vectors must roll back with the data")
+    // the botched versions remain auditable and readable (append-only log)
+    assert(PortableDelta.readTable(spark, path, 3L).count() == 11L)
+    val hist = PortableDelta.history(spark.sessionState.newHadoopConf(), path)
+    assert(hist.exists(_._2.startsWith("RESTORE")), s"history: $hist")
+    // restoring the now-current state is a no-op
+    val rs2 = PortableDelta.restore(spark, path, 4L)
+    assert(rs2.addedFiles == 0 && rs2.removedFiles == 0 && rs2.version == 4L)
+    // and restore is itself restorable: roll FORWARD to v3's state
+    val rs3 = PortableDelta.restore(spark, path, 3L)
+    assert(rs3.version == 5L)
+    assert(PortableDelta.readTable(spark, path).count() == 11L)
+    assert(PortableDelta.readTable(spark, path)
+      .filter(col("tag") === "u").count() == 1L)
+  }
+
+  test("restore fails BY NAME when a needed data file no longer exists") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 5L, "base").coalesce(1), path)  // v0
+    PortableDelta.write(rows(0L until 5L, "ow").coalesce(1), path,
+      mode = "overwrite")                                             // v1
+    // simulate a reclaimed v0 file: drop the tombstoned part from disk
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val v0file = PortableDelta.snapshotAt(spark, path, 0L).files.head.path
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path), v0file), false))
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.restore(spark, path, 0L)
+    }
+    assert(e.getMessage.contains("no longer exist"), e.getMessage)
+    // the failed restore committed nothing
+    assert(PortableDelta.snapshot(spark, path).version == 1L)
+  }
+}
