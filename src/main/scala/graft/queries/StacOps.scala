@@ -1942,6 +1942,183 @@ object StacOps {
           .withColumn("restore_ok", lit(true))
           .orderBy(col("status"))
       },
+      timed = false),
+
+    // ----- Delta CHECK constraints: write-side data quality gates -----
+    // The spec's `delta.constraints.*` table properties, enforced on
+    // EVERY write path (append/UPDATE/MERGE) in one aggregate pass
+    // before any byte lands — at 100 TB the constraint scan rides the
+    // batch (O(batch)), never the table, and a violation is an error
+    // naming the constraint, not a corrupted table. In-gate requires
+    // pin the enforcement the oracle can't see: adding a constraint
+    // existing rows violate is refused, a violating append / UPDATE /
+    // MERGE each rejects BY NAME with nothing committed (version
+    // pinned), the protocol records the CHECK-constraints writer
+    // level, and the constraint survives checkpoint + log truncation.
+    // The final table = base + one conforming append, value-checked.
+    QuerySpec(
+      "stac34_delta_constraints",
+      Some("""
+        WITH base AS (SELECT o_orderkey, o_orderstatus,
+                             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                      FROM orders),
+             extra AS (SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
+                              o_orderstatus, cents
+                       FROM base WHERE o_orderkey % 7 = 0)
+        SELECT o_orderstatus AS status, count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(cents) AS BIGINT) AS cents_sum,
+               true AS constraint_ok
+        FROM (SELECT * FROM base UNION ALL SELECT * FROM extra)
+        GROUP BY o_orderstatus ORDER BY status"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val base = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        val out = java.nio.file.Files.createTempDirectory("stac34").toString + "/tbl"
+        PortableDelta.write(base.repartition(4), out)                   // v0
+        // violating ops must throw, naming the constraint; a silent
+        // success is itself a gate failure
+        def rejected(name: String)(op: => Unit): Unit = {
+          val threw =
+            try { op; false }
+            catch { case e: IllegalArgumentException =>
+              require(e.getMessage.contains(name), s"$name: ${e.getMessage}")
+              true }
+          require(threw, s"$name: violating operation must be rejected")
+        }
+        // a constraint existing rows violate is refused up front
+        rejected("cents_huge") {
+          PortableDelta.addCheckConstraint(s, out, "cents_huge", "cents > 1000000000")
+        }
+        PortableDelta.addCheckConstraint(s, out, "cents_nonneg", "cents >= 0") // v1
+        PortableDelta.addCheckConstraint(s, out, "status_known",
+          "o_orderstatus IN ('O', 'F', 'P')")                            // v2
+        require(PortableDelta.snapshot(s, out).minWriterVersion >= 3,
+          "CHECK constraints demand the writer-3 protocol level")
+        // violating append / UPDATE / MERGE all reject BY NAME, atomically
+        rejected("cents_nonneg") {
+          PortableDelta.write(base.limit(5).withColumn("cents", lit(-1L)),
+            out, mode = "append")
+        }
+        rejected("cents_nonneg") {
+          PortableDelta.update(s, out, col("o_orderkey") % 100 === 0,
+            Map("cents" -> (col("cents") - lit(100000000000L))))
+        }
+        rejected("status_known") {
+          PortableDelta.merge(s, out,
+            base.limit(3).withColumn("o_orderstatus", lit("Z")),
+            Seq("o_orderkey"))
+        }
+        require(PortableDelta.snapshot(s, out).version == 2,
+          "rejected writes must commit NOTHING")
+        // constraints survive checkpoint + truncation; conforming append lands
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.cleanupLog(s.sessionState.newHadoopConf(), out)
+        rejected("cents_nonneg") {
+          PortableDelta.write(base.limit(2).withColumn("cents", lit(-7L)),
+            out, mode = "append")
+        }
+        val maxKey = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        PortableDelta.write(
+          base.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + maxKey),
+          out, mode = "append")                                          // v3
+        PortableDelta.readTable(s, out)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("cents")).as("cents_sum"))
+          .withColumn("constraint_ok", lit(true))
+          .orderBy(col("status"))
+      },
+      timed = false),
+
+    // ----- Delta shallow CLONE: zero-copy snapshot via absolute adds -----
+    // The dev/test-on-production pattern at 100 TB: CLONE writes a new
+    // log whose v0 references the SOURCE's data files by absolute path
+    // (the spec allows absolute add URIs) — zero data bytes move, the
+    // clone is immediately readable and independently writable, and
+    // nothing ever writes into the source. In-gate requires pin the
+    // zero-copy contract (no parquet under the clone root at clone
+    // time; the source's disk + state byte-unchanged after the clone is
+    // mutated) and that the clone's own DELETE (a DV over an
+    // absolute-path file) + append compose. The final clone state is
+    // value-checked: the oracle replays source filter → clone delete →
+    // clone append, so a DV keyed to the wrong file or a leaked source
+    // mutation fails the hash.
+    QuerySpec(
+      "stac35_delta_clone",
+      Some("""
+        WITH src AS (SELECT * FROM (
+                       SELECT o_orderkey, o_orderstatus,
+                              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                       FROM orders)
+                     WHERE cents >= 2000000),
+             kept AS (SELECT * FROM src WHERE o_orderstatus <> 'F'),
+             extra AS (SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders),
+                              'X' AS o_orderstatus, cents
+                       FROM src WHERE o_orderkey % 10 = 0)
+        SELECT o_orderstatus AS status, count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(cents) AS BIGINT) AS cents_sum,
+               true AS clone_ok
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM extra)
+        GROUP BY o_orderstatus ORDER BY status"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        val root = java.nio.file.Files.createTempDirectory("stac35").toString
+        val src = root + "/src"
+        val dst = root + "/dst"
+        PortableDelta.write(orders.repartition(4), src)                  // src v0
+        PortableDelta.delete(s, src,
+          col("cents") < 2000000L)                                       // src v1 (DVs)
+        val srcState = PortableDelta.readTable(s, src)
+        val srcRows = srcState.count()
+        val srcSum = srcState.agg(sum(col("cents"))).collect()(0).getLong(0)
+        val conf = s.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+        def dataFiles(p: String): Set[String] = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+          val b = Set.newBuilder[String]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.isFile && !st.getPath.toString.contains("_delta_log"))
+              b += st.getPath.toString
+          }
+          b.result()
+        }
+        val srcDisk = dataFiles(src)
+        PortableDelta.cloneShallow(s, src, dst)                          // dst v0
+        require(dataFiles(dst).isEmpty,
+          "shallow clone must copy ZERO data bytes into the clone root")
+        // mutate the CLONE: delete + append; the source must not move
+        PortableDelta.delete(s, dst, col("o_orderstatus") === "F")       // dst v1
+        val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+        PortableDelta.write(
+          orders.filter(col("cents") >= 2000000L &&
+              col("o_orderkey") % 10 === 0)
+            .select((col("o_orderkey") + maxKey).as("o_orderkey"),
+              lit("X").as("o_orderstatus"), col("cents")),
+          dst, mode = "append")                                          // dst v2
+        require(dataFiles(src) == srcDisk,
+          "clone mutations must never touch the source's files")
+        val after = PortableDelta.readTable(s, src)
+        require(after.count() == srcRows &&
+          after.agg(sum(col("cents"))).collect()(0).getLong(0) == srcSum,
+          "source state must be unaffected by clone mutations")
+        PortableDelta.readTable(s, dst)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(col("cents")).as("cents_sum"))
+          .withColumn("clone_ok", lit(true))
+          .orderBy(col("status"))
+      },
       timed = false)
   )
 }

@@ -146,6 +146,24 @@ object PortableDelta {
         prior.schema
       } else evolveSchema(prior.schema, df.schema)
     prior0.filter(_ => mode == "append").foreach(appendSchemaOf)
+    // data-quality gate BEFORE anything stages: CHECK constraints ride
+    // the effective table configuration, NOT NULL the effective schema
+    def effectiveConstraints(prior: Option[Snapshot]): (StructType, Map[String, String]) = {
+      val cfg = (mode, prior) match {
+        case ("append", Some(p)) => p.configuration
+        case ("overwrite", Some(p)) =>
+          if (properties.nonEmpty) properties else p.configuration
+        case _ => properties
+      }
+      val sch = prior match {
+        case Some(p) if mode == "append" =>
+          if (mergeSchema) evolveSchema(p.schema, df.schema) else p.schema
+        case _ => df.schema
+      }
+      (sch, cfg)
+    }
+    val (cSch0, cCfg0) = effectiveConstraints(prior0)
+    enforceConstraints(df, cSch0, cCfg0, s"write to $path")
     // appends inherit the table's partitioning; an explicit partitionBy
     // must agree (a mixed-layout table would be unreadable)
     val effPartitionBy = prior0 match {
@@ -252,6 +270,12 @@ object PortableDelta {
                 "staged files withdrawn", e)
           }
           prior = readPrior() // rebase and retry
+          // a concurrent commit may have added/changed constraints —
+          // re-validate before re-attempting (withdrawing on violation)
+          val (cSch, cCfg) = effectiveConstraints(prior)
+          if (cCfg != cCfg0 || cSch.json != cSch0.json)
+            try enforceConstraints(df, cSch, cCfg, s"write to $path")
+            catch { case t: Throwable => cleanupMoved(); throw t }
       }
     }
     throw new IllegalStateException("unreachable")
@@ -481,7 +505,7 @@ object PortableDelta {
     val relDepth = partCols.size + 1
     def scanGroup(files: Seq[AddFile]): DataFrame = {
       var df = spark.read.schema(physDataSchema)
-        .parquet(files.map(f => s"$path/${f.path}"): _*)
+        .parquet(files.map(f => resolvedDataPath(path, f.path).toString): _*)
       if (needPos) df = df
         .withColumn(PosFileCol,
           org.apache.spark.sql.functions.array_join(
@@ -518,8 +542,10 @@ object PortableDelta {
       if (!applyDvs || dvFiles.isEmpty) base
       else {
         val conf = spark.sessionState.newHadoopConf()
-        // keyed by table-relative path (see PosFileCol note above);
-        // decode eagerly so a corrupt DV fails the read, not a random task
+        // keyed by the position-column suffix (see logKey — equals the
+        // table-relative path for this writer's own adds); decode
+        // eagerly so a corrupt DV fails the read, not a random task
+        filesByLogKey(snap.files, relDepth) // ambiguity guard table-wide
         val decoded: Map[String, DeletionVectors.Dv] = dvFiles.map { f =>
           val d = f.dv.get
           val dv = DeletionVectors.load(conf, path, d.storageType,
@@ -528,7 +554,7 @@ object PortableDelta {
             require(dv.cardinality == d.cardinality,
               s"DV for ${f.path}: decoded cardinality ${dv.cardinality} != " +
                 s"descriptor ${d.cardinality}")
-          f.path -> dv
+          logKey(f.path, relDepth) -> dv
         }.toMap
         val bc = spark.sparkContext.broadcast(decoded)
         val keep = udf((fileName: String, idx: Long) =>
@@ -618,6 +644,34 @@ object PortableDelta {
   private val PosFileCol = "__graft_file"
   private val PosIdxCol = "__graft_idx"
 
+  /** Resolve an add action's `path` against the table root. The spec
+    * allows RELATIVE paths (this writer's own output) or ABSOLUTE URIs
+    * (external writers; [[cloneShallow]] emits absolute paths pointing
+    * into the SOURCE table) — Hadoop's Path(parent, child) resolves
+    * both. */
+  private def resolvedDataPath(root: String, p: String): Path =
+    new Path(new Path(root), p)
+
+  /** Row-position keying for DV probes: the last `relDepth` path
+    * segments (partition dirs + file name). For relative adds this IS
+    * `add.path`; for absolute adds it matches the suffix the scan's
+    * `_metadata.file_path` slice produces — the key that ties a
+    * scanned row back to its log entry either way. */
+  private def logKey(p: String, relDepth: Int): String =
+    p.split('/').takeRight(relDepth).mkString("/")
+
+  /** Suffix-keyed file map with the ambiguity guard (two adds whose
+    * last `relDepth` segments collide cannot be told apart by the
+    * scan's position column — possible only with absolute-path adds
+    * from DIFFERENT roots carrying identical dir/file names). */
+  private def filesByLogKey(files: Seq[AddFile], relDepth: Int): Map[String, AddFile] = {
+    val keyed = files.map(f => logKey(f.path, relDepth) -> f)
+    require(keyed.map(_._1).distinct.size == keyed.size,
+      "ambiguous add paths: two files share the same trailing " +
+        s"$relDepth path segment(s) — cannot key row positions")
+    keyed.toMap
+  }
+
   /** The live-file scan with each row's physical position exposed
     * (`__graft_file` = part-file name, `__graft_idx` = row index).
     * `applyDvs = true` additionally filters already-deleted rows — the
@@ -679,9 +733,10 @@ object PortableDelta {
   private def dvDeathParts(spark: SparkSession, path: String, snap: Snapshot,
                            dead: DataFrame): Option[DvParts] = {
     val conf = spark.sessionState.newHadoopConf()
-    // keyed by table-RELATIVE path — hive partitions reuse part numbers,
-    // so bare names collide across `col=value/` dirs
-    val byName = snap.files.map(f => f.path -> f).toMap
+    // keyed by the scan's position-column suffix (partition dirs + file
+    // name — bare names collide across `col=value/` dirs, and absolute
+    // clone paths aren't what the scan reports)
+    val byName = filesByLogKey(snap.files, snap.partitionColumns.size + 1)
     val s2 = spark; import s2.implicits._
     val perFile: Array[(String, Array[Byte], Long)] = dead
       .toDF("f", "i")
@@ -708,7 +763,7 @@ object PortableDelta {
           d.pathOrInlineDv, d.offset, d.sizeInBytes)
         b.or(dv); dv.cardinality
       }.getOrElse(0L)
-      val physRows = parquetRowCount(conf, new Path(new Path(path), f.path))
+      val physRows = parquetRowCount(conf, resolvedDataPath(path, f.path))
       (f, b.serialize(), b.cardinality, oldCard, physRows)
     }
     val newlyDeleted = prepared.map(p => p._3 - p._4).sum
@@ -760,6 +815,10 @@ object PortableDelta {
     def loadDv(d: DvDescriptor): DeletionVectors.Dv =
       DeletionVectors.load(conf, path, d.storageType, d.pathOrInlineDv,
         d.offset, d.sizeInBytes)
+    // row positions key by the scan's suffix column, not the raw add
+    // path (which may be absolute for clone-style tables)
+    val relDepth = endSnap.partitionColumns.size + 1
+    def keyOf(f: AddFile): String = logKey(f.path, relDepth)
     def scanFiles(files: Seq[AddFile]) =
       buildScan(spark, path, endSnap.copy(files = files),
         withPos = true, applyDvs = false)
@@ -797,7 +856,7 @@ object PortableDelta {
           if (withDv.isEmpty) base
           else {
             val bc = spark.sparkContext.broadcast(
-              withDv.map(f => f.path -> loadDv(f.dv.get)).toMap)
+              withDv.map(f => keyOf(f) -> loadDv(f.dv.get)).toMap)
             val keep = udf((rel: String, idx: Long) =>
               !bc.value.get(rel).exists(_.contains(idx)))
             base.filter(keep(col(PosFileCol), col(PosIdxCol)))
@@ -810,7 +869,7 @@ object PortableDelta {
           live(f.path).dv.map(_.cardinality).getOrElse(0L))
       if (grew.nonEmpty) {
         val bc = spark.sparkContext.broadcast(grew.map { f =>
-          f.path -> (live(f.path).dv.map(loadDv), loadDv(f.dv.get))
+          keyOf(f) -> (live(f.path).dv.map(loadDv), loadDv(f.dv.get))
         }.toMap)
         val diff = udf((rel: String, idx: Long) =>
           bc.value.get(rel).exists { case (old, nw) =>
@@ -830,7 +889,7 @@ object PortableDelta {
           if (withDv.isEmpty) base
           else {
             val bc = spark.sparkContext.broadcast(
-              withDv.map(f => f.path -> loadDv(f.dv.get)).toMap)
+              withDv.map(f => keyOf(f) -> loadDv(f.dv.get)).toMap)
             val keep = udf((rel: String, idx: Long) =>
               !bc.value.get(rel).exists(_.contains(idx)))
             base.filter(keep(col(PosFileCol), col(PosIdxCol)))
@@ -954,6 +1013,9 @@ object PortableDelta {
           val appendDf = toAppend.filter(_ => updatedRows + insertedRows > 0)
           if (parts.isEmpty && appendDf.isEmpty)
             return MergeStats(prior.version, 0L, 0L, 0L)
+          try appendDf.foreach(d => enforceConstraints(d, prior.schema,
+            prior.configuration, s"MERGE into $path"))
+          catch { case t: Throwable => parts.foreach(_.dropPack()); throw t }
           val (added, cleanupMoved) = appendDf match {
             case Some(df) =>
               stageAndMove(df, path, footerKv, conf, prior.partitionColumns)
@@ -1057,6 +1119,9 @@ object PortableDelta {
               .map(_.cast(f.dataType).as(f.name, f.metadata))
               .getOrElse(col(f.name))
           }: _*)
+        try enforceConstraints(newRows, snap.schema, snap.configuration,
+          s"UPDATE on $path")
+        catch { case t: Throwable => parts.get.dropPack(); throw t }
         val (added, cleanupMoved) =
           stageAndMove(newRows, path, footerKv, conf, snap.partitionColumns)
         val statsByName = DeltaStats.collectFileStats(
@@ -1195,6 +1260,229 @@ object PortableDelta {
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** SHALLOW CLONE: create a NEW Delta table at `targetPath` whose v0
+    * references the SOURCE table's data files by ABSOLUTE path — zero
+    * data bytes copied, O(source files) log metadata written. This is
+    * the zero-copy dev/test snapshot of a 100-TB table: the clone is
+    * immediately readable and independently writable (appends land in
+    * the clone's own root; DELETE/UPDATE land DVs in the clone's root
+    * over the source's files), and NOTHING ever writes into the source
+    * — the two tables share bytes but not logs. `versionAsOf` clones a
+    * historical version (time-travel + clone in one step).
+    *
+    * Per the spec, add actions may carry absolute URIs; this module's
+    * reader resolves them (see [[resolvedDataPath]]), as it does for
+    * externally-written logs using the same convention. Source DV
+    * references rewrite from table-relative (`u`) to absolute (`p`)
+    * storage so the clone's reads keep honoring the source's deleted
+    * rows. The source's protocol requirements carry over. The clone's
+    * VACUUM never reclaims source bytes (it only walks the clone's
+    * root); vacuuming the SOURCE can orphan a clone — the same
+    * documented caveat real shallow clones have. */
+  def cloneShallow(spark: SparkSession, sourcePath: String, targetPath: String,
+                   versionAsOf: Option[Long] = None): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = versionAsOf match {
+      case Some(v) => snapshotAt(spark, sourcePath, v)
+      case None => snapshot(spark, sourcePath)
+    }
+    require(currentSnapshot(conf, targetPath).isEmpty &&
+      lastCheckpointVersion(conf, targetPath).isEmpty,
+      s"clone target $targetPath already holds a Delta table")
+    val srcRoot = new Path(sourcePath)
+    val fs = srcRoot.getFileSystem(conf)
+    def absolute(rel: String): String =
+      fs.makeQualified(resolvedDataPath(sourcePath, rel)).toUri.toString
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[JsonNode]
+    actions += commitInfo(now,
+      s"CLONE (shallow) from $sourcePath" +
+        versionAsOf.map(v => s" version $v").getOrElse(""))
+    // the clone needs exactly the source's capabilities
+    locally {
+      val r = mapper.createObjectNode()
+      val b = r.putObject("protocol")
+      b.put("minReaderVersion", src.minReaderVersion)
+      b.put("minWriterVersion", src.minWriterVersion)
+      if (src.readerFeatures.nonEmpty) {
+        val a = b.putArray("readerFeatures"); src.readerFeatures.foreach(a.add)
+      }
+      if (src.writerFeatures.nonEmpty) {
+        val a = b.putArray("writerFeatures"); src.writerFeatures.foreach(a.add)
+      }
+      actions += r
+    }
+    actions += metaDataAction(java.util.UUID.randomUUID().toString,
+      src.schema, src.configuration, now, src.partitionColumns)
+    src.files.foreach { f =>
+      val r = mapper.createObjectNode()
+      val b = r.putObject("add")
+      b.put("path", absolute(f.path))
+      putPartitionValues(b, f.partitionValues)
+      b.put("size", f.size)
+      b.put("modificationTime", f.modificationTime)
+      b.put("dataChange", true)
+      f.stats.foreach(b.put("stats", _))
+      f.dv.foreach { d =>
+        val n = b.putObject("deletionVector")
+        if (d.storageType == "u") {
+          // table-relative UUID storage → absolute-path storage so the
+          // clone resolves the SOURCE's pack file
+          n.put("storageType", "p")
+          n.put("pathOrInlineDv", fs.makeQualified(
+            DeletionVectors.dvFilePath(sourcePath, d.pathOrInlineDv)).toUri.toString)
+        } else {
+          n.put("storageType", d.storageType)
+          n.put("pathOrInlineDv", d.pathOrInlineDv)
+        }
+        d.offset.foreach(n.put("offset", _))
+        n.put("sizeInBytes", d.sizeInBytes); n.put("cardinality", d.cardinality)
+      }
+      actions += r
+    }
+    commit(conf, targetPath, 0L, actions.result())
+    0L
+  }
+
+  /** Table-property namespace of the spec's CHECK constraints. */
+  val ConstraintPrefix = "delta.constraints."
+
+  /** ALTER TABLE ADD CONSTRAINT ... CHECK (`sqlExpr`): existing rows
+    * must already satisfy the expression (one distributed validation
+    * scan — the Delta contract), then the constraint commits as the
+    * spec's `delta.constraints.<name>` table property and every later
+    * [[write]]/[[update]]/[[merge]] batch is validated against it
+    * before anything lands. Enforcement is STRICT: a row passes only
+    * when the expression IS TRUE (null = violation), Delta's
+    * semantics. The protocol upgrades to the CHECK-constraints writer
+    * level (legacy writer 3, or the `checkConstraints` writer feature
+    * on table-features protocols) — readers are unaffected. */
+  def addCheckConstraint(spark: SparkSession, path: String,
+                         name: String, sqlExpr: String,
+                         maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{expr, lit, not}
+    require(name.matches("[a-zA-Z][a-zA-Z0-9_]*"),
+      s"constraint name must be an identifier, got '$name'")
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val key = ConstraintPrefix + name
+      require(!snap.configuration.contains(key),
+        s"constraint $name already exists on $path: ${snap.configuration(key)}")
+      val violations = snapshotDf(spark, path, snap)
+        .filter(not(expr(sqlExpr) <=> lit(true))).count()
+      require(violations == 0,
+        s"cannot add CHECK constraint $name ($sqlExpr): $violations existing " +
+          s"row(s) violate it")
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, s"ADD CONSTRAINT $name")
+      if (snap.minWriterVersion >= 7) {
+        if (!snap.writerFeatures.contains("checkConstraints")) {
+          val r = mapper.createObjectNode()
+          val b = r.putObject("protocol")
+          b.put("minReaderVersion", snap.minReaderVersion)
+          b.put("minWriterVersion", snap.minWriterVersion)
+          if (snap.readerFeatures.nonEmpty) {
+            val a = b.putArray("readerFeatures"); snap.readerFeatures.foreach(a.add)
+          }
+          val a = b.putArray("writerFeatures")
+          (snap.writerFeatures :+ "checkConstraints").foreach(a.add)
+          actions += r
+        }
+      } else if (snap.minWriterVersion < 3) {
+        val r = mapper.createObjectNode()
+        val b = r.putObject("protocol")
+        b.put("minReaderVersion", snap.minReaderVersion)
+        b.put("minWriterVersion", 3)
+        actions += r
+      }
+      actions += metaDataAction(snap.tableId, snap.schema,
+        snap.configuration + (key -> sqlExpr), now, snap.partitionColumns)
+      try {
+        commit(conf, path, snap.version + 1, actions.result())
+        return snap.version + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"addCheckConstraint on $path lost the commit race $attempt " +
+                s"times (last: ${e.getMessage})", e)
+          // loop: revalidate against the new state
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT: remove `delta.constraints.<name>`. */
+  def dropCheckConstraint(spark: SparkSession, path: String, name: String,
+                          maxRetries: Int = 10): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val key = ConstraintPrefix + name
+      require(snap.configuration.contains(key),
+        s"no constraint $name on $path")
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, s"DROP CONSTRAINT $name")
+      actions += metaDataAction(snap.tableId, snap.schema,
+        snap.configuration - key, now, snap.partitionColumns)
+      try {
+        commit(conf, path, snap.version + 1, actions.result())
+        return snap.version + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"dropCheckConstraint on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Write-side data-quality gate: validate a batch against the table's
+    * CHECK constraints (`delta.constraints.*`) and NOT NULL columns
+    * (table schema `nullable = false` where the batch's own plan can't
+    * already prove non-nullness) in ONE aggregate pass — no row ships
+    * anywhere on violation, and the error names every violated
+    * constraint with its row count. Strict CHECK semantics: pass only
+    * when the expression IS TRUE (null violates), per Delta. */
+  private def enforceConstraints(df: DataFrame, tableSchema: StructType,
+                                 config: Map[String, String],
+                                 ctx: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, lit, sum, when}
+    val notNull = tableSchema.fields.toSeq
+      .filter(f => !f.nullable &&
+        df.schema.find(_.name == f.name).forall(_.nullable))
+      .map(f => s"NOT NULL column ${f.name}" -> col(f.name).isNotNull)
+    val checks = config.toSeq.sortBy(_._1).collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        s"CHECK ${k.stripPrefix(ConstraintPrefix)} ($v)" -> (expr(v) <=> lit(true))
+    }
+    val all = notNull ++ checks
+    if (all.isEmpty) return
+    val aggs = all.map { case (_, c) => sum(when(c, 0L).otherwise(1L)) }
+    val row =
+      try df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$ctx: a table constraint references columns absent from " +
+              s"the written schema — drop the constraint first (${e.getMessage})", e)
+      }
+    val violated = all.zipWithIndex.collect {
+      case ((n, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n: ${row.getLong(i)} row(s)"
+    }
+    require(violated.isEmpty, s"$ctx violates ${violated.mkString("; ")}")
   }
 
   /** VACUUM: delete data files (and DV packs) that NO reconstructable
