@@ -2119,6 +2119,71 @@ object StacOps {
           .withColumn("clone_ok", lit(true))
           .orderBy(col("status"))
       },
+      timed = false),
+
+    // ----- CQL2 TEXT encoding: the API's other wire format -----
+    // OGC 21-065 defines two encodings of ONE language; STAC API GET
+    // requests default to cql2-text. Cql2Text parses text to the same
+    // AST the JSON path consumes, so both share one translator (and
+    // one fuzz surface: Cql2TextSpec round-trips 500 random ASTs
+    // text→parse→tree-identical). This gate runs a multi-feature TEXT
+    // filter — arithmetic precedence, IN, LIKE, NOT BETWEEN, and a
+    // temporal interval — as a native pushable predicate; the in-gate
+    // require pins text ≡ json on the same rows (encoding drift fails
+    // before the oracle ever sees it), and the oracle replays the
+    // predicate in SQL.
+    QuerySpec(
+      "stac36_cql2_text",
+      Some("""
+        WITH t AS (SELECT concat('o', o_orderkey) AS id,
+                          CAST(o_orderkey % 7 AS BIGINT) AS bucket,
+                          CAST(o_orderkey % 100 AS DOUBLE) / 4 AS cloud,
+                          o_orderstatus AS status,
+                          o_orderdate AS odate
+                   FROM orders)
+        SELECT id, bucket, cloud FROM t
+        WHERE (cloud * 2.0 + 1.5 < 40.0 OR status IN ('F', 'P'))
+          AND id LIKE 'o1%'
+          AND NOT (bucket BETWEEN 5 AND 6)
+          AND odate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND odate <= TIMESTAMP '1996-12-31 00:00:00'
+        ORDER BY id"""),
+      (s, dir) => {
+        val text =
+          "(cloud * 2.0 + 1.5 < 40.0 OR status IN ('F', 'P')) " +
+            "AND id LIKE 'o1%' AND NOT (bucket BETWEEN 5 AND 6) " +
+            "AND T_INTERSECTS(odate, INTERVAL('1995-01-01T00:00:00', '1996-12-31T00:00:00'))"
+        val json =
+          """{"op":"and","args":[
+            |  {"op":"or","args":[
+            |    {"op":"<","args":[
+            |      {"op":"+","args":[{"op":"*","args":[{"property":"cloud"},2.0]},1.5]},
+            |      40.0]},
+            |    {"op":"in","args":[{"property":"status"},["F","P"]]}]},
+            |  {"op":"like","args":[{"property":"id"},"o1%"]},
+            |  {"op":"not","args":[{"op":"between","args":[{"property":"bucket"},5,6]}]},
+            |  {"op":"t_intersects","args":[{"property":"odate"},
+            |    {"interval":["1995-01-01T00:00:00","1996-12-31T00:00:00"]}]}
+            |]}""".stripMargin
+        val t = Tables.t(s, dir, "orders")
+          .select(
+            concat(lit("o"), col("o_orderkey")).as("id"),
+            (col("o_orderkey") % 7).cast("long").as("bucket"),
+            ((col("o_orderkey") % 100).cast("double") / 4).as("cloud"),
+            col("o_orderstatus").as("status"),
+            col("o_orderdate").as("odate"))
+          .persist()
+        val byText = t.filter(graft.stac.Cql2.filterText(text))
+        val byJson = t.filter(graft.stac.Cql2.filter(json))
+        require(byText.exceptAll(byJson).isEmpty &&
+          byJson.exceptAll(byText).isEmpty,
+          "cql2-text and cql2-json must select exactly the same rows")
+        val out = byText.select(col("id"), col("bucket"), col("cloud"))
+          .orderBy(col("id"))
+        out.count() // materialize before releasing the shared frame
+        t.unpersist()
+        out
+      },
       timed = false)
   )
 }

@@ -54,6 +54,12 @@ object Cql2 {
   /** Parse a cql2-json document into a Spark predicate. */
   def filter(cql2Json: String): Column = toColumn(mapper.readTree(cql2Json))
 
+  /** Parse a cql2-TEXT document (OGC 21-065 text encoding — the STAC
+    * API GET default) into a Spark predicate: [[Cql2Text]] parses to
+    * the same AST the JSON path consumes, so both encodings share ONE
+    * semantics (and one fuzz surface). */
+  def filterText(cql2Text: String): Column = toColumn(Cql2Text.parse(cql2Text))
+
   private def toColumn(n: JsonNode): Column = {
     if (n.isObject && n.has("op")) {
       val op = n.get("op").asText
