@@ -604,6 +604,67 @@ object StreamingOps {
           .withColumn("sync_ok", lit(true))
           .orderBy(col("event_type"))
       },
+      timed = false),
+
+    // ----- streaming CDC UPSERT → Delta MERGE, exactly-once -----
+    // The real change-data-capture sink shape: every micro-batch MERGEs
+    // on the key (DV-era upsert — matched rows die by deletion vector,
+    // inserts append) committing atomically WITH its {appId, batchId}
+    // txn action. The staged double delivery makes batch 1 re-apply
+    // every key of batch 0 — so the final table holds each event ONCE
+    // (st13's append sink legitimately holds it twice), proving
+    // merge-dedup; then the gate re-delivers an already-committed
+    // batchId and requires version/rows unchanged — the txn gate
+    // skipped it before any position scan or staging. Re-delivery of a
+    // MERGE is the dangerous replay (an append replays rows; a merge
+    // replays row MUTATIONS), which is why the idempotence lives in
+    // the DML verb itself. Oracle = the single-copy batch aggregate.
+    QuerySpec(
+      "st15_streaming_delta_merge",
+      Some("""
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               true AS merge_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val src = stageSource(dir, "events", "st15", copies = 2)
+        val tbl = java.nio.file.Files.createTempDirectory("st15_delta").toString + "/tbl"
+        val ck = java.nio.file.Files.createTempDirectory("st15_ck").toString
+        val fileSchema = s.read.parquet(src).schema
+        val stream = s.readStream.schema(fileSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .select(col("event_id"), col("event_type"), col("value"))
+        awaitBounded(EventStream.deltaMergeSink(
+          stream, tbl, Seq("event_id"), "st15", ck), "st15")
+        val conf = s.sessionState.newHadoopConf()
+        val before = PortableDelta.snapshot(conf, tbl)
+        require(before.txns.get("st15").contains(1L),
+          s"expected per-batch txns up to batchId 1, got ${before.txns}")
+        val single = Tables.t(s, dir, "events").count()
+        val nBefore = PortableDelta.readTable(s, tbl).count()
+        require(nBefore == single,
+          s"MERGE sink must hold each event ONCE: $nBefore != $single")
+        // crash-replay: re-deliver batchId 1 as a MERGE — must be a no-op
+        val st = PortableDelta.merge(s, tbl,
+          s.read.parquet(src)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .dropDuplicates("event_id"),
+          Seq("event_id"), txn = Some(("st15", 1L)))
+        val after = PortableDelta.snapshot(conf, tbl)
+        require(st.version == before.version && after.version == before.version &&
+          st.updatedRows == 0 && st.insertedRows == 0 &&
+          PortableDelta.readTable(s, tbl).count() == nBefore,
+          "re-delivered MERGE batch must be a no-op")
+        PortableDelta.readTable(s, tbl)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+          .withColumn("merge_ok", lit(true))
+          .orderBy(col("event_type"))
+      },
       timed = false)
   )
 }

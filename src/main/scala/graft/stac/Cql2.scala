@@ -60,6 +60,11 @@ object Cql2 {
     * semantics (and one fuzz surface). */
   def filterText(cql2Text: String): Column = toColumn(Cql2Text.parse(cql2Text))
 
+  /** cql2-text → cql2-json string — the bridge to every JSON-consuming
+    * seam (pgstac `search_query()` delegation via
+    * [[PgstacReader.readItems]]'s `cql2Json` argument, stored filters). */
+  def textToJson(cql2Text: String): String = Cql2Text.parse(cql2Text).toString
+
   private def toColumn(n: JsonNode): Column = {
     if (n.isObject && n.has("op")) {
       val op = n.get("op").asText

@@ -87,6 +87,10 @@ object PgstacReader {
     *   ignored (the delegated subquery subsumes them), exactly the
     *   reference's split of labor; datetime-range partitioning still
     *   applies when both bounds are given */
+  /** @param cql2Text the same delegation in the TEXT encoding (the STAC
+    *   API GET default) — parsed by [[Cql2Text]] and delegated as JSON,
+    *   since `search_query()` consumes cql2-json; mutually exclusive
+    *   with `cql2Json` */
   def readItems(
       spark: SparkSession,
       jdbcUrl: String,
@@ -95,11 +99,15 @@ object PgstacReader {
       endDatetime: Option[String] = None,
       numPartitions: Int = 16,
       cql2Json: Option[String] = None,
-      fetchsize: Int = 10000): DataFrame = {
+      fetchsize: Int = 10000,
+      cql2Text: Option[String] = None): DataFrame = {
     require(fetchsize >= 1, s"fetchsize must be >= 1, got $fetchsize")
+    require(cql2Json.isEmpty || cql2Text.isEmpty,
+      "pass the CQL2 filter in ONE encoding (cql2Json or cql2Text), not both")
+    val effJson = cql2Json.orElse(cql2Text.map(Cql2.textToJson))
     val base = spark.read.format("jdbc")
       .option("url", jdbcUrl)
-      .option("dbtable", s"(${itemsSql(collection, startDatetime, endDatetime, cql2Json)}) q")
+      .option("dbtable", s"(${itemsSql(collection, startDatetime, endDatetime, effJson)}) q")
       .option("fetchsize", fetchsize)
     val partitioned = (startDatetime, endDatetime) match {
       case (Some(lo), Some(hi)) =>

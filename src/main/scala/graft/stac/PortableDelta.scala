@@ -217,12 +217,7 @@ object PortableDelta {
       val actions = Seq.newBuilder[JsonNode]
       actions += commitInfo(now, if (prior.isEmpty) "CREATE TABLE AS SELECT"
         else if (mode == "overwrite") "WRITE (overwrite)" else "WRITE (append)")
-      txn.foreach { case (appId, v) =>
-        val r = mapper.createObjectNode()
-        val t = r.putObject("txn")
-        t.put("appId", appId); t.put("version", v); t.put("lastUpdated", now)
-        actions += r
-      }
+      txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
       if (prior.isEmpty) {
         actions += protocolAction()
         actions += metaDataAction(java.util.UUID.randomUUID().toString,
@@ -603,12 +598,19 @@ object PortableDelta {
     * a predicate matching nothing commits nothing. */
   def delete(spark: SparkSession, path: String,
              condition: org.apache.spark.sql.Column,
-             maxRetries: Int = 10): DeleteStats = {
+             maxRetries: Int = 10,
+             txn: Option[(String, Long)] = None): DeleteStats = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      // idempotence gate (same contract as write): an (appId, version)
+      // the log already carries is a re-delivered batch — skip
+      txn.foreach { case (appId, v) =>
+        if (snap.txns.get(appId).exists(_ >= v))
+          return DeleteStats(snap.version, 0L, 0, 0)
+      }
       if (snap.files.isEmpty) return DeleteStats(snap.version, 0L, 0, 0)
       val dead = scanWithPos(spark, path, snap, applyDvs = false)
         .filter(condition)
@@ -619,6 +621,7 @@ object PortableDelta {
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
           actions += commitInfo(now, "DELETE")
+          txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
           if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
             actions += dvProtocolAction()
           actions ++= parts.actions(now)
@@ -950,7 +953,8 @@ object PortableDelta {
             keys: Seq[String], whenMatched: String = "update",
             insertNotMatched: Boolean = true,
             footerKv: Map[String, String] = Map.empty,
-            maxRetries: Int = 10): MergeStats = {
+            maxRetries: Int = 10,
+            txn: Option[(String, Long)] = None): MergeStats = {
     import org.apache.spark.sql.functions.col
     require(Set("update", "delete").contains(whenMatched),
       s"whenMatched must be update|delete, got $whenMatched")
@@ -979,6 +983,13 @@ object PortableDelta {
       var attempt = 0
       var prior = snap0
       while (true) {
+        // idempotence gate (the foreachBatch CDC-upsert contract): an
+        // (appId, version) the log carries is a re-delivered batch —
+        // skip before any position scan, bitmap, or staging happens
+        txn.foreach { case (appId, v) =>
+          if (prior.txns.get(appId).exists(_ >= v))
+            return MergeStats(prior.version, 0L, 0L, 0L)
+        }
         val liveKeysDf =
           if (prior.files.isEmpty)
             spark.createDataFrame(
@@ -1026,6 +1037,7 @@ object PortableDelta {
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
           actions += commitInfo(now, "MERGE")
+          txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
           if (parts.nonEmpty &&
               (prior.minReaderVersion < 3 || prior.minWriterVersion < 7))
             actions += dvProtocolAction()
@@ -1093,13 +1105,19 @@ object PortableDelta {
              condition: org.apache.spark.sql.Column,
              set: Map[String, org.apache.spark.sql.Column],
              footerKv: Map[String, String] = Map.empty,
-             maxRetries: Int = 10): UpdateStats = {
+             maxRetries: Int = 10,
+             txn: Option[(String, Long)] = None): UpdateStats = {
     import org.apache.spark.sql.functions.col
     require(set.nonEmpty, "update needs at least one SET column")
     val conf = spark.sessionState.newHadoopConf()
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      // idempotence gate — same contract as write/delete/merge
+      txn.foreach { case (appId, v) =>
+        if (snap.txns.get(appId).exists(_ >= v))
+          return UpdateStats(snap.version, 0L)
+      }
       set.keys.foreach(k => require(snap.schema.fieldNames.contains(k),
         s"update SET column $k not in table schema"))
       if (snap.files.isEmpty) return UpdateStats(snap.version, 0L)
@@ -1129,6 +1147,7 @@ object PortableDelta {
         val now = System.currentTimeMillis()
         val actions = Seq.newBuilder[JsonNode]
         actions += commitInfo(now, "UPDATE")
+        txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
         if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
           actions += dvProtocolAction()
         actions ++= parts.get.actions(now)
@@ -1713,6 +1732,14 @@ object PortableDelta {
       d.offset.foreach(n.put("offset", _))
       n.put("sizeInBytes", d.sizeInBytes); n.put("cardinality", d.cardinality)
     }
+    r
+  }
+
+  /** The spec's transaction-identifier action (idempotent writes). */
+  private def txnActionNode(appId: String, version: Long, now: Long): JsonNode = {
+    val r = mapper.createObjectNode()
+    val t = r.putObject("txn")
+    t.put("appId", appId); t.put("version", version); t.put("lastUpdated", now)
     r
   }
 

@@ -185,4 +185,34 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming CDC UPSERT into a Delta table, exactly-once: every
+    * micro-batch MERGEs on `keys` (matched target rows die by deletion
+    * vector, new row versions + inserts append — the DV-era upsert,
+    * never a rewrite), committing atomically WITH its {appId, batchId}
+    * transaction action. A crash-replayed batchId is detected in the
+    * log and skipped before any position scan or staging — so unlike an
+    * append sink, re-delivery can neither double-insert NOR double-
+    * apply an update. The first batch creates the table (same txn
+    * gate). Source batches must be key-unique (the merge contract);
+    * dedup within the batch upstream if the CDC feed can repeat keys. */
+  def deltaMergeSink(df: DataFrame, path: String, keys: Seq[String],
+                     appId: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.stac.PortableDelta
+        val conf = batch.sparkSession.sessionState.newHadoopConf()
+        val exists = new org.apache.hadoop.fs.Path(path, "_delta_log")
+          .getFileSystem(conf)
+          .exists(new org.apache.hadoop.fs.Path(path, "_delta_log"))
+        if (!exists)
+          PortableDelta.write(batch, path, txn = Some((appId, batchId)))
+        else
+          PortableDelta.merge(batch.sparkSession, path, batch, keys,
+            txn = Some((appId, batchId)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -45,6 +45,21 @@ object AnnScaleProbe {
           .write.format("noop").mode("overwrite").save()
         println(f"[probe] adaptive-dial serve pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // s14's production shape: IVF-PQ index with the ADAPTIVE cell dial
+      // (the gate pins cells=16 so its DuckDB oracle can mirror the
+      // centroids symbolically — per-cell density then grows linearly
+      // with the corpus and ADC cost quadratically, the same pinned-dial
+      // artifact as s12's bits; this measures the real dial instead)
+      val cells = graft.operators.Ann.adaptiveCells(n)
+      println(s"[probe] corpus $n rows → adaptive cells $cells")
+      val path2 = java.nio.file.Files.createTempDirectory("ann_probe_pq").toString + "/idx"
+      graft.operators.Ann.buildIvfPqIndex(corpus, path2, cells = cells, files = 8)
+      (1 to repeats).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.operators.Ann.ivfPqTopKIndexed(spark, path2, queries, k = 3, nprobe = 2)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[probe] adaptive-dial ivfpq serve pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     } finally spark.stop()
   }
 }

@@ -132,6 +132,13 @@ class Cql2TextSpec extends AnyFunSuite {
            {"type":"Point","coordinates":[1,2,3]}]}""")
   }
 
+  test("textToJson bridges text filters onto the JSON delegation path") {
+    assert(M.readTree(Cql2.textToJson("cloud < 40 AND s IN ('a')")) ==
+      M.readTree("""{"op":"and","args":[
+        {"op":"<","args":[{"property":"cloud"},40]},
+        {"op":"in","args":[{"property":"s"},["a"]]}]}"""))
+  }
+
   test("errors name the problem") {
     val bads = Seq(
       "a >" -> "unexpected",

@@ -32,8 +32,9 @@ class DeltaModelSpec extends AnyFunSuite {
 
   private def runSeed(seed: Int, nOps: Int): Unit = {
     val rnd = new scala.util.Random(seed)
-    val path = java.nio.file.Files.createTempDirectory(s"pfuzz$seed")
+    var path = java.nio.file.Files.createTempDirectory(s"pfuzz$seed")
       .toString + "/tbl"
+    var cloneN = 0
     val trace = scala.collection.mutable.ArrayBuffer.empty[String]
     def ctx = s"seed=$seed trace=[${trace.mkString("; ")}]"
 
@@ -60,7 +61,7 @@ class DeltaModelSpec extends AnyFunSuite {
     }
 
     for (step <- 1 to nOps) {
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(12)
       op match {
         case 0 | 1 => // append fresh rows
           val rows = freshRows(5 + rnd.nextInt(10), s"ap$step")
@@ -119,6 +120,25 @@ class DeltaModelSpec extends AnyFunSuite {
           trace += s"restore($target)"
           PortableDelta.restore(spark, path, target)
           model = history(target)
+        case 10 => // shallow CLONE: switch the run onto a zero-copy snapshot
+          cloneN += 1
+          val dst = java.nio.file.Files
+            .createTempDirectory(s"pfuzz$seed-c$cloneN").toString + "/tbl"
+          trace += "cloneShallow"
+          PortableDelta.cloneShallow(spark, path, dst)
+          path = dst // all later ops run against the clone's log
+          history.clear()
+          history(0L) = model // clone v0 = the source's current state
+          minRestorable = 0L
+        case 11 => // constraint toggle: metaData-only commit (no row change;
+          // every generated v is >= 0, so the gate never fires — what this
+          // exercises is constraint metadata riding checkpoints, clones,
+          // and RESTORE's metaData rollback)
+          val key = PortableDelta.ConstraintPrefix + "v_nonneg"
+          val has = PortableDelta.snapshot(spark, path).configuration.contains(key)
+          trace += (if (has) "dropConstraint" else "addConstraint")
+          if (has) PortableDelta.dropCheckConstraint(spark, path, "v_nonneg")
+          else PortableDelta.addCheckConstraint(spark, path, "v_nonneg", "v >= 0")
       }
       val v = syncVersion()
       val got = readBack(path)

@@ -75,6 +75,28 @@ class MergeSpec extends AnyFunSuite {
     assert(got == (0L until 10L).toSet -- Set(1L, 3L))
   }
 
+  test("txn-tagged MERGE is idempotent per (appId, version) — the CDC sink contract") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 6L, "base").coalesce(1), path)
+    val m1 = PortableDelta.merge(spark, path,
+      rows(Seq(1L, 2L), "up").union(rows(Seq(10L), "new")), Seq("id"),
+      txn = Some(("cdc", 0L)))
+    assert(m1.updatedRows == 2 && m1.insertedRows == 1)
+    // a replayed MERGE is the dangerous re-delivery: it would re-apply
+    // row MUTATIONS — the txn gate must void it before any scan
+    val m2 = PortableDelta.merge(spark, path,
+      rows(Seq(3L), "evil"), Seq("id"), txn = Some(("cdc", 0L)))
+    assert(m2.updatedRows == 0 && m2.insertedRows == 0 &&
+      m2.version == m1.version, s"replayed merge must be a no-op: $m2")
+    assert(PortableDelta.readTable(spark, path)
+      .filter(col("tag") === "evil").count() == 0L)
+    // next batchId lands; watermark advances
+    val m3 = PortableDelta.merge(spark, path, rows(Seq(3L), "up3"), Seq("id"),
+      txn = Some(("cdc", 1L)))
+    assert(m3.updatedRows == 1 && m3.version == m1.version + 1)
+    assert(PortableDelta.snapshot(spark, path).txns("cdc") == 1L)
+  }
+
   test("duplicate source keys are rejected; empty source is a no-op") {
     val path = tmp()
     PortableDelta.write(rows(0L until 5L, "base").coalesce(1), path)

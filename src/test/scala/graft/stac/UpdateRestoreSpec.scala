@@ -125,6 +125,30 @@ class UpdateRestoreSpec extends AnyFunSuite {
       .filter(col("tag") === "u").count() == 1L)
   }
 
+  test("txn-tagged UPDATE and DELETE are idempotent per (appId, version)") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 8L, "base").coalesce(1), path)
+    val u1 = PortableDelta.update(spark, path, col("id") < 4L,
+      Map("tag" -> lit("u")), txn = Some(("app", 0L)))
+    assert(u1.updatedRows == 4)
+    // replayed batchId: skipped before any scan — version and rows frozen
+    val u2 = PortableDelta.update(spark, path, col("id") < 4L,
+      Map("tag" -> lit("uu")), txn = Some(("app", 0L)))
+    assert(u2.updatedRows == 0 && u2.version == u1.version)
+    assert(PortableDelta.readTable(spark, path)
+      .filter(col("tag") === "uu").count() == 0L)
+    // the next batchId applies, and its watermark advances
+    val d1 = PortableDelta.delete(spark, path, col("id") === 7L,
+      txn = Some(("app", 1L)))
+    assert(d1.deletedRows == 1)
+    val d2 = PortableDelta.delete(spark, path, col("id") === 6L,
+      txn = Some(("app", 1L)))
+    assert(d2.deletedRows == 0 && d2.version == d1.version,
+      "replayed delete batch must be a no-op")
+    assert(PortableDelta.snapshot(spark, path).txns("app") == 1L)
+    assert(PortableDelta.readTable(spark, path).count() == 7L)
+  }
+
   test("restore fails BY NAME when a needed data file no longer exists") {
     val path = tmp()
     PortableDelta.write(rows(0L until 5L, "base").coalesce(1), path)  // v0
