@@ -149,6 +149,76 @@ class UpdateRestoreSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path).count() == 7L)
   }
 
+  test("concurrent UPDATE and DELETE race: both rebase and land, state exact") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 20L, "base").repartition(2), path)
+    // disjoint predicates mutate the SAME files concurrently — the loser
+    // of each commit race must rebase (re-match, re-bitmap, re-stage)
+    // against the winner's DVs, never double-kill or resurrect a row
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val upd = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long =
+          PortableDelta.update(spark, path, col("id") % 2 === 0L,
+            Map("tag" -> lit("even"))).updatedRows
+      })
+      val del = pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long =
+          PortableDelta.delete(spark, path, col("id") % 5 === 1L).deletedRows
+      })
+      val updated = upd.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      val deleted = del.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      // ids 1, 6, 11, 16 die; evens update. 6 and 16 are both even AND
+      // %5==1 — depending on commit order one op may see them already
+      // mutated, so counters can differ, but the FINAL STATE may not:
+      // a row is present iff it survived the delete, and surviving
+      // evens carry the update (update-after-delete leaves them dead;
+      // delete-after-update kills the updated versions)
+      // delete always finds its 4 ids (update preserves ids); update
+      // finds 10 evens if it committed first, 8 if it rebased over the
+      // delete (6 and 16 already dead)
+      assert(Set(8L, 10L).contains(updated), s"updated=$updated")
+      assert(deleted == 4L, s"deleted=$deleted")
+    } finally pool.shutdown()
+    val got = PortableDelta.readTable(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0L until 20L).filterNot(i => i % 5 == 1L)
+      .map(i => i -> (if (i % 2 == 0) "even" else "base")).toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+  }
+
+  test("concurrent MERGE vs MERGE on overlapping keys: serialized, no lost update") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 10L, "base").coalesce(1), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = Seq("m1", "m2").map { tag =>
+        pool.submit(new java.util.concurrent.Callable[PortableDelta.MergeStats] {
+          override def call(): PortableDelta.MergeStats =
+            PortableDelta.merge(spark, path,
+              rows(Seq(3L, 4L), tag).union(rows(Seq(100L + tag.last - '0'), tag)),
+              Seq("id"))
+        })
+      }
+      val stats = tasks.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      // both merges land at distinct versions; each updated 3,4 and
+      // inserted its own key
+      assert(stats.map(_.version).toSet.size == 2)
+      assert(stats.forall(s => s.updatedRows == 2 && s.insertedRows == 1),
+        s"stats: $stats")
+    } finally pool.shutdown()
+    val got = PortableDelta.readTable(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 12) // 10 base + 2 inserts
+    // 3 and 4 carry the LAST committed merge's tag (serialized history,
+    // no lost update: both versions exist in the log)
+    val lastTag = got(3L)
+    assert((lastTag == "m1" || lastTag == "m2") && got(4L) == lastTag)
+    assert(got(101L) == "m1" && got(102L) == "m2")
+    val hist = PortableDelta.history(spark.sessionState.newHadoopConf(), path)
+    assert(hist.count(_._2 == "MERGE") == 2, s"history: $hist")
+  }
+
   test("restore fails BY NAME when a needed data file no longer exists") {
     val path = tmp()
     PortableDelta.write(rows(0L until 5L, "base").coalesce(1), path)  // v0
