@@ -2184,6 +2184,93 @@ object StacOps {
         t.unpersist()
         out
       },
+      timed = false),
+
+    // ----- Delta V2 CHECKPOINT: the modern checkpoint layout -----
+    // Table feature `v2Checkpoint`: file actions shard into sidecar
+    // parquet files under _delta_log/_sidecars/ and the UUID-named
+    // top-level file holds only non-file actions + checkpointMetadata +
+    // sidecar pointers. At 100 TB this is the layout that keeps
+    // checkpoint WRITE executor-parallel and checkpoint READ a
+    // DataFrame scan over sidecars (the classic multi-part layout's
+    // scale story, standardized). The gate: three appends, checkpointV2
+    // (auto-upgrades the protocol with the feature), TRUNCATE the JSON
+    // log — so the checkpointed stage's values can only come from the
+    // v2 layout — then a tail append on top. In-gate requires pin the
+    // physical shape (UUID top-level with ZERO add rows, ≥2 sidecars,
+    // feature present) and that timestampAsOf resolves to the same
+    // state as versionAsOf at the checkpoint. Stage 0 = as of the
+    // checkpointed version (v2-checkpoint replay), stage 1 = current
+    // (checkpoint + JSON tail). The oracle recomputes both memberships
+    // from the commit rules.
+    QuerySpec(
+      "stac37_delta_v2_checkpoint",
+      Some("""
+        WITH v AS (SELECT 0 AS stage, o_orderkey, o_totalprice
+                     FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+                   UNION ALL
+                   SELECT 1, o_orderkey, o_totalprice FROM orders)
+        SELECT CAST(stage AS BIGINT) AS stage,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS v2_ok
+        FROM v GROUP BY stage ORDER BY stage"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val out = java.nio.file.Files.createTempDirectory("stac37").toString + "/tbl"
+        def slice(r: Int) = orders.filter(col("o_orderkey") % 4 === r).repartition(3)
+        PortableDelta.write(slice(0), out)                       // v0
+        PortableDelta.write(slice(1), out, mode = "append")      // v1
+        PortableDelta.write(slice(2), out, mode = "append")      // v2
+        val cv = PortableDelta.checkpointV2(s, out, addsPerSidecar = 4)
+        require(cv == 3, s"protocol upgrade + checkpoint must land at v3, got $cv")
+        val conf = s.sessionState.newHadoopConf()
+        PortableDelta.cleanupLog(conf, out)
+        // physical shape: one UUID top-level file with NO add actions,
+        // sharded sidecars holding all of them
+        val log = new java.io.File(s"$out/_delta_log")
+        val top = log.listFiles().map(_.getName)
+          .filter(_.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet"))
+        require(top.length == 1, s"expected one UUID checkpoint, got ${top.toSeq}")
+        val sidecars = new java.io.File(log, "_sidecars").listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        require(sidecars >= 2, s"expected sharded sidecars, got $sidecars")
+        require(s.read.parquet(s"$out/_delta_log/${top.head}")
+          .filter(col("add").isNotNull).count() == 0,
+          "v2 top-level file must carry no add actions")
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.readerFeatures.contains("v2Checkpoint"),
+          s"protocol must carry v2Checkpoint, got ${snap.readerFeatures}")
+        val ckptState = PortableDelta.readTable(s, out, 3L).persist()
+        val ckptRows = ckptState.count() // materialize off the v2 layout
+        // truncated versions error by NAME, never replay wrong state
+        val gone = try { PortableDelta.snapshotAt(s, out, 1L); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("not reconstructable") }
+        require(gone, "truncated version must fail with the reconstructability error")
+        Thread.sleep(10) // distinct wall-clock ms for the tail commit
+        PortableDelta.write(slice(3), out, mode = "append")      // v4 (tail)
+        val hist = PortableDelta.history(conf, out).sortBy(_._1)
+        require(hist.map(_._1) == (0L to 4L),
+          s"history must survive truncation via the sidecar, got ${hist.map(_._1)}")
+        val tsV4 = hist.last._3
+        // timestampAsOf just before the tail commit ≡ versionAsOf 3
+        val atTs = PortableDelta.readTableAtTimestamp(s, out, tsV4 - 1)
+        require(atTs.count() == ckptRows,
+          "timestampAsOf before the tail commit must equal the checkpointed state")
+        def agged(stage: Long, frame: org.apache.spark.sql.DataFrame) = frame
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .select(lit(stage).as("stage"), col("n_rows"), col("key_sum"),
+            col("cents_sum"), lit(true).as("v2_ok"))
+        agged(0L, ckptState).unionByName(agged(1L, PortableDelta.readTable(s, out)))
+          .orderBy(col("stage"))
+      },
       timed = false)
   )
 }

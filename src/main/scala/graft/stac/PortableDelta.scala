@@ -46,7 +46,8 @@ object PortableDelta {
   /** Reader features this portable reader implements beyond the base
     * protocol (Delta's table-features gate: a reader may open a
     * version-3 table iff it supports EVERY listed reader feature). */
-  val SupportedReaderFeatures: Set[String] = Set("deletionVectors", "columnMapping")
+  val SupportedReaderFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint")
 
   /** Commit-conflict signal: the target version file appeared between
     * snapshot and rename — the loser of the put-if-absent race. write()
@@ -1879,79 +1880,16 @@ object PortableDelta {
     * [[cleanupLog]] to truncate the JSON tail. Returns V. */
   def checkpoint(spark: SparkSession, path: String,
                  addsPerPart: Int = 100000): Long = {
-    import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, lit, struct, typedLit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
     require(addsPerPart >= 1, s"addsPerPart must be >= 1, got $addsPerPart")
     val conf = spark.sessionState.newHadoopConf()
     val fs = logDir(path).getFileSystem(conf)
-    // small state (protocol/metaData/txns) — never materializes adds
-    val st = new ReplayState(path)
-    lastCheckpointRef(conf, path) match {
-      case None =>
-        val snap = snapshot(conf, path) // pre-first-checkpoint: log is young
-        st.readerV = snap.minReaderVersion; st.writerV = snap.minWriterVersion
-        st.readerFeatures = snap.readerFeatures; st.writerFeatures = snap.writerFeatures
-        st.tableId = snap.tableId; st.schemaJson = snap.schema.json
-        st.configuration = snap.configuration
-        st.partitionCols = snap.partitionColumns
-        snap.txns.foreach { case (k, v) => st.txns.put(k, v) }
-      case Some(ref) =>
-        seedCheckpointSmall(spark, path, ref, st)
-        tailCommits(fs, path, ref.version).foreach { case (_, p) =>
-          applyJsonCommit(fs, p, st)
-        }
-    }
-    st.requireReadable()
+    val st = seededSmallState(spark, path)
     val (adds, version) = liveAddsFlatDf(spark, path)
     val nAdds = adds.count()
     val parts = math.max(1L, (nAdds + addsPerPart - 1) / addsPerPart).toInt
-
-    val s = spark; import s.implicits._
-    val emptyMap = typedLit(Map.empty[String, String])
-    val nullProto = lit(null).cast(ProtoT)
-    val nullMeta = lit(null).cast(MetaT)
-    val nullAdd = lit(null).cast(AddT)
-    val nullTxn = lit(null).cast(TxnT)
-    val protocolDf = Seq(1).toDF("x").select(
-      struct(lit(st.readerV).as("minReaderVersion"),
-        lit(st.writerV).as("minWriterVersion"),
-        (if (st.readerFeatures.nonEmpty) typedLit(st.readerFeatures)
-         else lit(null).cast("array<string>")).as("readerFeatures"),
-        (if (st.writerFeatures.nonEmpty) typedLit(st.writerFeatures)
-         else lit(null).cast("array<string>")).as("writerFeatures")).as("protocol"),
-      nullMeta.as("metaData"), nullAdd.as("add"), nullTxn.as("txn"))
-    val metaDf = Seq(1).toDF("x").select(
-      nullProto.as("protocol"),
-      struct(lit(st.tableId).as("id"),
-        struct(lit("parquet").as("provider"), emptyMap.as("options")).as("format"),
-        lit(st.schemaJson).as("schemaString"),
-        (if (st.partitionCols.nonEmpty) typedLit(st.partitionCols)
-         else array().cast("array<string>")).as("partitionColumns"),
-        typedLit(st.configuration).as("configuration"),
-        lit(System.currentTimeMillis()).as("createdTime")).as("metaData"),
-      nullAdd.as("add"), nullTxn.as("txn"))
-    // the per-appId streaming watermarks must survive log truncation —
-    // the spec stores the latest txn action per appId in the checkpoint
-    val txnsDf = st.txns.toSeq
-      .toDF("app", "v").select(
-        nullProto.as("protocol"), nullMeta.as("metaData"), nullAdd.as("add"),
-        struct($"app".as("appId"), $"v".as("version"),
-          lit(null).cast("bigint").as("lastUpdated")).as("txn"))
-    val addsActions = adds.select(
-      nullProto.as("protocol"), nullMeta.as("metaData"),
-      struct(col("path"),
-        coalesce(col("partitionValues"), emptyMap).as("partitionValues"),
-        col("size"), col("modificationTime"), lit(true).as("dataChange"),
-        when(col("dv_storageType").isNotNull,
-          struct(col("dv_storageType").as("storageType"),
-            col("dv_pathOrInlineDv").as("pathOrInlineDv"),
-            col("dv_offset").as("offset"),
-            col("dv_sizeInBytes").as("sizeInBytes"),
-            col("dv_cardinality").as("cardinality")))
-          .otherwise(lit(null).cast(DvT)).as("deletionVector"),
-        col("stats")).as("add"),
-      nullTxn.as("txn"))
-    val all = protocolDf.unionByName(metaDf).unionByName(txnsDf)
-      .unionByName(addsActions)
+    val all = smallActionsDf(spark, st)
+      .unionByName(addActionsDf(adds))
       .withColumn("remove", lit(null).cast(RemoveT))
     // Spark writes a directory; the spec wants exact file names — write
     // to a temp dir and move the part files in. Single-part keeps the
@@ -1986,6 +1924,199 @@ object PortableDelta {
     val out = fs.create(lc, true)
     try out.write(
       s"""{"version":$version,"size":$sizeJson$partsJson}""".getBytes("UTF-8"))
+    finally out.close()
+    version
+  }
+
+  /** Current small replay state (protocol/metaData/txns) WITHOUT
+    * materializing add actions on the driver: seeds from the last
+    * checkpoint's column-pruned small rows + the JSON tail, or replays
+    * the whole (young) JSON log pre-first-checkpoint. */
+  private def seededSmallState(spark: SparkSession, path: String): ReplayState = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    val st = new ReplayState(path)
+    lastCheckpointRef(conf, path) match {
+      case None =>
+        val snap = snapshot(conf, path) // pre-first-checkpoint: log is young
+        st.readerV = snap.minReaderVersion; st.writerV = snap.minWriterVersion
+        st.readerFeatures = snap.readerFeatures; st.writerFeatures = snap.writerFeatures
+        st.tableId = snap.tableId; st.schemaJson = snap.schema.json
+        st.configuration = snap.configuration
+        st.partitionCols = snap.partitionColumns
+        snap.txns.foreach { case (k, v) => st.txns.put(k, v) }
+      case Some(ref) =>
+        seedCheckpointSmall(spark, path, ref, st)
+        tailCommits(fs, path, ref.version).foreach { case (_, p) =>
+          applyJsonCommit(fs, p, st)
+        }
+    }
+    st.requireReadable()
+    st
+  }
+
+  /** The non-file checkpoint actions (protocol + metaData + per-appId
+    * txn watermarks) as action rows (protocol, metaData, add, txn). */
+  private def smallActionsDf(spark: SparkSession, st: ReplayState): DataFrame = {
+    import org.apache.spark.sql.functions.{array, lit, struct, typedLit}
+    val s = spark; import s.implicits._
+    val emptyMap = typedLit(Map.empty[String, String])
+    val nullProto = lit(null).cast(ProtoT)
+    val nullMeta = lit(null).cast(MetaT)
+    val nullAdd = lit(null).cast(AddT)
+    val nullTxn = lit(null).cast(TxnT)
+    val protocolDf = Seq(1).toDF("x").select(
+      struct(lit(st.readerV).as("minReaderVersion"),
+        lit(st.writerV).as("minWriterVersion"),
+        (if (st.readerFeatures.nonEmpty) typedLit(st.readerFeatures)
+         else lit(null).cast("array<string>")).as("readerFeatures"),
+        (if (st.writerFeatures.nonEmpty) typedLit(st.writerFeatures)
+         else lit(null).cast("array<string>")).as("writerFeatures")).as("protocol"),
+      nullMeta.as("metaData"), nullAdd.as("add"), nullTxn.as("txn"))
+    val metaDf = Seq(1).toDF("x").select(
+      nullProto.as("protocol"),
+      struct(lit(st.tableId).as("id"),
+        struct(lit("parquet").as("provider"), emptyMap.as("options")).as("format"),
+        lit(st.schemaJson).as("schemaString"),
+        (if (st.partitionCols.nonEmpty) typedLit(st.partitionCols)
+         else array().cast("array<string>")).as("partitionColumns"),
+        typedLit(st.configuration).as("configuration"),
+        lit(System.currentTimeMillis()).as("createdTime")).as("metaData"),
+      nullAdd.as("add"), nullTxn.as("txn"))
+    // the per-appId streaming watermarks must survive log truncation —
+    // the spec stores the latest txn action per appId in the checkpoint
+    val txnsDf = st.txns.toSeq
+      .toDF("app", "v").select(
+        nullProto.as("protocol"), nullMeta.as("metaData"), nullAdd.as("add"),
+        struct($"app".as("appId"), $"v".as("version"),
+          lit(null).cast("bigint").as("lastUpdated")).as("txn"))
+    protocolDf.unionByName(metaDf).unionByName(txnsDf)
+  }
+
+  /** Flat add rows ([[liveAddsFlatDf]] shape) → checkpoint action rows
+    * (protocol, metaData, add, txn) — stays a DataFrame end-to-end. */
+  private def addActionsDf(adds: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, struct, typedLit, when}
+    val emptyMap = typedLit(Map.empty[String, String])
+    adds.select(
+      lit(null).cast(ProtoT).as("protocol"), lit(null).cast(MetaT).as("metaData"),
+      struct(col("path"),
+        coalesce(col("partitionValues"), emptyMap).as("partitionValues"),
+        col("size"), col("modificationTime"), lit(true).as("dataChange"),
+        when(col("dv_storageType").isNotNull,
+          struct(col("dv_storageType").as("storageType"),
+            col("dv_pathOrInlineDv").as("pathOrInlineDv"),
+            col("dv_offset").as("offset"),
+            col("dv_sizeInBytes").as("sizeInBytes"),
+            col("dv_cardinality").as("cardinality")))
+          .otherwise(lit(null).cast(DvT)).as("deletionVector"),
+        col("stats")).as("add"),
+      lit(null).cast(TxnT).as("txn"))
+  }
+
+  /** Write a V2 CHECKPOINT for the current version V — the modern Delta
+    * checkpoint layout (table feature `v2Checkpoint`): file actions are
+    * sharded into sidecar parquet files under `_delta_log/_sidecars/`
+    * (`addsPerSidecar` add rows each, executor-parallel), and the
+    * UUID-named top-level file `<V>.checkpoint.<uuid>.parquet` holds
+    * ONLY the non-file actions (protocol/metaData/txn), a
+    * `checkpointMetadata` row naming V, and one `sidecar` pointer row
+    * per shard. `_last_checkpoint` points at V without `parts` (the
+    * sidecar list lives inside the checkpoint, not the pointer).
+    *
+    * Spec conformance: a table whose checkpoints use this layout must
+    * declare the `v2Checkpoint` reader feature, so if the current
+    * protocol does not carry it this first commits a protocol-upgrade
+    * action (reader 3 / writer 7, existing features preserved) — the
+    * same auto-upgrade [[delete]] performs for deletionVectors. Scale:
+    * sidecar contents never touch the driver (DataFrame end-to-end);
+    * the top-level file is O(sidecar count + txn count). Returns the
+    * checkpointed version. */
+  def checkpointV2(spark: SparkSession, path: String,
+                   addsPerSidecar: Int = 100000): Long = {
+    import org.apache.spark.sql.functions.lit
+    require(addsPerSidecar >= 1, s"addsPerSidecar must be >= 1, got $addsPerSidecar")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    // protocol gate first: the upgrade is itself a commit, so it must
+    // land BEFORE the version the checkpoint snapshots
+    val pre = snapshot(spark, path)
+    if (!pre.readerFeatures.contains("v2Checkpoint")) {
+      val r = mapper.createObjectNode()
+      val b = r.putObject("protocol")
+      b.put("minReaderVersion", 3); b.put("minWriterVersion", 7)
+      val rf = b.putArray("readerFeatures")
+      (pre.readerFeatures :+ "v2Checkpoint").distinct.foreach(rf.add)
+      val wf = b.putArray("writerFeatures")
+      (pre.writerFeatures :+ "v2Checkpoint").distinct.foreach(wf.add)
+      commit(conf, path, pre.version + 1,
+        Seq(commitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"), r))
+    }
+    val st = seededSmallState(spark, path)
+    val (adds, version) = liveAddsFlatDf(spark, path)
+    val nAdds = adds.count()
+    val shards = math.max(1L, (nAdds + addsPerSidecar - 1) / addsPerSidecar).toInt
+    // sidecar files: add/remove action rows only, exact UUID names
+    val sidecarDir = new Path(logDir(path), "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val sidecarActions = addActionsDf(adds)
+      .select(org.apache.spark.sql.functions.col("add"))
+      .withColumn("remove", lit(null).cast(RemoveT))
+    val tmp = new Path(logDir(path), s".ckpt-tmp-${java.util.UUID.randomUUID()}")
+    val shapedSc =
+      if (shards == 1) sidecarActions.coalesce(1) else sidecarActions.repartition(shards)
+    shapedSc.write.mode("overwrite").parquet(tmp.toString)
+    val scParts = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+    require(scParts.nonEmpty, s"no sidecar part file under $tmp")
+    val sidecars: Seq[(String, Long, Long)] = scParts.toSeq.map { p =>
+      val name = s"${java.util.UUID.randomUUID()}.parquet"
+      val dest = new Path(sidecarDir, name)
+      require(fs.rename(p, dest), s"could not move sidecar into place at $dest")
+      val stt = fs.getFileStatus(dest)
+      (name, stt.getLen, stt.getModificationTime)
+    }
+    fs.delete(tmp, true)
+    // top-level file: non-file actions + checkpointMetadata + sidecar rows
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.struct
+    val ckptMetaT = "struct<version:bigint>"
+    val sidecarT = "struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"
+    val small = smallActionsDf(spark, st)
+      .withColumn("remove", lit(null).cast(RemoveT))
+      .withColumn("checkpointMetadata", lit(null).cast(ckptMetaT))
+      .withColumn("sidecar", lit(null).cast(sidecarT))
+    val ckptMetaDf = Seq(1).toDF("x").select(
+      lit(null).cast(ProtoT).as("protocol"), lit(null).cast(MetaT).as("metaData"),
+      lit(null).cast(AddT).as("add"), lit(null).cast(TxnT).as("txn"),
+      lit(null).cast(RemoveT).as("remove"),
+      struct(lit(version).as("version")).as("checkpointMetadata"),
+      lit(null).cast(sidecarT).as("sidecar"))
+    val sidecarDf = sidecars.toDF("p", "sz", "mt").select(
+      lit(null).cast(ProtoT).as("protocol"), lit(null).cast(MetaT).as("metaData"),
+      lit(null).cast(AddT).as("add"), lit(null).cast(TxnT).as("txn"),
+      lit(null).cast(RemoveT).as("remove"),
+      lit(null).cast(ckptMetaT).as("checkpointMetadata"),
+      struct($"p".as("path"), $"sz".as("sizeInBytes"),
+        $"mt".as("modificationTime")).as("sidecar"))
+    val topTmp = new Path(logDir(path), s".ckpt-tmp-${java.util.UUID.randomUUID()}")
+    small.unionByName(ckptMetaDf).unionByName(sidecarDf)
+      .coalesce(1).write.mode("overwrite").parquet(topTmp.toString)
+    val topPart = fs.listStatus(topTmp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+    require(topPart.length == 1, s"expected one top-level part under $topTmp")
+    val target = new Path(logDir(path),
+      f"$version%020d.checkpoint.${java.util.UUID.randomUUID()}.parquet")
+    require(fs.rename(topPart.head, target),
+      s"could not move v2 checkpoint into place at $target")
+    fs.delete(topTmp, true)
+    val lc = new Path(logDir(path), "_last_checkpoint")
+    val out = fs.create(lc, true)
+    try out.write(
+      s"""{"version":$version,"size":${2 + nAdds + st.txns.size}}"""
+        .getBytes("UTF-8"))
     finally out.close()
     version
   }
@@ -2062,8 +2193,15 @@ object PortableDelta {
       finally in.close()
     val ci = lines.filter(_.nonEmpty).map(mapper.readTree)
       .find(_.has("commitInfo")).map(_.get("commitInfo"))
+    // inCommitTimestamps (writer feature): when a commitInfo carries
+    // `inCommitTimestamp`, THAT is the commit's authoritative time (the
+    // spec makes it monotonic and clock-skew-free); `timestamp` is the
+    // legacy wall-clock field. Fall back to the commit FILE's mtime when
+    // commitInfo is absent — what classic Delta time travel keys on.
     (ci.flatMap(c => Option(c.get("operation"))).map(_.asText()).getOrElse(""),
-      ci.flatMap(c => Option(c.get("timestamp"))).map(_.asLong()).getOrElse(0L))
+      ci.flatMap(c => Option(c.get("inCommitTimestamp"))).map(_.asLong())
+        .orElse(ci.flatMap(c => Option(c.get("timestamp"))).map(_.asLong()))
+        .getOrElse(fs.getFileStatus(p).getModificationTime))
   }
 
   /** `_last_checkpoint` content: version plus the optional `parts` count
@@ -2144,7 +2282,9 @@ object PortableDelta {
     /** The protocol gate: base-version tables read as before; a
       * version-3 (table-features) table is readable iff EVERY listed
       * reader feature is implemented here — currently deletionVectors
-      * ([[DeletionVectors]]). Anything else is rejected with an error
+      * ([[DeletionVectors]]), columnMapping, and v2Checkpoint
+      * (UUID-named checkpoints with sidecar file actions). Anything
+      * else is rejected with an error
       * that NAMES the missing features — never a silent wrong read. */
     def requireReadable(): Unit = {
       val featuresOk = readerV == 3 &&
@@ -2157,7 +2297,7 @@ object PortableDelta {
             s" with reader features [${readerFeatures.mkString(", ")}]" else "") +
           s"; this portable reader supports versions ≤ 2 (column mapping) " +
           s"plus version-3 tables whose features are within " +
-          s"[${SupportedReaderFeatures.mkString(", ")}] (no v2 checkpoints)")
+          s"[${SupportedReaderFeatures.mkString(", ")}]")
     }
 
     def toSnapshot(version: Long): Snapshot = {
@@ -2169,14 +2309,33 @@ object PortableDelta {
     }
   }
 
-  /** The checkpoint parquet file set at `ref` (single-file or the spec's
-    * multi-part `<v>.checkpoint.<i>.<n>.parquet` layout). */
-  private def checkpointPaths(path: String, ref: CheckpointRef): Seq[Path] = {
+  /** The checkpoint parquet file set at `ref` — the TOP-LEVEL files only
+    * (sidecars of a v2 checkpoint are resolved from their `sidecar`
+    * actions by [[ckptAddsFlatDf]]). Three spec layouts:
+    * classic single-file `<v>.checkpoint.parquet`, classic multi-part
+    * `<v>.checkpoint.<i>.<n>.parquet` (`_last_checkpoint.parts`), and
+    * the v2 UUID-named `<v>.checkpoint.<uuid>.parquet` — discovered by
+    * listing when the classic name is absent (each UUID file is a
+    * COMPLETE checkpoint; any one may be used, we take the
+    * lexicographically last for determinism). */
+  private def checkpointPaths(conf: Configuration, path: String,
+                              ref: CheckpointRef): Seq[Path] = {
     val cv = ref.version
     ref.parts match {
-      case None => Seq(new Path(logDir(path), f"$cv%020d.checkpoint.parquet"))
       case Some(n) => (1 to n).map(i =>
         new Path(logDir(path), f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet"))
+      case None =>
+        val classic = new Path(logDir(path), f"$cv%020d.checkpoint.parquet")
+        val fs = classic.getFileSystem(conf)
+        if (fs.exists(classic)) Seq(classic)
+        else {
+          val uuidRe = (f"$cv%020d" +
+            "\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet").r
+          val v2 = fs.listStatus(logDir(path)).toSeq
+            .filter(s => s.isFile && uuidRe.pattern.matcher(s.getPath.getName).matches())
+            .map(_.getPath).sortBy(_.getName)
+          Seq(v2.lastOption.getOrElse(classic)) // fall through to the missing-file error
+        }
     }
   }
 
@@ -2184,7 +2343,7 @@ object PortableDelta {
                         ref: CheckpointRef): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = logDir(path).getFileSystem(conf)
-    val files = checkpointPaths(path, ref)
+    val files = checkpointPaths(conf, path, ref)
     files.foreach(p => require(fs.exists(p),
       s"_last_checkpoint points at ${ref.version} but $p is missing"))
     spark.read.parquet(files.map(_.toString): _*)
@@ -2197,6 +2356,17 @@ object PortableDelta {
                                   ref: CheckpointRef, st: ReplayState): Unit = {
     import org.apache.spark.sql.functions.col
     val df = ckptRawDf(spark, path, ref)
+    // v2 checkpoints carry a checkpointMetadata action naming the version
+    // the file snapshots — a mismatch means _last_checkpoint and the UUID
+    // file disagree (torn maintenance); fail rather than replay wrong state
+    if (df.schema.fieldNames.contains("checkpointMetadata")) {
+      val vs = df.select(col("checkpointMetadata.version"))
+        .where(col("checkpointMetadata").isNotNull)
+        .collect().map(_.getLong(0)).distinct
+      require(vs.forall(_ == ref.version),
+        s"v2 checkpointMetadata version ${vs.mkString(",")} != " +
+          s"_last_checkpoint version ${ref.version} at $path")
+    }
     val hasTxn = df.schema.fieldNames.contains("txn")
     val cols = Seq(col("protocol"), col("metaData")) ++
       (if (hasTxn) Seq(col("txn")) else Nil)
@@ -2236,7 +2406,7 @@ object PortableDelta {
       // are deliberately not replayed
     }
     require(st.schemaJson.nonEmpty,
-      s"checkpoint ${checkpointPaths(path, ref).head} carries no metaData row")
+      s"checkpoint ${ref.version} at $path carries no metaData row")
   }
 
   /** The checkpoint's add actions as a FLAT DataFrame (path, size,
@@ -2245,8 +2415,39 @@ object PortableDelta {
     * without ever materializing full action rows on the driver. */
   private def ckptAddsFlatDf(spark: SparkSession, path: String,
                              ref: CheckpointRef): DataFrame = {
+    val top = ckptRawDf(spark, path, ref)
+    val topAdds = flatAddsFrom(spark, top)
+    // v2 checkpoints: file actions live in sidecar parquet files under
+    // _delta_log/_sidecars/, named by `sidecar` actions in the top-level
+    // file. The sidecar LIST is bounded metadata (one row per ~100k-add
+    // shard); the sidecar CONTENTS stay a DataFrame — the distributed
+    // replay path holds for v2 exactly as for classic multi-part.
+    val sidecarFiles: Seq[String] =
+      if (!top.schema.fieldNames.contains("sidecar")) Nil
+      else {
+        import org.apache.spark.sql.functions.col
+        top.select(col("sidecar.path")).where(col("sidecar").isNotNull)
+          .collect().map(_.getString(0)).toSeq
+          .map { p =>
+            val sp = new Path(p)
+            if (sp.isAbsolute) sp.toString
+            else new Path(new Path(logDir(path), "_sidecars"), p).toString
+          }
+      }
+    if (sidecarFiles.isEmpty) topAdds
+    else topAdds.unionByName(
+      flatAddsFrom(spark, spark.read.parquet(sidecarFiles: _*)))
+  }
+
+  /** Flat add projection from one checkpoint action frame (top-level or
+    * sidecar): tolerates a missing `add` column (a v2 top-level file may
+    * carry only non-file actions + sidecar pointers) and the optional
+    * deletionVector/stats/partitionValues fields. */
+  private def flatAddsFrom(spark: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val df = ckptRawDf(spark, path, ref)
+    if (!df.schema.fieldNames.contains("add"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FlatAddSchema)
     val addType = df.schema("add").dataType.asInstanceOf[StructType]
     val hasDv = addType.fieldNames.contains("deletionVector")
     val dvCols =
@@ -2270,10 +2471,12 @@ object PortableDelta {
         col("add.partitionValues").as("partitionValues")
       else lit(null).cast("map<string,string>").as("partitionValues")
     df.where(col("add").isNotNull)
-      .select(Seq(col("add.path").as("path"), col("add.size").as("size"),
-        col("add.modificationTime").as("modificationTime")) ++ dvCols
+      .select(Seq(col("add.path").as("path"),
+        col("add.size").cast("bigint").as("size"),
+        col("add.modificationTime").cast("bigint").as("modificationTime")) ++ dvCols
         ++ Seq(statsCol, pvCol): _*)
   }
+
 
   private def rowToAddFile(r: org.apache.spark.sql.Row): AddFile = {
     val dv =
@@ -2372,6 +2575,45 @@ object PortableDelta {
     * under the schema that was current then (deletion vectors applied). */
   def readTable(spark: SparkSession, path: String, versionAsOf: Long): DataFrame =
     snapshotDf(spark, path, snapshotAt(spark, path, versionAsOf))
+
+  /** Timestamp time travel resolution (the Delta `timestampAsOf` rule):
+    * the LATEST version whose commit timestamp is ≤ `tsMillis`. Commit
+    * timestamps come from [[history]] (so resolution survives log
+    * truncation via the harvested sidecar): `inCommitTimestamp` when the
+    * commit carries it, else `commitInfo.timestamp`, else the commit
+    * file's mtime. Non-monotonic wall clocks are healed the way Delta
+    * does — each commit's effective time is the running max, so later
+    * versions never resolve before earlier ones. Errors (never guesses)
+    * when `tsMillis` precedes the first commit or exceeds the last. */
+  def versionAtTimestamp(conf: Configuration, path: String, tsMillis: Long): Long = {
+    val commits = history(conf, path).sortBy(_._1) // ascending versions
+    require(commits.nonEmpty, s"empty Delta log at $path")
+    var runningMax = Long.MinValue
+    val mono = commits.map { case (v, _, ts) =>
+      runningMax = math.max(runningMax, ts); (v, runningMax)
+    }
+    require(tsMillis >= mono.head._2,
+      s"timestampAsOf $tsMillis is before the earliest available version " +
+        s"${mono.head._1} of $path (first commit at ${mono.head._2})")
+    require(tsMillis <= mono.last._2,
+      s"timestampAsOf $tsMillis is after the latest commit of $path " +
+        s"(version ${mono.last._1} at ${mono.last._2})")
+    mono.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** The table state AS OF a wall-clock instant ([[versionAtTimestamp]]
+    * then [[snapshotAt]]) — errors with the reconstructability message
+    * when cleanupLog has truncated past the resolved version. */
+  def snapshotAtTimestamp(spark: SparkSession, path: String, tsMillis: Long): Snapshot =
+    snapshotAt(spark, path,
+      versionAtTimestamp(spark.sessionState.newHadoopConf(), path, tsMillis))
+
+  /** Read the table AS OF a wall-clock instant — Delta's
+    * `timestampAsOf` read (deletion vectors applied, then-current
+    * schema). */
+  def readTableAtTimestamp(spark: SparkSession, path: String,
+                           timestampAsOf: Long): DataFrame =
+    snapshotDf(spark, path, snapshotAtTimestamp(spark, path, timestampAsOf))
 
   /** DESCRIBE HISTORY analog: (version, operation, timestamp), newest
     * first — surviving JSON commits merged with the

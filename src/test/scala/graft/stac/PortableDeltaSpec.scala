@@ -284,9 +284,9 @@ class PortableDeltaSpec extends AnyFunSuite {
     val path = tmp()
     PortableDelta.write(df(1L), path)
     val conf = spark.sessionState.newHadoopConf()
-    // deletionVectors + columnMapping are IMPLEMENTED now (round 8) —
-    // a v3 table carrying only those must load; one carrying a feature
-    // this reader lacks (v2Checkpoint, timestampNtz, …) must not
+    // deletionVectors + columnMapping + v2Checkpoint are IMPLEMENTED
+    // now (round 8) — a v3 table carrying only those must load; one
+    // carrying a feature this reader lacks (timestampNtz, …) must not
     val proto = mapper.createObjectNode()
     val p = proto.putObject("protocol")
     p.put("minReaderVersion", 3).put("minWriterVersion", 7)
@@ -297,13 +297,13 @@ class PortableDeltaSpec extends AnyFunSuite {
     val proto2 = mapper.createObjectNode()
     val p2 = proto2.putObject("protocol")
     p2.put("minReaderVersion", 3).put("minWriterVersion", 7)
-    p2.putArray("readerFeatures").add("deletionVectors").add("v2Checkpoint")
+    p2.putArray("readerFeatures").add("deletionVectors").add("timestampNtz")
     PortableDelta.commit(conf, path, 2, Seq(proto2))
     val e = intercept[IllegalArgumentException] {
       PortableDelta.snapshot(conf, path)
     }
     assert(e.getMessage.contains("reader version 3"))
-    assert(e.getMessage.contains("v2Checkpoint"),
+    assert(e.getMessage.contains("timestampNtz"),
       s"rejection must NAME the unsupported feature: ${e.getMessage}")
   }
 
@@ -703,5 +703,190 @@ class PortableDeltaSpec extends AnyFunSuite {
     // the dead file is still on disk for earlier-version readers
     val v0 = PortableDelta.readTable(spark, path, 0L).count()
     assert(v0 == 5L, "time travel to v0 must still see the removed file's rows")
+  }
+
+  test("v2 checkpoint WRITE: UUID top-level + sidecars, protocol upgrade, read-back") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L).coalesce(1), path, properties = Map("k" -> "v"))
+    (0 until 4).foreach(i => PortableDelta.write(df(10L + i).coalesce(1), path, mode = "append"))
+    // 5 live files at 2 adds/sidecar → 3 sidecars; pre-upgrade protocol
+    // lacks v2Checkpoint, so checkpointV2 first commits the upgrade (v5)
+    // and checkpoints at that version
+    val cv = PortableDelta.checkpointV2(spark, path, addsPerSidecar = 2)
+    assert(cv == 5, s"protocol upgrade + checkpoint should land at v5, got $cv")
+    val logDir = new java.io.File(s"$path/_delta_log")
+    val top = logDir.listFiles().map(_.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet"))
+    assert(top.length == 1, s"expected one UUID checkpoint, got ${top.toSeq}")
+    val sidecars = new java.io.File(logDir, "_sidecars").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(sidecars.length == 3, s"expected 3 sidecars, got ${sidecars.toSeq}")
+    // external expectation on the top-level file: NO file actions, one
+    // protocol (carrying the feature), one metaData, a checkpointMetadata
+    // row naming cv, and one sidecar row per shard pointing at real files
+    val rows = spark.read.parquet(s"$path/_delta_log/${top.head}")
+    assert(rows.filter(col("add").isNotNull).count() == 0,
+      "v2 top-level file must carry no add actions")
+    val proto = rows.filter(col("protocol").isNotNull).select("protocol.*").collect()
+    assert(proto.length == 1 && proto.head.getAs[scala.collection.Seq[String]]("readerFeatures")
+      .contains("v2Checkpoint"))
+    assert(rows.filter(col("metaData").isNotNull).count() == 1)
+    assert(rows.filter(col("checkpointMetadata").isNotNull)
+      .select("checkpointMetadata.version").collect().map(_.getLong(0)).toSeq == Seq(5L))
+    val scRows = rows.filter(col("sidecar").isNotNull)
+      .select("sidecar.path").collect().map(_.getString(0)).sorted
+    assert(scRows.toSeq == sidecars.sorted.toSeq,
+      "sidecar actions must name exactly the written sidecar files")
+    // all add actions live in the sidecars
+    val scAdds = spark.read.parquet(
+      sidecars.map(n => s"$path/_delta_log/_sidecars/$n").toSeq: _*)
+    assert(scAdds.filter(col("add").isNotNull).count() == 5)
+    // truncate the JSON tail: replay must come from the v2 layout alone
+    assert(PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path) == 6)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.version == 5 && snap.configuration("k") == "v" && snap.files.size == 5)
+    assert(snap.readerFeatures.contains("v2Checkpoint"))
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 10L, 11L, 12L, 13L))
+    // a JSON tail on top of the v2 checkpoint replays, and the next
+    // CLASSIC checkpoint reseeds from v2 state (v2→classic DataFrame flow)
+    PortableDelta.write(df(99L), path, mode = "append")
+    val cv2 = PortableDelta.checkpoint(spark, path)
+    assert(cv2 == 6)
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 10L, 11L, 12L, 13L, 99L))
+    // second checkpointV2 must NOT re-upgrade (feature already present)
+    val cv3 = PortableDelta.checkpointV2(spark, path)
+    assert(cv3 == 6, s"no extra protocol commit expected, got $cv3")
+  }
+
+  test("interop: externally-shaped v2 checkpoint (sidecar actions) replays") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L, 3L).coalesce(1), path, properties = Map("k" -> "v"))
+    PortableDelta.write(df(4L, 5L).coalesce(1), path, mode = "append")
+    PortableDelta.write(df(6L).coalesce(1), path, mode = "append")
+    // start from the classic checkpoint and reshape it into the v2 layout
+    // an external engine (delta-spark with v2Checkpoint) would emit
+    val cv = PortableDelta.checkpoint(spark, path)
+    val logDir = s"$path/_delta_log"
+    val single = new java.io.File(s"$logDir/${"%020d".format(cv)}.checkpoint.parquet")
+    val rows = spark.read.parquet(single.getPath)
+    def moveSinglePart(src: org.apache.spark.sql.DataFrame, dest: java.io.File): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("v2ckpt").toString + "/p"
+      src.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+      assert(part.renameTo(dest))
+    }
+    // two sidecars: split the adds on path order (both halves non-empty)
+    val paths = rows.filter(col("add").isNotNull)
+      .select("add.path").collect().map(_.getString(0)).sorted
+    assert(paths.length == 3)
+    val firstHalf = paths.take(1).toSet
+    val scDir = new java.io.File(s"$logDir/_sidecars"); scDir.mkdirs()
+    val scA = "11111111-2222-3333-4444-555555555555.parquet"
+    val scB = "66666666-7777-8888-9999-aaaaaaaaaaaa.parquet"
+    val fileActions = rows.filter(col("add").isNotNull).select(col("add"), col("remove"))
+    moveSinglePart(fileActions.filter(col("add.path").isin(firstHalf.toSeq: _*)),
+      new java.io.File(scDir, scA))
+    moveSinglePart(fileActions.filter(!col("add.path").isin(firstHalf.toSeq: _*)),
+      new java.io.File(scDir, scB))
+    val cmT = "struct<version:bigint>"
+    val scT = "struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"
+    val small = rows.filter(col("add").isNull)
+      .withColumn("checkpointMetadata", lit(null).cast(cmT))
+      .withColumn("sidecar", lit(null).cast(scT))
+    // one checkpointMetadata row + two sidecar rows, types cloned from
+    // the file frame so unionByName is exact
+    def blankRow = small.limit(1).select(small.schema.fieldNames.map(n =>
+      lit(null).cast(small.schema(n).dataType).as(n)): _*)
+    val cmRow = blankRow.withColumn("checkpointMetadata",
+      expr(s"named_struct('version', CAST($cv AS BIGINT))"))
+    val scRowsDf = Seq(scA, scB).map { n =>
+      blankRow.withColumn("sidecar", expr(
+        s"named_struct('path', '$n', 'sizeInBytes', CAST(1 AS BIGINT), " +
+          "'modificationTime', CAST(1 AS BIGINT))"))
+    }.reduce(_ unionByName _)
+    moveSinglePart(small.unionByName(cmRow).unionByName(scRowsDf), new java.io.File(
+      f"$logDir/$cv%020d.checkpoint.deadbeef-0000-4000-8000-000000000001.parquet"))
+    assert(single.delete(), "classic checkpoint must be replaced by the v2 file")
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.version == cv && snap.configuration("k") == "v" && snap.files.size == 3)
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // torn maintenance: a discovered checkpoint whose checkpointMetadata
+    // names a DIFFERENT version than _last_checkpoint must error, never
+    // replay wrong state — synthesize by pointing _last_checkpoint at
+    // cv-1 and planting a copy of the v2 file under a cv-1 UUID name
+    java.nio.file.Files.copy(
+      new java.io.File(f"$logDir/$cv%020d.checkpoint.deadbeef-0000-4000-8000-000000000001.parquet").toPath,
+      new java.io.File(f"$logDir/${cv - 1}%020d.checkpoint.deadbeef-0000-4000-8000-000000000002.parquet").toPath)
+    val lc = new java.io.File(s"$logDir/_last_checkpoint")
+    val lcNode = mapper.readTree(scala.io.Source.fromFile(lc).mkString)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    lcNode.put("version", cv - 1)
+    java.nio.file.Files.write(lc.toPath,
+      lcNode.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    new java.io.File(s"$logDir/._last_checkpoint.crc").delete()
+    val e = intercept[IllegalArgumentException] { PortableDelta.snapshot(spark, path) }
+    assert(e.getMessage.contains("!="),
+      s"expected the checkpointMetadata version gate, got: ${e.getMessage}")
+  }
+
+  test("timestampAsOf: commit-time resolution, monotonic healing, inCommitTimestamp") {
+    val path = tmp()
+    PortableDelta.write(df(1L), path)
+    PortableDelta.write(df(2L), path, mode = "append")
+    PortableDelta.write(df(3L), path, mode = "append")
+    // pin the three commitInfo timestamps to 1000 / 500 (non-monotonic) / 3000
+    def pinTs(v: Long, ts: Long): Unit = {
+      val f = new java.io.File(s"$path/_delta_log/${"%020d".format(v)}.json")
+      val out = scala.io.Source.fromFile(f, "UTF-8").getLines().map { line =>
+        val n = mapper.readTree(line)
+        if (n.has("commitInfo")) {
+          n.get("commitInfo").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+            .put("timestamp", ts)
+          n.toString
+        } else line
+      }.mkString("\n")
+      java.nio.file.Files.write(f.toPath, out.getBytes("UTF-8"))
+      new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    }
+    pinTs(0, 1000L); pinTs(1, 500L); pinTs(2, 3000L)
+    val conf = spark.sessionState.newHadoopConf()
+    // v1's wall clock ran backwards; its effective time is max(1000, 500)
+    // = 1000, so ts=1000 resolves to v1 (the LATEST version at that time)
+    assert(PortableDelta.versionAtTimestamp(conf, path, 1000L) == 1L)
+    assert(PortableDelta.versionAtTimestamp(conf, path, 2999L) == 1L)
+    assert(PortableDelta.versionAtTimestamp(conf, path, 3000L) == 2L)
+    val before = intercept[IllegalArgumentException] {
+      PortableDelta.versionAtTimestamp(conf, path, 999L)
+    }
+    assert(before.getMessage.contains("before the earliest"))
+    val after = intercept[IllegalArgumentException] {
+      PortableDelta.versionAtTimestamp(conf, path, 3001L)
+    }
+    assert(after.getMessage.contains("after the latest"))
+    assert(PortableDelta.readTableAtTimestamp(spark, path, 2000L)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // inCommitTimestamp WINS over the legacy wall-clock field: a commit
+    // stamped (timestamp=9999999, inCommitTimestamp=4000) sits at 4000
+    val ci = mapper.createObjectNode()
+    val b = ci.putObject("commitInfo")
+    b.put("timestamp", 9999999L); b.put("inCommitTimestamp", 4000L)
+    b.put("operation", "WRITE")
+    PortableDelta.commit(conf, path, 3, Seq(ci))
+    assert(PortableDelta.versionAtTimestamp(conf, path, 4000L) == 3L)
+    assert(PortableDelta.versionAtTimestamp(conf, path, 3999L) == 2L)
+    // resolution SURVIVES log truncation: the harvested history sidecar
+    // keeps the commit times cleanupLog deletes
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(conf, path)
+    assert(PortableDelta.versionAtTimestamp(conf, path, 4000L) == 3L)
+    assert(PortableDelta.readTableAtTimestamp(spark, path, 4000L).count() == 3L)
   }
 }
