@@ -2223,7 +2223,10 @@ object StacOps {
           .select(col("o_orderkey"), col("o_totalprice"))
         val out = java.nio.file.Files.createTempDirectory("stac37").toString + "/tbl"
         def slice(r: Int) = orders.filter(col("o_orderkey") % 4 === r).repartition(3)
-        PortableDelta.write(slice(0), out)                       // v0
+        // born with in-commit timestamps: every commit below carries a
+        // monotonic ICT, and timestampAsOf resolves over THOSE
+        PortableDelta.write(slice(0), out,
+          properties = Map(PortableDelta.IctProp -> "true"))     // v0
         PortableDelta.write(slice(1), out, mode = "append")      // v1
         PortableDelta.write(slice(2), out, mode = "append")      // v2
         val cv = PortableDelta.checkpointV2(s, out, addsPerSidecar = 4)
@@ -2258,10 +2261,21 @@ object StacOps {
         require(hist.map(_._1) == (0L to 4L),
           s"history must survive truncation via the sidecar, got ${hist.map(_._1)}")
         val tsV4 = hist.last._3
+        require(hist.map(_._3) == hist.map(_._3).sorted &&
+          hist.map(_._3).distinct.size == hist.size,
+          "in-commit timestamps must be strictly monotonic across versions")
         // timestampAsOf just before the tail commit ≡ versionAsOf 3
         val atTs = PortableDelta.readTableAtTimestamp(s, out, tsV4 - 1)
         require(atTs.count() == ckptRows,
           "timestampAsOf before the tail commit must equal the checkpointed state")
+        // second v2 checkpoint supersedes the first; GC reclaims the old
+        // UUID file + its sidecars while the current layout keeps serving
+        PortableDelta.checkpointV2(s, out, addsPerSidecar = 4)   // at v4
+        require(PortableDelta.cleanupCheckpoints(s, out) >= 2,
+          "superseded checkpoint artifacts must be reclaimed")
+        require(new java.io.File(log, "_sidecars").listFiles()
+          .exists(_.getName.endsWith(".parquet")),
+          "the current checkpoint's sidecars must survive GC")
         def agged(stage: Long, frame: org.apache.spark.sql.DataFrame) = frame
           .agg(count(lit(1)).as("n_rows"),
             sum(col("o_orderkey")).as("key_sum"),

@@ -254,7 +254,9 @@ object PortableDelta {
         actions += r
       }
       try {
-        commit(conf, path, version, actions.result())
+        commit(conf, path, version, actions.result(),
+          prior.map(p => if (mode == "overwrite" && properties.nonEmpty)
+            properties else p.configuration).getOrElse(properties))
         return version
       } catch {
         case e: ConcurrentCommitException =>
@@ -627,7 +629,8 @@ object PortableDelta {
             actions += dvProtocolAction()
           actions ++= parts.actions(now)
           try {
-            commit(conf, path, snap.version + 1, actions.result())
+            commit(conf, path, snap.version + 1, actions.result(),
+              snap.configuration)
             return DeleteStats(snap.version + 1, parts.newlyDeleted,
               parts.dvFiles, parts.removedFiles)
           } catch {
@@ -1055,7 +1058,8 @@ object PortableDelta {
             actions += r
           }
           try {
-            commit(conf, path, prior.version + 1, actions.result())
+            commit(conf, path, prior.version + 1, actions.result(),
+              prior.configuration)
             return MergeStats(prior.version + 1, updatedRows, insertedRows,
               deletedRows)
           } catch {
@@ -1164,7 +1168,8 @@ object PortableDelta {
           actions += r
         }
         try {
-          commit(conf, path, snap.version + 1, actions.result())
+          commit(conf, path, snap.version + 1, actions.result(),
+            snap.configuration)
           return UpdateStats(snap.version + 1, updatedRows)
         } catch {
           case e: ConcurrentCommitException =>
@@ -1266,7 +1271,8 @@ object PortableDelta {
         actions += r
       }
       try {
-        commit(conf, path, cur.version + 1, actions.result())
+        commit(conf, path, cur.version + 1, actions.result(),
+          target.configuration)
         return RestoreStats(cur.version + 1, versionAsOf,
           toAdd.size, toRemove.size)
       } catch {
@@ -1362,12 +1368,17 @@ object PortableDelta {
       }
       actions += r
     }
-    commit(conf, targetPath, 0L, actions.result())
+    commit(conf, targetPath, 0L, actions.result(), src.configuration)
     0L
   }
 
   /** Table-property namespace of the spec's CHECK constraints. */
   val ConstraintPrefix = "delta.constraints."
+
+  /** The spec's in-commit-timestamps enablement property: when "true",
+    * every commit's commitInfo carries a monotonic `inCommitTimestamp`
+    * that readers treat as the commit's authoritative time. */
+  val IctProp = "delta.enableInCommitTimestamps"
 
   /** ALTER TABLE ADD CONSTRAINT ... CHECK (`sqlExpr`): existing rows
     * must already satisfy the expression (one distributed validation
@@ -1423,7 +1434,8 @@ object PortableDelta {
       actions += metaDataAction(snap.tableId, snap.schema,
         snap.configuration + (key -> sqlExpr), now, snap.partitionColumns)
       try {
-        commit(conf, path, snap.version + 1, actions.result())
+        commit(conf, path, snap.version + 1, actions.result(),
+          snap.configuration)
         return snap.version + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1454,7 +1466,8 @@ object PortableDelta {
       actions += metaDataAction(snap.tableId, snap.schema,
         snap.configuration - key, now, snap.partitionColumns)
       try {
-        commit(conf, path, snap.version + 1, actions.result())
+        commit(conf, path, snap.version + 1, actions.result(),
+          snap.configuration)
         return snap.version + 1
       } catch {
         case e: ConcurrentCommitException =>
@@ -1462,6 +1475,65 @@ object PortableDelta {
           if (attempt > maxRetries)
             throw new IllegalStateException(
               s"dropCheckConstraint on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** ALTER TABLE ... SET TBLPROPERTIES (delta.enableInCommitTimestamps
+    * = true): enable monotonic in-commit timestamps mid-table. One
+    * commit that (a) raises the protocol to writer 7 with the
+    * `inCommitTimestamp` writer feature (readers unaffected — ICT is
+    * write-side), (b) re-states metaData with the enablement property
+    * plus the spec's provenance properties (enablement version +
+    * timestamp, which let readers know timestamps BEFORE this version
+    * are wall-clock), and (c) itself carries the first
+    * `inCommitTimestamp`. Tables created with the property in
+    * `properties` get stamping from version 0 without this call.
+    * Subsequent commits on every path (write/DELETE/UPDATE/MERGE/
+    * OPTIMIZE/RESTORE/constraints) stamp automatically in [[commit]].
+    * Returns the enablement version. */
+  def enableInCommitTimestamps(spark: SparkSession, path: String,
+                               maxRetries: Int = 10): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      if (snap.configuration.get(IctProp).contains("true"))
+        return snap.version // already enabled — idempotent
+      val now = System.currentTimeMillis()
+      val v = snap.version + 1
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, "SET TBLPROPERTIES (inCommitTimestamps)")
+      if (snap.minWriterVersion < 7 ||
+          !snap.writerFeatures.contains("inCommitTimestamp")) {
+        val r = mapper.createObjectNode()
+        val b = r.putObject("protocol")
+        b.put("minReaderVersion", snap.minReaderVersion)
+        b.put("minWriterVersion", 7)
+        if (snap.readerFeatures.nonEmpty) {
+          val a = b.putArray("readerFeatures"); snap.readerFeatures.foreach(a.add)
+        }
+        val a = b.putArray("writerFeatures")
+        (snap.writerFeatures :+ "inCommitTimestamp").distinct.foreach(a.add)
+        actions += r
+      }
+      val cfg = snap.configuration +
+        (IctProp -> "true") +
+        ("delta.inCommitTimestampEnablementVersion" -> v.toString) +
+        ("delta.inCommitTimestampEnablementTimestamp" -> now.toString)
+      actions += metaDataAction(snap.tableId, snap.schema, cfg, now,
+        snap.partitionColumns)
+      try {
+        commit(conf, path, v, actions.result(), cfg)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"enableInCommitTimestamps on $path lost the commit race " +
                 s"$attempt times (last: ${e.getMessage})", e)
       }
     }
@@ -1699,7 +1771,8 @@ object PortableDelta {
         actions += r
       }
       try {
-        commit(conf, path, prior.version + 1, actions.result())
+        commit(conf, path, prior.version + 1, actions.result(),
+          prior.configuration)
         return OptimizeStats(prior.version + 1, victims.size, added.size,
           victims.flatMap(_.dv).map(_.cardinality).sum)
       } catch {
@@ -2050,7 +2123,8 @@ object PortableDelta {
       val wf = b.putArray("writerFeatures")
       (pre.writerFeatures :+ "v2Checkpoint").distinct.foreach(wf.add)
       commit(conf, path, pre.version + 1,
-        Seq(commitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"), r))
+        Seq(commitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"), r),
+        pre.configuration)
     }
     val st = seededSmallState(spark, path)
     val (adds, version) = liveAddsFlatDf(spark, path)
@@ -2165,6 +2239,58 @@ object PortableDelta {
         old.foreach(p => fs.delete(p, false))
         old.size
     }
+
+  /** Checkpoint garbage collection — the maintenance pass [[cleanupLog]]
+    * doesn't cover: delete checkpoint files (classic single-file,
+    * multi-part, and v2 UUID layouts) SUPERSEDED by the current
+    * `_last_checkpoint`, plus any parquet under `_sidecars/` the
+    * current checkpoint does not reference. Without this, every checkpoint
+    * leaves its predecessor's parquet behind forever — at one
+    * checkpoint per N commits on a 100-TB table that is unbounded
+    * metadata growth. Only artifacts strictly OLDER than the current
+    * checkpoint version are touched (same safety line as cleanupLog:
+    * versions older than the checkpoint are already unreconstructable).
+    * Returns the number of files deleted. */
+  def cleanupCheckpoints(spark: SparkSession, path: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = logDir(path)
+    val fs = dir.getFileSystem(conf)
+    lastCheckpointRef(conf, path) match {
+      case None => 0
+      case Some(ref) =>
+        val cv = ref.version
+        val ckptName =
+          ("(\\d{20})\\.checkpoint(?:\\.parquet|\\.\\d{10}\\.\\d{10}\\.parquet" +
+            "|\\.[0-9a-fA-F-]{36}\\.parquet)").r
+        val stale = fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
+          .filter { p =>
+            p.getName match {
+              case ckptName(v) => v.toLong < cv
+              case _ => false
+            }
+          }
+        // sidecars referenced by the CURRENT checkpoint stay; the rest
+        // belong to superseded v2 checkpoints (bounded metadata read —
+        // the sidecar NAME list, never the add rows)
+        val scDir = new Path(dir, "_sidecars")
+        val staleSidecars: Seq[Path] =
+          if (!fs.exists(scDir)) Nil
+          else {
+            import org.apache.spark.sql.functions.col
+            val top = ckptRawDf(spark, path, ref)
+            val referenced: Set[String] =
+              if (!top.schema.fieldNames.contains("sidecar")) Set.empty
+              else top.select(col("sidecar.path"))
+                .where(col("sidecar").isNotNull)
+                .collect().map(r => new Path(r.getString(0)).getName).toSet
+            fs.listStatus(scDir).toSeq.filter(_.isFile).map(_.getPath)
+              .filter(p => p.getName.endsWith(".parquet") &&
+                !referenced.contains(p.getName))
+          }
+        (stale ++ staleSidecars).foreach(p => fs.delete(p, false))
+        stale.size + staleSidecars.size
+    }
+  }
 
   private def historySidecar(path: String) =
     new Path(logDir(path), "_graft_history.ndjson")
@@ -2752,10 +2878,31 @@ object PortableDelta {
     * storage contract (HDFS, local) → a lost race surfaces as a clear
     * concurrent-commit error, never a clobbered log. */
   private[stac] def commit(conf: Configuration, path: String, version: Long,
-                           actions: Seq[JsonNode]): Unit = {
+                           actions: Seq[JsonNode],
+                           tableCfg: Map[String, String] = Map.empty): Unit = {
     val dir = logDir(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    // inCommitTimestamps (writer feature): when the table property
+    // enables it, stamp the commitInfo with a MONOTONIC in-commit
+    // timestamp — max(wall clock, predecessor's commit time + 1), the
+    // spec's clock-skew-proof ordering. The predecessor's time prefers
+    // its own ICT ([[commitInfoOf]]) and survives log truncation via
+    // the history sidecar, so monotonicity holds across cleanupLog.
+    if (tableCfg.get(IctProp).contains("true") && version >= 0) {
+      val prevTs =
+        if (version == 0) 0L
+        else {
+          val prev = new Path(dir, versionFileName(version - 1))
+          if (fs.exists(prev)) commitInfoOf(fs, prev)._2
+          else readHistorySidecar(fs, path).toMap
+            .get(version - 1).map(_._2).getOrElse(0L)
+        }
+      val ict = math.max(System.currentTimeMillis(), prevTs + 1)
+      actions.find(_.has("commitInfo")).foreach(n =>
+        n.get("commitInfo").asInstanceOf[ObjectNode]
+          .put("inCommitTimestamp", ict))
+    }
     val finalP = new Path(dir, versionFileName(version))
     val tmp = new Path(dir, s".tmp-${versionFileName(version)}-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)

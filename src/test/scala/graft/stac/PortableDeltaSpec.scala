@@ -889,4 +889,92 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(PortableDelta.versionAtTimestamp(conf, path, 4000L) == 3L)
     assert(PortableDelta.readTableAtTimestamp(spark, path, 4000L).count() == 3L)
   }
+
+  test("inCommitTimestamps: property-gated stamping, strictly monotonic, mid-table enablement") {
+    def ictOf(path: String, v: Long): Option[Long] =
+      logLines(path, v).find(_.has("commitInfo"))
+        .flatMap(n => Option(n.get("commitInfo").get("inCommitTimestamp")))
+        .map(_.asLong())
+    // a table WITHOUT the property never carries the field
+    val plain = tmp()
+    PortableDelta.write(df(1L), plain)
+    assert(ictOf(plain, 0).isEmpty, "ICT must be opt-in")
+    // born-enabled table: every path stamps, strictly increasing even
+    // for commits inside the same wall-clock millisecond
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L), path,
+      properties = Map(PortableDelta.IctProp -> "true"))
+    PortableDelta.write(df(3L), path, mode = "append")
+    PortableDelta.delete(spark, path, col("id") === 1L)
+    val icts = (0L to 2L).map(v => ictOf(path, v).getOrElse(
+      fail(s"version $v must carry inCommitTimestamp")))
+    assert(icts == icts.sorted && icts.distinct.size == 3,
+      s"ICTs must be strictly monotonic, got $icts")
+    // monotonicity SURVIVES log truncation (predecessor time comes from
+    // the history sidecar once the JSON is gone)
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    PortableDelta.write(df(4L), path, mode = "append")
+    assert(ictOf(path, 3).exists(_ > icts.last),
+      "post-truncation commit must stay above the sidecar-recorded times")
+    // timestamp travel keys on the ICTs
+    assert(PortableDelta.versionAtTimestamp(
+      spark.sessionState.newHadoopConf(), path, icts(1)) == 1L)
+    // mid-table enablement: one commit = protocol feature + provenance
+    // properties + the first stamp; re-enabling is a no-op
+    val mid = tmp()
+    PortableDelta.write(df(1L), mid)
+    PortableDelta.write(df(2L), mid, mode = "append")
+    val ev = PortableDelta.enableInCommitTimestamps(spark, mid)
+    assert(ev == 2)
+    val snap = PortableDelta.snapshot(spark, mid)
+    assert(snap.minWriterVersion == 7 &&
+      snap.writerFeatures.contains("inCommitTimestamp"))
+    assert(snap.configuration("delta.inCommitTimestampEnablementVersion") == "2")
+    assert(ictOf(mid, 2).isDefined, "the enabling commit itself must stamp")
+    assert(ictOf(mid, 1).isEmpty, "pre-enablement commits stay wall-clock")
+    assert(PortableDelta.enableInCommitTimestamps(spark, mid) == 2, "idempotent")
+    PortableDelta.write(df(3L), mid, mode = "append")
+    assert(ictOf(mid, 3).exists(_ > ictOf(mid, 2).get))
+    assert(PortableDelta.readTable(spark, mid).count() == 3)
+  }
+
+  test("cleanupCheckpoints: superseded checkpoints and orphaned sidecars reclaimed") {
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L).coalesce(1), path)
+    PortableDelta.write(df(3L).coalesce(1), path, mode = "append")
+    assert(PortableDelta.cleanupCheckpoints(spark, path) == 0, "no checkpoint yet")
+    // classic checkpoint, then a v2 one at a later version: the classic
+    // file is superseded
+    PortableDelta.checkpoint(spark, path) // v1 classic
+    PortableDelta.write(df(4L).coalesce(1), path, mode = "append")
+    PortableDelta.checkpointV2(spark, path, addsPerSidecar = 2) // v3 (upgrade) v2-layout
+    val logDir = new java.io.File(s"$path/_delta_log")
+    def sidecarNames = Option(new java.io.File(logDir, "_sidecars").listFiles())
+      .map(_.map(_.getName).filter(_.endsWith(".parquet")).toSet).getOrElse(Set.empty)
+    val firstSidecars = sidecarNames
+    assert(firstSidecars.size == 2)
+    // another append + v2 checkpoint: the first v2 file and ITS sidecars
+    // become garbage, the new checkpoint's sidecars must survive
+    PortableDelta.write(df(5L).coalesce(1), path, mode = "append")
+    PortableDelta.checkpointV2(spark, path, addsPerSidecar = 2) // v4
+    val bothSidecars = sidecarNames
+    assert(bothSidecars.size > firstSidecars.size, "old sidecars still on disk")
+    val removed = PortableDelta.cleanupCheckpoints(spark, path)
+    // classic v1 checkpoint + v3 UUID file + v3's two sidecars
+    assert(removed == 4, s"expected 4 reclaimed files, got $removed")
+    assert((firstSidecars intersect sidecarNames).isEmpty,
+      "superseded sidecars must be gone")
+    assert(sidecarNames.nonEmpty, "current checkpoint's sidecars must survive")
+    val uuids = logDir.listFiles().map(_.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet"))
+    assert(uuids.length == 1 && uuids.head.startsWith("%020d".format(4L)),
+      s"only the current UUID checkpoint may remain, got ${uuids.toSeq}")
+    assert(!new java.io.File(logDir, "%020d.checkpoint.parquet".format(1L)).exists())
+    // replay is intact through the GC'd log
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }
