@@ -847,11 +847,44 @@ object PortableDelta {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       val nodes = lines.filter(_.nonEmpty).map(mapper.readTree)
+      // spec CDF precedence: when a commit carries `cdc` actions
+      // (AddCDCFile — what delta-spark with delta.enableChangeDataFeed
+      // writes), those files ARE the complete change description for the
+      // version, including update_preimage/update_postimage rows the
+      // file-diff reconstruction below cannot express. Read them and
+      // SKIP reconstruction; add/remove still advance the pre-state.
+      val cdcs = nodes.filter(_.has("cdc")).map(_.get("cdc"))
+      if (cdcs.nonEmpty) {
+        val cdcParts = cdcs.map { c =>
+          val file = resolvedDataPath(path, c.get("path").asText()).toString
+          val pv: Map[String, String] =
+            Option(c.get("partitionValues")).filterNot(_.isNull)
+              .map(_.asInstanceOf[ObjectNode].properties().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null
+                             else e.getValue.asText())).toMap)
+              .getOrElse(Map.empty)
+          var df = spark.read.parquet(file)
+          require(df.columns.contains("_change_type"),
+            s"cdc file $file of $path carries no _change_type column")
+          // partition columns live in the action, not the parquet bytes
+          endSnap.schema.fields.foreach { f =>
+            if (!df.columns.contains(f.name) && pv.contains(f.name))
+              df = df.withColumn(f.name, lit(pv(f.name)).cast(f.dataType))
+          }
+          df.select(endSnap.schema.fields.toSeq.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)) :+
+            col("_change_type").cast("string").as("_change_type"): _*)
+        }
+        pieces += cdcParts.reduce(_ unionByName _)
+          .withColumn("_commit_version", lit(v))
+      }
       val adds = nodes.filter(_.has("add")).map(_.get("add"))
-        .filter(a => Option(a.get("dataChange")).forall(_.asBoolean()))
+        .filter(a => cdcs.isEmpty &&
+          Option(a.get("dataChange")).forall(_.asBoolean()))
         .map(parseAddNode)
       val removedPaths = nodes.filter(_.has("remove")).map(_.get("remove"))
-        .filter(r => Option(r.get("dataChange")).forall(_.asBoolean()))
+        .filter(r => cdcs.isEmpty &&
+          Option(r.get("dataChange")).forall(_.asBoolean()))
         .map(_.get("path").asText())
 
       val (restated, born) = adds.partition(a => live.contains(a.path))
@@ -2271,7 +2304,11 @@ object PortableDelta {
           }
         // sidecars referenced by the CURRENT checkpoint stay; the rest
         // belong to superseded v2 checkpoints (bounded metadata read —
-        // the sidecar NAME list, never the add rows)
+        // the sidecar NAME list, never the add rows). Race guard: a
+        // concurrent checkpointV2 writes its sidecars BEFORE publishing
+        // the top-level file + _last_checkpoint, so an unreferenced
+        // sidecar NEWER than the current checkpoint may belong to that
+        // in-flight checkpoint — only strictly older ones are garbage.
         val scDir = new Path(dir, "_sidecars")
         val staleSidecars: Seq[Path] =
           if (!fs.exists(scDir)) Nil
@@ -2283,9 +2320,14 @@ object PortableDelta {
               else top.select(col("sidecar.path"))
                 .where(col("sidecar").isNotNull)
                 .collect().map(r => new Path(r.getString(0)).getName).toSet
-            fs.listStatus(scDir).toSeq.filter(_.isFile).map(_.getPath)
-              .filter(p => p.getName.endsWith(".parquet") &&
-                !referenced.contains(p.getName))
+            val ckptMtime = checkpointPaths(conf, path, ref)
+              .filter(fs.exists(_)).map(fs.getFileStatus(_).getModificationTime)
+              .minOption.getOrElse(Long.MaxValue)
+            fs.listStatus(scDir).toSeq.filter(_.isFile)
+              .filter(st => st.getPath.getName.endsWith(".parquet") &&
+                !referenced.contains(st.getPath.getName) &&
+                st.getModificationTime < ckptMtime)
+              .map(_.getPath)
           }
         (stale ++ staleSidecars).foreach(p => fs.delete(p, false))
         stale.size + staleSidecars.size

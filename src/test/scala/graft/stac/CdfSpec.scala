@@ -89,4 +89,62 @@ class CdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not reconstructable") ||
       e.getMessage.contains("CDF needs commit"), e.getMessage)
   }
+
+  test("interop: a commit carrying cdc actions wins over file-diff reconstruction") {
+    // delta-spark with delta.enableChangeDataFeed writes AddCDCFile
+    // actions pointing at _change_data/ parquet that includes
+    // update_preimage/update_postimage rows — change types file diffs
+    // cannot express. Synthesize that external shape: v1 appends a
+    // 3-row data file BUT its cdc file says 1 insert + an update pair;
+    // reconstruction would report 3 inserts, the spec says the cdc file
+    // is authoritative.
+    val path = tmp()
+    PortableDelta.write(rows(0L until 2L, "a").coalesce(1), path)          // v0
+    val s = spark; import s.implicits._
+    // the v1 data file (what the table state gains)
+    val dataStage = java.nio.file.Files.createTempDirectory("cdc-data").toString + "/d"
+    Seq((2L, "a"), (10L, "b"), (11L, "b")).toDF("id", "tag")
+      .coalesce(1).write.parquet(dataStage)
+    val dataPart = new java.io.File(dataStage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    val dataName = "part-cdc-ext-0001.parquet"
+    assert(dataPart.renameTo(new java.io.File(s"$path/$dataName")))
+    // the cdc file: one true insert + the update pair for id 1
+    val cdcStage = java.nio.file.Files.createTempDirectory("cdc-cdc").toString + "/c"
+    Seq((2L, "a", "insert"), (1L, "a", "update_preimage"),
+      (1L, "b", "update_postimage"))
+      .toDF("id", "tag", "_change_type").coalesce(1).write.parquet(cdcStage)
+    val cdcPart = new java.io.File(cdcStage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    new java.io.File(s"$path/_change_data").mkdirs()
+    val cdcName = "_change_data/cdc-ext-0001.parquet"
+    assert(cdcPart.renameTo(new java.io.File(s"$path/$cdcName")))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val addN = mapper.createObjectNode()
+    val a = addN.putObject("add")
+    a.put("path", dataName)
+    a.putObject("partitionValues")
+    a.put("size", new java.io.File(s"$path/$dataName").length())
+    a.put("modificationTime", 1L); a.put("dataChange", true)
+    val cdcN = mapper.createObjectNode()
+    val c = cdcN.putObject("cdc")
+    c.put("path", cdcName)
+    c.putObject("partitionValues")
+    c.put("size", new java.io.File(s"$path/$cdcName").length())
+    c.put("dataChange", false)
+    PortableDelta.commit(spark.sessionState.newHadoopConf(), path, 1,
+      Seq(addN, cdcN))
+    val got = changes(path, 1L, 1L).sorted
+    assert(got == Seq((1L, "update_postimage", 1L), (1L, "update_preimage", 1L),
+      (2L, "insert", 1L)).sorted,
+      s"cdc actions must be authoritative for their version, got $got")
+    // versions WITHOUT cdc actions still reconstruct from file diffs,
+    // and the v1 state advance included the add
+    PortableDelta.write(rows(20L until 21L, "c").coalesce(1), path,
+      mode = "append")                                                     // v2
+    assert(changes(path, 2L, 2L) == Seq((20L, "insert", 2L)))
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 10L, 11L, 20L))
+  }
 }
