@@ -123,7 +123,7 @@ object PortableDelta {
       s"mode must be error|append|overwrite, got $mode")
     val conf = df.sparkSession.sessionState.newHadoopConf()
     def readPrior(): Option[Snapshot] =
-      if (lastCheckpointVersion(conf, path).isDefined)
+      if (checkpointRefFor(conf, path).isDefined)
         Some(snapshot(df.sparkSession, path)) // checkpoint-truncated log
       else currentSnapshot(conf, path)
     val prior0 = readPrior()
@@ -410,7 +410,7 @@ object PortableDelta {
     * then apply the JSON commits after it. */
   def snapshot(spark: SparkSession, path: String): Snapshot = {
     val conf = spark.sessionState.newHadoopConf()
-    lastCheckpointRef(conf, path) match {
+    checkpointRefFor(conf, path) match {
       case None => snapshot(conf, path)
       case Some(ref) => checkpointSnapshot(spark, path, ref)
     }
@@ -1936,7 +1936,7 @@ object PortableDelta {
     * checkpoint the whole log IS the bounded tail. */
   private def liveAddsFlatDf(spark: SparkSession, path: String): (DataFrame, Long) = {
     val conf = spark.sessionState.newHadoopConf()
-    lastCheckpointRef(conf, path) match {
+    checkpointRefFor(conf, path) match {
       case None =>
         val snap = snapshot(conf, path)
         (addFilesToFlatDf(spark, snap.files), snap.version)
@@ -2009,27 +2009,34 @@ object PortableDelta {
       .sortBy(_.getName)
     require(partFiles.nonEmpty, s"no part file under $tmp")
     val k = partFiles.length // empty round-robin partitions may write none
-    if (k == 1) {
-      val target = new Path(logDir(path), f"$version%020d.checkpoint.parquet")
-      fs.delete(target, false)
-      require(fs.rename(partFiles.head, target),
-        s"could not move checkpoint into place at $target")
-    } else {
-      partFiles.zipWithIndex.foreach { case (p, i) =>
-        val target = new Path(logDir(path),
-          f"$version%020d.checkpoint.${i + 1}%010d.$k%010d.parquet")
+    val targets: Seq[Path] =
+      if (k == 1) {
+        val target = new Path(logDir(path), f"$version%020d.checkpoint.parquet")
         fs.delete(target, false)
-        require(fs.rename(p, target),
-          s"could not move checkpoint part into place at $target")
+        require(fs.rename(partFiles.head, target),
+          s"could not move checkpoint into place at $target")
+        Seq(target)
+      } else {
+        partFiles.zipWithIndex.map { case (p, i) =>
+          val target = new Path(logDir(path),
+            f"$version%020d.checkpoint.${i + 1}%010d.$k%010d.parquet")
+          fs.delete(target, false)
+          require(fs.rename(p, target),
+            s"could not move checkpoint part into place at $target")
+          target
+        }.toSeq
       }
-    }
     fs.delete(tmp, true)
     val lc = new Path(logDir(path), "_last_checkpoint")
     val sizeJson = 2 + nAdds + st.txns.size
     val partsJson = if (k == 1) "" else s""","parts":$k"""
+    // sizeInBytes / numOfAddFiles are the spec's optional hint fields —
+    // engines use them to budget checkpoint reads without opening footers
+    val bytes = targets.map(fs.getFileStatus(_).getLen).sum
     val out = fs.create(lc, true)
     try out.write(
-      s"""{"version":$version,"size":$sizeJson$partsJson}""".getBytes("UTF-8"))
+      (s"""{"version":$version,"size":$sizeJson$partsJson""" +
+        s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""").getBytes("UTF-8"))
     finally out.close()
     version
   }
@@ -2042,7 +2049,7 @@ object PortableDelta {
     val conf = spark.sessionState.newHadoopConf()
     val fs = logDir(path).getFileSystem(conf)
     val st = new ReplayState(path)
-    lastCheckpointRef(conf, path) match {
+    checkpointRefFor(conf, path) match {
       case None =>
         val snap = snapshot(conf, path) // pre-first-checkpoint: log is young
         st.readerV = snap.minReaderVersion; st.writerV = snap.minWriterVersion
@@ -2220,9 +2227,12 @@ object PortableDelta {
       s"could not move v2 checkpoint into place at $target")
     fs.delete(topTmp, true)
     val lc = new Path(logDir(path), "_last_checkpoint")
+    val bytes = fs.getFileStatus(target).getLen +
+      sidecars.map(_._2).sum
     val out = fs.create(lc, true)
     try out.write(
-      s"""{"version":$version,"size":${2 + nAdds + st.txns.size}}"""
+      (s"""{"version":$version,"size":${2 + nAdds + st.txns.size}""" +
+        s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""")
         .getBytes("UTF-8"))
     finally out.close()
     version
@@ -2391,6 +2401,40 @@ object PortableDelta {
 
   private def lastCheckpointVersion(conf: Configuration, path: String): Option[Long] =
     lastCheckpointRef(conf, path).map(_.version)
+
+  /** Checkpoint discovery by LISTING — the spec makes `_last_checkpoint`
+    * a hint, not the source of truth: a writer that crashed between the
+    * checkpoint parquet and the pointer update (or external maintenance
+    * that deleted the pointer) leaves a perfectly valid checkpoint the
+    * reader must still find. Returns every COMPLETE checkpoint in the
+    * log (classic single-file, multi-part with all N shards present,
+    * v2 UUID), ascending by version. */
+  private def discoverCheckpoints(conf: Configuration, path: String): Seq[CheckpointRef] = {
+    val dir = logDir(path)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Nil
+    val names = fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
+    val single = "(\\d{20})\\.checkpoint\\.parquet".r
+    val part = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val uuid = "(\\d{20})\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet".r
+    val singles = names.collect { case single(v) => CheckpointRef(v.toLong, None) }
+    val uuids = names.collect { case uuid(v) => CheckpointRef(v.toLong, None) }
+    val multis = names.collect { case part(v, i, n) => (v.toLong, i.toInt, n.toInt) }
+      .groupBy(t => (t._1, t._3))
+      .collect { case ((v, n), shards) if shards.map(_._2).toSet == (1 to n).toSet =>
+        CheckpointRef(v, Some(n))
+      }
+    (singles ++ uuids ++ multis).distinct.sortBy(_.version)
+  }
+
+  /** The checkpoint to seed replay from: `_last_checkpoint` when present
+    * (and, for time travel, usable), else the newest complete checkpoint
+    * the listing finds at version ≤ `maxVersion`. */
+  private def checkpointRefFor(conf: Configuration, path: String,
+                               maxVersion: Long = Long.MaxValue): Option[CheckpointRef] =
+    lastCheckpointRef(conf, path).filter(_.version <= maxVersion)
+      .orElse(discoverCheckpoints(conf, path)
+        .filter(_.version <= maxVersion).lastOption)
 
   /** Mutable replay accumulator shared by the JSON and checkpoint paths:
     * last protocol/metaData win, adds minus removes by path (a `remove`
@@ -2716,12 +2760,12 @@ object PortableDelta {
       .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
       .map(s => s.getPath.getName.stripSuffix(".json").toLong -> s.getPath)
       .sortBy(_._1).toMap
-    val current = (jsons.keySet ++ lastCheckpointVersion(conf, path)).maxOption
+    val current = (jsons.keySet ++ checkpointRefFor(conf, path).map(_.version)).maxOption
       .getOrElse(throw new IllegalArgumentException(s"empty Delta log at $dir"))
     require(versionAsOf <= current,
       s"versionAsOf $versionAsOf exceeds the current version $current of $path")
     val st = new ReplayState(path)
-    val ckpt = lastCheckpointRef(conf, path).filter(_.version <= versionAsOf)
+    val ckpt = checkpointRefFor(conf, path, versionAsOf)
     val fromV: Long =
       if ((0L to versionAsOf).forall(jsons.contains)) 0L
       else ckpt match {
@@ -2980,13 +3024,13 @@ object PortableDelta {
       .sortBy(_._1)
     val truncated = " — this log is checkpoint-truncated; use snapshot(spark, path)"
     if (versioned.isEmpty) {
-      require(lastCheckpointVersion(conf, path).isEmpty,
+      require(checkpointRefFor(conf, path).isEmpty,
         s"Delta log at $dir has no JSON commits$truncated")
       return None
     }
     require(versioned.map(_._1) == (0L until versioned.size.toLong),
       s"non-contiguous Delta log at $dir: versions ${versioned.map(_._1).mkString(",")}" +
-        (if (lastCheckpointVersion(conf, path).isDefined) truncated else ""))
+        (if (checkpointRefFor(conf, path).isDefined) truncated else ""))
 
     val st = new ReplayState(path)
     versioned.foreach { case (_, p) =>

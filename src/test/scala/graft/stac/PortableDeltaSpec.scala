@@ -939,6 +939,51 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, mid).count() == 3)
   }
 
+  test("checkpoint discovery: _last_checkpoint is a hint, not the source of truth") {
+    // classic layout: pointer deleted after log truncation — the listing
+    // must still find the checkpoint (a writer can crash between the
+    // checkpoint parquet and the pointer update; the spec says readers
+    // list). Also pins the pointer's optional hint fields.
+    val path = tmp()
+    PortableDelta.write(df(1L, 2L).coalesce(1), path, properties = Map("k" -> "v"))
+    PortableDelta.write(df(3L).coalesce(1), path, mode = "append")
+    val cv = PortableDelta.checkpoint(spark, path)
+    val lc = new java.io.File(s"$path/_delta_log/_last_checkpoint")
+    val lcNode = mapper.readTree(scala.io.Source.fromFile(lc).mkString)
+    assert(lcNode.get("numOfAddFiles").asLong() == 2 &&
+      lcNode.get("sizeInBytes").asLong() > 0,
+      s"pointer must carry the spec hint fields: $lcNode")
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    assert(lc.delete())
+    new java.io.File(s"$path/_delta_log/._last_checkpoint.crc").delete()
+    // a stray INCOMPLETE multi-part checkpoint at an older version must
+    // not be selected (shard 2-of-2 missing)
+    val decoy = new java.io.File(
+      f"$path/_delta_log/${0L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    java.nio.file.Files.write(decoy.toPath, Array[Byte](1, 2, 3))
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.version == cv && snap.configuration("k") == "v")
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // time travel seeds from the discovered checkpoint too
+    assert(PortableDelta.readTable(spark, path, cv).count() == 3)
+    // appends on top keep working: version numbering continues from the
+    // discovered checkpoint, and the next read includes the tail
+    PortableDelta.write(df(9L), path, mode = "append")
+    assert(PortableDelta.snapshot(spark, path).version == cv + 1)
+    // v2 layout: UUID checkpoint discovered the same way
+    val p2 = tmp()
+    PortableDelta.write(df(5L, 6L).coalesce(1), p2)
+    PortableDelta.checkpointV2(spark, p2)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), p2)
+    val lc2 = new java.io.File(s"$p2/_delta_log/_last_checkpoint")
+    assert(lc2.delete())
+    new java.io.File(s"$p2/_delta_log/._last_checkpoint.crc").delete()
+    assert(PortableDelta.readTable(spark, p2)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L))
+  }
+
   test("cleanupCheckpoints: superseded checkpoints and orphaned sidecars reclaimed") {
     val path = tmp()
     PortableDelta.write(df(1L, 2L).coalesce(1), path)
