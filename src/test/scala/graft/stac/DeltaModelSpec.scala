@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Model-based fuzz of the WHOLE portable-Delta DML surface: a seeded
   * random sequence of append / overwrite / DELETE / UPDATE / MERGE /
-  * OPTIMIZE / Z-ORDER / checkpoint / vacuum / RESTORE runs against the
+  * OPTIMIZE / Z-ORDER / checkpoint (classic AND v2 sidecar layout,
+  * with checkpoint GC) / vacuum / RESTORE runs against the
   * real log while a trivial in-memory map applies the same semantics.
   * After EVERY op the table read-back must equal the model exactly, and
   * time travel to a random earlier version must equal the model's
@@ -13,7 +14,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * optimize rewrite resurrects, a restore that misses an update's
   * appended files, a checkpoint that drops a tombstone) surfaces at the
   * op where state first diverges, with the seed + op trace in the
-  * failure message. */
+  * failure message. The table is born ICT-enabled, and after every op
+  * a random recorded version is read back BOTH ways — versionAsOf and
+  * timestampAsOf at that commit's in-commit timestamp. */
 class DeltaModelSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.spark
@@ -45,9 +48,12 @@ class DeltaModelSpec extends AnyFunSuite {
       out
     }
 
-    // create v0
+    // create v0 — born with in-commit timestamps, so every generated
+    // commit carries a strictly monotonic ICT and the per-step
+    // timestampAsOf probe below can resolve EVERY version exactly
     val r0 = freshRows(20, "base")
-    PortableDelta.write(toDf(r0).repartition(3), path)
+    PortableDelta.write(toDf(r0).repartition(3), path,
+      properties = Map(PortableDelta.IctProp -> "true"))
     var model: Model = r0.map(t => t._1 -> ((t._2, t._3))).toMap
     // model history per committed version; minRestorable rises when
     // cleanupLog truncates the JSON the restore replay needs
@@ -106,14 +112,19 @@ class DeltaModelSpec extends AnyFunSuite {
             trace += "optimizeZOrder"
             PortableDelta.optimizeZOrder(spark, path, Seq("id", "v"), 2)
           }
-        case 8 => // checkpoint (+ sometimes truncate + vacuum)
-          val v = PortableDelta.checkpoint(spark, path)
+        case 8 => // checkpoint — classic or v2 layout — then sometimes
+          // truncate + GC superseded checkpoints + vacuum
+          val useV2 = rnd.nextBoolean()
+          val v = if (useV2) PortableDelta.checkpointV2(spark, path, addsPerSidecar = 4)
+                  else PortableDelta.checkpoint(spark, path)
+          val kind = if (useV2) "checkpointV2" else "checkpoint"
           if (rnd.nextBoolean()) {
-            trace += s"checkpoint($v)+cleanup+vacuum"
+            trace += s"$kind($v)+cleanup+gc+vacuum"
             PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+            PortableDelta.cleanupCheckpoints(spark, path)
             minRestorable = PortableDelta.snapshot(spark, path).version
             PortableDelta.vacuum(spark, path, graceMillis = 0L)
-          } else trace += s"checkpoint($v)"
+          } else trace += s"$kind($v)"
         case 9 => // RESTORE to a random reachable earlier version
           val candidates = history.keys.filter(_ >= minRestorable).toSeq.sorted
           val target = candidates(rnd.nextInt(candidates.size))
@@ -155,6 +166,15 @@ class DeltaModelSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
       assert(tgot == history(tv),
         s"$ctx step=$step: versionAsOf $tv != recorded model")
+      // ...and the SAME version through timestampAsOf: the recorded
+      // commit's ICT must resolve to exactly that version's state
+      val tsOf = PortableDelta.history(
+        spark.sessionState.newHadoopConf(), path)
+        .map(h => h._1 -> h._3).toMap
+      val tsGot = PortableDelta.readTableAtTimestamp(spark, path, tsOf(tv))
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+      assert(tsGot == history(tv),
+        s"$ctx step=$step: timestampAsOf(ict of $tv) != recorded model")
     }
   }
 
@@ -164,5 +184,9 @@ class DeltaModelSpec extends AnyFunSuite {
 
   test("seeded op-sequence fuzz: table state equals the model after every op (seed 42)") {
     runSeed(42, 14)
+  }
+
+  test("seeded op-sequence fuzz: longer run mixing v2 checkpoints + GC (seed 7)") {
+    runSeed(7, 18)
   }
 }
