@@ -926,7 +926,55 @@ object DedupOps {
           .agg(count(lit(1)).as("n_spans"),
             sum(col("span_chars")).as("dup_chars"),
             max(col("span_chars")).as("max_span_chars"))
-          .orderBy(col("doc_id")))
+          .orderBy(col("doc_id"))),
+
+    // ----- deterministic global corpus shuffle + re-shard -----
+    // The pretraining step AFTER cleaning/dedup: the corpus must be
+    // globally shuffled into training shards, and the permutation must
+    // be DETERMINISTIC (seeded) so a restarted run re-reads the same
+    // order and a changed corpus re-shuffles reproducibly. Key = 48-bit
+    // md5 prefix of (doc_id, seed) — a cross-engine-recomputable
+    // pseudorandom draw (the d06 discipline); shard = key mod nShards
+    // (content-addressed, balanced in expectation); within-shard order =
+    // (key, doc_id). The plan is ONE exchange on the shard id plus a
+    // within-shard sort — exactly the distributed-shuffle shape that
+    // scales: at 100 TB, nShards grows with corpus/target-shard-size and
+    // the sort never leaves the shard's partition. The oracle recomputes
+    // the permutation INCLUDING order: sum(pos * doc_id) is
+    // order-sensitive, so a single transposed pair anywhere in any
+    // shard breaks the hash; head_doc pins each shard's first row.
+    QuerySpec(
+      "d20_corpus_shuffle",
+      Some("""
+        WITH k AS (SELECT doc_id,
+                          CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||'s8'),1,12)) AS BIGINT) AS k
+                   FROM documents),
+             s AS (SELECT doc_id, k, k % 8 AS shard,
+                          CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT) AS pos
+                   FROM k)
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum,
+               CAST(max(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS head_doc,
+               CAST(sum(pos * doc_id) AS BIGINT) AS order_check
+        FROM s GROUP BY shard ORDER BY shard"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val key = conv(substring(
+          md5(concat(col("doc_id").cast("string"), lit("s8"))), 1, 12), 16, 10)
+          .cast("long")
+        val byShard = Window.partitionBy(col("shard"))
+          .orderBy(col("k"), col("doc_id"))
+        Tables.t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("k", key)
+          .withColumn("shard", (col("k") % 8).cast("long"))
+          .withColumn("pos", row_number().over(byShard).cast("long"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            max(when(col("pos") === 1, col("doc_id"))).as("head_doc"),
+            sum(col("pos") * col("doc_id")).as("order_check"))
+          .orderBy(col("shard"))
+      })
   )
 
   /** d12's allocation engine, separated so MixingSpec can fuzz it: split
