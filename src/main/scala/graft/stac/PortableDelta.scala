@@ -628,6 +628,16 @@ object PortableDelta {
           if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
             actions += dvProtocolAction()
           actions ++= parts.actions(now)
+          // CDF write: the newly-dead LIVE rows, as external readers see them
+          val (cdcActs, dropCdc) =
+            if (cdfEnabled(snap.configuration))
+              writeCdcActions(spark, path,
+                scanWithPos(spark, path, snap, applyDvs = true)
+                  .filter(condition).drop(PosFileCol, PosIdxCol)
+                  .withColumn("_change_type",
+                    org.apache.spark.sql.functions.lit("delete")))
+            else (Seq.empty[JsonNode], () => ())
+          actions ++= cdcActs
           try {
             commit(conf, path, snap.version + 1, actions.result(),
               snap.configuration)
@@ -636,6 +646,7 @@ object PortableDelta {
           } catch {
             case e: ConcurrentCommitException =>
               parts.dropPack()
+              dropCdc()
               attempt += 1
               if (attempt > maxRetries)
                 throw new IllegalStateException(
@@ -650,6 +661,56 @@ object PortableDelta {
 
   private val PosFileCol = "__graft_file"
   private val PosIdxCol = "__graft_idx"
+
+  /** The spec's CDF enablement property. When set, [[delete]]/[[update]]/
+    * [[merge]] additionally write their row-level changes as cdc parquet
+    * under `_change_data/` with `cdc` (AddCDCFile) actions in the commit
+    * — the shape external CDF readers consume directly (and the one
+    * [[readChanges]] prefers over file-diff reconstruction), including
+    * the update_preimage/update_postimage pairs reconstruction cannot
+    * express. Plain appends stay cdc-less per spec: insert-only commits
+    * are derivable from their add actions. */
+  val CdfProp = "delta.enableChangeDataFeed"
+
+  private def cdfEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get(CdfProp).contains("true")
+
+  /** Write `changes` (table columns + `_change_type`) as cdc parquet
+    * files and return (cdc action nodes, withdraw hook for lost commit
+    * races). Partitioned tables keep partition columns INLINE in the
+    * cdc parquet (with empty partitionValues) — readable by this
+    * module's reader and by engines that project the file schema.
+    * `dataChange=false`: cdc files never contribute to table state, so
+    * a reader that ignores unknown actions stays correct. */
+  private def writeCdcActions(spark: SparkSession, path: String,
+                              changes: DataFrame): (Seq[JsonNode], () => Unit) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val cdcDir = new Path(root, "_change_data")
+    fs.mkdirs(cdcDir)
+    val tmp = new Path(root, s".cdc-tmp-${java.util.UUID.randomUUID()}")
+    changes.write.mode("overwrite").parquet(tmp.toString)
+    val parts = fs.listStatus(tmp).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .sortBy(_.getName)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val nodes = parts.toSeq.map { p =>
+      val dest = new Path(cdcDir, s"cdc-${java.util.UUID.randomUUID()}.parquet")
+      require(fs.rename(p, dest), s"could not move cdc file into place at $dest")
+      moved += dest
+      val st = fs.getFileStatus(dest)
+      val r = mapper.createObjectNode()
+      val b = r.putObject("cdc")
+      b.put("path", s"_change_data/${dest.getName}")
+      b.putObject("partitionValues")
+      b.put("size", st.getLen)
+      b.put("dataChange", false)
+      r
+    }
+    fs.delete(tmp, true)
+    (nodes, () => { moved.foreach(fs.delete(_, false)); () })
+  }
 
   /** Resolve an add action's `path` against the table root. The spec
     * allows RELATIVE paths (this writer's own output) or ABSOLUTE URIs
@@ -1090,6 +1151,31 @@ object PortableDelta {
             statsByName.get(f.relPath).foreach(b.put("stats", _))
             actions += r
           }
+          // CDF write: matched targets as update pair (or deletes when
+          // whenMatched=delete), unmatched source rows as inserts
+          val (cdcActs, dropCdc) =
+            if (cdfEnabled(prior.configuration) &&
+                (matchedTargetRows > 0 || insertedRows > 0)) {
+              val lit = org.apache.spark.sql.functions.lit _
+              val pre =
+                if (matchedTargetRows == 0) None
+                else Some(scanWithPos(spark, path, prior, applyDvs = true)
+                  .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+                  .drop(PosFileCol, PosIdxCol)
+                  .withColumn("_change_type", lit(
+                    if (whenMatched == "update") "update_preimage" else "delete")))
+              val post =
+                if (whenMatched == "update" && matchedTargetRows > 0)
+                  Some(matchedSrc.withColumn("_change_type", lit("update_postimage")))
+                else None
+              val ins =
+                if (insertNotMatched && insertedRows > 0)
+                  Some(unmatchedSrc.withColumn("_change_type", lit("insert")))
+                else None
+              writeCdcActions(spark, path,
+                (pre.toSeq ++ post.toSeq ++ ins.toSeq).reduce(_ unionByName _))
+            } else (Seq.empty[JsonNode], () => ())
+          actions ++= cdcActs
           try {
             commit(conf, path, prior.version + 1, actions.result(),
               prior.configuration)
@@ -1099,6 +1185,7 @@ object PortableDelta {
             case e: ConcurrentCommitException =>
               parts.foreach(_.dropPack())
               cleanupMoved()
+              dropCdc()
               attempt += 1
               if (attempt > maxRetries)
                 throw new IllegalStateException(
@@ -1200,6 +1287,18 @@ object PortableDelta {
           statsByName.get(f.relPath).foreach(b.put("stats", _))
           actions += r
         }
+        // CDF write: the spec's update pair — old row versions as
+        // update_preimage, the SET-applied versions as update_postimage
+        val (cdcActs, dropCdc) =
+          if (cdfEnabled(snap.configuration)) {
+            val lit = org.apache.spark.sql.functions.lit _
+            writeCdcActions(spark, path,
+              matched.drop(PosFileCol, PosIdxCol)
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(newRows
+                  .withColumn("_change_type", lit("update_postimage"))))
+          } else (Seq.empty[JsonNode], () => ())
+        actions ++= cdcActs
         try {
           commit(conf, path, snap.version + 1, actions.result(),
             snap.configuration)
@@ -1208,6 +1307,7 @@ object PortableDelta {
           case e: ConcurrentCommitException =>
             parts.get.dropPack()
             cleanupMoved()
+            dropCdc()
             attempt += 1
             if (attempt > maxRetries)
               throw new IllegalStateException(

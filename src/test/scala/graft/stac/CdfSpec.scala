@@ -147,4 +147,62 @@ class CdfSpec extends AnyFunSuite {
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(0L, 1L, 2L, 10L, 11L, 20L))
   }
+
+  test("CDC WRITE: enableChangeDataFeed makes DML emit cdc actions external readers consume") {
+    val path = tmp()
+    PortableDelta.write(rows(0L until 4L, "a").coalesce(1), path,
+      properties = Map(PortableDelta.CdfProp -> "true"))             // v0
+    // UPDATE: the cdc file must carry the update PAIR — old values as
+    // preimage, SET-applied values as postimage (reconstruction could
+    // only say delete+insert)
+    PortableDelta.update(spark, path, col("id") < 2L,
+      Map("tag" -> lit("u1")))                                        // v1
+    def cdcActionsOf(v: Long) = logLinesOf(path, v).filter(_.has("cdc"))
+    assert(cdcActionsOf(1).nonEmpty, "UPDATE must commit cdc actions")
+    cdcActionsOf(1).foreach { n =>
+      val c = n.get("cdc")
+      assert(c.get("path").asText().startsWith("_change_data/"))
+      assert(!c.get("dataChange").asBoolean(), "cdc actions carry dataChange=false")
+      assert(new java.io.File(s"$path/${c.get("path").asText()}").isFile,
+        "cdc action must point at a real file")
+    }
+    val u = changes(path, 1L, 1L).sorted
+    assert(u == Seq((0L, "update_postimage", 1L), (0L, "update_preimage", 1L),
+      (1L, "update_postimage", 1L), (1L, "update_preimage", 1L)).sorted,
+      s"update pair expected, got $u")
+    // preimage carries the OLD tag, postimage the new one
+    val tags = PortableDelta.readChanges(spark, path, 1L, 1L)
+      .select(col("_change_type"), col("tag")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    assert(tags == Set("update_preimage" -> "a", "update_postimage" -> "u1"))
+    // DELETE: cdc rows with _change_type=delete
+    PortableDelta.delete(spark, path, col("id") === 3L)               // v2
+    assert(cdcActionsOf(2).nonEmpty, "DELETE must commit cdc actions")
+    assert(changes(path, 2L, 2L) == Seq((3L, "delete", 2L)))
+    // MERGE: matched update pair + insert, all through the cdc file
+    val s2 = spark; import s2.implicits._
+    PortableDelta.merge(spark, path,
+      Seq((2L, "m", 9L), (10L, "m", 9L)).toDF("id", "tag", "v")
+        .select(col("id"), col("tag")), Seq("id"))                    // v3
+    assert(cdcActionsOf(3).nonEmpty, "MERGE must commit cdc actions")
+    val m = changes(path, 3L, 3L).sorted
+    assert(m == Seq((2L, "update_postimage", 3L), (2L, "update_preimage", 3L),
+      (10L, "insert", 3L)).sorted, s"merge changes expected, got $m")
+    // the table state itself is unaffected by cdc files (dataChange=false)
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L, 2L, 10L))
+    // a table WITHOUT the property stays cdc-less
+    val plain = tmp()
+    PortableDelta.write(rows(0L until 2L, "a").coalesce(1), plain)
+    PortableDelta.delete(spark, plain, col("id") === 0L)
+    assert(logLinesOf(plain, 1).forall(!_.has("cdc")), "CDC write is opt-in")
+  }
+
+  private def logLinesOf(path: String, v: Long) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    scala.io.Source.fromFile(
+      new java.io.File(s"$path/_delta_log/${"%020d".format(v)}.json"), "UTF-8")
+      .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
+  }
 }
