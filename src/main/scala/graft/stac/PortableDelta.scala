@@ -892,7 +892,9 @@ object PortableDelta {
         withPos = true, applyDvs = false)
     val outSchema = StructType(endSnap.schema.fields.toSeq ++ Seq(
       StructField("_change_type", StringType),
-      StructField("_commit_version", LongType)))
+      StructField("_commit_version", LongType),
+      StructField("_commit_timestamp",
+        org.apache.spark.sql.types.TimestampType)))
     def finish(df: DataFrame, change: String, v: Long): DataFrame =
       df.drop(PosIdxCol).drop(PosFileCol)
         .withColumn("_change_type", lit(change))
@@ -1011,7 +1013,20 @@ object PortableDelta {
     if (all.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    else all.reduce(_ unionByName _)
+    else {
+      // _commit_timestamp, as external CDF readers surface it: the
+      // commit's time per [[history]] (inCommitTimestamp-aware, so on
+      // ICT tables the column is clock-skew-proof). Bounded map literal
+      // — one entry per version in the requested range.
+      import org.apache.spark.sql.functions.{element_at, typedLit}
+      val tsByV: Map[Long, Long] = history(conf, path)
+        .filter(h => h._1 >= fromVersion && h._1 <= toVersion)
+        .map(h => h._1 -> h._3).toMap
+      all.reduce(_ unionByName _)
+        .withColumn("_commit_timestamp",
+          (element_at(typedLit(tsByV), col("_commit_version")) / 1000L)
+            .cast("timestamp"))
+    }
   }
 
   /** Outcome of a [[merge]]: committed version plus the three row

@@ -188,6 +188,15 @@ class CdfSpec extends AnyFunSuite {
     val m = changes(path, 3L, 3L).sorted
     assert(m == Seq((2L, "update_postimage", 3L), (2L, "update_preimage", 3L),
       (10L, "insert", 3L)).sorted, s"merge changes expected, got $m")
+    // _commit_timestamp rides every change row, consistent with history
+    val histTs = PortableDelta.history(
+      spark.sessionState.newHadoopConf(), path).map(h => h._1 -> h._3).toMap
+    PortableDelta.readChanges(spark, path, 1L, 3L)
+      .select(col("_commit_version"), col("_commit_timestamp").cast("double"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) * 1000 - histTs(r.getLong(0))) < 1.0,
+          s"_commit_timestamp must equal the commit's history time, row $r")
+      }
     // the table state itself is unaffected by cdc files (dataChange=false)
     assert(PortableDelta.readTable(spark, path)
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
