@@ -2394,7 +2394,18 @@ object PortableDelta {
           fs.delete(sc, false)
           require(fs.rename(tmp, sc), s"could not move history sidecar to $sc")
         }
+        // cdc files of truncated commits are unreachable — readChanges
+        // requires the commit JSON it is about to delete — so reclaim
+        // them with the commits (vacuum skips _-prefixed dirs by design)
+        val cdcGone = old.flatMap { p =>
+          val in = fs.open(p)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toList finally in.close()
+          lines.filter(_.nonEmpty).map(mapper.readTree)
+            .filter(_.has("cdc")).map(_.get("cdc").get("path").asText())
+        }
         old.foreach(p => fs.delete(p, false))
+        cdcGone.foreach(rel => fs.delete(resolvedDataPath(path, rel), false))
         old.size
     }
 

@@ -201,6 +201,19 @@ class CdfSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path)
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(0L, 1L, 2L, 10L))
+    // truncation reclaims the cdc files of versions readChanges can no
+    // longer serve; later commits' cdc files survive
+    def cdcOnDisk = Option(new java.io.File(s"$path/_change_data").listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val beforeGc = cdcOnDisk
+    assert(beforeGc >= 3, s"expected cdc files from 3 DML commits, got $beforeGc")
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)  // wipes v0..v3
+    assert(cdcOnDisk == 0, "cdc files of truncated commits must be reclaimed")
+    PortableDelta.update(spark, path, col("id") === 2L, Map("tag" -> lit("u2"))) // v4
+    assert(cdcOnDisk > 0, "post-truncation commits keep their cdc files")
+    assert(changes(path, 4L, 4L).map(c => (c._1, c._2)).toSet ==
+      Set((2L, "update_preimage"), (2L, "update_postimage")))
     // a table WITHOUT the property stays cdc-less
     val plain = tmp()
     PortableDelta.write(rows(0L until 2L, "a").coalesce(1), plain)
