@@ -1029,6 +1029,31 @@ object PortableDelta {
     }
   }
 
+  /** CDF over a TIME window — the delta-spark `startingTimestamp` /
+    * `endingTimestamp` read: the changes of every version whose commit
+    * time falls in `[fromTsMillis, toTsMillis]`, resolved over
+    * truncation-surviving [[history]] with the same ICT-aware
+    * monotonic healing as [[versionAtTimestamp]]. Errors (never an
+    * empty guess) when the window holds no commits. */
+  def readChangesBetweenTimestamps(spark: SparkSession, path: String,
+                                   fromTsMillis: Long,
+                                   toTsMillis: Long): DataFrame = {
+    require(fromTsMillis <= toTsMillis,
+      s"bad CDF time window [$fromTsMillis, $toTsMillis]")
+    val conf = spark.sessionState.newHadoopConf()
+    val commits = history(conf, path).sortBy(_._1)
+    var run = Long.MinValue
+    val mono = commits.map { case (v, _, ts) =>
+      run = math.max(run, ts); (v, run)
+    }
+    val inWindow = mono.filter(t => t._2 >= fromTsMillis && t._2 <= toTsMillis)
+    require(inWindow.nonEmpty,
+      s"no commits of $path in time window [$fromTsMillis, $toTsMillis] " +
+        s"(commit times span [${mono.headOption.map(_._2).getOrElse(-1L)}, " +
+        s"${mono.lastOption.map(_._2).getOrElse(-1L)}])")
+    readChanges(spark, path, inWindow.map(_._1).min, inWindow.map(_._1).max)
+  }
+
   /** Outcome of a [[merge]]: committed version plus the three row
     * counters (a source row matching a LIVE target key counts as one
     * update — its target row dies and its new version appends; an

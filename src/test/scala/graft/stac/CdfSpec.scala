@@ -197,6 +197,19 @@ class CdfSpec extends AnyFunSuite {
         assert(math.abs(r.getDouble(1) * 1000 - histTs(r.getLong(0))) < 1.0,
           s"_commit_timestamp must equal the commit's history time, row $r")
       }
+    // time-windowed CDF: the window covering exactly v2..v3 yields the
+    // same change set as the version-range read
+    val winLo = histTs(2L); val winHi = histTs(3L)
+    val win = PortableDelta.readChangesBetweenTimestamps(spark, path, winLo, winHi)
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(win == (changes(path, 2L, 2L) ++ changes(path, 3L, 3L)).toSet,
+      s"time-window CDF must equal the version-range read, got $win")
+    val noCommits = intercept[IllegalArgumentException] {
+      PortableDelta.readChangesBetweenTimestamps(spark, path,
+        histTs.values.max + 10000, histTs.values.max + 20000)
+    }
+    assert(noCommits.getMessage.contains("no commits"))
     // the table state itself is unaffected by cdc files (dataChange=false)
     assert(PortableDelta.readTable(spark, path)
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
