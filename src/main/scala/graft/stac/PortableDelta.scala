@@ -220,14 +220,41 @@ object PortableDelta {
         else if (mode == "overwrite") "WRITE (overwrite)" else "WRITE (append)")
       txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
       if (prior.isEmpty) {
-        actions += protocolAction()
+        // a table BORN with delta.enableChangeDataFeed / ICT must declare
+        // the matching writer feature from version 0 — the property alone
+        // would let a feature-unaware external writer commit DML without
+        // cdc files / ICT stamps, silently corrupting the feed. (ICT
+        // enabled at creation needs no enablement-version provenance:
+        // every commit of the table carries a stamp.)
+        val born = cfgWriterFeatures(properties)
+        if (born.isEmpty) actions += protocolAction()
+        else {
+          val base = Snapshot(-1L, MinReaderVersion, MinWriterVersion, "",
+            df.schema, Map.empty, Nil)
+          actions += featureUpgradeAction(base, Nil, born).get
+        }
         actions += metaDataAction(java.util.UUID.randomUUID().toString,
           df.schema, properties, now, effPartitionBy)
       } else if (mode == "overwrite") {
+        // new properties may switch on CDF/ICT mid-life: declare the
+        // features in the SAME commit, with ICT enablement provenance
+        // (the table has pre-ICT history, unlike the create path)
+        var effProps = if (properties.nonEmpty) properties
+                       else prior.get.configuration
+        if (properties.nonEmpty) {
+          featureUpgradeAction(prior.get, Nil, cfgWriterFeatures(properties))
+            .foreach { p =>
+              actions += p
+              if (properties.get(IctProp).contains("true") &&
+                  !prior.get.configuration.get(IctProp).contains("true"))
+                effProps = effProps +
+                  ("delta.inCommitTimestampEnablementVersion" -> version.toString) +
+                  ("delta.inCommitTimestampEnablementTimestamp" -> now.toString)
+            }
+        }
         // overwrite re-states metaData (schema/properties may change) but
         // keeps the table id — the replace-table shape
-        actions += metaDataAction(prior.get.tableId, df.schema,
-          if (properties.nonEmpty) properties else prior.get.configuration, now,
+        actions += metaDataAction(prior.get.tableId, df.schema, effProps, now,
           effPartitionBy)
         prior.get.files.foreach { f =>
           val r = mapper.createObjectNode()
@@ -625,8 +652,9 @@ object PortableDelta {
           val actions = Seq.newBuilder[JsonNode]
           actions += commitInfo(now, "DELETE")
           txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
-          if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
-            actions += dvProtocolAction()
+          featureUpgradeAction(snap, Seq("deletionVectors"),
+            Seq("deletionVectors") ++ cfgWriterFeatures(snap.configuration))
+            .foreach(actions += _)
           actions ++= parts.actions(now)
           // CDF write: the newly-dead LIVE rows, as external readers see them
           val (cdcActs, dropCdc) =
@@ -1176,9 +1204,11 @@ object PortableDelta {
           val actions = Seq.newBuilder[JsonNode]
           actions += commitInfo(now, "MERGE")
           txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
-          if (parts.nonEmpty &&
-              (prior.minReaderVersion < 3 || prior.minWriterVersion < 7))
-            actions += dvProtocolAction()
+          featureUpgradeAction(prior,
+            if (parts.nonEmpty) Seq("deletionVectors") else Nil,
+            (if (parts.nonEmpty) Seq("deletionVectors") else Nil) ++
+              cfgWriterFeatures(prior.configuration))
+            .foreach(actions += _)
           parts.foreach(p => actions ++= p.actions(now))
           added.foreach { f =>
             val r = mapper.createObjectNode()
@@ -1313,8 +1343,9 @@ object PortableDelta {
         val actions = Seq.newBuilder[JsonNode]
         actions += commitInfo(now, "UPDATE")
         txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
-        if (snap.minReaderVersion < 3 || snap.minWriterVersion < 7)
-          actions += dvProtocolAction()
+        featureUpgradeAction(snap, Seq("deletionVectors"),
+          Seq("deletionVectors") ++ cfgWriterFeatures(snap.configuration))
+          .foreach(actions += _)
         actions ++= parts.get.actions(now)
         added.foreach { f =>
           val r = mapper.createObjectNode()
@@ -1990,15 +2021,65 @@ object PortableDelta {
     r
   }
 
-  /** The table-features protocol a DV-writing table must declare. */
-  private def dvProtocolAction(): JsonNode = {
+  /** Features a LEGACY protocol version implies SUPPORT for (the spec's
+    * table-features mapping) — a minWriterVersion-4 table may write
+    * change-data files without listing `changeDataFeed` anywhere, so
+    * the upgrade check below must treat these as already declared. */
+  private def legacyWriterFeatures(writerV: Int): Set[String] = {
+    val tiers = Seq(
+      2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+    tiers.filter(_._1 <= writerV).flatMap(_._2).toSet
+  }
+  private def legacyReaderFeatures(readerV: Int): Set[String] =
+    if (readerV >= 2) Set("columnMapping") else Set.empty
+
+  private def supportsWriterFeature(snap: Snapshot, f: String): Boolean =
+    if (snap.minWriterVersion >= 7) snap.writerFeatures.contains(f)
+    else legacyWriterFeatures(snap.minWriterVersion).contains(f)
+  private def supportsReaderFeature(snap: Snapshot, f: String): Boolean =
+    if (snap.minReaderVersion >= 3) snap.readerFeatures.contains(f)
+    else legacyReaderFeatures(snap.minReaderVersion).contains(f)
+
+  /** The protocol action (if any) a commit must carry so the table
+    * declares `readerFeats`/`writerFeats` under the table-features
+    * protocol. A protocol action REPLACES its predecessor, so already-
+    * declared features are carried forward — dropping one here would
+    * undeclare it for every later writer. None when everything needed
+    * is already declared (explicitly at version 7+, or implied by a
+    * legacy version — the spec only requires LISTING a feature when the
+    * table starts using it under version 7; unused legacy implications
+    * are not re-emitted). */
+  private[stac] def featureUpgradeAction(snap: Snapshot,
+      readerFeats: Seq[String], writerFeats: Seq[String]): Option[JsonNode] = {
+    val needR = readerFeats.filterNot(supportsReaderFeature(snap, _))
+    val needW = writerFeats.filterNot(supportsWriterFeature(snap, _))
+    if (needR.isEmpty && needW.isEmpty) return None
+    val newReaderV = if (needR.nonEmpty || snap.minReaderVersion >= 3) 3
+                     else snap.minReaderVersion
     val r = mapper.createObjectNode()
     val b = r.putObject("protocol")
-    b.put("minReaderVersion", 3); b.put("minWriterVersion", 7)
-    b.putArray("readerFeatures").add("deletionVectors")
-    b.putArray("writerFeatures").add("deletionVectors")
-    r
+    b.put("minReaderVersion", newReaderV)
+    b.put("minWriterVersion", 7)
+    if (newReaderV >= 3) {
+      val rf = b.putArray("readerFeatures")
+      (snap.readerFeatures ++ needR).distinct.foreach(rf.add)
+    }
+    val wf = b.putArray("writerFeatures")
+    (snap.writerFeatures ++ needW).distinct.foreach(wf.add)
+    Some(r)
   }
+
+  /** The writer features a commit whose table configuration is `cfg`
+    * must have declared beyond what the operation itself needs: CDF
+    * writes change files, ICT stamps commitInfo — both spec-gated on a
+    * protocol declaration, not just the property. */
+  private def cfgWriterFeatures(cfg: Map[String, String]): Seq[String] =
+    (if (cdfEnabled(cfg)) Seq("changeDataFeed") else Nil) ++
+      (if (cfg.get(IctProp).contains("true")) Seq("inCommitTimestamp") else Nil)
 
   /** Physical row count from the parquet footer — a metadata-only read. */
   private def parquetRowCount(conf: Configuration, file: Path): Long = {
@@ -2293,18 +2374,36 @@ object PortableDelta {
     val fs = logDir(path).getFileSystem(conf)
     // protocol gate first: the upgrade is itself a commit, so it must
     // land BEFORE the version the checkpoint snapshots
-    val pre = snapshot(spark, path)
-    if (!pre.readerFeatures.contains("v2Checkpoint")) {
-      val r = mapper.createObjectNode()
-      val b = r.putObject("protocol")
-      b.put("minReaderVersion", 3); b.put("minWriterVersion", 7)
-      val rf = b.putArray("readerFeatures")
-      (pre.readerFeatures :+ "v2Checkpoint").distinct.foreach(rf.add)
-      val wf = b.putArray("writerFeatures")
-      (pre.writerFeatures :+ "v2Checkpoint").distinct.foreach(wf.add)
-      commit(conf, path, pre.version + 1,
-        Seq(commitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"), r),
-        pre.configuration)
+    // standard rebase/retry: a concurrent writer racing the upgrade
+    // re-snapshots (skipping entirely if the feature landed concurrently)
+    // instead of surfacing the raw concurrency error
+    var upgAttempt = 0
+    var upgraded = false
+    while (!upgraded) {
+      val pre = snapshot(spark, path)
+      if (pre.readerFeatures.contains("v2Checkpoint")) upgraded = true
+      else {
+        val r = mapper.createObjectNode()
+        val b = r.putObject("protocol")
+        b.put("minReaderVersion", 3); b.put("minWriterVersion", 7)
+        val rf = b.putArray("readerFeatures")
+        (pre.readerFeatures :+ "v2Checkpoint").distinct.foreach(rf.add)
+        val wf = b.putArray("writerFeatures")
+        (pre.writerFeatures :+ "v2Checkpoint").distinct.foreach(wf.add)
+        try {
+          commit(conf, path, pre.version + 1,
+            Seq(commitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"), r),
+            pre.configuration)
+          upgraded = true
+        } catch {
+          case e: ConcurrentCommitException =>
+            upgAttempt += 1
+            if (upgAttempt > 10)
+              throw new IllegalStateException(
+                s"checkpointV2 protocol upgrade on $path lost the commit " +
+                  s"race $upgAttempt times (last: ${e.getMessage})", e)
+        }
+      }
     }
     val st = seededSmallState(spark, path)
     val (adds, version) = liveAddsFlatDf(spark, path)
@@ -2421,16 +2520,22 @@ object PortableDelta {
         }
         // cdc files of truncated commits are unreachable — readChanges
         // requires the commit JSON it is about to delete — so reclaim
-        // them with the commits (vacuum skips _-prefixed dirs by design)
+        // them with the commits (vacuum skips _-prefixed dirs by design).
+        // Only paths resolving UNDER THIS TABLE'S ROOT are touched: the
+        // spec allows absolute cdc URIs (external/clone-style logs), and
+        // cleaning THIS table must never delete ANOTHER table's files —
+        // the same out-of-root line Delta's vacuum draws.
+        val rootQ = fs.makeQualified(new Path(path)).toString + "/"
         val cdcGone = old.flatMap { p =>
           val in = fs.open(p)
           val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
             .getLines().toList finally in.close()
           lines.filter(_.nonEmpty).map(mapper.readTree)
             .filter(_.has("cdc")).map(_.get("cdc").get("path").asText())
-        }
+        }.map(rel => resolvedDataPath(path, rel))
+          .filter(rp => fs.makeQualified(rp).toString.startsWith(rootQ))
         old.foreach(p => fs.delete(p, false))
-        cdcGone.foreach(rel => fs.delete(resolvedDataPath(path, rel), false))
+        cdcGone.foreach(rp => fs.delete(rp, false))
         old.size
     }
 
@@ -2442,9 +2547,13 @@ object PortableDelta {
     * leaves its predecessor's parquet behind forever — at one
     * checkpoint per N commits on a 100-TB table that is unbounded
     * metadata growth. Only artifacts strictly OLDER than the current
-    * checkpoint version are touched (same safety line as cleanupLog:
-    * versions older than the checkpoint are already unreconstructable).
-    * Returns the number of files deleted. */
+    * checkpoint version are touched, and of those, only checkpoints the
+    * log can still do WITHOUT: when a prior cleanupLog pass truncated
+    * the JSON behind a superseded checkpoint, versions between it and
+    * the current one are servable only through it + the surviving JSON
+    * tail — such checkpoints are retained (with their sidecars) until
+    * cleanupLog truncates that tail too. Returns the number of files
+    * deleted. */
   def cleanupCheckpoints(spark: SparkSession, path: String): Int = {
     val conf = spark.sessionState.newHadoopConf()
     val dir = logDir(path)
@@ -2456,12 +2565,34 @@ object PortableDelta {
         val ckptName =
           ("(\\d{20})\\.checkpoint(?:\\.parquet|\\.\\d{10}\\.\\d{10}\\.parquet" +
             "|\\.[0-9a-fA-F-]{36}\\.parquet)").r
-        val stale = fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
-          .filter { p =>
+        val listing = fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
+        // Reconstructability guard: a SUPERSEDED checkpoint at v can still
+        // be the only seed for versions in [v, cv) — when an earlier
+        // cleanupLog pass (run while v was current) truncated JSONs ≤ v,
+        // those versions are servable ONLY via old-ckpt(v) + the JSON tail.
+        // Deleting v then silently shrinks time-travel reach to ≥ cv. A
+        // stale checkpoint is garbage only when (a) full replay from JSON
+        // alone still covers it (commits 0..v all present — nothing lost),
+        // or (b) its seeding tail (v, cv] is already truncated, so it can
+        // seed only version v itself — dropping it is the same documented
+        // window shrink cleanupLog inflicts.
+        val jsonVs: Set[Long] = listing
+          .filter(_.getName.matches("\\d{20}\\.json"))
+          .map(_.getName.stripSuffix(".json").toLong).toSet
+        val contiguousMax: Long =
+          if (!jsonVs.contains(0L)) -1L
+          else Iterator.iterate(0L)(_ + 1L).takeWhile(jsonVs.contains).max
+        def deletable(v: Long): Boolean =
+          v <= contiguousMax || jsonVs.forall(j => j <= v || j > cv)
+        val (stale, keptStale) = listing
+          .flatMap { p =>
             p.getName match {
-              case ckptName(v) => v.toLong < cv
-              case _ => false
+              case ckptName(v) if v.toLong < cv => Some((p, v.toLong))
+              case _ => None
             }
+          }
+          .partition(t => deletable(t._2)) match {
+            case (del, keep) => (del.map(_._1), keep.map(_._1))
           }
         // sidecars referenced by the CURRENT checkpoint stay; the rest
         // belong to superseded v2 checkpoints (bounded metadata read —
@@ -2475,12 +2606,18 @@ object PortableDelta {
           if (!fs.exists(scDir)) Nil
           else {
             import org.apache.spark.sql.functions.col
-            val top = ckptRawDf(spark, path, ref)
-            val referenced: Set[String] =
-              if (!top.schema.fieldNames.contains("sidecar")) Set.empty
-              else top.select(col("sidecar.path"))
+            def sidecarRefsOf(df: DataFrame): Set[String] =
+              if (!df.schema.fieldNames.contains("sidecar")) Set.empty
+              else df.select(col("sidecar.path"))
                 .where(col("sidecar").isNotNull)
                 .collect().map(r => new Path(r.getString(0)).getName).toSet
+            // sidecars of the current checkpoint AND of every RETAINED
+            // stale v2 checkpoint stay referenced
+            val referenced: Set[String] =
+              sidecarRefsOf(ckptRawDf(spark, path, ref)) ++
+                keptStale.filter(_.getName.matches(
+                  "\\d{20}\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet"))
+                  .flatMap(p => sidecarRefsOf(spark.read.parquet(p.toString)))
             val ckptMtime = checkpointPaths(conf, path, ref)
               .filter(fs.exists(_)).map(fs.getFileStatus(_).getModificationTime)
               .minOption.getOrElse(Long.MaxValue)

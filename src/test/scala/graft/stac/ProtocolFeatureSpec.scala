@@ -1,0 +1,211 @@
+package graft.stac
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Protocol feature declarations the spec requires BEYOND the operation
+  * itself: a table whose configuration enables change data feed or
+  * in-commit timestamps must DECLARE the matching writer feature, or an
+  * external writer that fully supports the base protocol will commit
+  * DML without cdc files / ICT stamps and silently corrupt the feed.
+  * Plus the log-maintenance safety lines: out-of-root cdc paths are
+  * never deleted, and superseded checkpoints survive until full JSON
+  * replay can do without them. */
+class ProtocolFeatureSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private val mapper = new ObjectMapper()
+
+  private def tmp(tag: String = "pfeat"): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/tbl"
+
+  private def df(ids: Seq[Long], tag: String = "a") = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, s"$tag $i")).toDF("id", "body")
+  }
+
+  private def logLines(path: String, version: Long): Seq[com.fasterxml.jackson.databind.JsonNode] = {
+    val f = new java.io.File(s"$path/_delta_log/${"%020d".format(version)}.json")
+    assert(f.isFile, s"missing commit file $f")
+    scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+      .map(mapper.readTree).toSeq
+  }
+
+  private def protocolOf(path: String, version: Long) =
+    logLines(path, version).filter(_.has("protocol")).map(_.get("protocol"))
+
+  private def featSeq(p: com.fasterxml.jackson.databind.JsonNode,
+                      field: String): Seq[String] =
+    Option(p.get(field)).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+
+  test("table born with CDF enabled declares changeDataFeed from v0") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 6L).coalesce(1), path,
+      properties = Map(PortableDelta.CdfProp -> "true"))
+    val ps = protocolOf(path, 0L)
+    assert(ps.size == 1)
+    val p = ps.head
+    // writer-side feature: reader version stays base (CDF needs no
+    // reader capability — the feed is opt-in via the cdc files)
+    assert(p.get("minReaderVersion").asInt() == 1)
+    assert(p.get("minWriterVersion").asInt() == 7)
+    assert(featSeq(p, "writerFeatures").contains("changeDataFeed"))
+    assert(featSeq(p, "readerFeatures").isEmpty)
+    // the first DV-writing DML joins deletionVectors WITHOUT dropping
+    // the already-declared changeDataFeed (protocol actions replace)
+    PortableDelta.delete(spark, path, col("id") < 2L)
+    val ps1 = protocolOf(path, 1L)
+    assert(ps1.size == 1)
+    assert(featSeq(ps1.head, "writerFeatures").toSet ==
+      Set("changeDataFeed", "deletionVectors"))
+    assert(featSeq(ps1.head, "readerFeatures") == Seq("deletionVectors"))
+    // the feed itself still reads
+    val ch = PortableDelta.readChanges(spark, path, 1L, 1L)
+      .select(col("id"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((0L, "delete"), (1L, "delete")))
+  }
+
+  test("legacy table with the CDF property gets the feature on first DML") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 6L).coalesce(1), path)
+    // externally-shaped v1: re-state metaData with the property set but
+    // NO protocol upgrade — the out-of-spec state the fix must heal
+    val snap = PortableDelta.snapshot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", snap.tableId)
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", snap.schema.json)
+    m.putArray("partitionColumns")
+    m.putObject("configuration").put(PortableDelta.CdfProp, "true")
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo").put("operation", "SET TBLPROPERTIES")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/${"%020d".format(1L)}.json"), false)
+    try out.write((mapper.writeValueAsString(ci) + "\n" +
+      mapper.writeValueAsString(meta) + "\n").getBytes("UTF-8"))
+    finally out.close()
+
+    PortableDelta.delete(spark, path, col("id") === 0L) // v2
+    val ps = protocolOf(path, 2L)
+    assert(ps.size == 1, s"expected one protocol action, got $ps")
+    assert(featSeq(ps.head, "writerFeatures").toSet ==
+      Set("deletionVectors", "changeDataFeed"))
+    // and the commit carries the cdc action the property demands
+    assert(logLines(path, 2L).exists(_.has("cdc")))
+  }
+
+  test("table born with ICT declares inCommitTimestamp and stamps from v0") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 4L).coalesce(1), path,
+      properties = Map(PortableDelta.IctProp -> "true"))
+    val ps = protocolOf(path, 0L)
+    assert(ps.size == 1)
+    assert(ps.head.get("minWriterVersion").asInt() == 7)
+    assert(featSeq(ps.head, "writerFeatures").contains("inCommitTimestamp"))
+    val ci = logLines(path, 0L).find(_.has("commitInfo")).get.get("commitInfo")
+    assert(ci.has("inCommitTimestamp"), "v0 commitInfo must carry the stamp")
+    // appends keep stamping (property rides the table configuration)
+    PortableDelta.write(df(4L until 6L).coalesce(1), path, mode = "append")
+    assert(logLines(path, 1L).find(_.has("commitInfo")).get
+      .get("commitInfo").has("inCommitTimestamp"))
+  }
+
+  test("overwrite enabling ICT declares the feature with provenance") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 4L).coalesce(1), path) // plain v0
+    PortableDelta.write(df(0L until 4L, "b").coalesce(1), path,
+      mode = "overwrite", properties = Map(PortableDelta.IctProp -> "true"))
+    val ps = protocolOf(path, 1L)
+    assert(ps.size == 1)
+    assert(featSeq(ps.head, "writerFeatures").contains("inCommitTimestamp"))
+    val cfg = PortableDelta.snapshot(spark, path).configuration
+    // mid-life enablement records WHERE ICT starts — pre-ICT commits
+    // have only file-modification times
+    assert(cfg.get("delta.inCommitTimestampEnablementVersion").contains("1"))
+    assert(cfg.contains("delta.inCommitTimestampEnablementTimestamp"))
+    assert(logLines(path, 1L).find(_.has("commitInfo")).get
+      .get("commitInfo").has("inCommitTimestamp"))
+  }
+
+  test("cleanupLog never deletes out-of-root cdc paths") {
+    val other = java.nio.file.Files.createTempDirectory("pfeat-other")
+    val foreign = other.resolve("foreign.parquet")
+    java.nio.file.Files.write(foreign, Array[Byte](1, 2, 3))
+    val path = tmp()
+    PortableDelta.write(df(0L until 6L).coalesce(1), path,
+      properties = Map(PortableDelta.CdfProp -> "true"))
+    PortableDelta.delete(spark, path, col("id") === 0L) // v1 writes a cdc file
+    val inRootCdc = new java.io.File(s"$path/_change_data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(inRootCdc.nonEmpty)
+    // externally-shaped v2: a cdc action with an ABSOLUTE out-of-root
+    // path (spec-legal for clone/external logs)
+    val node = mapper.createObjectNode()
+    val c = node.putObject("cdc")
+    c.put("path", foreign.toUri.toString)
+    c.putObject("partitionValues"); c.put("size", 3L); c.put("dataChange", false)
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo").put("operation", "EXTERNAL CDC")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/${"%020d".format(2L)}.json"), false)
+    try out.write((mapper.writeValueAsString(ci) + "\n" +
+      mapper.writeValueAsString(node) + "\n").getBytes("UTF-8"))
+    finally out.close()
+
+    PortableDelta.checkpoint(spark, path)
+    val conf = spark.sessionState.newHadoopConf()
+    assert(PortableDelta.cleanupLog(conf, path) == 3)
+    // this table's cdc files are reclaimed; the foreign file survives
+    assert(inRootCdc.forall(!_.exists()), "in-root cdc must be reclaimed")
+    assert(java.nio.file.Files.exists(foreign),
+      "cleanup of THIS table must never delete ANOTHER table's files")
+  }
+
+  test("superseded checkpoint survives until full replay can do without it") {
+    val path = tmp()
+    val conf = spark.sessionState.newHadoopConf()
+    for (v <- 0L until 4L)
+      PortableDelta.write(df(Seq(v), s"c$v").coalesce(1), path,
+        mode = if (v == 0) "error" else "append")            // v0..v3
+    PortableDelta.checkpoint(spark, path)                    // ckpt @3
+    assert(PortableDelta.cleanupLog(conf, path) == 4)        // JSONs 0..3 gone
+    for (v <- 4L until 7L)
+      PortableDelta.write(df(Seq(v), s"c$v").coalesce(1), path,
+        mode = "append")                                     // v4..v6
+    PortableDelta.checkpoint(spark, path)                    // ckpt @6
+    // versions 3..5 are servable ONLY via ckpt@3 + JSON tail — the pass
+    // must retain it (deleting it would shrink time travel to >= 6)
+    assert(PortableDelta.cleanupCheckpoints(spark, path) == 0,
+      "checkpoint@3 still seeds versions 3..5")
+    assert(PortableDelta.readTable(spark, path, versionAsOf = 4L)
+      .count() == 5L, "time travel through the retained checkpoint")
+    // after the tail truncates too, ckpt@3 is genuinely garbage
+    assert(PortableDelta.cleanupLog(conf, path) == 3)        // JSONs 4..6 gone
+    assert(PortableDelta.cleanupCheckpoints(spark, path) >= 1)
+    assert(PortableDelta.readTable(spark, path).count() == 7L)
+  }
+
+  test("superseded checkpoint IS deleted while full replay remains intact") {
+    val path = tmp()
+    for (v <- 0L until 3L)
+      PortableDelta.write(df(Seq(v), s"c$v").coalesce(1), path,
+        mode = if (v == 0) "error" else "append")            // v0..v2
+    PortableDelta.checkpoint(spark, path)                    // ckpt @2
+    PortableDelta.write(df(Seq(3L), "c3").coalesce(1), path, mode = "append")
+    PortableDelta.checkpoint(spark, path)                    // ckpt @3
+    // no cleanupLog ran: JSONs 0..3 all present, full replay covers
+    // everything ckpt@2 could seed — it is safe garbage
+    assert(PortableDelta.cleanupCheckpoints(spark, path) >= 1)
+    assert(PortableDelta.readTable(spark, path, versionAsOf = 2L).count() == 3L)
+    assert(PortableDelta.readTable(spark, path).count() == 4L)
+  }
+}
