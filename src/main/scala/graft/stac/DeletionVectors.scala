@@ -257,6 +257,42 @@ object DeletionVectors {
     (z85Encode(bb.array()), slots.result())
   }
 
+  /** Incremental pack writer — the EXECUTOR-side counterpart of
+    * [[writeDvPack]] (identical on-disk layout, blobs appended one at a
+    * time): each shuffle partition of a distributed DELETE/UPDATE/MERGE
+    * streams its touched files' bitmaps into ITS OWN shard pack, so
+    * bitmap bytes never transit the driver. The file is created lazily
+    * on the first blob — an all-full-deaths partition writes nothing. */
+  final class DvPackWriter(conf: Configuration, tablePath: String) {
+    private val uuid = java.util.UUID.randomUUID()
+    private val p = new Path(tablePath, s"deletion_vector_$uuid.bin")
+    private var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    private var pos = 1
+    /** The shared `pathOrInlineDv` ("u" storage) of this shard. */
+    val pathOrInlineDv: String = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(uuid.getMostSignificantBits)
+      bb.putLong(uuid.getLeastSignificantBits)
+      z85Encode(bb.array())
+    }
+    /** Append one serialized bitmap; returns its (offset, sizeInBytes). */
+    def append(data: Array[Byte]): (Int, Int) = {
+      if (out == null) {
+        out = p.getFileSystem(conf).create(p, false)
+        out.writeByte(1)          // format version
+      }
+      val slot = (pos, data.length)
+      out.writeInt(data.length)   // big-endian length
+      out.write(data)
+      val c = new java.util.zip.CRC32()
+      c.update(data)
+      out.writeInt(c.getValue.toInt)
+      pos += 4 + data.length + 4
+      slot
+    }
+    def close(): Unit = if (out != null) { out.close(); out = null }
+  }
+
   /** Inline descriptor fields for `rowIndexes`: (z85 data, sizeInBytes,
     * cardinality). The encoded bytes are zero-padded to the Z85 quantum;
     * `sizeInBytes` is the TRUE serialized length. */

@@ -776,13 +776,20 @@ object PortableDelta {
                           applyDvs: Boolean): DataFrame =
     buildScan(spark, path, snap, withPos = true, applyDvs = applyDvs)
 
+  /** One touched file's outcome from the executor-side DV build: the
+    * merged-bitmap cardinalities plus, for survivors, the shard pack +
+    * slot its bitmap landed in (`packPath` empty = full-file death).
+    * Bitmap BYTES never leave the executors — only these descriptor
+    * rows do, O(touched files), the same order as the commit JSON. */
+  private[stac] final case class DvShardRow(fileKey: String, packPath: String,
+      offset: Int, size: Int, newCard: Long, oldCard: Long)
+
   /** The assembled DV half of a row-mutation commit: remove/re-add (or
     * remove-only) actions, counters, and the staged-pack withdraw hook
     * for callers whose commit later aborts. */
   private final class DvParts(
       val newlyDeleted: Long, val dvFiles: Int, val removedFiles: Int,
-      gone: Seq[AddFile], kept: Seq[(AddFile, Long)],
-      packPath: String, slots: Seq[(Int, Int)],
+      gone: Seq[AddFile], kept: Seq[(AddFile, DvShardRow)],
       path: String, conf: Configuration) {
     def actions(now: Long): Seq[JsonNode] = {
       val out = Seq.newBuilder[JsonNode]
@@ -790,7 +797,7 @@ object PortableDelta {
       // remove BEFORE the re-stating add: both this module's sequential
       // replay (last action per path wins) and spec reconciliation
       // (distinct (path, dvId) pairs) resolve to the new add
-      kept.zip(slots).foreach { case ((f, card), (off, len)) =>
+      kept.foreach { case (f, e) =>
         out += removeActionNode(f, now, dataChange = true)
         val r = mapper.createObjectNode()
         val b = r.putObject("add")
@@ -803,29 +810,42 @@ object PortableDelta {
         // (a DV only hides rows; it can't widen min/max)
         f.stats.foreach(b.put("stats", _))
         val n = b.putObject("deletionVector")
-        n.put("storageType", "u"); n.put("pathOrInlineDv", packPath)
-        n.put("offset", off); n.put("sizeInBytes", len); n.put("cardinality", card)
+        n.put("storageType", "u"); n.put("pathOrInlineDv", e.packPath)
+        n.put("offset", e.offset); n.put("sizeInBytes", e.size)
+        n.put("cardinality", e.newCard)
         out += r
       }
       out.result()
     }
-    def dropPack(): Unit = if (kept.nonEmpty) {
-      val fs = new Path(path).getFileSystem(conf)
-      try { fs.delete(DeletionVectors.dvFilePath(path, packPath), false); () }
-      catch { case _: java.io.IOException => () }
+    def dropPack(): Unit = {
+      val packs = kept.map(_._2.packPath).distinct
+      if (packs.nonEmpty) {
+        val fs = new Path(path).getFileSystem(conf)
+        packs.foreach { pp =>
+          try { fs.delete(DeletionVectors.dvFilePath(path, pp), false); () }
+          catch { case _: java.io.IOException => () }
+        }
+      }
     }
   }
 
-  /** Distributed core of every DV row-death commit (DELETE, MERGE):
-    * `dead` is a frame of (file name, row index) positions to kill.
-    * Positions aggregate into a compressed roaring bitmap PER FILE on
-    * executors (`mapGroups` streams the iterator — task memory is the
-    * compressed bitmap, KBs per millions of dead rows, never a row
-    * list); only (fileName, bitmap, cardinality) reaches the driver —
-    * O(touched files), the same order as the commit JSON itself. Prior
-    * DVs union in; full-file deaths (bitmap == footer row count) become
-    * plain removes; surviving bitmaps ship in ONE offset-addressed pack
-    * file. Returns None when no row newly dies (nothing staged). */
+  /** Distributed core of every DV row-death commit (DELETE, UPDATE,
+    * MERGE): `dead` is a frame of (file name, row index) positions to
+    * kill. Positions aggregate into a compressed roaring bitmap PER
+    * FILE on executors (`mapGroups` streams the iterator — task memory
+    * is the compressed bitmap, KBs per millions of dead rows, never a
+    * row list); the same tasks then merge each file's prior DV, read
+    * its footer row count, and append surviving bitmaps to a PER-
+    * PARTITION shard of the commit's DV pack
+    * ([[DeletionVectors.DvPackWriter]]). Only O(touched files)
+    * descriptor rows — never bitmap bytes — reach the driver, and pack
+    * I/O parallelism tracks the shuffle partitioning (AQE coalesces a
+    * surgical delete to one shard; a predicate killing rows in millions
+    * of files keeps many, written concurrently). A failed/raced task
+    * attempt can orphan a shard file; orphans are unreferenced by any
+    * add and reclaimed by [[vacuum]]. Full-file deaths (bitmap ==
+    * footer row count) become plain removes. Returns None when no row
+    * newly dies (nothing staged). */
   private def dvDeathParts(spark: SparkSession, path: String, snap: Snapshot,
                            dead: DataFrame): Option[DvParts] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -834,7 +854,10 @@ object PortableDelta {
     // clone paths aren't what the scan reports)
     val byName = filesByLogKey(snap.files, snap.partitionColumns.size + 1)
     val s2 = spark; import s2.implicits._
-    val perFile: Array[(String, Array[Byte], Long)] = dead
+    val confW = new org.apache.spark.SerializableWritable(conf)
+    val byNameB = spark.sparkContext.broadcast(byName)
+    val tablePath = path
+    val entries: Array[DvShardRow] = dead
       .toDF("f", "i")
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -843,33 +866,43 @@ object PortableDelta {
         it.foreach(t => b.add(t._2))
         (f, b.serialize(), b.cardinality)
       }
+      .mapPartitions { it =>
+        val c = confW.value
+        val files = byNameB.value
+        val writer = new DeletionVectors.DvPackWriter(c, tablePath)
+        val rows = Seq.newBuilder[DvShardRow]
+        try it.foreach { case (name, bytes, _) =>
+          val f = files.getOrElse(name,
+            throw new IllegalStateException(s"scan surfaced unknown file $name"))
+          val b = new DeletionVectors.DvBuilder
+          b.or(DeletionVectors.deserialize(bytes))
+          val oldCard = f.dv.map { d =>
+            val dv = DeletionVectors.load(c, tablePath, d.storageType,
+              d.pathOrInlineDv, d.offset, d.sizeInBytes)
+            b.or(dv); dv.cardinality
+          }.getOrElse(0L)
+          val newCard = b.cardinality
+          if (newCard > oldCard) { // zero growth = every position already dead
+            val physRows = parquetRowCount(c, resolvedDataPath(tablePath, f.path))
+            if (newCard == physRows)
+              rows += DvShardRow(name, "", 0, 0, newCard, oldCard)
+            else {
+              val (off, len) = writer.append(b.serialize())
+              rows += DvShardRow(name, writer.pathOrInlineDv, off, len,
+                newCard, oldCard)
+            }
+          }
+        } finally writer.close()
+        rows.result().iterator
+      }
       .collect()
-    if (perFile.isEmpty) return None
-
-    // merge previously-committed DVs and split full-file deaths (file
-    // row counts come from parquet footers — metadata reads for the
-    // touched files only)
-    val prepared = perFile.toSeq.sortBy(_._1).map { case (name, bytes, _) =>
-      val f = byName.getOrElse(name,
-        throw new IllegalStateException(s"scan surfaced unknown file $name"))
-      val b = new DeletionVectors.DvBuilder
-      b.or(DeletionVectors.deserialize(bytes))
-      val oldCard = f.dv.map { d =>
-        val dv = DeletionVectors.load(conf, path, d.storageType,
-          d.pathOrInlineDv, d.offset, d.sizeInBytes)
-        b.or(dv); dv.cardinality
-      }.getOrElse(0L)
-      val physRows = parquetRowCount(conf, resolvedDataPath(path, f.path))
-      (f, b.serialize(), b.cardinality, oldCard, physRows)
-    }
-    val newlyDeleted = prepared.map(p => p._3 - p._4).sum
-    if (newlyDeleted == 0) return None
-    val (gone, kept) = prepared.partition(p => p._3 == p._5)
-    val (packPath, slots) =
-      if (kept.isEmpty) ("", Seq.empty[(Int, Int)])
-      else DeletionVectors.writeDvPack(conf, path, kept.map(_._2))
-    Some(new DvParts(newlyDeleted, kept.size, gone.size,
-      gone.map(_._1), kept.map(p => (p._1, p._3)), packPath, slots, path, conf))
+    if (entries.isEmpty) return None
+    val newlyDeleted = entries.map(e => e.newCard - e.oldCard).sum
+    val (goneE, keptE) = entries.toSeq.sortBy(_.fileKey)
+      .partition(_.packPath.isEmpty)
+    Some(new DvParts(newlyDeleted, keptE.size, goneE.size,
+      goneE.map(e => byName(e.fileKey)),
+      keptE.map(e => (byName(e.fileKey), e)), path, conf))
   }
 
   /** Change Data Feed: reconstruct ROW-LEVEL changes for versions

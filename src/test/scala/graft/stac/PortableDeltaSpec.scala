@@ -1022,4 +1022,49 @@ class PortableDeltaSpec extends AnyFunSuite {
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("many-file DELETE writes the DV pack from executors, in shards") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    // pin the shuffle partitioning (AQE would coalesce this toy input to
+    // one partition — at real scale many partitions survive, and each
+    // must write its OWN pack shard; no bitmap bytes transit the driver)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      PortableDelta.write(
+        (0L until 1200L).map(i => (i, s"doc $i")).toDF("id", "body")
+          .repartition(12), path)
+      assert(PortableDelta.snapshot(spark, path).files.size == 12)
+      val st = PortableDelta.delete(spark, path, col("id") % 2L === 0L)
+      assert(st.deletedRows == 600 && st.dvFiles == 12 && st.removedFiles == 0,
+        s"unexpected $st")
+      val snap = PortableDelta.snapshot(spark, path)
+      // every file carries a DV, and the pack was written in >1 shard —
+      // the executor-parallel shape (one shard per shuffle partition)
+      assert(snap.files.forall(_.dv.isDefined))
+      val shardIds = snap.files.flatMap(_.dv).map(_.pathOrInlineDv).distinct
+      assert(shardIds.size > 1,
+        s"expected multiple pack shards, got ${shardIds.size}")
+      val packsOnDisk = new java.io.File(path).listFiles()
+        .count(_.getName.startsWith("deletion_vector_"))
+      assert(packsOnDisk == shardIds.size,
+        s"$packsOnDisk pack files vs ${shardIds.size} referenced shards")
+      assert(PortableDelta.readTable(spark, path)
+        .select(col("id")).collect().map(_.getLong(0)).toSet ==
+        (0L until 1200L).filter(_ % 2 != 0).toSet)
+      // a second delete unions across the sharded DVs
+      val st2 = PortableDelta.delete(spark, path, col("id") < 100L)
+      assert(st2.deletedRows == 50, s"unexpected $st2")
+      assert(PortableDelta.readTable(spark, path)
+        .select(col("id")).collect().map(_.getLong(0)).toSet ==
+        (100L until 1200L).filter(_ % 2 != 0).toSet)
+    } finally {
+      prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
+    }
+  }
 }
