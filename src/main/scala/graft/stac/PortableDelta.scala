@@ -1083,7 +1083,19 @@ object PortableDelta {
       val tsByV: Map[Long, Long] = history(conf, path)
         .filter(h => h._1 >= fromVersion && h._1 <= toVersion)
         .map(h => h._1 -> h._3).toMap
-      all.reduce(_ unionByName _)
+      // Lineage-bounded assembly: one union plan over THOUSANDS of
+      // version pieces makes the ANALYZER the cost (Catalyst re-walks
+      // the whole tree per downstream action — the d16 lesson applied
+      // to CDF). Chunk the pieces and truncate SQL lineage per chunk
+      // (createDataFrame over the chunk's RDD), so plan size stays
+      // O(versions / chunk + chunk) however long the range is; work
+      // per version stays bounded by that commit's changed files.
+      val chunked = all.grouped(32).map { chunk =>
+        val u = chunk.reduce(_ unionByName _)
+        if (chunk.size == 1) u
+        else spark.createDataFrame(u.rdd, u.schema)
+      }.toSeq
+      chunked.reduce(_ unionByName _)
         .withColumn("_commit_timestamp",
           (element_at(typedLit(tsByV), col("_commit_version")) / 1000L)
             .cast("timestamp"))

@@ -240,4 +240,54 @@ class CdfSpec extends AnyFunSuite {
       new java.io.File(s"$path/_delta_log/${"%020d".format(v)}.json"), "UTF-8")
       .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
   }
+
+  test("a several-hundred-commit range reads with bounded plan lineage") {
+    // 300 commits synthesized straight into the log (a Spark write per
+    // commit would dominate the test): one real parquet file added per
+    // version. Without the chunked lineage truncation the union PLAN
+    // itself becomes the cost across a range like this (the d16
+    // analyzer lesson applied to CDF).
+    val path = tmp()
+    val s = spark; import s.implicits._
+    val n = 300
+    PortableDelta.write(rows(Seq(-1L), "seed").coalesce(1), path)       // v0
+    val staging =
+      java.nio.file.Files.createTempDirectory("pcdf-stage").toString + "/p"
+    (0L until (n - 1).toLong).map(i => (i, s"c$i")).toDF("id", "tag")
+      .repartition(n - 1).write.parquet(staging) // round-robin: 1 row/file
+    val parts = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    // round-robin leaves some target partitions empty — what matters is
+    // a several-hundred-commit range, one real file per commit
+    assert(parts.length > 150, s"need a long range, got ${parts.length} files")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dest = new java.io.File(path, s"synced-$i.parquet")
+      java.nio.file.Files.move(f.toPath, dest.toPath)
+      val ci = mapper.createObjectNode()
+      val c = ci.putObject("commitInfo")
+      c.put("timestamp", 1700000000000L + i); c.put("operation", "WRITE")
+      val addN = mapper.createObjectNode()
+      val a = addN.putObject("add")
+      a.put("path", dest.getName); a.putObject("partitionValues")
+      a.put("size", dest.length); a.put("modificationTime", dest.lastModified)
+      a.put("dataChange", true)
+      val out = new java.io.FileOutputStream(
+        new java.io.File(s"$path/_delta_log/${"%020d".format(i + 1L)}.json"))
+      try out.write((mapper.writeValueAsString(ci) + "\n" +
+        mapper.writeValueAsString(addN) + "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    val nv = parts.length + 1 // synthesized commits + the seed
+    val ch = PortableDelta.readChanges(spark, path, 0L, parts.length.toLong)
+    val got = ch.groupBy(col("_commit_version"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == nv, s"expected $nv versions with changes, got ${got.size}")
+    assert(got.forall { case (_, c) => c >= 1 }, "every version contributes")
+    assert(ch.count() == n.toLong, "every data row + the seed appears once")
+    assert(ch.select(col("_change_type")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("insert"))
+  }
 }
