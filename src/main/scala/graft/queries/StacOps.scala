@@ -2268,9 +2268,15 @@ object StacOps {
         val atTs = PortableDelta.readTableAtTimestamp(s, out, tsV4 - 1)
         require(atTs.count() == ckptRows,
           "timestampAsOf before the tail commit must equal the checkpointed state")
-        // second v2 checkpoint supersedes the first; GC reclaims the old
-        // UUID file + its sidecars while the current layout keeps serving
+        // second v2 checkpoint supersedes the first. GC order matters:
+        // while JSON v4 survives, ckpt@3 still seeds version 3 (the
+        // reconstructability guard retains it); after cleanupLog
+        // truncates the tail, the superseded UUID file + its sidecars
+        // are genuinely garbage and reclaim
         PortableDelta.checkpointV2(s, out, addsPerSidecar = 4)   // at v4
+        require(PortableDelta.cleanupCheckpoints(s, out) == 0,
+          "ckpt@3 must be retained while it still seeds version 3")
+        PortableDelta.cleanupLog(conf, out)
         require(PortableDelta.cleanupCheckpoints(s, out) >= 2,
           "superseded checkpoint artifacts must be reclaimed")
         require(new java.io.File(log, "_sidecars").listFiles()
@@ -2284,6 +2290,86 @@ object StacOps {
             col("cents_sum"), lit(true).as("v2_ok"))
         agged(0L, ckptState).unionByName(agged(1L, PortableDelta.readTable(s, out)))
           .orderBy(col("stage"))
+      },
+      timed = false),
+
+    // ----- Delta column-mapping WRITE: RENAME/DROP COLUMN as metadata -----
+    // The schema-surgery verbs external mapped tables are maintained
+    // with (delta-spark's ALTER TABLE RENAME/DROP COLUMN): both are
+    // METADATA-ONLY commits — no parquet byte moves at any table size,
+    // because the field keeps its delta.columnMapping.physicalName and
+    // every existing file (and cdc file) keeps resolving. The gate
+    // renames, appends under the new logical name (parquet staged with
+    // PHYSICAL names — asserted on the raw bytes), drops a column,
+    // updates through the renamed schema, survives checkpoint+cleanup,
+    // and value-checks the final logical state against DuckDB over the
+    // source rows.
+    QuerySpec(
+      "stac38_delta_column_mapping",
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        )
+        SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS mapped_ok
+        FROM base GROUP BY 1 ORDER BY bucket"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+        val out = java.nio.file.Files.createTempDirectory("stac38").toString + "/tbl"
+        val conf = s.sessionState.newHadoopConf()
+        def slice(r: Int) = orders.filter(col("o_orderkey") % 3 === r)
+          .select(col("o_orderkey").as("okey"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("total"))
+          .repartition(4)
+        PortableDelta.write(slice(0), out)                          // v0
+        val bytesBefore = new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.length).toMap
+        PortableDelta.renameColumn(s, out, "total", "price")        // v1
+        require(new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.length).toMap == bytesBefore,
+          "RENAME COLUMN must move zero parquet bytes")
+        PortableDelta.write(slice(1).withColumnRenamed("total", "price"),
+          out, mode = "append")                                     // v2
+        val newFiles = new java.io.File(out).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") &&
+            !bytesBefore.contains(f.getName))
+        require(newFiles.nonEmpty, "append must stage new files")
+        val rawCols = s.read.parquet(newFiles.head.toString).columns.toSet
+        require(rawCols == Set("okey", "status", "total"),
+          s"post-rename appends must carry PHYSICAL names, got $rawCols")
+        PortableDelta.dropColumn(s, out, "status")                  // v3
+        val us = PortableDelta.update(s, out, col("okey") % 7 === 0,
+          Map("price" -> (col("price") * 2)))                       // v4
+        require(us.updatedRows > 0, "gate needs the update to bite")
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.configuration.get(PortableDelta.ColumnMappingModeProp)
+          .contains("name"), "rename must enable column mapping")
+        require(snap.schema.fieldNames.toSeq == Seq("okey", "price"),
+          s"logical schema after surgery, got ${snap.schema.fieldNames.toSeq}")
+        require(snap.readerFeatures.contains("columnMapping") &&
+          snap.writerFeatures.contains("columnMapping"),
+          "columnMapping must be declared on both protocol sides")
+        // the mapped state survives checkpoint + log truncation
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.cleanupLog(conf, out)
+        PortableDelta.readTable(s, out)
+          .groupBy((col("okey") % 5).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("okey")).as("key_sum"),
+            sum(floor(col("price") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("mapped_ok", lit(true))
+          .orderBy(col("bucket"))
       },
       timed = false)
   )

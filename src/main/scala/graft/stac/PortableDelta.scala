@@ -174,13 +174,17 @@ object PortableDelta {
         p.partitionColumns
       case _ => partitionBy
     }
-    val (added, cleanupMoved) = stageAndMove(df, path, footerKv, conf, effPartitionBy)
+    val physFor0 = if (mappedCfg(cCfg0)) Some(cSch0) else None
+    val (added, cleanupMoved) =
+      stageAndMove(df, path, footerKv, conf, effPartitionBy, physFor0)
 
     // per-file column stats from the just-written parquet footers —
     // metadata-only reads sharded over executors; committed on the add
     // actions so readers skip files by min/max without opening them
+    // (keyed by PHYSICAL names on mapped tables, per spec)
     val statsByName: Map[String, String] = DeltaStats.collectFileStats(
-      df.sparkSession, path, added.map(_.relPath), df.schema)
+      df.sparkSession, path, added.map(_.relPath),
+      physFor0.map(physSchemaOf).getOrElse(df.schema))
 
     // Optimistic-concurrency commit loop: build the action list against
     // the CURRENT snapshot, attempt the put-if-absent rename, and on a
@@ -327,7 +331,8 @@ object PortableDelta {
 
   private def stageAndMove(df: DataFrame, path: String,
                            footerKv: Map[String, String], conf: Configuration,
-                           partitionBy: Seq[String] = Nil)
+                           partitionBy: Seq[String] = Nil,
+                           physFor: Option[StructType] = None)
       : (Seq[StagedFile], () => Unit) = {
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(conf)
@@ -337,10 +342,16 @@ object PortableDelta {
       try fs.delete(p, false)
       catch { case _: java.io.IOException => () } // best-effort
     }
+    // column-mapped tables store PHYSICAL names in the parquet bytes
+    // (and hive dirs / partitionValues key by them)
+    val (dfW, pbW) = physFor match {
+      case Some(ts) => toPhysical(df, ts, partitionBy)
+      case None => (df, partitionBy)
+    }
     val added: Seq[StagedFile] =
       try {
-        val w0 = df.write.mode("append")
-        val w = if (partitionBy.isEmpty) w0 else w0.partitionBy(partitionBy: _*)
+        val w0 = dfW.write.mode("append")
+        val w = if (pbW.isEmpty) w0 else w0.partitionBy(pbW: _*)
         val writer =
           if (footerKv.isEmpty) w.format("parquet")
           else footerKv.foldLeft(w.format("geoparquet")) { case (b, (k, v)) =>
@@ -663,7 +674,8 @@ object PortableDelta {
                 scanWithPos(spark, path, snap, applyDvs = true)
                   .filter(condition).drop(PosFileCol, PosIdxCol)
                   .withColumn("_change_type",
-                    org.apache.spark.sql.functions.lit("delete")))
+                    org.apache.spark.sql.functions.lit("delete")),
+                if (mappedCfg(snap.configuration)) Some(snap.schema) else None)
             else (Seq.empty[JsonNode], () => ())
           actions ++= cdcActs
           try {
@@ -709,16 +721,35 @@ object PortableDelta {
     * cdc parquet (with empty partitionValues) — readable by this
     * module's reader and by engines that project the file schema.
     * `dataChange=false`: cdc files never contribute to table state, so
-    * a reader that ignores unknown actions stays correct. */
+    * a reader that ignores unknown actions stays correct. On column-
+    * mapped tables the cdc parquet carries PHYSICAL names (plus
+    * `_change_type`), same as the data files. */
   private def writeCdcActions(spark: SparkSession, path: String,
-                              changes: DataFrame): (Seq[JsonNode], () => Unit) = {
+                              changes: DataFrame,
+                              physFor: Option[StructType] = None)
+      : (Seq[JsonNode], () => Unit) = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val cdcDir = new Path(root, "_change_data")
     fs.mkdirs(cdcDir)
     val tmp = new Path(root, s".cdc-tmp-${java.util.UUID.randomUUID()}")
-    changes.write.mode("overwrite").parquet(tmp.toString)
+    val changesW = physFor match {
+      case Some(ts) =>
+        val byName = ts.fields.map(f => f.name -> f).toMap
+        val cols = changes.schema.fields.toSeq.map { c =>
+          if (c.name == "_change_type")
+            org.apache.spark.sql.functions.col(c.name)
+          else {
+            val f = byName(c.name)
+            org.apache.spark.sql.functions.col(c.name)
+              .cast(physDataType(f.dataType)).as(physFieldName(f))
+          }
+        }
+        changes.select(cols: _*)
+      case None => changes
+    }
+    changesW.write.mode("overwrite").parquet(tmp.toString)
     val parts = fs.listStatus(tmp).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
       .sortBy(_.getName)
@@ -990,13 +1021,20 @@ object PortableDelta {
           var df = spark.read.parquet(file)
           require(df.columns.contains("_change_type"),
             s"cdc file $file of $path carries no _change_type column")
-          // partition columns live in the action, not the parquet bytes
+          // cdc parquet carries PHYSICAL names on mapped tables (the
+          // physicalName is preserved through renames, so pre-rename cdc
+          // files keep resolving); partition columns live in the action,
+          // not the parquet bytes — physical-keyed under mapping, with
+          // logical-keyed tolerance for plainer writers
           endSnap.schema.fields.foreach { f =>
-            if (!df.columns.contains(f.name) && pv.contains(f.name))
-              df = df.withColumn(f.name, lit(pv(f.name)).cast(f.dataType))
+            val pn = physFieldName(f)
+            if (!df.columns.contains(pn) &&
+                (pv.contains(pn) || pv.contains(f.name)))
+              df = df.withColumn(pn,
+                lit(pv.get(pn).orElse(pv.get(f.name)).orNull).cast(f.dataType))
           }
           df.select(endSnap.schema.fields.toSeq.map(f =>
-            col(f.name).cast(f.dataType).as(f.name)) :+
+            col(physFieldName(f)).cast(f.dataType).as(f.name)) :+
             col("_change_type").cast("string").as("_change_type"): _*)
         }
         pieces += cdcParts.reduce(_ unionByName _)
@@ -1238,13 +1276,17 @@ object PortableDelta {
           try appendDf.foreach(d => enforceConstraints(d, prior.schema,
             prior.configuration, s"MERGE into $path"))
           catch { case t: Throwable => parts.foreach(_.dropPack()); throw t }
+          val physM =
+            if (mappedCfg(prior.configuration)) Some(prior.schema) else None
           val (added, cleanupMoved) = appendDf match {
             case Some(df) =>
-              stageAndMove(df, path, footerKv, conf, prior.partitionColumns)
+              stageAndMove(df, path, footerKv, conf, prior.partitionColumns,
+                physM)
             case None => (Seq.empty[StagedFile], () => ())
           }
           val statsByName = DeltaStats.collectFileStats(
-            spark, path, added.map(_.relPath), prior.schema)
+            spark, path, added.map(_.relPath),
+            physM.map(physSchemaOf).getOrElse(prior.schema))
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
           actions += commitInfo(now, "MERGE")
@@ -1288,7 +1330,8 @@ object PortableDelta {
                   Some(unmatchedSrc.withColumn("_change_type", lit("insert")))
                 else None
               writeCdcActions(spark, path,
-                (pre.toSeq ++ post.toSeq ++ ins.toSeq).reduce(_ unionByName _))
+                (pre.toSeq ++ post.toSeq ++ ins.toSeq).reduce(_ unionByName _),
+                physM)
             } else (Seq.empty[JsonNode], () => ())
           actions ++= cdcActs
           try {
@@ -1380,10 +1423,12 @@ object PortableDelta {
         try enforceConstraints(newRows, snap.schema, snap.configuration,
           s"UPDATE on $path")
         catch { case t: Throwable => parts.get.dropPack(); throw t }
-        val (added, cleanupMoved) =
-          stageAndMove(newRows, path, footerKv, conf, snap.partitionColumns)
+        val physU = if (mappedCfg(snap.configuration)) Some(snap.schema) else None
+        val (added, cleanupMoved) = stageAndMove(newRows, path, footerKv, conf,
+          snap.partitionColumns, physU)
         val statsByName = DeltaStats.collectFileStats(
-          spark, path, added.map(_.relPath), snap.schema)
+          spark, path, added.map(_.relPath),
+          physU.map(physSchemaOf).getOrElse(snap.schema))
         val now = System.currentTimeMillis()
         val actions = Seq.newBuilder[JsonNode]
         actions += commitInfo(now, "UPDATE")
@@ -1412,7 +1457,8 @@ object PortableDelta {
               matched.drop(PosFileCol, PosIdxCol)
                 .withColumn("_change_type", lit("update_preimage"))
                 .unionByName(newRows
-                  .withColumn("_change_type", lit("update_postimage"))))
+                  .withColumn("_change_type", lit("update_postimage"))),
+              physU)
           } else (Seq.empty[JsonNode], () => ())
         actions ++= cdcActs
         try {
@@ -1789,6 +1835,148 @@ object PortableDelta {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Stamp every unstamped field (incl. nested struct fields) with a
+    * fresh `delta.columnMapping.id` and a `physicalName` equal to its
+    * CURRENT name — the enable-on-existing-table convention: prior
+    * parquet keeps resolving by name, and later renames touch only the
+    * LOGICAL name. Returns (stamped schema, new max column id). */
+  private def stampMapping(schema: StructType, startId: Long): (StructType, Long) = {
+    var id = startId
+    def stampType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(stampField))
+      case org.apache.spark.sql.types.ArrayType(e, n) =>
+        org.apache.spark.sql.types.ArrayType(stampType(e), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(stampType(k), stampType(v), n)
+      case other => other
+    }
+    def stampField(f: StructField): StructField = {
+      val dt = stampType(f.dataType)
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.copy(dataType = dt)
+      else {
+        id += 1
+        val m = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .build()
+        f.copy(dataType = dt, metadata = m)
+      }
+    }
+    (StructType(schema.fields.map(stampField)), id)
+  }
+
+  /** Refuse schema surgery on a column a CHECK constraint references —
+    * the rename/drop would silently invalidate the constraint for
+    * every later writer (Delta blocks this the same way). Word-bounded
+    * match, case-insensitive (SQL identifiers). */
+  private def guardConstraintRefs(cfg: Map[String, String], colName: String,
+                                  what: String): Unit = {
+    val re = ("(^|[^a-z0-9_])" +
+      java.util.regex.Pattern.quote(colName.toLowerCase) +
+      "($|[^a-z0-9_])").r
+    cfg.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      if (k.startsWith(ConstraintPrefix))
+        require(re.findFirstIn(v.toLowerCase).isEmpty,
+          s"cannot $what column $colName: CHECK constraint " +
+            s"${k.stripPrefix(ConstraintPrefix)} ($v) references it — " +
+            "drop the constraint first")
+    }
+  }
+
+  /** Shared commit loop of the column-mapping schema surgeries: enable
+    * mapping if the table doesn't carry it yet (stamping ids/physical
+    * names, declaring the `columnMapping` feature on BOTH protocol
+    * sides), apply `transform` to (schema, partitionColumns), commit
+    * the re-stated metaData with optimistic-concurrency retries. */
+  private def alterMapping(spark: SparkSession, path: String, op: String,
+      maxRetries: Int)(
+      transform: (StructType, Seq[String], Map[String, String]) =>
+        (StructType, Seq[String])): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      val (stamped, cfg) =
+        if (mappedCfg(snap.configuration)) (snap.schema, snap.configuration)
+        else {
+          val maxId0 = snap.configuration.get(MaxColumnIdProp)
+            .map(_.toLong).getOrElse(0L)
+          val (s2, maxId) = stampMapping(snap.schema, maxId0)
+          (s2, snap.configuration +
+            (ColumnMappingModeProp -> "name") +
+            (MaxColumnIdProp -> maxId.toString))
+        }
+      val (newSchema, newPartCols) =
+        transform(stamped, snap.partitionColumns, cfg)
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, op)
+      featureUpgradeAction(snap, Seq("columnMapping"), Seq("columnMapping"))
+        .foreach(actions += _)
+      actions += metaDataAction(snap.tableId, newSchema, cfg, now, newPartCols)
+      try {
+        commit(conf, path, snap.version + 1, actions.result(), cfg)
+        return snap.version + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"$op on $path lost the commit race $attempt times " +
+                s"(last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — the column-mapping WRITE side
+    * (read interop landed first; this is its producing half). A
+    * metadata-only commit: no parquet byte moves, the field keeps its
+    * `delta.columnMapping.physicalName` (and id) so every existing
+    * file — and every existing cdc file — keeps resolving; only the
+    * LOGICAL name in schemaString changes. A table not yet on column
+    * mapping is upgraded in the same commit (mode=name, ids + physical
+    * names stamped, `columnMapping` feature declared both sides).
+    * Partition columns rename consistently (old adds' partitionValues
+    * stay keyed by the physical name, which the reader resolves).
+    * Appends/UPDATE/MERGE/OPTIMIZE after the rename stage parquet
+    * under PHYSICAL names — what external mapped readers expect.
+    * Reference scope: stac-geoparquet has no schema-surgery surface;
+    * this mirrors delta-spark's `ALTER TABLE RENAME COLUMN`. */
+  def renameColumn(spark: SparkSession, path: String,
+                   oldName: String, newName: String,
+                   maxRetries: Int = 10): Long =
+    alterMapping(spark, path, s"RENAME COLUMN ($oldName TO $newName)",
+      maxRetries) { (schema, partCols, cfg) =>
+      require(schema.fieldNames.contains(oldName),
+        s"no column $oldName in ${schema.fieldNames.mkString("[", ", ", "]")}")
+      require(!schema.fieldNames.contains(newName),
+        s"column $newName already exists")
+      guardConstraintRefs(cfg, oldName, "rename")
+      (StructType(schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f)),
+        partCols.map(c => if (c == oldName) newName else c))
+    }
+
+  /** ALTER TABLE ... DROP COLUMN — metadata-only under column mapping:
+    * the field leaves schemaString, its bytes stay in the parquet
+    * files (ignored by every mapped reader); time travel to pre-drop
+    * versions still reads it. Same auto-upgrade as [[renameColumn]]. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+                 maxRetries: Int = 10): Long =
+    alterMapping(spark, path, s"DROP COLUMN ($name)", maxRetries) {
+      (schema, partCols, cfg) =>
+        require(schema.fieldNames.contains(name),
+          s"no column $name in ${schema.fieldNames.mkString("[", ", ", "]")}")
+        require(!partCols.contains(name),
+          s"cannot drop partition column $name")
+        require(schema.fields.length > 1, "cannot drop the last column")
+        guardConstraintRefs(cfg, name, "drop")
+        (StructType(schema.fields.filterNot(_.name == name)), partCols)
+    }
+
   /** Write-side data-quality gate: validate a batch against the table's
     * CHECK constraints (`delta.constraints.*`) and NOT NULL columns
     * (table schema `nullable = false` where the batch's own plan can't
@@ -1990,10 +2178,12 @@ object PortableDelta {
                             df: DataFrame, footerKv: Map[String, String],
                             op: String, maxRetries: Int): OptimizeStats = {
     val conf = spark.sessionState.newHadoopConf()
+    val physR = if (mappedCfg(snap0.configuration)) Some(snap0.schema) else None
     val (added, cleanupMoved) =
-      stageAndMove(df, path, footerKv, conf, snap0.partitionColumns)
+      stageAndMove(df, path, footerKv, conf, snap0.partitionColumns, physR)
     val statsByName = DeltaStats.collectFileStats(
-      spark, path, added.map(_.relPath), snap0.schema)
+      spark, path, added.map(_.relPath),
+      physR.map(physSchemaOf).getOrElse(snap0.schema))
     val victimPaths = victims.map(_.path).toSet
     var prior = snap0
     var attempt = 0
@@ -3262,6 +3452,37 @@ object PortableDelta {
       }
     } ++ batch.fields.filterNot(f => tNames.contains(f.name)).map(_.copy(nullable = true))
     StructType(merged)
+  }
+
+  /** `delta.columnMapping.mode` — "name"/"id" switches the table to
+    * physical column names in the parquet bytes. */
+  val ColumnMappingModeProp = "delta.columnMapping.mode"
+  private val MaxColumnIdProp = "delta.columnMapping.maxColumnId"
+  private def mappedCfg(cfg: Map[String, String]): Boolean =
+    cfg.get(ColumnMappingModeProp).exists(m => m == "name" || m == "id")
+
+  /** The PHYSICAL shape of a mapped table's schema — the names the
+    * parquet bytes (and their footer stats) carry. */
+  private def physSchemaOf(schema: StructType): StructType =
+    StructType(schema.fields.toSeq.map(f =>
+      StructField(physFieldName(f), physDataType(f.dataType), f.nullable)))
+
+  /** Project `df` (logical names) to the physical column names of
+    * `tableSchema` for staging into a column-mapped table; partition
+    * column names translate alongside. The positional struct cast
+    * renames nested fields — sound because the physical schema is a
+    * node-for-node rename of the logical one. */
+  private def toPhysical(df: DataFrame, tableSchema: StructType,
+                         partitionBy: Seq[String]): (DataFrame, Seq[String]) = {
+    val byName = tableSchema.fields.map(f => f.name -> f).toMap
+    val cols = df.schema.fields.toSeq.map { c =>
+      val f = byName.getOrElse(c.name, throw new IllegalArgumentException(
+        s"column ${c.name} not in the mapped table schema " +
+          s"${tableSchema.fieldNames.mkString("[", ", ", "]")}"))
+      org.apache.spark.sql.functions.col(c.name)
+        .cast(physDataType(f.dataType)).as(physFieldName(f))
+    }
+    (df.select(cols: _*), partitionBy.map(n => physFieldName(byName(n))))
   }
 
   /** A field's parquet-physical name under column mapping (falls back

@@ -137,4 +137,147 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("timestampNtz"), e.getMessage)
   }
+
+  // ---------- WRITE side: RENAME / DROP COLUMN ----------
+
+  test("RENAME COLUMN: metadata-only commit, physical appends, external shape") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write(
+      (0L until 6L).map(i => (i, s"d$i")).toDF("id", "body").coalesce(1), path)
+    val dataFilesBefore = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.length).toMap
+    val v = PortableDelta.renameColumn(spark, path, "id", "key")
+    assert(v == 1L)
+    // no parquet byte moved — the rename is pure metadata
+    assert(new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.length).toMap == dataFilesBefore)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.schema.fieldNames.toSeq == Seq("key", "body"))
+    assert(snap.configuration.get("delta.columnMapping.mode").contains("name"))
+    // physicalName preserved = the OLD name, so existing files resolve
+    val keyF = snap.schema.fields.find(_.name == "key").get
+    assert(keyF.metadata.getString("delta.columnMapping.physicalName") == "id")
+    assert(keyF.metadata.getLong("delta.columnMapping.id") >= 1L)
+    // externally-shaped: the commit declares columnMapping on BOTH sides
+    val proto = logLinesOf(path, 1L).filter(_.has("protocol")).map(_.get("protocol"))
+    assert(proto.size == 1)
+    import scala.jdk.CollectionConverters._
+    assert(proto.head.get("readerFeatures").elements().asScala.map(_.asText())
+      .contains("columnMapping"))
+    assert(proto.head.get("writerFeatures").elements().asScala.map(_.asText())
+      .contains("columnMapping"))
+    // reads project logical; appends stage PHYSICAL parquet
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("key")).collect().map(_.getLong(0)).toSet == (0L until 6L).toSet)
+    PortableDelta.write(
+      Seq((6L, "d6")).toDF("key", "body").coalesce(1), path, mode = "append")
+    val newFile = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .filterNot(f => dataFilesBefore.contains(f.getName))
+    assert(newFile.length == 1)
+    val rawCols = spark.read.parquet(newFile.head.toString).columns.toSeq
+    assert(rawCols == Seq("id", "body"),
+      s"appended parquet must carry PHYSICAL names, got $rawCols")
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("key")).collect().map(_.getLong(0)).toSet == (0L until 7L).toSet)
+    // DML after the rename: UPDATE stages physical row versions
+    PortableDelta.update(spark, path, col("key") === 3L,
+      Map("body" -> lit("patched")))
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("key"), col("body")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(3L) == "patched" && got(6L) == "d6" && got.size == 7)
+  }
+
+  test("DROP COLUMN hides data going forward; time travel still sees it") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write((0L until 4L).map(i => (i, s"d$i", s"t$i"))
+      .toDF("id", "body", "tag").coalesce(1), path)
+    PortableDelta.dropColumn(spark, path, "tag")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.schema.fieldNames.toSeq == Seq("id", "body"))
+    assert(PortableDelta.readTable(spark, path).columns.toSeq == Seq("id", "body"))
+    // bytes still in the files: pre-drop version reads the column
+    assert(PortableDelta.readTable(spark, path, versionAsOf = 0L)
+      .select(col("tag")).collect().map(_.getString(0)).toSet ==
+      (0L until 4L).map(i => s"t$i").toSet)
+    // appends no longer carry it
+    PortableDelta.write(Seq((9L, "d9")).toDF("id", "body").coalesce(1), path,
+      mode = "append")
+    assert(PortableDelta.readTable(spark, path).count() == 5L)
+    // guards: partition columns and constraint-referenced columns refuse
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.dropColumn(spark, path, "nope")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("rename of a partition column keeps layout, pruning, and DML working") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write(
+      (0L until 12L).map(i => (i, if (i % 2 == 0) "A" else "B", s"d$i"))
+        .toDF("id", "status", "body"),
+      path, partitionBy = Seq("status"))
+    PortableDelta.renameColumn(spark, path, "status", "state")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.partitionColumns == Seq("state"))
+    assert(PortableDelta.readTable(spark, path)
+      .where(col("state") === "A").count() == 6L)
+    // append after the rename: hive dirs keyed by PHYSICAL name (the
+    // original), consistent with the existing layout
+    PortableDelta.write(Seq((12L, "A", "d12")).toDF("id", "state", "body"),
+      path, mode = "append")
+    assert(new java.io.File(s"$path/status=A").exists(),
+      "hive layout keeps the physical dir name")
+    assert(PortableDelta.readTable(spark, path)
+      .where(col("state") === "A").count() == 7L)
+    // DELETE prunes and applies on the renamed partition column
+    val st = PortableDelta.delete(spark, path, col("state") === "B")
+    assert(st.deletedRows == 6L, s"unexpected $st")
+    assert(PortableDelta.readTable(spark, path).count() == 7L)
+  }
+
+  test("rename refuses a column referenced by a CHECK constraint") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write((0L until 3L).map(i => (i, i * 10.0))
+      .toDF("id", "v").coalesce(1), path)
+    PortableDelta.addCheckConstraint(spark, path, "v_cap", "v < 1000")
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.renameColumn(spark, path, "v", "value")
+    }
+    assert(e.getMessage.contains("v_cap"), e.getMessage)
+    // the non-referenced column renames fine
+    PortableDelta.renameColumn(spark, path, "id", "key")
+    assert(PortableDelta.snapshot(spark, path).schema.fieldNames.toSeq ==
+      Seq("key", "v"))
+  }
+
+  test("CDF on a renamed table: cdc files physical, feed reads logical") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write((0L until 6L).map(i => (i, s"d$i")).toDF("id", "body")
+      .coalesce(1), path, properties = Map(PortableDelta.CdfProp -> "true"))
+    PortableDelta.renameColumn(spark, path, "id", "key")                  // v1
+    PortableDelta.delete(spark, path, col("key") < 2L)                    // v2
+    // the cdc parquet carries the PHYSICAL column name
+    val cdc = new java.io.File(s"$path/_change_data").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(cdc.nonEmpty)
+    assert(spark.read.parquet(cdc.head.toString).columns.contains("id"),
+      "cdc bytes must be physically named on a mapped table")
+    val ch = PortableDelta.readChanges(spark, path, 2L, 2L)
+      .select(col("key"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((0L, "delete"), (1L, "delete")))
+  }
+
+  private def logLinesOf(path: String, v: Long) =
+    scala.io.Source.fromFile(
+      new java.io.File(s"$path/_delta_log/${"%020d".format(v)}.json"), "UTF-8")
+      .getLines().filter(_.nonEmpty).map(mapper.readTree).toSeq
 }
