@@ -1010,7 +1010,11 @@ object PortableDelta {
       // SKIP reconstruction; add/remove still advance the pre-state.
       val cdcs = nodes.filter(_.has("cdc")).map(_.get("cdc"))
       if (cdcs.nonEmpty) {
-        val cdcParts = cdcs.map { c =>
+        // ONE scan per distinct partitionValues tuple, not per cdc part
+        // file — a commit's change frame can stage dozens of parts, and
+        // a scan node each would put the analyzer back on the critical
+        // path (the same lesson as the chunked assembly below)
+        val byPv: Seq[(Map[String, String], Seq[String])] = cdcs.map { c =>
           val file = resolvedDataPath(path, c.get("path").asText()).toString
           val pv: Map[String, String] =
             Option(c.get("partitionValues")).filterNot(_.isNull)
@@ -1018,9 +1022,12 @@ object PortableDelta {
                 e.getKey -> (if (e.getValue.isNull) null
                              else e.getValue.asText())).toMap)
               .getOrElse(Map.empty)
-          var df = spark.read.parquet(file)
+          (pv, file)
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+        val cdcParts = byPv.map { case (pv, files) =>
+          var df = spark.read.parquet(files: _*)
           require(df.columns.contains("_change_type"),
-            s"cdc file $file of $path carries no _change_type column")
+            s"cdc files ${files.head}... of $path carry no _change_type column")
           // cdc parquet carries PHYSICAL names on mapped tables (the
           // physicalName is preserved through renames, so pre-rename cdc
           // files keep resolving); partition columns live in the action,
