@@ -51,22 +51,67 @@ object Cql2 {
 
   @transient private lazy val mapper = new ObjectMapper()
 
-  /** Parse a cql2-json document into a Spark predicate. */
-  def filter(cql2Json: String): Column = toColumn(mapper.readTree(cql2Json))
+  /** A function registry for OGC 21-065's "Functions" conformance
+    * class: lower-cased name → Column builder over the translated
+    * argument columns. */
+  type Functions = Map[String, Seq[Column] => Column]
+
+  /** Standard scalar functions shipped registered — the common set a
+    * server would advertise; callers extend per deployment via the
+    * `functions` parameter of [[filter]]/[[filterText]]. Every entry
+    * is a plain `org.apache.spark.sql.functions` composition, so the
+    * call stays codegen'd and pushdown-friendly. */
+  val StandardFunctions: Functions = Map(
+    "upper" -> (a => upper(a(0))),
+    "lower" -> (a => lower(a(0))),
+    "abs" -> (a => abs(a(0))),
+    "ceil" -> (a => ceil(a(0))),
+    "floor" -> (a => floor(a(0))),
+    "min" -> (a => least(a: _*)),
+    "max" -> (a => greatest(a: _*)))
+
+  /** Parse a cql2-json document into a Spark predicate. `functions`
+    * extends [[StandardFunctions]] for the spec's
+    * `{"function":{"name":…},"args":[…]}` call form (names matched
+    * case-insensitively; an unknown name fails BY NAME at parse time,
+    * never silently). */
+  def filter(cql2Json: String,
+             functions: Functions = Map.empty): Column = {
+    implicit val fns: Functions = effectiveFns(functions)
+    toColumn(mapper.readTree(cql2Json))
+  }
 
   /** Parse a cql2-TEXT document (OGC 21-065 text encoding — the STAC
     * API GET default) into a Spark predicate: [[Cql2Text]] parses to
     * the same AST the JSON path consumes, so both encodings share ONE
     * semantics (and one fuzz surface). */
-  def filterText(cql2Text: String): Column = toColumn(Cql2Text.parse(cql2Text))
+  def filterText(cql2Text: String,
+                 functions: Functions = Map.empty): Column = {
+    implicit val fns: Functions = effectiveFns(functions)
+    toColumn(Cql2Text.parse(cql2Text))
+  }
+
+  private def effectiveFns(user: Functions): Functions =
+    StandardFunctions ++ user.map { case (k, v) => k.toLowerCase -> v }
 
   /** cql2-text → cql2-json string — the bridge to every JSON-consuming
     * seam (pgstac `search_query()` delegation via
     * [[PgstacReader.readItems]]'s `cql2Json` argument, stored filters). */
   def textToJson(cql2Text: String): String = Cql2Text.parse(cql2Text).toString
 
-  private def toColumn(n: JsonNode): Column = {
-    if (n.isObject && n.has("op")) {
+  private def toColumn(n: JsonNode)(implicit fns: Functions): Column = {
+    if (n.isObject && n.has("function")) {
+      // OGC 21-065 functionRef: {"function": {"name": …, "args": […]}}
+      val f = n.get("function")
+      val name = f.get("name").asText
+      val builder = fns.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"unknown CQL2 function: $name (registered: " +
+            s"${fns.keys.toSeq.sorted.mkString(", ")})"))
+      val args = Option(f.get("args")).filterNot(_.isNull)
+        .map(_.elements().asScala.toIndexedSeq).getOrElse(IndexedSeq.empty)
+      builder(args.map(toColumn))
+    } else if (n.isObject && n.has("op")) {
       val op = n.get("op").asText
       val args = n.get("args").elements().asScala.toIndexedSeq
       op match {
@@ -237,7 +282,7 @@ object Cql2 {
     * timestamp/date string, a nested {"property"} reference (the
     * start_datetime/end_datetime shape STAC interval properties use),
     * or ".." (unbounded → ±∞, folded at parse time). */
-  private def tInterval(n: JsonNode): (Bnd, Bnd) =
+  private def tInterval(n: JsonNode)(implicit fns: Functions): (Bnd, Bnd) =
     if (n.isObject && n.has("interval")) {
       val iv = n.get("interval")
       def bound(b: JsonNode, open: Bnd): Bnd =

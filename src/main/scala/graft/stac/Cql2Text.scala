@@ -308,17 +308,33 @@ object Cql2Text {
               expectOp(")")
               o
             case _ =>
-              val op = FnOps.getOrElse(up,
-                fail(s"unknown cql2-text function $s"))
-              val args = scala.collection.mutable.ArrayBuffer[JsonNode](parseOr())
-              while (peek == TOp(",")) { pos += 1; args += parseOr() }
+              val args = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+              if (peek != TOp(")")) {
+                args += parseOr()
+                while (peek == TOp(",")) { pos += 1; args += parseOr() }
+              }
               expectOp(")")
-              val fixed =
-                if (op.startsWith("a_"))
-                  // array-operand normalization (see asArray)
-                  args.map(n => if (n.isObject && n.has("property")) n else asArray(n))
-                else args
-              opNode(op, fixed.toSeq: _*)
+              FnOps.get(up) match {
+                case Some(op) =>
+                  val fixed =
+                    if (op.startsWith("a_"))
+                      // array-operand normalization (see asArray)
+                      args.map(n =>
+                        if (n.isObject && n.has("property")) n else asArray(n))
+                    else args
+                  opNode(op, fixed.toSeq: _*)
+                case None =>
+                  // OGC functionRef — any other call form is a user/
+                  // registered function, resolved (or refused by name)
+                  // at TRANSLATION time by Cql2's registry, exactly as
+                  // the JSON encoding's {"function":…} node is
+                  val o = F.objectNode()
+                  val fo = o.putObject("function")
+                  fo.put("name", s)
+                  val a = fo.putArray("args")
+                  args.foreach(a.add)
+                  o
+              }
           }
         } else propNode(s)
       case other => fail(s"unexpected $other")

@@ -276,10 +276,39 @@ class Cql2FuzzSpec extends AnyFunSuite {
     (s"""{"op":"$cop","args":[${term._1},$lit2]}""", s"(${term._2} $sop $lit2)")
   }
 
+  // ------------------------- functions class (OGC 21-065 functions)
+  // The {"function":{"name":…,"args":[…]}} call form over the standard
+  // registry, cross-checked against DuckDB's equivalents (min/max are
+  // SQL least/greatest in both engines; upper/abs are 1:1). Args avoid
+  // engine-divergent corners (no division, integral grids) so any
+  // mismatch is translator drift, not numeric noise.
+  private val genFunc: Gen[P] = {
+    def fn(name: String, args: String*) =
+      s"""{"function":{"name":"$name","args":[${args.mkString(",")}]}}"""
+    Gen.oneOf(
+      genStr.map(l =>
+        (s"""{"op":"=","args":[${fn("upper", """{"property":"s"}""")},${js(l.toUpperCase)}]}""",
+          s"(upper(s) = ${qs(l.toUpperCase)})")),
+      for { k <- genLong; (cop, sop) <- Gen.oneOf(cmpOps) } yield
+        (s"""{"op":"$cop","args":[${fn("min", """{"property":"v"}""", k.toString)},0]}""",
+          s"(least(v, $k) $sop 0)"),
+      for { k <- genLong; (cop, sop) <- Gen.oneOf(cmpOps) } yield
+        (s"""{"op":"$cop","args":[${fn("max", """{"property":"v"}""", k.toString)},0]}""",
+          s"(greatest(v, $k) $sop 0)"),
+      Gen.choose(0L, 5L).map(k =>
+        (s"""{"op":"<=","args":[${fn("abs", """{"property":"v"}""")},$k]}""",
+          s"(abs(v) <= $k)")),
+      // nested: a function of an arithmetic term
+      for { k <- Gen.choose(1, 4); m <- Gen.choose(0L, 6L) } yield
+        (s"""{"op":">","args":[${fn("abs",
+          s"""{"op":"-","args":[{"property":"v"},$k]}""")},$m]}""",
+          s"(abs(v - $k) > $m)"))
+  }
+
   private val genLeaf: Gen[P] = Gen.frequency(
     4 -> genNumCmp, 3 -> genStrCmp, 2 -> genBetween, 2 -> genIn,
     2 -> genLike, 1 -> genIsNull, 2 -> genTemporal, 2 -> genArrayOp,
-    2 -> genSpatial, 2 -> genArith)
+    2 -> genSpatial, 2 -> genArith, 2 -> genFunc)
 
   private def genPred(depth: Int): Gen[P] =
     if (depth <= 0) genLeaf

@@ -143,7 +143,6 @@ class Cql2TextSpec extends AnyFunSuite {
     val bads = Seq(
       "a >" -> "unexpected",
       "a = 'unterminated" -> "unterminated",
-      "FOO(a)" -> "unknown cql2-text function",
       "v BETWEEN 1 OR 2" -> "BETWEEN needs AND",
       "a = 1 extra" -> "trailing")
     bads.foreach { case (text, needle) =>
@@ -151,6 +150,53 @@ class Cql2TextSpec extends AnyFunSuite {
       assert(e.getMessage.toLowerCase.contains(needle.toLowerCase),
         s"$text → ${e.getMessage}")
     }
+    // an unknown CALL form parses as a functionRef (the OGC Functions
+    // class) and is refused BY NAME at translation time instead
+    val fn = Cql2Text.parse("FOO(a) = 1")
+    assert(fn.toString.contains("\"function\""), fn.toString)
+    val e2 = intercept[IllegalArgumentException](Cql2.filterText("FOO(a) = 1"))
+    assert(e2.getMessage.contains("unknown CQL2 function: FOO"), e2.getMessage)
+  }
+
+  test("function calls: text parses to the OGC functionRef; both encodings evaluate") {
+    assertAst("upper(name) = 'ALPHA'",
+      """{"op":"=","args":[
+           {"function":{"name":"upper","args":[{"property":"name"}]}},
+           "ALPHA"]}""")
+    assertAst("min(a, 3) < max(b, 4)",
+      """{"op":"<","args":[
+           {"function":{"name":"min","args":[{"property":"a"},3]}},
+           {"function":{"name":"max","args":[{"property":"b"},4]}}]}""")
+    // a function of an arithmetic term, and zero args
+    assertAst("abs(v - 2) > 1",
+      """{"op":">","args":[
+           {"function":{"name":"abs","args":[
+             {"op":"-","args":[{"property":"v"},2]}]}},
+           1]}""")
+    assertAst("now() IS NOT NULL",
+      """{"op":"not","args":[{"op":"isNull","args":[
+           {"function":{"name":"now","args":[]}}]}]}""")
+    // both encodings translate through ONE registry and agree row-for-row
+    val spark = SparkSpec.spark
+    val s = spark; import s.implicits._
+    val df = Seq(("a", Some(-3L)), ("B", Some(2L)), ("café", None))
+      .toDF("s", "v")
+    val text = "upper(s) = 'CAFÉ' OR abs(v) >= 3"
+    val json = """{"op":"or","args":[
+      {"op":"=","args":[{"function":{"name":"upper","args":[{"property":"s"}]}},"CAFÉ"]},
+      {"op":">=","args":[{"function":{"name":"abs","args":[{"property":"v"}]}},3]}]}"""
+    val viaText = df.filter(Cql2.filterText(text)).select("s")
+      .collect().map(_.getString(0)).toSet
+    val viaJson = df.filter(Cql2.filter(json)).select("s")
+      .collect().map(_.getString(0)).toSet
+    assert(viaText == Set("a", "café") && viaJson == viaText)
+    // user-registered functions extend the registry per call
+    val custom = Map("reverse" ->
+      ((a: Seq[org.apache.spark.sql.Column]) =>
+        org.apache.spark.sql.functions.reverse(a(0))))
+    val got = df.filter(Cql2.filterText("reverse(s) = 'éfac'", custom))
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(got == Set("café"))
   }
 
   // ------------------------------------------------- generator round-trip
