@@ -2371,6 +2371,71 @@ object StacOps {
           .withColumn("mapped_ok", lit(true))
           .orderBy(col("bucket"))
       },
+      timed = false),
+
+    // ----- K6 partition sync: changed partitions only, reference layout -----
+    // The incremental pgstac→parquet sync driver (pgstac_reader.py:
+    // 340-383): list partitions with their last_updated watermarks,
+    // export each CHANGED one as a single
+    // <collection>/items_<start>_<end>.parquet file, and skip everything
+    // behind the watermark without reading a row. The gate runs two
+    // passes over a two-partition stand-in (one stale, one fresh): pass
+    // 1 exports both, pass 2 re-exports ONLY the fresh partition — the
+    // stale file's bytes are untouched (mtime-pinned no-reprocess
+    // contract). Value check: the synced layout read back equals DuckDB
+    // over the source rows.
+    QuerySpec(
+      "stac39_pgstac_sync",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS sync_ok
+        FROM orders GROUP BY 1 ORDER BY yr"""),
+      (s, dir) => {
+        import graft.stac.PgstacReader
+        import graft.stac.PgstacReader.{PgPartition, SyncStats}
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        val out = java.nio.file.Files.createTempDirectory("stac39").toString
+        val parts = Seq(
+          PgPartition("items", Some("1995-01-01T00:00:00Z"),
+            Some("1998-01-01T00:00:00Z"), "2024-01-05T00:00:00Z"),
+          PgPartition("items", Some("1998-01-01T00:00:00Z"),
+            Some("2002-01-01T00:00:00Z"), "2024-02-05T00:00:00Z"))
+        def readPartition(p: PgPartition) = orders
+          .where(col("o_orderdate") >= to_date(lit(p.start.get.take(10))) &&
+            col("o_orderdate") < to_date(lit(p.end.get.take(10))))
+        // pass 1: full sync — both partitions land under the
+        // reference's <collection>/items_<start>_<end>.parquet names
+        val st1: SyncStats =
+          PgstacReader.syncPartitions(s, parts, None, out, readPartition)
+        require(st1.exported.sorted == Seq(
+          "items/items_19950101_19980101.parquet",
+          "items/items_19980101_20020101.parquet") && st1.skipped == 0,
+          s"full sync layout, got $st1")
+        require(st1.newWatermark.contains("2024-02-05T00:00:00Z"), s"$st1")
+        val staleFile = new java.io.File(out, st1.exported.sorted.head)
+        val mtime1 = staleFile.lastModified
+        Thread.sleep(20) // distinct mtimes if the file WERE rewritten
+        // pass 2: incremental from the recorded watermark — only the
+        // fresh partition re-exports; the stale file's bytes untouched
+        val st2 = PgstacReader.syncPartitions(s, parts,
+          Some("2024-01-31T00:00:00Z"), out, readPartition)
+        require(st2.exported == Seq("items/items_19980101_20020101.parquet") &&
+          st2.skipped == 1, s"incremental sync must skip the stale partition: $st2")
+        require(staleFile.lastModified == mtime1,
+          "no-reprocess: the stale partition file must not be rewritten")
+        s.read.parquet(s"$out/items")
+          .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("sync_ok", lit(true))
+          .orderBy(col("yr"))
+      },
       timed = false)
   )
 }

@@ -134,4 +134,64 @@ object PgstacReader {
       case _                  => "items.parquet"
     }
   }
+
+  /** One row of the S6 partition listing ([[partitionsSql]]'s shape):
+    * collection, datetime range, and the partition's `last_updated`
+    * watermark. */
+  final case class PgPartition(collection: String,
+                               start: Option[String], end: Option[String],
+                               lastUpdated: String)
+
+  /** Outcome of a [[syncPartitions]] pass: relative paths written,
+    * partitions skipped by the watermark, and the new watermark (max
+    * `last_updated` among EXPORTED partitions — the value the next
+    * incremental pass passes back as `updatedAfter`). */
+  final case class SyncStats(exported: Seq[String], skipped: Int,
+                             newWatermark: Option[String])
+
+  /** K6 end-to-end: export every partition whose `last_updated` is at
+    * or past `updatedAfter` into
+    * `<out>/<collection>/<partitionFileName(start, end)>` — ONE parquet
+    * file per partition, the reference's on-disk layout
+    * (`pgstac_reader.py:340-383`: list changed partitions, re-export
+    * each as a single arrow→parquet file, leave the rest untouched).
+    * Partitions BEHIND the watermark are skipped without reading a row
+    * — the no-reprocess contract that makes the pass incremental.
+    *
+    * `readPartition` supplies each partition's items frame (the JDBC
+    * [[readItems]] against live pgstac; any stand-in under test) — the
+    * partition LIST is a tiny driver-side read, each export a
+    * distributed job whose single-file shape is the reference's
+    * contract, not a scale choice: a million-partition sync runs one
+    * bounded job per CHANGED partition, and unchanged history costs
+    * nothing. Export is atomic per partition (staging dir + rename), so
+    * a crashed pass never leaves a torn partition file; re-running with
+    * the same watermark simply re-exports the same changed set
+    * (idempotent overwrite, the reference's at-least-once semantics). */
+  def syncPartitions(spark: SparkSession, parts: Seq[PgPartition],
+                     updatedAfter: Option[String], out: String,
+                     readPartition: PgPartition => DataFrame): SyncStats = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val outP = new Path(out)
+    val fs = outP.getFileSystem(conf)
+    val (changed, skipped) = parts.partition(p =>
+      updatedAfter.forall(w => p.lastUpdated >= w))
+    val exported = changed.map { p =>
+      val rel = s"${p.collection}/${partitionFileName(p.start, p.end)}"
+      val dest = new Path(outP, rel)
+      fs.mkdirs(dest.getParent)
+      val tmp = new Path(outP, s".sync-tmp-${java.util.UUID.randomUUID()}")
+      readPartition(p).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      fs.delete(dest, false)
+      require(fs.rename(part, dest), s"could not move partition file to $dest")
+      fs.delete(tmp, true)
+      rel
+    }
+    SyncStats(exported, skipped.size,
+      changed.map(_.lastUpdated).maxOption)
+  }
 }

@@ -50,4 +50,43 @@ class PgstacReaderSpec extends AnyFunSuite {
     assert(PgstacReader.partitionFileName(None, None) === "items.parquet")
     assert(PgstacReader.partitionFileName(Some("2020-01-01"), None) === "items.parquet")
   }
+
+  test("syncPartitions: changed-only export, reference layout, idempotent overwrite") {
+    import PgstacReader.PgPartition
+    val spark = SparkSpec.spark
+    val s = spark; import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("psync").toString
+    val parts = Seq(
+      PgPartition("c1", Some("2020-01-01T00:00:00Z"),
+        Some("2020-02-01T00:00:00Z"), "2024-01-01T00:00:00Z"),
+      PgPartition("c1", None, None, "2024-03-01T00:00:00Z"),
+      PgPartition("c2", Some("2021-01-01T00:00:00Z"),
+        Some("2021-02-01T00:00:00Z"), "2024-02-01T00:00:00Z"))
+    var reads = 0
+    def rp(p: PgPartition) = {
+      reads += 1
+      Seq((p.collection, p.lastUpdated)).toDF("collection", "lu")
+    }
+    val st1 = PgstacReader.syncPartitions(spark, parts, None, out, rp)
+    assert(st1.exported.sorted == Seq(
+      "c1/items.parquet", "c1/items_20200101_20200201.parquet",
+      "c2/items_20210101_20210201.parquet"))
+    assert(st1.skipped == 0 && reads == 3)
+    assert(st1.newWatermark.contains("2024-03-01T00:00:00Z"))
+    // incremental pass: only partitions at/after the watermark re-read
+    val st2 = PgstacReader.syncPartitions(spark, parts,
+      Some("2024-01-15T00:00:00Z"), out, rp)
+    assert(st2.exported.sorted == Seq(
+      "c1/items.parquet", "c2/items_20210101_20210201.parquet"))
+    assert(st2.skipped == 1 && reads == 5,
+      "the stale partition must not be READ, let alone rewritten")
+    // layout readable; overwrite was atomic and idempotent
+    assert(spark.read.parquet(s"$out/c1").count() == 2L)
+    assert(spark.read.parquet(s"$out/c2").select("lu").collect()
+      .map(_.getString(0)).toSeq == Seq("2024-02-01T00:00:00Z"))
+    // every export is ONE file with the reference's name
+    val c1Files = new java.io.File(out, "c1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
+    assert(c1Files.toSeq == Seq("items.parquet", "items_20200101_20200201.parquet"))
+  }
 }
