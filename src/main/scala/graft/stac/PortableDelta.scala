@@ -481,12 +481,80 @@ object PortableDelta {
     * the difference between opening a million footers and opening the
     * dozen files a range predicate actually touches; the log itself is
     * the index. The full predicate still runs over surviving rows (and
-    * parquet row-group pushdown applies within kept files). */
+    * parquet row-group pushdown applies within kept files).
+    *
+    * On a checkpoint-seeded table the add-file state stays a DATAFRAME
+    * end-to-end: skipping evaluates on executors over the checkpoint's
+    * add rows, and only the SURVIVING files — the ones the scan must
+    * name anyway — reach the driver. A million-add checkpoint costs the
+    * driver O(matching files + JSON tail), not O(table). */
   def readTableWhere(spark: SparkSession, path: String,
                      condition: org.apache.spark.sql.Column): DataFrame = {
-    val snap = snapshot(spark, path)
-    val (kept, _) = statsPrune(spark, snap, condition)
-    snapshotDf(spark, path, snap.copy(files = kept)).filter(condition)
+    val conf = spark.sessionState.newHadoopConf()
+    checkpointRefFor(conf, path) match {
+      case Some(ref) =>
+        val (snapBase, addsDf) = lazyCheckpointState(spark, path, ref)
+        val schema = snapBase.schema
+        val pred = DeltaStats.resolvePredicate(spark, schema, condition)
+        val kept = addsDf.filter { (r: org.apache.spark.sql.Row) =>
+          val pv = if (r.isNullAt(9)) Map.empty[String, String]
+                   else r.getMap[String, String](9).toMap
+          DeltaStats.satisfiable(Option(r.getString(8)), pv, schema, pred)
+        }.collect().map(rowToAddFile).toSeq
+        snapshotDf(spark, path, snapBase.copy(files = kept)).filter(condition)
+      case None =>
+        val snap = snapshot(spark, path)
+        val (kept, _) = statsPrune(spark, snap, condition)
+        snapshotDf(spark, path, snap.copy(files = kept)).filter(condition)
+    }
+  }
+
+  /** Checkpoint-seeded state WITHOUT materializing the add list: the
+    * small state (protocol/metaData/txns, replayed through the JSON
+    * tail) plus the FULL live add set as a DataFrame — the checkpoint's
+    * add rows minus tail-touched paths, unioned with the tail's own net
+    * adds. Driver memory is O(small state + tail commits), never
+    * O(table files); consumers narrow the frame (stats pruning, scan
+    * construction) before anything collects. */
+  private def lazyCheckpointState(spark: SparkSession, path: String,
+                                  ref: CheckpointRef): (Snapshot, DataFrame) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    val st = new ReplayState(path)
+    seedCheckpointSmall(spark, path, ref, st)
+    val cv = ref.version
+    val tail = fs.listStatus(logDir(path)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
+      .map(s => s.getPath.getName.stripSuffix(".json").toLong -> s.getPath)
+      .filter(_._1 > cv).sortBy(_._1)
+    require(tail.map(_._1) == (cv + 1 to cv + tail.size),
+      s"non-contiguous Delta log after checkpoint $cv: ${tail.map(_._1).mkString(",")}")
+    // the tail is replayed into the (checkpoint-add-free) ReplayState:
+    // st.live ends as the tail's NET adds; `touched` marks every path
+    // the tail re-stated or removed, which must override checkpoint rows
+    val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+    tail.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("add")) touched += node.get("add").get("path").asText()
+        if (node.has("remove")) touched += node.get("remove").get("path").asText()
+        st.applyJson(node)
+      }
+    }
+    val tailAdds = st.live.values.toSeq
+    val snapBase = st.toSnapshot(cv + tail.size).copy(files = Nil)
+    val ckpt = ckptAddsFlatDf(spark, path, ref)
+    import org.apache.spark.sql.functions.col
+    val untouchedCkpt =
+      if (touched.isEmpty) ckpt
+      else ckpt.filter(!col("path").isInCollection(touched.toSeq))
+    val addsDf =
+      if (tailAdds.isEmpty) untouchedCkpt
+      else untouchedCkpt.unionByName(addFilesToFlatDf(spark, tailAdds))
+    (snapBase, addsDf)
   }
 
   /** Snapshot → DataFrame, applying deletion vectors when present. The

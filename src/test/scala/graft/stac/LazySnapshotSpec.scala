@@ -1,0 +1,143 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataFrame-backed snapshot file state: on a checkpoint-seeded table,
+  * readTableWhere evaluates data skipping on EXECUTORS over the
+  * checkpoint's add rows and materializes only the surviving files.
+  * The proof is structural: a synthetic 100k-add checkpoint where all
+  * but a handful of paths DO NOT EXIST on disk — any code path that
+  * materialized-then-scanned the full add list (or pruned on the
+  * driver after building a full scan) would die on a missing file;
+  * only distributed pruning down to the real survivors can answer. */
+class LazySnapshotSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private val ProtoT =
+    "struct<minReaderVersion:int,minWriterVersion:int," +
+      "readerFeatures:array<string>,writerFeatures:array<string>>"
+  private val MetaT =
+    "struct<id:string,format:struct<provider:string,options:map<string,string>>," +
+      "schemaString:string,partitionColumns:array<string>," +
+      "configuration:map<string,string>,createdTime:bigint>"
+  private val DvT =
+    "struct<storageType:string,pathOrInlineDv:string,offset:int," +
+      "sizeInBytes:int,cardinality:bigint>"
+  private val AddT =
+    "struct<path:string,partitionValues:map<string,string>,size:bigint," +
+      s"modificationTime:bigint,dataChange:boolean,deletionVector:$DvT," +
+      "stats:string>"
+  private val TxnT = "struct<appId:string,version:bigint,lastUpdated:bigint>"
+
+  private def writeOne(df: org.apache.spark.sql.DataFrame,
+                       dest: java.io.File): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("lazysnap-w").toString + "/p"
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    dest.getParentFile.mkdirs()
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+  }
+
+  test("100k-add checkpoint: distributed prune, only survivors materialize") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lazysnap").toString + "/tbl"
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    val tableSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+
+    // the two REAL files (fake add i claims id range [100i, 100i+99])
+    def rows(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, i * 2)).toDF("id", "v")
+    writeOne(rows(300L, 399L), new java.io.File(root, "part-3.parquet"))
+    writeOne(rows(700L, 799L), new java.io.File(root, "part-7.parquet"))
+
+    // checkpoint parquet: protocol + metaData + 100_000 add rows whose
+    // stats tile disjoint id ranges; 99_998 of the paths are FAKE
+    val smallDf = Seq(1).toDF("x").select(
+      struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion"),
+        lit(null).cast("array<string>").as("readerFeatures"),
+        lit(null).cast("array<string>").as("writerFeatures"))
+        .cast(ProtoT).as("protocol"),
+      lit(null).cast(MetaT).as("metaData"),
+      lit(null).cast(AddT).as("add"),
+      lit(null).cast(TxnT).as("txn"))
+      .unionByName(Seq(1).toDF("x").select(
+        lit(null).cast(ProtoT).as("protocol"),
+        struct(lit("lazy-1").as("id"),
+          struct(lit("parquet").as("provider"),
+            map().cast("map<string,string>").as("options")).as("format"),
+          lit(tableSchema.json).as("schemaString"),
+          lit(null).cast("array<string>").as("partitionColumns"),
+          map().cast("map<string,string>").as("configuration"),
+          lit(1L).as("createdTime")).cast(MetaT).as("metaData"),
+        lit(null).cast(AddT).as("add"),
+        lit(null).cast(TxnT).as("txn")))
+    val statsJson = concat(lit("""{"numRecords":100,"minValues":{"id":"""),
+      (col("id") * 100).cast("string"),
+      lit("""},"maxValues":{"id":"""),
+      (col("id") * 100 + 99).cast("string"),
+      lit("""},"nullCount":{"id":0}}"""))
+    val addsDf = spark.range(100000).select(
+      lit(null).cast(ProtoT).as("protocol"),
+      lit(null).cast(MetaT).as("metaData"),
+      struct(
+        concat(lit("part-"), col("id").cast("string"), lit(".parquet")).as("path"),
+        map().cast("map<string,string>").as("partitionValues"),
+        lit(1000L).as("size"), lit(1L).as("modificationTime"),
+        lit(true).as("dataChange"),
+        lit(null).cast(DvT).as("deletionVector"),
+        statsJson.as("stats")).cast(AddT).as("add"),
+      lit(null).cast(TxnT).as("txn"))
+    writeOne(smallDf.unionByName(addsDf),
+      new java.io.File(s"$root/_delta_log/${"%020d".format(0L)}.checkpoint.parquet"))
+    val lcOut = new java.io.FileWriter(s"$root/_delta_log/_last_checkpoint")
+    try lcOut.write("""{"version":0,"size":100002}""") finally lcOut.close()
+
+    // a JSON tail: one REAL new file added, part-7 removed — tail
+    // actions must OVERRIDE checkpoint rows without materializing them
+    writeOne(rows(10000000L, 10000009L),
+      new java.io.File(root, "part-new.parquet"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo").put("timestamp", 2L).put("operation", "WRITE")
+    val addN = mapper.createObjectNode()
+    val a = addN.putObject("add")
+    a.put("path", "part-new.parquet"); a.putObject("partitionValues")
+    a.put("size", new java.io.File(root, "part-new.parquet").length)
+    a.put("modificationTime", 2L); a.put("dataChange", true)
+    a.put("stats", """{"numRecords":10,"minValues":{"id":10000000},""" +
+      """"maxValues":{"id":10000009},"nullCount":{"id":0}}""")
+    val remN = mapper.createObjectNode()
+    val rm = remN.putObject("remove")
+    rm.put("path", "part-7.parquet"); rm.put("deletionTimestamp", 2L)
+    rm.put("dataChange", true)
+    val out = new java.io.FileOutputStream(
+      s"$root/_delta_log/${"%020d".format(1L)}.json")
+    try out.write((Seq(ci, addN, remN).map(mapper.writeValueAsString)
+      .mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+
+    // range inside fake-tiled space but covering only real part-3:
+    // 99_999 other adds must prune WITHOUT the driver ever naming them
+    val got1 = PortableDelta.readTableWhere(spark, root,
+        col("id").between(300L, 350L))
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got1 == (300L to 350L).map(i => (i, i * 2)).toSet)
+
+    // part-7 was removed by the tail: its range now matches NOTHING —
+    // and its checkpoint row must not resurrect the file
+    assert(PortableDelta.readTableWhere(spark, root,
+      col("id").between(700L, 799L)).count() == 0L)
+
+    // the tail's new file is visible through the DataFrame state
+    val got3 = PortableDelta.readTableWhere(spark, root,
+        col("id") === 10000005L)
+      .select(col("v")).collect().map(_.getLong(0)).toSeq
+    assert(got3 == Seq(20000010L))
+  }
+}
