@@ -2436,6 +2436,63 @@ object StacOps {
           .withColumn("sync_ok", lit(true))
           .orderBy(col("yr"))
       },
+      timed = false),
+
+    // ----- Delta row tracking: CDF update pairs WITHOUT cdc files -----
+    // delta.enableRowTracking gives every row a stable ID (baseRowId +
+    // row index, materialized through rewrites), so readChanges can
+    // reconstruct an UPDATE as exact update_preimage/update_postimage
+    // PAIRS from the file actions alone — no change-data files written
+    // or read (the in-gate requires pin that _change_data does not even
+    // exist). The value check aggregates the reconstructed feed itself
+    // against DuckDB recomputing both images from the source rows.
+    QuerySpec(
+      "stac40_delta_row_tracking",
+      Some("""
+        WITH m AS (SELECT o_orderkey, o_totalprice FROM orders
+                   WHERE o_orderkey % 9 = 0)
+        SELECT 'update_postimage' AS change, count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 2 * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS cents_sum,
+               true AS paired_ok
+        FROM m
+        UNION ALL
+        SELECT 'update_preimage', count(*),
+               CAST(sum(o_orderkey) AS BIGINT),
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT),
+               true
+        FROM m
+        ORDER BY change"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
+        val out = java.nio.file.Files.createTempDirectory("stac40").toString + "/tbl"
+        PortableDelta.write(orders.repartition(6), out)            // v0
+        PortableDelta.enableRowTracking(s, out)                    // v1
+        val st = PortableDelta.update(s, out, col("okey") % 9L === 0L,
+          Map("price" -> (col("price") * 2)))                      // v2
+        require(st.updatedRows > 0, "gate needs the update to bite")
+        require(!new java.io.File(s"$out/_change_data").exists(),
+          "row-tracking pairing must come from file actions, not cdc files")
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.writerFeatures.contains("rowTracking") &&
+          snap.files.forall(_.baseRowId.isDefined),
+          "every add must carry a baseRowId under row tracking")
+        val feed = PortableDelta.readChanges(s, out, 2L, 2L)
+        require(feed.select(col("_change_type")).distinct().collect()
+          .map(_.getString(0)).toSet ==
+          Set("update_preimage", "update_postimage"),
+          "a pure UPDATE must pair completely — no stray delete/insert")
+        feed.groupBy(col("_change_type").as("change"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("okey")).as("key_sum"),
+            sum(floor(col("price") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("paired_ok", lit(true))
+          .orderBy(col("change"))
+      },
       timed = false)
   )
 }

@@ -69,11 +69,16 @@ object PortableDelta {
   final case class AddFile(path: String, size: Long, modificationTime: Long,
                            dv: Option[DvDescriptor] = None,
                            stats: Option[String] = None,
-                           partitionValues: Map[String, String] = Map.empty)
+                           partitionValues: Map[String, String] = Map.empty,
+                           baseRowId: Option[Long] = None,
+                           defaultRowCommitVersion: Option[Long] = None)
   /** `txns` is the spec's per-appId transaction watermark (latest `txn`
     * action per application id) — the idempotent-streaming-writes
     * contract: a writer that tags each commit with {appId, version}
     * can detect an already-committed batch after a crash. */
+  /** `domainMetadata` is the spec's named-domain configuration store
+    * (latest non-removed action per domain) — row tracking keeps its
+    * `rowIdHighWaterMark` in the `delta.rowTracking` domain. */
   final case class Snapshot(
       version: Long,
       minReaderVersion: Int,
@@ -85,7 +90,8 @@ object PortableDelta {
       txns: Map[String, Long] = Map.empty,
       readerFeatures: Seq[String] = Nil,
       writerFeatures: Seq[String] = Nil,
-      partitionColumns: Seq[String] = Nil)
+      partitionColumns: Seq[String] = Nil,
+      domainMetadata: Map[String, String] = Map.empty)
 
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -273,6 +279,11 @@ object PortableDelta {
         actions += metaDataAction(prior.get.tableId, evolvedSchema.get,
           prior.get.configuration, now, effPartitionBy)
       }
+      val commitCfg = prior.map(p =>
+        if (mode == "overwrite" && properties.nonEmpty) properties
+        else p.configuration).getOrElse(properties)
+      val rt = assignRowIds(conf, path, commitCfg,
+        prior.map(_.domainMetadata).getOrElse(Map.empty), added, statsByName)
       added.foreach { f =>
         val r = mapper.createObjectNode()
         val b = r.putObject("add")
@@ -282,12 +293,15 @@ object PortableDelta {
         b.put("modificationTime", f.status.getModificationTime)
         b.put("dataChange", true)
         statsByName.get(f.relPath).foreach(b.put("stats", _))
+        rt.foreach { case (ids, _) =>
+          b.put("baseRowId", ids(f.relPath))
+          b.put("defaultRowCommitVersion", version)
+        }
         actions += r
       }
+      rt.foreach(t => actions += t._2)
       try {
-        commit(conf, path, version, actions.result(),
-          prior.map(p => if (mode == "overwrite" && properties.nonEmpty)
-            properties else p.configuration).getOrElse(properties))
+        commit(conf, path, version, actions.result(), commitCfg)
         return version
       } catch {
         case e: ConcurrentCommitException =>
@@ -571,13 +585,18 @@ object PortableDelta {
     buildScan(spark, path, snap, withPos = false, applyDvs = true,
       validateDvCardinality = true)
 
+  /** @param extraCols extra RAW parquet column names (long-typed) to
+    *   surface alongside the table columns — absent-in-file reads as
+    *   null. Carries the row-tracking materialized-row-id column, which
+    *   lives in the parquet bytes but NOT in the table schema. */
   private def buildScan(spark: SparkSession, path: String, snap: Snapshot,
                         withPos: Boolean, applyDvs: Boolean,
-                        validateDvCardinality: Boolean = false): DataFrame = {
+                        validateDvCardinality: Boolean = false,
+                        extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{col, element_at, lit, split, udf}
-    val posFields = if (withPos)
+    val posFields = (if (withPos)
       Seq(StructField(PosFileCol, StringType), StructField(PosIdxCol, LongType))
-      else Nil
+      else Nil) ++ extraCols.map(StructField(_, LongType))
     if (snap.files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -599,7 +618,7 @@ object PortableDelta {
       snap.schema.filterNot(f => partCols.contains(f.name)).map { f =>
         StructField(physFieldName(f),
           if (mapped) physDataType(f.dataType) else f.dataType, f.nullable)
-      })
+      } ++ extraCols.map(StructField(_, LongType)))
     val physOf = snap.schema.map(f => f.name -> physFieldName(f)).toMap
 
     // PosFileCol must be the TABLE-RELATIVE path, not the bare file
@@ -630,7 +649,8 @@ object PortableDelta {
           val c = col(physOf(f.name))
           (if (mapped) c.cast(f.dataType) else c).as(f.name, f.metadata)
         }
-      } ++ (if (needPos) Seq(col(PosFileCol), col(PosIdxCol)) else Nil)
+      } ++ (if (needPos) Seq(col(PosFileCol), col(PosIdxCol)) else Nil) ++
+        extraCols.map(col)
       df.select(sel: _*)
     }
 
@@ -769,6 +789,7 @@ object PortableDelta {
 
   private val PosFileCol = "__graft_file"
   private val PosIdxCol = "__graft_idx"
+  private val RidCol = "__graft_rid"
 
   /** The spec's CDF enablement property. When set, [[delete]]/[[update]]/
     * [[merge]] additionally write their row-level changes as cdc parquet
@@ -872,8 +893,10 @@ object PortableDelta {
     * `applyDvs = true` additionally filters already-deleted rows — the
     * frame row-mutation operators (MERGE key-matching) must see. */
   private def scanWithPos(spark: SparkSession, path: String, snap: Snapshot,
-                          applyDvs: Boolean): DataFrame =
-    buildScan(spark, path, snap, withPos = true, applyDvs = applyDvs)
+                          applyDvs: Boolean,
+                          extraCols: Seq[String] = Nil): DataFrame =
+    buildScan(spark, path, snap, withPos = true, applyDvs = applyDvs,
+      extraCols = extraCols)
 
   /** One touched file's outcome from the executor-side DV build: the
     * merged-bitmap cardinalities plus, for survivors, the shard pack +
@@ -908,6 +931,10 @@ object PortableDelta {
         // the pre-delete stats remain SOUND bounds over surviving rows
         // (a DV only hides rows; it can't widen min/max)
         f.stats.foreach(b.put("stats", _))
+        // row tracking: a DV re-add is the SAME file — stable row IDs
+        // ride along unchanged
+        f.baseRowId.foreach(b.put("baseRowId", _))
+        f.defaultRowCommitVersion.foreach(b.put("defaultRowCommitVersion", _))
         val n = b.putObject("deletionVector")
         n.put("storageType", "u"); n.put("pathOrInlineDv", e.packPath)
         n.put("offset", e.offset); n.put("sizeInBytes", e.size)
@@ -1125,8 +1152,88 @@ object PortableDelta {
         .map(_.get("path").asText())
 
       val (restated, born) = adds.partition(a => live.contains(a.path))
+      val gone = removedPaths.filterNot(rp => adds.exists(_.path == rp))
+        .flatMap(live.get) // a foreign tombstone has no pre-state: no-op
+      // Row tracking: an UPDATE-shaped commit (rows dying — removed
+      // files OR grown DVs — alongside born files, no cdc) pairs
+      // pre/post images BY ROW ID: a row's ID is coalesce(materialized
+      // column, baseRowId + row index), stable across rewrites, so
+      // matched IDs are updates, unmatched dead rows are deletes,
+      // unmatched born rows are inserts. This is the reconstruction the
+      // plain file-diff below cannot express (it labels every rewrite
+      // delete+insert).
+      val grewRt = restated.filter(f =>
+        f.dv.map(_.cardinality).getOrElse(0L) >
+          live(f.path).dv.map(_.cardinality).getOrElse(0L))
+      val paired = rowTrackingEnabled(endSnap.configuration) &&
+        born.nonEmpty && (gone.nonEmpty || grewRt.nonEmpty) &&
+        (born ++ gone ++ grewRt).forall(_.baseRowId.isDefined)
+      if (paired) {
+        val mcol = endSnap.configuration.get(MaterializedRowIdProp)
+        def withRid(files: Seq[AddFile]): DataFrame = {
+          val base = buildScan(spark, path, endSnap.copy(files = files),
+            withPos = true, applyDvs = false, extraCols = mcol.toSeq)
+          val baseByKey = files.map(f => keyOf(f) -> f.baseRowId.get).toMap
+          import org.apache.spark.sql.functions.{coalesce, element_at, typedLit}
+          val defaultRid =
+            element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol)
+          base.withColumn(RidCol,
+            mcol.map(m => coalesce(col(m), defaultRid)).getOrElse(defaultRid))
+        }
+        def strip(df: DataFrame): DataFrame =
+          df.drop(PosFileCol, PosIdxCol).drop(mcol.toSeq: _*)
+        // pre side 1: then-live rows of removed files (minus their DV)
+        val preGone = if (gone.isEmpty) None else Some {
+          val dvFiles = gone.filter(_.dv.isDefined)
+          val base = withRid(gone)
+          if (dvFiles.isEmpty) base
+          else {
+            val bc = spark.sparkContext.broadcast(
+              dvFiles.map(f => keyOf(f) -> loadDv(f.dv.get)).toMap)
+            val keep = udf((rel: String, idx: Long) =>
+              !bc.value.get(rel).exists(_.contains(idx)))
+            base.filter(keep(col(PosFileCol), col(PosIdxCol)))
+          }
+        }
+        // pre side 2: this commit's newly-dead positions (newDV \ oldDV)
+        val preGrew = if (grewRt.isEmpty) None else Some {
+          val bc = spark.sparkContext.broadcast(grewRt.map { f =>
+            keyOf(f) -> (live(f.path).dv.map(loadDv), loadDv(f.dv.get))
+          }.toMap)
+          val diff = udf((rel: String, idx: Long) =>
+            bc.value.get(rel).exists { case (old, nw) =>
+              nw.contains(idx) && !old.exists(_.contains(idx))
+            })
+          withRid(grewRt).filter(diff(col(PosFileCol), col(PosIdxCol)))
+        }
+        val pre = strip((preGone.toSeq ++ preGrew.toSeq).reduce(_ unionByName _))
+        // post side: rows of the born files (minus any DV they were
+        // born with)
+        val post = strip {
+          val dvFiles = born.filter(_.dv.isDefined)
+          val base = withRid(born)
+          if (dvFiles.isEmpty) base
+          else {
+            val bc = spark.sparkContext.broadcast(
+              dvFiles.map(f => keyOf(f) -> loadDv(f.dv.get)).toMap)
+            val keep = udf((rel: String, idx: Long) =>
+              !bc.value.get(rel).exists(_.contains(idx)))
+            base.filter(keep(col(PosFileCol), col(PosIdxCol)))
+          }
+        }
+        val preIds = pre.select(col(RidCol))
+        val postIds = post.select(col(RidCol))
+        pieces += finish(pre.join(postIds, Seq(RidCol), "left_semi")
+          .drop(RidCol), "update_preimage", v)
+        pieces += finish(post.join(preIds, Seq(RidCol), "left_semi")
+          .drop(RidCol), "update_postimage", v)
+        pieces += finish(pre.join(postIds, Seq(RidCol), "left_anti")
+          .drop(RidCol), "delete", v)
+        pieces += finish(post.join(preIds, Seq(RidCol), "left_anti")
+          .drop(RidCol), "insert", v)
+      }
       // fresh files: inserts (minus any DV they were born with)
-      if (born.nonEmpty) {
+      if (!paired && born.nonEmpty) {
         val withDv = born.filter(_.dv.isDefined)
         val base = scanFiles(born)
         val df =
@@ -1141,9 +1248,8 @@ object PortableDelta {
         pieces += finish(df, "insert", v)
       }
       // re-stated files: the DV growth is this commit's deletes
-      val grew = restated.filter(f =>
-        f.dv.map(_.cardinality).getOrElse(0L) >
-          live(f.path).dv.map(_.cardinality).getOrElse(0L))
+      // (consumed by the row-ID pairing above when it ran)
+      val grew = if (paired) Nil else grewRt
       if (grew.nonEmpty) {
         val bc = spark.sparkContext.broadcast(grew.map { f =>
           keyOf(f) -> (live(f.path).dv.map(loadDv), loadDv(f.dv.get))
@@ -1157,9 +1263,7 @@ object PortableDelta {
           "delete", v)
       }
       // removed (and not re-stated) files: their then-live rows die
-      val gone = removedPaths.filterNot(rp => adds.exists(_.path == rp))
-        .flatMap(live.get) // a foreign tombstone has no pre-state: no-op
-      if (gone.nonEmpty) {
+      if (!paired && gone.nonEmpty) {
         val withDv = gone.filter(_.dv.isDefined)
         val base = scanFiles(gone)
         val df =
@@ -1372,6 +1476,8 @@ object PortableDelta {
               cfgWriterFeatures(prior.configuration))
             .foreach(actions += _)
           parts.foreach(p => actions ++= p.actions(now))
+          val rt = assignRowIds(conf, path, prior.configuration,
+            prior.domainMetadata, added, statsByName)
           added.foreach { f =>
             val r = mapper.createObjectNode()
             val b = r.putObject("add")
@@ -1381,8 +1487,13 @@ object PortableDelta {
             b.put("modificationTime", f.status.getModificationTime)
             b.put("dataChange", true)
             statsByName.get(f.relPath).foreach(b.put("stats", _))
+            rt.foreach { case (ids, _) =>
+              b.put("baseRowId", ids(f.relPath))
+              b.put("defaultRowCommitVersion", prior.version + 1)
+            }
             actions += r
           }
+          rt.foreach(t => actions += t._2)
           // CDF write: matched targets as update pair (or deletes when
           // whenMatched=delete), unmatched source rows as inserts
           val (cdcActs, dropCdc) =
@@ -1479,9 +1590,20 @@ object PortableDelta {
       set.keys.foreach(k => require(snap.schema.fieldNames.contains(k),
         s"update SET column $k not in table schema"))
       if (snap.files.isEmpty) return UpdateStats(snap.version, 0L)
+      // row tracking: the rewritten row versions MATERIALIZE their
+      // original row IDs into the configured hidden column — stable IDs
+      // across UPDATE, which is what lets readChanges pair pre/post
+      // images without cdc files. The old rows' IDs come from the old
+      // files' materialized column when present (a second update of an
+      // already-rewritten row), else baseRowId + row index.
+      val mcolOpt =
+        if (rowTrackingEnabled(snap.configuration))
+          snap.configuration.get(MaterializedRowIdProp)
+        else None
       // one matched-row frame feeds BOTH the death positions and the
       // re-appended row versions — persist so the predicate scan runs once
-      val matched = scanWithPos(spark, path, snap, applyDvs = true)
+      val matched = scanWithPos(spark, path, snap, applyDvs = true,
+          extraCols = mcolOpt.toSeq)
         .filter(condition)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -1489,12 +1611,25 @@ object PortableDelta {
           matched.select(col(PosFileCol), col(PosIdxCol)))
         if (parts.isEmpty) return UpdateStats(snap.version, 0L)
         val updatedRows = parts.get.newlyDeleted
-        val newRows = matched.drop(PosFileCol, PosIdxCol).select(
-          snap.schema.fields.toSeq.map { f =>
-            set.get(f.name)
-              .map(_.cast(f.dataType).as(f.name, f.metadata))
-              .getOrElse(col(f.name))
-          }: _*)
+        val setCols = snap.schema.fields.toSeq.map { f =>
+          set.get(f.name)
+            .map(_.cast(f.dataType).as(f.name, f.metadata))
+            .getOrElse(col(f.name))
+        }
+        val newRows = mcolOpt match {
+          case Some(m) =>
+            import org.apache.spark.sql.functions.{coalesce, element_at, typedLit}
+            val baseByKey = snap.files.collect {
+              case f if f.baseRowId.isDefined =>
+                logKey(f.path, snap.partitionColumns.size + 1) -> f.baseRowId.get
+            }.toMap
+            val rid =
+              if (baseByKey.isEmpty) col(m)
+              else coalesce(col(m),
+                element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol))
+            matched.select(setCols :+ rid.as(m): _*)
+          case None => matched.drop(PosFileCol, PosIdxCol).select(setCols: _*)
+        }
         try enforceConstraints(newRows, snap.schema, snap.configuration,
           s"UPDATE on $path")
         catch { case t: Throwable => parts.get.dropPack(); throw t }
@@ -1512,6 +1647,8 @@ object PortableDelta {
           Seq("deletionVectors") ++ cfgWriterFeatures(snap.configuration))
           .foreach(actions += _)
         actions ++= parts.get.actions(now)
+        val rt = assignRowIds(conf, path, snap.configuration,
+          snap.domainMetadata, added, statsByName)
         added.foreach { f =>
           val r = mapper.createObjectNode()
           val b = r.putObject("add")
@@ -1521,17 +1658,24 @@ object PortableDelta {
           b.put("modificationTime", f.status.getModificationTime)
           b.put("dataChange", true)
           statsByName.get(f.relPath).foreach(b.put("stats", _))
+          rt.foreach { case (ids, _) =>
+            b.put("baseRowId", ids(f.relPath))
+            b.put("defaultRowCommitVersion", snap.version + 1)
+          }
           actions += r
         }
+        rt.foreach(t => actions += t._2)
         // CDF write: the spec's update pair — old row versions as
         // update_preimage, the SET-applied versions as update_postimage
+        // (the materialized row-id column is file-internal, not feed
+        // content)
         val (cdcActs, dropCdc) =
           if (cdfEnabled(snap.configuration)) {
             val lit = org.apache.spark.sql.functions.lit _
             writeCdcActions(spark, path,
-              matched.drop(PosFileCol, PosIdxCol)
+              matched.drop(PosFileCol, PosIdxCol).drop(mcolOpt.toSeq: _*)
                 .withColumn("_change_type", lit("update_preimage"))
-                .unionByName(newRows
+                .unionByName(newRows.drop(mcolOpt.toSeq: _*)
                   .withColumn("_change_type", lit("update_postimage"))),
               physU)
           } else (Seq.empty[JsonNode], () => ())
@@ -1631,6 +1775,8 @@ object PortableDelta {
         b.put("modificationTime", f.modificationTime)
         b.put("dataChange", true)
         f.stats.foreach(b.put("stats", _))
+        f.baseRowId.foreach(b.put("baseRowId", _))
+        f.defaultRowCommitVersion.foreach(b.put("defaultRowCommitVersion", _))
         f.dv.foreach { d =>
           val n = b.putObject("deletionVector")
           n.put("storageType", d.storageType)
@@ -1721,6 +1867,8 @@ object PortableDelta {
       b.put("modificationTime", f.modificationTime)
       b.put("dataChange", true)
       f.stats.foreach(b.put("stats", _))
+      f.baseRowId.foreach(b.put("baseRowId", _))
+      f.defaultRowCommitVersion.foreach(b.put("defaultRowCommitVersion", _))
       f.dv.foreach { d =>
         val n = b.putObject("deletionVector")
         if (d.storageType == "u") {
@@ -2052,6 +2200,145 @@ object PortableDelta {
         (StructType(schema.fields.filterNot(_.name == name)), partCols)
     }
 
+  /** `delta.enableRowTracking` — every add carries a `baseRowId` (the
+    * file's rows get stable IDs baseRowId..baseRowId+numRecords-1) and
+    * a `defaultRowCommitVersion`; the fresh-ID high-water mark lives in
+    * the `delta.rowTracking` domainMetadata. */
+  val RowTrackingProp = "delta.enableRowTracking"
+  private val RowTrackingDomain = "delta.rowTracking"
+  /** Column name (table property) row-ID-preserving rewrites materialize
+    * original IDs into — readers resolve a row's ID as
+    * coalesce(materialized, baseRowId + row_index). */
+  val MaterializedRowIdProp = "delta.rowTracking.materializedRowIdColumnName"
+
+  private def rowTrackingEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get(RowTrackingProp).contains("true")
+
+  private def rowIdHighWaterMark(dm: Map[String, String]): Long =
+    dm.get(RowTrackingDomain).flatMap { j =>
+      try Option(mapper.readTree(j).get("rowIdHighWaterMark")).map(_.asLong())
+      catch { case _: Exception => None }
+    }.getOrElse(-1L)
+
+  private def domainMetadataAction(domain: String, configuration: String,
+                                   removed: Boolean = false): JsonNode = {
+    val r = mapper.createObjectNode()
+    val b = r.putObject("domainMetadata")
+    b.put("domain", domain); b.put("configuration", configuration)
+    b.put("removed", removed)
+    r
+  }
+
+  private def numRecordsOf(conf: Configuration, path: String,
+                           relPath: String, statsJson: Option[String]): Long =
+    statsJson.flatMap { j =>
+      try Option(mapper.readTree(j).get("numRecords")).map(_.asLong())
+      catch { case _: Exception => None }
+    }.getOrElse(parquetRowCount(conf, resolvedDataPath(path, relPath)))
+
+  /** Fresh base row IDs for the commit's new files: consecutive ranges
+    * from the snapshot's high-water mark (each file reserves its row
+    * count; numRecords comes from the just-harvested stats — no extra
+    * I/O), plus the domainMetadata action publishing the new mark.
+    * None when row tracking is off. */
+  private def assignRowIds(conf: Configuration, path: String,
+                           cfg: Map[String, String], dm: Map[String, String],
+                           added: Seq[StagedFile],
+                           statsByName: Map[String, String])
+      : Option[(Map[String, Long], JsonNode)] = {
+    if (!rowTrackingEnabled(cfg) || added.isEmpty) return None
+    var hwm = rowIdHighWaterMark(dm)
+    val ids = added.map { f =>
+      val base = hwm + 1
+      hwm = base + math.max(1L,
+        numRecordsOf(conf, path, f.relPath, statsByName.get(f.relPath))) - 1
+      f.relPath -> base
+    }.toMap
+    Some((ids, domainMetadataAction(RowTrackingDomain,
+      s"""{"rowIdHighWaterMark":$hwm}""")))
+  }
+
+  /** Enable row tracking on an existing table (delta-spark's
+    * `delta.enableRowTracking=true` ALTER): one commit that (a) raises
+    * the protocol to writer 7 with the `rowTracking` + `domainMetadata`
+    * writer features (readers unaffected — row IDs are write-side
+    * bookkeeping), (b) re-states metaData with the property plus a
+    * generated materialized-row-id column name, (c) BACKFILLS every
+    * live add with a baseRowId/defaultRowCommitVersion (dataChange =
+    * false re-adds — replay last-wins keeps one live entry per path),
+    * and (d) publishes the high-water mark in the `delta.rowTracking`
+    * domainMetadata. After this, every committing path assigns fresh
+    * IDs to its adds, [[update]] PRESERVES IDs across row rewrites via
+    * the materialized column, and [[readChanges]] pairs UPDATE-shaped
+    * commits into update_preimage/update_postimage rows even without
+    * cdc files. Backfill numRecords comes from logged stats (footer
+    * reads only for stats-less files). Returns the enablement version.
+    *
+    * Scope notes (documented limitations, both spec-legal for an
+    * engine that owns its tables): [[optimizeCompact]]/[[optimizeZOrder]]
+    * assign FRESH IDs to rewritten files rather than materializing the
+    * originals, and MERGE's row versions get fresh IDs (its CDF path
+    * already emits exact update pairs as cdc when CDF is enabled). */
+  def enableRowTracking(spark: SparkSession, path: String,
+                        maxRetries: Int = 10): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, path)
+      if (rowTrackingEnabled(snap.configuration)) return snap.version
+      val now = System.currentTimeMillis()
+      val v = snap.version + 1
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, "SET TBLPROPERTIES (rowTracking)")
+      featureUpgradeAction(snap, Nil, Seq("rowTracking", "domainMetadata"))
+        .foreach(actions += _)
+      val cfg = snap.configuration +
+        (RowTrackingProp -> "true") +
+        (MaterializedRowIdProp ->
+          s"_row-id-col-${java.util.UUID.randomUUID()}")
+      actions += metaDataAction(snap.tableId, snap.schema, cfg, now,
+        snap.partitionColumns)
+      var hwm = rowIdHighWaterMark(snap.domainMetadata)
+      snap.files.foreach { f =>
+        val base = hwm + 1
+        hwm = base + math.max(1L,
+          numRecordsOf(conf, path, f.path, f.stats)) - 1
+        val r = mapper.createObjectNode()
+        val b = r.putObject("add")
+        b.put("path", f.path)
+        putPartitionValues(b, f.partitionValues)
+        b.put("size", f.size)
+        b.put("modificationTime", f.modificationTime)
+        b.put("dataChange", false) // backfill: no logical change
+        f.stats.foreach(b.put("stats", _))
+        f.dv.foreach { d =>
+          val n = b.putObject("deletionVector")
+          n.put("storageType", d.storageType)
+          n.put("pathOrInlineDv", d.pathOrInlineDv)
+          d.offset.foreach(n.put("offset", _))
+          n.put("sizeInBytes", d.sizeInBytes); n.put("cardinality", d.cardinality)
+        }
+        b.put("baseRowId", base)
+        b.put("defaultRowCommitVersion", v)
+        actions += r
+      }
+      actions += domainMetadataAction(RowTrackingDomain,
+        s"""{"rowIdHighWaterMark":$hwm}""")
+      try {
+        commit(conf, path, v, actions.result(), cfg)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"enableRowTracking on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Write-side data-quality gate: validate a batch against the table's
     * CHECK constraints (`delta.constraints.*`) and NOT NULL columns
     * (table schema `nullable = false` where the batch's own plan can't
@@ -2273,6 +2560,11 @@ object PortableDelta {
       val actions = Seq.newBuilder[JsonNode]
       actions += commitInfo(now, op)
       victims.foreach(f => actions += removeActionNode(f, now, dataChange = false))
+      // row tracking: compaction assigns FRESH IDs to the rewritten
+      // files (documented enableRowTracking limitation — preservation
+      // through OPTIMIZE would need materialized-ID rewrites)
+      val rt = assignRowIds(conf, path, prior.configuration,
+        prior.domainMetadata, added, statsByName)
       added.foreach { f =>
         val r = mapper.createObjectNode()
         val b = r.putObject("add")
@@ -2282,8 +2574,13 @@ object PortableDelta {
         b.put("modificationTime", f.status.getModificationTime)
         b.put("dataChange", false)
         statsByName.get(f.relPath).foreach(b.put("stats", _))
+        rt.foreach { case (ids, _) =>
+          b.put("baseRowId", ids(f.relPath))
+          b.put("defaultRowCommitVersion", prior.version + 1)
+        }
         actions += r
       }
+      rt.foreach(t => actions += t._2)
       try {
         commit(conf, path, prior.version + 1, actions.result(),
           prior.configuration)
@@ -2389,7 +2686,9 @@ object PortableDelta {
     * protocol declaration, not just the property. */
   private def cfgWriterFeatures(cfg: Map[String, String]): Seq[String] =
     (if (cdfEnabled(cfg)) Seq("changeDataFeed") else Nil) ++
-      (if (cfg.get(IctProp).contains("true")) Seq("inCommitTimestamp") else Nil)
+      (if (cfg.get(IctProp).contains("true")) Seq("inCommitTimestamp") else Nil) ++
+      (if (rowTrackingEnabled(cfg)) Seq("rowTracking", "domainMetadata")
+       else Nil)
 
   /** Physical row count from the parquet footer — a metadata-only read. */
   private def parquetRowCount(conf: Configuration, file: Path): Long = {
@@ -2415,11 +2714,13 @@ object PortableDelta {
   private val AddT =
     "struct<path:string,partitionValues:map<string,string>,size:bigint," +
       s"modificationTime:bigint,dataChange:boolean,deletionVector:$DvT," +
-      "stats:string>"
+      "stats:string,baseRowId:bigint,defaultRowCommitVersion:bigint>"
   private val TxnT = "struct<appId:string,version:bigint,lastUpdated:bigint>"
   private val RemoveT =
     "struct<path:string,deletionTimestamp:bigint,dataChange:boolean," +
       "extendedFileMetadata:boolean,partitionValues:map<string,string>,size:bigint>"
+  private val DomainT =
+    "struct<domain:string,configuration:string,removed:boolean>"
 
   private val FlatAddSchema = StructType(Seq(
     StructField("path", StringType), StructField("size", LongType),
@@ -2431,7 +2732,9 @@ object PortableDelta {
     StructField("dv_cardinality", LongType),
     StructField("stats", StringType),
     StructField("partitionValues",
-      org.apache.spark.sql.types.MapType(StringType, StringType))))
+      org.apache.spark.sql.types.MapType(StringType, StringType)),
+    StructField("baseRowId", LongType),
+    StructField("defaultRowCommitVersion", LongType)))
 
   private def addFilesToFlatDf(spark: SparkSession, files: Seq[AddFile]): DataFrame = {
     val rows = files.map { f =>
@@ -2441,7 +2744,9 @@ object PortableDelta {
         f.dv.map(d => Int.box(d.sizeInBytes)).orNull,
         f.dv.map(d => Long.box(d.cardinality)).orNull,
         f.stats.orNull,
-        f.partitionValues)
+        f.partitionValues,
+        f.baseRowId.map(Long.box).orNull,
+        f.defaultRowCommitVersion.map(Long.box).orNull)
     }
     spark.createDataFrame(rows.asJava, FlatAddSchema)
   }
@@ -2559,7 +2864,7 @@ object PortableDelta {
       }
     fs.delete(tmp, true)
     val lc = new Path(logDir(path), "_last_checkpoint")
-    val sizeJson = 2 + nAdds + st.txns.size
+    val sizeJson = 2 + nAdds + st.txns.size + st.domains.size
     val partsJson = if (k == 1) "" else s""","parts":$k"""
     // sizeInBytes / numOfAddFiles are the spec's optional hint fields —
     // engines use them to budget checkpoint reads without opening footers
@@ -2589,6 +2894,7 @@ object PortableDelta {
         st.configuration = snap.configuration
         st.partitionCols = snap.partitionColumns
         snap.txns.foreach { case (k, v) => st.txns.put(k, v) }
+        snap.domainMetadata.foreach { case (k, v) => st.domains.put(k, v) }
       case Some(ref) =>
         seedCheckpointSmall(spark, path, ref, st)
         tailCommits(fs, path, ref.version).foreach { case (_, p) =>
@@ -2609,6 +2915,7 @@ object PortableDelta {
     val nullMeta = lit(null).cast(MetaT)
     val nullAdd = lit(null).cast(AddT)
     val nullTxn = lit(null).cast(TxnT)
+    val nullDomain = lit(null).cast(DomainT)
     val protocolDf = Seq(1).toDF("x").select(
       struct(lit(st.readerV).as("minReaderVersion"),
         lit(st.writerV).as("minWriterVersion"),
@@ -2616,7 +2923,8 @@ object PortableDelta {
          else lit(null).cast("array<string>")).as("readerFeatures"),
         (if (st.writerFeatures.nonEmpty) typedLit(st.writerFeatures)
          else lit(null).cast("array<string>")).as("writerFeatures")).as("protocol"),
-      nullMeta.as("metaData"), nullAdd.as("add"), nullTxn.as("txn"))
+      nullMeta.as("metaData"), nullAdd.as("add"), nullTxn.as("txn"),
+      nullDomain.as("domainMetadata"))
     val metaDf = Seq(1).toDF("x").select(
       nullProto.as("protocol"),
       struct(lit(st.tableId).as("id"),
@@ -2626,15 +2934,24 @@ object PortableDelta {
          else array().cast("array<string>")).as("partitionColumns"),
         typedLit(st.configuration).as("configuration"),
         lit(System.currentTimeMillis()).as("createdTime")).as("metaData"),
-      nullAdd.as("add"), nullTxn.as("txn"))
+      nullAdd.as("add"), nullTxn.as("txn"), nullDomain.as("domainMetadata"))
     // the per-appId streaming watermarks must survive log truncation —
     // the spec stores the latest txn action per appId in the checkpoint
     val txnsDf = st.txns.toSeq
       .toDF("app", "v").select(
         nullProto.as("protocol"), nullMeta.as("metaData"), nullAdd.as("add"),
         struct($"app".as("appId"), $"v".as("version"),
-          lit(null).cast("bigint").as("lastUpdated")).as("txn"))
-    protocolDf.unionByName(metaDf).unionByName(txnsDf)
+          lit(null).cast("bigint").as("lastUpdated")).as("txn"),
+        nullDomain.as("domainMetadata"))
+    // live (non-removed) domainMetadata survives the checkpoint too —
+    // row tracking's high-water mark rides here
+    val domainsDf = st.domains.toSeq
+      .toDF("d", "c").select(
+        nullProto.as("protocol"), nullMeta.as("metaData"), nullAdd.as("add"),
+        nullTxn.as("txn"),
+        struct($"d".as("domain"), $"c".as("configuration"),
+          lit(false).as("removed")).as("domainMetadata"))
+    protocolDf.unionByName(metaDf).unionByName(txnsDf).unionByName(domainsDf)
   }
 
   /** Flat add rows ([[liveAddsFlatDf]] shape) → checkpoint action rows
@@ -2654,8 +2971,10 @@ object PortableDelta {
             col("dv_sizeInBytes").as("sizeInBytes"),
             col("dv_cardinality").as("cardinality")))
           .otherwise(lit(null).cast(DvT)).as("deletionVector"),
-        col("stats")).as("add"),
-      lit(null).cast(TxnT).as("txn"))
+        col("stats"), col("baseRowId"),
+        col("defaultRowCommitVersion")).as("add"),
+      lit(null).cast(TxnT).as("txn"),
+      lit(null).cast(DomainT).as("domainMetadata"))
   }
 
   /** Write a V2 CHECKPOINT for the current version V — the modern Delta
@@ -2753,12 +3072,14 @@ object PortableDelta {
     val ckptMetaDf = Seq(1).toDF("x").select(
       lit(null).cast(ProtoT).as("protocol"), lit(null).cast(MetaT).as("metaData"),
       lit(null).cast(AddT).as("add"), lit(null).cast(TxnT).as("txn"),
+      lit(null).cast(DomainT).as("domainMetadata"),
       lit(null).cast(RemoveT).as("remove"),
       struct(lit(version).as("version")).as("checkpointMetadata"),
       lit(null).cast(sidecarT).as("sidecar"))
     val sidecarDf = sidecars.toDF("p", "sz", "mt").select(
       lit(null).cast(ProtoT).as("protocol"), lit(null).cast(MetaT).as("metaData"),
       lit(null).cast(AddT).as("add"), lit(null).cast(TxnT).as("txn"),
+      lit(null).cast(DomainT).as("domainMetadata"),
       lit(null).cast(RemoveT).as("remove"),
       lit(null).cast(ckptMetaT).as("checkpointMetadata"),
       struct($"p".as("path"), $"sz".as("sizeInBytes"),
@@ -2780,7 +3101,7 @@ object PortableDelta {
       sidecars.map(_._2).sum
     val out = fs.create(lc, true)
     try out.write(
-      (s"""{"version":$version,"size":${2 + nAdds + st.txns.size}""" +
+      (s"""{"version":$version,"size":${2 + nAdds + st.txns.size + st.domains.size}""" +
         s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""")
         .getBytes("UTF-8"))
     finally out.close()
@@ -3056,11 +3377,21 @@ object PortableDelta {
     // version order, so plain overwrite is the right merge)
     val txns: scala.collection.mutable.LinkedHashMap[String, Long] =
       scala.collection.mutable.LinkedHashMap.empty
+    // spec: latest domainMetadata per domain wins; removed=true deletes
+    val domains: scala.collection.mutable.LinkedHashMap[String, String] =
+      scala.collection.mutable.LinkedHashMap.empty
 
     def applyJson(node: JsonNode): Unit = {
       if (node.has("txn")) {
         val t = node.get("txn")
         txns.put(t.get("appId").asText(), t.get("version").asLong())
+      }
+      if (node.has("domainMetadata")) {
+        val d = node.get("domainMetadata")
+        val name = d.get("domain").asText()
+        if (Option(d.get("removed")).exists(_.asBoolean())) domains.remove(name)
+        else domains.put(name,
+          Option(d.get("configuration")).map(_.asText()).getOrElse(""))
       }
       if (node.has("protocol")) {
         val p = node.get("protocol")
@@ -3115,7 +3446,7 @@ object PortableDelta {
       Snapshot(version, readerV, writerV, tableId,
         DataType.fromJson(schemaJson).asInstanceOf[StructType],
         configuration, live.values.toSeq, txns.toMap,
-        readerFeatures, writerFeatures, partitionCols)
+        readerFeatures, writerFeatures, partitionCols, domains.toMap)
     }
   }
 
@@ -3178,8 +3509,10 @@ object PortableDelta {
           s"_last_checkpoint version ${ref.version} at $path")
     }
     val hasTxn = df.schema.fieldNames.contains("txn")
+    val hasDomain = df.schema.fieldNames.contains("domainMetadata")
     val cols = Seq(col("protocol"), col("metaData")) ++
-      (if (hasTxn) Seq(col("txn")) else Nil)
+      (if (hasTxn) Seq(col("txn")) else Nil) ++
+      (if (hasDomain) Seq(col("domainMetadata")) else Nil)
     val keep = cols.map(_.isNotNull).reduce(_ || _)
     val rows = df.select(cols: _*).where(keep).collect()
     rows.foreach { r =>
@@ -3210,6 +3543,16 @@ object PortableDelta {
         val t = r.getStruct(2)
         st.txns.put(t.getString(t.fieldIndex("appId")),
           t.getLong(t.fieldIndex("version")))
+      }
+      // live domainMetadata rows (row tracking's high-water mark etc.)
+      val domainIdx = if (hasTxn) 3 else 2
+      if (hasDomain && !r.isNullAt(domainIdx)) {
+        val d = r.getStruct(domainIdx)
+        if (d.schema.fieldNames.contains("removed") &&
+            !d.isNullAt(d.fieldIndex("removed")) &&
+            d.getBoolean(d.fieldIndex("removed"))) ()
+        else st.domains.put(d.getString(d.fieldIndex("domain")),
+          Option(d.getString(d.fieldIndex("configuration"))).getOrElse(""))
       }
       // remove rows in a checkpoint are VACUUM tombstones, not state: live
       // files are exactly the add rows, so they (and cdc/unknown columns)
@@ -3280,11 +3623,15 @@ object PortableDelta {
       if (addType.fieldNames.contains("partitionValues"))
         col("add.partitionValues").as("partitionValues")
       else lit(null).cast("map<string,string>").as("partitionValues")
+    def longField(n: String) =
+      if (addType.fieldNames.contains(n)) col(s"add.$n").cast("bigint").as(n)
+      else lit(null).cast("bigint").as(n)
     df.where(col("add").isNotNull)
       .select(Seq(col("add.path").as("path"),
         col("add.size").cast("bigint").as("size"),
         col("add.modificationTime").cast("bigint").as("modificationTime")) ++ dvCols
-        ++ Seq(statsCol, pvCol): _*)
+        ++ Seq(statsCol, pvCol,
+          longField("baseRowId"), longField("defaultRowCommitVersion")): _*)
   }
 
 
@@ -3297,7 +3644,9 @@ object PortableDelta {
     AddFile(r.getString(0), r.getLong(1), r.getLong(2), dv,
       if (r.isNullAt(8)) None else Some(r.getString(8)),
       if (r.isNullAt(9)) Map.empty
-      else r.getMap[String, String](9).toMap)
+      else r.getMap[String, String](9).toMap,
+      if (r.length <= 10 || r.isNullAt(10)) None else Some(r.getLong(10)),
+      if (r.length <= 11 || r.isNullAt(11)) None else Some(r.getLong(11)))
   }
 
   /** Compat seeding for the Snapshot API: small state + a NARROW driver
@@ -3460,7 +3809,9 @@ object PortableDelta {
     }.getOrElse(Map.empty[String, String])
     AddFile(a.get("path").asText(), a.get("size").asLong(),
       a.get("modificationTime").asLong(), dv,
-      Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), pv)
+      Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), pv,
+      Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
+      Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()))
   }
 
   private def logDir(path: String) = new Path(path, "_delta_log")
@@ -3551,11 +3902,18 @@ object PortableDelta {
                          partitionBy: Seq[String]): (DataFrame, Seq[String]) = {
     val byName = tableSchema.fields.map(f => f.name -> f).toMap
     val cols = df.schema.fields.toSeq.map { c =>
-      val f = byName.getOrElse(c.name, throw new IllegalArgumentException(
-        s"column ${c.name} not in the mapped table schema " +
-          s"${tableSchema.fieldNames.mkString("[", ", ", "]")}"))
-      org.apache.spark.sql.functions.col(c.name)
-        .cast(physDataType(f.dataType)).as(physFieldName(f))
+      byName.get(c.name) match {
+        case Some(f) =>
+          org.apache.spark.sql.functions.col(c.name)
+            .cast(physDataType(f.dataType)).as(physFieldName(f))
+        case None if c.name.startsWith("_row-id-col-") =>
+          // the row-tracking materialized column lives OUTSIDE the table
+          // schema; it is already physically named
+          org.apache.spark.sql.functions.col(c.name)
+        case None => throw new IllegalArgumentException(
+          s"column ${c.name} not in the mapped table schema " +
+            s"${tableSchema.fieldNames.mkString("[", ", ", "]")}")
+      }
     }
     (df.select(cols: _*), partitionBy.map(n => physFieldName(byName(n))))
   }

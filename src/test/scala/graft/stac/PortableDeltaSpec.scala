@@ -169,7 +169,8 @@ class PortableDeltaSpec extends AnyFunSuite {
     // require the remove/txn columns (older delta-rs, DuckDB delta) must
     // find them, null-typed — not just the columns this writer populates
     val rows = spark.read.parquet(ckpt.getPath)
-    assert(rows.columns.sorted.toSeq == Seq("add", "metaData", "protocol", "remove", "txn"))
+    assert(rows.columns.sorted.toSeq ==
+      Seq("add", "domainMetadata", "metaData", "protocol", "remove", "txn"))
     assert(rows.filter(col("protocol").isNotNull).count() == 1)
     assert(rows.filter(col("metaData").isNotNull).count() == 1)
     assert(rows.filter(col("add").isNotNull).count() > 0)
@@ -483,7 +484,8 @@ class PortableDeltaSpec extends AnyFunSuite {
     // external expectation: ALL parts together hold exactly one protocol,
     // one metaData, and the 5 add rows, under the full action schema
     val rows = spark.read.parquet(parts.map(p => s"$path/_delta_log/$p").toSeq: _*)
-    assert(rows.columns.sorted.toSeq == Seq("add", "metaData", "protocol", "remove", "txn"))
+    assert(rows.columns.sorted.toSeq ==
+      Seq("add", "domainMetadata", "metaData", "protocol", "remove", "txn"))
     assert(rows.filter(col("protocol").isNotNull).count() == 1)
     assert(rows.filter(col("metaData").isNotNull).count() == 1)
     assert(rows.filter(col("add").isNotNull).count() == 5)
