@@ -51,6 +51,27 @@ object Cql2 {
 
   @transient private lazy val mapper = new ObjectMapper()
 
+  /** OGC 21-065 conformance-class URIs this translator implements —
+    * the self-declaration a STAC API `filter` extension advertises in
+    * its landing page `conformsTo`. Both encodings (cql2-text and
+    * cql2-json) cover every listed class; anything beyond stays on the
+    * reference's delegation path (PgstacReader → pgstac `search()`). */
+  val ConformanceClasses: Seq[String] = Seq(
+    "http://www.opengis.net/spec/cql2/1.0/conf/cql2-text",
+    "http://www.opengis.net/spec/cql2/1.0/conf/cql2-json",
+    "http://www.opengis.net/spec/cql2/1.0/conf/basic-cql2",
+    "http://www.opengis.net/spec/cql2/1.0/conf/advanced-comparison-operators",
+    "http://www.opengis.net/spec/cql2/1.0/conf/case-insensitive-comparison",
+    "http://www.opengis.net/spec/cql2/1.0/conf/accent-insensitive-comparison",
+    "http://www.opengis.net/spec/cql2/1.0/conf/basic-spatial-functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/basic-spatial-functions-plus",
+    "http://www.opengis.net/spec/cql2/1.0/conf/spatial-functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/temporal-functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/array-functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/property-property",
+    "http://www.opengis.net/spec/cql2/1.0/conf/functions",
+    "http://www.opengis.net/spec/cql2/1.0/conf/arithmetic")
+
   /** A function registry for OGC 21-065's "Functions" conformance
     * class: lower-cased name → Column builder over the translated
     * argument columns. */

@@ -169,6 +169,8 @@ object PortableDelta {
       }
       (sch, cfg)
     }
+    if (mode == "overwrite")
+      prior0.foreach(p => requireNotAppendOnly(p.configuration, "overwrite"))
     val (cSch0, cCfg0) = effectiveConstraints(prior0)
     enforceConstraints(df, cSch0, cCfg0, s"write to $path")
     // appends inherit the table's partitioning; an explicit partitionBy
@@ -740,6 +742,7 @@ object PortableDelta {
         if (snap.txns.get(appId).exists(_ >= v))
           return DeleteStats(snap.version, 0L, 0, 0)
       }
+      requireNotAppendOnly(snap.configuration, "DELETE")
       if (snap.files.isEmpty) return DeleteStats(snap.version, 0L, 0, 0)
       val dead = scanWithPos(spark, path, snap, applyDvs = false)
         .filter(condition)
@@ -803,6 +806,14 @@ object PortableDelta {
 
   private def cdfEnabled(cfg: Map[String, String]): Boolean =
     cfg.get(CdfProp).contains("true")
+
+  /** The spec's `delta.appendOnly=true` (legacy writer-2 `appendOnly`
+    * feature): existing data may not be deleted or changed — DELETE/
+    * UPDATE/MERGE/overwrite/RESTORE refuse BY NAME; appends and
+    * dataChange=false maintenance (OPTIMIZE, checkpoints) stay legal. */
+  private def requireNotAppendOnly(cfg: Map[String, String], op: String): Unit =
+    require(!cfg.get("delta.appendOnly").contains("true"),
+      s"$op is forbidden on an append-only table (delta.appendOnly=true)")
 
   /** Write `changes` (table columns + `_change_type`) as cdc parquet
     * files and return (cdc action nodes, withdraw hook for lost commit
@@ -1389,6 +1400,7 @@ object PortableDelta {
     require(keys.nonEmpty, "merge needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
     val snap0 = snapshot(spark, path)
+    requireNotAppendOnly(snap0.configuration, "MERGE")
     keys.foreach(k => require(snap0.schema.fieldNames.contains(k),
       s"merge key $k not in table schema"))
     // align source columns to the table schema (order-insensitive input)
@@ -1587,6 +1599,7 @@ object PortableDelta {
         if (snap.txns.get(appId).exists(_ >= v))
           return UpdateStats(snap.version, 0L)
       }
+      requireNotAppendOnly(snap.configuration, "UPDATE")
       set.keys.foreach(k => require(snap.schema.fieldNames.contains(k),
         s"update SET column $k not in table schema"))
       if (snap.files.isEmpty) return UpdateStats(snap.version, 0L)
@@ -1744,6 +1757,7 @@ object PortableDelta {
     var attempt = 0
     while (true) {
       val cur = snapshot(spark, path)
+      requireNotAppendOnly(cur.configuration, "RESTORE") // CURRENT props govern
       if (cur.version == versionAsOf)
         return RestoreStats(cur.version, versionAsOf, 0, 0)
       val curByPath = cur.files.map(f => f.path -> f).toMap

@@ -194,6 +194,33 @@ class ProtocolFeatureSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path).count() == 7L)
   }
 
+  test("delta.appendOnly forbids every mutating verb, allows appends") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 6L).coalesce(1), path,
+      properties = Map("delta.appendOnly" -> "true"))
+    // appends and dataChange=false maintenance stay legal
+    PortableDelta.write(df(6L until 8L).coalesce(1), path, mode = "append")
+    PortableDelta.checkpoint(spark, path)
+    assert(PortableDelta.readTable(spark, path).count() == 8L)
+    def refused(op: String)(body: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      assert(e.getMessage.contains("append-only") &&
+        e.getMessage.contains(op), s"$op: ${e.getMessage}")
+    }
+    val s = spark; import s.implicits._
+    refused("DELETE")(PortableDelta.delete(spark, path, col("id") === 0L))
+    refused("UPDATE")(PortableDelta.update(spark, path, col("id") === 0L,
+      Map("body" -> lit("x"))))
+    refused("MERGE")(PortableDelta.merge(spark, path,
+      Seq((0L, "m")).toDF("id", "body"), Seq("id")))
+    refused("RESTORE")(PortableDelta.restore(spark, path, 0L))
+    refused("overwrite")(PortableDelta.write(df(0L until 2L).coalesce(1),
+      path, mode = "overwrite"))
+    // nothing committed by any refusal
+    assert(PortableDelta.snapshot(spark, path).version == 1L)
+    assert(PortableDelta.readTable(spark, path).count() == 8L)
+  }
+
   test("superseded checkpoint IS deleted while full replay remains intact") {
     val path = tmp()
     for (v <- 0L until 3L)
