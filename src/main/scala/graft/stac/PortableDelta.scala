@@ -47,7 +47,7 @@ object PortableDelta {
     * protocol (Delta's table-features gate: a reader may open a
     * version-3 table iff it supports EVERY listed reader feature). */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
 
   /** Commit-conflict signal: the target version file appeared between
     * snapshot and rename — the loser of the put-if-absent race. write()
@@ -239,11 +239,15 @@ object PortableDelta {
         // enabled at creation needs no enablement-version provenance:
         // every commit of the table carries a stamp.)
         val born = cfgWriterFeatures(properties)
-        if (born.isEmpty) actions += protocolAction()
+        // TIMESTAMP WITHOUT TIME ZONE columns are protocol-gated on the
+        // timestampNtz feature — BOTH sides (old readers would misread
+        // the parquet bytes as zoned timestamps)
+        val ntz = if (containsNtz(df.schema)) Seq("timestampNtz") else Nil
+        if (born.isEmpty && ntz.isEmpty) actions += protocolAction()
         else {
           val base = Snapshot(-1L, MinReaderVersion, MinWriterVersion, "",
             df.schema, Map.empty, Nil)
-          actions += featureUpgradeAction(base, Nil, born).get
+          actions += featureUpgradeAction(base, ntz, born ++ ntz).get
         }
         actions += metaDataAction(java.util.UUID.randomUUID().toString,
           df.schema, properties, now, effPartitionBy)
@@ -281,6 +285,12 @@ object PortableDelta {
         actions += metaDataAction(prior.get.tableId, evolvedSchema.get,
           prior.get.configuration, now, effPartitionBy)
       }
+      // healing upgrade for EXISTING tables gaining (or already
+      // carrying, sans declaration) an NTZ column — schema evolution,
+      // overwrite-with-new-schema, or an externally-created legacy log
+      if (prior.nonEmpty && containsNtz(df.schema))
+        featureUpgradeAction(prior.get, Seq("timestampNtz"),
+          Seq("timestampNtz")).foreach(actions += _)
       val commitCfg = prior.map(p =>
         if (mode == "overwrite" && properties.nonEmpty) properties
         else p.configuration).getOrElse(properties)
@@ -806,6 +816,18 @@ object PortableDelta {
 
   private def cdfEnabled(cfg: Map[String, String]): Boolean =
     cfg.get(CdfProp).contains("true")
+
+  /** Does the schema carry a TIMESTAMP WITHOUT TIME ZONE anywhere
+    * (top-level or nested)? Such tables are gated on the spec's
+    * `timestampNtz` reader+writer feature. */
+  private def containsNtz(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.TimestampNTZType => true
+    case s: StructType => s.fields.exists(f => containsNtz(f.dataType))
+    case org.apache.spark.sql.types.ArrayType(e, _) => containsNtz(e)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      containsNtz(k) || containsNtz(v)
+    case _ => false
+  }
 
   /** The spec's `delta.appendOnly=true` (legacy writer-2 `appendOnly`
     * feature): existing data may not be deleted or changed — DELETE/

@@ -131,11 +131,11 @@ class ColumnMappingSpec extends AnyFunSuite {
       StructField("k", LongType, nullable = true, meta("k", "col-k")),
       StructField("body", StringType, nullable = true, meta("body", "col-b"))))
     commitTable(path, logical, readerV = 3,
-      features = Seq("columnMapping", "timestampNtz"), adds = Seq((f1, s1)))
+      features = Seq("columnMapping", "icebergCompatV9"), adds = Seq((f1, s1)))
     val e = intercept[IllegalArgumentException] {
       PortableDelta.readTable(spark, path).collect()
     }
-    assert(e.getMessage.contains("timestampNtz"), e.getMessage)
+    assert(e.getMessage.contains("icebergCompatV9"), e.getMessage)
   }
 
   // ---------- WRITE side: RENAME / DROP COLUMN ----------

@@ -287,7 +287,7 @@ class PortableDeltaSpec extends AnyFunSuite {
     val conf = spark.sessionState.newHadoopConf()
     // deletionVectors + columnMapping + v2Checkpoint are IMPLEMENTED
     // now (round 8) — a v3 table carrying only those must load; one
-    // carrying a feature this reader lacks (timestampNtz, …) must not
+    // carrying a feature this reader lacks (icebergCompatV9, …) must not
     val proto = mapper.createObjectNode()
     val p = proto.putObject("protocol")
     p.put("minReaderVersion", 3).put("minWriterVersion", 7)
@@ -298,13 +298,13 @@ class PortableDeltaSpec extends AnyFunSuite {
     val proto2 = mapper.createObjectNode()
     val p2 = proto2.putObject("protocol")
     p2.put("minReaderVersion", 3).put("minWriterVersion", 7)
-    p2.putArray("readerFeatures").add("deletionVectors").add("timestampNtz")
+    p2.putArray("readerFeatures").add("deletionVectors").add("icebergCompatV9")
     PortableDelta.commit(conf, path, 2, Seq(proto2))
     val e = intercept[IllegalArgumentException] {
       PortableDelta.snapshot(conf, path)
     }
     assert(e.getMessage.contains("reader version 3"))
-    assert(e.getMessage.contains("timestampNtz"),
+    assert(e.getMessage.contains("icebergCompatV9"),
       s"rejection must NAME the unsupported feature: ${e.getMessage}")
   }
 
@@ -1023,6 +1023,49 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path)
       .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("timestampNtz: NTZ columns round-trip with the feature declared") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    // TIMESTAMP WITHOUT TIME ZONE — protocol-gated: a feature-unaware
+    // reader would misread the bytes as zoned timestamps
+    val data = Seq((1L, "2021-06-01 08:30:00"), (2L, "2021-06-02 09:45:00"))
+      .toDF("id", "s").withColumn("ts", col("s").cast("timestamp_ntz")).drop("s")
+    PortableDelta.write(data.coalesce(1), path)
+    val proto = logLines(path, 0).filter(_.has("protocol")).map(_.get("protocol"))
+    assert(proto.size == 1)
+    assert(proto.head.get("minReaderVersion").asInt() == 3)
+    assert(proto.head.get("readerFeatures").elements().asScala.map(_.asText())
+      .contains("timestampNtz"))
+    assert(proto.head.get("writerFeatures").elements().asScala.map(_.asText())
+      .contains("timestampNtz"))
+    val got = PortableDelta.readTable(spark, path)
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(got.select(col("ts").cast("string")).collect()
+      .map(_.getString(0)).sorted.toSeq ==
+      Seq("2021-06-01 08:30:00", "2021-06-02 09:45:00"))
+    // appends keep working (feature already declared, no re-upgrade)
+    PortableDelta.write(
+      Seq((3L, "2021-06-03 10:00:00")).toDF("id", "s")
+        .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s").coalesce(1),
+      path, mode = "append")
+    assert(logLines(path, 1).count(_.has("protocol")) == 0)
+    assert(PortableDelta.readTable(spark, path).count() == 3L)
+    // schema evolution ADDING an NTZ column to a plain table upgrades
+    val plain = tmp()
+    PortableDelta.write(Seq((1L, "a")).toDF("id", "tag").coalesce(1), plain)
+    PortableDelta.write(
+      Seq((2L, "b", "2022-01-01 00:00:00")).toDF("id", "tag", "s")
+        .withColumn("ts", col("s").cast("timestamp_ntz")).drop("s").coalesce(1),
+      plain, mode = "append", mergeSchema = true)
+    val snap = PortableDelta.snapshot(spark, plain)
+    assert(snap.readerFeatures.contains("timestampNtz") &&
+      snap.writerFeatures.contains("timestampNtz"),
+      s"evolution introducing NTZ must declare the feature, got " +
+        s"${snap.readerFeatures}/${snap.writerFeatures}")
+    assert(PortableDelta.readTable(spark, plain).count() == 2L)
   }
 
   test("many-file DELETE writes the DV pack from executors, in shards") {
