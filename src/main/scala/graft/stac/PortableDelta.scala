@@ -115,7 +115,7 @@ object PortableDelta {
     * This is the Delta idempotent-streaming-writes pattern: a
     * foreachBatch sink passes its batchId and a crash-replayed batch
     * cannot double-append. */
-  def write(df: DataFrame, path: String,
+  def write(df0: DataFrame, path: String,
             properties: Map[String, String] = Map.empty,
             mode: String = "error",
             footerKv: Map[String, String] = Map.empty,
@@ -123,14 +123,12 @@ object PortableDelta {
             maxRetries: Int = 10,
             partitionBy: Seq[String] = Nil,
             mergeSchema: Boolean = false): Long = {
-    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"partition column $c not in the batch schema"))
     require(Set("error", "append", "overwrite").contains(mode),
       s"mode must be error|append|overwrite, got $mode")
-    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val conf = df0.sparkSession.sessionState.newHadoopConf()
     def readPrior(): Option[Snapshot] =
       if (checkpointRefFor(conf, path).isDefined)
-        Some(snapshot(df.sparkSession, path)) // checkpoint-truncated log
+        Some(snapshot(df0.sparkSession, path)) // checkpoint-truncated log
       else currentSnapshot(conf, path)
     val prior0 = readPrior()
     require(mode != "error" || prior0.isEmpty,
@@ -144,6 +142,17 @@ object PortableDelta {
         if (p.txns.get(appId).exists(_ >= v)) return p.version
       }
     }
+    // generated columns resolve BEFORE the schema checks: an append
+    // missing one gets it computed against the TABLE schema; a batch
+    // providing one (and any create/overwrite whose own schema declares
+    // generation metadata) is validated
+    val df = prior0 match {
+      case Some(p) if mode == "append" =>
+        applyGeneratedColumns(df0, p.schema, s"write to $path")
+      case _ => applyGeneratedColumns(df0, df0.schema, s"write to $path")
+    }
+    partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column $c not in the batch schema"))
     def appendSchemaOf(prior: Snapshot): StructType =
       if (!mergeSchema) {
         require(DataType.equalsIgnoreNullability(prior.schema, df.schema),
@@ -238,11 +247,14 @@ object PortableDelta {
         // cdc files / ICT stamps, silently corrupting the feed. (ICT
         // enabled at creation needs no enablement-version provenance:
         // every commit of the table carries a stamp.)
-        val born = cfgWriterFeatures(properties)
         // TIMESTAMP WITHOUT TIME ZONE columns are protocol-gated on the
         // timestampNtz feature — BOTH sides (old readers would misread
-        // the parquet bytes as zoned timestamps)
+        // the parquet bytes as zoned timestamps); generation metadata
+        // declares the generatedColumns writer feature
         val ntz = if (containsNtz(df.schema)) Seq("timestampNtz") else Nil
+        val born = cfgWriterFeatures(properties) ++
+          (if (generatedFields(df.schema).nonEmpty) Seq("generatedColumns")
+           else Nil)
         if (born.isEmpty && ntz.isEmpty) actions += protocolAction()
         else {
           val base = Snapshot(-1L, MinReaderVersion, MinWriterVersion, "",
@@ -816,6 +828,46 @@ object PortableDelta {
 
   private def cdfEnabled(cfg: Map[String, String]): Boolean =
     cfg.get(CdfProp).contains("true")
+
+  /** Generated columns (the spec's `delta.generationExpression` field
+    * metadata — legacy writer-4 / the `generatedColumns` feature): a
+    * batch MISSING a generated column gets it computed from the
+    * expression; a batch PROVIDING one is validated against it
+    * (null-safe equality, one aggregate pass in the CHECK-constraint
+    * style) — a mismatch names the column with its row count and
+    * nothing lands. */
+  private def generatedFields(schema: StructType): Seq[(StructField, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.generationExpression") =>
+        (f, f.metadata.getString("delta.generationExpression"))
+    }
+
+  private def applyGeneratedColumns(df: DataFrame, tableSchema: StructType,
+                                    ctx: String): DataFrame = {
+    val gens = generatedFields(tableSchema)
+    if (gens.isEmpty) return df
+    import org.apache.spark.sql.functions.{col, expr, sum, when}
+    var out = df
+    val toCheck = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
+    gens.foreach { case (f, g) =>
+      if (!out.columns.contains(f.name))
+        out = out.withColumn(f.name, expr(g).cast(f.dataType).as(f.name, f.metadata))
+      else
+        toCheck += (s"generated column ${f.name} AS ($g)" ->
+          (col(f.name) <=> expr(g).cast(f.dataType)))
+    }
+    val checks = toCheck.result()
+    if (checks.nonEmpty) {
+      val aggs = checks.map { case (_, c) => sum(when(c, 0L).otherwise(1L)) }
+      val row = out.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val bad = checks.zipWithIndex.collect {
+        case ((n, _), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+          s"$n: ${row.getLong(i)} row(s)"
+      }
+      require(bad.isEmpty, s"$ctx violates ${bad.mkString("; ")}")
+    }
+    out
+  }
 
   /** Does the schema carry a TIMESTAMP WITHOUT TIME ZONE anywhere
     * (top-level or nested)? Such tables are gated on the spec's
@@ -1425,16 +1477,20 @@ object PortableDelta {
     requireNotAppendOnly(snap0.configuration, "MERGE")
     keys.foreach(k => require(snap0.schema.fieldNames.contains(k),
       s"merge key $k not in table schema"))
+    // generated columns: a source lacking one gets it computed, a source
+    // providing one is validated — BEFORE the schema alignment check
+    val source1 = applyGeneratedColumns(source, snap0.schema,
+      s"MERGE into $path")
     // align source columns to the table schema (order-insensitive input)
     require(DataType.equalsIgnoreNullability(
       StructType(snap0.schema.map(f =>
         StructField(f.name, f.dataType))),
       StructType(snap0.schema.flatMap(f =>
-        source.schema.find(_.name == f.name).map(s =>
+        source1.schema.find(_.name == f.name).map(s =>
           StructField(s.name, s.dataType)))) ),
       s"merge source schema mismatch:\n table: ${snap0.schema.simpleString}\n " +
-        s"source: ${source.schema.simpleString}")
-    val src = source.select(snap0.schema.fieldNames.map(col).toIndexedSeq: _*)
+        s"source: ${source1.schema.simpleString}")
+    val src = source1.select(snap0.schema.fieldNames.map(col).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcRows = src.count()
@@ -1651,7 +1707,7 @@ object PortableDelta {
             .map(_.cast(f.dataType).as(f.name, f.metadata))
             .getOrElse(col(f.name))
         }
-        val newRows = mcolOpt match {
+        val newRows0 = mcolOpt match {
           case Some(m) =>
             import org.apache.spark.sql.functions.{coalesce, element_at, typedLit}
             val baseByKey = snap.files.collect {
@@ -1665,6 +1721,17 @@ object PortableDelta {
             matched.select(setCols :+ rid.as(m): _*)
           case None => matched.drop(PosFileCol, PosIdxCol).select(setCols: _*)
         }
+        // generated columns RECOMPUTE over the SET-applied values (their
+        // sources may have changed); SETting one directly is rejected —
+        // the expression, not the writer, owns its value
+        val genNames = generatedFields(snap.schema).map(_._1.name)
+        genNames.foreach(g => require(!set.contains(g),
+          s"cannot UPDATE generated column $g — it derives from its " +
+            "generation expression"))
+        val newRows =
+          if (genNames.isEmpty) newRows0
+          else applyGeneratedColumns(newRows0.drop(genNames: _*), snap.schema,
+            s"UPDATE on $path")
         try enforceConstraints(newRows, snap.schema, snap.configuration,
           s"UPDATE on $path")
         catch { case t: Throwable => parts.get.dropPack(); throw t }
