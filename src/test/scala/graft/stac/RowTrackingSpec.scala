@@ -110,6 +110,35 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(changes(path, 4L) == Set((5L, "a5", "delete")))
   }
 
+  test("row tracking composes with hive partitioning") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write(
+      (0L until 12L).map(i => (i, if (i % 2 == 0) "A" else "B", s"a$i"))
+        .toDF("id", "part", "tag"),
+      path, partitionBy = Seq("part"))                                    // v0
+    PortableDelta.enableRowTracking(spark, path)                          // v1
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.files.forall(_.baseRowId.isDefined))
+    // update across BOTH partitions — pairs must resolve per partition
+    // (row-id keying is table-relative-path based, partition dirs incl.)
+    val st = PortableDelta.update(spark, path, col("id") < 4L,
+      Map("tag" -> concat(lit("u"), col("id").cast("string"))))           // v2
+    assert(st.updatedRows == 4L)
+    val ch = PortableDelta.readChanges(spark, path, 2L, 2L)
+      .select(col("id"), col("part"), col("tag"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(ch == Set(
+      (0L, "A", "a0", "update_preimage"), (0L, "A", "u0", "update_postimage"),
+      (1L, "B", "a1", "update_preimage"), (1L, "B", "u1", "update_postimage"),
+      (2L, "A", "a2", "update_preimage"), (2L, "A", "u2", "update_postimage"),
+      (3L, "B", "a3", "update_preimage"), (3L, "B", "u3", "update_postimage")),
+      s"got $ch")
+    assert(PortableDelta.readTable(spark, path)
+      .where(col("part") === "A").count() == 6L)
+  }
+
   test("external UPDATE-shaped commit (no cdc) pairs via materialized IDs") {
     val path = tmp()
     val s = spark; import s.implicits._
