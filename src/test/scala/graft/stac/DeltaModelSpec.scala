@@ -67,7 +67,7 @@ class DeltaModelSpec extends AnyFunSuite {
     }
 
     for (step <- 1 to nOps) {
-      val op = rnd.nextInt(12)
+      val op = rnd.nextInt(13)
       op match {
         case 0 | 1 => // append fresh rows
           val rows = freshRows(5 + rnd.nextInt(10), s"ap$step")
@@ -150,6 +150,13 @@ class DeltaModelSpec extends AnyFunSuite {
           trace += (if (has) "dropConstraint" else "addConstraint")
           if (has) PortableDelta.dropCheckConstraint(spark, path, "v_nonneg")
           else PortableDelta.addCheckConstraint(spark, path, "v_nonneg", "v >= 0")
+        case 12 => // enable row tracking: read-invisible (stable IDs are
+          // writer bookkeeping) but it backfills every add, re-states
+          // metaData, writes domainMetadata, and every LATER verb then
+          // assigns/carries IDs — maximal interaction surface, zero
+          // expected state change. Idempotent on re-draw.
+          trace += "enableRowTracking"
+          PortableDelta.enableRowTracking(spark, path)
       }
       val v = syncVersion()
       val got = readBack(path)
