@@ -2628,8 +2628,21 @@ object PortableDelta {
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
       .drop("__graft_z")
+    // the spec's Clustered Table bookkeeping rides the same commit:
+    // declare the `clustering` writer feature and publish the
+    // clustering columns (PHYSICAL names) in the `delta.clustering`
+    // domain, so external engines see WHICH dimensions this layout is
+    // organized by (and can extend/maintain it)
+    val byName = snap.schema.fields.map(f => f.name -> f).toMap
+    val cfgNode = mapper.createObjectNode()
+    val arr = cfgNode.putArray("clusteringColumns")
+    zCols.foreach { c => arr.addArray().add(physFieldName(byName(c))) }
+    val clusterActions =
+      featureUpgradeAction(snap, Nil, Seq("clustering", "domainMetadata")).toSeq :+
+        domainMetadataAction("delta.clustering", mapper.writeValueAsString(cfgNode))
     commitRewrite(spark, path, snap, snap.files, clustered, footerKv,
-      s"OPTIMIZE ZORDER BY (${zCols.mkString(", ")})", maxRetries)
+      s"OPTIMIZE ZORDER BY (${zCols.mkString(", ")})", maxRetries,
+      extraActions = clusterActions)
   }
 
   /** Shared rewrite commit: stage `df`'s files, then commit
@@ -2641,7 +2654,8 @@ object PortableDelta {
   private def commitRewrite(spark: SparkSession, path: String,
                             snap0: Snapshot, victims: Seq[AddFile],
                             df: DataFrame, footerKv: Map[String, String],
-                            op: String, maxRetries: Int): OptimizeStats = {
+                            op: String, maxRetries: Int,
+                            extraActions: Seq[JsonNode] = Nil): OptimizeStats = {
     val conf = spark.sessionState.newHadoopConf()
     val physR = if (mappedCfg(snap0.configuration)) Some(snap0.schema) else None
     val (added, cleanupMoved) =
@@ -2662,6 +2676,7 @@ object PortableDelta {
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[JsonNode]
       actions += commitInfo(now, op)
+      actions ++= extraActions
       victims.foreach(f => actions += removeActionNode(f, now, dataChange = false))
       // row tracking: compaction assigns FRESH IDs to the rewritten
       // files (documented enableRowTracking limitation — preservation

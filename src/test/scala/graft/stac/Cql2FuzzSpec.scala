@@ -305,10 +305,27 @@ class Cql2FuzzSpec extends AnyFunSuite {
           s"(abs(v - $k) > $m)"))
   }
 
+  // property-property comparisons (the OGC property-property class):
+  // both operands are column references — numeric cross-type (v long
+  // vs w double, both engines promote) and string-on-string via casei
+  private val genPropProp: Gen[P] = Gen.oneOf(
+    Gen.oneOf(cmpOps).map { case (cop, sop) =>
+      (s"""{"op":"$cop","args":[{"property":"v"},{"property":"w"}]}""",
+        s"(v $sop w)")
+    },
+    Gen.oneOf(cmpOps.take(2)).map { case (cop, sop) =>
+      (s"""{"op":"$cop","args":[{"op":"casei","args":[{"property":"s"}]},{"op":"casei","args":[{"property":"s"}]}]}""",
+        s"(lower(s) $sop lower(s))") // self-compare: null stays null
+    },
+    Gen.oneOf(cmpOps).map { case (cop, sop) =>
+      (s"""{"op":"$cop","args":[{"op":"+","args":[{"property":"v"},{"property":"v"}]},{"property":"w"}]}""",
+        s"((v + v) $sop w)")
+    })
+
   private val genLeaf: Gen[P] = Gen.frequency(
     4 -> genNumCmp, 3 -> genStrCmp, 2 -> genBetween, 2 -> genIn,
     2 -> genLike, 1 -> genIsNull, 2 -> genTemporal, 2 -> genArrayOp,
-    2 -> genSpatial, 2 -> genArith, 2 -> genFunc)
+    2 -> genSpatial, 2 -> genArith, 2 -> genFunc, 1 -> genPropProp)
 
   private def genPred(depth: Int): Gen[P] =
     if (depth <= 0) genLeaf

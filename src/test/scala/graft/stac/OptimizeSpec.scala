@@ -97,6 +97,19 @@ class OptimizeSpec extends AnyFunSuite {
         .select(col("id")).collect().map(_.getLong(0)).toSet
       assert(skipped == full, s"zorder+skipping changed the answer for $cond")
     }
+    // the clustered-table bookkeeping rode the same commit: the
+    // `clustering` writer feature plus the clustering columns in the
+    // delta.clustering domain — and it survives checkpoint truncation
+    assert(snap1.writerFeatures.contains("clustering") &&
+      snap1.writerFeatures.contains("domainMetadata"),
+      s"got ${snap1.writerFeatures}")
+    assert(snap1.domainMetadata.get("delta.clustering")
+      .exists(j => j.contains("\"x\"") && j.contains("\"y\"")),
+      s"got ${snap1.domainMetadata}")
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    assert(PortableDelta.snapshot(spark, path).domainMetadata
+      .contains("delta.clustering"))
   }
 
   test("vacuum reclaims only files no reconstructable version references") {
