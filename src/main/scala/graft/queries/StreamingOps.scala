@@ -665,6 +665,82 @@ object StreamingOps {
           .withColumn("merge_ok", lit(true))
           .orderBy(col("event_type"))
       },
+      timed = false),
+
+    // ----- incremental sync fed by ROW-TRACKING update pairs (no cdc) -----
+    // st14's consumer, upgraded to UPDATE semantics WITHOUT change-data
+    // files: the table never sets delta.enableChangeDataFeed (the gate
+    // pins that _change_data does not exist), yet the downstream
+    // aggregate updates exactly — readChanges reconstructs each UPDATE
+    // commit as update_preimage/update_postimage PAIRS by stable row ID
+    // (delta.enableRowTracking), and the consumer applies them as
+    // -pre/+post. At 100 TB this is incremental maintenance of a
+    // derived table from file actions alone: no feed storage, no
+    // re-scan, work bounded by each commit's changed files.
+    QuerySpec(
+      "st16_delta_rowtracking_sync",
+      Some("""
+        WITH fin AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 11 <> 0
+        )
+        SELECT o_orderstatus AS status, count(*) AS n_rows,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS price_cents,
+               true AS sync_ok
+        FROM fin GROUP BY 1 ORDER BY status"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"))
+        val tbl = java.nio.file.Files.createTempDirectory("st16").toString + "/tbl"
+        val cents = floor(col("price") * 100 + 0.5).cast("long")
+        var downstream: org.apache.spark.sql.DataFrame = null
+        var lastSeen = -1L
+        def sync(): Unit = {
+          val cur = PortableDelta.snapshot(s, tbl).version
+          val sign = when(col("_change_type").isin("insert", "update_postimage"),
+            1L).otherwise(-1L)
+          val delta = PortableDelta.readChanges(s, tbl, lastSeen + 1, cur)
+            .groupBy(col("status"))
+            .agg(sum(sign).as("n_rows"), sum(cents * sign).as("price_cents"))
+          val merged =
+            if (downstream == null) delta
+            else downstream.unionByName(delta).groupBy(col("status"))
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sum(col("price_cents")).as("price_cents"))
+          val next = merged.filter(col("n_rows") > 0).persist()
+          next.count() // materialize before the next round's changes land
+          if (downstream != null) downstream.unpersist()
+          downstream = next
+          lastSeen = cur
+        }
+        PortableDelta.write(orders.repartition(6), tbl)                // v0
+        sync()
+        PortableDelta.enableRowTracking(s, tbl)                        // v1
+        sync() // backfill is dataChange=false: contributes NOTHING
+        val us = PortableDelta.update(s, tbl, col("okey") % 7L === 0L,
+          Map("price" -> (col("price") * 2)))                          // v2
+        require(us.updatedRows > 0, "gate needs the update to bite")
+        sync() // consumed as -preimage/+postimage pairs
+        PortableDelta.delete(s, tbl, col("okey") % 11L === 0L)         // v3
+        sync()
+        require(!new java.io.File(s"$tbl/_change_data").exists(),
+          "the pairs must come from file actions, never cdc files")
+        val direct = PortableDelta.readTable(s, tbl)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"), sum(cents).as("price_cents"))
+        require(downstream.except(direct).isEmpty &&
+          direct.except(downstream).isEmpty,
+          "incremental row-tracking state must equal the direct recompute")
+        downstream
+          .withColumn("sync_ok", lit(true))
+          .orderBy(col("status"))
+      },
       timed = false)
   )
 }
