@@ -1470,6 +1470,12 @@ object StacOps {
           s"time-range skipping must drop files by stats alone: " +
             s"kept ${kept.size} of ${snap.files.size}")
         require(kept.nonEmpty, "the range holds ~2.5 years of orders")
+        // checkpoint BEFORE the read: on a checkpoint-seeded table,
+        // readTableWhere evaluates the skipping DISTRIBUTED over the
+        // checkpoint's add rows (round 9) — the value check now runs
+        // through that path, and a prune drift would fail the hash
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.cleanupLog(s.sessionState.newHadoopConf(), out)
         PortableDelta.readTableWhere(s, out, cond)
           .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
           .agg(count(lit(1)).as("n_rows"),
