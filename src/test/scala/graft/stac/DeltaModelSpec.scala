@@ -67,7 +67,7 @@ class DeltaModelSpec extends AnyFunSuite {
     }
 
     for (step <- 1 to nOps) {
-      val op = rnd.nextInt(13)
+      val op = rnd.nextInt(14)
       op match {
         case 0 | 1 => // append fresh rows
           val rows = freshRows(5 + rnd.nextInt(10), s"ap$step")
@@ -150,6 +150,24 @@ class DeltaModelSpec extends AnyFunSuite {
           trace += (if (has) "dropConstraint" else "addConstraint")
           if (has) PortableDelta.dropCheckConstraint(spark, path, "v_nonneg")
           else PortableDelta.addCheckConstraint(spark, path, "v_nonneg", "v >= 0")
+        case 13 => // net-no-op rename pair: v -> v_tmp -> v. Leaves the
+          // table COLUMN-MAPPED (mode=name, ids stamped from current
+          // names, so physical == logical throughout) for every later
+          // verb — appends/DML then stage through the physical path,
+          // checkpoints carry mapping metadata, RESTORE rolls it back.
+          // Schema and state end unchanged; the intermediate version is
+          // not recorded, so the travel probe never visits it. Skipped
+          // while the v_nonneg constraint is active (rename guards
+          // constraint references by design).
+          val mapped = PortableDelta.snapshot(spark, path)
+          if (mapped.configuration.keys
+              .exists(_.startsWith(PortableDelta.ConstraintPrefix))) {
+            trace += "renamePairSkipped(constraint)"
+          } else {
+            trace += "renamePair"
+            PortableDelta.renameColumn(spark, path, "v", "v_tmp")
+            PortableDelta.renameColumn(spark, path, "v_tmp", "v")
+          }
         case 12 => // enable row tracking: read-invisible (stable IDs are
           // writer bookkeeping) but it backfills every add, re-states
           // metaData, writes domainMetadata, and every LATER verb then
@@ -195,5 +213,9 @@ class DeltaModelSpec extends AnyFunSuite {
 
   test("seeded op-sequence fuzz: longer run mixing v2 checkpoints + GC (seed 7)") {
     runSeed(7, 18)
+  }
+
+  test("seeded op-sequence fuzz: round-9 verbs in the mix (seed 99)") {
+    runSeed(99, 20)
   }
 }
