@@ -370,7 +370,8 @@ object PortableDelta {
   private def stageAndMove(df: DataFrame, path: String,
                            footerKv: Map[String, String], conf: Configuration,
                            partitionBy: Seq[String] = Nil,
-                           physFor: Option[StructType] = None)
+                           physFor: Option[StructType] = None,
+                           physPassThrough: Set[String] = Set.empty)
       : (Seq[StagedFile], () => Unit) = {
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(conf)
@@ -383,7 +384,7 @@ object PortableDelta {
     // column-mapped tables store PHYSICAL names in the parquet bytes
     // (and hive dirs / partitionValues key by them)
     val (dfW, pbW) = physFor match {
-      case Some(ts) => toPhysical(df, ts, partitionBy)
+      case Some(ts) => toPhysical(df, ts, partitionBy, physPassThrough)
       case None => (df, partitionBy)
     }
     val added: Seq[StagedFile] =
@@ -1737,7 +1738,7 @@ object PortableDelta {
         catch { case t: Throwable => parts.get.dropPack(); throw t }
         val physU = if (mappedCfg(snap.configuration)) Some(snap.schema) else None
         val (added, cleanupMoved) = stageAndMove(newRows, path, footerKv, conf,
-          snap.partitionColumns, physU)
+          snap.partitionColumns, physU, physPassThrough = mcolOpt.toSet)
         val statsByName = DeltaStats.collectFileStats(
           spark, path, added.map(_.relPath),
           physU.map(physSchemaOf).getOrElse(snap.schema))
@@ -4017,16 +4018,19 @@ object PortableDelta {
     * renames nested fields — sound because the physical schema is a
     * node-for-node rename of the logical one. */
   private def toPhysical(df: DataFrame, tableSchema: StructType,
-                         partitionBy: Seq[String]): (DataFrame, Seq[String]) = {
+                         partitionBy: Seq[String],
+                         passThrough: Set[String] = Set.empty)
+      : (DataFrame, Seq[String]) = {
     val byName = tableSchema.fields.map(f => f.name -> f).toMap
     val cols = df.schema.fields.toSeq.map { c =>
       byName.get(c.name) match {
         case Some(f) =>
           org.apache.spark.sql.functions.col(c.name)
             .cast(physDataType(f.dataType)).as(physFieldName(f))
-        case None if c.name.startsWith("_row-id-col-") =>
+        case None if passThrough.contains(c.name) =>
           // the row-tracking materialized column lives OUTSIDE the table
-          // schema; it is already physically named
+          // schema; it is already physically named (whatever name the
+          // table's MaterializedRowIdProp configures)
           org.apache.spark.sql.functions.col(c.name)
         case None => throw new IllegalArgumentException(
           s"column ${c.name} not in the mapped table schema " +
