@@ -2499,6 +2499,71 @@ object StacOps {
           .withColumn("paired_ok", lit(true))
           .orderBy(col("change"))
       },
+      timed = false),
+
+    // ----- Delta generated columns: the expression owns the column -----
+    // delta.generationExpression field metadata across the write surface:
+    // the table is created WITH the generated cents column, an append
+    // arrives WITHOUT it (the engine computes it), an UPDATE changes its
+    // source (the engine recomputes it), and a batch carrying WRONG
+    // values is refused by name with nothing committed (version pinned
+    // in-gate). The value check sums the STORED generated column — a
+    // computation or recomputation bug lands wrong bytes and fails the
+    // hash against DuckDB deriving the same expression from the source.
+    QuerySpec(
+      "stac41_delta_generated",
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2
+                      ELSE o_totalprice END AS price
+          FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        )
+        SELECT CAST(o_orderkey % 5 AS BIGINT) AS bucket,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS gen_ok
+        FROM base GROUP BY 1 ORDER BY bucket"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val genExpr = "CAST(floor(price * 100 + 0.5) AS BIGINT)"
+        val genMeta = new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", genExpr).build()
+        def slice(r: Int) = Tables.t(s, dir, "orders")
+          .filter(col("o_orderkey") % 3 === r)
+          .select(col("o_orderkey").as("okey"), col("o_totalprice").as("price"))
+          .repartition(4)
+        val out = java.nio.file.Files.createTempDirectory("stac41").toString + "/tbl"
+        PortableDelta.write(slice(0)
+          .withColumn("cents", expr(genExpr).as("cents", genMeta)), out)  // v0
+        require(PortableDelta.snapshot(s, out).writerFeatures
+          .contains("generatedColumns"), "creation must declare the feature")
+        // append WITHOUT the generated column: the engine computes it
+        PortableDelta.write(slice(1), out, mode = "append")               // v1
+        // a batch with WRONG values is refused by name; version pinned
+        val bad = slice(1).limit(5).withColumn("cents", lit(1L))
+        val refused =
+          try { PortableDelta.write(bad, out, mode = "append"); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("generated column cents") }
+        require(refused, "wrong generated values must be refused by name")
+        require(PortableDelta.snapshot(s, out).version == 1L,
+          "the refusal must commit nothing")
+        // UPDATE the source column: the generated column recomputes
+        val us = PortableDelta.update(s, out, col("okey") % 9L === 0L,
+          Map("price" -> (col("price") * 2)))                             // v2
+        require(us.updatedRows > 0, "gate needs the update to bite")
+        // the value check reads the STORED cents bytes, never recomputing
+        PortableDelta.readTable(s, out)
+          .groupBy((col("okey") % 5).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("okey")).as("key_sum"),
+            sum(col("cents")).as("cents_sum"))
+          .withColumn("gen_ok", lit(true))
+          .orderBy(col("bucket"))
+      },
       timed = false)
   )
 }
