@@ -316,6 +316,13 @@ object Cql2Text {
               expectOp(")")
               FnOps.get(up) match {
                 case Some(op) =>
+                  // parse-time arity gate: every built-in has a fixed
+                  // arity (casei/accenti unary, the s_/t_/a_ comparisons
+                  // binary) — a wrong-arity call fails HERE by name, not
+                  // later as an index error inside translation
+                  val arity = if (op == "casei" || op == "accenti") 1 else 2
+                  if (args.size != arity)
+                    fail(s"$op takes $arity argument(s), got ${args.size}")
                   val fixed =
                     if (op.startsWith("a_"))
                       // array-operand normalization (see asArray)
@@ -327,7 +334,16 @@ object Cql2Text {
                   // OGC functionRef — any other call form is a user/
                   // registered function, resolved (or refused by name)
                   // at TRANSLATION time by Cql2's registry, exactly as
-                  // the JSON encoding's {"function":…} node is
+                  // the JSON encoding's {"function":…} node is. Names
+                  // in the spec operator prefix families (s_/t_/a_) that
+                  // are NOT registered built-ins are close typos of spec
+                  // operators (S_INTERSECTZ) — refuse at parse time
+                  // rather than silently emitting a function node
+                  if (up.startsWith("S_") || up.startsWith("T_") ||
+                      up.startsWith("A_"))
+                    fail(s"unknown spatial/temporal/array operator '$s' " +
+                      "(not a CQL2 built-in; user functions may not use " +
+                      "the s_/t_/a_ prefix)")
                   val o = F.objectNode()
                   val fo = o.putObject("function")
                   fo.put("name", s)

@@ -91,6 +91,13 @@ object PgstacReader {
     *   API GET default) — parsed by [[Cql2Text]] and delegated as JSON,
     *   since `search_query()` consumes cql2-json; mutually exclusive
     *   with `cql2Json` */
+  /** @param jdbcOptions extra JDBC reader options (user/password/driver/
+    *   connection properties) merged in AFTER the computed ones
+    * @param configure a final hook over the assembled reader — the
+    *   analog of the reference 0.8.1 user-supplied connection factory
+    *   (`pgstac_reader.py:117-131`): callers that need full control of
+    *   how the connection is made (custom driver registration, wrapped
+    *   credentials) intercept here */
   def readItems(
       spark: SparkSession,
       jdbcUrl: String,
@@ -100,7 +107,10 @@ object PgstacReader {
       numPartitions: Int = 16,
       cql2Json: Option[String] = None,
       fetchsize: Int = 10000,
-      cql2Text: Option[String] = None): DataFrame = {
+      cql2Text: Option[String] = None,
+      jdbcOptions: Map[String, String] = Map.empty,
+      configure: org.apache.spark.sql.DataFrameReader =>
+        org.apache.spark.sql.DataFrameReader = identity): DataFrame = {
     require(fetchsize >= 1, s"fetchsize must be >= 1, got $fetchsize")
     require(cql2Json.isEmpty || cql2Text.isEmpty,
       "pass the CQL2 filter in ONE encoding (cql2Json or cql2Text), not both")
@@ -116,7 +126,9 @@ object PgstacReader {
           .option("numPartitions", numPartitions)
       case _ => base
     }
-    partitioned.load()
+    configure(jdbcOptions.foldLeft(partitioned) { case (b, (k, v)) =>
+      b.option(k, v)
+    }).load()
   }
 
   /** K6: incremental sync — read changed partitions (S6) and export each
@@ -186,8 +198,13 @@ object PgstacReader {
       val part = fs.listStatus(tmp).map(_.getPath)
         .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_"))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-      fs.delete(dest, false)
-      require(fs.rename(part, dest), s"could not move partition file to $dest")
+      // overwrite-rename (FileContext honors Options.Rename.OVERWRITE):
+      // the previously-synced file is replaced ATOMICALLY — a crash
+      // mid-pass leaves either the old or the new partition file, never
+      // neither (a delete-then-rename pair has a lost-file window)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, conf)
+      fc.rename(part, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       fs.delete(tmp, true)
       rel
     }

@@ -596,6 +596,63 @@ object PortableDelta {
     (snapBase, addsDf)
   }
 
+  /** Snapshot whose FILE LIST is narrowed BEFORE it reaches the driver —
+    * the DML-verb seam. On a checkpoint-seeded table the add state stays
+    * a DataFrame: `narrowDf` filters the flat add rows on EXECUTORS and
+    * only the survivors — the files the verb must touch anyway — are
+    * collected, so a DML against a million-add checkpoint costs the
+    * driver O(touched files + JSON tail), never O(table). Pre-checkpoint
+    * logs replay their (bounded, young) JSON with `narrowFiles`. */
+  private def narrowedSnapshot(spark: SparkSession, path: String,
+      narrowDf: (StructType, DataFrame) => DataFrame,
+      narrowFiles: Snapshot => Seq[AddFile]): Snapshot = {
+    val conf = spark.sessionState.newHadoopConf()
+    checkpointRefFor(conf, path) match {
+      case Some(ref) =>
+        val (snapBase, addsDf) = lazyCheckpointState(spark, path, ref)
+        snapBase.copy(files =
+          narrowDf(snapBase.schema, addsDf).collect().map(rowToAddFile).toSeq)
+      case None =>
+        val snap = snapshot(conf, path)
+        snap.copy(files = narrowFiles(snap))
+    }
+  }
+
+  /** The DML snapshot: file list narrowed to the files `condition`
+    * could possibly touch (stats-based skipping, conservative — files
+    * without stats or under unsupported predicate shapes are kept).
+    * None keeps every live file but still routes checkpoint-seeded
+    * state through the DataFrame path. */
+  private def dmlSnapshot(spark: SparkSession, path: String,
+      condition: Option[org.apache.spark.sql.Column]): Snapshot =
+    narrowedSnapshot(spark, path,
+      (schema, df) => condition match {
+        case None => df
+        case Some(c) =>
+          val pred = DeltaStats.resolvePredicate(spark, schema, c)
+          df.filter { (r: org.apache.spark.sql.Row) =>
+            val pv = if (r.isNullAt(9)) Map.empty[String, String]
+                     else r.getMap[String, String](9).toMap
+            DeltaStats.satisfiable(Option(r.getString(8)), pv, schema, pred)
+          }
+      },
+      snap => condition match {
+        case None => snap.files
+        case Some(c) => statsPrune(spark, snap, c)._1
+      })
+
+  /** Current snapshot WITHOUT file state (`files = Nil`) — protocol/
+    * metaData/txns/domainMetadata only, O(small state + tail) driver
+    * cost on checkpoint-seeded tables. For schema/config gates that
+    * never need the add list. */
+  private def smallSnapshot(spark: SparkSession, path: String): Snapshot = {
+    val conf = spark.sessionState.newHadoopConf()
+    checkpointRefFor(conf, path) match {
+      case Some(ref) => lazyCheckpointState(spark, path, ref)._1
+      case None => snapshot(conf, path).copy(files = Nil)
+    }
+  }
+
   /** Snapshot → DataFrame, applying deletion vectors when present. The
     * DV bitmaps are decoded once on the driver and broadcast (compressed
     * Roaring bytes — KBs per million deleted rows); the per-row probe is
@@ -849,13 +906,24 @@ object PortableDelta {
     if (gens.isEmpty) return df
     import org.apache.spark.sql.functions.{col, expr, sum, when}
     var out = df
+    var computedAny = false
     val toCheck = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
     gens.foreach { case (f, g) =>
-      if (!out.columns.contains(f.name))
+      if (!out.columns.contains(f.name)) {
         out = out.withColumn(f.name, expr(g).cast(f.dataType).as(f.name, f.metadata))
-      else
+        computedAny = true
+      } else
         toCheck += (s"generated column ${f.name} AS ($g)" ->
           (col(f.name) <=> expr(g).cast(f.dataType)))
+    }
+    // withColumn APPENDS; the append-path schema check compares field
+    // ORDER — re-select in table order (table fields present in the
+    // batch first, then any extra batch columns in their own order) so
+    // a batch missing a mid-schema generated column still appends
+    if (computedAny) {
+      val tableOrder = tableSchema.fieldNames.filter(out.columns.contains)
+      val extras = out.columns.filterNot(tableSchema.fieldNames.contains)
+      out = out.select((tableOrder ++ extras).map(col).toIndexedSeq: _*)
     }
     val checks = toCheck.result()
     if (checks.nonEmpty) {
@@ -1509,6 +1577,10 @@ object PortableDelta {
           if (prior.txns.get(appId).exists(_ >= v))
             return MergeStats(prior.version, 0L, 0L, 0L)
         }
+        // row tracking: matched target rows' ORIGINAL row IDs ride the
+        // scan so the re-appended row versions can materialize them —
+        // stable IDs across MERGE, same contract as update()
+        val mcolM = materializedRidCol(prior.configuration)
         val liveKeysDf =
           if (prior.files.isEmpty)
             spark.createDataFrame(
@@ -1516,13 +1588,19 @@ object PortableDelta {
               StructType(prior.schema.filter(f => keys.contains(f.name))))
               .withColumn(PosFileCol, org.apache.spark.sql.functions.lit(null).cast("string"))
               .withColumn(PosIdxCol, org.apache.spark.sql.functions.lit(null).cast("bigint"))
-          else scanWithPos(spark, path, prior, applyDvs = true)
-            .select(keys.map(col) :+ col(PosFileCol) :+ col(PosIdxCol): _*)
-        // matched LIVE target positions die; shuffle join, AQE decides
-        val dead = liveKeysDf
+              .withColumn(RidCol, org.apache.spark.sql.functions.lit(null).cast("bigint"))
+          else scanWithPos(spark, path, prior, applyDvs = true,
+              extraCols = mcolM.toSeq)
+            .select(keys.map(col) ++ Seq(col(PosFileCol), col(PosIdxCol),
+              ridExpr(prior.files, prior.partitionColumns.size + 1, mcolM)
+                .as(RidCol)): _*)
+        // matched LIVE target rows (positions + original IDs): ONE
+        // semi-join feeds both the death bitmap and the ID carry-over —
+        // persisted, bounded by the matched row count
+        val matchedTargets = liveKeysDf
           .join(src.select(keys.map(col): _*), keys, "left_semi")
-          .select(col(PosFileCol), col(PosIdxCol))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dead = matchedTargets.select(col(PosFileCol), col(PosIdxCol))
         try {
           val parts = dvDeathParts(spark, path, prior, dead)
           val matchedTargetRows = parts.map(_.newlyDeleted).getOrElse(0L)
@@ -1534,9 +1612,20 @@ object PortableDelta {
           val updatedRows = if (whenMatched == "update") matchedTargetRows else 0L
           val deletedRows = if (whenMatched == "delete") matchedTargetRows else 0L
           val insertedRows = if (insertNotMatched) unmatchedSrc.count() else 0L
+          // per-key carried ID: min over the key's matched target rows (a
+          // multi-row key collapses to ONE new version — it keeps the
+          // smallest ID, the others die as genuine deletes)
+          lazy val ridByKey = matchedTargets
+            .groupBy(keys.map(col): _*)
+            .agg(org.apache.spark.sql.functions.min(col(RidCol))
+              .as(mcolM.getOrElse(RidCol)))
           val toAppend = (whenMatched, insertNotMatched) match {
-            case ("update", true) => Some(src)
-            case ("update", false) => Some(matchedSrc)
+            case ("update", true) =>
+              // unmatched source rows keep a NULL materialized ID and
+              // resolve to their file's fresh baseRowId + index
+              Some(mcolM.fold(src)(_ => src.join(ridByKey, keys, "left")))
+            case ("update", false) =>
+              Some(mcolM.fold(matchedSrc)(_ => src.join(ridByKey, keys, "inner")))
             case ("delete", true) => Some(unmatchedSrc)
             case ("delete", false) => None
           }
@@ -1551,7 +1640,8 @@ object PortableDelta {
           val (added, cleanupMoved) = appendDf match {
             case Some(df) =>
               stageAndMove(df, path, footerKv, conf, prior.partitionColumns,
-                physM)
+                physM,
+                physPassThrough = mcolM.filter(df.columns.contains).toSet)
             case None => (Seq.empty[StagedFile], () => ())
           }
           val statsByName = DeltaStats.collectFileStats(
@@ -1628,7 +1718,7 @@ object PortableDelta {
                     s"(last: ${e.getMessage}); staged files withdrawn", e)
               prior = snapshot(spark, path) // rebase: recompute everything
           }
-        } finally { dead.unpersist(); () }
+        } finally { matchedTargets.unpersist(); () }
       }
       throw new IllegalStateException("unreachable")
     } finally { src.unpersist(); () }
@@ -1688,10 +1778,7 @@ object PortableDelta {
       // images without cdc files. The old rows' IDs come from the old
       // files' materialized column when present (a second update of an
       // already-rewritten row), else baseRowId + row index.
-      val mcolOpt =
-        if (rowTrackingEnabled(snap.configuration))
-          snap.configuration.get(MaterializedRowIdProp)
-        else None
+      val mcolOpt = materializedRidCol(snap.configuration)
       // one matched-row frame feeds BOTH the death positions and the
       // re-appended row versions — persist so the predicate scan runs once
       val matched = scanWithPos(spark, path, snap, applyDvs = true,
@@ -1710,15 +1797,8 @@ object PortableDelta {
         }
         val newRows0 = mcolOpt match {
           case Some(m) =>
-            import org.apache.spark.sql.functions.{coalesce, element_at, typedLit}
-            val baseByKey = snap.files.collect {
-              case f if f.baseRowId.isDefined =>
-                logKey(f.path, snap.partitionColumns.size + 1) -> f.baseRowId.get
-            }.toMap
-            val rid =
-              if (baseByKey.isEmpty) col(m)
-              else coalesce(col(m),
-                element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol))
+            val rid = ridExpr(snap.files, snap.partitionColumns.size + 1,
+              Some(m))
             matched.select(setCols :+ rid.as(m): _*)
           case None => matched.drop(PosFileCol, PosIdxCol).select(setCols: _*)
         }
@@ -2318,6 +2398,43 @@ object PortableDelta {
   private def rowTrackingEnabled(cfg: Map[String, String]): Boolean =
     cfg.get(RowTrackingProp).contains("true")
 
+  /** The configured materialized-row-id column name, when row tracking
+    * is on — the column ID-preserving rewrites must carry. */
+  private def materializedRidCol(cfg: Map[String, String]): Option[String] =
+    if (rowTrackingEnabled(cfg)) cfg.get(MaterializedRowIdProp) else None
+
+  /** A row-ID expression over a position-exposing scan of `files`:
+    * coalesce(materialized column, file baseRowId + row index) — the
+    * spec's row-ID resolution, stable across rewrites. The frame must
+    * carry [[PosFileCol]]/[[PosIdxCol]] and (when present in the files)
+    * the materialized column as an extra scan column. */
+  private def ridExpr(files: Seq[AddFile], relDepth: Int,
+                      mcol: Option[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, typedLit}
+    val baseByKey = files.collect {
+      case f if f.baseRowId.isDefined => logKey(f.path, relDepth) -> f.baseRowId.get
+    }.toMap
+    val defaultRid =
+      if (baseByKey.isEmpty) org.apache.spark.sql.functions.lit(null).cast("bigint")
+      else element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol)
+    mcol.map(m => coalesce(col(m), defaultRid)).getOrElse(defaultRid)
+  }
+
+  /** The LIVE table scan with each row's original row ID materialized
+    * into the configured column — the frame an ID-preserving rewrite
+    * (OPTIMIZE / ZORDER) stages, so compaction keeps every row's
+    * identity per the row-tracking spec. None when row tracking (or the
+    * materialized column) is off. */
+  private def scanWithRidCol(spark: SparkSession, path: String,
+                             snap: Snapshot): Option[DataFrame] =
+    materializedRidCol(snap.configuration).map { m =>
+      val base = buildScan(spark, path, snap, withPos = true, applyDvs = true,
+        extraCols = Seq(m))
+      base.withColumn(m,
+          ridExpr(snap.files, snap.partitionColumns.size + 1, Some(m)))
+        .drop(PosFileCol, PosIdxCol)
+    }
+
   private def rowIdHighWaterMark(dm: Map[String, String]): Long =
     dm.get(RowTrackingDomain).flatMap { j =>
       try Option(mapper.readTree(j).get("rowIdHighWaterMark")).map(_.asLong())
@@ -2372,17 +2489,14 @@ object PortableDelta {
     * false re-adds — replay last-wins keeps one live entry per path),
     * and (d) publishes the high-water mark in the `delta.rowTracking`
     * domainMetadata. After this, every committing path assigns fresh
-    * IDs to its adds, [[update]] PRESERVES IDs across row rewrites via
-    * the materialized column, and [[readChanges]] pairs UPDATE-shaped
+    * IDs to its adds, [[update]] and [[merge]] PRESERVE IDs across row
+    * rewrites via the materialized column (a MERGE-updated row keeps
+    * its target row's ID), [[optimizeCompact]]/[[optimizeZOrder]]
+    * materialize original IDs through compaction (layout changes never
+    * change a row's identity), and [[readChanges]] pairs UPDATE-shaped
     * commits into update_preimage/update_postimage rows even without
     * cdc files. Backfill numRecords comes from logged stats (footer
-    * reads only for stats-less files). Returns the enablement version.
-    *
-    * Scope notes (documented limitations, both spec-legal for an
-    * engine that owns its tables): [[optimizeCompact]]/[[optimizeZOrder]]
-    * assign FRESH IDs to rewritten files rather than materializing the
-    * originals, and MERGE's row versions get fresh IDs (its CDF path
-    * already emits exact update pairs as cdc when CDF is enabled). */
+    * reads only for stats-less files). Returns the enablement version. */
   def enableRowTracking(spark: SparkSession, path: String,
                         maxRetries: Int = 10): Long = {
     val conf = spark.sessionState.newHadoopConf()
@@ -2592,7 +2706,11 @@ object PortableDelta {
       return OptimizeStats(snap.version, 0, 0, 0L)
     val bins = math.max(1L,
       (victims.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = snapshotDf(spark, path, snap.copy(files = victims)).repartition(bins)
+    // row tracking: the rewrite MATERIALIZES original row IDs so
+    // compaction never changes a row's identity (the spec's promise)
+    val snapV = snap.copy(files = victims)
+    val df = scanWithRidCol(spark, path, snapV)
+      .getOrElse(snapshotDf(spark, path, snapV)).repartition(bins)
     commitRewrite(spark, path, snap, victims, df, footerKv,
       "OPTIMIZE", maxRetries)
   }
@@ -2614,7 +2732,9 @@ object PortableDelta {
     zCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"z-order column $c not in table schema"))
     if (snap.files.isEmpty) return OptimizeStats(snap.version, 0, 0, 0L)
-    val full = snapshotDf(spark, path, snap)
+    // row tracking: the clustered rewrite carries original row IDs too
+    val full = scanWithRidCol(spark, path, snap)
+      .getOrElse(snapshotDf(spark, path, snap))
     // observed [lo, hi] per z-column: ONE small aggregate row to the
     // driver, the only non-distributed step
     val aggs = zCols.flatMap(c =>
@@ -2660,7 +2780,9 @@ object PortableDelta {
     val conf = spark.sessionState.newHadoopConf()
     val physR = if (mappedCfg(snap0.configuration)) Some(snap0.schema) else None
     val (added, cleanupMoved) =
-      stageAndMove(df, path, footerKv, conf, snap0.partitionColumns, physR)
+      stageAndMove(df, path, footerKv, conf, snap0.partitionColumns, physR,
+        physPassThrough = materializedRidCol(snap0.configuration)
+          .filter(df.columns.contains).toSet)
     val statsByName = DeltaStats.collectFileStats(
       spark, path, added.map(_.relPath),
       physR.map(physSchemaOf).getOrElse(snap0.schema))
@@ -2679,9 +2801,9 @@ object PortableDelta {
       actions += commitInfo(now, op)
       actions ++= extraActions
       victims.foreach(f => actions += removeActionNode(f, now, dataChange = false))
-      // row tracking: compaction assigns FRESH IDs to the rewritten
-      // files (documented enableRowTracking limitation — preservation
-      // through OPTIMIZE would need materialized-ID rewrites)
+      // row tracking: rewritten files still get fresh baseRowIds (every
+      // add carries one per spec) but the staged frame MATERIALIZED the
+      // original IDs, so logical row identity survives the rewrite
       val rt = assignRowIds(conf, path, prior.configuration,
         prior.domainMetadata, added, statsByName)
       added.foreach { f =>
@@ -2786,16 +2908,29 @@ object PortableDelta {
     if (needR.isEmpty && needW.isEmpty) return None
     val newReaderV = if (needR.nonEmpty || snap.minReaderVersion >= 3) 3
                      else snap.minReaderVersion
+    // a version-7 table enables a feature only if LISTED: upgrading a
+    // legacy-versioned table must fold every feature its old version
+    // IMPLIED into the emitted lists (delta-spark does the same), or
+    // spec-compliant engines stop enforcing columnMapping / appendOnly /
+    // checkConstraints / generation expressions on the upgraded table
+    val legacyW =
+      if (snap.minWriterVersion < 7)
+        legacyWriterFeatures(snap.minWriterVersion).toSeq.sorted
+      else Nil
+    val legacyR =
+      if (newReaderV >= 3 && snap.minReaderVersion < 3)
+        legacyReaderFeatures(snap.minReaderVersion).toSeq.sorted
+      else Nil
     val r = mapper.createObjectNode()
     val b = r.putObject("protocol")
     b.put("minReaderVersion", newReaderV)
     b.put("minWriterVersion", 7)
     if (newReaderV >= 3) {
       val rf = b.putArray("readerFeatures")
-      (snap.readerFeatures ++ needR).distinct.foreach(rf.add)
+      (snap.readerFeatures ++ legacyR ++ needR).distinct.foreach(rf.add)
     }
     val wf = b.putArray("writerFeatures")
-    (snap.writerFeatures ++ needW).distinct.foreach(wf.add)
+    (snap.writerFeatures ++ legacyW ++ needW).distinct.foreach(wf.add)
     Some(r)
   }
 

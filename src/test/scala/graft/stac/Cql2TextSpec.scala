@@ -156,6 +156,20 @@ class Cql2TextSpec extends AnyFunSuite {
     assert(fn.toString.contains("\"function\""), fn.toString)
     val e2 = intercept[IllegalArgumentException](Cql2.filterText("FOO(a) = 1"))
     assert(e2.getMessage.contains("unknown CQL2 function: FOO"), e2.getMessage)
+    // ...but built-ins with the wrong ARITY fail at parse time, and a
+    // typo inside the s_/t_/a_ operator families never falls through to
+    // the functionRef form — both named errors, never an index crash
+    val e3 = intercept[IllegalArgumentException](
+      Cql2Text.parse("CASEI() = 'x'"))
+    assert(e3.getMessage.contains("casei takes 1 argument"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      Cql2Text.parse("S_INTERSECTS(geom)"))
+    assert(e4.getMessage.contains("s_intersects takes 2 argument"),
+      e4.getMessage)
+    val e5 = intercept[IllegalArgumentException](
+      Cql2Text.parse("S_INTERSECTZ(geom, POINT(1 2))"))
+    assert(e5.getMessage.contains("unknown spatial/temporal/array operator"),
+      e5.getMessage)
   }
 
   test("function calls: text parses to the OGC functionRef; both encodings evaluate") {

@@ -66,8 +66,10 @@ class DeltaModelSpec extends AnyFunSuite {
       v
     }
 
+    var lastV = 0L
     for (step <- 1 to nOps) {
       val op = rnd.nextInt(14)
+      val modelBefore = model
       op match {
         case 0 | 1 => // append fresh rows
           val rows = freshRows(5 + rnd.nextInt(10), s"ap$step")
@@ -182,6 +184,38 @@ class DeltaModelSpec extends AnyFunSuite {
         s"$ctx step=$step v=$v: table != model\n extra=${(got.keySet -- model.keySet).toSeq.sorted.take(10)}" +
           s"\n missing=${(model.keySet -- got.keySet).toSeq.sorted.take(10)}" +
           s"\n changed=${got.keySet.intersect(model.keySet).filter(k => got(k) != model(k)).toSeq.sorted.take(10)}")
+      // CDF-vs-model-diff probe: with row tracking on, every DML
+      // commit's reconstructed feed must equal the model's before/after
+      // diff EXACTLY — update pairs for changed ids (MERGE included,
+      // the round-10 ID carry-over), deletes/inserts for the rest.
+      // Checked against the LIVE config: a RESTORE to a pre-tracking
+      // version legally rolls the property back with the metaData, and
+      // updates then read as delete+insert again.
+      val rtNow = Set(3, 4, 5, 6).contains(op) && v != lastV &&
+        PortableDelta.snapshot(spark, path).configuration
+          .get(PortableDelta.RowTrackingProp).contains("true")
+      if (rtNow) {
+        val changed = modelBefore.keySet.intersect(model.keySet)
+          .filter(k => modelBefore(k) != model(k))
+        val expected: Set[(Long, String, Long, String)] =
+          changed.flatMap(id => Seq(
+            (id, modelBefore(id)._1, modelBefore(id)._2, "update_preimage"),
+            (id, model(id)._1, model(id)._2, "update_postimage"))) ++
+          (modelBefore.keySet -- model.keySet).map(id =>
+            (id, modelBefore(id)._1, modelBefore(id)._2, "delete")) ++
+          (model.keySet -- modelBefore.keySet).map(id =>
+            (id, model(id)._1, model(id)._2, "insert"))
+        val gotCh = PortableDelta.readChanges(spark, path, v, v)
+          .select(col("id"), col("tag"), col("v"), col("_change_type"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+            r.getString(3))).toSet
+        assert(gotCh == expected,
+          s"$ctx step=$step v=$v: CDF reconstruction != model diff\n" +
+            s" spurious=${(gotCh -- expected).toSeq.take(6)}\n" +
+            s" missing=${(expected -- gotCh).toSeq.take(6)}")
+      }
+      lastV = v
       // time travel to a random reachable recorded version
       val tv = {
         val cands = history.keys.filter(_ >= minRestorable).toSeq.sorted
@@ -217,5 +251,9 @@ class DeltaModelSpec extends AnyFunSuite {
 
   test("seeded op-sequence fuzz: round-9 verbs in the mix (seed 99)") {
     runSeed(99, 20)
+  }
+
+  test("seeded op-sequence fuzz: row-ID-preserving MERGE/OPTIMIZE + CDF probe (seed 123)") {
+    runSeed(123, 20)
   }
 }

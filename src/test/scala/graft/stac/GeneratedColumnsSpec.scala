@@ -50,6 +50,27 @@ class GeneratedColumnsSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path).count() == 6L)
   }
 
+  test("append computes a MID-schema generated column (field order heals)") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    // generated column sits BETWEEN id and price — a computed-if-absent
+    // append must re-order to table schema, or the order-sensitive
+    // append check fails with a misleading schema mismatch
+    val withGen = (0L until 4L).map(i => (i, i * 1.5)).toDF("id", "price")
+      .select(col("id"),
+        expr("CAST(price * 100 AS BIGINT)").as("cents", genMeta),
+        col("price"))
+    PortableDelta.write(withGen.coalesce(1), path) // v0
+    PortableDelta.write(base(4L until 6L).coalesce(1), path, mode = "append")
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id"), col("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L until 6L).map(i => i -> (i * 150L)).toMap, s"got $got")
+    // schema order unchanged: generated column still mid-schema
+    assert(PortableDelta.snapshot(spark, path).schema.fieldNames.toSeq ==
+      Seq("id", "cents", "price"))
+  }
+
   test("UPDATE recomputes; SETting the generated column is rejected") {
     val path = tmp()
     PortableDelta.write(base(0L until 6L)

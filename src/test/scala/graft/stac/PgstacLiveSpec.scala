@@ -69,6 +69,26 @@ class PgstacLiveSpec extends AnyFunSuite {
       Seq("id", "geometry", "collection", "datetime", "end_datetime", "content"))
   }
 
+  test("user connection hook: jdbcOptions merge in, configure intercepts last") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    // the ref-0.8.1 connection-factory analog: a recording hook sees the
+    // fully-assembled reader and may override any option; the read still
+    // executes through whatever it returns
+    var calls = 0
+    val got = PgstacReader.readItems(spark, url,
+      jdbcOptions = Map("fetchsize" -> "3"),
+      configure = r => { calls += 1; r })
+    assert(got.count() == 6)
+    assert(calls == 1)
+    // configure wins over everything assembled before it (full control)
+    val e = intercept[Exception] {
+      PgstacReader.readItems(spark, url,
+        configure = _.option("url", "jdbc:duckdb:/nonexistent/dir/x.db"))
+        .count()
+    }
+    assert(e != null)
+  }
+
   test("collection + datetime-range filters push down as WHERE over JDBC") {
     assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
     val got = PgstacReader.readItems(spark, url,

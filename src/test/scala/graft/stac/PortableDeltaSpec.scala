@@ -645,8 +645,10 @@ class PortableDeltaSpec extends AnyFunSuite {
       p.get("minWriterVersion").asInt() == 7)
     assert(p.get("readerFeatures").elements().asScala.map(_.asText()).toSeq ==
       Seq("deletionVectors"))
+    // legacy-implied features (writer 2: appendOnly, invariants) fold
+    // into the version-7 list — only LISTED features stay enabled
     assert(p.get("writerFeatures").elements().asScala.map(_.asText()).toSeq ==
-      Seq("deletionVectors"))
+      Seq("appendOnly", "invariants", "deletionVectors"))
     val got1 = PortableDelta.readTable(spark, path)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(got1 == (0L until 100L).filter(_ % 10 != 0).toSet)
@@ -677,7 +679,8 @@ class PortableDeltaSpec extends AnyFunSuite {
     val snapCk = PortableDelta.snapshot(spark, path)
     assert(snapCk.minReaderVersion == 3 && snapCk.minWriterVersion == 7 &&
       snapCk.readerFeatures == Seq("deletionVectors") &&
-      snapCk.writerFeatures == Seq("deletionVectors"),
+      snapCk.writerFeatures.toSeq ==
+        Seq("appendOnly", "invariants", "deletionVectors"),
       "table-features protocol must survive the checkpoint")
   }
 

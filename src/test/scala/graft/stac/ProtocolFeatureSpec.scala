@@ -59,8 +59,10 @@ class ProtocolFeatureSpec extends AnyFunSuite {
     PortableDelta.delete(spark, path, col("id") < 2L)
     val ps1 = protocolOf(path, 1L)
     assert(ps1.size == 1)
+    // the upgrade folds the legacy-implied features (appendOnly,
+    // invariants) in — a version-7 table enables only LISTED features
     assert(featSeq(ps1.head, "writerFeatures").toSet ==
-      Set("changeDataFeed", "deletionVectors"))
+      Set("appendOnly", "invariants", "changeDataFeed", "deletionVectors"))
     assert(featSeq(ps1.head, "readerFeatures") == Seq("deletionVectors"))
     // the feed itself still reads
     val ch = PortableDelta.readChanges(spark, path, 1L, 1L)
@@ -96,9 +98,49 @@ class ProtocolFeatureSpec extends AnyFunSuite {
     val ps = protocolOf(path, 2L)
     assert(ps.size == 1, s"expected one protocol action, got $ps")
     assert(featSeq(ps.head, "writerFeatures").toSet ==
-      Set("deletionVectors", "changeDataFeed"))
+      Set("appendOnly", "invariants", "deletionVectors", "changeDataFeed"))
     // and the commit carries the cdc action the property demands
     assert(logLines(path, 2L).exists(_.has("cdc")))
+  }
+
+  test("upgrade from legacy writer 4 folds EVERY implied feature in") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 6L).coalesce(1), path)
+    // externally-shaped v1: a LEGACY protocol bump to writer 4 (CDF +
+    // generatedColumns implied, plus writer 2/3's appendOnly/invariants/
+    // checkConstraints) with the CDF property active
+    val snap = PortableDelta.snapshot(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val proto = mapper.createObjectNode()
+    val p = proto.putObject("protocol")
+    p.put("minReaderVersion", 1); p.put("minWriterVersion", 4)
+    val meta = mapper.createObjectNode()
+    val m = meta.putObject("metaData")
+    m.put("id", snap.tableId)
+    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
+    m.put("schemaString", snap.schema.json)
+    m.putArray("partitionColumns")
+    m.putObject("configuration").put(PortableDelta.CdfProp, "true")
+    val ci = mapper.createObjectNode()
+    ci.putObject("commitInfo").put("operation", "UPGRADE PROTOCOL")
+    val out = fs.create(new org.apache.hadoop.fs.Path(
+      s"$path/_delta_log/${"%020d".format(1L)}.json"), false)
+    try out.write((mapper.writeValueAsString(ci) + "\n" +
+      mapper.writeValueAsString(proto) + "\n" +
+      mapper.writeValueAsString(meta) + "\n").getBytes("UTF-8"))
+    finally out.close()
+
+    // first DML re-protocols to (3,7) — the version-7 list must carry
+    // all writer-4-implied legacy features, or external engines stop
+    // enforcing constraints/append-only/generation expressions
+    PortableDelta.delete(spark, path, col("id") === 0L) // v2
+    val ps = protocolOf(path, 2L)
+    assert(ps.size == 1, s"expected one protocol action, got $ps")
+    assert(featSeq(ps.head, "writerFeatures").toSet ==
+      Set("appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+        "generatedColumns", "deletionVectors"))
+    assert(featSeq(ps.head, "readerFeatures") == Seq("deletionVectors"))
   }
 
   test("table born with ICT declares inCommitTimestamp and stamps from v0") {

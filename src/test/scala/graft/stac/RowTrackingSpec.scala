@@ -110,6 +110,61 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(changes(path, 4L) == Set((5L, "a5", "delete")))
   }
 
+  test("MERGE preserves matched rows' IDs — pairing exact, inserts fresh") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 6L, "a").coalesce(1), path)           // v0
+    PortableDelta.enableRowTracking(spark, path)                          // v1
+    val st = PortableDelta.merge(spark, path,
+      df(2L until 9L, "m").coalesce(1), keys = Seq("id"))                 // v2
+    assert(st.updatedRows == 4L && st.insertedRows == 3L)
+    // matched rows read as UPDATE PAIRS (the merge-updated row kept its
+    // target row's ID via the materialized column); unmatched as inserts
+    val ch = changes(path, 2L)
+    assert(ch == Set(
+      (2L, "a2", "update_preimage"), (2L, "m2", "update_postimage"),
+      (3L, "a3", "update_preimage"), (3L, "m3", "update_postimage"),
+      (4L, "a4", "update_preimage"), (4L, "m4", "update_postimage"),
+      (5L, "a5", "update_preimage"), (5L, "m5", "update_postimage"),
+      (6L, "m6", "insert"), (7L, "m7", "insert"), (8L, "m8", "insert")),
+      s"got $ch")
+    // a SECOND merge over an already-merged row still pairs — the
+    // carried ID (not a fresh baseRowId+index) is the row's identity
+    PortableDelta.merge(spark, path, df(Seq(3L), "mm").coalesce(1),
+      keys = Seq("id"))                                                   // v3
+    val ch2 = changes(path, 3L)
+    assert(ch2 == Set(
+      (3L, "m3", "update_preimage"), (3L, "mm3", "update_postimage")),
+      s"got $ch2")
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id"), col("tag")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      ((0L until 2L).map(i => i -> s"a$i") ++
+        Seq(2L -> "m2", 3L -> "mm3", 4L -> "m4", 5L -> "m5") ++
+        (6L until 9L).map(i => i -> s"m$i")).toSet)
+  }
+
+  test("OPTIMIZE materializes IDs — identity survives compaction") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 4L, "a").coalesce(1), path)           // v0
+    PortableDelta.write(df(4L until 8L, "a").coalesce(1), path,
+      mode = "append")                                                    // v1
+    PortableDelta.enableRowTracking(spark, path)                          // v2
+    PortableDelta.delete(spark, path, col("id") === 1L)                   // v3
+    val ost = PortableDelta.optimizeCompact(spark, path)                  // v4
+    assert(ost.removedFiles == 2 && ost.purgedDvRows == 1L)
+    // compaction is dataChange=false: the feed sees NOTHING for v4
+    assert(PortableDelta.readChanges(spark, path, 4L, 4L).count() == 0L)
+    // but an UPDATE of a compacted row still pairs by its ORIGINAL id —
+    // the rewrite materialized identities instead of minting fresh ones
+    PortableDelta.update(spark, path, col("id") === 2L,
+      Map("tag" -> lit("z2")))                                            // v5
+    val ch = changes(path, 5L)
+    assert(ch == Set(
+      (2L, "a2", "update_preimage"), (2L, "z2", "update_postimage")),
+      s"got $ch")
+    assert(PortableDelta.readTable(spark, path).count() == 7L)
+  }
+
   test("row tracking composes with hive partitioning") {
     val path = tmp()
     val s = spark; import s.implicits._
