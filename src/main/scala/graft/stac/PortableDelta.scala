@@ -815,7 +815,10 @@ object PortableDelta {
     val conf = spark.sessionState.newHadoopConf()
     var attempt = 0
     while (true) {
-      val snap = snapshot(spark, path)
+      // file state narrowed to the files the predicate could touch —
+      // stats skipping runs on executors over checkpoint add rows, so a
+      // surgical DELETE against a million-add table collects O(touched)
+      val snap = dmlSnapshot(spark, path, Some(condition))
       // idempotence gate (same contract as write): an (appId, version)
       // the log already carries is a re-delivered batch — skip
       txn.foreach { case (appId, v) =>
@@ -1542,7 +1545,8 @@ object PortableDelta {
       s"whenMatched must be update|delete, got $whenMatched")
     require(keys.nonEmpty, "merge needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
-    val snap0 = snapshot(spark, path)
+    // schema/config gates need NO file state — small snapshot only
+    val snap0 = smallSnapshot(spark, path)
     requireNotAppendOnly(snap0.configuration, "MERGE")
     keys.foreach(k => require(snap0.schema.fieldNames.contains(k),
       s"merge key $k not in table schema"))
@@ -1567,8 +1571,29 @@ object PortableDelta {
       require(src.select(keys.map(col): _*).distinct().count() == srcRows,
         "merge source keys must be unique — a multi-matching source is ambiguous")
 
+      // dynamic file pruning for the match scan: target files whose
+      // per-key stats ranges cannot intersect the SOURCE's key bounds
+      // cannot hold a matched row (null keys never match), so they
+      // never reach the driver or the scan. One small agg over the
+      // already-persisted source; a null bound (all-null key) skips
+      // pruning for safety.
+      val keyBounds: Option[org.apache.spark.sql.Column] = {
+        import org.apache.spark.sql.functions.{lit, max, min}
+        val aggs = keys.flatMap(k =>
+          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+        val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val per = keys.zipWithIndex.flatMap { case (k, i) =>
+          (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+            case (Some(lo), Some(hi)) =>
+              Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+            case _ => None
+          }
+        }
+        if (per.size == keys.size) Some(per.reduce(_ && _)) else None
+      }
+
       var attempt = 0
-      var prior = snap0
+      var prior = dmlSnapshot(spark, path, keyBounds)
       while (true) {
         // idempotence gate (the foreachBatch CDC-upsert contract): an
         // (appId, version) the log carries is a re-delivered batch —
@@ -1716,7 +1741,7 @@ object PortableDelta {
                 throw new IllegalStateException(
                   s"merge on $path lost the commit race $attempt times " +
                     s"(last: ${e.getMessage}); staged files withdrawn", e)
-              prior = snapshot(spark, path) // rebase: recompute everything
+              prior = dmlSnapshot(spark, path, keyBounds) // rebase: recompute everything
           }
         } finally { matchedTargets.unpersist(); () }
       }
@@ -1762,7 +1787,9 @@ object PortableDelta {
     val conf = spark.sessionState.newHadoopConf()
     var attempt = 0
     while (true) {
-      val snap = snapshot(spark, path)
+      // same narrowing as DELETE: only stats-satisfiable files reach
+      // the driver (checkpoint adds prune on executors)
+      val snap = dmlSnapshot(spark, path, Some(condition))
       // idempotence gate — same contract as write/delete/merge
       txn.foreach { case (appId, v) =>
         if (snap.txns.get(appId).exists(_ >= v))
@@ -2611,71 +2638,115 @@ object PortableDelta {
     * deleted. */
   def vacuum(spark: SparkSession, path: String,
              graceMillis: Long = 7L * 24 * 3600 * 1000): Int = {
+    import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
-    val referenced = scala.collection.mutable.Set.empty[String]
+    val s2 = spark; import s2.implicits._
+    val tablePath = path
     // table-relative add paths (bare names collide across hive dirs);
     // DV packs live at the root so their rel path IS the name
-    def noteAdd(p: String, dv: Option[DvDescriptor]): Unit = {
-      referenced += p
-      dv.filter(_.storageType == "u").foreach(d =>
-        referenced += DeletionVectors.dvFilePath(path, d.pathOrInlineDv).getName)
-      dv.filter(_.storageType == "p").foreach(d =>
-        referenced += new Path(d.pathOrInlineDv).getName)
-    }
-    lastCheckpointRef(conf, path) match {
-      case None =>
-        // whole log replayable from v0: every add EVER is referenced
-        val versioned = fs.listStatus(logDir(path)).toSeq
-          .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
-          .map(_.getPath)
-        versioned.foreach { p =>
-          val in = fs.open(p)
-          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-            finally in.close()
-          lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
-            if (n.has("add")) {
-              val f = parseAddNode(n.get("add"))
-              noteAdd(f.path, f.dv)
-            }
-          }
+    def refsOf(p: String, dvSt: String, dvPath: String): Seq[String] =
+      Seq(p) ++ (dvSt match {
+        case "u" => Seq(DeletionVectors.dvFilePath(tablePath, dvPath).getName)
+        case "p" => Seq(new Path(dvPath).getName)
+        case _ => Nil
+      })
+    def jsonRefs(p: Path): Seq[String] = {
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).flatMap { n =>
+        if (!n.has("add")) Nil
+        else {
+          val f = parseAddNode(n.get("add"))
+          refsOf(f.path, f.dv.map(_.storageType).getOrElse(""),
+            f.dv.map(_.pathOrInlineDv).getOrElse(""))
         }
-      case Some(ref) =>
-        // checkpoint state (distributed scan, narrow projection) + tail
-        ckptAddsFlatDf(spark, path, ref).collect().foreach { r =>
-          val f = rowToAddFile(r); noteAdd(f.path, f.dv)
-        }
-        tailCommits(fs, path, ref.version).foreach { case (_, p) =>
-          val in = fs.open(p)
-          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-            finally in.close()
-          lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
-            if (n.has("add")) {
-              val f = parseAddNode(n.get("add"))
-              noteAdd(f.path, f.dv)
-            }
-          }
-        }
-    }
-    val cutoff = System.currentTimeMillis() - graceMillis
-    var deleted = 0
-    // recursive walk (partitioned layouts nest under col=value/ dirs);
-    // anything under _delta_log or a hidden dir is out of scope
-    val rootUri = new Path(path).toUri.getPath.stripSuffix("/") + "/"
-    val it = fs.listFiles(new Path(path), true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri)
-      val segs = rel.split('/')
-      val n = st.getPath.getName
-      val inScope = !segs.dropRight(1).exists(s =>
-        s.startsWith(".") || s.startsWith("_"))
-      val candidate = inScope && !n.startsWith(".") && !n.startsWith("_") &&
-        (n.endsWith(".parquet") || n.startsWith("deletion_vector_"))
-      if (candidate && !referenced.contains(rel) && st.getModificationTime < cutoff) {
-        if (fs.delete(st.getPath, false)) deleted += 1
       }
     }
+    // referenced frame: the add paths (and their DV packs) of every
+    // reconstructable version — a DATAFRAME end-to-end on checkpointed
+    // tables (the checkpoint's add rows expand to refs on EXECUTORS;
+    // only the bounded JSON tail parses on the driver), so the
+    // referenced set of a million-file table never materializes
+    // driver-side. Pre-checkpoint logs are young: driver parse, small.
+    val referencedDs: org.apache.spark.sql.Dataset[String] =
+      lastCheckpointRef(conf, path) match {
+        case None =>
+          val versioned = fs.listStatus(logDir(path)).toSeq
+            .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
+            .map(_.getPath)
+          versioned.flatMap(jsonRefs).toDS()
+        case Some(ref) =>
+          val ckRefs = ckptAddsFlatDf(spark, path, ref)
+            .select(col("path"), col("dv_storageType"), col("dv_pathOrInlineDv"))
+            .as[(String, String, String)]
+            .flatMap { case (p, st, dv) =>
+              refsOf(p, Option(st).getOrElse(""), Option(dv).getOrElse(""))
+            }
+          val tailRefs = tailCommits(fs, path, ref.version)
+            .flatMap { case (_, p) => jsonRefs(p) }
+          ckRefs.union(tailRefs.toDS())
+      }
+    val cutoff = System.currentTimeMillis() - graceMillis
+    // listing frame: the driver lists only the root's IMMEDIATE
+    // children; every in-scope subdirectory (hive col=value/ trees)
+    // expands recursively on executors. Anything under _delta_log or a
+    // hidden dir is out of scope (checked per rel path — hidden dirs
+    // can nest below visible ones).
+    val rootUri = new Path(path).toUri.getPath.stripSuffix("/") + "/"
+    def inScope(rel: String): Boolean = {
+      val segs = rel.split('/')
+      val n = segs.last
+      !segs.dropRight(1).exists(s => s.startsWith(".") || s.startsWith("_")) &&
+        !n.startsWith(".") && !n.startsWith("_") &&
+        (n.endsWith(".parquet") || n.startsWith("deletion_vector_"))
+    }
+    val top = fs.listStatus(new Path(path)).toSeq
+    val topFiles = top.filter(_.isFile)
+      .map(st => (st.getPath.toUri.getPath.stripPrefix(rootUri),
+        st.getModificationTime))
+    val subDirs = top.filter(st => st.isDirectory &&
+      !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+    val confW = new org.apache.spark.SerializableWritable(conf)
+    val dirListing: org.apache.spark.sql.Dataset[(String, Long)] =
+      if (subDirs.isEmpty) spark.emptyDataset[(String, Long)]
+      else subDirs.toDS()
+        .repartition(math.min(subDirs.size, 32))
+        .mapPartitions { it =>
+          val c = confW.value
+          it.flatMap { d =>
+            val dp = new Path(d)
+            val dfs = dp.getFileSystem(c)
+            val out = Seq.newBuilder[(String, Long)]
+            val li = dfs.listFiles(dp, true)
+            while (li.hasNext) {
+              val st = li.next()
+              out += ((st.getPath.toUri.getPath.stripPrefix(rootUri),
+                st.getModificationTime))
+            }
+            out.result()
+          }
+        }
+    val listing = topFiles.toDS().union(dirListing)
+      .filter((t: (String, Long)) => inScope(t._1) && t._2 < cutoff)
+      .toDF("rel", "mtime")
+    // the reclaim decision IS an anti-join: candidates minus referenced,
+    // evaluated by Spark; deletes run in the same tasks, only the COUNT
+    // comes back
+    val deleted = listing
+      .join(referencedDs.toDF("rel"), Seq("rel"), "left_anti")
+      .select(col("rel")).as[String]
+      .mapPartitions { it =>
+        val c = confW.value
+        val dfs = new Path(tablePath).getFileSystem(c)
+        var n = 0
+        it.foreach { rel =>
+          if (dfs.delete(new Path(new Path(tablePath), rel), false)) n += 1
+        }
+        Iterator.single(n)
+      }.collect().sum
     deleted
   }
 
@@ -2700,8 +2771,17 @@ object PortableDelta {
                       footerKv: Map[String, String] = Map.empty,
                       maxRetries: Int = 10): OptimizeStats = {
     require(targetFileBytes > 0)
-    val snap = snapshot(spark, path)
-    val victims = snap.files.filter(f => f.size < targetFileBytes || f.dv.isDefined)
+    // victim selection narrows on the FLAT ADD FRAME (size / dv columns)
+    // before anything collects: a compaction of a million-file table
+    // brings only the small-or-tombstoned files to the driver
+    val snap = {
+      import org.apache.spark.sql.functions.col
+      narrowedSnapshot(spark, path,
+        (_, df) => df.filter(col("size") < targetFileBytes ||
+          col("dv_storageType").isNotNull),
+        s => s.files.filter(f => f.size < targetFileBytes || f.dv.isDefined))
+    }
+    val victims = snap.files
     if (victims.size < 2)
       return OptimizeStats(snap.version, 0, 0, 0L)
     val bins = math.max(1L,

@@ -139,5 +139,56 @@ class LazySnapshotSpec extends AnyFunSuite {
         col("id") === 10000005L)
       .select(col("v")).collect().map(_.getLong(0)).toSeq
     assert(got3 == Seq(20000010L))
+
+    // ---- DML against the same synthetic state: DELETE and UPDATE must
+    // route victim selection through the DataFrame-backed file state —
+    // 99_998 fake paths mean ANY full materialize-and-scan (or a full
+    // filesByLogKey broadcast over unpruned files) dies on a missing
+    // file; only executor-side stats pruning down to part-3 can commit
+    val dst = PortableDelta.delete(spark, root, col("id").between(310L, 320L))
+    assert(dst.deletedRows == 11L && dst.dvFiles == 1 && dst.removedFiles == 0,
+      s"got $dst")
+    assert(PortableDelta.readTableWhere(spark, root,
+      col("id").between(300L, 330L)).count() == 20L) // 31 - 11 dead
+
+    val ust = PortableDelta.update(spark, root, col("id") === 330L,
+      Map("v" -> lit(-1L)))
+    assert(ust.updatedRows == 1L, s"got $ust")
+    val after = PortableDelta.readTableWhere(spark, root,
+        col("id").between(300L, 340L))
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after.size == 30L) // 41 ids - 11 deleted
+    assert(after(330L) == -1L && after(325L) == 650L)
+    assert(!after.contains(315L))
+
+    // OPTIMIZE victim selection narrows on the flat add frame the same
+    // way: every fake add claims size=1000 and carries no DV, so a
+    // 600-byte target excludes every fake file executor-side — victims
+    // can only be REAL files (small ones, or part-3 via its DV). The
+    // call succeeding at all proves selection never materialized or
+    // opened the 99_998 nonexistent paths; state must be unchanged.
+    PortableDelta.optimizeCompact(spark, root, targetFileBytes = 600L)
+    val after2 = PortableDelta.readTableWhere(spark, root,
+        col("id").between(300L, 340L))
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after2 == after, "OPTIMIZE must not change logical state")
+
+    // ---- distributed VACUUM over the same state: the referenced frame
+    // (100k checkpoint refs) flows as a DataFrame into the anti-join —
+    // an unreferenced orphan is reclaimed, every referenced REAL file
+    // stays, and no fake path is ever opened or deleted
+    val orphan = new java.io.File(root, "orphan-0.parquet")
+    writeOne(rows(0L, 0L), orphan)
+    assert(orphan.setLastModified(1000L)) // well past any grace window
+    val reclaimed = PortableDelta.vacuum(spark, root, graceMillis = 0L)
+    assert(reclaimed >= 1, s"expected the orphan reclaimed, got $reclaimed")
+    assert(!orphan.exists, "unreferenced orphan must be deleted")
+    val after3 = PortableDelta.readTableWhere(spark, root,
+        col("id").between(300L, 340L))
+      .select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after3 == after, "vacuum must keep every referenced file")
   }
 }
