@@ -2564,6 +2564,68 @@ object StacOps {
           .withColumn("gen_ok", lit(true))
           .orderBy(col("bucket"))
       },
+      timed = false),
+
+    // ----- Delta identity columns: the WRITER allocates the values -----
+    // delta.identity.* field metadata (the identityColumns writer
+    // feature): an empty table declares `ident` (start=1000, step=3),
+    // two generating appends land WITHOUT supplying it, and the engine
+    // allocates start + k*step with the high-water mark re-stated in
+    // each commit's metaData — the second batch provably continues past
+    // the first (no overlap, no gap). The gate stages each batch as ONE
+    // sorted partition so the assignment order is oracle-mirrorable;
+    // allocation itself is distributed (per-partition offsets from one
+    // count aggregate — see IdentitySpec's multi-partition + race legs
+    // for the production shape). Value check: every (doc_id, ident)
+    // pair against DuckDB's row_number() recomputation.
+    QuerySpec(
+      "stac42_delta_identity",
+      Some("""
+        WITH a AS (SELECT doc_id,
+                          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS k
+                   FROM documents WHERE doc_id % 3 = 0),
+             b AS (SELECT doc_id,
+                          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS k
+                   FROM documents WHERE doc_id % 3 = 1)
+        SELECT doc_id, 1000 + 3 * k AS ident FROM a
+        UNION ALL
+        SELECT doc_id, 1000 + 3 * ((SELECT count(*) FROM a) + k) FROM b
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        import org.apache.spark.sql.types.{LongType, MetadataBuilder,
+          StringType, StructField, StructType}
+        val identMeta = new MetadataBuilder()
+          .putLong("delta.identity.start", 1000L)
+          .putLong("delta.identity.step", 3L).build()
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("ident", LongType, nullable = true, identMeta)))
+        val out = java.nio.file.Files.createTempDirectory("stac42").toString + "/tbl"
+        PortableDelta.write(s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), out) // v0
+        require(PortableDelta.snapshot(s, out).writerFeatures
+          .contains("identityColumns"), "creation must declare the feature")
+        def slice(r: Int) = Tables.t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === r).select(col("doc_id"))
+          .repartition(1).sortWithinPartitions(col("doc_id"))
+        PortableDelta.write(slice(0), out, mode = "append")                // v1
+        val nA = slice(0).count()
+        def hwm(): Long = {
+          val f = PortableDelta.snapshot(s, out).schema("ident")
+          require(f.metadata.contains("delta.identity.highWaterMark"),
+            "generating append must re-state the high-water mark")
+          f.metadata.getLong("delta.identity.highWaterMark")
+        }
+        require(hwm() == 1000L + 3L * (nA - 1), "mark must track batch 1")
+        PortableDelta.write(slice(1), out, mode = "append")                // v2
+        val nB = slice(1).count()
+        require(hwm() == 1000L + 3L * (nA + nB - 1),
+          "mark must continue past batch 1 — no overlap, no gap")
+        PortableDelta.readTable(s, out)
+          .select(col("doc_id"), col("ident"))
+          .orderBy(col("doc_id"))
+      },
       timed = false)
   )
 }

@@ -741,6 +741,101 @@ object StreamingOps {
           .withColumn("sync_ok", lit(true))
           .orderBy(col("status"))
       },
+      timed = false),
+
+    // ----- streaming CDF SOURCE: watermark checkpoint, restart-exact -----
+    // st14/st16 re-derived their version windows by hand; this is the
+    // packaged source ([[graft.streaming.DeltaCdfSource]]): per-trigger
+    // reads bounded by maxVersionsPerTrigger, a PERSISTENT version
+    // watermark that advances only after the batch commits, and
+    // AvailableNow drain semantics. The gate maintains a signed
+    // aggregate purely from the source across four commits (append,
+    // append, row-tracked UPDATE, DELETE) with maxVersionsPerTrigger=1
+    // — ≥3 real triggers — RESTARTS the consumer mid-stream from the
+    // checkpoint (a fresh instance resumes at the stored watermark,
+    // nothing re-delivered, nothing skipped), and pins that a
+    // caught-up source returns no batch. Equality vs direct recompute
+    // in both except() directions; oracle recomputes the final state.
+    QuerySpec(
+      "st17_delta_cdf_source",
+      Some("""
+        WITH fin AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 7 = 0 THEN value * 2
+                      ELSE value END AS v
+          FROM events WHERE event_id % 5 <> 0
+        )
+        SELECT event_type, count(*) AS n_rows,
+               CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               true AS stream_ok
+        FROM fin GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        import graft.streaming.DeltaCdfSource
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tbl = java.nio.file.Files.createTempDirectory("st17").toString + "/tbl"
+        val ck = java.nio.file.Files.createTempDirectory("st17_ck").toString
+        val cents = floor(col("value") * 100 + 0.5).cast("long")
+        var downstream: org.apache.spark.sql.DataFrame = null
+        def apply(changes: org.apache.spark.sql.DataFrame, to: Long): Unit = {
+          val sign = when(col("_change_type")
+            .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+          val delta = changes.groupBy(col("event_type"))
+            .agg(sum(sign).as("n_rows"), sum(cents * sign).as("value_cents"))
+          val merged =
+            if (downstream == null) delta
+            else downstream.unionByName(delta).groupBy(col("event_type"))
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sum(col("value_cents")).as("value_cents"))
+          val next = merged.filter(col("n_rows") > 0).persist()
+          next.count() // durable before the watermark may advance
+          if (downstream != null) downstream.unpersist()
+          downstream = next
+        }
+        // four commits land BEFORE the consumer starts — the source
+        // must window them itself
+        PortableDelta.write(ev.filter(col("event_id") % 2 === 0)
+          .repartition(4), tbl)                                        // v0
+        PortableDelta.write(ev.filter(col("event_id") % 2 === 1)
+          .repartition(4), tbl, mode = "append")                       // v1
+        PortableDelta.enableRowTracking(s, tbl)                        // v2
+        PortableDelta.update(s, tbl, col("event_id") % 7 === 0,
+          Map("value" -> (col("value") * 2)))                          // v3
+        PortableDelta.delete(s, tbl, col("event_id") % 5 === 0)        // v4
+        // consumer 1 processes exactly two 1-version triggers, then
+        // "crashes" (is dropped) with its watermark at v1
+        val src1 = new DeltaCdfSource(s, tbl, ck, maxVersionsPerTrigger = 1)
+        var triggers = 0
+        for (_ <- 0 until 2) src1.readAvailable().foreach { case (df, to) =>
+          apply(df, to); src1.commitProgress(to); triggers += 1
+        }
+        require(triggers == 2 && src1.watermark == 1L,
+          s"expected 2 one-version triggers, watermark 1, got $triggers/" +
+            s"${src1.watermark}")
+        // consumer 2 restarts from the CHECKPOINT and drains the rest
+        // (v2's backfill is dataChange=false: a real trigger, zero rows)
+        val src2 = new DeltaCdfSource(s, tbl, ck, maxVersionsPerTrigger = 1)
+        triggers += src2.runAvailableNow(apply)
+        require(triggers == 5 && src2.watermark == 4L,
+          s"restart must resume at the stored watermark: $triggers triggers, " +
+            s"watermark ${src2.watermark}")
+        // caught up: a third instance sees nothing (no re-delivery)
+        require(new DeltaCdfSource(s, tbl, ck).readAvailable().isEmpty,
+          "a caught-up source must return no batch")
+        require(!new java.io.File(s"$tbl/_change_data").exists(),
+          "the update pairs must come from file actions, never cdc files")
+        val direct = PortableDelta.readTable(s, tbl)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
+        require(downstream.except(direct).isEmpty &&
+          direct.except(downstream).isEmpty,
+          "source-fed state must equal the direct recompute exactly")
+        downstream
+          .withColumn("stream_ok", lit(true))
+          .orderBy(col("event_type"))
+      },
       timed = false)
   )
 }

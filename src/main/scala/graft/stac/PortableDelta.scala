@@ -66,12 +66,17 @@ object PortableDelta {
     * serialized value; null value = the hive default/null partition);
     * partitioned files live under `col=value/` subdirs and do NOT store
     * the partition columns in their parquet bytes. */
+  /** `clusteringProvider` is the spec's clustered-table marker: files
+    * written BY a clustering rewrite carry the provider name; files
+    * appended since are provider-less, which is exactly what
+    * [[optimizeClusterIncremental]] keys its victim selection on. */
   final case class AddFile(path: String, size: Long, modificationTime: Long,
                            dv: Option[DvDescriptor] = None,
                            stats: Option[String] = None,
                            partitionValues: Map[String, String] = Map.empty,
                            baseRowId: Option[Long] = None,
-                           defaultRowCommitVersion: Option[Long] = None)
+                           defaultRowCommitVersion: Option[Long] = None,
+                           clusteringProvider: Option[String] = None)
   /** `txns` is the spec's per-appId transaction watermark (latest `txn`
     * action per application id) — the idempotent-streaming-writes
     * contract: a writer that tags each commit with {appId, version}
@@ -146,10 +151,61 @@ object PortableDelta {
     // missing one gets it computed against the TABLE schema; a batch
     // providing one (and any create/overwrite whose own schema declares
     // generation metadata) is validated
-    val df = prior0 match {
+    val df1 = prior0 match {
       case Some(p) if mode == "append" =>
         applyGeneratedColumns(df0, p.schema, s"write to $path")
       case _ => applyGeneratedColumns(df0, df0.schema, s"write to $path")
+    }
+    // identity columns resolve next: an append MISSING one gets values
+    // generated from the table's high-water mark; a batch PROVIDING one
+    // needs allowExplicit (GENERATED BY DEFAULT) and advances the mark.
+    // identUpdates carries the new per-column marks into the commit's
+    // metaData; identHwmUsed is the optimistic-concurrency baseline —
+    // a competing commit moving a mark forces a regenerate-and-restage.
+    val identTargetSchema = prior0 match {
+      case Some(p) if mode == "append" => p.schema
+      case _ => df1.schema
+    }
+    val idents = identityFields(identTargetSchema)
+    val identHwmUsed: Map[String, Option[Long]] =
+      idents.map(i => i.field.name -> i.hwm).toMap
+    var identUpdates = Map.empty[String, Long]
+    var identPersisted: Option[DataFrame] = None
+    val df = if (idents.isEmpty) df1 else {
+      var out = df1
+      idents.foreach { i =>
+        if (!out.columns.contains(i.field.name)) {
+          if (identPersisted.isEmpty) {
+            out = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            identPersisted = Some(out)
+          }
+          val base = nextIdentityBase(i.start, i.step, i.hwm)
+          val (d2, n) = assignIdentityValues(out, i.field, base, i.step)
+          out = d2
+          if (n > 0) identUpdates += i.field.name -> (base + (n - 1) * i.step)
+        } else {
+          // a CREATE/overwrite batch DEFINES the table — its values
+          // seed the mark; only appends are gated on allowExplicit
+          require(mode != "append" || prior0.isEmpty || i.allowExplicit,
+            s"identity column ${i.field.name} is GENERATED ALWAYS — " +
+              "batches may not supply it (set delta.identity.allowExplicit)")
+          import org.apache.spark.sql.functions.{col, max, min}
+          val r = out.agg(
+            (if (i.step > 0) max(col(i.field.name))
+             else min(col(i.field.name))).cast(LongType)).collect()(0)
+          if (!r.isNullAt(0)) {
+            val v = r.getLong(0)
+            val past = i.hwm.forall(h => if (i.step > 0) v > h else v < h)
+            if (past) identUpdates += i.field.name -> v
+          }
+        }
+      }
+      // computed columns appended at the END — re-select in table order
+      // (same heal as generated columns)
+      val tableOrder = identTargetSchema.fieldNames.filter(out.columns.contains)
+      val extras = out.columns.filterNot(identTargetSchema.fieldNames.contains)
+      out.select((tableOrder ++ extras).map(
+        org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     }
     partitionBy.foreach(c => require(df.schema.fieldNames.contains(c),
       s"partition column $c not in the batch schema"))
@@ -193,7 +249,8 @@ object PortableDelta {
     }
     val physFor0 = if (mappedCfg(cCfg0)) Some(cSch0) else None
     val (added, cleanupMoved) =
-      stageAndMove(df, path, footerKv, conf, effPartitionBy, physFor0)
+      try stageAndMove(df, path, footerKv, conf, effPartitionBy, physFor0)
+      finally identPersisted.foreach { p => p.unpersist(); () }
 
     // per-file column stats from the just-written parquet footers —
     // metadata-only reads sharded over executors; committed on the add
@@ -254,7 +311,8 @@ object PortableDelta {
         val ntz = if (containsNtz(df.schema)) Seq("timestampNtz") else Nil
         val born = cfgWriterFeatures(properties) ++
           (if (generatedFields(df.schema).nonEmpty) Seq("generatedColumns")
-           else Nil)
+           else Nil) ++
+          (if (idents.nonEmpty) Seq("identityColumns") else Nil)
         if (born.isEmpty && ntz.isEmpty) actions += protocolAction()
         else {
           val base = Snapshot(-1L, MinReaderVersion, MinWriterVersion, "",
@@ -262,7 +320,8 @@ object PortableDelta {
           actions += featureUpgradeAction(base, ntz, born ++ ntz).get
         }
         actions += metaDataAction(java.util.UUID.randomUUID().toString,
-          df.schema, properties, now, effPartitionBy)
+          stampIdentityHwm(df.schema, identUpdates), properties, now,
+          effPartitionBy)
       } else if (mode == "overwrite") {
         // new properties may switch on CDF/ICT mid-life: declare the
         // features in the SAME commit, with ICT enablement provenance
@@ -282,7 +341,8 @@ object PortableDelta {
         }
         // overwrite re-states metaData (schema/properties may change) but
         // keeps the table id — the replace-table shape
-        actions += metaDataAction(prior.get.tableId, df.schema, effProps, now,
+        actions += metaDataAction(prior.get.tableId,
+          stampIdentityHwm(df.schema, identUpdates), effProps, now,
           effPartitionBy)
         prior.get.files.foreach { f =>
           val r = mapper.createObjectNode()
@@ -291,10 +351,14 @@ object PortableDelta {
           b.put("dataChange", true)
           actions += r
         }
-      } else if (evolvedSchema.isDefined) {
-        // mergeSchema append: re-state metaData with the EVOLVED schema
-        // (same table id/config) — old files read the new columns as null
-        actions += metaDataAction(prior.get.tableId, evolvedSchema.get,
+      } else if (evolvedSchema.isDefined || identUpdates.nonEmpty) {
+        // mergeSchema append re-states metaData with the EVOLVED schema
+        // (old files read the new columns as null); an identity-
+        // generating append re-states it to carry the new high-water
+        // mark — either way same table id/config
+        actions += metaDataAction(prior.get.tableId,
+          stampIdentityHwm(evolvedSchema.getOrElse(prior.get.schema),
+            identUpdates),
           prior.get.configuration, now, effPartitionBy)
       }
       // healing upgrade for EXISTING tables gaining (or already
@@ -303,6 +367,10 @@ object PortableDelta {
       if (prior.nonEmpty && containsNtz(df.schema))
         featureUpgradeAction(prior.get, Seq("timestampNtz"),
           Seq("timestampNtz")).foreach(actions += _)
+      // same healing for identity columns (writer-side only)
+      if (prior.nonEmpty && idents.nonEmpty)
+        featureUpgradeAction(prior.get, Nil, Seq("identityColumns"))
+          .foreach(actions += _)
       val commitCfg = prior.map(p =>
         if (mode == "overwrite" && properties.nonEmpty) properties
         else p.configuration).getOrElse(properties)
@@ -337,6 +405,23 @@ object PortableDelta {
                 "staged files withdrawn", e)
           }
           prior = readPrior() // rebase and retry
+          // identity columns: a competing commit may have advanced a
+          // high-water mark past the base our STAGED values were
+          // generated from — committing them would mint duplicates.
+          // Withdraw the staged files and restart the whole write
+          // (regenerate + restage against the new mark).
+          if (idents.nonEmpty && mode == "append") {
+            val nowHwm: Map[String, Option[Long]] = prior.toSeq
+              .flatMap(p => identityFields(p.schema))
+              .map(i => i.field.name -> i.hwm).toMap
+            if (idents.exists(i =>
+                nowHwm.getOrElse(i.field.name, None) !=
+                  identHwmUsed(i.field.name))) {
+              cleanupMoved()
+              return write(df0, path, properties, mode, footerKv, txn,
+                maxRetries - attempt, partitionBy, mergeSchema)
+            }
+          }
           // a concurrent commit may have added/changed constraints —
           // re-validate before re-attempting (withdrawing on violation)
           val (cSch, cCfg) = effectiveConstraints(prior)
@@ -653,6 +738,13 @@ object PortableDelta {
     }
   }
 
+  /** The table's current version — a SMALL-state read (protocol/
+    * metaData/tail only, never the add list): the poll a streaming
+    * consumer issues per trigger, O(JSON tail) however large the
+    * table. */
+  def currentVersion(spark: SparkSession, path: String): Long =
+    smallSnapshot(spark, path).version
+
   /** Snapshot → DataFrame, applying deletion vectors when present. The
     * DV bitmaps are decoded once on the driver and broadcast (compressed
     * Roaring bytes — KBs per million deleted rows); the per-row probe is
@@ -941,6 +1033,94 @@ object PortableDelta {
     out
   }
 
+  /** Identity columns (the spec's `delta.identity.*` field metadata —
+    * legacy writer-6 / the `identityColumns` writer feature): a bigint
+    * column whose values the WRITER generates as `start + k*step`,
+    * tracking the farthest generated value in the field's
+    * `delta.identity.highWaterMark` metadata (re-stated with the
+    * commit's metaData). `allowExplicit = true` (GENERATED BY DEFAULT)
+    * additionally accepts batch-supplied values, advancing the mark
+    * past them; `false` (GENERATED ALWAYS) refuses them by name. */
+  private[stac] final case class IdentityField(field: StructField,
+      start: Long, step: Long, allowExplicit: Boolean, hwm: Option[Long])
+
+  private def identityFields(schema: StructType): Seq[IdentityField] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains("delta.identity.start") ||
+                f.metadata.contains("delta.identity.step") =>
+        require(f.dataType == LongType,
+          s"identity column ${f.name} must be BIGINT, got ${f.dataType.simpleString}")
+        def l(k: String, d: Long) =
+          if (f.metadata.contains(k)) f.metadata.getLong(k) else d
+        val step = l("delta.identity.step", 1L)
+        require(step != 0L, s"identity column ${f.name}: step must be non-zero")
+        IdentityField(f, l("delta.identity.start", 1L), step,
+          f.metadata.contains("delta.identity.allowExplicit") &&
+            f.metadata.getBoolean("delta.identity.allowExplicit"),
+          if (f.metadata.contains("delta.identity.highWaterMark"))
+            Some(f.metadata.getLong("delta.identity.highWaterMark"))
+          else None)
+    }
+
+  /** The next value to generate: the smallest `start + k*step` (k >= 0)
+    * strictly past the high-water mark in step direction; `start`
+    * itself when no value was ever generated. */
+  private def nextIdentityBase(start: Long, step: Long,
+                               hwm: Option[Long]): Long = hwm match {
+    case None => start
+    case Some(h) =>
+      if (step > 0) {
+        if (h < start) start
+        else start + ((h - start) / step + 1) * step
+      } else {
+        if (h > start) start
+        else start + ((start - h) / (-step) + 1) * step
+      }
+  }
+
+  /** Stamp updated high-water marks into the identity fields' metadata
+    * (the committed metaData carries them forward). */
+  private def stampIdentityHwm(schema: StructType,
+                               updates: Map[String, Long]): StructType =
+    if (updates.isEmpty) schema
+    else StructType(schema.fields.map { f =>
+      updates.get(f.name) match {
+        case Some(h) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.identity.highWaterMark", h).build())
+        case None => f
+      }
+    })
+
+  /** Distributed identity-value assignment for an n-row batch: value =
+    * base + step * (partition offset + within-partition index). ONE
+    * small count aggregate computes per-partition offsets; the id
+    * itself is `monotonically_increasing_id`'s within-partition counter
+    * (its low 33 bits), so no global sort or single-partition funnel is
+    * involved. The CALLER must have persisted `df` — the count job and
+    * the staging write must observe identical partitioning. Returns the
+    * frame plus the generated row count. */
+  private def assignIdentityValues(df: DataFrame, f: StructField,
+      base: Long, step: Long): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{col, element_at, lit,
+      monotonically_increasing_id, spark_partition_id, typedLit}
+    val counts = df.select(spark_partition_id().as("p"))
+      .groupBy(col("p")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var off = 0L
+    val offsets: Map[Int, Long] = counts.toSeq.sortBy(_._1).map { case (p, c) =>
+      val o = off; off += c; p -> o
+    }.toMap
+    if (off == 0L) return (df.withColumn(f.name,
+      lit(null).cast(LongType).as(f.name, f.metadata)), 0L)
+    val local = monotonically_increasing_id()
+      .bitwiseAND(lit((1L << 33) - 1))
+    val value = lit(base) + lit(step) *
+      (element_at(typedLit(offsets), spark_partition_id()).cast(LongType) + local)
+    (df.withColumn(f.name, value.cast(LongType).as(f.name, f.metadata)), off)
+  }
+
   /** Does the schema carry a TIMESTAMP WITHOUT TIME ZONE anywhere
     * (top-level or nested)? Such tables are gated on the spec's
     * `timestampNtz` reader+writer feature. */
@@ -1089,9 +1269,10 @@ object PortableDelta {
         // (a DV only hides rows; it can't widen min/max)
         f.stats.foreach(b.put("stats", _))
         // row tracking: a DV re-add is the SAME file — stable row IDs
-        // ride along unchanged
+        // (and its clustering provenance) ride along unchanged
         f.baseRowId.foreach(b.put("baseRowId", _))
         f.defaultRowCommitVersion.foreach(b.put("defaultRowCommitVersion", _))
+        f.clusteringProvider.foreach(b.put("clusteringProvider", _))
         val n = b.putObject("deletionVector")
         n.put("storageType", "u"); n.put("pathOrInlineDv", e.packPath)
         n.put("offset", e.offset); n.put("sizeInBytes", e.size)
@@ -1563,6 +1744,13 @@ object PortableDelta {
           StructField(s.name, s.dataType)))) ),
       s"merge source schema mismatch:\n table: ${snap0.schema.simpleString}\n " +
         s"source: ${source1.schema.simpleString}")
+    // identity columns: schema alignment means the source SUPPLIES
+    // values — legal only for GENERATED BY DEFAULT; the commit advances
+    // the high-water mark past them (below)
+    identityFields(snap0.schema).foreach(i => require(i.allowExplicit,
+      s"MERGE into a table whose identity column ${i.field.name} is " +
+        "GENERATED ALWAYS is not supported — the source would supply " +
+        "explicit values"))
     val src = source1.select(snap0.schema.fieldNames.map(col).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1681,6 +1869,26 @@ object PortableDelta {
             (if (parts.nonEmpty) Seq("deletionVectors") else Nil) ++
               cfgWriterFeatures(prior.configuration))
             .foreach(actions += _)
+          // identity columns: advance the mark past the source's
+          // explicit values — re-stated metaData rides the same commit
+          val identUpM: Map[String, Long] =
+            identityFields(prior.schema).flatMap { i =>
+              import org.apache.spark.sql.functions.{max, min}
+              val r = src.agg((if (i.step > 0) max(col(i.field.name))
+                               else min(col(i.field.name)))
+                .cast(LongType)).collect()(0)
+              if (r.isNullAt(0)) None
+              else {
+                val v = r.getLong(0)
+                if (i.hwm.forall(h => if (i.step > 0) v > h else v < h))
+                  Some(i.field.name -> v)
+                else None
+              }
+            }.toMap
+          if (identUpM.nonEmpty)
+            actions += metaDataAction(prior.tableId,
+              stampIdentityHwm(prior.schema, identUpM),
+              prior.configuration, now, prior.partitionColumns)
           parts.foreach(p => actions ++= p.actions(now))
           val rt = assignRowIds(conf, path, prior.configuration,
             prior.domainMetadata, added, statsByName)
@@ -1836,6 +2044,12 @@ object PortableDelta {
         genNames.foreach(g => require(!set.contains(g),
           s"cannot UPDATE generated column $g — it derives from its " +
             "generation expression"))
+        // identity columns: SET would break the uniqueness contract the
+        // writer owns (delta-spark refuses the same way); untouched
+        // columns carry through the rewrite unchanged, which is legal
+        identityFields(snap.schema).foreach(i =>
+          require(!set.contains(i.field.name),
+            s"cannot UPDATE identity column ${i.field.name}"))
         val newRows =
           if (genNames.isEmpty) newRows0
           else applyGeneratedColumns(newRows0.drop(genNames: _*), snap.schema,
@@ -1988,6 +2202,7 @@ object PortableDelta {
         f.stats.foreach(b.put("stats", _))
         f.baseRowId.foreach(b.put("baseRowId", _))
         f.defaultRowCommitVersion.foreach(b.put("defaultRowCommitVersion", _))
+        f.clusteringProvider.foreach(b.put("clusteringProvider", _))
         f.dv.foreach { d =>
           val n = b.putObject("deletionVector")
           n.put("storageType", d.storageType)
@@ -2080,6 +2295,7 @@ object PortableDelta {
       f.stats.foreach(b.put("stats", _))
       f.baseRowId.foreach(b.put("baseRowId", _))
       f.defaultRowCommitVersion.foreach(b.put("defaultRowCommitVersion", _))
+      f.clusteringProvider.foreach(b.put("clusteringProvider", _))
       f.dv.foreach { d =>
         val n = b.putObject("deletionVector")
         if (d.storageType == "u") {
@@ -2556,6 +2772,7 @@ object PortableDelta {
         b.put("modificationTime", f.modificationTime)
         b.put("dataChange", false) // backfill: no logical change
         f.stats.foreach(b.put("stats", _))
+        f.clusteringProvider.foreach(b.put("clusteringProvider", _))
         f.dv.foreach { d =>
           val n = b.putObject("deletionVector")
           n.put("storageType", d.storageType)
@@ -2815,20 +3032,7 @@ object PortableDelta {
     // row tracking: the clustered rewrite carries original row IDs too
     val full = scanWithRidCol(spark, path, snap)
       .getOrElse(snapshotDf(spark, path, snap))
-    // observed [lo, hi] per z-column: ONE small aggregate row to the
-    // driver, the only non-distributed step
-    val aggs = zCols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"lo_$c"), max(col(c).cast("double")).as(s"hi_$c")))
-    val r = full.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val los = zCols.indices.map(i => r.getDouble(2 * i))
-    val his = zCols.indices.map(i => r.getDouble(2 * i + 1))
-    val bits = math.min(16, 62 / zCols.size)
-    val zv = ZOrder.zKeyLinear(zCols.map(col), los, his, bits)
-    val clustered = full
-      .withColumn("__graft_z", zv)
-      .repartitionByRange(numFiles, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
+    val clustered = zClusterFrame(full, zCols, numFiles)
     // the spec's Clustered Table bookkeeping rides the same commit:
     // declare the `clustering` writer feature and publish the
     // clustering columns (PHYSICAL names) in the `delta.clustering`
@@ -2843,7 +3047,80 @@ object PortableDelta {
         domainMetadataAction("delta.clustering", mapper.writeValueAsString(cfgNode))
     commitRewrite(spark, path, snap, snap.files, clustered, footerKv,
       s"OPTIMIZE ZORDER BY (${zCols.mkString(", ")})", maxRetries,
-      extraActions = clusterActions)
+      extraActions = clusterActions,
+      clusteringProvider = Some(ClusteringProviderName))
+  }
+
+  /** The provider name this engine's clustering rewrites stamp on their
+    * add actions (delta-spark's liquid-clustering value — files carrying
+    * it are IN the clustered layout; provider-less files are not yet). */
+  val ClusteringProviderName = "liquid"
+
+  /** One-shuffle z-order layout: bit-interleaved key over the observed
+    * [lo, hi] of each dimension (ONE small aggregate row to the driver),
+    * range-partitioned and sorted within partitions. */
+  private def zClusterFrame(df: DataFrame, zCols: Seq[String],
+                            numFiles: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"lo_$c"), max(col(c).cast("double")).as(s"hi_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val los = zCols.indices.map(i => r.getDouble(2 * i))
+    val his = zCols.indices.map(i => r.getDouble(2 * i + 1))
+    val bits = math.min(16, 62 / zCols.size)
+    val zv = ZOrder.zKeyLinear(zCols.map(col), los, his, bits)
+    df.withColumn("__graft_z", zv)
+      .repartitionByRange(numFiles, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+  }
+
+  /** INCREMENTAL clustering maintenance — the OPTIMIZE a clustered
+    * table runs on a cadence: re-cluster ONLY the files appended since
+    * the last clustering rewrite (the provider-less adds; files a
+    * clustering rewrite produced carry [[ClusteringProviderName]]), on
+    * the dimensions the `delta.clustering` domain publishes. Cost is
+    * proportional to NEW bytes, never the table: a daily maintenance
+    * pass over a 100-TB clustered table rewrites the day's appends
+    * only. Each maintained batch forms its own z-cube — per-file
+    * min/max stay tight per dimension inside every cube, so
+    * [[readTableWhere]] skipping holds across old and new files alike.
+    * `targetFileBytes` sizes the rewrite's output files. No-op (no
+    * commit) when nothing is unclustered, or when the table publishes
+    * no clustering domain (use [[optimizeZOrder]] first). */
+  def optimizeClusterIncremental(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      footerKv: Map[String, String] = Map.empty,
+      maxRetries: Int = 10): OptimizeStats = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileBytes > 0)
+    // victim selection on the flat add frame: provider-less files only
+    val snap = narrowedSnapshot(spark, path,
+      (_, df) => df.filter(col("clusteringProvider").isNull),
+      s => s.files.filter(_.clusteringProvider.isEmpty))
+    val domainJson = snap.domainMetadata.getOrElse("delta.clustering",
+      throw new IllegalArgumentException(
+        s"$path publishes no delta.clustering domain — run optimizeZOrder " +
+          "to establish the clustered layout first"))
+    val physCols = mapper.readTree(domainJson).get("clusteringColumns")
+      .elements().asScala.map(_.elements().asScala.map(_.asText()).mkString("."))
+      .toSeq
+    // physical → logical names (identity on unmapped tables)
+    val logByPhys = snap.schema.fields.map(f => physFieldName(f) -> f.name).toMap
+    val zCols = physCols.map(p => logByPhys.getOrElse(p,
+      throw new IllegalArgumentException(
+        s"clustering column $p not in the table schema")))
+    val victims = snap.files
+    if (victims.isEmpty) return OptimizeStats(snap.version, 0, 0, 0L)
+    val numFiles = math.max(1L,
+      (victims.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val snapV = snap.copy(files = victims)
+    val fresh = scanWithRidCol(spark, path, snapV)
+      .getOrElse(snapshotDf(spark, path, snapV))
+    commitRewrite(spark, path, snap, victims,
+      zClusterFrame(fresh, zCols, numFiles), footerKv,
+      s"OPTIMIZE (incremental clustering on ${zCols.mkString(", ")})",
+      maxRetries, clusteringProvider = Some(ClusteringProviderName))
   }
 
   /** Shared rewrite commit: stage `df`'s files, then commit
@@ -2856,7 +3133,8 @@ object PortableDelta {
                             snap0: Snapshot, victims: Seq[AddFile],
                             df: DataFrame, footerKv: Map[String, String],
                             op: String, maxRetries: Int,
-                            extraActions: Seq[JsonNode] = Nil): OptimizeStats = {
+                            extraActions: Seq[JsonNode] = Nil,
+                            clusteringProvider: Option[String] = None): OptimizeStats = {
     val conf = spark.sessionState.newHadoopConf()
     val physR = if (mappedCfg(snap0.configuration)) Some(snap0.schema) else None
     val (added, cleanupMoved) =
@@ -2899,6 +3177,7 @@ object PortableDelta {
           b.put("baseRowId", ids(f.relPath))
           b.put("defaultRowCommitVersion", prior.version + 1)
         }
+        clusteringProvider.foreach(b.put("clusteringProvider", _))
         actions += r
       }
       rt.foreach(t => actions += t._2)
@@ -3048,7 +3327,8 @@ object PortableDelta {
   private val AddT =
     "struct<path:string,partitionValues:map<string,string>,size:bigint," +
       s"modificationTime:bigint,dataChange:boolean,deletionVector:$DvT," +
-      "stats:string,baseRowId:bigint,defaultRowCommitVersion:bigint>"
+      "stats:string,baseRowId:bigint,defaultRowCommitVersion:bigint," +
+      "clusteringProvider:string>"
   private val TxnT = "struct<appId:string,version:bigint,lastUpdated:bigint>"
   private val RemoveT =
     "struct<path:string,deletionTimestamp:bigint,dataChange:boolean," +
@@ -3068,7 +3348,8 @@ object PortableDelta {
     StructField("partitionValues",
       org.apache.spark.sql.types.MapType(StringType, StringType)),
     StructField("baseRowId", LongType),
-    StructField("defaultRowCommitVersion", LongType)))
+    StructField("defaultRowCommitVersion", LongType),
+    StructField("clusteringProvider", StringType)))
 
   private def addFilesToFlatDf(spark: SparkSession, files: Seq[AddFile]): DataFrame = {
     val rows = files.map { f =>
@@ -3080,7 +3361,8 @@ object PortableDelta {
         f.stats.orNull,
         f.partitionValues,
         f.baseRowId.map(Long.box).orNull,
-        f.defaultRowCommitVersion.map(Long.box).orNull)
+        f.defaultRowCommitVersion.map(Long.box).orNull,
+        f.clusteringProvider.orNull)
     }
     spark.createDataFrame(rows.asJava, FlatAddSchema)
   }
@@ -3306,7 +3588,8 @@ object PortableDelta {
             col("dv_cardinality").as("cardinality")))
           .otherwise(lit(null).cast(DvT)).as("deletionVector"),
         col("stats"), col("baseRowId"),
-        col("defaultRowCommitVersion")).as("add"),
+        col("defaultRowCommitVersion"),
+        col("clusteringProvider")).as("add"),
       lit(null).cast(TxnT).as("txn"),
       lit(null).cast(DomainT).as("domainMetadata"))
   }
@@ -3960,12 +4243,17 @@ object PortableDelta {
     def longField(n: String) =
       if (addType.fieldNames.contains(n)) col(s"add.$n").cast("bigint").as(n)
       else lit(null).cast("bigint").as(n)
+    val cpCol =
+      if (addType.fieldNames.contains("clusteringProvider"))
+        col("add.clusteringProvider").as("clusteringProvider")
+      else lit(null).cast("string").as("clusteringProvider")
     df.where(col("add").isNotNull)
       .select(Seq(col("add.path").as("path"),
         col("add.size").cast("bigint").as("size"),
         col("add.modificationTime").cast("bigint").as("modificationTime")) ++ dvCols
         ++ Seq(statsCol, pvCol,
-          longField("baseRowId"), longField("defaultRowCommitVersion")): _*)
+          longField("baseRowId"), longField("defaultRowCommitVersion"),
+          cpCol): _*)
   }
 
 
@@ -3980,7 +4268,8 @@ object PortableDelta {
       if (r.isNullAt(9)) Map.empty
       else r.getMap[String, String](9).toMap,
       if (r.length <= 10 || r.isNullAt(10)) None else Some(r.getLong(10)),
-      if (r.length <= 11 || r.isNullAt(11)) None else Some(r.getLong(11)))
+      if (r.length <= 11 || r.isNullAt(11)) None else Some(r.getLong(11)),
+      if (r.length <= 12 || r.isNullAt(12)) None else Some(r.getString(12)))
   }
 
   /** Compat seeding for the Snapshot API: small state + a NARROW driver
@@ -4145,7 +4434,8 @@ object PortableDelta {
       a.get("modificationTime").asLong(), dv,
       Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), pv,
       Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong()),
-      Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()))
+      Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull).map(_.asLong()),
+      Option(a.get("clusteringProvider")).filterNot(_.isNull).map(_.asText()))
   }
 
   private def logDir(path: String) = new Path(path, "_delta_log")

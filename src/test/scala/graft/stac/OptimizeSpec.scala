@@ -112,6 +112,78 @@ class OptimizeSpec extends AnyFunSuite {
       .contains("delta.clustering"))
   }
 
+  test("incremental clustering rewrites ONLY new files; pruning holds table-wide") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    // establish the clustered layout over the first half (y in [0,50))
+    val half1 = (0L until 5000L).map(i => (i, i % 100L, i / 100L))
+      .toDF("id", "x", "y").repartition(8)
+    PortableDelta.write(half1, path)
+    PortableDelta.optimizeZOrder(spark, path, Seq("x", "y"), numFiles = 8)
+    val snapC = PortableDelta.snapshot(spark, path)
+    assert(snapC.files.forall(_.clusteringProvider.contains(
+      PortableDelta.ClusteringProviderName)),
+      "zorder output must carry the clustering provider")
+    val clusteredPaths = snapC.files.map(_.path).toSet
+    // append the second half (y in [50,100)) hash-scattered: these adds
+    // are provider-less — OUTSIDE the clustered layout
+    val half2 = (5000L until 10000L).map(i => (i, i % 100L, i / 100L))
+      .toDF("id", "x", "y").repartition(2)
+    PortableDelta.write(half2, path, mode = "append")
+    val snapA = PortableDelta.snapshot(spark, path)
+    assert(snapA.files.count(_.clusteringProvider.isEmpty) == 2)
+
+    // maintenance rewrites EXACTLY the 2 new files; the 8 clustered
+    // originals are untouched (cost tracks new bytes, never the table).
+    // Target sized to a quarter of the new bytes so the fresh cube
+    // spans ~4 files — within-cube pruning must then be observable.
+    val newBytes = snapA.files.filter(_.clusteringProvider.isEmpty)
+      .map(_.size).sum
+    val st = PortableDelta.optimizeClusterIncremental(spark, path,
+      targetFileBytes = math.max(1L, newBytes / 4))
+    assert(st.removedFiles == 2 && st.addedFiles >= 3, s"got $st")
+    val snapM = PortableDelta.snapshot(spark, path)
+    assert(clusteredPaths.subsetOf(snapM.files.map(_.path).toSet),
+      "original clustered files must survive the incremental pass")
+    assert(snapM.files.forall(_.clusteringProvider.isDefined),
+      "everything is in the clustered layout after maintenance")
+
+    // pruning on the published dims holds across BOTH z-cubes: a y
+    // predicate inside the NEW half skips every old-cube file AND some
+    // new-cube files (tight per-file stats in each cube — the full-
+    // rewrite property on the touched dims)
+    val condY = col("y") >= 90L
+    val (keptY, prunedY) = PortableDelta.statsPrune(spark, snapM, condY)
+    assert(prunedY >= 9, s"pruned only $prunedY of ${snapM.files.size}")
+    assert(keptY.nonEmpty && keptY.forall(_.clusteringProvider.isDefined))
+    val condX = col("x") < 10L
+    val (_, prunedX) = PortableDelta.statsPrune(spark, snapM, condX)
+    assert(prunedX > 0, "x pruning must hold inside the new cube too")
+    // the skipped reads stay value-correct
+    for (cond <- Seq(condY, condX, condX && condY)) {
+      val skipped = PortableDelta.readTableWhere(spark, path, cond)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val full = PortableDelta.readTable(spark, path).filter(cond)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      assert(skipped == full, s"maintenance+skipping changed $cond")
+    }
+    // a second pass finds nothing unclustered — no commit
+    val v = PortableDelta.snapshot(spark, path).version
+    val st2 = PortableDelta.optimizeClusterIncremental(spark, path)
+    assert(st2.removedFiles == 0 && st2.addedFiles == 0)
+    assert(PortableDelta.snapshot(spark, path).version == v)
+    // provider provenance survives a DELETE's DV re-add AND checkpoint
+    // replay — the victim key must stay durable across maintenance ops
+    PortableDelta.delete(spark, path, col("id") === 123L)
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val snapZ = PortableDelta.snapshot(spark, path)
+    assert(snapZ.files.forall(_.clusteringProvider.isDefined),
+      "provider must ride DV re-adds and checkpoint replay")
+    val st3 = PortableDelta.optimizeClusterIncremental(spark, path)
+    assert(st3.removedFiles == 0, "nothing to re-cluster after a DELETE")
+  }
+
   test("vacuum reclaims only files no reconstructable version references") {
     val path = tmp()
     val s = spark; import s.implicits._
