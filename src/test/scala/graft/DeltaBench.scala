@@ -107,11 +107,101 @@ object DeltaBench {
         val n = PortableDelta.readChanges(spark, t, 0L, 2L).count()
         require(n > nRows)
       }
+      results("cluster_incremental") = timeVerb("cluster_incremental") { () =>
+        // established clustered layout + one day's appends (10% of rows,
+        // provider-less) — the maintenance pass re-clusters ONLY those
+        val t = fresh("clu")
+        PortableDelta.optimizeZOrder(spark, t, Seq("okey", "price"),
+          numFiles = 32)
+        PortableDelta.write(orders.filter(col("okey") % 10L === 3L)
+          .repartition(4), t, mode = "append")
+        t
+      } { t =>
+        val st = PortableDelta.optimizeClusterIncremental(spark, t)
+        require(st.removedFiles > 0 && st.removedFiles <= 4,
+          s"maintenance must touch only the new files, got $st")
+      }
+
+      // ---- wide-log replay probe: snapshot construction vs log shape —
+      // the metadata cost the query trend rows can't see. One synthetic
+      // 2000-commit log (fake adds with stats — replay never opens data
+      // files), checkpoint cadence every 500; replay is read-only so
+      // the same log serves every rep.
+      val wideN = 2000; val ckEvery = 500
+      val conf = spark.sessionState.newHadoopConf()
+      val wide = syntheticWideLog(spark, wideN, ckEvery)
+      def timeRead(name: String)(body: => Unit): Double = {
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        val steady = times.min
+        println(f"[deltabench] $name%-22s steady $steady%.2f s " +
+          f"(${times.map(t => f"$t%.2f").mkString("/")})")
+        steady
+      }
+      results("widelog_replay_full") = timeRead("widelog_replay_full") {
+        // driver JSON replay of ALL 2000 commits (the no-checkpoint path)
+        require(PortableDelta.snapshot(conf, wide).version == wideN)
+      }
+      results("widelog_snapshot_ckpt") = timeRead("widelog_snapshot_ckpt") {
+        // checkpoint-seeded current state (the maintained-table path)
+        require(PortableDelta.snapshot(spark, wide).version == wideN)
+      }
+      results("widelog_travel") = timeRead("widelog_travel") {
+        // time travel: nearest checkpoint at 1500 + a 250-commit tail
+        require(PortableDelta.snapshotAt(spark, wide, wideN - 250L)
+          .version == wideN - 250L)
+      }
 
       val json = results.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
         .mkString(",")
       println(s"""{"metric":"delta_dml_steady","sf_dir":"$dir",""" +
         s""""rows":$nRows,"verbs":{$json}}""")
     } finally spark.stop()
+  }
+
+  /** A synthetic `nCommits`-commit log: v0 declares the table, every
+    * later commit adds two stats-carrying (nonexistent) files and
+    * removes one — net live set grows one file per commit, the
+    * steady-append-plus-churn shape. `checkpoint()` runs at the
+    * cadence, so the probe covers checkpoint-seeded AND full-JSON
+    * replay. Replay never opens data files, so fake paths are exactly
+    * as expensive as real ones — this isolates the METADATA cost. */
+  private def syntheticWideLog(spark: SparkSession, nCommits: Int,
+                               ckEvery: Int): String = {
+    val root = java.nio.file.Files.createTempDirectory("dbench-wide")
+      .toString + "/tbl"
+    val logDir = new java.io.File(s"$root/_delta_log")
+    logDir.mkdirs()
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+      .replace("\"", "\\\"")
+    def writeCommit(v: Long, lines: Seq[String]): Unit = {
+      val f = new java.io.File(logDir, f"$v%020d.json")
+      val w = new java.io.FileWriter(f)
+      try w.write(lines.mkString("", "\n", "\n")) finally w.close()
+    }
+    writeCommit(0L, Seq(
+      s"""{"commitInfo":{"timestamp":1,"operation":"CREATE"}}""",
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"wide-1","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":"$schemaJson",""" +
+        s""""partitionColumns":[],"configuration":{},"createdTime":1}}"""))
+    (1 to nCommits).foreach { v =>
+      def add(tag: String) =
+        s"""{"add":{"path":"part-$v-$tag.parquet","partitionValues":{},""" +
+          s""""size":1000,"modificationTime":$v,"dataChange":true,""" +
+          s""""stats":"{\\"numRecords\\":100,\\"minValues\\":{\\"id\\":${v * 200}},""" +
+          s"""\\"maxValues\\":{\\"id\\":${v * 200 + 199}},\\"nullCount\\":{\\"id\\":0}}"}}"""
+      val rm =
+        s"""{"remove":{"path":"part-${v - 1}-a.parquet","deletionTimestamp":$v,""" +
+          s""""dataChange":true}}"""
+      writeCommit(v.toLong, Seq(
+        s"""{"commitInfo":{"timestamp":${v + 1},"operation":"WRITE"}}""",
+        add("a"), add("b")) ++ (if (v > 1) Seq(rm) else Nil))
+      if (v % ckEvery == 0) PortableDelta.checkpoint(spark, root)
+    }
+    root
   }
 }
