@@ -749,8 +749,9 @@ object StreamingOps {
     // reads bounded by maxVersionsPerTrigger, a PERSISTENT version
     // watermark that advances only after the batch commits, and
     // AvailableNow drain semantics. The gate maintains a signed
-    // aggregate purely from the source across four commits (append,
-    // append, row-tracked UPDATE, DELETE) with maxVersionsPerTrigger=1
+    // aggregate purely from the source across five commits (append,
+    // append, row-tracked UPDATE, row-ID-preserving MERGE, DELETE)
+    // with maxVersionsPerTrigger=1
     // — ≥3 real triggers — RESTARTS the consumer mid-stream from the
     // checkpoint (a fresh instance resumes at the stored watermark,
     // nothing re-delivered, nothing skipped), and pins that a
@@ -759,11 +760,15 @@ object StreamingOps {
     QuerySpec(
       "st17_delta_cdf_source",
       Some("""
-        WITH fin AS (
-          SELECT event_type,
+        WITH s1 AS (
+          SELECT event_id, event_type,
                  CASE WHEN event_id % 7 = 0 THEN value * 2
                       ELSE value END AS v
-          FROM events WHERE event_id % 5 <> 0
+          FROM events
+        ), fin AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 13 = 0 THEN v * 3 ELSE v END AS v
+          FROM s1 WHERE event_id % 5 <> 0
         )
         SELECT event_type, count(*) AS n_rows,
                CAST(sum(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
@@ -803,7 +808,15 @@ object StreamingOps {
         PortableDelta.enableRowTracking(s, tbl)                        // v2
         PortableDelta.update(s, tbl, col("event_id") % 7 === 0,
           Map("value" -> (col("value") * 2)))                          // v3
-        PortableDelta.delete(s, tbl, col("event_id") % 5 === 0)        // v4
+        // a MERGE commit feeds the same pairs path: matched rows keep
+        // their target row IDs (the round-10 carry-over), so the source
+        // sees update pairs for a MERGE too — never delete+insert
+        PortableDelta.merge(s, tbl,
+          PortableDelta.readTable(s, tbl)
+            .filter(col("event_id") % 13 === 0)
+            .withColumn("value", col("value") * 3),
+          keys = Seq("event_id"), insertNotMatched = false)            // v4
+        PortableDelta.delete(s, tbl, col("event_id") % 5 === 0)        // v5
         // consumer 1 processes exactly two 1-version triggers, then
         // "crashes" (is dropped) with its watermark at v1
         val src1 = new DeltaCdfSource(s, tbl, ck, maxVersionsPerTrigger = 1)
@@ -818,7 +831,7 @@ object StreamingOps {
         // (v2's backfill is dataChange=false: a real trigger, zero rows)
         val src2 = new DeltaCdfSource(s, tbl, ck, maxVersionsPerTrigger = 1)
         triggers += src2.runAvailableNow(apply)
-        require(triggers == 5 && src2.watermark == 4L,
+        require(triggers == 6 && src2.watermark == 5L,
           s"restart must resume at the stored watermark: $triggers triggers, " +
             s"watermark ${src2.watermark}")
         // caught up: a third instance sees nothing (no re-delivery)
