@@ -2626,6 +2626,84 @@ object StacOps {
           .select(col("doc_id"), col("ident"))
           .orderBy(col("doc_id"))
       },
+      timed = false),
+
+    // ----- Full-clause MERGE: conditions, partial SET, insert filter -----
+    // The SQL MERGE shape real engines ship (mergeInto): WHEN MATCHED
+    // AND s.bump > 50 THEN UPDATE SET price = t.price + s.bump (all
+    // other columns carried from the TARGET), WHEN NOT MATCHED AND
+    // s.price > 1000 THEN INSERT. Rows failing a clause's condition
+    // are untouched; work tracks matched + inserted rows (the match
+    // scan is stats-pruned by the source's key bounds). The oracle
+    // replays both clauses relationally (left join + CASE for the
+    // conditional update, NOT EXISTS + filter for the conditional
+    // insert) and value-checks the final table's per-status accounting.
+    QuerySpec(
+      "stac43_delta_merge_clauses",
+      Some("""
+        WITH tgt AS (
+          SELECT o_orderkey AS okey, o_orderstatus AS status,
+                 o_totalprice AS price
+          FROM orders
+        ),
+        src AS (
+          SELECT o_orderkey AS okey, o_orderstatus AS status,
+                 o_totalprice AS price, o_orderkey % 100 AS bump
+          FROM orders WHERE o_orderkey % 4 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, o_orderstatus, o_totalprice,
+                 o_orderkey % 100
+          FROM orders WHERE o_orderkey % 6 = 0
+        ),
+        updated AS (
+          SELECT t.okey, t.status,
+                 CASE WHEN s.okey IS NOT NULL AND s.bump > 50
+                      THEN t.price + s.bump ELSE t.price END AS price
+          FROM tgt t LEFT JOIN src s ON t.okey = s.okey
+        ),
+        ins AS (
+          SELECT s.okey, s.status, s.price FROM src s
+          WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.okey = s.okey)
+            AND s.price > 1000
+        ),
+        fin AS (SELECT * FROM updated UNION ALL SELECT * FROM ins)
+        SELECT status, count(*) AS n_rows,
+               CAST(sum(okey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS price_cents,
+               true AS merge_ok
+        FROM fin GROUP BY status ORDER BY status"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        import graft.stac.PortableDelta.MergeClauses
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey").as("okey"),
+            col("o_orderstatus").as("status"),
+            col("o_totalprice").as("price"))
+        val out = java.nio.file.Files.createTempDirectory("stac43").toString + "/tbl"
+        PortableDelta.write(orders.repartition(6), out)              // v0
+        val src = orders.filter(col("okey") % 4 === 0)
+          .withColumn("bump", col("okey") % 100)
+          .unionByName(orders.filter(col("okey") % 6 === 0)
+            .withColumn("okey", col("okey") + 1000000000L)
+            .withColumn("bump", (col("okey") - 1000000000L) % 100))
+        val st = PortableDelta.mergeInto(s, out, src, Seq("okey"),
+          MergeClauses(
+            matchedCondition = Some(col("s.bump") > 50L),
+            updateSet = Some(Map("price" -> (col("t.price") + col("s.bump")))),
+            notMatchedCondition = Some(col("s.price") > 1000d)))     // v1
+        require(st.updatedRows > 0 && st.insertedRows > 0,
+          s"gate needs both clauses to bite, got $st")
+        // condition-excluded rows committed NOTHING beyond the touched
+        // files: matched-but-low-bump rows keep their exact price
+        PortableDelta.readTable(s, out)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("okey")).as("key_sum"),
+            sum(floor(col("price") * 100 + 0.5).cast("long")).as("price_cents"))
+          .withColumn("merge_ok", lit(true))
+          .orderBy(col("status"))
+      },
       timed = false)
   )
 }

@@ -1957,6 +1957,321 @@ object PortableDelta {
     } finally { src.unpersist(); () }
   }
 
+  /** The clause set of a full SQL MERGE ([[mergeInto]]):
+    *   WHEN MATCHED [AND matchedCondition] THEN UPDATE SET …|DELETE,
+    *   WHEN NOT MATCHED [AND notMatchedCondition] THEN INSERT.
+    * Expressions reference TARGET columns as `t.<col>` and SOURCE
+    * columns as `s.<col>` (`matchedCondition`/`updateSet` see both
+    * sides; `notMatchedCondition` sees the source). `updateSet = None`
+    * with action "update" takes the source row wholesale (the
+    * [[merge]] shape). `matchedAction = "none"` is the INSERT-only
+    * merge. */
+  final case class MergeClauses(
+      matchedCondition: Option[org.apache.spark.sql.Column] = None,
+      matchedAction: String = "update",
+      updateSet: Option[Map[String, org.apache.spark.sql.Column]] = None,
+      notMatchedCondition: Option[org.apache.spark.sql.Column] = None,
+      insertNotMatched: Boolean = true)
+
+  /** Full-clause MERGE — the SQL `MERGE INTO target USING source ON
+    * keys WHEN MATCHED [AND cond] THEN UPDATE SET col = expr | DELETE
+    * WHEN NOT MATCHED [AND cond] THEN INSERT` shape real engines ship,
+    * on the same DV-era mechanics as [[merge]]: each matched LIVE
+    * target row dies by position and (for UPDATE) its new version —
+    * the SET expressions applied over BOTH sides, every other column
+    * carried from the target — lands in fresh appended files; rows a
+    * clause's condition excludes are untouched.
+    *
+    * Differences from [[merge]], all spec-true:
+    *   - PER-ROW semantics: several target rows matching one source
+    *     key each update independently (merge collapses them);
+    *   - partial SET: unnamed columns carry the TARGET value, so a
+    *     source need only supply the keys + referenced columns;
+    *   - conditions gate each clause row-by-row.
+    *
+    * Row tracking: each updated row keeps ITS OWN row ID (materialized
+    * per matched target row). Generated columns recompute over the
+    * SET-applied values; SETting one (or an identity column) is
+    * refused by name. Inserts compute missing generated columns and
+    * GENERATE missing identity values from the table's high-water mark
+    * (explicit values gate on allowExplicit; the mark re-states with
+    * the commit and regenerates on a lost race, same contract as
+    * [[write]]). Source keys must be unique; null source keys never
+    * match. Scale: the match scan is stats-pruned by the source's key
+    * bounds; work tracks matched + inserted rows, never the table. */
+  def mergeInto(spark: SparkSession, path: String, source0: DataFrame,
+                keys: Seq[String], clauses: MergeClauses = MergeClauses(),
+                footerKv: Map[String, String] = Map.empty,
+                maxRetries: Int = 10,
+                txn: Option[(String, Long)] = None): MergeStats = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(Set("update", "delete", "none").contains(clauses.matchedAction),
+      s"matchedAction must be update|delete|none, got ${clauses.matchedAction}")
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    val conf = spark.sessionState.newHadoopConf()
+    val snap0 = smallSnapshot(spark, path)
+    requireNotAppendOnly(snap0.configuration, "MERGE")
+    val tableSchema = snap0.schema
+    keys.foreach(k => require(tableSchema.fieldNames.contains(k),
+      s"merge key $k not in table schema"))
+    val genNames = generatedFields(tableSchema).map(_._1.name).toSet
+    val idents0 = identityFields(tableSchema)
+    val identNames = idents0.map(_.field.name).toSet
+    clauses.updateSet.foreach(_.keys.foreach { c =>
+      require(tableSchema.fieldNames.contains(c),
+        s"updateSet column $c not in table schema")
+      require(!genNames.contains(c),
+        s"cannot SET generated column $c — it derives from its expression")
+      require(!identNames.contains(c), s"cannot SET identity column $c")
+    })
+    val src = source0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val srcRows = src.count()
+      if (srcRows == 0) return MergeStats(snap0.version, 0L, 0L, 0L)
+      require(src.select(keys.map(col): _*).distinct().count() == srcRows,
+        "merge source keys must be unique — a multi-matching source is ambiguous")
+      // dynamic file pruning from the source's key bounds (see merge)
+      val keyBounds: Option[org.apache.spark.sql.Column] = {
+        import org.apache.spark.sql.functions.{max, min}
+        val aggs = keys.flatMap(k =>
+          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+        val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val per = keys.zipWithIndex.flatMap { case (k, i) =>
+          (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+            case (Some(lo), Some(hi)) =>
+              Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+            case _ => None
+          }
+        }
+        if (per.size == keys.size) Some(per.reduce(_ && _)) else None
+      }
+      var attempt = 0
+      var prior = dmlSnapshot(spark, path, keyBounds)
+      while (true) {
+        txn.foreach { case (appId, v) =>
+          if (prior.txns.get(appId).exists(_ >= v))
+            return MergeStats(prior.version, 0L, 0L, 0L)
+        }
+        val mcolM = materializedRidCol(prior.configuration)
+        // the LIVE target scan, full columns + positions (+ row ids)
+        val tgt =
+          if (prior.files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(tableSchema.fields.toSeq ++ Seq(
+                StructField(PosFileCol, StringType),
+                StructField(PosIdxCol, LongType)) ++
+                mcolM.map(StructField(_, LongType)).toSeq))
+          else scanWithPos(spark, path, prior, applyDvs = true,
+            extraCols = mcolM.toSeq)
+        val tA = tgt.as("t")
+        val sA = src.as("s")
+        val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+          .reduce(_ && _)
+        val matched = tA.join(sA, joinCond, "inner")
+          .filter(clauses.matchedCondition.getOrElse(lit(true)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val parts =
+            if (clauses.matchedAction == "none") None
+            else dvDeathParts(spark, path, prior,
+              matched.select(col(PosFileCol), col(PosIdxCol)))
+          val matchedRows = parts.map(_.newlyDeleted).getOrElse(0L)
+          val updatedRows = if (clauses.matchedAction == "update") matchedRows else 0L
+          val deletedRows = if (clauses.matchedAction == "delete") matchedRows else 0L
+          // new versions of updated rows: SET expressions over both
+          // sides, unnamed columns carried from the TARGET, per-row ID
+          val newVersions0: Option[DataFrame] =
+            if (clauses.matchedAction != "update" || matchedRows == 0) None
+            else Some {
+              val setCols = tableSchema.fields.toSeq.map { f =>
+                clauses.updateSet match {
+                  case Some(setMap) => setMap.get(f.name)
+                    .map(_.cast(f.dataType).as(f.name, f.metadata))
+                    .getOrElse(col(s"t.${f.name}").as(f.name, f.metadata))
+                  case None => // whole source row (the merge() shape)
+                    col(s"s.${f.name}").cast(f.dataType).as(f.name, f.metadata)
+                }
+              }
+              val rid = mcolM.map { m =>
+                import org.apache.spark.sql.functions.{coalesce, element_at, typedLit}
+                val baseByKey = prior.files.collect {
+                  case f if f.baseRowId.isDefined =>
+                    logKey(f.path, prior.partitionColumns.size + 1) -> f.baseRowId.get
+                }.toMap
+                val d = if (baseByKey.isEmpty)
+                  lit(null).cast("bigint")
+                else element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol)
+                coalesce(col(s"t.$m"), d).as(m)
+              }
+              val base = matched.select(setCols ++ rid.toSeq: _*)
+              // generated columns recompute over the SET-applied values
+              if (genNames.isEmpty) base
+              else applyGeneratedColumns(base.drop(genNames.toSeq: _*),
+                tableSchema, s"MERGE into $path")
+            }
+          // inserts: unmatched (vs LIVE keys) source rows passing the
+          // NOT MATCHED condition, projected to the table schema
+          var identUp = Map.empty[String, Long]
+          var identPersisted: Option[DataFrame] = None
+          val idents = identityFields(prior.schema)
+          val insertsDf: Option[DataFrame] =
+            if (!clauses.insertNotMatched) None
+            else {
+              val liveKeys = tgt.select(keys.map(col): _*).distinct()
+              val raw = sA.filter(clauses.notMatchedCondition.getOrElse(lit(true)))
+                .join(liveKeys, keys, "left_anti")
+              val present = tableSchema.fields.toSeq.filter(f =>
+                src.columns.contains(f.name))
+              tableSchema.fields.foreach { f =>
+                require(src.columns.contains(f.name) ||
+                  genNames.contains(f.name) || identNames.contains(f.name),
+                  s"merge source lacks column ${f.name} needed for INSERT " +
+                    "(only generated/identity columns may be omitted)")
+              }
+              var out = raw.select(present.map(f =>
+                col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
+              out = applyGeneratedColumns(out, tableSchema, s"MERGE into $path")
+              idents.foreach { i =>
+                if (!out.columns.contains(i.field.name)) {
+                  if (identPersisted.isEmpty) {
+                    out = out.persist(
+                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                    identPersisted = Some(out)
+                  }
+                  val base = nextIdentityBase(i.start, i.step, i.hwm)
+                  val (d2, n) = assignIdentityValues(out, i.field, base, i.step)
+                  out = d2
+                  if (n > 0) identUp += i.field.name -> (base + (n - 1) * i.step)
+                } else {
+                  require(i.allowExplicit,
+                    s"identity column ${i.field.name} is GENERATED ALWAYS — " +
+                      "merge sources may not supply it")
+                  import org.apache.spark.sql.functions.{max, min}
+                  val r = out.agg((if (i.step > 0) max(col(i.field.name))
+                                   else min(col(i.field.name)))
+                    .cast(LongType)).collect()(0)
+                  if (!r.isNullAt(0)) {
+                    val v = r.getLong(0)
+                    if (i.hwm.forall(h => if (i.step > 0) v > h else v < h))
+                      identUp += i.field.name -> v
+                  }
+                }
+              }
+              Some(out)
+            }
+          val insertedRows = insertsDf.map(_.count()).getOrElse(0L)
+          val appendDf: Option[DataFrame] = (newVersions0, insertsDf) match {
+            case (Some(u), Some(i)) if insertedRows > 0 =>
+              Some(u.unionByName(i, allowMissingColumns = true))
+            case (Some(u), _) => Some(u)
+            case (None, Some(i)) if insertedRows > 0 => Some(i)
+            case _ => None
+          }
+          if (parts.isEmpty && appendDf.isEmpty) {
+            identPersisted.foreach { p => p.unpersist(); () }
+            return MergeStats(prior.version, 0L, 0L, 0L)
+          }
+          try appendDf.foreach(d => enforceConstraints(d, prior.schema,
+            prior.configuration, s"MERGE into $path"))
+          catch { case t: Throwable =>
+            parts.foreach(_.dropPack())
+            identPersisted.foreach { p => p.unpersist(); () }
+            throw t
+          }
+          val physM =
+            if (mappedCfg(prior.configuration)) Some(prior.schema) else None
+          val (added, cleanupMoved) = appendDf match {
+            case Some(df) =>
+              try stageAndMove(df, path, footerKv, conf,
+                prior.partitionColumns, physM,
+                physPassThrough = mcolM.filter(df.columns.contains).toSet)
+              finally identPersisted.foreach { p => p.unpersist(); () }
+            case None => (Seq.empty[StagedFile], () => ())
+          }
+          val statsByName = DeltaStats.collectFileStats(
+            spark, path, added.map(_.relPath),
+            physM.map(physSchemaOf).getOrElse(prior.schema))
+          val now = System.currentTimeMillis()
+          val actions = Seq.newBuilder[JsonNode]
+          actions += commitInfo(now, "MERGE")
+          txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
+          featureUpgradeAction(prior,
+            if (parts.nonEmpty) Seq("deletionVectors") else Nil,
+            (if (parts.nonEmpty) Seq("deletionVectors") else Nil) ++
+              (if (idents.nonEmpty) Seq("identityColumns") else Nil) ++
+              cfgWriterFeatures(prior.configuration))
+            .foreach(actions += _)
+          if (identUp.nonEmpty)
+            actions += metaDataAction(prior.tableId,
+              stampIdentityHwm(prior.schema, identUp),
+              prior.configuration, now, prior.partitionColumns)
+          parts.foreach(p => actions ++= p.actions(now))
+          val rt = assignRowIds(conf, path, prior.configuration,
+            prior.domainMetadata, added, statsByName)
+          added.foreach { f =>
+            val r = mapper.createObjectNode()
+            val b = r.putObject("add")
+            b.put("path", f.relPath)
+            putPartitionValues(b, f.partitionValues)
+            b.put("size", f.status.getLen)
+            b.put("modificationTime", f.status.getModificationTime)
+            b.put("dataChange", true)
+            statsByName.get(f.relPath).foreach(b.put("stats", _))
+            rt.foreach { case (ids, _) =>
+              b.put("baseRowId", ids(f.relPath))
+              b.put("defaultRowCommitVersion", prior.version + 1)
+            }
+            actions += r
+          }
+          rt.foreach(t => actions += t._2)
+          // CDF: matched pre-images (update pair or delete), new
+          // versions as post-images, inserts
+          val (cdcActs, dropCdc) =
+            if (cdfEnabled(prior.configuration) &&
+                (matchedRows > 0 || insertedRows > 0)) {
+              val tCols = tableSchema.fields.toSeq.map(f =>
+                col(s"t.${f.name}").as(f.name))
+              val pre =
+                if (matchedRows == 0) None
+                else Some(matched.select(tCols: _*)
+                  .withColumn("_change_type", lit(
+                    if (clauses.matchedAction == "update") "update_preimage"
+                    else "delete")))
+              val post = newVersions0.map(
+                _.drop(mcolM.toSeq: _*)
+                  .withColumn("_change_type", lit("update_postimage")))
+              val ins = insertsDf.filter(_ => insertedRows > 0).map(
+                _.withColumn("_change_type", lit("insert")))
+              writeCdcActions(spark, path,
+                (pre.toSeq ++ post.toSeq ++ ins.toSeq)
+                  .reduce(_.unionByName(_, allowMissingColumns = false)),
+                physM)
+            } else (Seq.empty[JsonNode], () => ())
+          actions ++= cdcActs
+          try {
+            commit(conf, path, prior.version + 1, actions.result(),
+              prior.configuration)
+            return MergeStats(prior.version + 1, updatedRows, insertedRows,
+              deletedRows)
+          } catch {
+            case e: ConcurrentCommitException =>
+              parts.foreach(_.dropPack())
+              cleanupMoved()
+              dropCdc()
+              attempt += 1
+              if (attempt > maxRetries)
+                throw new IllegalStateException(
+                  s"mergeInto on $path lost the commit race $attempt times " +
+                    s"(last: ${e.getMessage}); staged files withdrawn", e)
+              prior = dmlSnapshot(spark, path, keyBounds) // rebase
+          }
+        } finally { matched.unpersist(); () }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally { src.unpersist(); () }
+  }
+
   /** Outcome of an [[update]]: committed version + rows rewritten. */
   final case class UpdateStats(version: Long, updatedRows: Long)
 

@@ -1,0 +1,185 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, Metadata, MetadataBuilder,
+  StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full-clause MERGE ([[PortableDelta.mergeInto]]): matched/not-matched
+  * conditions, partial SET expressions over `t.*`/`s.*`, per-row
+  * update semantics, DELETE and INSERT-only actions, generated-column
+  * recompute, identity generation for inserts, row-ID preservation per
+  * matched row, CDF pairs. */
+class MergeIntoSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  import PortableDelta.MergeClauses
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("pminto").toString + "/tbl"
+
+  private def base(ids: Seq[Long]) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, s"a$i", i * 10L)).toDF("id", "tag", "v")
+  }
+
+  private def readAll(path: String): Set[(Long, String, Long)] =
+    PortableDelta.readTable(spark, path)
+      .select(col("id"), col("tag"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("partial SET over both sides + matched condition; others untouched") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(base(0L until 8L).repartition(2), path)
+    // source carries ONLY the key + the referenced column — a partial
+    // source, impossible with whole-row merge()
+    val src = Seq((1L, 100L), (2L, 5L), (3L, 200L), (99L, 300L))
+      .toDF("id", "bump")
+    val st = PortableDelta.mergeInto(spark, path, src, Seq("id"),
+      MergeClauses(
+        matchedCondition = Some(col("s.bump") > 50L),
+        updateSet = Some(Map("v" -> (col("t.v") + col("s.bump")))),
+        insertNotMatched = false))
+    // id 1 (+100) and 3 (+200) update; id 2 fails the condition; id 99
+    // unmatched and inserts are off
+    assert(st.updatedRows == 2L && st.insertedRows == 0L, s"got $st")
+    assert(readAll(path) == (0L until 8L).map { i =>
+      val v = i * 10L + (if (i == 1L) 100L else if (i == 3L) 200L else 0L)
+      (i, s"a$i", v)
+    }.toSet)
+  }
+
+  test("per-row update: every matched target row updates independently") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    // two target rows share key 5
+    PortableDelta.write(
+      Seq((5L, "x", 1L), (5L, "y", 2L), (6L, "z", 3L))
+        .toDF("id", "tag", "v").coalesce(1), path)
+    val src = Seq((5L, 1000L)).toDF("id", "bump")
+    val st = PortableDelta.mergeInto(spark, path, src, Seq("id"),
+      MergeClauses(
+        updateSet = Some(Map("v" -> (col("t.v") + col("s.bump")))),
+        insertNotMatched = false))
+    assert(st.updatedRows == 2L, s"got $st")
+    assert(readAll(path) ==
+      Set((5L, "x", 1001L), (5L, "y", 1002L), (6L, "z", 3L)))
+  }
+
+  test("conditional DELETE and INSERT-only merges") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(base(0L until 6L).coalesce(1), path)
+    // delete matched rows where the SOURCE says so
+    val src = Seq((1L, true), (2L, false), (3L, true)).toDF("id", "kill")
+    val st = PortableDelta.mergeInto(spark, path, src, Seq("id"),
+      MergeClauses(matchedAction = "delete",
+        matchedCondition = Some(col("s.kill")),
+        insertNotMatched = false))
+    assert(st.deletedRows == 2L && st.updatedRows == 0L, s"got $st")
+    assert(readAll(path).map(_._1) == Set(0L, 2L, 4L, 5L))
+    // INSERT-only (matchedAction=none): matched rows untouched even
+    // though present in the source; condition gates the inserts
+    val src2 = Seq((2L, "n2", 7L), (20L, "n20", 8L), (21L, "n21", 9L))
+      .toDF("id", "tag", "v")
+    val st2 = PortableDelta.mergeInto(spark, path, src2, Seq("id"),
+      MergeClauses(matchedAction = "none",
+        notMatchedCondition = Some(col("s.v") > 8L)))
+    assert(st2.insertedRows == 1L && st2.updatedRows == 0L &&
+      st2.deletedRows == 0L, s"got $st2")
+    assert(readAll(path).map(_._1) == Set(0L, 2L, 4L, 5L, 21L))
+    assert(readAll(path).contains((2L, "a2", 20L)), "matched row untouched")
+  }
+
+  test("row tracking: per-row ID carry-over pairs a shared-key update") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(
+      Seq((5L, "x", 1L), (5L, "y", 2L), (6L, "z", 3L))
+        .toDF("id", "tag", "v").coalesce(1), path)        // v0
+    PortableDelta.enableRowTracking(spark, path)          // v1
+    PortableDelta.mergeInto(spark, path,
+      Seq((5L, 100L)).toDF("id", "bump"), Seq("id"),
+      MergeClauses(
+        updateSet = Some(Map("v" -> (col("t.v") + col("s.bump")))),
+        insertNotMatched = false))                        // v2
+    // BOTH rows of key 5 pair — per-row IDs, not per-key min
+    val ch = PortableDelta.readChanges(spark, path, 2L, 2L)
+      .select(col("id"), col("tag"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(ch == Set(
+      (5L, "x", 1L, "update_preimage"), (5L, "x", 101L, "update_postimage"),
+      (5L, "y", 2L, "update_preimage"), (5L, "y", 102L, "update_postimage")),
+      s"got $ch")
+  }
+
+  test("generated columns recompute on SET; identity generates for inserts") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    val genMeta: Metadata = new MetadataBuilder()
+      .putString("delta.generationExpression", "v * 2").build()
+    val identMeta: Metadata = new MetadataBuilder()
+      .putLong("delta.identity.start", 500L)
+      .putLong("delta.identity.step", 5L).build()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("ident", LongType, nullable = true, identMeta),
+      StructField("v", LongType),
+      StructField("dbl", LongType, nullable = true, genMeta)))
+    PortableDelta.write(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), path)
+    PortableDelta.write(
+      Seq((0L, 10L), (1L, 20L)).toDF("id", "v").coalesce(1),
+      path, mode = "append")
+    // SET v: the generated dbl RECOMPUTES; SETting dbl/ident refused
+    val st = PortableDelta.mergeInto(spark, path,
+      Seq((0L, 7L), (9L, 99L)).toDF("id", "v"), Seq("id"),
+      MergeClauses(updateSet = Some(Map("v" -> col("s.v")))))
+    assert(st.updatedRows == 1L && st.insertedRows == 1L, s"got $st")
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id"), col("ident"), col("v"), col("dbl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // idents: batch 1 got 500, 505; the merge-inserted row continues
+    assert(got.map(t => (t._1, t._3, t._4)) ==
+      Set((0L, 7L, 14L), (1L, 20L, 40L), (9L, 99L, 198L)), s"got $got")
+    assert(got.collect { case (9L, i, _, _) => i } == Set(510L),
+      s"insert must continue the identity lattice: $got")
+    // updated row keeps its identity value (carried from the target)
+    assert(got.collect { case (0L, i, _, _) => i } == Set(500L))
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.mergeInto(spark, path,
+        Seq((1L, 2L)).toDF("id", "v"), Seq("id"),
+        MergeClauses(updateSet = Some(Map("dbl" -> lit(1L)))))
+    }
+    assert(e.getMessage.contains("generated column dbl"), e.getMessage)
+  }
+
+  test("CDF: clause merge writes exact update pairs + inserts; txn idempotent") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(base(0L until 4L).coalesce(1), path,
+      properties = Map(PortableDelta.CdfProp -> "true"))
+    val src = Seq((1L, "u1", 111L), (9L, "n9", 999L)).toDF("id", "tag", "v")
+    val st = PortableDelta.mergeInto(spark, path, src, Seq("id"),
+      MergeClauses(updateSet = Some(Map(
+        "tag" -> col("s.tag"), "v" -> col("s.v")))),
+      txn = Some(("mi", 1L)))
+    assert(st.updatedRows == 1L && st.insertedRows == 1L)
+    val ch = PortableDelta.readChanges(spark, path, 1L, 1L)
+      .select(col("id"), col("tag"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(ch == Set(
+      (1L, "a1", 10L, "update_preimage"), (1L, "u1", 111L, "update_postimage"),
+      (9L, "n9", 999L, "insert")), s"got $ch")
+    // re-delivered txn: no-op before anything stages
+    val st2 = PortableDelta.mergeInto(spark, path, src, Seq("id"),
+      MergeClauses(updateSet = Some(Map("tag" -> col("s.tag")))),
+      txn = Some(("mi", 1L)))
+    assert(st2.version == st.version && st2.updatedRows == 0L)
+    assert(PortableDelta.snapshot(spark, path).version == st.version)
+  }
+}
