@@ -47,7 +47,33 @@ object PortableDelta {
     * protocol (Delta's table-features gate: a reader may open a
     * version-3 table iff it supports EVERY listed reader feature). */
   val SupportedReaderFeatures: Set[String] =
-    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
+      "vacuumProtocolCheck")
+
+  /** Writer features this engine implements — the spec's WRITER gate:
+    * a writer may commit to a version-7 table only if it implements
+    * EVERY listed writer feature (an unknown feature may impose commit
+    * obligations this engine cannot honor — e.g. files it must write,
+    * invariants it must maintain). Every mutating verb checks this and
+    * refuses BY NAME; reads are governed by the reader gate alone. */
+  val SupportedWriterFeatures: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns",
+    "deletionVectors", "v2Checkpoint", "timestampNtz", "inCommitTimestamp",
+    "rowTracking", "domainMetadata", "clustering", "vacuumProtocolCheck")
+
+  /** The writer gate ([[SupportedWriterFeatures]]). Legacy versions
+    * (writer ≤ 6) imply only features this engine implements, so they
+    * always pass. */
+  private def requireWritable(snap: Snapshot, path: String): Unit =
+    if (snap.minWriterVersion >= 7) {
+      val unknown = snap.writerFeatures
+        .filterNot(SupportedWriterFeatures.contains)
+      require(unknown.isEmpty,
+        s"table at $path requires writer feature(s) " +
+          s"[${unknown.mkString(", ")}] this engine does not implement — " +
+          "refusing to commit (reads remain available)")
+    }
 
   /** Commit-conflict signal: the target version file appeared between
     * snapshot and rename — the loser of the put-if-absent race. write()
@@ -136,6 +162,7 @@ object PortableDelta {
         Some(snapshot(df0.sparkSession, path)) // checkpoint-truncated log
       else currentSnapshot(conf, path)
     val prior0 = readPrior()
+    prior0.foreach(p => requireWritable(p, path))
     require(mode != "error" || prior0.isEmpty,
       s"Delta table already exists at $path (version ${prior0.map(_.version).orNull}); " +
         "use mode=append or mode=overwrite")
@@ -405,6 +432,7 @@ object PortableDelta {
                 "staged files withdrawn", e)
           }
           prior = readPrior() // rebase and retry
+          prior.foreach(p => requireWritable(p, path))
           // identity columns: a competing commit may have advanced a
           // high-water mark past the base our STAGED values were
           // generated from — committing them would mint duplicates.
@@ -917,6 +945,7 @@ object PortableDelta {
         if (snap.txns.get(appId).exists(_ >= v))
           return DeleteStats(snap.version, 0L, 0, 0)
       }
+      requireWritable(snap, path)
       requireNotAppendOnly(snap.configuration, "DELETE")
       if (snap.files.isEmpty) return DeleteStats(snap.version, 0L, 0, 0)
       val dead = scanWithPos(spark, path, snap, applyDvs = false)
@@ -1728,6 +1757,7 @@ object PortableDelta {
     val conf = spark.sessionState.newHadoopConf()
     // schema/config gates need NO file state — small snapshot only
     val snap0 = smallSnapshot(spark, path)
+    requireWritable(snap0, path)
     requireNotAppendOnly(snap0.configuration, "MERGE")
     keys.foreach(k => require(snap0.schema.fieldNames.contains(k),
       s"merge key $k not in table schema"))
@@ -2010,6 +2040,7 @@ object PortableDelta {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     val conf = spark.sessionState.newHadoopConf()
     val snap0 = smallSnapshot(spark, path)
+    requireWritable(snap0, path)
     requireNotAppendOnly(snap0.configuration, "MERGE")
     val tableSchema = snap0.schema
     keys.foreach(k => require(tableSchema.fieldNames.contains(k),
@@ -2318,6 +2349,7 @@ object PortableDelta {
         if (snap.txns.get(appId).exists(_ >= v))
           return UpdateStats(snap.version, 0L)
       }
+      requireWritable(snap, path)
       requireNotAppendOnly(snap.configuration, "UPDATE")
       set.keys.foreach(k => require(snap.schema.fieldNames.contains(k),
         s"update SET column $k not in table schema"))
@@ -2483,6 +2515,7 @@ object PortableDelta {
     var attempt = 0
     while (true) {
       val cur = snapshot(spark, path)
+      requireWritable(cur, path)
       requireNotAppendOnly(cur.configuration, "RESTORE") // CURRENT props govern
       if (cur.version == versionAsOf)
         return RestoreStats(cur.version, versionAsOf, 0, 0)
@@ -2660,6 +2693,7 @@ object PortableDelta {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      requireWritable(snap, path)
       val key = ConstraintPrefix + name
       require(!snap.configuration.contains(key),
         s"constraint $name already exists on $path: ${snap.configuration(key)}")
@@ -2717,6 +2751,7 @@ object PortableDelta {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      requireWritable(snap, path)
       val key = ConstraintPrefix + name
       require(snap.configuration.contains(key),
         s"no constraint $name on $path")
@@ -2760,6 +2795,7 @@ object PortableDelta {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      requireWritable(snap, path)
       if (snap.configuration.get(IctProp).contains("true"))
         return snap.version // already enabled — idempotent
       val now = System.currentTimeMillis()
@@ -2863,6 +2899,7 @@ object PortableDelta {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      requireWritable(snap, path)
       val (stamped, cfg) =
         if (mappedCfg(snap.configuration)) (snap.schema, snap.configuration)
         else {
@@ -3061,6 +3098,7 @@ object PortableDelta {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, path)
+      requireWritable(snap, path)
       if (rowTrackingEnabled(snap.configuration)) return snap.version
       val now = System.currentTimeMillis()
       val v = snap.version + 1
@@ -3131,11 +3169,30 @@ object PortableDelta {
       .filter(f => !f.nullable &&
         df.schema.find(_.name == f.name).forall(_.nullable))
       .map(f => s"NOT NULL column ${f.name}" -> col(f.name).isNotNull)
+    // the spec's COLUMN INVARIANTS (legacy writer-2 `invariants`
+    // feature): `delta.invariants` field metadata carries
+    // {"expression":{"expression":"<sql>"}} — enforced with the same
+    // strict must-be-TRUE rule as CHECK constraints, so this engine's
+    // claimed `invariants` writer support is honest for external
+    // tables that actually carry them
+    val invariants = tableSchema.fields.toSeq.flatMap { f =>
+      if (!f.metadata.contains("delta.invariants")) None
+      else {
+        val sql =
+          try {
+            val n = mapper.readTree(f.metadata.getString("delta.invariants"))
+            Option(n.get("expression"))
+              .flatMap(e => Option(e.get("expression"))).map(_.asText())
+          } catch { case _: Exception => None }
+        sql.map(sq =>
+          s"INVARIANT on ${f.name} ($sq)" -> (expr(sq) <=> lit(true)))
+      }
+    }
     val checks = config.toSeq.sortBy(_._1).collect {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         s"CHECK ${k.stripPrefix(ConstraintPrefix)} ($v)" -> (expr(v) <=> lit(true))
     }
-    val all = notNull ++ checks
+    val all = notNull ++ invariants ++ checks
     if (all.isEmpty) return
     val aggs = all.map { case (_, c) => sum(when(c, 0L).otherwise(1L)) }
     val row =
@@ -3173,6 +3230,10 @@ object PortableDelta {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
+    // the vacuumProtocolCheck contract: validate the table's protocol
+    // (both sides) BEFORE reclaiming anything — an unknown feature may
+    // reference files through actions this engine cannot see
+    requireWritable(smallSnapshot(spark, path), path)
     val s2 = spark; import s2.implicits._
     val tablePath = path
     // table-relative add paths (bare names collide across hive dirs);
@@ -3313,6 +3374,7 @@ object PortableDelta {
           col("dv_storageType").isNotNull),
         s => s.files.filter(f => f.size < targetFileBytes || f.dv.isDefined))
     }
+    requireWritable(snap, path)
     val victims = snap.files
     if (victims.size < 2)
       return OptimizeStats(snap.version, 0, 0, 0L)
@@ -3341,6 +3403,7 @@ object PortableDelta {
     import org.apache.spark.sql.functions.{col, max, min}
     require(zCols.nonEmpty && numFiles >= 1)
     val snap = snapshot(spark, path)
+    requireWritable(snap, path)
     zCols.foreach(c => require(snap.schema.fieldNames.contains(c),
       s"z-order column $c not in table schema"))
     if (snap.files.isEmpty) return OptimizeStats(snap.version, 0, 0, 0L)
@@ -3413,6 +3476,7 @@ object PortableDelta {
     val snap = narrowedSnapshot(spark, path,
       (_, df) => df.filter(col("clusteringProvider").isNull),
       s => s.files.filter(_.clusteringProvider.isEmpty))
+    requireWritable(snap, path)
     val domainJson = snap.domainMetadata.getOrElse("delta.clustering",
       throw new IllegalArgumentException(
         s"$path publishes no delta.clustering domain — run optimizeZOrder " +
