@@ -68,7 +68,7 @@ class DeltaModelSpec extends AnyFunSuite {
 
     var lastV = 0L
     for (step <- 1 to nOps) {
-      val op = rnd.nextInt(14)
+      val op = rnd.nextInt(15)
       val modelBefore = model
       op match {
         case 0 | 1 => // append fresh rows
@@ -106,13 +106,24 @@ class DeltaModelSpec extends AnyFunSuite {
             PortableDelta.merge(spark, path, toDf(src), Seq("id"))
             model = model ++ src.map(t => t._1 -> ((t._2, t._3)))
           } else trace += "merge(skipped)"
-        case 7 => // OPTIMIZE / Z-ORDER: layout only, no logical change
-          if (rnd.nextBoolean()) {
-            trace += "optimizeCompact"
-            PortableDelta.optimizeCompact(spark, path)
-          } else {
-            trace += "optimizeZOrder"
-            PortableDelta.optimizeZOrder(spark, path, Seq("id", "v"), 2)
+        case 7 => // OPTIMIZE / Z-ORDER / incremental clustering: layout
+          // only, no logical change (maintenance must never mutate)
+          rnd.nextInt(3) match {
+            case 0 =>
+              trace += "optimizeCompact"
+              PortableDelta.optimizeCompact(spark, path)
+            case 1 =>
+              trace += "optimizeZOrder"
+              PortableDelta.optimizeZOrder(spark, path, Seq("id", "v"), 2)
+            case _ =>
+              if (PortableDelta.snapshot(spark, path).domainMetadata
+                  .contains("delta.clustering")) {
+                trace += "optimizeClusterIncremental"
+                PortableDelta.optimizeClusterIncremental(spark, path)
+              } else {
+                trace += "optimizeZOrder(first)"
+                PortableDelta.optimizeZOrder(spark, path, Seq("id", "v"), 2)
+              }
           }
         case 8 => // checkpoint — classic or v2 layout — then sometimes
           // truncate + GC superseded checkpoints + vacuum
@@ -177,6 +188,29 @@ class DeltaModelSpec extends AnyFunSuite {
           // expected state change. Idempotent on re-draw.
           trace += "enableRowTracking"
           PortableDelta.enableRowTracking(spark, path)
+        case 14 => // full-clause MERGE: conditional partial SET +
+          // conditional insert (mergeInto — per-row semantics)
+          val existing = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(6)
+          val fresh = freshRows(2, s"fi$step")
+          val srcRows = existing.map(id =>
+            (id, s"ms$step-$id", rnd.nextInt(1000).toLong)) ++ fresh
+          trace += s"mergeInto(${existing.size}m+${fresh.size}f)"
+          PortableDelta.mergeInto(spark, path, toDf(srcRows), Seq("id"),
+            PortableDelta.MergeClauses(
+              matchedCondition = Some(col("s.v") % 2 === 0),
+              updateSet = Some(Map(
+                "tag" -> col("s.tag"),
+                "v" -> (col("t.v") + col("s.v")))),
+              notMatchedCondition = Some(col("s.v") % 3 =!= 0)))
+          srcRows.foreach { case (id, tag, v) =>
+            model.get(id) match {
+              case Some((_, oldV)) =>
+                if (v % 2 == 0) model = model + (id -> ((tag, oldV + v)))
+              case None =>
+                if (v % 3 != 0) model = model + (id -> ((tag, v)))
+            }
+          }
       }
       val v = syncVersion()
       val got = readBack(path)
@@ -191,7 +225,7 @@ class DeltaModelSpec extends AnyFunSuite {
       // Checked against the LIVE config: a RESTORE to a pre-tracking
       // version legally rolls the property back with the metaData, and
       // updates then read as delete+insert again.
-      val rtNow = Set(3, 4, 5, 6).contains(op) && v != lastV &&
+      val rtNow = Set(3, 4, 5, 6, 14).contains(op) && v != lastV &&
         PortableDelta.snapshot(spark, path).configuration
           .get(PortableDelta.RowTrackingProp).contains("true")
       if (rtNow) {
@@ -255,5 +289,9 @@ class DeltaModelSpec extends AnyFunSuite {
 
   test("seeded op-sequence fuzz: row-ID-preserving MERGE/OPTIMIZE + CDF probe (seed 123)") {
     runSeed(123, 20)
+  }
+
+  test("seeded op-sequence fuzz: round-10 verbs (mergeInto clauses, incremental clustering) (seed 2026)") {
+    runSeed(2026, 22)
   }
 }
