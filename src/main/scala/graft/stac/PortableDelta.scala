@@ -4104,6 +4104,113 @@ object PortableDelta {
     version
   }
 
+  /** Minor LOG COMPACTION — the spec's `<start>.<end>.compacted.json`:
+    * ONE file holding the action reconciliation of commits
+    * `[startV, endV]` (last protocol/metaData win; last file action
+    * per path — remove tombstones preserved, they must cancel adds
+    * from commits before the span; latest txn per appId; latest
+    * domainMetadata per domain including removal tombstones; no
+    * commitInfo). Readers MAY substitute the file for the individual
+    * commits — this engine's own replay does ([[snapshot]] /
+    * [[snapshotAt]] choose the longest usable span at each step), so a
+    * maintenance cadence of compactions bounds replay cost between
+    * checkpoints. The commit JSONs themselves remain (per spec —
+    * [[readChanges]] and mid-span time travel still need them) until
+    * [[cleanupLog]] truncates them behind a checkpoint, which also
+    * reclaims fully-superseded compacted files. Returns the file's
+    * path. */
+  def compactLog(conf: Configuration, path: String,
+                 startV: Long, endV: Long): Path = {
+    require(startV >= 0 && startV <= endV,
+      s"bad compaction range [$startV, $endV]")
+    val dir = logDir(path)
+    val fs = dir.getFileSystem(conf)
+    // last action per kind, in replay order — nodes kept VERBATIM so
+    // the compacted file carries exactly what the commits said
+    var protoNode: Option[JsonNode] = None
+    var metaNode: Option[JsonNode] = None
+    val txnNodes = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+    val domainNodes = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+    val fileNodes = scala.collection.mutable.LinkedHashMap.empty[String, JsonNode]
+    (startV to endV).foreach { v =>
+      val p = new Path(dir, versionFileName(v))
+      require(fs.exists(p),
+        s"cannot compact [$startV, $endV] of $path: commit $v's JSON is gone")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("protocol")) protoNode = Some(n)
+        if (n.has("metaData")) metaNode = Some(n)
+        if (n.has("txn"))
+          txnNodes.put(n.get("txn").get("appId").asText(), n)
+        if (n.has("domainMetadata"))
+          domainNodes.put(n.get("domainMetadata").get("domain").asText(), n)
+        if (n.has("add"))
+          fileNodes.put(n.get("add").get("path").asText(), n)
+        if (n.has("remove"))
+          fileNodes.put(n.get("remove").get("path").asText(), n)
+      }
+    }
+    val target = new Path(dir, f"$startV%020d.$endV%020d.compacted.json")
+    val tmp = new Path(dir, s".compact-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try (protoNode.toSeq ++ metaNode.toSeq ++ txnNodes.values ++
+        domainNodes.values ++ fileNodes.values).foreach { n =>
+      out.write(mapper.writeValueAsBytes(n)); out.write('\n')
+    } finally out.close()
+    fs.delete(target, false)
+    require(fs.rename(tmp, target),
+      s"could not move compacted log into place at $target")
+    target
+  }
+
+  /** The compacted spans present in the log: (start, end) → file. */
+  private def compactedSpans(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String): Map[Long, Seq[(Long, Path)]] = {
+    val dir = logDir(path)
+    if (!fs.exists(dir)) return Map.empty
+    val re = "(\\d{20})\\.(\\d{20})\\.compacted\\.json".r
+    fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+      st.getPath.getName match {
+        case re(s, e) => Some((s.toLong, (e.toLong, st.getPath)))
+        case _ => None
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sortBy(-_._1)).toMap
+  }
+
+  /** The replay plan for versions [fromV, toV]: compacted spans
+    * substitute for their commits wherever a full cover exists,
+    * preferring the longest span at each step (backward DP — a greedy
+    * choice could strand coverage when only a SHORTER span composes
+    * with a later one). None when no cover exists — the caller renders
+    * its reconstructability error. */
+  private def replayPlan(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                         jsons: Map[Long, Path],
+                         fromV: Long, toV: Long): Option[Seq[Path]] = {
+    if (fromV > toV) return Some(Nil)
+    val spans = compactedSpans(fs, path)
+    // choice(v) = the step covering v in a full cover of [v, toV]
+    val choice = scala.collection.mutable.Map.empty[Long, (Long, Path)]
+    var v = toV
+    while (v >= fromV) {
+      val opts = spans.getOrElse(v, Nil).filter(_._1 <= toV) ++
+        jsons.get(v).map(p => (v, p)).toSeq
+      opts.find { case (e, _) => e == toV || choice.contains(e + 1) }
+        .foreach(choice(v) = _)
+      v -= 1
+    }
+    if (!choice.contains(fromV)) return None
+    val out = Seq.newBuilder[Path]
+    var w = fromV
+    while (w <= toV) {
+      val (e, p) = choice(w)
+      out += p
+      w = e + 1
+    }
+    Some(out.result())
+  }
+
   /** Truncate the JSON tail behind the checkpoint: delete commit files
     * with version ≤ the `_last_checkpoint` version (they are fully
     * subsumed by the checkpoint parquet — the Delta maintenance pass).
@@ -4163,6 +4270,12 @@ object PortableDelta {
           .filter(rp => fs.makeQualified(rp).toString.startsWith(rootQ))
         old.foreach(p => fs.delete(p, false))
         cdcGone.foreach(rp => fs.delete(rp, false))
+        // compacted spans starting at or behind the checkpoint are
+        // subsumed by its parquet state (a straddling span could never
+        // seed a post-checkpoint replay) — reclaim them too
+        compactedSpans(fs, path).foreach { case (s, ends) =>
+          if (s <= cv) ends.foreach(t => fs.delete(t._2, false))
+        }
         old.size
     }
 
@@ -4715,20 +4828,30 @@ object PortableDelta {
       s"versionAsOf $versionAsOf exceeds the current version $current of $path")
     val st = new ReplayState(path)
     val ckpt = checkpointRefFor(conf, path, versionAsOf)
-    val fromV: Long =
-      if ((0L to versionAsOf).forall(jsons.contains)) 0L
-      else ckpt match {
-        case Some(ref) if ((ref.version + 1) to versionAsOf).forall(jsons.contains) =>
-          seedCheckpoint(spark, path, ref, st)
-          ref.version + 1
-        case _ =>
-          throw new IllegalArgumentException(
-            s"version $versionAsOf of $path is not reconstructable: JSON log covers " +
-              s"[${jsons.keySet.minOption.getOrElse(-1L)}, ${jsons.keySet.maxOption.getOrElse(-1L)}]" +
-              ckpt.map(r => s", checkpoint at ${r.version}").getOrElse(", no checkpoint") +
-              " (cleanupLog truncated past it)")
+    // plan-based replay: compacted spans usable wherever they fit the
+    // target (mid-span versions still need the individual JSONs)
+    val plan: Seq[Path] =
+      replayPlan(fs, path, jsons, 0L, versionAsOf) match {
+        case Some(p) => p
+        case None => ckpt match {
+          case Some(ref) =>
+            replayPlan(fs, path, jsons, ref.version + 1, versionAsOf) match {
+              case Some(tailP) =>
+                seedCheckpoint(spark, path, ref, st)
+                tailP
+              case None => throw new IllegalArgumentException(
+                s"version $versionAsOf of $path is not reconstructable: JSON log covers " +
+                  s"[${jsons.keySet.minOption.getOrElse(-1L)}, ${jsons.keySet.maxOption.getOrElse(-1L)}]" +
+                  s", checkpoint at ${ref.version} (cleanupLog truncated past it)")
+            }
+          case _ =>
+            throw new IllegalArgumentException(
+              s"version $versionAsOf of $path is not reconstructable: JSON log covers " +
+                s"[${jsons.keySet.minOption.getOrElse(-1L)}, ${jsons.keySet.maxOption.getOrElse(-1L)}]" +
+                ", no checkpoint (cleanupLog truncated past it)")
+        }
       }
-    (fromV to versionAsOf).foreach(v => applyJsonCommit(fs, jsons(v), st))
+    plan.foreach(p => applyJsonCommit(fs, p, st))
     st.toSnapshot(versionAsOf)
   }
 
@@ -5015,24 +5138,25 @@ object PortableDelta {
       .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
       .map(st => st.getPath.getName.stripSuffix(".json").toLong -> st.getPath)
       .sortBy(_._1)
+    val jsons = versioned.toMap
+    val spanEnds = compactedSpans(fs, path).values.flatten.map(_._1)
     val truncated = " — this log is checkpoint-truncated; use snapshot(spark, path)"
-    if (versioned.isEmpty) {
-      require(checkpointRefFor(conf, path).isEmpty,
-        s"Delta log at $dir has no JSON commits$truncated")
-      return None
+    val current = (jsons.keySet ++ spanEnds).maxOption match {
+      case Some(c) => c
+      case None =>
+        require(checkpointRefFor(conf, path).isEmpty,
+          s"Delta log at $dir has no JSON commits$truncated")
+        return None
     }
-    require(versioned.map(_._1) == (0L until versioned.size.toLong),
+    // replay through the plan: compacted spans substitute for their
+    // commits wherever usable (longest first), plain JSON elsewhere
+    val plan = replayPlan(fs, path, jsons, 0L, current)
+    require(plan.isDefined,
       s"non-contiguous Delta log at $dir: versions ${versioned.map(_._1).mkString(",")}" +
         (if (checkpointRefFor(conf, path).isDefined) truncated else ""))
-
     val st = new ReplayState(path)
-    versioned.foreach { case (_, p) =>
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.filter(_.nonEmpty).foreach(line => st.applyJson(mapper.readTree(line)))
-    }
+    plan.get.foreach(p => applyJsonCommit(fs, p, st))
     require(st.schemaJson.nonEmpty, s"Delta log at $dir has no metaData action")
-    Some(st.toSnapshot(versioned.last._1))
+    Some(st.toSnapshot(current))
   }
 }

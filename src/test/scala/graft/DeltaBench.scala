@@ -152,6 +152,15 @@ object DeltaBench {
         require(PortableDelta.snapshotAt(spark, wide, wideN - 250L)
           .version == wideN - 250L)
       }
+      // minor log compaction: 4 spans of 500 replace 2000 per-commit
+      // parses in the full-JSON replay path
+      (1 to wideN by ckEvery).foreach { s =>
+        PortableDelta.compactLog(conf, wide, s.toLong,
+          math.min(wideN, s + ckEvery - 1).toLong)
+      }
+      results("widelog_replay_compacted") = timeRead("widelog_replay_compacted") {
+        require(PortableDelta.snapshot(conf, wide).version == wideN)
+      }
 
       val json = results.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
         .mkString(",")
