@@ -60,7 +60,8 @@ object PortableDelta {
     "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "v2Checkpoint", "timestampNtz", "inCommitTimestamp",
-    "rowTracking", "domainMetadata", "clustering", "vacuumProtocolCheck")
+    "rowTracking", "domainMetadata", "clustering", "vacuumProtocolCheck",
+    "allowColumnDefaults")
 
   /** The writer gate ([[SupportedWriterFeatures]]). Legacy versions
     * (writer ≤ 6) imply only features this engine implements, so they
@@ -194,12 +195,23 @@ object PortableDelta {
       case _ => df1.schema
     }
     val idents = identityFields(identTargetSchema)
+    // column DEFAULTS (the `allowColumnDefaults` writer feature —
+    // Spark's CURRENT_DEFAULT field metadata): an append missing the
+    // column gets the default computed; provided values always win
+    val defaults = defaultFields(identTargetSchema)
     val identHwmUsed: Map[String, Option[Long]] =
       idents.map(i => i.field.name -> i.hwm).toMap
     var identUpdates = Map.empty[String, Long]
     var identPersisted: Option[DataFrame] = None
-    val df = if (idents.isEmpty) df1 else {
+    val df = if (idents.isEmpty && defaults.isEmpty) df1 else {
       var out = df1
+      if (mode == "append" && prior0.nonEmpty)
+        defaults.foreach { case (f, d) =>
+          if (!out.columns.contains(f.name))
+            out = out.withColumn(f.name,
+              org.apache.spark.sql.functions.expr(d)
+                .cast(f.dataType).as(f.name, f.metadata))
+        }
       idents.foreach { i =>
         if (!out.columns.contains(i.field.name)) {
           if (identPersisted.isEmpty) {
@@ -322,7 +334,14 @@ object PortableDelta {
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[JsonNode]
       actions += commitInfo(now, if (prior.isEmpty) "CREATE TABLE AS SELECT"
-        else if (mode == "overwrite") "WRITE (overwrite)" else "WRITE (append)")
+        else if (mode == "overwrite") "WRITE (overwrite)" else "WRITE (append)",
+        Map("numFiles" -> added.size.toLong,
+          "numOutputRows" -> outputRowsOf(statsByName),
+          "numOutputBytes" -> added.map(_.status.getLen).sum) ++
+          (if (mode == "overwrite")
+            prior.map(p => Map("numRemovedFiles" -> p.files.size.toLong))
+              .getOrElse(Map.empty)
+           else Map.empty))
       txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
       if (prior.isEmpty) {
         // a table BORN with delta.enableChangeDataFeed / ICT must declare
@@ -339,7 +358,8 @@ object PortableDelta {
         val born = cfgWriterFeatures(properties) ++
           (if (generatedFields(df.schema).nonEmpty) Seq("generatedColumns")
            else Nil) ++
-          (if (idents.nonEmpty) Seq("identityColumns") else Nil)
+          (if (idents.nonEmpty) Seq("identityColumns") else Nil) ++
+          (if (defaults.nonEmpty) Seq("allowColumnDefaults") else Nil)
         if (born.isEmpty && ntz.isEmpty) actions += protocolAction()
         else {
           val base = Snapshot(-1L, MinReaderVersion, MinWriterVersion, "",
@@ -394,9 +414,12 @@ object PortableDelta {
       if (prior.nonEmpty && containsNtz(df.schema))
         featureUpgradeAction(prior.get, Seq("timestampNtz"),
           Seq("timestampNtz")).foreach(actions += _)
-      // same healing for identity columns (writer-side only)
+      // same healing for identity columns and defaults (writer-side)
       if (prior.nonEmpty && idents.nonEmpty)
         featureUpgradeAction(prior.get, Nil, Seq("identityColumns"))
+          .foreach(actions += _)
+      if (prior.nonEmpty && defaults.nonEmpty)
+        featureUpgradeAction(prior.get, Nil, Seq("allowColumnDefaults"))
           .foreach(actions += _)
       val commitCfg = prior.map(p =>
         if (mode == "overwrite" && properties.nonEmpty) properties
@@ -956,7 +979,10 @@ object PortableDelta {
         case Some(parts) =>
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
-          actions += commitInfo(now, "DELETE")
+          actions += commitInfo(now, "DELETE",
+            Map("numDeletedRows" -> parts.newlyDeleted,
+              "numRemovedFiles" -> parts.removedFiles.toLong,
+              "numDeletionVectorsUpdated" -> parts.dvFiles.toLong))
           txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
           featureUpgradeAction(snap, Seq("deletionVectors"),
             Seq("deletionVectors") ++ cfgWriterFeatures(snap.configuration))
@@ -1089,6 +1115,18 @@ object PortableDelta {
           if (f.metadata.contains("delta.identity.highWaterMark"))
             Some(f.metadata.getLong("delta.identity.highWaterMark"))
           else None)
+    }
+
+  /** Column defaults (the spec's `allowColumnDefaults` writer feature;
+    * Spark's own CURRENT_DEFAULT field-metadata key): the SQL
+    * expression a write fills in when the batch omits the column.
+    * Write-side only per spec — adding a default to an EXISTING column
+    * never rewrites old rows (which is why Delta forbids ADD COLUMN
+    * with a default). */
+  private def defaultFields(schema: StructType): Seq[(StructField, String)] =
+    schema.fields.toSeq.collect {
+      case f if f.metadata.contains("CURRENT_DEFAULT") =>
+        (f, f.metadata.getString("CURRENT_DEFAULT"))
     }
 
   /** The next value to generate: the smallest `start + k*step` (k >= 0)
@@ -1892,7 +1930,11 @@ object PortableDelta {
             physM.map(physSchemaOf).getOrElse(prior.schema))
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
-          actions += commitInfo(now, "MERGE")
+          actions += commitInfo(now, "MERGE",
+            Map("numTargetRowsUpdated" -> updatedRows,
+              "numTargetRowsInserted" -> insertedRows,
+              "numTargetRowsDeleted" -> deletedRows,
+              "numTargetFilesAdded" -> added.size.toLong))
           txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
           featureUpgradeAction(prior,
             if (parts.nonEmpty) Seq("deletionVectors") else Nil,
@@ -2154,14 +2196,23 @@ object PortableDelta {
                 .join(liveKeys, keys, "left_anti")
               val present = tableSchema.fields.toSeq.filter(f =>
                 src.columns.contains(f.name))
+              val defFields = defaultFields(tableSchema)
+              val defNames = defFields.map(_._1.name).toSet
               tableSchema.fields.foreach { f =>
                 require(src.columns.contains(f.name) ||
-                  genNames.contains(f.name) || identNames.contains(f.name),
+                  genNames.contains(f.name) || identNames.contains(f.name) ||
+                  defNames.contains(f.name),
                   s"merge source lacks column ${f.name} needed for INSERT " +
-                    "(only generated/identity columns may be omitted)")
+                    "(only generated/identity/default columns may be omitted)")
               }
               var out = raw.select(present.map(f =>
                 col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
+              defFields.foreach { case (f, d) =>
+                if (!out.columns.contains(f.name))
+                  out = out.withColumn(f.name,
+                    org.apache.spark.sql.functions.expr(d)
+                      .cast(f.dataType).as(f.name, f.metadata))
+              }
               out = applyGeneratedColumns(out, tableSchema, s"MERGE into $path")
               idents.foreach { i =>
                 if (!out.columns.contains(i.field.name)) {
@@ -2225,7 +2276,11 @@ object PortableDelta {
             physM.map(physSchemaOf).getOrElse(prior.schema))
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
-          actions += commitInfo(now, "MERGE")
+          actions += commitInfo(now, "MERGE",
+            Map("numTargetRowsUpdated" -> updatedRows,
+              "numTargetRowsInserted" -> insertedRows,
+              "numTargetRowsDeleted" -> deletedRows,
+              "numTargetFilesAdded" -> added.size.toLong))
           txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
           featureUpgradeAction(prior,
             if (parts.nonEmpty) Seq("deletionVectors") else Nil,
@@ -2412,7 +2467,10 @@ object PortableDelta {
           physU.map(physSchemaOf).getOrElse(snap.schema))
         val now = System.currentTimeMillis()
         val actions = Seq.newBuilder[JsonNode]
-        actions += commitInfo(now, "UPDATE")
+        actions += commitInfo(now, "UPDATE",
+          Map("numUpdatedRows" -> updatedRows,
+            "numAddedFiles" -> added.size.toLong,
+            "numDeletionVectorsUpdated" -> parts.get.dvFiles.toLong))
         txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
         featureUpgradeAction(snap, Seq("deletionVectors"),
           Seq("deletionVectors") ++ cfgWriterFeatures(snap.configuration))
@@ -2534,7 +2592,9 @@ object PortableDelta {
         return RestoreStats(cur.version, versionAsOf, 0, 0)
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[JsonNode]
-      actions += commitInfo(now, s"RESTORE (version $versionAsOf)")
+      actions += commitInfo(now, s"RESTORE (version $versionAsOf)",
+        Map("numRestoredFiles" -> toAdd.size.toLong,
+          "numRemovedFiles" -> toRemove.size.toLong))
       if (metaChanged)
         actions += metaDataAction(cur.tableId, target.schema,
           target.configuration, now, target.partitionColumns)
@@ -3359,20 +3419,50 @@ object PortableDelta {
     * new files shed their tombstones (the DV-purge path real OPTIMIZE
     * implements). No-op (no commit) when fewer than 2 rewrite
     * candidates exist. */
+  /** @param where the `OPTIMIZE … WHERE` scope: only files that COULD
+    *   hold matching rows (stats/partition satisfiability — the same
+    *   conservative skipping as reads) are compaction candidates, so a
+    *   daily `WHERE day = yesterday` pass on a 100-TB table touches
+    *   one partition's small files and nothing else */
   def optimizeCompact(spark: SparkSession, path: String,
                       targetFileBytes: Long = 128L << 20,
                       footerKv: Map[String, String] = Map.empty,
-                      maxRetries: Int = 10): OptimizeStats = {
+                      maxRetries: Int = 10,
+                      where: Option[org.apache.spark.sql.Column] = None)
+      : OptimizeStats = {
     require(targetFileBytes > 0)
-    // victim selection narrows on the FLAT ADD FRAME (size / dv columns)
-    // before anything collects: a compaction of a million-file table
-    // brings only the small-or-tombstoned files to the driver
+    // victim selection narrows on the FLAT ADD FRAME (size / dv columns
+    // + the WHERE scope) before anything collects: a compaction of a
+    // million-file table brings only the in-scope small-or-tombstoned
+    // files to the driver
     val snap = {
       import org.apache.spark.sql.functions.col
       narrowedSnapshot(spark, path,
-        (_, df) => df.filter(col("size") < targetFileBytes ||
-          col("dv_storageType").isNotNull),
-        s => s.files.filter(f => f.size < targetFileBytes || f.dv.isDefined))
+        (schema, df) => {
+          val base = df.filter(col("size") < targetFileBytes ||
+            col("dv_storageType").isNotNull)
+          where match {
+            case None => base
+            case Some(c) =>
+              val pred = DeltaStats.resolvePredicate(spark, schema, c)
+              base.filter { (r: org.apache.spark.sql.Row) =>
+                val pv = if (r.isNullAt(9)) Map.empty[String, String]
+                         else r.getMap[String, String](9).toMap
+                DeltaStats.satisfiable(Option(r.getString(8)), pv, schema, pred)
+              }
+          }
+        },
+        s => {
+          val base = s.files.filter(f =>
+            f.size < targetFileBytes || f.dv.isDefined)
+          where match {
+            case None => base
+            case Some(c) =>
+              val pred = DeltaStats.resolvePredicate(spark, s.schema, c)
+              base.filter(f => DeltaStats.satisfiable(f.stats,
+                f.partitionValues, s.schema, pred))
+          }
+        })
     }
     requireWritable(snap, path)
     val victims = snap.files
@@ -3535,7 +3625,10 @@ object PortableDelta {
       }
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[JsonNode]
-      actions += commitInfo(now, op)
+      actions += commitInfo(now, op,
+        Map("numRemovedFiles" -> victims.size.toLong,
+          "numAddedFiles" -> added.size.toLong,
+          "numDeletedRows" -> victims.flatMap(_.dv).map(_.cardinality).sum))
       actions ++= extraActions
       victims.foreach(f => actions += removeActionNode(f, now, dataChange = false))
       // row tracking: rewritten files still get fresh baseRowIds (every
@@ -4944,14 +5037,32 @@ object PortableDelta {
 
   private def versionFileName(v: Long) = f"$v%020d.json"
 
-  private def commitInfo(ts: Long, op: String): JsonNode = {
+  /** `operationMetrics` follows the delta-spark convention (string
+    * values keyed by the per-operation metric names) — what DESCRIBE
+    * HISTORY consumers read. */
+  private def commitInfo(ts: Long, op: String,
+                         metrics: Map[String, Long] = Map.empty): JsonNode = {
     val r = mapper.createObjectNode()
     val b = r.putObject("commitInfo")
     b.put("timestamp", ts)
     b.put("operation", op)
     b.put("engineInfo", "graft-portable-delta")
+    if (metrics.nonEmpty) {
+      val m = b.putObject("operationMetrics")
+      metrics.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        m.put(k, v.toString)
+      }
+    }
     r
   }
+
+  /** Sum of the staged files' logged row counts (stats are harvested
+    * for every staged file, so this is exact and free). */
+  private def outputRowsOf(statsByName: Map[String, String]): Long =
+    statsByName.values.flatMap { j =>
+      try Option(mapper.readTree(j).get("numRecords")).map(_.asLong())
+      catch { case _: Exception => None }
+    }.sum
 
   private def protocolAction(): JsonNode = {
     val r = mapper.createObjectNode()

@@ -112,6 +112,35 @@ class OptimizeSpec extends AnyFunSuite {
       .contains("delta.clustering"))
   }
 
+  test("OPTIMIZE WHERE compacts only the in-scope partition's files") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write(
+      (0L until 400L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+        .toDF("id", "part").repartition(8),
+      path, partitionBy = Seq("part"))
+    val snap0 = PortableDelta.snapshot(spark, path)
+    val aFiles0 = snap0.files.count(_.partitionValues.get("part").contains("A"))
+    val bFiles0 = snap0.files.count(_.partitionValues.get("part").contains("B"))
+    assert(aFiles0 > 1 && bFiles0 > 1)
+    val st = PortableDelta.optimizeCompact(spark, path,
+      where = Some(col("part") === "A"))
+    assert(st.removedFiles == aFiles0, s"got $st for $aFiles0 A-files")
+    val snap1 = PortableDelta.snapshot(spark, path)
+    // B's layout is untouched; A collapsed
+    assert(snap1.files.count(_.partitionValues.get("part").contains("B")) ==
+      bFiles0)
+    assert(snap1.files.count(_.partitionValues.get("part").contains("A")) <
+      aFiles0)
+    assert(PortableDelta.readTable(spark, path).count() == 400L)
+    // out-of-scope WHERE: no candidates, no commit
+    val v = PortableDelta.snapshot(spark, path).version
+    val st2 = PortableDelta.optimizeCompact(spark, path,
+      where = Some(col("part") === "Z"))
+    assert(st2.removedFiles == 0 && st2.addedFiles == 0)
+    assert(PortableDelta.snapshot(spark, path).version == v)
+  }
+
   test("incremental clustering rewrites ONLY new files; pruning holds table-wide") {
     val path = tmp()
     val s = spark; import s.implicits._

@@ -93,6 +93,38 @@ class WriterGateSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, path).count() == 3L)
   }
 
+  test("operationMetrics ride commitInfo for every verb (DESCRIBE HISTORY shape)") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 10L).repartition(2), path)        // v0
+    PortableDelta.delete(spark, path, col("id") === 0L)               // v1
+    PortableDelta.update(spark, path, col("id") === 1L,
+      Map("v" -> lit(0L)))                                            // v2
+    PortableDelta.merge(spark, path, df(Seq(2L, 20L)), Seq("id"))     // v3
+    PortableDelta.optimizeCompact(spark, path)                        // v4
+    def metricsOf(v: Long): Map[String, String] = {
+      val f = new java.io.File(s"$path/_delta_log/${"%020d".format(v)}.json")
+      val ci = scala.io.Source.fromFile(f, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(mapper.readTree)
+        .find(_.has("commitInfo")).get.get("commitInfo")
+      val m = ci.get("operationMetrics")
+      assert(m != null, s"v$v commitInfo lacks operationMetrics")
+      import scala.jdk.CollectionConverters._
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    val w = metricsOf(0L)
+    assert(w("numFiles") == "2" && w("numOutputRows") == "10", s"got $w")
+    val d = metricsOf(1L)
+    assert(d("numDeletedRows") == "1", s"got $d")
+    val u = metricsOf(2L)
+    assert(u("numUpdatedRows") == "1", s"got $u")
+    val mg = metricsOf(3L)
+    assert(mg("numTargetRowsUpdated") == "1" &&
+      mg("numTargetRowsInserted") == "1", s"got $mg")
+    val o = metricsOf(4L)
+    assert(o("numRemovedFiles").toInt >= 2 && o("numAddedFiles").toInt >= 1,
+      s"got $o")
+  }
+
   test("column invariants from delta.invariants metadata are enforced") {
     val s = spark; import s.implicits._
     val path = tmp()
