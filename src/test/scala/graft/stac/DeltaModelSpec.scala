@@ -137,7 +137,23 @@ class DeltaModelSpec extends AnyFunSuite {
             PortableDelta.cleanupCheckpoints(spark, path)
             minRestorable = PortableDelta.snapshot(spark, path).version
             PortableDelta.vacuum(spark, path, graceMillis = 0L)
-          } else trace += s"$kind($v)"
+          } else {
+            // minor log compaction over the newest contiguous JSON run
+            // (≤ 4 commits) — later replay/travel/restore must be
+            // indistinguishable with the span present
+            val jsons = new java.io.File(s"$path/_delta_log").listFiles()
+              .filter(f => f.getName.matches("\\d{20}\\.json"))
+              .map(_.getName.stripSuffix(".json").toLong).sorted
+            val run = jsons.reverse.zipWithIndex
+              .takeWhile { case (x, i) => x == jsons.max - i }
+              .map(_._1).sorted
+            if (run.size >= 2) {
+              val s0 = run.takeRight(math.min(4, run.size)).head
+              trace += s"$kind($v)+compact($s0,${run.last})"
+              PortableDelta.compactLog(
+                spark.sessionState.newHadoopConf(), path, s0, run.last)
+            } else trace += s"$kind($v)"
+          }
         case 9 => // RESTORE to a random reachable earlier version
           val candidates = history.keys.filter(_ >= minRestorable).toSeq.sorted
           val target = candidates(rnd.nextInt(candidates.size))
