@@ -180,16 +180,23 @@ object PgstacReader {
     * a crashed pass never leaves a torn partition file; re-running with
     * the same watermark simply re-exports the same changed set
     * (idempotent overwrite, the reference's at-least-once semantics). */
+  /** @param maxConcurrent partition exports running at once: each is
+    *   an independent bounded Spark job, so a wide changed set drives
+    *   the cluster from several scheduler threads instead of one
+    *   job-at-a-time (Spark's fair/FIFO scheduler interleaves them);
+    *   the returned `exported` order and the watermark are unchanged */
   def syncPartitions(spark: SparkSession, parts: Seq[PgPartition],
                      updatedAfter: Option[String], out: String,
-                     readPartition: PgPartition => DataFrame): SyncStats = {
+                     readPartition: PgPartition => DataFrame,
+                     maxConcurrent: Int = 1): SyncStats = {
     import org.apache.hadoop.fs.Path
+    require(maxConcurrent >= 1, s"maxConcurrent must be >= 1, got $maxConcurrent")
     val conf = spark.sessionState.newHadoopConf()
     val outP = new Path(out)
     val fs = outP.getFileSystem(conf)
     val (changed, skipped) = parts.partition(p =>
       updatedAfter.forall(w => p.lastUpdated >= w))
-    val exported = changed.map { p =>
+    def exportOne(p: PgPartition): String = {
       val rel = s"${p.collection}/${partitionFileName(p.start, p.end)}"
       val dest = new Path(outP, rel)
       fs.mkdirs(dest.getParent)
@@ -208,6 +215,19 @@ object PgstacReader {
       fs.delete(tmp, true)
       rel
     }
+    val exported: Seq[String] =
+      if (maxConcurrent == 1 || changed.size <= 1) changed.map(exportOne)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(maxConcurrent, changed.size))
+        try {
+          val futs = changed.map(p => pool.submit(
+            new java.util.concurrent.Callable[String] {
+              def call(): String = exportOne(p)
+            }))
+          futs.map(_.get()) // input order preserved; first failure throws
+        } finally pool.shutdown()
+      }
     SyncStats(exported, skipped.size,
       changed.map(_.lastUpdated).maxOption)
   }

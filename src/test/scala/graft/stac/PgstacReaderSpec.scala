@@ -89,4 +89,31 @@ class PgstacReaderSpec extends AnyFunSuite {
       .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted
     assert(c1Files.toSeq == Seq("items.parquet", "items_20200101_20200201.parquet"))
   }
+
+  test("syncPartitions: concurrent exports produce the sequential result") {
+    import PgstacReader.PgPartition
+    val spark = SparkSpec.spark
+    val s = spark; import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("psyncc").toString
+    val parts = (0 until 8).map(i =>
+      PgPartition(s"c$i", Some(f"2020-0${i % 4 + 1}-01T00:00:00Z"),
+        Some(f"2020-0${i % 4 + 2}-01T00:00:00Z"), f"2024-01-0${i + 1}T00:00:00Z"))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def rp(p: PgPartition) = {
+      seen.add(p.collection)
+      Seq((p.collection, p.lastUpdated)).toDF("collection", "lu")
+    }
+    val st = PgstacReader.syncPartitions(spark, parts, None, out, rp,
+      maxConcurrent = 4)
+    // order, watermark, and layout are exactly the sequential contract
+    assert(st.exported == parts.map(p =>
+      s"${p.collection}/${PgstacReader.partitionFileName(p.start, p.end)}"))
+    assert(st.newWatermark.contains("2024-01-08T00:00:00Z"))
+    assert(seen.size() == 8)
+    parts.foreach { p =>
+      val d = spark.read.parquet(s"$out/${p.collection}")
+      assert(d.count() == 1L &&
+        d.select("lu").collect().head.getString(0) == p.lastUpdated)
+    }
+  }
 }
