@@ -157,6 +157,7 @@ object PortableDelta {
             mergeSchema: Boolean = false): Long = {
     require(Set("error", "append", "overwrite").contains(mode),
       s"mode must be error|append|overwrite, got $mode")
+    propertyFeatures(properties) // unknown delta.feature.* refuses BEFORE staging
     val conf = df0.sparkSession.sessionState.newHadoopConf()
     def readPrior(): Option[Snapshot] =
       if (checkpointRefFor(conf, path).isDefined)
@@ -364,7 +365,8 @@ object PortableDelta {
         else {
           val base = Snapshot(-1L, MinReaderVersion, MinWriterVersion, "",
             df.schema, Map.empty, Nil)
-          actions += featureUpgradeAction(base, ntz, born ++ ntz).get
+          actions += featureUpgradeAction(base,
+            ntz ++ cfgReaderFeatures(properties), born ++ ntz).get
         }
         actions += metaDataAction(java.util.UUID.randomUUID().toString,
           stampIdentityHwm(df.schema, identUpdates), properties, now,
@@ -376,7 +378,8 @@ object PortableDelta {
         var effProps = if (properties.nonEmpty) properties
                        else prior.get.configuration
         if (properties.nonEmpty) {
-          featureUpgradeAction(prior.get, Nil, cfgWriterFeatures(properties))
+          featureUpgradeAction(prior.get, cfgReaderFeatures(properties),
+            cfgWriterFeatures(properties))
             .foreach { p =>
               actions += p
               if (properties.get(IctProp).contains("true") &&
@@ -984,7 +987,8 @@ object PortableDelta {
               "numRemovedFiles" -> parts.removedFiles.toLong,
               "numDeletionVectorsUpdated" -> parts.dvFiles.toLong))
           txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
-          featureUpgradeAction(snap, Seq("deletionVectors"),
+          featureUpgradeAction(snap,
+            Seq("deletionVectors") ++ cfgReaderFeatures(snap.configuration),
             Seq("deletionVectors") ++ cfgWriterFeatures(snap.configuration))
             .foreach(actions += _)
           actions ++= parts.actions(now)
@@ -1937,7 +1941,8 @@ object PortableDelta {
               "numTargetFilesAdded" -> added.size.toLong))
           txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
           featureUpgradeAction(prior,
-            if (parts.nonEmpty) Seq("deletionVectors") else Nil,
+            (if (parts.nonEmpty) Seq("deletionVectors") else Nil) ++
+              cfgReaderFeatures(prior.configuration),
             (if (parts.nonEmpty) Seq("deletionVectors") else Nil) ++
               cfgWriterFeatures(prior.configuration))
             .foreach(actions += _)
@@ -2283,7 +2288,8 @@ object PortableDelta {
               "numTargetFilesAdded" -> added.size.toLong))
           txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
           featureUpgradeAction(prior,
-            if (parts.nonEmpty) Seq("deletionVectors") else Nil,
+            (if (parts.nonEmpty) Seq("deletionVectors") else Nil) ++
+              cfgReaderFeatures(prior.configuration),
             (if (parts.nonEmpty) Seq("deletionVectors") else Nil) ++
               (if (idents.nonEmpty) Seq("identityColumns") else Nil) ++
               cfgWriterFeatures(prior.configuration))
@@ -2472,7 +2478,8 @@ object PortableDelta {
             "numAddedFiles" -> added.size.toLong,
             "numDeletionVectorsUpdated" -> parts.get.dvFiles.toLong))
         txn.foreach { case (appId, v) => actions += txnActionNode(appId, v, now) }
-        featureUpgradeAction(snap, Seq("deletionVectors"),
+        featureUpgradeAction(snap,
+          Seq("deletionVectors") ++ cfgReaderFeatures(snap.configuration),
           Seq("deletionVectors") ++ cfgWriterFeatures(snap.configuration))
           .foreach(actions += _)
         actions ++= parts.get.actions(now)
@@ -3765,15 +3772,45 @@ object PortableDelta {
     Some(r)
   }
 
+  /** Features that gate BOTH protocol sides (the rest are
+    * writer-only). */
+  private val ReaderWriterFeatures: Set[String] =
+    Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
+      "vacuumProtocolCheck")
+
+  /** The delta-spark feature-enablement route: TBLPROPERTIES
+    * (`delta.feature.<name>` = 'supported' | 'enabled') ask for the
+    * feature to be DECLARED on the protocol. Unknown names are refused
+    * BY NAME (declaring a feature this engine cannot honor would be a
+    * lie every later commit repeats). */
+  private def propertyFeatures(cfg: Map[String, String]): Seq[String] =
+    cfg.toSeq.sortBy(_._1).collect {
+      case (k, v) if k.startsWith("delta.feature.") &&
+          (v == "supported" || v == "enabled") =>
+        val name = k.stripPrefix("delta.feature.")
+        require(SupportedWriterFeatures.contains(name) ||
+          SupportedReaderFeatures.contains(name),
+          s"table property $k requests feature '$name', which this " +
+            "engine does not implement")
+        name
+    }
+
   /** The writer features a commit whose table configuration is `cfg`
     * must have declared beyond what the operation itself needs: CDF
     * writes change files, ICT stamps commitInfo — both spec-gated on a
-    * protocol declaration, not just the property. */
+    * protocol declaration, not just the property; `delta.feature.*`
+    * properties request declaration explicitly. */
   private def cfgWriterFeatures(cfg: Map[String, String]): Seq[String] =
     (if (cdfEnabled(cfg)) Seq("changeDataFeed") else Nil) ++
       (if (cfg.get(IctProp).contains("true")) Seq("inCommitTimestamp") else Nil) ++
       (if (rowTrackingEnabled(cfg)) Seq("rowTracking", "domainMetadata")
-       else Nil)
+       else Nil) ++
+      propertyFeatures(cfg)
+
+  /** The READER-side declarations `delta.feature.*` properties demand
+    * (the reader+writer features among them). */
+  private def cfgReaderFeatures(cfg: Map[String, String]): Seq[String] =
+    propertyFeatures(cfg).filter(ReaderWriterFeatures.contains)
 
   /** Physical row count from the parquet footer — a metadata-only read. */
   private def parquetRowCount(conf: Configuration, file: Path): Long = {

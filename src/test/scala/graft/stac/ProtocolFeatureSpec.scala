@@ -143,6 +143,38 @@ class ProtocolFeatureSpec extends AnyFunSuite {
     assert(featSeq(ps.head, "readerFeatures") == Seq("deletionVectors"))
   }
 
+  test("delta.feature.* properties request declaration; unknown names refuse") {
+    val path = tmp()
+    // the delta-spark enablement route: a property, not a verb
+    PortableDelta.write(df(0L until 4L).coalesce(1), path,
+      properties = Map(
+        "delta.feature.deletionVectors" -> "supported",
+        "delta.feature.v2Checkpoint" -> "supported"))
+    val ps = protocolOf(path, 0L)
+    assert(ps.size == 1)
+    val p = ps.head
+    assert(p.get("minReaderVersion").asInt() == 3 &&
+      p.get("minWriterVersion").asInt() == 7)
+    // reader+writer features declared on BOTH sides at birth
+    assert(featSeq(p, "readerFeatures").toSet ==
+      Set("deletionVectors", "v2Checkpoint"))
+    assert(featSeq(p, "writerFeatures").toSet ==
+      Set("appendOnly", "invariants", "deletionVectors", "v2Checkpoint"))
+    // the table reads and mutates normally
+    PortableDelta.delete(spark, path, col("id") === 0L)
+    assert(PortableDelta.readTable(spark, path).count() == 3L)
+    // an unknown feature name refuses BY NAME before anything lands
+    val bad = tmp()
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.write(df(0L until 2L).coalesce(1), bad,
+        properties = Map("delta.feature.futureFancy" -> "supported"))
+    }
+    assert(e.getMessage.contains("futureFancy"), e.getMessage)
+    assert(!new java.io.File(s"$bad/_delta_log").exists())
+    // refused BEFORE staging: no data file ever landed either
+    assert(Option(new java.io.File(bad).listFiles()).forall(_.isEmpty))
+  }
+
   test("table born with ICT declares inCommitTimestamp and stamps from v0") {
     val path = tmp()
     PortableDelta.write(df(0L until 4L).coalesce(1), path,
