@@ -310,4 +310,8 @@ class DeltaModelSpec extends AnyFunSuite {
   test("seeded op-sequence fuzz: round-10 verbs (mergeInto clauses, incremental clustering) (seed 2026)") {
     runSeed(2026, 22)
   }
+
+  test("seeded op-sequence fuzz: long interaction run (seed 777, 30 ops)") {
+    runSeed(777, 30)
+  }
 }
