@@ -157,6 +157,57 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("generated column dbl"), e.getMessage)
   }
 
+  test("matching runs against the LIVE view; partitioned rows migrate on SET") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(
+      (0L until 8L).map(i => (i, if (i % 2 == 0) "A" else "B", i))
+        .toDF("id", "part", "v"), path, partitionBy = Seq("part"))
+    // delete id 2: a later merge on its key must INSERT, not update
+    PortableDelta.delete(spark, path, col("id") === 2L)
+    val st = PortableDelta.mergeInto(spark, path,
+      Seq((2L, "B", 222L), (4L, "B", 444L)).toDF("id", "part", "v"),
+      Seq("id"),
+      PortableDelta.MergeClauses(
+        updateSet = Some(Map("part" -> col("s.part"), "v" -> col("s.v")))))
+    // id 4 was live (updates, MIGRATING partition A -> B); id 2 was
+    // dead (inserts)
+    assert(st.updatedRows == 1L && st.insertedRows == 1L, s"got $st")
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id"), col("part"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains((4L, "B", 444L)) && got.contains((2L, "B", 222L)))
+    assert(got.size == 8)
+    // the migrated row lives in B's hive dir per the LOG
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(PortableDelta.readTableWhere(spark, path, col("part") === "B")
+      .count() == 6L)
+    assert(snap.partitionColumns == Seq("part"))
+  }
+
+  test("clause merge stages physically on a column-mapped table") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(base(0L until 6L).coalesce(1), path)
+    PortableDelta.renameColumn(spark, path, "v", "amount") // mapped now
+    val st = PortableDelta.mergeInto(spark, path,
+      Seq((1L, 100L), (9L, 900L)).toDF("id", "bump"), Seq("id"),
+      PortableDelta.MergeClauses(
+        updateSet = Some(Map("amount" -> (col("t.amount") + col("s.bump")))),
+        insertNotMatched = false))
+    assert(st.updatedRows == 1L, s"got $st")
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id"), col("amount")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(1L) == 110L && got(2L) == 20L, s"got $got")
+    // the appended file carries PHYSICAL names: the logical `amount`
+    // resolves through the field's original physicalName
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.configuration.get("delta.columnMapping.mode").contains("name"))
+    val f = snap.schema("amount")
+    assert(f.metadata.getString("delta.columnMapping.physicalName") == "v")
+  }
+
   test("CDF: clause merge writes exact update pairs + inserts; txn idempotent") {
     val s = spark; import s.implicits._
     val path = tmp()
