@@ -244,6 +244,33 @@ class OptimizeSpec extends AnyFunSuite {
       "grace window must keep recently-written files")
   }
 
+  test("vacuum walks hive-partitioned subdirs (executor-side listing)") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write(
+      (0L until 100L).map(i => (i, if (i % 2 == 0) "A" else "B"))
+        .toDF("id", "part").repartition(4),
+      path, partitionBy = Seq("part"))                              // v0
+    // overwrite: v0's files under part=A/ and part=B/ become
+    // unreferenced once the checkpoint truncates v0's JSON
+    PortableDelta.write(
+      (100L until 120L).map(i => (i, "A")).toDF("id", "part"),
+      path, mode = "overwrite")                                     // v1
+    val before = PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val n = PortableDelta.vacuum(spark, path, graceMillis = 0L)
+    assert(n >= 4, s"v0's per-partition files must be reclaimed, got $n")
+    // state intact; the stale hive dirs hold no stray parquet
+    assert(PortableDelta.readTable(spark, path)
+      .select(col("id")).collect().map(_.getLong(0)).toSet == before)
+    val bDir = new java.io.File(path, "part=B")
+    assert(!bDir.exists() || bDir.listFiles()
+      .count(_.getName.endsWith(".parquet")) == 0,
+      "part=B held only unreferenced files — all reclaimed")
+  }
+
   test("vacuum keeps referenced DV packs, reclaims purged ones") {
     val path = tmp()
     val s = spark; import s.implicits._
