@@ -208,6 +208,33 @@ class ProtocolFeatureSpec extends AnyFunSuite {
       .get("commitInfo").has("inCommitTimestamp"))
   }
 
+  test("delta.logRetentionDuration keeps the time-travel window behind the checkpoint") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 4L).coalesce(1), path,
+      properties = Map("delta.logRetentionDuration" -> "interval 1 hours"))
+    (1 to 3).foreach(k => PortableDelta.write(df(Seq(10L + k)).coalesce(1),
+      path, mode = "append"))                                        // v1-3
+    PortableDelta.checkpoint(spark, path)                            // @3
+    // property-honoring entry: every commit is younger than 1 hour —
+    // NOTHING truncates, and the whole window stays travelable
+    assert(PortableDelta.cleanupLog(spark, path) == 0)
+    (0L to 3L).foreach(v =>
+      assert(PortableDelta.readTable(spark, path, v).count() == 4L + v))
+    // explicit zero retention (or the legacy conf entry) truncates all
+    val conf = spark.sessionState.newHadoopConf()
+    assert(PortableDelta.cleanupLog(conf, path,
+      retainMillis = Some(0L)) == 4)
+    assert(PortableDelta.readTable(spark, path).count() == 7L)
+    // interval parsing covers the delta property format
+    assert(PortableDelta.parseInterval("interval 30 days")
+      .contains(30L * 86400000L))
+    assert(PortableDelta.parseInterval("interval 2 hours")
+      .contains(7200000L))
+    assert(PortableDelta.parseInterval("45 minutes").contains(2700000L))
+    assert(PortableDelta.parseInterval("1 week").contains(604800000L))
+    assert(PortableDelta.parseInterval("nonsense").isEmpty)
+  }
+
   test("cleanupLog never deletes out-of-root cdc paths") {
     val other = java.nio.file.Files.createTempDirectory("pfeat-other")
     val foreign = other.resolve("foreign.parquet")
