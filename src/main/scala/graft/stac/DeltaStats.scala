@@ -42,15 +42,54 @@ object DeltaStats {
 
   @transient private lazy val mapper = new ObjectMapper()
 
+  /** The columns stats are collected for, honoring the delta-spark
+    * width knobs — on a 1000-column table, per-column min/max for every
+    * field bloats the log and checkpoint far past what skipping ever
+    * uses, so delta bounds it:
+    * `delta.dataSkippingStatsColumns` (explicit comma-separated list;
+    * names must exist — a typo silently indexing nothing would be a
+    * debugging trap) wins over `delta.dataSkippingNumIndexedCols`
+    * (first-N schema fields; -1 = all; delta's default 32). Ineligible
+    * types drop out after selection, matching delta's position-based
+    * counting. */
+  private[stac] def statsColumns(schema: StructType, cfg: Map[String, String],
+                                 logical: Option[StructType] = None): Seq[(String, DataType)] = {
+    // `logical` carries the user-facing names on column-mapped tables
+    // (same arity/order as `schema`, whose PHYSICAL names key the stats
+    // JSON); name resolution happens on logical names, field selection
+    // on the physical schema
+    val names = logical.getOrElse(schema)
+    require(names.length == schema.length,
+      s"logical/physical schema arity mismatch (${names.length} vs ${schema.length})")
+    val idx: Seq[Int] =
+      cfg.get("delta.dataSkippingStatsColumns").map(_.trim).filter(_.nonEmpty) match {
+        case Some(list) =>
+          list.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { n =>
+            val i = names.fields.indexWhere(_.name.equalsIgnoreCase(n))
+            if (i < 0) throw new IllegalArgumentException(
+              s"delta.dataSkippingStatsColumns names unknown column '$n' " +
+                s"(schema: ${names.fieldNames.mkString(", ")})")
+            i
+          }
+        case None =>
+          val n = cfg.get("delta.dataSkippingNumIndexedCols")
+            .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(32)
+          if (n < 0) schema.fields.indices else schema.fields.indices.take(n)
+      }
+    idx.map(schema.fields(_))
+      .collect { case f if eligible(f.dataType) => f.name -> f.dataType }
+  }
+
   /** Harvest the Delta stats JSON for each file (name → stats). Footer
     * reads run as a Spark job over the file list: metadata-only I/O,
     * sharded across executors; only the O(files) small JSON strings
     * return to the driver (the same order the commit itself costs). */
   def collectFileStats(spark: SparkSession, tableRoot: String,
-                       fileNames: Seq[String], schema: StructType): Map[String, String] = {
+                       fileNames: Seq[String], schema: StructType,
+                       cfg: Map[String, String] = Map.empty,
+                       logicalSchema: Option[StructType] = None): Map[String, String] = {
     if (fileNames.isEmpty) return Map.empty
-    val cols: Seq[(String, DataType)] =
-      schema.fields.toSeq.collect { case f if eligible(f.dataType) => f.name -> f.dataType }
+    val cols: Seq[(String, DataType)] = statsColumns(schema, cfg, logicalSchema)
     val confW = new org.apache.spark.SerializableWritable(
       spark.sessionState.newHadoopConf())
     val parts = math.min(fileNames.size, 64)

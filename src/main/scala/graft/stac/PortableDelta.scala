@@ -123,7 +123,8 @@ object PortableDelta {
       readerFeatures: Seq[String] = Nil,
       writerFeatures: Seq[String] = Nil,
       partitionColumns: Seq[String] = Nil,
-      domainMetadata: Map[String, String] = Map.empty)
+      domainMetadata: Map[String, String] = Map.empty,
+      txnLastUpdated: Map[String, Long] = Map.empty)
 
   @transient private lazy val mapper = new ObjectMapper()
 
@@ -298,7 +299,8 @@ object PortableDelta {
     // (keyed by PHYSICAL names on mapped tables, per spec)
     val statsByName: Map[String, String] = DeltaStats.collectFileStats(
       df.sparkSession, path, added.map(_.relPath),
-      physFor0.map(physSchemaOf).getOrElse(df.schema))
+      physFor0.map(physSchemaOf).getOrElse(df.schema), cCfg0,
+      logicalSchema = physFor0)
 
     // Optimistic-concurrency commit loop: build the action list against
     // the CURRENT snapshot, attempt the put-if-absent rename, and on a
@@ -1931,7 +1933,8 @@ object PortableDelta {
           }
           val statsByName = DeltaStats.collectFileStats(
             spark, path, added.map(_.relPath),
-            physM.map(physSchemaOf).getOrElse(prior.schema))
+            physM.map(physSchemaOf).getOrElse(prior.schema),
+            prior.configuration, logicalSchema = physM)
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
           actions += commitInfo(now, "MERGE",
@@ -2278,7 +2281,8 @@ object PortableDelta {
           }
           val statsByName = DeltaStats.collectFileStats(
             spark, path, added.map(_.relPath),
-            physM.map(physSchemaOf).getOrElse(prior.schema))
+            physM.map(physSchemaOf).getOrElse(prior.schema),
+            prior.configuration, logicalSchema = physM)
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
           actions += commitInfo(now, "MERGE",
@@ -2470,7 +2474,8 @@ object PortableDelta {
           snap.partitionColumns, physU, physPassThrough = mcolOpt.toSet)
         val statsByName = DeltaStats.collectFileStats(
           spark, path, added.map(_.relPath),
-          physU.map(physSchemaOf).getOrElse(snap.schema))
+          physU.map(physSchemaOf).getOrElse(snap.schema),
+          snap.configuration, logicalSchema = physU)
         val now = System.currentTimeMillis()
         val actions = Seq.newBuilder[JsonNode]
         actions += commitInfo(now, "UPDATE",
@@ -3287,20 +3292,28 @@ object PortableDelta {
     * OPTIMIZE leftovers from still-travelable versions are KEPT).
     * `graceMillis` additionally protects recently-modified files — an
     * in-flight writer's moved-but-uncommitted parts (Delta's retention
-    * guard; default 7 days, tests pass 0). Listing is the table-root
+    * guard; tests pass 0). Left negative (the default) it resolves from
+    * the table's `delta.deletedFileRetentionDuration` property (the
+    * delta-spark retention knob, "interval N days/hours/…"), falling
+    * back to the spec's 7-day default. Listing is the table-root
     * dir scan that IS vacuum's job; at extreme file counts the listing
     * itself would be sharded, the reclaim decision per file is O(1)
     * against the referenced-set hash. Returns the number of files
     * deleted. */
   def vacuum(spark: SparkSession, path: String,
-             graceMillis: Long = 7L * 24 * 3600 * 1000): Int = {
+             graceMillis: Long = -1L): Int = {
     import org.apache.spark.sql.functions.col
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     // the vacuumProtocolCheck contract: validate the table's protocol
     // (both sides) BEFORE reclaiming anything — an unknown feature may
     // reference files through actions this engine cannot see
-    requireWritable(smallSnapshot(spark, path), path)
+    val small = smallSnapshot(spark, path)
+    requireWritable(small, path)
+    val grace =
+      if (graceMillis >= 0) graceMillis
+      else small.configuration.get("delta.deletedFileRetentionDuration")
+        .flatMap(parseInterval).getOrElse(7L * 24 * 3600 * 1000)
     val s2 = spark; import s2.implicits._
     val tablePath = path
     // table-relative add paths (bare names collide across hive dirs);
@@ -3348,7 +3361,7 @@ object PortableDelta {
             .flatMap { case (_, p) => jsonRefs(p) }
           ckRefs.union(tailRefs.toDS())
       }
-    val cutoff = System.currentTimeMillis() - graceMillis
+    val cutoff = System.currentTimeMillis() - grace
     // listing frame: the driver lists only the root's IMMEDIATE
     // children; every in-scope subdirectory (hive col=value/ trees)
     // expands recursively on executors. Anything under _delta_log or a
@@ -3619,7 +3632,8 @@ object PortableDelta {
           .filter(df.columns.contains).toSet)
     val statsByName = DeltaStats.collectFileStats(
       spark, path, added.map(_.relPath),
-      physR.map(physSchemaOf).getOrElse(snap0.schema))
+      physR.map(physSchemaOf).getOrElse(snap0.schema),
+      snap0.configuration, logicalSchema = physR)
     val victimPaths = victims.map(_.path).toSet
     var prior = snap0
     var attempt = 0
@@ -3952,6 +3966,7 @@ object PortableDelta {
     val conf = spark.sessionState.newHadoopConf()
     val fs = logDir(path).getFileSystem(conf)
     val st = seededSmallState(spark, path)
+    expireTxns(st)
     val (adds, version) = liveAddsFlatDf(spark, path)
     val nAdds = adds.count()
     val parts = math.max(1L, (nAdds + addsPerPart - 1) / addsPerPart).toInt
@@ -4019,6 +4034,7 @@ object PortableDelta {
         st.configuration = snap.configuration
         st.partitionCols = snap.partitionColumns
         snap.txns.foreach { case (k, v) => st.txns.put(k, v) }
+        snap.txnLastUpdated.foreach { case (k, v) => st.txnTimes.put(k, v) }
         snap.domainMetadata.foreach { case (k, v) => st.domains.put(k, v) }
       case Some(ref) =>
         seedCheckpointSmall(spark, path, ref, st)
@@ -4029,6 +4045,22 @@ object PortableDelta {
     st.requireReadable()
     st
   }
+
+  /** Expire per-appId txn watermarks at checkpoint time per the spec's
+    * `delta.setTransactionRetentionDuration` table property: a txn whose
+    * `lastUpdated` is older than the retention window is dropped from
+    * the checkpoint (writers "are allowed to expire" them — delta-spark
+    * does exactly this). Txns WITHOUT a lastUpdated are never expired
+    * (their age is unknown), and nothing expires when the property is
+    * unset. Returns the number of appIds dropped. */
+  private def expireTxns(st: ReplayState): Int =
+    st.configuration.get("delta.setTransactionRetentionDuration")
+      .flatMap(parseInterval).map { ret =>
+        val cut = System.currentTimeMillis() - ret
+        val dead = st.txnTimes.collect { case (app, t) if t < cut => app }.toSeq
+        dead.foreach { app => st.txns.remove(app); st.txnTimes.remove(app) }
+        dead.size
+      }.getOrElse(0)
 
   /** The non-file checkpoint actions (protocol + metaData + per-appId
     * txn watermarks) as action rows (protocol, metaData, add, txn). */
@@ -4063,10 +4095,12 @@ object PortableDelta {
     // the per-appId streaming watermarks must survive log truncation —
     // the spec stores the latest txn action per appId in the checkpoint
     val txnsDf = st.txns.toSeq
-      .toDF("app", "v").select(
+      .map { case (app, v) =>
+        (app, v, st.txnTimes.get(app).map(java.lang.Long.valueOf).orNull) }
+      .toDF("app", "v", "lu").select(
         nullProto.as("protocol"), nullMeta.as("metaData"), nullAdd.as("add"),
         struct($"app".as("appId"), $"v".as("version"),
-          lit(null).cast("bigint").as("lastUpdated")).as("txn"),
+          $"lu".cast("bigint").as("lastUpdated")).as("txn"),
         nullDomain.as("domainMetadata"))
     // live (non-removed) domainMetadata survives the checkpoint too —
     // row tracking's high-water mark rides here
@@ -4161,6 +4195,7 @@ object PortableDelta {
       }
     }
     val st = seededSmallState(spark, path)
+    expireTxns(st)
     val (adds, version) = liveAddsFlatDf(spark, path)
     val nAdds = adds.count()
     val shards = math.max(1L, (nAdds + addsPerSidecar - 1) / addsPerSidecar).toInt
@@ -4657,6 +4692,12 @@ object PortableDelta {
     // version order, so plain overwrite is the right merge)
     val txns: scala.collection.mutable.LinkedHashMap[String, Long] =
       scala.collection.mutable.LinkedHashMap.empty
+    // the latest txn's OPTIONAL lastUpdated (spec) — feeds
+    // delta.setTransactionRetentionDuration expiry at checkpoint time;
+    // a latest-txn without the field clears any stale entry (its age is
+    // unknown, so it is never expired)
+    val txnTimes: scala.collection.mutable.LinkedHashMap[String, Long] =
+      scala.collection.mutable.LinkedHashMap.empty
     // spec: latest domainMetadata per domain wins; removed=true deletes
     val domains: scala.collection.mutable.LinkedHashMap[String, String] =
       scala.collection.mutable.LinkedHashMap.empty
@@ -4664,7 +4705,12 @@ object PortableDelta {
     def applyJson(node: JsonNode): Unit = {
       if (node.has("txn")) {
         val t = node.get("txn")
-        txns.put(t.get("appId").asText(), t.get("version").asLong())
+        val app = t.get("appId").asText()
+        txns.put(app, t.get("version").asLong())
+        Option(t.get("lastUpdated")).filter(_.isNumber) match {
+          case Some(lu) => txnTimes.put(app, lu.asLong())
+          case None => txnTimes.remove(app)
+        }
       }
       if (node.has("domainMetadata")) {
         val d = node.get("domainMetadata")
@@ -4726,7 +4772,8 @@ object PortableDelta {
       Snapshot(version, readerV, writerV, tableId,
         DataType.fromJson(schemaJson).asInstanceOf[StructType],
         configuration, live.values.toSeq, txns.toMap,
-        readerFeatures, writerFeatures, partitionCols, domains.toMap)
+        readerFeatures, writerFeatures, partitionCols, domains.toMap,
+        txnTimes.toMap)
     }
   }
 
@@ -4821,8 +4868,11 @@ object PortableDelta {
       // checkpoint); ours and external writers both emit them
       if (hasTxn && !r.isNullAt(2)) {
         val t = r.getStruct(2)
-        st.txns.put(t.getString(t.fieldIndex("appId")),
-          t.getLong(t.fieldIndex("version")))
+        val app = t.getString(t.fieldIndex("appId"))
+        st.txns.put(app, t.getLong(t.fieldIndex("version")))
+        if (t.schema != null && t.schema.fieldNames.contains("lastUpdated") &&
+            !t.isNullAt(t.fieldIndex("lastUpdated")))
+          st.txnTimes.put(app, t.getLong(t.fieldIndex("lastUpdated")))
       }
       // live domainMetadata rows (row tracking's high-water mark etc.)
       val domainIdx = if (hasTxn) 3 else 2
@@ -5315,6 +5365,28 @@ object PortableDelta {
       throw new ConcurrentCommitException(
         s"concurrent commit detected: $finalP exists; rebasing against the new version")
     }
+    // delta.checkpointInterval (the delta-spark post-commit cadence):
+    // when the table property is set, every interval-th commit writes a
+    // checkpoint automatically — the maintenance knob that keeps replay
+    // cost bounded without an external scheduler. Only honored when
+    // EXPLICITLY configured (no silent default-10 surprise for tables
+    // driving [[checkpoint]] themselves), and non-fatal: the commit is
+    // durable already; a failed checkpoint must not fail the verb (the
+    // delta semantic — the next interval retries).
+    tableCfg.get("delta.checkpointInterval")
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0)
+      .foreach { iv =>
+        if (version > 0 && version % iv == 0)
+          SparkSession.getActiveSession.foreach { s =>
+            try checkpoint(s, path)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[portable-delta] auto-checkpoint at $path v$version failed " +
+                    s"(commit is durable; next interval retries): ${e.getMessage}")
+            }
+          }
+      }
   }
 
   private val commitLock = new Object

@@ -3,6 +3,7 @@ package graft.stac
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Per-file stats on add actions + data skipping. The contract under
   * test: every committed file carries the spec's stats JSON (numRecords /
@@ -129,5 +130,48 @@ class DeltaStatsSpec extends AnyFunSuite {
     val got = PortableDelta.readTableWhere(spark, path, col("id") >= 100L)
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(got == (100L until 120L).filter(_ % 7 != 3).toSet)
+  }
+
+  test("dataSkippingNumIndexedCols / StatsColumns bound the stats width") {
+    val s = spark; import s.implicits._
+    def statsCols(path: String): Set[String] = {
+      val snap = PortableDelta.snapshot(spark, path)
+      snap.files.flatMap { af =>
+        val st = mapper.readTree(af.stats.get)
+        st.get("minValues").fieldNames().asScala.toSeq
+      }.toSet
+    }
+    val rows = (0L until 20L).map(i => (i, s"doc $i", i * 2)).toDF("id", "body", "extra")
+    // first-N positional limit: only `id` gets min/max on a 3-col table
+    val p1 = tmp()
+    PortableDelta.write(rows.coalesce(1), p1,
+      properties = Map("delta.dataSkippingNumIndexedCols" -> "1"))
+    assert(statsCols(p1) == Set("id"))
+    // explicit column list wins over the positional limit
+    val p2 = tmp()
+    PortableDelta.write(rows.coalesce(1), p2, properties = Map(
+      "delta.dataSkippingStatsColumns" -> "extra",
+      "delta.dataSkippingNumIndexedCols" -> "1"))
+    assert(statsCols(p2) == Set("extra"))
+    // skipping still prunes on the indexed column and reads stay exact
+    PortableDelta.write(rows.filter($"id" >= 10).coalesce(1), p2, mode = "append")
+    val snap2 = PortableDelta.snapshot(spark, p2)
+    val (kept, pruned) = PortableDelta.statsPrune(spark, snap2, col("extra") < 20L)
+    assert(kept.size == 1 && pruned == 1,
+      "the explicit stats column still prunes (append file's min extra is 20)")
+    assert(PortableDelta.readTableWhere(spark, p2, col("id") === 3L).count() == 1L)
+    // a typo'd stats column refuses BY NAME instead of silently indexing
+    // nothing
+    val p3 = tmp()
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.write(rows.coalesce(1), p3,
+        properties = Map("delta.dataSkippingStatsColumns" -> "bogus"))
+    }
+    assert(e.getMessage.contains("bogus"))
+    // -1 = every column (the delta escape hatch past the 32 default)
+    val p4 = tmp()
+    PortableDelta.write(rows.coalesce(1), p4,
+      properties = Map("delta.dataSkippingNumIndexedCols" -> "-1"))
+    assert(statsCols(p4) == Set("id", "body", "extra"))
   }
 }

@@ -244,6 +244,23 @@ class OptimizeSpec extends AnyFunSuite {
       "grace window must keep recently-written files")
   }
 
+  test("vacuum's default grace resolves delta.deletedFileRetentionDuration") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    def mk(tag: String, n: Int) =
+      (0L until 30L).map(i => (i, tag)).toDF("id", "tag").repartition(n)
+    PortableDelta.write(mk("v0", 3), path, properties =
+      Map("delta.deletedFileRetentionDuration" -> "interval 0 seconds"))
+    PortableDelta.write(mk("v1", 2), path, mode = "overwrite")
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    // no explicit grace: the TABLE PROPERTY (0 s) applies, so the three
+    // just-orphaned v0 files die — where the 7-day fallback kept them in
+    // the leg above
+    assert(PortableDelta.vacuum(spark, path) == 3)
+    assert(PortableDelta.readTable(spark, path).count() == 30L)
+  }
+
   test("vacuum walks hive-partitioned subdirs (executor-side listing)") {
     val path = tmp()
     val s = spark; import s.implicits._

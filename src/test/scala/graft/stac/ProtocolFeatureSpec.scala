@@ -235,6 +235,63 @@ class ProtocolFeatureSpec extends AnyFunSuite {
     assert(PortableDelta.parseInterval("nonsense").isEmpty)
   }
 
+  test("delta.checkpointInterval auto-checkpoints every interval-th commit") {
+    val path = tmp()
+    def lastCkpt: Option[Long] = {
+      val f = new java.io.File(s"$path/_delta_log/_last_checkpoint")
+      if (!f.isFile) None
+      else Some(mapper.readTree(f).get("version").asLong())
+    }
+    PortableDelta.write(df(0L until 4L).coalesce(1), path,
+      properties = Map("delta.checkpointInterval" -> "2"))
+    assert(lastCkpt.isEmpty, "v0 (create) must not checkpoint")
+    PortableDelta.write(df(Seq(10L)).coalesce(1), path, mode = "append") // v1
+    assert(lastCkpt.isEmpty)
+    PortableDelta.write(df(Seq(11L)).coalesce(1), path, mode = "append") // v2
+    assert(lastCkpt.contains(2L), "the interval-th commit checkpoints itself")
+    // DML verbs ride the same cadence: v3 (off-interval) no, v4 yes
+    PortableDelta.delete(spark, path, col("id") === 10L)                 // v3
+    assert(lastCkpt.contains(2L))
+    PortableDelta.write(df(Seq(12L)).coalesce(1), path, mode = "append") // v4
+    assert(lastCkpt.contains(4L))
+    // auto-checkpoint is maintenance, not truncation: the full history
+    // stays travelable and the current read is exact
+    assert(PortableDelta.readTable(spark, path, 0L).count() == 4L)
+    assert(PortableDelta.readTable(spark, path).count() == 6L)
+  }
+
+  test("delta.setTransactionRetentionDuration expires idle txn watermarks at checkpoint") {
+    // young txns under a 1-hour retention survive the checkpoint
+    val keep = tmp()
+    PortableDelta.write(df(0L until 3L).coalesce(1), keep,
+      properties = Map("delta.setTransactionRetentionDuration" -> "interval 1 hours"))
+    PortableDelta.write(df(Seq(10L)).coalesce(1), keep, mode = "append",
+      txn = Some(("appA", 1L)))
+    PortableDelta.checkpoint(spark, keep)
+    assert(PortableDelta.snapshot(spark, keep).txns == Map("appA" -> 1L))
+    assert(PortableDelta.snapshot(spark, keep).txnLastUpdated.contains("appA"),
+      "lastUpdated must ride the checkpoint (it feeds the NEXT expiry decision)")
+    // zero retention expires every lastUpdated-stamped txn; a txn
+    // WITHOUT lastUpdated (external writer) is never expired — its age
+    // is unknown
+    val drop = tmp()
+    PortableDelta.write(df(0L until 3L).coalesce(1), drop,
+      properties = Map("delta.setTransactionRetentionDuration" -> "interval 0 milliseconds"))
+    PortableDelta.write(df(Seq(10L)).coalesce(1), drop, mode = "append",
+      txn = Some(("appA", 1L)))                                          // v1
+    val raw = new java.io.File(s"$drop/_delta_log/${"%020d".format(2L)}.json")
+    java.nio.file.Files.write(raw.toPath,
+      """{"txn":{"appId":"ext","version":9}}""".getBytes("UTF-8"))       // v2
+    assert(PortableDelta.snapshot(spark, drop).txns ==
+      Map("appA" -> 1L, "ext" -> 9L))
+    Thread.sleep(5) // ensure appA's lastUpdated is strictly in the past
+    PortableDelta.checkpoint(spark, drop)
+    val after = PortableDelta.snapshot(spark, drop)
+    assert(after.txns == Map("ext" -> 9L),
+      s"stamped txn expires, unstamped survives: ${after.txns}")
+    assert(PortableDelta.readTable(spark, drop).count() == 4L)
+  }
+
   test("cleanupLog never deletes out-of-root cdc paths") {
     val other = java.nio.file.Files.createTempDirectory("pfeat-other")
     val foreign = other.resolve("foreign.parquet")
