@@ -849,6 +849,103 @@ object StreamingOps {
           .withColumn("stream_ok", lit(true))
           .orderBy(col("event_type"))
       },
+      timed = false),
+
+    // ----- PLAIN delta streaming source (append stream, no CDF) -----
+    // delta-spark's `readStream.format("delta")` shape over the
+    // portable log ([[graft.streaming.DeltaTableSource]]): per-trigger
+    // version windows of APPENDED rows, dataChange=false commits
+    // (OPTIMIZE) contributing zero rows, restart-exact watermark, and
+    // the initial-snapshot mode a second consumer uses to join late.
+    // The gate replays a 3-append history one version per trigger
+    // (restarting mid-stream), pins the OPTIMIZE trigger at zero rows,
+    // equals the aggregate against direct recompute in both except()
+    // directions, then has a snapshot-mode consumer reproduce the same
+    // state in one batch. Oracle recomputes the final aggregate.
+    QuerySpec(
+      "st18_delta_table_source",
+      Some("""
+        SELECT event_type, count(*) AS n_rows,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               true AS stream_ok
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        import graft.streaming.DeltaTableSource
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tbl = java.nio.file.Files.createTempDirectory("st18").toString + "/tbl"
+        val ck = java.nio.file.Files.createTempDirectory("st18_ck").toString
+        val cents = floor(col("value") * 100 + 0.5).cast("long")
+        var downstream: org.apache.spark.sql.DataFrame = null
+        def apply(rows: org.apache.spark.sql.DataFrame, to: Long): Unit = {
+          val delta = rows.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
+          val merged =
+            if (downstream == null) delta
+            else downstream.unionByName(delta).groupBy(col("event_type"))
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sum(col("value_cents")).as("value_cents"))
+          val next = merged.persist()
+          next.count() // durable before the watermark may advance
+          if (downstream != null) downstream.unpersist()
+          downstream = next
+        }
+        // three appends + one compaction land BEFORE the consumer starts
+        PortableDelta.write(ev.filter(col("event_id") % 3 === 0)
+          .repartition(2), tbl)                                      // v0
+        PortableDelta.write(ev.filter(col("event_id") % 3 === 1)
+          .repartition(2), tbl, mode = "append")                     // v1
+        val os = PortableDelta.optimizeCompact(s, tbl)               // v2
+        require(os.removedFiles >= 2,
+          "gate needs the compaction to rewrite files")
+        PortableDelta.write(ev.filter(col("event_id") % 3 === 2)
+          .repartition(2), tbl, mode = "append")                     // v3
+        // consumer 1: full-history replay, one version per trigger;
+        // processes two triggers then "crashes"
+        val src1 = new DeltaTableSource(s, tbl, ck,
+          maxVersionsPerTrigger = 1, startingVersion = Some(0L))
+        var triggers = 0
+        for (_ <- 0 until 2) src1.readAvailable().foreach { case (df, to) =>
+          apply(df, to); src1.commitProgress(to); triggers += 1
+        }
+        require(triggers == 2 && src1.watermark.contains(1L),
+          s"expected 2 one-version triggers, got $triggers/${src1.watermark}")
+        // consumer 1': restarts from the checkpoint; drains v2 (the
+        // OPTIMIZE — must be a real trigger with ZERO rows) and v3
+        val src2 = new DeltaTableSource(s, tbl, ck,
+          maxVersionsPerTrigger = 1, startingVersion = Some(0L))
+        val counted = Seq.newBuilder[(Long, Long)]
+        triggers += src2.runAvailableNow { (df, to) =>
+          counted += ((to, df.count())); apply(df, to)
+        }
+        require(triggers == 4 && src2.watermark.contains(3L),
+          s"restart must resume at the watermark: $triggers, ${src2.watermark}")
+        require(counted.result().exists(t => t._1 == 2L && t._2 == 0L),
+          "the dataChange=false OPTIMIZE version must deliver zero rows")
+        require(new DeltaTableSource(s, tbl, ck).readAvailable().isEmpty,
+          "a caught-up source must return no batch")
+        val direct = PortableDelta.readTable(s, tbl)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
+        require(downstream.except(direct).isEmpty &&
+          direct.except(downstream).isEmpty,
+          "append-stream state must equal the direct recompute exactly")
+        // a LATE consumer joins via the initial-snapshot batch and
+        // reaches the same state in one trigger
+        val ck2 = java.nio.file.Files.createTempDirectory("st18_ck2").toString
+        val late = new DeltaTableSource(s, tbl, ck2)
+        val Some((snapRows, to2)) = late.readAvailable()
+        val lateAgg = snapRows.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
+        require(to2 == 3L && lateAgg.except(direct).isEmpty &&
+          direct.except(lateAgg).isEmpty,
+          "the snapshot batch must equal the direct read")
+        downstream
+          .withColumn("stream_ok", lit(true))
+          .orderBy(col("event_type"))
+      },
       timed = false)
   )
 }

@@ -1755,6 +1755,65 @@ object PortableDelta {
     readChanges(spark, path, inWindow.map(_._1).min, inWindow.map(_._1).max)
   }
 
+  /** The rows APPENDED in versions `[fromVersion, toVersion]` — the
+    * delta-spark plain streaming-source read (`readStream.format
+    * ("delta")`): each commit contributes exactly its `dataChange=true`
+    * add files (compaction/backfill rewrites are `dataChange=false` and
+    * contribute nothing), read with the end-version schema and any
+    * born-with deletion vector applied. An append stream cannot
+    * represent row changes or deletions, so a commit that also REMOVES
+    * data errors by version unless the caller opts into the delta
+    * source's two escape hatches: `skipChangeCommits` drops every
+    * data-changing commit wholesale (its adds included — the
+    * delta-spark option), `ignoreDeletes` additionally permits
+    * DELETE-only commits (removes without adds, e.g. retention
+    * deletes), skipping them. Rewriting commits still refuse under
+    * `ignoreDeletes` alone — re-delivering rewritten files would
+    * duplicate rows. Row-change fidelity wants [[readChanges]] / the
+    * CDF source instead.
+    *
+    * Scale: the window's JSON commits parse on the driver (bounded by
+    * the caller's trigger size), and the born files scan as ONE plan
+    * regardless of how many commits contributed — never a scan node
+    * per commit file. */
+  def readAppends(spark: SparkSession, path: String,
+                  fromVersion: Long, toVersion: Long,
+                  ignoreDeletes: Boolean = false,
+                  skipChangeCommits: Boolean = false): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad append-stream range [$fromVersion, $toVersion]")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    val endSnap = snapshotAt(spark, path, toVersion)
+    val born = Seq.newBuilder[AddFile]
+    for (v <- fromVersion to toVersion) {
+      val p = new Path(logDir(path), versionFileName(v))
+      require(fs.exists(p),
+        s"append stream needs commit $v of $path but its JSON is not " +
+          "available (checkpoint-truncated log)")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val nodes = lines.filter(_.nonEmpty).map(mapper.readTree)
+      val adds = nodes.filter(_.has("add")).map(_.get("add"))
+        .filter(a => Option(a.get("dataChange")).forall(_.asBoolean()))
+        .map(parseAddNode)
+      val removes = nodes.filter(_.has("remove")).map(_.get("remove"))
+        .filter(r => Option(r.get("dataChange")).forall(_.asBoolean()))
+      if (removes.isEmpty) born ++= adds
+      else if (skipChangeCommits) () // the whole commit is skipped, adds too
+      else if (adds.isEmpty && ignoreDeletes) () // delete-only commit
+      else throw new IllegalStateException(
+        s"version $v of $path ${if (adds.isEmpty) "deletes" else "changes"} " +
+          "existing rows; an append stream cannot represent that — set " +
+          "skipChangeCommits=true (skip data-changing commits) or, for " +
+          "delete-only commits, ignoreDeletes=true; row-level fidelity " +
+          "wants the CDF source (readChanges)")
+    }
+    buildScan(spark, path, endSnap.copy(files = born.result()),
+      withPos = false, applyDvs = true)
+  }
+
   /** Outcome of a [[merge]]: committed version plus the three row
     * counters (a source row matching a LIVE target key counts as one
     * update — its target row dies and its new version appends; an

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.stac.{PortableDelta, SparkSpec}
+
+/** The plain (append-stream) Delta source: initial-snapshot vs
+  * startingVersion modes, dataChange=false commits contributing
+  * nothing, the refusal semantics for row-changing commits, and the
+  * delta-source escape hatches (ignoreDeletes / skipChangeCommits). */
+class DeltaTableSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/d"
+
+  private def df(ids: Seq[Long], tag: String) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, s"$tag$i")).toDF("id", "tag")
+  }
+
+  test("initial snapshot batch, then incremental appends; restart resumes") {
+    val tbl = tmp("tsrc"); val ck = tmp("tsrc-ck")
+    PortableDelta.write(df(0L until 3L, "a").coalesce(1), tbl)        // v0
+    PortableDelta.write(df(10L until 13L, "a").coalesce(1), tbl,
+      mode = "append")                                                // v1
+    PortableDelta.delete(spark, tbl, col("id") === 0L)                // v2
+    // pre-start history may be arbitrary — the snapshot batch absorbs it
+    val src = new DeltaTableSource(spark, tbl, ck)
+    val Some((snap, to0)) = src.readAvailable()
+    assert(to0 == 2L && snap.count() == 5L, "snapshot batch = current rows")
+    // uncommitted: the same snapshot batch re-delivers
+    assert(src.readAvailable().map(_._2).contains(2L))
+    src.commitProgress(to0)
+    assert(src.readAvailable().isEmpty, "caught up after the snapshot")
+    PortableDelta.write(df(Seq(20L), "b").coalesce(1), tbl,
+      mode = "append")                                                // v3
+    PortableDelta.write(df(Seq(21L), "b").coalesce(1), tbl,
+      mode = "append")                                                // v4
+    // a RESTARTED consumer resumes at the watermark — no snapshot re-run
+    val src2 = new DeltaTableSource(spark, tbl, ck, maxVersionsPerTrigger = 1)
+    val Some((w1, t1)) = src2.readAvailable()
+    assert(t1 == 3L && w1.collect().map(_.getLong(0)).toSeq == Seq(20L))
+    src2.commitProgress(t1)
+    val Some((w2, t2)) = src2.readAvailable()
+    assert(t2 == 4L && w2.collect().map(_.getLong(0)).toSeq == Seq(21L))
+    src2.commitProgress(t2)
+    assert(src2.readAvailable().isEmpty && src2.watermark.contains(4L))
+  }
+
+  test("startingVersion replays history; dataChange=false commits add nothing") {
+    val tbl = tmp("tsrc2"); val ck = tmp("tsrc2-ck")
+    PortableDelta.write(df(0L until 4L, "a").repartition(2), tbl)     // v0
+    PortableDelta.write(df(10L until 14L, "a").repartition(2), tbl,
+      mode = "append")                                                // v1
+    val os = PortableDelta.optimizeCompact(spark, tbl)                // v2
+    assert(os.removedFiles >= 2, "compaction must have rewritten files")
+    PortableDelta.write(df(Seq(20L), "b").coalesce(1), tbl,
+      mode = "append")                                                // v3
+    val src = new DeltaTableSource(spark, tbl, ck,
+      maxVersionsPerTrigger = 1, startingVersion = Some(0L))
+    var got = Seq.empty[(Long, Long)] // (endVersion, rowCount)
+    val n = src.runAvailableNow((rows, to) => got :+= (to, rows.count()))
+    assert(n == 4, s"one trigger per version, got $n")
+    assert(got == Seq((0L, 4L), (1L, 4L), (2L, 0L), (3L, 1L)),
+      s"the OPTIMIZE version must contribute ZERO rows: $got")
+    // the replayed stream equals the direct read (no dupes from the
+    // compaction rewrite)
+    val streamed = PortableDelta.readAppends(spark, tbl, 0L, 3L)
+    val direct = PortableDelta.readTable(spark, tbl)
+    assert(streamed.except(direct).isEmpty && direct.except(streamed).isEmpty)
+  }
+
+  test("row-changing commits refuse by version; escape hatches skip them") {
+    val tbl = tmp("tsrc3"); val ck = tmp("tsrc3-ck")
+    PortableDelta.write(df(0L until 4L, "a").coalesce(1), tbl)        // v0
+    PortableDelta.update(spark, tbl, col("id") === 1L,
+      Map("tag" -> lit("UP")))                                        // v1
+    PortableDelta.write(df(Seq(20L), "b").coalesce(1), tbl,
+      mode = "append")                                                // v2
+    // default: the UPDATE commit refuses BY VERSION with the options named
+    val e = intercept[IllegalStateException] {
+      PortableDelta.readAppends(spark, tbl, 0L, 2L).count()
+    }
+    assert(e.getMessage.contains("version 1") &&
+      e.getMessage.contains("skipChangeCommits"))
+    // ignoreDeletes is NOT enough for a rewrite (re-delivering rewritten
+    // files would duplicate rows)
+    intercept[IllegalStateException] {
+      PortableDelta.readAppends(spark, tbl, 0L, 2L, ignoreDeletes = true).count()
+    }
+    // skipChangeCommits drops v1 wholesale: v0's rows + v2's append
+    val src = new DeltaTableSource(spark, tbl, ck,
+      startingVersion = Some(0L), skipChangeCommits = true)
+    val Some((rows, to)) = src.readAvailable()
+    assert(to == 2L && rows.count() == 5L)
+    assert(rows.filter(col("tag") === "UP").count() == 0L,
+      "the skipped UPDATE's rewritten rows must not re-deliver")
+  }
+
+  test("whole-file delete commits: refused by default, skipped under ignoreDeletes") {
+    val tbl = tmp("tsrc4"); val ck = tmp("tsrc4-ck")
+    PortableDelta.write(df(0L until 3L, "a").coalesce(1), tbl)        // v0
+    PortableDelta.write(df(10L until 13L, "b").coalesce(1), tbl,
+      mode = "append")                                                // v1
+    // every row of v1's single file matches → the file dies whole
+    // (remove without add)
+    val ds = PortableDelta.delete(spark, tbl, col("id") >= 10L)       // v2
+    assert(ds.deletedRows == 3L)
+    PortableDelta.write(df(Seq(20L), "c").coalesce(1), tbl,
+      mode = "append")                                                // v3
+    intercept[IllegalStateException] {
+      PortableDelta.readAppends(spark, tbl, 0L, 3L).count()
+    }
+    val got = PortableDelta.readAppends(spark, tbl, 0L, 3L,
+      ignoreDeletes = true)
+    // the delete-only commit skips; earlier appends still deliver the
+    // at-least-once superset (ids 10-12 were appended, then deleted)
+    assert(got.count() == 7L)
+    val src = new DeltaTableSource(spark, tbl, ck, ignoreDeletes = true)
+    val Some((snap, to)) = src.readAvailable() // snapshot mode: 4 live rows
+    assert(to == 3L && snap.count() == 4L)
+  }
+}
