@@ -3110,6 +3110,137 @@ object PortableDelta {
         (StructType(schema.fields.filterNot(_.name == name)), partCols)
     }
 
+  /** ALTER TABLE ... ADD COLUMN — a metadata-only commit appending a
+    * NULLABLE field at the end of the schema (the delta position
+    * default): existing files simply read null for it, so no byte
+    * moves and no mapping upgrade is forced. On an already-MAPPED
+    * table the new field is born with a fresh id and a UUID physical
+    * name (never the logical name — physical names must never be
+    * reused, so a drop-then-re-add of the same logical name stays
+    * unambiguous per spec). Small-state read; O(1) driver cost. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                dataType: DataType, comment: Option[String] = None,
+                maxRetries: Int = 10): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = smallSnapshot(spark, path)
+      requireWritable(snap, path)
+      require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists in " +
+          snap.schema.fieldNames.mkString("[", ", ", "]"))
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      comment.foreach(mb.putString("comment", _))
+      val (field, cfg) =
+        if (!mappedCfg(snap.configuration))
+          (StructField(name, dataType, nullable = true, mb.build()),
+            snap.configuration)
+        else {
+          val maxId = snap.configuration.get(MaxColumnIdProp)
+            .map(_.toLong).getOrElse(0L) + 1
+          mb.putLong("delta.columnMapping.id", maxId)
+          mb.putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          (StructField(name, dataType, nullable = true, mb.build()),
+            snap.configuration + (MaxColumnIdProp -> maxId.toString))
+        }
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, s"ADD COLUMNS ($name)")
+      actions += metaDataAction(snap.tableId,
+        StructType(snap.schema.fields :+ field), cfg, now,
+        snap.partitionColumns)
+      try {
+        commit(conf, path, snap.version + 1, actions.result(), cfg)
+        return snap.version + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"addColumn($name) on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Table properties whose semantics need a dedicated verb (state
+    * backfill or irreversible protocol surgery) — the generic property
+    * verbs refuse them BY NAME instead of committing half-configured
+    * state. */
+  private lazy val GuardedProps: Map[String, String] = Map(
+    RowTrackingProp -> "use enableRowTracking (row IDs must backfill)",
+    MaterializedRowIdProp -> "managed by enableRowTracking",
+    ColumnMappingModeProp ->
+      "use renameColumn/dropColumn (fields must be stamped with ids + physical names)",
+    MaxColumnIdProp -> "managed by the column-mapping verbs")
+
+  /** ALTER TABLE ... SET TBLPROPERTIES — a metadata-only commit merging
+    * `props` into the table configuration. Properties that IMPLY
+    * protocol features (delta.enableChangeDataFeed, ICT, appendOnly,
+    * delta.feature.*) get the matching feature declared in the same
+    * commit — the same heal-on-write contract every DML verb keeps, so
+    * an external spec-compliant engine sees the feature the moment the
+    * property appears. Properties needing real state machinery
+    * (row tracking, column mapping) refuse by name. */
+  def setTableProperties(spark: SparkSession, path: String,
+                         props: Map[String, String],
+                         maxRetries: Int = 10): Long = {
+    val bad = props.keySet.intersect(GuardedProps.keySet)
+    require(bad.isEmpty, bad.toSeq.sorted.map(k =>
+      s"$k: ${GuardedProps(k)}").mkString("; "))
+    alterProperties(spark, path,
+      s"SET TBLPROPERTIES (${props.keys.toSeq.sorted.mkString(", ")})",
+      maxRetries)(_ ++ props)
+  }
+
+  /** ALTER TABLE ... UNSET TBLPROPERTIES — removes `keys` (missing keys
+    * are a no-op, the SQL semantic). The same guarded names refuse:
+    * un-setting delta.columnMapping.mode would orphan every
+    * physically-named file, and the spec forbids downgrading it. */
+  def unsetTableProperties(spark: SparkSession, path: String,
+                           keys: Seq[String],
+                           maxRetries: Int = 10): Long = {
+    val bad = keys.toSet.intersect(GuardedProps.keySet)
+    require(bad.isEmpty, bad.toSeq.sorted.map(k =>
+      s"$k: ${GuardedProps(k)}").mkString("; "))
+    alterProperties(spark, path,
+      s"UNSET TBLPROPERTIES (${keys.sorted.mkString(", ")})",
+      maxRetries)(_ -- keys)
+  }
+
+  private def alterProperties(spark: SparkSession, path: String, op: String,
+                              maxRetries: Int)(
+      transform: Map[String, String] => Map[String, String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = smallSnapshot(spark, path)
+      requireWritable(snap, path)
+      val cfg = transform(snap.configuration)
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, op)
+      featureUpgradeAction(snap, cfgReaderFeatures(cfg),
+        cfgWriterFeatures(cfg)).foreach(actions += _)
+      actions += metaDataAction(snap.tableId, snap.schema, cfg, now,
+        snap.partitionColumns)
+      try {
+        commit(conf, path, snap.version + 1, actions.result(), cfg)
+        return snap.version + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"$op on $path lost the commit race $attempt times " +
+                s"(last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** `delta.enableRowTracking` — every add carries a `baseRowId` (the
     * file's rows get stable IDs baseRowId..baseRowId+numRecords-1) and
     * a `defaultRowCommitVersion`; the fresh-ID high-water mark lives in
@@ -4029,8 +4160,8 @@ object PortableDelta {
     val (adds, version) = liveAddsFlatDf(spark, path)
     val nAdds = adds.count()
     val parts = math.max(1L, (nAdds + addsPerPart - 1) / addsPerPart).toInt
-    val all = smallActionsDf(spark, st)
-      .unionByName(addActionsDf(adds))
+    val all = applyStatsShape(smallActionsDf(spark, st)
+      .unionByName(addActionsDf(adds)), st)
       .withColumn("remove", lit(null).cast(RemoveT))
     // Spark writes a directory; the spec wants exact file names — write
     // to a temp dir and move the part files in. Single-part keeps the
@@ -4172,6 +4303,51 @@ object PortableDelta {
     protocolDf.unionByName(metaDf).unionByName(txnsDf).unionByName(domainsDf)
   }
 
+  /** The checkpoint `stats_parsed` struct type for the table's CURRENT
+    * stats selection: numRecords + typed min/max + nullCount over the
+    * stats-eligible columns (physical names on mapped tables — the keys
+    * the stats JSON carries). */
+  private def statsParsedType(st: ReplayState): StructType = {
+    val logical = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+    val (phys, logOpt) =
+      if (mappedCfg(st.configuration)) (physSchemaOf(logical), Some(logical))
+      else (logical, None)
+    val cols = DeltaStats.statsColumns(phys, st.configuration, logOpt)
+    val mm = StructType(cols.map { case (n, dt) => StructField(n, dt) })
+    val nc = StructType(cols.map { case (n, _) => StructField(n, LongType) })
+    StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", mm), StructField("maxValues", mm),
+      StructField("nullCount", nc)))
+  }
+
+  /** Apply the spec's checkpoint stats-shape properties to an action
+    * frame carrying an `add` column:
+    * `delta.checkpoint.writeStatsAsStruct=true` adds a typed
+    * `stats_parsed` struct (parsed from the stats JSON ON EXECUTORS —
+    * delta-spark's native skipping reads this without JSON parsing);
+    * `delta.checkpoint.writeStatsAsJson=false` then drops the JSON
+    * form (refused unless the struct is on — a checkpoint must keep
+    * stats in SOME form). */
+  private def applyStatsShape(df: DataFrame, st: ReplayState): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val asStruct = st.configuration
+      .get("delta.checkpoint.writeStatsAsStruct").contains("true")
+    val asJson = !st.configuration
+      .get("delta.checkpoint.writeStatsAsJson").contains("false")
+    require(asJson || asStruct,
+      "delta.checkpoint.writeStatsAsJson=false requires " +
+        "delta.checkpoint.writeStatsAsStruct=true — a checkpoint must " +
+        "carry stats in some form")
+    var out = df
+    if (asStruct)
+      out = out.withColumn("add", col("add").withField("stats_parsed",
+        from_json(col("add.stats"), statsParsedType(st))))
+    if (!asJson)
+      out = out.withColumn("add", col("add").dropFields("stats"))
+    out
+  }
+
   /** Flat add rows ([[liveAddsFlatDf]] shape) → checkpoint action rows
     * (protocol, metaData, add, txn) — stays a DataFrame end-to-end. */
   private def addActionsDf(adds: DataFrame): DataFrame = {
@@ -4261,7 +4437,7 @@ object PortableDelta {
     // sidecar files: add/remove action rows only, exact UUID names
     val sidecarDir = new Path(logDir(path), "_sidecars")
     fs.mkdirs(sidecarDir)
-    val sidecarActions = addActionsDf(adds)
+    val sidecarActions = applyStatsShape(addActionsDf(adds), st)
       .select(org.apache.spark.sql.functions.col("add"))
       .withColumn("remove", lit(null).cast(RemoveT))
     val tmp = new Path(logDir(path), s".ckpt-tmp-${java.util.UUID.randomUUID()}")
@@ -5005,8 +5181,21 @@ object PortableDelta {
         lit(null).cast("int").as("dv_offset"),
         lit(null).cast("int").as("dv_sizeInBytes"),
         lit(null).cast("bigint").as("dv_cardinality"))
+    // external checkpoints may carry stats ONLY as the typed
+    // `stats_parsed` struct (delta-spark with writeStatsAsJson=false);
+    // re-render it to the JSON form the engine's skipping parses —
+    // executor-side, null-safe (to_json omits null fields, which reads
+    // as "no bound" = never prune, the conservative direction)
+    val hasStatsJson = addType.fieldNames.contains("stats")
+    val hasStatsParsed = addType.fieldNames.contains("stats_parsed")
     val statsCol =
-      if (addType.fieldNames.contains("stats")) col("add.stats").as("stats")
+      if (hasStatsJson && hasStatsParsed)
+        org.apache.spark.sql.functions.coalesce(col("add.stats"),
+          org.apache.spark.sql.functions.to_json(col("add.stats_parsed")))
+          .as("stats")
+      else if (hasStatsJson) col("add.stats").as("stats")
+      else if (hasStatsParsed)
+        org.apache.spark.sql.functions.to_json(col("add.stats_parsed")).as("stats")
       else lit(null).cast("string").as("stats")
     val pvCol =
       if (addType.fieldNames.contains("partitionValues"))
@@ -5437,8 +5626,13 @@ object PortableDelta {
       .foreach { iv =>
         if (version > 0 && version % iv == 0)
           SparkSession.getActiveSession.foreach { s =>
-            try checkpoint(s, path)
-            catch {
+            // delta.checkpointPolicy=v2 routes the cadence through the
+            // v2 (UUID + sidecar) layout external engines expect there
+            try {
+              if (tableCfg.get("delta.checkpointPolicy").contains("v2"))
+                checkpointV2(s, path)
+              else checkpoint(s, path)
+            } catch {
               case scala.util.control.NonFatal(e) =>
                 System.err.println(
                   s"[portable-delta] auto-checkpoint at $path v$version failed " +

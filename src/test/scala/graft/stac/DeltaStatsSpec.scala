@@ -174,4 +174,65 @@ class DeltaStatsSpec extends AnyFunSuite {
       properties = Map("delta.dataSkippingNumIndexedCols" -> "-1"))
     assert(statsCols(p4) == Set("id", "body", "extra"))
   }
+
+  test("checkpoint stats shapes: stats_parsed struct write + JSON-less read-back") {
+    val s = spark; import s.implicits._
+    def mk(path: String, props: Map[String, String]): Unit = {
+      val df = (0L until 40L).map(i => (i, s"doc $i", i * 1.5))
+        .toDF("id", "body", "score").repartitionByRange(2, col("id"))
+      PortableDelta.write(df, path, properties = props)
+    }
+    // writeStatsAsStruct: the checkpoint add rows carry the TYPED struct
+    // (what delta-spark's native skipping reads), JSON stays by default
+    val p1 = tmp()
+    mk(p1, Map("delta.checkpoint.writeStatsAsStruct" -> "true"))
+    PortableDelta.checkpoint(spark, p1)
+    val ck1 = spark.read.parquet(
+      s"$p1/_delta_log/${"%020d".format(0L)}.checkpoint.parquet")
+    val addT = ck1.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(addT.fieldNames.contains("stats_parsed") &&
+      addT.fieldNames.contains("stats"))
+    val sp = ck1.select(col("add.stats_parsed"))
+      .where(col("add").isNotNull)
+    assert(sp.schema.fields.head.dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("numRecords", "minValues", "maxValues", "nullCount"))
+    val bounds = ck1.where(col("add").isNotNull)
+      .select(col("add.stats_parsed.minValues.id"),
+        col("add.stats_parsed.maxValues.id"),
+        col("add.stats_parsed.numRecords"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bounds.map(_._3).sum == 40L)
+    assert(bounds.map(_._1).min == 0L && bounds.map(_._2).max == 39L)
+    // writeStatsAsJson=false: the struct is the ONLY stats carrier —
+    // after truncation, skipping must still work from the re-rendered
+    // struct (the external delta-spark table shape)
+    val p2 = tmp()
+    mk(p2, Map("delta.checkpoint.writeStatsAsStruct" -> "true",
+      "delta.checkpoint.writeStatsAsJson" -> "false"))
+    PortableDelta.checkpoint(spark, p2)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), p2)
+    val ck2 = spark.read.parquet(
+      s"$p2/_delta_log/${"%020d".format(0L)}.checkpoint.parquet")
+    assert(!ck2.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("stats"), "JSON form must be dropped")
+    val snap = PortableDelta.snapshot(spark, p2)
+    assert(snap.files.forall(_.stats.isDefined),
+      "stats must re-render from the struct on read")
+    val (kept, pruned) = PortableDelta.statsPrune(spark, snap, col("id") >= 30L)
+    assert(kept.size == 1 && pruned == 1,
+      "skipping must survive the JSON-less checkpoint")
+    assert(PortableDelta.readTableWhere(spark, p2, col("id") >= 30L)
+      .count() == 10L)
+    // json=false without the struct refuses (a checkpoint must keep
+    // stats in some form)
+    val p3 = tmp()
+    mk(p3, Map("delta.checkpoint.writeStatsAsJson" -> "false"))
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.checkpoint(spark, p3)
+    }
+    assert(e.getMessage.contains("writeStatsAsStruct"))
+  }
 }

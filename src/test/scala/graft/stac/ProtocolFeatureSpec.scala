@@ -258,6 +258,17 @@ class ProtocolFeatureSpec extends AnyFunSuite {
     // stays travelable and the current read is exact
     assert(PortableDelta.readTable(spark, path, 0L).count() == 4L)
     assert(PortableDelta.readTable(spark, path).count() == 6L)
+    // delta.checkpointPolicy=v2 routes the cadence through the v2
+    // (UUID-named + sidecar) layout
+    val p2 = tmp()
+    PortableDelta.write(df(0L until 3L).coalesce(1), p2, properties = Map(
+      "delta.checkpointInterval" -> "2", "delta.checkpointPolicy" -> "v2"))
+    PortableDelta.write(df(Seq(10L)).coalesce(1), p2, mode = "append") // v1
+    PortableDelta.write(df(Seq(11L)).coalesce(1), p2, mode = "append") // v2
+    val logFiles = new java.io.File(s"$p2/_delta_log").listFiles().map(_.getName)
+    assert(logFiles.exists(_.matches("\\d{20}\\.checkpoint\\.[0-9a-f-]{36}\\.parquet")),
+      s"expected a v2 UUID checkpoint, got ${logFiles.mkString(", ")}")
+    assert(PortableDelta.readTable(spark, p2).count() == 5L)
   }
 
   test("delta.setTransactionRetentionDuration expires idle txn watermarks at checkpoint") {

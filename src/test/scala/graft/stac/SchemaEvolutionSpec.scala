@@ -69,4 +69,87 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       "evolved schema must ride the checkpoint metaData")
     assert(PortableDelta.readTable(spark, path).filter(col("rank").isNull).count() == 3)
   }
+
+  test("ALTER ADD COLUMN: metadata-only, nullable, mapped tables get a UUID physical name") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write((0L until 4L).map(i => (i, s"d$i")).toDF("id", "body")
+      .coalesce(1), path)
+    val v = PortableDelta.addColumn(spark, path, "lang",
+      org.apache.spark.sql.types.StringType, comment = Some("ISO 639-1"))
+    assert(v == 1L)
+    // no data files moved: the commit carries no add actions
+    val dataFiles = new java.io.File(path).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles == 1, "ADD COLUMN must be metadata-only")
+    assert(PortableDelta.readTable(spark, path)
+      .filter(col("lang").isNull).count() == 4, "existing rows read null")
+    // duplicate (case-insensitive) refuses by name
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.addColumn(spark, path, "LANG",
+        org.apache.spark.sql.types.StringType)
+    }
+    assert(e.getMessage.contains("LANG"))
+    // appends now carry the column; the new field is stats-eligible
+    PortableDelta.write(Seq((10L, "d10", "en")).toDF("id", "body", "lang")
+      .coalesce(1), path, mode = "append")
+    assert(PortableDelta.readTable(spark, path)
+      .filter(col("lang") === "en").count() == 1)
+    // on a MAPPED table the new field gets a fresh id + col-<uuid>
+    // physical name (never the logical name — no physical-name reuse)
+    PortableDelta.renameColumn(spark, path, "body", "text")
+    val preIds = PortableDelta.snapshot(spark, path).schema.fields
+      .map(_.metadata.getLong("delta.columnMapping.id")).toSet
+    PortableDelta.addColumn(spark, path, "score",
+      org.apache.spark.sql.types.DoubleType)
+    val snap = PortableDelta.snapshot(spark, path)
+    val f = snap.schema.fields.find(_.name == "score").get
+    assert(f.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    assert(!preIds.contains(f.metadata.getLong("delta.columnMapping.id")),
+      "the new field's mapping id must be fresh")
+    assert(snap.configuration("delta.columnMapping.maxColumnId").toLong ==
+      f.metadata.getLong("delta.columnMapping.id"))
+    // the mapped append round-trips through physical names
+    PortableDelta.write(Seq((11L, "d11", "fr", 0.5))
+      .toDF("id", "text", "lang", "score").coalesce(1), path, mode = "append")
+    assert(PortableDelta.readTable(spark, path)
+      .filter(col("score") === 0.5).select(col("text")).collect()
+      .head.getString(0) == "d11")
+  }
+
+  test("SET/UNSET TBLPROPERTIES: feature heal, guarded names refuse") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write((0L until 3L).map(i => (i, s"d$i")).toDF("id", "body")
+      .coalesce(1), path)
+    // setting CDF declares the writer feature in the SAME commit
+    val v = PortableDelta.setTableProperties(spark, path,
+      Map(PortableDelta.CdfProp -> "true", "custom.owner" -> "team-x"))
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.configuration(PortableDelta.CdfProp) == "true")
+    assert(snap.configuration("custom.owner") == "team-x")
+    assert(snap.writerFeatures.contains("changeDataFeed"),
+      "the implied feature must be declared with the property")
+    // the feed is live from the next DML on
+    PortableDelta.delete(spark, path, col("id") === 0L)
+    val ch = PortableDelta.readChanges(spark, path, v + 1, v + 1)
+    assert(ch.filter(col("_change_type") === "delete").count() == 1)
+    // unset removes the plain property; missing keys are a no-op
+    PortableDelta.unsetTableProperties(spark, path,
+      Seq("custom.owner", "never.set"))
+    assert(!PortableDelta.snapshot(spark, path)
+      .configuration.contains("custom.owner"))
+    // guarded names refuse with the dedicated verb named
+    val e1 = intercept[IllegalArgumentException] {
+      PortableDelta.setTableProperties(spark, path,
+        Map(PortableDelta.RowTrackingProp -> "true"))
+    }
+    assert(e1.getMessage.contains("enableRowTracking"))
+    val e2 = intercept[IllegalArgumentException] {
+      PortableDelta.unsetTableProperties(spark, path,
+        Seq(PortableDelta.ColumnMappingModeProp))
+    }
+    assert(e2.getMessage.contains("renameColumn"))
+  }
 }
