@@ -6,8 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Model-based fuzz of the WHOLE portable-Delta DML surface: a seeded
   * random sequence of append / overwrite / DELETE / UPDATE / MERGE /
   * OPTIMIZE / Z-ORDER / checkpoint (classic AND v2 sidecar layout,
-  * with checkpoint GC) / vacuum / RESTORE runs against the
-  * real log while a trivial in-memory map applies the same semantics.
+  * with checkpoint GC) / vacuum / RESTORE / SET-UNSET TBLPROPERTIES
+  * (sometimes flipping on the delta.checkpointInterval auto-cadence
+  * for the rest of the run) / net-no-op ADD+DROP COLUMN pairs runs
+  * against the real log while a trivial in-memory map applies the same
+  * semantics.
   * After EVERY op the table read-back must equal the model exactly, and
   * time travel to a random earlier version must equal the model's
   * recorded history — so any cross-op interaction bug (a DV the
@@ -68,7 +71,7 @@ class DeltaModelSpec extends AnyFunSuite {
 
     var lastV = 0L
     for (step <- 1 to nOps) {
-      val op = rnd.nextInt(15)
+      val op = rnd.nextInt(17)
       val modelBefore = model
       op match {
         case 0 | 1 => // append fresh rows
@@ -227,6 +230,38 @@ class DeltaModelSpec extends AnyFunSuite {
                 if (v % 3 != 0) model = model + (id -> ((tag, v)))
             }
           }
+        case 15 => // property toggle (round-10 verbs): a custom marker
+          // property set/unset, and SOMETIMES the auto-checkpoint
+          // cadence (delta.checkpointInterval=2) — every later commit
+          // then interleaves cadence checkpoints with the fuzzed verbs,
+          // the maximal maintenance-interaction surface. Zero expected
+          // state change.
+          val cfgNow = PortableDelta.snapshot(spark, path).configuration
+          if (cfgNow.contains("fuzz.marker")) {
+            trace += "unsetProperties"
+            PortableDelta.unsetTableProperties(spark, path, Seq("fuzz.marker"))
+          } else {
+            val cadence = rnd.nextBoolean()
+            trace += (if (cadence) "setProperties+cadence" else "setProperties")
+            PortableDelta.setTableProperties(spark, path,
+              Map("fuzz.marker" -> s"s$step") ++
+                (if (cadence) Map("delta.checkpointInterval" -> "2")
+                 else Map.empty))
+          }
+        case 16 => // net-no-op ADD/DROP COLUMN pair: the fresh field gets
+          // a col-<uuid> physical name, the drop upgrades the table onto
+          // column mapping — schema and state end unchanged, every later
+          // verb stages physically. Skipped while a constraint is active
+          // (drop guards constraint references by design).
+          val cfg16 = PortableDelta.snapshot(spark, path).configuration
+          if (cfg16.keys.exists(_.startsWith(PortableDelta.ConstraintPrefix))) {
+            trace += "addDropPairSkipped(constraint)"
+          } else {
+            trace += "addDropPair"
+            PortableDelta.addColumn(spark, path, s"w$step",
+              org.apache.spark.sql.types.LongType)
+            PortableDelta.dropColumn(spark, path, s"w$step")
+          }
       }
       val v = syncVersion()
       val got = readBack(path)
@@ -313,5 +348,9 @@ class DeltaModelSpec extends AnyFunSuite {
 
   test("seeded op-sequence fuzz: long interaction run (seed 777, 30 ops)") {
     runSeed(777, 30)
+  }
+
+  test("seeded op-sequence fuzz: ALTER verbs + auto-checkpoint cadence (seed 1010, 26 ops)") {
+    runSeed(1010, 26)
   }
 }
