@@ -2704,6 +2704,73 @@ object StacOps {
           .withColumn("merge_ok", lit(true))
           .orderBy(col("status"))
       },
+      timed = false),
+
+    // ----- Delta TYPE WIDENING (the typeWidening table feature) -----
+    // A column born int32 widens to long METADATA-ONLY: the narrow
+    // files keep their bytes and upcast at scan, a post-widen append
+    // lands values beyond Int.MaxValue, and the old files' int-bounded
+    // stats stay sound bounds under the wider type — the
+    // > Int.MaxValue predicate prunes every narrow file (asserted
+    // in-gate). Oracle recomputes the mixed-width union from raw
+    // events. Feature declared on BOTH protocol sides (readers must
+    // upcast), pinned in-gate.
+    QuerySpec(
+      "stac44_delta_type_widening",
+      Some("""
+        WITH narrow AS (
+          SELECT event_type, CAST(event_id % 100000 AS BIGINT) AS nid
+          FROM events WHERE event_id % 2 = 0
+        ), wide AS (
+          SELECT event_type, event_id % 100000 + 2147483648 AS nid
+          FROM events WHERE event_id % 2 = 1
+        ), fin AS (SELECT * FROM narrow UNION ALL SELECT * FROM wide)
+        SELECT event_type, count(*) AS n_rows,
+               CAST(sum(nid) AS BIGINT) AS nid_sum,
+               CAST(sum(CASE WHEN nid > 2147483647 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_wide,
+               true AS widen_ok
+        FROM fin GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val ev = Tables.t(s, dir, "events")
+        val out = java.nio.file.Files.createTempDirectory("stac44").toString + "/tbl"
+        PortableDelta.write(
+          ev.filter(col("event_id") % 2 === 0)
+            .select(col("event_type"),
+              (col("event_id") % 100000).cast("int").as("nid"))
+            .repartition(4), out,
+          properties = Map("delta.enableTypeWidening" -> "true"))      // v0
+        require(PortableDelta.snapshot(s, out).schema("nid").dataType ==
+          org.apache.spark.sql.types.IntegerType, "gate needs an int32 start")
+        PortableDelta.widenColumnType(s, out, "nid",
+          org.apache.spark.sql.types.LongType)                         // v1
+        val snap1 = PortableDelta.snapshot(s, out)
+        require(snap1.readerFeatures.contains("typeWidening") &&
+          snap1.writerFeatures.contains("typeWidening"),
+          "the widening commit must declare the feature both sides")
+        PortableDelta.write(
+          ev.filter(col("event_id") % 2 === 1)
+            .select(col("event_type"),
+              (col("event_id") % 100000 + 2147483648L).as("nid"))
+            .repartition(2), out, mode = "append")                     // v2
+        // int-bounded stats remain sound long bounds: the wide-only
+        // predicate prunes EVERY narrow file
+        val snap2 = PortableDelta.snapshot(s, out)
+        val (kept, pruned) = PortableDelta.statsPrune(s, snap2,
+          col("nid") > Int.MaxValue.toLong)
+        require(kept.size == 2 && pruned == 4,
+          s"narrow files must prune under the wide predicate: " +
+            s"kept ${kept.size}, pruned $pruned")
+        PortableDelta.readTable(s, out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("nid")).as("nid_sum"),
+            sum(when(col("nid") > Int.MaxValue.toLong, 1L).otherwise(0L))
+              .as("n_wide"))
+          .withColumn("widen_ok", lit(true))
+          .orderBy(col("event_type"))
+      },
       timed = false)
   )
 }

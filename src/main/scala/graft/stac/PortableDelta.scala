@@ -5,7 +5,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType}
 import scala.jdk.CollectionConverters._
 
 /** K3 without the jar: a minimal, PORTABLE Delta Lake transaction-log
@@ -48,7 +48,7 @@ object PortableDelta {
     * version-3 table iff it supports EVERY listed reader feature). */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck", "typeWidening")
 
   /** Writer features this engine implements — the spec's WRITER gate:
     * a writer may commit to a version-7 table only if it implements
@@ -61,7 +61,7 @@ object PortableDelta {
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "v2Checkpoint", "timestampNtz", "inCommitTimestamp",
     "rowTracking", "domainMetadata", "clustering", "vacuumProtocolCheck",
-    "allowColumnDefaults")
+    "allowColumnDefaults", "typeWidening")
 
   /** The writer gate ([[SupportedWriterFeatures]]). Legacy versions
     * (writer ≤ 6) imply only features this engine implements, so they
@@ -3159,6 +3159,87 @@ object PortableDelta {
           if (attempt > maxRetries)
             throw new IllegalStateException(
               s"addColumn($name) on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The typeWidening feature's permitted promotions — every pair is
+    * losslessly containable AND one Spark's parquet reader upcasts
+    * natively when old files carry the narrower physical type
+    * (verified: int32→long/double, float→double, int32 date→ntz).
+    * long→double is NOT here (lossy above 2^53), per spec. */
+  private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (DateType, TimestampNTZType) => true
+    case _ => false
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN ... TYPE — the `typeWidening` table
+    * feature: a metadata-only commit changing a column to a WIDER type
+    * ([[widens]]); existing files keep their narrower parquet bytes and
+    * the scan upcasts them (Spark's reader does this natively), new
+    * writes land wide. The spec's per-field change history
+    * (`delta.typeWidening` metadata: fromType/toType/tableVersion) is
+    * recorded so external readers know which files predate the change.
+    * Requires `delta.enableTypeWidening=true` (the delta opt-in — set
+    * it via [[setTableProperties]]); declares the `typeWidening`
+    * feature on BOTH protocol sides. Old stats keep skipping (a
+    * narrower min/max is still a sound bound under the wider type);
+    * date→timestampNtz stats stop pruning (string shape changes) —
+    * conservative, never wrong. */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+                      newType: DataType, maxRetries: Int = 10): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = smallSnapshot(spark, path)
+      requireWritable(snap, path)
+      require(snap.configuration.get("delta.enableTypeWidening").contains("true"),
+        s"type widening on $path needs delta.enableTypeWidening=true " +
+          "(setTableProperties)")
+      val i = snap.schema.fieldIndex(name)
+      val f = snap.schema.fields(i)
+      require(widens(f.dataType, newType),
+        s"cannot widen $name: ${f.dataType.simpleString} -> " +
+          s"${newType.simpleString} is not a lossless promotion " +
+          "(byte/short/int->long/double, float->double, date->timestamp_ntz)")
+      val v = snap.version + 1
+      val hist = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString("fromType", f.dataType.typeName)
+        .putString("toType", newType.typeName)
+        .putLong("tableVersion", v).build()
+      val prior0 =
+        if (f.metadata.contains("delta.typeWidening"))
+          f.metadata.getMetadataArray("delta.typeWidening").toSeq
+        else Nil
+      val fm = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putMetadataArray("delta.typeWidening", (prior0 :+ hist).toArray)
+        .build()
+      val newSchema = StructType(snap.schema.fields.updated(i,
+        f.copy(dataType = newType, metadata = fm)))
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now,
+        s"ALTER COLUMN ($name TYPE ${newType.simpleString})")
+      featureUpgradeAction(snap, Seq("typeWidening"), Seq("typeWidening"))
+        .foreach(actions += _)
+      actions += metaDataAction(snap.tableId, newSchema, snap.configuration,
+        now, snap.partitionColumns)
+      try {
+        commit(conf, path, v, actions.result(), snap.configuration)
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"widenColumnType($name) on $path lost the commit race " +
                 s"$attempt times (last: ${e.getMessage})", e)
       }
     }
