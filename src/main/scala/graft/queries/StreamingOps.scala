@@ -907,8 +907,8 @@ object StreamingOps {
         val src1 = new DeltaTableSource(s, tbl, ck,
           maxVersionsPerTrigger = 1, startingVersion = Some(0L))
         var triggers = 0
-        for (_ <- 0 until 2) src1.readAvailable().foreach { case (df, to) =>
-          apply(df, to); src1.commitProgress(to); triggers += 1
+        for (_ <- 0 until 2) src1.readAvailable().foreach { case (df, off) =>
+          apply(df, off.version); src1.commitProgress(off); triggers += 1
         }
         require(triggers == 2 && src1.watermark.contains(1L),
           s"expected 2 one-version triggers, got $triggers/${src1.watermark}")
@@ -936,10 +936,10 @@ object StreamingOps {
         // reaches the same state in one trigger
         val ck2 = java.nio.file.Files.createTempDirectory("st18_ck2").toString
         val late = new DeltaTableSource(s, tbl, ck2)
-        val Some((snapRows, to2)) = late.readAvailable()
+        val Some((snapRows, off2)) = late.readAvailable()
         val lateAgg = snapRows.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
-        require(to2 == 3L && lateAgg.except(direct).isEmpty &&
+        require(off2.version == 3L && lateAgg.except(direct).isEmpty &&
           direct.except(lateAgg).isEmpty,
           "the snapshot batch must equal the direct read")
         downstream

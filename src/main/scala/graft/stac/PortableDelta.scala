@@ -1786,32 +1786,91 @@ object PortableDelta {
     val fs = logDir(path).getFileSystem(conf)
     val endSnap = snapshotAt(spark, path, toVersion)
     val born = Seq.newBuilder[AddFile]
-    for (v <- fromVersion to toVersion) {
-      val p = new Path(logDir(path), versionFileName(v))
-      require(fs.exists(p),
-        s"append stream needs commit $v of $path but its JSON is not " +
-          "available (checkpoint-truncated log)")
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      val nodes = lines.filter(_.nonEmpty).map(mapper.readTree)
-      val adds = nodes.filter(_.has("add")).map(_.get("add"))
-        .filter(a => Option(a.get("dataChange")).forall(_.asBoolean()))
-        .map(parseAddNode)
-      val removes = nodes.filter(_.has("remove")).map(_.get("remove"))
-        .filter(r => Option(r.get("dataChange")).forall(_.asBoolean()))
-      if (removes.isEmpty) born ++= adds
-      else if (skipChangeCommits) () // the whole commit is skipped, adds too
-      else if (adds.isEmpty && ignoreDeletes) () // delete-only commit
-      else throw new IllegalStateException(
-        s"version $v of $path ${if (adds.isEmpty) "deletes" else "changes"} " +
-          "existing rows; an append stream cannot represent that — set " +
-          "skipChangeCommits=true (skip data-changing commits) or, for " +
-          "delete-only commits, ignoreDeletes=true; row-level fidelity " +
-          "wants the CDF source (readChanges)")
-    }
+    for (v <- fromVersion to toVersion)
+      born ++= appendAddsOf(fs, path, v, ignoreDeletes, skipChangeCommits)
     buildScan(spark, path, endSnap.copy(files = born.result()),
       withPos = false, applyDvs = true)
+  }
+
+  /** One commit's append-stream contribution: its `dataChange=true` add
+    * files in commit order — empty when the commit is skippable under
+    * the caller's options, error when it changes rows and is not. */
+  private def appendAddsOf(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                           v: Long, ignoreDeletes: Boolean,
+                           skipChangeCommits: Boolean): Seq[AddFile] = {
+    val p = new Path(logDir(path), versionFileName(v))
+    require(fs.exists(p),
+      s"append stream needs commit $v of $path but its JSON is not " +
+        "available (checkpoint-truncated log)")
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val nodes = lines.filter(_.nonEmpty).map(mapper.readTree)
+    val adds = nodes.filter(_.has("add")).map(_.get("add"))
+      .filter(a => Option(a.get("dataChange")).forall(_.asBoolean()))
+      .map(parseAddNode)
+    val removes = nodes.filter(_.has("remove")).map(_.get("remove"))
+      .filter(r => Option(r.get("dataChange")).forall(_.asBoolean()))
+    if (removes.isEmpty) adds
+    else if (skipChangeCommits) Nil // the whole commit is skipped, adds too
+    else if (adds.isEmpty && ignoreDeletes) Nil // delete-only commit
+    else throw new IllegalStateException(
+      s"version $v of $path ${if (adds.isEmpty) "deletes" else "changes"} " +
+        "existing rows; an append stream cannot represent that — set " +
+        "skipChangeCommits=true (skip data-changing commits) or, for " +
+        "delete-only commits, ignoreDeletes=true; row-level fidelity " +
+        "wants the CDF source (readChanges)")
+  }
+
+  /** A FILE-GRANULAR append-stream window (the delta source's
+    * `maxFilesPerTrigger` shape): starting at `fromVersion` with
+    * `fromFileOffset` of its add files already consumed, take up to
+    * `maxFiles` files across at most `maxVersions` commits (bounded by
+    * `toVersionMax`) and return them as ONE scan plus the end offset —
+    * `(df, endVersion, filesConsumedOfEndVersion, endVersionComplete)`.
+    * A commit bigger than the budget is split across triggers in commit
+    * order, so a 50k-file backfill commit drains in bounded batches
+    * instead of one giant plan. Files scan with the END version's
+    * schema (mid-window schema changes surface at the scan, same as
+    * [[readAppends]]). */
+  def readAppendsWindow(spark: SparkSession, path: String,
+                        fromVersion: Long, fromFileOffset: Int,
+                        toVersionMax: Long, maxVersions: Int, maxFiles: Int,
+                        ignoreDeletes: Boolean = false,
+                        skipChangeCommits: Boolean = false)
+      : (DataFrame, Long, Int, Boolean) = {
+    require(fromVersion >= 0 && fromFileOffset >= 0 &&
+      maxVersions >= 1 && maxFiles >= 1,
+      s"bad window args ($fromVersion, $fromFileOffset, $maxVersions, $maxFiles)")
+    require(fromVersion <= toVersionMax,
+      s"window start $fromVersion past table version $toVersionMax")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    val taken = Seq.newBuilder[AddFile]
+    var took = 0
+    var v = fromVersion
+    var off = fromFileOffset
+    var endV = fromVersion
+    var endOff = fromFileOffset
+    var endComplete = false
+    var versions = 0
+    var done = false
+    while (!done) {
+      val adds = appendAddsOf(fs, path, v, ignoreDeletes, skipChangeCommits)
+      require(off <= adds.size,
+        s"offset $off past the ${adds.size} append files of commit $v at $path")
+      val take = math.min(adds.size - off, maxFiles - took)
+      taken ++= adds.slice(off, off + take)
+      took += take
+      endV = v; endOff = off + take; endComplete = endOff == adds.size
+      versions += 1
+      if (!endComplete || v == toVersionMax || took >= maxFiles ||
+          versions >= maxVersions) done = true
+      else { v += 1; off = 0 }
+    }
+    val endSnap = snapshotAt(spark, path, endV)
+    (buildScan(spark, path, endSnap.copy(files = taken.result()),
+      withPos = false, applyDvs = true), endV, endOff, endComplete)
   }
 
   /** Outcome of a [[merge]]: committed version plus the three row

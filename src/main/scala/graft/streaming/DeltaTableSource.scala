@@ -37,79 +37,112 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
                              maxVersionsPerTrigger: Int = 32,
                              startingVersion: Option[Long] = None,
                              ignoreDeletes: Boolean = false,
-                             skipChangeCommits: Boolean = false) {
+                             skipChangeCommits: Boolean = false,
+                             maxFilesPerTrigger: Option[Int] = None) {
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
   startingVersion.foreach(v => require(v >= 0,
     s"startingVersion must be >= 0, got $v"))
+  maxFilesPerTrigger.foreach(n => require(n >= 1,
+    s"maxFilesPerTrigger must be >= 1, got $n"))
 
   private val conf = spark.sessionState.newHadoopConf()
   private val ckPath = new Path(checkpointDir, "table-version-watermark")
   private val fs = ckPath.getFileSystem(conf)
 
-  /** The last PROCESSED version, or None before the first committed
-    * batch (restored from the checkpoint — a restarted consumer resumes
-    * exactly where its last committed batch ended, never re-running the
-    * snapshot batch). */
-  def watermark: Option[Long] =
+  /** The consumer's durable offset: `version` with `filesConsumed` of
+    * its append files delivered (`complete` = the whole commit is).
+    * Serialized as `v` (complete — back-compatible with the plain
+    * version watermark) or `v:k` (mid-commit, under
+    * `maxFilesPerTrigger`). */
+  final case class Offset(version: Long, filesConsumed: Int,
+                          complete: Boolean) {
+    def token: String =
+      if (complete) version.toString else s"$version:$filesConsumed"
+  }
+
+  private def parseOffset(s: String): Offset = s.split(':') match {
+    case Array(v) => Offset(v.toLong, -1, complete = true)
+    case Array(v, k) => Offset(v.toLong, k.toInt, complete = false)
+  }
+
+  /** The stored offset, or None before the first committed batch. */
+  def offset: Option[Offset] =
     if (!fs.exists(ckPath)) None
     else {
       val in = fs.open(ckPath)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      try Some(parseOffset(
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim))
       finally in.close()
     }
 
+  /** The last FULLY processed version, or None before the first
+    * committed batch (mid-commit offsets report the previous version —
+    * the version itself has undelivered files). */
+  def watermark: Option[Long] = offset.map(o =>
+    if (o.complete) o.version else o.version - 1)
+
   /** One trigger's read, or None when caught up. Does NOT advance the
-    * watermark — call [[commitProgress]] after the batch lands. */
-  def readAvailable(): Option[(DataFrame, Long)] = {
+    * offset — call [[commitProgress]] after the batch lands. */
+  def readAvailable(): Option[(DataFrame, Offset)] = {
     val cur = PortableDelta.currentVersion(spark, tablePath)
-    watermark match {
+    val start: Option[(Long, Int)] = offset match {
       case None =>
         startingVersion match {
           case None =>
             // initial snapshot batch, pinned at the poll's version
-            Some((PortableDelta.readTable(spark, tablePath, cur), cur))
-          case Some(v0) =>
-            if (v0 > cur) None
-            else {
-              val to = math.min(cur, v0 + maxVersionsPerTrigger - 1)
-              Some((PortableDelta.readAppends(spark, tablePath, v0, to,
-                ignoreDeletes, skipChangeCommits), to))
-            }
+            return Some((PortableDelta.readTable(spark, tablePath, cur),
+              Offset(cur, -1, complete = true)))
+          case Some(v0) => if (v0 > cur) None else Some((v0, 0))
         }
-      case Some(wm) =>
-        val from = wm + 1
-        if (from > cur) None
-        else {
-          val to = math.min(cur, from + maxVersionsPerTrigger - 1)
-          Some((PortableDelta.readAppends(spark, tablePath, from, to,
-            ignoreDeletes, skipChangeCommits), to))
-        }
+      case Some(o) =>
+        if (o.complete) {
+          if (o.version + 1 > cur) None else Some((o.version + 1, 0))
+        } else Some((o.version, o.filesConsumed))
+    }
+    start.map { case (fromV, fromOff) =>
+      maxFilesPerTrigger match {
+        case Some(mf) =>
+          val (df, endV, endOff, endComplete) =
+            PortableDelta.readAppendsWindow(spark, tablePath, fromV, fromOff,
+              cur, maxVersionsPerTrigger, mf, ignoreDeletes, skipChangeCommits)
+          (df, Offset(endV, endOff, endComplete))
+        case None =>
+          val to = math.min(cur, fromV + maxVersionsPerTrigger - 1)
+          (PortableDelta.readAppends(spark, tablePath, fromV, to,
+            ignoreDeletes, skipChangeCommits), Offset(to, -1, complete = true))
+      }
     }
   }
 
-  /** Advance the watermark to `endVersion` — atomic overwrite-rename;
-    * call only after the batch's effects are durable. */
-  def commitProgress(endVersion: Long): Unit = {
+  /** Advance the durable offset — atomic overwrite-rename; call only
+    * after the batch's effects are durable. */
+  def commitProgress(off: Offset): Unit = {
     fs.mkdirs(ckPath.getParent)
     val tmp = new Path(ckPath.getParent,
       s".wm-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
-    try out.write(endVersion.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(off.token.getBytes("UTF-8")) finally out.close()
     val fc = FileContext.getFileContext(fs.getUri, conf)
     fc.rename(tmp, ckPath, Options.Rename.OVERWRITE)
   }
 
+  /** Version-granular convenience (the common no-rate-limit path). */
+  def commitProgress(endVersion: Long): Unit =
+    commitProgress(Offset(endVersion, -1, complete = true))
+
   /** Trigger.AvailableNow drain: read → process → commit until caught
-    * up (commits landing mid-drain are picked up too). Returns the
-    * number of batches processed. */
+    * up (commits landing mid-drain are picked up too). The callback
+    * receives the window's end VERSION; under `maxFilesPerTrigger` a
+    * split commit invokes it once per slice with the same version.
+    * Returns the number of batches processed. */
   def runAvailableNow(process: (DataFrame, Long) => Unit): Int = {
     var n = 0
     var more = true
     while (more) readAvailable() match {
-      case Some((rows, to)) =>
-        process(rows, to)
-        commitProgress(to)
+      case Some((rows, off)) =>
+        process(rows, off.version)
+        commitProgress(off)
         n += 1
       case None => more = false
     }

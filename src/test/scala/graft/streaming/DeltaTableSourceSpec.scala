@@ -29,11 +29,11 @@ class DeltaTableSourceSpec extends AnyFunSuite {
     PortableDelta.delete(spark, tbl, col("id") === 0L)                // v2
     // pre-start history may be arbitrary — the snapshot batch absorbs it
     val src = new DeltaTableSource(spark, tbl, ck)
-    val Some((snap, to0)) = src.readAvailable()
-    assert(to0 == 2L && snap.count() == 5L, "snapshot batch = current rows")
+    val Some((snap, o0)) = src.readAvailable()
+    assert(o0.version == 2L && snap.count() == 5L, "snapshot batch = current rows")
     // uncommitted: the same snapshot batch re-delivers
-    assert(src.readAvailable().map(_._2).contains(2L))
-    src.commitProgress(to0)
+    assert(src.readAvailable().map(_._2.version).contains(2L))
+    src.commitProgress(o0)
     assert(src.readAvailable().isEmpty, "caught up after the snapshot")
     PortableDelta.write(df(Seq(20L), "b").coalesce(1), tbl,
       mode = "append")                                                // v3
@@ -42,12 +42,47 @@ class DeltaTableSourceSpec extends AnyFunSuite {
     // a RESTARTED consumer resumes at the watermark — no snapshot re-run
     val src2 = new DeltaTableSource(spark, tbl, ck, maxVersionsPerTrigger = 1)
     val Some((w1, t1)) = src2.readAvailable()
-    assert(t1 == 3L && w1.collect().map(_.getLong(0)).toSeq == Seq(20L))
+    assert(t1.version == 3L && w1.collect().map(_.getLong(0)).toSeq == Seq(20L))
     src2.commitProgress(t1)
     val Some((w2, t2)) = src2.readAvailable()
-    assert(t2 == 4L && w2.collect().map(_.getLong(0)).toSeq == Seq(21L))
+    assert(t2.version == 4L && w2.collect().map(_.getLong(0)).toSeq == Seq(21L))
     src2.commitProgress(t2)
     assert(src2.readAvailable().isEmpty && src2.watermark.contains(4L))
+  }
+
+  test("maxFilesPerTrigger splits big commits; no row lost or duplicated") {
+    val tbl = tmp("tsrc5"); val ck = tmp("tsrc5-ck")
+    PortableDelta.write(df(0L until 9L, "a").repartition(3), tbl)     // v0: 3 files
+    PortableDelta.write(df(10L until 16L, "b").repartition(2), tbl,
+      mode = "append")                                                // v1: 2 files
+    val src = new DeltaTableSource(spark, tbl, ck,
+      startingVersion = Some(0L), maxFilesPerTrigger = Some(2))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[String]
+    var more = true
+    while (more) src.readAvailable() match {
+      case Some((rows, off)) =>
+        seen ++= rows.collect().map(_.getLong(0))
+        offsets += off.token
+        src.commitProgress(off)
+      case None => more = false
+    }
+    // v0's 3 files split 2+1, the second trigger rolls into v1
+    assert(offsets.toSeq == Seq("0:2", "1:1", "1"), s"got $offsets")
+    assert(seen.sorted == ((0L until 9L) ++ (10L until 16L)),
+      "every appended row exactly once across the split triggers")
+    assert(src.watermark.contains(1L) && src.readAvailable().isEmpty)
+    // restart mid-commit: an uncommitted partial trigger re-delivers
+    // the SAME slice
+    val ck2 = tmp("tsrc5-ck2")
+    val srcB = new DeltaTableSource(spark, tbl, ck2,
+      startingVersion = Some(0L), maxFilesPerTrigger = Some(2))
+    val Some((b1, ob1)) = srcB.readAvailable()
+    val rows1 = b1.collect().map(_.getLong(0)).toSet
+    val Some((b1again, ob1again)) = srcB.readAvailable() // not committed
+    assert(ob1.token == ob1again.token &&
+      b1again.collect().map(_.getLong(0)).toSet == rows1,
+      "an uncommitted slice must re-deliver identically")
   }
 
   test("startingVersion replays history; dataChange=false commits add nothing") {
@@ -94,8 +129,8 @@ class DeltaTableSourceSpec extends AnyFunSuite {
     // skipChangeCommits drops v1 wholesale: v0's rows + v2's append
     val src = new DeltaTableSource(spark, tbl, ck,
       startingVersion = Some(0L), skipChangeCommits = true)
-    val Some((rows, to)) = src.readAvailable()
-    assert(to == 2L && rows.count() == 5L)
+    val Some((rows, off)) = src.readAvailable()
+    assert(off.version == 2L && rows.count() == 5L)
     assert(rows.filter(col("tag") === "UP").count() == 0L,
       "the skipped UPDATE's rewritten rows must not re-deliver")
   }
@@ -120,7 +155,7 @@ class DeltaTableSourceSpec extends AnyFunSuite {
     // at-least-once superset (ids 10-12 were appended, then deleted)
     assert(got.count() == 7L)
     val src = new DeltaTableSource(spark, tbl, ck, ignoreDeletes = true)
-    val Some((snap, to)) = src.readAvailable() // snapshot mode: 4 live rows
-    assert(to == 3L && snap.count() == 4L)
+    val Some((snap, off)) = src.readAvailable() // snapshot mode: 4 live rows
+    assert(off.version == 3L && snap.count() == 4L)
   }
 }
