@@ -122,6 +122,24 @@ object DeltaBench {
           s"maintenance must touch only the new files, got $st")
       }
 
+      results("source_drain") = timeVerb("source_drain") { () =>
+        // the append-stream source catching up on a 16-commit backlog
+        // (setup untimed): per-trigger windowed scans + watermark IO
+        val t = fresh("src")
+        (0 until 16).foreach(k => PortableDelta.write(
+          orders.filter(col("okey") % 100L === k.toLong).coalesce(1),
+          t, mode = "append"))
+        t
+      } { t =>
+        val ck = java.nio.file.Files.createTempDirectory("dbench-srcck").toString
+        val src = new graft.streaming.DeltaTableSource(spark, t, ck,
+          maxVersionsPerTrigger = 4, startingVersion = Some(0L))
+        var rows = 0L
+        val triggers = src.runAvailableNow((df, _) => rows += df.count())
+        require(triggers >= 4 && rows > nRows,
+          s"drain must window the backlog: $triggers triggers, $rows rows")
+      }
+
       // ---- wide-log replay probe: snapshot construction vs log shape —
       // the metadata cost the query trend rows can't see. One synthetic
       // 2000-commit log (fake adds with stats — replay never opens data
