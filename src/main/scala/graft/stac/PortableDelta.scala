@@ -4455,7 +4455,10 @@ object PortableDelta {
     val cols = DeltaStats.statsColumns(phys, st.configuration, logOpt)
     val mm = StructType(cols.map { case (n, dt) => StructField(n, dt) })
     val nc = StructType(cols.map { case (n, _) => StructField(n, LongType) })
-    StructType(Seq(
+    // an empty selection (dataSkippingNumIndexedCols=0, all-ineligible
+    // schema) keeps numRecords only — parquet cannot write empty groups
+    if (cols.isEmpty) StructType(Seq(StructField("numRecords", LongType)))
+    else StructType(Seq(
       StructField("numRecords", LongType),
       StructField("minValues", mm), StructField("maxValues", mm),
       StructField("nullCount", nc)))

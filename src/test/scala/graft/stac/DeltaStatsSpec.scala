@@ -234,5 +234,19 @@ class DeltaStatsSpec extends AnyFunSuite {
       PortableDelta.checkpoint(spark, p3)
     }
     assert(e.getMessage.contains("writeStatsAsStruct"))
+    // an EMPTY stats selection still checkpoints (numRecords-only
+    // struct — parquet cannot write empty groups)
+    val p4 = tmp()
+    mk(p4, Map("delta.checkpoint.writeStatsAsStruct" -> "true",
+      "delta.dataSkippingNumIndexedCols" -> "0"))
+    PortableDelta.checkpoint(spark, p4)
+    val ck4 = spark.read.parquet(
+      s"$p4/_delta_log/${"%020d".format(0L)}.checkpoint.parquet")
+    val spT = ck4.schema("add").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("stats_parsed")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(spT.fieldNames.toSeq == Seq("numRecords"))
+    assert(PortableDelta.snapshot(spark, p4).version == 0L &&
+      PortableDelta.readTable(spark, p4).count() == 40L)
   }
 }
