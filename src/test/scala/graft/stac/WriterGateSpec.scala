@@ -67,6 +67,13 @@ class WriterGateSpec extends AnyFunSuite {
     refused(PortableDelta.enableInCommitTimestamps(spark, path))
     refused(PortableDelta.renameColumn(spark, path, "v", "w"))
     refused(PortableDelta.vacuum(spark, path, graceMillis = 0L))
+    // the late-round-10 ALTER verbs gate identically
+    refused(PortableDelta.addColumn(spark, path, "z",
+      org.apache.spark.sql.types.LongType))
+    refused(PortableDelta.setTableProperties(spark, path, Map("x" -> "y")))
+    refused(PortableDelta.unsetTableProperties(spark, path, Seq("x")))
+    refused(PortableDelta.widenColumnType(spark, path, "v",
+      org.apache.spark.sql.types.LongType))
     // the log is untouched by all those refusals
     assert(PortableDelta.snapshot(spark, path).version == 1L)
   }
