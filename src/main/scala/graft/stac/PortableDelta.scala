@@ -3869,6 +3869,57 @@ object PortableDelta {
       clusteringProvider = Some(ClusteringProviderName))
   }
 
+  /** ALTER TABLE ... CLUSTER BY — declare (or with `Nil`, remove: the
+    * SQL `CLUSTER BY NONE`) the table's clustering dimensions WITHOUT
+    * rewriting any data: a metadata-only commit publishing the
+    * `delta.clustering` domain (physical column names) and the
+    * `clustering` writer feature. Every file stays provider-less, so
+    * the next [[optimizeClusterIncremental]] clusters the whole table
+    * once and then maintains it append-by-append — the delta
+    * `CREATE/ALTER TABLE ... CLUSTER BY` split of declaration vs
+    * layout work. Small-state read; O(1) driver cost. */
+  def alterClusterBy(spark: SparkSession, path: String, cols: Seq[String],
+                     maxRetries: Int = 10): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val snap = smallSnapshot(spark, path)
+      requireWritable(snap, path)
+      val byName = snap.schema.fields.map(f => f.name -> f).toMap
+      cols.foreach(c => require(byName.contains(c),
+        s"clustering column $c not in " +
+          snap.schema.fieldNames.mkString("[", ", ", "]")))
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      if (cols.isEmpty) {
+        actions += commitInfo(now, "CLUSTER BY NONE")
+        actions += domainMetadataAction("delta.clustering", "", removed = true)
+      } else {
+        actions += commitInfo(now, s"CLUSTER BY (${cols.mkString(", ")})")
+        featureUpgradeAction(snap, Nil, Seq("clustering", "domainMetadata"))
+          .foreach(actions += _)
+        val cfgNode = mapper.createObjectNode()
+        val arr = cfgNode.putArray("clusteringColumns")
+        cols.foreach { c => arr.addArray().add(physFieldName(byName(c))) }
+        actions += domainMetadataAction("delta.clustering",
+          mapper.writeValueAsString(cfgNode))
+      }
+      try {
+        commit(conf, path, snap.version + 1, actions.result(),
+          snap.configuration)
+        return snap.version + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"alterClusterBy on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The provider name this engine's clustering rewrites stamp on their
     * add actions (delta-spark's liquid-clustering value — files carrying
     * it are IN the clustered layout; provider-less files are not yet). */

@@ -244,6 +244,46 @@ class OptimizeSpec extends AnyFunSuite {
       "grace window must keep recently-written files")
   }
 
+  test("ALTER CLUSTER BY declares dimensions; the incremental pass does the layout work") {
+    val path = tmp()
+    val s = spark; import s.implicits._
+    PortableDelta.write((0L until 4000L).map(i => (i, i % 100L, i / 100L))
+      .toDF("id", "x", "y").repartition(4), path)
+    val v0Files = PortableDelta.snapshot(spark, path).files.map(_.path).toSet
+    // declaration is metadata-only: no file moves, domain + feature land
+    PortableDelta.alterClusterBy(spark, path, Seq("x", "y"))
+    val snapD = PortableDelta.snapshot(spark, path)
+    assert(snapD.files.map(_.path).toSet == v0Files, "CLUSTER BY moves no data")
+    assert(snapD.writerFeatures.contains("clustering"))
+    assert(snapD.domainMetadata("delta.clustering").contains("clusteringColumns"))
+    // unknown column refuses by name
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.alterClusterBy(spark, path, Seq("nope"))
+    }
+    assert(e.getMessage.contains("nope"))
+    // the first incremental pass clusters the WHOLE (provider-less)
+    // table; pruning on the declared dims then holds
+    val st = PortableDelta.optimizeClusterIncremental(spark, path,
+      targetFileBytes = math.max(1L,
+        snapD.files.map(_.size).sum / 4))
+    assert(st.removedFiles == 4 && st.addedFiles >= 3, s"got $st")
+    val snapC = PortableDelta.snapshot(spark, path)
+    assert(snapC.files.forall(_.clusteringProvider.isDefined))
+    val (kept, pruned) = PortableDelta.statsPrune(spark, snapC, col("y") >= 30L)
+    assert(pruned > 0 && kept.nonEmpty, s"clustered pruning: $pruned pruned")
+    assert(PortableDelta.readTableWhere(spark, path, col("y") >= 30L)
+      .count() == 1000L)
+    // CLUSTER BY NONE removes the domain; maintenance then refuses with
+    // the establishment hint
+    PortableDelta.alterClusterBy(spark, path, Nil)
+    assert(!PortableDelta.snapshot(spark, path)
+      .domainMetadata.contains("delta.clustering"))
+    val e2 = intercept[IllegalArgumentException] {
+      PortableDelta.optimizeClusterIncremental(spark, path)
+    }
+    assert(e2.getMessage.contains("delta.clustering"))
+  }
+
   test("vacuum's default grace resolves delta.deletedFileRetentionDuration") {
     val path = tmp()
     val s = spark; import s.implicits._

@@ -74,6 +74,7 @@ class WriterGateSpec extends AnyFunSuite {
     refused(PortableDelta.unsetTableProperties(spark, path, Seq("x")))
     refused(PortableDelta.widenColumnType(spark, path, "v",
       org.apache.spark.sql.types.LongType))
+    refused(PortableDelta.alterClusterBy(spark, path, Seq("v")))
     // the log is untouched by all those refusals
     assert(PortableDelta.snapshot(spark, path).version == 1L)
   }
