@@ -4534,9 +4534,27 @@ object PortableDelta {
         "delta.checkpoint.writeStatsAsStruct=true — a checkpoint must " +
         "carry stats in some form")
     var out = df
-    if (asStruct)
+    if (asStruct) {
       out = out.withColumn("add", col("add").withField("stats_parsed",
         from_json(col("add.stats"), statsParsedType(st))))
+      // the struct shape's sibling: TYPED partition values
+      // (partitionValues_parsed — keys are the physical names the
+      // string map already carries on mapped tables)
+      if (st.partitionCols.nonEmpty) {
+        val logical = DataType.fromJson(st.schemaJson).asInstanceOf[StructType]
+        val byName = logical.fields.map(f => f.name -> f).toMap
+        val typed = org.apache.spark.sql.functions.struct(
+          st.partitionCols.map { c =>
+            val f = byName(c)
+            val pn = physFieldName(f)
+            org.apache.spark.sql.functions
+              .element_at(col("add.partitionValues"), pn)
+              .cast(f.dataType).as(pn)
+          }: _*)
+        out = out.withColumn("add",
+          col("add").withField("partitionValues_parsed", typed))
+      }
+    }
     if (!asJson)
       out = out.withColumn("add", col("add").dropFields("stats"))
     out

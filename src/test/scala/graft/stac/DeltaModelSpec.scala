@@ -242,10 +242,13 @@ class DeltaModelSpec extends AnyFunSuite {
             PortableDelta.unsetTableProperties(spark, path, Seq("fuzz.marker"))
           } else {
             val cadence = rnd.nextBoolean()
-            trace += (if (cadence) "setProperties+cadence" else "setProperties")
+            val v2 = rnd.nextBoolean()
+            trace += (if (cadence) s"setProperties+cadence(v2=$v2)"
+                      else "setProperties")
             PortableDelta.setTableProperties(spark, path,
               Map("fuzz.marker" -> s"s$step") ++
-                (if (cadence) Map("delta.checkpointInterval" -> "2")
+                (if (cadence) Map("delta.checkpointInterval" -> "2",
+                  "delta.checkpointPolicy" -> (if (v2) "v2" else "classic"))
                  else Map.empty))
           }
         case 16 => // net-no-op ADD/DROP COLUMN pair: the fresh field gets

@@ -234,6 +234,22 @@ class DeltaStatsSpec extends AnyFunSuite {
       PortableDelta.checkpoint(spark, p3)
     }
     assert(e.getMessage.contains("writeStatsAsStruct"))
+    // a hive-partitioned table additionally carries TYPED partition
+    // values (partitionValues_parsed) beside the spec string map
+    val p5 = tmp()
+    val pdf = (0L until 40L).map(i => (i, i % 4, s"doc $i"))
+      .toDF("id", "bucket", "body")
+    PortableDelta.write(pdf, p5, partitionBy = Seq("bucket"),
+      properties = Map("delta.checkpoint.writeStatsAsStruct" -> "true"))
+    PortableDelta.checkpoint(spark, p5)
+    val ck5 = spark.read.parquet(
+      s"$p5/_delta_log/${"%020d".format(0L)}.checkpoint.parquet")
+    val pvp = ck5.where(col("add").isNotNull)
+      .select(col("add.partitionValues_parsed.bucket"))
+    assert(pvp.schema.fields.head.dataType ==
+      org.apache.spark.sql.types.LongType, "typed, not string")
+    assert(pvp.collect().map(_.getLong(0)).toSet == Set(0L, 1L, 2L, 3L))
+
     // an EMPTY stats selection still checkpoints (numRecords-only
     // struct — parquet cannot write empty groups)
     val p4 = tmp()
