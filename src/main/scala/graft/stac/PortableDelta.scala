@@ -2683,6 +2683,20 @@ object PortableDelta {
     * (metaData is re-stated when it differs). Commit races rebase,
     * bounded by `maxRetries`. Restoring the current version commits
     * nothing. */
+  /** RESTORE ... TO TIMESTAMP AS OF — resolves the instant through the
+    * monotonic commit-time rule ([[versionAtTimestamp]], ICT-aware)
+    * then restores that version. */
+  def restoreAtTimestamp(spark: SparkSession, path: String, tsMillis: Long,
+                         maxRetries: Int = 10): RestoreStats =
+    restore(spark, path, versionAtTimestamp(
+      spark.sessionState.newHadoopConf(), path, tsMillis), maxRetries)
+
+  /** Shallow CLONE pinned at a wall-clock instant (`TIMESTAMP AS OF`). */
+  def cloneShallowAtTimestamp(spark: SparkSession, sourcePath: String,
+                              targetPath: String, tsMillis: Long): Long =
+    cloneShallow(spark, sourcePath, targetPath, Some(versionAtTimestamp(
+      spark.sessionState.newHadoopConf(), sourcePath, tsMillis)))
+
   def restore(spark: SparkSession, path: String, versionAsOf: Long,
               maxRetries: Int = 10): RestoreStats = {
     val conf = spark.sessionState.newHadoopConf()

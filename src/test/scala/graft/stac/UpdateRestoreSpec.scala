@@ -237,4 +237,30 @@ class UpdateRestoreSpec extends AnyFunSuite {
     // the failed restore committed nothing
     assert(PortableDelta.snapshot(spark, path).version == 1L)
   }
+
+  test("RESTORE and shallow CLONE resolve TIMESTAMP AS OF via the ICT rule") {
+    val path = tmp()
+    // born with ICT: every commit carries a strictly monotonic stamp,
+    // so an instant between commits resolves exactly
+    PortableDelta.write(rows(0L until 4L, "a").coalesce(1), path,
+      properties = Map(PortableDelta.IctProp -> "true"))               // v0
+    PortableDelta.write(rows(Seq(10L), "b").coalesce(1), path,
+      mode = "append")                                                 // v1
+    PortableDelta.delete(spark, path, col("id") === 0L)                // v2
+    val conf = spark.sessionState.newHadoopConf()
+    val tsOf = PortableDelta.history(conf, path).map(h => h._1 -> h._3).toMap
+    // clone pinned just before v2 sees v1's state
+    val dst = tmp()
+    PortableDelta.cloneShallowAtTimestamp(spark, path, dst, tsOf(2L) - 1)
+    assert(PortableDelta.readTable(spark, dst).count() == 5L)
+    // restore to v1's instant rolls the delete back
+    val st = PortableDelta.restoreAtTimestamp(spark, path, tsOf(1L))
+    assert(st.version == 3L)
+    assert(PortableDelta.readTable(spark, path).count() == 5L)
+    // an instant before the first commit refuses with the range named
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.restoreAtTimestamp(spark, path, tsOf(0L) - 100)
+    }
+    assert(e.getMessage.contains("before the earliest"))
+  }
 }
