@@ -48,7 +48,7 @@ object PortableDelta {
     * version-3 table iff it supports EVERY listed reader feature). */
   val SupportedReaderFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
-      "vacuumProtocolCheck", "typeWidening")
+      "vacuumProtocolCheck", "typeWidening", "variantType")
 
   /** Writer features this engine implements — the spec's WRITER gate:
     * a writer may commit to a version-7 table only if it implements
@@ -61,7 +61,7 @@ object PortableDelta {
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "v2Checkpoint", "timestampNtz", "inCommitTimestamp",
     "rowTracking", "domainMetadata", "clustering", "vacuumProtocolCheck",
-    "allowColumnDefaults", "typeWidening")
+    "allowColumnDefaults", "typeWidening", "variantType")
 
   /** The writer gate ([[SupportedWriterFeatures]]). Legacy versions
     * (writer ≤ 6) imply only features this engine implements, so they
@@ -357,7 +357,8 @@ object PortableDelta {
         // timestampNtz feature — BOTH sides (old readers would misread
         // the parquet bytes as zoned timestamps); generation metadata
         // declares the generatedColumns writer feature
-        val ntz = if (containsNtz(df.schema)) Seq("timestampNtz") else Nil
+        val ntz = (if (containsNtz(df.schema)) Seq("timestampNtz") else Nil) ++
+          (if (containsVariant(df.schema)) Seq("variantType") else Nil)
         val born = cfgWriterFeatures(properties) ++
           (if (generatedFields(df.schema).nonEmpty) Seq("generatedColumns")
            else Nil) ++
@@ -419,6 +420,9 @@ object PortableDelta {
       if (prior.nonEmpty && containsNtz(df.schema))
         featureUpgradeAction(prior.get, Seq("timestampNtz"),
           Seq("timestampNtz")).foreach(actions += _)
+      if (prior.nonEmpty && containsVariant(df.schema))
+        featureUpgradeAction(prior.get, Seq("variantType"),
+          Seq("variantType")).foreach(actions += _)
       // same healing for identity columns and defaults (writer-side)
       if (prior.nonEmpty && idents.nonEmpty)
         featureUpgradeAction(prior.get, Nil, Seq("identityColumns"))
@@ -1203,6 +1207,18 @@ object PortableDelta {
     case org.apache.spark.sql.types.ArrayType(e, _) => containsNtz(e)
     case org.apache.spark.sql.types.MapType(k, v, _) =>
       containsNtz(k) || containsNtz(v)
+    case _ => false
+  }
+
+  /** Does the schema carry a VARIANT anywhere? Such tables are gated on
+    * the spec's `variantType` reader+writer feature (an unaware reader
+    * would misread the two-binary-field physical encoding). */
+  private def containsVariant(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.VariantType => true
+    case s: StructType => s.fields.exists(f => containsVariant(f.dataType))
+    case org.apache.spark.sql.types.ArrayType(e, _) => containsVariant(e)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      containsVariant(k) || containsVariant(v)
     case _ => false
   }
 
