@@ -4425,8 +4425,25 @@ object PortableDelta {
       (s"""{"version":$version,"size":$sizeJson$partsJson""" +
         s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""").getBytes("UTF-8"))
     finally out.close()
+    maybeCleanupExpiredLog(conf, path, st)
     version
   }
+
+  /** `delta.enableExpiredLogCleanup` (the delta-spark post-checkpoint
+    * auto-cleanup): when the table OPTS IN explicitly, every checkpoint
+    * also truncates the JSON tail behind it, honoring
+    * `delta.logRetentionDuration`'s time-travel window (30-day delta
+    * default when cleanup is on but no retention is set — never the
+    * truncate-all legacy behavior, which stays an explicit
+    * [[cleanupLog]] call). */
+  private def maybeCleanupExpiredLog(conf: Configuration, path: String,
+                                     st: ReplayState): Unit =
+    if (st.configuration.get("delta.enableExpiredLogCleanup").contains("true")) {
+      val retain = st.configuration.get("delta.logRetentionDuration")
+        .flatMap(parseInterval).getOrElse(30L * 86400000L)
+      cleanupLog(conf, path, Some(retain))
+      ()
+    }
 
   /** Current small replay state (protocol/metaData/txns) WITHOUT
     * materializing add actions on the driver: seeds from the last
@@ -4743,6 +4760,7 @@ object PortableDelta {
         s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""")
         .getBytes("UTF-8"))
     finally out.close()
+    maybeCleanupExpiredLog(conf, path, st)
     version
   }
 

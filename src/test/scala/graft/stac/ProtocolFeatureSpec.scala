@@ -271,6 +271,24 @@ class ProtocolFeatureSpec extends AnyFunSuite {
     assert(PortableDelta.readTable(spark, p2).count() == 5L)
   }
 
+  test("delta.enableExpiredLogCleanup truncates behind the checkpoint automatically") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 3L).coalesce(1), path, properties = Map(
+      "delta.enableExpiredLogCleanup" -> "true",
+      "delta.logRetentionDuration" -> "interval 0 milliseconds"))
+    (1 to 2).foreach(k => PortableDelta.write(df(Seq(10L + k)).coalesce(1),
+      path, mode = "append"))                                        // v1-2
+    Thread.sleep(5) // commits strictly older than the zero window
+    PortableDelta.checkpoint(spark, path) // cleanup rides the checkpoint
+    val jsons = new java.io.File(s"$path/_delta_log").listFiles()
+      .count(_.getName.matches("\\d{20}\\.json"))
+    assert(jsons == 0, s"expired tail must truncate automatically, $jsons left")
+    assert(PortableDelta.readTable(spark, path).count() == 5L)
+    // history survives via the sidecar harvest
+    assert(PortableDelta.history(spark.sessionState.newHadoopConf(), path)
+      .map(_._1).sorted == Seq(0L, 1L, 2L))
+  }
+
   test("delta.setTransactionRetentionDuration expires idle txn watermarks at checkpoint") {
     // young txns under a 1-hour retention survive the checkpoint
     val keep = tmp()
