@@ -402,6 +402,7 @@ object PortableDelta {
           val b = r.putObject("remove")
           b.put("path", f.path); b.put("deletionTimestamp", now)
           b.put("dataChange", true)
+          b.put("extendedFileMetadata", true); b.put("size", f.size)
           actions += r
         }
       } else if (evolvedSchema.isDefined || identUpdates.nonEmpty) {
@@ -1846,24 +1847,30 @@ object PortableDelta {
     * `(df, endVersion, filesConsumedOfEndVersion, endVersionComplete)`.
     * A commit bigger than the budget is split across triggers in commit
     * order, so a 50k-file backfill commit drains in bounded batches
-    * instead of one giant plan. Files scan with the END version's
-    * schema (mid-window schema changes surface at the scan, same as
-    * [[readAppends]]). */
+    * instead of one giant plan. `maxBytes` is the delta source's
+    * `maxBytesPerTrigger` soft max: files admit while the cumulative
+    * logged size is under budget (overshoot ≤ one file; the window's
+    * first file always admits, so progress is guaranteed). Files scan
+    * with the END version's schema (mid-window schema changes surface
+    * at the scan, same as [[readAppends]]). */
   def readAppendsWindow(spark: SparkSession, path: String,
                         fromVersion: Long, fromFileOffset: Int,
                         toVersionMax: Long, maxVersions: Int, maxFiles: Int,
                         ignoreDeletes: Boolean = false,
-                        skipChangeCommits: Boolean = false)
+                        skipChangeCommits: Boolean = false,
+                        maxBytes: Long = Long.MaxValue)
       : (DataFrame, Long, Int, Boolean) = {
     require(fromVersion >= 0 && fromFileOffset >= 0 &&
-      maxVersions >= 1 && maxFiles >= 1,
-      s"bad window args ($fromVersion, $fromFileOffset, $maxVersions, $maxFiles)")
+      maxVersions >= 1 && maxFiles >= 1 && maxBytes >= 1,
+      s"bad window args ($fromVersion, $fromFileOffset, $maxVersions, " +
+        s"$maxFiles, $maxBytes)")
     require(fromVersion <= toVersionMax,
       s"window start $fromVersion past table version $toVersionMax")
     val conf = spark.sessionState.newHadoopConf()
     val fs = logDir(path).getFileSystem(conf)
     val taken = Seq.newBuilder[AddFile]
     var took = 0
+    var tookBytes = 0L
     var v = fromVersion
     var off = fromFileOffset
     var endV = fromVersion
@@ -1875,13 +1882,19 @@ object PortableDelta {
       val adds = appendAddsOf(fs, path, v, ignoreDeletes, skipChangeCommits)
       require(off <= adds.size,
         s"offset $off past the ${adds.size} append files of commit $v at $path")
-      val take = math.min(adds.size - off, maxFiles - took)
-      taken ++= adds.slice(off, off + take)
+      val avail = adds.slice(off, adds.size)
+      var take = 0
+      while (take < avail.size && took + take < maxFiles &&
+             (took + take == 0 || tookBytes < maxBytes)) {
+        tookBytes += avail(take).size
+        take += 1
+      }
+      taken ++= avail.take(take)
       took += take
       endV = v; endOff = off + take; endComplete = endOff == adds.size
       versions += 1
       if (!endComplete || v == toVersionMax || took >= maxFiles ||
-          versions >= maxVersions) done = true
+          tookBytes >= maxBytes || versions >= maxVersions) done = true
       else { v += 1; off = 0 }
     }
     val endSnap = snapshotAt(spark, path, endV)
@@ -2781,8 +2794,15 @@ object PortableDelta {
         actions += r
       }
       try {
+        // exact crc delta: a re-stated same-path add replaces in place
+        // (no remove is paired), so additive folding would double-count
+        val filesDelta = toAdd.count(f => !curByPath.contains(f.path)).toLong -
+          toRemove.size
+        val bytesDelta = toAdd.map(f =>
+          f.size - curByPath.get(f.path).map(_.size).getOrElse(0L)).sum -
+          toRemove.map(_.size).sum
         commit(conf, path, cur.version + 1, actions.result(),
-          target.configuration)
+          target.configuration, crcDelta = Some((filesDelta, bytesDelta)))
         return RestoreStats(cur.version + 1, versionAsOf,
           toAdd.size, toRemove.size)
       } catch {
@@ -3572,7 +3592,8 @@ object PortableDelta {
       actions += domainMetadataAction(RowTrackingDomain,
         s"""{"rowIdHighWaterMark":$hwm}""")
       try {
-        commit(conf, path, v, actions.result(), cfg)
+        commit(conf, path, v, actions.result(), cfg,
+          crcDelta = Some((0L, 0L))) // backfill re-states live paths in place
         return v
       } catch {
         case e: ConcurrentCommitException =>
@@ -4425,6 +4446,9 @@ object PortableDelta {
       (s"""{"version":$version,"size":$sizeJson$partsJson""" +
         s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""").getBytes("UTF-8"))
     finally out.close()
+    // authoritative crc at the checkpoint version (post-txn-expiry
+    // state; also heals a chain broken by external/legacy commits)
+    reseedChecksum(conf, path, version, st, adds, nAdds)
     maybeCleanupExpiredLog(conf, path, st)
     version
   }
@@ -4760,6 +4784,7 @@ object PortableDelta {
         s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""")
         .getBytes("UTF-8"))
     finally out.close()
+    reseedChecksum(conf, path, version, st, adds, nAdds)
     maybeCleanupExpiredLog(conf, path, st)
     version
   }
@@ -4970,6 +4995,13 @@ object PortableDelta {
         }.map(rel => resolvedDataPath(path, rel))
           .filter(rp => fs.makeQualified(rp).toString.startsWith(rootQ))
         old.foreach(p => fs.delete(p, false))
+        // checksum files below the checkpoint are superseded by its full
+        // state — reclaim them all (crc files serve only the CURRENT
+        // version; the one at cv stays, re-seeded by the checkpoint)
+        fs.listStatus(dir).toSeq.map(_.getPath)
+          .filter(p => p.getName.matches("\\d{20}\\.crc") &&
+            p.getName.stripSuffix(".crc").toLong < cv)
+          .foreach(p => fs.delete(p, false))
         cdcGone.foreach(rp => fs.delete(rp, false))
         // compacted spans starting at or behind the checkpoint are
         // subsumed by its parquet state (a straddling span could never
@@ -5826,9 +5858,423 @@ object PortableDelta {
     * an existing destination fails on filesystems honoring the Delta
     * storage contract (HDFS, local) → a lost race surfaces as a clear
     * concurrent-commit error, never a clobbered log. */
+  // ======================= version checksum files =======================
+
+  /** The `<version>.crc` VERSION CHECKSUM artifact (delta-spark's
+    * `VersionChecksum`, one JSON object per committed version): a
+    * post-commit summary of table state — total data bytes, live file
+    * count, the current `metaData` and `protocol` action bodies, per-appId
+    * transaction watermarks, and live domain metadata. Two uses:
+    * [[tableStats]] answers numFiles/sizeInBytes in O(1) without ever
+    * touching the add list (on a million-file table that is the
+    * difference between a metadata read and a checkpoint scan), and
+    * [[validateChecksum]] recomputes the state independently and fails
+    * NAMING the drifted field — corruption or a non-compliant concurrent
+    * writer surfaces at the next validation instead of as a silent wrong
+    * read much later.
+    *
+    * `setTransactions` is None when the writer omitted the field (the
+    * delta-spark behavior past a size cap — absence means "unknown",
+    * never "empty", so validation skips the comparison). */
+  final case class TableChecksum(
+      version: Long,
+      tableSizeBytes: Long,
+      numFiles: Long,
+      metadata: ObjectNode,
+      protocol: ObjectNode,
+      setTransactions: Option[Map[String, Long]],
+      txnLastUpdated: Map[String, Long],
+      domainMetadata: Map[String, String],
+      inCommitTimestamp: Option[Long])
+
+  private def checksumPath(path: String, v: Long) =
+    new Path(logDir(path), f"$v%020d.crc")
+
+  /** Parse the checksum file at `version`, if present and well-formed
+    * (a crc missing the core fields reads as absent — never a crash on
+    * an artifact some other engine wrote differently). */
+  def readChecksum(conf: Configuration, path: String,
+                   version: Long): Option[TableChecksum] = {
+    val p = checksumPath(path, version)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (text.isEmpty) return None
+    val n = try mapper.readTree(text) catch { case _: Exception => return None }
+    if (!n.has("tableSizeBytes") || !n.has("numFiles") ||
+        !n.has("metadata") || !n.has("protocol")) return None
+    val txnArr = Option(n.get("setTransactions")).filterNot(_.isNull)
+    val txns = txnArr.map(_.elements().asScala
+      .map(t => t.get("appId").asText() -> t.get("version").asLong()).toMap)
+    val txnTimes = txnArr.map(_.elements().asScala.flatMap(t =>
+      Option(t.get("lastUpdated")).filter(_.isNumber)
+        .map(lu => t.get("appId").asText() -> lu.asLong())).toMap)
+      .getOrElse(Map.empty[String, Long])
+    val domains = Option(n.get("domainMetadata")).filterNot(_.isNull)
+      .map(_.elements().asScala
+        .filterNot(d => Option(d.get("removed")).exists(_.asBoolean()))
+        .map(d => d.get("domain").asText() ->
+          Option(d.get("configuration")).map(_.asText()).getOrElse("")).toMap)
+      .getOrElse(Map.empty[String, String])
+    Some(TableChecksum(version,
+      n.get("tableSizeBytes").asLong(), n.get("numFiles").asLong(),
+      n.get("metadata").asInstanceOf[ObjectNode],
+      n.get("protocol").asInstanceOf[ObjectNode],
+      txns, txnTimes, domains,
+      Option(n.get("inCommitTimestampOpt")).filter(_.isNumber).map(_.asLong())))
+  }
+
+  /** Serialize + land a checksum file. Commit-path writes are
+    * put-if-absent (a losing racer computed the same content — dropped
+    * quietly); checkpoint re-seeds OVERWRITE atomically (FileContext
+    * rename, no delete-then-rename lost-file window) because the
+    * checkpoint's post-expiry txn state is the authoritative one. */
+  private def writeChecksumFile(conf: Configuration, path: String,
+                                cs: TableChecksum,
+                                overwrite: Boolean): Boolean = {
+    val p = checksumPath(path, cs.version)
+    val fs = p.getFileSystem(conf)
+    val r = mapper.createObjectNode()
+    r.put("tableSizeBytes", cs.tableSizeBytes)
+    r.put("numFiles", cs.numFiles)
+    r.put("numMetadata", 1L); r.put("numProtocol", 1L)
+    r.set[JsonNode]("metadata", cs.metadata)
+    r.set[JsonNode]("protocol", cs.protocol)
+    cs.inCommitTimestamp.foreach(r.put("inCommitTimestampOpt", _))
+    cs.setTransactions.foreach { m =>
+      val arr = r.putArray("setTransactions")
+      m.toSeq.sortBy(_._1).foreach { case (app, v) =>
+        val t = arr.addObject(); t.put("appId", app); t.put("version", v)
+        cs.txnLastUpdated.get(app).foreach(t.put("lastUpdated", _))
+      }
+    }
+    val dm = r.putArray("domainMetadata")
+    cs.domainMetadata.toSeq.sortBy(_._1).foreach { case (d, c) =>
+      val o = dm.addObject()
+      o.put("domain", d); o.put("configuration", c); o.put("removed", false)
+    }
+    val tmp = new Path(logDir(path), s".crc-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(r)) finally out.close()
+    if (overwrite) {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      true
+    } else {
+      val ok = if (fs.exists(p)) false else fs.rename(tmp, p)
+      if (!ok) fs.delete(tmp, false)
+      ok
+    }
+  }
+
+  /** Post-commit INCREMENTAL checksum: predecessor crc + this commit's
+    * actions → this version's crc, O(commit) driver work, never
+    * O(table). Additive size/count folding is exact for this engine's
+    * commits because every re-add of a live path (DV update, rewrite,
+    * RESTORE re-add) pairs with a remove in the SAME commit. Skips
+    * silently when the chain is broken (predecessor crc missing — a
+    * table whose history predates the feature, or carries external
+    * commits) or a tombstone lacks `size`; [[checkpoint]] /
+    * [[tableStats]] re-seed the chain from full state.
+    *
+    * `crcDelta`: commits that re-state LIVE paths without pairing
+    * removes (the row-tracking backfill replaces every add in place;
+    * RESTORE re-states same-path-different-DV files) make additive
+    * folding wrong — those verbs pass their exact (fileCountDelta,
+    * byteDelta) instead, computed from the live state they already
+    * hold. */
+  private def writeCommitChecksum(conf: Configuration, path: String,
+                                  version: Long,
+                                  actions: Seq[JsonNode],
+                                  crcDelta: Option[(Long, Long)] = None)
+      : Unit = {
+    val prev: Option[TableChecksum] =
+      if (version == 0L)
+        Some(TableChecksum(-1L, 0L, 0L, null, null,
+          Some(Map.empty), Map.empty, Map.empty, None))
+      else readChecksum(conf, path, version - 1)
+    prev.foreach { p0 =>
+      var size = p0.tableSizeBytes; var files = p0.numFiles
+      var meta = Option(p0.metadata); var proto = Option(p0.protocol)
+      var txns = p0.setTransactions.getOrElse(Map.empty[String, Long])
+      var txnTimes = p0.txnLastUpdated
+      var domains = p0.domainMetadata
+      var ict: Option[Long] = None
+      var foldable = p0.setTransactions.isDefined
+      crcDelta.foreach { case (df, db) => files += df; size += db }
+      actions.foreach { n =>
+        if (n.has("add") && crcDelta.isEmpty) {
+          val a = n.get("add")
+          size += a.get("size").asLong(); files += 1
+        }
+        if (n.has("remove") && crcDelta.isEmpty) {
+          val rm = n.get("remove")
+          if (rm.has("size") && rm.get("size").isNumber) {
+            size -= rm.get("size").asLong(); files -= 1
+          } else foldable = false // external-shaped tombstone: unknown bytes
+        }
+        if (n.has("metaData")) meta = Some(n.get("metaData").deepCopy[ObjectNode]())
+        if (n.has("protocol")) proto = Some(n.get("protocol").deepCopy[ObjectNode]())
+        if (n.has("txn")) {
+          val t = n.get("txn"); val app = t.get("appId").asText()
+          txns += app -> t.get("version").asLong()
+          Option(t.get("lastUpdated")).filter(_.isNumber) match {
+            case Some(lu) => txnTimes += app -> lu.asLong()
+            case None => txnTimes -= app
+          }
+        }
+        if (n.has("domainMetadata")) {
+          val d = n.get("domainMetadata"); val name = d.get("domain").asText()
+          if (Option(d.get("removed")).exists(_.asBoolean())) domains -= name
+          else domains += name ->
+            Option(d.get("configuration")).map(_.asText()).getOrElse("")
+        }
+        if (n.has("commitInfo")) {
+          val ci = n.get("commitInfo")
+          if (ci.has("inCommitTimestamp"))
+            ict = Some(ci.get("inCommitTimestamp").asLong())
+        }
+      }
+      if (foldable && meta.nonEmpty && proto.nonEmpty) {
+        // cap: a pathological appId population would bloat every crc —
+        // omit past the bound (absent = unknown, the delta convention)
+        val txnsOut = if (txns.size <= 100) Some(txns) else None
+        writeChecksumFile(conf, path,
+          TableChecksum(version, size, files, meta.get, proto.get,
+            txnsOut, txnTimes, domains, ict), overwrite = false)
+        ()
+      }
+    }
+  }
+
+  /** Protocol action body rendered from replayed state (crc seeding). */
+  private def protocolNodeOf(readerV: Int, writerV: Int,
+                             readerFeatures: Seq[String],
+                             writerFeatures: Seq[String]): ObjectNode = {
+    val b = mapper.createObjectNode()
+    b.put("minReaderVersion", readerV); b.put("minWriterVersion", writerV)
+    if (readerV >= 3) {
+      val rf = b.putArray("readerFeatures"); readerFeatures.foreach(rf.add)
+    }
+    if (writerV >= 7) {
+      val wf = b.putArray("writerFeatures"); writerFeatures.foreach(wf.add)
+    }
+    b
+  }
+
+  /** metaData action body rendered from replayed state (crc seeding;
+    * `createdTime` is unknowable here and legitimately optional). */
+  private def metaDataNodeOf(id: String, schemaJson: String,
+                             cfg: Map[String, String],
+                             partitionCols: Seq[String]): ObjectNode = {
+    val b = mapper.createObjectNode()
+    b.put("id", id)
+    val fmt = b.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    b.put("schemaString", schemaJson)
+    val pc = b.putArray("partitionColumns"); partitionCols.foreach(pc.add)
+    val c = b.putObject("configuration")
+    cfg.foreach { case (k, v) => c.put(k, v) }
+    b
+  }
+
+  /** Checkpoint-time checksum re-seed from FULL state: authoritative
+    * (post-txn-expiry) and the recovery path for a broken incremental
+    * chain. `adds` is the flat live-add frame the checkpoint is writing
+    * anyway — one extra distributed aggregate, never a driver add
+    * list. */
+  private def reseedChecksum(conf: Configuration, path: String,
+                             version: Long, st: ReplayState,
+                             adds: DataFrame, nAdds: Long): Unit =
+    try {
+      import org.apache.spark.sql.functions.{coalesce, lit, sum}
+      val bytes = adds.agg(coalesce(sum("size"), lit(0L))).head.getLong(0)
+      val txnsOut =
+        if (st.txns.size <= 100) Some(st.txns.toMap) else None
+      writeChecksumFile(conf, path,
+        TableChecksum(version, bytes, nAdds,
+          metaDataNodeOf(st.tableId, st.schemaJson, st.configuration,
+            st.partitionCols),
+          protocolNodeOf(st.readerV, st.writerV, st.readerFeatures,
+            st.writerFeatures),
+          txnsOut, st.txnTimes.toMap, st.domains.toMap, None),
+        overwrite = true)
+      ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[portable-delta] checksum re-seed at $path " +
+          s"v$version failed (checkpoint is durable): ${e.getMessage}")
+    }
+
+  final case class TableStats(version: Long, numFiles: Long,
+                              sizeInBytes: Long)
+
+  /** DESCRIBE DETAIL's row (the delta-spark column set). */
+  final case class TableDetail(
+      format: String, id: String, location: String,
+      createdAt: Option[Long], lastModified: Option[Long],
+      partitionColumns: Seq[String], clusteringColumns: Seq[String],
+      numFiles: Long, sizeInBytes: Long,
+      properties: Map[String, String],
+      minReaderVersion: Int, minWriterVersion: Int,
+      tableFeatures: Seq[String])
+
+  /** DESCRIBE TABLE DETAIL analog: identity, layout (partition +
+    * clustering dimensions), size, properties, and the protocol
+    * surface in one call. numFiles/sizeInBytes serve O(1) from the
+    * version checksum when the chain is intact (the [[tableStats]]
+    * path); createdAt/lastModified come from the ICT-aware history,
+    * which the cleanup sidecar keeps answerable back to version 0 even
+    * after log truncation. */
+  def describeDetail(spark: SparkSession, path: String): TableDetail = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (snap, nFiles, bytes, _) = statsState(spark, path, crcOk = true)
+    val hist = history(conf, path)
+    // the domain publishes PHYSICAL name paths (array of part arrays);
+    // surface logical names, the identity on unmapped tables
+    val logByPhys = snap.schema.fields.map(f => physFieldName(f) -> f.name).toMap
+    val clustering = snap.domainMetadata.get("delta.clustering").toSeq
+      .flatMap { j =>
+        try mapper.readTree(j).get("clusteringColumns")
+          .elements().asScala.map(_.elements().asScala
+            .map(_.asText()).mkString(".")).toSeq
+        catch { case _: Exception => Nil }
+      }.map(p => logByPhys.getOrElse(p, p))
+    TableDetail(
+      format = "delta",
+      id = snap.tableId,
+      location = path,
+      createdAt = hist.find(_._1 == 0L).map(_._3),
+      lastModified = hist.headOption.map(_._3),
+      partitionColumns = snap.partitionColumns,
+      clusteringColumns = clustering,
+      numFiles = nFiles, sizeInBytes = bytes,
+      properties = snap.configuration,
+      minReaderVersion = snap.minReaderVersion,
+      minWriterVersion = snap.minWriterVersion,
+      tableFeatures = (snap.readerFeatures ++ snap.writerFeatures).distinct)
+  }
+
+  /** Table statistics — O(1) from the current version's crc when the
+    * chain is intact; otherwise ONE distributed aggregate over the flat
+    * add state (checkpoint add rows + JSON tail, never a driver add
+    * list) that also re-seeds the missing crc so the next call is
+    * O(1). */
+  def tableStats(spark: SparkSession, path: String): TableStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (snap, nFiles, bytes, fromCrc) = statsState(spark, path, crcOk = true)
+    if (!fromCrc)
+      writeChecksumFile(conf, path,
+        TableChecksum(snap.version, bytes, nFiles,
+          metaDataNodeOf(snap.tableId, snap.schema.json, snap.configuration,
+            snap.partitionColumns),
+          protocolNodeOf(snap.minReaderVersion, snap.minWriterVersion,
+            snap.readerFeatures, snap.writerFeatures),
+          if (snap.txns.size <= 100) Some(snap.txns) else None,
+          snap.txnLastUpdated, snap.domainMetadata, None),
+        overwrite = false)
+    TableStats(snap.version, nFiles, bytes)
+  }
+
+  /** Small state + (numFiles, bytes) from ONE state read: the crc fast
+    * path when `crcOk` and the chain is current, else the distributed
+    * aggregate. Returns (small snapshot, numFiles, bytes, servedByCrc). */
+  private def statsState(spark: SparkSession, path: String,
+                         crcOk: Boolean): (Snapshot, Long, Long, Boolean) = {
+    val conf = spark.sessionState.newHadoopConf()
+    checkpointRefFor(conf, path) match {
+      case Some(ref) =>
+        val (snapBase, addsDf) = lazyCheckpointState(spark, path, ref)
+        readChecksum(conf, path, snapBase.version) match {
+          case Some(cs) if crcOk =>
+            (snapBase, cs.numFiles, cs.tableSizeBytes, true)
+          case _ =>
+            import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+            val r = addsDf
+              .agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head
+            (snapBase, r.getLong(0), r.getLong(1), false)
+        }
+      case None =>
+        val snap = snapshot(conf, path)
+        val small = snap.copy(files = Nil)
+        readChecksum(conf, path, snap.version) match {
+          case Some(cs) if crcOk =>
+            (small, cs.numFiles, cs.tableSizeBytes, true)
+          case _ =>
+            (small, snap.files.size.toLong, snap.files.map(_.size).sum, false)
+        }
+    }
+  }
+
+  /** Recompute the current version's state independently and compare
+    * field by field against its checksum file — fails naming EVERY
+    * drifted field (size, file count, protocol versions/features,
+    * schema, configuration, partition columns, txn watermarks, domain
+    * metadata), never a bare boolean. Returns the validated checksum. */
+  def validateChecksum(spark: SparkSession, path: String): TableChecksum = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (snap, nFiles, bytes, _) = statsState(spark, path, crcOk = false)
+    val cs = readChecksum(conf, path, snap.version).getOrElse(throw
+      new IllegalStateException(
+        s"no checksum file for $path at version ${snap.version}"))
+    val errs = Seq.newBuilder[String]
+    if (cs.numFiles != nFiles)
+      errs += s"numFiles: crc=${cs.numFiles} actual=$nFiles"
+    if (cs.tableSizeBytes != bytes)
+      errs += s"tableSizeBytes: crc=${cs.tableSizeBytes} actual=$bytes"
+    val pr = cs.protocol
+    if (pr.get("minReaderVersion").asInt() != snap.minReaderVersion)
+      errs += s"minReaderVersion: crc=${pr.get("minReaderVersion").asInt()} " +
+        s"actual=${snap.minReaderVersion}"
+    if (pr.get("minWriterVersion").asInt() != snap.minWriterVersion)
+      errs += s"minWriterVersion: crc=${pr.get("minWriterVersion").asInt()} " +
+        s"actual=${snap.minWriterVersion}"
+    def featSet(field: String) = Option(pr.get(field)).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+    if (featSet("readerFeatures") != snap.readerFeatures.toSet)
+      errs += s"readerFeatures: crc=${featSet("readerFeatures")} " +
+        s"actual=${snap.readerFeatures.toSet}"
+    if (featSet("writerFeatures") != snap.writerFeatures.toSet)
+      errs += s"writerFeatures: crc=${featSet("writerFeatures")} " +
+        s"actual=${snap.writerFeatures.toSet}"
+    val m = cs.metadata
+    if (m.get("id").asText() != snap.tableId)
+      errs += s"metadata.id: crc=${m.get("id").asText()} actual=${snap.tableId}"
+    val crcSchema =
+      try Some(DataType.fromJson(m.get("schemaString").asText()))
+      catch { case _: Exception => None }
+    if (!crcSchema.contains(snap.schema))
+      errs += "metadata.schemaString differs from the replayed schema"
+    val crcCfg = Option(m.get("configuration")).filterNot(_.isNull)
+      .map(_.asInstanceOf[ObjectNode].properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+      .getOrElse(Map.empty[String, String])
+    if (crcCfg != snap.configuration)
+      errs += s"metadata.configuration: crc=$crcCfg actual=${snap.configuration}"
+    val crcParts = Option(m.get("partitionColumns")).filterNot(_.isNull)
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    if (crcParts != snap.partitionColumns)
+      errs += s"metadata.partitionColumns: crc=$crcParts " +
+        s"actual=${snap.partitionColumns}"
+    cs.setTransactions.foreach { t =>
+      if (t != snap.txns)
+        errs += s"setTransactions: crc=$t actual=${snap.txns}"
+    }
+    if (cs.domainMetadata != snap.domainMetadata)
+      errs += s"domainMetadata: crc=${cs.domainMetadata} " +
+        s"actual=${snap.domainMetadata}"
+    val es = errs.result()
+    require(es.isEmpty,
+      s"checksum mismatch at $path v${snap.version}: ${es.mkString("; ")}")
+    cs
+  }
+
   private[stac] def commit(conf: Configuration, path: String, version: Long,
                            actions: Seq[JsonNode],
-                           tableCfg: Map[String, String] = Map.empty): Unit = {
+                           tableCfg: Map[String, String] = Map.empty,
+                           crcDelta: Option[(Long, Long)] = None): Unit = {
     val dir = logDir(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
@@ -5873,6 +6319,11 @@ object PortableDelta {
       throw new ConcurrentCommitException(
         s"concurrent commit detected: $finalP exists; rebasing against the new version")
     }
+    // version checksum: incremental from the predecessor's crc — never
+    // fatal (the commit above is already durable; a broken chain re-seeds
+    // at the next checkpoint or tableStats call)
+    try writeCommitChecksum(conf, path, version, actions, crcDelta)
+    catch { case scala.util.control.NonFatal(_) => () }
     // delta.checkpointInterval (the delta-spark post-commit cadence):
     // when the table property is set, every interval-th commit writes a
     // checkpoint automatically — the maintenance knob that keeps replay

@@ -23,10 +23,23 @@ import graft.stac.PortableDelta
   *   - `startingVersion = Some(v)`: no snapshot batch; appends are
   *     consumed from version v on (v = 0 replays the full history; the
   *     JSON commits must still exist).
+  *   - `startingTimestamp = Some(ms)`: the delta source's third mode —
+  *     resolves (once, at first read, against the ICT-aware commit
+  *     history) to the FIRST version whose commit time is at/after the
+  *     instant, then behaves as `startingVersion`. An instant past the
+  *     last commit refuses naming the available window (the delta
+  *     behavior — a typo'd future date should not silently mean "from
+  *     now on"). Mutually exclusive with `startingVersion`.
   *
   * `ignoreDeletes` / `skipChangeCommits` pass through to
   * [[PortableDelta.readAppends]]: an append stream refuses
   * row-changing commits by version unless told to skip them.
+  *
+  * Rate limits: `maxFilesPerTrigger` (file-granular windows, splits
+  * oversized commits) and `maxBytesPerTrigger` (soft byte budget from
+  * the adds' logged sizes — overshoot ≤ one file, ≥ one file per
+  * trigger so the stream always progresses) compose; either alone
+  * activates the file-granular offset path.
   *
   * Scale: the per-trigger poll is a small-state version read, each
   * window is one bounded scan plan over its born files, and the
@@ -38,13 +51,19 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
                              startingVersion: Option[Long] = None,
                              ignoreDeletes: Boolean = false,
                              skipChangeCommits: Boolean = false,
-                             maxFilesPerTrigger: Option[Int] = None) {
+                             maxFilesPerTrigger: Option[Int] = None,
+                             maxBytesPerTrigger: Option[Long] = None,
+                             startingTimestamp: Option[Long] = None) {
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
   startingVersion.foreach(v => require(v >= 0,
     s"startingVersion must be >= 0, got $v"))
   maxFilesPerTrigger.foreach(n => require(n >= 1,
     s"maxFilesPerTrigger must be >= 1, got $n"))
+  maxBytesPerTrigger.foreach(n => require(n >= 1L,
+    s"maxBytesPerTrigger must be >= 1, got $n"))
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "startingVersion and startingTimestamp are mutually exclusive")
 
   private val conf = spark.sessionState.newHadoopConf()
   private val ckPath = new Path(checkpointDir, "table-version-watermark")
@@ -82,18 +101,37 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
   def watermark: Option[Long] = offset.map(o =>
     if (o.complete) o.version else o.version - 1)
 
+  /** `startingTimestamp` resolved to its starting version — once, at
+    * the first read that needs it (ICT-aware history; the sidecar keeps
+    * it answerable after log cleanup). */
+  private var resolvedStartTs: Option[Long] = None
+  private def startVersionForTimestamp(ts: Long): Long = {
+    if (resolvedStartTs.isEmpty) {
+      val hist = PortableDelta.history(conf, tablePath)
+      val atOrAfter = hist.filter(_._3 >= ts).map(_._1)
+      require(atOrAfter.nonEmpty,
+        s"startingTimestamp $ts is after the last commit of $tablePath " +
+          s"(commit times span ${hist.map(_._3).min}..${hist.map(_._3).max})")
+      resolvedStartTs = Some(atOrAfter.min)
+    }
+    resolvedStartTs.get
+  }
+
   /** One trigger's read, or None when caught up. Does NOT advance the
     * offset — call [[commitProgress]] after the batch lands. */
   def readAvailable(): Option[(DataFrame, Offset)] = {
     val cur = PortableDelta.currentVersion(spark, tablePath)
     val start: Option[(Long, Int)] = offset match {
       case None =>
-        startingVersion match {
-          case None =>
+        (startingVersion, startingTimestamp) match {
+          case (None, None) =>
             // initial snapshot batch, pinned at the poll's version
             return Some((PortableDelta.readTable(spark, tablePath, cur),
               Offset(cur, -1, complete = true)))
-          case Some(v0) => if (v0 > cur) None else Some((v0, 0))
+          case (Some(v0), _) => if (v0 > cur) None else Some((v0, 0))
+          case (None, Some(ts)) =>
+            val v0 = startVersionForTimestamp(ts)
+            if (v0 > cur) None else Some((v0, 0))
         }
       case Some(o) =>
         if (o.complete) {
@@ -101,16 +139,18 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
         } else Some((o.version, o.filesConsumed))
     }
     start.map { case (fromV, fromOff) =>
-      maxFilesPerTrigger match {
-        case Some(mf) =>
-          val (df, endV, endOff, endComplete) =
-            PortableDelta.readAppendsWindow(spark, tablePath, fromV, fromOff,
-              cur, maxVersionsPerTrigger, mf, ignoreDeletes, skipChangeCommits)
-          (df, Offset(endV, endOff, endComplete))
-        case None =>
+      (maxFilesPerTrigger, maxBytesPerTrigger) match {
+        case (None, None) =>
           val to = math.min(cur, fromV + maxVersionsPerTrigger - 1)
           (PortableDelta.readAppends(spark, tablePath, fromV, to,
             ignoreDeletes, skipChangeCommits), Offset(to, -1, complete = true))
+        case (mf, mb) =>
+          val (df, endV, endOff, endComplete) =
+            PortableDelta.readAppendsWindow(spark, tablePath, fromV, fromOff,
+              cur, maxVersionsPerTrigger, mf.getOrElse(Int.MaxValue),
+              ignoreDeletes, skipChangeCommits,
+              maxBytes = mb.getOrElse(Long.MaxValue))
+          (df, Offset(endV, endOff, endComplete))
       }
     }
   }

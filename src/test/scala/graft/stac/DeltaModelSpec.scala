@@ -272,6 +272,16 @@ class DeltaModelSpec extends AnyFunSuite {
         s"$ctx step=$step v=$v: table != model\n extra=${(got.keySet -- model.keySet).toSeq.sorted.take(10)}" +
           s"\n missing=${(model.keySet -- got.keySet).toSeq.sorted.take(10)}" +
           s"\n changed=${got.keySet.intersect(model.keySet).filter(k => got(k) != model(k)).toSeq.sorted.take(10)}")
+      // version-checksum probe: the incremental crc chain must match
+      // independently recomputed state after EVERY fuzzed op — one
+      // mis-folded add/remove size or a stale metaData body anywhere in
+      // the verb set fails here with the drifted field named
+      try PortableDelta.validateChecksum(spark, path)
+      catch {
+        case e: Throwable =>
+          fail(s"$ctx step=$step trace=[${trace.mkString(" -> ")}]: " +
+            e.getMessage)
+      }
       // CDF-vs-model-diff probe: with row tracking on, every DML
       // commit's reconstructed feed must equal the model's before/after
       // diff EXACTLY — update pairs for changed ids (MERGE included,

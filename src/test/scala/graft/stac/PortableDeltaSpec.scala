@@ -38,7 +38,8 @@ class PortableDeltaSpec extends AnyFunSuite {
     val logDir = new java.io.File(s"$path/_delta_log")
     // ignore local-FS checksum shadows (.crc) — hidden names per Delta/Spark
     assert(logDir.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq ==
-      Seq("00000000000000000000.json"), "exactly one 20-digit commit file")
+      Seq("00000000000000000000.crc", "00000000000000000000.json"),
+      "exactly one 20-digit commit file plus its version checksum")
     val lines = logLines(path, 0)
     val protocol = lines.filter(_.has("protocol"))
     assert(protocol.size == 1)

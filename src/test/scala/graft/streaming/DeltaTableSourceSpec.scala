@@ -158,4 +158,75 @@ class DeltaTableSourceSpec extends AnyFunSuite {
     val Some((snap, off)) = src.readAvailable() // snapshot mode: 4 live rows
     assert(off.version == 3L && snap.count() == 4L)
   }
+
+  test("maxBytesPerTrigger: soft byte budget splits windows, nothing lost") {
+    val tbl = tmp("tsrc6"); val ck = tmp("tsrc6-ck")
+    PortableDelta.write(df(0L until 9L, "a").repartition(3), tbl)     // v0: 3 files
+    PortableDelta.write(df(10L until 16L, "b").repartition(2), tbl,
+      mode = "append")                                                // v1: 2 files
+    val fileBytes = PortableDelta.snapshot(spark, tbl).files.map(_.size)
+    val one = fileBytes.min // every file is roughly this size
+    // budget of ~1.5 files: each trigger admits one file, starts a
+    // second, overshoots, stops — so exactly 2 files per trigger
+    val src = new DeltaTableSource(spark, tbl, ck,
+      startingVersion = Some(0L), maxBytesPerTrigger = Some(one * 3 / 2))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var triggers = 0
+    var more = true
+    while (more) src.readAvailable() match {
+      case Some((rows, off)) =>
+        seen ++= rows.collect().map(_.getLong(0))
+        triggers += 1
+        src.commitProgress(off)
+      case None => more = false
+    }
+    assert(triggers == 3, s"5 files at 2/trigger = 3 triggers, got $triggers")
+    assert(seen.sorted == ((0L until 9L) ++ (10L until 16L)),
+      "every appended row exactly once across byte-budget triggers")
+    // a budget smaller than any file still progresses one file at a time
+    val ck2 = tmp("tsrc6-ck2")
+    val tiny = new DeltaTableSource(spark, tbl, ck2,
+      startingVersion = Some(0L), maxBytesPerTrigger = Some(1L))
+    val Some((r1, o1)) = tiny.readAvailable()
+    assert(o1.token == "0:1" && r1.count() > 0, "first file always admits")
+  }
+
+  test("startingTimestamp resolves to the first commit at/after the instant") {
+    val tbl = tmp("tsrc7"); val ck = tmp("tsrc7-ck")
+    PortableDelta.write(df(0L until 3L, "a").coalesce(1), tbl,
+      properties = Map(PortableDelta.IctProp -> "true"))              // v0
+    PortableDelta.write(df(Seq(10L), "b").coalesce(1), tbl,
+      mode = "append")                                                // v1
+    PortableDelta.write(df(Seq(11L), "c").coalesce(1), tbl,
+      mode = "append")                                                // v2
+    val hist = PortableDelta.history(
+      spark.sessionState.newHadoopConf(), tbl).sortBy(_._1)
+    val tsV1 = hist.find(_._1 == 1L).get._3
+    // an instant exactly at v1's commit starts the stream AT v1 —
+    // no snapshot batch, v0's rows never delivered
+    val src = new DeltaTableSource(spark, tbl, ck,
+      startingTimestamp = Some(tsV1))
+    val Some((w1, o1)) = src.readAvailable()
+    assert(o1.version <= 2L)
+    src.commitProgress(o1)
+    var rest = Set.empty[Long]
+    rest ++= w1.collect().map(_.getLong(0))
+    var more = true
+    while (more) src.readAvailable() match {
+      case Some((rows, off)) =>
+        rest ++= rows.collect().map(_.getLong(0)); src.commitProgress(off)
+      case None => more = false
+    }
+    assert(rest == Set(10L, 11L), s"from-v1 replay only, got $rest")
+    // an instant past the last commit refuses by name (delta behavior)
+    val late = new DeltaTableSource(spark, tbl, tmp("tsrc7-ck2"),
+      startingTimestamp = Some(hist.map(_._3).max + 60000L))
+    val e = intercept[IllegalArgumentException] { late.readAvailable() }
+    assert(e.getMessage.contains("after the last commit"))
+    // both start modes together refuse at construction
+    intercept[IllegalArgumentException] {
+      new DeltaTableSource(spark, tbl, tmp("tsrc7-ck3"),
+        startingVersion = Some(0L), startingTimestamp = Some(tsV1))
+    }
+  }
 }
