@@ -2771,6 +2771,68 @@ object StacOps {
           .withColumn("widen_ok", lit(true))
           .orderBy(col("event_type"))
       },
+      timed = false),
+
+    // ----- REORG PURGE + DROP FEATURE + version-checksum stats -----
+    // The hard-erasure maintenance flow end-to-end: DELETE lands DVs
+    // (soft delete), REORG APPLY (PURGE) rewrites exactly the
+    // DV-carrying files with the dead rows gone (dataChange=false, so
+    // nothing changes logically — the final value check proves it),
+    // then DROP FEATURE deletionVectors TRUNCATE HISTORY downgrades the
+    // protocol and truncates the pre-drop log; the post-drop state
+    // replays from the checkpoint alone. tableStats must answer
+    // O(1) from the version checksum and agree with an independent
+    // recompute (pinned). Oracle replays the delete relationally.
+    QuerySpec(
+      "stac45_delta_reorg_purge",
+      Some("""
+        SELECT event_type, count(*) AS n_rows,
+               CAST(sum(event_id) AS BIGINT) AS id_sum,
+               true AS purge_ok, true AS drop_ok, true AS stats_ok
+        FROM events WHERE event_id % 7 <> 0
+        GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val ev = Tables.t(s, dir, "events")
+        val out = java.nio.file.Files.createTempDirectory("stac45").toString + "/tbl"
+        PortableDelta.write(
+          ev.select(col("event_type"), col("event_id")).repartition(4),
+          out)                                                         // v0
+        PortableDelta.delete(s, out, col("event_id") % 7 === 0)        // v1: DVs
+        val snap1 = PortableDelta.snapshot(s, out)
+        require(snap1.files.exists(_.dv.isDefined),
+          "the DELETE must land deletion vectors, not rewrites")
+        PortableDelta.reorgPurge(s, out)                               // v2
+        val snap2 = PortableDelta.snapshot(s, out)
+        require(snap2.files.forall(_.dv.isEmpty),
+          "REORG PURGE must leave no live deletion vector")
+        PortableDelta.dropFeatureSupport(s, out, "deletionVectors",
+          truncateHistory = true)                                      // v3
+        val snap3 = PortableDelta.snapshot(s, out)
+        require(!snap3.readerFeatures.contains("deletionVectors") &&
+          !snap3.writerFeatures.contains("deletionVectors"),
+          "the drop must unlist the feature on both protocol sides")
+        // pre-drop commits are gone: the state below replays from the
+        // checkpoint the drop wrote
+        require(!new java.io.File(s"$out/_delta_log").listFiles()
+          .exists(_.getName == "%020d.json".format(0L)),
+          "TRUNCATE HISTORY must reclaim the pre-drop log")
+        // O(1) stats off the version checksum == independent recompute
+        val st = PortableDelta.tableStats(s, out)
+        require(st.numFiles == snap3.files.size &&
+          st.sizeInBytes == snap3.files.map(_.size).sum,
+          s"checksum-served stats drift: $st vs " +
+            s"(${snap3.files.size}, ${snap3.files.map(_.size).sum})")
+        PortableDelta.validateChecksum(s, out)
+        PortableDelta.readTable(s, out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("id_sum"))
+          .withColumn("purge_ok", lit(true))
+          .withColumn("drop_ok", lit(true))
+          .withColumn("stats_ok", lit(true))
+          .orderBy(col("event_type"))
+      },
       timed = false)
   )
 }

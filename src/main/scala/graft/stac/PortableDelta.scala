@@ -3042,19 +3042,10 @@ object PortableDelta {
       val v = snap.version + 1
       val actions = Seq.newBuilder[JsonNode]
       actions += commitInfo(now, "SET TBLPROPERTIES (inCommitTimestamps)")
-      if (snap.minWriterVersion < 7 ||
-          !snap.writerFeatures.contains("inCommitTimestamp")) {
-        val r = mapper.createObjectNode()
-        val b = r.putObject("protocol")
-        b.put("minReaderVersion", snap.minReaderVersion)
-        b.put("minWriterVersion", 7)
-        if (snap.readerFeatures.nonEmpty) {
-          val a = b.putArray("readerFeatures"); snap.readerFeatures.foreach(a.add)
-        }
-        val a = b.putArray("writerFeatures")
-        (snap.writerFeatures :+ "inCommitTimestamp").distinct.foreach(a.add)
-        actions += r
-      }
+      // featureUpgradeAction folds legacy-implied features into the
+      // version-7 lists (same contract as every other upgrade site)
+      featureUpgradeAction(snap, Nil, Seq("inCommitTimestamp"))
+        .foreach(actions += _)
       val cfg = snap.configuration +
         (IctProp -> "true") +
         ("delta.inCommitTimestampEnablementVersion" -> v.toString) +
@@ -3070,6 +3061,222 @@ object PortableDelta {
           if (attempt > maxRetries)
             throw new IllegalStateException(
               s"enableInCommitTimestamps on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** ALTER TABLE ... DROP FEATURE — the spec's feature-removal
+    * protocol (delta-spark's `dropFeatureSupport`): re-protocol the
+    * table WITHOUT `name` so engines that lack the feature regain
+    * access. Three gates, each refusing BY NAME:
+    *
+    *   1. the feature must be EXPLICITLY listed on the current
+    *      protocol (legacy-implied features have no list to shrink);
+    *   2. the CURRENT version must hold no trace — live deletion
+    *      vectors (run [[reorgPurge]] first), an enabling table
+    *      property still `true`, column-mapping mode still active,
+    *      constraints / generation expressions / identity / default /
+    *      invariant metadata still on the schema, NTZ or VARIANT
+    *      columns still present, a live clustering domain, a v2-layout
+    *      current checkpoint;
+    *   3. READER-facing features (data-encoding ones) additionally
+    *      require `truncateHistory = true`: historical versions still
+    *      carry the encoding, so after the downgrade commit this verb
+    *      writes a checkpoint at it and truncates the ENTIRE earlier
+    *      log + superseded checkpoints — pre-drop time travel is gone,
+    *      exactly delta-spark's `DROP FEATURE ... TRUNCATE HISTORY`
+    *      trade. Writer-only features (and `vacuumProtocolCheck`,
+    *      which encodes nothing in data) drop in one commit with
+    *      history intact.
+    *
+    * The emitted protocol normalizes: when the remaining writer
+    * features are EXACTLY a legacy tier's implied set (and the reader
+    * list fits its legacy version), the table returns to plain legacy
+    * versions; otherwise it stays (3, 7) with the shrunk lists.
+    * Residual bookkeeping of the dropped feature (the rowTracking
+    * domain + materialized-column property, ICT provenance properties,
+    * stale `delta.feature.<name>` requests) leaves in the SAME commit.
+    * Small-state read (one flat-add DV probe for deletionVectors);
+    * O(1) driver cost. */
+  def dropFeatureSupport(spark: SparkSession, path: String, name: String,
+                         truncateHistory: Boolean = false,
+                         maxRetries: Int = 10): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (true) {
+      val snap = smallSnapshot(spark, path)
+      requireWritable(snap, path)
+      val listed = snap.readerFeatures.contains(name) ||
+        snap.writerFeatures.contains(name)
+      require(listed,
+        s"feature '$name' is not listed on $path's protocol " +
+          s"(reader=${snap.readerFeatures.mkString("[", ",", "]")}, " +
+          s"writer=${snap.writerFeatures.mkString("[", ",", "]")}) — " +
+          "legacy-implied features cannot be dropped")
+      val cfg = snap.configuration
+      def requirePropOff(prop: String): Unit =
+        require(!cfg.get(prop).contains("true"),
+          s"cannot drop '$name' from $path while $prop=true — unset the " +
+            "property first")
+      // per-feature trace gates + residual-bookkeeping removal
+      val domainRemovals = Seq.newBuilder[JsonNode]
+      var newCfg = cfg - s"delta.feature.$name"
+      name match {
+        case "deletionVectors" =>
+          requirePropOff("delta.enableDeletionVectors")
+          val dvFiles = narrowedSnapshot(spark, path,
+            (_, df) => df.filter(col("dv_storageType").isNotNull),
+            s => s.files.filter(_.dv.isDefined)).files
+          require(dvFiles.isEmpty,
+            s"cannot drop 'deletionVectors' from $path: ${dvFiles.size} live " +
+              "file(s) still carry deletion vectors — run reorgPurge first")
+        case "columnMapping" =>
+          require(!mappedCfg(cfg),
+            s"cannot drop 'columnMapping' from $path while " +
+              s"$ColumnMappingModeProp is active")
+        case "changeDataFeed" => requirePropOff("delta.enableChangeDataFeed")
+        case "appendOnly" => requirePropOff("delta.appendOnly")
+        case "rowTracking" =>
+          requirePropOff(RowTrackingProp)
+          if (snap.domainMetadata.contains(RowTrackingDomain))
+            domainRemovals +=
+              domainMetadataAction(RowTrackingDomain, "", removed = true)
+          newCfg = newCfg - RowTrackingProp - MaterializedRowIdProp
+        case "inCommitTimestamp" =>
+          requirePropOff(IctProp)
+          newCfg = newCfg - IctProp -
+            "delta.inCommitTimestampEnablementVersion" -
+            "delta.inCommitTimestampEnablementTimestamp"
+        case "checkConstraints" =>
+          val cs = cfg.keys.filter(_.startsWith(ConstraintPrefix)).toSeq.sorted
+          require(cs.isEmpty,
+            s"cannot drop 'checkConstraints' from $path: constraints " +
+              s"${cs.mkString(", ")} still defined — drop them first")
+        case "generatedColumns" =>
+          val gs = generatedFields(snap.schema).map(_._1.name)
+          require(gs.isEmpty,
+            s"cannot drop 'generatedColumns' from $path: column(s) " +
+              s"${gs.mkString(", ")} still carry generation expressions")
+        case "identityColumns" =>
+          val is = identityFields(snap.schema).map(_.field.name)
+          require(is.isEmpty,
+            s"cannot drop 'identityColumns' from $path: column(s) " +
+              s"${is.mkString(", ")} still carry identity metadata")
+        case "allowColumnDefaults" =>
+          val ds = snap.schema.fields.toSeq
+            .filter(_.metadata.contains("CURRENT_DEFAULT")).map(_.name)
+          require(ds.isEmpty,
+            s"cannot drop 'allowColumnDefaults' from $path: column(s) " +
+              s"${ds.mkString(", ")} still carry defaults")
+        case "invariants" =>
+          val vs = snap.schema.fields.toSeq
+            .filter(_.metadata.contains("delta.invariants")).map(_.name)
+          require(vs.isEmpty,
+            s"cannot drop 'invariants' from $path: column(s) " +
+              s"${vs.mkString(", ")} still carry invariants")
+        case "typeWidening" =>
+          requirePropOff("delta.enableTypeWidening")
+          val ws = snap.schema.fields.toSeq
+            .filter(_.metadata.contains("delta.typeWidening")).map(_.name)
+          require(ws.isEmpty,
+            s"cannot drop 'typeWidening' from $path: column(s) " +
+              s"${ws.mkString(", ")} still carry widening history")
+          newCfg = newCfg - "delta.enableTypeWidening"
+        case "timestampNtz" =>
+          require(!containsNtz(snap.schema),
+            s"cannot drop 'timestampNtz' from $path: the schema still has " +
+              "TIMESTAMP WITHOUT TIME ZONE column(s)")
+        case "variantType" =>
+          require(!containsVariant(snap.schema),
+            s"cannot drop 'variantType' from $path: the schema still has " +
+              "VARIANT column(s)")
+        case "clustering" =>
+          require(!snap.domainMetadata.contains("delta.clustering"),
+            s"cannot drop 'clustering' from $path while the " +
+              "delta.clustering domain is live — ALTER ... CLUSTER BY NONE first")
+        case "v2Checkpoint" =>
+          require(!cfg.get("delta.checkpointPolicy").contains("v2"),
+            s"cannot drop 'v2Checkpoint' from $path while " +
+              "delta.checkpointPolicy=v2")
+          newCfg = newCfg - "delta.checkpointPolicy"
+          checkpointRefFor(conf, path).foreach { ref =>
+            val fs = logDir(path).getFileSystem(conf)
+            val uuidAt = (f"${ref.version}%020d" +
+              "\\.checkpoint\\.[0-9a-fA-F-]{36}\\.parquet").r
+            val hasV2 = fs.listStatus(logDir(path)).exists(s =>
+              uuidAt.pattern.matcher(s.getPath.getName).matches())
+            require(!hasV2,
+              s"cannot drop 'v2Checkpoint' from $path: the current " +
+                s"checkpoint (v${ref.version}) is v2-layout — write a " +
+                "classic checkpoint first")
+          }
+        case "vacuumProtocolCheck" | "domainMetadata" => // no data trace
+        case other =>
+          throw new IllegalArgumentException(
+            s"don't know how to validate removal of feature '$other' — " +
+              "refusing to emit a protocol this engine cannot vouch for")
+      }
+      // reader-facing features leave their encoding in HISTORY: require
+      // the explicit truncation opt-in (vacuumProtocolCheck encodes
+      // nothing in data files and drops history-intact)
+      val readerFacing = SupportedReaderFeatures.contains(name) &&
+        name != "vacuumProtocolCheck"
+      require(!readerFacing || truncateHistory,
+        s"'$name' is a reader-facing feature: historical versions still " +
+          "carry its encoding, so dropping it requires truncateHistory = " +
+          "true (pre-drop time travel is lost) — the spec's DROP FEATURE " +
+          "... TRUNCATE HISTORY trade")
+      val newRf = snap.readerFeatures.filterNot(_ == name)
+      val newWf = snap.writerFeatures.filterNot(_ == name)
+      // protocol normalization: an exact legacy tier match returns the
+      // table to plain versions (delta-spark's downgrade rule)
+      val legacyWv = (2 to 6).find(wv =>
+        legacyWriterFeatures(wv) == newWf.toSet &&
+          (newRf.isEmpty || (newRf.toSet == Set("columnMapping"))))
+      val r = mapper.createObjectNode()
+      val b = r.putObject("protocol")
+      legacyWv match {
+        case Some(wv) =>
+          b.put("minReaderVersion",
+            if (newRf.toSet == Set("columnMapping")) 2 else 1)
+          b.put("minWriterVersion", wv)
+        case None =>
+          b.put("minReaderVersion", if (newRf.nonEmpty) 3 else 1)
+          b.put("minWriterVersion", 7)
+          if (newRf.nonEmpty) {
+            val a = b.putArray("readerFeatures"); newRf.foreach(a.add)
+          }
+          val a = b.putArray("writerFeatures"); newWf.foreach(a.add)
+      }
+      val now = System.currentTimeMillis()
+      val v = snap.version + 1
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, s"DROP FEATURE ($name)")
+      actions += r
+      actions ++= domainRemovals.result()
+      if (newCfg != cfg)
+        actions += metaDataAction(snap.tableId, snap.schema, newCfg, now,
+          snap.partitionColumns)
+      try {
+        commit(conf, path, v, actions.result(), newCfg,
+          crcDelta = Some((0L, 0L)))
+        if (readerFacing) {
+          // history still encodes the dropped feature: checkpoint at the
+          // downgraded version, then truncate everything before it
+          checkpoint(spark, path)
+          cleanupLog(conf, path)
+          cleanupCheckpoints(spark, path)
+        }
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(
+              s"dropFeatureSupport($name) on $path lost the commit race " +
                 s"$attempt times (last: ${e.getMessage})", e)
       }
     }
@@ -3377,7 +3584,11 @@ object PortableDelta {
   def setTableProperties(spark: SparkSession, path: String,
                          props: Map[String, String],
                          maxRetries: Int = 10): Long = {
+    // disabling row tracking (any non-"true" value) is a plain property
+    // write — only ENABLING needs the backfill verb
     val bad = props.keySet.intersect(GuardedProps.keySet)
+      .filterNot(k => k == RowTrackingProp &&
+        !props(k).equalsIgnoreCase("true"))
     require(bad.isEmpty, bad.toSeq.sorted.map(k =>
       s"$k: ${GuardedProps(k)}").mkString("; "))
     alterProperties(spark, path,
@@ -3392,7 +3603,8 @@ object PortableDelta {
   def unsetTableProperties(spark: SparkSession, path: String,
                            keys: Seq[String],
                            maxRetries: Int = 10): Long = {
-    val bad = keys.toSet.intersect(GuardedProps.keySet)
+    // un-setting the row-tracking enablement ≡ disabling it — safe
+    val bad = keys.toSet.intersect(GuardedProps.keySet) - RowTrackingProp
     require(bad.isEmpty, bad.toSeq.sorted.map(k =>
       s"$k: ${GuardedProps(k)}").mkString("; "))
     alterProperties(spark, path,
@@ -4044,6 +4256,74 @@ object PortableDelta {
       maxRetries, clusteringProvider = Some(ClusteringProviderName))
   }
 
+  /** REORG TABLE ... APPLY (PURGE) — delta-spark's maintenance verb
+    * that physically REMOVES soft-deleted data: every file carrying a
+    * deletion vector is rewritten with its dead rows materialized away
+    * (single-file victims qualify, unlike compaction's bin-packing),
+    * and with `purgeDroppedColumns = true` the sweep also rewrites
+    * mapped-table files whose parquet bytes still hold columns dropped
+    * from the schema ([[dropColumn]] is metadata-only, so the stale
+    * bytes linger until purged — this is the verb that makes a later
+    * `DROP FEATURE columnMapping` or a privacy-driven hard delete
+    * real). Victim selection stays on the flat add frame: the DV
+    * filter is a column predicate; the dropped-column probe opens ONLY
+    * parquet FOOTERS, on executors, never data pages — O(files)
+    * metadata I/O, the same cost class as commit-time stats
+    * harvesting. Rewrites ride [[commitRewrite]]: `dataChange=false`
+    * on both action sides (no logical change), original row IDs
+    * materialized through the rewrite on row-tracked tables, lost
+    * races rebase. After the purge + [[vacuum]], the dead bytes are
+    * GONE from disk — the GDPR-erasure path a DV-only DELETE cannot
+    * provide. */
+  def reorgPurge(spark: SparkSession, path: String,
+                 targetFileBytes: Long = 128L << 20,
+                 purgeDroppedColumns: Boolean = false,
+                 footerKv: Map[String, String] = Map.empty,
+                 maxRetries: Int = 10): OptimizeStats = {
+    import org.apache.spark.sql.functions.col
+    require(targetFileBytes > 0)
+    val snap =
+      if (!purgeDroppedColumns)
+        narrowedSnapshot(spark, path,
+          (_, df) => df.filter(col("dv_storageType").isNotNull),
+          s => s.files.filter(_.dv.isDefined))
+      else {
+        // the CURRENT physical shape — footer columns outside it are
+        // stale bytes (the materialized row-ID column legitimately
+        // lives outside the table schema)
+        val small = smallSnapshot(spark, path)
+        val keep: Set[String] = physSchemaOf(small.schema).fieldNames.toSet ++
+          small.configuration.get(MaterializedRowIdProp)
+        val confW = new org.apache.spark.SerializableWritable(
+          spark.sessionState.newHadoopConf())
+        val root = path
+        def staleBytes(rel: String): Boolean = {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(resolvedDataPath(root, rel), confW.value)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val top =
+            try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSet
+            finally r.close()
+          (top -- keep).nonEmpty
+        }
+        narrowedSnapshot(spark, path,
+          (_, df) => df.filter { (r: org.apache.spark.sql.Row) =>
+            !r.isNullAt(3) || staleBytes(r.getString(0)) },
+          s => s.files.filter(f => f.dv.isDefined || staleBytes(f.path)))
+      }
+    requireWritable(snap, path)
+    val victims = snap.files
+    if (victims.isEmpty) return OptimizeStats(snap.version, 0, 0, 0L)
+    val bins = math.max(1L,
+      (victims.map(_.size).sum + targetFileBytes - 1) / targetFileBytes).toInt
+    val snapV = snap.copy(files = victims)
+    val df = scanWithRidCol(spark, path, snapV)
+      .getOrElse(snapshotDf(spark, path, snapV)).repartition(bins)
+    commitRewrite(spark, path, snap, victims, df, footerKv,
+      "REORG (PURGE)", maxRetries)
+  }
+
   /** Shared rewrite commit: stage `df`'s files, then commit
     * remove(victims) + add(staged) with `dataChange=false` on both sides
     * (no logical change — the spec's compaction shape). On a lost commit
@@ -4690,13 +4970,10 @@ object PortableDelta {
       val pre = snapshot(spark, path)
       if (pre.readerFeatures.contains("v2Checkpoint")) upgraded = true
       else {
-        val r = mapper.createObjectNode()
-        val b = r.putObject("protocol")
-        b.put("minReaderVersion", 3); b.put("minWriterVersion", 7)
-        val rf = b.putArray("readerFeatures")
-        (pre.readerFeatures :+ "v2Checkpoint").distinct.foreach(rf.add)
-        val wf = b.putArray("writerFeatures")
-        (pre.writerFeatures :+ "v2Checkpoint").distinct.foreach(wf.add)
+        // featureUpgradeAction folds legacy-implied features into the
+        // version-7 lists (same contract as every other upgrade site)
+        val r = featureUpgradeAction(pre, Seq("v2Checkpoint"),
+          Seq("v2Checkpoint")).get
         try {
           commit(conf, path, pre.version + 1,
             Seq(commitInfo(System.currentTimeMillis(), "UPGRADE PROTOCOL"), r),

@@ -109,15 +109,19 @@ class DeltaModelSpec extends AnyFunSuite {
             PortableDelta.merge(spark, path, toDf(src), Seq("id"))
             model = model ++ src.map(t => t._1 -> ((t._2, t._3)))
           } else trace += "merge(skipped)"
-        case 7 => // OPTIMIZE / Z-ORDER / incremental clustering: layout
-          // only, no logical change (maintenance must never mutate)
-          rnd.nextInt(3) match {
+        case 7 => // OPTIMIZE / Z-ORDER / incremental clustering / REORG
+          // PURGE: layout only, no logical change (maintenance must
+          // never mutate)
+          rnd.nextInt(4) match {
             case 0 =>
               trace += "optimizeCompact"
               PortableDelta.optimizeCompact(spark, path)
             case 1 =>
               trace += "optimizeZOrder"
               PortableDelta.optimizeZOrder(spark, path, Seq("id", "v"), 2)
+            case 2 =>
+              trace += "reorgPurge"
+              PortableDelta.reorgPurge(spark, path)
             case _ =>
               if (PortableDelta.snapshot(spark, path).domainMetadata
                   .contains("delta.clustering")) {
