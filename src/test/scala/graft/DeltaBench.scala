@@ -122,6 +122,42 @@ object DeltaBench {
           s"maintenance must touch only the new files, got $st")
       }
 
+      results("reorg_purge") = timeVerb("reorg_purge") { () =>
+        // hash layout → the residue delete lands DVs on EVERY file:
+        // the purge's worst case, a full-table rewrite
+        val t = fresh("rp")
+        PortableDelta.delete(spark, t, col("okey") % 7L === 0L)
+        t
+      } { t =>
+        val st = PortableDelta.reorgPurge(spark, t)
+        require(st.removedFiles == 32 && st.purgedDvRows > 0, s"$st")
+      }
+      val maxKey = orders.agg(max(col("okey"))).first().getLong(0)
+      results("reorg_purge_narrow") = timeVerb("reorg_purge_narrow") { () =>
+        // range layout + a ~1/32 key-slice delete → DVs land on ~1
+        // file: purge cost must track VICTIM bytes, not the table
+        val t = java.nio.file.Files
+          .createTempDirectory("dbench-rpn").toString + "/tbl"
+        PortableDelta.write(orders.repartitionByRange(32, col("okey")), t)
+        PortableDelta.delete(spark, t, col("okey") <= maxKey / 32L)
+        t
+      } { t =>
+        val st = PortableDelta.reorgPurge(spark, t)
+        require(st.removedFiles >= 1 && st.removedFiles <= 3,
+          s"narrow purge must touch only the DV slice, got $st")
+      }
+      results("drop_feature") = timeVerb("drop_feature") { () =>
+        // a listed, trace-less writer feature: the drop is one
+        // small-state commit — O(1) however many files the table has
+        val t = java.nio.file.Files
+          .createTempDirectory("dbench-dfx").toString + "/tbl"
+        PortableDelta.write(orders.repartition(32), t,
+          properties = Map("delta.feature.domainMetadata" -> "supported"))
+        t
+      } { t =>
+        PortableDelta.dropFeatureSupport(spark, t, "domainMetadata")
+      }
+
       results("source_drain") = timeVerb("source_drain") { () =>
         // the append-stream source catching up on a 16-commit backlog
         // (setup untimed): per-trigger windowed scans + watermark IO
