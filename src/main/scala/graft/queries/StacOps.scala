@@ -2833,6 +2833,65 @@ object StacOps {
           .withColumn("stats_ok", lit(true))
           .orderBy(col("event_type"))
       },
+      timed = false),
+
+    // ----- un-map + DROP FEATURE columnMapping + log-based vacuum -----
+    // The full mapped-table retirement flow: RENAME diverges physical
+    // names (appends stage physical bytes), disableColumnMapping
+    // rewrites every live file under the logical names in ONE commit
+    // (dataChange=false — the value check proves nothing changed), DROP
+    // FEATURE columnMapping TRUNCATE HISTORY normalizes the protocol
+    // back to plain legacy versions, and vacuumLite reclaims the
+    // pre-rewrite files FROM THE CHECKPOINT'S CARRIED TOMBSTONES — no
+    // directory listing anywhere in the reclaim (the 100-TB path).
+    // Oracle replays the rename relationally.
+    QuerySpec(
+      "stac46_delta_unmap_vacuum",
+      Some("""
+        SELECT event_type AS kind, count(*) AS n_rows,
+               CAST(sum(event_id) AS BIGINT) AS id_sum,
+               true AS unmap_ok, true AS drop_ok, true AS vacuum_ok
+        FROM events GROUP BY event_type ORDER BY kind"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val ev = Tables.t(s, dir, "events")
+        val out = java.nio.file.Files.createTempDirectory("stac46").toString + "/tbl"
+        PortableDelta.write(
+          ev.select(col("event_type"), col("event_id")).repartition(4),
+          out)                                                         // v0
+        PortableDelta.renameColumn(s, out, "event_type", "kind")      // v1
+        val pre = PortableDelta.snapshot(s, out)
+        require(pre.readerFeatures.contains("columnMapping"))
+        val preFiles = pre.files.map(_.path).toSet
+        PortableDelta.disableColumnMapping(s, out)                    // v2
+        val snap2 = PortableDelta.snapshot(s, out)
+        require(snap2.files.map(_.path).toSet.intersect(preFiles).isEmpty,
+          "the diverged un-map must rewrite every live file")
+        PortableDelta.dropFeatureSupport(s, out, "columnMapping",
+          truncateHistory = true)                                     // v3
+        val snap3 = PortableDelta.snapshot(s, out)
+        require(snap3.minReaderVersion == 1 &&
+          !snap3.writerFeatures.contains("columnMapping"),
+          "the drop must normalize the protocol and unlist the feature")
+        // the drop's checkpoint carried the rewrite's tombstones: the
+        // log-based vacuum reclaims the old physical-name files without
+        // ever listing the directory
+        val reclaimed = PortableDelta.vacuumLite(s, out, graceMillis = 0L)
+        require(reclaimed >= preFiles.size,
+          s"vacuumLite must reclaim the ${preFiles.size} pre-rewrite " +
+            s"files, got $reclaimed")
+        require(preFiles.forall(p => !new java.io.File(s"$out/$p").exists()),
+          "the pre-rewrite bytes must be gone from disk")
+        PortableDelta.validateChecksum(s, out)
+        PortableDelta.readTable(s, out)
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("id_sum"))
+          .withColumn("unmap_ok", lit(true))
+          .withColumn("drop_ok", lit(true))
+          .withColumn("vacuum_ok", lit(true))
+          .orderBy(col("kind"))
+      },
       timed = false)
   )
 }

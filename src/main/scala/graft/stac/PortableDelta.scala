@@ -397,14 +397,11 @@ object PortableDelta {
         actions += metaDataAction(prior.get.tableId,
           stampIdentityHwm(df.schema, identUpdates), effProps, now,
           effPartitionBy)
-        prior.get.files.foreach { f =>
-          val r = mapper.createObjectNode()
-          val b = r.putObject("remove")
-          b.put("path", f.path); b.put("deletionTimestamp", now)
-          b.put("dataChange", true)
-          b.put("extendedFileMetadata", true); b.put("size", f.size)
-          actions += r
-        }
+        // removeActionNode carries the DV descriptor when one rides the
+        // file — without it the tombstone loses the pack reference and
+        // log-based reclaim (vacuumLite) can never free the pack
+        prior.get.files.foreach(f =>
+          actions += removeActionNode(f, now, dataChange = true))
       } else if (evolvedSchema.isDefined || identUpdates.nonEmpty) {
         // mergeSchema append re-states metaData with the EVOLVED schema
         // (old files read the new columns as null); an identity-
@@ -3426,6 +3423,174 @@ object PortableDelta {
         (StructType(schema.fields.filterNot(_.name == name)), partCols)
     }
 
+  /** Un-map a column-mapped table — the prerequisite that makes
+    * `DROP FEATURE columnMapping` ([[dropFeatureSupport]]) reachable:
+    * the drop's trace gate refuses while `delta.columnMapping.mode` is
+    * active, and this is the verb that deactivates it SOUNDLY. Two
+    * shapes, chosen by what the parquet bytes actually hold:
+    *
+    *   - **identity mapping** (mapping was enabled on an existing
+    *     table and no rename/re-add diverged any physical name): the
+    *     bytes already carry the logical names, so this is a
+    *     metadata-only commit — mapping ids/physicalNames leave the
+    *     schema, mode + maxColumnId leave the configuration. One
+    *     guard: a previously DROPPED column's bytes still lingering in
+    *     any footer would become a zombie (an unmapped re-add of that
+    *     name would resurrect them) — refused by name, pointing at
+    *     [[reorgPurge]]`(purgeDroppedColumns = true)`.
+    *   - **diverged names** (a RENAME happened, or [[addColumn]] minted
+    *     UUID physical names): every live file is rewritten under the
+    *     LOGICAL names in ONE commit — remove(all) + add(staged) with
+    *     `dataChange=false` both sides + the un-mapped metaData, so no
+    *     reader ever sees a mixed state. DVs purge with the rewrite
+    *     (the scan applies them); original row IDs materialize through
+    *     it on row-tracked tables. A lost commit race withdraws the
+    *     staged files and restages from the fresh snapshot (full
+    *     restage, not rebase — the rewrite spans every live file, so
+    *     any concurrent commit invalidates it).
+    *
+    * The `columnMapping` feature stays LISTED on the protocol (it is
+    * still required to READ pre-disable history); the follow-up
+    * `dropFeatureSupport(_, _, "columnMapping", truncateHistory=true)`
+    * removes it and truncates that history. Returns the commit
+    * version. */
+  def disableColumnMapping(spark: SparkSession, path: String,
+                           targetFileBytes: Long = 128L << 20,
+                           footerKv: Map[String, String] = Map.empty,
+                           maxRetries: Int = 10): Long = {
+    require(targetFileBytes > 0)
+    val conf = spark.sessionState.newHadoopConf()
+    var attempt = 0
+    while (true) {
+      val small = smallSnapshot(spark, path)
+      requireWritable(small, path)
+      require(mappedCfg(small.configuration),
+        s"$path is not column-mapped — nothing to disable")
+      val stripped = stripMappingMeta(small.schema)
+      val newCfg = small.configuration - ColumnMappingModeProp - MaxColumnIdProp
+      val now = System.currentTimeMillis()
+      if (identityMapped(small.schema)) {
+        // bytes already carry logical names — but a dropped column's
+        // lingering bytes would zombie once the mapping is gone
+        val probe = staleBytesProbe(spark, path, small)
+        val stale = narrowedSnapshot(spark, path,
+          (_, df) => df.filter { (r: org.apache.spark.sql.Row) =>
+            probe(r.getString(0)) },
+          s => s.files.filter(f => probe(f.path))).files
+        require(stale.isEmpty,
+          s"cannot disable column mapping on $path: ${stale.size} file(s) " +
+            "still hold bytes of dropped column(s) — run " +
+            "reorgPurge(purgeDroppedColumns = true) first")
+        val actions = Seq(commitInfo(now, "UNSET COLUMN MAPPING"),
+          metaDataAction(small.tableId, stripped, newCfg, now,
+            small.partitionColumns))
+        try {
+          commit(conf, path, small.version + 1, actions, newCfg,
+            crcDelta = Some((0L, 0L)))
+          return small.version + 1
+        } catch {
+          case e: ConcurrentCommitException =>
+            attempt += 1
+            if (attempt > maxRetries) throw new IllegalStateException(
+              s"disableColumnMapping on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage})", e)
+        }
+      } else {
+        // diverged physical names: rewrite every live file under the
+        // logical names, in the same commit as the metaData switch
+        val snap = snapshot(spark, path)
+        val victims = snap.files
+        val bins = math.max(1L, (victims.map(_.size).sum +
+          targetFileBytes - 1) / targetFileBytes).toInt
+        val df = scanWithRidCol(spark, path, snap)
+          .getOrElse(snapshotDf(spark, path, snap)).repartition(bins)
+        val (added, cleanupMoved) = stageAndMove(df, path, footerKv, conf,
+          snap.partitionColumns, physFor = None,
+          physPassThrough = materializedRidCol(snap.configuration)
+            .filter(df.columns.contains).toSet)
+        val statsByName = DeltaStats.collectFileStats(
+          spark, path, added.map(_.relPath), stripped, newCfg)
+        val actions = Seq.newBuilder[JsonNode]
+        actions += commitInfo(now, "UNSET COLUMN MAPPING",
+          Map("numRemovedFiles" -> victims.size.toLong,
+            "numAddedFiles" -> added.size.toLong))
+        actions += metaDataAction(snap.tableId, stripped, newCfg, now,
+          snap.partitionColumns)
+        victims.foreach(f =>
+          actions += removeActionNode(f, now, dataChange = false))
+        val rt = assignRowIds(conf, path, snap.configuration,
+          snap.domainMetadata, added, statsByName)
+        added.foreach { f =>
+          val r = mapper.createObjectNode()
+          val b = r.putObject("add")
+          b.put("path", f.relPath)
+          putPartitionValues(b, f.partitionValues)
+          b.put("size", f.status.getLen)
+          b.put("modificationTime", f.status.getModificationTime)
+          b.put("dataChange", false)
+          statsByName.get(f.relPath).foreach(b.put("stats", _))
+          rt.foreach { case (ids, _) =>
+            b.put("baseRowId", ids(f.relPath))
+            b.put("defaultRowCommitVersion", snap.version + 1)
+          }
+          actions += r
+        }
+        rt.foreach(t => actions += t._2)
+        try {
+          commit(conf, path, snap.version + 1, actions.result(), newCfg)
+          return snap.version + 1
+        } catch {
+          case e: ConcurrentCommitException =>
+            // the rewrite spans EVERY live file — any concurrent commit
+            // invalidates it; withdraw and restage from fresh state
+            cleanupMoved()
+            attempt += 1
+            if (attempt > maxRetries) throw new IllegalStateException(
+              s"disableColumnMapping on $path lost the commit race " +
+                s"$attempt times (last: ${e.getMessage}); staged files " +
+                "withdrawn", e)
+        }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Remove `delta.columnMapping.{id,physicalName}` from every field,
+    * recursively through nested structs/arrays/maps. */
+  private def stripMappingMeta(schema: StructType): StructType = {
+    def stripType(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(stripField))
+      case org.apache.spark.sql.types.ArrayType(e, n) =>
+        org.apache.spark.sql.types.ArrayType(stripType(e), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(stripType(k), stripType(v), n)
+      case other => other
+    }
+    def stripField(f: StructField): StructField =
+      f.copy(dataType = stripType(f.dataType),
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove("delta.columnMapping.id")
+          .remove("delta.columnMapping.physicalName").build())
+    StructType(schema.fields.map(stripField))
+  }
+
+  /** True when every field's physical name (recursively) equals its
+    * logical name — the enable-on-existing-table shape with no rename
+    * or UUID-named re-add since. */
+  private def identityMapped(schema: StructType): Boolean = {
+    def okType(dt: DataType): Boolean = dt match {
+      case s: StructType => s.fields.forall(okField)
+      case org.apache.spark.sql.types.ArrayType(e, _) => okType(e)
+      case org.apache.spark.sql.types.MapType(k, v, _) =>
+        okType(k) && okType(v)
+      case _ => true
+    }
+    def okField(f: StructField): Boolean =
+      physFieldName(f) == f.name && okType(f.dataType)
+    schema.fields.forall(okField)
+  }
+
   /** ALTER TABLE ... ADD COLUMN — a metadata-only commit appending a
     * NULLABLE field at the end of the schema (the delta position
     * default): existing files simply read null for it, so no byte
@@ -3909,51 +4074,7 @@ object PortableDelta {
         .flatMap(parseInterval).getOrElse(7L * 24 * 3600 * 1000)
     val s2 = spark; import s2.implicits._
     val tablePath = path
-    // table-relative add paths (bare names collide across hive dirs);
-    // DV packs live at the root so their rel path IS the name
-    def refsOf(p: String, dvSt: String, dvPath: String): Seq[String] =
-      Seq(p) ++ (dvSt match {
-        case "u" => Seq(DeletionVectors.dvFilePath(tablePath, dvPath).getName)
-        case "p" => Seq(new Path(dvPath).getName)
-        case _ => Nil
-      })
-    def jsonRefs(p: Path): Seq[String] = {
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.filter(_.nonEmpty).map(mapper.readTree).flatMap { n =>
-        if (!n.has("add")) Nil
-        else {
-          val f = parseAddNode(n.get("add"))
-          refsOf(f.path, f.dv.map(_.storageType).getOrElse(""),
-            f.dv.map(_.pathOrInlineDv).getOrElse(""))
-        }
-      }
-    }
-    // referenced frame: the add paths (and their DV packs) of every
-    // reconstructable version — a DATAFRAME end-to-end on checkpointed
-    // tables (the checkpoint's add rows expand to refs on EXECUTORS;
-    // only the bounded JSON tail parses on the driver), so the
-    // referenced set of a million-file table never materializes
-    // driver-side. Pre-checkpoint logs are young: driver parse, small.
-    val referencedDs: org.apache.spark.sql.Dataset[String] =
-      lastCheckpointRef(conf, path) match {
-        case None =>
-          val versioned = fs.listStatus(logDir(path)).toSeq
-            .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
-            .map(_.getPath)
-          versioned.flatMap(jsonRefs).toDS()
-        case Some(ref) =>
-          val ckRefs = ckptAddsFlatDf(spark, path, ref)
-            .select(col("path"), col("dv_storageType"), col("dv_pathOrInlineDv"))
-            .as[(String, String, String)]
-            .flatMap { case (p, st, dv) =>
-              refsOf(p, Option(st).getOrElse(""), Option(dv).getOrElse(""))
-            }
-          val tailRefs = tailCommits(fs, path, ref.version)
-            .flatMap { case (_, p) => jsonRefs(p) }
-          ckRefs.union(tailRefs.toDS())
-      }
+    val referencedDs = referencedRefsDs(spark, path)
     val cutoff = System.currentTimeMillis() - grace
     // listing frame: the driver lists only the root's IMMEDIATE
     // children; every in-scope subdirectory (hive col=value/ trees)
@@ -4014,6 +4135,163 @@ object PortableDelta {
         Iterator.single(n)
       }.collect().sum
     deleted
+  }
+
+  /** Table-relative reference strings a file action pins: the data
+    * path itself plus its DV pack's name when one rides along (bare
+    * names are safe for packs — they live at the table root; data
+    * paths keep their hive dirs, bare names would collide). */
+  private def fileActionRefs(tablePath: String)(p: String, dvSt: String,
+                                                dvPath: String): Seq[String] =
+    Seq(p) ++ (dvSt match {
+      case "u" => Seq(DeletionVectors.dvFilePath(tablePath, dvPath).getName)
+      case "p" => Seq(new Path(dvPath).getName)
+      case _ => Nil
+    })
+
+  /** The reference strings of every ADD action in one log JSON. */
+  private def jsonAddRefs(fs: org.apache.hadoop.fs.FileSystem,
+                          tablePath: String, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    lines.filter(_.nonEmpty).map(mapper.readTree).flatMap { n =>
+      if (!n.has("add")) Nil
+      else {
+        val f = parseAddNode(n.get("add"))
+        fileActionRefs(tablePath)(f.path,
+          f.dv.map(_.storageType).getOrElse(""),
+          f.dv.map(_.pathOrInlineDv).getOrElse(""))
+      }
+    }
+  }
+
+  /** The referenced frame both vacuum shapes share: the add paths (and
+    * their DV packs) of every reconstructable version — a DATAFRAME
+    * end-to-end on checkpointed tables (the checkpoint's add rows
+    * expand to refs on EXECUTORS; only the bounded JSON tail parses on
+    * the driver), so the referenced set of a million-file table never
+    * materializes driver-side. Pre-checkpoint logs are young: driver
+    * parse, small. */
+  private def referencedRefsDs(spark: SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[String] = {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark; import s2.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val tablePath = path
+    lastCheckpointRef(conf, path) match {
+      case None =>
+        val versioned = fs.listStatus(logDir(path)).toSeq
+          .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
+          .map(_.getPath)
+        versioned.flatMap(jsonAddRefs(fs, tablePath, _)).toDS()
+      case Some(ref) =>
+        val ckRefs = ckptAddsFlatDf(spark, path, ref)
+          .select(col("path"), col("dv_storageType"), col("dv_pathOrInlineDv"))
+          .as[(String, String, String)]
+          .flatMap { case (p, st, dv) =>
+            fileActionRefs(tablePath)(p, Option(st).getOrElse(""),
+              Option(dv).getOrElse(""))
+          }
+        val tailRefs = tailCommits(fs, path, ref.version)
+          .flatMap { case (_, p) => jsonAddRefs(fs, tablePath, p) }
+        ckRefs.union(tailRefs.toDS())
+    }
+  }
+
+  /** VACUUM LITE — reclaim from the LOG, never from a directory
+    * listing: candidates are the REMOVE tombstones still present in
+    * the retained log (per-commit JSONs + compacted spans) whose
+    * `deletionTimestamp` cleared the grace window; the reclaim
+    * decision is the same anti-join against the referenced frame the
+    * full [[vacuum]] uses (an add at ANY reconstructable version —
+    * or a shared DV pack — protects its refs). At 100 TB the full
+    * vacuum's recursive listing is the dominant cost (millions of
+    * `FileStatus`es even when nothing is reclaimable); LITE's cost is
+    * O(retained log), the same bound snapshot replay already pays.
+    * The honest trade, exactly delta-spark's `VACUUM ... LITE`: files
+    * the log no longer remembers (crash-orphaned staging files,
+    * tombstones expired from a truncated log) are INVISIBLE here —
+    * run the full listing vacuum on a slow cadence for those, LITE on
+    * the fast one. Returns the reclaimed-file count. */
+  def vacuumLite(spark: SparkSession, path: String,
+                 graceMillis: Long = -1L): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val small = smallSnapshot(spark, path)
+    requireWritable(small, path)
+    val grace =
+      if (graceMillis >= 0) graceMillis
+      else small.configuration.get("delta.deletedFileRetentionDuration")
+        .flatMap(parseInterval).getOrElse(7L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - grace
+    val s2 = spark; import s2.implicits._
+    val tablePath = path
+    // remove tombstones across the retained log — latest per path wins
+    // (a re-removed path after RESTORE must carry its newest timestamp)
+    val logFiles = fs.listStatus(logDir(path)).toSeq.filter(_.isFile)
+      .map(_.getPath).filter { p =>
+        p.getName.matches("\\d{20}\\.json") ||
+          p.getName.matches("\\d{20}\\.\\d{20}\\.compacted\\.json")
+      }
+    val removes = scala.collection.mutable.HashMap.empty[String, (Long, Seq[String])]
+    logFiles.foreach { p =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("remove")) {
+          val r = n.get("remove")
+          val rel = r.get("path").asText()
+          val ts = Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)
+          val dvSt = Option(r.get("deletionVector"))
+            .map(_.get("storageType").asText()).getOrElse("")
+          val dvP = Option(r.get("deletionVector"))
+            .map(_.get("pathOrInlineDv").asText()).getOrElse("")
+          val refs = fileActionRefs(tablePath)(rel, dvSt, dvP)
+          if (removes.get(rel).forall(_._1 < ts)) removes(rel) = (ts, refs)
+        }
+      }
+    }
+    // checkpoint-carried tombstones (removes whose commit JSONs are
+    // already truncated — [[checkpoint]] retains unexpired ones): the
+    // candidate set stays bounded by the retention window, and only
+    // the expired slice ever reaches the driver
+    val ckptExpired: Seq[String] = lastCheckpointRef(conf, path) match {
+      case None => Nil
+      case Some(ref) =>
+        import org.apache.spark.sql.functions.col
+        ckptRemovesFlatDf(spark, path, ref)
+          .where(col("deletionTimestamp") <= cutoff)
+          .select(col("path"), col("dv_storageType"), col("dv_pathOrInlineDv"))
+          .collect().toSeq.flatMap { r =>
+            fileActionRefs(tablePath)(r.getString(0),
+              Option(r.getString(1)).getOrElse(""),
+              Option(r.getString(2)).getOrElse(""))
+          }
+    }
+    val expired: Seq[String] = (removes.toSeq
+      .filter(_._2._1 <= cutoff).flatMap(_._2._2) ++ ckptExpired).distinct
+    if (expired.isEmpty) return 0
+    // protection = the full vacuum's referenced frame; only the (small)
+    // intersection with the candidate set ever reaches the driver
+    val protectedHits = referencedRefsDs(spark, path).toDF("rel")
+      .join(expired.toDF("rel"), Seq("rel"), "left_semi")
+      .as[String].collect().toSet
+    val reclaim = expired.filterNot(protectedHits)
+    if (reclaim.isEmpty) return 0
+    val confW = new org.apache.spark.SerializableWritable(conf)
+    reclaim.toDS().repartition(math.min(reclaim.size, 32))
+      .mapPartitions { it =>
+        val c = confW.value
+        val dfs = new Path(tablePath).getFileSystem(c)
+        var n = 0
+        it.foreach { rel =>
+          if (dfs.delete(new Path(new Path(tablePath), rel), false)) n += 1
+        }
+        Iterator.single(n)
+      }.collect().sum
   }
 
   /** Outcome of an [[optimizeCompact]] / [[optimizeZOrder]] rewrite. */
@@ -4288,25 +4566,8 @@ object PortableDelta {
           (_, df) => df.filter(col("dv_storageType").isNotNull),
           s => s.files.filter(_.dv.isDefined))
       else {
-        // the CURRENT physical shape — footer columns outside it are
-        // stale bytes (the materialized row-ID column legitimately
-        // lives outside the table schema)
         val small = smallSnapshot(spark, path)
-        val keep: Set[String] = physSchemaOf(small.schema).fieldNames.toSet ++
-          small.configuration.get(MaterializedRowIdProp)
-        val confW = new org.apache.spark.SerializableWritable(
-          spark.sessionState.newHadoopConf())
-        val root = path
-        def staleBytes(rel: String): Boolean = {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(resolvedDataPath(root, rel), confW.value)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val top =
-            try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-              .map(_.getName).toSet
-            finally r.close()
-          (top -- keep).nonEmpty
-        }
+        val staleBytes = staleBytesProbe(spark, path, small)
         narrowedSnapshot(spark, path,
           (_, df) => df.filter { (r: org.apache.spark.sql.Row) =>
             !r.isNullAt(3) || staleBytes(r.getString(0)) },
@@ -4322,6 +4583,30 @@ object PortableDelta {
       .getOrElse(snapshotDf(spark, path, snapV)).repartition(bins)
     commitRewrite(spark, path, snap, victims, df, footerKv,
       "REORG (PURGE)", maxRetries)
+  }
+
+  /** Executor-safe predicate over a file's parquet FOOTER: does it
+    * hold top-level columns outside the table's CURRENT physical shape
+    * (stale bytes from [[dropColumn]], which is metadata-only)? The
+    * materialized row-ID column legitimately lives outside the table
+    * schema. Footer-only I/O — never data pages. */
+  private def staleBytesProbe(spark: SparkSession, path: String,
+                              small: Snapshot): String => Boolean = {
+    val keep: Set[String] = physSchemaOf(small.schema).fieldNames.toSet ++
+      small.configuration.get(MaterializedRowIdProp)
+    val confW = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
+    val root = path
+    (rel: String) => {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(resolvedDataPath(root, rel), confW.value)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val top =
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally r.close()
+      (top -- keep).nonEmpty
+    }
   }
 
   /** Shared rewrite commit: stage `df`'s files, then commit
@@ -4567,7 +4852,8 @@ object PortableDelta {
   private val TxnT = "struct<appId:string,version:bigint,lastUpdated:bigint>"
   private val RemoveT =
     "struct<path:string,deletionTimestamp:bigint,dataChange:boolean," +
-      "extendedFileMetadata:boolean,partitionValues:map<string,string>,size:bigint>"
+      "extendedFileMetadata:boolean,partitionValues:map<string,string>," +
+      s"size:bigint,deletionVector:$DvT>"
   private val DomainT =
     "struct<domain:string,configuration:string,removed:boolean>"
 
@@ -4585,6 +4871,20 @@ object PortableDelta {
     StructField("baseRowId", LongType),
     StructField("defaultRowCommitVersion", LongType),
     StructField("clusteringProvider", StringType)))
+
+  /** Flat shape of a remove TOMBSTONE (the vacuum-retention rows a
+    * checkpoint carries forward — never replay state). */
+  private val FlatRemoveSchema = StructType(Seq(
+    StructField("path", StringType),
+    StructField("deletionTimestamp", LongType),
+    StructField("size", LongType),
+    StructField("partitionValues",
+      org.apache.spark.sql.types.MapType(StringType, StringType)),
+    StructField("dv_storageType", StringType),
+    StructField("dv_pathOrInlineDv", StringType),
+    StructField("dv_offset", IntegerType),
+    StructField("dv_sizeInBytes", IntegerType),
+    StructField("dv_cardinality", LongType)))
 
   private def addFilesToFlatDf(spark: SparkSession, files: Seq[AddFile]): DataFrame = {
     val rows = files.map { f =>
@@ -4685,11 +4985,20 @@ object PortableDelta {
     val all = applyStatsShape(smallActionsDf(spark, st)
       .unionByName(addActionsDf(adds)), st)
       .withColumn("remove", lit(null).cast(RemoveT))
+    // vacuum-retention tombstones carry forward (spec + delta-spark
+    // shape): unexpired removes survive log truncation inside the
+    // checkpoint, so log-based reclaim ([[vacuumLite]]) keeps seeing
+    // them; expired ones drop here — the checkpoint cadence IS the
+    // tombstone GC
+    val tombs = tombstoneRowsDf(spark, path, adds, st.configuration)
+    val nTombs = tombs.count()
+    val full =
+      if (nTombs == 0) all else all.unionByName(removeActionRows(all, tombs))
     // Spark writes a directory; the spec wants exact file names — write
     // to a temp dir and move the part files in. Single-part keeps the
     // classic <v>.checkpoint.parquet name (bounded by addsPerPart, so
     // the one-task funnel is bounded too); larger tables shard.
-    val shaped = if (parts == 1) all.coalesce(1) else all.repartition(parts)
+    val shaped = if (parts == 1) full.coalesce(1) else full.repartition(parts)
     val tmp = new Path(logDir(path), s".ckpt-tmp-${java.util.UUID.randomUUID()}")
     shaped.write.mode("overwrite").parquet(tmp.toString)
     val partFiles = fs.listStatus(tmp).map(_.getPath)
@@ -4716,7 +5025,7 @@ object PortableDelta {
       }
     fs.delete(tmp, true)
     val lc = new Path(logDir(path), "_last_checkpoint")
-    val sizeJson = 2 + nAdds + st.txns.size + st.domains.size
+    val sizeJson = 2 + nAdds + nTombs + st.txns.size + st.domains.size
     val partsJson = if (k == 1) "" else s""","parts":$k"""
     // sizeInBytes / numOfAddFiles are the spec's optional hint fields —
     // engines use them to budget checkpoint reads without opening footers
@@ -4994,12 +5303,18 @@ object PortableDelta {
     val (adds, version) = liveAddsFlatDf(spark, path)
     val nAdds = adds.count()
     val shards = math.max(1L, (nAdds + addsPerSidecar - 1) / addsPerSidecar).toInt
-    // sidecar files: add/remove action rows only, exact UUID names
+    // sidecar files: add/remove action rows only, exact UUID names —
+    // tombstones are FILE actions, so they ride the sidecars per spec
     val sidecarDir = new Path(logDir(path), "_sidecars")
     fs.mkdirs(sidecarDir)
-    val sidecarActions = applyStatsShape(addActionsDf(adds), st)
+    val sidecarAdds = applyStatsShape(addActionsDf(adds), st)
       .select(org.apache.spark.sql.functions.col("add"))
       .withColumn("remove", lit(null).cast(RemoveT))
+    val tombs = tombstoneRowsDf(spark, path, adds, st.configuration)
+    val nTombs = tombs.count()
+    val sidecarActions =
+      if (nTombs == 0) sidecarAdds
+      else sidecarAdds.unionByName(removeActionRows(sidecarAdds, tombs))
     val tmp = new Path(logDir(path), s".ckpt-tmp-${java.util.UUID.randomUUID()}")
     val shapedSc =
       if (shards == 1) sidecarActions.coalesce(1) else sidecarActions.repartition(shards)
@@ -5057,7 +5372,7 @@ object PortableDelta {
       sidecars.map(_._2).sum
     val out = fs.create(lc, true)
     try out.write(
-      (s"""{"version":$version,"size":${2 + nAdds + st.txns.size + st.domains.size}""" +
+      (s"""{"version":$version,"size":${2 + nAdds + nTombs + st.txns.size + st.domains.size}""" +
         s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""")
         .getBytes("UTF-8"))
     finally out.close()
@@ -5704,26 +6019,162 @@ object PortableDelta {
                              ref: CheckpointRef): DataFrame = {
     val top = ckptRawDf(spark, path, ref)
     val topAdds = flatAddsFrom(spark, top)
-    // v2 checkpoints: file actions live in sidecar parquet files under
-    // _delta_log/_sidecars/, named by `sidecar` actions in the top-level
-    // file. The sidecar LIST is bounded metadata (one row per ~100k-add
-    // shard); the sidecar CONTENTS stay a DataFrame — the distributed
-    // replay path holds for v2 exactly as for classic multi-part.
-    val sidecarFiles: Seq[String] =
-      if (!top.schema.fieldNames.contains("sidecar")) Nil
-      else {
-        import org.apache.spark.sql.functions.col
-        top.select(col("sidecar.path")).where(col("sidecar").isNotNull)
-          .collect().map(_.getString(0)).toSeq
-          .map { p =>
-            val sp = new Path(p)
-            if (sp.isAbsolute) sp.toString
-            else new Path(new Path(logDir(path), "_sidecars"), p).toString
-          }
-      }
+    val sidecarFiles = sidecarFilesOf(path, top)
     if (sidecarFiles.isEmpty) topAdds
     else topAdds.unionByName(
       flatAddsFrom(spark, spark.read.parquet(sidecarFiles: _*)))
+  }
+
+  /** v2 checkpoints: file actions live in sidecar parquet files under
+    * _delta_log/_sidecars/, named by `sidecar` actions in the top-level
+    * file. The sidecar LIST is bounded metadata (one row per ~100k-add
+    * shard); the sidecar CONTENTS stay a DataFrame — the distributed
+    * replay path holds for v2 exactly as for classic multi-part. */
+  private def sidecarFilesOf(path: String, top: DataFrame): Seq[String] =
+    if (!top.schema.fieldNames.contains("sidecar")) Nil
+    else {
+      import org.apache.spark.sql.functions.col
+      top.select(col("sidecar.path")).where(col("sidecar").isNotNull)
+        .collect().map(_.getString(0)).toSeq
+        .map { p =>
+          val sp = new Path(p)
+          if (sp.isAbsolute) sp.toString
+          else new Path(new Path(logDir(path), "_sidecars"), p).toString
+        }
+    }
+
+  /** The checkpoint's REMOVE tombstones as a flat DataFrame — the
+    * vacuum-retention rows ([[checkpoint]] carries unexpired ones
+    * forward; external delta-spark checkpoints do the same). Never
+    * replay state. */
+  private def ckptRemovesFlatDf(spark: SparkSession, path: String,
+                                ref: CheckpointRef): DataFrame = {
+    val top = ckptRawDf(spark, path, ref)
+    val topRemoves = flatRemovesFrom(spark, top)
+    val sidecarFiles = sidecarFilesOf(path, top)
+    if (sidecarFiles.isEmpty) topRemoves
+    else topRemoves.unionByName(
+      flatRemovesFrom(spark, spark.read.parquet(sidecarFiles: _*)))
+  }
+
+  /** Flat remove projection from one checkpoint action frame —
+    * tolerant of a missing `remove` column and of external remove
+    * structs lacking the optional size/partitionValues/deletionVector
+    * fields. */
+  private def flatRemovesFrom(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!df.schema.fieldNames.contains("remove"))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FlatRemoveSchema)
+    val rType = df.schema("remove").dataType.asInstanceOf[StructType]
+    def opt(name: String, t: String) =
+      if (rType.fieldNames.contains(name)) col(s"remove.$name").cast(t).as(name)
+      else lit(null).cast(t).as(name)
+    val dvCols =
+      if (rType.fieldNames.contains("deletionVector")) Seq(
+        col("remove.deletionVector.storageType").as("dv_storageType"),
+        col("remove.deletionVector.pathOrInlineDv").as("dv_pathOrInlineDv"),
+        col("remove.deletionVector.offset").cast("int").as("dv_offset"),
+        col("remove.deletionVector.sizeInBytes").cast("int").as("dv_sizeInBytes"),
+        col("remove.deletionVector.cardinality").cast("bigint").as("dv_cardinality"))
+      else Seq(
+        lit(null).cast("string").as("dv_storageType"),
+        lit(null).cast("string").as("dv_pathOrInlineDv"),
+        lit(null).cast("int").as("dv_offset"),
+        lit(null).cast("int").as("dv_sizeInBytes"),
+        lit(null).cast("bigint").as("dv_cardinality"))
+    df.where(col("remove").isNotNull)
+      .select(Seq(col("remove.path").as("path"),
+        opt("deletionTimestamp", "bigint"), opt("size", "bigint"),
+        opt("partitionValues", "map<string,string>")) ++ dvCols: _*)
+  }
+
+  /** The tombstone rows a checkpoint at the CURRENT version must carry:
+    * prior-checkpoint tombstones + the JSON tail's removes, expired
+    * ones (deletionTimestamp older than the table's
+    * delta.deletedFileRetentionDuration, default 7 days) dropped,
+    * latest-per-path, re-added paths cancelled against `liveAdds`.
+    * A DataFrame end-to-end — prior tombstones stream from the old
+    * checkpoint on executors; only the bounded tail parses on the
+    * driver. */
+  private def tombstoneRowsDf(spark: SparkSession, path: String,
+                              liveAdds: DataFrame,
+                              cfg: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    val retention = cfg.get("delta.deletedFileRetentionDuration")
+      .flatMap(parseInterval).getOrElse(7L * 24 * 3600 * 1000)
+    val cutoff = System.currentTimeMillis() - retention
+    val priorRef = checkpointRefFor(conf, path)
+    val prior = priorRef.map(ckptRemovesFlatDf(spark, path, _))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], FlatRemoveSchema))
+    val tailJsons: Seq[Path] = priorRef match {
+      case Some(ref) => tailCommits(fs, path, ref.version).map(_._2)
+      case None => fs.listStatus(logDir(path)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
+        .map(_.getPath).sortBy(_.getName)
+    }
+    def jL(o: Option[Long]): java.lang.Long =
+      o.map(java.lang.Long.valueOf).orNull
+    def jI(o: Option[Int]): java.lang.Integer =
+      o.map(java.lang.Integer.valueOf).orNull
+    val tailRows = tailJsons.flatMap { p =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).flatMap { n =>
+        if (!n.has("remove")) Nil
+        else {
+          val r = n.get("remove")
+          val dv = Option(r.get("deletionVector"))
+          Seq(org.apache.spark.sql.Row(
+            r.get("path").asText(),
+            java.lang.Long.valueOf(
+              Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)),
+            jL(Option(r.get("size")).map(_.asLong())),
+            null,
+            dv.map(_.get("storageType").asText()).orNull,
+            dv.map(_.get("pathOrInlineDv").asText()).orNull,
+            jI(dv.flatMap(d => Option(d.get("offset")).map(_.asInt()))),
+            jI(dv.map(_.get("sizeInBytes").asInt())),
+            jL(dv.map(_.get("cardinality").asLong()))))
+        }
+      }
+    }
+    val tail = spark.createDataFrame(tailRows.asJava, FlatRemoveSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("path")).orderBy(col("deletionTimestamp").desc)
+    prior.unionByName(tail)
+      .withColumn("_rn", row_number.over(w)).where(col("_rn") === 1)
+      .drop("_rn")
+      .where(col("deletionTimestamp") >= cutoff)
+      .join(liveAdds.select(col("path")), Seq("path"), "left_anti")
+  }
+
+  /** Tombstone rows shaped like `all` (a checkpoint action frame):
+    * every non-remove column null, the remove struct populated from
+    * the flat tombstone columns. */
+  private def removeActionRows(all: DataFrame, tombs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val removeStruct = struct(
+      col("path").as("path"),
+      col("deletionTimestamp").as("deletionTimestamp"),
+      lit(false).as("dataChange"),
+      lit(true).as("extendedFileMetadata"),
+      col("partitionValues").as("partitionValues"),
+      col("size").as("size"),
+      when(col("dv_storageType").isNotNull, struct(
+        col("dv_storageType").as("storageType"),
+        col("dv_pathOrInlineDv").as("pathOrInlineDv"),
+        col("dv_offset").as("offset"),
+        col("dv_sizeInBytes").as("sizeInBytes"),
+        col("dv_cardinality").as("cardinality"))).as("deletionVector"))
+      .cast(RemoveT)
+    val others = all.schema.fields.toSeq.filterNot(_.name == "remove")
+      .map(f => lit(null).cast(f.dataType).as(f.name))
+    tombs.select(others :+ removeStruct.as("remove"): _*)
   }
 
   /** Flat add projection from one checkpoint action frame (top-level or

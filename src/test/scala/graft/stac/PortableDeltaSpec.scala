@@ -175,8 +175,16 @@ class PortableDeltaSpec extends AnyFunSuite {
     assert(rows.filter(col("protocol").isNotNull).count() == 1)
     assert(rows.filter(col("metaData").isNotNull).count() == 1)
     assert(rows.filter(col("add").isNotNull).count() > 0)
-    assert(rows.filter(col("remove").isNotNull || col("txn").isNotNull).count() == 0,
-      "remove/txn are shape-only in our checkpoints: no row populates them")
+    assert(rows.filter(col("txn").isNotNull).count() == 0,
+      "no txn was ever committed: the txn column stays shape-only")
+    // the overwrite's removes are UNEXPIRED vacuum tombstones — the
+    // checkpoint carries them forward (delta-spark shape) so log-based
+    // reclaim still sees them after truncation
+    val tombs = rows.filter(col("remove").isNotNull)
+      .select(col("remove.path")).collect().map(_.getString(0)).toSet
+    assert(tombs.size == 3, s"three overwritten files must tombstone: $tombs")
+    assert(rows.filter(col("remove").isNotNull &&
+      col("remove.deletionTimestamp").isNull).count() == 0)
     // truncate the JSON tail: state must survive on checkpoint alone
     val removed = PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
     assert(removed == 3, s"all three subsumed commits should go, removed $removed")
