@@ -158,6 +158,28 @@ object DeltaBench {
         PortableDelta.dropFeatureSupport(spark, t, "domainMetadata")
       }
 
+      // full vacuum lists the whole tree (cost ∝ files on disk even
+      // when nothing reclaims); LITE reads tombstones from the log —
+      // same 512-file reclaim, different discovery cost class
+      def vacuumSetup(tag: String): String = {
+        val t = java.nio.file.Files
+          .createTempDirectory(s"dbench-$tag").toString + "/tbl"
+        PortableDelta.write(orders.repartition(512), t)
+        PortableDelta.write(orders.limit(1000).coalesce(1), t,
+          mode = "overwrite") // 512 tombstones
+        PortableDelta.checkpoint(spark, t)
+        PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), t)
+        t
+      }
+      results("vacuum_full_512f") = timeVerb("vacuum_full_512f")(
+        () => vacuumSetup("vacf")) { t =>
+        require(PortableDelta.vacuum(spark, t, graceMillis = 0L) == 512)
+      }
+      results("vacuum_lite_512f") = timeVerb("vacuum_lite_512f")(
+        () => vacuumSetup("vacl")) { t =>
+        require(PortableDelta.vacuumLite(spark, t, graceMillis = 0L) == 512)
+      }
+
       results("source_drain") = timeVerb("source_drain") { () =>
         // the append-stream source catching up on a 16-commit backlog
         // (setup untimed): per-trigger windowed scans + watermark IO
