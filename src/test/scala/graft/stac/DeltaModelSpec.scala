@@ -139,11 +139,16 @@ class DeltaModelSpec extends AnyFunSuite {
                   else PortableDelta.checkpoint(spark, path)
           val kind = if (useV2) "checkpointV2" else "checkpoint"
           if (rnd.nextBoolean()) {
-            trace += s"$kind($v)+cleanup+gc+vacuum"
+            // alternate the vacuum shape: LITE reclaims from the log
+            // (checkpoint-carried tombstones), full from the listing —
+            // NEITHER may ever touch live state
+            val lite = rnd.nextBoolean()
+            trace += s"$kind($v)+cleanup+gc+vacuum${if (lite) "Lite" else ""}"
             PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
             PortableDelta.cleanupCheckpoints(spark, path)
             minRestorable = PortableDelta.snapshot(spark, path).version
-            PortableDelta.vacuum(spark, path, graceMillis = 0L)
+            if (lite) PortableDelta.vacuumLite(spark, path, graceMillis = 0L)
+            else PortableDelta.vacuum(spark, path, graceMillis = 0L)
           } else {
             // minor log compaction over the newest contiguous JSON run
             // (≤ 4 commits) — later replay/travel/restore must be

@@ -97,6 +97,56 @@ class VacuumLiteSpec extends AnyFunSuite {
     PortableDelta.validateChecksum(spark, path)
   }
 
+  test("external checkpoint tombstones (minimal remove struct) carry forward") {
+    val path = tmp()
+    PortableDelta.write(mk("v0", 1), path)
+    val cv = PortableDelta.checkpoint(spark, path)
+    val logDir = s"$path/_delta_log"
+    val ck = new java.io.File(s"$logDir/${"%020d".format(cv)}.checkpoint.parquet")
+    val rows = spark.read.parquet(ck.getPath)
+    // plant the dead bytes an external engine tombstoned: a real file on
+    // disk that no live add references
+    val live = PortableDelta.snapshot(spark, path).files.head.path
+    val dead = "dead-external.parquet"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(path, live),
+      java.nio.file.Paths.get(path, dead))
+    // reshape to the MINIMAL external remove struct (older delta-rs: no
+    // deletionVector, no size, no partitionValues) + one tombstone row
+    val rT = "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+    val reshaped = rows.drop("remove")
+      .withColumn("remove", lit(null).cast(rT))
+    val tombRow = reshaped.limit(1).select(
+      reshaped.schema.fieldNames.map(n =>
+        lit(null).cast(reshaped.schema(n).dataType).as(n)): _*)
+      .withColumn("remove", struct(
+        lit(dead).as("path"),
+        lit(System.currentTimeMillis() - 1000L).as("deletionTimestamp"),
+        lit(false).as("dataChange")).cast(rT))
+    val stage = java.nio.file.Files.createTempDirectory("extck").toString + "/p"
+    reshaped.unionByName(tombRow).coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    assert(ck.delete() && part.renameTo(ck))
+    // the java.nio replace leaves Hadoop LocalFS's CRC sidecar stale
+    new java.io.File(logDir, s".${ck.getName}.crc").delete()
+    // replay ignores checkpoint tombstones (they are never state)
+    assert(PortableDelta.readTable(spark, path).count() == 30L)
+    // our next checkpoint CARRIES the external tombstone forward
+    PortableDelta.write(mk("v1", 1), path, mode = "append")
+    PortableDelta.checkpoint(spark, path)
+    PortableDelta.cleanupLog(spark.sessionState.newHadoopConf(), path)
+    val ck2 = new java.io.File(logDir).listFiles()
+      .filter(_.getName.endsWith(".checkpoint.parquet")).maxBy(_.getName)
+    val carried = spark.read.parquet(ck2.getPath)
+      .filter(col("remove").isNotNull)
+      .select(col("remove.path")).collect().map(_.getString(0)).toSet
+    assert(carried == Set(dead), s"carried: $carried")
+    // and the log-based reclaim frees the dead bytes
+    assert(PortableDelta.vacuumLite(spark, path, graceMillis = 0L) == 1)
+    assert(!new java.io.File(path, dead).exists())
+    assert(PortableDelta.readTable(spark, path).count() == 60L)
+  }
+
   test("DV packs reclaim with their files; live packs are protected") {
     val path = tmp()
     PortableDelta.write(mk("v0", 2), path)                       // v0
