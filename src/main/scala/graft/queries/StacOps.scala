@@ -2892,6 +2892,65 @@ object StacOps {
           .withColumn("vacuum_ok", lit(true))
           .orderBy(col("kind"))
       },
+      timed = false),
+
+    // ----- FSCK repair + symlink manifests (Presto/Trino interop) -----
+    // Storage loses one hive partition's bytes (the 'error' slice —
+    // deterministic, so the oracle can mirror it relationally); scans
+    // would FileNotFound until FSCK drops the vanished references. The
+    // manifests then publish the repaired state, and the final frame is
+    // computed by READING THROUGH THE MANIFESTS exactly the way an
+    // external Hive/Presto reader would (raw parquet over the manifest
+    // URIs — the Delta log never consulted), proving the interop view
+    // equals the table.
+    QuerySpec(
+      "stac47_delta_fsck_manifest",
+      Some("""
+        SELECT event_type, count(*) AS n_rows,
+               CAST(sum(event_id) AS BIGINT) AS id_sum,
+               true AS fsck_ok, true AS manifest_ok
+        FROM events WHERE event_type <> 'error'
+        GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val ev = Tables.t(s, dir, "events")
+        val out = java.nio.file.Files.createTempDirectory("stac47").toString + "/tbl"
+        PortableDelta.write(
+          ev.select(col("event_id"), col("event_type"))
+            .repartition(col("event_type")),
+          out, partitionBy = Seq("event_type"))                        // v0
+        // the 'error' partition's bytes vanish (storage loss)
+        val lost = new java.io.File(s"$out/event_type=error").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        require(lost.nonEmpty && lost.forall(_.delete()))
+        val repaired = PortableDelta.fsckRepair(s, out)                // v1
+        require(repaired.size == lost.length &&
+          repaired.forall(_.startsWith("event_type=error/")),
+          s"FSCK must drop exactly the vanished partition: $repaired")
+        val dirs = PortableDelta.generateSymlinkManifest(s, out)
+        require(dirs.size == 4 && !dirs.contains("event_type=error"),
+          s"manifests must mirror the four surviving partitions: $dirs")
+        PortableDelta.validateChecksum(s, out)
+        // the external-reader path: manifest lines -> raw parquet scan
+        val uris = dirs.flatMap { d =>
+          val src = scala.io.Source.fromFile(
+            s"$out/_symlink_format_manifest/$d/manifest")
+          try src.getLines().toList finally src.close()
+        }
+        val viaManifest = s.read.parquet(
+          uris.map(_.stripPrefix("file:")): _*)
+        // hive dirs carry the partition value, not the parquet bytes:
+        // recover it from each file's directory the way Hive does
+        val withPart = viaManifest.withColumn("event_type",
+          regexp_extract(input_file_name(), "event_type=([^/]+)/", 1))
+        withPart
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("event_id")).as("id_sum"))
+          .withColumn("fsck_ok", lit(true))
+          .withColumn("manifest_ok", lit(true))
+          .orderBy(col("event_type"))
+      },
       timed = false)
   )
 }

@@ -4294,6 +4294,135 @@ object PortableDelta {
       }.collect().sum
   }
 
+  /** FSCK REPAIR TABLE — drop the log's references to data files that
+    * have VANISHED from disk (manual deletes, a vacuum raced by an
+    * external engine, storage loss), so scans stop failing on
+    * FileNotFound. A file whose on-disk DELETION VECTOR pack vanished
+    * is broken the same way — reading it would resurrect deleted rows —
+    * so it is repaired too. The existence probe runs on EXECUTORS over
+    * the flat add frame (one getFileStatus per live file — metadata
+    * I/O, the commit-time stats cost class; never a directory listing,
+    * never data pages). The repair commit removes exactly the vanished
+    * adds with `dataChange=true` (rows genuinely LEAVE the table —
+    * delta-spark's FSCK shape). `dryRun` reports without committing.
+    * Returns the vanished paths. */
+  def fsckRepair(spark: SparkSession, path: String, dryRun: Boolean = false,
+                 maxRetries: Int = 10): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val confW = new org.apache.spark.SerializableWritable(conf)
+    val root = path
+    def broken(rel: String, dvSt: String, dvPath: String): Boolean = {
+      val fs = new Path(root).getFileSystem(confW.value)
+      !fs.exists(resolvedDataPath(root, rel)) || (dvSt match {
+        case "u" => !fs.exists(DeletionVectors.dvFilePath(root, dvPath))
+        case "p" =>
+          val p = new Path(dvPath)
+          !fs.exists(if (p.isAbsolute) p else new Path(new Path(root), p))
+        case _ => false // inline or none: nothing on disk to lose
+      })
+    }
+    var attempt = 0
+    while (true) {
+      val snap = narrowedSnapshot(spark, path,
+        (_, df) => df.filter { (r: org.apache.spark.sql.Row) =>
+          broken(r.getString(0), Option(r.getString(3)).getOrElse(""),
+            Option(r.getString(4)).getOrElse("")) },
+        s => s.files.filter(f => broken(f.path,
+          f.dv.map(_.storageType).getOrElse(""),
+          f.dv.map(_.pathOrInlineDv).getOrElse(""))))
+      requireWritable(snap, path)
+      val victims = snap.files
+      if (victims.isEmpty || dryRun) return victims.map(_.path)
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now, "FSCK",
+        Map("numRemovedFiles" -> victims.size.toLong))
+      victims.foreach(f => actions += removeActionNode(f, now, dataChange = true))
+      try {
+        commit(conf, path, snap.version + 1, actions.result(),
+          snap.configuration)
+        return victims.map(_.path)
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw new IllegalStateException(
+            s"fsckRepair on $path lost the commit race $attempt times " +
+              s"(last: ${e.getMessage})", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** GENERATE symlink_format_manifest — the Hive/Presto/Trino interop
+    * verb: one text manifest of ABSOLUTE data-file URIs per hive
+    * partition directory under `_symlink_format_manifest/` (mirroring
+    * each file's own `col=val/` dirs; unpartitioned tables get a
+    * single root manifest). Refuses BY NAME tables such readers cannot
+    * consume faithfully: live deletion vectors (the manifest would
+    * resurrect soft-deleted rows) and active column mapping (physical
+    * names the external schema can't resolve). Manifests group and
+    * write on EXECUTORS (one partition-dir per task after a hash
+    * exchange) and replace atomically via overwrite-rename; stale
+    * manifest dirs from prior layouts are cleared first. Honored
+    * automatically post-commit when
+    * `delta.compatibility.symlinkFormatManifest.enabled` = true (the
+    * delta-spark property). Returns the manifest-relative dirs
+    * written. */
+  def generateSymlinkManifest(spark: SparkSession, path: String): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sessionState.newHadoopConf()
+    val small = smallSnapshot(spark, path)
+    require(!mappedCfg(small.configuration),
+      s"cannot generate symlink manifests for $path: column mapping is " +
+        "active — external Hive-style readers cannot resolve physical names")
+    val snap = narrowedSnapshot(spark, path, (_, df) => df, s => s.files)
+    val withDv = snap.files.count(_.dv.isDefined)
+    require(withDv == 0,
+      s"cannot generate symlink manifests for $path: $withDv live file(s) " +
+        "carry deletion vectors — external readers would resurrect " +
+        "soft-deleted rows; run reorgPurge first")
+    val manifestRoot = new Path(path, "_symlink_format_manifest")
+    val fs = manifestRoot.getFileSystem(conf)
+    fs.delete(manifestRoot, true) // clear stale layouts
+    fs.mkdirs(manifestRoot)
+    val rootQualified = fs.makeQualified(new Path(path)).toString
+    val s2 = spark; import s2.implicits._
+    val confW = new org.apache.spark.SerializableWritable(conf)
+    val dirs = snap.files.map { f =>
+      val rel = f.path
+      val cut = rel.lastIndexOf('/')
+      val dir = if (cut < 0) "" else rel.substring(0, cut)
+      (dir, rel)
+    }.toDS().toDF("dir", "rel")
+    val written = dirs.repartition(col("dir"))
+      .mapPartitions { it =>
+        val fsx = new Path(rootQualified).getFileSystem(confW.value)
+        val byDir = it.toSeq.groupBy(_.getString(0))
+        byDir.iterator.map { case (dir, rows) =>
+          val mDir =
+            if (dir.isEmpty) new Path(rootQualified, "_symlink_format_manifest")
+            else new Path(new Path(rootQualified, "_symlink_format_manifest"), dir)
+          fsx.mkdirs(mDir)
+          val uris = rows.map { r =>
+            val rel = new Path(r.getString(1))
+            val abs = if (rel.isAbsolute) rel
+              else new Path(new Path(rootQualified), rel)
+            fsx.makeQualified(abs).toUri.toString
+          }.sorted
+          val tmp = new Path(mDir, s".manifest-${java.util.UUID.randomUUID()}")
+          val out = fsx.create(tmp, true)
+          try out.write(uris.mkString("", "\n", "\n").getBytes("UTF-8"))
+          finally out.close()
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            tmp.toUri, confW.value)
+          fc.rename(tmp, new Path(mDir, "manifest"),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          dir
+        }
+      }.collect().toSeq.sorted
+    written
+  }
+
   /** Outcome of an [[optimizeCompact]] / [[optimizeZOrder]] rewrite. */
   final case class OptimizeStats(version: Long, removedFiles: Int,
                                  addedFiles: Int, purgedDvRows: Long)
@@ -7078,6 +7207,21 @@ object PortableDelta {
                     s"(commit is durable; next interval retries): ${e.getMessage}")
             }
           }
+      }
+    // delta-spark's symlink-manifest compatibility property: every
+    // commit regenerates the Presto/Trino manifests. Non-fatal (the
+    // commit is durable; a DV-carrying commit refuses by name and the
+    // warning tells the operator which guard fired).
+    if (tableCfg.get("delta.compatibility.symlinkFormatManifest.enabled")
+        .contains("true"))
+      SparkSession.getActiveSession.foreach { s =>
+        try generateSymlinkManifest(s, path)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(
+              s"[portable-delta] symlink-manifest regen at $path " +
+                s"v$version failed: ${e.getMessage}")
+        }
       }
   }
 
