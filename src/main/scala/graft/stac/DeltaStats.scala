@@ -42,6 +42,53 @@ object DeltaStats {
 
   @transient private lazy val mapper = new ObjectMapper()
 
+  /** Resolve a dotted column path (`a.b.c`) through nested structs,
+    * case-insensitively, returning the matched field INDEX chain and the
+    * leaf type. The delta spec's `dataSkippingStatsColumns` accepts
+    * nested leaf paths; parquet keys column chunks by the same chain. */
+  private def resolvePath(schema: StructType,
+                          dotted: String): Option[(Seq[Int], DataType)] = {
+    def walk(st: StructType, parts: List[String],
+             acc: Vector[Int]): Option[(Seq[Int], DataType)] = parts match {
+      case Nil => None
+      case p :: rest =>
+        val i = st.fields.indexWhere(_.name.equalsIgnoreCase(p))
+        if (i < 0) None
+        else (st.fields(i).dataType, rest) match {
+          case (dt, Nil) => Some((acc :+ i, dt))
+          case (inner: StructType, _) => walk(inner, rest, acc :+ i)
+          case _ => None
+        }
+    }
+    walk(schema, dotted.split('.').toList, Vector.empty)
+  }
+
+  /** The dotted name an index chain spells in `schema` (used to map a
+    * chain resolved on the LOGICAL schema onto the PHYSICAL one — same
+    * shape, different names under column mapping). */
+  private def dottedAt(schema: StructType, chain: Seq[Int]): (String, DataType) = {
+    val names = Vector.newBuilder[String]
+    var st: DataType = schema
+    chain.foreach { i =>
+      val f = st.asInstanceOf[StructType].fields(i)
+      names += f.name; st = f.dataType
+    }
+    (names.result().mkString("."), st)
+  }
+
+  /** All eligible leaves under an index chain (a struct named in
+    * `dataSkippingStatsColumns` indexes every leaf beneath it). */
+  private def eligibleLeaves(schema: StructType,
+                             chain: Seq[Int]): Seq[Seq[Int]] = {
+    val (_, dt) = dottedAt(schema, chain)
+    dt match {
+      case st: StructType =>
+        st.fields.indices.flatMap(i => eligibleLeaves(schema, chain :+ i))
+      case t if eligible(t) => Seq(chain)
+      case _ => Nil
+    }
+  }
+
   /** The columns stats are collected for, honoring the delta-spark
     * width knobs — on a 1000-column table, per-column min/max for every
     * field bloats the log and checkpoint far past what skipping ever
@@ -61,23 +108,30 @@ object DeltaStats {
     val names = logical.getOrElse(schema)
     require(names.length == schema.length,
       s"logical/physical schema arity mismatch (${names.length} vs ${schema.length})")
-    val idx: Seq[Int] =
-      cfg.get("delta.dataSkippingStatsColumns").map(_.trim).filter(_.nonEmpty) match {
-        case Some(list) =>
-          list.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { n =>
-            val i = names.fields.indexWhere(_.name.equalsIgnoreCase(n))
-            if (i < 0) throw new IllegalArgumentException(
+    cfg.get("delta.dataSkippingStatsColumns").map(_.trim).filter(_.nonEmpty) match {
+      case Some(list) =>
+        // explicit list: dotted NESTED leaf paths resolve through
+        // structs (the reference accepts `a.b`); naming a struct
+        // indexes every eligible leaf beneath it
+        list.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { n =>
+          val chain = resolvePath(names, n).map(_._1).getOrElse(
+            throw new IllegalArgumentException(
               s"delta.dataSkippingStatsColumns names unknown column '$n' " +
-                s"(schema: ${names.fieldNames.mkString(", ")})")
-            i
-          }
-        case None =>
-          val n = cfg.get("delta.dataSkippingNumIndexedCols")
-            .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(32)
-          if (n < 0) schema.fields.indices else schema.fields.indices.take(n)
-      }
-    idx.map(schema.fields(_))
-      .collect { case f if eligible(f.dataType) => f.name -> f.dataType }
+                s"(schema: ${names.fieldNames.mkString(", ")})"))
+          val leaves = eligibleLeaves(names, chain)
+          if (leaves.isEmpty) throw new IllegalArgumentException(
+            s"delta.dataSkippingStatsColumns names column '$n', whose type " +
+              s"(${dottedAt(names, chain)._2.simpleString}) is ineligible " +
+              "for data skipping")
+          leaves.map(dottedAt(schema, _)) // PHYSICAL dotted names key the JSON
+        }
+      case None =>
+        val n = cfg.get("delta.dataSkippingNumIndexedCols")
+          .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(32)
+        val idx = if (n < 0) schema.fields.indices else schema.fields.indices.take(n)
+        idx.map(schema.fields(_))
+          .collect { case f if eligible(f.dataType) => f.name -> f.dataType }
+    }
   }
 
   /** Harvest the Delta stats JSON for each file (name → stats). Footer
@@ -114,9 +168,10 @@ object DeltaStats {
       var statsComplete = true
       val undecodable = scala.collection.mutable.Set.empty[String]
       for (b <- blocks; c <- b.getColumns.asScala) {
-        val pathParts = c.getPath.toArray
-        if (pathParts.length == 1 && byName.contains(pathParts(0))) {
-          val name = pathParts(0)
+        // nested leaves key by their full dotted chain ("a.b") — the
+        // same path the stats JSON nests by
+        val name = c.getPath.toArray.mkString(".")
+        if (byName.contains(name)) {
           val dt = byName(name)
           val st = c.getStatistics
           if (st == null || !st.isNumNullsSet) statsComplete = false
@@ -142,12 +197,30 @@ object DeltaStats {
       undecodable.foreach { n => mins.remove(n); maxs.remove(n) }
       val root = mapper.createObjectNode()
       root.put("numRecords", numRecords)
+      // nested leaves nest in the JSON too (spec: minValues.a.b)
+      def nodeAt(base: com.fasterxml.jackson.databind.node.ObjectNode,
+                 path: Seq[String]) =
+        path.foldLeft(base) { (n, p) =>
+          Option(n.get(p)) match {
+            case Some(o: com.fasterxml.jackson.databind.node.ObjectNode) => o
+            case _ => n.putObject(p)
+          }
+        }
       val minN = root.putObject("minValues"); val maxN = root.putObject("maxValues")
-      mins.foreach { case (k, v) => putJson(minN, k, v, byName(k)) }
-      maxs.foreach { case (k, v) => putJson(maxN, k, v, byName(k)) }
+      mins.foreach { case (k, v) =>
+        val parts = k.split('.').toSeq
+        putJson(nodeAt(minN, parts.init), parts.last, v, byName(k))
+      }
+      maxs.foreach { case (k, v) =>
+        val parts = k.split('.').toSeq
+        putJson(nodeAt(maxN, parts.init), parts.last, v, byName(k))
+      }
       if (statsComplete) {
         val nullN = root.putObject("nullCount")
-        nulls.foreach { case (k, v) => nullN.put(k, v) }
+        nulls.foreach { case (k, v) =>
+          val parts = k.split('.').toSeq
+          nodeAt(nullN, parts.init).put(parts.last, v)
+        }
       }
       mapper.writeValueAsString(root)
     } finally reader.close()
@@ -232,20 +305,32 @@ object DeltaStats {
                                      nulls: Map[String, Long])
 
   private def parseStats(json: String, schema: StructType): FileStats = {
-    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
     val node = mapper.readTree(json)
+    // stats sections nest alongside the schema (minValues.a.b for a
+    // nested leaf) — flatten to dotted keys, typed by the schema walk
+    def flatten(s: JsonNode, st: StructType,
+                prefix: String): Seq[(String, Any)] =
+      s.properties().asScala.toSeq.flatMap { e =>
+        val key = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+        st.fields.find(_.name == e.getKey).toSeq.flatMap { f =>
+          (f.dataType, e.getValue) match {
+            case (inner: StructType, v) if v.isObject => flatten(v, inner, key)
+            case (dt, v) => decodeJson(v, dt).map(key -> _).toSeq
+          }
+        }
+      }
     def section(key: String): Map[String, Any] =
-      Option(node.get(key)).map { s =>
-        s.properties().asScala.flatMap { e =>
-          byName.get(e.getKey).flatMap(dt => decodeJson(e.getValue, dt))
-            .map(e.getKey -> _)
-        }.toMap
-      }.getOrElse(Map.empty)
-    val nulls = Option(node.get("nullCount")).map { s =>
-      s.properties().asScala.collect {
-        case e if e.getValue.isNumber => e.getKey -> e.getValue.asLong()
-      }.toMap
-    }.getOrElse(Map.empty[String, Long])
+      Option(node.get(key)).filter(_.isObject)
+        .map(flatten(_, schema, "").toMap).getOrElse(Map.empty)
+    def flattenNulls(s: JsonNode, prefix: String): Seq[(String, Long)] =
+      s.properties().asScala.toSeq.flatMap { e =>
+        val key = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+        if (e.getValue.isNumber) Seq(key -> e.getValue.asLong())
+        else if (e.getValue.isObject) flattenNulls(e.getValue, key)
+        else Nil
+      }
+    val nulls = Option(node.get("nullCount")).filter(_.isObject)
+      .map(flattenNulls(_, "").toMap).getOrElse(Map.empty[String, Long])
     FileStats(Option(node.get("numRecords")).filter(_.isNumber).map(_.asLong()),
       section("minValues"), section("maxValues"), nulls)
   }
@@ -369,6 +454,10 @@ object DeltaStats {
         case a: AttributeReference => Some(a.name)
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           Some(u.nameParts.last)
+        // nested leaf predicates (col("a.b")) analyze to GetStructField
+        // chains — spell the dotted path the stats JSON nests by
+        case g: GetStructField =>
+          attrName(g.child).map(p => s"$p.${g.extractFieldName}")
         // the analyzer may widen the COLUMN side (int col vs long lit)
         case c: Cast => attrName(c.child)
         case _ => None
@@ -391,7 +480,8 @@ object DeltaStats {
       def bounds(name: String): (Option[Any], Option[Any]) =
         (fs.mins.get(name), fs.maxs.get(name))
       def lv(name: String, lit: Literal): Option[Any] =
-        byName.get(name).flatMap(dt => literalValue(lit, dt))
+        byName.get(name).orElse(resolvePath(schema, name).map(_._2))
+          .flatMap(dt => literalValue(lit, dt))
       // a column whose every row is null can satisfy no value comparison
       // (incl. the hive null partition: every row shares the null value)
       def allNull(name: String): Boolean =

@@ -3210,7 +3210,21 @@ object PortableDelta {
                 s"checkpoint (v${ref.version}) is v2-layout — write a " +
                 "classic checkpoint first")
           }
-        case "vacuumProtocolCheck" | "domainMetadata" => // no data trace
+        case "domainMetadata" =>
+          // the feature's trace is the live domains themselves, plus any
+          // listed feature whose state RIDES on domain actions — delisting
+          // while either survives emits a protocol no writer could honor
+          require(snap.domainMetadata.isEmpty,
+            s"cannot drop 'domainMetadata' from $path while domain(s) " +
+              s"${snap.domainMetadata.keys.toSeq.sorted.mkString(", ")} " +
+              "are live — remove them first")
+          val dependents = snap.writerFeatures.toSet
+            .intersect(Set("clustering", "rowTracking"))
+          require(dependents.isEmpty,
+            s"cannot drop 'domainMetadata' from $path: feature(s) " +
+              s"${dependents.toSeq.sorted.mkString(", ")} depend on domain " +
+              "actions — drop them first")
+        case "vacuumProtocolCheck" => // no data trace
         case other =>
           throw new IllegalArgumentException(
             s"don't know how to validate removal of feature '$other' — " +
@@ -4828,6 +4842,10 @@ object PortableDelta {
     val b = r.putObject("remove")
     b.put("path", f.path); b.put("deletionTimestamp", ts)
     b.put("dataChange", dataChange); b.put("extendedFileMetadata", true)
+    // spec: extendedFileMetadata=true promises partitionValues AND size
+    // on the tombstone — external engines consume these via checkpoint
+    // tombstone carry-forward and vacuumLite
+    putPartitionValues(b, f.partitionValues)
     b.put("size", f.size)
     f.dv.foreach { d =>
       val n = b.putObject("deletionVector")
@@ -4916,7 +4934,7 @@ object PortableDelta {
     * writer-only). */
   private val ReaderWriterFeatures: Set[String] =
     Set("deletionVectors", "columnMapping", "v2Checkpoint", "timestampNtz",
-      "vacuumProtocolCheck")
+      "vacuumProtocolCheck", "typeWidening", "variantType")
 
   /** The delta-spark feature-enablement route: TBLPROPERTIES
     * (`delta.feature.<name>` = 'supported' | 'enabled') ask for the

@@ -140,7 +140,11 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
     }
     start.map { case (fromV, fromOff) =>
       (maxFilesPerTrigger, maxBytesPerTrigger) match {
-        case (None, None) =>
+        // A mid-commit offset ("v:k", written under a rate limit that is
+        // no longer configured) still has k consumed files to skip —
+        // route through the file-granular window or the prefix would be
+        // re-delivered (duplicate rows) on restart.
+        case (None, None) if fromOff <= 0 =>
           val to = math.min(cur, fromV + maxVersionsPerTrigger - 1)
           (PortableDelta.readAppends(spark, tablePath, fromV, to,
             ignoreDeletes, skipChangeCommits), Offset(to, -1, complete = true))

@@ -175,6 +175,51 @@ class DeltaStatsSpec extends AnyFunSuite {
     assert(statsCols(p4) == Set("id", "body", "extra"))
   }
 
+  test("dataSkippingStatsColumns resolves NESTED dotted paths; nested stats prune") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    val rows = (0L until 40L).map(i => (i, (i * 3, s"t${i % 4}"), s"doc $i"))
+      .toDF("id", "meta", "body")
+      .select(col("id"),
+        col("meta").cast("struct<score:bigint,tag:string>").as("meta"),
+        col("body"))
+      .repartitionByRange(4, col("id"))
+    // a dotted LEAF path and a top-level column
+    PortableDelta.write(rows, path, properties = Map(
+      "delta.dataSkippingStatsColumns" -> "id, meta.score"))
+    val snap = PortableDelta.snapshot(spark, path)
+    snap.files.foreach { af =>
+      val st = mapper.readTree(af.stats.get)
+      assert(st.get("minValues").has("id"))
+      assert(st.get("minValues").get("meta").has("score"),
+        "nested leaf stats must nest in the JSON (minValues.meta.score)")
+      assert(!st.get("minValues").has("body"), "unlisted columns get no stats")
+      assert(st.get("nullCount").get("meta").get("score").isNumber)
+    }
+    // skipping prunes on the nested leaf (ids 0..39 → score 0..117,
+    // range-partitioned into 4 disjoint files)
+    val (kept, pruned) = PortableDelta.statsPrune(spark, snap,
+      col("meta.score") < 30L)
+    assert(pruned >= 2, s"nested-leaf predicate must prune files, pruned=$pruned")
+    assert(PortableDelta.readTableWhere(spark, path, col("meta.score") < 30L)
+      .count() === rows.filter(col("meta.score") < 30L).count())
+    // naming the STRUCT indexes every eligible leaf beneath it
+    val p2 = tmp()
+    PortableDelta.write(rows.coalesce(1), p2, properties = Map(
+      "delta.dataSkippingStatsColumns" -> "meta"))
+    val st2 = mapper.readTree(
+      PortableDelta.snapshot(spark, p2).files.head.stats.get)
+    assert(st2.get("minValues").get("meta").has("score") &&
+      st2.get("minValues").get("meta").has("tag"))
+    assert(!st2.get("minValues").has("id"))
+    // a dotted path through a NON-struct still refuses by name
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.write(rows.coalesce(1), tmp(), properties = Map(
+        "delta.dataSkippingStatsColumns" -> "id.nope"))
+    }
+    assert(e.getMessage.contains("id.nope"))
+  }
+
   test("checkpoint stats shapes: stats_parsed struct write + JSON-less read-back") {
     val s = spark; import s.implicits._
     def mk(path: String, props: Map[String, String]): Unit = {

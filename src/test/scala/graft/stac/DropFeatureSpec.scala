@@ -124,6 +124,33 @@ class DropFeatureSpec extends AnyFunSuite {
     assert(snap.version == v)
   }
 
+  test("domainMetadata drop refuses while domains or dependent features live") {
+    val path = tmp()
+    PortableDelta.write(df(0, 20).coalesce(1), path, properties = Map(
+      "delta.feature.domainMetadata" -> "supported"))
+    PortableDelta.alterClusterBy(spark, path, Seq("id"))
+    val pre = PortableDelta.snapshot(spark, path)
+    assert(pre.writerFeatures.contains("domainMetadata") &&
+      pre.domainMetadata.contains("delta.clustering"))
+    // a live domain is the feature's trace — refuse naming it
+    val e1 = intercept[IllegalArgumentException] {
+      PortableDelta.dropFeatureSupport(spark, path, "domainMetadata")
+    }
+    assert(e1.getMessage.contains("delta.clustering"))
+    PortableDelta.alterClusterBy(spark, path, Nil) // CLUSTER BY NONE
+    // the domain is gone but `clustering` stays listed: its state RIDES
+    // on domain actions — still refuse, naming the dependent
+    val e2 = intercept[IllegalArgumentException] {
+      PortableDelta.dropFeatureSupport(spark, path, "domainMetadata")
+    }
+    assert(e2.getMessage.contains("clustering"))
+    PortableDelta.dropFeatureSupport(spark, path, "clustering")
+    PortableDelta.dropFeatureSupport(spark, path, "domainMetadata")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(!snap.writerFeatures.contains("domainMetadata"))
+    assert(PortableDelta.readTable(spark, path).count() == 20L)
+  }
+
   test("rowTracking drop removes the domain and materialized column prop") {
     val path = tmp()
     PortableDelta.write(df(0, 20).coalesce(1), path)

@@ -101,6 +101,24 @@ class PartitionedDeltaSpec extends AnyFunSuite {
     assert(got(1L) == "upd" && got(100L) == "new")
     assert(!got.contains(0L) && !got.contains(9L))
     assert(got.size == 30 - 4 + 1)
+    // spec: extendedFileMetadata=true tombstones MUST carry
+    // partitionValues (+ size) — external engines consume them via
+    // checkpoint carry-forward and vacuum
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val logFiles = new java.io.File(s"$path/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+    val removes = logFiles.flatMap(f =>
+      scala.io.Source.fromFile(f, "UTF-8").getLines().filter(_.nonEmpty)
+        .map(mapper.readTree).filter(_.has("remove")).map(_.get("remove")))
+    assert(removes.nonEmpty)
+    removes.foreach { r =>
+      if (r.get("extendedFileMetadata").asBoolean()) {
+        assert(r.has("partitionValues") && r.get("partitionValues").isObject,
+          s"extended tombstone missing partitionValues: $r")
+        assert(r.get("partitionValues").has("grp"))
+        assert(r.has("size") && r.get("size").asLong() > 0L)
+      }
+    }
   }
 
   test("append inherits partitioning; a mismatch is rejected") {

@@ -163,6 +163,20 @@ class ProtocolFeatureSpec extends AnyFunSuite {
     // the table reads and mutates normally
     PortableDelta.delete(spark, path, col("id") === 0L)
     assert(PortableDelta.readTable(spark, path).count() == 3L)
+    // typeWidening/variantType are reader+writer too: the property
+    // route must declare them on BOTH protocol sides (data-path healing
+    // would otherwise mask a writer-only declaration until data lands)
+    val rw = tmp()
+    PortableDelta.write(df(0L until 2L).coalesce(1), rw,
+      properties = Map(
+        "delta.feature.typeWidening" -> "supported",
+        "delta.feature.variantType" -> "supported"))
+    val prw = protocolOf(rw, 0L).head
+    assert(featSeq(prw, "readerFeatures").toSet ==
+      Set("typeWidening", "variantType"),
+      s"reader side: ${featSeq(prw, "readerFeatures")}")
+    assert(Set("typeWidening", "variantType").subsetOf(
+      featSeq(prw, "writerFeatures").toSet))
     // an unknown feature name refuses BY NAME before anything lands
     val bad = tmp()
     val e = intercept[IllegalArgumentException] {

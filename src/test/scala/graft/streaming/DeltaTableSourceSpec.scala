@@ -85,6 +85,33 @@ class DeltaTableSourceSpec extends AnyFunSuite {
       "an uncommitted slice must re-deliver identically")
   }
 
+  test("mid-commit offset resumes WITHOUT rate limits: consumed prefix not re-delivered") {
+    val tbl = tmp("tsrc8"); val ck = tmp("tsrc8-ck")
+    PortableDelta.write(df(0L until 9L, "a").repartition(3), tbl)     // v0: 3 files
+    PortableDelta.write(df(10L until 16L, "b").repartition(2), tbl,
+      mode = "append")                                                // v1: 2 files
+    // consume a partial slice of v0 under maxFilesPerTrigger, commit it
+    val srcA = new DeltaTableSource(spark, tbl, ck,
+      startingVersion = Some(0L), maxFilesPerTrigger = Some(2))
+    val Some((s1, o1)) = srcA.readAvailable()
+    val consumed = s1.collect().map(_.getLong(0)).toSet
+    assert(o1.token == "0:2" && consumed.nonEmpty)
+    srcA.commitProgress(o1)
+    // RESTART with no rate limits, same checkpoint: the stored "0:2"
+    // offset must skip v0's 2 consumed files, not replay them
+    val srcB = new DeltaTableSource(spark, tbl, ck)
+    val Some((rest, oRest)) = srcB.readAvailable()
+    val restIds = rest.collect().map(_.getLong(0)).toSet
+    assert(restIds.intersect(consumed).isEmpty,
+      s"consumed prefix re-delivered on rate-limit-free restart: " +
+        s"${restIds.intersect(consumed)}")
+    assert(restIds ++ consumed == ((0L until 9L) ++ (10L until 16L)).toSet,
+      "remaining files of v0 plus v1 exactly once")
+    assert(oRest.complete && oRest.version == 1L)
+    srcB.commitProgress(oRest)
+    assert(srcB.readAvailable().isEmpty && srcB.watermark.contains(1L))
+  }
+
   test("startingVersion replays history; dataChange=false commits add nothing") {
     val tbl = tmp("tsrc2"); val ck = tmp("tsrc2-ck")
     PortableDelta.write(df(0L until 4L, "a").repartition(2), tbl)     // v0
