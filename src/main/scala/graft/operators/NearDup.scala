@@ -51,10 +51,20 @@ object NearDup {
     * ×salt more doc_a-side rows. */
   def verifiedPairs(docs: DataFrame, idName: String = "doc_id",
                     textName: String = "text", seeds: Int = 4,
-                    shingleN: Int = 3, salt: Int = 1): DataFrame = {
+                    shingleN: Int = 3, salt: Int = 1): DataFrame =
+    verifiedPairsFromSets(shingleSets(docs, idName, textName, shingleN),
+      idName, seeds, salt)
+
+  /** [[verifiedPairs]] over a PREBUILT shingle-set frame (`(idName, g)`,
+    * the [[shingleSets]] shape) — `sg` feeds the minhash band explode AND
+    * both exact-verify sides, so a caller that persists it first turns
+    * three corpus passes into one (the composed-pipeline shape; [[dedup]]
+    * and [[funnel]] do exactly that). */
+  private[graft] def verifiedPairsFromSets(sg: DataFrame, idName: String,
+                                           seeds: Int = 4,
+                                           salt: Int = 1): DataFrame = {
     require(seeds >= 1, s"seeds must be >= 1, got $seeds")
     require(salt >= 1, s"salt must be >= 1, got $salt")
-    val sg = shingleSets(docs, idName, textName, shingleN)
     val mh = sg.select(col(idName),
       posexplode(graft.functions.TextFunctions.minhashSig(col("g"), seeds))
         .as(Seq("seed", "mhv")))
@@ -155,11 +165,14 @@ object NearDup {
   def dedup(docs: DataFrame, tau: Double, idName: String = "doc_id",
             textName: String = "text", seeds: Int = 4,
             shingleN: Int = 3): (DataFrame, () => Unit) = {
-    val pairs = verifiedPairs(docs, idName, textName, seeds, shingleN)
+    val sg = shingleSets(docs, idName, textName, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = verifiedPairsFromSets(sg, idName, seeds)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val drop = clusters(pairs, tau).filter(!col("is_kept"))
       .select(col("doc_id").as(idName))
-    (docs.join(drop, Seq(idName), "left_anti"), () => { pairs.unpersist(); () })
+    (docs.join(drop, Seq(idName), "left_anti"),
+      () => { pairs.unpersist(); sg.unpersist(); () })
   }
 
   /** Incremental near-dup filtering of a NEW batch against an existing
@@ -225,7 +238,9 @@ object NearDup {
   def funnel(docs: DataFrame, tau: Double, idName: String = "doc_id",
              textName: String = "text", sourceName: String = "source",
              seeds: Int = 4, shingleN: Int = 3): (DataFrame, () => Unit) = {
-    val pairs = verifiedPairs(docs, idName, textName, seeds, shingleN)
+    val sg = shingleSets(docs, idName, textName, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = verifiedPairsFromSets(sg, idName, seeds)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val p = pairs.filter(col("jaccard") >= tau)
     val inPair = p.select(col("doc_a").as(idName))
@@ -242,7 +257,7 @@ object NearDup {
         count(when(col("dropped"), 1)).as("n_dropped"),
         count(when(col("dropped").isNull, 1)).as("n_kept"),
         sum(when(col("dropped").isNull, col(idName))).as("keep_id_sum"))
-    (out, () => { pairs.unpersist(); () })
+    (out, () => { pairs.unpersist(); sg.unpersist(); () })
   }
 
   /** SemDeDup-style semantic dedup victims over an embedding corpus:

@@ -693,11 +693,16 @@ object TextOps {
     * contract. Exact-integer score, one final double division. */
   private[queries] def bigramLmScoreReleasable(docs: DataFrame): (DataFrame, () => Unit) = {
     val ws = words(col("text"))
-    // repartition by doc_id before the explode: the toy parquet is a
-    // single row group (one task otherwise); at 100 TB file count
-    // provides this parallelism for free
-    val bg = docs
-      .repartition(col("doc_id"))
+    // repartition by doc_id before the explode ONLY when the input is
+    // under-partitioned (the toy parquet is a single row group — one
+    // task otherwise); an already-wide input (a cached upstream stage,
+    // or 100 TB of files) must not pay a corpus shuffle for parallelism
+    // it already has
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread =
+      if (docs.rdd.getNumPartitions * 2 >= width) docs
+      else docs.repartition(col("doc_id"))
+    val bg = spread
       .select(col("doc_id"), explode(
         when(size(ws) < 2, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(ws) - 1),
