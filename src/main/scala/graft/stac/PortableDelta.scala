@@ -61,7 +61,20 @@ object PortableDelta {
     "generatedColumns", "columnMapping", "identityColumns",
     "deletionVectors", "v2Checkpoint", "timestampNtz", "inCommitTimestamp",
     "rowTracking", "domainMetadata", "clustering", "vacuumProtocolCheck",
-    "allowColumnDefaults", "typeWidening", "variantType")
+    "allowColumnDefaults", "typeWidening", "variantType",
+    "checkpointProtection")
+
+  /** `delta.requireCheckpointProtectionBeforeVersion` — the
+    * checkpointProtection feature's companion property: metadata cleanup
+    * must not remove log entries (commits or checkpoints) below this
+    * version unless the sweep truncates against a checkpoint AT or
+    * BEYOND it (the spec's all-or-nothing rule for the protected
+    * region). */
+  val CheckpointProtectionProp = "delta.requireCheckpointProtectionBeforeVersion"
+
+  private def protectionBoundary(cfg: Map[String, String]): Option[Long] =
+    cfg.get(CheckpointProtectionProp)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0L)
 
   /** The writer gate ([[SupportedWriterFeatures]]). Legacy versions
     * (writer ≤ 6) imply only features this engine implements, so they
@@ -3136,6 +3149,14 @@ object PortableDelta {
               s"$ColumnMappingModeProp is active")
         case "changeDataFeed" => requirePropOff("delta.enableChangeDataFeed")
         case "appendOnly" => requirePropOff("delta.appendOnly")
+        case "checkpointProtection" =>
+          // the feature's trace is its boundary property: while set,
+          // cleanup rules still bind every writer — delisting first
+          // would undeclare an obligation the table still imposes
+          require(!cfg.contains(CheckpointProtectionProp),
+            s"cannot drop 'checkpointProtection' from $path while " +
+              s"$CheckpointProtectionProp is set — unset it first " +
+              "(the protected region's cleanup rules still bind writers)")
         case "rowTracking" =>
           requirePropOff(RowTrackingProp)
           if (snap.domainMetadata.contains(RowTrackingDomain))
@@ -4963,6 +4984,8 @@ object PortableDelta {
       (if (cfg.get(IctProp).contains("true")) Seq("inCommitTimestamp") else Nil) ++
       (if (rowTrackingEnabled(cfg)) Seq("rowTracking", "domainMetadata")
        else Nil) ++
+      (if (protectionBoundary(cfg).isDefined) Seq("checkpointProtection")
+       else Nil) ++
       propertyFeatures(cfg)
 
   /** The READER-side declarations `delta.feature.*` properties demand
@@ -5201,7 +5224,8 @@ object PortableDelta {
     if (st.configuration.get("delta.enableExpiredLogCleanup").contains("true")) {
       val retain = st.configuration.get("delta.logRetentionDuration")
         .flatMap(parseInterval).getOrElse(30L * 86400000L)
-      cleanupLog(conf, path, Some(retain))
+      cleanupLog(conf, path, Some(retain),
+        protectBefore = protectionBoundary(st.configuration))
       ()
     }
 
@@ -5671,25 +5695,74 @@ object PortableDelta {
     * survives truncation (the round-7 judge's DESCRIBE HISTORY gap).
     * No-op without a checkpoint. Returns the number of commit files
     * removed. */
+  /** Best-effort checkpointProtection boundary from the JSON tail
+    * behind the checkpoint: the LATEST metaData action visible there
+    * governs (it replaces its predecessors). A boundary set before the
+    * checkpoint and never re-stated lives only in the checkpoint
+    * parquet — engine-less callers cannot see it, which is why the
+    * SparkSession entry points resolve authoritatively and pass
+    * `protectBefore` down. */
+  private def tailProtectionBoundary(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: String, cv: Long): Option[Long] = {
+    var cfg: Option[Map[String, String]] = None
+    tailCommits(fs, path, cv).foreach { case (_, p) =>
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.filter(_.nonEmpty).map(mapper.readTree).filter(_.has("metaData"))
+        .foreach { n =>
+          val c = Option(n.get("metaData").get("configuration"))
+            .filterNot(_.isNull).map(_.properties().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap)
+            .getOrElse(Map.empty[String, String])
+          cfg = Some(c)
+        }
+    }
+    cfg.flatMap(protectionBoundary)
+  }
+
   def cleanupLog(conf: Configuration, path: String): Int =
     cleanupLog(conf, path, retainMillis = None)
 
   /** The property-honoring maintenance entry: resolves
-    * `delta.logRetentionDuration` from the table's CURRENT
-    * configuration (small-state read) and truncates behind the
-    * checkpoint while keeping the retention window's commits. */
-  def cleanupLog(spark: SparkSession, path: String): Int =
+    * `delta.logRetentionDuration` AND the checkpointProtection boundary
+    * from the table's CURRENT configuration (small-state read,
+    * checkpoint-aware — the authoritative resolution) and truncates
+    * behind the checkpoint while keeping the retention window's
+    * commits. */
+  def cleanupLog(spark: SparkSession, path: String): Int = {
+    val cfg = smallSnapshot(spark, path).configuration
     cleanupLog(spark.sessionState.newHadoopConf(), path,
-      smallSnapshot(spark, path).configuration
-        .get("delta.logRetentionDuration").flatMap(parseInterval))
+      cfg.get("delta.logRetentionDuration").flatMap(parseInterval),
+      protectBefore = protectionBoundary(cfg))
+  }
 
   def cleanupLog(conf: Configuration, path: String,
                  retainMillis: Option[Long]): Int =
+    cleanupLog(conf, path, retainMillis, protectBefore = None)
+
+  /** @param protectBefore the checkpointProtection boundary when the
+    *   caller has resolved it (the SparkSession overload and the
+    *   checkpoint-time auto-cleanup do); None here still honors a
+    *   boundary visible in the post-checkpoint JSON tail — best effort
+    *   for conf-only callers, since the checkpoint parquet's metaData
+    *   needs an engine to read. */
+  def cleanupLog(conf: Configuration, path: String,
+                 retainMillis: Option[Long],
+                 protectBefore: Option[Long]): Int =
     lastCheckpointVersion(conf, path) match {
       case None => 0
       case Some(cv) =>
         val dir = logDir(path)
         val fs = dir.getFileSystem(conf)
+        // checkpointProtection: commits/checkpoints below the boundary
+        // may only go in a sweep whose truncation checkpoint sits AT or
+        // BEYOND it — a checkpoint inside the protected region cannot
+        // anchor a partial removal of protected log entries, so the
+        // whole pass no-ops until a checkpoint at/after the boundary
+        // exists
+        val boundary = protectBefore.orElse(tailProtectionBoundary(fs, path, cv))
+        if (boundary.exists(_ > cv)) return 0
         val keepAfter = retainMillis.map(System.currentTimeMillis() - _)
         val old = fs.listStatus(dir).toSeq
           .map(_.getPath)
@@ -5794,8 +5867,15 @@ object PortableDelta {
         val contiguousMax: Long =
           if (!jsonVs.contains(0L)) -1L
           else Iterator.iterate(0L)(_ + 1L).takeWhile(jsonVs.contains).max
+        // checkpointProtection: checkpoints below the boundary are
+        // protected log entries while the current checkpoint still sits
+        // inside the protected region — they go only with the whole
+        // region, swept by a truncation checkpoint at/after the boundary
+        val protBoundary =
+          protectionBoundary(smallSnapshot(spark, path).configuration)
         def deletable(v: Long): Boolean =
-          v <= contiguousMax || jsonVs.forall(j => j <= v || j > cv)
+          (v <= contiguousMax || jsonVs.forall(j => j <= v || j > cv)) &&
+            !protBoundary.exists(b => v < b && cv < b)
         val (stale, keptStale) = listing
           .flatMap { p =>
             p.getName match {

@@ -1,0 +1,144 @@
+package graft.stac
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The checkpointProtection writer feature (delta spec): while
+  * `delta.requireCheckpointProtectionBeforeVersion = V` binds, metadata
+  * cleanup must not remove commits or checkpoints below V unless the
+  * sweep truncates against a checkpoint AT or BEYOND V — the protected
+  * region goes whole or not at all. Covers: property-driven feature
+  * declaration, the cleanup no-op inside the protected region, the
+  * full sweep once the boundary is crossed, the conf-only tail-scan
+  * resolution, the drop-feature trace gate, and the external-shaped-log
+  * replay + write path. */
+class CheckpointProtectionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+  private def conf = spark.sessionState.newHadoopConf()
+  private val mapper = new ObjectMapper()
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("ckprot").toString + "/tbl"
+
+  private def df(ids: Long*) = {
+    val s = spark; import s.implicits._
+    ids.map(i => (i, s"row $i")).toDF("id", "tag")
+  }
+
+  private def jsonVersions(path: String): Seq[Long] =
+    new java.io.File(s"$path/_delta_log").listFiles()
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .map(_.getName.stripSuffix(".json").toLong).sorted.toSeq
+
+  test("boundary property declares the feature; cleanup no-ops inside the region") {
+    val path = tmp()
+    PortableDelta.write(df(0L), path, properties = Map(
+      PortableDelta.CheckpointProtectionProp -> "5"))           // v0
+    val snap0 = PortableDelta.snapshot(spark, path)
+    assert(snap0.writerFeatures.contains("checkpointProtection"),
+      s"property must declare the feature: ${snap0.writerFeatures}")
+    PortableDelta.write(df(1L), path, mode = "append")          // v1
+    PortableDelta.write(df(2L), path, mode = "append")          // v2
+    val cv = PortableDelta.checkpoint(spark, path)
+    assert(cv == 2L)
+    // cv < boundary: a partial sweep of the protected region refuses —
+    // zero commits removed, every JSON survives
+    assert(PortableDelta.cleanupLog(spark, path) == 0)
+    assert(jsonVersions(path) == Seq(0L, 1L, 2L))
+    // the protected superseded checkpoint also survives checkpoint GC
+    PortableDelta.write(df(3L), path, mode = "append")          // v3
+    PortableDelta.checkpoint(spark, path)                       // ckpt@3, still < 5
+    PortableDelta.cleanupCheckpoints(spark, path)
+    assert(new java.io.File(
+      f"$path/_delta_log/${2L}%020d.checkpoint.parquet").exists(),
+      "checkpoint below the boundary is a protected log entry")
+    // cross the boundary: commits to v5, checkpoint at >= 5 — now the
+    // whole region sweeps
+    PortableDelta.write(df(4L), path, mode = "append")          // v4
+    PortableDelta.write(df(5L), path, mode = "append")          // v5
+    val cv2 = PortableDelta.checkpoint(spark, path)
+    assert(cv2 == 5L)
+    assert(PortableDelta.cleanupLog(spark, path) == 6)
+    assert(jsonVersions(path).isEmpty)
+    PortableDelta.cleanupCheckpoints(spark, path)
+    assert(!new java.io.File(
+      f"$path/_delta_log/${2L}%020d.checkpoint.parquet").exists(),
+      "once the boundary is crossed the swept region's checkpoints go too")
+    // the table stays fully readable and writable throughout
+    assert(PortableDelta.readTable(spark, path).count() == 6L)
+    PortableDelta.write(df(6L), path, mode = "append")          // v6
+    assert(PortableDelta.readTable(spark, path).count() == 7L)
+  }
+
+  test("conf-only cleanup resolves a tail-visible boundary; drop gates on the property") {
+    val path = tmp()
+    PortableDelta.write(df(0L), path)                           // v0
+    PortableDelta.write(df(1L), path, mode = "append")          // v1
+    val cv = PortableDelta.checkpoint(spark, path)              // ckpt@1
+    // the boundary lands AFTER the checkpoint, in the JSON tail — the
+    // engine-less overload must still see and honor it
+    PortableDelta.setTableProperties(spark, path, Map(
+      PortableDelta.CheckpointProtectionProp -> "4"))           // v2
+    assert(PortableDelta.cleanupLog(conf, path) == 0,
+      "tail-visible boundary must bind the conf-only overload")
+    assert(jsonVersions(path) == Seq(0L, 1L, 2L))
+    // drop-feature trace gate: refuses BY NAME while the property binds
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.dropFeatureSupport(spark, path, "checkpointProtection")
+    }
+    assert(e.getMessage.contains(PortableDelta.CheckpointProtectionProp))
+    PortableDelta.unsetTableProperties(spark, path,
+      Seq(PortableDelta.CheckpointProtectionProp))              // v3
+    PortableDelta.dropFeatureSupport(spark, path, "checkpointProtection")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(!snap.writerFeatures.contains("checkpointProtection"))
+    // with the boundary gone, cleanup proceeds
+    assert(PortableDelta.cleanupLog(conf, path) > 0)
+  }
+
+  test("interop: external-shaped log listing checkpointProtection replays and accepts writes") {
+    val path = tmp()
+    val logDir = new java.io.File(s"$path/_delta_log")
+    logDir.mkdirs()
+    // one data file an "external engine" wrote
+    val stage = java.nio.file.Files.createTempDirectory("ext").toString + "/d"
+    df(10L, 11L).coalesce(1).write.parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith(".")).head
+    val dataName = "part-ext-0001.parquet"
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(path, dataName).toPath)
+    val schemaJson = df(0L).schema.json
+    val v0 =
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","checkpointProtection"]}}
+         |{"metaData":{"id":"ext-table-1","format":{"provider":"parquet","options":{}},"schemaString":${mapper.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{"${PortableDelta.CheckpointProtectionProp}":"3"},"createdTime":1700000000000}}
+         |{"add":{"path":"$dataName","partitionValues":{},"size":${part.length()},"modificationTime":1700000000000,"dataChange":true}}
+         |""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(logDir, f"${0L}%020d.json").toPath,
+      v0.getBytes("UTF-8"))
+    // replays: the feature is writer-side only and this engine supports it
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.writerFeatures.contains("checkpointProtection"))
+    assert(PortableDelta.readTable(spark, path).count() == 2L)
+    // writes are accepted (requireWritable passes) and the protection
+    // carries: checkpoint inside the region + cleanup is a no-op
+    PortableDelta.write(df(12L), path, mode = "append")         // v1
+    PortableDelta.checkpoint(spark, path)                       // ckpt@1 < 3
+    assert(PortableDelta.cleanupLog(spark, path) == 0)
+    assert(jsonVersions(path) == Seq(0L, 1L))
+    // an UNKNOWN writer feature alongside still refuses by name
+    val bad = tmp()
+    val badLog = new java.io.File(s"$bad/_delta_log"); badLog.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(badLog, f"${0L}%020d.json").toPath,
+      v0.replace("\"checkpointProtection\"",
+        "\"checkpointProtection\",\"futureCleanupV9\"").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      PortableDelta.write(df(1L), bad, mode = "append")
+    }
+    assert(e.getMessage.contains("futureCleanupV9"))
+  }
+}
