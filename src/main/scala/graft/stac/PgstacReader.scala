@@ -131,6 +131,51 @@ object PgstacReader {
     }).load()
   }
 
+  /** The reference's named-cursor streaming protocol VERBATIM
+    * (`pgstac_reader.py:200-209` — psycopg's server-side cursor with
+    * `itersize`): inside ONE transaction, `DECLARE <name> NO SCROLL
+    * CURSOR FOR <sql>`, `FETCH FORWARD <itersize>` until a short/empty
+    * batch, `CLOSE <name>`, COMMIT. This is the per-slice drain for
+    * bounded reads (a K6 sync partition, a probe, a schema peek) where
+    * the partitioned JDBC scan's executor fan-out isn't wanted — memory
+    * stays bounded by one batch, and the SERVER streams instead of
+    * buffering the whole result (the reason pgstac exports use named
+    * cursors at all). Corpus-scale scans stay on [[readItems]]; at
+    * 100 TB each executor task may run this drain over its own bounded
+    * slice. Restores autocommit and always closes the connection. */
+  def cursorDrain[A](jdbcUrl: String, sql: String, itersize: Int = 10000,
+                     props: java.util.Properties = new java.util.Properties(),
+                     cursorName: String = "graft_items")(
+                     row: java.sql.ResultSet => A): Vector[A] = {
+    require(itersize >= 1, s"itersize must be >= 1, got $itersize")
+    require(cursorName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"cursor name must be a plain identifier, got '$cursorName'")
+    val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
+    try {
+      val prevAuto = conn.getAutoCommit
+      conn.setAutoCommit(false) // a named cursor lives inside a transaction
+      try {
+        val st = conn.createStatement()
+        try {
+          st.execute(s"""DECLARE "$cursorName" NO SCROLL CURSOR FOR $sql""")
+          val out = Vector.newBuilder[A]
+          var more = true
+          while (more) {
+            val rs = st.executeQuery(
+              s"""FETCH FORWARD $itersize FROM "$cursorName"""")
+            var n = 0
+            try while (rs.next()) { out += row(rs); n += 1 }
+            finally rs.close()
+            more = n == itersize // a short batch means the cursor is dry
+          }
+          st.execute(s"""CLOSE "$cursorName"""")
+          conn.commit()
+          out.result()
+        } finally st.close()
+      } finally conn.setAutoCommit(prevAuto)
+    } finally conn.close()
+  }
+
   /** K6: incremental sync — read changed partitions (S6) and export each
     * through the normalize→GeoParquet pipeline into
     * `<out>/<collection>/items_<start>_<end>.parquet`

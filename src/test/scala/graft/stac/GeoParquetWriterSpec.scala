@@ -112,6 +112,66 @@ class GeoParquetWriterSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("512-part parallel write: every footer born with the KV, no residue") {
+    // the chaos legs above are small-N; this is the wide-job shape a
+    // real export runs (file count IS the parallelism dial at 100 TB) —
+    // every one of 512 task-committed parts must carry the footer KV
+    val dir = java.nio.file.Files.createTempDirectory("gpw_512").toString + "/t"
+    spark.range(2048L).selectExpr("id", "cast(id as string) as v")
+      .repartition(512)
+      .write.format("geoparquet")
+      .option("kv.geo", """{"version":"1.1.0"}""")
+      .option("kv.stac-geoparquet", """{"version":"1.0.0"}""")
+      .save(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(parts.length == 512, s"expected 512 parts, got ${parts.length}")
+    // footer reads are metadata-only: check every single one
+    val conf = cleanConf
+    val missing = parts.filter { p =>
+      val kv = GeoParquetWriter.readFooterMetadata(conf, p.getAbsolutePath)
+      !kv.get("geo").contains("""{"version":"1.1.0"}""") ||
+        !kv.get("stac-geoparquet").contains("""{"version":"1.0.0"}""")
+    }
+    assert(missing.isEmpty,
+      s"${missing.length} of 512 footers missing KV: ${missing.take(3).mkString(", ")}")
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.contains(".geo.bak") || f.getName.contains(".geo.tmp")))
+    assert(spark.read.parquet(dir).count() == 2048L)
+  }
+
+  test("torn batch rewrite: crash mid-sweep, recover, re-run — idempotent convergence") {
+    // a footer-rewrite SWEEP over many files dies partway (some done,
+    // one mid-protocol, the rest untouched); recovery + a full re-run
+    // must converge with every footer stamped and no data loss
+    val dir = java.nio.file.Files.createTempDirectory("gpw_torn").toString + "/t"
+    spark.range(64L).selectExpr("id", "cast(id as string) as v")
+      .repartition(8).write.parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).sorted
+    assert(parts.length == 8)
+    val kv = Map("geo" -> """{"version":"1.1.0"}""")
+    // files 0-2 complete, file 3 crashes between the renames, 4-7 untouched
+    parts.take(3).foreach(GeoParquetWriter.rewriteWithMetadata(cleanConf, _, kv))
+    CrashingLocalFileSystem.armed = true
+    intercept[java.io.IOException] {
+      try GeoParquetWriter.rewriteWithMetadata(crashingConf, parts(3), kv)
+      finally CrashingLocalFileSystem.armed = false
+    }
+    assert(!new java.io.File(parts(3)).exists(), "file 3 is mid-protocol")
+    // recovery restores the torn file; the re-run sweep stamps everything
+    GeoParquetWriter.recoverOrphans(cleanConf, dir)
+    parts.foreach(GeoParquetWriter.rewriteWithMetadata(cleanConf, _, kv))
+    parts.foreach { p =>
+      assert(GeoParquetWriter.readFooterMetadata(cleanConf, p)
+        .get("geo").contains("""{"version":"1.1.0"}"""), s"footer missing on $p")
+    }
+    assert(spark.read.parquet(dir).count() == 64L)
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.contains(".geo.bak") || f.getName.contains(".geo.tmp")))
+  }
+
   test("recoverOrphans treats a leftover backup beside a completed rewrite as garbage") {
     val dir = java.nio.file.Files.createTempDirectory("gpw_leftover").toString
     val part = writeOnePart(dir)

@@ -300,6 +300,212 @@ class PgstacLiveSpec extends AnyFunSuite {
       s"default fetchsize must be the reference's itersize=10000: ${dflt.map(_.fetchSize)}")
     assert(dflt.forall(_.batches == 1), "6 rows fit one 10000-row fetch")
   }
+
+  test("named-cursor protocol: DECLARE/FETCH/CLOSE ordering against a scripted server") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    // The fetchsize leg above pins ACCOUNTING; this pins the WIRE-LEVEL
+    // statement sequence the reference's psycopg named cursor issues
+    // (pgstac_reader.py:200-209): txn open, DECLARE before any FETCH,
+    // FETCH FORWARD <itersize> batches until a short batch, CLOSE after
+    // the last FETCH, COMMIT last. The fake IMPLEMENTS the cursor verbs
+    // (DuckDB has none), so a reader that skipped DECLARE, fetched past
+    // CLOSE, or ran outside a transaction would fail here, not in prod.
+    CursorFakeDriver.ensureRegistered()
+    CursorFakeDriver.clear()
+    val ids = PgstacReader.cursorDrain(
+      s"${CursorFakeDriver.Prefix}$dbPath",
+      "SELECT id FROM items ORDER BY id", itersize = 2)(_.getString(1))
+    assert(ids == Vector("i1", "i2", "i3", "i4", "s1", "s2"))
+    val ev = CursorFakeDriver.events
+    // exact sequence: 6 rows at itersize 2 = 3 full batches + 1 dry probe
+    assert(ev == Seq(
+      "AUTOCOMMIT(false)",
+      "DECLARE graft_items",
+      "FETCH 2 graft_items -> 2",
+      "FETCH 2 graft_items -> 2",
+      "FETCH 2 graft_items -> 2",
+      "FETCH 2 graft_items -> 0",
+      "CLOSE graft_items",
+      "COMMIT",
+      "AUTOCOMMIT(true)"), s"wire sequence drifted: $ev")
+    // a non-multiple row count ends on the short batch, no dry probe
+    CursorFakeDriver.clear()
+    val four = PgstacReader.cursorDrain(
+      s"${CursorFakeDriver.Prefix}$dbPath",
+      "SELECT id FROM items WHERE collection = 'naip' ORDER BY id",
+      itersize = 3)(_.getString(1))
+    assert(four.size == 4)
+    assert(CursorFakeDriver.events.count(_.startsWith("FETCH")) == 2,
+      s"3+1 rows at itersize 3 is exactly two FETCHes: ${CursorFakeDriver.events}")
+    // the scripted server REFUSES protocol violations the way Postgres
+    // would: FETCH without DECLARE, and DECLARE outside a transaction
+    val conn = java.sql.DriverManager.getConnection(s"${CursorFakeDriver.Prefix}$dbPath")
+    try {
+      val st = conn.createStatement()
+      val e1 = intercept[java.sql.SQLException] {
+        st.executeQuery("""FETCH FORWARD 2 FROM "nope"""")
+      }
+      assert(e1.getMessage.contains("does not exist"))
+      val e2 = intercept[java.sql.SQLException] {
+        st.execute("""DECLARE "c" NO SCROLL CURSOR FOR SELECT 1""")
+      }
+      assert(e2.getMessage.contains("transaction"),
+        "DECLARE outside a transaction must refuse like Postgres does")
+    } finally conn.close()
+  }
+}
+
+/** A scripted cursor-protocol JDBC fake (`jdbc:graftcur:<duckdb path>`):
+  * IMPLEMENTS Postgres's named-cursor verbs — DECLARE .. CURSOR FOR,
+  * FETCH FORWARD n FROM, CLOSE — over a DuckDB backend (which has no
+  * cursors), recording the wire-level event sequence and enforcing the
+  * server's rules (cursors require a transaction; FETCH/CLOSE of an
+  * undeclared cursor is an error). Everything non-cursor passes
+  * through. */
+object CursorFakeDriver {
+  private[stac] val Prefix = "jdbc:graftcur:"
+  private val evs = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[String]())
+  def events: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    evs.synchronized { evs.asScala.toList }
+  }
+  def clear(): Unit = evs.synchronized { evs.clear() }
+  private[stac] def record(e: String): Unit = evs.add(e)
+
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def ensureRegistered(): Unit =
+    if (registered.compareAndSet(false, true))
+      java.sql.DriverManager.registerDriver(new GraftCursorJdbcDriver)
+
+  private val Declare =
+    """(?is)\s*DECLARE\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s+(?:NO\s+SCROLL\s+)?CURSOR\s+FOR\s+(.+)""".r
+  private val Fetch =
+    """(?is)\s*FETCH\s+FORWARD\s+(\d+)\s+FROM\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s*""".r
+  private val Close =
+    """(?is)\s*CLOSE\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s*""".r
+
+  /** One open cursor: the lazily-executed backing result set. */
+  private final class Cursor(val sql: String, conn: java.sql.Connection) {
+    private var rs: java.sql.ResultSet = _
+    private var st: java.sql.Statement = _
+    def resultSet(): java.sql.ResultSet = {
+      if (rs == null) { st = conn.createStatement(); rs = st.executeQuery(sql) }
+      rs
+    }
+    def close(): Unit = { if (rs != null) rs.close(); if (st != null) st.close() }
+  }
+
+  private[stac] def proxyConn(real: java.sql.Connection): java.sql.Connection = {
+    val cursors = new java.util.concurrent.ConcurrentHashMap[String, Cursor]()
+    java.lang.reflect.Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Connection]),
+      (proxy, m, args) => m.getName match {
+        case "setAutoCommit" =>
+          record(s"AUTOCOMMIT(${args(0)})")
+          FetchRecordingDriver.invoke(real, m, args)
+        case "commit" =>
+          record("COMMIT")
+          FetchRecordingDriver.invoke(real, m, args)
+        case "createStatement" =>
+          val st = FetchRecordingDriver.invoke(real, m, args)
+            .asInstanceOf[java.sql.Statement]
+          proxyStmt(st, real, cursors)
+        case "close" =>
+          cursors.values().forEach(_.close()); cursors.clear()
+          FetchRecordingDriver.invoke(real, m, args)
+        case _ => FetchRecordingDriver.invoke(real, m, args)
+      }).asInstanceOf[java.sql.Connection]
+  }
+
+  private def proxyStmt(real: java.sql.Statement, conn: java.sql.Connection,
+                        cursors: java.util.concurrent.ConcurrentHashMap[String, Cursor])
+      : java.sql.Statement = {
+    def handle(sql: String): Option[AnyRef] = sql match {
+      case Declare(name, query) =>
+        if (conn.getAutoCommit)
+          throw new java.sql.SQLException(
+            s"""cursor "$name" requires a transaction (DECLARE CURSOR outside transaction)""")
+        cursors.put(name, new Cursor(query, conn))
+        record(s"DECLARE $name")
+        Some(java.lang.Boolean.FALSE)
+      case Close(name) =>
+        val c = cursors.remove(name)
+        if (c == null) throw new java.sql.SQLException(
+          s"""cursor "$name" does not exist""")
+        c.close()
+        record(s"CLOSE $name")
+        Some(java.lang.Boolean.FALSE)
+      case Fetch(_, _) => Some(null) // handled in executeQuery
+      case _ => None
+    }
+    def fetchRs(sql: String): java.sql.ResultSet = sql match {
+      case Fetch(k, name) =>
+        val c = cursors.get(name)
+        if (c == null) throw new java.sql.SQLException(
+          s"""cursor "$name" does not exist""")
+        boundedRs(c.resultSet(), k.toInt, delivered =>
+          record(s"FETCH $k $name -> $delivered"))
+      case _ => null
+    }
+    java.lang.reflect.Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Statement]),
+      (_, m, args) => (m.getName, if (args != null && args.nonEmpty)
+          args(0) else null) match {
+        case ("execute", sql: String)
+            if Declare.matches(sql) || Close.matches(sql) || Fetch.matches(sql) =>
+          handle(sql).get match {
+            case null => java.lang.Boolean.TRUE // FETCH via execute
+            case b => b
+          }
+        case ("executeQuery", sql: String) if Fetch.matches(sql) =>
+          fetchRs(sql)
+        case ("executeQuery", sql: String)
+            if Declare.matches(sql) || Close.matches(sql) =>
+          throw new java.sql.SQLException(s"not a query: $sql")
+        case _ => FetchRecordingDriver.invoke(real, m, args)
+      }).asInstanceOf[java.sql.Statement]
+  }
+
+  /** A ResultSet view delivering at most `k` rows of `under` WITHOUT
+    * closing it (the server keeps the portal open between FETCHes);
+    * reports the delivered count once drained or closed. */
+  private def boundedRs(under: java.sql.ResultSet, k: Int,
+                        report: Int => Unit): java.sql.ResultSet = {
+    var n = 0
+    var reported = false
+    def done(): Unit = if (!reported) { reported = true; report(n) }
+    java.lang.reflect.Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.ResultSet]),
+      (_, m, args) => m.getName match {
+        case "next" =>
+          if (n >= k) { done(); java.lang.Boolean.FALSE }
+          else {
+            val has = FetchRecordingDriver.invoke(under, m, args)
+            if (has == java.lang.Boolean.TRUE) { n += 1; has }
+            else { done(); has }
+          }
+        case "close" => done(); java.lang.Boolean.FALSE // keep the portal open
+        case _ => FetchRecordingDriver.invoke(under, m, args)
+      }).asInstanceOf[java.sql.ResultSet]
+  }
+}
+
+/** Top-level for Spark/JDBC driver resolution (see
+  * [[GraftRecordingJdbcDriver]]'s note). */
+final class GraftCursorJdbcDriver extends java.sql.Driver {
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith(CursorFakeDriver.Prefix)
+  override def connect(url: String, info: java.util.Properties): java.sql.Connection =
+    if (!acceptsURL(url)) null
+    else CursorFakeDriver.proxyConn(java.sql.DriverManager.getConnection(
+      "jdbc:duckdb:" + url.stripPrefix(CursorFakeDriver.Prefix), info))
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getPropertyInfo(u: String, i: java.util.Properties): Array[java.sql.DriverPropertyInfo] =
+    Array.empty
+  override def jdbcCompliant(): Boolean = false
+  override def getParentLogger = throw new java.sql.SQLFeatureNotSupportedException()
 }
 
 /** A java.sql proxy driver (`jdbc:graftrec:<duckdb path>`) that records
