@@ -17,6 +17,12 @@ object DeltaBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    // optional probe filter (comma-separated names) — the 100× scale
+    // rehearsals re-measure a few probes without paying for the suite
+    val only: Set[String] = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def enabled(name: String): Boolean = only.isEmpty || only.contains(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]").appName("graft-delta-bench")
@@ -50,6 +56,7 @@ object DeltaBench {
       // the verb's own cost is what the trend row tracks
       def timeVerb(name: String)(setup: () => String)(body: String => Unit)
           : Double = {
+        if (!enabled(name)) return -1.0
         val times = (1 to reps).map { _ =>
           val t = setup()
           val t0 = System.nanoTime()
@@ -198,6 +205,31 @@ object DeltaBench {
           s"drain must window the backlog: $triggers triggers, $rows rows")
       }
 
+      results("cdf_source_drain") = timeVerb("cdf_source_drain") { () =>
+        // the CDF-stream sibling: a CDF-enabled table with a 12-commit
+        // backlog of appends + row-changing commits; the drain replays
+        // each window's change feed (setup untimed)
+        val t = java.nio.file.Files
+          .createTempDirectory("dbench-cdfsrc").toString + "/tbl"
+        PortableDelta.write(orders.limit(1000).coalesce(1), t,
+          properties = Map(PortableDelta.CdfProp -> "true"))
+        (0 until 9).foreach(k => PortableDelta.write(
+          orders.filter(col("okey") % 100L === k.toLong).coalesce(1),
+          t, mode = "append"))
+        PortableDelta.delete(spark, t, col("okey") % 100L === 3L)
+        PortableDelta.update(spark, t, col("okey") % 100L === 5L,
+          Map("price" -> (col("price") * 2)))
+        t
+      } { t =>
+        val ck = java.nio.file.Files.createTempDirectory("dbench-cdfck").toString
+        val src = new graft.streaming.DeltaCdfSource(spark, t, ck,
+          maxVersionsPerTrigger = 3)
+        var rows = 0L
+        val triggers = src.runAvailableNow((df, _) => rows += df.count())
+        require(triggers >= 4 && rows > 0,
+          s"cdf drain must window the backlog: $triggers triggers, $rows rows")
+      }
+
       // ---- wide-log replay probe: snapshot construction vs log shape —
       // the metadata cost the query trend rows can't see. One synthetic
       // 2000-commit log (fake adds with stats — replay never opens data
@@ -205,8 +237,11 @@ object DeltaBench {
       // the same log serves every rep.
       val wideN = 2000; val ckEvery = 500
       val conf = spark.sessionState.newHadoopConf()
-      val wide = syntheticWideLog(spark, wideN, ckEvery)
+      val anyWidelog = Seq("widelog_replay_full", "widelog_snapshot_ckpt",
+        "widelog_travel", "widelog_replay_compacted").exists(enabled)
+      lazy val wide = syntheticWideLog(spark, wideN, ckEvery)
       def timeRead(name: String)(body: => Unit): Double = {
+        if (!enabled(name)) return -1.0
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
         }
@@ -215,6 +250,7 @@ object DeltaBench {
           f"(${times.map(t => f"$t%.2f").mkString("/")})")
         steady
       }
+      if (anyWidelog) {
       results("widelog_replay_full") = timeRead("widelog_replay_full") {
         // driver JSON replay of ALL 2000 commits (the no-checkpoint path)
         require(PortableDelta.snapshot(conf, wide).version == wideN)
@@ -237,8 +273,10 @@ object DeltaBench {
       results("widelog_replay_compacted") = timeRead("widelog_replay_compacted") {
         require(PortableDelta.snapshot(conf, wide).version == wideN)
       }
+      }
 
-      val json = results.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
+      val json = results.filter(_._2 >= 0)
+        .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
         .mkString(",")
       println(s"""{"metric":"delta_dml_steady","sf_dir":"$dir",""" +
         s""""rows":$nRows,"verbs":{$json}}""")
