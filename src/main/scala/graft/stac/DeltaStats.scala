@@ -126,12 +126,64 @@ object DeltaStats {
           leaves.map(dottedAt(schema, _)) // PHYSICAL dotted names key the JSON
         }
       case None =>
+        // positional budget over LEAF columns in depth-first schema
+        // order (delta's dataSkippingNumIndexedCols semantics: nested
+        // leaves count toward the N; ineligible leaves consume their
+        // position but get no stats) — so a STAC table's bbox struct
+        // leaves get min/max, making `bbox.xmin >= ?` range queries
+        // prune at the LOG level, above the parquet row-group stats
         val n = cfg.get("delta.dataSkippingNumIndexedCols")
           .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(32)
-        val idx = if (n < 0) schema.fields.indices else schema.fields.indices.take(n)
-        idx.map(schema.fields(_))
-          .collect { case f if eligible(f.dataType) => f.name -> f.dataType }
+        val leaves = depthFirstLeaves(schema)
+        (if (n < 0) leaves else leaves.take(n))
+          .collect { case (name, dt) if eligible(dt) => name -> dt }
     }
+  }
+
+  /** All LEAF columns (non-struct) in depth-first schema order, as
+    * (dotted physical path, type). Array/map interiors are not
+    * traversed (no parquet column-chunk stats address them as leaves
+    * this code could soundly use). */
+  private[stac] def depthFirstLeaves(schema: StructType): Seq[(String, DataType)] = {
+    def walk(st: StructType, prefix: String): Seq[(String, DataType)] =
+      st.fields.toSeq.flatMap { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case inner: StructType => walk(inner, name)
+          case dt => Seq(name -> dt)
+        }
+      }
+    walk(schema, "")
+  }
+
+  /** Nest a dotted-path column selection back into a StructType mirror
+    * of the stats JSON (`(a.b, T)` → `struct<a: struct<b: T>>`) —
+    * the checkpoint `stats_parsed` shape for nested selections.
+    * `leaf` maps each column's type (identity for min/max, LongType
+    * for nullCount). */
+  private[stac] def nestedStructOf(cols: Seq[(String, DataType)],
+                                   leaf: DataType => DataType = identity)
+      : StructType = {
+    // group consecutive-prefix preserving first-appearance order
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.util.Either[DataType, scala.collection.mutable.Buffer[(String, DataType)]]]
+    cols.foreach { case (name, dt) =>
+      val i = name.indexOf('.')
+      if (i < 0) order.put(name, scala.util.Left(dt))
+      else {
+        val (head, rest) = (name.substring(0, i), name.substring(i + 1))
+        order.getOrElseUpdate(head,
+          scala.util.Right(scala.collection.mutable.Buffer.empty)) match {
+          case scala.util.Right(buf) => buf += (rest -> dt)
+          case scala.util.Left(_) => throw new IllegalArgumentException(
+            s"column '$head' is both a leaf and a struct in the stats selection")
+        }
+      }
+    }
+    StructType(order.toSeq.map {
+      case (n, scala.util.Left(dt)) => StructField(n, leaf(dt))
+      case (n, scala.util.Right(buf)) => StructField(n, nestedStructOf(buf.toSeq, leaf))
+    })
   }
 
   /** Harvest the Delta stats JSON for each file (name → stats). Footer

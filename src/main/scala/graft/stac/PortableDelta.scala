@@ -5335,8 +5335,10 @@ object PortableDelta {
       if (mappedCfg(st.configuration)) (physSchemaOf(logical), Some(logical))
       else (logical, None)
     val cols = DeltaStats.statsColumns(phys, st.configuration, logOpt)
-    val mm = StructType(cols.map { case (n, dt) => StructField(n, dt) })
-    val nc = StructType(cols.map { case (n, _) => StructField(n, LongType) })
+    // dotted selections (nested leaves) nest in the struct exactly as
+    // they nest in the stats JSON
+    val mm = DeltaStats.nestedStructOf(cols)
+    val nc = DeltaStats.nestedStructOf(cols, _ => LongType)
     // an empty selection (dataSkippingNumIndexedCols=0, all-ineligible
     // schema) keeps numRecords only — parquet cannot write empty groups
     if (cols.isEmpty) StructType(Seq(StructField("numRecords", LongType)))

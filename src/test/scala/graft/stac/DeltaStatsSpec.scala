@@ -218,6 +218,64 @@ class DeltaStatsSpec extends AnyFunSuite {
         "delta.dataSkippingStatsColumns" -> "id.nope"))
     }
     assert(e.getMessage.contains("id.nope"))
+    // DEFAULT path (no property): nested leaves count toward the 32 and
+    // GET stats — the STAC bbox shape prunes at the log level for free
+    val p3 = tmp()
+    PortableDelta.write(rows.repartitionByRange(4, col("id")), p3)
+    val snap3 = PortableDelta.snapshot(spark, p3)
+    snap3.files.foreach { af =>
+      val st3 = mapper.readTree(af.stats.get)
+      assert(st3.get("minValues").get("meta").has("score") &&
+        st3.get("minValues").get("meta").has("tag"),
+        "default stats must cover nested struct leaves within the budget")
+      assert(st3.get("minValues").has("id") && st3.get("minValues").has("body"))
+    }
+    val (_, pruned3) = PortableDelta.statsPrune(spark, snap3,
+      col("meta.score") >= 90L)
+    assert(pruned3 >= 2, s"default nested stats must prune, pruned=$pruned3")
+    assert(PortableDelta.readTableWhere(spark, p3, col("meta.score") >= 90L)
+      .count() === rows.filter(col("meta.score") >= 90L).count())
+    // the leaf budget counts nested leaves positionally: with n=2 the
+    // selection is id + meta.score (depth-first), so meta.tag and body
+    // get no stats
+    val p4 = tmp()
+    PortableDelta.write(rows.coalesce(1), p4,
+      properties = Map("delta.dataSkippingNumIndexedCols" -> "2"))
+    val st4 = mapper.readTree(
+      PortableDelta.snapshot(spark, p4).files.head.stats.get)
+    assert(st4.get("minValues").has("id") &&
+      st4.get("minValues").get("meta").has("score"))
+    assert(!st4.get("minValues").get("meta").has("tag") &&
+      !st4.get("minValues").has("body"),
+      s"leaf budget 2 must stop after meta.score: ${st4.get("minValues")}")
+  }
+
+  test("stats_parsed checkpoint struct nests with the nested selection") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    val rows = (0L until 20L).map(i => (i, (i * 3, s"t$i")))
+      .toDF("id", "meta")
+      .select(col("id"), col("meta").cast("struct<score:bigint,tag:string>").as("meta"))
+    PortableDelta.write(rows.repartitionByRange(2, col("id")), path, properties = Map(
+      "delta.checkpoint.writeStatsAsStruct" -> "true",
+      "delta.checkpoint.writeStatsAsJson" -> "false"))
+    PortableDelta.checkpoint(spark, path)
+    val ck = new java.io.File(s"$path/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".checkpoint.parquet")).head
+    val adds = spark.read.parquet(ck.getPath).where(col("add").isNotNull)
+    // the struct nests exactly like the JSON: minValues.meta.score
+    val mins = adds.select(col("add.stats_parsed.minValues.meta.score"))
+      .collect().map(_.getLong(0)).sorted
+    assert(mins.length == 2 && mins.head == 0L)
+    assert(adds.select(col("add.stats_parsed.nullCount.meta.tag"))
+      .collect().forall(_.getLong(0) == 0L))
+    // JSON-less checkpoint still prunes on the nested leaf after the
+    // log truncates (stats recovered from the struct)
+    PortableDelta.cleanupLog(spark, path)
+    val snap = PortableDelta.snapshot(spark, path)
+    val (_, pruned) = PortableDelta.statsPrune(spark, snap,
+      col("meta.score") < 10L)
+    assert(pruned == 1, s"struct-recovered nested stats must prune, got $pruned")
   }
 
   test("checkpoint stats shapes: stats_parsed struct write + JSON-less read-back") {
