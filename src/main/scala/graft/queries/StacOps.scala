@@ -1486,6 +1486,61 @@ object StacOps {
       },
       timed = false),
 
+    // ----- Delta NESTED data skipping: bbox struct leaves prune files -----
+    // The reference's headline query ("Sentinel-2, June 2024, over NYC")
+    // filters on the bbox STRUCT's leaves; GeoParquet gets row-group
+    // pruning from parquet stats (stac09) — this gate pins the layer
+    // ABOVE it: the Delta log's per-file stats now cover nested struct
+    // leaves (round 11: depth-first leaf budget), so `bbox.xmin >= ?`
+    // drops whole FILES from the plan before any footer is opened. The
+    // table is range-partitioned by xmin (spatially-clustered ingest),
+    // in-gate requires pin nested stats presence + actual pruning, and
+    // the value-checked aggregate makes wrong pruning impossible to hide.
+    QuerySpec(
+      "stac48_delta_nested_skipping",
+      Some("""
+        WITH b AS (SELECT o_orderkey AS okey,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin
+                   FROM orders)
+        SELECT CAST(floor(xmin / 10) AS BIGINT) AS cell,
+               count(*) AS n_rows,
+               CAST(sum(okey) AS BIGINT) AS key_sum,
+               true AS nested_skip_ok
+        FROM b
+        WHERE xmin >= 100.0
+        GROUP BY cell
+        ORDER BY cell"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val o = Tables.t(s, dir, "orders")
+        val bx = (col("o_orderkey") % 360 - 180).cast("double")
+        val items = o.select(col("o_orderkey").as("okey"),
+            struct(bx.as("xmin"), (col("o_orderkey") % 170 - 85).cast("double").as("ymin"),
+              (bx + 1.0).as("xmax")).as("bbox"))
+          .repartitionByRange(10, col("bbox.xmin"))
+        val out = java.nio.file.Files.createTempDirectory("stac48").toString + "/tbl"
+        PortableDelta.write(items, out)
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.files.size > 1 && snap.files.forall(f =>
+          f.stats.exists(j => j.contains("\"bbox\"") && j.contains("\"xmin\""))),
+          "every add must carry NESTED bbox-leaf stats")
+        val cond = col("bbox.xmin") >= lit(100.0)
+        val (kept, pruned) = PortableDelta.statsPrune(s, snap, cond)
+        require(pruned > 0 && kept.nonEmpty && kept.size < snap.files.size,
+          s"nested-leaf skipping must drop files by stats alone: " +
+            s"kept ${kept.size} of ${snap.files.size}")
+        // checkpoint first: the read evaluates skipping DISTRIBUTED over
+        // the checkpoint's add rows — a nested-prune drift fails the hash
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.cleanupLog(s.sessionState.newHadoopConf(), out)
+        PortableDelta.readTableWhere(s, out, cond)
+          .groupBy(floor(col("bbox.xmin") / 10).cast("long").as("cell"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("okey")).as("key_sum"))
+          .withColumn("nested_skip_ok", lit(true))
+          .orderBy(col("cell"))
+      },
+      timed = false),
+
     // ----- Delta OPTIMIZE: compaction + Z-order, the layout doctor -----
     // The two maintenance passes a 100-TB lakehouse table needs: (1)
     // bin-packing compaction — a per-minute streaming sink makes
