@@ -221,6 +221,16 @@ object Pipeline {
   def cleanCorpusFunnel(docs: DataFrame): (DataFrame, () => Unit) =
     TextOps.cleanFunnelReleasable(docs)
 
+  /** Gopher-style within-document repetition stats (the t17 gate's
+    * engine): per doc, exact char-weighted duplicate-n-gram fractions
+    * for n ∈ {2,3} plus a `repetitive` flag past the rate dials — the
+    * boilerplate / keyword-stuffing filter of the Gopher (MassiveText)
+    * pipeline. Purely per-document (no cross-doc join): embarrassingly
+    * parallel at any corpus size. */
+  def repetitionStats(docs: DataFrame, rate2: Double = 0.10,
+                      rate3: Double = 0.02): DataFrame =
+    TextOps.repetitionStats(docs, rate2, rate3)
+
   /** Exact cosine k-NN (s01's engine): guarded broadcast of the QUERY
     * set only — the corpus streams past it, and per-query top-k is the
     * bounded-buffer aggregate (`graft.operators.TopK`), so the shuffle

@@ -645,8 +645,107 @@ object TextOps {
             round(min(col("avg_freq")), 9).as("min_avg_freq"),
             round(max(col("avg_freq")), 9).as("max_avg_freq"))
           .orderBy(col("source"), col("bucket"))
+      }),
+
+    // ----- Gopher-style within-document repetition filter -----
+    // Gopher/MassiveText (Rae et al. 2021) drop documents whose
+    // characters sit mostly inside REPEATED n-grams — boilerplate,
+    // keyword stuffing, template spam. Per document and n ∈ {2,3}:
+    // dup_frac_n = Σ_{g: cnt≥2} cnt·len(g) / Σ_g cnt·len(g) over the
+    // doc's own n-grams (exact integer char-weighted counts, ONE final
+    // division) — a doc is repetitive past either dial. All work is
+    // per-document: one explode + one (doc, n, gram) hash-agg + one
+    // per-doc fold; nothing joins across documents, so the pass is
+    // embarrassingly parallel at any corpus size.
+    QuerySpec(
+      "t17_repetition_filter",
+      Some("""
+        WITH ws AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             g2 AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]
+                                           for i in generate_series(1, len(ws)-1)]) AS g
+                    FROM ws WHERE len(ws) >= 2),
+             g3 AS (SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+                                           for i in generate_series(1, len(ws)-2)]) AS g
+                    FROM ws WHERE len(ws) >= 3),
+             m2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+             m3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+             a2 AS (SELECT doc_id,
+                           CAST(sum(c * length(g)) AS BIGINT) AS tot2,
+                           CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup2
+                    FROM m2 GROUP BY 1),
+             a3 AS (SELECT doc_id,
+                           CAST(sum(c * length(g)) AS BIGINT) AS tot3,
+                           CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT) AS dup3
+                    FROM m3 GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(a2.tot2, 0) AS tot2, coalesce(a2.dup2, 0) AS dup2,
+               CASE WHEN coalesce(a2.tot2, 0) = 0 THEN 0.0
+                    ELSE round(CAST(a2.dup2 AS DOUBLE) / a2.tot2, 9) END AS frac2,
+               coalesce(a3.tot3, 0) AS tot3, coalesce(a3.dup3, 0) AS dup3,
+               CASE WHEN coalesce(a3.tot3, 0) = 0 THEN 0.0
+                    ELSE round(CAST(a3.dup3 AS DOUBLE) / a3.tot3, 9) END AS frac3,
+               (coalesce(a2.tot2, 0) > 0 AND CAST(coalesce(a2.dup2, 0) AS DOUBLE) > 0.10 * a2.tot2)
+                 OR (coalesce(a3.tot3, 0) > 0 AND CAST(coalesce(a3.dup3, 0) AS DOUBLE) > 0.02 * a3.tot3)
+                 AS repetitive
+        FROM documents d
+        LEFT JOIN a2 ON a2.doc_id = d.doc_id
+        LEFT JOIN a3 ON a3.doc_id = d.doc_id
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        repetitionStats(docs).orderBy(col("doc_id"))
       })
   )
+
+  /** Gopher-style per-document n-gram repetition stats (the t17 gate's
+    * engine): (doc_id, tot2, dup2, frac2, tot3, dup3, frac3, repetitive)
+    * where totN/dupN are exact char-weighted n-gram occurrence counts
+    * (dup = occurrences of n-grams seen ≥2× in the SAME document) and
+    * repetitive flags dup2 > 10% of tot2 or dup3 > 2% of tot3 — the
+    * boilerplate/keyword-stuffing filter of the Gopher pipeline. The
+    * comparison is integer-exact (dup·1 > rate·tot via doubles of exact
+    * integers); fracN is reporting only, rounded to 1e-9. */
+  private[queries] def repetitionStats(docs: DataFrame,
+                                       rate2: Double = 0.10,
+                                       rate3: Double = 0.02): DataFrame = {
+    val ws = words(col("text"))
+    // same width rule as the LM stage: only under-partitioned inputs
+    // pay the spreading shuffle (toy parquet = one row group)
+    val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val spread =
+      if (docs.rdd.getNumPartitions * 2 >= width) docs
+      else docs.repartition(col("doc_id"))
+    def grams(n: Int) = spread.select(col("doc_id"), lit(n).as("n"), explode(
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
+      .as("g"))
+    val m = grams(2).unionByName(grams(3))
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w", col("c") * length(col("g")).cast("long"))
+      .withColumn("dw", when(col("c") >= 2, col("w")).otherwise(0L))
+    val per = m.groupBy(col("doc_id"))
+      .agg(sum(when(col("n") === 2, col("w")).otherwise(0L)).as("tot2"),
+        sum(when(col("n") === 2, col("dw")).otherwise(0L)).as("dup2"),
+        sum(when(col("n") === 3, col("w")).otherwise(0L)).as("tot3"),
+        sum(when(col("n") === 3, col("dw")).otherwise(0L)).as("dup3"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tot2"), lit(0L)).as("tot2"),
+        coalesce(col("dup2"), lit(0L)).as("dup2"),
+        when(coalesce(col("tot2"), lit(0L)) === 0L, 0.0)
+          .otherwise(round(col("dup2").cast("double") / col("tot2"), 9)).as("frac2"),
+        coalesce(col("tot3"), lit(0L)).as("tot3"),
+        coalesce(col("dup3"), lit(0L)).as("dup3"),
+        when(coalesce(col("tot3"), lit(0L)) === 0L, 0.0)
+          .otherwise(round(col("dup3").cast("double") / col("tot3"), 9)).as("frac3"),
+        ((coalesce(col("tot2"), lit(0L)) > 0L &&
+          coalesce(col("dup2"), lit(0L)).cast("double") > lit(rate2) * col("tot2")) ||
+         (coalesce(col("tot3"), lit(0L)) > 0L &&
+          coalesce(col("dup3"), lit(0L)).cast("double") > lit(rate3) * col("tot3")))
+          .as("repetitive"))
+  }
 
   /** Shared oracle CTEs for the t14/t15 bigram-LM family: `sc` = the
     * per-document score frame (doc_id, n_bigrams, hit_sum, n_rare,

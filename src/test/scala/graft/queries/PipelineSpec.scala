@@ -316,6 +316,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(flags == Map(1L -> true, 2L -> false, 3L -> true))
   }
 
+  test("repetitionStats: exact char-weighted dup fractions, hand-checked") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      // "a b" appears twice (c=2, len 3 → dup 6); grams "b a" once (3),
+      // "b c" once (3): tot2 = 2*3+3+3 = 12, dup2 = 6 → frac2 = 0.5
+      (1L, "a b a b c"),
+      (2L, "w x y z"),   // all bigrams unique → dup2 = 0
+      (3L, "q"),         // too short: no grams at all
+      (4L, "r r r r r")) // total repetition: frac2 = frac3 = 1.0
+      .toDF("doc_id", "text")
+    val got = Pipeline.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(6), r.getBoolean(7)))).toMap
+    assert(got(1L) == ((12L, 6L, 0.5, 0.0, true)), s"doc 1: ${got(1L)}")
+    assert(got(2L)._2 == 0L && !got(2L)._5)
+    assert(got(3L) == ((0L, 0L, 0.0, 0.0, false)), "no grams → clean by definition")
+    assert(got(4L)._3 == 1.0 && got(4L)._4 == 1.0 && got(4L)._5)
+    // the dials move the flag, results stay exact
+    val lax = Pipeline.repetitionStats(docs, rate2 = 0.9, rate3 = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(!lax(1L) && lax(4L))
+  }
+
   test("stratifiedKeep is deterministic and respects rate 0/100") {
     val df = (0L until 200L).toDF("id")
     assert(df.filter(Pipeline.stratifiedKeep(col("id"), lit(0))).count() == 0)
