@@ -25,16 +25,54 @@ import graft.stac.PortableDelta
   * is bounded by the changed files of its ≤ `maxVersionsPerTrigger`
   * commits and reuses readChanges' lineage-truncated chunked assembly,
   * so a consumer that fell 10k commits behind catches up in bounded
-  * per-trigger plans instead of one unanalyzable union. */
+  * per-trigger plans instead of one unanalyzable union.
+  *
+  * Rate limits (`maxFilesPerTrigger` / `maxBytesPerTrigger`, either or
+  * both) pack WHOLE versions per trigger against the commits' changed
+  * file/byte load — a commit's change feed is its atomic unit (pre/
+  * post-image pairing cannot split), so unlike [[DeltaTableSource]]
+  * there is no mid-commit offset; at least one commit always admits,
+  * so a single oversized commit cannot stall the stream. */
 final class DeltaCdfSource(spark: SparkSession, tablePath: String,
                            checkpointDir: String,
-                           maxVersionsPerTrigger: Int = 32) {
+                           maxVersionsPerTrigger: Int = 32,
+                           maxFilesPerTrigger: Option[Int] = None,
+                           maxBytesPerTrigger: Option[Long] = None) {
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
+  maxFilesPerTrigger.foreach(n => require(n >= 1,
+    s"maxFilesPerTrigger must be >= 1, got $n"))
+  maxBytesPerTrigger.foreach(n => require(n >= 1L,
+    s"maxBytesPerTrigger must be >= 1, got $n"))
 
   private val conf = spark.sessionState.newHadoopConf()
   private val ckPath = new Path(checkpointDir, "cdf-version-watermark")
   private val fs = ckPath.getFileSystem(conf)
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** One commit's CHANGE LOAD — (changed files, changed bytes) counted
+    * over its file actions (add + cdc + remove): the admission weight
+    * the rate limits pack against. A driver-side JSON read of exactly
+    * the commits under consideration (the window is bounded, and a CDF
+    * read of these versions parses the same files anyway). */
+  private def commitLoad(v: Long): (Int, Long) = {
+    val p = new Path(new Path(tablePath, "_delta_log"), f"$v%020d.json")
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    var files = 0; var bytes = 0L
+    lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+      Seq("add", "cdc", "remove").foreach { k =>
+        if (n.has(k)) {
+          files += 1
+          val sz = n.get(k).get("size")
+          if (sz != null && sz.isNumber) bytes += sz.asLong()
+        }
+      }
+    }
+    (files, bytes)
+  }
 
   /** The last PROCESSED version (-1 before the first commit): restored
     * from the checkpoint file, so a restarted consumer resumes exactly
@@ -56,7 +94,29 @@ final class DeltaCdfSource(spark: SparkSession, tablePath: String,
     val from = watermark + 1
     if (from > cur) None
     else {
-      val to = math.min(cur, from + maxVersionsPerTrigger - 1)
+      val cap = math.min(cur, from + maxVersionsPerTrigger - 1)
+      // rate limits pack WHOLE versions (a commit's change feed is its
+      // atomic unit — pre/post-image pairing cannot split): admit
+      // commits while the cumulative changed-file/byte load fits, and
+      // always admit at least one so the stream progresses past any
+      // single oversized commit
+      val to = (maxFilesPerTrigger, maxBytesPerTrigger) match {
+        case (None, None) => cap
+        case (mf, mb) =>
+          val maxF = mf.getOrElse(Int.MaxValue)
+          val maxB = mb.getOrElse(Long.MaxValue)
+          var v = from
+          var files = 0; var bytes = 0L
+          var end = from
+          var fits = true
+          while (fits && v <= cap) {
+            val (f, b) = commitLoad(v)
+            if (v == from || (files + f <= maxF && bytes + b <= maxB)) {
+              files += f; bytes += b; end = v; v += 1
+            } else fits = false
+          }
+          end
+      }
       Some((PortableDelta.readChanges(spark, tablePath, from, to), to))
     }
   }

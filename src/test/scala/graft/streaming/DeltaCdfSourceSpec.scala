@@ -43,6 +43,35 @@ class DeltaCdfSourceSpec extends AnyFunSuite {
     assert(src.readAvailable().isEmpty && src.watermark == 4L)
   }
 
+  test("rate limits pack WHOLE versions by changed-file/byte load; never stall") {
+    val tbl = tmp("cdfsrc3"); val ck = tmp("cdfsrc3-ck")
+    PortableDelta.write(df(0L until 9L, "a").repartition(3), tbl,
+      properties = Map(PortableDelta.CdfProp -> "true"))            // v0: 3 files
+    PortableDelta.write(df(10L until 16L, "b").repartition(2), tbl,
+      mode = "append")                                              // v1: 2 files
+    PortableDelta.write(df(Seq(20L), "c").coalesce(1), tbl,
+      mode = "append")                                              // v2: 1 file
+    PortableDelta.delete(spark, tbl, col("id") === 20L)             // v3: cdc
+    // maxFilesPerTrigger=3: v0 fills trigger 1 exactly; v1+v2 pack
+    // trigger 2; v3 rides alone
+    val src = new DeltaCdfSource(spark, tbl, ck, maxFilesPerTrigger = Some(3))
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var rows = 0L
+    val n = src.runAvailableNow((changes, to) => {
+      ends += to; rows += changes.count()
+    })
+    assert(ends.toSeq == Seq(0L, 2L, 3L), s"packing drifted: $ends")
+    assert(n == 3 && rows >= 9L + 6L + 1L + 1L,
+      "every change delivered across the packed windows")
+    // a byte budget smaller than any commit still admits one per
+    // trigger — an oversized commit cannot stall the stream
+    val ck2 = tmp("cdfsrc3-ck2")
+    val tiny = new DeltaCdfSource(spark, tbl, ck2, maxBytesPerTrigger = Some(1L))
+    val ends2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    tiny.runAvailableNow((_, to) => ends2 += to)
+    assert(ends2.toSeq == Seq(0L, 1L, 2L, 3L), s"got $ends2")
+  }
+
   test("crash before commitProgress re-delivers; txn sink makes it exactly-once") {
     val tbl = tmp("cdfpipe") ; val ck = tmp("cdfpipe-ck")
     val down = tmp("cdfpipe-down")
