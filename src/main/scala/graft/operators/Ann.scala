@@ -324,8 +324,16 @@ object Ann {
     assignTo(e, centroids(e, nCells))
   }
 
+  /** @param candidateFilter predicate over the CANDIDATE side's columns
+    *   (`vec_id`, `embedding`) evaluated BEFORE any dot product — the
+    *   production filtered-vector-search shape (allowed shards, tenant,
+    *   freshness): the index (centroids + assignment) is built on the
+    *   FULL corpus once and serves every filter, and non-matching
+    *   candidates never get scored. Catalyst pushes a corpus-only
+    *   predicate below the probe join. Default `lit(true)` = unfiltered. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 0,
-              nprobe: Int = 2, excludeSameId: Boolean = true): DataFrame = {
+              nprobe: Int = 2, excludeSameId: Boolean = true,
+              candidateFilter: Column = lit(true)): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(cells >= 0, s"cells must be >= 0 (0 = adaptive), got $cells")
@@ -343,7 +351,7 @@ object Ann {
     val idCond = if (excludeSameId) col("vec_id") =!= col("query_id") else lit(true)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    broadcast(probes).join(assign, "cell")
+    broadcast(probes).join(assign.filter(candidateFilter), "cell")
       .filter(idCond)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))

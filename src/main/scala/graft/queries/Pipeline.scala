@@ -283,10 +283,15 @@ object Pipeline {
 
   /** IVF ANN top-k — the billion-vector scale path the s04 gate
     * verifies; `cells=0` derives ~√n cells, `nprobe` is the recall/cost
-    * dial. Query side must be bounded (guarded broadcast). */
+    * dial. Query side must be bounded (guarded broadcast).
+    * `candidateFilter` (the s15 gate's engine) is the production
+    * FILTERED-search shape: a predicate over the candidate columns
+    * pruned before any scoring, served by the same full-corpus index. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, cells: Int = 0,
-              nprobe: Int = 2, excludeSameId: Boolean = true): DataFrame =
-    graft.operators.Ann.ivfTopK(corpus, queries, k, cells, nprobe, excludeSameId)
+              nprobe: Int = 2, excludeSameId: Boolean = true,
+              candidateFilter: Column = lit(true)): DataFrame =
+    graft.operators.Ann.ivfTopK(corpus, queries, k, cells, nprobe,
+      excludeSameId, candidateFilter)
 
   /** Symmetric int8 corpus quantization (the s08 gate's storage format:
     * 4× smaller, integer scoring, exact cached self-dots) — persisted,

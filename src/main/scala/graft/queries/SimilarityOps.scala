@@ -302,6 +302,56 @@ object SimilarityOps {
           .orderBy(col("query_id"), col("rank"))
       }),
 
+    // ----- FILTERED vector search: predicate + ANN in one pass -----
+    // The production retrieval shape (tenant / shard / freshness
+    // filters over one shared index): the IVF index is built on the
+    // FULL corpus — centroids and cell assignment identical to s04's —
+    // and the metadata predicate prunes candidates BEFORE any dot
+    // product, so the filter costs nothing at scoring time and the
+    // same index serves every filter. Here the predicate admits one
+    // vec_id in three; the oracle recomputes the identical derivation
+    // (same codebook, same probes, filtered candidates), so a filter
+    // applied at the wrong stage — before assignment (different
+    // centroids) or after top-k (missing neighbors) — fails the hash.
+    QuerySpec(
+      "s15_ann_filtered",
+      Some(s"""
+        WITH n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+                   FROM embeddings),
+             cent AS (SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+                      FROM n WHERE vec_id < 16),
+             scored AS (SELECT v.vec_id, c.cent_id,
+                               ${dotSql("v.embedding", "c.ce")} / (v.nrm * c.cn) AS ccos,
+                               row_number() OVER (PARTITION BY v.vec_id
+                                                  ORDER BY ${dotSql("v.embedding", "c.ce")} / (v.nrm * c.cn) DESC,
+                                                           c.cent_id ASC) AS crank
+                        FROM n v JOIN cent c ON true),
+             assign AS (SELECT vec_id, cent_id AS cell FROM scored WHERE crank = 1),
+             probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM scored
+                        WHERE crank <= 2 AND vec_id % 100 = 0),
+             cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                      FROM probes p JOIN assign a ON a.cell = p.cell
+                      WHERE a.vec_id != p.query_id AND a.vec_id % 3 = 0),
+             sc AS (SELECT c.query_id, c.neighbor_id,
+                           ${dotSql("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos
+                    FROM cand c
+                    JOIN n q ON q.vec_id = c.query_id
+                    JOIN n v ON v.vec_id = c.neighbor_id),
+             rk AS (SELECT query_id, neighbor_id, cos,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+                    FROM sc)
+        SELECT query_id, rank, neighbor_id, round(cos, 9) AS cos
+        FROM rk WHERE rank <= 3
+        ORDER BY query_id, rank"""),
+      (s, dir) => {
+        val e = Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        graft.operators.Ann.ivfTopK(e, e.filter(col("vec_id") % 100 === 0),
+            k = 3, cells = 16, nprobe = 2,
+            candidateFilter = col("vec_id") % 3 === 0)
+          .orderBy(col("query_id"), col("rank"))
+      }),
+
     // ----- ANN quality gate: recall@3 of the approximate paths (s03 LSH
     // buckets, s04 IVF 2-probe) against exact brute-force ground truth for
     // the same query set. The recall NUMBERS are value-checked (both
