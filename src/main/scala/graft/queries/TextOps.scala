@@ -708,19 +708,25 @@ object TextOps {
   private[queries] def repetitionStats(docs: DataFrame,
                                        rate2: Double = 0.10,
                                        rate3: Double = 0.02): DataFrame = {
-    val ws = words(col("text"))
     // same width rule as the LM stage: only under-partitioned inputs
     // pay the spreading shuffle (toy parquet = one row group)
     val width = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val spread =
       if (docs.rdd.getNumPartitions * 2 >= width) docs
       else docs.repartition(col("doc_id"))
-    def grams(n: Int) = spread.select(col("doc_id"), lit(n).as("n"), explode(
-      when(size(ws) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))))
-      .as("g"))
-    val m = grams(2).unionByName(grams(3))
+    // ONE pass: split once per row (a projected column — inlining the
+    // split inside the transform lambdas re-runs the regex per element),
+    // both gram sizes concatenated into ONE exploded array, n recovered
+    // from the gram itself (words cannot contain the separator)
+    val wsed = spread.select(col("doc_id"), words(col("text")).as("ws"))
+    def gramsExpr(n: Int) =
+      when(size(col("ws")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k)): _*)))
+    val m = wsed
+      .select(col("doc_id"),
+        explode(concat(gramsExpr(2), gramsExpr(3))).as("g"))
+      .withColumn("n", size(split(col("g"), " ")))
       .groupBy(col("doc_id"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))
       .withColumn("w", col("c") * length(col("g")).cast("long"))
