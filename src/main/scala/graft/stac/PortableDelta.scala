@@ -1912,6 +1912,37 @@ object PortableDelta {
       withPos = false, applyDvs = true), endV, endOff, endComplete)
   }
 
+  /** A bounded SLICE of a pinned snapshot's live files in deterministic
+    * path order — the rate-limited INITIAL-SNAPSHOT batch of a streaming
+    * consumer joining a huge table (a 100-TB table must not arrive as
+    * one batch): files from `fromFile` admitted under `maxFiles` and the
+    * soft `maxBytes` budget (the first file always admits, so the stream
+    * progresses past any oversized file). DVs apply per file, so slices
+    * compose to exactly the snapshot's live rows. Returns
+    * (df, endFileOffset, complete). */
+  def readSnapshotSlice(spark: SparkSession, path: String, versionAsOf: Long,
+                        fromFile: Int, maxFiles: Int,
+                        maxBytes: Long = Long.MaxValue): (DataFrame, Int, Boolean) = {
+    require(fromFile >= 0 && maxFiles >= 1 && maxBytes >= 1L,
+      s"bad slice args ($fromFile, $maxFiles, $maxBytes)")
+    val snap = snapshotAt(spark, path, versionAsOf)
+    val ordered = snap.files.sortBy(_.path)
+    require(fromFile <= ordered.size,
+      s"slice offset $fromFile past the ${ordered.size} live files of " +
+        s"$path@$versionAsOf")
+    val avail = ordered.drop(fromFile)
+    var take = 0
+    var bytes = 0L
+    while (take < avail.size && take < maxFiles &&
+           (take == 0 || bytes < maxBytes)) {
+      bytes += avail(take).size
+      take += 1
+    }
+    val end = fromFile + take
+    (buildScan(spark, path, snap.copy(files = avail.take(take)),
+      withPos = false, applyDvs = true), end, end == ordered.size)
+  }
+
   /** Outcome of a [[merge]]: committed version plus the three row
     * counters (a source row matching a LIVE target key counts as one
     * update — its target row dies and its new version appends; an

@@ -16,10 +16,13 @@ import graft.stac.PortableDelta
   *
   * Stream start follows the delta source's two modes:
   *   - default (`startingVersion = None`): the FIRST batch is the
-  *     table's full current snapshot (read as of a pinned version —
-  *     commits racing past the poll wait for the next trigger), then
+  *     table's current snapshot (read as of a pinned version — commits
+  *     racing past the poll wait for the next trigger), then
   *     incremental appends. This is how a consumer joins a table whose
-  *     early history may be checkpoint-truncated.
+  *     early history may be checkpoint-truncated. Under a rate limit
+  *     the snapshot drains SLICE-WISE in deterministic file order
+  *     (`Sv:k` offsets, restart-exact at the pinned version) — a
+  *     100-TB table never arrives as one batch.
   *   - `startingVersion = Some(v)`: no snapshot batch; appends are
   *     consumed from version v on (v = 0 replays the full history; the
   *     JSON commits must still exist).
@@ -72,18 +75,26 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
   /** The consumer's durable offset: `version` with `filesConsumed` of
     * its append files delivered (`complete` = the whole commit is).
     * Serialized as `v` (complete — back-compatible with the plain
-    * version watermark) or `v:k` (mid-commit, under
-    * `maxFilesPerTrigger`). */
+    * version watermark), `v:k` (mid-commit, under rate limits), or
+    * `Sv:k` (mid INITIAL SNAPSHOT pinned at version v, k of its live
+    * files delivered in path order). */
   final case class Offset(version: Long, filesConsumed: Int,
-                          complete: Boolean) {
+                          complete: Boolean, snapshot: Boolean = false) {
     def token: String =
-      if (complete) version.toString else s"$version:$filesConsumed"
+      if (complete) version.toString
+      else if (snapshot) s"S$version:$filesConsumed"
+      else s"$version:$filesConsumed"
   }
 
-  private def parseOffset(s: String): Offset = s.split(':') match {
-    case Array(v) => Offset(v.toLong, -1, complete = true)
-    case Array(v, k) => Offset(v.toLong, k.toInt, complete = false)
-  }
+  private def parseOffset(s: String): Offset =
+    if (s.startsWith("S")) s.stripPrefix("S").split(':') match {
+      case Array(v, k) => Offset(v.toLong, k.toInt, complete = false,
+        snapshot = true)
+    }
+    else s.split(':') match {
+      case Array(v) => Offset(v.toLong, -1, complete = true)
+      case Array(v, k) => Offset(v.toLong, k.toInt, complete = false)
+    }
 
   /** The stored offset, or None before the first committed batch. */
   def offset: Option[Offset] =
@@ -97,9 +108,12 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
 
   /** The last FULLY processed version, or None before the first
     * committed batch (mid-commit offsets report the previous version —
-    * the version itself has undelivered files). */
-  def watermark: Option[Long] = offset.map(o =>
-    if (o.complete) o.version else o.version - 1)
+    * the version itself has undelivered files; an in-flight initial
+    * snapshot has processed no version at all). */
+  def watermark: Option[Long] = offset.flatMap(o =>
+    if (o.complete) Some(o.version)
+    else if (o.snapshot) None
+    else Some(o.version - 1))
 
   /** `startingTimestamp` resolved to its starting version — once, at
     * the first read that needs it (ICT-aware history; the sidecar keeps
@@ -119,13 +133,27 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
 
   /** One trigger's read, or None when caught up. Does NOT advance the
     * offset — call [[commitProgress]] after the batch lands. */
+  /** One rate-limited slice of the initial snapshot pinned at `v`. */
+  private def snapshotSlice(v: Long, fromFile: Int): (DataFrame, Offset) = {
+    val (df, end, complete) = PortableDelta.readSnapshotSlice(
+      spark, tablePath, v, fromFile,
+      maxFiles = maxFilesPerTrigger.getOrElse(Int.MaxValue),
+      maxBytes = maxBytesPerTrigger.getOrElse(Long.MaxValue))
+    (df, if (complete) Offset(v, -1, complete = true)
+         else Offset(v, end, complete = false, snapshot = true))
+  }
+
   def readAvailable(): Option[(DataFrame, Offset)] = {
     val cur = PortableDelta.currentVersion(spark, tablePath)
     val start: Option[(Long, Int)] = offset match {
       case None =>
         (startingVersion, startingTimestamp) match {
           case (None, None) =>
-            // initial snapshot batch, pinned at the poll's version
+            // initial snapshot pinned at the poll's version — under a
+            // rate limit it drains slice-wise (a 100-TB table must not
+            // join as ONE batch); unlimited keeps the single batch
+            if (maxFilesPerTrigger.isDefined || maxBytesPerTrigger.isDefined)
+              return Some(snapshotSlice(cur, 0))
             return Some((PortableDelta.readTable(spark, tablePath, cur),
               Offset(cur, -1, complete = true)))
           case (Some(v0), _) => if (v0 > cur) None else Some((v0, 0))
@@ -133,6 +161,11 @@ final class DeltaTableSource(spark: SparkSession, tablePath: String,
             val v0 = startVersionForTimestamp(ts)
             if (v0 > cur) None else Some((v0, 0))
         }
+      case Some(o) if o.snapshot =>
+        // resume the in-flight snapshot AT ITS PINNED VERSION — commits
+        // racing past it arrive later as appends; absent rate limits the
+        // remainder drains in one slice
+        return Some(snapshotSlice(o.version, o.filesConsumed))
       case Some(o) =>
         if (o.complete) {
           if (o.version + 1 > cur) None else Some((o.version + 1, 0))

@@ -85,6 +85,58 @@ class DeltaTableSourceSpec extends AnyFunSuite {
       "an uncommitted slice must re-deliver identically")
   }
 
+  test("initial snapshot drains SLICE-WISE under rate limits; restart-exact; appends follow") {
+    val tbl = tmp("tsrc9"); val ck = tmp("tsrc9-ck")
+    PortableDelta.write(df(0L until 9L, "a").repartition(3), tbl)     // v0: 3 files
+    PortableDelta.write(df(10L until 16L, "b").repartition(2), tbl,
+      mode = "append")                                                // v1: 2 files
+    PortableDelta.delete(spark, tbl, col("id") === 0L)                // v2: DV
+    val src = new DeltaTableSource(spark, tbl, ck, maxFilesPerTrigger = Some(2))
+    // slice 1 of the snapshot pinned at v2
+    val Some((s1, o1)) = src.readAvailable()
+    assert(o1.snapshot && !o1.complete && o1.version == 2L &&
+      o1.token == "S2:2", s"got ${o1.token}")
+    // uncommitted: the SAME slice re-delivers
+    val Some((s1b, o1b)) = src.readAvailable()
+    assert(o1b.token == o1.token &&
+      s1b.collect().map(_.getLong(0)).toSet == s1.collect().map(_.getLong(0)).toSet)
+    src.commitProgress(o1)
+    assert(src.watermark.isEmpty, "no version fully processed mid-snapshot")
+    // a commit RACING past the pinned snapshot must not leak into it
+    PortableDelta.write(df(Seq(20L), "c").coalesce(1), tbl,
+      mode = "append")                                                // v3
+    // drain the remainder: a RESTARTED consumer (fresh source object,
+    // same checkpoint) continues at the pinned version and file offset
+    val src2 = new DeltaTableSource(spark, tbl, ck, maxFilesPerTrigger = Some(2))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    seen ++= s1.collect().map(_.getLong(0))
+    var more = true
+    while (more) src2.readAvailable() match {
+      case Some((rows, off)) =>
+        seen ++= rows.collect().map(_.getLong(0))
+        src2.commitProgress(off)
+      case None => more = false
+    }
+    // snapshot slices = exactly v2's live rows (id 0 deleted by DV),
+    // then v3's append — nothing lost, nothing doubled
+    assert(seen.sorted == ((1L until 9L) ++ (10L until 16L) ++ Seq(20L)),
+      s"slice-wise join drifted: ${seen.sorted}")
+    assert(src2.watermark.contains(3L))
+    // an unlimited source restarted mid-snapshot drains the REST in one
+    // slice (offset form stays readable without rate limits)
+    val ck2 = tmp("tsrc9-ck2")
+    val a = new DeltaTableSource(spark, tbl, ck2, maxFilesPerTrigger = Some(2))
+    val Some((f1, oA)) = a.readAvailable()
+    a.commitProgress(oA)
+    val b = new DeltaTableSource(spark, tbl, ck2) // no rate limits
+    val Some((rest, oB)) = b.readAvailable()
+    assert(oB.complete && oB.version == 3L)
+    assert(f1.collect().map(_.getLong(0)).toSet ++
+      rest.collect().map(_.getLong(0)).toSet ==
+      ((1L until 9L) ++ (10L until 16L) ++ Seq(20L)).toSet,
+      "remainder slice completes the pinned snapshot exactly")
+  }
+
   test("mid-commit offset resumes WITHOUT rate limits: consumed prefix not re-delivered") {
     val tbl = tmp("tsrc8"); val ck = tmp("tsrc8-ck")
     PortableDelta.write(df(0L until 9L, "a").repartition(3), tbl)     // v0: 3 files
