@@ -712,7 +712,8 @@ object PortableDelta {
     * O(table files); consumers narrow the frame (stats pruning, scan
     * construction) before anything collects. */
   private def lazyCheckpointState(spark: SparkSession, path: String,
-                                  ref: CheckpointRef): (Snapshot, DataFrame) = {
+                                  ref: CheckpointRef,
+                                  maxVersion: Long = Long.MaxValue): (Snapshot, DataFrame) = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = logDir(path).getFileSystem(conf)
     val st = new ReplayState(path)
@@ -721,7 +722,7 @@ object PortableDelta {
     val tail = fs.listStatus(logDir(path)).toSeq
       .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
       .map(s => s.getPath.getName.stripSuffix(".json").toLong -> s.getPath)
-      .filter(_._1 > cv).sortBy(_._1)
+      .filter(p => p._1 > cv && p._1 <= maxVersion).sortBy(_._1)
     require(tail.map(_._1) == (cv + 1 to cv + tail.size),
       s"non-contiguous Delta log after checkpoint $cv: ${tail.map(_._1).mkString(",")}")
     // the tail is replayed into the (checkpoint-add-free) ReplayState:
@@ -1912,6 +1913,65 @@ object PortableDelta {
       withPos = false, applyDvs = true), endV, endOff, endComplete)
   }
 
+  /** Pinned-snapshot slice state, cached across a drain's triggers: the
+    * small state at `versionAsOf`, the live add rows SORTED by path as a
+    * persisted DataFrame (the ordering stays on executors), and the
+    * partition-start index array (length nPartitions+1; last = total).
+    * On a checkpoint-seeded table the adds never materialize on the
+    * driver; the pre-checkpoint fallback replays the bounded young JSON
+    * log. Evicted when a drain completes (or LRU past 4 tables). */
+  private val sliceStateCache =
+    new java.util.LinkedHashMap[(String, Long), (Snapshot, DataFrame, Array[Long])](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), (Snapshot, DataFrame, Array[Long])]): Boolean = {
+        val evict = size() > 4
+        if (evict) e.getValue._2.unpersist(blocking = false)
+        evict
+      }
+    }
+
+  /** Test hook: whether a pinned slice ordering is cached for
+    * (path, version) — the drain lifecycle contract (built on first
+    * slice, evicted + unpersisted when the drain completes). */
+  private[stac] def sliceStateCached(path: String, versionAsOf: Long): Boolean =
+    sliceStateCache.synchronized {
+      sliceStateCache.containsKey((path, versionAsOf))
+    }
+
+  private def pinnedSliceState(spark: SparkSession, path: String,
+                               versionAsOf: Long): (Snapshot, DataFrame, Array[Long]) =
+    sliceStateCache.synchronized {
+      val key = (path, versionAsOf)
+      val hit = sliceStateCache.get(key)
+      if (hit != null) return hit
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = logDir(path).getFileSystem(conf)
+      // lazy path: a checkpoint at/under the pinned version whose JSON
+      // tail reaches it exactly — adds stay a DataFrame end-to-end
+      val lazyState = checkpointRefFor(conf, path, versionAsOf).flatMap { ref =>
+        val have = fs.listStatus(logDir(path)).toSeq
+          .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
+          .map(_.getPath.getName.stripSuffix(".json").toLong).toSet
+        if ((ref.version + 1 to versionAsOf).forall(have.contains))
+          Some(lazyCheckpointState(spark, path, ref, versionAsOf))
+        else None
+      }
+      val (snapBase, addsDf) = lazyState.getOrElse {
+        val snap = snapshotAt(spark, path, versionAsOf)
+        (snap.copy(files = Nil), addFilesToFlatDf(spark, snap.files))
+      }
+      val ordered = addsDf.sort("path")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val counts = ordered.rdd
+        .mapPartitionsWithIndex((pi, it) => Iterator.single(pi -> it.size.toLong))
+        .collect().sortBy(_._1).map(_._2)
+      val starts = counts.scanLeft(0L)(_ + _)
+      val state = (snapBase, ordered, starts)
+      sliceStateCache.put(key, state)
+      state
+    }
+
   /** A bounded SLICE of a pinned snapshot's live files in deterministic
     * path order — the rate-limited INITIAL-SNAPSHOT batch of a streaming
     * consumer joining a huge table (a 100-TB table must not arrive as
@@ -1919,28 +1979,61 @@ object PortableDelta {
     * soft `maxBytes` budget (the first file always admits, so the stream
     * progresses past any oversized file). DVs apply per file, so slices
     * compose to exactly the snapshot's live rows. Returns
-    * (df, endFileOffset, complete). */
+    * (df, endFileOffset, complete).
+    *
+    * Scale: the pinned ordering is a persisted, range-sorted DataFrame
+    * built once per drain ([[pinnedSliceState]]); each slice runs two
+    * cheap executor-side passes over it (per-partition byte prefix, then
+    * admit-and-collect) and only the SLICE'S files ever reach the
+    * driver — a million-add table costs the driver O(slice), not
+    * O(table), per trigger. */
   def readSnapshotSlice(spark: SparkSession, path: String, versionAsOf: Long,
                         fromFile: Int, maxFiles: Int,
                         maxBytes: Long = Long.MaxValue): (DataFrame, Int, Boolean) = {
     require(fromFile >= 0 && maxFiles >= 1 && maxBytes >= 1L,
       s"bad slice args ($fromFile, $maxFiles, $maxBytes)")
-    val snap = snapshotAt(spark, path, versionAsOf)
-    val ordered = snap.files.sortBy(_.path)
-    require(fromFile <= ordered.size,
-      s"slice offset $fromFile past the ${ordered.size} live files of " +
+    val (snapBase, ordered, starts) = pinnedSliceState(spark, path, versionAsOf)
+    val total = starts.last
+    require(fromFile <= total,
+      s"slice offset $fromFile past the $total live files of " +
         s"$path@$versionAsOf")
-    val avail = ordered.drop(fromFile)
-    var take = 0
-    var bytes = 0L
-    while (take < avail.size && take < maxFiles &&
-           (take == 0 || bytes < maxBytes)) {
-      bytes += avail(take).size
-      take += 1
-    }
+    val from = fromFile.toLong
+    val mf = maxFiles.toLong
+    // pass 1: per-partition byte sums of rows at global index >= from
+    // (tiny O(nPartitions) collect) -> byte prefix entering each partition
+    val partBytes = ordered.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var idx = starts(pi); var sum = 0L
+      it.foreach { r => if (idx >= from) sum += r.getLong(1); idx += 1 }
+      Iterator.single(pi -> sum)
+    }.collect().sortBy(_._1).map(_._2)
+    val bytesBefore = partBytes.scanLeft(0L)(_ + _)
+    // pass 2: admit the budgeted prefix and collect ONLY those rows.
+    // Admission is prefix-closed (position and cumulative bytes both
+    // grow monotonically), so per-partition local decisions with the
+    // global prefix are exactly the sequential rule.
+    val admitted = ordered.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var idx = starts(pi); var bytes = bytesBefore(pi)
+      it.flatMap { r =>
+        val g = idx; idx += 1
+        if (g < from) None
+        else {
+          val pos = g - from
+          val admit = pos < mf && (pos == 0L || bytes < maxBytes)
+          bytes += r.getLong(1)
+          if (admit) Some(r) else None
+        }
+      }
+    }.collect()
+    val take = admitted.length
     val end = fromFile + take
-    (buildScan(spark, path, snap.copy(files = avail.take(take)),
-      withPos = false, applyDvs = true), end, end == ordered.size)
+    val complete = end == total
+    if (complete) sliceStateCache.synchronized {
+      val st = sliceStateCache.remove((path, versionAsOf))
+      if (st != null) st._2.unpersist(blocking = false)
+    }
+    (buildScan(spark, path,
+      snapBase.copy(files = admitted.map(rowToAddFile).toSeq),
+      withPos = false, applyDvs = true), end, complete)
   }
 
   /** Outcome of a [[merge]]: committed version plus the three row
@@ -6389,12 +6482,22 @@ object PortableDelta {
         else {
           val r = n.get("remove")
           val dv = Option(r.get("deletionVector"))
+          // removeJson writes partitionValues on tombstones (spec:
+          // extendedFileMetadata promises them) — carry them into the
+          // checkpoint instead of nulling the slot, or strict external
+          // readers see extended tombstones with missing partitionValues
+          val pv: scala.collection.Map[String, String] =
+            Option(r.get("partitionValues")).filter(_.isObject).map { o =>
+              o.properties().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null
+                             else e.getValue.asText())).toMap
+            }.orNull
           Seq(org.apache.spark.sql.Row(
             r.get("path").asText(),
             java.lang.Long.valueOf(
               Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)),
             jL(Option(r.get("size")).map(_.asLong())),
-            null,
+            pv,
             dv.map(_.get("storageType").asText()).orNull,
             dv.map(_.get("pathOrInlineDv").asText()).orNull,
             jI(dv.flatMap(d => Option(d.get("offset")).map(_.asInt()))),
@@ -6422,7 +6525,11 @@ object PortableDelta {
       col("path").as("path"),
       col("deletionTimestamp").as("deletionTimestamp"),
       lit(false).as("dataChange"),
-      lit(true).as("extendedFileMetadata"),
+      // spec: extendedFileMetadata=true promises partitionValues AND
+      // size — external tombstones may lack either, so only claim it
+      // when both survived the flat projection
+      (col("partitionValues").isNotNull && col("size").isNotNull)
+        .as("extendedFileMetadata"),
       col("partitionValues").as("partitionValues"),
       col("size").as("size"),
       when(col("dv_storageType").isNotNull, struct(

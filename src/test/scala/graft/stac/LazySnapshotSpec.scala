@@ -191,4 +191,94 @@ class LazySnapshotSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(after3 == after, "vacuum must keep every referenced file")
   }
+
+  test("snapshot slice over a 100k-add checkpoint: executor-side ordering, " +
+       "only the slice's files open") {
+    val s = spark; import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("lazyslice").toString + "/tbl"
+    new java.io.File(s"$root/_delta_log").mkdirs()
+    val tableSchema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    def rows(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, i * 2)).toDF("id", "v")
+    // three REAL files named to sort FIRST; the 100k fake adds ("z-…")
+    // sort after them — buildScan lists its paths eagerly, so any slice
+    // implementation that touched files beyond the requested window
+    // (or built a scan over the full add list) dies on a missing file
+    val realSizes = (0 until 3).map { i =>
+      val f = new java.io.File(root, s"a-$i.parquet")
+      writeOne(rows(i * 10L, i * 10L + 9L), f)
+      f.length()
+    }
+    val smallDf = Seq(1).toDF("x").select(
+      struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion"),
+        lit(null).cast("array<string>").as("readerFeatures"),
+        lit(null).cast("array<string>").as("writerFeatures"))
+        .cast(ProtoT).as("protocol"),
+      lit(null).cast(MetaT).as("metaData"),
+      lit(null).cast(AddT).as("add"),
+      lit(null).cast(TxnT).as("txn"))
+      .unionByName(Seq(1).toDF("x").select(
+        lit(null).cast(ProtoT).as("protocol"),
+        struct(lit("lazyslice-1").as("id"),
+          struct(lit("parquet").as("provider"),
+            map().cast("map<string,string>").as("options")).as("format"),
+          lit(tableSchema.json).as("schemaString"),
+          lit(null).cast("array<string>").as("partitionColumns"),
+          map().cast("map<string,string>").as("configuration"),
+          lit(1L).as("createdTime")).cast(MetaT).as("metaData"),
+        lit(null).cast(AddT).as("add"),
+        lit(null).cast(TxnT).as("txn")))
+    def addRow(p: String, size: Long) = Seq(1).toDF("x").select(
+      lit(null).cast(ProtoT).as("protocol"),
+      lit(null).cast(MetaT).as("metaData"),
+      struct(lit(p).as("path"),
+        map().cast("map<string,string>").as("partitionValues"),
+        lit(size).as("size"), lit(1L).as("modificationTime"),
+        lit(true).as("dataChange"),
+        lit(null).cast(DvT).as("deletionVector"),
+        lit(null).cast("string").as("stats")).cast(AddT).as("add"),
+      lit(null).cast(TxnT).as("txn"))
+    val fakeAdds = spark.range(100000).select(
+      lit(null).cast(ProtoT).as("protocol"),
+      lit(null).cast(MetaT).as("metaData"),
+      struct(
+        concat(lit("z-"), col("id").cast("string"), lit(".parquet")).as("path"),
+        map().cast("map<string,string>").as("partitionValues"),
+        lit(1000L).as("size"), lit(1L).as("modificationTime"),
+        lit(true).as("dataChange"),
+        lit(null).cast(DvT).as("deletionVector"),
+        lit(null).cast("string").as("stats")).cast(AddT).as("add"),
+      lit(null).cast(TxnT).as("txn"))
+    val realAdds = (0 until 3).map(i => addRow(s"a-$i.parquet", realSizes(i)))
+      .reduce(_ unionByName _)
+    writeOne(smallDf.unionByName(realAdds).unionByName(fakeAdds),
+      new java.io.File(s"$root/_delta_log/${"%020d".format(0L)}.checkpoint.parquet"))
+    val lc = new java.io.FileWriter(s"$root/_delta_log/_last_checkpoint")
+    try lc.write("""{"version":0,"size":100005}""") finally lc.close()
+
+    // slice 1: two files -> a-0, a-1 (path order); pinned state caches
+    val (df1, end1, c1) = PortableDelta.readSnapshotSlice(
+      spark, root, versionAsOf = 0L, fromFile = 0, maxFiles = 2)
+    assert(end1 == 2 && !c1)
+    assert(df1.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      (0L to 19L).toSet)
+    assert(PortableDelta.sliceStateCached(root, 0L),
+      "pinned ordering must cache across an in-flight drain")
+    // slice 2: byte budget admits exactly one more real file (first
+    // file always admits; budget < its size blocks the second)
+    val (df2, end2, c2) = PortableDelta.readSnapshotSlice(
+      spark, root, versionAsOf = 0L, fromFile = 2, maxFiles = 10,
+      maxBytes = 1L)
+    assert(end2 == 3 && !c2)
+    assert(df2.select(col("id")).collect().map(_.getLong(0)).toSet ==
+      (20L to 29L).toSet)
+    // an empty tail slice from the end completes and evicts the cache
+    // (the 100k fake files are never opened anywhere in this drain)
+    val (df3, end3, c3) = PortableDelta.readSnapshotSlice(
+      spark, root, versionAsOf = 0L, fromFile = 100003, maxFiles = 1)
+    assert(end3 == 100003 && c3 && df3.isEmpty)
+    assert(!PortableDelta.sliceStateCached(root, 0L),
+      "a completed drain must evict + unpersist the pinned ordering")
+  }
 }

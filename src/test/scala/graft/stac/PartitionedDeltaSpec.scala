@@ -207,4 +207,49 @@ class PartitionedDeltaSpec extends AnyFunSuite {
     val (keptN, _) = PortableDelta.statsPrune(spark, snap, col("region").isNull)
     assert(keptN.size == 1 && keptN.head.path == p2)
   }
+
+  test("checkpoint tombstones carry partitionValues; external ones sans " +
+       "them drop the extendedFileMetadata claim") {
+    val path = tmp()
+    PortableDelta.write(df(30L), path, partitionBy = Seq("grp"))
+    // a whole-partition delete rewrites files → real tombstones with
+    // partitionValues in the JSON log
+    val del = PortableDelta.delete(spark, path, col("grp") === "g1")
+    assert(del.deletedRows == 10)
+    // one external-shaped tombstone WITHOUT partitionValues/size, as a
+    // minimal external engine might write it
+    val conf = spark.sessionState.newHadoopConf()
+    val bare = mapper.createObjectNode()
+    val br = bare.putObject("remove")
+    br.put("path", "grp=g9/ext-phantom.parquet")
+    br.put("deletionTimestamp", System.currentTimeMillis())
+    br.put("dataChange", false)
+    val v = PortableDelta.snapshot(spark, path).version + 1
+    PortableDelta.commit(conf, path, v, Seq(bare))
+    PortableDelta.checkpoint(spark, path)
+    val cv = PortableDelta.snapshot(spark, path).version
+    val ckpt = s"$path/_delta_log/${"%020d".format(cv)}.checkpoint.parquet"
+    assert(new java.io.File(ckpt).isFile)
+    val removes = spark.read.parquet(ckpt)
+      .where(col("remove").isNotNull).select(col("remove.*")).collect()
+    assert(removes.nonEmpty)
+    val byPath = removes.map(r => r.getAs[String]("path") -> r).toMap
+    val (ext, own) = byPath.partition(_._1 == "grp=g9/ext-phantom.parquet")
+    assert(ext.size == 1 && own.nonEmpty)
+    // spec: extendedFileMetadata=true promises partitionValues AND size
+    own.values.foreach { r =>
+      assert(r.getAs[Boolean]("extendedFileMetadata"),
+        s"engine tombstone lost its extended claim: $r")
+      val pv = r.getAs[Map[String, String]]("partitionValues")
+      assert(pv != null && pv.get("grp").contains("g1"),
+        s"checkpoint tombstone lost partitionValues: $r")
+      assert(r.getAs[Long]("size") > 0L)
+    }
+    // the bare external tombstone must NOT claim extended metadata
+    val e = ext.values.head
+    assert(!e.getAs[Boolean]("extendedFileMetadata"),
+      s"extended claim without partitionValues/size violates the spec: $e")
+    // and the table still reads correctly through the checkpoint
+    assert(PortableDelta.readTable(spark, path).count() == 20)
+  }
 }
