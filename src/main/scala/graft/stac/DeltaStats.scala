@@ -42,10 +42,37 @@ object DeltaStats {
 
   @transient private lazy val mapper = new ObjectMapper()
 
-  /** Resolve a dotted column path (`a.b.c`) through nested structs,
-    * case-insensitively, returning the matched field INDEX chain and the
-    * leaf type. The delta spec's `dataSkippingStatsColumns` accepts
-    * nested leaf paths; parquet keys column chunks by the same chain. */
+  /** Split a column name into path parts, honoring BACKQUOTES the way
+    * Spark/Delta spell field names containing dots: `` `a.b` `` is one
+    * part, `` `a.b`.c `` is two, a doubled backquote inside quotes
+    * escapes a literal one. */
+  private[stac] def nameParts(n: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var i = 0; var quoted = false
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (c == '`') {
+        if (quoted && i + 1 < n.length && n.charAt(i + 1) == '`') {
+          cur += '`'; i += 1
+        } else quoted = !quoted
+      } else if (c == '.' && !quoted) {
+        out += cur.result(); cur.clear()
+      } else cur += c
+      i += 1
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** Resolve a column path (`a.b.c`, backquote-aware) through nested
+    * structs, case-insensitively, returning the matched field INDEX
+    * chain and the leaf type. The delta spec's
+    * `dataSkippingStatsColumns` accepts nested leaf paths; parquet keys
+    * column chunks by the same chain. An UNQUOTED dotted name prefers
+    * the nested walk (delta semantics) and falls back to an exact
+    * top-level match, so a field whose name literally contains a dot
+    * stays addressable with or without backquotes. */
   private def resolvePath(schema: StructType,
                           dotted: String): Option[(Seq[Int], DataType)] = {
     def walk(st: StructType, parts: List[String],
@@ -60,27 +87,32 @@ object DeltaStats {
           case _ => None
         }
     }
-    walk(schema, dotted.split('.').toList, Vector.empty)
+    walk(schema, nameParts(dotted).toList, Vector.empty).orElse {
+      val exact = schema.fields.indexWhere(_.name.equalsIgnoreCase(dotted))
+      if (exact >= 0) Some((Seq(exact), schema.fields(exact).dataType)) else None
+    }
   }
 
-  /** The dotted name an index chain spells in `schema` (used to map a
-    * chain resolved on the LOGICAL schema onto the PHYSICAL one — same
-    * shape, different names under column mapping). */
-  private def dottedAt(schema: StructType, chain: Seq[Int]): (String, DataType) = {
+  /** The field-name PARTS an index chain spells in `schema` (used to
+    * map a chain resolved on the LOGICAL schema onto the PHYSICAL one —
+    * same shape, different names under column mapping). Parts stay a
+    * Seq end-to-end: joining on '.' would mis-key a field whose name
+    * literally contains a dot. */
+  private def pathAt(schema: StructType, chain: Seq[Int]): (Seq[String], DataType) = {
     val names = Vector.newBuilder[String]
     var st: DataType = schema
     chain.foreach { i =>
       val f = st.asInstanceOf[StructType].fields(i)
       names += f.name; st = f.dataType
     }
-    (names.result().mkString("."), st)
+    (names.result(), st)
   }
 
   /** All eligible leaves under an index chain (a struct named in
     * `dataSkippingStatsColumns` indexes every leaf beneath it). */
   private def eligibleLeaves(schema: StructType,
                              chain: Seq[Int]): Seq[Seq[Int]] = {
-    val (_, dt) = dottedAt(schema, chain)
+    val (_, dt) = pathAt(schema, chain)
     dt match {
       case st: StructType =>
         st.fields.indices.flatMap(i => eligibleLeaves(schema, chain :+ i))
@@ -100,7 +132,7 @@ object DeltaStats {
     * types drop out after selection, matching delta's position-based
     * counting. */
   private[stac] def statsColumns(schema: StructType, cfg: Map[String, String],
-                                 logical: Option[StructType] = None): Seq[(String, DataType)] = {
+                                 logical: Option[StructType] = None): Seq[(Seq[String], DataType)] = {
     // `logical` carries the user-facing names on column-mapped tables
     // (same arity/order as `schema`, whose PHYSICAL names key the stats
     // JSON); name resolution happens on logical names, field selection
@@ -121,9 +153,9 @@ object DeltaStats {
           val leaves = eligibleLeaves(names, chain)
           if (leaves.isEmpty) throw new IllegalArgumentException(
             s"delta.dataSkippingStatsColumns names column '$n', whose type " +
-              s"(${dottedAt(names, chain)._2.simpleString}) is ineligible " +
+              s"(${pathAt(names, chain)._2.simpleString}) is ineligible " +
               "for data skipping")
-          leaves.map(dottedAt(schema, _)) // PHYSICAL dotted names key the JSON
+          leaves.map(pathAt(schema, _)) // PHYSICAL name parts key the JSON
         }
       case None =>
         // positional budget over LEAF columns in depth-first schema
@@ -141,42 +173,40 @@ object DeltaStats {
   }
 
   /** All LEAF columns (non-struct) in depth-first schema order, as
-    * (dotted physical path, type). Array/map interiors are not
+    * (physical path PARTS, type). Array/map interiors are not
     * traversed (no parquet column-chunk stats address them as leaves
     * this code could soundly use). */
-  private[stac] def depthFirstLeaves(schema: StructType): Seq[(String, DataType)] = {
-    def walk(st: StructType, prefix: String): Seq[(String, DataType)] =
+  private[stac] def depthFirstLeaves(schema: StructType): Seq[(Seq[String], DataType)] = {
+    def walk(st: StructType, prefix: Vector[String]): Seq[(Seq[String], DataType)] =
       st.fields.toSeq.flatMap { f =>
-        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val path = prefix :+ f.name
         f.dataType match {
-          case inner: StructType => walk(inner, name)
-          case dt => Seq(name -> dt)
+          case inner: StructType => walk(inner, path)
+          case dt => Seq(path -> dt)
         }
       }
-    walk(schema, "")
+    walk(schema, Vector.empty)
   }
 
-  /** Nest a dotted-path column selection back into a StructType mirror
-    * of the stats JSON (`(a.b, T)` → `struct<a: struct<b: T>>`) —
+  /** Nest a path-parts column selection back into a StructType mirror
+    * of the stats JSON (`(Seq(a, b), T)` → `struct<a: struct<b: T>>`) —
     * the checkpoint `stats_parsed` shape for nested selections.
     * `leaf` maps each column's type (identity for min/max, LongType
     * for nullCount). */
-  private[stac] def nestedStructOf(cols: Seq[(String, DataType)],
+  private[stac] def nestedStructOf(cols: Seq[(Seq[String], DataType)],
                                    leaf: DataType => DataType = identity)
       : StructType = {
-    // group consecutive-prefix preserving first-appearance order
+    // group by head segment preserving first-appearance order
     val order = scala.collection.mutable.LinkedHashMap
-      .empty[String, scala.util.Either[DataType, scala.collection.mutable.Buffer[(String, DataType)]]]
-    cols.foreach { case (name, dt) =>
-      val i = name.indexOf('.')
-      if (i < 0) order.put(name, scala.util.Left(dt))
+      .empty[String, scala.util.Either[DataType, scala.collection.mutable.Buffer[(Seq[String], DataType)]]]
+    cols.foreach { case (path, dt) =>
+      if (path.size == 1) order.put(path.head, scala.util.Left(dt))
       else {
-        val (head, rest) = (name.substring(0, i), name.substring(i + 1))
-        order.getOrElseUpdate(head,
+        order.getOrElseUpdate(path.head,
           scala.util.Right(scala.collection.mutable.Buffer.empty)) match {
-          case scala.util.Right(buf) => buf += (rest -> dt)
+          case scala.util.Right(buf) => buf += (path.tail -> dt)
           case scala.util.Left(_) => throw new IllegalArgumentException(
-            s"column '$head' is both a leaf and a struct in the stats selection")
+            s"column '${path.head}' is both a leaf and a struct in the stats selection")
         }
       }
     }
@@ -195,7 +225,7 @@ object DeltaStats {
                        cfg: Map[String, String] = Map.empty,
                        logicalSchema: Option[StructType] = None): Map[String, String] = {
     if (fileNames.isEmpty) return Map.empty
-    val cols: Seq[(String, DataType)] = statsColumns(schema, cfg, logicalSchema)
+    val cols: Seq[(Seq[String], DataType)] = statsColumns(schema, cfg, logicalSchema)
     val confW = new org.apache.spark.SerializableWritable(
       spark.sessionState.newHadoopConf())
     val parts = math.min(fileNames.size, 64)
@@ -206,23 +236,24 @@ object DeltaStats {
 
   /** One file's stats JSON from its parquet footer. */
   private[stac] def statsJsonOfFile(conf: Configuration, file: Path,
-                                    cols: Seq[(String, DataType)]): String = {
+                                    cols: Seq[(Seq[String], DataType)]): String = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val numRecords = blocks.map(_.getRowCount).sum
       val byName = cols.toMap
-      // accumulate across row groups, per top-level column
-      val mins = scala.collection.mutable.LinkedHashMap.empty[String, Any]
-      val maxs = scala.collection.mutable.LinkedHashMap.empty[String, Any]
-      val nulls = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      // accumulate across row groups, per leaf path
+      val mins = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Any]
+      val maxs = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Any]
+      val nulls = scala.collection.mutable.LinkedHashMap.empty[Seq[String], Long]
       var statsComplete = true
-      val undecodable = scala.collection.mutable.Set.empty[String]
+      val undecodable = scala.collection.mutable.Set.empty[Seq[String]]
       for (b <- blocks; c <- b.getColumns.asScala) {
-        // nested leaves key by their full dotted chain ("a.b") — the
-        // same path the stats JSON nests by
-        val name = c.getPath.toArray.mkString(".")
+        // leaves key by parquet's ColumnPath PARTS — never a joined
+        // string, which would collide a literal-dot field name with a
+        // nested chain
+        val name: Seq[String] = c.getPath.toArray.toSeq
         if (byName.contains(name)) {
           val dt = byName(name)
           val st = c.getStatistics
@@ -260,18 +291,15 @@ object DeltaStats {
         }
       val minN = root.putObject("minValues"); val maxN = root.putObject("maxValues")
       mins.foreach { case (k, v) =>
-        val parts = k.split('.').toSeq
-        putJson(nodeAt(minN, parts.init), parts.last, v, byName(k))
+        putJson(nodeAt(minN, k.init), k.last, v, byName(k))
       }
       maxs.foreach { case (k, v) =>
-        val parts = k.split('.').toSeq
-        putJson(nodeAt(maxN, parts.init), parts.last, v, byName(k))
+        putJson(nodeAt(maxN, k.init), k.last, v, byName(k))
       }
       if (statsComplete) {
         val nullN = root.putObject("nullCount")
         nulls.foreach { case (k, v) =>
-          val parts = k.split('.').toSeq
-          nodeAt(nullN, parts.init).put(parts.last, v)
+          nodeAt(nullN, k.init).put(k.last, v)
         }
       }
       mapper.writeValueAsString(root)
@@ -353,36 +381,38 @@ object DeltaStats {
   /** Parse a stats JSON back into per-column (min, max) comparables plus
     * nullCount/numRecords. Missing pieces → None (never prune). */
   private final case class FileStats(numRecords: Option[Long],
-                                     mins: Map[String, Any], maxs: Map[String, Any],
-                                     nulls: Map[String, Long])
+                                     mins: Map[Seq[String], Any],
+                                     maxs: Map[Seq[String], Any],
+                                     nulls: Map[Seq[String], Long])
 
   private def parseStats(json: String, schema: StructType): FileStats = {
     val node = mapper.readTree(json)
     // stats sections nest alongside the schema (minValues.a.b for a
-    // nested leaf) — flatten to dotted keys, typed by the schema walk
+    // nested leaf) — flatten to path-parts keys, typed by the schema
+    // walk; a literal-dot field name is ONE json key and ONE part
     def flatten(s: JsonNode, st: StructType,
-                prefix: String): Seq[(String, Any)] =
+                prefix: Vector[String]): Seq[(Seq[String], Any)] =
       s.properties().asScala.toSeq.flatMap { e =>
-        val key = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
+        val key = prefix :+ e.getKey
         st.fields.find(_.name == e.getKey).toSeq.flatMap { f =>
           (f.dataType, e.getValue) match {
             case (inner: StructType, v) if v.isObject => flatten(v, inner, key)
-            case (dt, v) => decodeJson(v, dt).map(key -> _).toSeq
+            case (dt, v) => decodeJson(v, dt).map((key: Seq[String]) -> _).toSeq
           }
         }
       }
-    def section(key: String): Map[String, Any] =
+    def section(key: String): Map[Seq[String], Any] =
       Option(node.get(key)).filter(_.isObject)
-        .map(flatten(_, schema, "").toMap).getOrElse(Map.empty)
-    def flattenNulls(s: JsonNode, prefix: String): Seq[(String, Long)] =
+        .map(flatten(_, schema, Vector.empty).toMap).getOrElse(Map.empty)
+    def flattenNulls(s: JsonNode, prefix: Vector[String]): Seq[(Seq[String], Long)] =
       s.properties().asScala.toSeq.flatMap { e =>
-        val key = if (prefix.isEmpty) e.getKey else s"$prefix.${e.getKey}"
-        if (e.getValue.isNumber) Seq(key -> e.getValue.asLong())
+        val key = prefix :+ e.getKey
+        if (e.getValue.isNumber) Seq((key: Seq[String]) -> e.getValue.asLong())
         else if (e.getValue.isObject) flattenNulls(e.getValue, key)
         else Nil
       }
     val nulls = Option(node.get("nullCount")).filter(_.isObject)
-      .map(flattenNulls(_, "").toMap).getOrElse(Map.empty[String, Long])
+      .map(flattenNulls(_, Vector.empty).toMap).getOrElse(Map.empty[Seq[String], Long])
     FileStats(Option(node.get("numRecords")).filter(_.isNumber).map(_.asLong()),
       section("minValues"), section("maxValues"), nulls)
   }
@@ -489,30 +519,48 @@ object DeltaStats {
       val parsed = statsJson.map(parseStats(_, schema))
         .getOrElse(FileStats(None, Map.empty, Map.empty, Map.empty))
       val byName = schema.fields.map(f => f.name -> f.dataType).toMap
-      // partition columns: value → point bounds; null → all-null column
-      val nullParts = partitionValues.collect {
-        case (k, null) if byName.contains(k) => k
+      // partition columns are TOP-LEVEL — their key is one path part
+      // (a literal-dot partition name stays one part, never split)
+      val nullParts: Set[Seq[String]] = partitionValues.collect {
+        case (k, null) if byName.contains(k) => Seq(k)
       }.toSet
-      val pointBounds = partitionValues.flatMap {
+      val pointBounds: Map[Seq[String], Any] = partitionValues.flatMap {
         case (k, v) if v != null && byName.contains(k) =>
-          partitionValueComparable(v, byName(k)).map(k -> _)
+          partitionValueComparable(v, byName(k)).map((Seq(k): Seq[String]) -> _)
         case _ => None
       }
       val fs = parsed.copy(
         mins = parsed.mins ++ pointBounds,
         maxs = parsed.maxs ++ pointBounds)
 
-      def attrName(e: Expression): Option[String] = e match {
-        case a: AttributeReference => Some(a.name)
+      // column references as path PARTS — a top-level attribute is ONE
+      // part whatever its name spells; GetStructField appends parts
+      def attrName(e: Expression): Option[Seq[String]] = e match {
+        case a: AttributeReference => Some(Seq(a.name))
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          Some(u.nameParts.last)
+          Some(u.nameParts)
         // nested leaf predicates (col("a.b")) analyze to GetStructField
-        // chains — spell the dotted path the stats JSON nests by
+        // chains — the same parts the stats JSON nests by
         case g: GetStructField =>
-          attrName(g.child).map(p => s"$p.${g.extractFieldName}")
+          attrName(g.child).map(_ :+ g.extractFieldName)
         // the analyzer may widen the COLUMN side (int col vs long lit)
         case c: Cast => attrName(c.child)
         case _ => None
+      }
+      // the leaf type a parts chain resolves to in `schema`
+      def typeAt(parts: Seq[String]): Option[DataType] = {
+        def walkT(st: StructType, ps: List[String]): Option[DataType] = ps match {
+          case Nil => None
+          case p :: rest =>
+            st.fields.find(_.name == p)
+              .orElse(st.fields.find(_.name.equalsIgnoreCase(p)))
+              .flatMap(f => (f.dataType, rest) match {
+                case (dt, Nil) => Some(dt)
+                case (inner: StructType, _) => walkT(inner, rest)
+                case _ => None
+              })
+        }
+        walkT(schema, parts.toList)
       }
       // the analyzer wraps literal sides in Cast (type coercion): any
       // attribute-free deterministic foldable side IS a literal
@@ -523,27 +571,26 @@ object DeltaStats {
         case _ => None
       }
       // (column, literal, flipped): `5 < col` normalizes to `col > 5`
-      def sides(l: Expression, r: Expression): Option[(String, Literal, Boolean)] =
+      def sides(l: Expression, r: Expression): Option[(Seq[String], Literal, Boolean)] =
         (attrName(l), litOf(r), attrName(r), litOf(l)) match {
           case (Some(n), Some(lit), _, _) => Some((n, lit, false))
           case (_, _, Some(n), Some(lit)) => Some((n, lit, true))
           case _ => None
         }
-      def bounds(name: String): (Option[Any], Option[Any]) =
+      def bounds(name: Seq[String]): (Option[Any], Option[Any]) =
         (fs.mins.get(name), fs.maxs.get(name))
-      def lv(name: String, lit: Literal): Option[Any] =
-        byName.get(name).orElse(resolvePath(schema, name).map(_._2))
-          .flatMap(dt => literalValue(lit, dt))
+      def lv(name: Seq[String], lit: Literal): Option[Any] =
+        typeAt(name).flatMap(dt => literalValue(lit, dt))
       // a column whose every row is null can satisfy no value comparison
       // (incl. the hive null partition: every row shares the null value)
-      def allNull(name: String): Boolean =
+      def allNull(name: Seq[String]): Boolean =
         nullParts.contains(name) ||
           ((fs.numRecords, fs.nulls.get(name)) match {
             case (Some(n), Some(k)) => n > 0 && k == n
             case _ => false
           })
 
-      def cmpKeep(name: String, lit: Literal,
+      def cmpKeep(name: Seq[String], lit: Literal,
                   keep: (Option[Int], Option[Int]) => Boolean): Boolean = {
         if (allNull(name)) return false
         val (lo, hi) = bounds(name)

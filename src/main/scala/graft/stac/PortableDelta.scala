@@ -892,7 +892,10 @@ object PortableDelta {
           (if (v == null) lit(null) else lit(v))
             .cast(f.dataType).as(f.name, f.metadata)
         } else {
-          val c = col(physOf(f.name))
+          // backquote the physical name: a field name containing a dot
+          // is ONE column here, never a nested path (col("a.b") would
+          // silently resolve into a sibling struct)
+          val c = col("`" + physOf(f.name).replace("`", "``") + "`")
           (if (mapped) c.cast(f.dataType) else c).as(f.name, f.metadata)
         }
       } ++ (if (needPos) Seq(col(PosFileCol), col(PosIdxCol)) else Nil) ++
@@ -5327,7 +5330,8 @@ object PortableDelta {
     val out = fs.create(lc, true)
     try out.write(
       (s"""{"version":$version,"size":$sizeJson$partsJson""" +
-        s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""").getBytes("UTF-8"))
+        s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds""" +
+        protectionHintJson(st) + "}").getBytes("UTF-8"))
     finally out.close()
     // authoritative crc at the checkpoint version (post-txn-expiry
     // state; also heals a chain broken by external/legacy commits)
@@ -5670,7 +5674,8 @@ object PortableDelta {
     val out = fs.create(lc, true)
     try out.write(
       (s"""{"version":$version,"size":${2 + nAdds + nTombs + st.txns.size + st.domains.size}""" +
-        s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds}""")
+        s""","sizeInBytes":$bytes,"numOfAddFiles":$nAdds""" +
+        protectionHintJson(st) + "}")
         .getBytes("UTF-8"))
     finally out.close()
     reseedChecksum(conf, path, version, st, adds, nAdds)
@@ -5828,23 +5833,61 @@ object PortableDelta {
     * parquet — engine-less callers cannot see it, which is why the
     * SparkSession entry points resolve authoritatively and pass
     * `protectBefore` down. */
-  private def tailProtectionBoundary(fs: org.apache.hadoop.fs.FileSystem,
-                                     path: String, cv: Long): Option[Long] = {
+  /** Protection evidence readable WITHOUT an engine: the last metaData
+    * configuration visible in the post-checkpoint JSON tail (None when
+    * the tail re-states no metaData — then only the checkpoint parquet
+    * knows), and whether any tail protocol action lists the
+    * checkpointProtection writer feature. */
+  private def tailProtectionEvidence(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: String, cv: Long)
+      : (Option[Map[String, String]], Boolean) = {
     var cfg: Option[Map[String, String]] = None
+    var protoHasFeature = false
     tailCommits(fs, path, cv).foreach { case (_, p) =>
       val in = fs.open(p)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
-      lines.filter(_.nonEmpty).map(mapper.readTree).filter(_.has("metaData"))
-        .foreach { n =>
+      lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+        if (n.has("metaData")) {
           val c = Option(n.get("metaData").get("configuration"))
             .filterNot(_.isNull).map(_.properties().asScala
               .map(e => e.getKey -> e.getValue.asText()).toMap)
             .getOrElse(Map.empty[String, String])
           cfg = Some(c)
         }
+        if (n.has("protocol")) {
+          val wf = Option(n.get("protocol").get("writerFeatures"))
+            .filterNot(_.isNull).map(_.elements().asScala
+              .map(_.asText()).toSet).getOrElse(Set.empty[String])
+          if (wf.contains("checkpointProtection")) protoHasFeature = true
+        }
+      }
     }
-    cfg.flatMap(protectionBoundary)
+    (cfg, protoHasFeature)
+  }
+
+  /** JSON fragment recording the protection boundary in
+    * `_last_checkpoint` (empty when unprotected) — see
+    * [[lastCheckpointProtectionHint]]. */
+  private def protectionHintJson(st: ReplayState): String =
+    protectionBoundary(st.configuration)
+      .map(b => s""","$CheckpointProtectionProp":$b""").getOrElse("")
+
+  /** The protection-boundary hint this engine records in
+    * `_last_checkpoint` (extra keys there are ignorable by spec) so
+    * conf-only maintenance can honor a boundary whose metaData lives
+    * only in the checkpoint parquet. */
+  private def lastCheckpointProtectionHint(fs: org.apache.hadoop.fs.FileSystem,
+                                           path: String): Option[Long] = {
+    val lc = new Path(logDir(path), "_last_checkpoint")
+    if (!fs.exists(lc)) None
+    else {
+      val in = fs.open(lc)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Option(mapper.readTree(txt).get(CheckpointProtectionProp))
+        .filterNot(_.isNull).map(_.asLong()).filter(_ > 0L)
+    }
   }
 
   def cleanupLog(conf: Configuration, path: String): Int =
@@ -5869,10 +5912,14 @@ object PortableDelta {
 
   /** @param protectBefore the checkpointProtection boundary when the
     *   caller has resolved it (the SparkSession overload and the
-    *   checkpoint-time auto-cleanup do); None here still honors a
-    *   boundary visible in the post-checkpoint JSON tail — best effort
-    *   for conf-only callers, since the checkpoint parquet's metaData
-    *   needs an engine to read. */
+    *   checkpoint-time auto-cleanup do). None here resolves
+    *   engine-lessly: a boundary visible in the post-checkpoint JSON
+    *   tail's metaData, else the hint this engine's checkpoints record
+    *   in `_last_checkpoint`. When neither resolves but the tail's
+    *   PROTOCOL shows the checkpointProtection writer feature, the
+    *   cleanup REFUSES (fail-safe — protection is a hard writer
+    *   obligation; deleting protected commits on a guess is
+    *   unrecoverable) and names the SparkSession overload. */
   def cleanupLog(conf: Configuration, path: String,
                  retainMillis: Option[Long],
                  protectBefore: Option[Long]): Int =
@@ -5887,7 +5934,23 @@ object PortableDelta {
         // anchor a partial removal of protected log entries, so the
         // whole pass no-ops until a checkpoint at/after the boundary
         // exists
-        val boundary = protectBefore.orElse(tailProtectionBoundary(fs, path, cv))
+        val boundary = protectBefore.orElse {
+          val (tailCfg, protoHasFeature) = tailProtectionEvidence(fs, path, cv)
+          tailCfg match {
+            case Some(cfg) => protectionBoundary(cfg) // authoritative:
+              // a full configuration without the property = unprotected
+            case None =>
+              val hint = lastCheckpointProtectionHint(fs, path)
+              if (hint.isEmpty && protoHasFeature)
+                throw new IllegalStateException(
+                  s"log cleanup of $path refused: the JSON tail's protocol " +
+                    "lists the checkpointProtection writer feature but the " +
+                    "protected boundary is only readable from the checkpoint " +
+                    "parquet — use cleanupLog(spark, path), which resolves " +
+                    s"$CheckpointProtectionProp from the table configuration")
+              hint
+          }
+        }
         if (boundary.exists(_ > cv)) return 0
         val keepAfter = retainMillis.map(System.currentTimeMillis() - _)
         val old = fs.listStatus(dir).toSeq

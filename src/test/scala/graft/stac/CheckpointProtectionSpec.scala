@@ -98,6 +98,57 @@ class CheckpointProtectionSpec extends AnyFunSuite {
     assert(PortableDelta.cleanupLog(conf, path) > 0)
   }
 
+  test("conf-only cleanup honors the _last_checkpoint hint; refuses when " +
+       "only the checkpoint parquet knows the boundary") {
+    val path = tmp()
+    PortableDelta.write(df(0L), path, properties = Map(
+      PortableDelta.CheckpointProtectionProp -> "5"))           // v0
+    PortableDelta.write(df(1L), path, mode = "append")          // v1
+    PortableDelta.write(df(2L), path, mode = "append")          // v2
+    assert(PortableDelta.checkpoint(spark, path) == 2L)
+    PortableDelta.write(df(3L), path, mode = "append")          // v3
+    // the tail (v3) re-states NO metaData: the boundary now lives only
+    // in the checkpoint parquet — plus the hint our checkpoint recorded
+    // in _last_checkpoint, which the conf-only overload must honor
+    val lcFile = new java.io.File(s"$path/_delta_log/_last_checkpoint")
+    val lcJson = mapper.readTree(
+      new String(java.nio.file.Files.readAllBytes(lcFile.toPath), "UTF-8"))
+    assert(lcJson.has(PortableDelta.CheckpointProtectionProp) &&
+      lcJson.get(PortableDelta.CheckpointProtectionProp).asLong() == 5L,
+      s"checkpoint must record the boundary hint: $lcJson")
+    assert(PortableDelta.cleanupLog(conf, path) == 0,
+      "hinted boundary (5 > ckpt 2) must no-op the conf-only sweep")
+    assert(jsonVersions(path) == Seq(0L, 1L, 2L, 3L))
+    // simulate an EXTERNAL checkpoint (no hint) + a tail protocol that
+    // lists the feature: the boundary is then unresolvable engine-lessly
+    // and the conf-only sweep must REFUSE rather than guess
+    val stripped = mapper.createObjectNode()
+    lcJson.properties().forEach { e =>
+      if (e.getKey != PortableDelta.CheckpointProtectionProp)
+        stripped.set(e.getKey, e.getValue)
+    }
+    java.nio.file.Files.write(lcFile.toPath,
+      mapper.writeValueAsBytes(stripped))
+    // the raw rewrite bypassed Hadoop's LocalFileSystem, whose stale
+    // .crc sidecar would fail the next fs.open
+    new java.io.File(s"$path/_delta_log/._last_checkpoint.crc").delete()
+    val proto =
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly","invariants","checkpointProtection"]}}
+        |""".stripMargin
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/_delta_log/${"%020d".format(4L)}.json").toPath,
+      proto.getBytes("UTF-8"))                                  // v4
+    val e = intercept[IllegalStateException] {
+      PortableDelta.cleanupLog(conf, path)
+    }
+    assert(e.getMessage.contains("checkpointProtection") &&
+      e.getMessage.contains("cleanupLog(spark, path)"))
+    assert(jsonVersions(path) == Seq(0L, 1L, 2L, 3L, 4L),
+      "a refused sweep must delete nothing")
+    // the engine-ful overload resolves the boundary and no-ops correctly
+    assert(PortableDelta.cleanupLog(spark, path) == 0)
+  }
+
   test("interop: external-shaped log listing checkpointProtection replays and accepts writes") {
     val path = tmp()
     val logDir = new java.io.File(s"$path/_delta_log")

@@ -368,4 +368,70 @@ class DeltaStatsSpec extends AnyFunSuite {
     assert(PortableDelta.snapshot(spark, p4).version == 0L &&
       PortableDelta.readTable(spark, p4).count() == 40L)
   }
+
+  test("a top-level column whose NAME contains a dot keys stats exactly — " +
+       "no collision with a real nested path") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    // the collision case: literal column `a.b` AND struct a{b}, with
+    // OPPOSITE value ranges so any mis-keying flips pruning decisions
+    val rows = (0L until 40L).map(i => (i, i, 1000L - i, s"doc $i"))
+      .toDF("id", "ab_flat", "ab_nested", "body")
+      .select(col("id"), col("ab_flat").as("a.b"),
+        struct(col("ab_nested").as("b")).as("a"), col("body"))
+      .repartitionByRange(4, col("id"))
+    PortableDelta.write(rows, path)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.files.size == 4)
+    snap.files.foreach { af =>
+      val st = mapper.readTree(af.stats.get)
+      // literal-dot column: ONE flat JSON key, never nested
+      assert(st.get("minValues").has("a.b"),
+        s"literal-dot column must key flat: ${af.stats.get}")
+      assert(st.get("minValues").get("a.b").isNumber)
+      // the real struct leaf nests
+      assert(st.get("minValues").get("a").isObject &&
+        st.get("minValues").get("a").has("b"))
+      // and the two carry DIFFERENT (opposite-range) bounds
+      val flatMin = st.get("minValues").get("a.b").asLong()
+      val nestMax = st.get("maxValues").get("a").get("b").asLong()
+      assert(flatMin + nestMax == 1000L,
+        s"ranges must belong to their own column: $flatMin / $nestMax")
+    }
+    // skipping: backquoted name addresses the literal column (low ids),
+    // unquoted dotted path the struct leaf (high values on low ids)
+    val (keptF, prunedF) = PortableDelta.statsPrune(spark, snap,
+      col("`a.b`") < 10L)
+    assert(prunedF == 3 && keptF.size == 1,
+      s"literal-dot predicate must prune on the flat stats: kept=${keptF.size}")
+    val (keptN, prunedN) = PortableDelta.statsPrune(spark, snap,
+      col("a.b") > 990L)
+    assert(prunedN == 3 && keptN.size == 1,
+      s"nested predicate must prune on the nested stats: kept=${keptN.size}")
+    // the same files survive both: id<10 ⇔ nested 1000-id>990
+    assert(keptF.map(_.path).toSet == keptN.map(_.path).toSet)
+    // value equality through the skipping read on both spellings
+    assert(PortableDelta.readTableWhere(spark, path, col("`a.b`") < 10L)
+      .count() == 10L)
+    assert(PortableDelta.readTableWhere(spark, path, col("a.b") > 990L)
+      .count() == 10L)
+    // dataSkippingStatsColumns addresses both: backquoted = literal,
+    // unquoted dotted = the nested leaf
+    val p2 = tmp()
+    PortableDelta.write(rows.coalesce(1), p2, properties = Map(
+      "delta.dataSkippingStatsColumns" -> "`a.b`"))
+    val st2 = mapper.readTree(
+      PortableDelta.snapshot(spark, p2).files.head.stats.get)
+    assert(st2.get("minValues").has("a.b") && !st2.get("minValues").has("a"),
+      s"backquoted selection must index the literal column only: $st2")
+    val p3 = tmp()
+    PortableDelta.write(rows.coalesce(1), p3, properties = Map(
+      "delta.dataSkippingStatsColumns" -> "a.b"))
+    val st3 = mapper.readTree(
+      PortableDelta.snapshot(spark, p3).files.head.stats.get)
+    assert(st3.get("minValues").get("a").isObject &&
+      st3.get("minValues").get("a").has("b") &&
+      !st3.get("minValues").has("a.b"),
+      s"unquoted dotted selection must prefer the nested walk: $st3")
+  }
 }
