@@ -1541,6 +1541,98 @@ object StacOps {
       },
       timed = false),
 
+    // ----- The reference's HEADLINE query, end-to-end on Delta -----
+    // README.md:15's motivating shape ("Sentinel-2, June 2024, over NYC,
+    // cloud cover < 20%") as ONE composition: a CQL2 JSON filter
+    // (collection + datetime + s_intersects + property compare) whose
+    // translation already leads with pushable bbox/datetime/collection
+    // conjuncts, evaluated over a Delta-backed items table. BOTH prune
+    // layers are pinned in-gate: (1) the Delta LOG's nested bbox-leaf
+    // stats drop whole files before any footer opens (statsPrune +
+    // the distributed checkpoint path), and (2) the surviving files'
+    // scan carries the same conjuncts in PushedFilters, where parquet
+    // row-group stats prune WITHIN files. The exact JTS intersects
+    // verify still runs post-scan (rectangle geometries keep the oracle
+    // arithmetic, stac07's pattern). Value-checked row listing — wrong
+    // pruning at either layer loses rows and fails the hash.
+    QuerySpec(
+      "stac49_cql2_delta_headline",
+      Some("""
+        WITH b AS (SELECT 'o' || o_orderkey AS id,
+                          'c' || CAST(o_orderkey % 3 AS VARCHAR) AS collection,
+                          CAST(o_orderdate AS TIMESTAMP) AS datetime,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin,
+                          CAST(o_orderkey % 170 - 85 AS DOUBLE) AS ymin,
+                          CAST(o_orderkey % 97 AS DOUBLE) AS cloud_cover
+                   FROM orders)
+        SELECT id, collection,
+               strftime(datetime, '%Y-%m-%dT%H:%M:%S.%fZ') AS datetime_out,
+               xmin, cloud_cover,
+               true AS file_skip_ok, true AS rowgroup_push_ok
+        FROM b
+        WHERE collection IN ('c0', 'c2')
+          AND datetime >= TIMESTAMP '1996-01-01 00:00:00'
+          AND xmin <= 60.0 AND xmin + 1.0 >= -60.0
+          AND ymin <= 30.0 AND ymin + 0.5 >= -30.0
+          AND cloud_cover < 20.0
+        ORDER BY id"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val o = Tables.t(s, dir, "orders")
+        val bx = (col("o_orderkey") % 360 - 180).cast("double")
+        val by = (col("o_orderkey") % 170 - 85).cast("double")
+        val items = o.select(
+            concat(lit("o"), col("o_orderkey")).as("id"),
+            concat(lit("c"), (col("o_orderkey") % 3).cast("string")).as("collection"),
+            col("o_orderdate").cast("timestamp").as("datetime"),
+            struct(bx.as("xmin"), by.as("ymin"),
+              (bx + 1.0).as("xmax"), (by + 0.5).as("ymax")).as("bbox"),
+            graft.stac.GeoFunctions.bbox_polygon_wkb(bx, by, bx + 1.0, by + 0.5)
+              .as("geometry"),
+            (col("o_orderkey") % 97).cast("double").as("cloud_cover"))
+          // spatially-clustered ingest: range partitioning by xmin is
+          // what makes the log's per-file bbox stats disjoint (at 100 TB
+          // this layout comes from the z-order/ingest pass, stac11/27)
+          .repartitionByRange(10, col("bbox.xmin"))
+        val out = java.nio.file.Files.createTempDirectory("stac49").toString + "/tbl"
+        PortableDelta.write(items, out)
+        // checkpoint + truncate: skipping must run DISTRIBUTED over the
+        // checkpoint's add rows, the 100-TB shape (stac48's pattern)
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.cleanupLog(s.sessionState.newHadoopConf(), out)
+        val cql =
+          """{"op":"and","args":[
+            |  {"op":"in","args":[{"property":"collection"},["c0","c2"]]},
+            |  {"op":">=","args":[{"property":"datetime"},{"timestamp":"1996-01-01T00:00:00Z"}]},
+            |  {"op":"s_intersects","args":[{"property":"geometry"},
+            |    {"type":"Polygon","coordinates":[[[-60.0,-30.0],[60.0,-30.0],[60.0,30.0],[-60.0,30.0],[-60.0,-30.0]]]}]},
+            |  {"op":"<","args":[{"property":"cloud_cover"},20.0]}
+            |]}""".stripMargin
+        val cond = graft.stac.Cql2.filter(cql)
+        // prune layer 1: the LOG — nested bbox-leaf stats drop files
+        val snap = PortableDelta.snapshot(s, out)
+        val (kept, pruned) = PortableDelta.statsPrune(s, snap, cond)
+        require(pruned > 0 && kept.nonEmpty && kept.size < snap.files.size,
+          s"CQL2 bbox conjuncts must prune Delta files by log stats: " +
+            s"kept ${kept.size} of ${snap.files.size}")
+        val filtered = PortableDelta.readTableWhere(s, out, cond)
+        // prune layer 2: the SCAN — the same conjuncts reach parquet as
+        // PushedFilters (row-group stats prune within surviving files);
+        // asserted BEFORE any further transformation, no persist in play
+        val plan = filtered.queryExecution.executedPlan.toString
+        require(plan.contains("PushedFilters") && plan.contains("bbox.xmin") &&
+            plan.contains("cloud_cover"),
+          s"CQL2 conjuncts must reach the parquet scan as pushed filters:\n$plan")
+        filtered.select(col("id"), col("collection"),
+            date_format(col("datetime"), graft.stac.StacSchema.Rfc3339Format)
+              .as("datetime_out"),
+            col("bbox.xmin").as("xmin"), col("cloud_cover"))
+          .withColumn("file_skip_ok", lit(true))
+          .withColumn("rowgroup_push_ok", lit(true))
+          .orderBy(col("id"))
+      },
+      timed = false),
+
     // ----- Delta OPTIMIZE: compaction + Z-order, the layout doctor -----
     // The two maintenance passes a 100-TB lakehouse table needs: (1)
     // bin-packing compaction — a per-minute streaming sink makes
