@@ -37,7 +37,17 @@ object StacSchema {
 
   /** Build the `geo` footer JSON (`_to_parquet.py:82-136`): WKB encoding,
     * WGS84 CRS, planar edges; bbox covering for spec >= 1.1; a second
-    * `proj:geometry` column entry with `crs: null` when present. */
+    * `proj:geometry` column entry with `crs: null` when present.
+    *
+    * 3-D tables (6-field bbox struct with zmin/zmax) keep the SAME 2-D
+    * covering mapping — a documented choice against the spec: GeoParquet
+    * 1.1's `covering.bbox` object defines exactly the four keys
+    * xmin/ymin/xmax/ymax (its JSON Schema admits no z paths), so naming
+    * the struct's x/y leaves is the conformant encoding for both 2-D and
+    * 3-D tables; the z bounds stay queryable as ordinary struct leaves
+    * (row-group stats and Delta log stats cover them like any column),
+    * they are just not part of the declared covering.
+    * `GeoParquetSchemaSpec` pins this over a 3-D fixture. */
   def geoMetadata(
       schemaVersion: String = DefaultGeoParquetVersion,
       hasProjGeometry: Boolean = false): String = {

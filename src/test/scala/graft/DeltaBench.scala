@@ -280,6 +280,33 @@ object DeltaBench {
         .mkString(",")
       println(s"""{"metric":"delta_dml_steady","sf_dir":"$dir",""" +
         s""""rows":$nRows,"verbs":{$json}}""")
+      // merge the probe map into the committed bench artifact so the
+      // Delta verb trend is machine-adjudicable beside the query trend
+      // (BASELINE.md's DML tables were hand-transcribed before). A
+      // filtered probe run (third arg) merges into the existing map
+      // instead of replacing it.
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val f = new java.io.File("BENCH_LOCAL.json")
+        val root =
+          (if (f.isFile) mapper.readTree(f) else mapper.createObjectNode())
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val entry = Option(root.get("delta_dml"))
+          .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+          .getOrElse(root.putObject("delta_dml"))
+        entry.put("sf_dir", dir); entry.put("rows", nRows)
+        val verbs = Option(entry.get("verbs"))
+          .collect { case o: com.fasterxml.jackson.databind.node.ObjectNode => o }
+          .getOrElse(entry.putObject("verbs"))
+        results.filter(_._2 >= 0).foreach { case (k, v) =>
+          verbs.put(k, BigDecimal(f"$v%.2f").doubleValue); ()
+        }
+        val w = new java.io.PrintWriter(f, "UTF-8")
+        try w.println(mapper.writeValueAsString(root)) finally w.close()
+        println(s"[deltabench] merged verb map into ${f.getPath}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[deltabench] BENCH_LOCAL.json merge failed: ${e.getMessage}")
+      }
     } finally spark.stop()
   }
 

@@ -183,17 +183,28 @@ class PgstacLiveSpec extends AnyFunSuite {
   private def createSearchFunction(): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
     val st = conn.createStatement()
+    // leaf evaluator (scalar macro) + the table macro: one level of
+    // `and` composes two leaves, enough to cross-check the delegated
+    // path against the native Cql2.filter evaluation of the same AST
+    st.execute("""CREATE OR REPLACE MACRO cql2_leaf(f, id_, coll, dt) AS
+      CASE json_extract_string(f, '$.op')
+        WHEN '=' THEN
+          CASE json_extract_string(f, '$.args[0].property')
+            WHEN 'collection' THEN coll = json_extract_string(f, '$.args[1]')
+            WHEN 'id' THEN id_ = json_extract_string(f, '$.args[1]')
+            ELSE FALSE END
+        WHEN 't_after' THEN
+          dt > CAST(json_extract_string(f, '$.args[1]') AS TIMESTAMP)
+        ELSE FALSE END""")
     st.execute("""CREATE OR REPLACE MACRO search_query(f) AS TABLE
       SELECT id FROM items
       WHERE CASE json_extract_string(f, '$.op')
-        WHEN '=' THEN
-          CASE json_extract_string(f, '$.args[0].property')
-            WHEN 'collection' THEN collection = json_extract_string(f, '$.args[1]')
-            WHEN 'id' THEN id = json_extract_string(f, '$.args[1]')
-            ELSE FALSE END
-        WHEN 't_after' THEN
-          datetime > CAST(json_extract_string(f, '$.args[1]') AS TIMESTAMP)
-        ELSE FALSE END""")
+        WHEN 'and' THEN
+          cql2_leaf(CAST(json_extract(f, '$.args[0]') AS VARCHAR),
+                    id, collection, datetime)
+          AND cql2_leaf(CAST(json_extract(f, '$.args[1]') AS VARCHAR),
+                        id, collection, datetime)
+        ELSE cql2_leaf(f, id, collection, datetime) END""")
     st.close(); conn.close()
   }
 
@@ -219,6 +230,46 @@ class PgstacLiveSpec extends AnyFunSuite {
     assert(sliced.rdd.getNumPartitions == 2)
     assert(sliced.select("id").collect().map(_.getString(0)).sorted.toSeq ==
       Seq("i1", "i2", "i3", "i4"))
+  }
+
+  test("delegated search_query() hash-matches the native Cql2.filter " +
+       "evaluation of the same AST") {
+    assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
+    createSearchFunction()
+    // the same CQL2 JSON evaluated two ways: (a) DELEGATED — the server's
+    // search_query() interprets the filter and the matching ids join back
+    // to items (the reference's pgstac path); (b) NATIVE — Cql2.filter
+    // translates the AST to Catalyst over the unfiltered JDBC read. A
+    // divergence in either interpreter fails BY VALUE, not by row count.
+    def values(df: org.apache.spark.sql.DataFrame): Seq[(String, String, String, String)] =
+      df.selectExpr("id", "collection", "CAST(datetime AS STRING)", "content")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        .sortBy(_._1).toSeq
+    val asts = Seq(
+      """{"op":"=","args":[{"property":"collection"},"naip"]}""",
+      """{"op":"t_after","args":[{"property":"datetime"},{"timestamp":"2020-07-01T00:00:00Z"}]}""",
+      """{"op":"and","args":[
+        |  {"op":"=","args":[{"property":"collection"},"naip"]},
+        |  {"op":"t_after","args":[{"property":"datetime"},{"timestamp":"2020-07-01T00:00:00Z"}]}
+        |]}""".stripMargin)
+    // the fake's t_after leaf takes a bare timestamp string; the native
+    // side parses the full {"timestamp": ...} operand — normalize the
+    // delegated copy to what the stand-in macro consumes
+    def delegatedForm(ast: String): String =
+      ast.replace("""{"timestamp":"2020-07-01T00:00:00Z"}""",
+        "\"2020-07-01 00:00:00\"")
+    for (ast <- asts) {
+      val delegated = values(
+        PgstacReader.readItems(spark, url, cql2Json = Some(delegatedForm(ast))))
+      val native = values(
+        PgstacReader.readItems(spark, url).filter(Cql2.filter(ast)))
+      assert(delegated.nonEmpty,
+        s"degenerate cross-check (no rows) for $ast")
+      assert(delegated == native,
+        s"delegated vs native divergence for $ast:\n  " +
+          s"delegated=$delegated\n  native=$native")
+    }
   }
 
   test("partitions sync query runs the pinned statement on a live connection") {

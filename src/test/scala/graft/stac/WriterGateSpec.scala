@@ -79,6 +79,48 @@ class WriterGateSpec extends AnyFunSuite {
     assert(PortableDelta.snapshot(spark, path).version == 1L)
   }
 
+  // the REAL modern feature names delta engines ship today, pinned ONE
+  // BY ONE (not just the generic unknown-feature path): a future edit
+  // that silently adds one of these to SupportedWriterFeatures without
+  // implementing its obligations — or renames the generic path — fails
+  // here. Refusal must stage NOTHING: the table dir byte-set is
+  // identical after every refused verb.
+  for (feat <- Seq("icebergCompatV1", "icebergCompatV2",
+                   "coordinatedCommits", "catalogOwned-preview",
+                   "collations")) {
+    test(s"external log listing '$feat' refuses writes BY NAME, stages nothing") {
+      val path = tmp()
+      PortableDelta.write(df(0L until 4L).coalesce(1), path)          // v0
+      pushProtocol(path, 1L, Seq("appendOnly", feat))
+      // reads stay available (reader gate is separate and passes)
+      assert(PortableDelta.readTable(spark, path).count() == 4L)
+      def listing(): Map[String, Long] = {
+        def walk(d: java.io.File): Seq[java.io.File] =
+          d.listFiles().toSeq.flatMap(f =>
+            if (f.isDirectory) walk(f) else Seq(f))
+        walk(new java.io.File(path)).map(f =>
+          f.getPath -> f.length()).toMap
+      }
+      val before = listing()
+      def refused(body: => Any): Unit = {
+        val e = intercept[IllegalArgumentException](body)
+        assert(e.getMessage.contains(feat) &&
+          e.getMessage.contains("refusing to commit"),
+          s"refusal must name '$feat': ${e.getMessage}")
+      }
+      refused(PortableDelta.write(df(Seq(9L)), path, mode = "append"))
+      refused(PortableDelta.delete(spark, path, col("id") === 1L))
+      refused(PortableDelta.update(spark, path, col("id") === 1L,
+        Map("v" -> lit(0L))))
+      refused(PortableDelta.merge(spark, path, df(Seq(1L)), Seq("id")))
+      refused(PortableDelta.optimizeCompact(spark, path))
+      refused(PortableDelta.setTableProperties(spark, path, Map("x" -> "y")))
+      refused(PortableDelta.vacuum(spark, path, graceMillis = 0L))
+      assert(listing() == before,
+        s"a refused verb must stage NOTHING under $path")
+    }
+  }
+
   test("vacuumProtocolCheck on BOTH protocol sides is fully supported") {
     val path = tmp()
     PortableDelta.write(df(0L until 4L).coalesce(1), path)            // v0
