@@ -946,6 +946,105 @@ object StreamingOps {
           .withColumn("stream_ok", lit(true))
           .orderBy(col("event_type"))
       },
+      timed = false),
+
+    // ----- Rate-limited INITIAL-SNAPSHOT slicing (Sv:k offsets) -----
+    // The 100-TB late-joiner path (round 11 offsets, round 12 executor-
+    // side slicing): a consumer with no offset under maxFilesPerTrigger
+    // drains the pinned snapshot SLICE-WISE in deterministic file order
+    // — the pinned ordering is a persisted range sort over the
+    // checkpoint's add rows; only each slice's files reach the driver.
+    // The gate pins: ≥4 slice triggers over a checkpoint-seeded table,
+    // a mid-drain crash/restart resuming at the Sv:k offset with no
+    // duplicate or lost rows, a RACING APPEND excluded from the pinned
+    // snapshot but delivered as the follow-up append window, and the
+    // final state equal to the direct read. Oracle recomputes the
+    // aggregate over events (the racing slice is % 7 = 3 of % 7 <= 3).
+    QuerySpec(
+      "st19_snapshot_slice_drain",
+      Some("""
+        SELECT event_type, count(*) AS n_rows,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               true AS slice_ok
+        FROM events
+        WHERE event_id % 7 <= 3
+        GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        import graft.streaming.DeltaTableSource
+        val ev = Tables.t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val tbl = java.nio.file.Files.createTempDirectory("st19").toString + "/tbl"
+        val ck = java.nio.file.Files.createTempDirectory("st19_ck").toString
+        val cents = floor(col("value") * 100 + 0.5).cast("long")
+        // the big pre-existing table: 12 files, checkpoint-seeded, log
+        // truncated — slicing must run off the checkpoint's add frame
+        PortableDelta.write(ev.filter(col("event_id") % 7 <= 2)
+          .repartition(12), tbl)                                     // v0
+        PortableDelta.checkpoint(s, tbl)
+        PortableDelta.cleanupLog(s.sessionState.newHadoopConf(), tbl)
+        var rows = 0L
+        var slices = 0
+        var downstream: org.apache.spark.sql.DataFrame = null
+        def apply(df: org.apache.spark.sql.DataFrame): Unit = {
+          val delta = df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
+          val merged =
+            if (downstream == null) delta
+            else downstream.unionByName(delta).groupBy(col("event_type"))
+              .agg(sum(col("n_rows")).as("n_rows"),
+                sum(col("value_cents")).as("value_cents"))
+          val next = merged.persist()
+          next.count()
+          if (downstream != null) downstream.unpersist()
+          downstream = next
+        }
+        // consumer: no offset, 3 files per trigger → snapshot slices;
+        // two slices then a "crash"
+        val src1 = new DeltaTableSource(s, tbl, ck, maxFilesPerTrigger = Some(3))
+        for (_ <- 0 until 2) src1.readAvailable().foreach { case (df, off) =>
+          require(off.snapshot && !off.complete && off.version == 0L,
+            s"mid-drain offsets must be Sv:k at the pinned version: $off")
+          rows += df.count(); apply(df); src1.commitProgress(off); slices += 1
+        }
+        require(slices == 2 && src1.offset.exists(o =>
+          o.snapshot && o.filesConsumed == 6),
+          s"expected 2×3-file slices consumed: ${src1.offset}")
+        // a commit RACES the drain: pinned at v0, the snapshot must not
+        // see it; it arrives after the drain as an append window
+        PortableDelta.write(ev.filter(col("event_id") % 7 === 3)
+          .repartition(2), tbl, mode = "append")                     // v1
+        // restart: a fresh source resumes at the Sv:k offset — the
+        // remaining slices + the racing append, nothing re-delivered
+        val src2 = new DeltaTableSource(s, tbl, ck, maxFilesPerTrigger = Some(3))
+        val offs = Seq.newBuilder[String]
+        val n2 = src2.runAvailableNow { (df, _) =>
+          rows += df.count(); apply(df)
+          offs += src2.offset.map(_.token).getOrElse("")
+        }
+        slices += n2
+        val snapTotal = ev.filter(col("event_id") % 7 <= 2).count()
+        val raceTotal = ev.filter(col("event_id") % 7 === 3).count()
+        require(rows == snapTotal + raceTotal,
+          s"slice-wise drain must deliver exactly once: $rows of " +
+            s"${snapTotal + raceTotal}")
+        require(slices >= 5,
+          s"a 12-file snapshot at 3 files/trigger must take ≥4 slices + " +
+            s"the append window, got $slices")
+        val direct = PortableDelta.readTable(s, tbl)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
+        require(downstream.except(direct).isEmpty &&
+          direct.except(downstream).isEmpty,
+          "sliced state must equal the direct read exactly")
+        require(new DeltaTableSource(s, tbl, ck,
+          maxFilesPerTrigger = Some(3)).readAvailable().isEmpty,
+          "a caught-up slicing source must return no batch")
+        downstream
+          .withColumn("slice_ok", lit(true))
+          .orderBy(col("event_type"))
+      },
       timed = false)
   )
 }

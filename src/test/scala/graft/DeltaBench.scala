@@ -205,6 +205,28 @@ object DeltaBench {
           s"drain must window the backlog: $triggers triggers, $rows rows")
       }
 
+      results("snapshot_slice_drain") = timeVerb("snapshot_slice_drain") { () =>
+        // the rate-limited INITIAL-SNAPSHOT join (round 12): a consumer
+        // with no offset draining a checkpoint-seeded table slice-wise —
+        // the pinned ordering builds ONCE (persisted range sort), each
+        // trigger runs two executor passes and collects only its slice
+        val t = java.nio.file.Files
+          .createTempDirectory("dbench-slice").toString + "/tbl"
+        PortableDelta.write(orders.repartition(48), t)
+        PortableDelta.checkpoint(spark, t)
+        PortableDelta.cleanupLog(spark, t)
+        t
+      } { t =>
+        val ck = java.nio.file.Files.createTempDirectory("dbench-slck").toString
+        val src = new graft.streaming.DeltaTableSource(spark, t, ck,
+          maxFilesPerTrigger = Some(6))
+        var rows = 0L
+        val triggers = src.runAvailableNow((df, _) => rows += df.count())
+        require(triggers >= 8 && rows == nRows,
+          s"slice drain must deliver the snapshot exactly once: " +
+            s"$triggers triggers, $rows of $nRows rows")
+      }
+
       results("cdf_source_drain") = timeVerb("cdf_source_drain") { () =>
         // the CDF-stream sibling: a CDF-enabled table with a 12-commit
         // backlog of appends + row-changing commits; the drain replays
