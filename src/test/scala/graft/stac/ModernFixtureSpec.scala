@@ -92,8 +92,6 @@ class ModernFixtureSpec extends AnyFunSuite {
     val rid6 = PortableDelta.readTable(spark, path)
       .filter(col("id") === 6L).select(col("rid")).collect().head.getLong(0)
     assert(rid6 == 160L, s"identity must continue off the frozen HWM: $rid6")
-    // widening is still live: a narrow int batch upcasts on write path
-    // (schema says long), and a further widen of id refuses nothing
     PortableDelta.checkpoint(spark, path)                        // ckpt@6
     // the protected region (boundary 100) outlives everything here:
     // engine-ful cleanup no-ops...
