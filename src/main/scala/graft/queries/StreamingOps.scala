@@ -879,6 +879,7 @@ object StreamingOps {
         val ck = java.nio.file.Files.createTempDirectory("st18_ck").toString
         val cents = floor(col("value") * 100 + 0.5).cast("long")
         var downstream: org.apache.spark.sql.DataFrame = null
+        var cached: org.apache.spark.sql.DataFrame = null
         def apply(rows: org.apache.spark.sql.DataFrame, to: Long): Unit = {
           val delta = rows.groupBy(col("event_type"))
             .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
@@ -889,8 +890,12 @@ object StreamingOps {
                 sum(col("value_cents")).as("value_cents"))
           val next = merged.persist()
           next.count() // durable before the watermark may advance
-          if (downstream != null) downstream.unpersist()
-          downstream = next
+          if (cached != null) cached.unpersist()
+          cached = next
+          // TRUNCATE lineage per round (CLAUDE.md iterative-loop rule):
+          // the state frame reads the round's cache through a fresh plan
+          // root, so trigger N never re-analyzes a chain of N-1 unions
+          downstream = s.createDataFrame(next.rdd, next.schema)
         }
         // three appends + one compaction land BEFORE the consumer starts
         PortableDelta.write(ev.filter(col("event_id") % 3 === 0)
@@ -987,6 +992,7 @@ object StreamingOps {
         var rows = 0L
         var slices = 0
         var downstream: org.apache.spark.sql.DataFrame = null
+        var cached: org.apache.spark.sql.DataFrame = null
         def apply(df: org.apache.spark.sql.DataFrame): Unit = {
           val delta = df.groupBy(col("event_type"))
             .agg(count(lit(1)).as("n_rows"), sum(cents).as("value_cents"))
@@ -997,8 +1003,10 @@ object StreamingOps {
                 sum(col("value_cents")).as("value_cents"))
           val next = merged.persist()
           next.count()
-          if (downstream != null) downstream.unpersist()
-          downstream = next
+          if (cached != null) cached.unpersist()
+          cached = next
+          // TRUNCATE lineage per round (CLAUDE.md iterative-loop rule)
+          downstream = s.createDataFrame(next.rdd, next.schema)
         }
         // consumer: no offset, 3 files per trigger → snapshot slices;
         // two slices then a "crash"
@@ -1024,6 +1032,15 @@ object StreamingOps {
           offs += src2.offset.map(_.token).getOrElse("")
         }
         slices += n2
+        // offset tokens observed entering each resumed batch (the
+        // callback runs before commitProgress): the restart point S0:6,
+        // the next slice's S0:9, the completed snapshot's plain version;
+        // the racing append commits last — serialization regressions
+        // fail BY TOKEN
+        require(offs.result() == Seq("S0:6", "S0:9", "0") &&
+          src2.offset.map(_.token).contains("1"),
+          s"expected S0:6 → S0:9 → 0 → 1 offsets, got ${offs.result()} " +
+            s"then ${src2.offset.map(_.token)}")
         val snapTotal = ev.filter(col("event_id") % 7 <= 2).count()
         val raceTotal = ev.filter(col("event_id") % 7 === 3).count()
         require(rows == snapTotal + raceTotal,

@@ -42,6 +42,22 @@ object DeltaStats {
 
   @transient private lazy val mapper = new ObjectMapper()
 
+  /** Split the comma-separated `dataSkippingStatsColumns` list, honoring
+    * BACKQUOTES — a quoted column name may itself contain commas (legal
+    * on column-mapped tables), so a bare split(",") would tear it. */
+  private def splitColumnList(list: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quoted = false
+    list.foreach {
+      case '`' => quoted = !quoted; cur += '`'
+      case ',' if !quoted => out += cur.result().trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.result().trim
+    out.result().filter(_.nonEmpty)
+  }
+
   /** Split a column name into path parts, honoring BACKQUOTES the way
     * Spark/Delta spell field names containing dots: `` `a.b` `` is one
     * part, `` `a.b`.c `` is two, a doubled backquote inside quotes
@@ -145,7 +161,7 @@ object DeltaStats {
         // explicit list: dotted NESTED leaf paths resolve through
         // structs (the reference accepts `a.b`); naming a struct
         // indexes every eligible leaf beneath it
-        list.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { n =>
+        splitColumnList(list).flatMap { n =>
           val chain = resolvePath(names, n).map(_._1).getOrElse(
             throw new IllegalArgumentException(
               s"delta.dataSkippingStatsColumns names unknown column '$n' " +

@@ -719,10 +719,8 @@ object PortableDelta {
     val st = new ReplayState(path)
     seedCheckpointSmall(spark, path, ref, st)
     val cv = ref.version
-    val tail = fs.listStatus(logDir(path)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
-      .map(s => s.getPath.getName.stripSuffix(".json").toLong -> s.getPath)
-      .filter(p => p._1 > cv && p._1 <= maxVersion).sortBy(_._1)
+    val tail = listJsonCommits(fs, path)
+      .filter(p => p._1 > cv && p._1 <= maxVersion)
     require(tail.map(_._1) == (cv + 1 to cv + tail.size),
       s"non-contiguous Delta log after checkpoint $cv: ${tail.map(_._1).mkString(",")}")
     // the tail is replayed into the (checkpoint-add-free) ReplayState:
@@ -892,10 +890,9 @@ object PortableDelta {
           (if (v == null) lit(null) else lit(v))
             .cast(f.dataType).as(f.name, f.metadata)
         } else {
-          // backquote the physical name: a field name containing a dot
-          // is ONE column here, never a nested path (col("a.b") would
-          // silently resolve into a sibling struct)
-          val c = col("`" + physOf(f.name).replace("`", "``") + "`")
+          // quotedCol: a field name containing a dot is ONE column
+          // here, never a nested path
+          val c = quotedCol(physOf(f.name))
           (if (mapped) c.cast(f.dataType) else c).as(f.name, f.metadata)
         }
       } ++ (if (needPos) Seq(col(PosFileCol), col(PosIdxCol)) else Nil) ++
@@ -1089,7 +1086,7 @@ object PortableDelta {
         computedAny = true
       } else
         toCheck += (s"generated column ${f.name} AS ($g)" ->
-          (col(f.name) <=> expr(g).cast(f.dataType)))
+          (quotedCol(f.name) <=> expr(g).cast(f.dataType)))
     }
     // withColumn APPENDS; the append-path schema check compares field
     // ORDER — re-select in table order (table fields present in the
@@ -1272,7 +1269,7 @@ object PortableDelta {
             org.apache.spark.sql.functions.col(c.name)
           else {
             val f = byName(c.name)
-            org.apache.spark.sql.functions.col(c.name)
+            quotedCol(c.name)
               .cast(physDataType(f.dataType)).as(physFieldName(f))
           }
         }
@@ -1577,8 +1574,12 @@ object PortableDelta {
               df = df.withColumn(pn,
                 lit(pv.get(pn).orElse(pv.get(f.name)).orNull).cast(f.dataType))
           }
+          // cast targets are deep-NULLABLE: parquet relaxes struct-field
+          // nullability on write, and nullable→required struct casts
+          // refuse — feed content is read-only, so nullable is sound
           df.select(endSnap.schema.fields.toSeq.map(f =>
-            col(physFieldName(f)).cast(f.dataType).as(f.name)) :+
+            quotedCol(physFieldName(f)).cast(deepNullable(f.dataType))
+              .as(f.name)) :+
             col("_change_type").cast("string").as("_change_type"): _*)
         }
         pieces += cdcParts.reduce(_ unionByName _)
@@ -1929,10 +1930,16 @@ object PortableDelta {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long), (Snapshot, DataFrame, Array[Long])]): Boolean = {
         val evict = size() > 4
-        if (evict) e.getValue._2.unpersist(blocking = false)
+        if (evict) safeUnpersist(e.getValue._2)
         evict
       }
     }
+
+  /** Unpersist that tolerates an already-stopped owning session (a
+    * stale cache entry after a driver restart within the JVM). */
+  private def safeUnpersist(df: DataFrame): Unit =
+    try { if (!df.sparkSession.sparkContext.isStopped) { df.unpersist(blocking = false); () } }
+    catch { case _: Throwable => () }
 
   /** Test hook: whether a pinned slice ordering is cached for
     * (path, version) — the drain lifecycle contract (built on first
@@ -1943,37 +1950,56 @@ object PortableDelta {
     }
 
   private def pinnedSliceState(spark: SparkSession, path: String,
-                               versionAsOf: Long): (Snapshot, DataFrame, Array[Long]) =
+                               versionAsOf: Long): (Snapshot, DataFrame, Array[Long]) = {
+    val key = (path, versionAsOf)
     sliceStateCache.synchronized {
-      val key = (path, versionAsOf)
       val hit = sliceStateCache.get(key)
-      if (hit != null) return hit
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = logDir(path).getFileSystem(conf)
-      // lazy path: a checkpoint at/under the pinned version whose JSON
-      // tail reaches it exactly — adds stay a DataFrame end-to-end
-      val lazyState = checkpointRefFor(conf, path, versionAsOf).flatMap { ref =>
-        val have = fs.listStatus(logDir(path)).toSeq
-          .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
-          .map(_.getPath.getName.stripSuffix(".json").toLong).toSet
-        if ((ref.version + 1 to versionAsOf).forall(have.contains))
-          Some(lazyCheckpointState(spark, path, ref, versionAsOf))
-        else None
+      if (hit != null) {
+        // a cached ordering belongs to the session that built it — an
+        // entry from a stopped/replaced session cannot run jobs; drop
+        // it and rebuild under the live one
+        if ((hit._2.sparkSession eq spark) &&
+            !spark.sparkContext.isStopped) return hit
+        sliceStateCache.remove(key)
+        safeUnpersist(hit._2)
       }
-      val (snapBase, addsDf) = lazyState.getOrElse {
-        val snap = snapshotAt(spark, path, versionAsOf)
-        (snap.copy(files = Nil), addFilesToFlatDf(spark, snap.files))
-      }
-      val ordered = addsDf.sort("path")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val counts = ordered.rdd
-        .mapPartitionsWithIndex((pi, it) => Iterator.single(pi -> it.size.toLong))
-        .collect().sortBy(_._1).map(_._2)
-      val starts = counts.scanLeft(0L)(_ + _)
-      val state = (snapBase, ordered, starts)
-      sliceStateCache.put(key, state)
-      state
     }
+    // build OUTSIDE the lock: the sort/persist/count are Spark jobs —
+    // holding the global monitor through them would serialize unrelated
+    // tables' drains behind one build
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    // lazy path: a checkpoint at/under the pinned version whose JSON
+    // tail reaches it exactly — adds stay a DataFrame end-to-end
+    val lazyState = checkpointRefFor(conf, path, versionAsOf).flatMap { ref =>
+      val have = listJsonCommits(fs, path).map(_._1).toSet
+      if ((ref.version + 1 to versionAsOf).forall(have.contains))
+        Some(lazyCheckpointState(spark, path, ref, versionAsOf))
+      else None
+    }
+    val (snapBase, addsDf) = lazyState.getOrElse {
+      val snap = snapshotAt(spark, path, versionAsOf)
+      (snap.copy(files = Nil), addFilesToFlatDf(spark, snap.files))
+    }
+    val ordered = addsDf.sort("path")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ordered.rdd
+      .mapPartitionsWithIndex((pi, it) => Iterator.single(pi -> it.size.toLong))
+      .collect().sortBy(_._1).map(_._2)
+    val starts = counts.scanLeft(0L)(_ + _)
+    val state = (snapBase, ordered, starts)
+    sliceStateCache.synchronized {
+      val race = sliceStateCache.get(key)
+      // a concurrent build won the put: keep theirs, release ours
+      if (race != null && (race._2.sparkSession eq spark)) {
+        safeUnpersist(ordered)
+        race
+      } else {
+        sliceStateCache.put(key, state)
+        state
+      }
+    }
+  }
 
   /** A bounded SLICE of a pinned snapshot's live files in deterministic
     * path order — the rate-limited INITIAL-SNAPSHOT batch of a streaming
@@ -2032,7 +2058,7 @@ object PortableDelta {
     val complete = end == total
     if (complete) sliceStateCache.synchronized {
       val st = sliceStateCache.remove((path, versionAsOf))
-      if (st != null) st._2.unpersist(blocking = false)
+      if (st != null) safeUnpersist(st._2)
     }
     (buildScan(spark, path,
       snapBase.copy(files = admitted.map(rowToAddFile).toSeq),
@@ -2453,9 +2479,9 @@ object PortableDelta {
                 clauses.updateSet match {
                   case Some(setMap) => setMap.get(f.name)
                     .map(_.cast(f.dataType).as(f.name, f.metadata))
-                    .getOrElse(col(s"t.${f.name}").as(f.name, f.metadata))
+                    .getOrElse(quotedCol("t", f.name).as(f.name, f.metadata))
                   case None => // whole source row (the merge() shape)
-                    col(s"s.${f.name}").cast(f.dataType).as(f.name, f.metadata)
+                    quotedCol("s", f.name).cast(f.dataType).as(f.name, f.metadata)
                 }
               }
               val rid = mcolM.map { m =>
@@ -2498,7 +2524,7 @@ object PortableDelta {
                     "(only generated/identity/default columns may be omitted)")
               }
               var out = raw.select(present.map(f =>
-                col(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
+                quotedCol(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
               defFields.foreach { case (f, d) =>
                 if (!out.columns.contains(f.name))
                   out = out.withColumn(f.name,
@@ -2611,7 +2637,7 @@ object PortableDelta {
             if (cdfEnabled(prior.configuration) &&
                 (matchedRows > 0 || insertedRows > 0)) {
               val tCols = tableSchema.fields.toSeq.map(f =>
-                col(s"t.${f.name}").as(f.name))
+                quotedCol("t", f.name).as(f.name))
               val pre =
                 if (matchedRows == 0) None
                 else Some(matched.select(tCols: _*)
@@ -2724,7 +2750,7 @@ object PortableDelta {
         val setCols = snap.schema.fields.toSeq.map { f =>
           set.get(f.name)
             .map(_.cast(f.dataType).as(f.name, f.metadata))
-            .getOrElse(col(f.name))
+            .getOrElse(quotedCol(f.name))
         }
         val newRows0 = mcolOpt match {
           case Some(m) =>
@@ -4160,7 +4186,7 @@ object PortableDelta {
     val notNull = tableSchema.fields.toSeq
       .filter(f => !f.nullable &&
         df.schema.find(_.name == f.name).forall(_.nullable))
-      .map(f => s"NOT NULL column ${f.name}" -> col(f.name).isNotNull)
+      .map(f => s"NOT NULL column ${f.name}" -> quotedCol(f.name).isNotNull)
     // the spec's COLUMN INVARIANTS (legacy writer-2 `invariants`
     // feature): `delta.invariants` field metadata carries
     // {"expression":{"expression":"<sql>"}} — enforced with the same
@@ -5201,12 +5227,19 @@ object PortableDelta {
 
   /** The JSON commits strictly AFTER version `cv`, ascending, with the
     * contiguity check. */
-  private def tailCommits(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                          cv: Long): Seq[(Long, Path)] = {
-    val tail = fs.listStatus(logDir(path)).toSeq
+  /** Every commit JSON in the log as (version, path), ascending — the
+    * ONE listing idiom shared by tail replay, lazy state, and slice
+    * pinning (contiguity rules stay with each caller). */
+  private def listJsonCommits(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String): Seq[(Long, Path)] =
+    fs.listStatus(logDir(path)).toSeq
       .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.json"))
       .map(s => s.getPath.getName.stripSuffix(".json").toLong -> s.getPath)
-      .filter(_._1 > cv).sortBy(_._1)
+      .sortBy(_._1)
+
+  private def tailCommits(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                          cv: Long): Seq[(Long, Path)] = {
+    val tail = listJsonCommits(fs, path).filter(_._1 > cv)
     require(tail.map(_._1) == (cv + 1 to cv + tail.size),
       s"non-contiguous Delta log after checkpoint $cv: ${tail.map(_._1).mkString(",")}")
     tail
@@ -6969,13 +7002,13 @@ object PortableDelta {
     val cols = df.schema.fields.toSeq.map { c =>
       byName.get(c.name) match {
         case Some(f) =>
-          org.apache.spark.sql.functions.col(c.name)
+          quotedCol(c.name)
             .cast(physDataType(f.dataType)).as(physFieldName(f))
         case None if passThrough.contains(c.name) =>
           // the row-tracking materialized column lives OUTSIDE the table
           // schema; it is already physically named (whatever name the
           // table's MaterializedRowIdProp configures)
-          org.apache.spark.sql.functions.col(c.name)
+          quotedCol(c.name)
         case None => throw new IllegalArgumentException(
           s"column ${c.name} not in the mapped table schema " +
             s"${tableSchema.fieldNames.mkString("[", ", ", "]")}")
@@ -6983,6 +7016,34 @@ object PortableDelta {
     }
     (df.select(cols: _*), partitionBy.map(n => physFieldName(byName(n))))
   }
+
+  /** Deep-nullable mirror of a type (every struct field / array element
+    * / map value nullable) — the read-side cast target for bytes parquet
+    * may have written with relaxed nullability. */
+  private def deepNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(e, _) =>
+      org.apache.spark.sql.types.ArrayType(deepNullable(e), containsNull = true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(deepNullable(k), deepNullable(v),
+        valueContainsNull = true)
+    case other => other
+  }
+
+  /** Alias-prefixed exact reference (`t`.`a.b` style) — the join-side
+    * sibling of [[quotedCol]]. */
+  private def quotedCol(alias: String, name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(
+      alias + ".`" + name.replace("`", "``") + "`")
+
+  /** Column reference by EXACT name: backquoted (with doubling for
+    * literal backquotes) so a field name containing a dot is one
+    * column, never a nested path — `col("a.b")` would silently resolve
+    * into a sibling struct. Every projection over table/physical field
+    * NAMES must use this, not bare col(). */
+  private def quotedCol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
 
   /** A field's parquet-physical name under column mapping (falls back
     * to the logical name when no mapping metadata is present). */

@@ -433,5 +433,34 @@ class DeltaStatsSpec extends AnyFunSuite {
       st3.get("minValues").get("a").has("b") &&
       !st3.get("minValues").has("a.b"),
       s"unquoted dotted selection must prefer the nested walk: $st3")
+    // CDF + DML over the collision table: the cdc write path and the
+    // change-feed read project by EXACT name too (quotedCol) — before
+    // round 12 either would resolve `a.b` into the sibling struct
+    val p5 = tmp()
+    PortableDelta.write(rows.coalesce(2), p5,
+      properties = Map(PortableDelta.CdfProp -> "true"))
+    PortableDelta.update(spark, p5, col("`a.b`") === 3L,
+      Map("body" -> lit("upd")))
+    val cdf = PortableDelta.readChanges(spark, p5, 1L, 1L)
+      .select(col("_change_type"), col("`a.b`").as("flat"),
+        col("a.b").as("nested"), col("body")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(cdf == Seq(
+      ("update_postimage", 3L, 997L, "upd"),
+      ("update_preimage", 3L, 997L, "doc 3")),
+      s"CDF over a literal-dot column must keep both columns exact: $cdf")
+  }
+
+  test("statsColumns: backquoted config names may contain commas and dots") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a,b", LongType), StructField("a.b", LongType),
+      StructField("m", StructType(Seq(StructField("x", LongType))))))
+    val got = DeltaStats.statsColumns(schema, Map(
+      "delta.dataSkippingStatsColumns" -> "`a,b`, `a.b`, m.x"))
+    assert(got == Seq(
+      (Seq("a,b"), LongType), (Seq("a.b"), LongType), (Seq("m", "x"), LongType)),
+      s"got $got")
   }
 }
