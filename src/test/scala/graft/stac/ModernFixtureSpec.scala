@@ -107,4 +107,35 @@ class ModernFixtureSpec extends AnyFunSuite {
     // the table still reads completely through checkpoint + tail
     assert(PortableDelta.readTable(spark, path).count() == 7L)
   }
+
+  test("frozen modern fixture: a streaming consumer slice-drains the " +
+       "initial snapshot through the v2 checkpoint") {
+    val path = stage()
+    val ck = java.nio.file.Files.createTempDirectory("modfix_ck").toString
+    // maxFilesPerTrigger forces the Sv:k slicing path: the pinned
+    // ordering builds off the V2 checkpoint's add rows (UUID top-level
+    // + sidecar) unioned with the JSON tail — variant bytes, identity
+    // values, and the widened column all ride the sliced scans
+    val src = new graft.streaming.DeltaTableSource(spark, path, ck,
+      maxFilesPerTrigger = Some(1))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    var slices = 0
+    val n = src.runAvailableNow { (df, _) =>
+      got ++= df.selectExpr("rid", "id", "score", "to_json(payload) AS pj")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      slices += 1
+    }
+    assert(n >= 4, s"1-file slices over a 4-file snapshot must take ≥4 triggers: $n")
+    val rows = got.sortBy(_._2)
+    assert(rows.map(_._2) == (0L to 5L), s"ids: ${rows.map(_._2)}")
+    rows.zipWithIndex.foreach { case ((rid, id, score, pj), i) =>
+      assert(rid == 100L + 10L * i && score == 2L * i &&
+        pj == s"""{"k":$i,"tag":"t${i % 3}"}""",
+        s"sliced row $i diverged: ($rid, $id, $score, $pj)")
+    }
+    assert(new graft.streaming.DeltaTableSource(spark, path, ck,
+      maxFilesPerTrigger = Some(1)).readAvailable().isEmpty,
+      "a caught-up consumer must return no batch")
+  }
 }
