@@ -1095,7 +1095,7 @@ object PortableDelta {
     if (computedAny) {
       val tableOrder = tableSchema.fieldNames.filter(out.columns.contains)
       val extras = out.columns.filterNot(tableSchema.fieldNames.contains)
-      out = out.select((tableOrder ++ extras).map(col).toIndexedSeq: _*)
+      out = out.select((tableOrder ++ extras).map(quotedCol).toIndexedSeq: _*)
     }
     val checks = toCheck.result()
     if (checks.nonEmpty) {
@@ -2135,12 +2135,12 @@ object PortableDelta {
       s"MERGE into a table whose identity column ${i.field.name} is " +
         "GENERATED ALWAYS is not supported — the source would supply " +
         "explicit values"))
-    val src = source1.select(snap0.schema.fieldNames.map(col).toIndexedSeq: _*)
+    val src = source1.select(snap0.schema.fieldNames.map(quotedCol).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcRows = src.count()
       if (srcRows == 0) return MergeStats(snap0.version, 0L, 0L, 0L)
-      require(src.select(keys.map(col): _*).distinct().count() == srcRows,
+      require(src.select(keys.map(quotedCol): _*).distinct().count() == srcRows,
         "merge source keys must be unique — a multi-matching source is ambiguous")
 
       // dynamic file pruning for the match scan: target files whose
@@ -2188,14 +2188,14 @@ object PortableDelta {
               .withColumn(RidCol, org.apache.spark.sql.functions.lit(null).cast("bigint"))
           else scanWithPos(spark, path, prior, applyDvs = true,
               extraCols = mcolM.toSeq)
-            .select(keys.map(col) ++ Seq(col(PosFileCol), col(PosIdxCol),
+            .select(keys.map(quotedCol) ++ Seq(col(PosFileCol), col(PosIdxCol),
               ridExpr(prior.files, prior.partitionColumns.size + 1, mcolM)
                 .as(RidCol)): _*)
         // matched LIVE target rows (positions + original IDs): ONE
         // semi-join feeds both the death bitmap and the ID carry-over —
         // persisted, bounded by the matched row count
         val matchedTargets = liveKeysDf
-          .join(src.select(keys.map(col): _*), keys, "left_semi")
+          .join(src.select(keys.map(quotedCol): _*), keys, "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dead = matchedTargets.select(col(PosFileCol), col(PosIdxCol))
         try {
@@ -2203,9 +2203,9 @@ object PortableDelta {
           val matchedTargetRows = parts.map(_.newlyDeleted).getOrElse(0L)
           // source-side split for the append set and counters
           val matchedSrc = src.join(
-            liveKeysDf.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            liveKeysDf.select(keys.map(quotedCol): _*).distinct(), keys, "left_semi")
           val unmatchedSrc = src.join(
-            liveKeysDf.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            liveKeysDf.select(keys.map(quotedCol): _*).distinct(), keys, "left_anti")
           val updatedRows = if (whenMatched == "update") matchedTargetRows else 0L
           val deletedRows = if (whenMatched == "delete") matchedTargetRows else 0L
           val insertedRows = if (insertNotMatched) unmatchedSrc.count() else 0L
@@ -2213,7 +2213,7 @@ object PortableDelta {
           // multi-row key collapses to ONE new version — it keeps the
           // smallest ID, the others die as genuine deletes)
           lazy val ridByKey = matchedTargets
-            .groupBy(keys.map(col): _*)
+            .groupBy(keys.map(quotedCol): _*)
             .agg(org.apache.spark.sql.functions.min(col(RidCol))
               .as(mcolM.getOrElse(RidCol)))
           val toAppend = (whenMatched, insertNotMatched) match {
@@ -2307,7 +2307,7 @@ object PortableDelta {
               val pre =
                 if (matchedTargetRows == 0) None
                 else Some(scanWithPos(spark, path, prior, applyDvs = true)
-                  .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+                  .join(src.select(keys.map(quotedCol): _*).distinct(), keys, "left_semi")
                   .drop(PosFileCol, PosIdxCol)
                   .withColumn("_change_type", lit(
                     if (whenMatched == "update") "update_preimage" else "delete")))
@@ -2419,7 +2419,7 @@ object PortableDelta {
     try {
       val srcRows = src.count()
       if (srcRows == 0) return MergeStats(snap0.version, 0L, 0L, 0L)
-      require(src.select(keys.map(col): _*).distinct().count() == srcRows,
+      require(src.select(keys.map(quotedCol): _*).distinct().count() == srcRows,
         "merge source keys must be unique — a multi-matching source is ambiguous")
       // dynamic file pruning from the source's key bounds (see merge)
       val keyBounds: Option[org.apache.spark.sql.Column] = {
@@ -2509,7 +2509,7 @@ object PortableDelta {
           val insertsDf: Option[DataFrame] =
             if (!clauses.insertNotMatched) None
             else {
-              val liveKeys = tgt.select(keys.map(col): _*).distinct()
+              val liveKeys = tgt.select(keys.map(quotedCol): _*).distinct()
               val raw = sA.filter(clauses.notMatchedCondition.getOrElse(lit(true)))
                 .join(liveKeys, keys, "left_anti")
               val present = tableSchema.fields.toSeq.filter(f =>

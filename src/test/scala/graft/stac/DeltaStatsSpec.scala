@@ -450,6 +450,19 @@ class DeltaStatsSpec extends AnyFunSuite {
       ("update_postimage", 3L, 997L, "upd"),
       ("update_preimage", 3L, 997L, "doc 3")),
       s"CDF over a literal-dot column must keep both columns exact: $cdf")
+    // MERGE drives the t-aliased SET carry-through and the source
+    // schema-alignment select over the literal-dot name
+    val srcM = rows.filter(col("id") === 1L)
+      .withColumn("body", lit("merged")).coalesce(1)
+    val mst = PortableDelta.merge(spark, p5, srcM, Seq("id"))
+    assert(mst.updatedRows == 1L, s"$mst")
+    val afterM = PortableDelta.readTable(spark, p5)
+      .filter(col("id") === 1L)
+      .select(col("`a.b`"), col("a.b").as("nested"), col("body"))
+      .collect().head
+    assert(afterM.getLong(0) == 1L && afterM.getLong(1) == 999L &&
+      afterM.getString(2) == "merged",
+      s"merged row must keep both dot-spellings exact: $afterM")
   }
 
   test("statsColumns: backquoted config names may contain commas and dots") {
