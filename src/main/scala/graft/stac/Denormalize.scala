@@ -51,7 +51,9 @@ object Denormalize {
     val propCols = df.columns.filterNot(StacSchema.TopLevelKeys.contains)
     if (propCols.isEmpty) return df
     val keep = df.columns.filter(StacSchema.TopLevelKeys.contains).map(col).toIndexedSeq
-    val props = struct(propCols.map(c => col(c).as(c)).toIndexedSeq: _*).as("properties")
+    // exact-name references (hoisted property names may contain dots)
+    val props = struct(propCols.map(c =>
+      col("`" + c.replace("`", "``") + "`").as(c)).toIndexedSeq: _*).as("properties")
     df.select(keep :+ props: _*)
   }
 

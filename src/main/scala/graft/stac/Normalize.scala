@@ -42,7 +42,10 @@ object Normalize {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Item properties contains a '${f.name}' key colliding with a top-level field. Dropping properties.${f.name}.")
     }
-    val keep = df.columns.filter(_ != "properties").map(col).toIndexedSeq
+    // exact-name references: a JSON property name may contain dots,
+    // which bare col() would parse as a nested path
+    val keep = df.columns.filter(_ != "properties")
+      .map(n => col("`" + n.replace("`", "``") + "`")).toIndexedSeq
     val hoistedCols = ok.map(f => col("properties").getField(f.name).as(f.name)).toIndexedSeq
     df.select(keep ++ hoistedCols: _*)
   }

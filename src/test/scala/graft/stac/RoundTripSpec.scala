@@ -234,6 +234,30 @@ class RoundTripSpec extends AnyFunSuite {
     }
   }
 
+  test("a property name containing a DOT hoists, queries, and round-trips " +
+       "as one column") {
+    import spark.implicits._
+    // "sci.doi"-style dotted keys are legal JSON property names; the
+    // hoist/re-nest projections must treat them as EXACT names, never
+    // nested paths (round 12: quoted references in Normalize/Denormalize)
+    val item =
+      """{"type":"Feature","id":"dotty","geometry":{"type":"Point","coordinates":[1.0,2.0]},
+         "bbox":[1.0,2.0,1.0,2.0],"links":[],"assets":{},
+         "properties":{"datetime":"2020-01-01T00:00:00Z","sci.doi":"10.5/x","score":7},
+         "collection":"c"}""".replaceAll("\n\\s*", "")
+    val ds = spark.createDataset(Seq(StacJsonReader.geometryToWkbHex(item)))
+    val df = StacJsonReader.hexGeometryToBinary(spark.read.json(ds))
+    val norm = Normalize(df)
+    assert(norm.schema.fieldNames.contains("sci.doi"),
+      s"dotted property must hoist as ONE column: ${norm.schema.fieldNames.toSeq}")
+    assert(norm.select(org.apache.spark.sql.functions.col("`sci.doi`"))
+      .head().getString(0) == "10.5/x")
+    val back = mapper.readTree(Denormalize.toItemJson(norm).collect().head)
+    assert(back.get("properties").get("sci.doi").asText() == "10.5/x",
+      s"dotted property must re-nest flat: ${back.get("properties")}")
+    assert(back.get("properties").get("score").asLong() == 7L)
+  }
+
   test("schema strategies: explicit, sampled, full infer agree on naip") {
     val path = SparkSpec.resource("/data/naip-pc.json")
     val full = StacJsonReader.read(spark, Seq(path), StacJsonReader.InferFull)
