@@ -53,7 +53,7 @@ object Denormalize {
     val keep = df.columns.filter(StacSchema.TopLevelKeys.contains).map(col).toIndexedSeq
     // exact-name references (hoisted property names may contain dots)
     val props = struct(propCols.map(c =>
-      col("`" + c.replace("`", "``") + "`").as(c)).toIndexedSeq: _*).as("properties")
+      StacSchema.quotedCol(c).as(c)).toIndexedSeq: _*).as("properties")
     df.select(keep :+ props: _*)
   }
 

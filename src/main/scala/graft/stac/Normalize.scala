@@ -45,7 +45,7 @@ object Normalize {
     // exact-name references: a JSON property name may contain dots,
     // which bare col() would parse as a nested path
     val keep = df.columns.filter(_ != "properties")
-      .map(n => col("`" + n.replace("`", "``") + "`")).toIndexedSeq
+      .map(StacSchema.quotedCol(_)).toIndexedSeq
     val hoistedCols = ok.map(f => col("properties").getField(f.name).as(f.name)).toIndexedSeq
     df.select(keep ++ hoistedCols: _*)
   }

@@ -1621,7 +1621,7 @@ object PortableDelta {
           val defaultRid =
             element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol)
           base.withColumn(RidCol,
-            mcol.map(m => coalesce(col(m), defaultRid)).getOrElse(defaultRid))
+            mcol.map(m => coalesce(quotedCol(m), defaultRid)).getOrElse(defaultRid))
         }
         def strip(df: DataFrame): DataFrame =
           df.drop(PosFileCol, PosIdxCol).drop(mcol.toSeq: _*)
@@ -1990,11 +1990,15 @@ object PortableDelta {
     val state = (snapBase, ordered, starts)
     sliceStateCache.synchronized {
       val race = sliceStateCache.get(key)
-      // a concurrent build won the put: keep theirs, release ours
+      // a concurrent same-session build won the put: keep theirs,
+      // release ours
       if (race != null && (race._2.sparkSession eq spark)) {
         safeUnpersist(ordered)
         race
       } else {
+        // a foreign-session entry (another live session's drain) is
+        // displaced — release its persisted ordering rather than leak it
+        if (race != null) safeUnpersist(race._2)
         sliceStateCache.put(key, state)
         state
       }
@@ -2152,12 +2156,12 @@ object PortableDelta {
       val keyBounds: Option[org.apache.spark.sql.Column] = {
         import org.apache.spark.sql.functions.{lit, max, min}
         val aggs = keys.flatMap(k =>
-          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+          Seq(min(quotedCol(k)).as(s"lo_$k"), max(quotedCol(k)).as(s"hi_$k")))
         val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
         val per = keys.zipWithIndex.flatMap { case (k, i) =>
           (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
             case (Some(lo), Some(hi)) =>
-              Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+              Some(quotedCol(k) >= lit(lo) && quotedCol(k) <= lit(hi))
             case _ => None
           }
         }
@@ -2425,12 +2429,12 @@ object PortableDelta {
       val keyBounds: Option[org.apache.spark.sql.Column] = {
         import org.apache.spark.sql.functions.{max, min}
         val aggs = keys.flatMap(k =>
-          Seq(min(col(k)).as(s"lo_$k"), max(col(k)).as(s"hi_$k")))
+          Seq(min(quotedCol(k)).as(s"lo_$k"), max(quotedCol(k)).as(s"hi_$k")))
         val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
         val per = keys.zipWithIndex.flatMap { case (k, i) =>
           (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
             case (Some(lo), Some(hi)) =>
-              Some(col(k) >= lit(lo) && col(k) <= lit(hi))
+              Some(quotedCol(k) >= lit(lo) && quotedCol(k) <= lit(hi))
             case _ => None
           }
         }
@@ -2457,7 +2461,7 @@ object PortableDelta {
             extraCols = mcolM.toSeq)
         val tA = tgt.as("t")
         val sA = src.as("s")
-        val joinCond = keys.map(k => col(s"t.$k") === col(s"s.$k"))
+        val joinCond = keys.map(k => quotedCol("t", k) === quotedCol("s", k))
           .reduce(_ && _)
         val matched = tA.join(sA, joinCond, "inner")
           .filter(clauses.matchedCondition.getOrElse(lit(true)))
@@ -2493,7 +2497,7 @@ object PortableDelta {
                 val d = if (baseByKey.isEmpty)
                   lit(null).cast("bigint")
                 else element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol)
-                coalesce(col(s"t.$m"), d).as(m)
+                coalesce(quotedCol("t", m), d).as(m)
               }
               val base = matched.select(setCols ++ rid.toSeq: _*)
               // generated columns recompute over the SET-applied values
@@ -4029,7 +4033,7 @@ object PortableDelta {
     val defaultRid =
       if (baseByKey.isEmpty) org.apache.spark.sql.functions.lit(null).cast("bigint")
       else element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol)
-    mcol.map(m => coalesce(col(m), defaultRid)).getOrElse(defaultRid)
+    mcol.map(m => coalesce(quotedCol(m), defaultRid)).getOrElse(defaultRid)
   }
 
   /** The LIVE table scan with each row's original row ID materialized
@@ -4795,7 +4799,7 @@ object PortableDelta {
     val los = zCols.indices.map(i => r.getDouble(2 * i))
     val his = zCols.indices.map(i => r.getDouble(2 * i + 1))
     val bits = math.min(16, 62 / zCols.size)
-    val zv = ZOrder.zKeyLinear(zCols.map(col), los, his, bits)
+    val zv = ZOrder.zKeyLinear(zCols.map(quotedCol), los, his, bits)
     df.withColumn("__graft_z", zv)
       .repartitionByRange(numFiles, col("__graft_z"))
       .sortWithinPartitions(col("__graft_z"))
@@ -5906,6 +5910,35 @@ object PortableDelta {
     protectionBoundary(st.configuration)
       .map(b => s""","$CheckpointProtectionProp":$b""").getOrElse("")
 
+  /** Engine-less protection evidence from the newest VERSION CHECKSUM at
+    * or after the checkpoint: the `.crc` sidecar (ours and delta-spark's)
+    * is plain JSON carrying the full metadata.configuration and
+    * protocol.writerFeatures — with no tail metaData, a crc at version
+    * ≥ cv IS the current configuration (any later metaData change would
+    * be in the tail and take precedence). Returns (configuration,
+    * writerFeatures) of the newest readable crc ≥ cv. */
+  private def crcProtectionEvidence(conf: Configuration, path: String,
+                                    cv: Long)
+      : Option[(Map[String, String], Set[String])] = {
+    val dir = logDir(path)
+    val fs = dir.getFileSystem(conf)
+    val vs = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.crc"))
+      .map(_.getPath.getName.stripSuffix(".crc").toLong)
+      .filter(_ >= cv).sorted.reverse
+    vs.iterator.flatMap(v => readChecksum(conf, path, v)).nextOption()
+      .map { cs =>
+        val cfg = Option(cs.metadata.get("configuration")).filterNot(_.isNull)
+          .map(_.properties().asScala
+            .map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty[String, String])
+        val wf = Option(cs.protocol.get("writerFeatures")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSet)
+          .getOrElse(Set.empty[String])
+        (cfg, wf)
+      }
+  }
+
   /** The protection-boundary hint this engine records in
     * `_last_checkpoint` (extra keys there are ignorable by spec) so
     * conf-only maintenance can honor a boundary whose metaData lives
@@ -5972,16 +6005,23 @@ object PortableDelta {
           tailCfg match {
             case Some(cfg) => protectionBoundary(cfg) // authoritative:
               // a full configuration without the property = unprotected
-            case None =>
-              val hint = lastCheckpointProtectionHint(fs, path)
-              if (hint.isEmpty && protoHasFeature)
-                throw new IllegalStateException(
-                  s"log cleanup of $path refused: the JSON tail's protocol " +
-                    "lists the checkpointProtection writer feature but the " +
-                    "protected boundary is only readable from the checkpoint " +
-                    "parquet — use cleanupLog(spark, path), which resolves " +
-                    s"$CheckpointProtectionProp from the table configuration")
-              hint
+            case None => crcProtectionEvidence(conf, path, cv) match {
+              case Some((cfg, _)) => protectionBoundary(cfg)
+                // a version checksum ≥ cv carries the full current
+                // configuration (later changes would be tail metaData) —
+                // works for delta-spark tables too, which write a crc
+                // per commit
+              case None =>
+                val hint = lastCheckpointProtectionHint(fs, path)
+                if (hint.isEmpty && protoHasFeature)
+                  throw new IllegalStateException(
+                    s"log cleanup of $path refused: the JSON tail's protocol " +
+                      "lists the checkpointProtection writer feature but the " +
+                      "protected boundary is only readable from the checkpoint " +
+                      "parquet — use cleanupLog(spark, path), which resolves " +
+                      s"$CheckpointProtectionProp from the table configuration")
+                hint
+            }
           }
         }
         if (boundary.exists(_ > cv)) return 0
@@ -7034,8 +7074,7 @@ object PortableDelta {
   /** Alias-prefixed exact reference (`t`.`a.b` style) — the join-side
     * sibling of [[quotedCol]]. */
   private def quotedCol(alias: String, name: String): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.col(
-      alias + ".`" + name.replace("`", "``") + "`")
+    StacSchema.quotedCol(alias, name)
 
   /** Column reference by EXACT name: backquoted (with doubling for
     * literal backquotes) so a field name containing a dot is one
@@ -7043,7 +7082,7 @@ object PortableDelta {
     * into a sibling struct. Every projection over table/physical field
     * NAMES must use this, not bare col(). */
   private def quotedCol(name: String): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
+    StacSchema.quotedCol(name)
 
   /** A field's parquet-physical name under column mapping (falls back
     * to the logical name when no mapping metadata is present). */

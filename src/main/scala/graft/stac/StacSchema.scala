@@ -11,6 +11,20 @@ package graft.stac
   */
 object StacSchema {
 
+  /** Column reference by EXACT name: backquoted (doubling escapes a
+    * literal backquote) so a field name containing a dot is ONE column,
+    * never a nested path — `col("a.b")` silently resolves into a
+    * sibling struct. THE one shared escaping idiom: every projection
+    * over dynamic field names (hoisted STAC properties, Delta table
+    * schemas, user-supplied keys) must go through here. */
+  def quotedCol(name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
+
+  /** Alias-prefixed exact reference (`t`.`a.b` style). */
+  def quotedCol(alias: String, name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(
+      alias + ".`" + name.replace("`", "``") + "`")
+
   /** Closed set of STAC top-level keys — everything else is a property. */
   val TopLevelKeys: Set[String] = Set(
     "type", "stac_version", "stac_extensions", "id",

@@ -119,6 +119,12 @@ class CheckpointProtectionSpec extends AnyFunSuite {
     assert(PortableDelta.cleanupLog(conf, path) == 0,
       "hinted boundary (5 > ckpt 2) must no-op the conf-only sweep")
     assert(jsonVersions(path) == Seq(0L, 1L, 2L, 3L))
+    // engine-less resolution order: with the hint stripped, the VERSION
+    // CHECKSUM (≥ ckpt) still carries the full configuration — the
+    // conf-only sweep resolves the boundary from it and no-ops
+    val crcs = new java.io.File(s"$path/_delta_log").listFiles()
+      .filter(_.getName.matches("\\d{20}\\.crc")).sortBy(_.getName)
+    assert(crcs.nonEmpty, "engine writes a crc per commit")
     // simulate an EXTERNAL checkpoint (no hint) + a tail protocol that
     // lists the feature: the boundary is then unresolvable engine-lessly
     // and the conf-only sweep must REFUSE rather than guess
@@ -138,6 +144,17 @@ class CheckpointProtectionSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       new java.io.File(s"$path/_delta_log/${"%020d".format(4L)}.json").toPath,
       proto.getBytes("UTF-8"))                                  // v4
+    // the crc evidence path: with the hint gone but checksums present,
+    // the boundary resolves from the newest crc's configuration — no-op
+    assert(PortableDelta.cleanupLog(conf, path) == 0,
+      "crc-resolved boundary (5 > ckpt 2) must no-op the sweep")
+    // a truly evidence-less external table: no hint, no crc, tail
+    // protocol naming the feature — the sweep must REFUSE, not guess
+    crcs.foreach(f => assert(f.delete()))
+    new java.io.File(s"$path/_delta_log").listFiles()
+      .filter(f => f.getName.matches("\\d{20}\\.crc") ||
+        f.getName.startsWith(".") && f.getName.contains(".crc"))
+      .foreach(_.delete())
     val e = intercept[IllegalStateException] {
       PortableDelta.cleanupLog(conf, path)
     }
