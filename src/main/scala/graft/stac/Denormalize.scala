@@ -26,7 +26,8 @@ object Denormalize {
     * (`_api.py:394-400`). */
   def injectTypeColumn(df: DataFrame): DataFrame =
     if (df.schema.fieldNames.contains("type")) df
-    else df.select(lit("Feature").as("type") +: df.columns.map(col).toIndexedSeq: _*)
+    else df.select(lit("Feature").as("type") +:
+      df.columns.map(StacSchema.quotedCol(_)).toIndexedSeq: _*)
 
   /** P5: timestamps → `%Y-%m-%dT%H:%M:%SZ` strings (`_from_arrow.py:8-31`).
     * `date_format` renders in the session timezone, so the instant is first
