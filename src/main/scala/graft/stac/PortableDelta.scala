@@ -245,8 +245,8 @@ object PortableDelta {
               "batches may not supply it (set delta.identity.allowExplicit)")
           import org.apache.spark.sql.functions.{col, max, min}
           val r = out.agg(
-            (if (i.step > 0) max(col(i.field.name))
-             else min(col(i.field.name))).cast(LongType)).collect()(0)
+            (if (i.step > 0) max(quotedCol(i.field.name))
+             else min(quotedCol(i.field.name))).cast(LongType)).collect()(0)
           if (!r.isNullAt(0)) {
             val v = r.getLong(0)
             val past = i.hwm.forall(h => if (i.step > 0) v > h else v < h)
@@ -896,7 +896,7 @@ object PortableDelta {
           (if (mapped) c.cast(f.dataType) else c).as(f.name, f.metadata)
         }
       } ++ (if (needPos) Seq(col(PosFileCol), col(PosIdxCol)) else Nil) ++
-        extraCols.map(col)
+        extraCols.map(quotedCol)
       df.select(sel: _*)
     }
 
@@ -2268,8 +2268,8 @@ object PortableDelta {
           val identUpM: Map[String, Long] =
             identityFields(prior.schema).flatMap { i =>
               import org.apache.spark.sql.functions.{max, min}
-              val r = src.agg((if (i.step > 0) max(col(i.field.name))
-                               else min(col(i.field.name)))
+              val r = src.agg((if (i.step > 0) max(quotedCol(i.field.name))
+                               else min(quotedCol(i.field.name)))
                 .cast(LongType)).collect()(0)
               if (r.isNullAt(0)) None
               else {
@@ -2552,8 +2552,8 @@ object PortableDelta {
                     s"identity column ${i.field.name} is GENERATED ALWAYS — " +
                       "merge sources may not supply it")
                   import org.apache.spark.sql.functions.{max, min}
-                  val r = out.agg((if (i.step > 0) max(col(i.field.name))
-                                   else min(col(i.field.name)))
+                  val r = out.agg((if (i.step > 0) max(quotedCol(i.field.name))
+                                   else min(quotedCol(i.field.name)))
                     .cast(LongType)).collect()(0)
                   if (!r.isNullAt(0)) {
                     val v = r.getLong(0)
@@ -4794,7 +4794,8 @@ object PortableDelta {
                             numFiles: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, max, min}
     val aggs = zCols.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"lo_$c"), max(col(c).cast("double")).as(s"hi_$c")))
+      Seq(min(quotedCol(c).cast("double")).as(s"lo_$c"),
+        max(quotedCol(c).cast("double")).as(s"hi_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val los = zCols.indices.map(i => r.getDouble(2 * i))
     val his = zCols.indices.map(i => r.getDouble(2 * i + 1))
@@ -5918,25 +5919,22 @@ object PortableDelta {
     * be in the tail and take precedence). Returns (configuration,
     * writerFeatures) of the newest readable crc ≥ cv. */
   private def crcProtectionEvidence(conf: Configuration, path: String,
-                                    cv: Long)
-      : Option[(Map[String, String], Set[String])] = {
+                                    cv: Long): Option[Map[String, String]] = {
     val dir = logDir(path)
     val fs = dir.getFileSystem(conf)
     val vs = fs.listStatus(dir).toSeq
       .filter(s => s.isFile && s.getPath.getName.matches("\\d{20}\\.crc"))
       .map(_.getPath.getName.stripSuffix(".crc").toLong)
       .filter(_ >= cv).sorted.reverse
-    vs.iterator.flatMap(v => readChecksum(conf, path, v)).nextOption()
-      .map { cs =>
-        val cfg = Option(cs.metadata.get("configuration")).filterNot(_.isNull)
-          .map(_.properties().asScala
-            .map(e => e.getKey -> e.getValue.asText()).toMap)
-          .getOrElse(Map.empty[String, String])
-        val wf = Option(cs.protocol.get("writerFeatures")).filterNot(_.isNull)
-          .map(_.elements().asScala.map(_.asText()).toSet)
-          .getOrElse(Set.empty[String])
-        (cfg, wf)
-      }
+    // a crc is EVIDENCE only when its metadata carries an actual
+    // configuration object — a shape variant that omits it must fall
+    // through to the hint/refusal tiers, never read as "unprotected"
+    vs.iterator.flatMap(v => readChecksum(conf, path, v)).flatMap { cs =>
+      Option(cs.metadata.get("configuration")).filter(_.isObject).map(c =>
+        c.properties().asScala.map(e =>
+          e.getKey -> (if (e.getValue.isNull) null
+                       else e.getValue.asText())).toMap)
+    }.nextOption()
   }
 
   /** The protection-boundary hint this engine records in
@@ -6006,7 +6004,7 @@ object PortableDelta {
             case Some(cfg) => protectionBoundary(cfg) // authoritative:
               // a full configuration without the property = unprotected
             case None => crcProtectionEvidence(conf, path, cv) match {
-              case Some((cfg, _)) => protectionBoundary(cfg)
+              case Some(cfg) => protectionBoundary(cfg)
                 // a version checksum ≥ cv carries the full current
                 // configuration (later changes would be tail metaData) —
                 // works for delta-spark tables too, which write a crc
@@ -7161,8 +7159,11 @@ object PortableDelta {
       finally in.close()
     if (text.isEmpty) return None
     val n = try mapper.readTree(text) catch { case _: Exception => return None }
+    // external crc shapes vary: an explicit JSON null (or a non-object)
+    // in the metadata/protocol slot must read as ABSENT, never cast
     if (!n.has("tableSizeBytes") || !n.has("numFiles") ||
-        !n.has("metadata") || !n.has("protocol")) return None
+        !Option(n.get("metadata")).exists(_.isObject) ||
+        !Option(n.get("protocol")).exists(_.isObject)) return None
     val txnArr = Option(n.get("setTransactions")).filterNot(_.isNull)
     val txns = txnArr.map(_.elements().asScala
       .map(t => t.get("appId").asText() -> t.get("version").asLong()).toMap)

@@ -148,13 +148,19 @@ class CheckpointProtectionSpec extends AnyFunSuite {
     // the boundary resolves from the newest crc's configuration — no-op
     assert(PortableDelta.cleanupLog(conf, path) == 0,
       "crc-resolved boundary (5 > ckpt 2) must no-op the sweep")
-    // a truly evidence-less external table: no hint, no crc, tail
-    // protocol naming the feature — the sweep must REFUSE, not guess
+    // a truly evidence-less external table: no hint, no usable crc,
+    // tail protocol naming the feature — the sweep must REFUSE, not
+    // guess. A crc with "metadata": null (external shape variant) must
+    // read as ABSENT evidence, not as an empty (=unprotected) config.
     crcs.foreach(f => assert(f.delete()))
     new java.io.File(s"$path/_delta_log").listFiles()
       .filter(f => f.getName.matches("\\d{20}\\.crc") ||
         f.getName.startsWith(".") && f.getName.contains(".crc"))
       .foreach(_.delete())
+    java.nio.file.Files.write(
+      new java.io.File(s"$path/_delta_log/${"%020d".format(4L)}.crc").toPath,
+      """{"tableSizeBytes":1,"numFiles":1,"metadata":null,"protocol":null}"""
+        .getBytes("UTF-8"))
     val e = intercept[IllegalStateException] {
       PortableDelta.cleanupLog(conf, path)
     }
