@@ -139,16 +139,22 @@ object Bench {
     // carry the DeltaBench verb map forward: the DML trend lives in the
     // same artifact (machine-adjudicable beside the query trend) and a
     // query-bench rerun must not wipe it
-    val deltaDml: Option[String] = try {
+    val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val deltaDml: Option[com.fasterxml.jackson.databind.JsonNode] = try {
       val f = new java.io.File("BENCH_LOCAL.json")
       if (!f.isFile) None
-      else Option(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(f).get("delta_dml")).map(_.toString)
+      else Option(jsonMapper.readTree(f).get("delta_dml"))
     } catch { case _: Throwable => None }
     for (p <- Seq("/tmp/bench_out.json", "BENCH_LOCAL.json")) {
       val out = deltaDml match {
         case Some(d) if p == "BENCH_LOCAL.json" =>
-          line.dropRight(1) + s""","delta_dml":$d}"""
+          // re-serialize through the parsed tree rather than splicing
+          // text: the artifact stays valid JSON no matter how `line`
+          // is formatted
+          val root = jsonMapper.readTree(line)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          root.set[com.fasterxml.jackson.databind.JsonNode]("delta_dml", d)
+          jsonMapper.writeValueAsString(root)
         case _ => line
       }
       try {

@@ -54,6 +54,8 @@ object DeltaStats {
       case ',' if !quoted => out += cur.result().trim; cur.clear()
       case c => cur += c
     }
+    require(!quoted, s"malformed dataSkippingStatsColumns entry " +
+      s"(unclosed backquote): $list")
     out += cur.result().trim
     out.result().filter(_.nonEmpty)
   }
@@ -77,6 +79,8 @@ object DeltaStats {
       } else cur += c
       i += 1
     }
+    require(!quoted,
+      s"malformed column name (unclosed backquote): $n")
     out += cur.result()
     out.result()
   }

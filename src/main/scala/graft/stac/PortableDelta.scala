@@ -1923,12 +1923,16 @@ object PortableDelta {
     * partition-start index array (length nPartitions+1; last = total).
     * On a checkpoint-seeded table the adds never materialize on the
     * driver; the pre-checkpoint fallback replays the bounded young JSON
-    * log. Evicted when a drain completes (or LRU past 4 tables). */
+    * log. Keyed per SESSION so two live sessions draining the same
+    * pinned snapshot keep independent orderings instead of mutually
+    * evicting each other's persisted frame every trigger; stale
+    * stopped-session entries are swept on each build. Evicted when a
+    * drain completes (or LRU past 4 entries). */
   private val sliceStateCache =
-    new java.util.LinkedHashMap[(String, Long), (Snapshot, DataFrame, Array[Long])](
+    new java.util.LinkedHashMap[(SparkSession, String, Long), (Snapshot, DataFrame, Array[Long])](
       8, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long), (Snapshot, DataFrame, Array[Long])]): Boolean = {
+          e: java.util.Map.Entry[(SparkSession, String, Long), (Snapshot, DataFrame, Array[Long])]): Boolean = {
         val evict = size() > 4
         if (evict) safeUnpersist(e.getValue._2)
         evict
@@ -1946,23 +1950,30 @@ object PortableDelta {
     * slice, evicted + unpersisted when the drain completes). */
   private[stac] def sliceStateCached(path: String, versionAsOf: Long): Boolean =
     sliceStateCache.synchronized {
-      sliceStateCache.containsKey((path, versionAsOf))
+      val it = sliceStateCache.keySet().iterator()
+      var found = false
+      while (!found && it.hasNext) {
+        val k = it.next()
+        found = k._2 == path && k._3 == versionAsOf
+      }
+      found
     }
 
   private def pinnedSliceState(spark: SparkSession, path: String,
                                versionAsOf: Long): (Snapshot, DataFrame, Array[Long]) = {
-    val key = (path, versionAsOf)
+    val key = (spark, path, versionAsOf)
     sliceStateCache.synchronized {
-      val hit = sliceStateCache.get(key)
-      if (hit != null) {
-        // a cached ordering belongs to the session that built it — an
-        // entry from a stopped/replaced session cannot run jobs; drop
-        // it and rebuild under the live one
-        if ((hit._2.sparkSession eq spark) &&
-            !spark.sparkContext.isStopped) return hit
-        sliceStateCache.remove(key)
-        safeUnpersist(hit._2)
+      // sweep entries whose owning session can no longer run jobs —
+      // they hold persisted frames that would otherwise linger
+      val it = sliceStateCache.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1.sparkContext.isStopped) {
+          safeUnpersist(e.getValue._2); it.remove()
+        }
       }
+      val hit = sliceStateCache.get(key)
+      if (hit != null && !spark.sparkContext.isStopped) return hit
     }
     // build OUTSIDE the lock: the sort/persist/count are Spark jobs —
     // holding the global monitor through them would serialize unrelated
@@ -1991,14 +2002,12 @@ object PortableDelta {
     sliceStateCache.synchronized {
       val race = sliceStateCache.get(key)
       // a concurrent same-session build won the put: keep theirs,
-      // release ours
-      if (race != null && (race._2.sparkSession eq spark)) {
+      // release ours (keys carry the session, so a hit here is always
+      // this session's own entry — foreign sessions occupy other keys)
+      if (race != null) {
         safeUnpersist(ordered)
         race
       } else {
-        // a foreign-session entry (another live session's drain) is
-        // displaced — release its persisted ordering rather than leak it
-        if (race != null) safeUnpersist(race._2)
         sliceStateCache.put(key, state)
         state
       }
@@ -2061,7 +2070,7 @@ object PortableDelta {
     val end = fromFile + take
     val complete = end == total
     if (complete) sliceStateCache.synchronized {
-      val st = sliceStateCache.remove((path, versionAsOf))
+      val st = sliceStateCache.remove((spark, path, versionAsOf))
       if (st != null) safeUnpersist(st._2)
     }
     (buildScan(spark, path,
@@ -5937,6 +5946,76 @@ object PortableDelta {
     }.nextOption()
   }
 
+  /** Fourth engine-less evidence tier: the checkpoint PARQUET's own
+    * metaData row, read row-group-by-row-group through parquet-hadoop's
+    * example Group API with a projection holding ONLY the file's
+    * metaData column (built from the file's footer schema, so field
+    * naming always matches) — a million-add checkpoint costs one small
+    * column chunk, never the add column. Covers external tables whose
+    * checkpointProtection protocol/metaData live solely in the
+    * checkpoint (no tail restatement, no crc, no hint). Returns the
+    * configuration map only when a metaData row carries an actual
+    * configuration group — a metaData without one is ABSENT evidence
+    * and falls through to the hint/refusal tiers. */
+  private def checkpointParquetProtectionEvidence(
+      conf: Configuration, path: String, cv: Long): Option[Map[String, String]] = {
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.MessageType
+    val ref = lastCheckpointRef(conf, path).filter(_.version == cv)
+      .getOrElse(CheckpointRef(cv, None))
+    val fs = logDir(path).getFileSystem(conf)
+    checkpointPaths(conf, path, ref).iterator.flatMap { p =>
+      try {
+        if (!fs.exists(p)) Iterator.empty
+        else {
+          val footer = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+          val fileSchema = try footer.getFileMetaData.getSchema finally footer.close()
+          if (!fileSchema.containsField("metaData")) Iterator.empty
+          else {
+            val mdType: org.apache.parquet.schema.Type =
+              fileSchema.getFields.get(fileSchema.getFieldIndex("metaData"))
+            val proj = new MessageType(fileSchema.getName,
+              java.util.Collections.singletonList(mdType))
+            val readConf = new Configuration(conf)
+            readConf.set(
+              org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+              proj.toString)
+            val reader = ParquetReader
+              .builder(new GroupReadSupport(), p).withConf(readConf).build()
+            val found = try {
+              Iterator.continually(reader.read()).takeWhile(_ != null)
+                .flatMap { row =>
+                  if (row.getFieldRepetitionCount("metaData") == 0) None
+                  else {
+                    val md = row.getGroup("metaData", 0)
+                    val hasCfg = md.getType.containsField("configuration") &&
+                      md.getFieldRepetitionCount("configuration") > 0
+                    if (!hasCfg) None
+                    else {
+                      val cfgG = md.getGroup("configuration", 0)
+                      val kvs = (0 until cfgG.getFieldRepetitionCount(0)).map { i =>
+                        val kv = cfgG.getGroup(0, i)
+                        val k = kv.getString("key", 0)
+                        val v = if (kv.getType.containsField("value") &&
+                                    kv.getFieldRepetitionCount("value") > 0)
+                          kv.getString("value", 0) else null
+                        k -> v
+                      }
+                      Some(kvs.toMap)
+                    }
+                  }
+                }.nextOption()
+            } finally reader.close()
+            found.iterator
+          }
+        }
+      } catch { case _: Exception => Iterator.empty } // unreadable part =
+        // absent evidence; the refusal tier still protects
+    }.nextOption()
+  }
+
   /** The protection-boundary hint this engine records in
     * `_last_checkpoint` (extra keys there are ignorable by spec) so
     * conf-only maintenance can honor a boundary whose metaData lives
@@ -5977,13 +6056,17 @@ object PortableDelta {
   /** @param protectBefore the checkpointProtection boundary when the
     *   caller has resolved it (the SparkSession overload and the
     *   checkpoint-time auto-cleanup do). None here resolves
-    *   engine-lessly: a boundary visible in the post-checkpoint JSON
-    *   tail's metaData, else the hint this engine's checkpoints record
-    *   in `_last_checkpoint`. When neither resolves but the tail's
-    *   PROTOCOL shows the checkpointProtection writer feature, the
-    *   cleanup REFUSES (fail-safe — protection is a hard writer
-    *   obligation; deleting protected commits on a guess is
-    *   unrecoverable) and names the SparkSession overload. */
+    *   engine-lessly, in tiers: a configuration visible in the
+    *   post-checkpoint JSON tail's metaData; else the newest `.crc`
+    *   at/after the checkpoint whose metadata carries a configuration
+    *   OBJECT; else the checkpoint parquet's own metaData row (read via
+    *   parquet-hadoop with a metaData-only projection); else the hint
+    *   this engine's checkpoints record in `_last_checkpoint`. When no
+    *   tier resolves but the tail's PROTOCOL shows the
+    *   checkpointProtection writer feature, the cleanup REFUSES
+    *   (fail-safe — protection is a hard writer obligation; deleting
+    *   protected commits on a guess is unrecoverable) and names the
+    *   SparkSession overload. */
   def cleanupLog(conf: Configuration, path: String,
                  retainMillis: Option[Long],
                  protectBefore: Option[Long]): Int =
@@ -6009,16 +6092,25 @@ object PortableDelta {
                 // configuration (later changes would be tail metaData) —
                 // works for delta-spark tables too, which write a crc
                 // per commit
-              case None =>
-                val hint = lastCheckpointProtectionHint(fs, path)
-                if (hint.isEmpty && protoHasFeature)
-                  throw new IllegalStateException(
-                    s"log cleanup of $path refused: the JSON tail's protocol " +
-                      "lists the checkpointProtection writer feature but the " +
-                      "protected boundary is only readable from the checkpoint " +
-                      "parquet — use cleanupLog(spark, path), which resolves " +
-                      s"$CheckpointProtectionProp from the table configuration")
-                hint
+              case None => checkpointParquetProtectionEvidence(conf, path, cv) match {
+                case Some(cfg) => protectionBoundary(cfg)
+                  // the checkpoint parquet's own metaData row IS the
+                  // configuration at cv (a later change would be a tail
+                  // metaData, checked above) — read engine-lessly via
+                  // parquet-hadoop with a metaData-only projection
+                case None =>
+                  val hint = lastCheckpointProtectionHint(fs, path)
+                  if (hint.isEmpty && protoHasFeature)
+                    throw new IllegalStateException(
+                      s"log cleanup of $path refused: the JSON tail's protocol " +
+                        "lists the checkpointProtection writer feature but no " +
+                        "evidence tier resolved the boundary (no tail metaData, " +
+                        "no crc configuration, unreadable checkpoint metaData, " +
+                        "no _last_checkpoint hint) — use cleanupLog(spark, path), " +
+                        s"which resolves $CheckpointProtectionProp from the " +
+                        "table configuration")
+                  hint
+              }
             }
           }
         }

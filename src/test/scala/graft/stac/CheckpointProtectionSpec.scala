@@ -98,8 +98,8 @@ class CheckpointProtectionSpec extends AnyFunSuite {
     assert(PortableDelta.cleanupLog(conf, path) > 0)
   }
 
-  test("conf-only cleanup honors the _last_checkpoint hint; refuses when " +
-       "only the checkpoint parquet knows the boundary") {
+  test("conf-only cleanup honors the _last_checkpoint hint, the crc, and " +
+       "the checkpoint parquet's metaData; refuses when no tier resolves") {
     val path = tmp()
     PortableDelta.write(df(0L), path, properties = Map(
       PortableDelta.CheckpointProtectionProp -> "5"))           // v0
@@ -148,10 +148,11 @@ class CheckpointProtectionSpec extends AnyFunSuite {
     // the boundary resolves from the newest crc's configuration — no-op
     assert(PortableDelta.cleanupLog(conf, path) == 0,
       "crc-resolved boundary (5 > ckpt 2) must no-op the sweep")
-    // a truly evidence-less external table: no hint, no usable crc,
-    // tail protocol naming the feature — the sweep must REFUSE, not
-    // guess. A crc with "metadata": null (external shape variant) must
-    // read as ABSENT evidence, not as an empty (=unprotected) config.
+    // fourth tier: no hint, no usable crc (a crc with "metadata": null —
+    // external shape variant — must read as ABSENT evidence, not as an
+    // empty (=unprotected) config), but the CHECKPOINT PARQUET's own
+    // metaData row carries the configuration — the conf-only sweep reads
+    // it engine-lessly via parquet-hadoop and no-ops
     crcs.foreach(f => assert(f.delete()))
     new java.io.File(s"$path/_delta_log").listFiles()
       .filter(f => f.getName.matches("\\d{20}\\.crc") ||
@@ -161,6 +162,32 @@ class CheckpointProtectionSpec extends AnyFunSuite {
       new java.io.File(s"$path/_delta_log/${"%020d".format(4L)}.crc").toPath,
       """{"tableSizeBytes":1,"numFiles":1,"metadata":null,"protocol":null}"""
         .getBytes("UTF-8"))
+    assert(PortableDelta.cleanupLog(conf, path) == 0,
+      "checkpoint-parquet-resolved boundary (5 > ckpt 2) must no-op the sweep")
+    // the engine-ful overload resolves the boundary and no-ops correctly
+    assert(PortableDelta.cleanupLog(spark, path) == 0)
+    // a truly evidence-less external table: additionally strip the
+    // configuration group OUT of the checkpoint's metaData row (external
+    // shape variant) — with every tier absent and the tail protocol
+    // naming the feature, the sweep must REFUSE, not guess
+    val ckptFile = new java.io.File(
+      s"$path/_delta_log/${"%020d".format(2L)}.checkpoint.parquet")
+    assert(ckptFile.isFile)
+    val cdf = spark.read.parquet(ckptFile.toString)
+    val mdFields = cdf.schema("metaData").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.filterNot(_ == "configuration")
+    val strippedMd = when(col("metaData").isNotNull,
+      struct(mdFields.map(f => col(s"metaData.`$f`").as(f)): _*))
+    val rewritten = cdf.withColumn("metaData", strippedMd)
+    val rwDir = java.nio.file.Files.createTempDirectory("ckrw").toString
+    rewritten.coalesce(1).write.mode("overwrite").parquet(rwDir)
+    val part = new java.io.File(rwDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .head
+    assert(ckptFile.delete())
+    java.nio.file.Files.copy(part.toPath, ckptFile.toPath)
+    new java.io.File(s"$path/_delta_log/.${ckptFile.getName}.crc").delete()
     val e = intercept[IllegalStateException] {
       PortableDelta.cleanupLog(conf, path)
     }
@@ -168,8 +195,6 @@ class CheckpointProtectionSpec extends AnyFunSuite {
       e.getMessage.contains("cleanupLog(spark, path)"))
     assert(jsonVersions(path) == Seq(0L, 1L, 2L, 3L, 4L),
       "a refused sweep must delete nothing")
-    // the engine-ful overload resolves the boundary and no-ops correctly
-    assert(PortableDelta.cleanupLog(spark, path) == 0)
   }
 
   test("interop: external-shaped log listing checkpointProtection replays and accepts writes") {
