@@ -187,10 +187,18 @@ object NearDup {
     * materializing, the [[dedup]]/[[funnel]] contract). Candidates come
     * ONLY from the cross minhash-band join (new × history on (seed,
     * band value)) — never new×new (within-batch dedup is [[dedup]]'s
-    * job, composable before or after) and never history×history. At
-    * 100 TB the history side is the stored signature directory:
-    * per-snapshot cost scales with the new batch's bands, not with
-    * history size. */
+    * job, composable before or after) and never history×history.
+    *
+    * Scale shape: THIS overload takes raw history documents and
+    * re-shingles + re-bands the archive side on every call — right for
+    * one-shot jobs, linear in history size per batch. The production
+    * ingestion loop (daily snapshots against a 100-TB kept archive) must
+    * NOT pay an archive re-scan per snapshot: build the signature
+    * layout once with [[buildBandIndex]] and probe it per batch with
+    * [[dedupAgainstHistoryIndexed]], whose per-snapshot cost is
+    * O(new batch + candidate rows) — band probes push into the index
+    * scan, so unprobed archive row groups are never read. The two paths
+    * return identical rows (spec-proven both directions). */
   def dedupAgainstHistory(history: DataFrame, newDocs: DataFrame, tau: Double,
                           idName: String = "doc_id", textName: String = "text",
                           seeds: Int = 4, shingleN: Int = 3)
@@ -222,6 +230,148 @@ object NearDup {
       .withColumnRenamed("new_id", idName)
     (newDocs.join(flagged.select(col(idName)), Seq(idName), "left_anti"), flagged,
       () => { sgH.unpersist(); sgN.unpersist(); () })
+  }
+
+  private val BandIndexMetaKey = "graft.neardup.band_index"
+
+  /** Materialize the dedup-history SIGNATURE INDEX at `path` — the
+    * build-once layout that makes incremental dedup O(batch) per
+    * snapshot instead of an archive re-scan (the [[Ann.buildIndex]]
+    * discipline). Two co-located parquet layouts under one root:
+    *
+    *   - `bands/`: one row per (seed, minhash band value, hist_id),
+    *     plus `bkey` = xxhash64(seed, mhv) — range-clustered by bkey so
+    *     every row group covers a narrow key interval and a probe
+    *     batch's `In(bkey, …)` pushdown prunes everything else;
+    *   - `shingles/`: the (hist_id, g) shingle-set frame, hist_id-
+    *     clustered, read only for verified-candidate archive docs.
+    *
+    * `seeds`/`shingleN` are stamped into the parquet footer (born-with
+    * via the geoparquet format) so serving never guesses build dials.
+    * Rebuild (or extend with a fresh snapshot's keepers) per archive
+    * version; the layout pass is one linear scan of the archive.
+    * @param files output file count per layout (range-partitioned — not
+    *   one dir per band value, which would melt the file listing) */
+  def buildBandIndex(history: DataFrame, path: String,
+                     idName: String = "doc_id", textName: String = "text",
+                     seeds: Int = 4, shingleN: Int = 3,
+                     files: Int = 64): Unit = {
+    require(seeds >= 1, s"seeds must be >= 1, got $seeds")
+    require(files >= 1, s"files must be >= 1, got $files")
+    val sg = shingleSets(history, idName, textName, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val meta = s"""{"seeds":$seeds,"shingleN":$shingleN}"""
+      sg.select(col(idName).as("hist_id"),
+          posexplode(graft.functions.TextFunctions.minhashSig(col("g"), seeds))
+            .as(Seq("seed", "mhv")))
+        .withColumn("bkey", xxhash64(col("seed"), col("mhv")))
+        .repartitionByRange(files, col("bkey"))
+        .sortWithinPartitions(col("bkey"), col("hist_id"))
+        .write.mode("overwrite").format("geoparquet")
+        .option(graft.stac.GeoParquetFileFormat.OptionPrefix + BandIndexMetaKey, meta)
+        .save(s"$path/bands")
+      sg.select(col(idName).as("hist_id"), col("g"))
+        .repartitionByRange(files, col("hist_id"))
+        .sortWithinPartitions(col("hist_id"))
+        .write.mode("overwrite").format("geoparquet")
+        .option(graft.stac.GeoParquetFileFormat.OptionPrefix + BandIndexMetaKey, meta)
+        .save(s"$path/shingles")
+    } finally { sg.unpersist(); () }
+  }
+
+  /** Read (seeds, shingleN) back from a [[buildBandIndex]] footer. */
+  def bandIndexParams(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Int, Int) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = p.getFileSystem(hconf)
+    val it = fs.listFiles(p, true)
+    var part: Option[String] = None
+    while (part.isEmpty && it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet") && !f.getName.startsWith(".") &&
+          !f.getName.startsWith("_")) part = Some(f.toString)
+    }
+    val meta = part.flatMap(f =>
+      graft.stac.GeoParquetWriter.readFooterMetadata(
+        new org.apache.hadoop.conf.Configuration(hconf), f).get(BandIndexMetaKey))
+    def intOf(key: String) = meta.flatMap(m =>
+      ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(m)).map(_.group(1).toInt)
+    (intOf("seeds"), intOf("shingleN")) match {
+      case (Some(s), Some(n)) => (s, n)
+      case _ => throw new IllegalArgumentException(
+        s"$path is not a dedup band index (no $BandIndexMetaKey footer " +
+          "entry) — build it with NearDup.buildBandIndex")
+    }
+  }
+
+  /** [[dedupAgainstHistory]] served from a materialized
+    * [[buildBandIndex]] layout — the production incremental-ingest
+    * path: per-snapshot cost scales with the NEW batch, not the
+    * archive. Row-for-row identical to the inline overload (same band
+    * candidates, same exact-Jaccard verify, same min-id flag rule).
+    *
+    * Scale shape (100 TB archive): the batch's distinct band keys —
+    * bounded by batch_docs × seeds — push into the bands scan as an
+    * `In(bkey, …)` filter, so row-group min/max stats on the range-
+    * clustered layout prune every unprobed archive row group; the
+    * shingle verify reads only candidate hist_ids the same way. Past
+    * `maxPushdownKeys` distinct values the In list is skipped (a giant
+    * filter costs more than it saves) and the equi-join alone routes —
+    * results are identical either way, the [[Ann.annTopKIndexed]]
+    * contract. Returns (kept, flagged, release) exactly like the inline
+    * overload. */
+  def dedupAgainstHistoryIndexed(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String, newDocs: DataFrame,
+                                 tau: Double, idName: String = "doc_id",
+                                 textName: String = "text",
+                                 maxPushdownKeys: Int = 4096)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val (seeds, shingleN) = bandIndexParams(spark, indexPath)
+    val sgN = shingleSets(newDocs, idName, textName, shingleN)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsN = sgN.select(col(idName).as("new_id"),
+        posexplode(graft.functions.TextFunctions.minhashSig(col("g"), seeds))
+          .as(Seq("seed", "mhv")))
+      .withColumn("bkey", xxhash64(col("seed"), col("mhv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // bounded by the cap: ≤ batch_docs × seeds values, collected once
+    val probeKeys = bandsN.select(col("bkey")).distinct()
+      .limit(maxPushdownKeys + 1).collect().map(_.getLong(0))
+    val bands0 = spark.read.format("geoparquet").load(s"$indexPath/bands")
+    val bands = if (probeKeys.length <= maxPushdownKeys)
+      bands0.filter(col("bkey").isin(probeKeys: _*)) else bands0
+    // join on the REAL key pair (bkey only prunes): candidate generation
+    // must equal the inline band join exactly. NOT persisted — the gate
+    // asserts the In(bkey) pushdown on the returned frame's plan, and a
+    // persist here would swap the scan for an InMemoryRelation (the s14
+    // lesson); the candidate join runs twice (hist_id discovery + the
+    // verify), both passes bkey-pruned O(batch) scans
+    val cand = bandsN.join(
+        bands.select(col("seed").as("seed_h"), col("mhv").as("mhv_h"),
+          col("hist_id")),
+        col("seed") === col("seed_h") && col("mhv") === col("mhv_h"))
+      .select(col("new_id"), col("hist_id")).distinct()
+    val histIds = cand.select(col("hist_id")).distinct()
+      .limit(maxPushdownKeys + 1).collect().map(_.get(0))
+    val sh0 = spark.read.format("geoparquet").load(s"$indexPath/shingles")
+    val shH = if (histIds.length <= maxPushdownKeys)
+      sh0.filter(col("hist_id").isin(histIds: _*)) else sh0
+    val inter = size(array_intersect(col("gn"), col("gh")))
+    val flagged = cand
+      .join(sgN.select(col(idName).as("new_id"), col("g").as("gn")), "new_id")
+      .join(shH.select(col("hist_id"), col("g").as("gh")), "hist_id")
+      .select(col("new_id"), col("hist_id"),
+        (inter.cast("double") / (size(col("gn")) + size(col("gh")) - inter))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("new_id"))
+      .agg(min(col("hist_id")).as("hist_id"),
+        round(min_by(col("jaccard"), col("hist_id")), 9).as("jaccard"))
+      .withColumnRenamed("new_id", idName)
+    (newDocs.join(flagged.select(col(idName)), Seq(idName), "left_anti"), flagged,
+      () => { bandsN.unpersist(); sgN.unpersist(); () })
   }
 
   /** The full fuzzy-dedup funnel (the Dolma/RedPajama shape) as one
