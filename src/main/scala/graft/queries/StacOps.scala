@@ -1633,6 +1633,71 @@ object StacOps {
       },
       timed = false),
 
+    // ----- metadata-only aggregates: COUNT/MIN/MAX from the log -----
+    // delta-spark's OptimizeMetadataOnlyQuery analog: the most common
+    // dashboard query answered from per-file stats already in the log —
+    // at 100 TB, O(log) instead of a full scan. The in-gate requires pin
+    // the two properties the oracle can't see: the stats answer equals
+    // the FULL SCAN bit-for-bit (both value paths run), and after a
+    // DV-writing DELETE the count subtracts cardinality exactly while
+    // MIN/MAX refuses by name (deleted rows may hold the extremum).
+    QuerySpec(
+      "stac50_metadata_only_agg",
+      Some("""
+        WITH f AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                          CAST(min(o_orderkey) AS BIGINT) AS min_key,
+                          CAST(max(o_orderkey) AS BIGINT) AS max_key,
+                          min(o_totalprice) AS min_price,
+                          max(o_totalprice) AS max_price,
+                          min(o_orderstatus) AS min_status,
+                          max(o_orderstatus) AS max_status
+                   FROM orders),
+             l AS (SELECT CAST(count(*) AS BIGINT) AS cnt_after_dv
+                   FROM orders WHERE o_orderkey % 10 <> 3)
+        SELECT f.*, l.cnt_after_dv, true AS minmax_refused_after_dv
+        FROM f CROSS JOIN l
+        ORDER BY cnt"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+          .repartition(8, col("o_orderkey"))
+        val out = java.nio.file.Files.createTempDirectory("stac50").toString + "/tbl"
+        // multi-commit so the stats fold spans several adds' JSON
+        PortableDelta.write(orders.filter(col("o_orderkey") % 2 === 0), out)
+        PortableDelta.write(orders.filter(col("o_orderkey") % 2 === 1), out,
+          mode = "append")
+        val m = PortableDelta.aggregateFromStats(s, out,
+          Seq("o_orderkey", "o_totalprice", "o_orderstatus")).head()
+        // value check 1 (in-gate): stats answer ≡ the full scan
+        val full = PortableDelta.readTable(s, out)
+          .agg(count(lit(1)).cast("long"), min("o_orderkey"), max("o_orderkey"),
+            min("o_totalprice"), max("o_totalprice"),
+            min("o_orderstatus"), max("o_orderstatus")).head()
+        require((0 until 7).forall(i => m.get(i) == full.get(i)),
+          s"stats aggregate must equal the full scan: $m vs $full")
+        // DV leg: DELETE flips files to DV-carrying; count stays exact,
+        // min/max refuses by name
+        val d = PortableDelta.delete(s, out, col("o_orderkey") % 10 === 3)
+        require(d.deletedRows > 0, "gate needs the delete to bite")
+        val cntAfter = PortableDelta.aggregateFromStats(s, out).head().getLong(0)
+        require(cntAfter == PortableDelta.readTable(s, out).count(),
+          "DV-subtracted count must equal the live row count")
+        val refused = try {
+          PortableDelta.aggregateFromStats(s, out, Seq("o_orderkey")); false
+        } catch {
+          case e: IllegalStateException => e.getMessage.contains("deletion vector")
+        }
+        val s2 = s
+        import s2.implicits._
+        Seq((m.getLong(0), m.getLong(1), m.getLong(2), m.getDouble(3),
+            m.getDouble(4), m.getString(5), m.getString(6), cntAfter, refused))
+          .toDF("cnt", "min_key", "max_key", "min_price", "max_price",
+            "min_status", "max_status", "cnt_after_dv",
+            "minmax_refused_after_dv")
+          .orderBy(col("cnt"))
+      }),
+
     // ----- Delta OPTIMIZE: compaction + Z-order, the layout doctor -----
     // The two maintenance passes a 100-TB lakehouse table needs: (1)
     // bin-packing compaction — a per-minute streaming sink makes

@@ -5,7 +5,7 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import scala.jdk.CollectionConverters._
 
 /** Version-checksum (.crc) and table-stats surface of
@@ -323,6 +323,177 @@ private[stac] trait DeltaChecksumOps extends Serializable { self: PortableDelta.
             (small, snap.files.size.toLong, snap.files.map(_.size).sum, false)
         }
     }
+  }
+
+  /** METADATA-ONLY aggregation — `COUNT(*)` plus `MIN`/`MAX` over
+    * `minMaxCols`, answered entirely from the log's per-file stats
+    * (numRecords / minValues / maxValues harvested at commit) without
+    * opening a single data file: the delta-spark
+    * OptimizeMetadataOnlyQuery analog, and at 100 TB the difference
+    * between O(log) and a full scan for the most common dashboard
+    * query. Returns ONE row: `cnt` (BIGINT) then `min_<col>` /
+    * `max_<col>` in the column's own type.
+    *
+    * Scale shape: on a checkpoint-seeded table the add rows stay a
+    * DataFrame end-to-end — stats parse and fold on EXECUTORS over the
+    * checkpoint's add frame, and exactly one aggregated row reaches the
+    * driver (a million-add table costs the driver O(1), the
+    * readTableWhere discipline).
+    *
+    * Soundness (REFUSES by name, never guesses):
+    *   - COUNT subtracts each file's deletion-vector cardinality —
+    *     exact, DVs welcome; a file with no numRecords stat (or a DV of
+    *     unknown cardinality) refuses.
+    *   - MIN/MAX refuse when any live file carries a DV (the surviving
+    *     extremum is unknowable from metadata), lacks min/max for the
+    *     column (unless nullCount == numRecords: an all-null file
+    *     contributes nothing, exactly like SQL MIN/MAX), or the column
+    *     is a partition column / nested-ineligible type.
+    *   - Column-mapped tables refuse (stats key by PHYSICAL names);
+    *     read through [[readTable]] instead. */
+  def aggregateFromStats(spark: SparkSession, path: String,
+                         minMaxCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, max, min, sum}
+    import org.apache.spark.sql.Row
+    val conf = spark.sessionState.newHadoopConf()
+    val (snapBase, addsDf) = checkpointRefFor(conf, path) match {
+      case Some(ref) => lazyCheckpointState(spark, path, ref)
+      case None =>
+        val snap = snapshot(conf, path)
+        (snap.copy(files = Nil), addFilesToFlatDf(spark, snap.files))
+    }
+    if (mappedCfg(snapBase.configuration))
+      throw new IllegalStateException(
+        s"aggregateFromStats($path) refused: column mapping is enabled and " +
+          "stats key by physical names — read through readTable instead")
+    val schema = snapBase.schema
+    def namePartsAt(chain: Seq[Int]): Seq[String] = {
+      val out = Vector.newBuilder[String]
+      var st: DataType = schema
+      chain.foreach { i =>
+        val f = st.asInstanceOf[StructType].fields(i)
+        out += f.name; st = f.dataType
+      }
+      out.result()
+    }
+    // comparable storage domain of the shuffled per-file extrema —
+    // matches DeltaStats.decodeJson's output exactly
+    def comparableSql(dt: DataType): DataType = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => LongType
+      case FloatType | DoubleType => DoubleType
+      case StringType => StringType
+      case org.apache.spark.sql.types.BooleanType =>
+        org.apache.spark.sql.types.BooleanType
+      case other => throw new IllegalStateException(
+        s"aggregateFromStats($path) refused: type $other carries no " +
+          "sound min/max stats")
+    }
+    val resolved: Seq[(String, Seq[String], DataType)] = minMaxCols.map { n =>
+      if (snapBase.partitionColumns.exists(_.equalsIgnoreCase(n)))
+        throw new IllegalStateException(
+          s"aggregateFromStats($path) refused: $n is a partition column — " +
+            "stats do not cover partition values")
+      val (chain, dt) = DeltaStats.resolvePath(schema, n).getOrElse(
+        throw new IllegalArgumentException(s"no such column in $path: $n"))
+      comparableSql(dt) // fail fast on ineligible leaf types
+      (n, namePartsAt(chain), dt)
+    }
+    val midSchema = StructType(
+      Seq(StructField("nr", LongType), StructField("dvc", LongType),
+        StructField("cbad", StringType)) ++
+      resolved.zipWithIndex.flatMap { case ((_, _, dt), i) =>
+        Seq(StructField(s"mn$i", comparableSql(dt)),
+          StructField(s"mx$i", comparableSql(dt)),
+          StructField(s"bad$i", StringType))
+      })
+    val parts = resolved.map(_._2)
+    val names = resolved.map(_._1)
+    val schemaB = schema // stable reference for the executor closure
+    val perFile = addsDf.rdd.map { r =>
+      val p = r.getString(0)
+      val hasDv = !r.isNullAt(3)
+      val dvCard: Long =
+        if (!hasDv) 0L else if (r.isNullAt(7)) -1L else r.getLong(7)
+      val fs = if (r.isNullAt(8)) null
+        else try DeltaStats.parseStats(r.getString(8), schemaB)
+          catch { case scala.util.control.NonFatal(_) => null }
+      val nr: java.lang.Long =
+        if (fs == null) null else fs.numRecords.map(Long.box).orNull
+      val cbad =
+        if (nr == null) s"file $p carries no numRecords stat"
+        else if (hasDv && dvCard < 0L)
+          s"file $p has a deletion vector of unknown cardinality"
+        else null
+      val colFields = parts.zip(names).flatMap { case (key, n) =>
+        if (fs == null)
+          Seq(null, null, s"file $p carries no stats (min/max of $n unknown)")
+        else if (hasDv)
+          Seq(null, null,
+            s"file $p carries a deletion vector — min/max of $n is not " +
+              "derivable from stats (deleted rows may hold the extremum)")
+        else (fs.mins.get(key), fs.maxs.get(key)) match {
+          case (Some(lo), Some(hi)) => Seq(lo, hi, null)
+          case _ =>
+            val allNull = nr != null && fs.nulls.get(key).contains(nr.longValue())
+            if (allNull) Seq(null, null, null) // contributes nothing, like SQL
+            else Seq(null, null, s"file $p has no min/max for $n")
+        }
+      }
+      Row.fromSeq(Seq(nr, if (dvCard < 0L) 0L else dvCard, cbad) ++ colFields)
+    }
+    val mid = spark.createDataFrame(perFile, midSchema)
+    val aggCols = Seq(
+      coalesce(sum(org.apache.spark.sql.functions.col("nr")), lit(0L)).as("snr"),
+      coalesce(sum(org.apache.spark.sql.functions.col("dvc")), lit(0L)).as("sdv"),
+      max(org.apache.spark.sql.functions.col("cbad")).as("cbad"),
+      count(lit(1)).as("nf")) ++
+      resolved.indices.flatMap { i =>
+        Seq(min(org.apache.spark.sql.functions.col(s"mn$i")).as(s"mn$i"),
+          max(org.apache.spark.sql.functions.col(s"mx$i")).as(s"mx$i"),
+          max(org.apache.spark.sql.functions.col(s"bad$i")).as(s"bad$i"))
+      }
+    val row = mid.agg(aggCols.head, aggCols.tail: _*).head()
+    if (!row.isNullAt(row.fieldIndex("cbad")))
+      throw new IllegalStateException(
+        s"aggregateFromStats($path) refused: ${row.getString(row.fieldIndex("cbad"))}")
+    resolved.indices.foreach { i =>
+      val bi = row.fieldIndex(s"bad$i")
+      if (!row.isNullAt(bi))
+        throw new IllegalStateException(
+          s"aggregateFromStats($path) refused: ${row.getString(bi)}")
+    }
+    val cnt = row.getLong(row.fieldIndex("snr")) - row.getLong(row.fieldIndex("sdv"))
+    // comparable domain → the column's external type for the result row
+    def external(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (l: Long, ByteType) => l.toByte
+      case (l: Long, ShortType) => l.toShort
+      case (l: Long, IntegerType) => l.toInt
+      case (l: Long, LongType) => l
+      case (l: Long, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+      case (l: Long, TimestampType) =>
+        val ts = new java.sql.Timestamp(Math.floorDiv(l, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(l, 1000000L) * 1000L).toInt); ts
+      case (l: Long, TimestampNTZType) =>
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(l, 1000000L),
+          (Math.floorMod(l, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case (d: Double, FloatType) => d.toFloat
+      case (d: Double, DoubleType) => d
+      case (other, _) => other
+    }
+    val outSchema = StructType(StructField("cnt", LongType, nullable = false) +:
+      resolved.flatMap { case (n, _, dt) =>
+        Seq(StructField(s"min_$n", dt), StructField(s"max_$n", dt))
+      })
+    val outRow = Row.fromSeq(cnt +: resolved.zipWithIndex.flatMap {
+      case ((_, _, dt), i) =>
+        Seq(external(row.get(row.fieldIndex(s"mn$i")), dt),
+          external(row.get(row.fieldIndex(s"mx$i")), dt))
+    })
+    spark.createDataFrame(
+      java.util.Collections.singletonList(outRow), outSchema)
   }
 
   /** Recompute the current version's state independently and compare

@@ -93,7 +93,7 @@ object DeltaStats {
     * the nested walk (delta semantics) and falls back to an exact
     * top-level match, so a field whose name literally contains a dot
     * stays addressable with or without backquotes. */
-  private def resolvePath(schema: StructType,
+  private[stac] def resolvePath(schema: StructType,
                           dotted: String): Option[(Seq[Int], DataType)] = {
     def walk(st: StructType, parts: List[String],
              acc: Vector[Int]): Option[(Seq[Int], DataType)] = parts match {
@@ -400,12 +400,12 @@ object DeltaStats {
 
   /** Parse a stats JSON back into per-column (min, max) comparables plus
     * nullCount/numRecords. Missing pieces → None (never prune). */
-  private final case class FileStats(numRecords: Option[Long],
+  private[stac] final case class FileStats(numRecords: Option[Long],
                                      mins: Map[Seq[String], Any],
                                      maxs: Map[Seq[String], Any],
                                      nulls: Map[Seq[String], Long])
 
-  private def parseStats(json: String, schema: StructType): FileStats = {
+  private[stac] def parseStats(json: String, schema: StructType): FileStats = {
     val node = mapper.readTree(json)
     // stats sections nest alongside the schema (minValues.a.b for a
     // nested leaf) — flatten to path-parts keys, typed by the schema
