@@ -785,8 +785,14 @@ object DedupOps {
         ORDER BY doc_id"""),
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
+        // gate dial: the sf0.1 batch (~2.5k docs × 4 seeds) carries ~10k
+        // distinct band keys — above the production default's In-list
+        // cap, below this gate's (the gate exists to pin the pushdown
+        // MECHANISM; the cap-overflow fallback identity is spec-proven
+        // in NearDupIndexSpec)
         val (_, flagged, _) = graft.operators.NearDup.dedupAgainstHistoryIndexed(
-          s, bandIndex(s, dir), docs.filter(col("doc_id") % 2 === 1), tau = 0.6)
+          s, bandIndex(s, dir), docs.filter(col("doc_id") % 2 === 1), tau = 0.6,
+          maxPushdownKeys = 65536)
         val out = flagged.orderBy(col("doc_id"))
         // the batch's band keys must prune at the SCAN, not post-read
         // (asserted before any caller persist — the s14 lesson): find the

@@ -213,6 +213,22 @@ object Pipeline {
   def stratifiedKeep(idCol: Column, ratePercent: Column): Column =
     DedupOps.hashBucket100(idCol) < ratePercent
 
+  /** Train a BPE merge vocabulary over the corpus (t18's gate-verified
+    * derivation): (step, sym_a, sym_b, pair_count) in training order. */
+  def trainBpeVocab(docs: DataFrame, merges: Int,
+                    textName: String = "text"): DataFrame =
+    graft.operators.Bpe.train(docs, merges, textName)
+
+  /** Per-doc token counts under a TRAINED BPE vocabulary — the t09
+    * packing hook: feed (idName, n_tokens) to the packing/offset
+    * derivations in place of whitespace counts, so sequence bins fill
+    * by the tokens the trainer will actually see. Returns
+    * (counts, release). */
+  def bpeTokenCounts(docs: DataFrame, mergeTable: DataFrame,
+                     idName: String = "doc_id",
+                     textName: String = "text"): (DataFrame, () => Unit) =
+    graft.operators.Bpe.tokenCounts(docs, mergeTable, idName, textName)
+
   /** The composed C4-style cleaning funnel (t13's engine): langid gate →
     * quality floor → PII scrub → exact dedup of scrubbed text over a
     * (source, doc_id, text) frame; returns per-source (n_input, n_lang,

@@ -694,8 +694,76 @@ object TextOps {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
         repetitionStats(docs).orderBy(col("doc_id"))
+      }),
+
+    // ----- BPE vocabulary training (the step after t05's pre-tokenizer) -----
+    // k rounds of count-adjacent-pairs → argmax → apply-merge over the
+    // word vocabulary, every step exact integers with a total-order
+    // tiebreak (count DESC, sym_a, sym_b) — so the oracle can replay the
+    // ENTIRE merge sequence round for round (unrolled CTEs, the
+    // lmScoreCteFor discipline): a drifted count, a different tiebreak,
+    // or wrong greedy-run merge semantics fails the hash at the step it
+    // happens. Scale: the corpus-sized work is ONE word-frequency
+    // hash-agg; training runs on the word vocabulary with per-round
+    // lineage truncation (the d16 loop discipline).
+    QuerySpec(
+      "t18_bpe_training",
+      Some(bpeOracleSql(8)),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        graft.operators.Bpe.train(docs, merges = 8).orderBy(col("step"))
       })
   )
+
+  /** DuckDB replay of [[graft.operators.Bpe.train]]: `merges` unrolled
+    * rounds (q0 → r1/m1/t1/q1 → …), same pair counting (overlapping
+    * occurrences weighted by word freq), same argmax tiebreak, same
+    * greedy-leftmost run merge. */
+  private[queries] def bpeOracleSql(merges: Int): String = {
+    val rounds = (1 to merges).map { n =>
+      s"""
+        r$n AS MATERIALIZED (SELECT word, freq, pos, sym,
+                       row_number() OVER (PARTITION BY word ORDER BY pos) AS rn,
+                       lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                FROM q${n - 1}),
+        m$n AS MATERIALIZED (SELECT sym AS sa, nxt AS sb, CAST(sum(freq) AS BIGINT) AS cnt
+                FROM r$n WHERE nxt IS NOT NULL
+                GROUP BY 1, 2
+                ORDER BY cnt DESC, sa ASC, sb ASC LIMIT 1),
+        t$n AS MATERIALIZED (SELECT mw, mrn FROM (
+                  SELECT mw, mrn,
+                         row_number() OVER (PARTITION BY mw, grp ORDER BY mrn) AS j
+                  FROM (SELECT r.word AS mw, r.rn AS mrn,
+                               r.rn - row_number() OVER (PARTITION BY r.word
+                                                         ORDER BY r.rn) AS grp
+                        FROM r$n r JOIN m$n m ON r.sym = m.sa AND r.nxt = m.sb))
+                WHERE j % 2 = 1),
+        q$n AS MATERIALIZED (SELECT r.word, r.freq, r.pos,
+                       CASE WHEN t.mrn IS NOT NULL THEN r.sym || r.nxt
+                            ELSE r.sym END AS sym
+                FROM r$n r
+                LEFT JOIN t$n t ON t.mw = r.word AND t.mrn = r.rn
+                LEFT JOIN t$n c ON c.mw = r.word AND c.mrn = r.rn - 1
+                WHERE c.mrn IS NULL)"""
+    }.mkString(",")
+    val steps = (1 to merges).map(n =>
+      s"SELECT $n AS step, sa AS sym_a, sb AS sym_b, cnt AS pair_count FROM m$n")
+      .mkString("\n        UNION ALL ")
+    s"""
+        WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                   FROM (SELECT unnest(string_split(text, ' ')) AS word
+                         FROM documents)
+                   WHERE word <> '' GROUP BY word),
+        s0 AS MATERIALIZED (SELECT word, freq,
+                      unnest(generate_series(1, CAST(length(word) AS BIGINT))) AS pos
+               FROM w),
+        q0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, CAST(pos AS INT), 1) AS sym
+               FROM s0
+               UNION ALL
+               SELECT word, freq, length(word) + 1, '</w>' FROM w),$rounds
+        $steps
+        ORDER BY step"""
+  }
 
   /** Gopher-style per-document n-gram repetition stats (the t17 gate's
     * engine): (doc_id, tot2, dup2, frac2, tot3, dup3, frac3, repetitive)
