@@ -822,7 +822,7 @@ object StreamingOps {
         val src1 = new DeltaCdfSource(s, tbl, ck, maxVersionsPerTrigger = 1)
         var triggers = 0
         for (_ <- 0 until 2) src1.readAvailable().foreach { case (df, to) =>
-          apply(df, to); src1.commitProgress(to); triggers += 1
+          apply(df, to.version); src1.commitProgress(to); triggers += 1
         }
         require(triggers == 2 && src1.watermark == 1L,
           s"expected 2 one-version triggers, watermark 1, got $triggers/" +

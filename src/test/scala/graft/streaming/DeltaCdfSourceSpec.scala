@@ -29,16 +29,16 @@ class DeltaCdfSourceSpec extends AnyFunSuite {
       df(Seq(10L + k), "a").coalesce(1), tbl, mode = "append"))      // v1-4
     val src = new DeltaCdfSource(spark, tbl, ck, maxVersionsPerTrigger = 2)
     val Some((w1, to1)) = src.readAvailable()
-    assert(to1 == 1L && w1.count() == 4L) // v0 (3 rows) + v1 (1 row)
+    assert(to1.version == 1L && w1.count() == 4L) // v0 (3 rows) + v1 (1 row)
     // NOT committed: a re-read returns the SAME window
     val Some((w1b, to1b)) = src.readAvailable()
-    assert(to1b == 1L && w1b.count() == 4L)
+    assert(to1b.version == 1L && w1b.count() == 4L)
     src.commitProgress(1L)
     val Some((w2, to2)) = src.readAvailable()
-    assert(to2 == 3L && w2.count() == 2L)
+    assert(to2.version == 3L && w2.count() == 2L)
     src.commitProgress(3L)
     val Some((w3, to3)) = src.readAvailable()
-    assert(to3 == 4L && w3.count() == 1L)
+    assert(to3.version == 4L && w3.count() == 1L)
     src.commitProgress(4L)
     assert(src.readAvailable().isEmpty && src.watermark == 4L)
   }
@@ -95,7 +95,7 @@ class DeltaCdfSourceSpec extends AnyFunSuite {
     // commitProgress — the watermark still says -1
     val src1 = new DeltaCdfSource(spark, tbl, ck, maxVersionsPerTrigger = 1)
     val Some((c1, to1)) = src1.readAvailable()
-    sink(c1, to1)
+    sink(c1, to1.version)
     assert(src1.watermark == -1L)
     // restart: the SAME window re-delivers; the txn-tagged sink voids
     // the duplicate before any data lands, then progress commits
@@ -112,5 +112,59 @@ class DeltaCdfSourceSpec extends AnyFunSuite {
       "exactly-once: no duplicate from the re-delivered window")
     val txns = PortableDelta.snapshot(spark, down).txns
     assert(txns.get("cdf-pipe").contains(2L), s"got $txns")
+  }
+
+  test("initial snapshot: late joiner accumulates to the direct read; " +
+       "restart-exact mid-snapshot; truncated history is fine") {
+    val tbl = tmp("cdfsnap"); val ck = tmp("cdfsnap-ck")
+    PortableDelta.write(df(0L until 6L, "a").repartition(3), tbl)    // v0
+    PortableDelta.write(df(10L until 14L, "b").repartition(2), tbl,
+      mode = "append")                                               // v1
+    PortableDelta.delete(spark, tbl, col("id") === 2L)               // v2 (DV)
+    // checkpoint + truncate: the early history is GONE — a from-0
+    // replay cannot serve this consumer, only the snapshot start can
+    assert(PortableDelta.checkpoint(spark, tbl) == 2L)
+    PortableDelta.cleanupLog(spark, tbl)
+    val replayer = new DeltaCdfSource(spark, tbl, tmp("cdfsnap-ck0"))
+    val e = intercept[IllegalArgumentException] {
+      replayer.readAvailable().foreach(_._1.count())
+    }
+    assert(e.getMessage.contains("not available") ||
+      e.getMessage.contains("checkpoint-truncated"), e.getMessage)
+
+    // late joiner under a 1-file rate limit: the snapshot drains
+    // slice-wise; crash after two slices, restart resumes exactly
+    val acc = scala.collection.mutable.Map.empty[Long, String]
+    def applyBatch(changes: org.apache.spark.sql.DataFrame): Unit =
+      changes.select("id", "tag", "_change_type").collect().foreach { r =>
+        if (r.getString(2) == "delete") acc.remove(r.getLong(0))
+        else acc(r.getLong(0)) = r.getString(1)
+      }
+    val src1 = new DeltaCdfSource(spark, tbl, ck,
+      maxFilesPerTrigger = Some(1), initialSnapshot = true)
+    for (_ <- 0 until 2) src1.readAvailable().foreach { case (d, off) =>
+      assert(off.snapshot, "1-file slices of a 5-file snapshot stay in-flight")
+      val rows = d.select("id", "tag", "_change_type", "_commit_version").collect()
+      assert(rows.forall(r => r.getString(2) == "insert" && r.getLong(3) == 2L),
+        "snapshot rows surface as inserts stamped with the pinned version")
+      applyBatch(d); src1.commitProgress(off)
+    }
+    assert(src1.offset.exists(_.snapshot) && src1.watermark == -1L)
+    // commits racing PAST the pinned snapshot arrive later as changes
+    PortableDelta.write(df(Seq(20L), "c").coalesce(1), tbl,
+      mode = "append")                                               // v3
+    PortableDelta.delete(spark, tbl, col("id") === 10L)              // v4
+    val src2 = new DeltaCdfSource(spark, tbl, ck,
+      maxFilesPerTrigger = Some(1), initialSnapshot = true)
+    val n = src2.runAvailableNow((d, _) => applyBatch(d))
+    assert(n >= 3, s"remaining slices + v3 + v4, got $n")
+    assert(src2.watermark == 4L)
+    val direct = PortableDelta.readTable(spark, tbl)
+      .select("id", "tag").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(acc.toMap == direct,
+      s"accumulated state must equal the direct read: $acc vs $direct")
+    // caught up, no re-delivery
+    assert(new DeltaCdfSource(spark, tbl, ck,
+      initialSnapshot = true).readAvailable().isEmpty)
   }
 }
