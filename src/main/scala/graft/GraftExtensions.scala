@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // open bbox_intersects into pushable bbox.* conjuncts (row-group
     // pruning via the STAC-GeoParquet covering stats)
     ext.injectOptimizerRule(_ => graft.plans.RewriteBboxIntersects)
+    // strengthen st_intersects_rect over FOREIGN GeoParquet layouts with
+    // the covering columns the file's footer declares. POST-HOC
+    // RESOLUTION, not an optimizer rule: the conjuncts must land while
+    // the covering columns are still in the filter child's output and
+    // the geometry attribute still carries the reader-stamped metadata —
+    // predicate pushdown and column pruning erase both
+    ext.injectPostHocResolutionRule(_ => graft.stac.RewriteCoveringIntersects)
   }
 }
 

@@ -9,6 +9,26 @@ class BboxIntersectsSpec extends AnyFunSuite {
   private lazy val spark = SparkSpec.spark
   import spark.implicits._
 
+  /** A session armed with [[graft.GraftExtensions]] (post-hoc covering
+    * rewrite) on the SAME SparkContext — extensions only apply at
+    * session construction, so the shared session can't be retrofitted.
+    * The shared default/active session is restored immediately. */
+  private lazy val armedSession: org.apache.spark.sql.SparkSession = {
+    val base = spark // force the shared session first
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8, 3]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    org.apache.spark.sql.SparkSession.setActiveSession(base)
+    s
+  }
+
   private def boxes = Seq(
     (1L, Some((0.0, 0.0, 2.0, 2.0))),   // overlaps query box
     (2L, Some((5.0, 5.0, 6.0, 6.0))),   // disjoint
@@ -70,6 +90,63 @@ class BboxIntersectsSpec extends AnyFunSuite {
       .select(BboxFunctions.bboxIntersects(col("bbox"), 10.0, 1.0, 20.0, 3.0).as("h"))
       .collect()(0)
     assert(row.isNullAt(0))
+  }
+
+  test("foreign covering: the footer-declared bounds columns push; results equal exact eval") {
+    import graft.stac.{GeoFunctions, GeoParquetCovering, GeoParquetFileFormat}
+    // a FOREIGN GeoParquet shape: geometry column "geom", covering
+    // struct "bounds" with minx/miny/maxx/maxy — none of this engine's
+    // own bbox conventions
+    val rows = Seq(
+      (1L, (0.0, 0.0, 2.0, 2.0)),  // overlaps the query rect
+      (2L, (5.0, 5.0, 6.0, 6.0)),  // disjoint
+      (3L, (3.0, 0.0, 4.0, 1.0)))  // touches the query xmax edge
+    val df = rows.toDF("id", "t").select(col("id"),
+      graft.stac.GeoFunctions.bbox_polygon_wkb(col("t._1"), col("t._2"),
+        col("t._3"), col("t._4")).as("geom"),
+      struct(col("t._1").as("minx"), col("t._2").as("miny"),
+        col("t._3").as("maxx"), col("t._4").as("maxy")).as("bounds"))
+    val geoJson =
+      """{"version":"1.1.0","primary_column":"geom","columns":{"geom":{
+        |"encoding":"WKB","covering":{"bbox":{
+        |"xmin":["bounds","minx"],"ymin":["bounds","miny"],
+        |"xmax":["bounds","maxx"],"ymax":["bounds","maxy"]}}}}}"""
+        .stripMargin.replace("\n", "")
+    val tmp = java.nio.file.Files.createTempDirectory("foreigngpq").toString + "/t"
+    df.write.format("geoparquet")
+      .option(GeoParquetFileFormat.OptionPrefix + "geo", geoJson).save(tmp)
+    val armed = armedSession
+    val back = GeoParquetCovering.read(armed, tmp)
+    val q = back.filter(
+        GeoParquetCovering.stIntersectsRect(col("geom"), 1.0, 1.0, 3.0, 3.0))
+      .select("id")
+    val plan = q.queryExecution.executedPlan.toString
+    // the rendered PushedFilters list truncates (the original-test
+    // lesson) — the IsNotNull guards lead it; the bound compares show in
+    // the un-truncated Filter condition over the same bounds fields
+    assert(plan.contains("PushedFilters: [IsNotNull(bounds.minx") &&
+      plan.contains(".minx <= 3.0") && plan.contains(".maxx >= 1.0") &&
+      plan.contains(".miny <= 3.0") && plan.contains(".maxy >= 1.0"),
+      s"expected the DECLARED covering bounds pushed:\n$plan")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // same answer as raw exact evaluation with no covering metadata
+    val raw = spark.read.parquet(tmp)
+      .filter(GeoParquetCovering.stIntersectsRect(col("geom"), 1.0, 1.0, 3.0, 3.0))
+      .collect().map(_.getLong(0)).toSet
+    assert(raw == Set(1L, 3L))
+  }
+
+  test("no covering declared: read passes through; the exact filter still works") {
+    import graft.stac.GeoParquetCovering
+    val tmp = java.nio.file.Files.createTempDirectory("plaingpq").toString + "/t"
+    Seq((1L, (0.0, 0.0, 2.0, 2.0)), (2L, (5.0, 5.0, 6.0, 6.0))).toDF("id", "t")
+      .select(col("id"), graft.stac.GeoFunctions.bbox_polygon_wkb(
+        col("t._1"), col("t._2"), col("t._3"), col("t._4")).as("geom"))
+      .write.parquet(tmp)
+    val got = GeoParquetCovering.read(armedSession, tmp)
+      .filter(GeoParquetCovering.stIntersectsRect(col("geom"), 1.0, 1.0, 3.0, 3.0))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
   }
 
   test("SQL surface: bbox_intersects registers and rewrites") {
