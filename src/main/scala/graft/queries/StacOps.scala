@@ -1698,6 +1698,71 @@ object StacOps {
           .orderBy(col("cnt"))
       }),
 
+    // ----- collated columns: the `collations` writer feature end-to-end -----
+    // A Delta table whose string column carries a UTF8_LCASE collation:
+    // the log serializes the RFC shape (plain string + __COLLATIONS
+    // metadata — asserted in-gate with the feature declaration), replay
+    // restores the collated Spark type, and ordering/equality downstream
+    // are case-insensitive. The oracle replays with DuckDB's NOCASE
+    // collation — for this ASCII data both collations are exactly
+    // lowercase-then-binary, so the rank derivation is value-identical
+    // (ties broken by the unique key in both engines).
+    QuerySpec(
+      "stac51_delta_collations",
+      Some("""
+        WITH b AS (SELECT o_orderkey AS id,
+                          CASE WHEN o_orderkey % 2 = 0
+                               THEN lower(o_orderpriority)
+                               ELSE o_orderpriority END AS name
+                   FROM orders),
+             r AS (SELECT id, name,
+                          row_number() OVER (ORDER BY name COLLATE NOCASE, id)
+                            AS ci_rank,
+                          (name COLLATE NOCASE) = '1-urgent' AS eq_urgent
+                   FROM b)
+        SELECT id, name, CAST(ci_rank AS BIGINT) AS ci_rank, eq_urgent,
+               true AS feature_declared, true AS rfc_shape
+        FROM r
+        ORDER BY id"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val rows = Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          when(col("o_orderkey") % 2 === 0, lower(col("o_orderpriority")))
+            .otherwise(col("o_orderpriority")).as("name"))
+          .withColumn("name", expr("collate(name, 'UTF8_LCASE')"))
+        val out = java.nio.file.Files.createTempDirectory("stac51").toString + "/tbl"
+        PortableDelta.write(rows, out)
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.writerFeatures.contains("collations"),
+          s"collated schema must declare the writer feature: ${snap.writerFeatures}")
+        // the LOG carries the portable RFC shape (plain string +
+        // __COLLATIONS metadata), not Spark's inline type syntax
+        val raw = {
+          val src = scala.io.Source.fromFile(
+            s"$out/_delta_log/${"%020d".format(0L)}.json")
+          try src.getLines().find(_.contains("\"metaData\"")).get
+          finally src.close()
+        }
+        require(raw.contains("__COLLATIONS") &&
+          raw.contains("""\"type\":\"string\"""") && !raw.contains("collate "),
+          s"schemaString must use the __COLLATIONS metadata shape: ${raw.take(300)}")
+        val back = PortableDelta.readTable(s, out)
+        require(back.schema("name").dataType.json ==
+          "\"string collate UTF8_LCASE\"",
+          "read-back must restore the collated type")
+        import org.apache.spark.sql.expressions.Window
+        back.withColumn("ci_rank",
+            row_number().over(Window.orderBy(col("name"), col("id"))).cast("long"))
+          .withColumn("eq_urgent", col("name") === "1-urgent")
+          .withColumn("feature_declared", lit(true))
+          .withColumn("rfc_shape", lit(true))
+          .select(col("id"), col("name").cast("string").as("name"),
+            col("ci_rank"), col("eq_urgent"), col("feature_declared"),
+            col("rfc_shape"))
+          .orderBy(col("id"))
+      }),
+
     // ----- Delta OPTIMIZE: compaction + Z-order, the layout doctor -----
     // The two maintenance passes a 100-TB lakehouse table needs: (1)
     // bin-packing compaction — a per-minute streaming sink makes

@@ -746,6 +746,10 @@ private[stac] trait DeltaAlterOps extends Serializable { self: PortableDelta.typ
           snap.schema.fieldNames.mkString("[", ", ", "]"))
       val mb = new org.apache.spark.sql.types.MetadataBuilder()
       comment.foreach(mb.putString("comment", _))
+      // a COLLATED string column serializes portably via Spark's own
+      // StructType JSON (__COLLATIONS metadata); the engine's obligation
+      // is declaring the writer feature in the same commit
+      val collated = hasCollatedStrings(dataType)
       val (field, cfg) =
         if (!mappedCfg(snap.configuration))
           (StructField(name, dataType, nullable = true, mb.build()),
@@ -762,6 +766,8 @@ private[stac] trait DeltaAlterOps extends Serializable { self: PortableDelta.typ
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[JsonNode]
       actions += commitInfo(now, s"ADD COLUMNS ($name)")
+      if (collated)
+        featureUpgradeAction(snap, Nil, Seq("collations")).foreach(actions += _)
       actions += metaDataAction(snap.tableId,
         StructType(snap.schema.fields :+ field), cfg, now,
         snap.partitionColumns)

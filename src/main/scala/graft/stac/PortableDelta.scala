@@ -68,7 +68,7 @@ object PortableDelta
     "deletionVectors", "v2Checkpoint", "timestampNtz", "inCommitTimestamp",
     "rowTracking", "domainMetadata", "clustering", "vacuumProtocolCheck",
     "allowColumnDefaults", "typeWidening", "variantType",
-    "checkpointProtection")
+    "checkpointProtection", "collations")
 
   /** `delta.requireCheckpointProtectionBeforeVersion` — the
     * checkpointProtection feature's companion property: metadata cleanup
@@ -167,7 +167,7 @@ object PortableDelta
     * This is the Delta idempotent-streaming-writes pattern: a
     * foreachBatch sink passes its batchId and a crash-replayed batch
     * cannot double-append. */
-  def write(df0: DataFrame, path: String,
+  def write(dfRaw: DataFrame, path: String,
             properties: Map[String, String] = Map.empty,
             mode: String = "error",
             footerKv: Map[String, String] = Map.empty,
@@ -178,6 +178,7 @@ object PortableDelta
     require(Set("error", "append", "overwrite").contains(mode),
       s"mode must be error|append|overwrite, got $mode")
     propertyFeatures(properties) // unknown delta.feature.* refuses BEFORE staging
+    val df0 = dfRaw
     val conf = df0.sparkSession.sessionState.newHadoopConf()
     def readPrior(): Option[Snapshot] =
       if (checkpointRefFor(conf, path).isDefined)
@@ -382,7 +383,8 @@ object PortableDelta
           (if (generatedFields(df.schema).nonEmpty) Seq("generatedColumns")
            else Nil) ++
           (if (idents.nonEmpty) Seq("identityColumns") else Nil) ++
-          (if (defaults.nonEmpty) Seq("allowColumnDefaults") else Nil)
+          (if (defaults.nonEmpty) Seq("allowColumnDefaults") else Nil) ++
+          (if (hasCollatedStrings(df.schema)) Seq("collations") else Nil)
         if (born.isEmpty && ntz.isEmpty) actions += protocolAction()
         else {
           val base = Snapshot(-1L, MinReaderVersion, MinWriterVersion, "",
@@ -446,6 +448,14 @@ object PortableDelta
           .foreach(actions += _)
       if (prior.nonEmpty && defaults.nonEmpty)
         featureUpgradeAction(prior.get, Nil, Seq("allowColumnDefaults"))
+          .foreach(actions += _)
+      // a table gaining its first collated column (mergeSchema append /
+      // overwrite-with-new-schema) declares the writer feature in the
+      // same commit
+      if (prior.nonEmpty &&
+          (hasCollatedStrings(df.schema) ||
+           evolvedSchema.exists(hasCollatedStrings)))
+        featureUpgradeAction(prior.get, Nil, Seq("collations"))
           .foreach(actions += _)
       val commitCfg = prior.map(p =>
         if (mode == "overwrite" && properties.nonEmpty) properties
@@ -1113,6 +1123,46 @@ object PortableDelta
     val value = lit(base) + lit(step) *
       (element_at(typedLit(offsets), spark_partition_id()).cast(LongType) + local)
     (df.withColumn(f.name, value.cast(LongType).as(f.name, f.metadata)), off)
+  }
+
+  /** Delta `collations` writer feature — COLLATED STRING columns.
+    * Serialization needs no engine-side shuffling: Spark's own
+    * StructType JSON hoists a field's collation into the
+    * `__COLLATIONS` field-metadata entry with a PLAIN "string" physical
+    * type — exactly the delta collation-RFC layout — and the parser
+    * materializes the collated type back (consuming the marker). So the
+    * schemaString in the log/checkpoint is portable (feature-unaware
+    * readers still parse it and read the unchanged bytes), replay
+    * yields collated Spark types, and every read/DML comparison
+    * downstream is collation-aware natively. What the ENGINE owns is
+    * the protocol obligation: any schema carrying a collated string —
+    * top-level or nested — declares the `collations` writer feature
+    * (create, evolve, addColumn, healing upgrade on externally-shaped
+    * tables). Identifiers follow "provider.NAME" ("spark.UTF8_LCASE",
+    * "icu.UNICODE_CI"). */
+  val CollationsMetadataKey = "__COLLATIONS"
+
+  /** "PROVIDER.NAME" identifier of a NON-DEFAULT collation (None for
+    * plain UTF8_BINARY strings). */
+  private[stac] def collationIdentifier(
+      s: org.apache.spark.sql.types.StringType): Option[String] = {
+    val c = org.apache.spark.sql.catalyst.util.CollationFactory
+      .fetchCollation(s.collationId)
+    if (c.collationName == "UTF8_BINARY") None
+    else Some(s"${c.provider}.${c.collationName}") // "spark.UTF8_LCASE",
+    // "icu.UNICODE_CI" — Spark's own serialized casing
+  }
+
+  /** Does the schema carry a NON-DEFAULT collated string anywhere?
+    * Such tables are gated on the `collations` writer feature. */
+  private[stac] def hasCollatedStrings(dt: DataType): Boolean = dt match {
+    case s: org.apache.spark.sql.types.StringType =>
+      collationIdentifier(s).isDefined
+    case s: StructType => s.fields.exists(f => hasCollatedStrings(f.dataType))
+    case org.apache.spark.sql.types.ArrayType(e, _) => hasCollatedStrings(e)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      hasCollatedStrings(k) || hasCollatedStrings(v)
+    case _ => false
   }
 
   /** Does the schema carry a TIMESTAMP WITHOUT TIME ZONE anywhere

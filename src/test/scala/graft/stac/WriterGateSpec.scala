@@ -86,8 +86,7 @@ class WriterGateSpec extends AnyFunSuite {
   // here. Refusal must stage NOTHING: the table dir byte-set is
   // identical after every refused verb.
   for (feat <- Seq("icebergCompatV1", "icebergCompatV2",
-                   "coordinatedCommits", "catalogOwned-preview",
-                   "collations")) {
+                   "coordinatedCommits", "catalogOwned-preview")) {
     test(s"external log listing '$feat' refuses writes BY NAME, stages nothing") {
       val path = tmp()
       PortableDelta.write(df(0L until 4L).coalesce(1), path)          // v0
@@ -119,6 +118,19 @@ class WriterGateSpec extends AnyFunSuite {
       assert(listing() == before,
         s"a refused verb must stage NOTHING under $path")
     }
+  }
+
+  test("external log listing 'collations' ACCEPTS writes (round-12 refusal " +
+       "flipped: the feature is implemented)") {
+    val path = tmp()
+    PortableDelta.write(df(0L until 4L).coalesce(1), path)            // v0
+    pushProtocol(path, 1L, Seq("appendOnly", "invariants", "collations"))
+    assert(PortableDelta.readTable(spark, path).count() == 4L)
+    // writes proceed through the gate — the feature's obligations are
+    // implemented (serialize/restore + declaration), not refused
+    PortableDelta.write(df(Seq(9L)).coalesce(1), path, mode = "append")
+    assert(PortableDelta.readTable(spark, path).count() == 5L)
+    assert(PortableDelta.delete(spark, path, col("id") === 0L).deletedRows == 1L)
   }
 
   test("vacuumProtocolCheck on BOTH protocol sides is fully supported") {
