@@ -481,6 +481,74 @@ object StreamingOps {
       },
       timed = false),
 
+    // ----- streaming incremental dedup served from the BAND INDEX -----
+    // st12's production form (the d21 relationship replayed streaming):
+    // each micro-batch of new documents probes the MATERIALIZED archive
+    // band index (built once, untimed prepare) through
+    // NearDup.dedupAgainstHistoryIndexed inside foreachBatch — per-batch
+    // cost is O(batch + candidates) with the batch's band keys pushed
+    // into the index scan (asserted for a real batch), never the
+    // st12-inline shape that re-derives history bands every trigger.
+    // Double delivery collapses in the final min/min_by aggregate (the
+    // st12 invariance argument). Oracle = d17's batch derivation: the
+    // streamed, indexed flags must equal the one-shot inline answer.
+    QuerySpec(
+      "st20_streaming_incremental_dedup_indexed",
+      Some(s"""
+        WITH ${DedupOps.pairsCte},
+             x AS (SELECT CASE WHEN doc_a % 2 = 1 THEN doc_a ELSE doc_b END AS new_id,
+                          CASE WHEN doc_a % 2 = 1 THEN doc_b ELSE doc_a END AS hist_id,
+                          jaccard
+                   FROM jp
+                   WHERE jaccard >= 0.6 AND (doc_a % 2) != (doc_b % 2))
+        SELECT new_id AS doc_id,
+               CAST(min(hist_id) AS BIGINT) AS hist_id,
+               round(min_by(jaccard, hist_id), 9) AS jaccard
+        FROM x
+        GROUP BY new_id
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val idxPath = DedupOps.bandIndex(s, dir)
+        val docsB = graft.Tables.t(s, dir, "documents")
+        val src = stageSource(dir, "documents", "st20", copies = 2)
+        val outDir = java.nio.file.Files.createTempDirectory("st20_out").toString
+        val pushed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val q = s.readStream.schema(docsB.schema).parquet(src)
+          .filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              val (_, flagged, release) = graft.operators.NearDup
+                .dedupAgainstHistoryIndexed(s, idxPath, batch, tau = 0.6,
+                  maxPushdownKeys = 65536)
+              // the batch's band keys must prune the index SCAN (the d21
+              // in-gate discipline, checked on a live micro-batch plan)
+              val scans = flagged.queryExecution.sparkPlan.collect {
+                case f: org.apache.spark.sql.execution.FileSourceScanExec
+                    if f.metadata.getOrElse("Location", "").contains("bands") =>
+                  f.metadata.getOrElse("PushedFilters", "")
+              }
+              if (scans.nonEmpty && scans.forall(_.contains("In(bkey")))
+                pushed.set(true)
+              flagged.write.mode("append").parquet(outDir)
+              release()
+            }
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        awaitBounded(q, "st20")
+        require(pushed.get(),
+          "streaming indexed dedup must push batch band keys into the bands scan")
+        s.read.parquet(outDir)
+          .groupBy(col("doc_id"))
+          .agg(min(col("hist_id")).as("hist_id"),
+            round(min_by(col("jaccard"), col("hist_id")), 9).as("jaccard"))
+          .orderBy(col("doc_id"))
+      },
+      timed = false,
+      prepare = Some((s, dir) => { DedupOps.bandIndex(s, dir); () })),
+
     // ----- streaming → Delta sink, EXACTLY-once via per-batch txn -----
     // Composes the two round-6/7 pieces: foreachBatch +
     // PortableDelta.write(append) where every micro-batch commits
