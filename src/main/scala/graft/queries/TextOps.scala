@@ -712,14 +712,79 @@ object TextOps {
       (s, dir) => {
         val docs = Tables.t(s, dir, "documents")
         graft.operators.Bpe.train(docs, merges = 8).orderBy(col("step"))
-      })
+      }),
+
+    // ----- trained-vocab token counts (the t09 packing hook, end-to-end) -----
+    // Encode every document under the TRAINED merge table (built once,
+    // untimed prepare — t18 times training itself): Bpe.tokenCounts
+    // replays the merges over the word vocabulary through the SAME
+    // applyMerge the trainer used, so train and encode cannot drift; the
+    // oracle counts symbols per word off the replay's FINAL round (q8)
+    // and folds them over each doc's word occurrences. This is the
+    // number sequence-packing fills bins with when a real tokenizer
+    // replaces whitespace counts.
+    QuerySpec(
+      "t19_bpe_token_counts",
+      Some(s"""
+        WITH ${bpeCtes(8)},
+             wt AS (SELECT word, CAST(count(*) AS BIGINT) AS word_tokens
+                    FROM q8 GROUP BY word),
+             dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents),
+             tc AS (SELECT doc_id, CAST(sum(word_tokens) AS BIGINT) AS n
+                    FROM (SELECT doc_id, word FROM dw WHERE word <> '') j
+                    JOIN wt USING (word)
+                    GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(tc.n, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN tc USING (doc_id)
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val docs = Tables.t(s, dir, "documents")
+        val (counts, release) =
+          graft.operators.Bpe.tokenCounts(docs, bpeMergeTable(s, dir))
+        // materialize, release the encoded-vocabulary cache, return the
+        // (tiny: one row per doc) result as a local frame — a leaked
+        // per-pass persist would skew interleaved bench passes (the
+        // round-7 lesson)
+        val rows = counts.orderBy(col("doc_id")).collect()
+        release()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, counts.schema)
+          .orderBy(col("doc_id"))
+      },
+      prepare = Some((s, dir) => { bpeMergeTable(s, dir); () }))
   )
+
+  /** t19's one-time trained merge table per (session, dataset) — the
+    * t18 derivation, memoized so the encode gate times ENCODING (the
+    * packing hook's real work), not a re-train (the s12/d21 build-once
+    * discipline). */
+  private val bpeVocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def bpeMergeTable(s: SparkSession, dir: String): DataFrame =
+    bpeVocabCache.getOrElseUpdate((s, dir),
+      graft.operators.Bpe.train(Tables.t(s, dir, "documents"), merges = 8))
 
   /** DuckDB replay of [[graft.operators.Bpe.train]]: `merges` unrolled
     * rounds (q0 → r1/m1/t1/q1 → …), same pair counting (overlapping
     * occurrences weighted by word freq), same argmax tiebreak, same
     * greedy-leftmost run merge. */
   private[queries] def bpeOracleSql(merges: Int): String = {
+    val steps = (1 to merges).map(n =>
+      s"SELECT $n AS step, sa AS sym_a, sb AS sym_b, cnt AS pair_count FROM m$n")
+      .mkString("\n        UNION ALL ")
+    s"""
+        WITH ${bpeCtes(merges)}
+        $steps
+        ORDER BY step"""
+  }
+
+  /** The shared CTE body of the BPE replay: word vocab (`w`), initial
+    * symbol rows (`q0`), and `merges` unrolled rounds ending in
+    * `q<merges>` — the post-training symbol sequences. t18 selects the
+    * merge table off m1..mN; t19 counts tokens off q<merges>. */
+  private[queries] def bpeCtes(merges: Int): String = {
     val rounds = (1 to merges).map { n =>
       s"""
         r$n AS MATERIALIZED (SELECT word, freq, pos, sym,
@@ -746,11 +811,7 @@ object TextOps {
                 LEFT JOIN t$n c ON c.mw = r.word AND c.mrn = r.rn - 1
                 WHERE c.mrn IS NULL)"""
     }.mkString(",")
-    val steps = (1 to merges).map(n =>
-      s"SELECT $n AS step, sa AS sym_a, sb AS sym_b, cnt AS pair_count FROM m$n")
-      .mkString("\n        UNION ALL ")
-    s"""
-        WITH w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
+    s"""w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq
                    FROM (SELECT unnest(string_split(text, ' ')) AS word
                          FROM documents)
                    WHERE word <> '' GROUP BY word),
@@ -760,9 +821,7 @@ object TextOps {
         q0 AS MATERIALIZED (SELECT word, freq, pos, substr(word, CAST(pos AS INT), 1) AS sym
                FROM s0
                UNION ALL
-               SELECT word, freq, length(word) + 1, '</w>' FROM w),$rounds
-        $steps
-        ORDER BY step"""
+               SELECT word, freq, length(word) + 1, '</w>' FROM w),$rounds"""
   }
 
   /** Gopher-style per-document n-gram repetition stats (the t17 gate's
