@@ -344,11 +344,14 @@ private[stac] trait DeltaChecksumOps extends Serializable { self: PortableDelta.
     *   - COUNT subtracts each file's deletion-vector cardinality —
     *     exact, DVs welcome; a file with no numRecords stat (or a DV of
     *     unknown cardinality) refuses.
-    *   - MIN/MAX refuse when any live file carries a DV (the surviving
-    *     extremum is unknowable from metadata), lacks min/max for the
-    *     column (unless nullCount == numRecords: an all-null file
-    *     contributes nothing, exactly like SQL MIN/MAX), or the column
-    *     is a partition column / nested-ineligible type.
+    *   - MIN/MAX over DATA columns refuse when any live file carries a
+    *     DV (the surviving extremum is unknowable from metadata) or
+    *     lacks min/max for the column (unless nullCount == numRecords:
+    *     an all-null file contributes nothing, exactly like SQL).
+    *   - MIN/MAX over PARTITION columns answer from each file's
+    *     partitionValues — exact even under DVs (a file contributes its
+    *     value iff live rows remain); timestamp-typed partition values
+    *     refuse (hive string encoding is timezone-ambiguous).
     *   - Column-mapped tables refuse (stats key by PHYSICAL names);
     *     read through [[readTable]] instead. */
   def aggregateFromStats(spark: SparkSession, path: String,
@@ -389,15 +392,32 @@ private[stac] trait DeltaChecksumOps extends Serializable { self: PortableDelta.
         s"aggregateFromStats($path) refused: type $other carries no " +
           "sound min/max stats")
     }
+    // a PARTITION column's min/max comes from partitionValues, not file
+    // stats (the OptimizeMetadataOnlyQuery analog): every row of a file
+    // shares the file's value, so it contributes iff the file has live
+    // rows — exact even under DVs (a fully-dead file's value is gone).
+    // Timestamp-typed partition values refuse (hive string encoding is
+    // timezone-ambiguous); Nil parts marks the partition route below.
     val resolved: Seq[(String, Seq[String], DataType)] = minMaxCols.map { n =>
-      if (snapBase.partitionColumns.exists(_.equalsIgnoreCase(n)))
-        throw new IllegalStateException(
-          s"aggregateFromStats($path) refused: $n is a partition column — " +
-            "stats do not cover partition values")
-      val (chain, dt) = DeltaStats.resolvePath(schema, n).getOrElse(
-        throw new IllegalArgumentException(s"no such column in $path: $n"))
-      comparableSql(dt) // fail fast on ineligible leaf types
-      (n, namePartsAt(chain), dt)
+      if (snapBase.partitionColumns.exists(_.equalsIgnoreCase(n))) {
+        val f = schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(s"no such column in $path: $n"))
+        f.dataType match {
+          case TimestampType | TimestampNTZType =>
+            throw new IllegalStateException(
+              s"aggregateFromStats($path) refused: $n is a timestamp " +
+                "partition column — its hive string encoding is " +
+                "timezone-ambiguous; read through readTable instead")
+          case dt =>
+            comparableSql(dt) // fail fast on ineligible types
+            (f.name, Nil, dt)
+        }
+      } else {
+        val (chain, dt) = DeltaStats.resolvePath(schema, n).getOrElse(
+          throw new IllegalArgumentException(s"no such column in $path: $n"))
+        comparableSql(dt) // fail fast on ineligible leaf types
+        (n, namePartsAt(chain), dt)
+      }
     }
     val midSchema = StructType(
       Seq(StructField("nr", LongType), StructField("dvc", LongType),
@@ -407,8 +427,7 @@ private[stac] trait DeltaChecksumOps extends Serializable { self: PortableDelta.
           StructField(s"mx$i", comparableSql(dt)),
           StructField(s"bad$i", StringType))
       })
-    val parts = resolved.map(_._2)
-    val names = resolved.map(_._1)
+    val colSpecs = resolved
     val schemaB = schema // stable reference for the executor closure
     val perFile = addsDf.rdd.map { r =>
       val p = r.getString(0)
@@ -425,8 +444,33 @@ private[stac] trait DeltaChecksumOps extends Serializable { self: PortableDelta.
         else if (hasDv && dvCard < 0L)
           s"file $p has a deletion vector of unknown cardinality"
         else null
-      val colFields = parts.zip(names).flatMap { case (key, n) =>
-        if (fs == null)
+      val pvMap: Map[String, String] =
+        if (r.isNullAt(9)) Map.empty else r.getMap[String, String](9).toMap
+      def decodePv(v: String, dt: DataType): Any = dt match {
+        case ByteType | ShortType | IntegerType | LongType => v.trim.toLong
+        case FloatType | DoubleType => v.trim.toDouble
+        case StringType => v
+        case org.apache.spark.sql.types.BooleanType => v.trim.toBoolean
+        case DateType => java.time.LocalDate.parse(v.trim).toEpochDay
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+      val colFields = colSpecs.flatMap { case (n, key, dt) =>
+        if (key.isEmpty) {
+          // PARTITION route: the file's one value, counted iff live rows
+          // remain (cbad already refuses the call when nr/dvCard are
+          // unknown, so these reads cannot escape unsound)
+          val live = if (nr == null) 0L else nr.longValue() - math.max(dvCard, 0L)
+          pvMap.get(n).filter(v =>
+              v != null && v != "__HIVE_DEFAULT_PARTITION__") match {
+            case Some(v) if live > 0L =>
+              try { val d = decodePv(v, dt); Seq(d, d, null) }
+              catch { case scala.util.control.NonFatal(_) =>
+                Seq(null, null,
+                  s"file $p has an undecodable partition value for $n: $v") }
+            case _ => Seq(null, null, null) // null value / no live rows
+          }
+        }
+        else if (fs == null)
           Seq(null, null, s"file $p carries no stats (min/max of $n unknown)")
         else if (hasDv)
           Seq(null, null,

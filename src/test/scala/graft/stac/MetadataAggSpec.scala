@@ -170,16 +170,54 @@ class MetadataAggSpec extends AnyFunSuite {
     assert(e.getMessage.contains("y-nostats.parquet"), e.getMessage)
   }
 
-  test("refusals: partition column, unknown column, column-mapped table") {
+  test("partition-column min/max answers from partitionValues, DV-exact") {
     val s = spark; import s.implicits._
     val path = tmp()
     PortableDelta.write(
-      (0L to 9L).map(i => (i, s"p${i % 2}")).toDF("k", "part"),
+      (0L to 9L).map(i => (i, s"p${i % 3}", i * 2.5)).toDF("k", "part", "v")
+        .coalesce(1), // one multi-row file per partition dir
       path, partitionBy = Seq("part"))
-    val e1 = intercept[IllegalStateException] {
-      PortableDelta.aggregateFromStats(spark, path, Seq("part"))
+    def check(): Unit = {
+      val got = PortableDelta.aggregateFromStats(spark, path,
+        Seq("part", "k")).head()
+      val full = PortableDelta.readTable(spark, path)
+        .agg(count(lit(1)), min("part"), max("part"), min("k"), max("k")).head()
+      assert((0 until 5).forall(i => got.get(i) == full.get(i)),
+        s"$got vs $full")
     }
-    assert(e1.getMessage.contains("partition column"))
+    check()
+    // kill ONE partition's rows entirely: its value must vanish from
+    // the metadata answer exactly like the full scan's
+    val d = PortableDelta.delete(spark, path, col("part") === "p2")
+    assert(d.deletedRows > 0)
+    val after = PortableDelta.aggregateFromStats(spark, path, Seq("part")).head()
+    assert(after.getString(after.fieldIndex("max_part")) == "p1",
+      s"a fully-dead partition's value must drop: $after")
+    assert(after.getLong(0) == PortableDelta.readTable(spark, path).count())
+    // a PARTIAL delete leaves a DV: data-column min/max refuses, but the
+    // partition answer stays exact (the file still has live rows)
+    val d2 = PortableDelta.delete(spark, path, col("k") === 0L)
+    assert(d2.deletedRows == 1L && d2.removedFiles == 0)
+    intercept[IllegalStateException] {
+      PortableDelta.aggregateFromStats(spark, path, Seq("k"))
+    }
+    val dv = PortableDelta.aggregateFromStats(spark, path, Seq("part")).head()
+    assert(dv.getString(dv.fieldIndex("min_part")) == "p0" &&
+      dv.getLong(0) == PortableDelta.readTable(spark, path).count())
+  }
+
+  test("refusals: timestamp partition column, unknown column, column-mapped table") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(
+      (0L to 3L).map(i => (i,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 86400))))
+        .toDF("k", "ts"),
+      path, partitionBy = Seq("ts"))
+    val e1 = intercept[IllegalStateException] {
+      PortableDelta.aggregateFromStats(spark, path, Seq("ts"))
+    }
+    assert(e1.getMessage.contains("timestamp partition"), e1.getMessage)
     intercept[IllegalArgumentException] {
       PortableDelta.aggregateFromStats(spark, path, Seq("nope"))
     }
