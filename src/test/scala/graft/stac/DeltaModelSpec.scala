@@ -291,6 +291,21 @@ class DeltaModelSpec extends AnyFunSuite {
           fail(s"$ctx step=$step trace=[${trace.mkString(" -> ")}]: " +
             e.getMessage)
       }
+      // metadata-only COUNT probe: the log's per-file stats must
+      // re-derive the model's cardinality after EVERY fuzzed op
+      // (DV-subtracted exactly, no data file opened). Refusal is legal
+      // only for the one named unsound case the fuzz can reach (column
+      // mapping after a rename) — a refusal for any other reason, or a
+      // wrong value, fails with the trace.
+      try {
+        val cnt = PortableDelta.aggregateFromStats(spark, path).head().getLong(0)
+        assert(cnt == model.size.toLong,
+          s"$ctx step=$step trace=[${trace.mkString(" -> ")}]: " +
+            s"aggregateFromStats count $cnt != model ${model.size}")
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("column mapping") =>
+          () // named refusal — never a silently wrong value
+      }
       // CDF-vs-model-diff probe: with row tracking on, every DML
       // commit's reconstructed feed must equal the model's before/after
       // diff EXACTLY — update pairs for changed ids (MERGE included,
