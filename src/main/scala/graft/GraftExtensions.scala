@@ -98,7 +98,13 @@ object GraftFunctions {
         // coerce the bounds so plain SQL literals work (1, 1.0 parse as
         // int/decimal; the expression wants doubles)
         def d(e: Expression) = Cast(e, org.apache.spark.sql.types.DoubleType)
-        graft.plans.BboxIntersects(a(0), d(a(1)), d(a(2)), d(a(3)), d(a(4))) }))
+        graft.plans.BboxIntersects(a(0), d(a(1)), d(a(2)), d(a(3)), d(a(4))) }),
+    ("st_intersects_rect",
+      info("st_intersects_rect",
+        "st_intersects_rect(geom_wkb, xmin, ymin, xmax, ymax) - exact JTS geometry-rectangle intersects; over a GeoParquetCovering.read frame the analyzer adds the file's declared covering bounds as pushable conjuncts"),
+      (es: Seq[Expression]) => { val a = arity(es, 5, "st_intersects_rect")
+        def d(e: Expression) = Cast(e, org.apache.spark.sql.types.DoubleType)
+        graft.stac.StIntersectsRect(a(0), d(a(1)), d(a(2)), d(a(3)), d(a(4))) }))
 
   /** Register on an already-running session (the extensions path only
     * applies at session construction). */

@@ -149,6 +149,34 @@ class BboxIntersectsSpec extends AnyFunSuite {
     assert(got == Seq(1L))
   }
 
+  test("SQL surface: st_intersects_rect registers; covering rewrite fires on the armed session") {
+    import graft.stac.{GeoParquetCovering, GeoParquetFileFormat}
+    val armed = armedSession
+    val rows = Seq((1L, (0.0, 0.0, 2.0, 2.0)), (2L, (5.0, 5.0, 6.0, 6.0)))
+    val df = rows.toDF("id", "t").select(col("id"),
+      graft.stac.GeoFunctions.bbox_polygon_wkb(col("t._1"), col("t._2"),
+        col("t._3"), col("t._4")).as("geom"),
+      struct(col("t._1").as("minx"), col("t._2").as("miny"),
+        col("t._3").as("maxx"), col("t._4").as("maxy")).as("bounds"))
+    val geoJson =
+      """{"version":"1.1.0","primary_column":"geom","columns":{"geom":{
+        |"encoding":"WKB","covering":{"bbox":{
+        |"xmin":["bounds","minx"],"ymin":["bounds","miny"],
+        |"xmax":["bounds","maxx"],"ymax":["bounds","maxy"]}}}}}"""
+        .stripMargin.replace("\n", "")
+    val tmp = java.nio.file.Files.createTempDirectory("sqlgpq").toString + "/t"
+    df.write.format("geoparquet")
+      .option(GeoParquetFileFormat.OptionPrefix + "geo", geoJson).save(tmp)
+    GeoParquetCovering.read(armed, tmp).createOrReplaceTempView("covered_view")
+    // int and decimal literals coerce (the registration casts to double)
+    val got = armed.sql(
+      "SELECT id FROM covered_view WHERE st_intersects_rect(geom, 1, 1.0, 3, 3.0)")
+    assert(got.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(bounds.minx"),
+      s"SQL path must get the covering pushdown too:\n$plan")
+  }
+
   test("SQL surface: bbox_intersects registers and rewrites") {
     graft.GraftFunctions.register(spark)
     BboxFunctions.armRewrite(spark)
