@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // open bbox_intersects into pushable bbox.* conjuncts (row-group
     // pruning via the STAC-GeoParquet covering stats)
     ext.injectOptimizerRule(_ => graft.plans.RewriteBboxIntersects)
+    // COUNT/MIN/MAX over a portable-delta relation answered from log
+    // stats when sound (falls back to the scan, never errors)
+    ext.injectOptimizerRule(_ => graft.stac.OptimizeDeltaMetadataOnlyAgg)
     // strengthen st_intersects_rect over FOREIGN GeoParquet layouts with
     // the covering columns the file's footer declares. POST-HOC
     // RESOLUTION, not an optimizer rule: the conjuncts must land while

@@ -1763,6 +1763,167 @@ object StacOps {
           .orderBy(col("id"))
       }),
 
+    // ----- portable-delta file source: plain SQL over the Delta log -----
+    // spark.read.format("portable-delta") / CREATE TABLE ... USING — the
+    // DSv1 relation whose FileIndex is the LOG (the delta-spark
+    // TahoeLogFileIndex shape): listFiles answers the planner from
+    // per-file stats + partitionValues (no directory listing, no footer
+    // I/O), and everything downstream is stock Catalyst — parquet
+    // PushedFilters, column pruning, vectorized codegen. The in-gate
+    // requires pin the three properties the oracle can't see: the scan
+    // planned FEWER files than the table holds (log-stats pruning at
+    // planning time), the predicate reached parquet as PushedFilters,
+    // and the relation's answer is bit-identical to readTableWhere AND
+    // to the SQL CREATE TABLE route. The table is checkpoint-seeded, so
+    // pruning evaluates executor-side over the checkpoint's add frame.
+    QuerySpec(
+      "stac52_delta_file_source",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS fmt_push_ok
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY yr
+        ORDER BY yr"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderdate")) // time-tiled files
+        val out = java.nio.file.Files.createTempDirectory("stac52").toString + "/tbl"
+        PortableDelta.write(orders, out)
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.cleanupLog(s.sessionState.newHadoopConf(), out)
+        val cutoff = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+        val cond = col("o_orderdate") >= lit(cutoff)
+        val q = s.read.format("portable-delta").load(out).filter(cond)
+        // in-gate plan asserts BEFORE any persist (the s14 rule)
+        val scans = q.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        require(scans.size == 1 &&
+            scans.head.metadata("Location").contains("PortableDeltaFileIndex"),
+          s"the scan must plan through the log-backed index: ${scans.map(_.metadata("Location"))}")
+        require(scans.head.metadata("PushedFilters").contains("o_orderdate"),
+          s"predicate must reach parquet: ${scans.head.metadata("PushedFilters")}")
+        val planned = scans.head.selectedPartitions.totalNumberOfFiles
+        val total = PortableDelta.snapshot(s, out).files.size
+        require(planned > 0 && planned < total,
+          s"log stats must prune files at planning: planned $planned of $total")
+        def check(df: org.apache.spark.sql.DataFrame) = df
+          .agg(count(lit(1)).cast("long"), sum(col("o_orderkey")).cast("long"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).cast("long"))
+          .head()
+        // value parity: relation ≡ readTableWhere ≡ the SQL table route
+        val viaApi = check(PortableDelta.readTableWhere(s, out, cond))
+        require(check(q) == viaApi,
+          "format(\"portable-delta\") must answer exactly like readTableWhere")
+        s.sql("DROP TABLE IF EXISTS graft_stac52_t")
+        s.sql(s"CREATE TABLE graft_stac52_t USING `portable-delta` " +
+          s"OPTIONS (path '$out')")
+        try require(check(s.sql(
+            "SELECT * FROM graft_stac52_t " +
+              "WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'")) == viaApi,
+          "the CREATE TABLE route must answer exactly like the API")
+        finally s.sql("DROP TABLE IF EXISTS graft_stac52_t")
+        q.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("fmt_push_ok", lit(true))
+          .orderBy(col("yr"))
+      },
+      timed = false),
+
+    // ----- implicit metadata-only aggregates: the optimizer rule -----
+    // stac50 pins the EXPLICIT aggregateFromStats API; this pins the
+    // IMPLICIT path plain-SQL users hit: a COUNT/MIN/MAX over a bare
+    // portable-delta relation is rewritten by OptimizeDeltaMetadataOnlyAgg
+    // into a one-row LocalRelation computed from log stats — the plan
+    // contains NO data-file scan (asserted in-gate), delta-spark's
+    // OptimizeMetadataOnlyQuery analog. Soundness is the fallback
+    // contract, also asserted: the same aggregate with a WHERE keeps the
+    // scan (stats can't answer it), and with the rule disabled the scan
+    // answer is bit-identical to the rewrite's. Nested struct leaves
+    // (bbox.xmin, the round-11 stats shape) answer too.
+    QuerySpec(
+      "stac53_metadata_only_rule",
+      Some("""
+        WITH b AS (SELECT o_orderkey AS okey,
+                          CAST(o_orderkey % 360 - 180 AS DOUBLE) AS xmin
+                   FROM orders),
+             f AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                          CAST(min(okey) AS BIGINT) AS min_key,
+                          CAST(max(okey) AS BIGINT) AS max_key,
+                          min(xmin) AS min_xmin,
+                          max(xmin) AS max_xmin
+                   FROM b),
+             g AS (SELECT CAST(count(*) AS BIGINT) AS flt_cnt,
+                          CAST(min(okey) AS BIGINT) AS flt_min_key
+                   FROM b WHERE okey % 2 = 0)
+        SELECT f.cnt, f.min_key, f.max_key, f.min_xmin, f.max_xmin,
+               g.flt_cnt, g.flt_min_key,
+               true AS rule_fired, true AS fallback_scan
+        FROM f CROSS JOIN g
+        ORDER BY cnt"""),
+      (s, dir) => {
+        import graft.stac.{OptimizeDeltaMetadataOnlyAgg, PortableDelta}
+        OptimizeDeltaMetadataOnlyAgg.arm(s)
+        val b = Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("okey"),
+          struct((col("o_orderkey") % 360 - 180).cast("double").as("xmin"))
+            .as("bbox"))
+          .repartitionByRange(6, col("okey"))
+        val out = java.nio.file.Files.createTempDirectory("stac53").toString + "/tbl"
+        // multi-commit + checkpoint: the fold spans checkpoint adds AND
+        // the JSON tail, executor-side
+        val mid = 3000L
+        PortableDelta.write(b.filter(col("okey") < mid), out)
+        PortableDelta.checkpoint(s, out)
+        PortableDelta.write(b.filter(col("okey") >= mid), out, mode = "append")
+        val rel = s.read.format("portable-delta").load(out)
+        def scansOf(df: org.apache.spark.sql.DataFrame) =
+          df.queryExecution.sparkPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        val q1 = rel.agg(count(lit(1)).as("cnt"),
+          min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),
+          min(col("bbox.xmin")).as("min_xmin"), max(col("bbox.xmin")).as("max_xmin"))
+        require(scansOf(q1).isEmpty &&
+            q1.queryExecution.optimizedPlan.collect {
+              case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+            }.nonEmpty,
+          s"metadata-only aggregate must plan WITHOUT a data-file scan:\n" +
+            q1.queryExecution.optimizedPlan)
+        val m = q1.head()
+        // soundness cross-check: the rule disabled → real scan, same bits
+        s.conf.set(OptimizeDeltaMetadataOnlyAgg.ConfKey, "false")
+        val full = try {
+          val f = rel.agg(count(lit(1)).as("cnt"),
+            min(col("okey")).as("min_key"), max(col("okey")).as("max_key"),
+            min(col("bbox.xmin")).as("min_xmin"), max(col("bbox.xmin")).as("max_xmin"))
+          require(scansOf(f).nonEmpty, "kill switch must restore the scan")
+          f.head()
+        } finally s.conf.unset(OptimizeDeltaMetadataOnlyAgg.ConfKey)
+        require(m == full, s"stats rewrite must equal the scan: $m vs $full")
+        // fallback contract: a WHERE is beyond stats — the scan stays
+        val q2 = rel.filter(col("okey") % 2 === 0)
+          .agg(count(lit(1)).as("flt_cnt"), min(col("okey")).as("flt_min_key"))
+        require(scansOf(q2).nonEmpty,
+          "a filtered aggregate must fall back to the scan")
+        val g = q2.head()
+        val s2 = s
+        import s2.implicits._
+        Seq((m.getLong(0), m.getLong(1), m.getLong(2), m.getDouble(3),
+            m.getDouble(4), g.getLong(0), g.getLong(1), true, true))
+          .toDF("cnt", "min_key", "max_key", "min_xmin", "max_xmin",
+            "flt_cnt", "flt_min_key", "rule_fired", "fallback_scan")
+          .orderBy(col("cnt"))
+      },
+      timed = false),
+
     // ----- Delta OPTIMIZE: compaction + Z-order, the layout doctor -----
     // The two maintenance passes a 100-TB lakehouse table needs: (1)
     // bin-packing compaction — a per-minute streaming sink makes

@@ -356,8 +356,6 @@ private[stac] trait DeltaChecksumOps extends Serializable { self: PortableDelta.
     *     read through [[readTable]] instead. */
   def aggregateFromStats(spark: SparkSession, path: String,
                          minMaxCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, count, lit, max, min, sum}
-    import org.apache.spark.sql.Row
     val conf = spark.sessionState.newHadoopConf()
     val (snapBase, addsDf) = checkpointRefFor(conf, path) match {
       case Some(ref) => lazyCheckpointState(spark, path, ref)
@@ -365,6 +363,19 @@ private[stac] trait DeltaChecksumOps extends Serializable { self: PortableDelta.
         val snap = snapshot(conf, path)
         (snap.copy(files = Nil), addFilesToFlatDf(spark, snap.files))
     }
+    aggregateFromState(spark, path, snapBase, addsDf, minMaxCols)
+  }
+
+  /** [[aggregateFromStats]] over PINNED state — the seam the implicit
+    * metadata-only optimizer rule ([[OptimizeDeltaMetadataOnlyAgg]])
+    * uses, so its answer is computed from exactly the snapshot the
+    * relation reads (a fresh re-replay could race a concurrent commit
+    * and answer for a different version than the plan it replaces). */
+  private[stac] def aggregateFromState(spark: SparkSession, path: String,
+      snapBase: Snapshot, addsDf: DataFrame,
+      minMaxCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, max, min, sum}
+    import org.apache.spark.sql.Row
     if (mappedCfg(snapBase.configuration))
       throw new IllegalStateException(
         s"aggregateFromStats($path) refused: column mapping is enabled and " +
