@@ -752,8 +752,172 @@ object TextOps {
         s.createDataFrame(rows.toSeq.asJava, counts.schema)
           .orderBy(col("doc_id"))
       },
-      prepare = Some((s, dir) => { bpeMergeTable(s, dir); () }))
+      prepare = Some((s, dir) => { bpeMergeTable(s, dir); () })),
+
+    // ----- Unigram-LM tokenizer training (the SentencePiece family) -----
+    // t18's BPE sibling: seed a substring vocabulary, then hard-EM rounds
+    // of Viterbi-segment-all-words → re-score pieces by usage. Every
+    // comparison is integer with a lexicographic total order (fewer
+    // pieces, larger score sum, longer piece — deterministic), so the
+    // oracle replays the ENTIRE derivation: seeding (single chars + the
+    // capped multi-char head), each round's per-word Viterbi DP
+    // (unrolled over suffix lengths, one CTE per length — recursive
+    // CTEs can't address arbitrary earlier states) and piece re-count.
+    // A drifted DP tie-break, a wrong seed cap, or a lost EM round
+    // fails the hash at the step it happens. Scale: the corpus-sized
+    // work is ONE word-frequency hash-agg; rounds run on the word
+    // vocabulary against a broadcast piece table capped by construction
+    // (seedCap + alphabet — the seed_sentencepiece_size dial).
+    QuerySpec(
+      "t20_unigram_lm_training",
+      Some(s"""
+        WITH ${unigramCtes(rounds = 2, encode = false)}
+        SELECT CAST(rk AS BIGINT) AS rank, piece, cnt
+        FROM (SELECT piece, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+              FROM uv2) q
+        WHERE rk <= 40
+        ORDER BY rank"""),
+      (s, dir) =>
+        // train directly (NOT the t21 cache) — t20 times training, the
+        // t18/t19 split
+        graft.operators.UnigramLm.topPieces(
+            graft.operators.UnigramLm.train(
+              Tables.t(s, dir, "documents"), rounds = 2), 40)
+          .orderBy(col("rank"))),
+
+    // ----- trained-unigram token counts (the t09/t19 packing hook) -----
+    // Encode every document under the TRAINED unigram vocabulary (built
+    // once, untimed prepare — t20 times training): per distinct word,
+    // the SAME Viterbi the trainer ran (encode and train cannot drift)
+    // gives the piece count; over-length and unsegmentable words
+    // char-fallback to length(word) — both dials replayed by the
+    // oracle's encode DP round over the final piece table.
+    QuerySpec(
+      "t21_unigram_token_counts",
+      Some(s"""
+        WITH ${unigramCtes(rounds = 2, encode = true)},
+             uenc AS MATERIALIZED (
+               SELECT word, CAST(np AS BIGINT) AS word_tokens FROM ufin3),
+             udw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+             utok AS (SELECT doc_id,
+                             CAST(sum(CASE WHEN length(word) > 12
+                                           THEN length(word)
+                                           ELSE coalesce(word_tokens,
+                                                         length(word))
+                                      END) AS BIGINT) AS n
+                      FROM (SELECT doc_id, word FROM udw WHERE word <> '') d
+                      LEFT JOIN uenc USING (word)
+                      GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(utok.n, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN utok USING (doc_id)
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        graft.operators.UnigramLm.tokenCounts(
+            Tables.t(s, dir, "documents"), unigramVocab(s, dir))
+          .orderBy(col("doc_id"))
+      },
+      prepare = Some((s, dir) => { unigramVocab(s, dir); () }))
   )
+
+  /** t21's one-time trained unigram vocabulary per (session, dataset) —
+    * the bpeMergeTable discipline: t20 times training, t21 times
+    * encoding. */
+  private val unigramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def unigramVocab(s: SparkSession, dir: String): DataFrame =
+    unigramCache.getOrElseUpdate((s, dir),
+      graft.operators.UnigramLm.train(
+        Tables.t(s, dir, "documents"), rounds = 2))
+
+  /** DuckDB replay of [[graft.operators.UnigramLm.train]]: the seed
+    * derivation (uw/upos/usub/uv0), then per EM round r an unrolled
+    * Viterbi DP — udp{r}_k holds THE best state for each word's
+    * suffix of length k (tie-break `np ASC, sm DESC, l DESC`, exactly
+    * [[graft.operators.UnigramLm.segment]]), ufin{r} the full-word
+    * states, uv{r} the re-scored pieces. `encode = true` appends one
+    * more DP round over the FINAL piece table (ufin{rounds+1}) — the
+    * encoder t21 joins token counts from. */
+  private[queries] def unigramCtes(rounds: Int, encode: Boolean,
+      maxPieceLen: Int = 5, maxWordLen: Int = 12,
+      minCount: Long = 2, seedCap: Int = 2000): String = {
+    val P = maxPieceLen; val W = maxWordLen
+    def dpRound(r: Int): String = {
+      val dp0 = s"""
+        udp${r}_0 AS MATERIALIZED (
+          SELECT word, len + 1 AS pos, 0 AS np, CAST(0 AS BIGINT) AS sm,
+                 '' AS path
+          FROM uw)"""
+      val dpks = (1 to W).map { k =>
+        val branches = (1 to math.min(k, P)).map { l =>
+          s"""
+            SELECT u.word AS word, u.len - $k + 1 AS pos, d.np + 1 AS np,
+                   d.sm + v.cnt AS sm, $l AS l,
+                   CASE WHEN d.path = '' THEN v.piece
+                        ELSE v.piece || '|' || d.path END AS path
+            FROM uw u
+            JOIN udp${r}_${k - l} d
+              ON d.word = u.word AND d.pos = u.len - $k + 1 + $l
+            JOIN uv${r - 1} v
+              ON v.piece = substr(u.word, CAST(u.len - $k + 1 AS INT), $l)
+            WHERE u.len >= $k"""
+        }.mkString("\n            UNION ALL")
+        s"""
+        udp${r}_$k AS MATERIALIZED (
+          SELECT word, pos, np, sm, path FROM (
+            SELECT word, pos, np, sm, path,
+                   row_number() OVER (PARTITION BY word
+                                      ORDER BY np ASC, sm DESC, l DESC) AS rk
+            FROM ($branches) c) b
+          WHERE rk = 1)"""
+      }
+      val finUnion = (1 to W)
+        .map(k => s"SELECT word, pos, np, path FROM udp${r}_$k")
+        .mkString("\n            UNION ALL ")
+      val fin = s"""
+        ufin$r AS MATERIALIZED (
+          SELECT word, np, path FROM (
+            $finUnion) f
+          WHERE pos = 1)"""
+      (Seq(dp0) ++ dpks ++ Seq(fin)).mkString(",")
+    }
+    def vRound(r: Int): String = s"""
+        uv$r AS MATERIALIZED (
+          SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+          FROM (SELECT u.freq,
+                       unnest(string_split(f.path, '|')) AS piece
+                FROM ufin$r f JOIN uw u USING (word)) sp
+          GROUP BY piece)"""
+    val head = s"""uw AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(length(word) AS BIGINT) AS len
+          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          WHERE word <> '' AND length(word) <= $W
+          GROUP BY word),
+        upos AS MATERIALIZED (
+          SELECT word, freq, len, unnest(generate_series(1, len)) AS i
+          FROM uw),
+        usub AS MATERIALIZED (
+          SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+                 CAST(sum(freq) AS BIGINT) AS cnt
+          FROM upos CROSS JOIN (SELECT unnest([${(1 to P).mkString(",")}]) AS l) ls
+          WHERE i + l - 1 <= len
+          GROUP BY 1),
+        uv0 AS MATERIALIZED (
+          SELECT piece, cnt FROM usub WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+            FROM usub WHERE length(piece) >= 2 AND cnt >= $minCount) q
+          WHERE rk <= $seedCap)"""
+    val trainRounds =
+      (1 to rounds).map(r => dpRound(r) + "," + vRound(r)).mkString(",")
+    val enc = if (encode) "," + dpRound(rounds + 1) else ""
+    head + "," + trainRounds + enc
+  }
 
   /** t19's one-time trained merge table per (session, dataset) — the
     * t18 derivation, memoized so the encode gate times ENCODING (the

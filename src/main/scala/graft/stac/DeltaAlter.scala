@@ -926,6 +926,32 @@ private[stac] trait DeltaAlterOps extends Serializable { self: PortableDelta.typ
       val snap = smallSnapshot(spark, path)
       requireWritable(snap, path)
       val cfg = transform(snap.configuration)
+      // ENABLING icebergCompatV2 validates the EXISTING table first
+      // (PROTOCOL.md: all live adds must carry numRecords, none may
+      // carry a DV, mapping mode must be name/id). The add check runs
+      // executor-side over the flat add frame — O(1) driver rows, the
+      // smallSnapshot discipline survives.
+      if (icebergV2Enabled(cfg) && !icebergV2Enabled(snap.configuration)) {
+        val mode = cfg.getOrElse("delta.columnMapping.mode", "none")
+        require(mode == "name" || mode == "id",
+          s"cannot enable $IcebergV2Prop on $path: requires " +
+            s"delta.columnMapping.mode 'name' or 'id' (got '$mode') — " +
+            "refusing to commit")
+        import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+        val (adds, _) = liveAddsFlatDf(spark, path)
+        val bad = adds.agg(
+          sum(when(col("dv_storageType").isNotNull, 1L).otherwise(0L)),
+          sum(when(col("stats").isNull ||
+            !col("stats").contains("\"numRecords\""), 1L).otherwise(0L)),
+          count(lit(1))).head()
+        val (nDv, nNoStats) = (if (bad.isNullAt(0)) 0L else bad.getLong(0),
+          if (bad.isNullAt(1)) 0L else bad.getLong(1))
+        require(nDv == 0L && nNoStats == 0L,
+          s"cannot enable $IcebergV2Prop on $path: $nDv live file(s) " +
+            s"carry deletion vectors and $nNoStats lack the numRecords " +
+            "statistic — purge DVs (OPTIMIZE) and recompute stats first " +
+            "— refusing to commit")
+      }
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[JsonNode]
       actions += commitInfo(now, op)

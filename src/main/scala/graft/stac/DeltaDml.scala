@@ -65,6 +65,7 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
       }
       requireWritable(snap, path)
       requireNotAppendOnly(snap.configuration, "DELETE")
+      requireIcebergRowLevel(snap.configuration, path, "DELETE")
       if (snap.files.isEmpty) return DeleteStats(snap.version, 0L, 0, 0)
       val dead = scanWithPos(spark, path, snap, applyDvs = false)
         .filter(condition)
@@ -232,6 +233,7 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
     val snap0 = smallSnapshot(spark, path)
     requireWritable(snap0, path)
     requireNotAppendOnly(snap0.configuration, "MERGE")
+    requireIcebergRowLevel(snap0.configuration, path, "MERGE")
     keys.foreach(k => require(snap0.schema.fieldNames.contains(k),
       s"merge key $k not in table schema"))
     // generated columns: a source lacking one gets it computed, a source
@@ -505,6 +507,7 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
     val snap0 = smallSnapshot(spark, path)
     requireWritable(snap0, path)
     requireNotAppendOnly(snap0.configuration, "MERGE")
+    requireIcebergRowLevel(snap0.configuration, path, "MERGE")
     val tableSchema = snap0.schema
     keys.foreach(k => require(tableSchema.fieldNames.contains(k),
       s"merge key $k not in table schema"))
@@ -826,6 +829,7 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
       }
       requireWritable(snap, path)
       requireNotAppendOnly(snap.configuration, "UPDATE")
+      requireIcebergRowLevel(snap.configuration, path, "UPDATE")
       set.keys.foreach(k => require(snap.schema.fieldNames.contains(k),
         s"update SET column $k not in table schema"))
       if (snap.files.isEmpty) return UpdateStats(snap.version, 0L)

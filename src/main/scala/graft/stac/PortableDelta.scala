@@ -68,7 +68,7 @@ object PortableDelta
     "deletionVectors", "v2Checkpoint", "timestampNtz", "inCommitTimestamp",
     "rowTracking", "domainMetadata", "clustering", "vacuumProtocolCheck",
     "allowColumnDefaults", "typeWidening", "variantType",
-    "checkpointProtection", "collations")
+    "checkpointProtection", "collations", "icebergCompatV2")
 
   /** `delta.requireCheckpointProtectionBeforeVersion` — the
     * checkpointProtection feature's companion property: metadata cleanup
@@ -81,6 +81,64 @@ object PortableDelta
   private[stac] def protectionBoundary(cfg: Map[String, String]): Option[Long] =
     cfg.get(CheckpointProtectionProp)
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption).filter(_ > 0L)
+
+  /** `delta.enableIcebergCompatV2` — the UniForm/Iceberg-compat dial.
+    * When true (PROTOCOL.md "Iceberg Compatibility V2"), this engine
+    * enforces the spec's writer obligations it can honor: column
+    * mapping in `name`/`id` mode, the `numRecords` statistic on EVERY
+    * committed add, no deletion vectors (Iceberg conversion has no DV
+    * analog — row-level DV verbs refuse by name), and `icebergCompatV1`
+    * never active alongside (V1 stays an unsupported feature — its
+    * obligations differ and are not implemented). Enabling on an
+    * existing table validates the live files first. */
+  val IcebergV2Prop = "delta.enableIcebergCompatV2"
+
+  private[stac] def icebergV2Enabled(cfg: Map[String, String]): Boolean =
+    cfg.get(IcebergV2Prop).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** The commit-time obligations of an ACTIVE icebergCompatV2 table —
+    * validated against the commit's effective configuration (a metaData
+    * action in the commit overrides the prior table config, so the
+    * CREATE/enable commit is checked too). One choke point covers every
+    * verb: any add lacking `numRecords`, any add carrying a deletion
+    * vector, or a non-name/id mapping mode refuses BEFORE the version
+    * file is written. */
+  private[stac] def requireIcebergCompatV2(path: String, actions: Seq[JsonNode],
+                                           tableCfg: Map[String, String]): Unit = {
+    val eff: Map[String, String] = actions.collectFirst {
+      case n if n.has("metaData") && n.get("metaData").has("configuration") =>
+        val c = n.get("metaData").get("configuration")
+        c.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(tableCfg)
+    if (!icebergV2Enabled(eff)) return
+    val mode = eff.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "name" || mode == "id",
+      s"icebergCompatV2 on $path requires delta.columnMapping.mode " +
+        s"'name' or 'id' (got '$mode') — refusing to commit")
+    actions.filter(_.has("add")).foreach { n =>
+      val a = n.get("add")
+      val p = Option(a.get("path")).map(_.asText()).getOrElse("?")
+      require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+        s"icebergCompatV2 on $path forbids deletion vectors " +
+          s"(add $p carries one) — refusing to commit")
+      val nr = Option(a.get("stats")).filterNot(_.isNull).map(_.asText())
+        .flatMap { j =>
+          try Option(mapper.readTree(j).get("numRecords")).filterNot(_.isNull)
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      require(nr.isDefined,
+        s"icebergCompatV2 on $path requires the numRecords statistic on " +
+          s"every add (missing on $p) — refusing to commit")
+    }
+    actions.collectFirst {
+      case n if n.has("protocol") && n.get("protocol").has("writerFeatures") =>
+        n.get("protocol").get("writerFeatures")
+    }.foreach { wf =>
+      require(!wf.elements().asScala.exists(_.asText() == "icebergCompatV1"),
+        s"icebergCompatV2 on $path cannot coexist with icebergCompatV1 " +
+          "in one protocol — refusing to commit")
+    }
+  }
 
   /** The writer gate ([[SupportedWriterFeatures]]). Legacy versions
     * (writer ≤ 6) imply only features this engine implements, so they
@@ -1197,6 +1255,18 @@ object PortableDelta
     require(!cfg.get("delta.appendOnly").contains("true"),
       s"$op is forbidden on an append-only table (delta.appendOnly=true)")
 
+  /** Row-level verbs in this engine are DELETION-VECTOR based
+    * (delete/update/merge death paths), and icebergCompatV2 forbids
+    * DVs — refuse EARLY, before any scan or DV pack file stages
+    * (the WriterGateSpec stages-nothing discipline). Whole-file
+    * operations (append, overwrite, OPTIMIZE, RESTORE) stay legal. */
+  private[stac] def requireIcebergRowLevel(cfg: Map[String, String],
+                                           path: String, op: String): Unit =
+    require(!icebergV2Enabled(cfg),
+      s"$op on $path refused: icebergCompatV2 forbids deletion vectors " +
+        "and this engine's row-level verbs write them — disable " +
+        s"$IcebergV2Prop or replace data via overwrite — refusing to commit")
+
   /** Write `changes` (table columns + `_change_type`) as cdc parquet
     * files and return (cdc action nodes, withdraw hook for lost commit
     * races). Partitioned tables keep partition columns INLINE in the
@@ -1485,6 +1555,7 @@ object PortableDelta
        else Nil) ++
       (if (protectionBoundary(cfg).isDefined) Seq("checkpointProtection")
        else Nil) ++
+      (if (icebergV2Enabled(cfg)) Seq("icebergCompatV2") else Nil) ++
       propertyFeatures(cfg)
 
   /** The READER-side declarations `delta.feature.*` properties demand
@@ -1752,6 +1823,8 @@ object PortableDelta
     val dir = logDir(path)
     val fs = dir.getFileSystem(conf)
     fs.mkdirs(dir)
+    // icebergCompatV2 obligations gate EVERY commit before any byte lands
+    requireIcebergCompatV2(path, actions, tableCfg)
     // inCommitTimestamps (writer feature): when the table property
     // enables it, stamp the commitInfo with a MONOTONIC in-commit
     // timestamp — max(wall clock, predecessor's commit time + 1), the

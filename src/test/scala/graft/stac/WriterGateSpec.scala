@@ -85,7 +85,9 @@ class WriterGateSpec extends AnyFunSuite {
   // implementing its obligations — or renames the generic path — fails
   // here. Refusal must stage NOTHING: the table dir byte-set is
   // identical after every refused verb.
-  for (feat <- Seq("icebergCompatV1", "icebergCompatV2",
+  // icebergCompatV2 left this list in round 14 — its obligations are
+  // implemented (IcebergCompatSpec); V1's differ and stay refused
+  for (feat <- Seq("icebergCompatV1",
                    "coordinatedCommits", "catalogOwned-preview")) {
     test(s"external log listing '$feat' refuses writes BY NAME, stages nothing") {
       val path = tmp()
