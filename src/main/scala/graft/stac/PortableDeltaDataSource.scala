@@ -1,12 +1,12 @@
 package graft.stac
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, Literal}
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, OutputWriterFactory, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,19 +47,136 @@ import org.apache.spark.unsafe.types.UTF8String
   * physical `col-<uuid>` names the stock file scan cannot rename
   * back), and scans whose surviving files carry deletion vectors (the
   * stock reader would resurrect deleted rows). */
-class PortableDeltaDataSource extends RelationProvider with DataSourceRegister {
+class PortableDeltaDataSource extends RelationProvider
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "portable-delta"
 
-  override def createRelation(sqlContext: SQLContext,
-                              parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "portable-delta requires a path: " +
           "spark.read.format(\"portable-delta\").load(<table dir>) or " +
           "CREATE TABLE ... USING `portable-delta` OPTIONS (path '...')"))
-    PortableDeltaRelation(sqlContext.sparkSession, path, parameters)
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation =
+    PortableDeltaRelation(sqlContext.sparkSession, pathOf(parameters), parameters)
+
+  /** `df.write.format("portable-delta").mode(...).partitionBy(...)
+    * .save(path)` — the DataFrame write surface over
+    * [[PortableDelta.write]] (full protocol: stats harvest, constraint/
+    * feature gates, optimistic-concurrency commit). `partitionBy`
+    * columns arrive through Spark's V1 `__partition_columns` JSON
+    * option. SaveMode.Ignore is the spec semantic: an existing table
+    * short-circuits without writing. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): BaseRelation = {
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val partitionBy: Seq[String] =
+      parameters.get("__partition_columns").map { json =>
+        import scala.jdk.CollectionConverters._
+        val n = PortableDelta.mapper.readTree(json)
+        require(n.isArray, s"malformed __partition_columns: $json")
+        n.elements().asScala.map(_.asText()).toSeq
+      }.getOrElse(Nil)
+    val exists = PortableDelta.currentSnapshot(
+      spark.sessionState.newHadoopConf(), path).isDefined
+    val m = mode match {
+      case SaveMode.ErrorIfExists => Some("error")
+      case SaveMode.Append => Some("append")
+      case SaveMode.Overwrite => Some("overwrite")
+      case SaveMode.Ignore => if (exists) None else Some("error")
+    }
+    m.foreach(mm => PortableDelta.write(data.toDF(), path, mode = mm,
+      partitionBy = partitionBy,
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean)))
+    PortableDeltaRelation(spark, path, parameters - "__partition_columns")
   }
+
+  /** `df.writeStream.format("portable-delta").option("path", ...)` —
+    * the declarative form of [[graft.streaming.EventStream.deltaSink]]:
+    * every micro-batch commits atomically WITH its {appId, batchId}
+    * transaction action, so a crash-replayed batch (same batchId from
+    * the recovered checkpoint) is detected in the log and skipped
+    * before any data lands — EXACTLY-once, the Delta idempotent-
+    * streaming-writes pattern. Append mode appends; Complete mode is a
+    * per-batch logical overwrite (the table ends as the last batch);
+    * Update refuses (no key contract here — use
+    * [[graft.streaming.EventStream.deltaMergeSink]]). The txn appId
+    * defaults to the CHECKPOINT location (stable across restarts —
+    * exactly the property exactly-once needs); override with
+    * option("txnAppId", ...) when two queries share a checkpoint dir
+    * layout. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = pathOf(parameters)
+    import org.apache.spark.sql.streaming.OutputMode._
+    val mode = outputMode match {
+      case m if m == Append() => "append"
+      case m if m == Complete() => "overwrite"
+      case other => throw new IllegalArgumentException(
+        s"portable-delta sink supports Append and Complete output " +
+          s"modes, got $other — for keyed upserts use " +
+          "EventStream.deltaMergeSink")
+    }
+    val appId = parameters.getOrElse("txnAppId",
+      parameters.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "portable-delta sink needs a checkpointLocation (or an " +
+            "explicit txnAppId) — the exactly-once txn id derives from it")))
+    new PortableDeltaSink(path, mode, appId, partitionColumns,
+      parameters.get("mergeSchema").exists(_.toBoolean))
+  }
+}
+
+/** The V1 micro-batch sink behind `writeStream.format("portable-delta")`.
+  * addBatch rewraps the incremental frame as a replayable batch
+  * ([[org.apache.spark.sql.GraftSqlShim.replayableBatch]] — the
+  * ForeachBatchSink idiom) and routes it through [[PortableDelta.write]]
+  * with the {appId, batchId} txn action: full protocol (stats harvest,
+  * writer gates, optimistic commit) plus log-level idempotence. */
+private[stac] class PortableDeltaSink(path: String, mode: String,
+    appId: String, partitionBy: Seq[String], mergeSchema: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.GraftSqlShim.replayableBatch(data)
+    PortableDelta.write(batch, path,
+      mode = if (PortableDelta.currentSnapshot(
+          batch.sparkSession.sessionState.newHadoopConf(), path).isEmpty)
+        "error" else mode,
+      txn = Some((appId, batchId)),
+      partitionBy = partitionBy, mergeSchema = mergeSchema)
+    ()
+  }
+
+  override def toString: String = s"PortableDeltaSink[$path, $mode]"
+}
+
+/** Read-only [[ParquetFileFormat]] for the relation: Catalyst routes
+  * `INSERT INTO` on a HadoopFsRelation-backed table through the stock
+  * file-write command, which would land parquet files the Delta log
+  * never commits — INVISIBLE rows (the log is the source of truth), a
+  * silent data loss. Refuse LOUDLY at write planning; reads inherit
+  * the full vectorized parquet path untouched. */
+private[stac] class PortableDeltaReadOnlyFormat extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: SparkSession,
+                            job: org.apache.hadoop.mapreduce.Job,
+                            options: Map[String, String],
+                            dataSchema: StructType): OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "INSERT INTO a portable-delta table would bypass the Delta log " +
+        "(the written files would be invisible to every reader) — use " +
+        "df.write.format(\"portable-delta\").mode(\"append\").save(path) " +
+        "or PortableDelta.write instead")
 }
 
 object PortableDeltaRelation {
@@ -67,18 +184,38 @@ object PortableDeltaRelation {
   /** Build the relation: ONE log replay pins (schema, partition
     * columns, version, add frame) — a consistent snapshot; concurrent
     * commits after this point are invisible to the relation (standard
-    * Delta snapshot-isolation read semantics). */
+    * Delta snapshot-isolation read semantics). Time travel via the
+    * `versionAsOf` / `timestampAsOf` options (the delta-spark names):
+    * the pinned state replays to that version ([[PortableDelta
+    * .snapshotAt]] — file list materialized like the readTable(version)
+    * API, the bounded-age-history trade documented there). */
   def apply(spark: SparkSession, tablePath: String,
             options: Map[String, String]): BaseRelation = {
     val conf = spark.sessionState.newHadoopConf()
-    val (snapBase, addsDf) =
-      PortableDelta.checkpointRefFor(conf, tablePath) match {
-        case Some(ref) =>
-          PortableDelta.lazyCheckpointState(spark, tablePath, ref)
-        case None =>
-          val snap = PortableDelta.snapshot(conf, tablePath)
-          (snap.copy(files = Nil),
-            PortableDelta.addFilesToFlatDf(spark, snap.files))
+    val vOpt = options.get("versionAsOf").map(_.trim.toLong)
+    val tsOpt = options.get("timestampAsOf").map { s =>
+      scala.util.Try(s.trim.toLong).getOrElse(
+        java.sql.Timestamp.valueOf(s.trim.replace('T', ' ')
+          .stripSuffix("Z")).getTime)
+    }
+    require(vOpt.isEmpty || tsOpt.isEmpty,
+      "specify versionAsOf OR timestampAsOf, not both")
+    val asOf: Option[Long] = vOpt.orElse(
+      tsOpt.map(PortableDelta.versionAtTimestamp(conf, tablePath, _)))
+    val (snapBase, addsDf) = asOf match {
+      case Some(v) =>
+        val snap = PortableDelta.snapshotAt(spark, tablePath, v)
+        (snap.copy(files = Nil),
+          PortableDelta.addFilesToFlatDf(spark, snap.files))
+      case None =>
+        PortableDelta.checkpointRefFor(conf, tablePath) match {
+          case Some(ref) =>
+            PortableDelta.lazyCheckpointState(spark, tablePath, ref)
+          case None =>
+            val snap = PortableDelta.snapshot(conf, tablePath)
+            (snap.copy(files = Nil),
+              PortableDelta.addFilesToFlatDf(spark, snap.files))
+        }
       }
     if (PortableDelta.mappedCfg(snapBase.configuration))
       throw new IllegalStateException(
@@ -96,7 +233,7 @@ object PortableDeltaRelation {
       .map(f => f.copy(
         dataType = PortableDelta.deepNullable(f.dataType), nullable = true)))
     HadoopFsRelation(index, index.partitionSchema, dataSchema,
-      bucketSpec = None, new ParquetFileFormat, options)(spark)
+      bucketSpec = None, new PortableDeltaReadOnlyFormat, options)(spark)
   }
 }
 

@@ -149,6 +149,64 @@ class PortableDeltaDataSourceSpec extends AnyFunSuite {
       e.getMessage.contains("readTable"), e.getMessage)
   }
 
+  test("write path: save modes, partitionBy, full protocol round trip") {
+    val path = tmp()
+    idDf(12L).write.format("portable-delta").partitionBy("grp").save(path)
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.partitionColumns == Seq("grp") &&
+      snap.files.forall(_.stats.isDefined),
+      "the write path must go through the full protocol (stats, partitioning)")
+    // default mode re-save errors; append appends; overwrite replaces
+    intercept[IllegalArgumentException](
+      idDf(1L).write.format("portable-delta").save(path))
+    idDf(12L).withColumn("id", col("id") + 100)
+      .write.format("portable-delta").mode("append").save(path)
+    assert(spark.read.format("portable-delta").load(path).count() == 24L)
+    // Ignore: existing table short-circuits, nothing written
+    idDf(3L).write.format("portable-delta").mode("ignore").save(path)
+    assert(spark.read.format("portable-delta").load(path).count() == 24L)
+    idDf(2L).write.format("portable-delta").mode("overwrite").save(path)
+    assert(spark.read.format("portable-delta").load(path).count() == 2L)
+  }
+
+  test("INSERT INTO refuses loudly — the stock file insert would bypass the log") {
+    val path = tmp()
+    PortableDelta.write(idDf(5L), path)
+    spark.sql("DROP TABLE IF EXISTS pd_ins_t")
+    spark.sql(s"CREATE TABLE pd_ins_t USING `portable-delta` OPTIONS (path '$path')")
+    try {
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO pd_ins_t VALUES (99, 'x', 'g9')"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("bypass the Delta log")), msgs(e).mkString(" | "))
+      assert(spark.read.format("portable-delta").load(path).count() == 5L,
+        "the refused insert must not have changed the table")
+    } finally spark.sql("DROP TABLE IF EXISTS pd_ins_t")
+  }
+
+  test("time travel: versionAsOf and timestampAsOf options") {
+    val path = tmp()
+    PortableDelta.write(idDf(5L), path)                       // v0
+    PortableDelta.write(idDf(5L).withColumn("id", col("id") + 10), path,
+      mode = "append")                                        // v1
+    val v0 = spark.read.format("portable-delta")
+      .option("versionAsOf", "0").load(path)
+    assert(v0.count() == 5L &&
+      v0.select(max("id")).head().getLong(0) == 4L)
+    assert(spark.read.format("portable-delta").load(path).count() == 10L)
+    // timestampAsOf at v0's commit time resolves to v0
+    val t0 = PortableDelta.history(
+      spark.sessionState.newHadoopConf(), path)
+      .find(_._1 == 0L).get._3
+    val byTs = spark.read.format("portable-delta")
+      .option("timestampAsOf", t0.toString).load(path)
+    assert(byTs.count() == 5L)
+    intercept[IllegalArgumentException](
+      spark.read.format("portable-delta").option("versionAsOf", "0")
+        .option("timestampAsOf", "123").load(path))
+  }
+
   test("refusal by name: column mapping") {
     val path = tmp()
     val conf = spark.sessionState.newHadoopConf()
