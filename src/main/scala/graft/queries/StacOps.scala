@@ -1838,6 +1838,83 @@ object StacOps {
       },
       timed = false),
 
+    // ----- partition pruning through the declarative SQL route -----
+    // stac52 pins stats-based FILE pruning; this pins the hive-partition
+    // layer through plain SQL: a CREATE TABLE ... USING portable-delta
+    // over a partitioned table, WHERE on the partition column — the
+    // log-backed index answers listFiles from partitionValues (point
+    // statistics, zero I/O, LOG-authoritative — never directory names),
+    // and the in-gate requires pin that the planned file count equals
+    // exactly the matching partitions' files while a second, stats-only
+    // predicate prunes WITHIN the kept partition. The partition columns
+    // re-inject typed from log values (year BIGINT here — the value
+    // check would fail on a stringly-typed injection).
+    QuerySpec(
+      "stac54_file_source_partition_pruning",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               o_orderstatus,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               true AS part_prune_ok
+        FROM orders
+        WHERE year(o_orderdate) = 1995 AND o_orderkey >= 1000
+        GROUP BY yr, o_orderstatus
+        ORDER BY yr, o_orderstatus"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders").select(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+          .repartition(4, col("o_orderkey"))
+        val out = java.nio.file.Files.createTempDirectory("stac54").toString + "/tbl"
+        PortableDelta.write(orders, out, partitionBy = Seq("yr"))
+        val snap = PortableDelta.snapshot(s, out)
+        val in1995 = snap.files.count(
+          _.partitionValues.get("yr").contains("1995"))
+        require(in1995 > 0 && in1995 < snap.files.size,
+          s"gate needs a real multi-partition layout: $in1995 of ${snap.files.size}")
+        s.sql("DROP TABLE IF EXISTS graft_stac54_t")
+        s.sql(s"CREATE TABLE graft_stac54_t USING `portable-delta` " +
+          s"OPTIONS (path '$out')")
+        try {
+          val q = s.sql(
+            "SELECT * FROM graft_stac54_t WHERE yr = 1995 AND o_orderkey >= 1000")
+          val scans = q.queryExecution.sparkPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+          require(scans.size == 1, s"expected one scan, got ${scans.size}")
+          // partition layer: exactly the 1995 files reach the plan when
+          // only the partition filter applies (probe the index directly
+          // so the stats conjunct can't mask a partition-pruning bug)
+          val idx = scans.head.relation.location
+            .asInstanceOf[graft.stac.PortableDeltaFileIndex]
+          val partOnly = scans.head.partitionFilters
+          require(partOnly.nonEmpty, "the yr predicate must classify as a partition filter")
+          val partPlanned = idx.listFiles(partOnly, Nil)
+            .map(_.files.size).sum
+          require(partPlanned == in1995,
+            s"partition pruning must keep exactly the 1995 files: $partPlanned vs $in1995")
+          // both layers together never keep MORE than the partition layer
+          val planned = scans.head.selectedPartitions.totalNumberOfFiles
+          require(planned <= partPlanned,
+            s"stats layer must only narrow further: $planned vs $partPlanned")
+          def agg(df: org.apache.spark.sql.DataFrame) = df
+            .groupBy(col("yr"), col("o_orderstatus"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("o_orderkey")).as("key_sum"))
+            .withColumn("part_prune_ok", lit(true))
+            .orderBy(col("yr"), col("o_orderstatus"))
+          // value parity SQL ≡ format route, then return the format one
+          // (it outlives the finally's DROP TABLE)
+          val viaFmt = agg(s.read.format("portable-delta").load(out)
+            .filter(col("yr") === 1995 && col("o_orderkey") >= 1000))
+          require(agg(q).collect().toSeq == viaFmt.collect().toSeq,
+            "SQL table route must answer exactly like the format route")
+          viaFmt
+        } finally s.sql("DROP TABLE IF EXISTS graft_stac54_t")
+      },
+      timed = false),
+
     // ----- implicit metadata-only aggregates: the optimizer rule -----
     // stac50 pins the EXPLICIT aggregateFromStats API; this pins the
     // IMPLICIT path plain-SQL users hit: a COUNT/MIN/MAX over a bare

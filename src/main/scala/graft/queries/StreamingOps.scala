@@ -549,6 +549,66 @@ object StreamingOps {
       timed = false,
       prepare = Some((s, dir) => { DedupOps.bandIndex(s, dir); () })),
 
+    // ----- the DECLARATIVE sink: writeStream.format("portable-delta") -----
+    // st13's exactly-once contract through the round-14 DECLARATIVE
+    // route, composed with the declarative read: two arrival waves
+    // stream through writeStream.format("portable-delta") under ONE
+    // checkpoint (the second wave is a genuine RESTART — new files in
+    // the same source dir, same checkpoint, so recovery + incremental
+    // delivery are exercised, not just one run), the txn watermark in
+    // the LOG keys by the checkpoint location, an empty third restart
+    // commits nothing, and the value check reads back through
+    // spark.read.format("portable-delta") — sink and source surfaces
+    // verified against each other and against DuckDB in one gate.
+    QuerySpec(
+      "st21_streaming_format_sink",
+      Some("""
+        SELECT event_type,
+               CAST(2 * count(*) AS BIGINT) AS n_rows,
+               CAST(2 * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS BIGINT)
+                 AS value_cents,
+               true AS restart_exact
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val src = stageSource(dir, "events", "st21", copies = 1)
+        val tbl = java.nio.file.Files.createTempDirectory("st21_delta").toString + "/tbl"
+        val ck = java.nio.file.Files.createTempDirectory("st21_ck").toString
+        val fileSchema = s.read.parquet(src).schema
+        def run(): Unit = awaitBounded(
+          s.readStream.schema(fileSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .writeStream.format("portable-delta")
+            .option("path", tbl)
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(), "st21")
+        run() // wave 1
+        val nWave1 = PortableDelta.readTable(s, tbl).count()
+        // wave 2 arrives; SAME checkpoint → a restart delivers ONLY it
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(src, "events_2.parquet"))
+        run()
+        val conf = s.sessionState.newHadoopConf()
+        val snap = PortableDelta.snapshot(conf, tbl)
+        require(snap.txns.get(ck).contains(1L),
+          s"txn watermark must key by the checkpoint location at batch 1: ${snap.txns}")
+        require(PortableDelta.readTable(s, tbl).count() == 2 * nWave1,
+          "the restart must deliver exactly the second wave")
+        run() // nothing new: no commit at all
+        require(PortableDelta.snapshot(conf, tbl).version == snap.version,
+          "an empty restart must not commit")
+        val back = s.read.format("portable-delta").load(tbl)
+        back.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+          .withColumn("restart_exact", lit(true))
+          .orderBy(col("event_type"))
+      },
+      timed = false),
+
     // ----- streaming → Delta sink, EXACTLY-once via per-batch txn -----
     // Composes the two round-6/7 pieces: foreachBatch +
     // PortableDelta.write(append) where every micro-batch commits
