@@ -114,6 +114,33 @@ object DeltaBench {
         val n = PortableDelta.readChanges(spark, t, 0L, 2L).count()
         require(n > nRows)
       }
+      // round-14 declarative surfaces: the log-backed file relation
+      // (build + stats-pruned filtered count over a checkpoint-seeded
+      // table) and the metadata-only aggregate rule (no data scan —
+      // asserted per rep)
+      results("fmt_read_filtered") = timeVerb("fmt_read_filtered") { () =>
+        val t = fresh("fmtr")
+        PortableDelta.checkpoint(spark, t)
+        t
+      } { t =>
+        val n = spark.read.format("portable-delta").load(t)
+          .filter(col("okey") % 10L === 0L).count()
+        require(n > 0)
+      }
+      results("fmt_meta_agg") = timeVerb("fmt_meta_agg") { () =>
+        val t = fresh("fmta")
+        PortableDelta.checkpoint(spark, t)
+        t
+      } { t =>
+        graft.stac.OptimizeDeltaMetadataOnlyAgg.arm(spark)
+        val q = spark.read.format("portable-delta").load(t)
+          .agg(count(lit(1)).as("cnt"),
+            min(col("okey")).as("mn"), max(col("okey")).as("mx"))
+        require(q.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.isEmpty, "metadata-only aggregate must plan without a data scan")
+        require(q.head().getLong(0) == nRows)
+      }
       results("cluster_incremental") = timeVerb("cluster_incremental") { () =>
         // established clustered layout + one day's appends (10% of rows,
         // provider-less) — the maintenance pass re-clusters ONLY those
