@@ -1915,6 +1915,128 @@ object StacOps {
       },
       timed = false),
 
+    // ----- DV-aware reads through the format route (round 15) -----
+    // One DELETE no longer locks SQL users out of the table: the scan
+    // requests the parquet ROW INDEX through Spark's temp column and
+    // drops rows whose index is set in the file's deletion vector —
+    // delta-spark's DeltaParquetFileFormat shape, exact under row-group
+    // skipping. In-gate requires pin what the oracle can't see: the
+    // DELETE landed as DVs (no file rewrites), the scan plans through
+    // the log-backed index WITH log-stats pruning still active, and the
+    // format answer is bit-identical to readTable. The oracle recomputes
+    // the post-DELETE state from the source table.
+    QuerySpec(
+      "stac55_format_dv_read",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS dv_applied
+        FROM orders
+        WHERE o_orderkey % 3 <> 0
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY yr
+        ORDER BY yr"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .repartitionByRange(8, col("o_orderdate"))
+        val out = java.nio.file.Files.createTempDirectory("stac55").toString + "/tbl"
+        PortableDelta.write(orders, out)
+        val res = PortableDelta.delete(s, out, col("o_orderkey") % 3 === 0)
+        require(res.deletedRows > 0 && res.removedFiles == 0,
+          s"the DELETE must land as deletion vectors, not rewrites: $res")
+        val cutoff = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        val cond = col("o_orderdate") >= lit(cutoff)
+        val q = s.read.format("portable-delta").load(out).filter(cond)
+        // plan asserts BEFORE any action (the s14 rule): log-backed
+        // index + stats pruning still alive on a DV-carrying table
+        val scans = q.queryExecution.sparkPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        require(scans.size == 1 &&
+            scans.head.metadata("Location").contains("PortableDeltaFileIndex"),
+          s"scan must plan through the log-backed index")
+        val planned = scans.head.selectedPartitions.totalNumberOfFiles
+        val total = PortableDelta.snapshot(s, out).files.size
+        require(planned > 0 && planned < total,
+          s"log-stats pruning must survive DVs: planned $planned of $total")
+        def check(df: org.apache.spark.sql.DataFrame) = df
+          .agg(count(lit(1)).cast("long"), sum(col("o_orderkey")).cast("long"))
+          .head()
+        require(check(q) == check(PortableDelta.readTableWhere(s, out, cond)),
+          "the format route must answer exactly like readTable after a DELETE")
+        q.groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("dv_applied", lit(true))
+          .orderBy(col("yr"))
+      },
+      timed = false),
+
+    // ----- SQL INSERT INTO through the write protocol (round 15) -----
+    // The natural completion of the SQL write surface: INSERT INTO a
+    // portable-delta table plans as InsertIntoDataSourceCommand
+    // (Catalyst checks InsertableRelation BEFORE the raw file-write
+    // case) and routes through PortableDelta.write — stats harvest,
+    // gates, optimistic commit; the stock file-writer bypass stays
+    // impossible (prepareWrite refuses). In-gate requires pin the
+    // protocol facts (one new commit, stats on the inserted files, the
+    // SAME table name sees the new rows — relation cache dropped); the
+    // oracle recomputes table ∪ inserted-projection from the source.
+    QuerySpec(
+      "stac56_sql_insert",
+      Some("""
+        WITH base AS (SELECT p_partkey, p_brand, p_retailprice FROM part),
+             ins AS (SELECT p_partkey + 10000000 AS p_partkey, p_brand,
+                            p_retailprice
+                     FROM part WHERE p_partkey % 97 = 0),
+             t AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+        SELECT p_brand,
+               count(*) AS n_rows,
+               CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS insert_committed
+        FROM t GROUP BY p_brand ORDER BY p_brand"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val part = Tables.t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        val out = java.nio.file.Files.createTempDirectory("stac56").toString + "/tbl"
+        PortableDelta.write(part, out)
+        val v0 = PortableDelta.snapshot(s, out).version
+        s.sql("DROP TABLE IF EXISTS graft_stac56_t")
+        s.sql(s"CREATE TABLE graft_stac56_t USING `portable-delta` " +
+          s"OPTIONS (path '$out')")
+        try {
+          s.sql("""INSERT INTO graft_stac56_t
+                   SELECT p_partkey + 10000000, p_brand, p_retailprice
+                   FROM graft_stac56_t WHERE p_partkey % 97 = 0""")
+          val snap = PortableDelta.snapshot(s, out)
+          require(snap.version == v0 + 1,
+            s"INSERT must land as ONE log commit: v$v0 -> v${snap.version}")
+          require(snap.files.forall(_.stats.isDefined),
+            "inserted files must carry harvested stats (full protocol)")
+          val nApi = PortableDelta.readTable(s, out).count()
+          val nSql = s.sql("SELECT count(*) FROM graft_stac56_t").head().getLong(0)
+          require(nApi == nSql,
+            s"the SAME table name must see the insert (cache dropped): $nApi vs $nSql")
+        } finally s.sql("DROP TABLE IF EXISTS graft_stac56_t")
+        // final frame path-based: it outlives the dropped catalog entry
+        s.read.format("portable-delta").load(out)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p_partkey")).as("key_sum"),
+            sum(floor(col("p_retailprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("insert_committed", lit(true))
+          .orderBy(col("p_brand"))
+      },
+      timed = false),
+
     // ----- implicit metadata-only aggregates: the optimizer rule -----
     // stac50 pins the EXPLICIT aggregateFromStats API; this pins the
     // IMPLICIT path plain-SQL users hit: a COUNT/MIN/MAX over a bare

@@ -609,6 +609,102 @@ object StreamingOps {
       },
       timed = false),
 
+    // ----- the DECLARATIVE source: readStream.format("portable-delta") -----
+    // st22 (round 15): the declarative READ to match st21's declarative
+    // sink — a V1 StreamSourceProvider whose offsets live in SPARK'S
+    // checkpoint (no engine-side watermark file). Three runs over ONE
+    // checkpoint: run 1 delivers the table's initial snapshot; two
+    // appends land; run 2 restarts, delivers EXACTLY ONE commit per
+    // trigger (maxVersionsPerTrigger=1, st18's one-version discipline,
+    // asserted from the batch count) and is STOPPED after the first
+    // batch — a genuine mid-stream kill; run 3 restarts from the offset
+    // log alone and delivers exactly the remaining commit. The in-gate
+    // requires pin the offset tokens in the checkpoint (plain "v"
+    // grammar) and the no-dupe/no-loss composition; the value check
+    // aggregates everything delivered (3 legitimate deliveries of the
+    // events batch) against DuckDB. At 100 TB: the per-trigger poll is
+    // a small-state version read, each batch one bounded scan plan.
+    QuerySpec(
+      "st22_streaming_format_source",
+      Some("""
+        SELECT event_type,
+               CAST(3 * count(*) AS BIGINT) AS n_rows,
+               CAST(3 * CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS BIGINT)
+                 AS value_cents,
+               true AS restart_exact
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val tbl = java.nio.file.Files.createTempDirectory("st22_delta").toString + "/tbl"
+        val out = java.nio.file.Files.createTempDirectory("st22_out").toString + "/rows"
+        val ck = java.nio.file.Files.createTempDirectory("st22_ck").toString
+        val batch = s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("event_type"), col("value"))
+        PortableDelta.write(batch, tbl)                       // v0
+        // the consumer is IDEMPOTENT PER BATCH-ID (overwrite into
+        // out/e<epoch>): a crash-replayed epoch overwrites itself —
+        // the split of labor Spark's foreachBatch contract assigns
+        val kill = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def stream() = s.readStream.format("portable-delta")
+          .option("maxVersionsPerTrigger", "1").load(tbl)
+          .writeStream.option("checkpointLocation", ck)
+          .foreachBatch { (b: DataFrame, epoch: Long) =>
+            if (!b.isEmpty) {
+              b.write.mode("overwrite").parquet(s"$out/e$epoch")
+              if (kill.compareAndSet(true, false))
+                throw new RuntimeException("st22 injected mid-stream kill")
+            }
+            ()
+          }
+        def epochs() = {
+          val d = new java.io.File(out)
+          if (!d.isDirectory) Seq.empty[String]
+          else d.listFiles().filter(_.getName.startsWith("e")).map(_.getName).toSeq
+        }
+        // run 1: the initial snapshot joins as the first batch
+        val q1 = stream().start()
+        try q1.processAllAvailable() finally q1.stop()
+        require(epochs() == Seq("e0"), s"snapshot must be ONE batch, got ${epochs()}")
+        val nSnap = s.read.parquet(s"$out/e0").count()
+        PortableDelta.write(batch, tbl, mode = "append")      // v1
+        PortableDelta.write(batch, tbl, mode = "append")      // v2
+        // run 2: restart; KILLED inside the first batch AFTER its data
+        // landed but BEFORE the commit log records it — the genuine
+        // crash window Structured Streaming replays from
+        kill.set(true)
+        val q2 = stream().start()
+        try { q2.awaitTermination(300000); () }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        require(epochs().sorted == Seq("e0", "e1"),
+          s"run 2 must die inside its first one-version batch, got ${epochs()}")
+        // run 3: the offset log alone REPLAYS the uncommitted epoch 1
+        // (idempotent overwrite), then delivers v2 — no dupes, no loss
+        val q3 = stream().start()
+        try q3.processAllAvailable() finally q3.stop()
+        require(epochs().sorted == Seq("e0", "e1", "e2"),
+          s"one-version triggers: expected epochs e0..e2, got ${epochs()}")
+        require(s.read.parquet(s"$out/e1").count() == nSnap &&
+          s.read.parquet(s"$out/e2").count() == nSnap,
+          "each append commit must arrive as exactly one one-version batch")
+        require(s.read.parquet(s"$out/e0", s"$out/e1", s"$out/e2").count() == 3 * nSnap,
+          "restart composition must deliver each commit exactly once")
+        // the checkpoint's offsets are the human-readable version grammar
+        val offs = new java.io.File(ck, "offsets").listFiles()
+          .filter(_.getName.forall(_.isDigit)).map { f =>
+            new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+              .linesIterator.toSeq.last
+          }.toSeq
+        require(offs.nonEmpty && offs.forall(_.forall(_.isDigit)),
+          s"expected plain version offsets in the checkpoint, got $offs")
+        s.read.parquet(s"$out/e0", s"$out/e1", s"$out/e2")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+          .withColumn("restart_exact", lit(true))
+          .orderBy(col("event_type"))
+      },
+      timed = false),
+
     // ----- streaming → Delta sink, EXACTLY-once via per-batch txn -----
     // Composes the two round-6/7 pieces: foreachBatch +
     // PortableDelta.write(append) where every micro-batch commits

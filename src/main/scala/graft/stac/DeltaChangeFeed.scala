@@ -425,6 +425,22 @@ private[stac] trait DeltaChangeFeedOps extends Serializable { self: PortableDelt
         s"$maxFiles, $maxBytes)")
     require(fromVersion <= toVersionMax,
       s"window start $fromVersion past table version $toVersionMax")
+    val (taken, endV, endOff, endComplete) = appendsWindowPlan(spark, path,
+      fromVersion, fromFileOffset, toVersionMax, maxVersions, maxFiles,
+      ignoreDeletes, skipChangeCommits, maxBytes)
+    val endSnap = snapshotAt(spark, path, endV)
+    (buildScan(spark, path, endSnap.copy(files = taken),
+      withPos = false, applyDvs = true), endV, endOff, endComplete)
+  }
+
+  /** The admission loop of [[readAppendsWindow]], without the scan:
+    * (taken files, endVersion, endFileOffset, endComplete). Driver-side
+    * JSON reads of exactly the window's commits. */
+  private[stac] def appendsWindowPlan(spark: SparkSession, path: String,
+      fromVersion: Long, fromFileOffset: Int,
+      toVersionMax: Long, maxVersions: Int, maxFiles: Int,
+      ignoreDeletes: Boolean, skipChangeCommits: Boolean,
+      maxBytes: Long): (Seq[AddFile], Long, Int, Boolean) = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = logDir(path).getFileSystem(conf)
     val taken = Seq.newBuilder[AddFile]
@@ -456,9 +472,115 @@ private[stac] trait DeltaChangeFeedOps extends Serializable { self: PortableDelt
           tookBytes >= maxBytes || versions >= maxVersions) done = true
       else { v += 1; off = 0 }
     }
-    val endSnap = snapshotAt(spark, path, endV)
-    (buildScan(spark, path, endSnap.copy(files = taken.result()),
-      withPos = false, applyDvs = true), endV, endOff, endComplete)
+    (taken.result(), endV, endOff, endComplete)
+  }
+
+  /** End offset a rate-limited window WOULD reach, without building the
+    * scan — the declarative streaming source's `getOffset` planning
+    * read ([[graft.streaming.PortableDeltaStreamSource]]). */
+  private[graft] def appendsWindowEnd(spark: SparkSession, path: String,
+      fromVersion: Long, fromFileOffset: Int,
+      toVersionMax: Long, maxVersions: Int, maxFiles: Int,
+      ignoreDeletes: Boolean, skipChangeCommits: Boolean,
+      maxBytes: Long): (Long, Int, Boolean) = {
+    val (_, v, off, complete) = appendsWindowPlan(spark, path, fromVersion,
+      fromFileOffset, toVersionMax, maxVersions, maxFiles, ignoreDeletes,
+      skipChangeCommits, maxBytes)
+    (v, off, complete)
+  }
+
+  /** The EXACT append window (fromVersion@fromFileOffset ..
+    * endVersion@endFileOffset] as one scan — the declarative streaming
+    * source's `getBatch` reconstruction: Spark's offset log names both
+    * ends, and the read must honor them even if the stream restarted
+    * with different rate limits. `endFileOffset = None` means all of
+    * `endVersion`'s append files. Deterministic because commit JSONs
+    * are immutable and [[appendAddsOf]] preserves commit order. */
+  private[graft] def readAppendsRange(spark: SparkSession, path: String,
+      fromVersion: Long, fromFileOffset: Int,
+      endVersion: Long, endFileOffset: Option[Int],
+      ignoreDeletes: Boolean, skipChangeCommits: Boolean): DataFrame = {
+    require(fromVersion >= 0 && fromVersion <= endVersion,
+      s"bad append range [$fromVersion@$fromFileOffset, " +
+        s"$endVersion@$endFileOffset]")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = logDir(path).getFileSystem(conf)
+    val taken = Seq.newBuilder[AddFile]
+    for (v <- fromVersion to endVersion) {
+      val adds = appendAddsOf(fs, path, v, ignoreDeletes, skipChangeCommits)
+      val from = if (v == fromVersion) fromFileOffset else 0
+      val to = if (v == endVersion) endFileOffset.getOrElse(adds.size)
+               else adds.size
+      require(from <= adds.size && to <= adds.size && from <= to,
+        s"append range slice [$from, $to) out of bounds for the " +
+          s"${adds.size} append files of commit $v at $path")
+      taken ++= adds.slice(from, to)
+    }
+    val endSnap = snapshotAt(spark, path, endVersion)
+    buildScan(spark, path, endSnap.copy(files = taken.result()),
+      withPos = false, applyDvs = true)
+  }
+
+  /** End offset a rate-limited snapshot slice WOULD reach, without
+    * collecting its add rows: (endFileOffset, complete). Same two
+    * executor passes as [[readSnapshotSlice]] but the second only
+    * counts; never evicts the pinned ordering (only a real slice read
+    * completes the drain). */
+  private[graft] def snapshotSliceEnd(spark: SparkSession, path: String,
+      versionAsOf: Long, fromFile: Int, maxFiles: Int,
+      maxBytes: Long = Long.MaxValue): (Int, Boolean) = {
+    require(fromFile >= 0 && maxFiles >= 1 && maxBytes >= 1L,
+      s"bad slice args ($fromFile, $maxFiles, $maxBytes)")
+    val (_, ordered, starts) = pinnedSliceState(spark, path, versionAsOf)
+    val total = starts.last
+    require(fromFile <= total,
+      s"slice offset $fromFile past the $total live files of " +
+        s"$path@$versionAsOf")
+    val from = fromFile.toLong
+    val mf = maxFiles.toLong
+    val partBytes = ordered.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var idx = starts(pi); var sum = 0L
+      it.foreach { r => if (idx >= from) sum += r.getLong(1); idx += 1 }
+      Iterator.single(pi -> sum)
+    }.collect().sortBy(_._1).map(_._2)
+    val bytesBefore = partBytes.scanLeft(0L)(_ + _)
+    val admitted = ordered.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var idx = starts(pi); var bytes = bytesBefore(pi); var n = 0L
+      it.foreach { r =>
+        val g = idx; idx += 1
+        if (g >= from) {
+          val pos = g - from
+          if (pos < mf && (pos == 0L || bytes < maxBytes)) n += 1
+          bytes += r.getLong(1)
+        }
+      }
+      Iterator.single(n)
+    }.collect().sum
+    val end = fromFile + admitted.toInt
+    (end, end == total)
+  }
+
+  /** One commit's CHANGE LOAD — (changed file actions, changed bytes)
+    * over add + cdc + remove: the admission weight a CDF rate limit
+    * packs against (the [[graft.streaming.DeltaCdfSource]] rule). */
+  private[graft] def cdfCommitLoad(conf: org.apache.hadoop.conf.Configuration,
+      path: String, v: Long): (Int, Long) = {
+    val p = new Path(logDir(path), versionFileName(v))
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    var files = 0; var bytes = 0L
+    lines.filter(_.nonEmpty).map(mapper.readTree).foreach { n =>
+      Seq("add", "cdc", "remove").foreach { k =>
+        if (n.has(k)) {
+          files += 1
+          val sz = n.get(k).get("size")
+          if (sz != null && sz.isNumber) bytes += sz.asLong()
+        }
+      }
+    }
+    (files, bytes)
   }
 
   /** Pinned-snapshot slice state, cached across a drain's triggers: the

@@ -490,7 +490,10 @@ private[stac] trait DeltaChecksumOps extends Serializable { self: PortableDelta.
         else (fs.mins.get(key), fs.maxs.get(key)) match {
           case (Some(lo), Some(hi)) => Seq(lo, hi, null)
           case _ =>
-            val allNull = nr != null && fs.nulls.get(key).contains(nr.longValue())
+            // a zero-row file legitimately has EMPTY minValues — it
+            // contributes nothing, exactly like an all-null file
+            val allNull = nr != null && (nr.longValue() == 0L ||
+              fs.nulls.get(key).contains(nr.longValue()))
             if (allNull) Seq(null, null, null) // contributes nothing, like SQL
             else Seq(null, null, s"file $p has no min/max for $n")
         }

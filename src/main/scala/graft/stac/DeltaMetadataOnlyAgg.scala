@@ -22,9 +22,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *   - global aggregate (no GROUP BY), no FILTER clause, no DISTINCT;
   *   - every aggregate is COUNT(literal) (= COUNT(*)), MIN(col) or
   *     MAX(col) over a relation column (nested struct leaves included);
-  *   - the child is the BARE relation (alias / attribute-only
-  *     projections stripped; any Filter, join, or computed projection
-  *     disables the rewrite);
+  *   - the child is the relation under alias / attribute-only
+  *     projections and (since round 15) FILTERS whose references are
+  *     all non-timestamp PARTITION columns — evaluated exactly per
+  *     file against the log's partitionValues, delta-spark's
+  *     OptimizeMetadataOnlyQuery shape; a data-column filter, join, or
+  *     computed projection disables the rewrite;
   *   - the stats fold itself refuses — missing numRecords, a DV of
   *     unknown cardinality, a DV under MIN/MAX, missing min/max on a
   *     non-all-null file, timestamp-typed partition values — and the
@@ -87,33 +90,93 @@ object OptimizeDeltaMetadataOnlyAgg extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Peel aliases and COLUMN-ONLY projections (attributes and
-    * struct-path aliases — what pruning/extraction inserts), collecting
-    * the alias substitutions; anything else (Filter above all) keeps
-    * the scan. */
+  /** Peel aliases, COLUMN-ONLY projections (attributes and struct-path
+    * aliases — what pruning/extraction inserts) and FILTERS, collecting
+    * the alias substitutions and the filter conditions; anything else
+    * keeps the scan. Whether the collected conditions are usable
+    * (partition-only) is decided by [[partitionOnlyPred]]. */
   @scala.annotation.tailrec
-  private def strip(p: LogicalPlan,
-      subst: Map[ExprId, Expression]): (LogicalPlan, Map[ExprId, Expression]) =
+  private def strip(p: LogicalPlan, subst: Map[ExprId, Expression],
+      conds: Seq[Expression])
+      : (LogicalPlan, Map[ExprId, Expression], Seq[Expression]) =
     p match {
-      case s: SubqueryAlias => strip(s.child, subst)
+      case s: SubqueryAlias => strip(s.child, subst, conds)
       case Project(list, child) if list.forall {
           case _: AttributeReference => true
           case a: Alias => isColumnPath(a.child)
           case _ => false } =>
         strip(child, subst ++ list.collect {
-          case a: Alias => a.exprId -> a.child })
-      case other => (other, subst)
+          case a: Alias => a.exprId -> a.child }, conds)
+      case Filter(cond, child) => strip(child, subst, conds :+ cond)
+      case other => (other, subst, conds)
     }
+
+  /** The delta-spark OptimizeMetadataOnlyQuery extension: a filter
+    * whose every reference is a PARTITION column evaluates EXACTLY per
+    * file (all rows of a file share its partitionValues), so the stats
+    * fold may simply restrict to the matching files. Returns the
+    * combined predicate when sound: deterministic, subquery-free,
+    * references only non-timestamp partition columns (the hive string
+    * encoding of timestamps is timezone-ambiguous). None keeps the
+    * scan. */
+  private def partitionOnlyPred(conds: Seq[Expression],
+      subst: Map[ExprId, Expression],
+      index: PortableDeltaFileIndex): Option[Expression] = {
+    if (conds.isEmpty) return Some(Literal.TrueLiteral)
+    val pred = conds.reduce(And).transformUp {
+      case a: AttributeReference => subst.getOrElse(a.exprId, a)
+    }
+    val pFields = index.partitionSchema.fields
+    def isPartitionAttr(a: Attribute): Boolean =
+      pFields.exists(f => f.name.equalsIgnoreCase(a.name) &&
+        f.dataType != org.apache.spark.sql.types.TimestampType &&
+        f.dataType != org.apache.spark.sql.types.TimestampNTZType)
+    val sound = pred.deterministic &&
+      pred.references.forall(isPartitionAttr) &&
+      !pred.exists(_.isInstanceOf[PlanExpression[_]])
+    if (sound) Some(pred) else None
+  }
+
+  /** Evaluate the partition predicate against one file's
+    * partitionValues: hive strings decode through the SAME UTC cast the
+    * FileIndex uses, substitute as literals, fold the predicate. A null
+    * / undecodable / missing value follows SQL filter semantics (null
+    * ⇒ the file is excluded — its rows would not pass the row filter
+    * either). Runs on EXECUTORS over the add frame. */
+  private def evalOnFile(pred: Expression,
+      pFields: Array[org.apache.spark.sql.types.StructField],
+      pv: Map[String, String]): Boolean = {
+    val bound = pred.transform {
+      case a: AttributeReference =>
+        val f = pFields.find(_.name.equalsIgnoreCase(a.name)).getOrElse(
+          throw new IllegalStateException(s"unreachable: ${a.name}"))
+        val raw = pv.get(f.name).orElse(
+          pv.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v })
+        raw match {
+          case None | Some(null) | Some("__HIVE_DEFAULT_PARTITION__") =>
+            Literal(null, a.dataType)
+          case Some(v) =>
+            val decoded = try org.apache.spark.sql.catalyst.expressions.Cast(
+              Literal(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+                org.apache.spark.sql.types.StringType),
+              a.dataType, Option("UTC")).eval(null)
+            catch { case scala.util.control.NonFatal(_) => null }
+            Literal(decoded, a.dataType)
+        }
+    }
+    bound.eval(InternalRow.empty) == true
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
     plan.transform {
       case agg @ Aggregate(Nil, aggExprs, child, _) =>
-        strip(child, Map.empty) match {
-          case (LogicalRelation(fs: HadoopFsRelation, _, _, _, _), subst)
+        strip(child, Map.empty, Nil) match {
+          case (LogicalRelation(fs: HadoopFsRelation, _, _, _, _), subst, conds)
               if fs.location.isInstanceOf[PortableDeltaFileIndex] =>
-            rewrite(agg, subst,
-              fs.location.asInstanceOf[PortableDeltaFileIndex]).getOrElse(agg)
+            val index = fs.location.asInstanceOf[PortableDeltaFileIndex]
+            partitionOnlyPred(conds, subst, index)
+              .flatMap(rewrite(agg, subst, index, _)).getOrElse(agg)
           case _ => agg
         }
     }
@@ -131,7 +194,8 @@ object OptimizeDeltaMetadataOnlyAgg extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate, subst: Map[ExprId, Expression],
-                      index: PortableDeltaFileIndex): Option[LogicalPlan] = {
+                      index: PortableDeltaFileIndex,
+                      filePred: Expression): Option[LogicalPlan] = {
     val needs = agg.aggregateExpressions.map(parse(_, subst))
     if (needs.exists(_.isEmpty)) return None
     val flat = needs.flatten
@@ -139,8 +203,20 @@ object OptimizeDeltaMetadataOnlyAgg extends Rule[LogicalPlan] {
       case NeedMin(c) => c
       case NeedMax(c) => c
     }.distinct
+    // restrict the fold to the files the partition predicate admits —
+    // exact, not conservative: every row of a file shares its
+    // partitionValues, and evalOnFile nulls follow SQL filter semantics
+    val pFields = index.partitionSchema.fields
+    val adds = filePred match {
+      case Literal.TrueLiteral => index.adds
+      case p => index.adds.filter { (r: org.apache.spark.sql.Row) =>
+        val pv = if (r.isNullAt(9)) Map.empty[String, String]
+                 else r.getMap[String, String](9).toMap
+        evalOnFile(p, pFields, pv)
+      }
+    }
     val row = try PortableDelta.aggregateFromState(index.session, index.path,
-        index.snapBase, index.adds, cols).head()
+        index.snapBase, adds, cols).head()
       catch { case scala.util.control.NonFatal(_) => return None }
     val values = flat.zip(agg.aggregateExpressions).map { case (need, ne) =>
       val v = need match {

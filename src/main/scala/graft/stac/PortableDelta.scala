@@ -874,7 +874,7 @@ object PortableDelta
     * metaData/txns/domainMetadata only, O(small state + tail) driver
     * cost on checkpoint-seeded tables. For schema/config gates that
     * never need the add list. */
-  private[stac] def smallSnapshot(spark: SparkSession, path: String): Snapshot = {
+  private[graft] def smallSnapshot(spark: SparkSession, path: String): Snapshot = {
     val conf = spark.sessionState.newHadoopConf()
     checkpointRefFor(conf, path) match {
       case Some(ref) => lazyCheckpointState(spark, path, ref)._1
@@ -1718,7 +1718,7 @@ object PortableDelta
   /** Deep-nullable mirror of a type (every struct field / array element
     * / map value nullable) — the read-side cast target for bytes parquet
     * may have written with relaxed nullability. */
-  private[stac] def deepNullable(dt: DataType): DataType = dt match {
+  private[graft] def deepNullable(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       f.copy(dataType = deepNullable(f.dataType), nullable = true)))
     case org.apache.spark.sql.types.ArrayType(e, _) =>

@@ -4,10 +4,10 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, Expression, Literal}
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, OutputWriterFactory, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, OutputWriterFactory, PartitionDirectory, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `spark.read.format("portable-delta").load(path)` — the file-source
@@ -42,14 +42,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * the driver, the readTableWhere discipline. A million-add table
   * costs the driver O(matching files + JSON tail) per query.
   *
-  * Refused BY NAME (never a silent wrong read; `readTable` handles
-  * both): tables with column mapping enabled (the parquet bytes store
-  * physical `col-<uuid>` names the stock file scan cannot rename
-  * back), and scans whose surviving files carry deletion vectors (the
-  * stock reader would resurrect deleted rows). */
+  * DELETION VECTORS and COLUMN MAPPING both read through this route
+  * (value-parity with `readTable`): the file format drops DV-dead rows
+  * by parquet row index and rewrites mapped schemas/filters to the
+  * physical `col-<uuid>` names — see [[PortableDeltaReadOnlyFormat]].
+  * SQL writes: `INSERT INTO` (no PARTITION spec) routes through the
+  * full write protocol via [[PortableDeltaHadoopFsRelation.insert]];
+  * raw file writes stay impossible (prepareWrite refuses). */
 class PortableDeltaDataSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "portable-delta"
@@ -135,6 +138,55 @@ class PortableDeltaDataSource extends RelationProvider
     new PortableDeltaSink(path, mode, appId, partitionColumns,
       parameters.get("mergeSchema").exists(_.toBoolean))
   }
+
+  /** `spark.readStream.format("portable-delta")` — the declarative
+    * STREAMING SOURCE: appends by default, row-level changes under
+    * `option("readChangeFeed", "true")`. Options (the delta source's
+    * names): `maxFilesPerTrigger`, `maxBytesPerTrigger`,
+    * `startingVersion`, `startingTimestamp` (UTC string or epoch ms),
+    * `ignoreDeletes`, `skipChangeCommits`, plus this engine's
+    * `maxVersionsPerTrigger` (default 32). Progress lives in SPARK'S
+    * checkpoint (offset log) — restart-exact, including mid-snapshot
+    * and mid-commit positions; see
+    * [[graft.streaming.PortableDeltaStreamSource]]. */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    schema.foreach(_ => throw new IllegalArgumentException(
+      "portable-delta streams read the table's own schema — drop the " +
+        "user-specified one"))
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    (shortName(), graft.streaming.PortableDeltaStreamSource.schemaFor(
+      sqlContext.sparkSession, pathOf(parameters), cdf))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = pathOf(parameters)
+    def boolOpt(k: String) = parameters.get(k).exists(_.toBoolean)
+    val tsOpt = parameters.get("startingTimestamp").map { s =>
+      scala.util.Try(s.trim.toLong).getOrElse(
+        PortableDeltaRelation.parseUtcMillis(s.trim))
+    }
+    new graft.streaming.PortableDeltaStreamSource(
+      sqlContext.sparkSession, path,
+      cdf = boolOpt("readChangeFeed"),
+      maxVersionsPerTrigger =
+        parameters.get("maxVersionsPerTrigger").map(_.trim.toInt).getOrElse(32),
+      maxFilesPerTrigger =
+        parameters.get("maxFilesPerTrigger").map(_.trim.toInt),
+      maxBytesPerTrigger =
+        parameters.get("maxBytesPerTrigger").map(_.trim.toLong),
+      startingVersion = parameters.get("startingVersion").map(_.trim.toLong),
+      startingTimestamp = tsOpt,
+      ignoreDeletes = boolOpt("ignoreDeletes"),
+      skipChangeCommits = boolOpt("skipChangeCommits"))
+  }
 }
 
 /** The V1 micro-batch sink behind `writeStream.format("portable-delta")`.
@@ -161,25 +213,215 @@ private[stac] class PortableDeltaSink(path: String, mode: String,
   override def toString: String = s"PortableDeltaSink[$path, $mode]"
 }
 
-/** Read-only [[ParquetFileFormat]] for the relation: Catalyst routes
-  * `INSERT INTO` on a HadoopFsRelation-backed table through the stock
-  * file-write command, which would land parquet files the Delta log
-  * never commits — INVISIBLE rows (the log is the source of truth), a
-  * silent data loss. Refuse LOUDLY at write planning; reads inherit
-  * the full vectorized parquet path untouched. */
-private[stac] class PortableDeltaReadOnlyFormat extends ParquetFileFormat {
+/** A deletion-vector descriptor as the format needs it: enough to
+  * [[DeletionVectors.load]] the bitmap on whichever task reads the
+  * file. Tiny (~100 B) — the relation collects one per DV-CARRYING
+  * file only (the recently-mutated subset of a table, not the table). */
+private[stac] final case class DvRef(storageType: String,
+    pathOrInlineDv: String, offset: Option[Int], sizeInBytes: Int,
+    cardinality: Long)
+
+/** The relation's [[ParquetFileFormat]] — three jobs on top of the
+  * stock vectorized parquet path:
+  *
+  *  1. **Refuse raw file writes.** Catalyst routes `INSERT INTO` a
+  *     HadoopFsRelation through the stock file-write command when the
+  *     relation is not insertable (e.g. a static PARTITION insert) —
+  *     files the Delta log never commits would be INVISIBLE rows, a
+  *     silent data loss. [[prepareWrite]] throws loudly; the
+  *     sanctioned SQL write path is [[PortableDeltaHadoopFsRelation
+  *     .insert]].
+  *  2. **Deletion vectors** (delta-spark's DeltaParquetFileFormat
+  *     shape): when any pinned file carries a DV, the reader requests
+  *     the parquet ROW INDEX via Spark's temporary row-index column
+  *     ([[ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME]] — exact
+  *     physical position even under row-group skipping), drops rows
+  *     whose index is set in the file's bitmap, and projects the
+  *     temp column back out. The descriptor map rides a broadcast;
+  *     each task decodes only ITS file's bitmap (KBs per million
+  *     deleted rows). Batch output is disabled for such scans (the
+  *     per-row probe needs the row pipeline); DV-free tables keep
+  *     whole-stage columnar untouched.
+  *  3. **Column mapping**: the parquet bytes of a mapped table store
+  *     PHYSICAL `col-<uuid>` names. The read/data schemas and pushed
+  *     filters are rewritten to physical names before the stock
+  *     reader sees them — output `InternalRow`s are positional, so
+  *     they line up with the relation's LOGICAL attributes with no
+  *     rename-back step (delta-spark's prepareSchema behavior).
+  *     Unmappable pushed filters (nested paths) are dropped — a
+  *     weaker pushdown is sound, Spark re-applies the full predicate.
+  */
+private[stac] class PortableDeltaReadOnlyFormat(
+    tablePath: String,
+    tableSchema: StructType,
+    mapped: Boolean,
+    dvByPath: Map[String, DvRef]) extends ParquetFileFormat {
+
   override def prepareWrite(sparkSession: SparkSession,
                             job: org.apache.hadoop.mapreduce.Job,
                             options: Map[String, String],
                             dataSchema: StructType): OutputWriterFactory =
     throw new UnsupportedOperationException(
-      "INSERT INTO a portable-delta table would bypass the Delta log " +
-        "(the written files would be invisible to every reader) — use " +
-        "df.write.format(\"portable-delta\").mode(\"append\").save(path) " +
+      "writing files directly into a portable-delta table would bypass " +
+        "the Delta log (the written files would be invisible to every " +
+        "reader) — use INSERT INTO without a PARTITION spec, " +
+        "df.write.format(\"portable-delta\").mode(\"append\").save(path), " +
         "or PortableDelta.write instead")
+
+  /** The DV row probe needs the row pipeline (per-row bitmap
+    * contains()); DV-free scans keep the stock columnar decision. */
+  override def supportBatch(sparkSession: SparkSession,
+                            schema: StructType): Boolean =
+    dvByPath.isEmpty && super.supportBatch(sparkSession, schema)
+
+  // ---- column mapping: logical -> physical schema/filter rewrite ----
+
+  /** Physical rename of a PRUNED schema tree, resolved field-by-field
+    * against the table schema (never trusting pruned-copy metadata —
+    * Catalyst may rebuild nested structs when pruning). */
+  private def physStruct(pruned: StructType, ref: StructType): StructType =
+    StructType(pruned.fields.map { pf =>
+      val rf = ref.fields.find(_.name == pf.name).orElse(
+        ref.fields.find(_.name.equalsIgnoreCase(pf.name))).getOrElse(
+        throw new IllegalStateException(
+          s"column ${pf.name} of the read schema is missing from the " +
+            s"table schema of $tablePath"))
+      pf.copy(name = PortableDelta.physFieldName(rf),
+        dataType = physType(pf.dataType, rf.dataType))
+    })
+
+  private def physType(p: DataType, r: DataType): DataType = (p, r) match {
+    case (ps: StructType, rs: StructType) => physStruct(ps, rs)
+    case (pa: org.apache.spark.sql.types.ArrayType,
+          ra: org.apache.spark.sql.types.ArrayType) =>
+      pa.copy(elementType = physType(pa.elementType, ra.elementType))
+    case (pm: org.apache.spark.sql.types.MapType,
+          rm: org.apache.spark.sql.types.MapType) =>
+      pm.copy(keyType = physType(pm.keyType, rm.keyType),
+        valueType = physType(pm.valueType, rm.valueType))
+    case _ => p
+  }
+
+  @transient private lazy val physOfTop: Map[String, String] =
+    tableSchema.fields.map(f => f.name -> PortableDelta.physFieldName(f)).toMap
+  private def physName(a: String): Option[String] =
+    physOfTop.get(a).orElse(physOfTop.collectFirst {
+      case (k, v) if k.equalsIgnoreCase(a) => v })
+
+  /** Rewrite a pushed filter to physical attribute names. `exact=false`
+    * may WEAKEN an And to its mappable side (sound for pushdown);
+    * under Not the inner rewrite must be exact or the filter drops. */
+  private def physFilter(f: org.apache.spark.sql.sources.Filter,
+                         exact: Boolean): Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{And => SAnd, _}
+    f match {
+      case EqualTo(a, v) => physName(a).map(EqualTo(_, v))
+      case EqualNullSafe(a, v) => physName(a).map(EqualNullSafe(_, v))
+      case GreaterThan(a, v) => physName(a).map(GreaterThan(_, v))
+      case GreaterThanOrEqual(a, v) => physName(a).map(GreaterThanOrEqual(_, v))
+      case LessThan(a, v) => physName(a).map(LessThan(_, v))
+      case LessThanOrEqual(a, v) => physName(a).map(LessThanOrEqual(_, v))
+      case In(a, vs) => physName(a).map(In(_, vs))
+      case IsNull(a) => physName(a).map(IsNull(_))
+      case IsNotNull(a) => physName(a).map(IsNotNull(_))
+      case StringStartsWith(a, v) => physName(a).map(StringStartsWith(_, v))
+      case StringEndsWith(a, v) => physName(a).map(StringEndsWith(_, v))
+      case StringContains(a, v) => physName(a).map(StringContains(_, v))
+      case SAnd(l, r) => (physFilter(l, exact), physFilter(r, exact)) match {
+        case (Some(a), Some(b)) => Some(SAnd(a, b))
+        case (a, b) => if (exact) None else a.orElse(b)
+      }
+      case Or(l, r) => for {
+        a <- physFilter(l, exact); b <- physFilter(r, exact)
+      } yield Or(a, b)
+      case Not(x) => physFilter(x, exact = true).map(Not(_))
+      case _ => None
+    }
+  }
+
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : PartitionedFile => Iterator[InternalRow] = {
+    val physData = if (mapped) physStruct(dataSchema, tableSchema) else dataSchema
+    val physRequired = if (mapped) physStruct(requiredSchema, tableSchema)
+                       else requiredSchema
+    val physFilters = if (mapped) filters.flatMap(physFilter(_, exact = false))
+                      else filters
+    if (dvByPath.isEmpty)
+      return super.buildReaderWithPartitionValues(sparkSession, physData,
+        partitionSchema, physRequired, physFilters, options, hadoopConf)
+
+    // request the physical row index through the reader's temp column
+    // (populated correctly even when pushed filters skip row groups);
+    // reuse an already-requested one rather than duplicating the name
+    val rixName = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+    // nullable: the column is absent from the file by construction and
+    // a required-but-missing column fails the reader's schema check;
+    // the row-index generator fills it before any row surfaces
+    val preRequested = physRequired.fieldNames.contains(rixName)
+    val augmented = if (preRequested) physRequired
+      else physRequired.add(StructField(rixName, LongType, nullable = true))
+    val rixAt = augmented.fieldIndex(rixName)
+    val delegate = super.buildReaderWithPartitionValues(sparkSession,
+      physData, partitionSchema, augmented, physFilters, options, hadoopConf)
+    val bcDvs = sparkSession.sparkContext.broadcast(dvByPath)
+    val bcConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
+    val table = tablePath
+    // delegate output layout: augmented data fields then partition
+    // columns — project the temp column away to land on the caller's
+    // (requiredSchema ++ partitionSchema) positions
+    val outTypes = (augmented.fields.map(_.dataType) ++
+      partitionSchema.fields.map(_.dataType)).toIndexedSeq
+    val keepIdx = outTypes.indices.filterNot(_ == rixAt)
+
+    (file: PartitionedFile) => {
+      val it = delegate(file)
+      val dv = bcDvs.value.get(file.toPath.toString).map { d =>
+        val loaded = DeletionVectors.load(bcConf.value, table, d.storageType,
+          d.pathOrInlineDv, d.offset, d.sizeInBytes)
+        require(loaded.cardinality == d.cardinality,
+          s"DV for ${file.toPath}: decoded cardinality ${loaded.cardinality}" +
+            s" != descriptor ${d.cardinality}")
+        loaded
+      }
+      val live = dv match {
+        case Some(bitmap) => it.filter(r => !bitmap.contains(r.getLong(rixAt)))
+        case None => it
+      }
+      if (preRequested) live
+      else {
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(keepIdx.map(i =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, outTypes(i), nullable = true)))
+        live.map(proj)
+      }
+    }
+  }
 }
 
 object PortableDeltaRelation {
+
+  /** `timestampAsOf` string → epoch millis, ALWAYS in UTC ("2024-01-02",
+    * "2024-01-02 03:04:05[.ffffff]", T-separated, optional trailing Z).
+    * Exposed for the spec's epoch assertion. */
+  private[stac] def parseUtcMillis(s: String): Long = {
+    val norm = s.replace('T', ' ').stripSuffix("Z").trim
+    val (datePart, timePart) = norm.indexOf(' ') match {
+      case -1 => (norm, "00:00:00")
+      case i => (norm.substring(0, i), norm.substring(i + 1).trim)
+    }
+    val ld = java.time.LocalDate.parse(datePart)
+    val lt = java.time.LocalTime.parse(timePart)
+    java.time.LocalDateTime.of(ld, lt).toInstant(java.time.ZoneOffset.UTC)
+      .toEpochMilli
+  }
 
   /** Build the relation: ONE log replay pins (schema, partition
     * columns, version, add frame) — a consistent snapshot; concurrent
@@ -193,10 +435,11 @@ object PortableDeltaRelation {
             options: Map[String, String]): BaseRelation = {
     val conf = spark.sessionState.newHadoopConf()
     val vOpt = options.get("versionAsOf").map(_.trim.toLong)
+    // parsed in UTC explicitly: Timestamp.valueOf would interpret the
+    // string in the JVM default zone, so the same option string would
+    // resolve a DIFFERENT version on a non-UTC host
     val tsOpt = options.get("timestampAsOf").map { s =>
-      scala.util.Try(s.trim.toLong).getOrElse(
-        java.sql.Timestamp.valueOf(s.trim.replace('T', ' ')
-          .stripSuffix("Z")).getTime)
+      scala.util.Try(s.trim.toLong).getOrElse(parseUtcMillis(s.trim))
     }
     require(vOpt.isEmpty || tsOpt.isEmpty,
       "specify versionAsOf OR timestampAsOf, not both")
@@ -217,11 +460,6 @@ object PortableDeltaRelation {
               PortableDelta.addFilesToFlatDf(spark, snap.files))
         }
       }
-    if (PortableDelta.mappedCfg(snapBase.configuration))
-      throw new IllegalStateException(
-        s"portable-delta relation at $tablePath refused: column mapping " +
-          "is enabled and the parquet bytes store physical column names " +
-          "— read through PortableDelta.readTable instead")
     val index = new PortableDeltaFileIndex(spark, tablePath, snapBase, addsDf)
     // nullable-on-read, the readTable contract: parquet bytes relax
     // struct-field nullability and evolved tables surface null for
@@ -232,8 +470,70 @@ object PortableDeltaRelation {
         snapBase.partitionColumns.exists(_.equalsIgnoreCase(f.name)))
       .map(f => f.copy(
         dataType = PortableDelta.deepNullable(f.dataType), nullable = true)))
-    HadoopFsRelation(index, index.partitionSchema, dataSchema,
-      bucketSpec = None, new PortableDeltaReadOnlyFormat, options)(spark)
+    // DV descriptors of the pinned state, keyed by the resolved file
+    // path the scan will present. Bounded by DV-CARRYING files (the
+    // recently-mutated subset — OPTIMIZE/purge collapses them), ~100 B
+    // each; an executor-side filter collects only those rows, never
+    // the add list.
+    import org.apache.spark.sql.functions.col
+    val dvByPath: Map[String, DvRef] = addsDf
+      .filter(col("dv_storageType").isNotNull)
+      .select("path", "dv_storageType", "dv_pathOrInlineDv", "dv_offset",
+        "dv_sizeInBytes", "dv_cardinality")
+      .collect().map { r =>
+        PortableDelta.resolvedDataPath(tablePath, r.getString(0)).toString ->
+          DvRef(r.getString(1), r.getString(2),
+            if (r.isNullAt(3)) None else Some(r.getInt(3)),
+            r.getInt(4), r.getLong(5))
+      }.toMap
+    val fmt = new PortableDeltaReadOnlyFormat(tablePath, snapBase.schema,
+      PortableDelta.mappedCfg(snapBase.configuration), dvByPath)
+    new PortableDeltaHadoopFsRelation(index, index.partitionSchema,
+      dataSchema, fmt, options, spark, tablePath, asOf.isDefined)
+  }
+}
+
+/** The relation class: a stock [[HadoopFsRelation]] (every scan-side
+  * behavior inherited) that is ALSO an [[org.apache.spark.sql.sources
+  * .InsertableRelation]], so `INSERT INTO` a `portable-delta` table
+  * plans as `InsertIntoDataSourceCommand` (Catalyst checks
+  * InsertableRelation BEFORE the HadoopFsRelation file-write case) and
+  * routes through [[PortableDelta.write]] — full protocol: stats
+  * harvest, constraint/feature gates, optimistic-concurrency commit.
+  * Static-PARTITION inserts still fall through to the stock file
+  * writer, where [[PortableDeltaReadOnlyFormat.prepareWrite]] refuses
+  * loudly — the raw-file bypass stays impossible. */
+private[stac] class PortableDeltaHadoopFsRelation(
+    index: PortableDeltaFileIndex,
+    partitionSchemaArg: StructType,
+    dataSchemaArg: StructType,
+    fmt: PortableDeltaReadOnlyFormat,
+    optionsArg: Map[String, String],
+    spark: SparkSession,
+    tablePath: String,
+    timeTravel: Boolean)
+    extends HadoopFsRelation(index, partitionSchemaArg, dataSchemaArg,
+      None, fmt, optionsArg)(spark)
+    with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    require(!timeTravel,
+      s"cannot INSERT INTO a time-traveled relation of $tablePath — " +
+        "drop the versionAsOf/timestampAsOf option")
+    // relation schema order is dataSchema ++ partitionSchema (partition
+    // columns moved to the end); the table write wants the LOG's column
+    // order
+    val snapSchema = index.snapBase.schema
+    val cols = snapSchema.fields.toSeq.map(f => StacSchema.quotedCol(f.name))
+    PortableDelta.write(data.select(cols: _*), tablePath,
+      mode = if (overwrite) "overwrite" else "append",
+      partitionBy = index.snapBase.partitionColumns)
+    // the catalog caches resolved relations per table name; this
+    // relation's snapshot is PINNED, so stale cached plans must drop
+    // (the REFRESH TABLE a file-source user would otherwise owe)
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    spark.catalog.refreshByPath(tablePath)
   }
 }
 
@@ -280,33 +580,48 @@ final class PortableDeltaFileIndex(
     addsDf.select("path").collect().map(r =>
       PortableDelta.resolvedDataPath(tablePath, r.getString(0)).toString)
 
+  /** Whether the table maps logical to physical column names — stats
+    * JSON and partitionValues then key by PHYSICAL names. */
+  private val mapped = PortableDelta.mappedCfg(snapBase.configuration)
+  /** logical top-level name -> physical, for mapped lookups. */
+  private val physOf: Map[String, String] =
+    snapBase.schema.fields.map(f =>
+      f.name -> PortableDelta.physFieldName(f)).toMap
+
   /** The pruning seam. Flat add-frame columns (FlatAddSchema): 0=path,
     * 1=size, 2=modificationTime, 3=dv_storageType, 8=stats,
     * 9=partitionValues. Partition filters AND data filters both route
     * through [[DeltaStats.satisfiable]] — partition pruning is exactly
     * data skipping over point ranges (min = max = the hive value), so
-    * one conservative evaluator serves both. Spark re-applies the
-    * partition filters over the returned directory values and the full
-    * predicate over rows; a file kept too eagerly costs I/O, never
-    * correctness — and a file dropped wrongly cannot happen because
-    * satisfiable() keeps on any uncertainty. */
+    * one conservative evaluator serves both. On a MAPPED table the
+    * predicate's attributes and the probe schema rename to physical
+    * first (stats/partitionValues key by physical names). Spark
+    * re-applies the partition filters over the returned directory
+    * values and the full predicate over rows; a file kept too eagerly
+    * costs I/O, never correctness — and a file dropped wrongly cannot
+    * happen because satisfiable() keeps on any uncertainty. Files with
+    * DELETION VECTORS stay in the listing — min/max stats over a
+    * superset of live rows prune conservatively, and the file format
+    * drops the dead rows by parquet row index at read time. */
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val schema = snapBase.schema
-    val pred = (partitionFilters ++ dataFilters)
+    val logicalPred = (partitionFilters ++ dataFilters)
       .reduceOption(And).getOrElse(Literal.TrueLiteral)
+    // physical rename is a node-for-node map: attribute names move to
+    // the stats' key domain, nested GetStructField ordinals are
+    // position-stable under physDataType
+    val (schema, pred) =
+      if (!mapped) (snapBase.schema, logicalPred)
+      else (PortableDelta.physSchemaOf(snapBase.schema),
+        logicalPred.transform {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            physOf.get(a.name).map(p => a.withName(p)).getOrElse(a)
+        })
     val survivors = addsDf.filter { (r: org.apache.spark.sql.Row) =>
       val pv = if (r.isNullAt(9)) Map.empty[String, String]
                else r.getMap[String, String](9).toMap
       DeltaStats.satisfiable(Option(r.getString(8)), pv, schema, pred)
     }.collect()
-
-    val withDv = survivors.filter(r => !r.isNullAt(3))
-    require(withDv.isEmpty,
-      s"portable-delta scan of $tablePath refused: ${withDv.length} " +
-        s"surviving file(s) carry deletion vectors the stock parquet " +
-        "reader would ignore (deleted rows would resurrect) — read " +
-        "through PortableDelta.readTable instead")
 
     survivors.toSeq
       .groupBy(r => if (r.isNullAt(9)) Map.empty[String, String]
@@ -327,7 +642,9 @@ final class PortableDeltaFileIndex(
     * would answer queries wrong. */
   private def partitionRow(pv: Map[String, String]): InternalRow =
     InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
-      pv.get(f.name).orElse(
+      // mapped tables key partitionValues by PHYSICAL name; tolerate
+      // logical-keyed maps from plainer writers (the buildScan rule)
+      pv.get(physOf.getOrElse(f.name, f.name)).orElse(pv.get(f.name)).orElse(
           pv.collectFirst { case (k, v) if k.equalsIgnoreCase(f.name) => v })
         match {
           case None | Some(null) => null

@@ -73,9 +73,46 @@ class DeltaMetadataOnlyRuleSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS pd_meta_t")
   }
 
+  test("partition-only filter: COUNT/MIN/MAX answer scan-free, bit-identical to the scan") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    val df = (0L until 300L)
+      .map(i => (i, s"d$i", 1990 + (i % 6).toInt, s"g${i % 4}"))
+      .toDF("id", "body", "yr", "grp")
+    PortableDelta.write(df, path, partitionBy = Seq("yr", "grp"))
+    val rel = spark.read.format("portable-delta").load(path)
+    def q(r: org.apache.spark.sql.DataFrame) =
+      r.filter(col("yr") === 1995 && col("grp") =!= "g2")
+        .agg(count(lit(1)).as("cnt"), min("id").as("mn"), max("id").as("mx"))
+    val meta = q(rel)
+    assert(isMetadataOnly(meta),
+      meta.queryExecution.optimizedPlan.toString)
+    // kill switch restores the scan; values must be bit-identical
+    spark.conf.set(OptimizeDeltaMetadataOnlyAgg.ConfKey, "false")
+    val viaScan = try { val f = q(rel); assert(hasScan(f)); f.head() }
+      finally spark.conf.unset(OptimizeDeltaMetadataOnlyAgg.ConfKey)
+    assert(meta.head() == viaScan, s"${meta.head()} vs $viaScan")
+    // SQL route with a WHERE over partition columns only
+    spark.sql("DROP TABLE IF EXISTS pd_meta_p")
+    spark.sql(s"CREATE TABLE pd_meta_p USING `portable-delta` OPTIONS (path '$path')")
+    try {
+      val sq = spark.sql(
+        "SELECT count(*) AS cnt, max(id) AS mx FROM pd_meta_p WHERE yr = 1995")
+      assert(isMetadataOnly(sq), sq.queryExecution.optimizedPlan.toString)
+      assert(sq.head() == org.apache.spark.sql.Row(50L, 299L))
+      // a predicate matching NOTHING: count 0, null extrema, scan-free
+      val none = spark.sql(
+        "SELECT count(*) AS cnt, min(id) AS mn FROM pd_meta_p WHERE yr = 2099")
+      assert(isMetadataOnly(none))
+      assert(none.head() == org.apache.spark.sql.Row(0L, null))
+    } finally spark.sql("DROP TABLE IF EXISTS pd_meta_p")
+  }
+
   test("fallback: WHERE keeps the scan, grouped agg keeps the scan") {
     val path = mkTable()
     val rel = spark.read.format("portable-delta").load(path)
+    // a DATA-column predicate must keep the scan (stats pruning is
+    // conservative — a metadata COUNT under it would over-count)
     val filtered = rel.filter(col("id") >= 100).agg(count(lit(1)).as("cnt"))
     assert(hasScan(filtered))
     assert(filtered.head().getLong(0) == 100L)
@@ -87,7 +124,7 @@ class DeltaMetadataOnlyRuleSpec extends AnyFunSuite {
     assert(hasScan(avgAgg))
   }
 
-  test("DV table: count stays metadata-only (cardinality-exact); min/max falls back to the refusing scan") {
+  test("DV table: count stays metadata-only (cardinality-exact); min/max falls back to the DV-aware scan") {
     val path = mkTable()
     val res = PortableDelta.delete(spark, path, col("id") % 4 === 0)
     assert(res.deletedRows == 50 && res.removedFiles == 0)
@@ -95,13 +132,14 @@ class DeltaMetadataOnlyRuleSpec extends AnyFunSuite {
     val cnt = rel.agg(count(lit(1)).as("cnt"))
     assert(isMetadataOnly(cnt), "COUNT under DVs is exact from cardinality")
     assert(cnt.head().getLong(0) == 150L)
-    // min/max is NOT answerable from stats under DVs; the fallback is the
-    // scan, and the portable-delta scan itself refuses DVs by name
+    // min/max is NOT answerable from stats under DVs (a deleted row may
+    // hold the extremum); the fallback is the scan — which since round
+    // 15 drops the DV-dead rows itself (row-index probe), so the value
+    // is RIGHT, not a refusal
     val mn = rel.agg(min("id").as("mn"))
     assert(hasScan(mn))
-    val e = intercept[Exception](mn.head())
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
-    // the full API answers both
+    assert(mn.head().getLong(0) == 1L, "id 0 is DV-dead; min must be 1")
+    // parity with the full API
     assert(PortableDelta.readTable(spark, path).agg(min("id")).head().getLong(0) == 1L)
   }
 

@@ -306,28 +306,21 @@ class DeltaModelSpec extends AnyFunSuite {
         case e: IllegalStateException if e.getMessage.contains("column mapping") =>
           () // named refusal — never a silently wrong value
       }
-      // format-read probe (round 14): the DECLARATIVE surface must agree
-      // with readTable after any DML state — sampled every 3rd step (a
-      // relation build replays the log). Refusal is legal only for the
-      // two named unsound cases the fuzz can reach (column mapping after
-      // a rename/addDropPair; deletion vectors after a row-level verb) —
-      // any other refusal, or a drifted value, fails with the trace.
+      // format-read probe (round 14; refusal list emptied in round 15):
+      // the DECLARATIVE surface must agree with readTable after EVERY
+      // DML state — sampled every 3rd step (a relation build replays
+      // the log). Column mapping and deletion vectors both read through
+      // the format now (physical-name rewrite + row-index DV drop), so
+      // ANY refusal, or a drifted value, fails with the trace.
       if (step % 3 == 0) {
-        try {
-          val viaFmt = spark.read.format("portable-delta").load(path)
-            .collect()
-            .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
-          assert(viaFmt == model,
-            s"$ctx step=$step trace=[${trace.mkString(" -> ")}]: " +
-              s"format(\"portable-delta\") read != model " +
-              s"(extra=${(viaFmt.keySet -- model.keySet).size}, " +
-              s"missing=${(model.keySet -- viaFmt.keySet).size})")
-        } catch {
-          case e: IllegalStateException
-              if e.getMessage.contains("column mapping") => ()
-          case e: IllegalArgumentException
-              if e.getMessage.contains("deletion vectors") => ()
-        }
+        val viaFmt = spark.read.format("portable-delta").load(path)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        assert(viaFmt == model,
+          s"$ctx step=$step trace=[${trace.mkString(" -> ")}]: " +
+            s"format(\"portable-delta\") read != model " +
+            s"(extra=${(viaFmt.keySet -- model.keySet).size}, " +
+            s"missing=${(model.keySet -- viaFmt.keySet).size})")
       }
       // CDF-vs-model-diff probe: with row tracking on, every DML
       // commit's reconstructed feed must equal the model's before/after

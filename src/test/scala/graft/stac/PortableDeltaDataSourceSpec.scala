@@ -1,6 +1,5 @@
 package graft.stac
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -12,12 +11,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * scan's numFiles metric, parquet PushedFilters in the plan, partition
   * pruning from log partitionValues (never directory names), SQL
   * `CREATE TABLE ... USING portable-delta` access, checkpoint-seeded
-  * tables, schema evolution nulls, and the two by-name refusals
-  * (deletion vectors, column mapping). */
+  * tables, schema evolution nulls, DV-aware reads (row-index drop,
+  * value-equal to readTable), column-mapped reads (physical-name
+  * rewrite), and the SQL write surface (INSERT INTO via
+  * InsertableRelation; the raw-file bypass stays refused). */
 class PortableDeltaDataSourceSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSpec.spark
-  private val mapper = new ObjectMapper()
 
   private def tmp(): String =
     java.nio.file.Files.createTempDirectory("pdsrc").toString + "/tbl"
@@ -137,16 +137,32 @@ class PortableDeltaDataSourceSpec extends AnyFunSuite {
     assert(got.length == 2 && got(0).isNullAt(2) && got(1).getDouble(2) == 7.5)
   }
 
-  test("refusal by name: surviving files with deletion vectors") {
+  test("deletion vectors: the format route drops DV-dead rows, value-equal to readTable") {
     val path = tmp()
-    PortableDelta.write(idDf(50L), path)
+    PortableDelta.write(idDf(50L).repartitionByRange(4, col("id")), path)
     val res = PortableDelta.delete(spark, path, col("id") % 2 === 0)
-    assert(res.deletedRows > 0 && res.removedFiles == 0)
-    val e = intercept[Exception] {
-      spark.read.format("portable-delta").load(path).collect()
-    }
-    assert(e.getMessage.contains("deletion vectors") &&
-      e.getMessage.contains("readTable"), e.getMessage)
+    assert(res.deletedRows > 0 && res.removedFiles == 0,
+      "the DELETE must land as deletion vectors, not file rewrites")
+    val viaFmt = spark.read.format("portable-delta").load(path)
+    val a = viaFmt.orderBy("id").collect().toSeq
+    val b = PortableDelta.readTable(spark, path).orderBy("id").collect().toSeq
+    assert(a == b && a.size == 25, s"got ${a.size} rows")
+    assert(a.forall(_.getLong(0) % 2 == 1), "even ids must be DV-dead")
+    // filters compose with the DV drop: pushdown skips row groups and
+    // the temp row-index column still names the PHYSICAL position
+    val filtered = spark.read.format("portable-delta").load(path)
+      .filter(col("id") >= 25L)
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq ==
+      (25L until 50L).filter(_ % 2 == 1).toSeq)
+    val scan = scanOf(filtered)
+    assert(filesPlanned(scan) < 4,
+      "log-stats pruning must still run on a DV-carrying table")
+    // aggregate over the format route subtracts the dead rows
+    spark.sql("DROP TABLE IF EXISTS pd_dv_t")
+    spark.sql(s"CREATE TABLE pd_dv_t USING `portable-delta` OPTIONS (path '$path')")
+    try assert(spark.sql("SELECT count(*) AS n FROM pd_dv_t")
+      .head().getLong(0) == 25L)
+    finally spark.sql("DROP TABLE IF EXISTS pd_dv_t")
   }
 
   test("write path: save modes, partitionBy, full protocol round trip") {
@@ -169,20 +185,103 @@ class PortableDeltaDataSourceSpec extends AnyFunSuite {
     assert(spark.read.format("portable-delta").load(path).count() == 2L)
   }
 
-  test("INSERT INTO refuses loudly — the stock file insert would bypass the log") {
+  test("INSERT INTO lands a real commit through the full write protocol") {
     val path = tmp()
     PortableDelta.write(idDf(5L), path)
     spark.sql("DROP TABLE IF EXISTS pd_ins_t")
     spark.sql(s"CREATE TABLE pd_ins_t USING `portable-delta` OPTIONS (path '$path')")
     try {
-      val e = intercept[Exception](
-        spark.sql("INSERT INTO pd_ins_t VALUES (99, 'x', 'g9')"))
+      spark.sql("INSERT INTO pd_ins_t VALUES (99, 'x', 'g9'), (100, 'y', 'g0')")
+      // the insert is a LOG commit (v1), with stats, visible to both routes
+      val snap = PortableDelta.snapshot(spark, path)
+      assert(snap.version == 1L, s"expected one commit, at v${snap.version}")
+      assert(snap.files.forall(_.stats.isDefined),
+        "INSERT INTO must go through the full protocol (stats harvested)")
+      assert(PortableDelta.readTable(spark, path).count() == 7L)
+      assert(spark.sql("SELECT count(*) AS n FROM pd_ins_t").head().getLong(0) == 7L,
+        "the SAME table name must see the new rows (relation cache dropped)")
+      val got = spark.sql("SELECT id, body FROM pd_ins_t WHERE id >= 99 ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((99L, "x"), (100L, "y")))
+      // INSERT with a SELECT source; then INSERT OVERWRITE replaces
+      spark.sql("INSERT INTO pd_ins_t SELECT id + 200, body, grp FROM pd_ins_t WHERE id < 2")
+      assert(spark.sql("SELECT count(*) AS n FROM pd_ins_t").head().getLong(0) == 9L)
+      spark.sql("INSERT OVERWRITE pd_ins_t VALUES (1, 'only', 'g1')")
+      assert(PortableDelta.readTable(spark, path).count() == 1L)
+      assert(spark.sql("SELECT body FROM pd_ins_t").head().getString(0) == "only")
+    } finally spark.sql("DROP TABLE IF EXISTS pd_ins_t")
+  }
+
+  test("static PARTITION insert still refuses — the raw-file bypass stays impossible") {
+    val path = tmp()
+    PortableDelta.write(idDf(6L), path, partitionBy = Seq("grp"))
+    spark.sql("DROP TABLE IF EXISTS pd_insp_t")
+    spark.sql(s"CREATE TABLE pd_insp_t USING `portable-delta` OPTIONS (path '$path')")
+    try {
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO pd_insp_t PARTITION (grp='g1') VALUES (99, 'x')"))
       def msgs(t: Throwable): Seq[String] =
         if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
       assert(msgs(e).exists(_.contains("bypass the Delta log")), msgs(e).mkString(" | "))
-      assert(spark.read.format("portable-delta").load(path).count() == 5L,
+      assert(PortableDelta.readTable(spark, path).count() == 6L,
         "the refused insert must not have changed the table")
-    } finally spark.sql("DROP TABLE IF EXISTS pd_ins_t")
+      // in THIS session (no graft extensions) even the dynamic form
+      // refuses for a partitioned table — PreprocessTableInsertion fills
+      // an all-dynamic partitionSpec, which skips the InsertableRelation
+      // seam; never a silent log bypass
+      val e2 = intercept[Exception](
+        spark.sql("INSERT INTO pd_insp_t VALUES (99, 'x', 'g1')"))
+      assert(msgs(e2).exists(_.contains("bypass the Delta log")), msgs(e2).mkString(" | "))
+    } finally spark.sql("DROP TABLE IF EXISTS pd_insp_t")
+  }
+
+  /** A session armed with [[graft.GraftExtensions]] on the SAME
+    * SparkContext (extensions only apply at session construction) —
+    * the BboxIntersectsSpec pattern; the shared session is restored. */
+  private lazy val armedSession: org.apache.spark.sql.SparkSession = {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8, 3]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    org.apache.spark.sql.SparkSession.setActiveSession(base)
+    s
+  }
+
+  test("partitioned INSERT INTO works under graft extensions (dynamic partitions only)") {
+    val path = tmp()
+    PortableDelta.write(idDf(6L), path, partitionBy = Seq("grp"))
+    val as = armedSession
+    as.sql("DROP TABLE IF EXISTS pd_insx_t")
+    as.sql(s"CREATE TABLE pd_insx_t USING `portable-delta` OPTIONS (path '$path')")
+    try {
+      as.sql("INSERT INTO pd_insx_t VALUES (99, 'x', 'g7')")
+      val snap = PortableDelta.snapshot(spark, path)
+      assert(snap.version == 1L && snap.partitionColumns == Seq("grp"))
+      assert(snap.files.exists(_.partitionValues.get("grp").contains("g7")),
+        "the new row's partition value must come from the batch")
+      assert(snap.files.forall(_.stats.isDefined), "full protocol: stats")
+      assert(PortableDelta.readTable(spark, path).count() == 7L)
+      assert(as.sql("SELECT count(*) AS n FROM pd_insx_t").head().getLong(0) == 7L)
+      // INSERT OVERWRITE keeps the table's layout
+      as.sql("INSERT OVERWRITE pd_insx_t VALUES (1, 'only', 'g1')")
+      val snap2 = PortableDelta.snapshot(spark, path)
+      assert(snap2.partitionColumns == Seq("grp") &&
+        PortableDelta.readTable(spark, path).count() == 1L)
+      // static PARTITION spec still refuses — per-partition overwrite
+      // semantics are not silently approximated
+      val e = intercept[Exception](as.sql(
+        "INSERT INTO pd_insx_t PARTITION (grp='g1') VALUES (5, 'y')"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("bypass the Delta log")), msgs(e).mkString(" | "))
+    } finally as.sql("DROP TABLE IF EXISTS pd_insx_t")
   }
 
   test("time travel: versionAsOf and timestampAsOf options") {
@@ -207,26 +306,72 @@ class PortableDeltaDataSourceSpec extends AnyFunSuite {
         .option("timestampAsOf", "123").load(path))
   }
 
-  test("refusal by name: column mapping") {
-    val path = tmp()
-    val conf = spark.sessionState.newHadoopConf()
-    val schema = StructType(Seq(StructField("id", LongType)))
-    val proto = mapper.createObjectNode()
-    val p = proto.putObject("protocol")
-    p.put("minReaderVersion", 2); p.put("minWriterVersion", 5)
-    val metaN = mapper.createObjectNode()
-    val m = metaN.putObject("metaData")
-    m.put("id", "pdsrc-cm-1")
-    val fmt = m.putObject("format"); fmt.put("provider", "parquet"); fmt.putObject("options")
-    m.put("schemaString", schema.json)
-    m.putArray("partitionColumns")
-    m.putObject("configuration").put("delta.columnMapping.mode", "name")
-    m.put("createdTime", 1L)
-    PortableDelta.commit(conf, path, 0L, Seq(proto, metaN))
-    val e = intercept[IllegalStateException] {
-      spark.read.format("portable-delta").load(path)
+  /** Stage the frozen externally-shaped fixture (column mapping
+    * post-RENAME + deletion vectors + hive partitioning + CDF + a
+    * multi-part checkpoint) into a scratch dir. */
+  private def stageExternal(): String = {
+    val src = java.nio.file.Paths.get("src/test/resources/external_combined_delta")
+    assert(java.nio.file.Files.isDirectory(src), s"fixture missing at $src")
+    val dst = java.nio.file.Files.createTempDirectory("pdsrcext").resolve("tbl")
+    java.nio.file.Files.walk(src).forEach { p =>
+      val tgt = dst.resolve(src.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(tgt)
+      else {
+        java.nio.file.Files.createDirectories(tgt.getParent)
+        java.nio.file.Files.copy(p, tgt)
+      }
+      ()
     }
-    assert(e.getMessage.contains("column mapping") &&
-      e.getMessage.contains("readTable"), e.getMessage)
+    dst.toString
+  }
+
+  test("timestampAsOf strings parse in UTC, never the JVM default zone") {
+    // 2024-01-02T03:04:05Z = 1704164645000 ms — host-independent by
+    // construction (Timestamp.valueOf would shift this by the JVM zone)
+    assert(PortableDeltaRelation.parseUtcMillis("2024-01-02T03:04:05Z") ==
+      1704164645000L)
+    assert(PortableDeltaRelation.parseUtcMillis("2024-01-02 03:04:05") ==
+      1704164645000L)
+    assert(PortableDeltaRelation.parseUtcMillis("2024-01-02") ==
+      1704153600000L)
+    assert(PortableDeltaRelation.parseUtcMillis("2024-01-02 03:04:05.250") ==
+      1704164645250L)
+  }
+
+  test("column mapping: the format route reads physical names, value-equal to readTable") {
+    // the frozen external fixture: mapped (post-RENAME `body`->`text`),
+    // DV-carrying, hive-partitioned — the worst case for the stock scan
+    val path = stageExternal()
+    val viaFmt = spark.read.format("portable-delta").load(path)
+    assert(viaFmt.columns.toSeq == Seq("id", "text", "grp"),
+      "the relation must surface LOGICAL names")
+    val a = viaFmt.orderBy("id").collect().toSeq
+    val b = PortableDelta.readTable(spark, path)
+      .orderBy("id").collect().toSeq
+    assert(a == b, s"format route drifted from readTable:\n $a\n vs $b")
+    val got = a.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == (0L to 9L).toSet - 2L, s"live ids: ${got.keySet}")
+    assert(got(5L) == "UPDATED 5" && got(4L) == "doc 4")
+    // partition pruning over the mapped hive layout (log partitionValues
+    // key by PHYSICAL name) + data-column filters on renamed columns
+    val odd = spark.read.format("portable-delta").load(path)
+      .filter(col("grp") === "odd")
+    assert(odd.count() == 5L)
+    val scanned = filesPlanned(scanOf(odd))
+    val totalFiles = PortableDelta.snapshot(spark, path).files.size
+    assert(scanned < totalFiles,
+      s"partition pruning must drop files: planned $scanned of $totalFiles")
+    assert(spark.read.format("portable-delta").load(path)
+      .filter(col("text") === "UPDATED 5").count() == 1L,
+      "filters on a RENAMED column must rewrite to the physical name")
+    // a rename on a plain table flips it to mapped mode mid-history:
+    // the format route follows (round-14 refusal leg, now value-checked)
+    val p2 = tmp()
+    PortableDelta.write(idDf(20L), p2)
+    PortableDelta.renameColumn(spark, p2, "body", "text")
+    val viaFmt2 = spark.read.format("portable-delta").load(p2)
+    assert(viaFmt2.columns.toSeq == Seq("id", "text", "grp"))
+    assert(viaFmt2.orderBy("id").collect().toSeq ==
+      PortableDelta.readTable(spark, p2).orderBy("id").collect().toSeq)
   }
 }
