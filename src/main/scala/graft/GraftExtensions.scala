@@ -35,13 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the geometry attribute still carries the reader-stamped metadata —
     // predicate pushdown and column pruning erase both
     ext.injectPostHocResolutionRule(_ => graft.stac.RewriteCoveringIntersects)
-    // SQL INSERT into PARTITIONED portable-delta tables: rewrite the
-    // stock file-write command (planned because PreprocessTableInsertion
-    // fills an all-dynamic partitionSpec) into the protocol write.
-    // POST-HOC: custom rules run after DataSourceAnalysis has planned
-    // the stock command. Unpartitioned tables insert through the
-    // InsertableRelation seam with no extension.
-    ext.injectPostHocResolutionRule(_ => graft.stac.RewriteDeltaSqlInserts)
+    // SQL DML over portable-delta tables: INSERT INTO partitioned
+    // tables (PreprocessTableInsertion fills an all-dynamic
+    // partitionSpec, which skips the InsertableRelation seam), plus
+    // DELETE FROM / UPDATE / canonical MERGE INTO — the analyzer
+    // accepts those only for v2 tables, so the rewrite must land
+    // post-resolution and pre-checkAnalysis: exactly the POST-HOC seam.
+    ext.injectPostHocResolutionRule(_ => graft.stac.RewriteDeltaSqlDml)
   }
 }
 

@@ -12,6 +12,11 @@ object Verify {
   def gateSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the documented deployment shape (spark.sql.extensions=
+      // graft.GraftExtensions): native SQL functions + the SQL DML
+      // rewrites over portable-delta tables — post-hoc resolution rules
+      // cannot be armed at runtime, so the gate session carries them
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

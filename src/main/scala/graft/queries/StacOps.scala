@@ -2037,6 +2037,94 @@ object StacOps {
       },
       timed = false),
 
+    // ----- SQL DELETE / UPDATE / MERGE through the write protocol -----
+    // Round 15: the full SQL DML surface — Spark's analyzer accepts
+    // these verbs only for v2 tables, so RewriteDeltaSqlDml (post-hoc
+    // resolution under GraftExtensions, which the gate session carries
+    // as the documented deployment shape) rewrites them into the
+    // protocol verbs: DELETE lands DVs, UPDATE rewrites files with CDF
+    // and stats, MERGE runs the equi-key upsert with per-clause counts.
+    // In-gate requires pin the protocol facts (three commits, DV
+    // presence, delta-style affected-row counts, format-route ≡
+    // readTable); the oracle replays all three statements in SQL.
+    QuerySpec(
+      "stac57_sql_dml",
+      Some("""
+        WITH base AS (SELECT o_orderkey AS okey, o_orderstatus AS status,
+                             o_totalprice AS price FROM orders),
+             d AS (SELECT * FROM base WHERE okey % 7 <> 0),
+             u AS (SELECT okey, status,
+                          CASE WHEN status = 'F' THEN price * 2 ELSE price END AS price
+                   FROM d),
+             m AS (SELECT okey, status,
+                          CASE WHEN okey % 100 = 1 THEN 123.0 ELSE price END AS price
+                   FROM u
+                   UNION ALL SELECT 999999999, 'N', 50.0)
+        SELECT status,
+               count(*) AS n_rows,
+               CAST(sum(okey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS sql_dml_ok
+        FROM m GROUP BY status ORDER BY status"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val base = Tables.t(s, dir, "orders").select(
+          col("o_orderkey").as("okey"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+          .repartitionByRange(4, col("okey"))
+        val out = java.nio.file.Files.createTempDirectory("stac57").toString + "/tbl"
+        PortableDelta.write(base, out)
+        val nAll = base.count()
+        val nDel = base.filter(col("okey") % 7 === 0).count()
+        val nUpd = base.filter(col("okey") % 7 =!= 0 && col("status") === "F").count()
+        val nMatch = base.filter(col("okey") % 7 =!= 0 && col("okey") % 100 === 1).count()
+        s.sql("DROP TABLE IF EXISTS graft_stac57_t")
+        s.sql(s"CREATE TABLE graft_stac57_t USING `portable-delta` " +
+          s"OPTIONS (path '$out')")
+        try {
+          val del = s.sql("DELETE FROM graft_stac57_t WHERE okey % 7 = 0").head()
+          require(del.getLong(0) == nDel,
+            s"DELETE num_affected_rows ${del.getLong(0)} != expected $nDel")
+          require(PortableDelta.snapshot(s, out).files.exists(_.dv.isDefined),
+            "the SQL DELETE must land as deletion vectors")
+          val upd = s.sql(
+            "UPDATE graft_stac57_t SET price = price * 2 WHERE status = 'F'").head()
+          require(upd.getLong(0) == nUpd,
+            s"UPDATE num_affected_rows ${upd.getLong(0)} != expected $nUpd")
+          val mrg = s.sql(
+            """MERGE INTO graft_stac57_t t USING (
+              |  SELECT okey, 'U' AS status, CAST(123.0 AS DOUBLE) AS price
+              |  FROM graft_stac57_t WHERE okey % 100 = 1
+              |  UNION ALL
+              |  SELECT CAST(999999999 AS BIGINT), 'N', CAST(50.0 AS DOUBLE)
+              |) s ON t.okey = s.okey
+              |WHEN MATCHED THEN UPDATE SET price = s.price
+              |WHEN NOT MATCHED THEN INSERT (okey, status, price)
+              |  VALUES (s.okey, s.status, s.price)""".stripMargin).head()
+          require(mrg.getLong(1) == nMatch && mrg.getLong(3) == 1L,
+            s"MERGE counts (updated=${mrg.getLong(1)}, inserted=${mrg.getLong(3)}) " +
+              s"!= expected ($nMatch, 1)")
+          require(PortableDelta.snapshot(s, out).version == 3L,
+            "three statements must be exactly three commits")
+          // value parity across every read route after the DML sequence
+          val viaFmt = s.read.format("portable-delta").load(out)
+            .orderBy("okey").collect().toSeq
+          require(viaFmt == PortableDelta.readTable(s, out)
+              .orderBy("okey").collect().toSeq,
+            "format route must equal readTable after SQL DML")
+          require(viaFmt.size == nAll - nDel + 1, "row count drifted")
+        } finally s.sql("DROP TABLE IF EXISTS graft_stac57_t")
+        s.read.format("portable-delta").load(out)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("okey")).as("key_sum"),
+            sum(floor(col("price") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("sql_dml_ok", lit(true))
+          .orderBy(col("status"))
+      },
+      timed = false),
+
     // ----- implicit metadata-only aggregates: the optimizer rule -----
     // stac50 pins the EXPLICIT aggregateFromStats API; this pins the
     // IMPLICIT path plain-SQL users hit: a COUNT/MIN/MAX over a bare

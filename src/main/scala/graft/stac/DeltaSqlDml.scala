@@ -1,0 +1,363 @@
+package graft.stac
+
+import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, EqualTo, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InsertIntoHadoopFsRelationCommand, LogicalRelation}
+import org.apache.spark.sql.types.LongType
+
+/** SQL DML over `portable-delta` tables: `INSERT INTO` (partitioned),
+  * `DELETE FROM`, `UPDATE`, and the canonical `MERGE INTO` shapes, each
+  * rewritten into the engine's protocol verbs ([[PortableDelta.delete]]
+  * / [[PortableDelta.update]] / [[PortableDelta.mergeInto]] /
+  * [[PortableDelta.write]]) — stats harvest, writer-feature gates, DV
+  * death paths, CDF, optimistic concurrency, all inherited.
+  *
+  * Why a POST-HOC RESOLUTION rule: Spark's analyzer accepts
+  * DELETE/UPDATE/MERGE only for DSv2 tables (`checkAnalysis` rejects a
+  * V1 relation) — but custom post-hoc rules run AFTER resolution and
+  * BEFORE that check, so the statements arrive here fully resolved and
+  * leave as planned commands. Same seam delta-spark occupies with its
+  * own extension. Registered by [[graft.GraftExtensions]]
+  * (`spark.sql.extensions` — the documented deployment); sessions
+  * without the extension keep Spark's loud v2-only error, never a
+  * silent wrong write. The INSERT leg additionally needs this rule
+  * only for PARTITIONED tables (`PreprocessTableInsertion` fills an
+  * all-dynamic partitionSpec, which skips the InsertableRelation
+  * seam); unpartitioned INSERT works with no extension at all.
+  *
+  * Unsupported shapes refuse BY NAME (subquery conditions, nested SET
+  * keys, non-equi merge conditions, multiple clauses of one kind,
+  * WHEN NOT MATCHED BY SOURCE, static PARTITION specs) — a refusal
+  * names the supported alternative; nothing silently approximates.
+  *
+  * Reference thesis: the reference's tables are consumed by whatever
+  * engine reads the format (docs/usage.md:50-57) — SQL DML completes
+  * that surface for Spark SQL users. */
+object RewriteDeltaSqlDml extends Rule[LogicalPlan] {
+
+  /** The target-relation extractor: a resolved `portable-delta`
+    * relation (possibly under aliases), yielding its table path and
+    * pinned index. */
+  private object DeltaRel {
+    @scala.annotation.tailrec
+    def unapply(p: LogicalPlan): Option[PortableDeltaFileIndex] = p match {
+      case SubqueryAlias(_, child) => unapply(child)
+      case LogicalRelation(h: HadoopFsRelation, _, _, _, _)
+          if h.location.isInstanceOf[PortableDeltaFileIndex] =>
+        Some(h.location.asInstanceOf[PortableDeltaFileIndex])
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case c: InsertIntoHadoopFsRelationCommand
+        if c.fileFormat.isInstanceOf[PortableDeltaReadOnlyFormat] &&
+          c.staticPartitions.isEmpty =>
+      c.fileIndex match {
+        case Some(idx: PortableDeltaFileIndex) =>
+          PortableDeltaInsertCommand(idx.path,
+            idx.snapBase.schema.fieldNames.toSeq,
+            idx.snapBase.partitionColumns,
+            c.outputColumnNames, c.query,
+            overwrite = c.mode == SaveMode.Overwrite)
+        case _ => c // a foreign index under our format: keep the refusal
+      }
+
+    case DeleteFromTable(t @ DeltaRel(idx), condition) =>
+      PortableDeltaDeleteCommand(idx.path,
+        DmlExprs(unresolve(condition, t.outputSet, "DELETE condition")))
+
+    case UpdateTable(t @ DeltaRel(idx), assignments, condition) =>
+      val sets = assignments.map { a =>
+        val name = a.key match {
+          case attr: Attribute => attr.name
+          case other => throw new UnsupportedOperationException(
+            s"UPDATE of ${idx.path}: SET target $other is not a top-level " +
+              "column — nested SET is not supported; update the whole " +
+              "struct column instead")
+        }
+        name -> unresolve(a.value, t.outputSet, s"UPDATE SET $name")
+      }
+      PortableDeltaUpdateCommand(idx.path, sets.map(_._1),
+        DmlExprs(Seq(condition.getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
+          .map(unresolve(_, t.outputSet, "UPDATE condition")) ++
+          sets.map(_._2): _*))
+
+    case MergeIntoTable(t @ DeltaRel(idx), sourceTable, mergeCondition,
+        matchedActions, notMatchedActions, notMatchedBySource, withSchemaEvo) =>
+      rewriteMerge(idx, t, sourceTable, mergeCondition, matchedActions,
+        notMatchedActions, notMatchedBySource, withSchemaEvo)
+  }
+
+  /** Detach a resolved expression from its relation: attribute
+    * references become name-based lookups that re-resolve inside the
+    * verb's own scan frame. Subqueries refuse (the verbs evaluate
+    * predicates per-row over one frame). */
+  private def unresolve(e: Expression, allowed: AttributeSet,
+                        what: String): Expression = {
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+      s"$what: subqueries are not supported in portable-delta SQL DML — " +
+        "materialize the subquery into a column or use the Scala API")
+    e.transform {
+      case a: AttributeReference =>
+        require(allowed.contains(a),
+          s"$what references $a from outside the target table")
+        UnresolvedAttribute.quoted(a.name)
+    }
+  }
+
+  /** Two-sided rewrite for MERGE expressions: target attrs → `t`.col,
+    * source attrs → `s`.col — the alias contract
+    * [[PortableDelta.mergeInto]]'s joined frame evaluates under. */
+  private def unresolveMerge(e: Expression, targetOut: AttributeSet,
+                             sourceOut: AttributeSet, what: String): Expression = {
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+      s"$what: subqueries are not supported in portable-delta SQL MERGE")
+    e.transform {
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference if sourceOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+      case a: AttributeReference => throw new UnsupportedOperationException(
+        s"$what references $a from neither MERGE side")
+    }
+  }
+
+  private def rewriteMerge(idx: PortableDeltaFileIndex, target: LogicalPlan,
+      source: LogicalPlan, mergeCondition: Expression,
+      matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
+      notMatchedBySource: Seq[MergeAction], withSchemaEvo: Boolean): LogicalPlan = {
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"MERGE INTO ${idx.path}: $why — the supported SQL shape is an " +
+        "equi-key ON clause, at most one WHEN MATCHED " +
+        "(UPDATE SET .../DELETE) and one WHEN NOT MATCHED (INSERT); " +
+        "richer merges use PortableDelta.mergeInto")
+    if (withSchemaEvo) refuse("WITH SCHEMA EVOLUTION is not supported")
+    if (notMatchedBySource.nonEmpty)
+      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
+    if (matchedActions.size > 1) refuse("multiple WHEN MATCHED clauses")
+    if (notMatchedActions.size > 1) refuse("multiple WHEN NOT MATCHED clauses")
+    val tOut = target.outputSet
+    val sOut = source.outputSet
+
+    // ON: a conjunction of target-attr = source-attr equalities; the
+    // key name is the TARGET column's, the source side names the
+    // source column that must align to it
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keyPairs: Seq[(String, String)] = conjuncts(mergeCondition).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => a.name -> b.name
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if sOut.contains(a) && tOut.contains(b) => b.name -> a.name
+      case other => refuse(s"ON conjunct $other is not target-col = source-col")
+    }
+
+    val (matchedAction, updateSet, matchedCond) = matchedActions.headOption match {
+      case None => ("none", None, None)
+      case Some(UpdateAction(cond, assignments, _)) =>
+        val sets = assignments.map { a =>
+          val name = a.key match {
+            case attr: Attribute => attr.name
+            case other => refuse(s"UPDATE SET target $other is not a " +
+              "top-level column")
+          }
+          name -> unresolveMerge(a.value, tOut, sOut, s"UPDATE SET $name")
+        }
+        ("update", Some(sets),
+          cond.map(unresolveMerge(_, tOut, sOut, "WHEN MATCHED AND")))
+      case Some(DeleteAction(cond)) =>
+        ("delete", None,
+          cond.map(unresolveMerge(_, tOut, sOut, "WHEN MATCHED AND")))
+      case Some(other) => refuse(s"unsupported WHEN MATCHED action $other")
+    }
+
+    val (insert, insertAssigns, notMatchedCond) = notMatchedActions.headOption match {
+      case None => (false, Nil, None)
+      case Some(InsertAction(cond, assignments)) =>
+        val as = assignments.map { a =>
+          val name = a.key match {
+            case attr: Attribute => attr.name
+            case other => refuse(s"INSERT target $other is not a " +
+              "top-level column")
+          }
+          // insert values see ONLY the source side
+          name -> unresolve(a.value, sOut, s"INSERT value for $name")
+        }
+        (true, as,
+          cond.map(unresolve(_, sOut, "WHEN NOT MATCHED AND")))
+      case Some(other) => refuse(s"unsupported WHEN NOT MATCHED action $other")
+    }
+
+    // the source frame handed to mergeInto must carry the TARGET's
+    // column names: key columns from the ON equalities, inserted
+    // columns from the INSERT assignments. A raw source column whose
+    // name collides with a DIFFERENTLY-valued derived column would
+    // make `s`.name ambiguous — refuse.
+    val derived: Map[String, Expression] =
+      insertAssigns.toMap ++ keyPairs.map { case (tName, sName) =>
+        tName -> UnresolvedAttribute.quoted(sName)
+      }.toMap
+    source.output.foreach { a =>
+      derived.get(a.name).foreach {
+        case u: UnresolvedAttribute if u.nameParts == Seq(a.name) => ()
+        case _ => refuse(s"source column ${a.name} collides with a derived " +
+          s"MERGE column of the same name")
+      }
+    }
+
+    PortableDeltaMergeCommand(idx.path, source, keyPairs.map(_._1),
+      matchedAction, updateSet.map(_.map(_._1)),
+      insert, derived.keys.toSeq.sorted,
+      DmlExprs((updateSet.toSeq.flatten.map(_._2) ++ matchedCond.toSeq ++
+        notMatchedCond.toSeq ++
+        derived.toSeq.sortBy(_._1).map(_._2)): _*),
+      nUpdateSet = updateSet.map(_.size).getOrElse(0),
+      hasMatchedCond = matchedCond.isDefined,
+      hasNotMatchedCond = notMatchedCond.isDefined)
+  }
+}
+
+/** Opaque expression holder: keeps detached (UnresolvedAttribute-based)
+  * expressions OUT of the command's `expressions` traversal, so the
+  * analyzer's resolved-plan check never sees them. */
+private[stac] final case class DmlExprs(es: Expression*)
+
+/** Planned `DELETE FROM <portable-delta table> WHERE ...` — routes
+  * through [[PortableDelta.delete]] (stats-narrowed snapshot, DV death
+  * path, CDF, optimistic commit) and reports `num_affected_rows`. */
+private[stac] final case class PortableDeltaDeleteCommand(
+    tablePath: String, cond: DmlExprs) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val st = PortableDelta.delete(spark, tablePath,
+      org.apache.spark.sql.GraftSqlShim.column(cond.es.head))
+    DmlCacheDrop(spark, tablePath)
+    Seq(Row(st.deletedRows))
+  }
+}
+
+/** Planned `UPDATE <portable-delta table> SET ... WHERE ...` — routes
+  * through [[PortableDelta.update]]; `exprs` = condition, then one SET
+  * value per `setCols` entry. */
+private[stac] final case class PortableDeltaUpdateCommand(
+    tablePath: String, setCols: Seq[String], exprs: DmlExprs)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("num_affected_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cond = org.apache.spark.sql.GraftSqlShim.column(exprs.es.head)
+    val sets = setCols.zip(exprs.es.tail).map { case (n, e) =>
+      n -> org.apache.spark.sql.GraftSqlShim.column(e)
+    }.toMap
+    val st = PortableDelta.update(spark, tablePath, cond, sets)
+    DmlCacheDrop(spark, tablePath)
+    Seq(Row(st.updatedRows))
+  }
+}
+
+/** Planned canonical `MERGE INTO` — routes through
+  * [[PortableDelta.mergeInto]]. `exprs` packs, in order: `nUpdateSet`
+  * SET values, the optional matched condition, the optional
+  * not-matched condition, then the derived source columns (sorted by
+  * `derivedCols`). The source plan rides as an inner child (already
+  * analyzed). */
+private[stac] final case class PortableDeltaMergeCommand(
+    tablePath: String,
+    source: LogicalPlan,
+    keys: Seq[String],
+    matchedAction: String,
+    updateSetCols: Option[Seq[String]],
+    insertNotMatched: Boolean,
+    derivedCols: Seq[String],
+    exprs: DmlExprs,
+    nUpdateSet: Int,
+    hasMatchedCond: Boolean,
+    hasNotMatchedCond: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = source :: Nil
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("num_affected_rows", LongType, nullable = false)(),
+    AttributeReference("num_updated_rows", LongType, nullable = false)(),
+    AttributeReference("num_deleted_rows", LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.GraftSqlShim.column
+    val es = exprs.es
+    val setVals = es.take(nUpdateSet)
+    var i = nUpdateSet
+    val matchedCond =
+      if (hasMatchedCond) { val c = Some(column(es(i))); i += 1; c } else None
+    val notMatchedCond =
+      if (hasNotMatchedCond) { val c = Some(column(es(i))); i += 1; c } else None
+    val derivedVals = es.drop(i)
+    var src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
+    derivedCols.zip(derivedVals).foreach { case (n, e) =>
+      src = src.withColumn(n, column(e))
+    }
+    val updateSet = updateSetCols.map(cols =>
+      cols.zip(setVals).map { case (n, e) => n -> column(e) }.toMap)
+    val st = PortableDelta.mergeInto(spark, tablePath, src, keys,
+      PortableDelta.MergeClauses(
+        matchedCondition = matchedCond,
+        matchedAction = matchedAction,
+        updateSet = updateSet,
+        notMatchedCondition = notMatchedCond,
+        insertNotMatched = insertNotMatched))
+    DmlCacheDrop(spark, tablePath)
+    Seq(Row(st.updatedRows + st.deletedRows + st.insertedRows,
+      st.updatedRows, st.deletedRows, st.insertedRows))
+  }
+}
+
+/** Drop stale cached relations/plans of a mutated table — the pinned
+  * snapshots behind any cached LogicalRelation are now behind. */
+private[stac] object DmlCacheDrop {
+  def apply(spark: SparkSession, tablePath: String): Unit = {
+    spark.sessionState.catalog.invalidateAllCachedTables()
+    spark.catalog.refreshByPath(tablePath)
+  }
+}
+
+/** The planned form of a dynamic-partition SQL insert into a
+  * `portable-delta` table: run the (already analyzed and type-coerced)
+  * query, restore the LOG's column order, and commit through
+  * [[PortableDelta.write]] — stats harvest, constraint/feature gates,
+  * optimistic concurrency, partition layout from the table. Mirrors
+  * [[PortableDeltaHadoopFsRelation.insert]], which serves the
+  * unpartitioned case without any extension. */
+private[stac] final case class PortableDeltaInsertCommand(
+    tablePath: String,
+    tableColumnOrder: Seq[String],
+    partitionColumns: Seq[String],
+    outputColumnNames: Seq[String],
+    query: LogicalPlan,
+    overwrite: Boolean) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = query :: Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the query's output is positional against the relation's
+    // (data ++ partition) column layout; name it explicitly, then
+    // restore the table's declared order for the protocol write
+    val df = org.apache.spark.sql.GraftSqlShim.ofRows(spark, query)
+      .toDF(outputColumnNames: _*)
+    val cols = tableColumnOrder.map(StacSchema.quotedCol)
+    PortableDelta.write(df.select(cols: _*), tablePath,
+      mode = if (overwrite) "overwrite" else "append",
+      partitionBy = partitionColumns)
+    DmlCacheDrop(spark, tablePath)
+    Seq.empty
+  }
+}

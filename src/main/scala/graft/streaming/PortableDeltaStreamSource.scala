@@ -58,7 +58,8 @@ final class PortableDeltaStreamSource(
     startingVersion: Option[Long],
     startingTimestamp: Option[Long],
     ignoreDeletes: Boolean,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger >= 1,
     s"maxVersionsPerTrigger must be >= 1, got $maxVersionsPerTrigger")
@@ -154,8 +155,38 @@ final class PortableDeltaStreamSource(
     Tok(to, -1, complete = true)
   }
 
+  /** Trigger.AvailableNow: the drain's frozen target version. The
+    * engine calls [[prepareForTriggerAvailableNow]] once at start;
+    * every window then caps at this version and the drain ends when
+    * the stream reaches it — commits racing in DURING the drain wait
+    * for the next run, the AvailableNow contract. */
+  private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(PortableDelta.currentVersion(spark, tablePath))
+
+  /** The admission-control form of [[getOffset]] — STATELESS: the
+    * engine hands the previous batch's end, so restarts need no seam
+    * at all on this path. Implementing [[org.apache.spark.sql.connector
+    * .read.streaming.SupportsAdmissionControl]] routes ALL triggers
+    * here (checked before the plain-Source branch); plain [[getOffset]]
+    * stays for completeness. Returns `start` itself when caught up
+    * (same offset ⇒ no new batch), null when nothing is available at
+    * all. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val s = Option(start).map(o => parse(o.json()))
+    val next = nextEnd(s)
+    next.foreach(t => lastEnd = Some(t))
+    next.map(t => PortableDeltaSourceOffset(t.token): org.apache.spark.sql
+      .connector.read.streaming.Offset).getOrElse(start)
+  }
+
   private def nextEnd(last: Option[Tok]): Option[Tok] = {
-    val cur = PortableDelta.currentVersion(spark, tablePath)
+    val cur0 = PortableDelta.currentVersion(spark, tablePath)
+    val cur = availableNowTarget.fold(cur0)(math.min(cur0, _))
     last match {
       case None => resolvedStart match {
         case Some(v0) =>

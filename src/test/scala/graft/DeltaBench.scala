@@ -141,6 +141,33 @@ object DeltaBench {
         }.isEmpty, "metadata-only aggregate must plan without a data scan")
         require(q.head().getLong(0) == nRows)
       }
+      // round-15 declarative surfaces: the DV-aware format read (one
+      // DELETE's bitmaps probed in the file iterators — the cost a SQL
+      // reader pays after row-level DML) and SQL INSERT INTO (the
+      // protocol write through InsertIntoDataSourceCommand)
+      results("fmt_dv_read") = timeVerb("fmt_dv_read") { () =>
+        val t = fresh("fmtdv")
+        val res = PortableDelta.delete(spark, t, col("okey") % 5L === 0L)
+        require(res.deletedRows > 0 && res.removedFiles == 0, s"$res")
+        t
+      } { t =>
+        val n = spark.read.format("portable-delta").load(t)
+          .filter(col("okey") % 2L === 1L).count()
+        require(n > 0 && n < nRows)
+      }
+      results("sql_insert") = timeVerb("sql_insert") { () =>
+        val t = fresh("sqlins")
+        spark.sql("DROP TABLE IF EXISTS graft_dbench_ins")
+        spark.sql(s"CREATE TABLE graft_dbench_ins USING `portable-delta` " +
+          s"OPTIONS (path '$t')")
+        t
+      } { t =>
+        spark.sql("INSERT INTO graft_dbench_ins " +
+          "SELECT okey + 100000000, status, price FROM graft_dbench_ins " +
+          "WHERE okey % 1000 = 0")
+        require(PortableDelta.currentVersion(spark, t) >= 1L)
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_dbench_ins")
       results("cluster_incremental") = timeVerb("cluster_incremental") { () =>
         // established clustered layout + one day's appends (10% of rows,
         // provider-less) — the maintenance pass re-clusters ONLY those

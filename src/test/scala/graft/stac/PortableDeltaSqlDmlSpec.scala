@@ -1,0 +1,165 @@
+package graft.stac
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL `DELETE FROM` / `UPDATE` / `MERGE INTO` over portable-delta
+  * tables — the [[RewriteDeltaSqlDml]] post-hoc rewrites under
+  * [[graft.GraftExtensions]]. Contracts: each verb routes through the
+  * protocol DML (DVs, CDF, stats), reports delta-style affected-row
+  * counts, reads back value-equal to the Scala API, refuses
+  * unsupported shapes BY NAME, and extension-less sessions keep
+  * Spark's v2-only analysis error (never a silent wrong write). */
+class PortableDeltaSqlDmlSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSpec.spark
+
+  /** A session armed with [[graft.GraftExtensions]] on the SAME
+    * SparkContext — the BboxIntersectsSpec pattern. */
+  private lazy val armed: org.apache.spark.sql.SparkSession = {
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8, 3]")
+      .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    org.apache.spark.sql.SparkSession.setDefaultSession(base)
+    org.apache.spark.sql.SparkSession.setActiveSession(base)
+    s
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("pdsqldml").toString + "/tbl"
+
+  private def mkTable(n: Long = 40L): String = {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write((0L until n)
+      .map(i => (i, s"d$i", i * 1.5)).toDF("id", "body", "price")
+      .repartitionByRange(4, col("id")), path)
+    path
+  }
+
+  private def table(path: String, name: String): Unit = {
+    armed.sql(s"DROP TABLE IF EXISTS $name")
+    armed.sql(s"CREATE TABLE $name USING `portable-delta` OPTIONS (path '$path')")
+  }
+
+  test("DELETE FROM: DV death path, affected-row count, value parity") {
+    val path = mkTable()
+    table(path, "dml_del_t")
+    try {
+      val n = armed.sql("DELETE FROM dml_del_t WHERE id % 2 = 0")
+        .head().getLong(0)
+      assert(n == 20L, s"num_affected_rows must report the deleted rows: $n")
+      val res = PortableDelta.snapshot(spark, path)
+      assert(res.version == 1L && res.files.exists(_.dv.isDefined),
+        "the SQL DELETE must land as one DV commit")
+      assert(PortableDelta.readTable(spark, path)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 40L).filter(_ % 2 == 1))
+      // the SAME table name sees the post-DELETE state (cache dropped)
+      assert(armed.sql("SELECT count(*) FROM dml_del_t").head().getLong(0) == 20L)
+      // DELETE without WHERE empties the table
+      armed.sql("DELETE FROM dml_del_t")
+      assert(PortableDelta.readTable(spark, path).count() == 0L)
+    } finally armed.sql("DROP TABLE IF EXISTS dml_del_t")
+  }
+
+  test("UPDATE ... SET: expressions over table columns, parity with the Scala API") {
+    val path = mkTable()
+    table(path, "dml_upd_t")
+    try {
+      val n = armed.sql(
+        "UPDATE dml_upd_t SET price = price * 2, body = concat(body, '!') " +
+          "WHERE id < 10").head().getLong(0)
+      assert(n == 10L)
+      val got = PortableDelta.readTable(spark, path)
+        .orderBy("id").collect()
+      assert(got(3).getDouble(2) == 3L * 1.5 * 2 && got(3).getString(1) == "d3!")
+      assert(got(15).getDouble(2) == 15L * 1.5 && got(15).getString(1) == "d15")
+      // cross-check: the Scala API on a twin table produces identical state
+      val twin = mkTable()
+      PortableDelta.update(spark, twin, col("id") < 10,
+        Map("price" -> (col("price") * 2),
+          "body" -> concat(col("body"), lit("!"))))
+      assert(PortableDelta.readTable(spark, path).orderBy("id").collect().toSeq ==
+        PortableDelta.readTable(spark, twin).orderBy("id").collect().toSeq)
+    } finally armed.sql("DROP TABLE IF EXISTS dml_upd_t")
+  }
+
+  test("MERGE INTO: equi-key upsert with UPDATE SET + INSERT, counts per clause") {
+    val path = mkTable(10L)
+    table(path, "dml_mrg_t")
+    try {
+      // temp views are PER-SESSION — register in the armed one
+      armed.createDataFrame(
+        Seq((5L, "five", 100.0), (6L, "six", 200.0), (50L, "fifty", 300.0))
+      ).toDF("sid", "sbody", "sprice").createOrReplaceTempView("dml_mrg_src")
+      val r = armed.sql(
+        """MERGE INTO dml_mrg_t t USING dml_mrg_src s ON t.id = s.sid
+          |WHEN MATCHED THEN UPDATE SET price = s.sprice, body = s.sbody
+          |WHEN NOT MATCHED THEN INSERT (id, body, price)
+          |  VALUES (s.sid, s.sbody, s.sprice)""".stripMargin).head()
+      assert(r.getLong(0) == 3L && r.getLong(1) == 2L &&
+        r.getLong(2) == 0L && r.getLong(3) == 1L,
+        s"(affected, updated, deleted, inserted) = $r")
+      val byId = PortableDelta.readTable(spark, path).collect()
+        .map(x => x.getLong(0) -> ((x.getString(1), x.getDouble(2)))).toMap
+      assert(byId(5L) == (("five", 100.0)) && byId(6L) == (("six", 200.0)))
+      assert(byId(50L) == (("fifty", 300.0)) && byId.size == 11)
+    } finally armed.sql("DROP TABLE IF EXISTS dml_mrg_t")
+  }
+
+  test("MERGE INTO: WHEN MATCHED DELETE with AND condition") {
+    val s = spark; import s.implicits._
+    val path = mkTable(10L)
+    table(path, "dml_mrgd_t")
+    try {
+      armed.createDataFrame(Seq((2L, 1), (3L, 0), (4L, 1)))
+        .toDF("kid", "kill").createOrReplaceTempView("dml_mrgd_src")
+      val r = armed.sql(
+        """MERGE INTO dml_mrgd_t t USING dml_mrgd_src s ON t.id = s.kid
+          |WHEN MATCHED AND s.kill = 1 THEN DELETE""".stripMargin).head()
+      assert(r.getLong(2) == 2L, s"two rows must die: $r")
+      assert(PortableDelta.readTable(spark, path)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 1L, 3L, 5L, 6L, 7L, 8L, 9L))
+    } finally armed.sql("DROP TABLE IF EXISTS dml_mrgd_t")
+  }
+
+  test("refusals by name; extension-less sessions keep Spark's v2-only error") {
+    val path = mkTable()
+    table(path, "dml_ref_t")
+    try {
+      // subquery condition
+      val e1 = intercept[Exception](armed.sql(
+        "DELETE FROM dml_ref_t WHERE id IN (SELECT id FROM dml_ref_t WHERE id < 3)"))
+      assert(e1.getMessage.contains("subqueries are not supported"), e1.getMessage)
+      // non-equi merge condition
+      armed.createDataFrame(Seq(Tuple1(1L))).toDF("sid")
+        .createOrReplaceTempView("dml_ref_src")
+      val e2 = intercept[Exception](armed.sql(
+        """MERGE INTO dml_ref_t t USING dml_ref_src s ON t.id >= s.sid
+          |WHEN MATCHED THEN DELETE""".stripMargin))
+      assert(e2.getMessage.contains("not target-col = source-col"), e2.getMessage)
+      // the table is untouched by the refusals
+      assert(PortableDelta.readTable(spark, path).count() == 40L)
+      // the unarmed shared session refuses DELETE with the stock
+      // analysis error (the rewrite is extension-scoped)
+      spark.sql("DROP TABLE IF EXISTS dml_ref_plain")
+      spark.sql(s"CREATE TABLE dml_ref_plain USING `portable-delta` OPTIONS (path '$path')")
+      try {
+        val e3 = intercept[Exception](
+          spark.sql("DELETE FROM dml_ref_plain WHERE id = 1"))
+        assert(Option(e3.getMessage).exists(m =>
+          m.toLowerCase.contains("delete") || m.contains("v2")), e3.getMessage)
+        assert(PortableDelta.readTable(spark, path).count() == 40L)
+      } finally spark.sql("DROP TABLE IF EXISTS dml_ref_plain")
+    } finally armed.sql("DROP TABLE IF EXISTS dml_ref_t")
+  }
+}

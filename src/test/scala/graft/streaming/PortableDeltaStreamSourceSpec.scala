@@ -150,6 +150,42 @@ class PortableDeltaStreamSourceSpec extends AnyFunSuite {
       "post-snapshot changes flow as row-level changes")
   }
 
+  test("Trigger.AvailableNow drains rate-limited windows to the prepared target and stops") {
+    val path = tmp("pdss6") + "/tbl"
+    val cp = tmp("pdss6-cp")
+    PortableDelta.write(idDf(0L until 20L).repartitionByRange(4, col("id")),
+      path)                                                         // v0, 4 files
+    PortableDelta.write(idDf(100L until 102L), path, mode = "append") // v1
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    var batches = 0
+    val q = spark.readStream.format("portable-delta")
+      .option("maxFilesPerTrigger", "2").load(path)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        if (rows.nonEmpty) batches += 1
+        rows.foreach(buf.add); ()
+      }.start()
+    assert(q.awaitTermination(300000), "AvailableNow must terminate on its own")
+    val got = buf.toArray(Array.empty[org.apache.spark.sql.Row])
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == ((0L until 20L) ++ (100L until 102L)),
+      s"the drain must cover snapshot + appends exactly once: $got")
+    assert(batches >= 3, s"maxFilesPerTrigger=2 over 4+1 files must slice, got $batches")
+    // a second AvailableNow run with nothing new terminates with no data
+    val buf2 = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val q2 = spark.readStream.format("portable-delta")
+      .option("maxFilesPerTrigger", "2").load(path)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.collect().foreach(buf2.add); ()
+      }.start()
+    assert(q2.awaitTermination(300000))
+    assert(buf2.isEmpty, "an empty drain must deliver nothing")
+  }
+
   test("user-specified schema refuses; offsets are the human-readable token grammar") {
     val path = tmp("pdss5") + "/tbl"
     PortableDelta.write(idDf(0L until 3L), path)
