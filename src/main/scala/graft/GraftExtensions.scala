@@ -42,6 +42,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // accepts those only for v2 tables, so the rewrite must land
     // post-resolution and pre-checkAnalysis: exactly the POST-HOC seam.
     ext.injectPostHocResolutionRule(_ => graft.stac.RewriteDeltaSqlDml)
+    // DESCRIBE HISTORY as a table-valued function (Spark has no HISTORY
+    // statement for file-source tables): one bounded driver read of the
+    // commit record (ICT-aware, sidecar-backed past log cleanup) — the
+    // same O(history) cost as the DESCRIBE it stands in for
+    ext.injectTableFunction((FunctionIdentifier("portable_delta_history"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "portable_delta_history",
+        "portable_delta_history(path) - commit history of a portable-delta table", ""),
+      (args: Seq[Expression]) => {
+        val path = args match {
+          case Seq(Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+            s.toString
+          case _ => throw new IllegalArgumentException(
+            "portable_delta_history takes exactly one string literal: " +
+              "the table path")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val hist = graft.stac.PortableDelta.history(
+          spark.sessionState.newHadoopConf(), path)
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          Seq(AttributeReference("version", LongType, nullable = false)(),
+            AttributeReference("operation", StringType)(),
+            AttributeReference("timestamp", TimestampType)()),
+          hist.sortBy(_._1).map { case (v, op, tsMs) =>
+            org.apache.spark.sql.catalyst.InternalRow(v,
+              org.apache.spark.unsafe.types.UTF8String.fromString(op),
+              tsMs * 1000L)
+          })
+      }))
   }
 }
 

@@ -2107,6 +2107,14 @@ object StacOps {
               s"!= expected ($nMatch, 1)")
           require(PortableDelta.snapshot(s, out).version == 3L,
             "three statements must be exactly three commits")
+          // the commit record through plain SQL (the history TVF)
+          val hist = s.sql(s"SELECT version, operation FROM " +
+            s"portable_delta_history('$out') ORDER BY version").collect()
+          require(hist.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L) &&
+            hist.exists(_.getString(1).contains("DELETE")) &&
+            hist.exists(_.getString(1).contains("MERGE")),
+            s"history TVF must replay the commit record: " +
+              hist.map(r => s"${r.getLong(0)}:${r.getString(1)}").mkString(", "))
           // value parity across every read route after the DML sequence
           val viaFmt = s.read.format("portable-delta").load(out)
             .orderBy("okey").collect().toSeq

@@ -705,6 +705,73 @@ object StreamingOps {
       },
       timed = false),
 
+    // ----- the DECLARATIVE upsert sink: Update mode + mergeKeys -----
+    // st23 (round 15): writeStream.format("portable-delta")
+    // .outputMode("update").option("mergeKeys","event_id") — each
+    // micro-batch MERGEs on the key (update matched, insert new) with
+    // the {appId, batchId} txn action. Wave A streams the SAME events
+    // file twice (maxFilesPerTrigger=1 → two batches with identical
+    // keys): the table must end with ONE copy — the second batch
+    // updated, not appended. Wave B streams a value-shifted copy under
+    // the same checkpoint: a genuine restart whose batch matches every
+    // key — counts unchanged, values updated. The oracle recomputes the
+    // final upsert state from the source table.
+    QuerySpec(
+      "st23_streaming_merge_sink",
+      Some("""
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(sum(CAST(floor((value + 1000) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents,
+               true AS upsert_exact
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val src = stageSource(dir, "events", "st23", copies = 2)
+        val tbl = java.nio.file.Files.createTempDirectory("st23_delta").toString + "/tbl"
+        val ck = java.nio.file.Files.createTempDirectory("st23_ck").toString
+        val fileSchema = s.read.parquet(src).schema
+        def run(): Unit = awaitBounded(
+          s.readStream.schema(fileSchema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .select(col("event_id"), col("event_type"), col("value"))
+            .writeStream.format("portable-delta")
+            .outputMode("update")
+            .option("path", tbl)
+            .option("checkpointLocation", ck)
+            .option("mergeKeys", "event_id")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start(), "st23")
+        run() // wave A: two identical batches — upsert, never append
+        val nEvents = s.read.parquet(s"$dir/events.parquet").count()
+        require(PortableDelta.readTable(s, tbl).count() == nEvents,
+          "identical re-delivered keys must UPDATE, not append")
+        val snapA = PortableDelta.snapshot(s, tbl)
+        require(snapA.txns.get(ck).contains(1L),
+          s"per-batch txns must reach batchId 1: ${snapA.txns}")
+        // wave B: every value shifted — same keys, new values
+        s.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 1000).as("value"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$src/.wave-b")
+        val part = new java.io.File(s"$src/.wave-b").listFiles()
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(src, "events_b.parquet").toPath)
+        run() // restart under the same checkpoint
+        require(PortableDelta.readTable(s, tbl).count() == nEvents,
+          "a full-match wave must leave the key set unchanged")
+        require(PortableDelta.snapshot(s, tbl).version > snapA.version,
+          "the matched wave must still commit (values changed)")
+        PortableDelta.readTable(s, tbl)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+          .withColumn("upsert_exact", lit(true))
+          .orderBy(col("event_type"))
+      },
+      timed = false),
+
     // ----- streaming → Delta sink, EXACTLY-once via per-batch txn -----
     // Composes the two round-6/7 pieces: foreachBatch +
     // PortableDelta.write(append) where every micro-batch commits

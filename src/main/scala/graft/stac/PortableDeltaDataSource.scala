@@ -122,21 +122,34 @@ class PortableDeltaDataSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Sink = {
     val path = pathOf(parameters)
     import org.apache.spark.sql.streaming.OutputMode._
-    val mode = outputMode match {
-      case m if m == Append() => "append"
-      case m if m == Complete() => "overwrite"
-      case other => throw new IllegalArgumentException(
-        s"portable-delta sink supports Append and Complete output " +
-          s"modes, got $other — for keyed upserts use " +
-          "EventStream.deltaMergeSink")
-    }
     val appId = parameters.getOrElse("txnAppId",
       parameters.getOrElse("checkpointLocation",
         throw new IllegalArgumentException(
           "portable-delta sink needs a checkpointLocation (or an " +
             "explicit txnAppId) — the exactly-once txn id derives from it")))
-    new PortableDeltaSink(path, mode, appId, partitionColumns,
-      parameters.get("mergeSchema").exists(_.toBoolean))
+    outputMode match {
+      case m if m == Append() =>
+        new PortableDeltaSink(path, "append", appId, partitionColumns,
+          parameters.get("mergeSchema").exists(_.toBoolean))
+      case m if m == Complete() =>
+        new PortableDeltaSink(path, "overwrite", appId, partitionColumns,
+          parameters.get("mergeSchema").exists(_.toBoolean))
+      case m if m == Update() =>
+        // keyed upsert: each micro-batch MERGEs on the declared keys
+        // (update matched, insert unmatched), exactly-once via the same
+        // {appId, batchId} txn action — the declarative form of
+        // EventStream.deltaMergeSink. The batch's keys must be unique
+        // (the aggregation-output contract Update mode implies).
+        val keys = parameters.get("mergeKeys").map(
+          _.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(
+          throw new IllegalArgumentException(
+            "portable-delta sink in Update mode needs option " +
+              "(\"mergeKeys\", \"k1,k2,...\") — the upsert key contract"))
+        require(keys.nonEmpty, "mergeKeys must name at least one column")
+        new PortableDeltaMergeStreamSink(path, keys, appId)
+      case other => throw new IllegalArgumentException(
+        s"portable-delta sink: unsupported output mode $other")
+    }
   }
 
   /** `spark.readStream.format("portable-delta")` — the declarative
@@ -211,6 +224,31 @@ private[stac] class PortableDeltaSink(path: String, mode: String,
   }
 
   override def toString: String = s"PortableDeltaSink[$path, $mode]"
+}
+
+/** Update-mode sibling of [[PortableDeltaSink]]: each micro-batch
+  * upserts on `keys` through [[PortableDelta.merge]] (update matched
+  * rows, insert new ones) with the {appId, batchId} txn action — a
+  * crash-replayed batch is skipped at the LOG before any data lands.
+  * The first batch of a fresh table creates it. */
+private[stac] class PortableDeltaMergeStreamSink(path: String,
+    keys: Seq[String], appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.GraftSqlShim.replayableBatch(data)
+    val exists = PortableDelta.currentSnapshot(
+      batch.sparkSession.sessionState.newHadoopConf(), path).isDefined
+    if (!exists)
+      PortableDelta.write(batch, path, txn = Some((appId, batchId)))
+    else
+      PortableDelta.merge(batch.sparkSession, path, batch, keys,
+        txn = Some((appId, batchId)))
+    ()
+  }
+
+  override def toString: String =
+    s"PortableDeltaMergeStreamSink[$path, keys=${keys.mkString(",")}]"
 }
 
 /** A deletion-vector descriptor as the format needs it: enough to

@@ -177,7 +177,13 @@ final class PortableDeltaStreamSource(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val s = Option(start).map(o => parse(o.json()))
+    // a null start is NOT always a fresh stream: after a restart whose
+    // last batch was uncommitted, the engine replays it through
+    // getBatch (seeding lastEnd) and may then ask for the next offset
+    // without a start — trusting null here would re-pin a NEW snapshot
+    // and re-deliver the table. The passed start wins when present;
+    // the seeded position covers the replay window.
+    val s = Option(start).map(o => parse(o.json())).orElse(lastEnd)
     val next = nextEnd(s)
     next.foreach(t => lastEnd = Some(t))
     next.map(t => PortableDeltaSourceOffset(t.token): org.apache.spark.sql

@@ -175,6 +175,26 @@ class LazySnapshotSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(after2 == after, "OPTIMIZE must not change logical state")
 
+    // ---- the FORMAT ROUTE over the same 100k-add, DV-carrying state:
+    // relation build collects only the DV-carrying add rows (an
+    // executor-side filter — never the add list), listFiles prunes on
+    // executors, and the scan opens only the surviving REAL file(s);
+    // any over-wide materialization dies on a fake path, and a missed
+    // DV would resurrect the 11 deleted ids
+    val rel = spark.read.format("portable-delta").load(root)
+    val q = rel.filter(col("id").between(300L, 340L))
+    val scans = q.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1 &&
+      scans.head.metadata("Location").contains("PortableDeltaFileIndex"))
+    val planned = scans.head.selectedPartitions.totalNumberOfFiles
+    assert(planned >= 1 && planned <= 4,
+      s"stats pruning must keep only the touched real files, planned $planned")
+    val viaFmt = q.select(col("id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaFmt == after,
+      "format route must equal readTableWhere over the synthetic state")
+
     // ---- distributed VACUUM over the same state: the referenced frame
     // (100k checkpoint refs) flows as a DataFrame into the anti-join —
     // an unreferenced orphan is reclaimed, every referenced REAL file

@@ -325,6 +325,22 @@ class PortableDeltaDataSourceSpec extends AnyFunSuite {
     dst.toString
   }
 
+  test("CTAS: CREATE TABLE ... USING portable-delta AS SELECT lands a real table") {
+    val path = tmp()
+    spark.sql("DROP TABLE IF EXISTS pd_ctas_t")
+    spark.sql(s"""CREATE TABLE pd_ctas_t USING `portable-delta`
+                 |OPTIONS (path '$path')
+                 |AS SELECT id, concat('d', id) AS body FROM range(25)""".stripMargin)
+    try {
+      val snap = PortableDelta.snapshot(spark, path)
+      assert(snap.version == 0L && snap.files.forall(_.stats.isDefined),
+        "CTAS must go through the full protocol (one commit, stats)")
+      assert(PortableDelta.readTable(spark, path).count() == 25L)
+      assert(spark.sql("SELECT sum(id) FROM pd_ctas_t").head().getLong(0) ==
+        (0L until 25L).sum)
+    } finally spark.sql("DROP TABLE IF EXISTS pd_ctas_t")
+  }
+
   test("timestampAsOf strings parse in UTC, never the JVM default zone") {
     // 2024-01-02T03:04:05Z = 1704164645000 ms — host-independent by
     // construction (Timestamp.valueOf would shift this by the JVM zone)

@@ -132,6 +132,28 @@ class PortableDeltaSqlDmlSpec extends AnyFunSuite {
     } finally armed.sql("DROP TABLE IF EXISTS dml_mrgd_t")
   }
 
+  test("portable_delta_history TVF: commit record through plain SQL") {
+    val path = mkTable()
+    PortableDelta.delete(spark, path, col("id") === 0L)   // v1
+    PortableDelta.update(spark, path, col("id") === 1L,
+      Map("price" -> lit(9.0)))                           // v2
+    val rows = armed.sql(
+      s"SELECT version, operation, timestamp FROM " +
+        s"portable_delta_history('$path') ORDER BY version").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    val ops = rows.map(_.getString(1)).toSeq
+    assert(ops.head.nonEmpty && ops.exists(_.contains("DELETE")) &&
+      ops.exists(_.contains("UPDATE")), s"operations: $ops")
+    assert(rows.forall(r => !r.isNullAt(2) &&
+      r.getTimestamp(2).getTime > 0L), "commit times must be real instants")
+    // a non-literal argument refuses by name
+    val e = intercept[Exception](armed.sql(
+      "SELECT * FROM portable_delta_history(concat('a', 'b'))"))
+    assert(e.getMessage.contains("string literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("string literal")),
+      e.getMessage)
+  }
+
   test("refusals by name; extension-less sessions keep Spark's v2-only error") {
     val path = mkTable()
     table(path, "dml_ref_t")

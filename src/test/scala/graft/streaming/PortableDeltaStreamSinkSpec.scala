@@ -109,7 +109,46 @@ class PortableDeltaStreamSinkSpec extends AnyFunSuite {
       "Complete mode must leave exactly the LAST batch's totals")
   }
 
-  test("refusals: Update mode by name; missing checkpointLocation by name") {
+  test("Update mode: keyed upsert via mergeKeys — latest values win, exactly once") {
+    val src = tmp("pdsink6-src"); val out = tmp("pdsink6-out") + "/tbl"
+    val cp = tmp("pdsink6-cp")
+    stage(src, 0L until 4L, "a")
+    def runUpsert(): Unit = {
+      val q = spark.readStream.schema(sch).parquet(src)
+        .groupBy("id").agg(max("grp").as("grp"), count(lit(1)).as("n"))
+        .writeStream.format("portable-delta")
+        .outputMode("update")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "id")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runUpsert()
+    assert(PortableDelta.readTable(spark, out).count() == 4L)
+    // overlapping keys arrive: the second wave UPDATES 0..3, inserts 4..5
+    stage(src, 0L until 6L, "b")
+    runUpsert()
+    val got = PortableDelta.readTable(spark, out).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == (0L until 6L).toSet,
+      s"upsert must end with the distinct keys: ${got.keySet}")
+    assert(got(0L) == 2L && got(5L) == 1L,
+      s"matched keys must carry the LATEST aggregate values: $got")
+    // the txn watermark advanced; a replay of the last batchId is a no-op
+    val snap = PortableDelta.snapshot(spark, out)
+    assert(snap.txns(cp) >= 1L)
+    val n0 = PortableDelta.readTable(spark, out).count()
+    PortableDelta.merge(spark, out,
+      PortableDelta.readTable(spark, out), Seq("id"),
+      txn = Some((cp, snap.txns(cp))))
+    assert(PortableDelta.snapshot(spark, out).version == snap.version &&
+      PortableDelta.readTable(spark, out).count() == n0,
+      "a replayed batchId must be skipped at the log")
+  }
+
+  test("refusals: Update mode without mergeKeys; missing checkpointLocation") {
     val src = tmp("pdsink4-src")
     stage(src, 0L until 2L, "a")
     val e1 = intercept[Exception] {
@@ -124,8 +163,7 @@ class PortableDeltaStreamSinkSpec extends AnyFunSuite {
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e1).exists(m => m.contains("Append and Complete") ||
-      m.contains("deltaMergeSink")), msgs(e1).mkString(" | "))
+    assert(msgs(e1).exists(_.contains("mergeKeys")), msgs(e1).mkString(" | "))
     val e2 = intercept[Exception] {
       spark.readStream.schema(sch).parquet(src)
         .writeStream.format("portable-delta")

@@ -62,29 +62,40 @@ class PortableDeltaStreamSourceSpec extends AnyFunSuite {
     val cp = tmp("pdss2-cp")
     PortableDelta.write(idDf(0L until 40L).repartitionByRange(5, col("id")),
       path)                                                         // v0, 5 files
-    val buf = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
-    // stop after the FIRST micro-batch: the checkpoint holds a
+    // consumer is IDEMPOTENT PER BATCH-ID: a batch whose commit the
+    // kill raced (rows delivered, commit log unwritten) is legally
+    // REPLAYED on restart — per-epoch overwrite collapses the replay,
+    // the foreachBatch contract's split of labor (the st22 gate shape)
+    val byEpoch = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+    def sink(df: DataFrame, epoch: Long): Unit = {
+      byEpoch.put(epoch, df.collect().map(_.getLong(0))); ()
+    }
+    // stop after the FIRST micro-batch lands: the checkpoint holds a
     // mid-snapshot Sv:k offset
     val q1 = spark.readStream.format("portable-delta")
       .option("maxFilesPerTrigger", "2").load(path)
       .writeStream.option("checkpointLocation", cp)
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.collect().foreach(buf.add); ()
-      }.start()
+      .foreachBatch((df: DataFrame, e: Long) => sink(df, e)).start()
     try {
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (buf.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      while (byEpoch.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
     } finally q1.stop()
-    assert(buf.size > 0 && buf.size < 40,
-      s"expected a partial snapshot slice before the stop, got ${buf.size}")
+    import scala.jdk.CollectionConverters._
+    val partial = byEpoch.values.asScala.map(_.length).sum
+    assert(partial > 0 && partial < 40,
+      s"expected a partial snapshot before the stop, got $partial")
     // restart resumes the pinned snapshot at the logged file offset
-    drain(spark.readStream.format("portable-delta")
-      .option("maxFilesPerTrigger", "2").load(path), cp, buf)
-    val got = buf.toArray(Array.empty[org.apache.spark.sql.Row])
-      .map(_.getLong(0)).sorted.toSeq
+    val q2 = spark.readStream.format("portable-delta")
+      .option("maxFilesPerTrigger", "2").load(path)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch((df: DataFrame, e: Long) => sink(df, e)).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = byEpoch.values.asScala.toSeq.flatten.sorted
     assert(got == (0L until 40L).toSeq,
       s"mid-snapshot restart must compose to exactly the snapshot: " +
         s"${got.size} rows, dupes=${got.size - got.distinct.size}")
+    assert(byEpoch.values.asScala.forall(_.length <= 16),
+      "maxFilesPerTrigger=2 must bound every slice")
   }
 
   test("startingVersion skips the snapshot; rate-limited appends split commits exactly") {
