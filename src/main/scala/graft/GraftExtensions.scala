@@ -73,6 +73,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               tsMs * 1000L)
           })
       }))
+    // DESCRIBE DETAIL as a table-valued function — delta-spark's column
+    // set from [[PortableDelta.describeDetail]] (numFiles/sizeInBytes
+    // answer O(1) from the version checksum when present)
+    ext.injectTableFunction((FunctionIdentifier("portable_delta_detail"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "portable_delta_detail",
+        "portable_delta_detail(path) - DESCRIBE DETAIL of a portable-delta table", ""),
+      (args: Seq[Expression]) => {
+        val path = args match {
+          case Seq(Literal(s: org.apache.spark.unsafe.types.UTF8String, _)) =>
+            s.toString
+          case _ => throw new IllegalArgumentException(
+            "portable_delta_detail takes exactly one string literal: " +
+              "the table path")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val d = graft.stac.PortableDelta.describeDetail(spark, path)
+        import org.apache.spark.sql.catalyst.expressions.AttributeReference
+        import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+        import org.apache.spark.sql.types._
+        import org.apache.spark.unsafe.types.UTF8String
+        def utf8 = UTF8String.fromString _
+        def strArray(xs: Seq[String]) = new GenericArrayData(xs.map(utf8).toArray)
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          Seq(AttributeReference("format", StringType)(),
+            AttributeReference("id", StringType)(),
+            AttributeReference("location", StringType)(),
+            AttributeReference("createdAt", TimestampType)(),
+            AttributeReference("lastModified", TimestampType)(),
+            AttributeReference("partitionColumns",
+              ArrayType(StringType, containsNull = false))(),
+            AttributeReference("clusteringColumns",
+              ArrayType(StringType, containsNull = false))(),
+            AttributeReference("numFiles", LongType, nullable = false)(),
+            AttributeReference("sizeInBytes", LongType, nullable = false)(),
+            AttributeReference("properties",
+              MapType(StringType, StringType, valueContainsNull = false))(),
+            AttributeReference("minReaderVersion", IntegerType, nullable = false)(),
+            AttributeReference("minWriterVersion", IntegerType, nullable = false)(),
+            AttributeReference("tableFeatures",
+              ArrayType(StringType, containsNull = false))()),
+          Seq(org.apache.spark.sql.catalyst.InternalRow(
+            utf8(d.format), utf8(d.id), utf8(d.location),
+            d.createdAt.map(ms => ms * 1000L).map(Long.box).orNull,
+            d.lastModified.map(ms => ms * 1000L).map(Long.box).orNull,
+            strArray(d.partitionColumns), strArray(d.clusteringColumns),
+            d.numFiles, d.sizeInBytes,
+            ArrayBasedMapData(d.properties.keys.map(utf8).toArray,
+              d.properties.values.map(utf8).toArray),
+            d.minReaderVersion, d.minWriterVersion,
+            strArray(d.tableFeatures))))
+      }))
   }
 }
 

@@ -154,6 +154,24 @@ class PortableDeltaSqlDmlSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("portable_delta_detail TVF: DESCRIBE DETAIL through plain SQL") {
+    val path = mkTable()
+    PortableDelta.delete(spark, path, col("id") === 0L) // DVs flip features
+    val d = armed.sql(
+      s"""SELECT format, numFiles, sizeInBytes, partitionColumns,
+         |       minReaderVersion, minWriterVersion, tableFeatures, properties
+         |FROM portable_delta_detail('$path')""".stripMargin).head()
+    assert(d.getString(0) == "delta" || d.getString(0) == "parquet",
+      s"format: ${d.getString(0)}")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(d.getLong(1) == snap.files.size &&
+      d.getLong(2) == snap.files.map(_.size).sum,
+      s"numFiles/sizeInBytes must match the log: $d")
+    assert(d.getSeq[String](3).isEmpty, "unpartitioned table")
+    assert(d.getSeq[String](6).contains("deletionVectors"),
+      s"the DELETE's protocol upgrade must surface: ${d.getSeq[String](6)}")
+  }
+
   test("refusals by name; extension-less sessions keep Spark's v2-only error") {
     val path = mkTable()
     table(path, "dml_ref_t")
