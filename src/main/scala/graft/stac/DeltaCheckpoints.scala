@@ -1374,6 +1374,23 @@ private[stac] trait DeltaCheckpointOps extends Serializable { self: PortableDelt
                            timestampAsOf: Long): DataFrame =
     snapshotDf(spark, path, snapshotAtTimestamp(spark, path, timestampAsOf))
 
+  /** ONE version's commit timestamp (ICT-aware, same resolution rule as
+    * [[history]]) without walking the whole log: a single live-JSON
+    * read when the commit file survives, the history sidecar otherwise.
+    * This is what per-trigger streaming paths must call — O(1) driver
+    * I/O per version, never O(full commit history). */
+  def commitTimestampAt(conf: Configuration, path: String, v: Long): Long = {
+    val dir = logDir(path)
+    val fs = dir.getFileSystem(conf)
+    val p = new Path(dir, versionFileName(v))
+    if (fs.exists(p)) commitInfoOf(fs, p)._2
+    else readHistorySidecar(fs, path).collectFirst {
+      case (sv, (_, ts)) if sv == v => ts
+    }.getOrElse(throw new IllegalStateException(
+      s"no commit time for version $v of $path — neither the live JSON " +
+        "nor the history sidecar records it"))
+  }
+
   /** DESCRIBE HISTORY analog: (version, operation, timestamp), newest
     * first — surviving JSON commits merged with the
     * `_graft_history.ndjson` sidecar [[cleanupLog]] harvests before

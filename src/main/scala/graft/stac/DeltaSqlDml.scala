@@ -59,6 +59,26 @@ object RewriteDeltaSqlDml extends Rule[LogicalPlan] {
           c.staticPartitions.isEmpty =>
       c.fileIndex match {
         case Some(idx: PortableDeltaFileIndex) =>
+          // INSERT OVERWRITE under partitionOverwriteMode=dynamic means
+          // "replace only the partitions present in the data" — this
+          // command's overwrite is whole-table, which would silently
+          // truncate every OTHER partition. Refuse by name (the per-
+          // insert option overrides the session conf, Spark's rule).
+          val dynamicMode = c.options.get("partitionOverwriteMode")
+            .map(_.equalsIgnoreCase("dynamic"))
+            .getOrElse(conf.partitionOverwriteMode ==
+              org.apache.spark.sql.internal.SQLConf.PartitionOverwriteMode.DYNAMIC)
+          if (c.mode == SaveMode.Overwrite &&
+              idx.snapBase.partitionColumns.nonEmpty && dynamicMode)
+            throw new UnsupportedOperationException(
+              s"INSERT OVERWRITE ${idx.path}: " +
+                "spark.sql.sources.partitionOverwriteMode=dynamic asks for " +
+                "per-partition replacement, but portable-delta INSERT " +
+                "OVERWRITE replaces the WHOLE table — honoring it would " +
+                "silently truncate partitions absent from the inserted " +
+                "data. Set partitionOverwriteMode=static (whole-table " +
+                "overwrite), or DELETE FROM the target partitions and " +
+                "INSERT INTO for per-partition replacement")
           PortableDeltaInsertCommand(idx.path,
             idx.snapBase.schema.fieldNames.toSeq,
             idx.snapBase.partitionColumns,
@@ -202,6 +222,28 @@ object RewriteDeltaSqlDml extends Rule[LogicalPlan] {
     // columns from the INSERT assignments. A raw source column whose
     // name collides with a DIFFERENTLY-valued derived column would
     // make `s`.name ambiguous — refuse.
+    //
+    // A key column is BOTH the join key and the inserted value (one
+    // source column serves both roles in mergeInto), so an INSERT
+    // assignment for a key column must be exactly the ON clause's
+    // source attribute — anything else (e.g. `INSERT (id, v) VALUES
+    // (s.id + 1, s.v)` under `ON t.id = s.id`) cannot be expressed
+    // and silently inserting the join key instead would be wrong
+    // committed data. Refuse by name.
+    val keyOfTarget: Map[String, String] = keyPairs.toMap
+    insertAssigns.foreach { case (name, e) =>
+      keyOfTarget.get(name).foreach { sName =>
+        e match {
+          case u: UnresolvedAttribute if u.nameParts == Seq(sName) => ()
+          case other => refuse(
+            s"INSERT value for key column $name must be exactly the ON " +
+              s"clause's source column $sName (got $other) — the join key " +
+              "and the inserted key value are the same column in this " +
+              "engine's MERGE; rewrite the source to carry the desired " +
+              "key value and join on it")
+        }
+      }
+    }
     val derived: Map[String, Expression] =
       insertAssigns.toMap ++ keyPairs.map { case (tName, sName) =>
         tName -> UnresolvedAttribute.quoted(sName)

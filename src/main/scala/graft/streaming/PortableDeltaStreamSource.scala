@@ -223,10 +223,18 @@ final class PortableDeltaStreamSource(
 
   // ---- batches ----------------------------------------------------
 
+  /** Commit timestamps resolved per version, cached for the drain: a
+    * rate-limited initial snapshot calls [[insertShaped]] once per
+    * SLICE with the same pinned version — without the cache each
+    * trigger would pay a log read; with it the whole drain pays one
+    * O(1) single-version read ([[PortableDelta.commitTimestampAt]],
+    * never the full history walk). */
+  @transient private lazy val commitTsCache =
+    scala.collection.mutable.Map.empty[Long, Long]
+
   private def insertShaped(df: DataFrame, v: Long): DataFrame = {
-    val tsMs = PortableDelta.history(conf, tablePath)
-      .find(_._1 == v).map(_._3).getOrElse(throw new IllegalStateException(
-        s"no commit time for version $v of $tablePath"))
+    val tsMs = commitTsCache.getOrElseUpdate(v,
+      PortableDelta.commitTimestampAt(conf, tablePath, v))
     df.withColumn("_change_type", lit("insert"))
       .withColumn("_commit_version", lit(v))
       .withColumn("_commit_timestamp", (lit(tsMs) / 1000L).cast("timestamp"))

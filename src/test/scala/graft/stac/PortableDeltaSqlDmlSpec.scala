@@ -172,6 +172,62 @@ class PortableDeltaSqlDmlSpec extends AnyFunSuite {
       s"the DELETE's protocol upgrade must surface: ${d.getSeq[String](6)}")
   }
 
+  test("MERGE INSERT of a key column: exact ON-source attribute passes, " +
+      "anything else refuses (never silently inserts the join key)") {
+    val path = mkTable(5L)
+    table(path, "dml_mrgk_t")
+    try {
+      armed.createDataFrame(Seq((100L, "x", 1.0)))
+        .toDF("sid", "sbody", "sprice").createOrReplaceTempView("dml_mrgk_src")
+      // a non-trivial key INSERT value would be silently replaced by the
+      // ON mapping (s.sid) if merged blindly — must refuse by name
+      val e = intercept[Exception](armed.sql(
+        """MERGE INTO dml_mrgk_t t USING dml_mrgk_src s ON t.id = s.sid
+          |WHEN NOT MATCHED THEN INSERT (id, body, price)
+          |  VALUES (s.sid + 1, s.sbody, s.sprice)""".stripMargin))
+      assert(e.getMessage.contains("key column id must be exactly"),
+        e.getMessage)
+      assert(PortableDelta.readTable(spark, path).count() == 5L,
+        "the refusal must not commit anything")
+      // the exact source attribute (the only expressible shape) works
+      val r = armed.sql(
+        """MERGE INTO dml_mrgk_t t USING dml_mrgk_src s ON t.id = s.sid
+          |WHEN NOT MATCHED THEN INSERT (id, body, price)
+          |  VALUES (s.sid, s.sbody, s.sprice)""".stripMargin).head()
+      assert(r.getLong(3) == 1L, s"insert count: $r")
+      assert(PortableDelta.readTable(spark, path)
+        .filter(col("id") === 100L).count() == 1L)
+    } finally armed.sql("DROP TABLE IF EXISTS dml_mrgk_t")
+  }
+
+  test("INSERT OVERWRITE a partitioned table refuses under dynamic " +
+      "partitionOverwriteMode (whole-table truncation is not what dynamic asks)") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "p"),
+      path, partitionBy = Seq("p"))
+    armed.sql("DROP TABLE IF EXISTS dml_ovw_t")
+    armed.sql(s"CREATE TABLE dml_ovw_t USING `portable-delta` OPTIONS (path '$path')")
+    val prev = armed.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try {
+      armed.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val e = intercept[Exception](armed.sql(
+        "INSERT OVERWRITE dml_ovw_t SELECT 9L AS id, 'a' AS p"))
+      assert(e.getMessage.contains("partitionOverwriteMode") &&
+        e.getMessage.contains("truncate"), e.getMessage)
+      assert(PortableDelta.readTable(spark, path).count() == 3L,
+        "the refusal must not commit anything")
+      // static mode keeps the documented whole-table overwrite
+      armed.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      armed.sql("INSERT OVERWRITE dml_ovw_t SELECT 9L AS id, 'a' AS p")
+      val got = PortableDelta.readTable(spark, path).collect()
+      assert(got.length == 1 && got(0).getLong(0) == 9L)
+    } finally {
+      armed.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      armed.sql("DROP TABLE IF EXISTS dml_ovw_t")
+    }
+  }
+
   test("refusals by name; extension-less sessions keep Spark's v2-only error") {
     val path = mkTable()
     table(path, "dml_ref_t")
