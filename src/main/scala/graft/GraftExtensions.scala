@@ -26,8 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pruning via the STAC-GeoParquet covering stats)
     ext.injectOptimizerRule(_ => graft.plans.RewriteBboxIntersects)
     // COUNT/MIN/MAX over a portable-delta relation answered from log
-    // stats when sound (falls back to the scan, never errors)
+    // stats when sound (falls back to the scan, never errors).
+    // Injected BEFORE SplitDvScan: within one fixed-point pass the
+    // metadata-only rewrite gets first claim on the relation; only
+    // scans it declines are split.
     ext.injectOptimizerRule(_ => graft.stac.OptimizeDeltaMetadataOnlyAgg)
+    // partially-DV'd portable-delta scans split into a columnar
+    // DV-free leg + a row-path DV leg (stock pushdown/pruning rules
+    // then run on both legs inside the same fixed point)
+    ext.injectOptimizerRule(_ => graft.stac.SplitDvScan)
     // strengthen st_intersects_rect over FOREIGN GeoParquet layouts with
     // the covering columns the file's footer declares. POST-HOC
     // RESOLUTION, not an optimizer rule: the conjuncts must land while

@@ -253,8 +253,12 @@ private[stac] class PortableDeltaMergeStreamSink(path: String,
 
 /** A deletion-vector descriptor as the format needs it: enough to
   * [[DeletionVectors.load]] the bitmap on whichever task reads the
-  * file. Tiny (~100 B) — the relation collects one per DV-CARRYING
-  * file only (the recently-mutated subset of a table, not the table). */
+  * file. Tiny (~100 B). Since round 16 it never collects to the
+  * driver as a table-wide map: [[PortableDeltaFileIndex.listFiles]]
+  * attaches each DV-carrying file's descriptor to ITS file entry
+  * ([[FileStatusWithMetadata]]), and it rides to the task inside the
+  * [[PartitionedFile]] — only descriptors of files the query actually
+  * scans ship anywhere. */
 private[stac] final case class DvRef(storageType: String,
     pathOrInlineDv: String, offset: Option[Int], sizeInBytes: Int,
     cardinality: Long)
@@ -270,15 +274,19 @@ private[stac] final case class DvRef(storageType: String,
   *     sanctioned SQL write path is [[PortableDeltaHadoopFsRelation
   *     .insert]].
   *  2. **Deletion vectors** (delta-spark's DeltaParquetFileFormat
-  *     shape): when any pinned file carries a DV, the reader requests
-  *     the parquet ROW INDEX via Spark's temporary row-index column
+  *     shape): when `hasDvs`, the reader requests the parquet ROW
+  *     INDEX via Spark's temporary row-index column
   *     ([[ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME]] — exact
   *     physical position even under row-group skipping), drops rows
   *     whose index is set in the file's bitmap, and projects the
-  *     temp column back out. The descriptor map rides a broadcast;
-  *     each task decodes only ITS file's bitmap (KBs per million
-  *     deleted rows). Batch output is disabled for such scans (the
-  *     per-row probe needs the row pipeline); DV-free tables keep
+  *     temp column back out. Each file's descriptor rides its own
+  *     [[PartitionedFile]] (per-file metadata from the index — no
+  *     driver-side table-wide map, no broadcast); each task decodes
+  *     only ITS file's bitmap (KBs per million deleted rows). Batch
+  *     output is disabled for such scans (the per-row probe needs the
+  *     row pipeline) — but on a PARTIALLY-DV'd table the armed
+  *     optimizer splits the scan ([[SplitDvScan]]) so only the
+  *     DV-carrying files pay the row path; DV-free tables keep
   *     whole-stage columnar untouched.
   *  3. **Column mapping**: the parquet bytes of a mapped table store
   *     PHYSICAL `col-<uuid>` names. The read/data schemas and pushed
@@ -292,8 +300,8 @@ private[stac] final case class DvRef(storageType: String,
 private[stac] class PortableDeltaReadOnlyFormat(
     tablePath: String,
     tableSchema: StructType,
-    mapped: Boolean,
-    dvByPath: Map[String, DvRef]) extends ParquetFileFormat {
+    private[stac] val mapped: Boolean,
+    private[stac] val hasDvs: Boolean) extends ParquetFileFormat {
 
   override def prepareWrite(sparkSession: SparkSession,
                             job: org.apache.hadoop.mapreduce.Job,
@@ -307,10 +315,11 @@ private[stac] class PortableDeltaReadOnlyFormat(
         "or PortableDelta.write instead")
 
   /** The DV row probe needs the row pipeline (per-row bitmap
-    * contains()); DV-free scans keep the stock columnar decision. */
+    * contains()); DV-free scans (including the DV-free LEG of a
+    * [[SplitDvScan]] union) keep the stock columnar decision. */
   override def supportBatch(sparkSession: SparkSession,
                             schema: StructType): Boolean =
-    dvByPath.isEmpty && super.supportBatch(sparkSession, schema)
+    !hasDvs && super.supportBatch(sparkSession, schema)
 
   // ---- column mapping: logical -> physical schema/filter rewrite ----
 
@@ -391,7 +400,7 @@ private[stac] class PortableDeltaReadOnlyFormat(
                        else requiredSchema
     val physFilters = if (mapped) filters.flatMap(physFilter(_, exact = false))
                       else filters
-    if (dvByPath.isEmpty)
+    if (!hasDvs)
       return super.buildReaderWithPartitionValues(sparkSession, physData,
         partitionSchema, physRequired, physFilters, options, hadoopConf)
 
@@ -408,7 +417,6 @@ private[stac] class PortableDeltaReadOnlyFormat(
     val rixAt = augmented.fieldIndex(rixName)
     val delegate = super.buildReaderWithPartitionValues(sparkSession,
       physData, partitionSchema, augmented, physFilters, options, hadoopConf)
-    val bcDvs = sparkSession.sparkContext.broadcast(dvByPath)
     val bcConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val table = tablePath
     // delegate output layout: augmented data fields then partition
@@ -420,7 +428,11 @@ private[stac] class PortableDeltaReadOnlyFormat(
 
     (file: PartitionedFile) => {
       val it = delegate(file)
-      val dv = bcDvs.value.get(file.toPath.toString).map { d =>
+      // the file's own descriptor rides its PartitionedFile (attached
+      // by the index's listFiles) — no table-wide driver map
+      val dv = file.otherConstantMetadataColumnValues
+        .get(PortableDeltaFileIndex.DvMetaKey).map { any =>
+        val d = any.asInstanceOf[DvRef]
         val loaded = DeletionVectors.load(bcConf.value, table, d.storageType,
           d.pathOrInlineDv, d.offset, d.sizeInBytes)
         require(loaded.cardinality == d.cardinality,
@@ -508,26 +520,20 @@ object PortableDeltaRelation {
         snapBase.partitionColumns.exists(_.equalsIgnoreCase(f.name)))
       .map(f => f.copy(
         dataType = PortableDelta.deepNullable(f.dataType), nullable = true)))
-    // DV descriptors of the pinned state, keyed by the resolved file
-    // path the scan will present. Bounded by DV-CARRYING files (the
-    // recently-mutated subset — OPTIMIZE/purge collapses them), ~100 B
-    // each; an executor-side filter collects only those rows, never
-    // the add list.
-    import org.apache.spark.sql.functions.col
-    val dvByPath: Map[String, DvRef] = addsDf
-      .filter(col("dv_storageType").isNotNull)
-      .select("path", "dv_storageType", "dv_pathOrInlineDv", "dv_offset",
-        "dv_sizeInBytes", "dv_cardinality")
-      .collect().map { r =>
-        PortableDelta.resolvedDataPath(tablePath, r.getString(0)).toString ->
-          DvRef(r.getString(1), r.getString(2),
-            if (r.isNullAt(3)) None else Some(r.getInt(3)),
-            r.getInt(4), r.getLong(5))
-      }.toMap
+    // DV presence probe: ONE executor-side two-count fold over the add
+    // frame — two longs reach the driver, never descriptors or paths
+    // (per-file descriptors attach at listFiles time to exactly the
+    // files a query scans). nDv < nFiles additionally arms the
+    // [[SplitDvScan]] rewrite: a PARTIALLY-DV'd table splits into a
+    // columnar DV-free scan plus a row-path DV scan.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dvRow = addsDf.agg(count(lit(1)), count(col("dv_storageType"))).head()
+    val (nFiles, nDv) = (dvRow.getLong(0), dvRow.getLong(1))
     val fmt = new PortableDeltaReadOnlyFormat(tablePath, snapBase.schema,
-      PortableDelta.mappedCfg(snapBase.configuration), dvByPath)
+      PortableDelta.mappedCfg(snapBase.configuration), hasDvs = nDv > 0)
     new PortableDeltaHadoopFsRelation(index, index.partitionSchema,
-      dataSchema, fmt, options, spark, tablePath, asOf.isDefined)
+      dataSchema, fmt, options, spark, tablePath, asOf.isDefined,
+      needsDvSplit = nDv > 0 && nDv < nFiles)
   }
 }
 
@@ -549,10 +555,34 @@ private[stac] class PortableDeltaHadoopFsRelation(
     optionsArg: Map[String, String],
     spark: SparkSession,
     tablePath: String,
-    timeTravel: Boolean)
+    timeTravel: Boolean,
+    private[stac] val needsDvSplit: Boolean = false)
     extends HadoopFsRelation(index, partitionSchemaArg, dataSchemaArg,
       None, fmt, optionsArg)(spark)
     with org.apache.spark.sql.sources.InsertableRelation {
+
+  /** The [[SplitDvScan]] legs: the SAME pinned snapshot partitioned by
+    * DV presence — a DV-free relation whose format keeps the stock
+    * columnar/vectorized decision, and a DV-only relation on the
+    * row-path reader. Lazy end-to-end (the legs' add frames are
+    * filters over the pinned frame; listFiles prunes each leg
+    * independently). Legs never re-split. */
+  private[stac] def splitByDv(): (PortableDeltaHadoopFsRelation,
+      PortableDeltaHadoopFsRelation) = {
+    import org.apache.spark.sql.functions.col
+    def leg(dvLeg: Boolean): PortableDeltaHadoopFsRelation = {
+      val adds =
+        if (dvLeg) index.adds.filter(col("dv_storageType").isNotNull)
+        else index.adds.filter(col("dv_storageType").isNull)
+      val idx = new PortableDeltaFileIndex(spark, tablePath,
+        index.snapBase, adds)
+      val f = new PortableDeltaReadOnlyFormat(tablePath,
+        index.snapBase.schema, fmt.mapped, hasDvs = dvLeg)
+      new PortableDeltaHadoopFsRelation(idx, partitionSchemaArg,
+        dataSchemaArg, f, optionsArg, spark, tablePath, timeTravel)
+    }
+    (leg(dvLeg = false), leg(dvLeg = true))
+  }
 
   override def insert(data: org.apache.spark.sql.DataFrame,
                       overwrite: Boolean): Unit = {
@@ -666,10 +696,21 @@ final class PortableDeltaFileIndex(
                     else r.getMap[String, String](9).toMap)
       .map { case (pv, rows) =>
         val statuses = rows.map { r =>
-          new FileStatus(r.getLong(1), false, 0, 128L * 1024 * 1024,
+          val st = new FileStatus(r.getLong(1), false, 0, 128L * 1024 * 1024,
             r.getLong(2),
             PortableDelta.resolvedDataPath(tablePath, r.getString(0)))
-        }.toArray
+          // a DV-carrying file carries its ~100 B descriptor as file
+          // metadata — it rides the PartitionedFile to exactly the
+          // task reading this file (no driver map, no broadcast)
+          val meta: Map[String, Any] =
+            if (r.isNullAt(3)) Map.empty
+            else Map(PortableDeltaFileIndex.DvMetaKey ->
+              DvRef(r.getString(3), r.getString(4),
+                if (r.isNullAt(5)) None else Some(r.getInt(5)),
+                r.getInt(6), r.getLong(7)))
+          org.apache.spark.sql.execution.datasources
+            .FileStatusWithMetadata(st, meta)
+        }
         PartitionDirectory(partitionRow(pv), statuses)
       }.toSeq
   }
@@ -702,5 +743,79 @@ final class PortableDeltaFileIndex(
     if (out == null) throw new IllegalArgumentException(
       s"undecodable partition value for $name in $tablePath: '$v' as $dt")
     out
+  }
+}
+
+object PortableDeltaFileIndex {
+  /** File-metadata key carrying a [[DvRef]] on DV-carrying files —
+    * private channel between [[PortableDeltaFileIndex.listFiles]] and
+    * [[PortableDeltaReadOnlyFormat]]'s reader; never a declared
+    * metadata column, so Spark's `_metadata` machinery ignores it. */
+  private[stac] val DvMetaKey = "__portable_delta_dv_ref"
+}
+
+/** Restore COLUMNAR reads to the DV-free files of a partially-DV'd
+  * table: one file with a deletion vector anywhere in the pinned
+  * snapshot forces [[PortableDeltaReadOnlyFormat]] off the vectorized
+  * batch path (the per-row bitmap probe needs the row pipeline) — a
+  * table-wide 2-5× read penalty after ONE surgical DELETE, until an
+  * OPTIMIZE collapses the DVs. At 100 TB that is millions of DV-free
+  * files paying for a handful of recently-mutated ones.
+  *
+  * The rewrite (the per-file form of delta-spark's
+  * DeltaParquetFileFormat trick, expressed in the V1 seam): a
+  * [[LogicalRelation]] over a MIXED snapshot becomes
+  *
+  *   Union(scan of DV-free files   — stock columnar/vectorized,
+  *         scan of DV-carrying files — row path + bitmap probe)
+  *
+  * Both legs are the SAME pinned snapshot partitioned by DV presence
+  * (lazy filters over the pinned add frame — no extra log read), so
+  * the union is value-identical by construction. Injected as a plain
+  * optimizer rule ([[graft.GraftExtensions]]): it runs INSIDE the
+  * operator-optimization fixed point, where the stock
+  * PushDownPredicates / ColumnPruning rules then push the query's
+  * filters and projections into BOTH legs — pushdown, partition
+  * pruning, and log-stats file skipping all survive the split (each
+  * leg's FileIndex prunes independently). Runtime arming via [[arm]]
+  * lands in `extraOptimizations` (post-optimization): value-correct,
+  * but filters above the union are no longer pushed into the legs —
+  * the extensions path is the documented deployment.
+  *
+  * Tables with NO DVs never arm the split (the relation's
+  * `needsDvSplit` is pinned at build time); fully-DV'd tables keep
+  * the single row-path scan (a DV-free leg would be empty). Sessions
+  * without the extension keep round-15 behavior: one row-path scan,
+  * correct, just not columnar. */
+object SplitDvScan extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Union}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+  /** Session dial (default on). */
+  val ConfKey = "spark.graft.delta.splitDvScan.enabled"
+
+  /** Arm an existing session (idempotent); see the class doc for the
+    * pushdown caveat of this late placement. */
+  def arm(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(SplitDvScan))
+      spark.experimental.extraOptimizations = cur :+ SplitDvScan
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
+    plan.transform {
+      case lr @ LogicalRelation(rel: PortableDeltaHadoopFsRelation,
+          out, _, false, _) if rel.needsDvSplit =>
+        val (freeRel, dvRel) = rel.splitByDv()
+        // the DV-free leg keeps the original attribute ids (Union
+        // output = first child's), so nothing upstream re-resolves;
+        // the DV leg gets fresh ids
+        Union(Seq(
+          lr.copy(relation = freeRel),
+          lr.copy(relation = dvRel, output = out.map(_.newInstance()),
+            catalogTable = None)))
+    }
   }
 }

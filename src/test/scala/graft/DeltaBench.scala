@@ -26,6 +26,7 @@ object DeltaBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]").appName("graft-delta-bench")
+      .withExtensions(new graft.GraftExtensions) // the documented deployment
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -155,6 +156,39 @@ object DeltaBench {
           .filter(col("okey") % 2L === 1L).count()
         require(n > 0 && n < nRows)
       }
+      // round-16 DV split: the 100-TB shape — ONE surgically-DV'd file
+      // in a 512-file table. fmt_read_512f is the clean-columnar
+      // reference; fmt_dv_read_split must sit at (not multiples above)
+      // it, because SplitDvScan keeps the 511 DV-free files on the
+      // vectorized batch path and routes only the DV file row-wise.
+      val maxKey = orders.agg(max(col("okey"))).first().getLong(0)
+      def wide512(tag: String): String = {
+        val t = java.nio.file.Files
+          .createTempDirectory(s"dbench-$tag").toString + "/tbl"
+        PortableDelta.write(orders.repartitionByRange(512, col("okey")), t)
+        t
+      }
+      results("fmt_read_512f") = timeVerb("fmt_read_512f")(
+        () => wide512("fmt512")) { t =>
+        val n = spark.read.format("portable-delta").load(t)
+          .filter(col("okey") % 2L === 1L).count()
+        require(n > 0 && n < nRows)
+      }
+      results("fmt_dv_read_split") = timeVerb("fmt_dv_read_split") { () =>
+        val t = wide512("fmtdvs")
+        val res = PortableDelta.delete(spark, t, col("okey") === maxKey)
+        require(res.deletedRows == 1 && res.removedFiles == 0, s"$res")
+        t
+      } { t =>
+        val df = spark.read.format("portable-delta").load(t)
+          .filter(col("okey") % 2L === 1L)
+        val scans = df.queryExecution.sparkPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        require(scans.size == 2 && scans.exists(_.supportsColumnar),
+          s"the DV split must fire: ${scans.size} scan(s)")
+        val n = df.count()
+        require(n > 0 && n < nRows)
+      }
       results("sql_insert") = timeVerb("sql_insert") { () =>
         val t = fresh("sqlins")
         spark.sql("DROP TABLE IF EXISTS graft_dbench_ins")
@@ -193,7 +227,6 @@ object DeltaBench {
         val st = PortableDelta.reorgPurge(spark, t)
         require(st.removedFiles == 32 && st.purgedDvRows > 0, s"$st")
       }
-      val maxKey = orders.agg(max(col("okey"))).first().getLong(0)
       results("reorg_purge_narrow") = timeVerb("reorg_purge_narrow") { () =>
         // range layout + a ~1/32 key-slice delete → DVs land on ~1
         // file: purge cost must track VICTIM bytes, not the table

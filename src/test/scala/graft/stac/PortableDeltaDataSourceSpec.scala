@@ -165,6 +165,73 @@ class PortableDeltaDataSourceSpec extends AnyFunSuite {
     finally spark.sql("DROP TABLE IF EXISTS pd_dv_t")
   }
 
+  test("SplitDvScan: a partially-DV'd table keeps COLUMNAR reads over its " +
+      "DV-free files under graft extensions; values ≡ readTable both ways") {
+    val path = tmp()
+    PortableDelta.write(idDf(400L).repartitionByRange(8, col("id")), path)
+    // surgical delete: both ids land in the FIRST range file, so one of
+    // eight files carries a DV — the 100-TB shape (a handful of
+    // recently-mutated files in a sea of DV-free ones)
+    val res = PortableDelta.delete(spark, path,
+      col("id") === 7L || col("id") === 13L)
+    assert(res.deletedRows == 2 && res.removedFiles == 0)
+    val snap = PortableDelta.snapshot(spark, path)
+    val nDv = snap.files.count(_.dv.isDefined)
+    assert(nDv > 0 && nDv < snap.files.size, s"need a MIXED table, got $nDv DV'd")
+    val expected = PortableDelta.readTable(spark, path)
+      .orderBy("id").collect().toSeq
+
+    // extension-less session: ONE row-path scan (round-15 behavior), correct
+    val plainQ = spark.read.format("portable-delta").load(path)
+    val plainScans = plainQ.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(plainScans.size == 1 && !plainScans.head.supportsColumnar,
+      "without the extension the whole scan stays on the row path")
+    assert(plainQ.orderBy("id").collect().toSeq == expected)
+
+    // armed session: the scan splits — columnar over DV-free files,
+    // row path over exactly the DV-carrying ones
+    val as = armedSession
+    val q = as.read.format("portable-delta").load(path)
+    val scans = q.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(scans.size == 2, s"expected the split union, got ${scans.size} scan(s)")
+    assert(scans.forall(_.metadata("Location").contains("PortableDeltaFileIndex")),
+      "both legs must plan through the log-backed index")
+    val (colLegs, rowLegs) = scans.partition(_.supportsColumnar)
+    assert(colLegs.size == 1 && rowLegs.size == 1,
+      s"one columnar + one row leg, got ${colLegs.size}/${rowLegs.size}")
+    assert(colLegs.head.selectedPartitions.totalNumberOfFiles ==
+      (snap.files.size - nDv).toLong, "the columnar leg reads the DV-free files")
+    assert(rowLegs.head.selectedPartitions.totalNumberOfFiles == nDv.toLong,
+      "the row leg reads only the DV-carrying files")
+    assert(q.orderBy("id").collect().toSeq == expected,
+      "the split union must answer exactly like readTable")
+
+    // stock pushdown/pruning still run on BOTH legs post-split
+    val f = as.read.format("portable-delta").load(path)
+      .filter(col("id") >= 350L)
+    val fScans = f.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }
+    assert(fScans.map(_.selectedPartitions.totalNumberOfFiles).sum <
+      snap.files.size, "log-stats pruning must survive the split")
+    assert(fScans.exists(_.metadata("PushedFilters")
+      .contains("GreaterThanOrEqual(id,350)")),
+      s"parquet pushdown missing: ${fScans.map(_.metadata("PushedFilters"))}")
+    assert(f.collect().map(_.getLong(0)).sorted.toSeq == (350L until 400L).toSeq)
+
+    // fully-DV'd tables keep ONE scan even when armed (an empty
+    // columnar leg buys nothing)
+    PortableDelta.delete(spark, path, col("id") % 2 === 0L)
+    assert(PortableDelta.snapshot(spark, path).files.forall(_.dv.isDefined))
+    val q2 = as.read.format("portable-delta").load(path)
+    assert(q2.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s }.size == 1,
+      "a fully-DV'd table must not split")
+    assert(q2.orderBy("id").collect().toSeq ==
+      PortableDelta.readTable(spark, path).orderBy("id").collect().toSeq)
+  }
+
   test("write path: save modes, partitionBy, full protocol round trip") {
     val path = tmp()
     idDf(12L).write.format("portable-delta").partitionBy("grp").save(path)
