@@ -2133,6 +2133,122 @@ object StacOps {
       },
       timed = false),
 
+    // ----- full-clause SQL MERGE (round 16) -----
+    // The sync-job MERGE real users write: multiple ordered WHEN
+    // MATCHED clauses (DELETE + conditional UPDATE + unconditional
+    // fallback), a conditional WHEN NOT MATCHED INSERT with explicit
+    // value expressions, and WHEN NOT MATCHED BY SOURCE DELETE +
+    // UPDATE — RewriteDeltaSqlDml → PortableDelta.mergeIntoFull's
+    // per-row first-match routing, ONE commit. In-gate requires pin
+    // the per-clause counts (computed independently from the inputs)
+    // and format-route ≡ readTable; the oracle replays the whole MERGE
+    // relationally in DuckDB (left joins + CASE routing) and checks
+    // the final table state per clause class.
+    QuerySpec(
+      "stac58_sql_merge_full",
+      Some("""
+        WITH t0 AS (SELECT p_partkey, p_brand, p_retailprice FROM part),
+             s AS (SELECT p_partkey AS sid, p_retailprice AS sprice,
+                          p_partkey % 7 AS tag
+                   FROM part WHERE p_partkey % 3 = 0
+                   UNION ALL
+                   SELECT p_partkey + 10000000, p_retailprice, p_partkey % 7
+                   FROM part WHERE p_partkey % 5 = 0),
+             m AS (SELECT t0.p_partkey, t0.p_brand, t0.p_retailprice,
+                          s.sid, s.sprice, s.tag
+                   FROM t0 LEFT JOIN s ON t0.p_partkey = s.sid),
+             survivors AS (
+               SELECT p_partkey,
+                      CASE WHEN sid IS NULL THEN p_brand || '!'
+                           WHEN tag <= 3 THEN p_brand
+                           ELSE p_brand || '+' END AS p_brand,
+                      CASE WHEN sid IS NOT NULL AND tag <= 3
+                           THEN p_retailprice + sprice
+                           ELSE p_retailprice END AS p_retailprice
+               FROM m
+               WHERE NOT (sid IS NOT NULL AND tag = 0)
+                 AND NOT (sid IS NULL AND p_partkey % 11 = 0)),
+             ins AS (SELECT s.sid AS p_partkey, 'NEW' AS p_brand,
+                            s.sprice * 2 AS p_retailprice
+                     FROM s LEFT JOIN t0 ON t0.p_partkey = s.sid
+                     WHERE t0.p_partkey IS NULL AND s.tag <= 2),
+             final AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+        SELECT CASE WHEN p_brand = 'NEW' THEN 'ins'
+                    WHEN p_brand LIKE '%!' THEN 'bysrc_upd'
+                    WHEN p_brand LIKE '%+' THEN 'm_brand'
+                    ELSE 'keep' END AS clause_class,
+               count(*) AS n_rows,
+               CAST(sum(p_partkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS merge_full_ok
+        FROM final GROUP BY clause_class ORDER BY clause_class"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val part = Tables.t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .repartitionByRange(4, col("p_partkey"))
+        val out = java.nio.file.Files.createTempDirectory("stac58").toString + "/tbl"
+        PortableDelta.write(part, out)
+        // independent per-clause expectations from the raw inputs
+        val k = col("p_partkey")
+        val mDel = part.filter(k % 3 === 0 && k % 7 === 0).count()
+        val mUpd = part.filter(k % 3 === 0 && k % 7 =!= 0).count()
+        val nIns = part.filter(k % 5 === 0 && k % 7 <= 2).count()
+        val bsDel = part.filter(k % 3 =!= 0 && k % 11 === 0).count()
+        val bsUpd = part.filter(k % 3 =!= 0 && k % 11 =!= 0).count()
+        s.sql("DROP TABLE IF EXISTS graft_stac58_t")
+        s.sql(s"CREATE TABLE graft_stac58_t USING `portable-delta` " +
+          s"OPTIONS (path '$out')")
+        try {
+          val r = s.sql(
+            """MERGE INTO graft_stac58_t t USING (
+              |  SELECT p_partkey AS sid, p_retailprice AS sprice,
+              |         p_partkey % 7 AS tag
+              |  FROM graft_stac58_t WHERE p_partkey % 3 = 0
+              |  UNION ALL
+              |  SELECT p_partkey + 10000000, p_retailprice, p_partkey % 7
+              |  FROM graft_stac58_t WHERE p_partkey % 5 = 0
+              |) s ON t.p_partkey = s.sid
+              |WHEN MATCHED AND s.tag = 0 THEN DELETE
+              |WHEN MATCHED AND s.tag <= 3 THEN UPDATE SET
+              |  p_retailprice = t.p_retailprice + s.sprice
+              |WHEN MATCHED THEN UPDATE SET p_brand = concat(t.p_brand, '+')
+              |WHEN NOT MATCHED AND s.tag <= 2 THEN INSERT
+              |  (p_partkey, p_brand, p_retailprice)
+              |  VALUES (s.sid, 'NEW', s.sprice * 2)
+              |WHEN NOT MATCHED BY SOURCE AND t.p_partkey % 11 = 0 THEN DELETE
+              |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET
+              |  p_brand = concat(t.p_brand, '!')
+              |""".stripMargin).head()
+          require(r.getLong(1) == mUpd + bsUpd && r.getLong(2) == mDel + bsDel &&
+            r.getLong(3) == nIns,
+            s"per-clause counts (updated=${r.getLong(1)}, deleted=${r.getLong(2)}, " +
+              s"inserted=${r.getLong(3)}) != expected " +
+              s"(${mUpd + bsUpd}, ${mDel + bsDel}, $nIns)")
+          require(PortableDelta.snapshot(s, out).version == 1L,
+            "the whole 7-clause MERGE must be exactly ONE commit")
+          val viaFmt = s.read.format("portable-delta").load(out)
+            .orderBy("p_partkey", "p_brand").collect().toSeq
+          require(viaFmt == PortableDelta.readTable(s, out)
+              .orderBy("p_partkey", "p_brand").collect().toSeq,
+            "format route must equal readTable after the full-clause MERGE")
+        } finally s.sql("DROP TABLE IF EXISTS graft_stac58_t")
+        s.read.format("portable-delta").load(out)
+          .withColumn("clause_class",
+            when(col("p_brand") === "NEW", "ins")
+              .when(col("p_brand").endsWith("!"), "bysrc_upd")
+              .when(col("p_brand").endsWith("+"), "m_brand")
+              .otherwise("keep"))
+          .groupBy(col("clause_class"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("p_partkey")).as("key_sum"),
+            sum(floor(col("p_retailprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("merge_full_ok", lit(true))
+          .orderBy(col("clause_class"))
+      },
+      timed = false),
+
     // ----- implicit metadata-only aggregates: the optimizer rule -----
     // stac50 pins the EXPLICIT aggregateFromStats API; this pins the
     // IMPLICIT path plain-SQL users hit: a COUNT/MIN/MAX over a bare

@@ -468,41 +468,93 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
     } finally { src.unpersist(); () }
   }
 
-  /** Full-clause MERGE — the SQL `MERGE INTO target USING source ON
-    * keys WHEN MATCHED [AND cond] THEN UPDATE SET col = expr | DELETE
-    * WHEN NOT MATCHED [AND cond] THEN INSERT` shape real engines ship,
-    * on the same DV-era mechanics as [[merge]]: each matched LIVE
-    * target row dies by position and (for UPDATE) its new version —
-    * the SET expressions applied over BOTH sides, every other column
-    * carried from the target — lands in fresh appended files; rows a
-    * clause's condition excludes are untouched.
-    *
-    * Differences from [[merge]], all spec-true:
-    *   - PER-ROW semantics: several target rows matching one source
-    *     key each update independently (merge collapses them);
-    *   - partial SET: unnamed columns carry the TARGET value, so a
-    *     source need only supply the keys + referenced columns;
-    *   - conditions gate each clause row-by-row.
-    *
-    * Row tracking: each updated row keeps ITS OWN row ID (materialized
-    * per matched target row). Generated columns recompute over the
-    * SET-applied values; SETting one (or an identity column) is
-    * refused by name. Inserts compute missing generated columns and
-    * GENERATE missing identity values from the table's high-water mark
-    * (explicit values gate on allowExplicit; the mark re-states with
-    * the commit and regenerates on a lost race, same contract as
-    * [[write]]). Source keys must be unique; null source keys never
-    * match. Scale: the match scan is stats-pruned by the source's key
-    * bounds; work tracks matched + inserted rows, never the table. */
+  /** Full-clause MERGE — the canonical SQL `MERGE INTO target USING
+    * source ON keys WHEN MATCHED [AND cond] THEN UPDATE SET col = expr
+    * | DELETE / WHEN NOT MATCHED [AND cond] THEN INSERT` shape, on the
+    * same DV-era mechanics as [[merge]]. Delegates to
+    * [[mergeIntoFull]], which additionally supports MULTIPLE ordered
+    * clauses per kind and `WHEN NOT MATCHED BY SOURCE`. */
   def mergeInto(spark: SparkSession, path: String, source0: DataFrame,
                 keys: Seq[String], clauses: MergeClauses = MergeClauses(),
                 footerKv: Map[String, String] = Map.empty,
                 maxRetries: Int = 10,
                 txn: Option[(String, Long)] = None): MergeStats = {
-    import org.apache.spark.sql.functions.{col, lit}
     require(Set("update", "delete", "none").contains(clauses.matchedAction),
       s"matchedAction must be update|delete|none, got ${clauses.matchedAction}")
-    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    mergeIntoFull(spark, path, source0, keys,
+      matched = clauses.matchedAction match {
+        case "none" => Nil
+        case a => Seq(MergeMatched(a, clauses.matchedCondition,
+          if (a == "update") clauses.updateSet else None))
+      },
+      notMatched =
+        if (clauses.insertNotMatched)
+          Seq(MergeNotMatched(clauses.notMatchedCondition)) else Nil,
+      bySource = Nil,
+      footerKv = footerKv, maxRetries = maxRetries, txn = txn)
+  }
+
+  /** FULL-CLAUSE MERGE — every shape real engines ship:
+    *
+    *   MERGE INTO t USING s ON keys
+    *   WHEN MATCHED [AND c1] THEN UPDATE SET … | DELETE   (× N, ordered)
+    *   WHEN NOT MATCHED [AND c2] THEN INSERT …            (× N, ordered)
+    *   WHEN NOT MATCHED BY SOURCE [AND c3] THEN UPDATE SET … | DELETE
+    *
+    * on the DV-era mechanics of [[merge]]: every affected LIVE target
+    * row dies by POSITION in per-file deletion vectors; new row
+    * versions and inserts land in fresh appended files; untouched rows
+    * are never rewritten.
+    *
+    * Semantics, all spec-true:
+    *   - PER-ROW, FIRST-MATCH clause routing: each matched (target,
+    *     source) pair takes the first MATCHED clause whose condition
+    *     holds (rows matching no clause are untouched); unmatched
+    *     source rows route through the NOT MATCHED clauses the same
+    *     way; LIVE target rows with no source-key match route through
+    *     the BY SOURCE clauses. A clause without a condition must be
+    *     last in its group (later clauses would be unreachable).
+    *   - Scoping: MATCHED conditions/SETs see `t.<col>`/`s.<col>`;
+    *     NOT MATCHED sees the source only; BY SOURCE sees the target
+    *     only.
+    *   - Partial SET carries unnamed columns from the TARGET row;
+    *     generated columns recompute over the SET-applied values, and
+    *     SETting one (or an identity column) refuses by name.
+    *   - INSERT without explicit values takes the schema-aligned
+    *     source row; explicit values fill declared defaults, compute
+    *     generated columns, generate identity values, and NULL
+    *     unnamed plain columns (NOT NULL constraints still gate).
+    *   - Source keys must be unique; null source keys never match.
+    *
+    * Row tracking: each rewritten row keeps ITS OWN row ID. Scale: the
+    * match scan is stats-pruned by the source's key bounds — except
+    * under BY SOURCE clauses, which inherently see the whole table and
+    * disable that pruning. Work tracks affected + inserted rows.
+    * Commit races rebase (everything recomputes against the new
+    * snapshot), bounded by `maxRetries`. */
+  def mergeIntoFull(spark: SparkSession, path: String, source0: DataFrame,
+                    keys: Seq[String],
+                    matched: Seq[MergeMatched] = Nil,
+                    notMatched: Seq[MergeNotMatched] = Nil,
+                    bySource: Seq[MergeBySource] = Nil,
+                    footerKv: Map[String, String] = Map.empty,
+                    maxRetries: Int = 10,
+                    txn: Option[(String, Long)] = None): MergeStats = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(keys.nonEmpty, "mergeIntoFull needs at least one key column")
+    require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
+      "mergeIntoFull needs at least one clause")
+    (matched.map(_.action) ++ bySource.map(_.action)).foreach(a =>
+      require(Set("update", "delete").contains(a),
+        s"merge clause action must be update|delete, got $a"))
+    def reachable(conds: Seq[Option[_]], what: String): Unit =
+      conds.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        require(c.isDefined, s"$what clause ${i + 1} has no condition but " +
+          "is not last — later clauses of its kind are unreachable")
+      }
+    reachable(matched.map(_.condition), "WHEN MATCHED")
+    reachable(notMatched.map(_.condition), "WHEN NOT MATCHED")
+    reachable(bySource.map(_.condition), "WHEN NOT MATCHED BY SOURCE")
     val conf = spark.sessionState.newHadoopConf()
     val snap0 = smallSnapshot(spark, path)
     requireWritable(snap0, path)
@@ -512,36 +564,55 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
     keys.foreach(k => require(tableSchema.fieldNames.contains(k),
       s"merge key $k not in table schema"))
     val genNames = generatedFields(tableSchema).map(_._1.name).toSet
-    val idents0 = identityFields(tableSchema)
-    val identNames = idents0.map(_.field.name).toSet
-    clauses.updateSet.foreach(_.keys.foreach { c =>
+    val identNames = identityFields(tableSchema).map(_.field.name).toSet
+    def checkSet(set: Map[String, org.apache.spark.sql.Column],
+                 what: String): Unit = set.keys.foreach { c =>
       require(tableSchema.fieldNames.contains(c),
-        s"updateSet column $c not in table schema")
+        s"$what SET column $c not in table schema")
       require(!genNames.contains(c),
         s"cannot SET generated column $c — it derives from its expression")
       require(!identNames.contains(c), s"cannot SET identity column $c")
-    })
+    }
+    matched.foreach(_.set.foreach(checkSet(_, "WHEN MATCHED")))
+    bySource.foreach { b =>
+      if (b.action == "update")
+        require(b.set.nonEmpty, "WHEN NOT MATCHED BY SOURCE UPDATE needs SET columns")
+      checkSet(b.set, "WHEN NOT MATCHED BY SOURCE")
+    }
+    notMatched.foreach(_.values.foreach(_.keys.foreach { c =>
+      require(tableSchema.fieldNames.contains(c),
+        s"INSERT column $c not in table schema")
+      require(!genNames.contains(c),
+        s"cannot INSERT generated column $c — it derives from its expression")
+    }))
     val src = source0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val srcRows = src.count()
-      if (srcRows == 0) return MergeStats(snap0.version, 0L, 0L, 0L)
+      // an EMPTY source still matters under BY SOURCE clauses (every
+      // live target row is then unmatched-by-source)
+      if (srcRows == 0 && bySource.isEmpty)
+        return MergeStats(snap0.version, 0L, 0L, 0L)
       require(src.select(keys.map(quotedCol): _*).distinct().count() == srcRows,
         "merge source keys must be unique — a multi-matching source is ambiguous")
-      // dynamic file pruning from the source's key bounds (see merge)
-      val keyBounds: Option[org.apache.spark.sql.Column] = {
-        import org.apache.spark.sql.functions.{max, min}
-        val aggs = keys.flatMap(k =>
-          Seq(min(quotedCol(k)).as(s"lo_$k"), max(quotedCol(k)).as(s"hi_$k")))
-        val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
-        val per = keys.zipWithIndex.flatMap { case (k, i) =>
-          (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
-            case (Some(lo), Some(hi)) =>
-              Some(quotedCol(k) >= lit(lo) && quotedCol(k) <= lit(hi))
-            case _ => None
+      // dynamic file pruning from the source's key bounds (see merge) —
+      // UNSOUND under by-source clauses: files outside the source's key
+      // range hold exactly the rows those clauses must touch
+      val keyBounds: Option[org.apache.spark.sql.Column] =
+        if (bySource.nonEmpty || srcRows == 0) None
+        else {
+          import org.apache.spark.sql.functions.{max, min}
+          val aggs = keys.flatMap(k =>
+            Seq(min(quotedCol(k)).as(s"lo_$k"), max(quotedCol(k)).as(s"hi_$k")))
+          val r = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val per = keys.zipWithIndex.flatMap { case (k, i) =>
+            (Option(r.get(2 * i)), Option(r.get(2 * i + 1))) match {
+              case (Some(lo), Some(hi)) =>
+                Some(quotedCol(k) >= lit(lo) && quotedCol(k) <= lit(hi))
+              case _ => None
+            }
           }
+          if (per.size == keys.size) Some(per.reduce(_ && _)) else None
         }
-        if (per.size == keys.size) Some(per.reduce(_ && _)) else None
-      }
       var attempt = 0
       var prior = dmlSnapshot(spark, path, keyBounds)
       while (true) {
@@ -565,24 +636,71 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
         val sA = src.as("s")
         val joinCond = keys.map(k => quotedCol("t", k) === quotedCol("s", k))
           .reduce(_ && _)
-        val matched = tA.join(sA, joinCond, "inner")
-          .filter(clauses.matchedCondition.getOrElse(lit(true)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // per-row FIRST-MATCH clause routing: CASE WHEN c0 THEN 0 WHEN
+        // c1 THEN 1 … ELSE -1 — one scan routes every row to its clause
+        val IdxCol = "__graft_merge_clause"
+        def selector(conds: Seq[Option[org.apache.spark.sql.Column]])
+            : org.apache.spark.sql.Column =
+          conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), acc) =>
+            when(c.getOrElse(lit(true)), lit(i)).otherwise(acc) }
+        val matchedSel =
+          if (matched.isEmpty) None
+          else Some(tA.join(sA, joinCond, "inner")
+            .withColumn(IdxCol, selector(matched.map(_.condition)))
+            .filter(col(IdxCol) >= 0)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val bySrcSel =
+          if (bySource.isEmpty) None
+          else Some(tA.join(sA, joinCond, "left_anti")
+            .withColumn(IdxCol, selector(bySource.map(_.condition)))
+            .filter(col(IdxCol) >= 0)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        var insPersisted: Option[DataFrame] = None
         try {
+          def idxCounts(df: DataFrame): Map[Int, Long] =
+            df.groupBy(col(IdxCol)).count().collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val mCounts = matchedSel.map(idxCounts).getOrElse(Map.empty[Int, Long])
+          val bCounts = bySrcSel.map(idxCounts).getOrElse(Map.empty[Int, Long])
+          val matchedRows = mCounts.values.sum
+          val bySrcRows = bCounts.values.sum
+          // every routed row dies by position; updates re-append below
           val parts =
-            if (clauses.matchedAction == "none") None
+            if (matchedRows + bySrcRows == 0) None
             else dvDeathParts(spark, path, prior,
-              matched.select(col(PosFileCol), col(PosIdxCol)))
-          val matchedRows = parts.map(_.newlyDeleted).getOrElse(0L)
-          val updatedRows = if (clauses.matchedAction == "update") matchedRows else 0L
-          val deletedRows = if (clauses.matchedAction == "delete") matchedRows else 0L
-          // new versions of updated rows: SET expressions over both
-          // sides, unnamed columns carried from the TARGET, per-row ID
-          val newVersions0: Option[DataFrame] =
-            if (clauses.matchedAction != "update" || matchedRows == 0) None
-            else Some {
+              (matchedSel.toSeq ++ bySrcSel.toSeq)
+                .map(_.select(col(PosFileCol), col(PosIdxCol)))
+                .reduce(_ union _))
+          val updatedRows =
+            matched.zipWithIndex.collect {
+              case (c, i) if c.action == "update" => mCounts.getOrElse(i, 0L)
+            }.sum +
+            bySource.zipWithIndex.collect {
+              case (c, i) if c.action == "update" => bCounts.getOrElse(i, 0L)
+            }.sum
+          val deletedRows = matchedRows + bySrcRows - updatedRows
+          // per-row carried ID: the row keeps its own (materialized
+          // column when present, else file baseRowId + row index)
+          def ridCol: Option[org.apache.spark.sql.Column] = mcolM.map { m =>
+            import org.apache.spark.sql.functions.{coalesce, element_at, typedLit}
+            val baseByKey = prior.files.collect {
+              case f if f.baseRowId.isDefined =>
+                logKey(f.path, prior.partitionColumns.size + 1) -> f.baseRowId.get
+            }.toMap
+            val d = if (baseByKey.isEmpty)
+              lit(null).cast("bigint")
+            else element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol)
+            coalesce(quotedCol("t", m), d).as(m)
+          }
+          // new versions of rows taken by an UPDATE clause: SET exprs
+          // applied, unnamed columns carried from the TARGET
+          val newMatched: Option[DataFrame] = matchedSel.flatMap { ms =>
+            val upds = matched.zipWithIndex.filter { case (c, i) =>
+              c.action == "update" && mCounts.getOrElse(i, 0L) > 0 }
+            if (upds.isEmpty) None
+            else Some(upds.map { case (c, i) =>
               val setCols = tableSchema.fields.toSeq.map { f =>
-                clauses.updateSet match {
+                c.set match {
                   case Some(setMap) => setMap.get(f.name)
                     .map(_.cast(f.dataType).as(f.name, f.metadata))
                     .getOrElse(quotedCol("t", f.name).as(f.name, f.metadata))
@@ -590,61 +708,101 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
                     quotedCol("s", f.name).cast(f.dataType).as(f.name, f.metadata)
                 }
               }
-              val rid = mcolM.map { m =>
-                import org.apache.spark.sql.functions.{coalesce, element_at, typedLit}
-                val baseByKey = prior.files.collect {
-                  case f if f.baseRowId.isDefined =>
-                    logKey(f.path, prior.partitionColumns.size + 1) -> f.baseRowId.get
-                }.toMap
-                val d = if (baseByKey.isEmpty)
-                  lit(null).cast("bigint")
-                else element_at(typedLit(baseByKey), col(PosFileCol)) + col(PosIdxCol)
-                coalesce(quotedCol("t", m), d).as(m)
+              ms.filter(col(IdxCol) === i).select(setCols ++ ridCol.toSeq: _*)
+            }.reduce(_ unionByName _))
+          }
+          val newBySrc: Option[DataFrame] = bySrcSel.flatMap { bs =>
+            val upds = bySource.zipWithIndex.filter { case (c, i) =>
+              c.action == "update" && bCounts.getOrElse(i, 0L) > 0 }
+            if (upds.isEmpty) None
+            else Some(upds.map { case (c, i) =>
+              val setCols = tableSchema.fields.toSeq.map { f =>
+                c.set.get(f.name)
+                  .map(_.cast(f.dataType).as(f.name, f.metadata))
+                  .getOrElse(quotedCol("t", f.name).as(f.name, f.metadata))
               }
-              val base = matched.select(setCols ++ rid.toSeq: _*)
-              // generated columns recompute over the SET-applied values
-              if (genNames.isEmpty) base
-              else applyGeneratedColumns(base.drop(genNames.toSeq: _*),
-                tableSchema, s"MERGE into $path")
-            }
-          // inserts: unmatched (vs LIVE keys) source rows passing the
-          // NOT MATCHED condition, projected to the table schema
+              bs.filter(col(IdxCol) === i).select(setCols ++ ridCol.toSeq: _*)
+            }.reduce(_ unionByName _))
+          }
+          val newVersions0: Option[DataFrame] =
+            (newMatched.toSeq ++ newBySrc.toSeq).reduceOption(_ unionByName _)
+              .map { base =>
+                // generated columns recompute over the SET-applied values
+                if (genNames.isEmpty) base
+                else applyGeneratedColumns(base.drop(genNames.toSeq: _*),
+                  tableSchema, s"MERGE into $path")
+              }
+          // inserts: unmatched (vs LIVE keys) source rows, routed to
+          // their first-true NOT MATCHED clause
           var identUp = Map.empty[String, Long]
-          var identPersisted: Option[DataFrame] = None
           val idents = identityFields(prior.schema)
           val insertsDf: Option[DataFrame] =
-            if (!clauses.insertNotMatched) None
+            if (notMatched.isEmpty || srcRows == 0) None
             else {
               val liveKeys = tgt.select(keys.map(quotedCol): _*).distinct()
-              val raw = sA.filter(clauses.notMatchedCondition.getOrElse(lit(true)))
-                .join(liveKeys, keys, "left_anti")
-              val present = tableSchema.fields.toSeq.filter(f =>
-                src.columns.contains(f.name))
+              val routed = sA.join(liveKeys, keys, "left_anti")
+                .withColumn(IdxCol, selector(notMatched.map(_.condition)))
+                .filter(col(IdxCol) >= 0)
               val defFields = defaultFields(tableSchema)
-              val defNames = defFields.map(_._1.name).toSet
-              tableSchema.fields.foreach { f =>
-                require(src.columns.contains(f.name) ||
-                  genNames.contains(f.name) || identNames.contains(f.name) ||
-                  defNames.contains(f.name),
-                  s"merge source lacks column ${f.name} needed for INSERT " +
-                    "(only generated/identity/default columns may be omitted)")
+              val defOf = defFields.map { case (f, d) => f.name -> d }.toMap
+              def clauseFrame(c: MergeNotMatched, i: Int): DataFrame = {
+                val rows = routed.filter(col(IdxCol) === i)
+                c.values match {
+                  case None => // schema-aligned source row
+                    val present = tableSchema.fields.toSeq.filter(f =>
+                      src.columns.contains(f.name))
+                    tableSchema.fields.foreach { f =>
+                      require(src.columns.contains(f.name) ||
+                        genNames.contains(f.name) || identNames.contains(f.name) ||
+                        defOf.contains(f.name),
+                        s"merge source lacks column ${f.name} needed for INSERT " +
+                          "(only generated/identity/default columns may be " +
+                          "omitted; or INSERT explicit values)")
+                    }
+                    var out = rows.select(present.map(f =>
+                      quotedCol(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
+                    defFields.foreach { case (f, d) =>
+                      if (!out.columns.contains(f.name))
+                        out = out.withColumn(f.name,
+                          org.apache.spark.sql.functions.expr(d)
+                            .cast(f.dataType).as(f.name, f.metadata))
+                    }
+                    applyGeneratedColumns(out, tableSchema, s"MERGE into $path")
+                  case Some(valueMap) =>
+                    // explicit values: defaults fill, generated compute,
+                    // identity generates, unnamed plain columns are NULL
+                    // (delta-spark's rule; NOT NULL constraints still gate)
+                    val cols = tableSchema.fields.toSeq.flatMap { f =>
+                      valueMap.get(f.name) match {
+                        case Some(e) =>
+                          Some(e.cast(f.dataType).as(f.name, f.metadata))
+                        case None if genNames.contains(f.name) ||
+                            identNames.contains(f.name) => None
+                        case None => defOf.get(f.name) match {
+                          case Some(d) =>
+                            Some(org.apache.spark.sql.functions.expr(d)
+                              .cast(f.dataType).as(f.name, f.metadata))
+                          case None => Some(lit(null).cast(f.dataType)
+                            .as(f.name, f.metadata))
+                        }
+                      }
+                    }
+                    applyGeneratedColumns(rows.select(cols: _*), tableSchema,
+                      s"MERGE into $path")
+                }
               }
-              var out = raw.select(present.map(f =>
-                quotedCol(f.name).cast(f.dataType).as(f.name, f.metadata)): _*)
-              defFields.foreach { case (f, d) =>
-                if (!out.columns.contains(f.name))
-                  out = out.withColumn(f.name,
-                    org.apache.spark.sql.functions.expr(d)
-                      .cast(f.dataType).as(f.name, f.metadata))
-              }
-              out = applyGeneratedColumns(out, tableSchema, s"MERGE into $path")
+              val frames = notMatched.zipWithIndex.map { case (c, i) =>
+                clauseFrame(c, i) }
+              require(frames.map(_.columns.toSet).distinct.size == 1,
+                "INSERT clauses disagree on identity-column presence — " +
+                  "either every clause supplies the identity column or none does")
+              // persist BEFORE identity assignment: per-partition counts
+              // must be stable across the assignment's two passes
+              var out = frames.reduce(_ unionByName _)
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              insPersisted = Some(out)
               idents.foreach { i =>
                 if (!out.columns.contains(i.field.name)) {
-                  if (identPersisted.isEmpty) {
-                    out = out.persist(
-                      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                    identPersisted = Some(out)
-                  }
                   val base = nextIdentityBase(i.start, i.step, i.hwm)
                   val (d2, n) = assignIdentityValues(out, i.field, base, i.step)
                   out = d2
@@ -674,25 +832,21 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
             case (None, Some(i)) if insertedRows > 0 => Some(i)
             case _ => None
           }
-          if (parts.isEmpty && appendDf.isEmpty) {
-            identPersisted.foreach { p => p.unpersist(); () }
+          if (parts.isEmpty && appendDf.isEmpty)
             return MergeStats(prior.version, 0L, 0L, 0L)
-          }
           try appendDf.foreach(d => enforceConstraints(d, prior.schema,
             prior.configuration, s"MERGE into $path"))
           catch { case t: Throwable =>
             parts.foreach(_.dropPack())
-            identPersisted.foreach { p => p.unpersist(); () }
             throw t
           }
           val physM =
             if (mappedCfg(prior.configuration)) Some(prior.schema) else None
           val (added, cleanupMoved) = appendDf match {
             case Some(df) =>
-              try stageAndMove(df, path, footerKv, conf,
+              stageAndMove(df, path, footerKv, conf,
                 prior.partitionColumns, physM,
                 physPassThrough = mcolM.filter(df.columns.contains).toSet)
-              finally identPersisted.foreach { p => p.unpersist(); () }
             case None => (Seq.empty[StagedFile], () => ())
           }
           val statsByName = DeltaStats.collectFileStats(
@@ -737,26 +891,40 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
             actions += r
           }
           rt.foreach(t => actions += t._2)
-          // CDF: matched pre-images (update pair or delete), new
-          // versions as post-images, inserts
+          // CDF: per-row change types follow each row's clause — update
+          // pairs for UPDATE clauses, delete rows for DELETE clauses,
+          // inserts for NOT MATCHED
           val (cdcActs, dropCdc) =
             if (cdfEnabled(prior.configuration) &&
-                (matchedRows > 0 || insertedRows > 0)) {
-              val tCols = tableSchema.fields.toSeq.map(f =>
+                (matchedRows + bySrcRows > 0 || insertedRows > 0)) {
+              val tColsT = tableSchema.fields.toSeq.map(f =>
                 quotedCol("t", f.name).as(f.name))
-              val pre =
-                if (matchedRows == 0) None
-                else Some(matched.select(tCols: _*)
-                  .withColumn("_change_type", lit(
-                    if (clauses.matchedAction == "update") "update_preimage"
-                    else "delete")))
+              def changeCase(actionsByIdx: Seq[String])
+                  : org.apache.spark.sql.Column =
+                actionsByIdx.zipWithIndex.foldRight(
+                    lit(null).cast("string")) { case ((a, i), acc) =>
+                  when(col(IdxCol) === i,
+                    lit(if (a == "update") "update_preimage" else "delete"))
+                    .otherwise(acc)
+                }
+              def preOf(sel: DataFrame, acts: Seq[String]): DataFrame =
+                sel.select(tColsT :+ col(IdxCol): _*)
+                  .withColumn("_change_type", changeCase(acts))
+                  .drop(IdxCol)
+              val pres =
+                (if (matchedRows > 0)
+                   matchedSel.map(preOf(_, matched.map(_.action))).toSeq
+                 else Nil) ++
+                (if (bySrcRows > 0)
+                   bySrcSel.map(preOf(_, bySource.map(_.action))).toSeq
+                 else Nil)
               val post = newVersions0.map(
                 _.drop(mcolM.toSeq: _*)
                   .withColumn("_change_type", lit("update_postimage")))
               val ins = insertsDf.filter(_ => insertedRows > 0).map(
                 _.withColumn("_change_type", lit("insert")))
               writeCdcActions(spark, path,
-                (pre.toSeq ++ post.toSeq ++ ins.toSeq)
+                (pres ++ post.toSeq ++ ins.toSeq)
                   .reduce(_.unionByName(_, allowMissingColumns = false)),
                 physM)
             } else (Seq.empty[JsonNode], () => ())
@@ -778,7 +946,11 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
                     s"(last: ${e.getMessage}); staged files withdrawn", e)
               prior = dmlSnapshot(spark, path, keyBounds) // rebase
           }
-        } finally { matched.unpersist(); () }
+        } finally {
+          matchedSel.foreach { p => p.unpersist(); () }
+          bySrcSel.foreach { p => p.unpersist(); () }
+          insPersisted.foreach { p => p.unpersist(); () }
+        }
       }
       throw new IllegalStateException("unreachable")
     } finally { src.unpersist(); () }

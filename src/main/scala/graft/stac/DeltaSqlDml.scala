@@ -29,10 +29,15 @@ import org.apache.spark.sql.types.LongType
   * all-dynamic partitionSpec, which skips the InsertableRelation
   * seam); unpartitioned INSERT works with no extension at all.
   *
+  * MERGE covers the FULL clause surface (round 16): any number of
+  * ordered WHEN MATCHED (UPDATE SET/DELETE), WHEN NOT MATCHED
+  * (INSERT), and WHEN NOT MATCHED BY SOURCE (UPDATE SET/DELETE)
+  * clauses, each with an optional AND condition — routed through
+  * [[PortableDelta.mergeIntoFull]]'s per-row first-match semantics.
   * Unsupported shapes refuse BY NAME (subquery conditions, nested SET
-  * keys, non-equi merge conditions, multiple clauses of one kind,
-  * WHEN NOT MATCHED BY SOURCE, static PARTITION specs) — a refusal
-  * names the supported alternative; nothing silently approximates.
+  * keys, non-equi merge conditions, star actions, static PARTITION
+  * specs) — a refusal names the supported alternative; nothing
+  * silently approximates.
   *
   * Reference thesis: the reference's tables are consumed by whatever
   * engine reads the format (docs/usage.md:50-57) — SQL DML completes
@@ -148,20 +153,39 @@ object RewriteDeltaSqlDml extends Rule[LogicalPlan] {
     }
   }
 
+  /** Target-only rewrite for BY-SOURCE expressions: target attrs →
+    * `t`.col; a source reference refuses (the SQL scope rule). The
+    * analyzer resolves by-source conditions against the TARGET only,
+    * so a source reference arrives as a leftover UnresolvedAttribute —
+    * caught here by name rather than surfacing a generic
+    * UNRESOLVED_COLUMN later. */
+  private def unresolveTarget(e: Expression, targetOut: AttributeSet,
+                              what: String): Expression = {
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+      s"$what: subqueries are not supported in portable-delta SQL MERGE")
+    e.transform {
+      case a: AttributeReference if targetOut.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+      case a: AttributeReference => throw new UnsupportedOperationException(
+        s"$what references $a — WHEN NOT MATCHED BY SOURCE sees only the " +
+          "target table")
+      case u: UnresolvedAttribute => throw new UnsupportedOperationException(
+        s"$what references ${u.name} — WHEN NOT MATCHED BY SOURCE sees " +
+          "only the target table")
+    }
+  }
+
   private def rewriteMerge(idx: PortableDeltaFileIndex, target: LogicalPlan,
       source: LogicalPlan, mergeCondition: Expression,
       matchedActions: Seq[MergeAction], notMatchedActions: Seq[MergeAction],
       notMatchedBySource: Seq[MergeAction], withSchemaEvo: Boolean): LogicalPlan = {
     def refuse(why: String): Nothing = throw new UnsupportedOperationException(
       s"MERGE INTO ${idx.path}: $why — the supported SQL shape is an " +
-        "equi-key ON clause, at most one WHEN MATCHED " +
-        "(UPDATE SET .../DELETE) and one WHEN NOT MATCHED (INSERT); " +
-        "richer merges use PortableDelta.mergeInto")
+        "equi-key ON clause with any number of ordered WHEN MATCHED " +
+        "(UPDATE SET .../DELETE), WHEN NOT MATCHED (INSERT), and WHEN NOT " +
+        "MATCHED BY SOURCE (UPDATE SET .../DELETE) clauses, each with an " +
+        "optional AND condition")
     if (withSchemaEvo) refuse("WITH SCHEMA EVOLUTION is not supported")
-    if (notMatchedBySource.nonEmpty)
-      refuse("WHEN NOT MATCHED BY SOURCE is not supported")
-    if (matchedActions.size > 1) refuse("multiple WHEN MATCHED clauses")
-    if (notMatchedActions.size > 1) refuse("multiple WHEN NOT MATCHED clauses")
     val tOut = target.outputSet
     val sOut = source.outputSet
 
@@ -181,90 +205,81 @@ object RewriteDeltaSqlDml extends Rule[LogicalPlan] {
       case other => refuse(s"ON conjunct $other is not target-col = source-col")
     }
 
-    val (matchedAction, updateSet, matchedCond) = matchedActions.headOption match {
-      case None => ("none", None, None)
-      case Some(UpdateAction(cond, assignments, _)) =>
+    def assignName(a: Assignment, what: String): String = a.key match {
+      case attr: Attribute => attr.name
+      case other => refuse(s"$what target $other is not a top-level column")
+    }
+
+    // one flat expression stream, per clause [condition?] ++ values —
+    // the command replays it against the clause specs
+    val specs = Seq.newBuilder[SqlMergeClause]
+    val exprs = Seq.newBuilder[Expression]
+    matchedActions.foreach {
+      case UpdateAction(cond, assignments, _) =>
         val sets = assignments.map { a =>
-          val name = a.key match {
-            case attr: Attribute => attr.name
-            case other => refuse(s"UPDATE SET target $other is not a " +
-              "top-level column")
-          }
+          val name = assignName(a, "UPDATE SET")
           name -> unresolveMerge(a.value, tOut, sOut, s"UPDATE SET $name")
         }
-        ("update", Some(sets),
-          cond.map(unresolveMerge(_, tOut, sOut, "WHEN MATCHED AND")))
-      case Some(DeleteAction(cond)) =>
-        ("delete", None,
-          cond.map(unresolveMerge(_, tOut, sOut, "WHEN MATCHED AND")))
-      case Some(other) => refuse(s"unsupported WHEN MATCHED action $other")
+        specs += SqlMergeClause("matched", "update", cond.isDefined,
+          sets.map(_._1))
+        exprs ++= cond.map(unresolveMerge(_, tOut, sOut, "WHEN MATCHED AND"))
+        exprs ++= sets.map(_._2)
+      case DeleteAction(cond) =>
+        specs += SqlMergeClause("matched", "delete", cond.isDefined, Nil)
+        exprs ++= cond.map(unresolveMerge(_, tOut, sOut, "WHEN MATCHED AND"))
+      case other => refuse(s"unsupported WHEN MATCHED action $other")
     }
-
-    val (insert, insertAssigns, notMatchedCond) = notMatchedActions.headOption match {
-      case None => (false, Nil, None)
-      case Some(InsertAction(cond, assignments)) =>
-        val as = assignments.map { a =>
-          val name = a.key match {
-            case attr: Attribute => attr.name
-            case other => refuse(s"INSERT target $other is not a " +
-              "top-level column")
-          }
-          // insert values see ONLY the source side
+    notMatchedActions.foreach {
+      case InsertAction(cond, assignments) =>
+        // condition and values see ONLY the source side
+        val vals = assignments.map { a =>
+          val name = assignName(a, "INSERT")
           name -> unresolve(a.value, sOut, s"INSERT value for $name")
         }
-        (true, as,
-          cond.map(unresolve(_, sOut, "WHEN NOT MATCHED AND")))
-      case Some(other) => refuse(s"unsupported WHEN NOT MATCHED action $other")
+        specs += SqlMergeClause("notMatched", "insert", cond.isDefined,
+          vals.map(_._1))
+        exprs ++= cond.map(unresolve(_, sOut, "WHEN NOT MATCHED AND"))
+        exprs ++= vals.map(_._2)
+      case other => refuse(s"unsupported WHEN NOT MATCHED action $other")
+    }
+    notMatchedBySource.foreach {
+      case UpdateAction(cond, assignments, _) =>
+        val sets = assignments.map { a =>
+          val name = assignName(a, "BY SOURCE UPDATE SET")
+          name -> unresolveTarget(a.value, tOut, s"BY SOURCE UPDATE SET $name")
+        }
+        specs += SqlMergeClause("bySource", "update", cond.isDefined,
+          sets.map(_._1))
+        exprs ++= cond.map(unresolveTarget(_, tOut,
+          "WHEN NOT MATCHED BY SOURCE AND"))
+        exprs ++= sets.map(_._2)
+      case DeleteAction(cond) =>
+        specs += SqlMergeClause("bySource", "delete", cond.isDefined, Nil)
+        exprs ++= cond.map(unresolveTarget(_, tOut,
+          "WHEN NOT MATCHED BY SOURCE AND"))
+      case other => refuse(s"unsupported WHEN NOT MATCHED BY SOURCE action $other")
     }
 
-    // the source frame handed to mergeInto must carry the TARGET's
-    // column names: key columns from the ON equalities, inserted
-    // columns from the INSERT assignments. A raw source column whose
-    // name collides with a DIFFERENTLY-valued derived column would
-    // make `s`.name ambiguous — refuse.
-    //
-    // A key column is BOTH the join key and the inserted value (one
-    // source column serves both roles in mergeInto), so an INSERT
-    // assignment for a key column must be exactly the ON clause's
-    // source attribute — anything else (e.g. `INSERT (id, v) VALUES
-    // (s.id + 1, s.v)` under `ON t.id = s.id`) cannot be expressed
-    // and silently inserting the join key instead would be wrong
-    // committed data. Refuse by name.
-    val keyOfTarget: Map[String, String] = keyPairs.toMap
-    insertAssigns.foreach { case (name, e) =>
-      keyOfTarget.get(name).foreach { sName =>
-        e match {
-          case u: UnresolvedAttribute if u.nameParts == Seq(sName) => ()
-          case other => refuse(
-            s"INSERT value for key column $name must be exactly the ON " +
-              s"clause's source column $sName (got $other) — the join key " +
-              "and the inserted key value are the same column in this " +
-              "engine's MERGE; rewrite the source to carry the desired " +
-              "key value and join on it")
-        }
-      }
+    // the source frame handed to mergeIntoFull must carry the TARGET's
+    // key column names (from the ON equalities) for the join. A raw
+    // source column whose name collides with a DIFFERENTLY-mapped key
+    // would make the join ambiguous — refuse. INSERT values are now
+    // per-clause value maps, so a key column's inserted value is free
+    // to differ from the join key (s.id + 1 works).
+    val derived: Seq[(String, Expression)] = keyPairs.map {
+      case (tName, sName) => tName -> UnresolvedAttribute.quoted(sName)
     }
-    val derived: Map[String, Expression] =
-      insertAssigns.toMap ++ keyPairs.map { case (tName, sName) =>
-        tName -> UnresolvedAttribute.quoted(sName)
-      }.toMap
     source.output.foreach { a =>
-      derived.get(a.name).foreach {
-        case u: UnresolvedAttribute if u.nameParts == Seq(a.name) => ()
-        case _ => refuse(s"source column ${a.name} collides with a derived " +
-          s"MERGE column of the same name")
+      derived.find(_._1 == a.name).foreach {
+        case (_, u: UnresolvedAttribute) if u.nameParts == Seq(a.name) => ()
+        case (tName, _) => refuse(s"source column ${a.name} collides with " +
+          s"the ON clause's $tName key mapping")
       }
     }
 
     PortableDeltaMergeCommand(idx.path, source, keyPairs.map(_._1),
-      matchedAction, updateSet.map(_.map(_._1)),
-      insert, derived.keys.toSeq.sorted,
-      DmlExprs((updateSet.toSeq.flatten.map(_._2) ++ matchedCond.toSeq ++
-        notMatchedCond.toSeq ++
-        derived.toSeq.sortBy(_._1).map(_._2)): _*),
-      nUpdateSet = updateSet.map(_.size).getOrElse(0),
-      hasMatchedCond = matchedCond.isDefined,
-      hasNotMatchedCond = notMatchedCond.isDefined)
+      specs.result(), derived.map(_._1),
+      DmlExprs((exprs.result() ++ derived.map(_._2)): _*))
   }
 }
 
@@ -307,24 +322,26 @@ private[stac] final case class PortableDeltaUpdateCommand(
   }
 }
 
-/** Planned canonical `MERGE INTO` — routes through
-  * [[PortableDelta.mergeInto]]. `exprs` packs, in order: `nUpdateSet`
-  * SET values, the optional matched condition, the optional
-  * not-matched condition, then the derived source columns (sorted by
-  * `derivedCols`). The source plan rides as an inner child (already
+/** One SQL MERGE clause as the command carries it: `kind` in
+  * matched|notMatched|bySource, `action` in update|delete|insert,
+  * `cols` the SET/INSERT column names in expression-stream order. */
+private[stac] final case class SqlMergeClause(kind: String, action: String,
+    hasCond: Boolean, cols: Seq[String])
+
+/** Planned `MERGE INTO` — routes through [[PortableDelta.mergeIntoFull]]
+  * (multi-clause, per-row first-match routing, BY SOURCE). `exprs`
+  * packs, per clause in `clauses` order, the optional condition then
+  * one value per `cols` entry; the trailing expressions are the
+  * derived target-named key columns (in `derivedCols` order) added to
+  * the source frame. The source plan rides as an inner child (already
   * analyzed). */
 private[stac] final case class PortableDeltaMergeCommand(
     tablePath: String,
     source: LogicalPlan,
     keys: Seq[String],
-    matchedAction: String,
-    updateSetCols: Option[Seq[String]],
-    insertNotMatched: Boolean,
+    clauses: Seq[SqlMergeClause],
     derivedCols: Seq[String],
-    exprs: DmlExprs,
-    nUpdateSet: Int,
-    hasMatchedCond: Boolean,
-    hasNotMatchedCond: Boolean) extends LeafRunnableCommand {
+    exprs: DmlExprs) extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = source :: Nil
 
@@ -337,26 +354,32 @@ private[stac] final case class PortableDeltaMergeCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.GraftSqlShim.column
     val es = exprs.es
-    val setVals = es.take(nUpdateSet)
-    var i = nUpdateSet
-    val matchedCond =
-      if (hasMatchedCond) { val c = Some(column(es(i))); i += 1; c } else None
-    val notMatchedCond =
-      if (hasNotMatchedCond) { val c = Some(column(es(i))); i += 1; c } else None
-    val derivedVals = es.drop(i)
+    var i = 0
+    def pop(): org.apache.spark.sql.Column = { val e = es(i); i += 1; column(e) }
+    val matched = Seq.newBuilder[PortableDelta.MergeMatched]
+    val notMatched = Seq.newBuilder[PortableDelta.MergeNotMatched]
+    val bySource = Seq.newBuilder[PortableDelta.MergeBySource]
+    clauses.foreach { c =>
+      val cond = if (c.hasCond) Some(pop()) else None
+      val vals = c.cols.map(n => n -> pop())
+      c.kind match {
+        case "matched" =>
+          matched += PortableDelta.MergeMatched(c.action, cond,
+            if (c.action == "update") Some(vals.toMap) else None)
+        case "notMatched" =>
+          notMatched += PortableDelta.MergeNotMatched(cond, Some(vals.toMap))
+        case "bySource" =>
+          bySource += PortableDelta.MergeBySource(c.action, cond, vals.toMap)
+        case other =>
+          throw new IllegalStateException(s"unknown merge clause kind $other")
+      }
+    }
     var src = org.apache.spark.sql.GraftSqlShim.ofRows(spark, source)
-    derivedCols.zip(derivedVals).foreach { case (n, e) =>
+    derivedCols.zip(es.drop(i)).foreach { case (n, e) =>
       src = src.withColumn(n, column(e))
     }
-    val updateSet = updateSetCols.map(cols =>
-      cols.zip(setVals).map { case (n, e) => n -> column(e) }.toMap)
-    val st = PortableDelta.mergeInto(spark, tablePath, src, keys,
-      PortableDelta.MergeClauses(
-        matchedCondition = matchedCond,
-        matchedAction = matchedAction,
-        updateSet = updateSet,
-        notMatchedCondition = notMatchedCond,
-        insertNotMatched = insertNotMatched))
+    val st = PortableDelta.mergeIntoFull(spark, tablePath, src, keys,
+      matched.result(), notMatched.result(), bySource.result())
     DmlCacheDrop(spark, tablePath)
     Seq(Row(st.updatedRows + st.deletedRows + st.insertedRows,
       st.updatedRows, st.deletedRows, st.insertedRows))

@@ -1443,6 +1443,39 @@ object PortableDelta
       notMatchedCondition: Option[org.apache.spark.sql.Column] = None,
       insertNotMatched: Boolean = true)
 
+  /** One `WHEN MATCHED [AND condition] THEN UPDATE SET …|DELETE` clause
+    * of [[mergeIntoFull]]. Clauses evaluate IN ORDER per matched row —
+    * the first whose condition holds applies; rows matching no clause
+    * are untouched. `action` is "update"|"delete"; `set = None` with
+    * "update" takes the whole source row (the [[merge]] shape).
+    * Conditions and SET values see both sides as `t.<col>`/`s.<col>`. */
+  final case class MergeMatched(
+      action: String,
+      condition: Option[org.apache.spark.sql.Column] = None,
+      set: Option[Map[String, org.apache.spark.sql.Column]] = None)
+
+  /** One `WHEN NOT MATCHED [AND condition] THEN INSERT` clause.
+    * Condition and values see ONLY the source row. `values = None`
+    * inserts the schema-aligned source row (every table column must
+    * come from the source unless generated/identity/default); an
+    * explicit map inserts those expressions, fills declared defaults,
+    * computes generated columns, assigns identity values, and NULLs
+    * the rest (delta-spark's unnamed-column rule — NOT NULL
+    * constraints still gate the commit). */
+  final case class MergeNotMatched(
+      condition: Option[org.apache.spark.sql.Column] = None,
+      values: Option[Map[String, org.apache.spark.sql.Column]] = None)
+
+  /** One `WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET
+    * …|DELETE` clause: applies to LIVE target rows whose key matches no
+    * source row. Conditions and SET values see ONLY the target row
+    * (the SQL scope rule). By-source clauses inherently touch the
+    * whole table, so they disable source-key file pruning. */
+  final case class MergeBySource(
+      action: String,
+      condition: Option[org.apache.spark.sql.Column] = None,
+      set: Map[String, org.apache.spark.sql.Column] = Map.empty)
+
   /** Outcome of an [[update]]: committed version + rows rewritten. */
   final case class UpdateStats(version: Long, updatedRows: Long)
 

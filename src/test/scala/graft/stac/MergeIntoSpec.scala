@@ -233,4 +233,117 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(st2.version == st.version && st2.updatedRows == 0L)
     assert(PortableDelta.snapshot(spark, path).version == st.version)
   }
+
+  test("multiple MATCHED clauses route per row, first-true wins") {
+    val s = spark; import s.implicits._
+    import PortableDelta.{MergeMatched, MergeNotMatched}
+    val path = tmp()
+    PortableDelta.write(base(0L until 10L).repartition(2), path)
+    val src = Seq((1L, "kill"), (2L, "bump"), (3L, "kill"), (4L, "other"),
+      (50L, "new")).toDF("id", "verb")
+    val st = PortableDelta.mergeIntoFull(spark, path, src, Seq("id"),
+      matched = Seq(
+        MergeMatched("delete", Some(col("s.verb") === "kill")),
+        MergeMatched("update", Some(col("s.verb") === "bump"),
+          Some(Map("v" -> (col("t.v") + 1000L)))),
+        // unconditional fallback LAST: tag the row
+        MergeMatched("update", None,
+          Some(Map("tag" -> concat(col("t.tag"), lit("*")))))),
+      notMatched = Seq(MergeNotMatched(values = Some(Map(
+        "id" -> col("s.id"), "tag" -> col("s.verb"), "v" -> lit(0L))))))
+    assert(st.deletedRows == 2L && st.updatedRows == 2L &&
+      st.insertedRows == 1L, s"got $st")
+    assert(readAll(path) == Set(
+      (0L, "a0", 0L), (2L, "a2", 1020L), (4L, "a4*", 40L),
+      (5L, "a5", 50L), (6L, "a6", 60L), (7L, "a7", 70L),
+      (8L, "a8", 80L), (9L, "a9", 90L), (50L, "new", 0L)))
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE: delete and conditional update over target") {
+    val s = spark; import s.implicits._
+    import PortableDelta.{MergeBySource, MergeMatched}
+    val path = tmp()
+    PortableDelta.write(base(0L until 8L).repartition(2), path)
+    // the sync-job shape: rows absent from the source get retired —
+    // stale ones (v < 50) die, the rest get flagged
+    val src = Seq((0L, 11L), (1L, 12L)).toDF("id", "nv")
+    val st = PortableDelta.mergeIntoFull(spark, path, src, Seq("id"),
+      matched = Seq(MergeMatched("update",
+        set = Some(Map("v" -> col("s.nv"))))),
+      bySource = Seq(
+        MergeBySource("delete", Some(col("t.v") < 50L)),
+        MergeBySource("update", None,
+          Map("tag" -> concat(col("t.tag"), lit("!"))))))
+    // 0,1 update from source; 2,3,4 (v=20..40) die; 5,6,7 get flagged
+    assert(st.updatedRows == 5L && st.deletedRows == 3L &&
+      st.insertedRows == 0L, s"got $st")
+    assert(readAll(path) == Set(
+      (0L, "a0", 11L), (1L, "a1", 12L),
+      (5L, "a5!", 50L), (6L, "a6!", 60L), (7L, "a7!", 70L)))
+  }
+
+  test("BY SOURCE with an EMPTY source still applies; CDF records the pairs") {
+    val s = spark; import s.implicits._
+    import PortableDelta.MergeBySource
+    val path = tmp()
+    PortableDelta.write(base(0L until 3L).coalesce(1), path,
+      properties = Map(PortableDelta.CdfProp -> "true"))
+    val src = Seq.empty[(Long, String, Long)].toDF("id", "tag", "v")
+    val st = PortableDelta.mergeIntoFull(spark, path, src, Seq("id"),
+      bySource = Seq(
+        MergeBySource("update", Some(col("t.id") === 0L),
+          Map("v" -> lit(-1L))),
+        MergeBySource("delete", Some(col("t.id") === 2L))))
+    assert(st.updatedRows == 1L && st.deletedRows == 1L, s"got $st")
+    assert(readAll(path) == Set((0L, "a0", -1L), (1L, "a1", 10L)))
+    val ch = PortableDelta.readChanges(spark, path, 1L, 1L)
+      .select(col("id"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(ch == Set((0L, 0L, "update_preimage"), (0L, -1L, "update_postimage"),
+      (2L, 20L, "delete")), s"got $ch")
+  }
+
+  test("multiple INSERT clauses: first-true routing, explicit values, NULL fill") {
+    val s = spark; import s.implicits._
+    import PortableDelta.MergeNotMatched
+    val path = tmp()
+    PortableDelta.write(base(0L until 2L).coalesce(1), path)
+    val src = Seq((10L, "hot", 5L), (11L, "cold", 6L), (0L, "hot", 7L))
+      .toDF("id", "kind", "w")
+    val st = PortableDelta.mergeIntoFull(spark, path, src, Seq("id"),
+      notMatched = Seq(
+        MergeNotMatched(Some(col("kind") === "hot"), Some(Map(
+          "id" -> col("id"), "tag" -> lit("HOT"), "v" -> (col("w") * 100L)))),
+        // fallback: NULL-fills the unnamed plain column `tag`
+        MergeNotMatched(values = Some(Map(
+          "id" -> col("id"), "v" -> col("w"))))))
+    // id 0 matches the target and there is no MATCHED clause → untouched
+    assert(st.insertedRows == 2L && st.updatedRows == 0L, s"got $st")
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id"), col("tag"), col("v")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(got == Set(
+      (0L, Some("a0"), 0L), (1L, Some("a1"), 10L),
+      (10L, Some("HOT"), 500L), (11L, None, 6L)), s"got $got")
+  }
+
+  test("clause-order refusals: an unconditional clause must be last") {
+    val s = spark; import s.implicits._
+    import PortableDelta.{MergeMatched, MergeNotMatched}
+    val path = tmp()
+    PortableDelta.write(base(0L until 2L).coalesce(1), path)
+    val src = Seq((1L, "x", 1L)).toDF("id", "tag", "v")
+    val e = intercept[IllegalArgumentException](
+      PortableDelta.mergeIntoFull(spark, path, src, Seq("id"),
+        matched = Seq(
+          MergeMatched("update", None, Some(Map("v" -> lit(0L)))),
+          MergeMatched("delete", Some(col("s.v") > 0L)))))
+    assert(e.getMessage.contains("unreachable"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      PortableDelta.mergeIntoFull(spark, path, src, Seq("id"),
+        notMatched = Seq(MergeNotMatched(), MergeNotMatched())))
+    assert(e2.getMessage.contains("unreachable"), e2.getMessage)
+    assert(PortableDelta.snapshot(spark, path).version == 0L,
+      "refusals must not commit")
+  }
 }

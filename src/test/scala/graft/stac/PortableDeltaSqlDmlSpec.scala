@@ -172,32 +172,69 @@ class PortableDeltaSqlDmlSpec extends AnyFunSuite {
       s"the DELETE's protocol upgrade must surface: ${d.getSeq[String](6)}")
   }
 
-  test("MERGE INSERT of a key column: exact ON-source attribute passes, " +
-      "anything else refuses (never silently inserts the join key)") {
+  test("MERGE INSERT of a key column takes the CLAUSE's expression, " +
+      "never silently the join key (the round-15 clobber, now expressible)") {
     val path = mkTable(5L)
     table(path, "dml_mrgk_t")
     try {
       armed.createDataFrame(Seq((100L, "x", 1.0)))
         .toDF("sid", "sbody", "sprice").createOrReplaceTempView("dml_mrgk_src")
-      // a non-trivial key INSERT value would be silently replaced by the
-      // ON mapping (s.sid) if merged blindly — must refuse by name
-      val e = intercept[Exception](armed.sql(
-        """MERGE INTO dml_mrgk_t t USING dml_mrgk_src s ON t.id = s.sid
-          |WHEN NOT MATCHED THEN INSERT (id, body, price)
-          |  VALUES (s.sid + 1, s.sbody, s.sprice)""".stripMargin))
-      assert(e.getMessage.contains("key column id must be exactly"),
-        e.getMessage)
-      assert(PortableDelta.readTable(spark, path).count() == 5L,
-        "the refusal must not commit anything")
-      // the exact source attribute (the only expressible shape) works
+      // join on s.sid, insert id = s.sid + 1 — per-clause value maps
+      // make this expressible; the inserted key must be 101, not 100
       val r = armed.sql(
         """MERGE INTO dml_mrgk_t t USING dml_mrgk_src s ON t.id = s.sid
           |WHEN NOT MATCHED THEN INSERT (id, body, price)
-          |  VALUES (s.sid, s.sbody, s.sprice)""".stripMargin).head()
+          |  VALUES (s.sid + 1, s.sbody, s.sprice)""".stripMargin).head()
       assert(r.getLong(3) == 1L, s"insert count: $r")
-      assert(PortableDelta.readTable(spark, path)
-        .filter(col("id") === 100L).count() == 1L)
+      val ids = PortableDelta.readTable(spark, path)
+        .filter(col("id") >= 100L).select("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids == Seq(101L),
+        s"the INSERT expression must win over the join-key mapping: $ids")
     } finally armed.sql("DROP TABLE IF EXISTS dml_mrgk_t")
+  }
+
+  test("full-clause SQL MERGE: multiple conditional MATCHED/NOT MATCHED + " +
+      "NOT MATCHED BY SOURCE, per-clause routing value-checked") {
+    val s = spark; import s.implicits._
+    val path = mkTable(10L) // ids 0..9, price = id * 1.5
+    table(path, "dml_full_t")
+    try {
+      armed.createDataFrame(Seq(
+        (1L, "kill", 0.0), (2L, "bump", 50.0), (3L, "other", 60.0),
+        (20L, "hot", 70.0), (21L, "cold", 80.0)))
+        .toDF("sid", "verb", "sprice").createOrReplaceTempView("dml_full_src")
+      val r = armed.sql(
+        """MERGE INTO dml_full_t t USING dml_full_src s ON t.id = s.sid
+          |WHEN MATCHED AND s.verb = 'kill' THEN DELETE
+          |WHEN MATCHED AND s.verb = 'bump' THEN UPDATE SET price = t.price + s.sprice
+          |WHEN MATCHED THEN UPDATE SET body = concat(t.body, '*')
+          |WHEN NOT MATCHED AND s.verb = 'hot' THEN INSERT (id, body, price)
+          |  VALUES (s.sid, 'HOT', s.sprice * 2)
+          |WHEN NOT MATCHED THEN INSERT (id, body, price)
+          |  VALUES (s.sid, s.verb, s.sprice)
+          |WHEN NOT MATCHED BY SOURCE AND t.id >= 8 THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET body = concat(t.body, '!')
+          |""".stripMargin).head()
+      // matched: 1 deletes, 2 bumps, 3 stars; inserts: 20 hot, 21 cold;
+      // by source: 8,9 delete; 0,4,5,6,7 flag
+      assert(r.getLong(1) == 7L && r.getLong(2) == 3L && r.getLong(3) == 2L,
+        s"(affected, updated, deleted, inserted) = $r")
+      val got = PortableDelta.readTable(spark, path).collect()
+        .map(x => (x.getLong(0), x.getString(1), x.getDouble(2))).toSet
+      assert(got == Set(
+        (0L, "d0!", 0.0), (2L, "d2", 2 * 1.5 + 50.0), (3L, "d3*", 3 * 1.5),
+        (4L, "d4!", 4 * 1.5), (5L, "d5!", 5 * 1.5), (6L, "d6!", 6 * 1.5),
+        (7L, "d7!", 7 * 1.5), (20L, "HOT", 140.0), (21L, "cold", 80.0)),
+        s"got $got")
+      // BY SOURCE conditions see only the target — a source reference
+      // refuses by name
+      val e = intercept[Exception](armed.sql(
+        """MERGE INTO dml_full_t t USING dml_full_src s ON t.id = s.sid
+          |WHEN NOT MATCHED BY SOURCE AND s.sprice > 0 THEN DELETE
+          |""".stripMargin))
+      assert(e.getMessage.contains("only the target"), e.getMessage)
+    } finally armed.sql("DROP TABLE IF EXISTS dml_full_t")
   }
 
   test("INSERT OVERWRITE a partitioned table refuses under dynamic " +
