@@ -49,6 +49,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // accepts those only for v2 tables, so the rewrite must land
     // post-resolution and pre-checkAnalysis: exactly the POST-HOC seam.
     ext.injectPostHocResolutionRule(_ => graft.stac.RewriteDeltaSqlDml)
+    // SELECT ... FROM t VERSION|TIMESTAMP AS OF over portable-delta
+    // tables: Spark resolves RelationTimeTravel only for v2 catalogs
+    // and THROWS during resolution for V1 tables — the HINT batch runs
+    // before Resolution, so the rewrite lands first
+    ext.injectHintResolutionRule(spark =>
+      new graft.stac.ResolveDeltaTimeTravel(spark))
+    // OPTIMIZE / VACUUM / RESTORE statements (delta-spark's SQL
+    // maintenance surface, absent from Spark's grammar) — a parser
+    // extension routing to the existing verbs; everything else
+    // delegates to the stock parser untouched
+    ext.injectParser((spark, delegate) =>
+      new graft.stac.GraftSqlParser(spark, delegate))
     // DESCRIBE HISTORY as a table-valued function (Spark has no HISTORY
     // statement for file-source tables): one bounded driver read of the
     // commit record (ICT-aware, sidecar-backed past log cleanup) — the

@@ -2115,6 +2115,16 @@ object StacOps {
             hist.exists(_.getString(1).contains("MERGE")),
             s"history TVF must replay the commit record: " +
               hist.map(r => s"${r.getLong(0)}:${r.getString(1)}").mkString(", "))
+          // native time-travel SYNTAX (round 16): the pre-MERGE state
+          // through plain SQL must equal the version-option route
+          val v2n = s.sql(
+            "SELECT count(*) AS n FROM graft_stac57_t VERSION AS OF 2")
+            .head().getLong(0)
+          require(v2n == nAll - nDel,
+            s"VERSION AS OF 2 must see the pre-MERGE state: $v2n vs ${nAll - nDel}")
+          require(v2n == s.read.format("portable-delta")
+              .option("versionAsOf", "2").load(out).count(),
+            "SQL time-travel syntax must equal the versionAsOf option route")
           // value parity across every read route after the DML sequence
           val viaFmt = s.read.format("portable-delta").load(out)
             .orderBy("okey").collect().toSeq
@@ -2233,6 +2243,18 @@ object StacOps {
           require(viaFmt == PortableDelta.readTable(s, out)
               .orderBy("p_partkey", "p_brand").collect().toSeq,
             "format route must equal readTable after the full-clause MERGE")
+          // SQL OPTIMIZE (round 16, parser extension): collapse the
+          // MERGE's scattered append layout — file-count collapse
+          // pinned (this MERGE touches EVERY row, so original files
+          // die as plain removes; no DVs remain to purge); values
+          // unchanged, so the oracle ALSO checks the post-OPTIMIZE
+          // state
+          val beforeOpt = PortableDelta.snapshot(s, out).files.size
+          val opt = s.sql(s"OPTIMIZE '$out'").head()
+          require(opt.getInt(2) > 0 && opt.getInt(3) < beforeOpt,
+            s"SQL OPTIMIZE must collapse files: $opt over $beforeOpt files")
+          require(PortableDelta.snapshot(s, out).files.size == opt.getInt(3),
+            "the post-OPTIMIZE file count must match the command's metrics")
         } finally s.sql("DROP TABLE IF EXISTS graft_stac58_t")
         s.read.format("portable-delta").load(out)
           .withColumn("clause_class",

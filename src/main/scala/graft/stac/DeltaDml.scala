@@ -525,6 +525,12 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
     *     generated columns, generate identity values, and NULL
     *     unnamed plain columns (NOT NULL constraints still gate).
     *   - Source keys must be unique; null source keys never match.
+    *   - `mergeSchema = true` (delta's autoMerge analog): source
+    *     columns the target lacks extend the table schema IN THE SAME
+    *     COMMIT (Delta-strict union merge — new columns nullable, type
+    *     changes refuse); old rows read null for them, carried target
+    *     values of evolved columns are null. Column-mapped tables
+    *     refuse by name.
     *
     * Row tracking: each rewritten row keeps ITS OWN row ID. Scale: the
     * match scan is stats-pruned by the source's key bounds — except
@@ -539,7 +545,8 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
                     bySource: Seq[MergeBySource] = Nil,
                     footerKv: Map[String, String] = Map.empty,
                     maxRetries: Int = 10,
-                    txn: Option[(String, Long)] = None): MergeStats = {
+                    txn: Option[(String, Long)] = None,
+                    mergeSchema: Boolean = false): MergeStats = {
     import org.apache.spark.sql.functions.{col, lit, when}
     require(keys.nonEmpty, "mergeIntoFull needs at least one key column")
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
@@ -560,7 +567,18 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
     requireWritable(snap0, path)
     requireNotAppendOnly(snap0.configuration, "MERGE")
     requireIcebergRowLevel(snap0.configuration, path, "MERGE")
-    val tableSchema = snap0.schema
+    // schema evolution (delta's autoMerge analog, explicit option): the
+    // SOURCE's new columns extend the table schema in the SAME commit —
+    // the Delta-strict union merge (new columns nullable, type changes
+    // refuse); old rows read null for them. Column-mapped tables refuse
+    // (new columns need physical-id assignment — use addColumn first).
+    if (mergeSchema)
+      require(!mappedCfg(snap0.configuration),
+        s"mergeSchema on $path: schema evolution through MERGE is not " +
+          "supported on a column-mapped table — ALTER addColumn first")
+    val tableSchema =
+      if (mergeSchema) evolveSchema(snap0.schema, source0.schema)
+      else snap0.schema
     keys.foreach(k => require(tableSchema.fieldNames.contains(k),
       s"merge key $k not in table schema"))
     val genNames = generatedFields(tableSchema).map(_._1.name).toSet
@@ -636,6 +654,13 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
         val sA = src.as("s")
         val joinCond = keys.map(k => quotedCol("t", k) === quotedCol("s", k))
           .reduce(_ && _)
+        // a carried target column under schema evolution may not exist
+        // in the OLD files' scan — evolved columns read null for old rows
+        val tgtCols = tgt.columns.toSet
+        def tCarry(f: StructField): org.apache.spark.sql.Column =
+          if (tgtCols.contains(f.name))
+            quotedCol("t", f.name).as(f.name, f.metadata)
+          else lit(null).cast(f.dataType).as(f.name, f.metadata)
         // per-row FIRST-MATCH clause routing: CASE WHEN c0 THEN 0 WHEN
         // c1 THEN 1 … ELSE -1 — one scan routes every row to its clause
         val IdxCol = "__graft_merge_clause"
@@ -703,7 +728,7 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
                 c.set match {
                   case Some(setMap) => setMap.get(f.name)
                     .map(_.cast(f.dataType).as(f.name, f.metadata))
-                    .getOrElse(quotedCol("t", f.name).as(f.name, f.metadata))
+                    .getOrElse(tCarry(f))
                   case None => // whole source row (the merge() shape)
                     quotedCol("s", f.name).cast(f.dataType).as(f.name, f.metadata)
                 }
@@ -719,7 +744,7 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
               val setCols = tableSchema.fields.toSeq.map { f =>
                 c.set.get(f.name)
                   .map(_.cast(f.dataType).as(f.name, f.metadata))
-                  .getOrElse(quotedCol("t", f.name).as(f.name, f.metadata))
+                  .getOrElse(tCarry(f))
               }
               bs.filter(col(IdxCol) === i).select(setCols ++ ridCol.toSeq: _*)
             }.reduce(_ unionByName _))
@@ -834,7 +859,7 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
           }
           if (parts.isEmpty && appendDf.isEmpty)
             return MergeStats(prior.version, 0L, 0L, 0L)
-          try appendDf.foreach(d => enforceConstraints(d, prior.schema,
+          try appendDf.foreach(d => enforceConstraints(d, tableSchema,
             prior.configuration, s"MERGE into $path"))
           catch { case t: Throwable =>
             parts.foreach(_.dropPack())
@@ -851,7 +876,7 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
           }
           val statsByName = DeltaStats.collectFileStats(
             spark, path, added.map(_.relPath),
-            physM.map(physSchemaOf).getOrElse(prior.schema),
+            physM.map(physSchemaOf).getOrElse(tableSchema),
             prior.configuration, logicalSchema = physM)
           val now = System.currentTimeMillis()
           val actions = Seq.newBuilder[JsonNode]
@@ -868,9 +893,12 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
               (if (idents.nonEmpty) Seq("identityColumns") else Nil) ++
               cfgWriterFeatures(prior.configuration))
             .foreach(actions += _)
-          if (identUp.nonEmpty)
+          val schemaEvolved = mergeSchema &&
+            tableSchema.json != prior.schema.json
+          if (schemaEvolved || identUp.nonEmpty)
             actions += metaDataAction(prior.tableId,
-              stampIdentityHwm(prior.schema, identUp),
+              stampIdentityHwm(if (schemaEvolved) tableSchema else prior.schema,
+                identUp),
               prior.configuration, now, prior.partitionColumns)
           parts.foreach(p => actions ++= p.actions(now))
           val rt = assignRowIds(conf, path, prior.configuration,
@@ -898,7 +926,8 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
             if (cdfEnabled(prior.configuration) &&
                 (matchedRows + bySrcRows > 0 || insertedRows > 0)) {
               val tColsT = tableSchema.fields.toSeq.map(f =>
-                quotedCol("t", f.name).as(f.name))
+                if (tgtCols.contains(f.name)) quotedCol("t", f.name).as(f.name)
+                else lit(null).cast(f.dataType).as(f.name))
               def changeCase(actionsByIdx: Seq[String])
                   : org.apache.spark.sql.Column =
                 actionsByIdx.zipWithIndex.foldRight(

@@ -292,6 +292,34 @@ object DeltaBench {
           s"drain must window the backlog: $triggers triggers, $rows rows")
       }
 
+      results("pd_source_availablenow") = timeVerb("pd_source_availablenow") { () =>
+        // the st22-style DECLARATIVE source under Trigger.AvailableNow:
+        // a rate-limited drain of snapshot + an 8-commit backlog through
+        // Spark's own checkpoint machinery (engine overhead included —
+        // this is what a real consumer pays per catch-up run)
+        val t = fresh("pdsrc")
+        (0 until 8).foreach(k => PortableDelta.write(
+          orders.filter(col("okey") % 100L === k.toLong).coalesce(1),
+          t, mode = "append"))
+        t
+      } { t =>
+        val ck = java.nio.file.Files.createTempDirectory("dbench-pdck").toString
+        val expected = PortableDelta.readTable(spark, t).count()
+        val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+        val q = spark.readStream.format("portable-delta")
+          .option("maxFilesPerTrigger", "8").load(t)
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) => { rows.addAndGet(df.count()); () })
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        require(rows.get() == expected,
+          s"AvailableNow drain must deliver the table exactly: " +
+            s"${rows.get()} of $expected rows")
+      }
+
       results("snapshot_slice_drain") = timeVerb("snapshot_slice_drain") { () =>
         // the rate-limited INITIAL-SNAPSHOT join (round 12): a consumer
         // with no offset draining a checkpoint-seeded table slice-wise —

@@ -327,6 +327,51 @@ class MergeIntoSpec extends AnyFunSuite {
       (10L, Some("HOT"), 500L), (11L, None, 6L)), s"got $got")
   }
 
+  test("mergeSchema: an insert-only merge with a NEW source column evolves " +
+      "the schema in the same commit; old rows null-backfill") {
+    val s = spark; import s.implicits._
+    import PortableDelta.MergeNotMatched
+    val path = tmp()
+    PortableDelta.write(base(0L until 4L).coalesce(1), path)
+    val src = Seq((10L, "n10", 100L, 0.9), (1L, "x", 0L, 0.1))
+      .toDF("id", "tag", "v", "score") // `score` is NEW
+    // without the option: the aligned insert PROJECTS to the table
+    // schema (extra source columns are SET helpers, the stac43 shape) —
+    // the table schema must not silently change
+    val twin = tmp()
+    PortableDelta.write(base(0L until 4L).coalesce(1), twin)
+    PortableDelta.mergeIntoFull(spark, twin, src, Seq("id"),
+      notMatched = Seq(MergeNotMatched()))
+    assert(PortableDelta.snapshot(spark, twin).schema.fieldNames.toSeq ==
+      Seq("id", "tag", "v"), "no option, no evolution")
+    // with it: ONE commit evolves metaData + inserts
+    val st = PortableDelta.mergeIntoFull(spark, path, src, Seq("id"),
+      notMatched = Seq(MergeNotMatched()), mergeSchema = true)
+    assert(st.insertedRows == 1L && st.updatedRows == 0L, s"got $st")
+    val snap = PortableDelta.snapshot(spark, path)
+    assert(snap.version == 1L, "evolution + insert must be ONE commit")
+    assert(snap.schema.fieldNames.toSeq ==
+      Seq("id", "tag", "v", "score") && snap.schema("score").nullable)
+    val got = PortableDelta.readTable(spark, path)
+      .select(col("id"), col("tag"), col("v"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(got == Set(
+      (0L, "a0", 0L, None), (1L, "a1", 10L, None),
+      (2L, "a2", 20L, None), (3L, "a3", 30L, None),
+      (10L, "n10", 100L, Some(0.9))), s"got $got")
+    // matched UPDATE after evolution: carried `score` of an old row is
+    // null; SETting it works
+    val st2 = PortableDelta.mergeIntoFull(spark, path,
+      Seq((1L, 0.5)).toDF("id", "ns"), Seq("id"),
+      matched = Seq(PortableDelta.MergeMatched("update",
+        set = Some(Map("score" -> col("s.ns"))))))
+    assert(st2.updatedRows == 1L)
+    val r1 = PortableDelta.readTable(spark, path)
+      .filter(col("id") === 1L).select("tag", "score").head()
+    assert(r1.getString(0) == "a1" && r1.getDouble(1) == 0.5)
+  }
+
   test("clause-order refusals: an unconditional clause must be last") {
     val s = spark; import s.implicits._
     import PortableDelta.{MergeMatched, MergeNotMatched}
