@@ -742,15 +742,17 @@ object TextOps {
         val docs = Tables.t(s, dir, "documents")
         val (counts, release) =
           graft.operators.Bpe.tokenCounts(docs, bpeMergeTable(s, dir))
-        // materialize, release the encoded-vocabulary cache, return the
-        // (tiny: one row per doc) result as a local frame — a leaked
-        // per-pass persist would skew interleaved bench passes (the
+        // checkpoint to parquet: materializes the result DISTRIBUTED
+        // (no driver hop — the old one-row-per-doc collect would become
+        // the bottleneck at a larger gate SF), releases the
+        // encoded-vocabulary cache, and re-reads from disk so no
+        // per-pass persist leaks into interleaved bench passes (the
         // round-7 lesson)
-        val rows = counts.orderBy(col("doc_id")).collect()
+        val out = java.nio.file.Files
+          .createTempDirectory("t19ck").toString + "/counts"
+        counts.write.mode("overwrite").parquet(out)
         release()
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(rows.toSeq.asJava, counts.schema)
-          .orderBy(col("doc_id"))
+        s.read.parquet(out).orderBy(col("doc_id"))
       },
       prepare = Some((s, dir) => { bpeMergeTable(s, dir); () })),
 

@@ -34,10 +34,11 @@ import org.apache.spark.sql.types.LongType
   * (INSERT), and WHEN NOT MATCHED BY SOURCE (UPDATE SET/DELETE)
   * clauses, each with an optional AND condition — routed through
   * [[PortableDelta.mergeIntoFull]]'s per-row first-match semantics.
-  * Unsupported shapes refuse BY NAME (subquery conditions, nested SET
-  * keys, non-equi merge conditions, star actions, static PARTITION
-  * specs) — a refusal names the supported alternative; nothing
-  * silently approximates.
+  * `UPDATE SET *` / `INSERT *` work too (the analyzer expands them to
+  * name-aligned assignment lists before this rule runs). Unsupported
+  * shapes refuse BY NAME (subquery conditions, nested SET keys,
+  * non-equi merge conditions, static PARTITION specs) — a refusal
+  * names the supported alternative; nothing silently approximates.
   *
   * Reference thesis: the reference's tables are consumed by whatever
   * engine reads the format (docs/usage.md:50-57) — SQL DML completes

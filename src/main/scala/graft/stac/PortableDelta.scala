@@ -26,10 +26,12 @@ import scala.jdk.CollectionConverters._
   * 100-TB write path is the stock distributed one; only the O(files)
   * commit-JSON append is driver-side, exactly like Delta itself.
   *
-  * Scope (documented, deliberate): single-writer commits via
-  * atomic-rename put-if-absent (the Delta storage contract for
-  * filesystems with atomic rename; no LogStore coordination for S3
-  * multi-writer). Checkpoint compaction IS supported ([[checkpoint]]
+  * Scope: commits publish through the [[GraftLogStore]] put-if-absent
+  * seam — default atomic-rename (exact same-JVM, cross-process atomic
+  * on rename-refusing filesystems, the Delta storage contract); object
+  * stores without atomic rename (S3 multi-writer) plug a coordinated
+  * implementation via `spark.graft.delta.logStore.impl`, the
+  * delta-spark LogStore shape. Checkpoint compaction IS supported ([[checkpoint]]
   * writes the spec's `<v>.checkpoint.parquet` + `_last_checkpoint`,
   * [[cleanupLog]] truncates the JSON tail behind it), so replay cost
   * is O(commits-since-checkpoint) — the same maintenance story as a
@@ -1884,16 +1886,13 @@ object PortableDelta
     try actions.foreach { a =>
       out.write(mapper.writeValueAsBytes(a)); out.write('\n')
     } finally out.close()
-    // POSIX rename() silently overwrites an existing destination, so the
-    // exists-check + rename pair is guarded by a JVM-wide lock: same-JVM
-    // writers (concurrent streams, the two-writer spec) get an EXACT
-    // put-if-absent. Cross-process atomicity remains the documented Delta
-    // storage contract of the underlying filesystem (HDFS rename fails on
-    // an existing destination; S3 needs a LogStore, out of scope).
-    val renamed = commitLock.synchronized {
-      if (fs.exists(finalP)) false
-      else fs.rename(tmp, finalP)
-    }
+    // the put-if-absent publishes through the LOG STORE seam
+    // ([[GraftLogStore]]): default = exists-check + rename under a
+    // JVM-wide lock (exact for same-JVM writers; cross-process atomic
+    // on rename-refusing filesystems — HDFS/ABFS/GCS, the Delta
+    // storage contract); object stores without atomic rename plug a
+    // coordinated implementation via spark.graft.delta.logStore.impl.
+    val renamed = GraftLogStore.resolve(conf).putIfAbsent(fs, tmp, finalP)
     if (!renamed) {
       fs.delete(tmp, false)
       throw new ConcurrentCommitException(
@@ -1948,7 +1947,6 @@ object PortableDelta
       }
   }
 
-  @transient private[stac] lazy val commitLock = new Object
 
   private[stac] def currentSnapshot(conf: Configuration, path: String): Option[Snapshot] = {
     val dir = logDir(path)

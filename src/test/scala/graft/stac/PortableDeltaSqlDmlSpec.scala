@@ -265,6 +265,26 @@ class PortableDeltaSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE star actions: UPDATE SET * / INSERT * expand by name and route") {
+    val path = mkTable(6L)
+    table(path, "dml_star_t")
+    try {
+      // star expansion needs name-aligned source columns
+      armed.createDataFrame(Seq((2L, "two!", 222.0), (60L, "sixty", 600.0)))
+        .toDF("id", "body", "price").createOrReplaceTempView("dml_star_src")
+      val r = armed.sql(
+        """MERGE INTO dml_star_t t USING dml_star_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+      assert(r.getLong(1) == 1L && r.getLong(3) == 1L,
+        s"(affected, updated, deleted, inserted) = $r")
+      val byId = PortableDelta.readTable(spark, path).collect()
+        .map(x => x.getLong(0) -> ((x.getString(1), x.getDouble(2)))).toMap
+      assert(byId(2L) == (("two!", 222.0)) && byId(60L) == (("sixty", 600.0)) &&
+        byId.size == 7, s"got $byId")
+    } finally armed.sql("DROP TABLE IF EXISTS dml_star_t")
+  }
+
   test("refusals by name; extension-less sessions keep Spark's v2-only error") {
     val path = mkTable()
     table(path, "dml_ref_t")
