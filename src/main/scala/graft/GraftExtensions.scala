@@ -92,6 +92,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               tsMs * 1000L)
           })
       }))
+    // CHANGE DATA FEED as a table-valued function — delta-spark's
+    // `table_changes` analog for file-source tables:
+    //   SELECT * FROM portable_delta_changes('<path>', 1, 3)
+    //   SELECT * FROM portable_delta_changes('<path>', '<utc ts>', '<utc ts>')
+    // Returns the DISTRIBUTED readChanges plan (the analyzed frame —
+    // no driver materialization; a 100-TB feed window stays a bounded
+    // per-commit scan), with _change_type/_commit_version/
+    // _commit_timestamp columns. Version bounds are int literals;
+    // timestamp bounds are UTC string literals resolved through the
+    // ICT-aware commit history.
+    ext.injectTableFunction((FunctionIdentifier("portable_delta_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "portable_delta_changes",
+        "portable_delta_changes(path, from, to) - change data feed of a " +
+          "portable-delta table between two versions (ints) or UTC " +
+          "timestamps (strings)", ""),
+      (args: Seq[Expression]) => {
+        def str(e: Expression, what: String): String = e match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString
+          case other => throw new IllegalArgumentException(
+            s"portable_delta_changes: $what must be a literal, got $other")
+        }
+        def longOf(e: Expression): Option[Long] = e match {
+          case Literal(v: Int, _) => Some(v.toLong)
+          case Literal(v: Long, _) => Some(v)
+          case _ => None
+        }
+        args match {
+          case Seq(p, from, to) =>
+            val path = str(p, "the table path")
+            val spark = org.apache.spark.sql.SparkSession.active
+            val df = (longOf(from), longOf(to)) match {
+              case (Some(f), Some(t)) =>
+                graft.stac.PortableDelta.readChanges(spark, path, f, t)
+              case _ =>
+                val conf = spark.sessionState.newHadoopConf()
+                def ms(e: Expression, what: String): Long = {
+                  val s = str(e, what)
+                  scala.util.Try(s.trim.toLong).getOrElse(
+                    graft.stac.PortableDeltaRelation.parseUtcMillis(s.trim))
+                }
+                graft.stac.PortableDelta.readChangesBetweenTimestamps(
+                  spark, path, ms(from, "the start bound"),
+                  ms(to, "the end bound"))
+            }
+            df.queryExecution.analyzed
+          case other => throw new IllegalArgumentException(
+            "portable_delta_changes takes exactly (path, from, to) — got " +
+              s"${other.size} argument(s)")
+        }
+      }))
     // DESCRIBE DETAIL as a table-valued function — delta-spark's column
     // set from [[PortableDelta.describeDetail]] (numFiles/sizeInBytes
     // answer O(1) from the version checksum when present)

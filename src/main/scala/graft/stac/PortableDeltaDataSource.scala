@@ -461,7 +461,7 @@ object PortableDeltaRelation {
   /** `timestampAsOf` string → epoch millis, ALWAYS in UTC ("2024-01-02",
     * "2024-01-02 03:04:05[.ffffff]", T-separated, optional trailing Z).
     * Exposed for the spec's epoch assertion. */
-  private[stac] def parseUtcMillis(s: String): Long = {
+  private[graft] def parseUtcMillis(s: String): Long = {
     val norm = s.replace('T', ' ').stripSuffix("Z").trim
     val (datePart, timePart) = norm.indexOf(' ') match {
       case -1 => (norm, "00:00:00")

@@ -265,6 +265,48 @@ class PortableDeltaSqlDmlSpec extends AnyFunSuite {
     }
   }
 
+  test("portable_delta_changes TVF: the change feed through plain SQL, " +
+      "distributed (no LocalRelation) and ≡ readChanges") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(Seq((1L, "a"), (2L, "b")).toDF("id", "b"), path,
+      properties = Map(PortableDelta.CdfProp -> "true"))          // v0
+    PortableDelta.write(Seq((3L, "c")).toDF("id", "b"), path,
+      mode = "append")                                            // v1
+    PortableDelta.delete(spark, path, col("id") === 1L)           // v2
+    val q = armed.sql(
+      s"SELECT id, b, _change_type, _commit_version FROM " +
+        s"portable_delta_changes('$path', 1, 2) ORDER BY _commit_version, id")
+    // distributed: the TVF returns the analyzed readChanges plan, not a
+    // collected LocalRelation
+    assert(!q.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "the feed must stay a distributed plan")
+    val got = q.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((3L, "c", "insert", 1L), (1L, "a", "delete", 2L)),
+      s"got $got")
+    // value parity with the Scala API
+    val api = PortableDelta.readChanges(spark, path, 1L, 2L)
+      .select(col("id"), col("b"), col("_change_type"), col("_commit_version"))
+      .orderBy(col("_commit_version"), col("id")).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == api)
+    // timestamp-bounded form resolves through the commit history
+    val hist = PortableDelta.history(
+      spark.sessionState.newHadoopConf(), path).sortBy(_._1)
+    val (t1, t2) = (hist.find(_._1 == 1L).get._3, hist.find(_._1 == 2L).get._3)
+    val gotTs = armed.sql(
+      s"SELECT count(*) FROM portable_delta_changes('$path', '$t1', '$t2')")
+      .head().getLong(0)
+    assert(gotTs == 2L, s"timestamp bounds must cover v1..v2: $gotTs")
+    // a non-literal argument refuses by name
+    val e = intercept[Exception](armed.sql(
+      s"SELECT * FROM portable_delta_changes(concat('a','b'), 0, 1)"))
+    assert(e.getMessage.contains("literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("literal")), e.getMessage)
+  }
+
   test("MERGE star actions: UPDATE SET * / INSERT * expand by name and route") {
     val path = mkTable(6L)
     table(path, "dml_star_t")
