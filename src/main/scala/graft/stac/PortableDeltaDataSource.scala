@@ -789,14 +789,19 @@ object PortableDeltaFileIndex {
   * correct, just not columnar. */
 object SplitDvScan extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Union}
+  import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Union}
   import org.apache.spark.sql.execution.datasources.LogicalRelation
 
   /** Session dial (default on). */
   val ConfKey = "spark.graft.delta.splitDvScan.enabled"
 
-  /** Arm an existing session (idempotent); see the class doc for the
-    * pushdown caveat of this late placement. */
+  /** Arm an existing session (idempotent). `extraOptimizations` runs
+    * AFTER the operator-optimization fixed point, so the stock
+    * pushdown rules never revisit the union — the Filter case below
+    * pushes the adjacent predicate itself, which keeps per-leg file
+    * skipping and parquet pushdown on the common SELECT…WHERE shape;
+    * the extensions path remains the fully-optimized deployment. */
   def arm(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(SplitDvScan))
@@ -806,6 +811,23 @@ object SplitDvScan extends org.apache.spark.sql.catalyst.rules.Rule[
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
     plan.transform {
+      // Filter directly over the relation: push the predicate into
+      // BOTH legs here (attributes remapped for the fresh-id leg) —
+      // inside the fixed point this just saves an iteration; under
+      // arm()'s late placement it is what keeps pushdown alive
+      case Filter(cond, lr @ LogicalRelation(
+          rel: PortableDeltaHadoopFsRelation, out, _, false, _))
+          if rel.needsDvSplit =>
+        val (freeRel, dvRel) = rel.splitByDv()
+        val dvOut = out.map(_.newInstance())
+        val remap = AttributeMap(out.zip(dvOut))
+        val dvCond = cond.transform {
+          case a: Attribute => remap.getOrElse(a, a)
+        }
+        Union(Seq(
+          Filter(cond, lr.copy(relation = freeRel)),
+          Filter(dvCond, lr.copy(relation = dvRel, output = dvOut,
+            catalogTable = None))))
       case lr @ LogicalRelation(rel: PortableDeltaHadoopFsRelation,
           out, _, false, _) if rel.needsDvSplit =>
         val (freeRel, dvRel) = rel.splitByDv()

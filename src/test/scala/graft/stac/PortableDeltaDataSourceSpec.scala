@@ -220,6 +220,27 @@ class PortableDeltaDataSourceSpec extends AnyFunSuite {
       s"parquet pushdown missing: ${fScans.map(_.metadata("PushedFilters"))}")
     assert(f.collect().map(_.getLong(0)).sorted.toSeq == (350L until 400L).toSeq)
 
+    // runtime arm() (extraOptimizations — post-optimization): the
+    // Filter case pushes the adjacent predicate into both legs itself,
+    // so pushdown and per-leg skipping survive even without extensions
+    val prevOpts = spark.experimental.extraOptimizations
+    graft.stac.SplitDvScan.arm(spark)
+    try {
+      val fa = spark.read.format("portable-delta").load(path)
+        .filter(col("id") >= 350L)
+      val faScans = fa.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s }
+      assert(faScans.size == 2 && faScans.exists(_.supportsColumnar),
+        s"arm() must split too: ${faScans.size} scan(s)")
+      assert(faScans.exists(_.metadata("PushedFilters")
+        .contains("GreaterThanOrEqual(id,350)")),
+        s"arm() path must keep pushdown: ${faScans.map(_.metadata("PushedFilters"))}")
+      assert(faScans.map(_.selectedPartitions.totalNumberOfFiles).sum <
+        snap.files.size, "per-leg log-stats skipping must survive arm()")
+      assert(fa.collect().map(_.getLong(0)).sorted.toSeq ==
+        (350L until 400L).toSeq)
+    } finally spark.experimental.extraOptimizations = prevOpts
+
     // fully-DV'd tables keep ONE scan even when armed (an empty
     // columnar leg buys nothing)
     PortableDelta.delete(spark, path, col("id") % 2 === 0L)
