@@ -128,12 +128,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               case (Some(f), Some(t)) =>
                 graft.stac.PortableDelta.readChanges(spark, path, f, t)
               case _ =>
-                val conf = spark.sessionState.newHadoopConf()
-                def ms(e: Expression, what: String): Long = {
-                  val s = str(e, what)
-                  scala.util.Try(s.trim.toLong).getOrElse(
-                    graft.stac.PortableDeltaRelation.parseUtcMillis(s.trim))
-                }
+                // int/long literals are VERSIONS (handled above); string
+                // bounds go through the shared option grammar — epoch
+                // millis need 11-17 digits, so a compact date like
+                // '20240102' refuses by name instead of resolving ~1970
+                def ms(e: Expression, what: String): Long =
+                  graft.stac.PortableDeltaRelation.parseTsMillis(
+                    str(e, what), s"portable_delta_changes $what")
                 graft.stac.PortableDelta.readChangesBetweenTimestamps(
                   spark, path, ms(from, "the start bound"),
                   ms(to, "the end bound"))

@@ -64,6 +64,20 @@ class PortableDeltaDataSource extends RelationProvider
           "spark.read.format(\"portable-delta\").load(<table dir>) or " +
           "CREATE TABLE ... USING `portable-delta` OPTIONS (path '...')"))
 
+  /** Batch read. `option("readChangeFeed", "true")` switches the
+    * relation from the table's CURRENT ROWS to its CHANGE FEED — the
+    * delta-spark batch-CDF idiom:
+    *
+    *   spark.read.format("portable-delta")
+    *     .option("readChangeFeed", "true")
+    *     .option("startingVersion", 1).option("endingVersion", 3)
+    *     .load(path)
+    *
+    * routed to the same distributed [[PortableDelta.readChanges]] plan
+    * the `portable_delta_changes` TVF returns. CDF-shaped options on a
+    * plain batch read REFUSE BY NAME (a silently-ignored
+    * `startingVersion` would return current rows where the user asked
+    * for a window — the wrong-shape hazard this engine never ships). */
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation =
     PortableDeltaRelation(sqlContext.sparkSession, pathOf(parameters), parameters)
@@ -182,10 +196,10 @@ class PortableDeltaDataSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val path = pathOf(parameters)
     def boolOpt(k: String) = parameters.get(k).exists(_.toBoolean)
-    val tsOpt = parameters.get("startingTimestamp").map { s =>
-      scala.util.Try(s.trim.toLong).getOrElse(
-        PortableDeltaRelation.parseUtcMillis(s.trim))
-    }
+    // the ONE option grammar, shared with the batch CDF read (epoch
+    // millis need 11-17 digits; compact dates refuse by name)
+    val tsOpt = parameters.get("startingTimestamp").map(
+      PortableDeltaRelation.parseTsMillis(_, "option startingTimestamp"))
     new graft.streaming.PortableDeltaStreamSource(
       sqlContext.sparkSession, path,
       cdf = boolOpt("readChangeFeed"),
@@ -458,19 +472,168 @@ private[stac] class PortableDeltaReadOnlyFormat(
 
 object PortableDeltaRelation {
 
-  /** `timestampAsOf` string → epoch millis, ALWAYS in UTC ("2024-01-02",
-    * "2024-01-02 03:04:05[.ffffff]", T-separated, optional trailing Z).
-    * Exposed for the spec's epoch assertion. */
-  private[graft] def parseUtcMillis(s: String): Long = {
-    val norm = s.replace('T', ' ').stripSuffix("Z").trim
-    val (datePart, timePart) = norm.indexOf(' ') match {
-      case -1 => (norm, "00:00:00")
-      case i => (norm.substring(0, i), norm.substring(i + 1).trim)
+  /** Timestamp string → epoch millis. Accepted grammar (named in every
+    * refusal): `YYYY-MM-DD`, `YYYY-MM-DD[ |T]HH:MM:SS[.ffffff]`, with
+    * an optional trailing `Z` or `±HH[:MM]` offset — parsed in UTC
+    * unless the explicit offset says otherwise (round 17: offsets were
+    * previously a cryptic java.time parse error). Exposed for the
+    * spec's epoch assertion. */
+  private[graft] def parseUtcMillis(s0: String,
+                                    what: String = "timestamp"): Long = {
+    val s = s0.trim
+    try {
+      // explicit offset: trailing Z, or a sign INSIDE the time part
+      // (index >= 10 — the date's own dashes sit at 4 and 7)
+      val (body, offset) =
+        if (s.endsWith("Z") || s.endsWith("z"))
+          (s.dropRight(1).trim, java.time.ZoneOffset.UTC)
+        else {
+          val i = math.max(s.lastIndexOf('+'),
+            if (s.length > 10) s.lastIndexOf('-') else -1)
+          if (i >= 10)
+            (s.substring(0, i).trim, java.time.ZoneOffset.of(s.substring(i)))
+          else (s, java.time.ZoneOffset.UTC)
+        }
+      val norm = body.replace('T', ' ')
+      val (datePart, timePart) = norm.indexOf(' ') match {
+        case -1 => (norm, "00:00:00")
+        case i => (norm.substring(0, i), norm.substring(i + 1).trim)
+      }
+      val ld = java.time.LocalDate.parse(datePart)
+      val lt = java.time.LocalTime.parse(timePart)
+      java.time.LocalDateTime.of(ld, lt).toInstant(offset).toEpochMilli
+    } catch {
+      case e @ (_: java.time.DateTimeException |
+                _: IllegalArgumentException) =>
+        throw new IllegalArgumentException(
+          s"$what: cannot parse '$s0' — accepted grammar: 'YYYY-MM-DD', " +
+            "'YYYY-MM-DD[ |T]HH:MM:SS[.ffffff]', optional trailing 'Z' or " +
+            "'±HH:MM' offset (normalized to UTC), or epoch milliseconds " +
+            s"as an 11-17 digit integer (${e.getMessage})", e)
     }
-    val ld = java.time.LocalDate.parse(datePart)
-    val lt = java.time.LocalTime.parse(timePart)
-    java.time.LocalDateTime.of(ld, lt).toInstant(java.time.ZoneOffset.UTC)
-      .toEpochMilli
+  }
+
+  /** The ONE timestamp-OPTION parse, shared by `timestampAsOf`, the
+    * batch and streaming CDF bounds, SQL `TIMESTAMP AS OF` / `RESTORE`,
+    * and the changes TVF: all-digit strings of 11-17 chars are epoch
+    * MILLISECONDS; shorter all-digit strings REFUSE by name (a compact
+    * date like '20240102' must never silently resolve to ~1970);
+    * everything else parses via [[parseUtcMillis]]'s named grammar. */
+  private[graft] def parseTsMillis(s0: String, what: String): Long = {
+    val s = s0.trim
+    if (s.nonEmpty && s.forall(_.isDigit)) {
+      if (s.length >= 11 && s.length <= 17) s.toLong
+      else throw new IllegalArgumentException(
+        s"$what: all-digit value '$s' is ambiguous — pass epoch " +
+          "MILLISECONDS (an 11-17 digit integer) or a timestamp " +
+          "'YYYY-MM-DD[ HH:MM:SS[.ffffff]][Z|±HH:MM]'; compact dates " +
+          "like '20240102' are refused, never silently read as epoch")
+    } else parseUtcMillis(s, what)
+  }
+
+  /** CDF-shaped reader options and their canonical spellings — used
+    * both to parse the batch change-feed read and to REFUSE typo'd or
+    * misplaced variants instead of silently scanning current rows. */
+  private val CanonicalCdfKeys = Seq("readChangeFeed", "startingVersion",
+    "endingVersion", "startingTimestamp", "endingTimestamp")
+
+  /** Refuse, by name, any option key that LOOKS like a CDF option but
+    * would not be read as one: separator typos of readChangeFeed /
+    * the bound keys ("read_change_feed"), other change-feed-ish
+    * spellings ("readChangeDataFeed"), and CDF bound keys on a read
+    * that never enabled readChangeFeed. Case differences are NOT typos
+    * (Spark hands V1 sources a case-insensitive map). */
+  private def validateBatchOptions(opts: Map[String, String],
+                                   path: String): Unit = {
+    val canonicalByNorm = CanonicalCdfKeys.map(k =>
+      k.toLowerCase(java.util.Locale.ROOT) -> k).toMap
+    opts.keys.foreach { k =>
+      val norm = k.toLowerCase(java.util.Locale.ROOT).filter(_.isLetterOrDigit)
+      canonicalByNorm.get(norm) match {
+        case Some(canon) if !k.equalsIgnoreCase(canon) =>
+          throw new IllegalArgumentException(
+            s"portable-delta read of $path: unknown option '$k' — did you " +
+              s"mean '$canon'? (refusing rather than silently ignoring it)")
+        case None if norm.contains("changefeed") || norm.contains("changedata") =>
+          throw new IllegalArgumentException(
+            s"portable-delta read of $path: unknown option '$k' — the " +
+              "change-feed read is option(\"readChangeFeed\", \"true\") " +
+              "with startingVersion/endingVersion or startingTimestamp/" +
+              "endingTimestamp bounds (refusing rather than silently " +
+              "ignoring it)")
+        case _ => ()
+      }
+    }
+    if (!opts.get("readChangeFeed").exists(_.trim.toBoolean)) {
+      val misplaced = CanonicalCdfKeys.drop(1).filter(opts.contains)
+      require(misplaced.isEmpty,
+        s"portable-delta read of $path: option(s) " +
+          misplaced.mkString("'", "', '", "'") + " bound a CHANGE-FEED " +
+          "window but readChangeFeed is not enabled — a plain batch read " +
+          "would silently return current rows instead of the window. Set " +
+          "option(\"readChangeFeed\", \"true\"), or use versionAsOf/" +
+          "timestampAsOf for time travel")
+    }
+  }
+
+  /** The batch CHANGE-FEED relation (delta-spark parity): resolve the
+    * requested window to versions, then wrap the DISTRIBUTED
+    * [[PortableDelta.readChanges]] frame (the same plan the
+    * `portable_delta_changes` TVF returns — work bounded by the
+    * window's changed files, never table size). Start bound required;
+    * end bound defaults to the current version. Timestamp bounds
+    * resolve over truncation-surviving, ICT-aware [[PortableDelta
+    * .history]] with monotonic healing: start = first commit AT/AFTER
+    * the instant, end = last commit AT/BEFORE it — empty resolutions
+    * refuse by name, never silently return nothing. */
+  private def cdfRelation(spark: SparkSession, path: String,
+                          opts: Map[String, String]): BaseRelation = {
+    require(!opts.contains("versionAsOf") && !opts.contains("timestampAsOf"),
+      s"readChangeFeed on $path cannot combine with versionAsOf/" +
+        "timestampAsOf — bound the feed with startingVersion/endingVersion " +
+        "(or startingTimestamp/endingTimestamp)")
+    def ts(k: String): Option[Long] =
+      opts.get(k).map(parseTsMillis(_, s"option $k"))
+    val sv = opts.get("startingVersion").map(_.trim.toLong)
+    val st = ts("startingTimestamp")
+    require(sv.isEmpty || st.isEmpty,
+      s"readChangeFeed on $path: specify startingVersion OR " +
+        "startingTimestamp, not both")
+    require(sv.isDefined || st.isDefined,
+      s"readChangeFeed on $path needs a start bound: startingVersion or " +
+        "startingTimestamp")
+    val ev = opts.get("endingVersion").map(_.trim.toLong)
+    val et = ts("endingTimestamp")
+    require(ev.isEmpty || et.isEmpty,
+      s"readChangeFeed on $path: specify endingVersion OR " +
+        "endingTimestamp, not both")
+    val conf = spark.sessionState.newHadoopConf()
+    val commits = PortableDelta.history(conf, path).sortBy(_._1)
+    require(commits.nonEmpty, s"no commits found at $path")
+    // monotonic healing, the versionAtTimestamp rule: wall clocks may
+    // step backwards between commits; bounds resolve over the running max
+    var run = Long.MinValue
+    val mono = commits.map { case (v, _, t) => run = math.max(run, t); (v, run) }
+    val fromV = sv.getOrElse {
+      val t = st.get
+      mono.find(_._2 >= t).map(_._1).getOrElse(
+        throw new IllegalArgumentException(
+          s"readChangeFeed on $path: startingTimestamp $t is after the " +
+            s"last commit (commit times span [${mono.head._2}, " +
+            s"${mono.last._2}])"))
+    }
+    val toV = ev.orElse(et.map { t =>
+      val inWin = mono.filter(_._2 <= t)
+      require(inWin.nonEmpty,
+        s"readChangeFeed on $path: endingTimestamp $t precedes the first " +
+          s"commit (commit times span [${mono.head._2}, ${mono.last._2}])")
+      inWin.last._1
+    }).getOrElse(mono.last._1)
+    require(fromV <= toV,
+      s"readChangeFeed on $path: empty window — start resolves to " +
+        s"version $fromV, end to $toV")
+    new PortableDeltaCdfRelation(spark,
+      PortableDelta.readChanges(spark, path, fromV, toV))
   }
 
   /** Build the relation: ONE log replay pins (schema, partition
@@ -483,14 +646,22 @@ object PortableDeltaRelation {
     * API, the bounded-age-history trade documented there). */
   def apply(spark: SparkSession, tablePath: String,
             options: Map[String, String]): BaseRelation = {
+    // Spark hands V1 providers a CaseInsensitiveMap; direct API callers
+    // get the same tolerance here
+    val opts: Map[String, String] = options match {
+      case m: org.apache.spark.sql.catalyst.util.CaseInsensitiveMap[String] => m
+      case m => org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(m)
+    }
+    validateBatchOptions(opts, tablePath)
+    if (opts.get("readChangeFeed").exists(_.trim.toBoolean))
+      return cdfRelation(spark, tablePath, opts)
     val conf = spark.sessionState.newHadoopConf()
-    val vOpt = options.get("versionAsOf").map(_.trim.toLong)
+    val vOpt = opts.get("versionAsOf").map(_.trim.toLong)
     // parsed in UTC explicitly: Timestamp.valueOf would interpret the
     // string in the JVM default zone, so the same option string would
     // resolve a DIFFERENT version on a non-UTC host
-    val tsOpt = options.get("timestampAsOf").map { s =>
-      scala.util.Try(s.trim.toLong).getOrElse(parseUtcMillis(s.trim))
-    }
+    val tsOpt = opts.get("timestampAsOf").map(
+      parseTsMillis(_, "option timestampAsOf"))
     require(vOpt.isEmpty || tsOpt.isEmpty,
       "specify versionAsOf OR timestampAsOf, not both")
     val asOf: Option[Long] = vOpt.orElse(
@@ -535,6 +706,28 @@ object PortableDeltaRelation {
       dataSchema, fmt, options, spark, tablePath, asOf.isDefined,
       needsDvSplit = nDv > 0 && nDv < nFiles)
   }
+}
+
+/** The batch change-feed relation behind `option("readChangeFeed",
+  * "true")`: a thin V1 wrapper handing Catalyst the DISTRIBUTED
+  * [[PortableDelta.readChanges]] plan (table schema + _change_type /
+  * _commit_version / _commit_timestamp). `needConversion = false` with
+  * `queryExecution.toRdd` is the stock V1 idiom for serving an
+  * already-Catalyst plan without a per-row external-Row round trip
+  * (delta-spark's DeltaCDFRelation shape). Each query re-executes the
+  * window's bounded per-commit scans; the window itself was pinned at
+  * relation build time (version bounds resolved once). */
+private[stac] class PortableDeltaCdfRelation(
+    @transient spark: SparkSession,
+    @transient df: org.apache.spark.sql.DataFrame)
+    extends BaseRelation with org.apache.spark.sql.sources.TableScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = df.schema
+  override def needConversion: Boolean = false
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    df.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
 }
 
 /** The relation class: a stock [[HadoopFsRelation]] (every scan-side

@@ -478,4 +478,164 @@ class PortableDeltaDataSourceSpec extends AnyFunSuite {
     assert(viaFmt2.orderBy("id").collect().toSeq ==
       PortableDelta.readTable(spark, p2).orderBy("id").collect().toSeq)
   }
+
+  /** A 4-commit table for the batch change-feed legs: v0 create,
+    * v1 append, v2 DELETE (DVs), v3 MERGE (delete+insert pairs). */
+  private def cdfTable(): String = {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write((0L until 20L).map(i => (i, s"a$i")).toDF("id", "b")
+      .repartition(2), path)                                        // v0
+    PortableDelta.write((20L until 30L).map(i => (i, s"b$i")).toDF("id", "b"),
+      path, mode = "append")                                        // v1
+    PortableDelta.delete(spark, path, col("id") % 5 === 0L)         // v2
+    PortableDelta.merge(spark, path,
+      (25L until 35L).map(i => (i, s"m$i")).toDF("id", "b"),
+      Seq("id"))                                                    // v3
+    path
+  }
+
+  test("batch readChangeFeed: option route ≡ readChanges, version and timestamp bounds") {
+    val path = cdfTable()
+    def agg(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long)] =
+      df.groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).sorted.toSeq
+    val viaOpt = spark.read.format("portable-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("endingVersion", "3").load(path)
+    assert(viaOpt.columns.contains("_change_type") &&
+      viaOpt.columns.contains("_commit_version") &&
+      viaOpt.columns.contains("_commit_timestamp"),
+      s"CDF schema drifted: ${viaOpt.columns.toSeq}")
+    val want = agg(PortableDelta.readChanges(spark, path, 0L, 3L))
+    assert(agg(viaOpt) == want, s"option route drifted:\n ${agg(viaOpt)}\n $want")
+    // endingVersion defaults to the current version
+    assert(agg(spark.read.format("portable-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(path)) == want)
+    // a WINDOW: only v2..v3 changes
+    val win = agg(spark.read.format("portable-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "2").load(path))
+    assert(win == want.filter(_._1 >= 2L), s"window drifted: $win")
+    // timestamp bounds resolve over ICT-aware history (start = first
+    // commit AT/AFTER, end = last AT/BEFORE)
+    val hist = PortableDelta.history(
+      spark.sessionState.newHadoopConf(), path).sortBy(_._1)
+    val t1 = hist.find(_._1 == 1L).get._3
+    val t2 = hist.find(_._1 == 2L).get._3
+    val byTs = agg(spark.read.format("portable-delta")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", t1.toString)
+      .option("endingTimestamp", t2.toString).load(path))
+    assert(byTs == want.filter(t => t._1 >= 1L && t._1 <= 2L),
+      s"timestamp bounds drifted: $byTs")
+    // SQL over the option route ≡ the TVF route (CREATE TABLE + options)
+    spark.sql("DROP TABLE IF EXISTS pd_cdf_bt")
+    spark.sql(s"CREATE TABLE pd_cdf_bt USING `portable-delta` OPTIONS (" +
+      s"path '$path', readChangeFeed 'true', startingVersion '1')")
+    try assert(agg(spark.table("pd_cdf_bt")) == want.filter(_._1 >= 1L),
+      "a CREATE TABLE with CDF options must serve the feed")
+    finally spark.sql("DROP TABLE IF EXISTS pd_cdf_bt")
+  }
+
+  test("batch readChangeFeed refusals: typos, misplaced bounds, bad windows never silently scan") {
+    val path = cdfTable()
+    def refuses(msgPart: String)(op: => Unit): Unit = {
+      val e = intercept[Exception](op)
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(msgPart)),
+        s"wanted '$msgPart' in: ${msgs(e).mkString(" | ")}")
+    }
+    // a CDF bound without readChangeFeed would silently return current
+    // rows — refuse by name
+    refuses("readChangeFeed is not enabled")(
+      spark.read.format("portable-delta")
+        .option("startingVersion", "1").load(path).collect())
+    // separator typos of the option name refuse (case differences are
+    // fine — Spark hands V1 sources a case-insensitive map)
+    refuses("did you mean 'readChangeFeed'")(
+      spark.read.format("portable-delta")
+        .option("read_change_feed", "true").option("startingVersion", "0")
+        .load(path).collect())
+    refuses("change-feed read is option")(
+      spark.read.format("portable-delta")
+        .option("readChangeDataFeed", "true").option("startingVersion", "0")
+        .load(path).collect())
+    assert(spark.read.format("portable-delta")
+      .option("readChangefeed", "true").option("startingVersion", "0")
+      .load(path).count() ==
+      PortableDelta.readChanges(spark, path, 0L, 3L).count(),
+      "case variants ARE the option (case-insensitive map)")
+    // time travel and the feed cannot combine
+    refuses("cannot combine with versionAsOf")(
+      spark.read.format("portable-delta").option("readChangeFeed", "true")
+        .option("startingVersion", "0").option("versionAsOf", "1")
+        .load(path).collect())
+    // a start bound is required; double or empty bounds refuse
+    refuses("needs a start bound")(
+      spark.read.format("portable-delta").option("readChangeFeed", "true")
+        .load(path).collect())
+    refuses("not both")(
+      spark.read.format("portable-delta").option("readChangeFeed", "true")
+        .option("startingVersion", "0").option("startingTimestamp", "2024-01-01")
+        .load(path).collect())
+    refuses("empty window")(
+      spark.read.format("portable-delta").option("readChangeFeed", "true")
+        .option("startingVersion", "3").option("endingVersion", "1")
+        .load(path).collect())
+    refuses("after the last commit")(
+      spark.read.format("portable-delta").option("readChangeFeed", "true")
+        .option("startingTimestamp", "2999-01-01").load(path).collect())
+  }
+
+  test("saveAsTable: a MANAGED portable-delta table lands at the warehouse location") {
+    // the catalog-managed path probe (round-17 VERDICT task): Spark's
+    // CTAS command passes the managed table's default location as the
+    // path option, so the full write protocol runs at the warehouse dir
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS pd_managed_t")
+    (0L until 30L).map(i => (i, s"m$i")).toDF("id", "b")
+      .write.format("portable-delta").saveAsTable("pd_managed_t")
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("pd_managed_t"))
+      val loc = new org.apache.hadoop.fs.Path(meta.location).toString
+      val snap = PortableDelta.snapshot(spark, loc)
+      assert(snap.version == 0L && snap.files.forall(_.stats.isDefined),
+        "saveAsTable must run the full protocol (one commit, stats)")
+      assert(spark.table("pd_managed_t").count() == 30L)
+      assert(spark.sql("SELECT sum(id) AS s FROM pd_managed_t")
+        .head().getLong(0) == (0L until 30L).sum)
+      // append through saveAsTable lands as a protocol commit too
+      Seq((100L, "x")).toDF("id", "b").write.format("portable-delta")
+        .mode("append").saveAsTable("pd_managed_t")
+      assert(PortableDelta.snapshot(spark, loc).version == 1L &&
+        spark.table("pd_managed_t").count() == 31L)
+    } finally spark.sql("DROP TABLE IF EXISTS pd_managed_t")
+  }
+
+  test("timestamp option grammar: explicit offsets normalize to UTC, compact dates refuse") {
+    // +02:00 at 05:04:05 IS 03:04:05Z
+    assert(PortableDeltaRelation.parseUtcMillis("2024-01-02T05:04:05+02:00") ==
+      PortableDeltaRelation.parseUtcMillis("2024-01-02T03:04:05Z"))
+    assert(PortableDeltaRelation.parseUtcMillis("2024-01-02 01:04:05-02:00") ==
+      1704164645000L)
+    assert(PortableDeltaRelation.parseUtcMillis("2024-01-02T03:04:05.250+00:00") ==
+      1704164645250L)
+    // epoch millis pass through the OPTION grammar; compact dates refuse
+    assert(PortableDeltaRelation.parseTsMillis("1704164645000", "t") ==
+      1704164645000L)
+    val e = intercept[IllegalArgumentException](
+      PortableDeltaRelation.parseTsMillis("20240102", "t"))
+    assert(e.getMessage.contains("ambiguous") &&
+      e.getMessage.contains("epoch MILLISECONDS"), e.getMessage)
+    // malformed strings name the accepted grammar
+    val e2 = intercept[IllegalArgumentException](
+      PortableDeltaRelation.parseUtcMillis("01/02/2024", "t"))
+    assert(e2.getMessage.contains("accepted grammar"), e2.getMessage)
+  }
 }
