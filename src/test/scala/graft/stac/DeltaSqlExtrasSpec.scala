@@ -148,13 +148,32 @@ class DeltaSqlExtrasSpec extends AnyFunSuite {
       p
     }
     val p1 = mk()
-    val r1 = armed.sql(s"VACUUM '$p1' RETAIN 0 HOURS").head()
-    assert(r1.getLong(1) == 4L, s"full vacuum must reclaim 4 files: $r1")
-    val p2 = mk()
-    val r2 = armed.sql(s"VACUUM '$p2' LITE RETAIN 0 HOURS").head()
-    assert(r2.getLong(1) == 4L, s"lite vacuum must reclaim 4 files: $r2")
-    assert(PortableDelta.readTable(spark, p1).count() == 5L &&
-      PortableDelta.readTable(spark, p2).count() == 5L)
+    // RETAIN below the retention floor refuses BY NAME (delta-spark's
+    // retentionDurationCheck): RETAIN 0 would break time travel/RESTORE/
+    // in-flight readers silently
+    val e = intercept[Exception](armed.sql(s"VACUUM '$p1' RETAIN 0 HOURS")
+      .collect())
+    assert(e.getMessage.contains("retention floor") &&
+      e.getMessage.contains(PortableDeltaVacuumCommand.RetentionCheckKey),
+      e.getMessage)
+    // the explicit session override admits it (the delta-spark escape)
+    armed.conf.set(PortableDeltaVacuumCommand.RetentionCheckKey, "false")
+    try {
+      val r1 = armed.sql(s"VACUUM '$p1' RETAIN 0 HOURS").head()
+      assert(r1.getLong(1) == 4L, s"full vacuum must reclaim 4 files: $r1")
+      val p2 = mk()
+      val r2 = armed.sql(s"VACUUM '$p2' LITE RETAIN 0 HOURS").head()
+      assert(r2.getLong(1) == 4L, s"lite vacuum must reclaim 4 files: $r2")
+      assert(PortableDelta.readTable(spark, p1).count() == 5L &&
+        PortableDelta.readTable(spark, p2).count() == 5L)
+    } finally armed.conf.unset(PortableDeltaVacuumCommand.RetentionCheckKey)
+    // a RETAIN at/above the table's own (lowered) floor passes the check
+    val p3 = mk()
+    PortableDelta.setTableProperties(spark, p3,
+      Map("delta.deletedFileRetentionDuration" -> "interval 1 hours"))
+    val r3 = armed.sql(s"VACUUM '$p3' RETAIN 2 HOURS").head()
+    assert(r3.getLong(1) == 0L,
+      s"fresh tombstones are inside the 2h grace window: $r3")
   }
 
   test("RESTORE statement: version and timestamp forms, catalog-table target") {
@@ -176,6 +195,105 @@ class DeltaSqlExtrasSpec extends AnyFunSuite {
       assert(r2.getLong(2) == 0L, s"$r2")
       assert(PortableDelta.readTable(spark, path).count() == 10L)
     } finally armed.sql("DROP TABLE IF EXISTS rst_t")
+  }
+
+  test("ALTER TABLE: ADD/RENAME/DROP COLUMN, TYPE widening, properties — SQL ≡ Scala verbs") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write((0L until 10L).map(i =>
+      (i.toInt, s"d$i")).toDF("id", "b"), path)                    // v0
+    // ADD COLUMNS: the full colTypeList grammar (nested struct commas,
+    // COMMENT) through the delegate's parser
+    val r1 = armed.sql(s"ALTER TABLE '$path' ADD COLUMNS " +
+      "(score DOUBLE COMMENT 'quality', meta STRUCT<x: INT, y: STRING>)").head()
+    assert(r1.getString(0) == path && r1.getLong(1) == 2L, s"$r1")
+    val snap1 = PortableDelta.snapshot(spark, path)
+    assert(snap1.schema.fieldNames.toSeq ==
+      Seq("id", "b", "score", "meta"), snap1.schema.treeString)
+    assert(snap1.schema("score").getComment().contains("quality"))
+    // TYPE widening (int -> bigint); non-widening refuses through SQL.
+    // The widening verb gates on delta.enableTypeWidening — set it
+    // through SQL too (property-verb round trip)
+    armed.sql(s"ALTER TABLE '$path' SET TBLPROPERTIES " +
+      "('delta.enableTypeWidening' = 'true')")
+    armed.sql(s"ALTER TABLE '$path' ALTER COLUMN id TYPE BIGINT")
+    assert(PortableDelta.snapshot(spark, path).schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val eN = intercept[Exception](
+      armed.sql(s"ALTER TABLE '$path' ALTER COLUMN b TYPE INT").collect())
+    assert(eN.getMessage.contains("widen"), eN.getMessage)
+    // SET / UNSET TBLPROPERTIES
+    armed.sql(s"ALTER TABLE '$path' SET TBLPROPERTIES (" +
+      "'delta.deletedFileRetentionDuration' = 'interval 48 hours', " +
+      "'graft.note' = 'r17')")
+    val cfg = PortableDelta.smallSnapshot(spark, path).configuration
+    assert(cfg.get("delta.deletedFileRetentionDuration")
+      .contains("interval 48 hours") && cfg.get("graft.note").contains("r17"))
+    armed.sql(s"ALTER TABLE '$path' UNSET TBLPROPERTIES ('graft.note')")
+    assert(!PortableDelta.smallSnapshot(spark, path)
+      .configuration.contains("graft.note"))
+    // RENAME/DROP COLUMN flip the table to column mapping — SQL route
+    armed.sql(s"ALTER TABLE '$path' RENAME COLUMN b TO body")
+    armed.sql(s"ALTER TABLE '$path' DROP COLUMN meta")
+    val snap2 = PortableDelta.snapshot(spark, path)
+    assert(snap2.schema.fieldNames.toSeq == Seq("id", "body", "score"))
+    assert(PortableDelta.readTable(spark, path).orderBy("id")
+      .select("body").collect().map(_.getString(0)).toSeq ==
+      (0 until 10).map(i => s"d$i"),
+      "renamed column must still read the original bytes")
+    // guarded properties refuse through SQL exactly as through the verb
+    val eG = intercept[Exception](armed.sql(
+      s"ALTER TABLE '$path' SET TBLPROPERTIES ('delta.columnMapping.mode' = 'name')"))
+    assert(eG.getMessage.contains("delta.columnMapping.mode"), eG.getMessage)
+  }
+
+  test("ALTER TABLE: constraints, CLUSTER BY, DROP FEATURE, catalog-table target") {
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write((0L until 10L).map(i => (i, i * 2L)).toDF("id", "v"),
+      path)
+    armed.sql("DROP TABLE IF EXISTS alt_t")
+    armed.sql(s"CREATE TABLE alt_t USING `portable-delta` OPTIONS (path '$path')")
+    try {
+      // catalog-NAMED target: ADD CONSTRAINT routes through the verb
+      armed.sql("ALTER TABLE alt_t ADD CONSTRAINT v_even CHECK (v % 2 = 0)")
+      assert(PortableDelta.smallSnapshot(spark, path).configuration
+        .get("delta.constraints.v_even").isDefined)
+      val eV = intercept[Exception](PortableDelta.write(
+        Seq((100L, 3L)).toDF("id", "v"), path, mode = "append"))
+      assert(eV.getMessage.contains("v_even"), eV.getMessage)
+      armed.sql("ALTER TABLE alt_t DROP CONSTRAINT v_even")
+      assert(!PortableDelta.smallSnapshot(spark, path).configuration
+        .contains("delta.constraints.v_even"))
+      // schema change on a catalog-named table: the catalog's stored
+      // schema syncs, so SELECT through the NAME keeps working
+      armed.sql("ALTER TABLE alt_t ADD COLUMN note STRING")
+      assert(armed.sql("SELECT id, note FROM alt_t").count() == 10L,
+        "catalog schema must sync after ALTER ADD COLUMN")
+      // CLUSTER BY publishes clustering columns; NONE clears them
+      armed.sql("ALTER TABLE alt_t CLUSTER BY (id, v)")
+      assert(PortableDelta.describeDetail(spark, path)
+        .clusteringColumns == Seq("id", "v"))
+      armed.sql("ALTER TABLE alt_t CLUSTER BY NONE")
+      assert(PortableDelta.describeDetail(spark, path)
+        .clusteringColumns.isEmpty)
+      // DROP FEATURE: an absent feature refuses by name (the verb's
+      // contract, surfaced through SQL)
+      val eF = intercept[Exception](
+        armed.sql("ALTER TABLE alt_t DROP FEATURE deletionVectors"))
+      assert(eF.getMessage.contains("deletionVectors"), eF.getMessage)
+    } finally armed.sql("DROP TABLE IF EXISTS alt_t")
+    // non-pd targets keep Spark's stock ALTER path untouched
+    val pq = java.nio.file.Files.createTempDirectory("altpq").toString + "/p"
+    Seq((1, "a")).toDF("id", "b").write.parquet(pq)
+    armed.sql("DROP TABLE IF EXISTS alt_plain")
+    armed.sql(s"CREATE TABLE alt_plain USING parquet OPTIONS (path '$pq')")
+    try {
+      armed.sql("ALTER TABLE alt_plain SET TBLPROPERTIES ('x' = 'y')")
+      assert(armed.sql("SHOW TBLPROPERTIES alt_plain")
+        .collect().exists(r => r.getString(0) == "x" && r.getString(1) == "y"),
+        "non-pd ALTER must reach Spark's stock command")
+    } finally armed.sql("DROP TABLE IF EXISTS alt_plain")
   }
 
   test("unknown statements and non-pd targets fall through to the stock parser") {
