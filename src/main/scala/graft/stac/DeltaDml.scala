@@ -288,6 +288,20 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
       var attempt = 0
       var prior = dmlSnapshot(spark, path, keyBounds)
       while (true) {
+        // a CONCURRENT commit may have evolved the table schema after
+        // snap0 pinned validation (source alignment, generated/identity
+        // checks, the src column selection all derive from it) —
+        // proceeding would project rewritten rows through the STALE
+        // schema, silently dropping concurrently-added column values.
+        // Restart the whole merge so validation re-derives; each restart
+        // consumes a retry so racing ALTERs cannot livelock this writer.
+        if (prior.schema.json != snap0.schema.json) {
+          require(maxRetries - attempt > 0,
+            s"MERGE into $path: the table schema changed concurrently " +
+              s"${attempt + 1} time(s) and the retry budget is exhausted")
+          return merge(spark, path, source, keys, whenMatched,
+            insertNotMatched, footerKv, maxRetries - attempt - 1, txn)
+        }
         // idempotence gate (the foreachBatch CDC-upsert contract): an
         // (appId, version) the log carries is a re-delivered batch —
         // skip before any position scan, bitmap, or staging happens
@@ -634,6 +648,23 @@ private[stac] trait DeltaDmlOps extends Serializable { self: PortableDelta.type 
       var attempt = 0
       var prior = dmlSnapshot(spark, path, keyBounds)
       while (true) {
+        // concurrent schema evolution (an ALTER or another mergeSchema
+        // MERGE winning a commit race): tableSchema / genNames /
+        // identNames — and, under mergeSchema, the re-stated metaData —
+        // all derive from snap0. Proceeding on the rebased snapshot
+        // would silently drop concurrently-added column values from
+        // every rewritten row and actively REVERT the concurrent schema
+        // change. Restart the whole merge so validation re-derives from
+        // the fresh schema; each restart consumes a retry so racing
+        // ALTERs cannot livelock this writer.
+        if (prior.schema.json != snap0.schema.json) {
+          require(maxRetries - attempt > 0,
+            s"MERGE into $path: the table schema changed concurrently " +
+              s"${attempt + 1} time(s) and the retry budget is exhausted")
+          return mergeIntoFull(spark, path, source0, keys, matched,
+            notMatched, bySource, footerKv, maxRetries - attempt - 1,
+            txn, mergeSchema)
+        }
         txn.foreach { case (appId, v) =>
           if (prior.txns.get(appId).exists(_ >= v))
             return MergeStats(prior.version, 0L, 0L, 0L)

@@ -391,4 +391,95 @@ class MergeIntoSpec extends AnyFunSuite {
     assert(PortableDelta.snapshot(spark, path).version == 0L,
       "refusals must not commit")
   }
+
+  test("commit race vs concurrent ALTER: the merge restarts on the evolved schema") {
+    // the round-17 hazard (ADVICE r16): mergeIntoFull pinned
+    // tableSchema/genNames/identNames from snap0; a rebase after losing
+    // the commit race to a SCHEMA-evolving writer kept projecting
+    // through the stale schema — concurrently-added column values were
+    // dropped from rewritten rows, and with mergeSchema=true the
+    // re-stated metaData actively REVERTED the concurrent ALTER. The
+    // fix restarts the whole merge when the rebased snapshot's schema
+    // differs from snap0's. Reproduced with a LogStore that injects a
+    // real concurrent addColumn commit at the merge's publish instant.
+    val s = spark; import s.implicits._
+    val path = tmp()
+    PortableDelta.write(base(0L until 6L).repartition(2), path)   // v0
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set(GraftLogStore.ImplKey, classOf[RacingLogStore].getName)
+    try {
+      RacingLogStore.hook.set(() => {
+        PortableDelta.addColumn(spark, path, "c_new",
+          org.apache.spark.sql.types.StringType)                  // wins v1
+        ()
+      })
+      // source carries its OWN new column (mergeSchema evolution), so a
+      // stale-schema commit would be doubly wrong: revert c_new AND
+      // stamp a schema lacking it
+      val src = Seq((2L, "up2", 222L, "s2"), (9L, "in9", 999L, "s9"))
+        .toDF("id", "tag", "v", "s_new")
+      // explicit SET/VALUES: the restarted merge revalidates against the
+      // EVOLVED schema, where whole-row clauses would refuse by name
+      // (the source lacks c_new) — exactly the loud restart semantics
+      val srcCols = Map("tag" -> col("s.tag"), "v" -> col("s.v"),
+        "s_new" -> col("s.s_new"))
+      val st = PortableDelta.mergeIntoFull(spark, path, src, Seq("id"),
+        matched = Seq(PortableDelta.MergeMatched("update",
+          set = Some(srcCols))),
+        notMatched = Seq(PortableDelta.MergeNotMatched(
+          values = Some(srcCols + ("id" -> col("s.id"))))),
+        mergeSchema = true)
+      assert(RacingLogStore.hook.get() == null, "the race must have fired")
+      assert(st.updatedRows == 1L && st.insertedRows == 1L, s"$st")
+      val snap = PortableDelta.snapshot(spark, path)
+      assert(snap.version == 2L,
+        s"ALTER v1 + restarted merge v2, got ${snap.version}")
+      assert(snap.schema.fieldNames.toSeq ==
+        Seq("id", "tag", "v", "c_new", "s_new"),
+        s"concurrent c_new must survive AND s_new must evolve: " +
+          snap.schema.fieldNames.toSeq.mkString(","))
+      val rows = PortableDelta.readTable(spark, path)
+        .select("id", "tag", "v", "c_new", "s_new").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3),
+          if (r.isNullAt(4)) null else r.getString(4)))).toMap
+      assert(rows(2L) == (("up2", 222L, null, "s2")),
+        s"updated row drifted: ${rows(2L)}")
+      assert(rows(9L) == (("in9", 999L, null, "s9")),
+        s"inserted row drifted: ${rows(9L)}")
+      assert(rows(0L) == (("a0", 0L, null, null)),
+        s"untouched row drifted: ${rows(0L)}")
+    } finally {
+      RacingLogStore.hook.set(null)
+      hconf.unset(GraftLogStore.ImplKey)
+    }
+  }
+}
+
+/** Test-only [[GraftLogStore]]: on the first publication after [[
+  * RacingLogStore.hook]] is armed, it first runs the hook (which
+  * commits through this same store — re-entrancy guarded), so the
+  * original publication loses the race exactly like a real concurrent
+  * writer. Everything else delegates to the default store. */
+class RacingLogStore extends GraftLogStore {
+  override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path): Boolean = {
+    if (!RacingLogStore.inHook.get()) {
+      val h = RacingLogStore.hook.getAndSet(null)
+      if (h != null) {
+        RacingLogStore.inHook.set(true)
+        try h.run() finally RacingLogStore.inHook.set(false)
+      }
+    }
+    RacingLogStore.delegate.putIfAbsent(fs, tmp, dest)
+  }
+}
+
+object RacingLogStore {
+  private[stac] val delegate = new RenameLogStore
+  private[stac] val hook =
+    new java.util.concurrent.atomic.AtomicReference[Runnable]()
+  private[stac] val inHook: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 }
