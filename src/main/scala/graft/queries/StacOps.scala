@@ -2856,22 +2856,32 @@ object StacOps {
         val out = java.nio.file.Files.createTempDirectory("stac34").toString + "/tbl"
         PortableDelta.write(base.repartition(4), out)                   // v0
         // violating ops must throw, naming the constraint; a silent
-        // success is itself a gate failure
+        // success is itself a gate failure (messages searched through
+        // the cause chain — the SQL route may layer command execution)
         def rejected(name: String)(op: => Unit): Unit = {
           val threw =
             try { op; false }
-            catch { case e: IllegalArgumentException =>
-              require(e.getMessage.contains(name), s"$name: ${e.getMessage}")
+            catch { case e: Exception =>
+              def msgs(t: Throwable): Seq[String] =
+                if (t == null) Nil
+                else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+              require(msgs(e).exists(_.contains(name)),
+                s"$name: ${msgs(e).mkString(" | ")}")
               true }
           require(threw, s"$name: violating operation must be rejected")
         }
-        // a constraint existing rows violate is refused up front
+        // a constraint existing rows violate is refused up front —
+        // driven through SQL (round 17: ALTER TABLE statements route to
+        // the DeltaAlter verbs, refusals preserved)
         rejected("cents_huge") {
-          PortableDelta.addCheckConstraint(s, out, "cents_huge", "cents > 1000000000")
+          s.sql(s"ALTER TABLE '$out' ADD CONSTRAINT cents_huge " +
+            "CHECK (cents > 1000000000)")
+          ()
         }
-        PortableDelta.addCheckConstraint(s, out, "cents_nonneg", "cents >= 0") // v1
+        s.sql(s"ALTER TABLE '$out' ADD CONSTRAINT cents_nonneg " +
+          "CHECK (cents >= 0)")                                          // v1
         PortableDelta.addCheckConstraint(s, out, "status_known",
-          "o_orderstatus IN ('O', 'F', 'P')")                            // v2
+          "o_orderstatus IN ('O', 'F', 'P')")   // v2 — Scala route parity
         require(PortableDelta.snapshot(s, out).minWriterVersion >= 3,
           "CHECK constraints demand the writer-3 protocol level")
         // violating append / UPDATE / MERGE all reject BY NAME, atomically
@@ -3821,6 +3831,108 @@ object StacOps {
           .withColumn("fsck_ok", lit(true))
           .withColumn("manifest_ok", lit(true))
           .orderBy(col("event_type"))
+      },
+      timed = false),
+
+    // ----- batch CDF through the format route (round 17) -----
+    // delta-spark's batch change-feed idiom — spark.read.format(...)
+    // .option("readChangeFeed","true").option("startingVersion",...) —
+    // previously the batch relation SILENTLY IGNORED the option (the
+    // r16 VERDICT's wrong-shape hazard): a user got current rows where
+    // they asked for a change window. Now it routes to the same
+    // distributed readChanges plan the portable_delta_changes TVF
+    // returns. In-gate requires pin three-route parity (option ≡ TVF ≡
+    // Scala API over the FULL window) and the refusal contract (typo'd
+    // option names and CDF bounds without readChangeFeed refuse by
+    // name — never a silent full scan). The value-checked result is a
+    // WINDOWED read (startingVersion=1), so a wrong window resolution
+    // fails the hash; the oracle reconstructs versions 1-3's change
+    // sets with SQL set logic (the stac30 derivation minus v0).
+    QuerySpec(
+      "stac59_batch_cdf",
+      Some("""
+        WITH dead AS (SELECT o_orderkey AS k FROM orders
+                      WHERE o_orderkey % 3 IN (0, 1) AND o_totalprice < 30000),
+             src AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 4 = 0),
+             matched AS (SELECT k FROM src
+                         WHERE k % 3 IN (0, 1)
+                           AND k NOT IN (SELECT k FROM dead)),
+             ch AS (
+               SELECT 1 AS version, 'insert' AS change, o_orderkey AS k
+               FROM orders WHERE o_orderkey % 3 = 1
+               UNION ALL
+               SELECT 2, 'delete', k FROM dead
+               UNION ALL
+               SELECT 3, 'delete', k FROM matched
+               UNION ALL
+               SELECT 3, 'insert', k FROM src)
+        SELECT CAST(version AS BIGINT) AS version, change,
+               count(*) AS n_rows,
+               CAST(sum(k) AS BIGINT) AS key_sum,
+               true AS batch_cdf_ok
+        FROM ch GROUP BY version, change
+        ORDER BY version, change"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val out = java.nio.file.Files.createTempDirectory("stac59").toString + "/tbl"
+        PortableDelta.write(orders.filter(col("o_orderkey") % 3 === 0)
+          .repartition(4), out)                                        // v0
+        PortableDelta.write(orders.filter(col("o_orderkey") % 3 === 1)
+          .repartition(4), out, mode = "append")                       // v1
+        PortableDelta.delete(s, out, col("o_totalprice") < 30000.0)    // v2
+        PortableDelta.merge(s, out,
+          orders.filter(col("o_orderkey") % 4 === 0)
+            .withColumn("o_orderstatus", lit("M")),
+          Seq("o_orderkey"))                                           // v3
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("_commit_version").as("version"),
+            col("_change_type").as("change"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"))
+        def pin(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, Long, Long)] =
+          agg(df).collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+            .sorted.toSeq
+        // three-route parity over the FULL window
+        val viaApi = pin(PortableDelta.readChanges(s, out, 0L, 3L))
+        val viaOpt = pin(s.read.format("portable-delta")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0").option("endingVersion", "3")
+          .load(out))
+        val viaTvf = pin(s.sql(
+          s"SELECT * FROM portable_delta_changes('$out', 0, 3)"))
+        require(viaOpt == viaApi && viaTvf == viaApi,
+          s"batch CDF routes drifted:\n opt=$viaOpt\n tvf=$viaTvf\n api=$viaApi")
+        // refusal contract: CDF-shaped options never silently scan
+        def refuses(msgPart: String)(op: => Unit): Unit = {
+          val threw = try { op; false } catch { case e: Exception =>
+            def msgs(t: Throwable): Seq[String] =
+              if (t == null) Nil
+              else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+            require(msgs(e).exists(_.contains(msgPart)),
+              s"wanted '$msgPart': ${msgs(e).mkString(" | ")}")
+            true }
+          require(threw, s"must refuse ($msgPart), not silently scan")
+        }
+        refuses("readChangeFeed is not enabled")(
+          s.read.format("portable-delta").option("startingVersion", "1")
+            .load(out).collect())
+        refuses("did you mean 'readChangeFeed'")(
+          s.read.format("portable-delta").option("read_change_feed", "true")
+            .option("startingVersion", "0").load(out).collect())
+        refuses("cannot combine with versionAsOf")(
+          s.read.format("portable-delta").option("readChangeFeed", "true")
+            .option("startingVersion", "0").option("versionAsOf", "1")
+            .load(out).collect())
+        // the value-checked read: a WINDOW from v1 (endingVersion
+        // defaults to current) — wrong bound resolution fails the hash
+        agg(s.read.format("portable-delta")
+          .option("readChangeFeed", "true").option("startingVersion", "1")
+          .load(out))
+          .withColumn("batch_cdf_ok", lit(true))
+          .orderBy(col("version"), col("change"))
       },
       timed = false)
   )

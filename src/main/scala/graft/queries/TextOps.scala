@@ -24,6 +24,22 @@ object TextOps {
 
   private val stopwords = Seq("the", "a")
 
+  /** t19's distributed-checkpoint scratch: ONE per-JVM location
+    * (parquet mode=overwrite replaces it each pass) registered for
+    * exit-time cleanup — never a fresh temp dir per pass. */
+  private[queries] lazy val t19Scratch: String = {
+    val d = java.nio.file.Files.createTempDirectory("t19ck")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p); ()
+      }
+      try rm(d) catch { case _: Throwable => () }
+    }))
+    d.toString + "/counts"
+  }
+
   /** Redaction patterns (t10) — a regex subset java.util.regex and RE2
     * evaluate identically, so the same literal serves both engines. */
   private[queries] val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -747,9 +763,10 @@ object TextOps {
         // the bottleneck at a larger gate SF), releases the
         // encoded-vocabulary cache, and re-reads from disk so no
         // per-pass persist leaks into interleaved bench passes (the
-        // round-7 lesson)
-        val out = java.nio.file.Files
-          .createTempDirectory("t19ck").toString + "/counts"
+        // round-7 lesson). ONE fixed per-JVM scratch dir, mode=overwrite
+        // — a fresh createTempDirectory per pass leaked an orphaned
+        // parquet dir per gate/bench run for the life of the host
+        val out = TextOps.t19Scratch
         counts.write.mode("overwrite").parquet(out)
         release()
         s.read.parquet(out).orderBy(col("doc_id"))
