@@ -418,7 +418,10 @@ class PgstacLiveSpec extends AnyFunSuite {
 
   /** A richer items DB for the fuzz leg: 40 rows, NULL datetimes and
     * contents sprinkled, accented/mixed-case collections, day-grid
-    * datetimes so boundary equalities occur. */
+    * datetimes so boundary equalities occur. Round 17: geometry is a
+    * real GeoJSON POINT at (i%10, i/10) — derivable from the id, so the
+    * spatial generator's DuckDB rendering stays INDEPENDENT of the
+    * engine's geometry code (id arithmetic, never WKB). */
   private lazy val fuzzDbPath: String = {
     val path = java.nio.file.Files.createTempDirectory("pgstacfz")
       .resolve("pg.db").toString
@@ -437,7 +440,8 @@ class PgstacLiveSpec extends AnyFunSuite {
         if (i % 13 == 5) "NULL"
         else f"TIMESTAMP '2020-${1 + i % 12}%02d-${1 + (i * 3) % 28 + (i % 2)}%02d 0${i % 10}:00:00'"
       val content = if (i % 8 == 6) "NULL" else s"'{\"n\":$i}'"
-      f"('z$i%02d', 'g', '$coll', $dt, $edt, $content)"
+      val geom = s"""'{"type":"Point","coordinates":[${i % 10},${i / 10}]}'"""
+      f"('z$i%02d', $geom, '$coll', $dt, $edt, $content)"
     }
     st.execute("INSERT INTO items VALUES " + rows.mkString(","))
     st.close(); conn.close()
@@ -445,8 +449,8 @@ class PgstacLiveSpec extends AnyFunSuite {
   }
   private def fuzzUrl = s"jdbc:duckdb:$fuzzDbPath"
 
-  test("delegated search_query() ≡ native Cql2.filter over ~50 fuzzed ASTs " +
-      "(the Cql2FuzzSpec generator through the real wire)") {
+  test("delegated search_query() ≡ native Cql2.filter over ~80 fuzzed ASTs " +
+      "(string/temporal/spatial/arithmetic classes through the real wire)") {
     assume(driverPresent, "no DuckDB JDBC driver jar in the environment")
     import org.scalacheck.{Gen, rng}
     def jq(x: String) = "\"" + x.replace("\\", "\\\\")
@@ -498,8 +502,51 @@ class PgstacLiveSpec extends AnyFunSuite {
         "(content IS NULL)"),
       ("""{"op":"not","args":[{"op":"isNull","args":[{"property":"datetime"}]}]}""",
         "(NOT (datetime IS NULL))"))
+    // ---- round-17 widening: spatial envelopes + arithmetic terms ----
+    // geometry is POINT(i%10, i/10); the independent rendering is pure
+    // id arithmetic (DuckDB never parses geometry). Closed-boundary
+    // semantics on both sides: JTS intersects includes the boundary,
+    // BETWEEN is closed.
+    val px = "(CAST(substr(id, 2) AS INT) % 10)"
+    val py = "(CAST(substr(id, 2) AS INT) // 10)"
+    val genSpatial: Gen[P] = for {
+      x1 <- Gen.choose(-1, 8); dx <- Gen.choose(1, 6)
+      y1 <- Gen.choose(-1, 2); dy <- Gen.choose(1, 3)
+      prop <- Gen.oneOf("geometry", "bbox")
+      neg <- Gen.oneOf(false, true)
+    } yield {
+      val (x2, y2) = (x1 + dx, y1 + dy)
+      val poly = s"""{"type":"Polygon","coordinates":[[[$x1,$y1],[$x2,$y1],""" +
+        s"""[$x2,$y2],[$x1,$y2],[$x1,$y1]]]}"""
+      val inRect = s"($px BETWEEN $x1 AND $x2 AND $py BETWEEN $y1 AND $y2)"
+      if (neg)
+        (s"""{"op":"s_disjoint","args":[{"property":"$prop"},$poly]}""",
+          s"(NOT $inRect)")
+      else
+        (s"""{"op":"s_intersects","args":[{"property":"$prop"},$poly]}""",
+          inRect)
+    }
+    // the promoted numeric property `n` (P1: content properties surface
+    // top-level after normalize) — rendered from content-nullness + id
+    // arithmetic, never the engine's JSON extraction. div renders as
+    // DuckDB's floor-division `//` (≡ truncation for the non-negative
+    // domain here); ^ as pow() — exact doubles at these magnitudes.
+    val nSql = "(CASE WHEN content IS NULL THEN NULL " +
+      "ELSE CAST(substr(id, 2) AS INT) END)"
+    val genArith: Gen[P] = for {
+      (aJson, aSql) <- Gen.oneOf(
+        (s"""{"op":"%","args":[{"property":"n"},7]}""", s"($nSql % 7)"),
+        (s"""{"op":"+","args":[{"op":"*","args":[{"property":"n"},2]},3]}""",
+          s"(($nSql * 2) + 3)"),
+        (s"""{"op":"-","args":[{"property":"n"},20]}""", s"($nSql - 20)"),
+        (s"""{"op":"div","args":[{"property":"n"},4]}""", s"($nSql // 4)"),
+        (s"""{"op":"^","args":[{"property":"n"},2]}""", s"pow($nSql, 2)"))
+      (cop, sop) <- Gen.oneOf(Seq(">" -> ">", "<=" -> "<=", "=" -> "="))
+      k <- Gen.choose(0, 40)
+    } yield (s"""{"op":"$cop","args":[$aJson,$k]}""", s"($aSql $sop $k)")
     val genLeaf: Gen[P] = Gen.frequency(3 -> genColl, 2 -> genDt,
-      2 -> genTemporal, 1 -> genIdLike, 1 -> genIdIn, 1 -> genNullChk)
+      2 -> genTemporal, 1 -> genIdLike, 1 -> genIdIn, 1 -> genNullChk,
+      2 -> genSpatial, 2 -> genArith)
     def genPred(depth: Int): Gen[P] =
       if (depth <= 0) genLeaf
       else Gen.frequency(
@@ -512,7 +559,7 @@ class PgstacLiveSpec extends AnyFunSuite {
             s"(${a._2} OR ${b._2})")),
         1 -> genPred(depth - 1).map(a =>
           (s"""{"op":"not","args":[${a._1}]}""", s"(NOT ${a._2})")))
-    val asts: Seq[P] = (0 until 50).flatMap(i =>
+    val asts: Seq[P] = (0 until 80).flatMap(i =>
       genPred(2).apply(Gen.Parameters.default, rng.Seed(1000L + i)))
 
     def values(df: org.apache.spark.sql.DataFrame): Seq[(String, String, String, String)] =
@@ -522,7 +569,21 @@ class PgstacLiveSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getString(1),
           Option(r.getString(2)).getOrElse("<null>"), r.getString(3)))
         .sortBy(_._1).toSeq
+    // the NATIVE side evaluates over the NORMALIZED item shape the
+    // production pipeline produces: GeoJSON → ISO WKB + bbox struct
+    // (G1/G4) and content properties promoted top-level (P1's `n`) —
+    // spatial and arithmetic CQL2 classes address exactly those columns
+    val toWkbU = org.apache.spark.sql.functions.udf((g: String) =>
+      if (g == null) null else Wkb.geoJsonToWkb(g))
+    val bboxU = org.apache.spark.sql.functions.udf((g: String) =>
+      if (g == null) None
+      else Wkb.bounds(Wkb.geoJsonToWkb(g)).map(t => FuzzBbox(t._1, t._2, t._3, t._4)))
     val native0 = PgstacReader.readItems(spark, fuzzUrl)
+      .withColumn("bbox", bboxU(org.apache.spark.sql.functions.col("geometry")))
+      .withColumn("geometry", toWkbU(org.apache.spark.sql.functions.col("geometry")))
+      .withColumn("n", org.apache.spark.sql.functions
+        .get_json_object(org.apache.spark.sql.functions.col("content"), "$.n")
+        .cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var nonEmpty = 0
@@ -805,3 +866,7 @@ final class GraftRecordingJdbcDriver extends java.sql.Driver {
   override def jdbcCompliant(): Boolean = false
   override def getParentLogger = throw new java.sql.SQLFeatureNotSupportedException()
 }
+
+/** bbox struct shape of the fuzz leg's normalized native frame
+  * (field names are the Cql2 spatial contract: bbox.xmin …). */
+case class FuzzBbox(xmin: Double, ymin: Double, xmax: Double, ymax: Double)
