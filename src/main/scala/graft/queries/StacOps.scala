@@ -3934,6 +3934,91 @@ object StacOps {
           .withColumn("batch_cdf_ok", lit(true))
           .orderBy(col("version"), col("change"))
       },
+      timed = false),
+
+    // ----- CONVERT TO DELTA: adopt a parquet directory in place -----
+    // The migration path delta-spark ships and real users need first:
+    // an existing (here hive-partitioned) parquet directory becomes a
+    // portable-delta table with ONE v0 commit referencing the files
+    // where they sit — zero data bytes move (at 100 TB the conversion
+    // cost is distributed footer reads, never a copy), and stats are
+    // collected from the footers so data skipping works from commit
+    // zero. In-gate requires pin what the oracle can't see: the disk
+    // file set is unchanged, every add carries stats, partition pruning
+    // drops adopted files at planning time, a re-convert refuses by
+    // name, and post-convert DML works (a DELETE lands DVs on adopted
+    // files). The value-checked read replays write → convert → DELETE
+    // relationally in DuckDB.
+    QuerySpec(
+      "stac60_convert_to_delta",
+      Some("""
+        SELECT o_orderstatus AS status, count(*) AS n_rows,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS cents_sum,
+               true AS convert_ok
+        FROM orders WHERE o_orderkey % 9 <> 0
+        GROUP BY o_orderstatus ORDER BY status"""),
+      (s, dir) => {
+        import graft.stac.PortableDelta
+        val orders = Tables.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val out = java.nio.file.Files.createTempDirectory("stac60").toString + "/tbl"
+        // a FOREIGN layout: the stock parquet writer, hive-partitioned
+        orders.repartition(4).write.partitionBy("o_orderstatus").parquet(out)
+        val conf = s.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(out).getFileSystem(conf)
+        def disk: Set[String] = {
+          val it = fs.listFiles(new org.apache.hadoop.fs.Path(out), true)
+          val b = Set.newBuilder[String]
+          while (it.hasNext) {
+            val st = it.next()
+            // FULL path: partitionBy reuses the same part-file NAME
+            // across partition dirs — a name-keyed set under-counts
+            if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                !st.getPath.toString.contains("_delta_log"))
+              b += s"${st.getPath.toUri.getPath}:${st.getLen}"
+          }
+          b.result()
+        }
+        val before = disk
+        // SQL statement route (the gate session carries the parser)
+        val r = s.sql(s"CONVERT TO DELTA parquet.`$out` " +
+          "PARTITIONED BY (o_orderstatus STRING)").head()
+        require(r.getLong(1) == 0L && r.getLong(2) == before.size.toLong,
+          s"convert must commit v0 over all ${before.size} files: $r")
+        require(disk == before,
+          "CONVERT must not move, rewrite, or add any data file")
+        val snap = PortableDelta.snapshot(s, out)
+        require(snap.files.forall(_.stats.isDefined),
+          "every adopted add carries footer-collected stats")
+        // partition pruning over ADOPTED files, at planning time —
+        // assert BEFORE any persist (the in-gate plan-assert rule)
+        val one = s.read.format("portable-delta").load(out)
+          .filter(col("o_orderstatus") === "F")
+        val scans = one.queryExecution.sparkPlan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc }
+        require(scans.size == 1 &&
+          scans.head.selectedPartitions.totalNumberOfFiles < snap.files.size.toLong,
+          "partition pruning must drop adopted files at planning time")
+        // re-converting refuses by name (double-commit hazard)
+        val threw = try { PortableDelta.convertToDelta(s, out); false }
+          catch { case e: IllegalArgumentException =>
+            require(e.getMessage.contains("already carries a _delta_log"))
+            true }
+        require(threw, "re-convert must refuse, not double-commit")
+        // the adopted table is a full citizen: DV DELETE on foreign files
+        PortableDelta.delete(s, out, col("o_orderkey") % 9 === 0)   // v1
+        require(PortableDelta.snapshot(s, out).files.exists(_.dv.isDefined),
+          "post-convert DELETE must land as DVs on the adopted files")
+        PortableDelta.readTable(s, out)
+          .groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("key_sum"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents_sum"))
+          .withColumn("convert_ok", lit(true))
+          .orderBy(col("status"))
+      },
       timed = false)
   )
 }

@@ -735,41 +735,60 @@ private[stac] trait DeltaAlterOps extends Serializable { self: PortableDelta.typ
     * unambiguous per spec). Small-state read; O(1) driver cost. */
   def addColumn(spark: SparkSession, path: String, name: String,
                 dataType: DataType, comment: Option[String] = None,
-                maxRetries: Int = 10): Long = {
+                maxRetries: Int = 10): Long =
+    addColumns(spark, path, Seq((name, dataType, comment)), maxRetries)
+
+  /** Multi-column ADD COLUMNS in ONE commit (delta-spark parity:
+    * `ALTER TABLE t ADD COLUMNS (a INT, b STRING)` is a single metaData
+    * re-statement, never one commit per column — round 17; the
+    * single-column [[addColumn]] delegates here). Per-column rules
+    * unchanged: fields append nullable at the end; on a MAPPED table
+    * each new field is born with a fresh id and a UUID physical name. */
+  def addColumns(spark: SparkSession, path: String,
+                 cols: Seq[(String, DataType, Option[String])],
+                 maxRetries: Int = 10): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(cols.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct.size ==
+      cols.size,
+      s"duplicate column name in ADD COLUMNS (${cols.map(_._1).mkString(", ")})")
     val conf = spark.sessionState.newHadoopConf()
     var attempt = 0
     while (true) {
       val snap = smallSnapshot(spark, path)
       requireWritable(snap, path)
-      require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"column $name already exists in " +
-          snap.schema.fieldNames.mkString("[", ", ", "]"))
-      val mb = new org.apache.spark.sql.types.MetadataBuilder()
-      comment.foreach(mb.putString("comment", _))
+      cols.foreach { case (name, _, _) =>
+        require(!snap.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column $name already exists in " +
+            snap.schema.fieldNames.mkString("[", ", ", "]"))
+      }
+      val mapped = mappedCfg(snap.configuration)
+      var nextId = snap.configuration.get(MaxColumnIdProp)
+        .map(_.toLong).getOrElse(0L)
+      val fields = cols.map { case (name, dataType, comment) =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        comment.foreach(mb.putString("comment", _))
+        if (mapped) {
+          nextId += 1
+          mb.putLong("delta.columnMapping.id", nextId)
+          mb.putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+        }
+        StructField(name, dataType, nullable = true, mb.build())
+      }
+      val cfg =
+        if (mapped) snap.configuration + (MaxColumnIdProp -> nextId.toString)
+        else snap.configuration
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[JsonNode]
+      actions += commitInfo(now,
+        s"ADD COLUMNS (${cols.map(_._1).mkString(", ")})")
       // a COLLATED string column serializes portably via Spark's own
       // StructType JSON (__COLLATIONS metadata); the engine's obligation
       // is declaring the writer feature in the same commit
-      val collated = hasCollatedStrings(dataType)
-      val (field, cfg) =
-        if (!mappedCfg(snap.configuration))
-          (StructField(name, dataType, nullable = true, mb.build()),
-            snap.configuration)
-        else {
-          val maxId = snap.configuration.get(MaxColumnIdProp)
-            .map(_.toLong).getOrElse(0L) + 1
-          mb.putLong("delta.columnMapping.id", maxId)
-          mb.putString("delta.columnMapping.physicalName",
-            s"col-${java.util.UUID.randomUUID()}")
-          (StructField(name, dataType, nullable = true, mb.build()),
-            snap.configuration + (MaxColumnIdProp -> maxId.toString))
-        }
-      val now = System.currentTimeMillis()
-      val actions = Seq.newBuilder[JsonNode]
-      actions += commitInfo(now, s"ADD COLUMNS ($name)")
-      if (collated)
+      if (cols.exists(c => hasCollatedStrings(c._2)))
         featureUpgradeAction(snap, Nil, Seq("collations")).foreach(actions += _)
       actions += metaDataAction(snap.tableId,
-        StructType(snap.schema.fields :+ field), cfg, now,
+        StructType(snap.schema.fields.toSeq ++ fields), cfg, now,
         snap.partitionColumns)
       try {
         commit(conf, path, snap.version + 1, actions.result(), cfg)
@@ -779,8 +798,8 @@ private[stac] trait DeltaAlterOps extends Serializable { self: PortableDelta.typ
           attempt += 1
           if (attempt > maxRetries)
             throw new IllegalStateException(
-              s"addColumn($name) on $path lost the commit race " +
-                s"$attempt times (last: ${e.getMessage})", e)
+              s"addColumns(${cols.map(_._1).mkString(", ")}) on $path lost " +
+                s"the commit race $attempt times (last: ${e.getMessage})", e)
       }
     }
     throw new IllegalStateException("unreachable")

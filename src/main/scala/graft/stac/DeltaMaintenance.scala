@@ -1261,6 +1261,151 @@ private[stac] trait DeltaMaintenanceOps extends Serializable { self: PortableDel
     }
   }
 
+  /** CONVERT TO DELTA — adopt an existing parquet directory (flat or
+    * hive-partitioned) into the portable Delta log IN PLACE, the
+    * delta-spark migration verb: ONE v0 commit whose adds reference the
+    * existing files where they sit (zero data bytes move or rewrite —
+    * at 100 TB the conversion cost is footer reads, never a copy),
+    * with per-file stats collected DISTRIBUTED from the parquet footers
+    * ([[DeltaStats.collectFileStats]] — the same numRecords/min/max/
+    * nullCount every written table gets, so data skipping and
+    * metadata-only aggregates work from commit zero).
+    *
+    *   - `partitionSchema`: REQUIRED when the layout is hive-
+    *     partitioned (delta-spark's PARTITIONED BY rule — directory
+    *     names alone cannot recover types); its columns must cover
+    *     exactly the `col=value` directory levels and must not collide
+    *     with data columns. `__HIVE_DEFAULT_PARTITION__` reads as null.
+    *   - The data schema is the union-merged footer schema
+    *     (mergeSchema read over the file list — a one-time cost the
+    *     migration justifies), nullable-on-read like every table here.
+    *   - Refusals by name: an existing `_delta_log` (nothing to
+    *     convert — and silently re-committing adds would double the
+    *     table), partition directories without a declared schema,
+    *     declared partition columns absent from the layout.
+    *
+    * Returns the committed version (always 0). The directory becomes a
+    * normal portable-delta table: every verb, the format route, SQL,
+    * and streaming sources work on it from then on. */
+  def convertToDelta(spark: SparkSession, path: String,
+                     partitionSchema: Option[StructType] = None,
+                     properties: Map[String, String] = Map.empty): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root) && fs.getFileStatus(root).isDirectory,
+      s"CONVERT TO DELTA: $path is not a directory")
+    require(!fs.exists(logDir(path)),
+      s"CONVERT TO DELTA: $path already carries a _delta_log — it is " +
+        "already a Delta table (nothing to convert; re-converting would " +
+        "double-commit its files)")
+    propertyFeatures(properties)
+    // recursive listing of visible *.parquet files; hidden/underscore
+    // dirs and files (_SUCCESS, .crc) are out of scope
+    val rootUri = root.toUri.getPath.stripSuffix("/") + "/"
+    def relOf(p: Path): String = {
+      val s = p.toUri.getPath
+      require(s.startsWith(rootUri), s"file $s escapes the table root $rootUri")
+      s.substring(rootUri.length)
+    }
+    val files = {
+      val it = fs.listFiles(root, true)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = relOf(st.getPath)
+        val segs = rel.split('/')
+        val visible = !segs.exists(s => s.startsWith(".") || s.startsWith("_"))
+        if (st.isFile && visible && rel.endsWith(".parquet")) b += st
+      }
+      b.result()
+    }
+    require(files.nonEmpty, s"CONVERT TO DELTA: no parquet files under $path")
+    // hive partition parsing from each file's directory levels
+    def unescape(s: String): String =
+      try org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(s)
+      catch { case _: Throwable => s }
+    val partCols: Seq[String] =
+      partitionSchema.map(_.fieldNames.toSeq).getOrElse(Nil)
+    val parsed: Seq[(org.apache.hadoop.fs.FileStatus, String, Map[String, String])] =
+      files.map { st =>
+        val rel = relOf(st.getPath)
+        val dirs = rel.split('/').dropRight(1).toSeq
+        val pv = dirs.flatMap { d =>
+          val i = d.indexOf('=')
+          if (i <= 0) None
+          else Some(unescape(d.substring(0, i)) -> unescape(d.substring(i + 1)))
+        }.toMap
+        (st, rel, pv)
+      }
+    val seenKeys = parsed.flatMap(_._3.keys).distinct.sorted
+    if (partCols.isEmpty)
+      require(seenKeys.isEmpty,
+        s"CONVERT TO DELTA: $path is hive-partitioned " +
+          s"(${seenKeys.mkString(", ")}) — declare the partition schema " +
+          "(PARTITIONED BY (col type, ...)): directory names alone cannot " +
+          "recover the column types")
+    else {
+      val missing = parsed.filter(p => !partCols.forall(p._3.contains))
+      require(missing.isEmpty,
+        s"CONVERT TO DELTA: declared partition column(s) " +
+          partCols.filterNot(c => missing.head._3.contains(c)).mkString(", ") +
+          s" missing from the layout of ${missing.head._2}")
+      val extra = seenKeys.filterNot(partCols.contains)
+      require(extra.isEmpty,
+        s"CONVERT TO DELTA: layout carries partition level(s) " +
+          s"${extra.mkString(", ")} the declared schema does not")
+    }
+    // data schema: union-merged footers over the FILE LIST (one read,
+    // never one frame per file); partition dirs are NOT read as columns
+    val dataSchema = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.getPath.toString): _*).schema
+    partCols.foreach(c => require(!dataSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"CONVERT TO DELTA: partition column $c collides with a data column " +
+        "in the parquet files"))
+    val tableSchema = StructType(
+      dataSchema.fields.toSeq ++ partitionSchema.map(_.fields.toSeq).getOrElse(Nil))
+    // per-file stats, distributed from footers
+    val statsByName = DeltaStats.collectFileStats(spark, path,
+      parsed.map(_._2), tableSchema, properties)
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[JsonNode]
+    actions += commitInfo(now, "CONVERT",
+      Map("numConvertedFiles" -> files.size.toLong))
+    // protocol: the create-path rule — features implied by properties or
+    // by the adopted schema declare in the same commit
+    val ntz = (if (containsNtz(tableSchema)) Seq("timestampNtz") else Nil) ++
+      (if (containsVariant(tableSchema)) Seq("variantType") else Nil)
+    val born = cfgWriterFeatures(properties) ++
+      (if (hasCollatedStrings(tableSchema)) Seq("collations") else Nil)
+    if (born.isEmpty && ntz.isEmpty) actions += protocolAction()
+    else {
+      val base = Snapshot(-1L, MinReaderVersion, MinWriterVersion, "",
+        tableSchema, Map.empty, Nil)
+      actions += featureUpgradeAction(base,
+        ntz ++ cfgReaderFeatures(properties), born ++ ntz).get
+    }
+    actions += metaDataAction(java.util.UUID.randomUUID().toString,
+      tableSchema, properties, now, partCols)
+    parsed.foreach { case (st, rel, pv) =>
+      val r = mapper.createObjectNode()
+      val b = r.putObject("add")
+      b.put("path", rel)
+      putPartitionValues(b, partCols.map(c =>
+        c -> (if (pv(c) == DefaultPartitionName) null else pv(c))).toMap)
+      b.put("size", st.getLen)
+      b.put("modificationTime", st.getModificationTime)
+      b.put("dataChange", true)
+      statsByName.get(rel).foreach(b.put("stats", _))
+      actions += r
+    }
+    commit(conf, path, 0L, actions.result(), properties)
+    0L
+  }
+
+  private[stac] val DefaultPartitionName = "__HIVE_DEFAULT_PARTITION__"
+
   /** The commitInfo (operation, timestamp) of one JSON commit file. */
   private[stac] def commitInfoOf(fs: org.apache.hadoop.fs.FileSystem,
                            p: Path): (String, Long) = {

@@ -108,6 +108,11 @@ class ResolveDeltaTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
   *   ALTER TABLE t ADD CONSTRAINT name CHECK (expr)  |  DROP CONSTRAINT name
   *   ALTER TABLE t CLUSTER BY (c1, c2)  |  CLUSTER BY NONE
   *   ALTER TABLE t DROP FEATURE name [TRUNCATE HISTORY]
+  *   CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (col type, …)]
+  *   DESCRIBE HISTORY t  |  DESCRIBE DETAIL t
+  *   SHOW TBLPROPERTIES t [('key')]       (answers from the LOG)
+  *   FSCK REPAIR TABLE t [DRY RUN]
+  *   GENERATE symlink_format_manifest FOR TABLE t
   *
   * Each routes to the existing verb ([[PortableDelta.optimizeCompact]]
   * / [[PortableDelta.optimizeZOrder]] / [[PortableDelta.vacuum]] /
@@ -201,6 +206,30 @@ object GraftSqlParser {
   private val PropPair =
     """('[^']*'|"[^"]*"|[\w.\-]+)\s*=\s*('[^']*'|"[^"]*"|[\w.\-]+)""".r
   private val PropKey = """('[^']*'|"[^"]*"|[\w.\-]+)""".r
+  // CONVERT TO DELTA parquet.`/path` [PARTITIONED BY (col type, ...)]
+  // — the target is a PATH (there is no catalog entry yet); identifier
+  // targets fall through to the stock parse error
+  private val ConvertToDelta =
+    ("""(?is)^\s*CONVERT\s+TO\s+DELTA\s+(?:parquet\s*\.\s*)?""" +
+      """('[^']*'|`[^`]*`)(?:\s+PARTITIONED\s+BY\s*\((.+)\))?\s*;?\s*$""").r
+  // DESCRIBE HISTORY / DESCRIBE DETAIL — delta-spark's statements (the
+  // TVFs remain; the statements are the documented delta syntax)
+  private val DescHistory =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$AlterTarget\\s*;?\\s*$$""".r
+  private val DescDetail =
+    s"""(?is)^\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$AlterTarget\\s*;?\\s*$$""".r
+  // SHOW TBLPROPERTIES over a portable-delta target answers from the
+  // LOG's configuration (delta-spark behavior) — the catalog copy only
+  // carries creation-time options
+  private val ShowProps =
+    (s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+$AlterTarget""" +
+      """(?:\s*\(\s*('[^']*'|"[^"]*"|[\w.\-]+)\s*\))?\s*;?\s*$""").r
+  private val Fsck =
+    (s"""(?is)^\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$AlterTarget""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val GenManifest =
+    ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
+      s"""$AlterTarget\\s*;?\\s*$$""").r
 
   private[stac] def maybeParse(spark: SparkSession, delegate: ParserInterface,
                                sql: String): Option[LogicalPlan] = sql match {
@@ -279,6 +308,21 @@ object GraftSqlParser {
       alterCmd(spark, target, s"DROP COLUMN ${cols.mkString(",")}") { (s, path) =>
         cols.map(c => PortableDelta.dropColumn(s, path, c)).last
       }
+    case ConvertToDelta(target, partS) =>
+      val ps = Option(partS).map(delegate.parseTableSchema)
+      Some(PortableDeltaConvertCommand(stripQuotes(target), ps))
+    case DescHistory(target) =>
+      resolveTarget(spark, target).map(PortableDeltaHistoryCommand(_))
+    case DescDetail(target) =>
+      resolveTarget(spark, target).map(PortableDeltaDetailCommand(_))
+    case ShowProps(target, keyS) =>
+      resolveTarget(spark, target).map(p =>
+        PortableDeltaShowPropsCommand(p, Option(keyS).map(stripQuotes)))
+    case Fsck(target, dry) =>
+      resolveTarget(spark, target).map(p =>
+        PortableDeltaFsckCommand(p, dryRun = dry != null))
+    case GenManifest(target) =>
+      resolveTarget(spark, target).map(PortableDeltaGenManifestCommand(_))
     case Restore(target, kind, value) =>
       resolveTarget(spark, target).map { path =>
         if (kind.equalsIgnoreCase("VERSION"))
@@ -322,18 +366,17 @@ object GraftSqlParser {
   /** ADD COLUMN(S): the column list parses through the DELEGATE's
     * colTypeList grammar (nested STRUCT<...> commas, COMMENT clauses) —
     * but only AFTER the target resolves to a portable-delta table, so a
-    * malformed list on a foreign table keeps the stock parse error. One
-    * [[PortableDelta.addColumn]] commit per column, in statement
-    * order. */
+    * malformed list on a foreign table keeps the stock parse error.
+    * ONE [[PortableDelta.addColumns]] commit for the whole list
+    * (delta-spark parity). */
   private def alterAddColumns(spark: SparkSession, delegate: ParserInterface,
                               target: String, colDefs: String): Option[LogicalPlan] =
     resolveTargetIdent(spark, target).map { case (path, ident) =>
       PortableDeltaAlterCommand(path, ident, "ADD COLUMNS",
         (s: SparkSession, p: String) => {
           val cols = delegate.parseTableSchema(colDefs)
-          require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
-          cols.fields.map(f => PortableDelta.addColumn(s, p, f.name,
-            f.dataType, comment = f.getComment())).last
+          PortableDelta.addColumns(s, p, cols.fields.toSeq.map(f =>
+            (f.name, f.dataType, f.getComment())))
         })
     }
 
@@ -404,6 +447,140 @@ private[stac] final case class PortableDeltaAlterCommand(
 
   override def toString: String =
     s"PortableDeltaAlterCommand[$tablePath, $verb]"
+}
+
+/** Planned `SHOW TBLPROPERTIES` over a portable-delta target — answers
+  * from the LOG's configuration (the delta-spark semantics; the
+  * catalog copy only ever carries creation-time options). A named key
+  * returns its row alone; a missing named key errors by name (the
+  * stock SHOW behavior). */
+private[stac] final case class PortableDeltaShowPropsCommand(
+    tablePath: String, key: Option[String]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cfg = PortableDelta.smallSnapshot(spark, tablePath).configuration
+    key match {
+      case Some(k) =>
+        val v = cfg.getOrElse(k, throw new IllegalArgumentException(
+          s"table property $k is not set on $tablePath"))
+        Seq(Row(k, v))
+      case None => cfg.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+}
+
+/** Planned `FSCK REPAIR TABLE … [DRY RUN]` — drop log references to
+  * vanished data files ([[PortableDelta.fsckRepair]]); DRY RUN lists
+  * without committing. One row per broken file (delta-spark's shape). */
+private[stac] final case class PortableDeltaFsckCommand(
+    tablePath: String, dryRun: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("removed", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = PortableDelta.fsckRepair(spark, tablePath, dryRun = dryRun)
+    if (!dryRun) DmlCacheDrop(spark, tablePath)
+    dropped.sorted.map(Row(_, !dryRun))
+  }
+}
+
+/** Planned `GENERATE symlink_format_manifest FOR TABLE …` — one row per
+  * manifest directory written ([[PortableDelta.generateSymlinkManifest]]). */
+private[stac] final case class PortableDeltaGenManifestCommand(
+    tablePath: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifest_dir", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    PortableDelta.generateSymlinkManifest(spark, tablePath)
+      .sorted.map(Row(_))
+}
+
+/** Planned `CONVERT TO DELTA [parquet.]'<path>' [PARTITIONED BY …]` —
+  * adopt an existing parquet directory into the portable Delta log in
+  * place ([[PortableDelta.convertToDelta]]: one v0 commit referencing
+  * the files, footer-collected stats, zero data movement). Result row:
+  * (path, version, num_converted_files). */
+private[stac] final case class PortableDeltaConvertCommand(
+    tablePath: String, partitionSchema: Option[StructType])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_converted_files", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = PortableDelta.convertToDelta(spark, tablePath, partitionSchema)
+    val n = PortableDelta.snapshot(spark, tablePath).files.size.toLong
+    Seq(Row(tablePath, v, n))
+  }
+}
+
+/** Planned `DESCRIBE HISTORY` — the commit record (ICT-aware,
+  * truncation-surviving), the statement form of the
+  * `portable_delta_history` TVF. */
+private[stac] final case class PortableDeltaHistoryCommand(tablePath: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("timestamp",
+      org.apache.spark.sql.types.TimestampType)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    PortableDelta.history(spark.sessionState.newHadoopConf(), tablePath)
+      .sortBy(-_._1)
+      .map { case (v, op, tsMs) =>
+        Row(v, op, new java.sql.Timestamp(tsMs))
+      }
+}
+
+/** Planned `DESCRIBE DETAIL` — delta-spark's column set
+  * ([[PortableDelta.describeDetail]]; numFiles/sizeInBytes O(1) from
+  * the version checksum when present), the statement form of the
+  * `portable_delta_detail` TVF. */
+private[stac] final case class PortableDeltaDetailCommand(tablePath: String)
+    extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.types.{ArrayType, IntegerType => IntT, MapType, TimestampType}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("id", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("createdAt", TimestampType)(),
+    AttributeReference("lastModified", TimestampType)(),
+    AttributeReference("partitionColumns",
+      ArrayType(StringType, containsNull = false))(),
+    AttributeReference("clusteringColumns",
+      ArrayType(StringType, containsNull = false))(),
+    AttributeReference("numFiles", LongType, nullable = false)(),
+    AttributeReference("sizeInBytes", LongType, nullable = false)(),
+    AttributeReference("properties",
+      MapType(StringType, StringType, valueContainsNull = false))(),
+    AttributeReference("minReaderVersion", IntT, nullable = false)(),
+    AttributeReference("minWriterVersion", IntT, nullable = false)(),
+    AttributeReference("tableFeatures",
+      ArrayType(StringType, containsNull = false))())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val d = PortableDelta.describeDetail(spark, tablePath)
+    Seq(Row(d.format, d.id, d.location,
+      d.createdAt.map(ms => new java.sql.Timestamp(ms)).orNull,
+      d.lastModified.map(ms => new java.sql.Timestamp(ms)).orNull,
+      d.partitionColumns, d.clusteringColumns, d.numFiles, d.sizeInBytes,
+      d.properties, d.minReaderVersion, d.minWriterVersion, d.tableFeatures))
+  }
 }
 
 /** Planned `OPTIMIZE` — compaction ([[PortableDelta.optimizeCompact]],

@@ -203,10 +203,10 @@ class DeltaSqlExtrasSpec extends AnyFunSuite {
     PortableDelta.write((0L until 10L).map(i =>
       (i.toInt, s"d$i")).toDF("id", "b"), path)                    // v0
     // ADD COLUMNS: the full colTypeList grammar (nested struct commas,
-    // COMMENT) through the delegate's parser
+    // COMMENT) through the delegate's parser — ONE commit for the list
     val r1 = armed.sql(s"ALTER TABLE '$path' ADD COLUMNS " +
       "(score DOUBLE COMMENT 'quality', meta STRUCT<x: INT, y: STRING>)").head()
-    assert(r1.getString(0) == path && r1.getLong(1) == 2L, s"$r1")
+    assert(r1.getString(0) == path && r1.getLong(1) == 1L, s"$r1")
     val snap1 = PortableDelta.snapshot(spark, path)
     assert(snap1.schema.fieldNames.toSeq ==
       Seq("id", "b", "score", "meta"), snap1.schema.treeString)
