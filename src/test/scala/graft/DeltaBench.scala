@@ -98,6 +98,22 @@ object DeltaBench {
         val st = PortableDelta.optimizeCompact(spark, t)
         require(st.removedFiles > 0 && st.purgedDvRows > 0)
       }
+      // CONVERT TO DELTA (round 17): adopt a hive-partitioned parquet
+      // layout in place — the probe's cost is listing + distributed
+      // footer reads + one JSON append, NEVER data bytes; the decade
+      // rows prove it tracks file count, not table size
+      results("convert_inplace") = timeVerb("convert_inplace") { () =>
+        val out = java.nio.file.Files
+          .createTempDirectory("dbench-cvt").toString + "/tbl"
+        orders.repartition(8).write.partitionBy("status").parquet(out)
+        out
+      } { t =>
+        PortableDelta.convertToDelta(spark, t, Some(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("status",
+              org.apache.spark.sql.types.StringType)))))
+        require(PortableDelta.snapshot(spark, t).files.nonEmpty)
+      }
       results("checkpoint_v2") = timeVerb("checkpoint_v2") { () =>
         val t = fresh("ck")
         PortableDelta.write(orders.limit(1000), t, mode = "append")
