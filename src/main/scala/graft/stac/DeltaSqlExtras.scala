@@ -109,6 +109,7 @@ class ResolveDeltaTimeTravel(spark: SparkSession) extends Rule[LogicalPlan] {
   *   ALTER TABLE t CLUSTER BY (c1, c2)  |  CLUSTER BY NONE
   *   ALTER TABLE t DROP FEATURE name [TRUNCATE HISTORY]
   *   CONVERT TO DELTA parquet.`<path>` [PARTITIONED BY (col type, …)]
+  *   CREATE TABLE '<dst path>' SHALLOW CLONE t [VERSION|TIMESTAMP AS OF …]
   *   DESCRIBE HISTORY t  |  DESCRIBE DETAIL t
   *   SHOW TBLPROPERTIES t [('key')]       (answers from the LOG)
   *   FSCK REPAIR TABLE t [DRY RUN]
@@ -230,6 +231,13 @@ object GraftSqlParser {
   private val GenManifest =
     ("""(?is)^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+""" +
       s"""$AlterTarget\\s*;?\\s*$$""").r
+  // CREATE TABLE '<dst path>' SHALLOW CLONE <src> [VERSION|TIMESTAMP AS OF …]
+  // — the destination is a PATH (no catalog management here); the
+  // source may be a catalog table or a path
+  private val ShallowClone =
+    ("""(?is)^\s*CREATE\s+TABLE\s+('[^']*'|`[^`]*`)\s+SHALLOW\s+CLONE\s+""" +
+      s"""$AlterTarget(?:\\s+(VERSION|TIMESTAMP)\\s+AS\\s+OF\\s+(.+?))?""" +
+      """\s*;?\s*$""").r
 
   private[stac] def maybeParse(spark: SparkSession, delegate: ParserInterface,
                                sql: String): Option[LogicalPlan] = sql match {
@@ -323,6 +331,23 @@ object GraftSqlParser {
         PortableDeltaFsckCommand(p, dryRun = dry != null))
     case GenManifest(target) =>
       resolveTarget(spark, target).map(PortableDeltaGenManifestCommand(_))
+    case ShallowClone(dst, srcT, kind, value) =>
+      resolveTarget(spark, srcT).map { src =>
+        val (v, ts) = Option(kind) match {
+          case None => (None, None)
+          case Some(k) if k.equalsIgnoreCase("VERSION") =>
+            (Some(value.trim.toLong), None)
+          case Some(_) =>
+            val raw = value.trim
+            val ms =
+              if (!raw.startsWith("'") && !raw.startsWith("`") &&
+                  raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+              else PortableDeltaRelation.parseTsMillis(stripQuotes(raw),
+                "SHALLOW CLONE ... TIMESTAMP AS OF")
+            (None, Some(ms))
+        }
+        PortableDeltaCloneCommand(src, stripQuotes(dst), v, ts)
+      }
     case Restore(target, kind, value) =>
       resolveTarget(spark, target).map { path =>
         if (kind.equalsIgnoreCase("VERSION"))
@@ -502,6 +527,32 @@ private[stac] final case class PortableDeltaGenManifestCommand(
   override def run(spark: SparkSession): Seq[Row] =
     PortableDelta.generateSymlinkManifest(spark, tablePath)
       .sorted.map(Row(_))
+}
+
+/** Planned `CREATE TABLE '<dst>' SHALLOW CLONE <src> [VERSION|
+  * TIMESTAMP AS OF …]` — zero-copy snapshot via absolute-path adds
+  * ([[PortableDelta.cloneShallow]]; the stac35 contract: no data bytes
+  * move, the clone is independently writable, the source is never
+  * touched). Result row: (source, target, version). */
+private[stac] final case class PortableDeltaCloneCommand(
+    sourcePath: String, targetPath: String,
+    versionAsOf: Option[Long], tsMillis: Option[Long])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("target", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = tsMillis match {
+      case Some(ms) =>
+        PortableDelta.cloneShallowAtTimestamp(spark, sourcePath, targetPath, ms)
+      case None =>
+        PortableDelta.cloneShallow(spark, sourcePath, targetPath, versionAsOf)
+    }
+    Seq(Row(sourcePath, targetPath, v))
+  }
 }
 
 /** Planned `CONVERT TO DELTA [parquet.]'<path>' [PARTITIONED BY …]` —

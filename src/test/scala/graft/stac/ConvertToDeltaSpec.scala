@@ -205,6 +205,28 @@ class ConvertToDeltaSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE statement: zero-copy, time-travel source") {
+    val s = spark; import s.implicits._
+    val src = tmp()
+    PortableDelta.write((0L until 30L).map(i => (i, s"d$i")).toDF("id", "b"),
+      src)                                                         // v0
+    PortableDelta.delete(spark, src, col("id") < 10L)              // v1
+    val dst = tmp()
+    val r = armed.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$src'").head()
+    assert(r.getString(0) == src && r.getString(1) == dst)
+    assert(PortableDelta.readTable(spark, dst).count() == 20L)
+    // zero-copy: no parquet bytes under the clone root
+    assert(diskParquet(dst).isEmpty, "SHALLOW CLONE must move no data")
+    // VERSION AS OF clones the pre-delete state
+    val dst0 = tmp()
+    armed.sql(s"CREATE TABLE '$dst0' SHALLOW CLONE '$src' VERSION AS OF 0")
+    assert(PortableDelta.readTable(spark, dst0).count() == 30L)
+    // an occupied destination refuses by name
+    val e = intercept[Exception](armed.sql(
+      s"CREATE TABLE '$dst' SHALLOW CLONE '$src'"))
+    assert(e.getMessage.contains("already holds a Delta table"), e.getMessage)
+  }
+
   test("single-commit ADD COLUMNS (delta parity: one metaData re-statement)") {
     val s = spark; import s.implicits._
     val path = tmp()
