@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -15,12 +14,15 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale shape (100 TB): the ONLY corpus-sized pass is the word-frequency
   * aggregate (one hash-agg). Training then operates on the WORD
-  * VOCABULARY — distinct words × average word length symbol rows, orders
-  * of magnitude smaller than the corpus — with per-round lineage
-  * truncated (the d16/ConnectedComponents discipline: persist the round,
-  * `createDataFrame(rdd, schema)` over its cache) so k merge rounds stay
-  * O(1) plan depth. Per round, exactly ONE driver-side row moves (the
-  * argmax pair).
+  * VOCABULARY — one row per distinct word carrying its symbol sequence
+  * as an ARRAY column. Applying a merge is a pure per-row fold over that
+  * array (zero shuffles — r18 replaced the row-per-symbol layout whose
+  * applyMerge cost 3 window shuffles + 2 shuffle joins per round), and
+  * pair counting is one explode + partial-agg shuffle of (sym_a, sym_b)
+  * pair counts. Per round, exactly ONE driver-side row moves (the argmax
+  * pair). Lineage is re-anchored (persist + RDD truncation, the d16
+  * discipline) every [[AnchorEvery]] rounds so a large merge budget
+  * keeps O(1) plan depth without paying a materialization job per round.
   *
   * Merge-application semantics match the reference implementation:
   * adjacent pair counts include overlapping occurrences ("aaa" counts
@@ -31,60 +33,61 @@ object Bpe {
 
   val EndOfWord = "</w>"
 
+  /** Rounds between lineage re-anchors (persist + truncate): small
+    * merge budgets (the gate's 8) chain lazily with zero extra jobs;
+    * large ones stay O(AnchorEvery) plan depth. */
+  private val AnchorEvery = 16
+
   /** (word, freq) over whitespace tokens — the one corpus-sized pass. */
   def wordVocab(docs: DataFrame, textName: String = "text"): DataFrame =
     docs.select(explode(split(col(textName), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Initial symbol rows (word, freq, pos, sym): one row per character
-    * plus the terminal [[EndOfWord]] marker. */
-  private[graft] def initSeqs(vocab: DataFrame): DataFrame =
+  /** (word, freq, syms): the symbol sequence as an array — one element
+    * per character plus the terminal [[EndOfWord]] marker. (Spark's
+    * split keeps the trailing zero-width match → one empty string at
+    * the end; filter it, the marker takes that slot.) */
+  private[graft] def initSyms(vocab: DataFrame): DataFrame =
     vocab.select(col("word"), col("freq"),
-        posexplode(split(col("word"), "(?!^)")).as(Seq("pos", "sym")))
-      // Spark's split keeps the trailing zero-width match → one empty
-      // string at pos = length(word); drop it (the marker takes that pos)
-      .filter(col("sym") =!= "")
-      .unionByName(vocab.select(col("word"), col("freq"),
-        length(col("word")).as("pos"), lit(EndOfWord).as("sym")))
+      concat(
+        filter(split(col("word"), "(?!^)"), s => s =!= ""),
+        array(lit(EndOfWord))).as("syms"))
 
   /** Adjacent-pair frequencies of the current sequences:
     * (sym_a, sym_b, cnt) — overlapping occurrences all count, weighted
-    * by word frequency. */
+    * by word frequency. One explode + one partially-aggregated shuffle
+    * of pair counts; the arrays never leave their scan task. */
   private[graft] def pairCounts(seqs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("word").orderBy("pos")
-    seqs.withColumn("nxt", lead(col("sym"), 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .groupBy(col("sym").as("sym_a"), col("nxt").as("sym_b"))
+    val n = size(col("syms"))
+    seqs.select(col("freq"),
+        explode(zip_with(
+          slice(col("syms"), lit(1), n - 1),
+          slice(col("syms"), lit(2), n - 1),
+          (x, y) => struct(x.as("sym_a"), y.as("sym_b")))).as("p"))
+      .groupBy(col("p.sym_a").as("sym_a"), col("p.sym_b").as("sym_b"))
       .agg(sum("freq").as("cnt"))
   }
 
   /** Merge every greedy-leftmost occurrence of the adjacent pair (a, b)
-    * in each word's symbol sequence. Within a run of consecutive
-    * matches (only possible when a == b), the 1st, 3rd, … are taken —
-    * exactly the reference's left-to-right non-overlapping scan. */
-  private[graft] def applyMerge(seqs: DataFrame, a: String, b: String): DataFrame = {
-    val w = Window.partitionBy("word").orderBy("pos")
-    val r = seqs.select(col("word"), col("freq"), col("pos"), col("sym"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("nxt", lead(col("sym"), 1).over(w))
-    val taken = r.filter(col("sym") === lit(a) && col("nxt") === lit(b))
-      .select(col("word").as("mw"), col("rn").as("mrn"))
-      .withColumn("grp",
-        col("mrn") - row_number().over(Window.partitionBy("mw").orderBy("mrn")))
-      .withColumn("j",
-        row_number().over(Window.partitionBy("mw", "grp").orderBy("mrn")))
-      .filter(col("j") % 2 === 1)
-      .select(col("mw"), col("mrn"))
-    r.join(taken.select(col("mw").as("tw"), col("mrn").as("trn")),
-        r("word") === col("tw") && r("rn") === col("trn"), "left")
-      .join(taken.select(col("mw").as("cw"), col("mrn").as("crn")),
-        r("word") === col("cw") && r("rn") === col("crn") + 1, "left")
-      .filter(col("crn").isNull) // consumed second halves drop
-      .select(col("word"), col("freq"), col("pos"),
-        when(col("trn").isNotNull, concat(col("sym"), col("nxt")))
-          .otherwise(col("sym")).as("sym"))
-  }
+    * in one symbol array — a pure per-row left fold, no shuffle. Within
+    * a run of consecutive matches (only possible when a == b) the 1st,
+    * 3rd, … are taken — exactly the reference's left-to-right
+    * non-overlapping scan: a merged token is strictly longer than `a`,
+    * so it can never match as the left half of another merge in the
+    * same round, which is precisely the "consumed" rule. */
+  private[graft] def mergeSyms(syms: Column, a: String, b: String): Column =
+    aggregate(syms,
+      typedLit(Array.empty[String]),
+      (acc, s) =>
+        when(get(acc, size(acc) - 1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Row-frame adapter over [[mergeSyms]] (kept for spec parity with the
+    * trainer loop: one projection, nothing else). */
+  private[graft] def applyMerge(seqs: DataFrame, a: String, b: String): DataFrame =
+    seqs.withColumn("syms", mergeSyms(col("syms"), a, b))
 
   /** Train `merges` BPE merge rules over the corpus: returns the merge
     * table (step, sym_a, sym_b, pair_count), step 1-based in training
@@ -95,9 +98,14 @@ object Bpe {
     val spark = docs.sparkSession
     def truncate(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
-    var cached = initSeqs(wordVocab(docs, textName))
+    // one persisted anchor; each round's merge chains lazily on top as a
+    // single narrow projection (recomputed per round from the anchor —
+    // ≤ AnchorEvery cheap per-row passes — instead of paying a
+    // materialization job per round)
+    var anchor = initSyms(wordVocab(docs, textName))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var seqs = truncate(cached)
+    var seqs = truncate(anchor)
+    var sinceAnchor = 0
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -110,28 +118,35 @@ object Bpe {
         val (a, b, c) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((step, a, b, c))
-        val next = applyMerge(seqs, a, b).persist(StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize the round before releasing its parent
-        cached.unpersist()
-        cached = next
-        seqs = truncate(next)
+        seqs = applyMerge(seqs, a, b)
+        sinceAnchor += 1
+        if (sinceAnchor >= AnchorEvery) {
+          val next = seqs.persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize the anchor before releasing its parent
+          anchor.unpersist()
+          anchor = next
+          seqs = truncate(next)
+          sinceAnchor = 0
+        }
         step += 1
       }
     }
-    cached.unpersist()
+    anchor.unpersist()
     val s = spark; import s.implicits._
     out.result().toDF("step", "sym_a", "sym_b", "pair_count")
   }
 
   /** Per-document token counts under a TRAINED vocabulary: apply the
     * merge table in training order to the word vocabulary (the same
-    * [[applyMerge]] the trainer used — encode and train cannot drift),
-    * then join token-per-word counts back to documents. The t09 packing
-    * hook: feed the returned (idName, n_tokens) to any
-    * offset/bin-packing derivation in place of whitespace counts.
-    * Returns (counts, release): the encoded word vocabulary stays
-    * cached until `release()` — call after materializing (the
-    * simhashPairs contract). */
+    * [[mergeSyms]] fold the trainer used — encode and train cannot
+    * drift; the rules are driver-side constants, so the whole replay is
+    * a chain of per-row projections with zero shuffles), then join
+    * token-per-word counts back to documents. The t09 packing hook:
+    * feed the returned (idName, n_tokens) to any offset/bin-packing
+    * derivation in place of whitespace counts. Returns (counts,
+    * release): the encoded word vocabulary stays cached until
+    * `release()` — call after materializing (the simhashPairs
+    * contract). */
   def tokenCounts(docs: DataFrame, mergeTable: DataFrame,
                   idName: String = "doc_id",
                   textName: String = "text"): (DataFrame, () => Unit) = {
@@ -141,17 +156,24 @@ object Bpe {
     val rules = mergeTable.select("step", "sym_a", "sym_b")
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2)))
-    var cached = initSeqs(wordVocab(docs, textName))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var seqs = truncate(cached)
+    val anchors = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var seqs = initSyms(wordVocab(docs, textName))
+    var sinceAnchor = 0
     rules.foreach { case (a, b) =>
-      val next = applyMerge(seqs, a, b).persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      cached.unpersist()
-      cached = next
-      seqs = truncate(next)
+      seqs = applyMerge(seqs, a, b)
+      sinceAnchor += 1
+      if (sinceAnchor >= AnchorEvery) {
+        val p = seqs.persist(StorageLevel.MEMORY_AND_DISK)
+        anchors += p
+        seqs = truncate(p) // lazy anchor: one pass fills the whole chain
+        sinceAnchor = 0
+      }
     }
-    val perWord = seqs.groupBy("word").agg(count(lit(1)).as("word_tokens"))
+    val encoded = seqs.persist(StorageLevel.MEMORY_AND_DISK)
+    anchors += encoded
+    // token count per word = surviving symbol count (incl. the marker)
+    val perWord = encoded.select(col("word"),
+      size(col("syms")).cast("long").as("word_tokens"))
     val out = docs.select(col(idName),
         explode(split(col(textName), " ")).as("word"))
       .filter(col("word") =!= "")
@@ -161,7 +183,6 @@ object Bpe {
     // docs with no words still get a row (0 tokens) — the t09 contract
     val res = docs.select(col(idName)).join(out, Seq(idName), "left")
       .select(col(idName), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-    val fin = cached
-    (res, () => { fin.unpersist(); () })
+    (res, () => { anchors.foreach(_.unpersist()); () })
   }
 }
