@@ -379,9 +379,79 @@ case class RepetitionStats(child: Expression)
     copy(child = newChild)
 }
 
+/** One-pass Gopher duplicate-n-gram stats (the t17 filter's inputs):
+  * char-weighted total and duplicated word-n-gram mass for n ∈ {2, 3},
+  * computed per document with per-row hash maps — the cross-row form
+  * (explode both gram sizes + a (doc, n, gram) hash-agg + join-back)
+  * shuffles every gram occurrence even though the decision only ever
+  * reads a document's OWN grams. Tokenization matches `split(text, " ")`
+  * (empty tokens kept); gram weight = Unicode code-point length
+  * (= Spark `length()` / DuckDB `length()`); a gram with count c ≥ 2
+  * contributes c·len to the duplicated mass. */
+case class DupGramStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("tot2", LongType, nullable = false),
+    StructField("dup2", LongType, nullable = false),
+    StructField("tot3", LongType, nullable = false),
+    StructField("dup3", LongType, nullable = false)))
+
+  override def prettyName: String = "dup_gram_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"dup_gram_stats requires a string input, got ${child.dataType.sql}")
+
+  private def gramMass(words: Array[String], n: Int): (Long, Long) = {
+    if (words.length < n) return (0L, 0L)
+    // capacity capped like RepetitionStats: never O(words) buckets per row
+    val counts = new java.util.HashMap[String, Int](
+      math.min(words.length, 1 << 16))
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    val last = words.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a, b) => a + b)
+      i += 1
+    }
+    var tot = 0L
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val w = e.getValue.toLong * g.codePointCount(0, g.length)
+      tot += w
+      if (e.getValue >= 2) dup += w
+    }
+    (tot, dup)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val (tot2, dup2) = gramMass(words, 2)
+    val (tot3, dup3) = gramMass(words, 3)
+    InternalRow(tot2, dup2, tot3, dup3)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DupGramStats =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def repetitionStats(text: Column): Column =
     GraftSqlShim.column(RepetitionStats(GraftSqlShim.expression(text)))
+
+  def dupGramStats(text: Column): Column =
+    GraftSqlShim.column(DupGramStats(GraftSqlShim.expression(text)))
 
   def wordShingles(text: Column, n: Int): Column =
     GraftSqlShim.column(WordShingles(GraftSqlShim.expression(text), n))

@@ -434,14 +434,26 @@ object Ann {
   }
 
   /** Subspace width from the (uniform) quantized vector length — one
-    * metadata row read; fails fast on a non-divisible split. */
-  private def pqDsub(quant: DataFrame, subspaces: Int): Int = {
+    * metadata row read; fails fast on a non-divisible split. NOTE: on a
+    * lazy [[int8Quantize]] frame the one-row read still evaluates the
+    * corpus-max-abs scalar (a full pass) — entry points that hold the
+    * RAW frame use [[dsubOfDim]] with the raw row's length instead. */
+  private def pqDsub(quant: DataFrame, subspaces: Int): Int =
+    dsubOfDim(quant.select(size(col("qv"))).head().getInt(0), subspaces)
+
+  /** Subspace width from a known embedding dimension. */
+  private def dsubOfDim(dim: Int, subspaces: Int): Int = {
     require(subspaces >= 1, s"subspaces must be >= 1, got $subspaces")
-    val dim = quant.select(size(col("qv"))).head().getInt(0)
     require(dim % subspaces == 0,
       s"embedding dim $dim is not divisible into $subspaces subspaces")
     dim / subspaces
   }
+
+  /** Embedding dimension from ONE raw row — never triggers quantization
+    * (the quantized frame's first row would cost a full corpus-max-abs
+    * pass at 100 TB just to read the vector length). */
+  private def rawDim(raw: DataFrame): Int =
+    raw.select(size(col("embedding"))).head().getInt(0)
 
   /** PQ + ADC top-k over int8-quantized vectors ([[int8Quantize]]
     * frames on both sides). Queries score by Asymmetric Distance
@@ -622,7 +634,7 @@ object Ann {
     val scale = corpusMaxAbs(raw)
     val quantCorpus = quantizeAt(raw, scale)
     val quantQueries = quantizeAt(queries.select(col("vec_id"), col("embedding")), scale)
-    val dsub = pqDsub(quantCorpus, subspaces)
+    val dsub = dsubOfDim(rawDim(raw), subspaces)
     val pqc = pqCodebook(quantCorpus, subspaces, dsub, codes)
     val enc = pqEncRows(quantCorpus, subspaces, dsub, pqc)
     val lut = pqLutRows(quantQueries, subspaces, dsub, pqc)
@@ -668,13 +680,18 @@ object Ann {
     val scaleRow = corpusMaxAbs(raw).head()
     require(!scaleRow.isNullAt(0), "cannot index an empty/all-null corpus")
     val m = scaleRow.getDouble(0)
-    val quant = quantizeAt(raw, corpusMaxAbs(raw))
-    val dsub = pqDsub(quant, subspaces)
+    // the scale is already on the driver: quantize at the collected
+    // value instead of re-aggregating the corpus a second time
+    val scale = corpus.sparkSession.range(1).select(lit(m).as("m"))
+    val quant = quantizeAt(raw, scale)
+    val dim = rawDim(raw)
+    val dsub = dsubOfDim(dim, subspaces)
     val cb = pqCodebook(quant, subspaces, dsub, codes)
     val enc = pqEncode(quant, subspaces, codes)
     // Double.toString round-trips exactly through parseDouble, so the
-    // footer-JSON scale is the bit-identical build scale
-    val meta = s"""{"cells":$nCells,"subspaces":$subspaces,"codes":$codes,"scale":$m}"""
+    // footer-JSON scale is the bit-identical build scale; dim rides the
+    // footer so serving never scans a data row for metadata
+    val meta = s"""{"cells":$nCells,"subspaces":$subspaces,"codes":$codes,"scale":$m,"dim":$dim}"""
     quant.join(assign, "vec_id").join(enc, "vec_id")
       .select(col("vec_id"), col("cell"), col("qv"), col("qsq"), col("pq_code"))
       .repartitionByRange(files, col("cell"))
@@ -687,7 +704,7 @@ object Ann {
   }
 
   private def ivfPqMeta(spark: org.apache.spark.sql.SparkSession,
-                        path: String): (Int, Int, Int, Double) = {
+                        path: String): (Int, Int, Int, Double, Option[Int]) = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(s"$path/data")
     val fs = p.getFileSystem(hconf)
@@ -703,10 +720,12 @@ object Ann {
         new org.apache.hadoop.conf.Configuration(hconf), f).get(IvfPqMetaKey))
     require(meta.isDefined,
       s"$path is not an IVF-PQ index (no $IvfPqMetaKey footer entry) — build it with Ann.buildIvfPqIndex")
-    def num(k: String) = s""""$k"\\s*:\\s*([-0-9.eE]+)""".r
+    def numOpt(k: String) = s""""$k"\\s*:\\s*([-0-9.eE]+)""".r
       .findFirstMatchIn(meta.get).map(_.group(1))
+    def num(k: String) = numOpt(k)
       .getOrElse(throw new IllegalArgumentException(s"missing $k in $meta"))
-    (num("cells").toInt, num("subspaces").toInt, num("codes").toInt, num("scale").toDouble)
+    (num("cells").toInt, num("subspaces").toInt, num("codes").toInt,
+      num("scale").toDouble, numOpt("dim").map(_.toInt))
   }
 
   /** Serve IVF-PQ top-k from a [[buildIvfPqIndex]] layout — identical
@@ -727,7 +746,7 @@ object Ann {
     require(k >= 1, s"k must be >= 1, got $k")
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val (nCells, subspaces, _, scale) = ivfPqMeta(spark, path)
+    val (nCells, subspaces, _, scale, metaDim) = ivfPqMeta(spark, path)
     require(nprobe <= nCells, s"nprobe=$nprobe exceeds this index's cells=$nCells")
     val cent = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebook")
@@ -743,7 +762,9 @@ object Ann {
       data0.filter(col("cell").isin(probedCells: _*)) else data0
     val quantQueries = quantizeAt(queries.select(col("vec_id"), col("embedding")),
       spark.range(1).select(lit(scale).as("m")))
-    val dim = data0.select(size(col("qv"))).head().getInt(0)
+    // dim rides the footer since r18; pre-r18 indexes fall back to one
+    // stored data row
+    val dim = metaDim.getOrElse(data0.select(size(col("qv"))).head().getInt(0))
     val dsub = dim / subspaces
     val lut = pqLutRows(quantQueries, subspaces, dsub,
         cb.select(col("cj"), col("c"), col("cv"), col("csq")))

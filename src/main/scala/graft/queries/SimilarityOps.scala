@@ -1162,16 +1162,28 @@ object SimilarityOps {
           s"IVF-PQ index serving must push probed cells into the scan, got: $pushed")
         out.persist()
         // layout change, not semantics change: equal to from-scratch,
-        // both directions
+        // both directions. ONE multiset-equality action (tag the side,
+        // one hash-agg, any per-value count imbalance is a violation) in
+        // place of the former two except legs — except is distinct+anti
+        // (two shuffles) per DIRECTION plus an extra materialization of
+        // both caches; since (query_id, rank) is unique per side, set
+        // and multiset equality coincide, so the checked property is
+        // unchanged.
         val scratch = graft.operators.Ann.ivfPqTopK(
           Tables.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
           q, k = 3, cells = 16, nprobe = 2, subspaces = 8, codes = 16,
           shortlist = 32)
-          .persist()
-        require(out.except(scratch).isEmpty && scratch.except(out).isEmpty,
-          "indexed IVF-PQ must equal the from-scratch ivfPqTopK row for row")
-        scratch.unpersist() // out stays cached for the harness materialization
-        out
+        val valueCols = out.columns.map(col)
+        val mismatch = out.withColumn("side", lit(1))
+          .unionByName(scratch.withColumn("side", lit(2)))
+          .groupBy(valueCols: _*)
+          .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("n_idx"),
+            sum(when(col("side") === 2, 1L).otherwise(0L)).as("n_scr"))
+          .filter(col("n_idx") =!= col("n_scr"))
+          .limit(1).collect()
+        require(mismatch.isEmpty,
+          s"indexed IVF-PQ must equal the from-scratch ivfPqTopK row for row, first diff: ${mismatch.mkString}")
+        out // stays cached for the harness materialization
       },
       prepare = Some((s, dir) => { ivfPqIndex(s, dir); () }))
   )

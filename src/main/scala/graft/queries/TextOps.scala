@@ -1024,29 +1024,20 @@ object TextOps {
     val spread =
       if (docs.rdd.getNumPartitions * 2 >= width) docs
       else docs.repartition(col("doc_id"))
-    // ONE pass: split once per row (a projected column — inlining the
-    // split inside the transform lambdas re-runs the regex per element),
-    // both gram sizes concatenated into ONE exploded array, n recovered
-    // from the gram itself (words cannot contain the separator)
-    val wsed = spread.select(col("doc_id"), words(col("text")).as("ws"))
-    def gramsExpr(n: Int) =
-      when(size(col("ws")) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(col("ws"), i + k)): _*)))
-    val m = wsed
+    // ONE per-row pass (r18): the duplicate-gram decision only ever reads
+    // a document's OWN grams, so the former explode + (doc, n, gram)
+    // hash-agg + join-back — which shuffled every gram occurrence — is a
+    // scan-stage native expression (graft.functions.DupGramStats, the t08
+    // RepetitionStats discipline). Zero cross-row shuffle: the pass is
+    // embarrassingly parallel at any corpus size, and every doc produces
+    // its row directly (no left-join re-attach).
+    val per = spread
       .select(col("doc_id"),
-        explode(concat(gramsExpr(2), gramsExpr(3))).as("g"))
-      .withColumn("n", size(split(col("g"), " ")))
-      .groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("w", col("c") * length(col("g")).cast("long"))
-      .withColumn("dw", when(col("c") >= 2, col("w")).otherwise(0L))
-    val per = m.groupBy(col("doc_id"))
-      .agg(sum(when(col("n") === 2, col("w")).otherwise(0L)).as("tot2"),
-        sum(when(col("n") === 2, col("dw")).otherwise(0L)).as("dup2"),
-        sum(when(col("n") === 3, col("w")).otherwise(0L)).as("tot3"),
-        sum(when(col("n") === 3, col("dw")).otherwise(0L)).as("dup3"))
-    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        graft.functions.TextFunctions.dupGramStats(col("text")).as("st"))
+      .select(col("doc_id"),
+        col("st.tot2").as("tot2"), col("st.dup2").as("dup2"),
+        col("st.tot3").as("tot3"), col("st.dup3").as("dup3"))
+    per
       .select(col("doc_id"),
         coalesce(col("tot2"), lit(0L)).as("tot2"),
         coalesce(col("dup2"), lit(0L)).as("dup2"),
