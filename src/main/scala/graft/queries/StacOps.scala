@@ -996,8 +996,12 @@ object StacOps {
         // on envelope semantics too and prove nothing
         val envCql =
           """{"op":"s_intersects","args":[{"property":"bbox"},{"bbox":[0.0,0.0,100.0,100.0]}]}"""
-        val nEnv = items.filter(Cql2.filter(envCql)).count()
-        val nExact = items.filter(col("is_int")).count()
+        // ONE action for both populations (r18): the former two counts
+        // each paid a job over the same cached frame
+        val chk = items.agg(
+          count(when(Cql2.filter(envCql), 1)).as("n_env"),
+          count(when(col("is_int"), 1)).as("n_exact")).head()
+        val (nEnv, nExact) = (chk.getLong(0), chk.getLong(1))
         require(nEnv > nExact,
           s"exact must reject envelope-only rows: envelope $nEnv, exact $nExact")
         val out = items
