@@ -1105,20 +1105,23 @@ object DedupOps {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(tau)).cast("int") + 1)
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), col("h"), col("sz"))
+    // PPJoin length filter AT the candidate join (r18): jaccard ≥ τ
+    // forces min(|A|,|B|) ≥ τ·max, and both sizes already ride the
+    // prefix rows — candidates failing it drop BEFORE the distinct and
+    // before either O(set)-sized hash array is attached for the verify
+    // (guide §3.2: shrink the join volume ahead of the heavy attach)
     val cand = prefix.join(
-        prefix.select(col("doc_id").as("doc_b"), col("h").as("h_b")),
-        col("h") === col("h_b") && col("doc_id") < col("doc_b"))
+        prefix.select(col("doc_id").as("doc_b"), col("h").as("h_b"),
+          col("sz").as("szb0")),
+        col("h") === col("h_b") && col("doc_id") < col("doc_b") &&
+          least(col("sz"), col("szb0")).cast("double") >=
+            greatest(col("sz"), col("szb0")) * lit(tau))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
     val ga = hashed.select(col("doc_id").as("doc_a"), col("gh").as("ga"), col("sz").as("sza"))
     val gb = hashed.select(col("doc_id").as("doc_b"), col("gh").as("gb"), col("sz").as("szb"))
     val inter = size(array_intersect(col("ga"), col("gb")))
-    // PPJoin length filter: jaccard ≥ τ forces min(|A|,|B|) ≥ τ·max —
-    // candidates failing it skip the O(|A|+|B|) intersect entirely
-    // (a cheap scalar compare ahead of the verify's array walk)
     val out = cand.join(ga, "doc_a").join(gb, "doc_b")
-      .filter(least(col("sza"), col("szb")).cast("double") >=
-        greatest(col("sza"), col("szb")) * lit(tau))
       .select(col("doc_a"), col("doc_b"),
         (inter.cast("double") / (col("sza") + col("szb") - inter)).as("jaccard"))
       .filter(col("jaccard") >= tau)

@@ -528,10 +528,16 @@ object TextOps {
         // single task (at 100 TB the file count gives this parallelism for
         // free); splitting text into `ws` first also pins ONE split() per
         // doc instead of re-splitting inside the lambda
+        // persisted: the exploded frame feeds BOTH the MG sketch aggregate
+        // and the exact recount join — the m09/CLAUDE.md rule (a frame
+        // under an explode consumed by two join branches re-runs the
+        // explode per consumer otherwise; exchange reuse does not cover
+        // the post-exchange explode). Gate leaves the cache (run-once).
         val bigrams = Tables.t(s, dir, "documents")
           .repartition(col("doc_id"))
           .select(col("source"), words(col("text")).as("ws"))
           .select(col("source"), explode(bigramArr).as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mg = graft.operators.HeavyHitters.mgCandidates(512)
         // the per-source total rides the SAME aggregate as the MG summary
         // (one pass over the bigrams, not two) and is carried on each
