@@ -333,18 +333,25 @@ object GraftSqlParser {
       resolveTarget(spark, target).map(PortableDeltaGenManifestCommand(_))
     case ShallowClone(dst, srcT, kind, value) =>
       resolveTarget(spark, srcT).map { src =>
+        // the clone destination is a PATH literal; a backquoted
+        // destination is delta-spark's catalog-identifier syntax, and
+        // silently treating `t2` as a relative directory named t2 is the
+        // wrong-shape hazard — refuse by name until catalog-managed
+        // clone targets exist
+        if (dst.startsWith("`")) throw new UnsupportedOperationException(
+          s"CREATE TABLE $dst SHALLOW CLONE: catalog-identifier " +
+            "destinations are not supported — pass a single-quoted " +
+            "destination path ('/path/to/table')")
         val (v, ts) = Option(kind) match {
           case None => (None, None)
           case Some(k) if k.equalsIgnoreCase("VERSION") =>
             (Some(value.trim.toLong), None)
           case Some(_) =>
-            val raw = value.trim
-            val ms =
-              if (!raw.startsWith("'") && !raw.startsWith("`") &&
-                  raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
-              else PortableDeltaRelation.parseTsMillis(stripQuotes(raw),
-                "SHALLOW CLONE ... TIMESTAMP AS OF")
-            (None, Some(ms))
+            // parseTsMillis owns the all-digit grammar on EVERY surface:
+            // 11-17 digits = epoch millis, compact dates like 20240102
+            // refuse by name (never silently ~1970)
+            (None, Some(PortableDeltaRelation.parseTsMillis(
+              stripQuotes(value.trim), "SHALLOW CLONE ... TIMESTAMP AS OF")))
         }
         PortableDeltaCloneCommand(src, stripQuotes(dst), v, ts)
       }
@@ -354,15 +361,11 @@ object GraftSqlParser {
           PortableDeltaRestoreCommand(path,
             version = Some(value.trim.toLong), tsMillis = None)
         else {
-          val raw = value.trim
-          // an UNQUOTED all-digit value is an integer literal = epoch
-          // millis; QUOTED values go through the shared option grammar
-          // (so '20240102' refuses by name, never silently ~1970)
-          val ms =
-            if (!raw.startsWith("'") && !raw.startsWith("`") &&
-                raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
-            else PortableDeltaRelation.parseTsMillis(stripQuotes(raw),
-              "RESTORE ... TO TIMESTAMP AS OF")
+          // parseTsMillis owns the all-digit grammar on EVERY surface
+          // (quoted or not): 11-17 digits = epoch millis, compact dates
+          // like 20240102 refuse by name — never silently ~1970
+          val ms = PortableDeltaRelation.parseTsMillis(
+            stripQuotes(value.trim), "RESTORE ... TO TIMESTAMP AS OF")
           PortableDeltaRestoreCommand(path, version = None,
             tsMillis = Some(ms))
         }
@@ -463,9 +466,27 @@ private[stac] final case class PortableDeltaAlterCommand(
     catalogIdent.foreach { ident =>
       val rel = PortableDeltaRelation(spark, tablePath,
         Map("path" -> tablePath))
-      scala.util.Try(
-        spark.sessionState.catalog.alterTableDataSchema(ident, rel.schema))
-      ()
+      // replace the WHOLE CatalogTable schema: alterTableDataSchema
+      // throws dropNonExistentColumnsNotSupportedError whenever an old
+      // column is absent from the new schema — exactly what RENAME and
+      // DROP COLUMN produce — and a silently-stale catalog schema fails
+      // every later name-based SELECT (V1 resolution hands it to the
+      // relation as userSpecifiedSchema). Partition columns keep their
+      // catalog position (data columns first).
+      try {
+        val catalog = spark.sessionState.catalog
+        val meta = catalog.getTableMetadata(ident)
+        val pcols = meta.partitionColumnNames.toSet
+        val (parts, data) = rel.schema.fields.partition(f => pcols(f.name))
+        catalog.alterTable(meta.copy(schema =
+          org.apache.spark.sql.types.StructType(data ++ parts)))
+      } catch { case scala.util.control.NonFatal(e) =>
+        // the LOG commit already succeeded; a failed catalog sync must
+        // be visible, not swallowed — the stale-schema hazard is real
+        System.err.println(
+          s"[portable-delta] WARNING: catalog schema sync failed for " +
+            s"$ident after $verb: ${e.getMessage}")
+      }
     }
     Seq(Row(tablePath, version))
   }

@@ -270,6 +270,20 @@ class DeltaSqlExtrasSpec extends AnyFunSuite {
       armed.sql("ALTER TABLE alt_t ADD COLUMN note STRING")
       assert(armed.sql("SELECT id, note FROM alt_t").count() == 10L,
         "catalog schema must sync after ALTER ADD COLUMN")
+      // RENAME/DROP COLUMN remove old names from the new schema — the
+      // one case alterTableDataSchema refuses (r18 ADVICE fix: the sync
+      // replaces the WHOLE CatalogTable schema); a stale catalog schema
+      // would fail these name-based SELECTs
+      armed.sql("ALTER TABLE alt_t RENAME COLUMN note TO remark")
+      assert(armed.sql("SELECT id, remark FROM alt_t").count() == 10L,
+        "catalog schema must sync after ALTER RENAME COLUMN")
+      armed.sql("ALTER TABLE alt_t DROP COLUMN remark")
+      assert(armed.sql("SELECT * FROM alt_t").columns.toSeq ==
+        Seq("id", "v"), "catalog schema must sync after ALTER DROP COLUMN")
+      assert(armed.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("alt_t"))
+        .schema.fieldNames.toSeq == Seq("id", "v"),
+        "the stored CatalogTable schema itself must be current")
       // CLUSTER BY publishes clustering columns; NONE clears them
       armed.sql("ALTER TABLE alt_t CLUSTER BY (id, v)")
       assert(PortableDelta.describeDetail(spark, path)
@@ -294,6 +308,33 @@ class DeltaSqlExtrasSpec extends AnyFunSuite {
         .collect().exists(r => r.getString(0) == "x" && r.getString(1) == "y"),
         "non-pd ALTER must reach Spark's stock command")
     } finally armed.sql("DROP TABLE IF EXISTS alt_plain")
+  }
+
+  test("digit timestamps and clone destinations: the wrong-shape inputs refuse by name") {
+    val path = versioned()
+    // unquoted compact date must NOT resolve as epoch millis (~1970):
+    // every SQL surface routes all-digit values through parseTsMillis
+    val eR = intercept[IllegalArgumentException](
+      armed.sql(s"RESTORE '$path' TO TIMESTAMP AS OF 20240102").collect())
+    assert(eR.getMessage.contains("ambiguous"), eR.getMessage)
+    val eC = intercept[IllegalArgumentException](armed.sql(
+      s"CREATE TABLE '${tmp()}' SHALLOW CLONE '$path' TIMESTAMP AS OF 20240102")
+      .collect())
+    assert(eC.getMessage.contains("ambiguous"), eC.getMessage)
+    // a backquoted clone destination is delta-spark's catalog-identifier
+    // syntax — refused by name, never a relative directory named `t2`
+    val eB = intercept[UnsupportedOperationException](
+      armed.sql(s"CREATE TABLE `clone_dst_t` SHALLOW CLONE '$path'").collect())
+    assert(eB.getMessage.contains("catalog-identifier"), eB.getMessage)
+    assert(!new java.io.File("clone_dst_t").exists(),
+      "the refused clone must not create a working-directory table")
+    // 13-digit epoch millis (the documented grammar) still resolves
+    val hist = PortableDelta.history(
+      spark.sessionState.newHadoopConf(), path).sortBy(_._1)
+    val v1ts = hist.find(_._1 == 1L).get._3
+    val dst = tmp()
+    armed.sql(s"CREATE TABLE '$dst' SHALLOW CLONE '$path' TIMESTAMP AS OF $v1ts")
+    assert(PortableDelta.readTable(spark, dst).count() == 11L)
   }
 
   test("unknown statements and non-pd targets fall through to the stock parser") {
