@@ -105,7 +105,23 @@ object Bench {
         System.err.println(f"[bench] skipping pass $p: $elapsedSec%.0f s elapsed > $budgetSec s budget")
         None
       } else {
-        val ts = specs.map(spec => once(spec))
+        // Cache hygiene (r19 measurement fix): several gates persist frames
+        // and deliberately leave them cached for the session (t12, s14, the
+        // d18→d19 memoized state). Without this, passes 2..N re-serve pass
+        // 1's caches and `steady = min` silently measures warm-cache runs
+        // for exactly those queries. Clearing at the pass boundary makes
+        // every pass uniformly "warm JIT, cold data" — within-pass sharing
+        // (d18's state feeding d19 in the same pass) is preserved.
+        spark.catalog.clearCache()
+        // prepare hooks re-run (idempotent) UNTIMED, exactly as pass 1:
+        // disk-layout fixtures no-op, but session-cache fixtures (the
+        // shared pair/quantized/substring materializations) rebuild here
+        // after the clear — the build-once ingest cost stays amortized,
+        // the query bodies measure cold data
+        val ts = specs.map { spec =>
+          spec.prepare.foreach(p => p(spark, sfDir))
+          once(spec)
+        }
         loads += loadavg()
         Some(ts)
       }
@@ -154,7 +170,12 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty }
-    val adjudicated: Seq[(String, Double)] = results.flatMap {
+    // adjudication re-runs measure under the same cold-cache regime as the
+    // passes they re-check (one clear before the loop; solo re-runs of ONE
+    // query cannot re-warm another's cache)
+    val adjudicated: Seq[(String, Double)] = {
+      if (trend.nonEmpty) spark.catalog.clearCache()
+      results.flatMap {
       case (name, _, steady, _) => trend.get(name) match {
         case Some(t) if t > 0 && steady > 3 * t =>
           val spec = specs.find(_.name == name).get
@@ -164,7 +185,7 @@ object Bench {
           Some(name -> re)
         case _ => None
       }
-    }
+    } }
     val qsAdj = adjudicated.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // worst-10 by steady: the compact triage view
@@ -179,6 +200,22 @@ object Bench {
     // read as a fake 5-30x regression)
     val line = s"""{"metric":"total","summary":$summary,"value":$total,"unit":"sec","total_steady":$totalSteady,"total_median":$totalMedian,"passes":$passes,"loadavg":$loadJson,"queries":$qs,"queries_median":$qsMedian,"counters":$counters,"sf":"$sfDir","queries_steady":$qsSteady,"queries_adjudicated":$qsAdj}"""
     println(line)
+    // r19 measurement fix: the driver captures only a ~2 KB TAIL of stdout,
+    // and the full line above is ~15 KB — its head (summary included) has
+    // been cut off for two rounds, leaving the driver's bench artifact
+    // unparseable (BENCH_r17/r18 `parsed: null`). Print a SECOND, compact
+    // (<1 KB) summary line LAST so a tail capture always contains one
+    // complete JSON line: totals + worst-10 steady + adjudications, plus a
+    // pointer to the full artifact. The full line keeps the driver
+    // contract (complete `queries` map); nothing is removed from it.
+    val compact = s"""{"metric":"total","compact":true,"value":$total,""" +
+      s""""unit":"sec","sf":"$sfDir","n_queries":${results.size},""" +
+      s""""total_steady":$totalSteady,"total_median":$totalMedian,""" +
+      s""""passes":$passes,"loadavg":$loadJson,""" +
+      s""""n_adjudicated":${adjudicated.size},""" +
+      s""""queries_adjudicated":$qsAdj,"top_steady":$top,""" +
+      s""""full_maps":"BENCH_LOCAL.json (in-repo) and /tmp/bench_out.json"}"""
+    println(compact)
     // The harness captures only a TAIL of stdout, which has truncated
     // half the query map in past rounds — persist the complete artifact
     // as the LAST act so the round is adjudicable from the file alone.

@@ -405,7 +405,10 @@ case class DupGramStats(child: Expression)
 
   private def gramMass(words: Array[String], n: Int): (Long, Long) = {
     if (words.length < n) return (0L, 0L)
-    // capacity capped like RepetitionStats: never O(words) buckets per row
+    // INITIAL capacity only (avoids over-allocation for short docs); the
+    // map itself necessarily grows to O(distinct grams) entries per row —
+    // correctness needs every distinct gram's count, so there is no hard
+    // per-row memory cap beyond the document's own length
     val counts = new java.util.HashMap[String, Int](
       math.min(words.length, 1 << 16))
     val sb = new java.lang.StringBuilder()

@@ -75,7 +75,15 @@ object AllPairsTopK {
                                     score: (Column, Column) => Column, k: Int): DataFrame = {
     val payload = df.columns.filterNot(_ == idCol)
     val base = df.select(col(idCol).as("_id"), struct(payload.map(col): _*).as("_p"))
-    val a = base.select(col("_id").as("id_a"), col("_p").as("_pa"))
+    val a0 = base.select(col("_id").as("id_a"), col("_p").as("_pa"))
+    // the broadcast nested-loop streams this side, so its partition count
+    // IS the scoring parallelism: spread an under-partitioned input (the
+    // toy single-row-group case — n·k/2 dot products would run in one
+    // task); an already-wide input keeps its partitioning (the shuffle
+    // would buy nothing). ≤ broadcastThreshold rows move — always cheap.
+    val width = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = if (a0.rdd.getNumPartitions * 2 >= width) a0
+            else a0.repartition(col("id_a"))
     val b = base.select(col("_id").as("id_b"), col("_p").as("_pb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), score(col("_pa"), col("_pb")).as("score"))

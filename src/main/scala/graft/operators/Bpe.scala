@@ -156,7 +156,11 @@ object Bpe {
     val rules = mergeTable.select("step", "sym_a", "sym_b")
       .orderBy("step").collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val anchors = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // at most ONE intermediate anchor stays cached (r18 ADVICE: keeping
+    // every 16-round anchor held ~rules/16 word-vocabulary frames for the
+    // life of the session) — the train() discipline: materialize the new
+    // anchor, then release its parent, which only the new anchor reads
+    var prevAnchor: Option[DataFrame] = None
     var seqs = initSyms(wordVocab(docs, textName))
     var sinceAnchor = 0
     rules.foreach { case (a, b) =>
@@ -164,13 +168,14 @@ object Bpe {
       sinceAnchor += 1
       if (sinceAnchor >= AnchorEvery) {
         val p = seqs.persist(StorageLevel.MEMORY_AND_DISK)
-        anchors += p
-        seqs = truncate(p) // lazy anchor: one pass fills the whole chain
+        p.count() // materialize before releasing the parent anchor
+        prevAnchor.foreach(_.unpersist())
+        prevAnchor = Some(p)
+        seqs = truncate(p)
         sinceAnchor = 0
       }
     }
     val encoded = seqs.persist(StorageLevel.MEMORY_AND_DISK)
-    anchors += encoded
     // token count per word = surviving symbol count (incl. the marker)
     val perWord = encoded.select(col("word"),
       size(col("syms")).cast("long").as("word_tokens"))
@@ -183,6 +188,6 @@ object Bpe {
     // docs with no words still get a row (0 tokens) — the t09 contract
     val res = docs.select(col(idName)).join(out, Seq(idName), "left")
       .select(col(idName), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-    (res, () => { anchors.foreach(_.unpersist()); () })
+    (res, () => { prevAnchor.foreach(_.unpersist()); encoded.unpersist(); () })
   }
 }

@@ -106,6 +106,18 @@ object NearDup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idName: String = "doc_id", textName: String = "text",
                    salt: Int = 1): (DataFrame, () => Unit) = {
+    val (pairs, _, release) =
+      simhashPairsState(docs, maxHamming, idName, textName, salt)
+    (pairs, release)
+  }
+
+  /** [[simhashPairs]] plus the PERSISTED signature frame (memo callers
+    * probe its storage level to detect a cleared session cache). */
+  private[graft] def simhashPairsState(docs: DataFrame, maxHamming: Int = 3,
+                                       idName: String = "doc_id",
+                                       textName: String = "text",
+                                       salt: Int = 1)
+      : (DataFrame, DataFrame, () => Unit) = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding is lossless only for maxHamming <= 3 (4 bands), got $maxHamming")
     require(salt >= 1, s"salt must be >= 1, got $salt")
@@ -131,7 +143,7 @@ object NearDup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-    (pairs, () => { sigs.unpersist(); () })
+    (pairs, sigs, () => { sigs.unpersist(); () })
   }
 
   /** Duplicate clusters from verified pairs: (doc_id, cluster_root,
@@ -167,12 +179,14 @@ object NearDup {
             shingleN: Int = 3): (DataFrame, () => Unit) = {
     val sg = shingleSets(docs, idName, textName, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = verifiedPairsFromSets(sg, idName, seeds)
+    val pairs0 = verifiedPairsFromSets(sg, idName, seeds)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // lineage truncation at the persisted boundary (the d16/CC discipline)
+    val pairs = org.apache.spark.sql.GraftSqlShim.replayableBatch(pairs0)
     val drop = clusters(pairs, tau).filter(!col("is_kept"))
       .select(col("doc_id").as(idName))
     (docs.join(drop, Seq(idName), "left_anti"),
-      () => { pairs.unpersist(); sg.unpersist(); () })
+      () => { pairs0.unpersist(); sg.unpersist(); () })
   }
 
   /** Incremental near-dup filtering of a NEW batch against an existing
@@ -390,8 +404,13 @@ object NearDup {
              seeds: Int = 4, shingleN: Int = 3): (DataFrame, () => Unit) = {
     val sg = shingleSets(docs, idName, textName, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = verifiedPairsFromSets(sg, idName, seeds)
+    val pairs0 = verifiedPairsFromSets(sg, idName, seeds)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // lineage truncation at the persisted boundary (the d16/CC discipline):
+    // the funnel agg, the in-pair derivation, AND the clustering loop all
+    // chain from the candidate-pair pyramid otherwise, and Catalyst
+    // re-analyzes that whole tree per action
+    val pairs = org.apache.spark.sql.GraftSqlShim.replayableBatch(pairs0)
     val p = pairs.filter(col("jaccard") >= tau)
     val inPair = p.select(col("doc_a").as(idName))
       .unionByName(p.select(col("doc_b").as(idName)))
@@ -407,7 +426,7 @@ object NearDup {
         count(when(col("dropped"), 1)).as("n_dropped"),
         count(when(col("dropped").isNull, 1)).as("n_kept"),
         sum(when(col("dropped").isNull, col(idName))).as("keep_id_sum"))
-    (out, () => { pairs.unpersist(); sg.unpersist(); () })
+    (out, () => { pairs0.unpersist(); sg.unpersist(); () })
   }
 
   /** SemDeDup-style semantic dedup victims over an embedding corpus:
@@ -482,6 +501,36 @@ object NearDup {
           .as("overlap_frac"),
         (col("n_shingles") > 0 &&
           col("n_hit").cast("double") >= lit(tau) * col("n_shingles")).as("contaminated"))
+  }
+
+  /** Contaminated-id set from a PREBUILT corpus shingle-set frame (the
+    * [[shingleSets]] shape) — the composed-pipeline form of
+    * [[contaminationFraction]]: returns just (idName) for every doc whose
+    * eval-overlap crosses `tau`. Equivalent to
+    * `contaminationFraction(corpus, …).filter(col("contaminated"))
+    * .select(idName)` because a doc absent from the exploded set frame has
+    * n_shingles = 0 and can never be contaminated, and for present docs the
+    * flag is the identical `n_hit >= tau * n_shingles` IEEE compare over the
+    * identical exact integer counts. Passing the pipeline's already-persisted
+    * sets avoids re-running the wordShingles scan over the surviving corpus
+    * (d16 paid a full re-shingle per run). `corpusSets` should already be
+    * spread (a cached/joined frame is); no repartition is added here. */
+  private[graft] def contaminatedIdsFromSets(corpusSets: DataFrame,
+                                             evalDocs: DataFrame, tau: Double,
+                                             idName: String = "doc_id",
+                                             textName: String = "text",
+                                             shingleN: Int = 3): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, s"tau must be in [0,1], got $tau")
+    val evalSh = shingleSets(evalDocs, idName, textName, shingleN)
+      .select(explode(col("g")).as("sh")).distinct()
+      .withColumn("hit", lit(true))
+    corpusSets.select(col(idName), explode(col("g")).as("sh"))
+      .join(evalSh, Seq("sh"), "left")
+      .groupBy(col(idName))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("hit"), 1)).as("n_hit"))
+      .filter(col("n_hit").cast("double") >= lit(tau) * col("n_shingles"))
+      .select(col(idName))
   }
 
   /** Benchmark decontamination: per-corpus-doc contamination flag from ONE

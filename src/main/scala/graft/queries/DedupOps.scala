@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QuerySpec, Tables}
+import graft.{CachedMemo, QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,7 +84,7 @@ object DedupOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[queries] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir),
+    CachedMemo.get(pairsCache, (s, dir))(identity)(
       computeJaccardPairs(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -124,15 +124,15 @@ object DedupOps {
     })
 
   private val simhashCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, () => Unit)]
+    .empty[(SparkSession, String), (DataFrame, DataFrame, () => Unit)]
 
   private[queries] def simhashPairsMemo(s: SparkSession, dir: String): DataFrame =
-    simhashCache.getOrElseUpdate((s, dir),
-      graft.operators.NearDup.simhashPairs(
+    CachedMemo.get(simhashCache, (s, dir))(_._2)(
+      graft.operators.NearDup.simhashPairsState(
         Tables.t(s, dir, "documents"), maxHamming = 3))._1
 
   def releaseSimhash(s: SparkSession, dir: String): Unit =
-    simhashCache.remove((s, dir)).foreach { case (_, release) => release() }
+    simhashCache.remove((s, dir)).foreach { case (_, _, release) => release() }
 
   /** d18/d19's shared substring-window state (Karp–Rabin windows + verified
     * dup positions), memoized per (session, dataset) like [[simhashCache]]:
@@ -147,7 +147,7 @@ object DedupOps {
 
   private[queries] def substringMemo(s: SparkSession, dir: String)
       : graft.operators.NearDup.SubstringDups =
-    substringCache.getOrElseUpdate((s, dir),
+    CachedMemo.get(substringCache, (s, dir))(_.win)(
       graft.operators.NearDup.substringDupWindows(
         Tables.t(s, dir, "documents"), w = substringW))
 

@@ -90,18 +90,49 @@ object Pipeline {
                           dedupTau: Double = 0.6, contamTau: Double = 0.05,
                           buckets: Int = 4, keepMax: Int = 3): (DataFrame, DataFrame, () => Unit) = {
     import org.apache.spark.storage.StorageLevel
-    val (s1raw, rel1) = graft.operators.NearDup.dedup(corpus, dedupTau)
-    val s1 = s1raw.persist(StorageLevel.MEMORY_AND_DISK)
-    val contaminated = graft.operators.NearDup
-      .contaminationFraction(s1, evalDocs, contamTau)
-      .filter(col("contaminated")).select(col("doc_id"))
-    val s2 = s1.join(contaminated, Seq("doc_id"), "left_anti")
+    import graft.operators.NearDup
+    // Stage-boundary lineage truncation (the CC-loop discipline applied to
+    // the pipeline): each persisted stage is re-anchored as a LogicalRDD
+    // over its own physical plan (internal rows — no Row ser/deser), so a
+    // downstream stage's LOGICAL plan references a one-node leaf instead of
+    // the whole upstream join pyramid. Without this the funnel's plan
+    // chained every stage (~390 Exchange nodes at r19 open) and Catalyst
+    // re-analyzed the full tree on every action — the d16 analyzer cost the
+    // CC loop already solved for its rounds. Fault tolerance is unchanged:
+    // the anchored RDD recomputes through the stage's cache on loss.
+    def anchor(df: DataFrame): DataFrame =
+      org.apache.spark.sql.GraftSqlShim.replayableBatch(df)
+    // ONE persisted shingle-set pass shared by candidate generation, the
+    // exact-Jaccard verify, AND the contamination stage (previously the
+    // surviving corpus was re-shingled from text for decontamination)
+    val sg = NearDup.shingleSets(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs0 = NearDup.verifiedPairsFromSets(sg, "doc_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = anchor(pairs0)
+    // the non-keeper set is tiny (duplicate-cluster members only) and feeds
+    // BOTH the survivor anti-join and the shingle-set anti-join below —
+    // persisted so the cluster-size join does not rerun per consumer
+    val drop0 = NearDup.clusters(pairs, dedupTau).filter(!col("is_kept"))
+      .select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val drop = anchor(drop0)
+    val s1p = corpus.join(drop, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s1 = anchor(s1p)
+    // contamination over the PERSISTED full-corpus sets — no re-shingle, no
+    // survivor anti-join on the shingle frame: an id flagged here that was
+    // already dropped at stage 1 is simply absent from s1, so the left_anti
+    // below yields the identical s2 (per-doc overlap is independent of
+    // other docs, so restricting to survivors first changes nothing)
+    val contaminated = NearDup.contaminatedIdsFromSets(sg, evalDocs, contamTau)
+    val s2p = s1.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s2 = anchor(s2p)
     val (s3raw, rel3) = lmQualityFilter(s2, buckets, keepMax)
     // s3 feeds BOTH the returned kept-docs frame and the funnel agg:
     // unpersisted, materializing each would re-run the LM score join +
     // per-source quality window twice
-    val s3 = s3raw.persist(StorageLevel.MEMORY_AND_DISK)
+    val s3p = s3raw.persist(StorageLevel.MEMORY_AND_DISK)
+    val s3 = anchor(s3p)
     def stage(df: DataFrame, c: String) =
       df.select(col("doc_id")).withColumn(c, lit(true))
     val funnel = corpus.select(col("source"), col("doc_id"))
@@ -115,7 +146,8 @@ object Pipeline {
         count(when(col("in3"), 1)).as("n_after_lm"),
         sum(when(col("in3"), col("doc_id"))).as("kept_id_sum"))
     (s3, funnel,
-      () => { rel1(); rel3(); s1.unpersist(); s2.unpersist(); s3.unpersist(); () })
+      () => { rel3(); pairs0.unpersist(); sg.unpersist(); drop0.unpersist()
+        s1p.unpersist(); s2p.unpersist(); s3p.unpersist(); () })
   }
 
   /** MinHash-LSH near-duplicate candidate pairs verified with exact

@@ -45,7 +45,7 @@ object SimilarityOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def quantizedEmbeddings(s: SparkSession, dir: String): DataFrame =
-    quantCache.getOrElseUpdate((s, dir),
+    graft.CachedMemo.get(quantCache, (s, dir))(identity)(
       // the quantization itself is the facade operator (graft.operators
       // .Ann.int8Quantize — one global-scale broadcast, exact integer
       // values + cached self-dots); only the persist is gate-level policy
@@ -118,8 +118,15 @@ object SimilarityOps {
                                 excludeSameId: Boolean = true): DataFrame = {
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
-    val c = corpus
+    val c0 = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // the broadcast nested-loop streams the corpus, so its partition count
+    // IS the scoring parallelism: spread an under-partitioned input (the
+    // toy single-row-group case — all n·q dot products would land in one
+    // task); at 100 TB the file count provides this and no shuffle is paid
+    val width = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val c = if (c0.rdd.getNumPartitions * 2 >= width) c0
+            else c0.repartition(col("neighbor_id"))
     val topk = graft.operators.TopK.topK(k)
     val cond = if (excludeSameId) col("neighbor_id") =!= col("query_id") else lit(true)
     c.join(broadcast(q), cond)

@@ -1663,14 +1663,20 @@ object StacOps {
         ORDER BY cnt"""),
       (s, dir) => {
         import graft.stac.PortableDelta
+        // persisted: BOTH write commits consume the same projected +
+        // repartitioned frame — unpersisted, each write action re-scans
+        // and re-shuffles orders (the m09 rule); released after the
+        // second commit
         val orders = Tables.t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
           .repartition(8, col("o_orderkey"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val out = java.nio.file.Files.createTempDirectory("stac50").toString + "/tbl"
         // multi-commit so the stats fold spans several adds' JSON
         PortableDelta.write(orders.filter(col("o_orderkey") % 2 === 0), out)
         PortableDelta.write(orders.filter(col("o_orderkey") % 2 === 1), out,
           mode = "append")
+        orders.unpersist()
         val m = PortableDelta.aggregateFromStats(s, out,
           Seq("o_orderkey", "o_totalprice", "o_orderstatus")).head()
         // value check 1 (in-gate): stats answer ≡ the full scan

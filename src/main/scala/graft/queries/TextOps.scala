@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{QuerySpec, Tables}
+import graft.{CachedMemo, QuerySpec, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -532,12 +532,16 @@ object TextOps {
         // and the exact recount join — the m09/CLAUDE.md rule (a frame
         // under an explode consumed by two join branches re-runs the
         // explode per consumer otherwise; exchange reuse does not cover
-        // the post-exchange explode). Gate leaves the cache (run-once).
-        val bigrams = Tables.t(s, dir, "documents")
-          .repartition(col("doc_id"))
-          .select(col("source"), words(col("text")).as("ws"))
-          .select(col("source"), explode(bigramArr).as("term"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the post-exchange explode). Memoized per (session, dataset) so
+        // repeated executions in one session reuse ONE cached copy
+        // instead of stacking a fresh MEMORY_AND_DISK entry per run
+        // (r18 ADVICE), rebuilt when the session cache was cleared.
+        val bigrams = CachedMemo.get(t12Bigrams, (s, dir))(identity)(
+          Tables.t(s, dir, "documents")
+            .repartition(col("doc_id"))
+            .select(col("source"), words(col("text")).as("ws"))
+            .select(col("source"), explode(bigramArr).as("term"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val mg = graft.operators.HeavyHitters.mgCandidates(512)
         // the per-source total rides the SAME aggregate as the MG summary
         // (one pass over the bigrams, not two) and is carried on each
@@ -849,6 +853,12 @@ object TextOps {
   /** t21's one-time trained unigram vocabulary per (session, dataset) —
     * the bpeMergeTable discipline: t20 times training, t21 times
     * encoding. */
+  /** t12's exploded-bigram frame per (session, dataset) — built once,
+    * consumed by the MG sketch aggregate AND the exact recount join;
+    * cache-revalidated (the [[graft.CachedMemo]] contract). */
+  private val t12Bigrams =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private val unigramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

@@ -476,10 +476,18 @@ private[stac] final case class PortableDeltaAlterCommand(
       try {
         val catalog = spark.sessionState.catalog
         val meta = catalog.getTableMetadata(ident)
-        val pcols = meta.partitionColumnNames.toSet
+        // partition columns come from the LOG's post-commit metaData, not
+        // the old CatalogTable: RENAME COLUMN on a partition column maps
+        // the log's partitionColumns through the rename, and the stale
+        // catalog names would class the renamed column as data and leave
+        // partitionColumnNames pointing at the dead name (r18 ADVICE)
+        val pcolSeq =
+          PortableDelta.smallSnapshot(spark, tablePath).partitionColumns
+        val pcols = pcolSeq.toSet
         val (parts, data) = rel.schema.fields.partition(f => pcols(f.name))
-        catalog.alterTable(meta.copy(schema =
-          org.apache.spark.sql.types.StructType(data ++ parts)))
+        catalog.alterTable(meta.copy(
+          schema = org.apache.spark.sql.types.StructType(data ++ parts),
+          partitionColumnNames = pcolSeq))
       } catch { case scala.util.control.NonFatal(e) =>
         // the LOG commit already succeeded; a failed catalog sync must
         // be visible, not swallowed — the stale-schema hazard is real
