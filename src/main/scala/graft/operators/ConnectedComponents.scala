@@ -36,17 +36,25 @@ object ConnectedComponents {
     *   schedules mostly-empty tasks every iteration. Size this to the
     *   label state (rows / a few million per partition), not to the
     *   session default; None keeps the session width.
+    * @param autoWidth derive the loop width from the SEED's vertex count
+    *   (~2M labels per partition, floored at 8, capped at the session
+    *   width) — the same sizing rule callers used to pay a separate
+    *   edge-count action for, now read from the seed materialization the
+    *   loop runs anyway (one fewer action per clustering; results are
+    *   width-invariant either way). Ignored when loopShuffleWidth is set.
     * @return (id, component) — component = min id reachable */
   def run(edges: DataFrame, maxIter: Int = 25,
-          loopShuffleWidth: Option[Int] = None): DataFrame = {
+          loopShuffleWidth: Option[Int] = None,
+          autoWidth: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
     loopShuffleWidth.foreach(w => spark.conf.set("spark.sql.shuffle.partitions", w))
-    try runLoop(edges, maxIter)
+    try runLoop(edges, maxIter, autoWidth && loopShuffleWidth.isEmpty)
     finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
   }
 
-  private def runLoop(edges: DataFrame, maxIter: Int): DataFrame = {
+  private def runLoop(edges: DataFrame, maxIter: Int,
+                      autoWidth: Boolean): DataFrame = {
     val spark = edges.sparkSession
     val src = edges.columns(0)
     val dst = edges.columns(1)
@@ -75,6 +83,16 @@ object ConnectedComponents {
       .agg(min("y").as("mn"))
       .select(col("x").as("id"), least(col("x"), col("mn")).as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (autoWidth) {
+      // the seed count IS the loop state size; the count action also
+      // materializes e/und/seed before the first round (the seed itself
+      // ran at the session width — one exchange, width immaterial there)
+      val nVertices = cached.count()
+      val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val width = math.max(8, math.min(sessionWidth,
+        (nVertices / 2000000L).toInt + 1))
+      spark.conf.set("spark.sql.shuffle.partitions", width)
+    }
     var labels = truncate(cached)
 
     var converged = false

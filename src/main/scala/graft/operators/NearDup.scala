@@ -157,12 +157,11 @@ object NearDup {
     * persisted by the caller if it is expensive to recompute (the count
     * here and the CC loop both consume it). */
   def clusters(pairs: DataFrame, tau: Double): DataFrame = {
-    val s = pairs.sparkSession
     val p = pairs.filter(col("jaccard") >= tau).select(col("doc_a"), col("doc_b"))
-    val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val width = math.max(8, math.min(sessionWidth,
-      (p.count() * 2 / 2000000L).toInt + 1))
-    val cc = ConnectedComponents.run(p, loopShuffleWidth = Some(width))
+    // loop width derives from the SEED's vertex count inside the CC loop
+    // (autoWidth) — the former separate pair-count action paid one extra
+    // pass per clustering just to size the loop shuffles
+    val cc = ConnectedComponents.run(p, autoWidth = true)
     val sizes = cc.groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "component")
       .select(col("id").as("doc_id"), col("component").as("cluster_root"),

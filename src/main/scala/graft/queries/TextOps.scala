@@ -236,7 +236,13 @@ object TextOps {
         // docs.count() action — one fewer job, no collected scalar in the
         // plan, same arithmetic as the oracle's (SELECT n)
         val nDf = docs.agg(count(lit(1)).as("n"))
-        val tf = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+        // spread an under-partitioned input before the explode + partial
+        // agg (the toy corpus is one row group → one task otherwise); an
+        // already-wide input (100 TB of files) skips the shuffle
+        val width = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val spread = if (docs.rdd.getNumPartitions * 2 >= width) docs
+                     else docs.repartition(col("doc_id"))
+        val tf = spread.select(col("doc_id"), explode(words(col("text"))).as("term"))
           .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
         // tf rows are already unique per (doc_id, term) — counting them per
         // term IS the document frequency, no distinct pass needed

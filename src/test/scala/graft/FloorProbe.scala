@@ -27,6 +27,17 @@ object FloorProbe {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[floor] aqe=$aqe parts=$parts sort=$sort times=${times.map(t => f"$t%.3f").mkString(",")}")
+      // same floor with the RELATION resolved once (the r19 Tables.t memo):
+      // isolates DataSource re-resolution (listing + footer) from the rest
+      val rel = spark.read.parquet(s"$dir/nation.parquet")
+      val timesMemo = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val base = rel.groupBy("n_regionkey").count()
+        (if (sort) base.orderBy("n_regionkey") else base)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[floor] aqe=$aqe parts=$parts sort=$sort MEMO  times=${timesMemo.map(t => f"$t%.3f").mkString(",")}")
       spark.stop()
     }
   }
