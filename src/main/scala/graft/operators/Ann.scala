@@ -157,14 +157,21 @@ object Ann {
           explode(array((0 until salt).map(i => lit(i.toLong)): _*))),
         col("__salt_q") === col("__salt_c"))
     val idCond = if (excludeSameId) col("query_id") =!= col("neighbor_id") else lit(true)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // bounded-buffer top-k aggregate, NOT a window (r19, guide §2.3): the
+    // window shuffled EVERY scored candidate row to its query's reducer;
+    // the aggregate's partial buffers collapse map-side, so the shuffle
+    // carries k-element buffers per query per map task. TopKAggregator's
+    // comparator (score desc, id asc; window-identical NaN/−0.0 handling)
+    // is the same total order row_number ranked by — identical rows out.
+    val topk = TopK.topK(k)
     pS.join(cS, col("probe") === col("bucket_b") && saltCond && idCond)
       .select(col("query_id"), col("neighbor_id"),
         (dotd(col("qe"), col("eb")) / (col("qn") * col("nb"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nbr.id").as("neighbor_id"), round(col("nbr.score"), 9).as("cos"))
   }
 
   // --------------------------------------------------------------------
@@ -349,15 +356,20 @@ object Ann {
       .select(col("query_id"), col("cell"),
         col("embedding").as("qe"), col("nrm").as("qn"))
     val idCond = if (excludeSameId) col("vec_id") =!= col("query_id") else lit(true)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    // bounded-buffer top-k aggregate, NOT a window (r19, guide §2.3): the
+    // window shuffled every (query, candidate) scored row; the aggregate
+    // shuffles k-element partial buffers per query per map task — same
+    // total order (score desc, id asc), identical rows out.
+    val topk = TopK.topK(k)
     broadcast(probes).join(assign.filter(candidateFilter), "cell")
       .filter(idCond)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dotd(col("qe"), col("embedding")) / (col("qn") * col("nrm"))).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 9).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("nbr.id").as("neighbor_id"), round(col("nbr.score"), 9).as("cos"))
   }
 
   // --------------------------------------------------------------------

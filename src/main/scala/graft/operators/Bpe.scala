@@ -104,36 +104,49 @@ object Bpe {
     // materialization job per round)
     var anchor = initSyms(wordVocab(docs, textName))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var seqs = truncate(anchor)
-    var sinceAnchor = 0
-    val out = Seq.newBuilder[(Int, String, String, Long)]
-    var step = 1
-    var exhausted = false
-    while (step <= merges && !exhausted) {
-      val best = pairCounts(seqs)
-        .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        out += ((step, a, b, c))
-        seqs = applyMerge(seqs, a, b)
-        sinceAnchor += 1
-        if (sinceAnchor >= AnchorEvery) {
-          val next = seqs.persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize the anchor before releasing its parent
-          anchor.unpersist()
-          anchor = next
-          seqs = truncate(next)
-          sinceAnchor = 0
+    // Loop width ∝ the WORD VOCABULARY (the CC autoWidth discipline): every
+    // per-round shuffle after the first is vocabulary-sized (pair-count
+    // partials), and running k rounds at the corpus-sized session width
+    // schedules mostly-empty tasks each round — measured 2.5× SLOWER at 32
+    // cores than 8 on a 100× corpus before this (r19 scaling probe). The
+    // count also materializes the anchor once, before round 1's collect.
+    val sessionWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val nWords = anchor.count()
+    val width = math.max(8, math.min(sessionWidth.toInt,
+      (nWords / 2000000L).toInt + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", width)
+    try {
+      var seqs = truncate(anchor)
+      var sinceAnchor = 0
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
+        val best = pairCounts(seqs)
+          .orderBy(col("cnt").desc, col("sym_a").asc, col("sym_b").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (a, b, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += ((step, a, b, c))
+          seqs = applyMerge(seqs, a, b)
+          sinceAnchor += 1
+          if (sinceAnchor >= AnchorEvery) {
+            val next = seqs.persist(StorageLevel.MEMORY_AND_DISK)
+            next.count() // materialize the anchor before releasing its parent
+            anchor.unpersist()
+            anchor = next
+            seqs = truncate(next)
+            sinceAnchor = 0
+          }
+          step += 1
         }
-        step += 1
       }
-    }
-    anchor.unpersist()
-    val s = spark; import s.implicits._
-    out.result().toDF("step", "sym_a", "sym_b", "pair_count")
+      anchor.unpersist()
+      val s = spark; import s.implicits._
+      out.result().toDF("step", "sym_a", "sym_b", "pair_count")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionWidth)
   }
 
   /** Per-document token counts under a TRAINED vocabulary: apply the
