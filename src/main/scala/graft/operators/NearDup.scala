@@ -619,9 +619,12 @@ object NearDup {
         posexplode(graft.functions.TextFunctions.rollingHashes(col(textName), w))
           .as(Seq("pos", "h")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // "≥ 2 distinct docs" ⟺ min(id) ≠ max(id): the same predicate without
+    // countDistinct's expand + per-(h, id) partial-distinct shuffle —
+    // min/max partials collapse map-side to one row per hash (guide §2.3)
     val cand = win.groupBy(col("h"))
-      .agg(countDistinct(col(idName)).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col(idName)).as("d_lo"), max(col(idName)).as("d_hi"))
+      .filter(col("d_lo") =!= col("d_hi"))
       .select(col("h"))
     // candidates only: re-extract the window text for the exact verify.
     // Persisted for the two consumers below, materialized eagerly, and
@@ -632,8 +635,8 @@ object NearDup {
         expr(s"substring($textName, pos + 1, $w)").as("wtext"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val trueDup = candText.groupBy(col("h"), col("wtext"))
-      .agg(countDistinct(col(idName)).as("ndt"))
-      .filter(col("ndt") >= 2)
+      .agg(min(col(idName)).as("d_lo"), max(col(idName)).as("d_hi"))
+      .filter(col("d_lo") =!= col("d_hi")) // ≥ 2 distinct docs, no expand
       .select(col("h"), col("wtext"))
     val dupPositions = candText.join(trueDup, Seq("h", "wtext"))
       .select(col(idName), col("pos"))
