@@ -133,18 +133,27 @@ object Pipeline {
     // per-source quality window twice
     val s3p = s3raw.persist(StorageLevel.MEMORY_AND_DISK)
     val s3 = anchor(s3p)
-    def stage(df: DataFrame, c: String) =
-      df.select(col("doc_id")).withColumn(c, lit(true))
-    val funnel = corpus.select(col("source"), col("doc_id"))
-      .join(stage(s1, "in1"), Seq("doc_id"), "left")
-      .join(stage(s2, "in2"), Seq("doc_id"), "left")
-      .join(stage(s3, "in3"), Seq("doc_id"), "left")
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(col("in1"), 1)).as("n_after_neardup"),
-        count(when(col("in2"), 1)).as("n_after_decontam"),
-        count(when(col("in3"), 1)).as("n_after_lm"),
-        sum(when(col("in3"), col("doc_id"))).as("kept_id_sum"))
+    // Per-source funnel counts from the STAGE frames directly: each stage
+    // is a subset of `corpus` (unique doc_id) still carrying `source`, so
+    // count-members-per-source ≡ the corpus-side "count FILTER (doc_id IN
+    // stage)" — four narrow per-source aggregates + joins on the tiny
+    // source key, instead of three row-level corpus joins (r19; the left
+    // joins preserve the empty-stage semantics: counts coalesce to 0,
+    // kept_id_sum stays NULL exactly like sum-FILTER over no rows)
+    val f0 = corpus.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val f1 = s1.groupBy(col("source")).agg(count(lit(1)).as("c1"))
+    val f2 = s2.groupBy(col("source")).agg(count(lit(1)).as("c2"))
+    val f3 = s3.groupBy(col("source"))
+      .agg(count(lit(1)).as("c3"), sum(col("doc_id")).as("kept_id_sum"))
+    val funnel = f0
+      .join(f1, Seq("source"), "left")
+      .join(f2, Seq("source"), "left")
+      .join(f3, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("c1"), lit(0L)).as("n_after_neardup"),
+        coalesce(col("c2"), lit(0L)).as("n_after_decontam"),
+        coalesce(col("c3"), lit(0L)).as("n_after_lm"),
+        col("kept_id_sum"))
     (s3, funnel,
       () => { rel3(); pairs0.unpersist(); sg.unpersist(); drop0.unpersist()
         s1p.unpersist(); s2p.unpersist(); s3p.unpersist(); () })

@@ -65,6 +65,31 @@ class R19OptimizationSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("pretrainingPipeline funnel: a source losing every doc keeps " +
+      "zero counts and a NULL kept_id_sum (the sum-FILTER semantics)") {
+    // source "gone": two exact near-dup docs (dedup drops one), the
+    // survivor shares every shingle with the eval doc (decontam drops it)
+    // → s1 = 1, s2 = 0, s3 = 0, kept_id_sum NULL; source "ok" survives.
+    val text = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (10L, text, "gone"), (11L, text, "gone"),
+      (12L, "one two three four five six seven eight", "ok"),
+      (13L, "nine ten eleven twelve thirteen fourteen fifteen", "ok"))
+      .toDF("doc_id", "text", "source")
+    val eval = Seq((1L, text)).toDF("doc_id", "text")
+    val (_, funnel, release) =
+      graft.queries.Pipeline.pretrainingPipeline(corpus, eval)
+    val rows = funnel.orderBy("source").collect()
+    release()
+    val gone = rows.find(_.getString(0) == "gone").get
+    assert(gone.getLong(1) == 2 && gone.getLong(2) == 1 &&
+      gone.getLong(3) == 0 && gone.getLong(4) == 0,
+      s"gone-source funnel counts wrong: $gone")
+    assert(gone.isNullAt(5), s"empty kept set must sum to NULL: $gone")
+    val ok = rows.find(_.getString(0) == "ok").get
+    assert(ok.getLong(4) > 0 && !ok.isNullAt(5), s"ok source must keep docs: $ok")
+  }
+
   test("contaminatedIdsFromSets ≡ contaminationFraction's contaminated ids") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon zeta"),
